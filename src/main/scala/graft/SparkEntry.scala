@@ -1,13 +1,198 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Relational, RetailEtl}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RetailEtl.starRevenue(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.A retail ETL surface
+    "etl_clean"          -> RetailEtl.clean _,
+    "etl_scd1_customers" -> RetailEtl.scd1Customers _,
+    "etl_scd1_products"  -> RetailEtl.scd1Products _,
+    "etl_dim_dates"      -> RetailEtl.dimDates _,
+    "etl_fact_build"     -> RetailEtl.factBuild _,
+    "etl_star_revenue"   -> RetailEtl.starRevenue _,
+    "etl_star_topn"      -> RetailEtl.starTopn _,
+    // §2.B core relational engine
+    "q1_agg"             -> Relational.q1Agg _,
+    "q2_filter_project"  -> Relational.q2FilterProject _,
+    "q3_join_agg"        -> Relational.q3JoinAgg _,
+    "q4_broadcast_join"  -> Relational.q4BroadcastJoin _,
+    "q5_semi_anti"       -> Relational.q5SemiAnti _,
+    "q6_window_topn"     -> Relational.q6WindowTopn _,
+    "q7_running_window"  -> Relational.q7RunningWindow _,
+    "q8_distinct"        -> Relational.q8Distinct _,
+    "q9_sort_limit"      -> Relational.q9SortLimit _,
+    "q10_setops"         -> Relational.q10SetOps _,
+    "q11_rollup"         -> Relational.q11Rollup _,
+    "q12_case_pivot"     -> Relational.q12CasePivot _,
+    "q13_date_funcs"     -> Relational.q13DateFuncs _,
+    "q14_string_funcs"   -> Relational.q14StringFuncs _,
+    "q15_json"           -> Relational.q15Json _,
+    "q16_subquery_avg"   -> Relational.q16SubqueryAvg _,
+    "q17_having"         -> Relational.q17Having _,
+    "q18_null_handling"  -> Relational.q18NullHandling _,
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "etl_clean" ->
+      """SELECT event_id AS invoice_id, coalesce(user_id, 0) AS customer_id, event_type,
+        | value AS unit_price, CAST(strftime(ts, '%Y%m%d') AS INTEGER) AS date_dim_id
+        |FROM events WHERE value > 0 AND regexp_matches(event_type, '^[a-z_]+$')
+        |ORDER BY invoice_id""".stripMargin,
+    "etl_scd1_customers" ->
+      """WITH latest AS (
+        | SELECT o_custkey, CAST(o_orderdate AS DATE) AS last_order_date, o_orderstatus AS last_status,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        | FROM orders)
+        |SELECT c_custkey AS customer_id, c_name AS name, c_mktsegment AS segment, last_order_date, last_status
+        |FROM customer JOIN latest ON c_custkey = o_custkey WHERE rn = 1 ORDER BY customer_id""".stripMargin,
+    "etl_scd1_products" ->
+      """WITH latest AS (
+        | SELECT l_partkey, CAST(l_shipdate AS DATE) AS last_ship_date,
+        |  floor((l_extendedprice / l_quantity) * 100.0 + 0.5) / 100.0 AS last_unit_price,
+        |  row_number() OVER (PARTITION BY l_partkey ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+        | FROM lineitem)
+        |SELECT p_partkey AS stock_code, p_name AS description, p_brand AS brand, last_ship_date, last_unit_price
+        |FROM part JOIN latest ON p_partkey = l_partkey WHERE rn = 1 ORDER BY stock_code""".stripMargin,
+    "etl_dim_dates" ->
+      """SELECT CAST(strftime(d, '%Y%m%d') AS INTEGER) AS date_dim_id, CAST(d AS DATE) AS date,
+        | CAST(year(d) AS INTEGER) AS year, CAST(month(d) AS INTEGER) AS month,
+        | CAST(day(d) AS INTEGER) AS day, CAST(isodow(d) AS INTEGER) AS day_of_week,
+        | CAST(week(d) AS INTEGER) AS week
+        |FROM generate_series(DATE '2008-01-01', DATE '2012-01-01', INTERVAL 1 DAY) AS t(d)
+        |ORDER BY date_dim_id""".stripMargin,
+    "etl_fact_build" ->
+      """WITH dimc AS (SELECT c_custkey, c_custkey + 1000000 AS customer_dim_id FROM customer WHERE c_acctbal > 0.0),
+        | dimp AS (SELECT p_partkey, p_partkey + 2000000 AS product_dim_id FROM part WHERE p_size >= 5)
+        |SELECT l_orderkey AS invoice_id, l_linenumber AS line_no,
+        | CAST(strftime(l_shipdate, '%Y%m%d') AS INTEGER) AS date_dim_id,
+        | coalesce(customer_dim_id, 0) AS customer_dim_id,
+        | coalesce(product_dim_id, 0) AS product_dim_id,
+        | floor((l_extendedprice / l_quantity) * 100.0 + 0.5) / 100.0 AS unit_price,
+        | l_quantity AS quantity
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | LEFT JOIN dimc ON o_custkey = c_custkey
+        | LEFT JOIN dimp ON l_partkey = dimp.p_partkey
+        |ORDER BY invoice_id, line_no""".stripMargin,
+    "etl_star_revenue" ->
+      """SELECT CAST(year(l_shipdate) AS INTEGER) AS yr, CAST(month(l_shipdate) AS INTEGER) AS mo,
+        | c_mktsegment AS segment,
+        | floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue, count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "etl_star_topn" ->
+      """WITH agg AS (
+        | SELECT p_brand, p_partkey, p_name, floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+        | FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2, 3),
+        |ranked AS (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS INTEGER) AS rk
+        | FROM agg)
+        |SELECT p_brand, p_partkey, p_name, revenue, rk FROM ranked WHERE rk <= 5 ORDER BY p_brand, rk""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+        | floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+        | floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+        | floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+        | floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT p_partkey, p_brand, floor((p_retailprice * 0.9) * 100.0 + 0.5) / 100.0 AS discounted
+        |FROM part WHERE p_size >= 10 AND p_retailprice > 950.0 ORDER BY p_partkey""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT l_orderkey, floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue, count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1 HAVING floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 > 100000.0
+        |ORDER BY revenue DESC, l_orderkey""".stripMargin,
+    "q4_broadcast_join" ->
+      """SELECT r_name, n_name, count(*) AS n_customers, floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0 AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q5_semi_anti" ->
+      """SELECT c_custkey, c_name, 'has_high_value' AS bucket FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+        |UNION ALL
+        |SELECT c_custkey, c_name, 'no_orders' AS bucket FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY bucket, c_custkey""".stripMargin,
+    "q6_window_topn" ->
+      """SELECT o_custkey, o_orderkey, floor((o_totalprice) * 100.0 + 0.5) / 100.0 AS price, CAST(rk AS INTEGER) AS rk FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        | FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "q7_running_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | floor((sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0 AS running_qty
+        |FROM lineitem WHERE l_suppkey <= 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, floor((o_totalprice) * 100.0 + 0.5) / 100.0 AS price
+        |FROM orders ORDER BY price DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q10_setops" ->
+      """WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0),
+        | urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        | both_t AS (SELECT o_custkey FROM hi INTERSECT SELECT o_custkey FROM urgent),
+        | hi_only AS (SELECT o_custkey FROM hi EXCEPT SELECT o_custkey FROM urgent)
+        |SELECT tag, count(*) AS n_customers FROM (
+        | SELECT 'hi_and_urgent' AS tag, o_custkey FROM both_t
+        | UNION ALL SELECT 'hi_only' AS tag, o_custkey FROM hi_only)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q11_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers, floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0 AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q12_case_pivot" ->
+      """SELECT o_orderstatus,
+        | CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+        | CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        | CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
+        | floor((sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END)) * 100.0 + 0.5) / 100.0 AS urgent_value
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_date_funcs" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(hour(ts) AS INTEGER) AS hr,
+        | count(*) AS n_events, floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q14_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_upper, substring(p_name, 1, 8) AS name_prefix,
+        | regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+        | CAST(len(string_split(p_name, ' ')) AS INTEGER) AS name_words
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q15_json" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q16_subquery_avg" ->
+      """WITH a AS (SELECT l_partkey AS ap_partkey, avg(l_quantity) * 0.5 AS half_avg FROM lineitem GROUP BY 1)
+        |SELECT floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS below_avg_revenue, count(*) AS n_lines
+        |FROM lineitem JOIN a ON l_partkey = ap_partkey WHERE l_quantity < half_avg""".stripMargin,
+    "q17_having" ->
+      """SELECT o_custkey, count(*) AS n_orders, floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total_spent
+        |FROM orders GROUP BY 1 HAVING count(*) >= 3 ORDER BY 1""".stripMargin,
+    "q18_null_handling" ->
+      """SELECT event_type, count(*) AS n, count(v) AS n_high,
+        | floor((sum(coalesce(v, 0.0))) * 100.0 + 0.5) / 100.0 AS sum_high, floor((avg(coalesce(v, 0.0))) * 10000.0 + 0.5) / 10000.0 AS avg_filled
+        |FROM (SELECT event_type, CASE WHEN value > 150.0 THEN value END AS v FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
 }

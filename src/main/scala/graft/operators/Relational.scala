@@ -1,0 +1,279 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.util.{Cols, Tables}
+
+/** Core relational query surface (SURVEY.md §2.B).
+  *
+  * Everything is declarative DataFrame API — Catalyst handles pushdown,
+  * partial aggregation, and join strategy selection. Dim-sized inputs are
+  * explicitly `broadcast()`-hinted so the fact-side never shuffles for
+  * star joins; fact-fact joins shuffle on their keys and rely on AQE for
+  * skew handling at scale.
+  */
+object Relational {
+
+  /** q1_agg — TPC-H Q1-style multi-aggregate scan over lineitem.
+    * Map-side partial agg + single shuffle on the two low-cardinality
+    * group keys; at 100 TB this is the canonical scan-heavy agg.
+    */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Cols.pround(sum(col("l_quantity")), 2).as("sum_qty"),
+        Cols.pround(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        Cols.pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        Cols.pround(avg(col("l_quantity")), 4).as("avg_qty"),
+        Cols.pround(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** q2_filter_project — predicate + projection pushdown: only 3 columns
+    * reach the scan (`ReadSchema`) and both filters land in
+    * `PushedFilters`. At scale this is the difference between reading
+    * 100 TB and reading the 2 columns you need.
+    */
+  def q2FilterProject(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.part(spark, sfDir)
+      .filter(col("p_size") >= 10 && col("p_retailprice") > 950.0)
+      .select(col("p_partkey"), col("p_brand"),
+        Cols.pround(col("p_retailprice") * 0.9, 2).as("discounted"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** q3_join_agg — customer ⋈ orders ⋈ lineitem revenue (TPC-H Q3
+    * pattern). orders⋈lineitem is a fact-fact shuffle join on orderkey;
+    * customer side is small relative to facts → broadcast-hinted.
+    */
+  def q3JoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, sfDir)
+    val l = Tables.lineitem(spark, sfDir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(Cols.pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .filter(col("revenue") > 100000.0)
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+  }
+
+  /** q4_broadcast_join — star join through region→nation→customer with
+    * broadcast dims: zero shuffle on the probe side until the final agg.
+    */
+  def q4BroadcastJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = Tables.region(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        Cols.pround(sum(col("c_acctbal")), 2).as("total_acctbal"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** q5_semi_anti — EXISTS as left-semi, NOT EXISTS as left-anti.
+    * Semi/anti joins ship only the key column and short-circuit per
+    * probe row — never materialize the join product.
+    */
+  def q5SemiAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val hiValue = o.filter(col("o_totalprice") > 200000.0).select(col("o_custkey"))
+    val withHi = c.join(hiValue, c("c_custkey") === hiValue("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name")).withColumn("bucket", lit("has_high_value"))
+    val noOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name")).withColumn("bucket", lit("no_orders"))
+    withHi.unionAll(noOrders).orderBy(col("bucket"), col("c_custkey"))
+  }
+
+  /** q6_window_topn — top-3 orders per customer by price; rank window
+    * partitioned by the group key so each partition sorts locally after
+    * one shuffle.
+    */
+  def q6WindowTopn(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        Cols.pround(col("o_totalprice"), 2).as("price"), col("rk"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** q7_running_window — per-supplier running revenue ordered by ship
+    * date: unbounded-preceding frame = streaming prefix sum after a
+    * single hash partition on the supplier key.
+    */
+  def q7RunningWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_suppkey") <= 3)
+      .withColumn("running_qty", Cols.pround(sum(col("l_quantity")).over(w), 2))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("running_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** q8_distinct — exact distinct counting per group; Spark expands to
+    * a two-phase aggregate (partial distinct then merge).
+    */
+  def q8Distinct(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q9_sort_limit — global top-k: Spark's TakeOrderedAndProject avoids
+    * a full sort — each partition keeps k rows, driver merges k·p.
+    */
+  def q9SortLimit(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        Cols.pround(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** q10_setops — UNION ALL / INTERSECT / EXCEPT over key sets.
+    * INTERSECT/EXCEPT hash-dedupe both sides on all columns.
+    */
+  def q10SetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val hi = o.filter(col("o_totalprice") > 150000.0).select(col("o_custkey"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val both = hi.intersect(urgent).withColumn("tag", lit("hi_and_urgent"))
+    val hiOnly = hi.except(urgent).withColumn("tag", lit("hi_only"))
+    both.unionAll(hiOnly)
+      .groupBy(col("tag")).agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("tag"))
+  }
+
+  /** q11_rollup — ROLLUP over the region→nation hierarchy; one shuffle,
+    * Expand feeds all grouping sets through the same partial aggregate.
+    */
+  def q11Rollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        Cols.pround(sum(col("c_acctbal")), 2).as("total_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** q12_case_pivot — pivot order priorities to columns via conditional
+    * aggregation (portable, single pass — no Spark `pivot()` second job).
+    */
+  def q12CasePivot(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("n_urgent"),
+        sum(when(col("o_orderpriority") === "2-HIGH", 1).otherwise(0)).as("n_high"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).as("n_other"),
+        Cols.pround(sum(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice"))
+          .otherwise(0.0)), 2).as("urgent_value"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** q13_date_funcs — calendar bucketing over event timestamps:
+    * date_trunc/year/month/dayofweek all evaluate scan-side (codegen'd),
+    * so the shuffle carries only the bucket keys.
+    */
+  def q13DateFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .groupBy(
+        date_trunc("day", col("ts")).cast("date").as("day"),
+        hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        Cols.pround(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("day"), col("hr"))
+  }
+
+  /** q14_string_funcs — string pipeline: case, substring, regexp
+    * extraction, split — all codegen'd expressions, no UDFs.
+    */
+  def q14StringFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.part(spark, sfDir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+        size(split(col("p_name"), " ")).as("name_words"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** q15_json — JSON field extraction from `events.props` strings;
+    * get_json_object is a codegen'd path expression, the parse happens
+    * scan-side before the aggregate shuffle.
+    */
+  def q15Json(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q16_subquery_avg — TPC-H Q17 pattern: rows below 20% of their
+    * group's average. The per-group average is a separate aggregate
+    * joined back (broadcast — one row per part), not a correlated
+    * re-scan per row.
+    */
+  def q16SubqueryAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    val avgQty = l.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((avg(col("l_quantity")) * 0.5).as("half_avg"))
+    l.join(broadcast(avgQty), l("l_partkey") === avgQty("ap_partkey"))
+      .filter(col("l_quantity") < col("half_avg"))
+      .agg(Cols.pround(sum(col("l_extendedprice")), 2).as("below_avg_revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** q17_having — post-aggregation filter; Catalyst evaluates it after
+    * the final aggregate, never on raw rows.
+    */
+  def q17Having(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        Cols.pround(sum(col("o_totalprice")), 2).as("total_spent"))
+      .filter(col("n_orders") >= 3)
+      .orderBy(col("o_custkey"))
+  }
+
+  /** q18_null_handling — coalesce / null-safe equality / null bucketing
+    * (the reference null-fills "00000" sentinel dims; this is the same
+    * semantics expressed declaratively).
+    */
+  def q18NullHandling(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .withColumn("v", when(col("value") > 150.0, col("value")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("v")).as("n_high"),
+        Cols.pround(sum(coalesce(col("v"), lit(0.0))), 2).as("sum_high"),
+        Cols.pround(avg(coalesce(col("v"), lit(0.0))), 4).as("avg_filled"))
+      .orderBy(col("event_type"))
+  }
+}

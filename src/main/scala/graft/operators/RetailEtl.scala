@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.util.{Cols, Tables}
+
+/** Retail ETL surface (SURVEY.md §2.A) — the reference pipeline's
+  * semantics (reference: airflow/dags/etl.py + airflow/dags/sql/init_db.sql),
+  * re-expressed as declarative Spark plans over the testdata star schema.
+  *
+  * Reference steps → graft operators:
+  *  - initial_clean (etl.py:44-90)  → [[clean]]: typed projection, rename,
+  *    sentinel null-fill, predicate + id-shape filters, yyyyMMdd dim id.
+  *  - stage_dims (etl.py:94-120) → [[scd1Customers]]/[[scd1Products]]:
+  *    SCD type-1 "keep most recent per natural key", expressed as a
+  *    row_number window (pandas drop_duplicates(keep="last") relied on
+  *    file order; at 100 TB there is no file order — recency must be an
+  *    explicit ORDER BY, so we sort by event time with unique-key
+  *    tie-breaks).
+  *  - load_dims dim_dates generation (etl.py:127-150) → [[dimDates]]:
+  *    sequence+explode, fully distributed (no driver-side range).
+  *  - stage_fact (etl.py:182-230) → [[factBuild]]: left-join facts to
+  *    dims on natural keys, null → default member (init_db.sql's
+  *    '00000' sentinel row), drop natural keys.
+  *  - Superset dashboard queries → [[starRevenue]]/[[starTopn]].
+  */
+object RetailEtl {
+
+  /** etl_clean — initial cleaning of raw event rows. Filters and the
+    * projection both push to the parquet scan; the regex shape check is
+    * a codegen'd expression (no UDF).
+    */
+  def clean(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .select(
+        col("event_id").as("invoice_id"),
+        coalesce(col("user_id"), lit(0L)).as("customer_id"),
+        col("event_type"),
+        col("value").as("unit_price"),
+        col("ts"))
+      .filter(col("unit_price") > 0.0)
+      .filter(col("event_type").rlike("^[a-z_]+$"))
+      .withColumn("date_dim_id", date_format(col("ts"), "yyyyMMdd").cast("int"))
+      .drop("ts")
+      .orderBy(col("invoice_id"))
+  }
+
+  /** etl_scd1_customers — SCD type-1 customer dim: latest order decides
+    * the current attributes. One shuffle on the natural key; the window
+    * sort is per-key local.
+    */
+  def scd1Customers(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val latest = o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderdate").as("last_order_date"),
+        col("o_orderstatus").as("last_status"))
+    c.join(latest, c("c_custkey") === latest("o_custkey"))
+      .select(col("c_custkey").as("customer_id"), col("c_name").as("name"),
+        col("c_mktsegment").as("segment"),
+        col("last_order_date").cast("date").as("last_order_date"),
+        col("last_status"))
+      .orderBy(col("customer_id"))
+  }
+
+  /** etl_scd1_products — SCD type-1 product dim: most recent shipment
+    * per part carries the current observed state.
+    */
+  def scd1Products(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+    val l = Tables.lineitem(spark, sfDir)
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("l_shipdate").desc, col("l_orderkey").desc, col("l_linenumber").desc)
+    val latest = l.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_partkey"), col("l_shipdate").cast("date").as("last_ship_date"),
+        Cols.pround(col("l_extendedprice") / col("l_quantity"), 2).as("last_unit_price"))
+    p.join(latest, p("p_partkey") === latest("l_partkey"))
+      .select(col("p_partkey").as("stock_code"), col("p_name").as("description"),
+        col("p_brand").as("brand"), col("last_ship_date"), col("last_unit_price"))
+      .orderBy(col("stock_code"))
+  }
+
+  /** etl_dim_dates — generated date dimension 2008-01-01..2012-01-01
+    * (reference range, etl.py:130-134). sequence+explode is evaluated
+    * on executors; ISO day-of-week/week match pandas isocalendar().
+    */
+  def dimDates(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.range(1)
+      .select(explode(sequence(
+        lit(java.sql.Date.valueOf("2008-01-01")),
+        lit(java.sql.Date.valueOf("2012-01-01")),
+        expr("interval 1 day"))).as("date"))
+      .select(
+        date_format(col("date"), "yyyyMMdd").cast("int").as("date_dim_id"),
+        col("date"),
+        year(col("date")).as("year"),
+        month(col("date")).as("month"),
+        dayofmonth(col("date")).as("day"),
+        (weekday(col("date")) + 1).as("day_of_week"),
+        weekofyear(col("date")).as("week"))
+      .orderBy(col("date_dim_id"))
+  }
+
+  /** etl_fact_build — surrogate-key fact build: facts left-join dims on
+    * natural keys; unmatched rows get the default member (dim id 0),
+    * mirroring init_db.sql's '00000' sentinel rows. Dims are broadcast —
+    * the 100 TB fact side never shuffles here. Surrogate ids are stable
+    * key-derived values (not serials): at cluster scale a sequence is a
+    * bottleneck, a deterministic mapping is free and idempotent.
+    */
+  def factBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    // "active" dim members only → some facts fall through to the sentinel
+    val dimC = Tables.customer(spark, sfDir)
+      .filter(col("c_acctbal") > 0.0)
+      .select(col("c_custkey"), (col("c_custkey") + 1000000L).as("customer_dim_id"))
+    val dimP = Tables.part(spark, sfDir)
+      .filter(col("p_size") >= 5)
+      .select(col("p_partkey"), (col("p_partkey") + 2000000L).as("product_dim_id"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(dimC), col("o_custkey") === dimC("c_custkey"), "left")
+      .join(broadcast(dimP), l("l_partkey") === dimP("p_partkey"), "left")
+      .select(
+        col("l_orderkey").as("invoice_id"),
+        col("l_linenumber").as("line_no"),
+        date_format(col("l_shipdate"), "yyyyMMdd").cast("int").as("date_dim_id"),
+        coalesce(col("customer_dim_id"), lit(0L)).as("customer_dim_id"),
+        coalesce(col("product_dim_id"), lit(0L)).as("product_dim_id"),
+        Cols.pround(col("l_extendedprice") / col("l_quantity"), 2).as("unit_price"),
+        col("l_quantity").as("quantity"))
+      .orderBy(col("invoice_id"), col("line_no"))
+  }
+
+  /** etl_star_revenue — dashboard query: monthly revenue by market
+    * segment over the star (fact ⋈ broadcast dims ⋈ generated dim_dates).
+    */
+  def starRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(
+        year(col("l_shipdate")).as("yr"),
+        month(col("l_shipdate")).as("mo"),
+        col("c_mktsegment").as("segment"))
+      .agg(
+        Cols.pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("yr"), col("mo"), col("segment"))
+  }
+
+  /** etl_star_topn — dashboard query: top-5 products by revenue within
+    * each brand (rank over aggregate).
+    */
+  def starTopn(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir).select(col("p_partkey"), col("p_name"), col("p_brand"))
+    val agg = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"), col("p_name"))
+      .agg(Cols.pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("revenue").desc, col("p_partkey"))
+    agg.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("p_brand"), col("p_partkey"), col("p_name"), col("revenue"), col("rk"))
+      .orderBy(col("p_brand"), col("rk"))
+  }
+}

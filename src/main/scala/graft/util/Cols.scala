@@ -1,0 +1,28 @@
+package graft.util
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column helpers shared across operators. */
+object Cols {
+
+  /** Portable decimal rounding: floor(x·10^s + 0.5) / 10^s.
+    *
+    * `round()` is NOT portable across engines on exact .xx5 inputs:
+    * Spark rounds via BigDecimal(shortest-repr).setScale(HALF_UP) while
+    * e.g. DuckDB takes the float-multiply path, so round(2561.595, 2)
+    * yields 2561.60 in one and 2561.59 in the other. This formulation is
+    * a pure IEEE-double computation — identical bit-for-bit wherever
+    * doubles are IEEE — which is what a cross-engine value oracle needs.
+    */
+  def pround(c: Column, scale: Int): Column = {
+    val s = math.pow(10, scale)
+    floor(c * lit(s) + lit(0.5)) / lit(s)
+  }
+
+  /** SQL text of [[pround]] for the DuckDB oracle side. */
+  def proundSql(expr: String, scale: Int): String = {
+    val s = math.pow(10, scale).toLong
+    s"floor(($expr) * $s.0 + 0.5) / $s.0"
+  }
+}
