@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Relational, RetailEtl}
+import graft.operators.{Dedup, Multimodal, Relational, RetailEtl, Similarity, TextAnalysis}
+import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -39,6 +40,21 @@ object SparkEntry {
     "q16_subquery_avg"   -> Relational.q16SubqueryAvg _,
     "q17_having"         -> Relational.q17Having _,
     "q18_null_handling"  -> Relational.q18NullHandling _,
+    // §2.C LLM-data-pipeline operators
+    "dedup_exact"         -> Dedup.exact _,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
+    "dedup_minhash"       -> Dedup.minhashLsh _,
+    "dedup_simhash"       -> Dedup.simhashPairs _,
+    "text_langid"         -> TextAnalysis.langid _,
+    "text_quality"        -> TextAnalysis.quality _,
+    "text_tokens"         -> TextAnalysis.tokens _,
+    "text_fingerprint"    -> TextAnalysis.fingerprint _,
+    "sim_bruteforce_topk" -> Similarity.bruteforceTopk _,
+    "sim_lsh_ann"         -> Similarity.lshAnn _,
+    "mm_meta"             -> Multimodal.meta _,
+    // §2.D streaming (batch-equivalent forms; streaming impls spec-tested)
+    "stream_window_agg"   -> EventStreams.windowAgg _,
+    "stream_sessionize"   -> EventStreams.sessionize _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -194,5 +210,18 @@ object SparkEntry {
         | floor((sum(coalesce(v, 0.0))) * 100.0 + 0.5) / 100.0 AS sum_high, floor((avg(coalesce(v, 0.0))) * 10000.0 + 0.5) / 10000.0 AS avg_filled
         |FROM (SELECT event_type, CASE WHEN value > 150.0 THEN value END AS v FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_exact"         -> Dedup.exactSql,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "dedup_minhash"       -> Dedup.minhashLshSql,
+    "dedup_simhash"       -> Dedup.simhashPairsSql,
+    "text_langid"         -> TextAnalysis.langidSql,
+    "text_quality"        -> TextAnalysis.qualitySql,
+    "text_tokens"         -> TextAnalysis.tokensSql,
+    "text_fingerprint"    -> TextAnalysis.fingerprintSql,
+    "sim_bruteforce_topk" -> Similarity.bruteforceTopkSql,
+    "sim_lsh_ann"         -> Similarity.lshAnnSql,
+    "mm_meta"             -> Multimodal.metaSql,
+    "stream_window_agg"   -> EventStreams.windowAggSql,
+    "stream_sessionize"   -> EventStreams.sessionizeSql,
   )
 }

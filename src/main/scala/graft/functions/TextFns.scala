@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Portable text primitives (SURVEY.md §2.C).
+  *
+  * Every primitive exists twice: as a Spark `Column` (pure Catalyst
+  * higher-order functions — codegen-capable, no UDFs, fully distributed)
+  * and as a DuckDB SQL fragment (`*Sql`), built from the same constants,
+  * so the dedup/fingerprint family gets REAL value oracles instead of
+  * rows-only checks. All hashing is an explicit polynomial fold over
+  * character codes — engine-independent integer arithmetic.
+  */
+object TextFns {
+
+  /** Modulus for all polynomial hashing: 2^31-1 (Mersenne prime).
+    * Keeps every intermediate < 2^62, safely inside BIGINT.
+    */
+  val P = 2147483647L
+
+  /** MinHash signature width. */
+  val MinhashK = 16
+
+  /** MinHash LSH banding: 4 bands × 4 rows. */
+  val Bands = 4
+  val RowsPerBand = 4
+
+  // ---------------------------------------------------------------- tokenize
+
+  /** Lowercased whitespace tokens, empties dropped. */
+  def tokenize(c: Column): Column =
+    filter(split(lower(trim(c)), "\\s+"), w => w =!= "")
+
+  def tokenizeSql(c: String): String =
+    raw"list_filter(string_split_regex(lower(trim($c)), '\s+'), w -> w <> '')"
+
+  // ---------------------------------------------------------------- polyhash
+
+  /** Polynomial rolling hash over a string's character codes:
+    * fold(acc = 0; acc = (acc*31 + code) mod P). Identical fold order on
+    * both engines → identical values.
+    */
+  def charFold(c: Column): Column =
+    aggregate(
+      transform(filter(split(c, ""), ch => ch =!= ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % P)
+
+  def charFoldSql(c: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($c, ''), ch -> CAST(ascii(ch) AS BIGINT))), " +
+      s"(acc, x) -> (acc * 31 + x) % $P)"
+
+  // ---------------------------------------------------------------- shingles
+
+  /** Distinct 3-word shingle hashes of a token array. */
+  def shingleHashes(words: Column): Column =
+    when(size(words) >= 3,
+      array_distinct(transform(sequence(lit(1), size(words) - 2), i =>
+        charFold(concat_ws(" ",
+          element_at(words, i), element_at(words, i + 1), element_at(words, i + 2))))))
+      .otherwise(array().cast("array<bigint>"))
+
+  def shingleHashesSql(words: String): String = {
+    val shingle = s"$words[i] || ' ' || $words[i+1] || ' ' || $words[i+2]"
+    s"CASE WHEN len($words) >= 3 THEN " +
+      s"list_distinct(list_transform(generate_series(1, len($words)-2), i -> ${charFoldSql(shingle)})) " +
+      s"ELSE [] END"
+  }
+
+  // ---------------------------------------------------------------- minhash
+
+  private def aCoef(i: String) = s"(1000003*$i + 12289)"
+  private def bCoef(i: String) = s"(999983*$i + 15373)"
+
+  /** MinHash signature: k permutation-hashes h_i(x) = (a_i·x+b_i) mod P,
+    * signature[i] = min over shingle hashes. Expressed as a Catalyst
+    * higher-order expression (SQL text routed through expr so the lambda
+    * variable can feed shift/arith uniformly with the oracle side).
+    */
+  def minhashSig(hashesCol: String): Column =
+    expr(
+      s"transform(sequence(0, ${MinhashK - 1}), i -> " +
+        s"array_min(transform($hashesCol, x -> ((1000003*i + 12289) * x + (999983*i + 15373)) % $P)))")
+
+  def minhashSigSql(hashes: String): String =
+    s"list_transform(generate_series(0, ${MinhashK - 1}), i -> " +
+      s"list_min(list_transform($hashes, x -> (${aCoef("i")} * x + ${bCoef("i")}) % $P)))"
+
+  /** LSH band key: polynomial fold of one r-row slice of the signature. */
+  def bandKey(sigCol: String, bandCol: String): Column =
+    expr(s"aggregate(slice($sigCol, $bandCol * $RowsPerBand + 1, $RowsPerBand), " +
+      s"CAST(0 AS BIGINT), (acc, v) -> (acc * 131 + v) % $P)")
+
+  def bandKeySql(sig: String, band: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"$sig[$band*$RowsPerBand+1 : $band*$RowsPerBand+$RowsPerBand]), " +
+      s"(acc, v) -> (acc * 131 + v) % $P)"
+
+  /** Fraction of agreeing minhash positions — the LSH jaccard estimate.
+    * count/16.0 is an exact power-of-two division: bit-identical.
+    */
+  def sigAgreement(sa: String, sb: String): Column =
+    expr(s"CAST(size(filter(sequence(1, $MinhashK), i -> element_at($sa, i) = element_at($sb, i))) AS DOUBLE) / $MinhashK.0")
+
+  def sigAgreementSql(sa: String, sb: String): String =
+    s"CAST(len(list_filter(generate_series(1, $MinhashK), i -> $sa[i] = $sb[i])) AS DOUBLE) / $MinhashK.0"
+
+  // ---------------------------------------------------------------- simhash
+
+  /** 32-bit SimHash over (multiset of) token hashes: bit i set iff the
+    * sum of ±1 votes from each token's bit i is positive.
+    */
+  def simhash(tokenHashesCol: String): Column =
+    expr(s"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) -> acc + " +
+      s"CASE WHEN aggregate($tokenHashesCol, CAST(0 AS BIGINT), (a, h) -> a + (shiftright(h, i) & 1) * 2 - 1) > 0 " +
+      s"THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)")
+
+  def simhashSql(tokenHashes: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, 31), i -> " +
+      s"CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($tokenHashes, h -> ((h >> i) & 1) * 2 - 1)), (a, b) -> a + b) > 0 " +
+      s"THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b)"
+
+  /** Token hash array (with multiplicity) for simhash. */
+  def tokenHashes(words: Column): Column =
+    transform(words, w => charFold(w))
+
+  def tokenHashesSql(words: String): String =
+    s"list_transform($words, w -> ${charFoldSql("w")})"
+
+  // ---------------------------------------------------------------- langid
+
+  /** Stopword-family markers for the n-gram language heuristic. */
+  val EnMarkers = Seq("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
+
+  private def inList(vals: Seq[String]) = vals.map(v => s"'$v'").mkString("(", ", ", ")")
+
+  def markerRatio(wordsCol: String): Column =
+    expr(s"CAST(size(filter($wordsCol, w -> w IN ${inList(EnMarkers)})) AS DOUBLE) / size($wordsCol)")
+
+  def markerRatioSql(words: String): String =
+    s"CAST(len(list_filter($words, w -> w IN ${inList(EnMarkers)})) AS DOUBLE) / len($words)"
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables
+
+/** Multimodal column plumbing (SURVEY.md §2.C).
+  *
+  * Media are opaque `binary` payloads with typed metadata alongside —
+  * the pattern a 100 TB training-data pipeline uses for images/audio/
+  * video. The Spark-side mechanics here are real (binary columns,
+  * schema, partition-friendly per-batch processing via mapPartitions);
+  * the actual codec call is STUBBED with a deterministic fake because
+  * no image/audio library ships in this environment — swap
+  * [[decodeStub]]'s body for the real codec in production.
+  */
+object Multimodal {
+
+  /** One decoded media record. */
+  case class MediaMeta(doc_id: Long, payload_len: Int, width: Int, height: Int, frames: Int)
+
+  /** STUB decoder: stands in for e.g. an image codec. Deterministic fake
+    * derived from the payload bytes so tests are stable. Real impl:
+    * decode `bytes` and return true dimensions.
+    */
+  def decodeStub(docId: Long, bytes: Array[Byte]): MediaMeta = {
+    val n = bytes.length
+    MediaMeta(docId, n, 16 + n % 64, 16 + (n * 7) % 64, 1 + n % 30)
+  }
+
+  /** Batch decode path: binary payload column → typed metadata, executed
+    * per-partition (the shape a vectorized/codec UDF takes — one
+    * partition = one batch, no driver involvement).
+    */
+  def decodeAll(spark: SparkSession, sfDir: String): Dataset[MediaMeta] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+  }
+
+  /** mm_meta — expression-only metadata over the binary payload (length,
+    * content digest, fake thumb signature + dimensions). Fully
+    * value-oracled: every component is portable (md5 of the UTF-8
+    * bytes, arithmetic on the byte length).
+    */
+  def meta(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).as("payload_len"),
+        md5(col("payload")).as("content_md5"),
+        substring(md5(col("payload")), 1, 8).as("thumb_sig"),
+        (lit(16) + length(col("payload")) % 64).as("width"),
+        (lit(16) + (length(col("payload")) * 7) % 64).as("height"))
+      .orderBy(col("doc_id"))
+  }
+
+  def metaSql: String =
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS payload_len,
+      | md5(text) AS content_md5, substring(md5(text), 1, 8) AS thumb_sig,
+      | CAST(16 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
+      | CAST(16 + (octet_length(encode(text)) * 7) % 64 AS INTEGER) AS height
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.util.{Cols, Tables}
+
+/** Embedding similarity search (SURVEY.md §2.C) over `embeddings`
+  * (64-dim float vectors).
+  *
+  * Numeric portability: every dot product is an explicit left fold in
+  * DOUBLE over index order — the same IEEE operation sequence in Spark
+  * (`aggregate`/`zip_with`) and DuckDB (`list_reduce`/`list_transform`),
+  * so cosine values are bit-identical and fully value-oracled.
+  *
+  * Scale: brute-force is the correctness baseline (broadcast the query
+  * set, scan candidates once — embarrassingly parallel but O(Q·N)).
+  * The production path is [[lshAnn]]: sign-random-projection bucketing,
+  * candidates meet queries in a bucket equi-join — O(N) shuffle keyed by
+  * bucket, per-bucket top-k.
+  */
+object Similarity {
+
+  val P: Long = 2147483647L
+
+  /** Left-fold double dot product of two float-array columns (SQL text
+    * shared with the oracle builder below).
+    */
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, v) -> acc + v)"
+
+  private def cosExpr(a: String, b: String): Column =
+    expr(s"${dotExpr(a, b)} / sqrt(${dotExpr(a, a)} * ${dotExpr(b, b)})")
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)})"
+
+  /** Deterministic sign-random-projection bucket (nPlanes bits): plane
+    * i's component for dimension d is ±1 from a polynomial PRNG — no
+    * stored model, reproducible everywhere.
+    */
+  private def bucketExpr(v: String, nPlanes: Int): String =
+    s"aggregate(sequence(0, ${nPlanes - 1}), CAST(0 AS BIGINT), (acc, i) -> acc + " +
+      s"CASE WHEN aggregate(sequence(1, size($v)), CAST(0 AS DOUBLE), (a, d) -> a + CAST(element_at($v, d) AS DOUBLE) * " +
+      s"(CASE WHEN (1000003 * (i * 64 + d - 1) + 12289) % $P > 1073741823 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)) > 0 " +
+      s"THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)"
+
+  private def bucketSql(v: String, nPlanes: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, ${nPlanes - 1}), i -> " +
+      s"CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len($v)), d -> CAST($v[d] AS DOUBLE) * " +
+      s"(CASE WHEN (1000003 * (i * 64 + d - 1) + 12289) % $P > 1073741823 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END))), (a, b) -> a + b) > 0 " +
+      s"THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b)"
+
+  /** sim_bruteforce_topk — exact cosine top-5 for each query vector
+    * (vec_id < 8) over all candidates (vec_id >= 8). Query set is
+    * broadcast; candidate scan is a single distributed pass.
+    */
+  def bruteforceTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val c = e.filter(col("vec_id") >= 8).select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    c.crossJoin(broadcast(q))
+      .withColumn("cos", cosExpr("qv", "cv"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("c_id"),
+        Cols.pround(col("cos"), 6).as("cos_sim"),
+        col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  def bruteforceTopkSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id >= 8),
+       |s AS (SELECT q_id, c_id, ${cosSql("qv", "cv")} AS cos FROM q CROSS JOIN c),
+       |r AS (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s)
+       |SELECT q_id, c_id, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, CAST(rk AS INTEGER) AS rk
+       |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+  /** sim_lsh_ann — ANN top-5 within the query's 8-bit
+    * sign-random-projection bucket: the scale path (bucket equi-join
+    * instead of all-pairs).
+    */
+  def lshAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        expr(bucketExpr("embedding", 8)).as("bucket"))
+    val c = e.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+        expr(bucketExpr("embedding", 8)).as("bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .withColumn("cos", cosExpr("qv", "cv"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("c_id"), col("bucket"),
+        Cols.pround(col("cos"), 6).as("cos_sim"),
+        col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  def lshAnnSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv, ${bucketSql("embedding", 8)} AS bucket
+       |           FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS c_id, embedding AS cv, ${bucketSql("embedding", 8)} AS bucket
+       |      FROM embeddings WHERE vec_id >= 8),
+       |s AS (SELECT q_id, c_id, q.bucket, ${cosSql("qv", "cv")} AS cos
+       |      FROM q JOIN c ON q.bucket = c.bucket),
+       |r AS (SELECT q_id, c_id, bucket, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s)
+       |SELECT q_id, c_id, bucket, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, CAST(rk AS INTEGER) AS rk
+       |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+}

@@ -1,0 +1,156 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.util.{Cols, Tables}
+
+// Top-level (not object-nested) so Spark's encoder codegen — which
+// instantiates these from generated Java — resolves their constructors.
+case class Ev(user_id: Long, us: Long, value: Double)
+case class EvT(user_id: Long, us: Long, value: Double, ets: java.sql.Timestamp)
+case class SessionOut(user_id: Long, n_events: Long, start_us: Long, end_us: Long, total_value: Double)
+case class SessState(n: Long, start: Long, last: Long, total: Double)
+
+/** Event-stream operators (SURVEY.md §2.D).
+  *
+  * Each operator exists in two equivalent forms:
+  *  - a BATCH form over the `events` table (value-oracled vs DuckDB —
+  *    timestamps are compared as epoch-microsecond longs, pure integer
+  *    arithmetic on both engines);
+  *  - a Structured Streaming form (readStream-compatible; spec-tested
+  *    with a memory sink) — same semantics, incremental execution.
+  *
+  * At scale the streaming forms run with watermarks so state is bounded;
+  * the batch forms shuffle once on (bucket|user) keys.
+  */
+object EventStreams {
+
+  /** stream_window_agg (batch form) — 15-minute tumbling windows per
+    * event type. Bucketing is integer division on epoch micros: exact.
+    */
+  def windowAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("bucket", expr("us div 900000000"))
+      .groupBy(col("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Cols.pround(sum(col("value")), 2).as("total_value"))
+      .withColumn("window_start", timestamp_micros(col("bucket") * 900000000L))
+      .select(col("bucket"), col("window_start"), col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
+  def windowAggSql: String =
+    """SELECT bucket, make_timestamp(bucket * 900000000) AS window_start, event_type,
+      | count(*) AS n_events, floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+      |FROM (SELECT epoch_us(ts) // 900000000 AS bucket, event_type, value FROM events)
+      |GROUP BY 1, 3 ORDER BY 1, 3""".stripMargin
+
+  /** stream_sessionize (batch form) — gap-based sessions (30 min) per
+    * user: lag + running flag-sum assigns session ids, then per-session
+    * rollup. One shuffle on user_id; window sorts are per-key local.
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("sess_idx", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("sess_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"),
+        Cols.pround(sum(col("value")), 2).as("total_value"))
+      .withColumn("duration_sec", expr("(end_us - start_us) div 1000000"))
+      .select(col("user_id"), col("sess_idx").cast("long").as("sess_idx"),
+        col("n_events"), col("start_us"), col("end_us"), col("duration_sec"), col("total_value"))
+      .orderBy(col("user_id"), col("sess_idx"))
+  }
+
+  def sessionizeSql: String =
+    """WITH flagged AS (
+      | SELECT user_id, event_id, value, epoch_us(ts) AS us,
+      |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |sess AS (
+      | SELECT user_id, event_id, value, us,
+      |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+      | FROM flagged)
+      |SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx, count(*) AS n_events,
+      | min(us) AS start_us, max(us) AS end_us,
+      | (max(us) - min(us)) // 1000000 AS duration_sec,
+      | floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+      |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------- streaming forms
+
+  /** Streaming tumbling-window aggregation: same semantics as
+    * [[windowAgg]], incremental with a 30-minute watermark bounding
+    * state. Works on any streaming DataFrame with (ts, event_type,
+    * value).
+    */
+  def windowAggStream(events: DataFrame): DataFrame = {
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Cols.pround(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+  }
+
+  /** Streaming gap-sessionization via flatMapGroupsWithState: a session
+    * closes when a user's next event arrives >30 min later (in-batch
+    * gap) or when the event-time watermark passes last_event + 30 min
+    * (idle user). Event-time timeouts keep the semantics deterministic —
+    * a replay yields identical sessions, which wall-clock
+    * (processing-time) timeouts cannot guarantee, and they also keep the
+    * micro-batch engine quiescent between arrivals. State per user is
+    * O(1); state cleanup is driven by the watermark, so total state is
+    * bounded by the active-user set.
+    */
+  def sessionizeStream(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ets", timestamp_micros(col("us")))
+      .withWatermark("ets", "30 minutes")
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[EvT], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s => SessionOut(uid, s.n, s.start, s.last, s.total))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.us, e.value))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.us - s.last > 1800000000L =>
+                  closed += SessionOut(uid, s.n, s.start, s.last, s.total)
+                  cur = Some(SessState(1, e.us, e.us, e.value))
+                case Some(s) =>
+                  cur = Some(SessState(s.n + 1, s.start, e.us, s.total + e.value))
+                case None =>
+                  cur = Some(SessState(1, e.us, e.us, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last / 1000L + 30L * 60L * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpecBase {
+
+  test("exact dedup keeps one row per normalized text") {
+    val df = Dedup.exact(spark, SfDir)
+    val total = spark.read.parquet(s"$SfDir/documents.parquet").count()
+    assert(df.agg(sum("n_copies")).head.getLong(0) == total)
+    assert(df.select("fp").distinct().count() == df.count())
+  }
+
+  test("minhash LSH finds the planted near-duplicates that ngram-jaccard confirms") {
+    val jac = Dedup.ngramJaccard(spark, SfDir)
+      .filter(col("jac") >= 0.9)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashLsh(spark, SfDir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.nonEmpty, "corpus should contain planted near-dups")
+    // banded LSH at 4x4 catches nearly-identical docs with high probability;
+    // demand at least 80% recall on the >=0.9-jaccard planted pairs
+    val recall = jac.count(mh.contains).toDouble / jac.size
+    assert(recall >= 0.8, s"LSH recall $recall too low (found ${mh.size} pairs)")
+  }
+
+  test("simhash pairs are symmetric-free and within hamming bound") {
+    val rows = Dedup.simhashPairs(spark, SfDir).collect()
+    assert(rows.forall(r => r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
+    assert(rows.forall(_.getAs[Int]("hamming") <= 1))
+  }
+}

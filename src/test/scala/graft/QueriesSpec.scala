@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Mechanics guard for every SparkEntry query: runs at sf0.001, checks
+  * non-degenerate output and key invariants. Value-level correctness is
+  * the DuckDB oracle's job (tools/selfcheck.py / driver t2).
+  */
+class QueriesSpec extends SparkSpecBase {
+
+  test("every declared query runs and yields a stable schema") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, SfDir)
+      assert(df.columns.nonEmpty, s"$name: no columns")
+      assert(df.count() >= 0, s"$name: failed to execute")
+    }
+  }
+
+  test("every query with an oracle is declared, and vice versa") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracles without queries: ${o.diff(q)}")
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q1 aggregates to the return-flag × line-status grid") {
+    val rows = SparkEntry.queries("q1_agg")(spark, SfDir).collect()
+    assert(rows.length >= 3 && rows.length <= 9)
+    // sf0.001 lineitem ~6k rows; the shipdate filter keeps a bit over half
+    assert(rows.map(_.getAs[Long]("count_order")).sum > 2000)
+  }
+
+  test("q9 top-k is bounded and sorted") {
+    val prices = SparkEntry.queries("q9_sort_limit")(spark, SfDir)
+      .collect().map(_.getAs[Double]("price"))
+    assert(prices.length == 20)
+    assert(prices.sameElements(prices.sorted(Ordering[Double].reverse)))
+  }
+
+  test("etl_fact_build: sentinel dim ids appear for filtered-out members") {
+    val f = SparkEntry.queries("etl_fact_build")(spark, SfDir)
+    assert(f.filter(col("customer_dim_id") === 0L).count() > 0, "no sentinel customers")
+    assert(f.filter(col("product_dim_id") === 0L).count() > 0, "no sentinel products")
+    assert(f.filter(col("customer_dim_id") =!= 0L).count() > 0)
+  }
+
+  test("etl_dim_dates covers the reference range with ISO calendar") {
+    val d = SparkEntry.queries("etl_dim_dates")(spark, SfDir).collect()
+    assert(d.length == 1462) // 2008-01-01..2012-01-01 inclusive (leap years 2008
+    val first = d.head       // and 2012)
+    assert(first.getAs[Int]("date_dim_id") == 20080101)
+    assert(first.getAs[Int]("day_of_week") == 2) // 2008-01-01 was a Tuesday
+  }
+}

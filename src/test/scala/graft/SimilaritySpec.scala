@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpecBase {
+
+  test("brute-force top-k: 5 neighbors per query, cosine in [-1,1], ranked") {
+    val rows = Similarity.bruteforceTopk(spark, SfDir).collect()
+    assert(rows.length == 40) // 8 queries x top-5
+    assert(rows.forall(r => math.abs(r.getAs[Double]("cos_sim")) <= 1.0 + 1e-9))
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    byQ.values.foreach { g =>
+      val sims = g.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)), "not rank-ordered")
+    }
+  }
+
+  test("LSH ANN returns bucket-mates only and ranks by true cosine") {
+    val df = Similarity.lshAnn(spark, SfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "LSH buckets should not be empty at sf0.001")
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { g =>
+      assert(g.map(_.getAs[Long]("bucket")).distinct.length == 1,
+        "one bucket per query's candidates")
+    }
+  }
+
+  test("ANN hit quality: LSH neighbors overlap brute-force top-k") {
+    val bf = Similarity.bruteforceTopk(spark, SfDir)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshAnn(spark, SfDir)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // approximate: expect SOME overlap, not full recall, at 8 planes
+    assert(ann.nonEmpty && bf.nonEmpty)
+  }
+}

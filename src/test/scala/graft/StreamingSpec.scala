@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.streaming.{Ev, SessionOut}
+
+/** True Structured Streaming runs: memory source → operator → memory
+  * sink, drained synchronously with processAllAvailable.
+  */
+class StreamingSpec extends SparkSpecBase {
+
+  test("streaming window agg matches the batch form on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val batch = spark.read.parquet(s"$SfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("ts", "event_type", "value")
+    val data = batch.collect()
+
+    val src = MemoryStream[(java.sql.Timestamp, String, Double)]
+    src.addData(data.map(r => (
+      new java.sql.Timestamp(r.getAs[java.sql.Timestamp]("ts").getTime),
+      r.getAs[String]("event_type"), r.getAs[Double]("value"))).toSeq)
+    val streamDf = src.toDF().toDF("ts", "event_type", "value")
+
+    val q = EventStreams.windowAggStream(streamDf)
+      .writeStream.format("memory").queryName("win_out").outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    // append mode only emits watermark-closed windows; with a finite batch
+    // the final window stays open, so compare on the closed prefix
+    val got = spark.table("win_out")
+    val want = EventStreams.windowAgg(spark, SfDir)
+    assert(got.count() > 0, "streaming emitted no closed windows")
+    val g = got.select(col("window_start"), col("event_type"), col("n_events")).collect()
+      .map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+    val w = want.select(col("window_start"), col("event_type"), col("n_events")).collect()
+      .map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(g.subsetOf(w), s"streaming rows diverge from batch: ${g.diff(w).take(3)}")
+  }
+
+  test("streaming sessionization closes sessions on gap timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[Ev]
+    val q = EventStreams.sessionizeStream(src.toDS())
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      // two sessions for user 1 (gap > 30min), one for user 2; base is
+      // away from epoch 0 — rows at exactly the initial watermark (0)
+      // are dropped as late
+      val B = 1_000_000_000_000L
+      src.addData(Ev(1, B, 1.0), Ev(1, B + 60_000_000L, 2.0),
+        Ev(1, B + 4_000_000_000L, 3.0), Ev(2, B, 5.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_out").as[SessionOut].collect()
+      // the first session of user 1 closed by the in-batch gap
+      assert(closed.exists(s => s.user_id == 1 && s.n_events == 2 && s.total_value == 3.0),
+        s"expected user 1's first session closed, got ${closed.mkString(";")}")
+    } finally q.stop()
+  }
+}
