@@ -39,13 +39,11 @@ object TextFns {
 
   /** Polynomial rolling hash over a string's character codes:
     * fold(acc = 0; acc = (acc*31 + code) mod P). Identical fold order on
-    * both engines → identical values.
+    * both engines → identical values. Spark side is the codegen'd
+    * [[PolyCharFold]] expression (single UTF-8 pass, no interpreted
+    * lambda).
     */
-  def charFold(c: Column): Column =
-    aggregate(
-      transform(filter(split(c, ""), ch => ch =!= ""), ch => ascii(ch).cast("long")),
-      lit(0L),
-      (acc, x) => (acc * 31 + x) % P)
+  def charFold(c: Column): Column = PolyCharFold.column(c, 31L)
 
   def charFoldSql(c: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
@@ -54,20 +52,34 @@ object TextFns {
 
   // ---------------------------------------------------------------- shingles
 
-  /** Distinct 3-word shingle hashes of a token array. */
+  /** Distinct 3-word shingle hashes by word-hash composition: each word
+    * is char-folded ONCE, then shingle i combines three word hashes
+    * arithmetically — O(chars + shingles) per doc instead of the
+    * O(chars × shingles) of re-folding every shingle's text. The token
+    * hash array is bound via a single-element `transform` lambda so it is
+    * evaluated exactly once per row (a bare sub-expression would be
+    * re-evaluated at every `element_at` after CollapseProject inlines it;
+    * higher-order functions get no codegen CSE).
+    */
   def shingleHashes(words: Column): Column =
-    when(size(words) >= 3,
-      array_distinct(transform(sequence(lit(1), size(words) - 2), i =>
-        charFold(concat_ws(" ",
-          element_at(words, i), element_at(words, i + 1), element_at(words, i + 2))))))
+    element_at(transform(array(tokenHashes(words)), a => shinglesOfHashes(a)), 1)
+
+  /** ((wh_i·131 + wh_{i+1}) mod P · 131 + wh_{i+2}) mod P — intermediates
+    * stay < 2^39, safely in BIGINT on both engines.
+    */
+  private def shinglesOfHashes(a: Column): Column =
+    when(size(a) >= 3,
+      array_distinct(transform(sequence(lit(1), size(a) - 2), i =>
+        (((element_at(a, i) * 131 + element_at(a, i + 1)) % P) * 131
+          + element_at(a, i + 2)) % P)))
       .otherwise(array().cast("array<bigint>"))
 
-  def shingleHashesSql(words: String): String = {
-    val shingle = s"$words[i] || ' ' || $words[i+1] || ' ' || $words[i+2]"
-    s"CASE WHEN len($words) >= 3 THEN " +
-      s"list_distinct(list_transform(generate_series(1, len($words)-2), i -> ${charFoldSql(shingle)})) " +
-      s"ELSE [] END"
-  }
+  def shingleHashesSql(words: String): String =
+    s"list_transform([${tokenHashesSql(words)}], a -> " +
+      s"CASE WHEN len(a) >= 3 THEN " +
+      s"list_distinct(list_transform(generate_series(1, len(a)-2), i -> " +
+      s"((a[i]*131 + a[i+1]) % $P * 131 + a[i+2]) % $P)) " +
+      s"ELSE [] END)[1]"
 
   // ---------------------------------------------------------------- minhash
 

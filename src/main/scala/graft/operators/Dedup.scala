@@ -44,10 +44,15 @@ object Dedup {
        |ORDER BY keep_id""".stripMargin
   }
 
-  /** Shared prep: doc_id + distinct 3-shingle hash array. */
+  /** Shared prep: doc_id + distinct 3-shingle hash array, persisted —
+    * every consumer self-joins (two plan branches), and Spark would
+    * otherwise recompute the full tokenize+hash pipeline per branch (at
+    * production scale this step is a materialized signature table).
+    */
   private def shingled(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextFns.shingleHashes(TextFns.tokenize(col("text"))).as("h"))
+      .persist()
 
   private val shingledSql =
     s"""SELECT doc_id, ${TextFns.shingleHashesSql("words")} AS h
@@ -59,11 +64,17 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val t = shingled(spark, sfDir)
-    val e = t.select(col("doc_id"), col("h"), explode(col("h")).as("x"))
-    val a = e.select(col("doc_id").as("a_id"), col("h").as("ha"), col("x"))
-    val b = e.select(col("doc_id").as("b_id"), col("h").as("hb"), col("x"))
-    a.join(b, a("x") === b("x") && col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("ha"), col("hb")).distinct()
+    // slim inverted index: shuffle only (doc_id, shingle) pairs — the
+    // shingle ARRAYS rejoin after distinct, so they never ride the
+    // exploded candidate shuffle
+    val e = t.select(col("doc_id"), explode(col("h")).as("x"))
+    val pairs = e.select(col("doc_id").as("a_id"), col("x"))
+      .join(e.select(col("doc_id").as("b_id"), col("x")), Seq("x"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    pairs
+      .join(t.select(col("doc_id").as("a_id"), col("h").as("ha")), Seq("a_id"))
+      .join(t.select(col("doc_id").as("b_id"), col("h").as("hb")), Seq("b_id"))
       .withColumn("i", size(array_intersect(col("ha"), col("hb"))).cast("double"))
       .withColumn("jac", col("i") / (size(col("ha")) + size(col("hb")) - col("i")))
       .filter(col("jac") >= 0.5)
@@ -87,16 +98,26 @@ object Dedup {
     * signature-agreement jaccard estimate.
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    // persist the signatures: the band explode + self-join reads them
+    // through two plan branches, and minhashSig's 16-permutation lambda
+    // must not be recomputed per branch (nor re-inlined over the shingle
+    // pipeline by CollapseProject)
     val sig = shingled(spark, sfDir)
       .filter(size(col("h")) > 0)
       .select(col("doc_id"), TextFns.minhashSig("h").as("s"))
+      .persist()
+    // slim band index: shuffle (doc_id, band, bandKey) only; signatures
+    // rejoin after the candidate distinct
     val bands = sig
       .select(col("doc_id"), col("s"), explode(sequence(lit(0), lit(TextFns.Bands - 1))).as("band"))
-      .withColumn("bk", TextFns.bandKey("s", "band"))
-    val a = bands.select(col("doc_id").as("a_id"), col("s").as("sa"), col("band"), col("bk"))
-    val b = bands.select(col("doc_id").as("b_id"), col("s").as("sb"), col("band"), col("bk"))
-    a.join(b, Seq("band", "bk")).filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("sa"), col("sb")).distinct()
+      .select(col("doc_id"), col("band"), TextFns.bandKey("s", "band").as("bk"))
+    val pairs = bands.select(col("doc_id").as("a_id"), col("band"), col("bk"))
+      .join(bands.select(col("doc_id").as("b_id"), col("band"), col("bk")), Seq("band", "bk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    pairs
+      .join(sig.select(col("doc_id").as("a_id"), col("s").as("sa")), Seq("a_id"))
+      .join(sig.select(col("doc_id").as("b_id"), col("s").as("sb")), Seq("b_id"))
       .withColumn("est_sim", TextFns.sigAgreement("sa", "sb"))
       .select(col("a_id"), col("b_id"), col("est_sim"))
       .orderBy(col("a_id"), col("b_id"))
@@ -118,17 +139,34 @@ object Dedup {
     * same predicate — identical results by construction.
     */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val fp = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), TextFns.tokenHashes(TextFns.tokenize(col("text"))).as("wh"))
-      .filter(size(col("wh")) > 0)
-      .select(col("doc_id"), TextFns.simhash("wh").as("fp"))
+    // Fingerprint as a codegen'd aggregation rather than a nested
+    // higher-order lambda (which is interpreted and makes 32 passes over
+    // each token array): explode tokens, then 32 map-side-combined
+    // bit-count sums per doc. Same votes — sum(±1 per token) > 0 ⟺
+    // 2·count(bit set) > n — so the fingerprint (and the DuckDB oracle)
+    // is unchanged. Zero-token docs drop out at the explode, matching
+    // the size(wh) > 0 filter of the lambda form.
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextFns.tokenize(col("text"))).as("w"))
+      .select(col("doc_id"), TextFns.charFold(col("w")).as("h"))
+    val bitSums = (0 until 32).map(i => sum(expr(s"(h >> $i) & 1")).as(s"c$i"))
+    val fpCol = (0 until 32)
+      .map(i => when(expr(s"2 * c$i > n"), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val fp = tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("n")): _*)
+      .select(col("doc_id"), fpCol.as("fp"))
+      .persist()
     val chunks = fp.select(col("doc_id"), col("fp"),
         explode(sequence(lit(0), lit(3))).as("ci"))
-      .withColumn("cv", expr("(fp >> (ci * 8)) & 255"))
-    val a = chunks.select(col("doc_id").as("a_id"), col("fp").as("fa"), col("ci"), col("cv"))
-    val b = chunks.select(col("doc_id").as("b_id"), col("fp").as("fb"), col("ci"), col("cv"))
-    a.join(b, Seq("ci", "cv")).filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("fa"), col("fb")).distinct()
+      .select(col("doc_id"), col("ci"), expr("(fp >> (ci * 8)) & 255").as("cv"))
+    val pairs = chunks.select(col("doc_id").as("a_id"), col("ci"), col("cv"))
+      .join(chunks.select(col("doc_id").as("b_id"), col("ci"), col("cv")), Seq("ci", "cv"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    pairs
+      .join(fp.select(col("doc_id").as("a_id"), col("fp").as("fa")), Seq("a_id"))
+      .join(fp.select(col("doc_id").as("b_id"), col("fp").as("fb")), Seq("b_id"))
       .withColumn("hamming", expr("bit_count(fa ^ fb)"))
       .filter(col("hamming") <= 1)
       .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))

@@ -98,8 +98,7 @@ object TextAnalysis {
     Tables.documents(spark, sfDir)
       .withColumn("norm", norm)
       .withColumn("h1", TextFns.charFold(col("norm")))
-      .withColumn("h2",
-        expr(s"aggregate(filter(split(norm, ''), ch -> ch <> ''), CAST(0 AS BIGINT), (acc, x) -> (acc * 131 + ascii(x)) % ${TextFns.P})"))
+      .withColumn("h2", graft.functions.PolyCharFold.column(col("norm"), 131L))
       .select(col("doc_id"), (col("h1") * 2147483648L + col("h2")).as("fp64"))
       .orderBy(col("doc_id"))
   }
