@@ -40,6 +40,7 @@ object SparkEntry {
     "q16_subquery_avg"   -> Relational.q16SubqueryAvg _,
     "q17_having"         -> Relational.q17Having _,
     "q18_null_handling"  -> Relational.q18NullHandling _,
+    "q19_udaf_hll"       -> Relational.q19UdafHll _,
     // §2.C LLM-data-pipeline operators
     "dedup_exact"         -> Dedup.exact _,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
@@ -51,6 +52,8 @@ object SparkEntry {
     "text_fingerprint"    -> TextAnalysis.fingerprint _,
     "sim_bruteforce_topk" -> Similarity.bruteforceTopk _,
     "sim_lsh_ann"         -> Similarity.lshAnn _,
+    "embed_knn_join"      -> Similarity.knnJoin _,
+    "dedup_embed_cosine"  -> Similarity.embedCosineDedup _,
     "mm_meta"             -> Multimodal.meta _,
     // §2.D streaming (batch-equivalent forms; streaming impls spec-tested)
     "stream_window_agg"   -> EventStreams.windowAgg _,
@@ -220,6 +223,8 @@ object SparkEntry {
     "text_fingerprint"    -> TextAnalysis.fingerprintSql,
     "sim_bruteforce_topk" -> Similarity.bruteforceTopkSql,
     "sim_lsh_ann"         -> Similarity.lshAnnSql,
+    "embed_knn_join"      -> Similarity.knnJoinSql,
+    "dedup_embed_cosine"  -> Similarity.embedCosineDedupSql,
     "mm_meta"             -> Multimodal.metaSql,
     "stream_window_agg"   -> EventStreams.windowAggSql,
     "stream_sessionize"   -> EventStreams.sessionizeSql,

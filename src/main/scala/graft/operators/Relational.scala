@@ -276,4 +276,21 @@ object Relational {
         Cols.pround(avg(coalesce(col("v"), lit(0.0))), 4).as("avg_filled"))
       .orderBy(col("event_type"))
   }
+
+  /** q19_udaf_hll — HLL++ sketch count-distinct (approx_count_distinct,
+    * rsd 5%) next to the exact count. At 100 TB the sketch replaces the
+    * exact distinct's full key shuffle with a fixed-size mergeable
+    * state — the standard cardinality path for high-cardinality keys.
+    * Approx values are engine-specific → rows-only check (no SQL
+    * oracle); the spec bounds the relative error instead.
+    */
+  def q19UdafHll(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
 }

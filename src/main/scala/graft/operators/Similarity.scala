@@ -32,21 +32,28 @@ object Similarity {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, v) -> acc + v)"
 
-  private def cosExpr(a: String, b: String): Column =
-    expr(s"${dotExpr(a, b)} / sqrt(${dotExpr(a, a)} * ${dotExpr(b, b)})")
+  /** Spark-side cosine: the codegen'd [[graft.functions.FloatVecDot]]
+    * (same IEEE fold order as [[dotExpr]]/[[dotSql]], so the oracle is
+    * unchanged) instead of the interpreted higher-order lambda.
+    */
+  private def cosExpr(a: String, b: String): Column = {
+    val d = graft.functions.FloatVecDot.column(col(a), col(b))
+    val na = graft.functions.FloatVecDot.column(col(a), col(a))
+    val nb = graft.functions.FloatVecDot.column(col(b), col(b))
+    d / sqrt(na * nb)
+  }
 
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)})"
 
   /** Deterministic sign-random-projection bucket (nPlanes bits): plane
     * i's component for dimension d is ±1 from a polynomial PRNG — no
-    * stored model, reproducible everywhere.
+    * stored model, reproducible everywhere. Spark side is the codegen'd
+    * [[graft.functions.SrpBucket]]; [[bucketSql]] is the same arithmetic
+    * for the DuckDB oracle.
     */
-  private def bucketExpr(v: String, nPlanes: Int): String =
-    s"aggregate(sequence(0, ${nPlanes - 1}), CAST(0 AS BIGINT), (acc, i) -> acc + " +
-      s"CASE WHEN aggregate(sequence(1, size($v)), CAST(0 AS DOUBLE), (a, d) -> a + CAST(element_at($v, d) AS DOUBLE) * " +
-      s"(CASE WHEN (1000003 * (i * 64 + d - 1) + 12289) % $P > 1073741823 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)) > 0 " +
-      s"THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)"
+  private def bucketCol(v: String, nPlanes: Int): Column =
+    graft.functions.SrpBucket.column(col(v), nPlanes)
 
   private def bucketSql(v: String, nPlanes: Int): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, ${nPlanes - 1}), i -> " +
@@ -89,10 +96,10 @@ object Similarity {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-        expr(bucketExpr("embedding", 8)).as("bucket"))
+        bucketCol("embedding", 8).as("bucket"))
     val c = e.filter(col("vec_id") >= 8)
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"),
-        expr(bucketExpr("embedding", 8)).as("bucket"))
+        bucketCol("embedding", 8).as("bucket"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     c.join(broadcast(q), Seq("bucket"))
       .withColumn("cos", cosExpr("qv", "cv"))
@@ -114,4 +121,63 @@ object Similarity {
        |r AS (SELECT q_id, c_id, bucket, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s)
        |SELECT q_id, c_id, bucket, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, CAST(rk AS INTEGER) AS rk
        |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+  /** embed_knn_join — k-NN join between two embedding sets (label 0 =
+    * probe side, others = build side): candidates meet probes in a
+    * sign-random-projection bucket equi-join, top-3 true-cosine
+    * neighbors per probe. At corpus scale this is the shape of a
+    * dataset-vs-dataset semantic join: O(N) bucket shuffle, per-bucket
+    * scoring, per-probe top-k — never an all-pairs product.
+    */
+  def knnJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("label") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        bucketCol("embedding", 8).as("bucket"))
+    val c = e.filter(col("label") =!= 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+        bucketCol("embedding", 8).as("bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    c.join(q, Seq("bucket"))
+      .withColumn("cos", cosExpr("qv", "cv"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("c_id"), Cols.pround(col("cos"), 6).as("cos_sim"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  def knnJoinSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv, ${bucketSql("embedding", 8)} AS bucket
+       |           FROM embeddings WHERE label = 0),
+       |c AS (SELECT vec_id AS c_id, embedding AS cv, ${bucketSql("embedding", 8)} AS bucket
+       |      FROM embeddings WHERE label <> 0),
+       |s AS (SELECT q_id, c_id, ${cosSql("qv", "cv")} AS cos FROM q JOIN c ON q.bucket = c.bucket),
+       |r AS (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s)
+       |SELECT q_id, c_id, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, CAST(rk AS INTEGER) AS rk
+       |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+
+  /** dedup_embed_cosine — embedding-cosine near-dup pairs: same LSH
+    * bucket AND true cosine ≥ 0.4. The bucket equi-join is the scale
+    * path (≈N/2^planes candidates per vector); the oracle applies the
+    * identical bucket prefilter, so results match by construction.
+    */
+  def embedCosineDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        bucketCol("embedding", 8).as("bucket"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"), col("bucket"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", cosExpr("va", "vb"))
+      .filter(col("cos") >= 0.4)
+      .select(col("a_id"), col("b_id"), Cols.pround(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def embedCosineDedupSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding", 8)} AS bucket FROM embeddings),
+       |s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosSql("a.embedding", "b.embedding")} AS cos
+       |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT a_id, b_id, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+       |FROM s WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin
 }

@@ -40,6 +40,14 @@ class QueriesSpec extends SparkSpecBase {
     assert(prices.sameElements(prices.sorted(Ordering[Double].reverse)))
   }
 
+  test("q19 HLL sketch stays within its 5% rsd of the exact distinct") {
+    SparkEntry.queries("q19_udaf_hll")(spark, SfDir).collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.15, s"approx $approx vs exact $exact")
+    }
+  }
+
   test("etl_fact_build: sentinel dim ids appear for filtered-out members") {
     val f = SparkEntry.queries("etl_fact_build")(spark, SfDir)
     assert(f.filter(col("customer_dim_id") === 0L).count() > 0, "no sentinel customers")

@@ -26,6 +26,23 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("knn join: at most 3 neighbors per probe, never joins label 0 to itself") {
+    val rows = Similarity.knnJoin(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { g =>
+      assert(g.length <= 3)
+      assert(g.map(_.getAs[Int]("rk")).sorted.sameElements(1 to g.length))
+    }
+  }
+
+  test("embed cosine dedup: pairs are ordered and above threshold") {
+    val rows = Similarity.embedCosineDedup(spark, SfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+      assert(r.getAs[Double]("cos_sim") >= 0.4)
+    }
+  }
+
   test("ANN hit quality: LSH neighbors overlap brute-force top-k") {
     val bf = Similarity.bruteforceTopk(spark, SfDir)
       .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
