@@ -87,14 +87,12 @@ object TextFns {
   private def bCoef(i: String) = s"(999983*$i + 15373)"
 
   /** MinHash signature: k permutation-hashes h_i(x) = (a_i·x+b_i) mod P,
-    * signature[i] = min over shingle hashes. Expressed as a Catalyst
-    * higher-order expression (SQL text routed through expr so the lambda
-    * variable can feed shift/arith uniformly with the oracle side).
+    * signature[i] = min over shingle hashes. Spark side is the codegen'd
+    * [[MinHashSig]] expression; [[minhashSigSql]] is the same arithmetic
+    * for the oracle.
     */
   def minhashSig(hashesCol: String): Column =
-    expr(
-      s"transform(sequence(0, ${MinhashK - 1}), i -> " +
-        s"array_min(transform($hashesCol, x -> ((1000003*i + 12289) * x + (999983*i + 15373)) % $P)))")
+    MinHashSig.column(org.apache.spark.sql.functions.col(hashesCol), MinhashK)
 
   def minhashSigSql(hashes: String): String =
     s"list_transform(generate_series(0, ${MinhashK - 1}), i -> " +

@@ -64,19 +64,23 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val t = shingled(spark, sfDir)
-    // slim inverted index: shuffle only (doc_id, shingle) pairs — the
-    // shingle ARRAYS rejoin after distinct, so they never ride the
-    // exploded candidate shuffle
+    // Inverted-index join on single shingle hashes; since each doc's
+    // shingle array is DISTINCT, the per-pair match count IS the
+    // intersection size — a codegen'd count aggregation replaces both
+    // the pair-distinct and a per-pair array_intersect, and only slim
+    // (doc_id, shingle) rows ever ride the shuffle. Set sizes rejoin
+    // afterwards for the exact |A∩B| / (|A|+|B|−|A∩B|) Jaccard.
     val e = t.select(col("doc_id"), explode(col("h")).as("x"))
-    val pairs = e.select(col("doc_id").as("a_id"), col("x"))
+    val inter = e.select(col("doc_id").as("a_id"), col("x"))
       .join(e.select(col("doc_id").as("b_id"), col("x")), Seq("x"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
-    pairs
-      .join(t.select(col("doc_id").as("a_id"), col("h").as("ha")), Seq("a_id"))
-      .join(t.select(col("doc_id").as("b_id"), col("h").as("hb")), Seq("b_id"))
-      .withColumn("i", size(array_intersect(col("ha"), col("hb"))).cast("double"))
-      .withColumn("jac", col("i") / (size(col("ha")) + size(col("hb")) - col("i")))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).cast("double").as("i"))
+    val sizes = t.select(col("doc_id"), size(col("h")).as("n"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .withColumn("jac", col("i") / (col("na") + col("nb") - col("i")))
       .filter(col("jac") >= 0.5)
       .select(col("a_id"), col("b_id"), col("jac"))
       .orderBy(col("a_id"), col("b_id"))
