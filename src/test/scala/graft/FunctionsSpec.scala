@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{FloatVecDot, MinHashSig, PolyCharFold, SrpBucket, TextFns}
+
+/** Pins each custom codegen'd Catalyst expression to the interpreted
+  * higher-order-function formulation it replaced: the portable-hash
+  * contract says both must be value-identical (the DuckDB oracle encodes
+  * the same arithmetic). Any drift here would silently break the
+  * cross-engine value oracles.
+  */
+class FunctionsSpec extends SparkSpecBase {
+
+  private val P = 2147483647L
+
+  private def docs = spark.read.parquet(s"$SfDir/documents.parquet")
+  private def vecs = spark.read.parquet(s"$SfDir/embeddings.parquet")
+
+  test("PolyCharFold == interpreted split/ascii fold (mult 31 and 131)") {
+    val df = docs
+      .withColumn("f31", PolyCharFold.column(col("text"), 31L))
+      .withColumn("s31", expr(
+        s"aggregate(transform(filter(split(text, ''), ch -> ch <> ''), ch -> CAST(ascii(ch) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % $P)"))
+      .withColumn("f131", PolyCharFold.column(col("text"), 131L))
+      .withColumn("s131", expr(
+        s"aggregate(transform(filter(split(text, ''), ch -> ch <> ''), ch -> CAST(ascii(ch) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> (acc * 131 + x) % $P)"))
+    assert(df.filter(col("f31") =!= col("s31") || col("f131") =!= col("s131")).count() == 0)
+  }
+
+  test("FloatVecDot == interpreted zip_with/aggregate fold") {
+    val df = vecs
+      .withColumn("fast", FloatVecDot.column(col("embedding"), col("embedding")))
+      .withColumn("slow", expr(
+        "aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
+    assert(df.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
+  test("SrpBucket == interpreted nested plane/dim aggregate") {
+    val slow =
+      s"aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, i) -> acc + " +
+        s"CASE WHEN aggregate(sequence(1, size(embedding)), CAST(0 AS DOUBLE), (a, d) -> a + CAST(element_at(embedding, d) AS DOUBLE) * " +
+        s"(CASE WHEN (1000003 * (i * 64 + d - 1) + 12289) % $P > 1073741823 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)) > 0 " +
+        s"THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)"
+    val df = vecs
+      .withColumn("fast", SrpBucket.column(col("embedding"), 8))
+      .withColumn("slow", expr(slow))
+    assert(df.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
+  test("MinHashSig == interpreted transform/array_min") {
+    val df = docs
+      .select(col("doc_id"), TextFns.shingleHashes(TextFns.tokenize(col("text"))).as("h"))
+      .filter(size(col("h")) > 0)
+      .withColumn("fast", MinHashSig.column(col("h"), TextFns.MinhashK))
+      .withColumn("slow", expr(
+        s"transform(sequence(0, ${TextFns.MinhashK - 1}), i -> " +
+          s"array_min(transform(h, x -> ((1000003*i + 12289) * x + (999983*i + 15373)) % $P)))"))
+    assert(df.filter(to_json(col("fast")) =!= to_json(col("slow"))).count() == 0)
+  }
+}
