@@ -41,6 +41,7 @@ object SparkEntry {
     "q17_having"         -> Relational.q17Having _,
     "q18_null_handling"  -> Relational.q18NullHandling _,
     "q19_udaf_hll"       -> Relational.q19UdafHll _,
+    "q20_salted_agg"     -> Relational.q20SaltedAgg _,
     // §2.C LLM-data-pipeline operators
     "dedup_exact"         -> Dedup.exact _,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
@@ -213,6 +214,10 @@ object SparkEntry {
         | floor((sum(coalesce(v, 0.0))) * 100.0 + 0.5) / 100.0 AS sum_high, floor((avg(coalesce(v, 0.0))) * 10000.0 + 0.5) / 10000.0 AS avg_filled
         |FROM (SELECT event_type, CASE WHEN value > 150.0 THEN value END AS v FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q20_salted_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        | floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_exact"         -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_minhash"       -> Dedup.minhashLshSql,

@@ -293,4 +293,24 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** q20_salted_agg — two-phase salted aggregation over a HEAVILY skewed
+    * key (`events.event_type` has ~5 values): phase 1 aggregates on
+    * (key, salt) so the skewed key's rows spread across 16 reducers,
+    * phase 2 merges the 16 partials per key. sum/count re-associate
+    * exactly (count-weighted avg), so the result is value-identical to
+    * the direct groupBy — which is what the oracle computes. At 100 TB
+    * this is the manual fallback when AQE skew handling can't apply
+    * (e.g. skewed aggregation rather than join).
+    */
+  def q20SaltedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val salted = Tables.events(spark, sfDir)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pc"), sum(col("value")).as("ps"))
+    salted
+      .groupBy(col("event_type"))
+      .agg(sum(col("pc")).as("n_events"), Cols.pround(sum(col("ps")), 2).as("total_value"))
+      .orderBy(col("event_type"))
+  }
 }

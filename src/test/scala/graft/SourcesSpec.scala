@@ -34,6 +34,36 @@ class SourcesSpec extends SparkSpecBase {
       == dim.agg(sum(col("customer_id"))).head.getLong(0))
   }
 
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    // external tables via option("path"): the static warehouse dir is
+    // never touched
+    val wh = Files.createTempDirectory("graft_wh").toString
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.read.parquet(s"$SfDir/orders.parquet")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/b_orders").saveAsTable("b_orders")
+    spark.read.parquet(s"$SfDir/lineitem.parquet")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/b_lineitem").saveAsTable("b_lineitem")
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("qty"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located: the join itself needs no shuffle — the only exchange
+    // allowed is the post-join aggregation's
+    val joinSide = plan.split("HashAggregate").last
+    assert(!joinSide.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketed join still shuffles:\n$plan")
+    // same answer as the plain (non-bucketed) join
+    val direct = spark.read.parquet(s"$SfDir/lineitem.parquet")
+      .join(spark.read.parquet(s"$SfDir/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("qty"))
+    assert(joined.orderBy("o_orderpriority").collect().toSeq
+      == direct.orderBy("o_orderpriority").collect().toSeq)
+  }
+
   test("multimodal decode plumbing: per-partition batch decode yields typed metadata") {
     val metas = Multimodal.decodeAll(spark, SfDir).collect()
     assert(metas.length == 500)

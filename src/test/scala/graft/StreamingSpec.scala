@@ -60,4 +60,28 @@ class StreamingSpec extends SparkSpecBase {
         s"expected user 1's first session closed, got ${closed.mkString(";")}")
     } finally q.stop()
   }
+
+  test("streaming sessionization closes idle sessions when the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[Ev]
+    val q = EventStreams.sessionizeStream(src.toDS())
+      .writeStream.format("memory").queryName("sess_wm_out").outputMode("append").start()
+    try {
+      val B = 2_000_000_000_000L
+      src.addData(Ev(7, B, 1.5), Ev(7, B + 10_000_000L, 2.5))
+      q.processAllAvailable()
+      assert(spark.table("sess_wm_out").count() == 0, "session closed too early")
+      // a later event from ANOTHER user advances the watermark past
+      // user 7's last event + 30min gap + 30min watermark delay
+      src.addData(Ev(8, B + 8_000_000_000L, 9.0))
+      q.processAllAvailable()
+      // one more batch so the new watermark's timeouts fire
+      src.addData(Ev(8, B + 8_100_000_000L, 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_wm_out").as[SessionOut].collect()
+      assert(closed.exists(s => s.user_id == 7 && s.n_events == 2 && s.total_value == 4.0),
+        s"expected user 7's idle session closed by watermark, got ${closed.mkString(";")}")
+    } finally q.stop()
+  }
 }
