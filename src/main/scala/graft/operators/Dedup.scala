@@ -5,36 +5,47 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFns
 import graft.util.Tables
 
-/** Document deduplication family (SURVEY.md §2.C) over `documents`.
+/** Document deduplication family (SURVEY.md §2.C).
+  *
+  * Each operator has a generic DataFrame→DataFrame core (`*On`) usable
+  * on any corpus with an id + text column, plus a testdata binding (the
+  * `SparkEntry.queries` form) on the `documents` table.
   *
   * Scale notes (100 TB corpus):
   *  - exact: one hash-shuffle on the normalized-text hash; group state is
   *    tiny (min id + count).
   *  - ngram-jaccard: inverted-index candidate join (explode shingle →
-  *    equi-join on shingle hash) — never an all-pairs cross join. Pair
-  *    count is bounded by shared-shingle co-occurrence.
+  *    equi-join on shingle hash) — never an all-pairs cross join. Only
+  *    slim (id, shingle) rows ride the shuffle; intersection sizes come
+  *    from a codegen'd count aggregation.
   *  - minhash LSH: fixed-width signature per doc (16 longs), then a
   *    band-bucket equi-join (4 bands × 4 rows) — the classic
   *    sub-quadratic near-dup path; shuffle keys are (band, bandKey).
-  *  - simhash: 32-bit fingerprint, candidates via 4-chunk pigeonhole
-  *    (hamming ≤ 1 ⇒ at least one 8-bit chunk identical) — an EXACT
-  *    chunked equi-join prefilter, then the precise hamming test.
+  *  - simhash: 32-bit fingerprint via a codegen'd exploded bit-count
+  *    aggregation; candidates via 4-chunk pigeonhole (hamming ≤ 1 ⇒ at
+  *    least one 8-bit chunk identical) — an EXACT chunked equi-join
+  *    prefilter, then the precise hamming test.
   *
   * All hashes are portable polynomial folds (TextFns) so every operator
   * here has a full DuckDB value oracle.
   */
 object Dedup {
 
-  /** dedup_exact — normalize → hash-groupBy → keep min doc_id. */
-  def exact(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.documents(spark, sfDir)
-      .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+  /** Exact dedup: normalize → hash-groupBy → keep min id.
+    * Output: (keep_id, fp, n_copies), one row per distinct normalized
+    * text.
+    */
+  def exactOn(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("norm", regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
       .withColumn("fp", TextFns.charFold(col("norm")))
       .groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("fp"), col("n_copies"))
+
+  /** dedup_exact testdata binding. */
+  def exact(spark: SparkSession, sfDir: String): DataFrame =
+    exactOn(Tables.documents(spark, sfDir), "doc_id", "text")
       .orderBy(col("keep_id"))
-  }
 
   def exactSql: String = {
     val norm = raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
@@ -44,32 +55,31 @@ object Dedup {
        |ORDER BY keep_id""".stripMargin
   }
 
-  /** Shared prep: doc_id + distinct 3-shingle hash array, persisted —
-    * every consumer self-joins (two plan branches), and Spark would
-    * otherwise recompute the full tokenize+hash pipeline per branch (at
-    * production scale this step is a materialized signature table).
+  /** Shared prep: id + distinct 3-shingle hash array, persisted — every
+    * consumer self-joins (two plan branches), and Spark would otherwise
+    * recompute the full tokenize+hash pipeline per branch (at production
+    * scale this step is a materialized signature table).
     */
-  private def shingled(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), TextFns.shingleHashes(TextFns.tokenize(col("text"))).as("h"))
+  private def shingledOn(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        TextFns.shingleHashes(TextFns.tokenize(col(textCol))).as("h"))
       .persist()
 
   private val shingledSql =
     s"""SELECT doc_id, ${TextFns.shingleHashesSql("words")} AS h
        |FROM (SELECT doc_id, ${TextFns.tokenizeSql("text")} AS words FROM documents)""".stripMargin
 
-  /** dedup_ngram_jaccard — shingle-set Jaccard ≥ 0.5 via inverted-index
-    * candidate join. jac is an int/int double division — bit-identical
-    * across engines.
+  /** N-gram (3-shingle) Jaccard near-dup pairs at `threshold`.
+    * Inverted-index join on single shingle hashes; since each doc's
+    * shingle array is DISTINCT, the per-pair match count IS the
+    * intersection size — a codegen'd count aggregation replaces both a
+    * pair-distinct and a per-pair array_intersect. Set sizes rejoin
+    * afterwards for the exact |A∩B| / (|A|+|B|−|A∩B|) Jaccard.
+    * Output: (a_id, b_id, jac) with a_id < b_id.
     */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = shingled(spark, sfDir)
-    // Inverted-index join on single shingle hashes; since each doc's
-    // shingle array is DISTINCT, the per-pair match count IS the
-    // intersection size — a codegen'd count aggregation replaces both
-    // the pair-distinct and a per-pair array_intersect, and only slim
-    // (doc_id, shingle) rows ever ride the shuffle. Set sizes rejoin
-    // afterwards for the exact |A∩B| / (|A|+|B|−|A∩B|) Jaccard.
+  def ngramJaccardOn(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val t = shingledOn(df, idCol, textCol)
     val e = t.select(col("doc_id"), explode(col("h")).as("x"))
     val inter = e.select(col("doc_id").as("a_id"), col("x"))
       .join(e.select(col("doc_id").as("b_id"), col("x")), Seq("x"))
@@ -81,10 +91,14 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
       .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
       .withColumn("jac", col("i") / (col("na") + col("nb") - col("i")))
-      .filter(col("jac") >= 0.5)
+      .filter(col("jac") >= threshold)
       .select(col("a_id"), col("b_id"), col("jac"))
-      .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** dedup_ngram_jaccard testdata binding (threshold 0.5). */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardOn(Tables.documents(spark, sfDir), "doc_id", "text", 0.5)
+      .orderBy(col("a_id"), col("b_id"))
 
   def ngramJaccardSql: String =
     s"""WITH t AS ($shingledSql),
@@ -97,21 +111,19 @@ object Dedup {
        |      FROM pairs JOIN t ta ON a_id = ta.doc_id JOIN t tb ON b_id = tb.doc_id)
        |SELECT a_id, b_id, jac FROM j WHERE jac >= 0.5 ORDER BY a_id, b_id""".stripMargin
 
-  /** dedup_minhash — 16-wide MinHash signatures, 4×4 banded LSH:
-    * candidate pairs share at least one full band; reported with the
-    * signature-agreement jaccard estimate.
+  /** MinHash + banded LSH candidate pairs: 16-wide signatures
+    * (codegen'd), 4×4 banding — candidates share at least one full
+    * band; reported with the signature-agreement jaccard estimate.
+    * Signatures are persisted (the band explode + self-join reads them
+    * through two plan branches); only slim (id, band, bandKey) rows ride
+    * the candidate shuffle.
+    * Output: (a_id, b_id, est_sim) with a_id < b_id.
     */
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    // persist the signatures: the band explode + self-join reads them
-    // through two plan branches, and minhashSig's 16-permutation lambda
-    // must not be recomputed per branch (nor re-inlined over the shingle
-    // pipeline by CollapseProject)
-    val sig = shingled(spark, sfDir)
+  def minhashLshOn(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sig = shingledOn(df, idCol, textCol)
       .filter(size(col("h")) > 0)
       .select(col("doc_id"), TextFns.minhashSig("h").as("s"))
       .persist()
-    // slim band index: shuffle (doc_id, band, bandKey) only; signatures
-    // rejoin after the candidate distinct
     val bands = sig
       .select(col("doc_id"), col("s"), explode(sequence(lit(0), lit(TextFns.Bands - 1))).as("band"))
       .select(col("doc_id"), col("band"), TextFns.bandKey("s", "band").as("bk"))
@@ -124,8 +136,12 @@ object Dedup {
       .join(sig.select(col("doc_id").as("b_id"), col("s").as("sb")), Seq("b_id"))
       .withColumn("est_sim", TextFns.sigAgreement("sa", "sb"))
       .select(col("a_id"), col("b_id"), col("est_sim"))
-      .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** dedup_minhash testdata binding. */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    minhashLshOn(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy(col("a_id"), col("b_id"))
 
   def minhashLshSql: String =
     s"""WITH t AS ($shingledSql),
@@ -137,21 +153,19 @@ object Dedup {
        |SELECT a_id, b_id, ${TextFns.sigAgreementSql("sa", "sb")} AS est_sim
        |FROM pairs ORDER BY a_id, b_id""".stripMargin
 
-  /** dedup_simhash — 32-bit SimHash; near-dup pairs at hamming ≤ 1.
-    * Spark side generates candidates with the exact 4-chunk pigeonhole
-    * equi-join (scales sub-quadratically); the oracle brute-forces the
-    * same predicate — identical results by construction.
+  /** SimHash near-dup pairs at hamming ≤ `maxHamming` (≤ 1 keeps the
+    * 4-chunk pigeonhole prefilter EXACT: hamming ≤ 1 ⇒ some 8-bit chunk
+    * equal). The 32-bit fingerprint is a codegen'd aggregation: explode
+    * tokens, 32 map-side-combined bit-count sums per doc — same votes
+    * (sum of ±1 per token > 0 ⇔ 2·count(bit set) > n) as the lambda
+    * formulation the oracle uses. Zero-token docs drop out at the
+    * explode. Output: (a_id, b_id, hamming) with a_id < b_id.
     */
-  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    // Fingerprint as a codegen'd aggregation rather than a nested
-    // higher-order lambda (which is interpreted and makes 32 passes over
-    // each token array): explode tokens, then 32 map-side-combined
-    // bit-count sums per doc. Same votes — sum(±1 per token) > 0 ⟺
-    // 2·count(bit set) > n — so the fingerprint (and the DuckDB oracle)
-    // is unchanged. Zero-token docs drop out at the explode, matching
-    // the size(wh) > 0 filter of the lambda form.
-    val tok = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(TextFns.tokenize(col("text"))).as("w"))
+  def simhashPairsOn(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 1): DataFrame = {
+    require(maxHamming <= 1, "4-chunk pigeonhole prefilter is exact only for hamming <= 1")
+    val tok = df
+      .select(col(idCol).as("doc_id"), explode(TextFns.tokenize(col(textCol))).as("w"))
       .select(col("doc_id"), TextFns.charFold(col("w")).as("h"))
     val bitSums = (0 until 32).map(i => sum(expr(s"(h >> $i) & 1")).as(s"c$i"))
     val fpCol = (0 until 32)
@@ -172,10 +186,14 @@ object Dedup {
       .join(fp.select(col("doc_id").as("a_id"), col("fp").as("fa")), Seq("a_id"))
       .join(fp.select(col("doc_id").as("b_id"), col("fp").as("fb")), Seq("b_id"))
       .withColumn("hamming", expr("bit_count(fa ^ fb)"))
-      .filter(col("hamming") <= 1)
+      .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
-      .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** dedup_simhash testdata binding. */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    simhashPairsOn(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy(col("a_id"), col("b_id"))
 
   def simhashPairsSql: String =
     s"""WITH fp AS (

@@ -27,6 +27,17 @@ import graft.util.{Cols, Tables}
   */
 object RetailEtl {
 
+  /** Generic SCD type-1 "keep most recent per natural key": one row per
+    * key combination, chosen by the given recency ordering (which MUST
+    * include unique tie-break columns — at 100 TB there is no file
+    * order for drop_duplicates(keep="last") to lean on). One shuffle on
+    * the key; the window sort is per-key local.
+    */
+  def keepLatest(df: DataFrame, keyCols: Seq[String], orderBy: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
   /** etl_clean — initial cleaning of raw event rows. Filters and the
     * projection both push to the parquet scan; the regex shape check is
     * a codegen'd expression (no UDF).
@@ -53,10 +64,8 @@ object RetailEtl {
   def scd1Customers(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir)
     val o = Tables.orders(spark, sfDir)
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    val latest = o.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val latest = keepLatest(o, Seq("o_custkey"),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
       .select(col("o_custkey"), col("o_orderdate").as("last_order_date"),
         col("o_orderstatus").as("last_status"))
     c.join(latest, c("c_custkey") === latest("o_custkey"))
@@ -73,10 +82,8 @@ object RetailEtl {
   def scd1Products(spark: SparkSession, sfDir: String): DataFrame = {
     val p = Tables.part(spark, sfDir)
     val l = Tables.lineitem(spark, sfDir)
-    val w = Window.partitionBy(col("l_partkey"))
-      .orderBy(col("l_shipdate").desc, col("l_orderkey").desc, col("l_linenumber").desc)
-    val latest = l.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val latest = keepLatest(l, Seq("l_partkey"),
+        Seq(col("l_shipdate").desc, col("l_orderkey").desc, col("l_linenumber").desc))
       .select(col("l_partkey"), col("l_shipdate").cast("date").as("last_ship_date"),
         Cols.pround(col("l_extendedprice") / col("l_quantity"), 2).as("last_unit_price"))
     p.join(latest, p("p_partkey") === latest("l_partkey"))

@@ -61,22 +61,32 @@ object Similarity {
       s"(CASE WHEN (1000003 * (i * 64 + d - 1) + 12289) % $P > 1073741823 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END))), (a, b) -> a + b) > 0 " +
       s"THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b)"
 
-  /** sim_bruteforce_topk — exact cosine top-5 for each query vector
-    * (vec_id < 8) over all candidates (vec_id >= 8). Query set is
-    * broadcast; candidate scan is a single distributed pass.
+  /** Exact cosine top-k join: for each row of `queries` (`q_id`, `qv`)
+    * the k highest-cosine rows of `candidates` (`c_id`, `cv`).
+    * The query set is broadcast; the candidate scan is a single
+    * distributed pass — the correctness baseline (O(Q·N)); use
+    * [[lshTopkOn]] when Q is large. Output: (q_id, c_id, cos_sim, rk).
     */
-  def bruteforceTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-    val q = e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-    val c = e.filter(col("vec_id") >= 8).select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+  def bruteforceTopkOn(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    c.crossJoin(broadcast(q))
+    candidates.crossJoin(broadcast(queries))
       .withColumn("cos", cosExpr("qv", "cv"))
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
+      .filter(col("rk") <= k)
       .select(col("q_id"), col("c_id"),
         Cols.pround(col("cos"), 6).as("cos_sim"),
         col("rk"))
+  }
+
+  /** sim_bruteforce_topk testdata binding: queries = vec_id < 8,
+    * candidates = the rest, k = 5.
+    */
+  def bruteforceTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    bruteforceTopkOn(
+      e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+      e.filter(col("vec_id") >= 8).select(col("vec_id").as("c_id"), col("embedding").as("cv")),
+      5)
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -88,26 +98,37 @@ object Similarity {
        |SELECT q_id, c_id, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, CAST(rk AS INTEGER) AS rk
        |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
-  /** sim_lsh_ann — ANN top-5 within the query's 8-bit
-    * sign-random-projection bucket: the scale path (bucket equi-join
-    * instead of all-pairs).
+  /** LSH-bucketed ANN top-k join: queries (`q_id`, `qv`) meet candidates
+    * (`c_id`, `cv`) in a sign-random-projection bucket equi-join, then
+    * per-query top-k by TRUE cosine — the scale path (O(N) shuffle keyed
+    * by bucket instead of all-pairs). `broadcastQueries` for small probe
+    * sets; otherwise both sides shuffle on the bucket.
+    * Output: (q_id, c_id, bucket, cos_sim, rk).
     */
-  def lshAnn(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-    val q = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-        bucketCol("embedding", 8).as("bucket"))
-    val c = e.filter(col("vec_id") >= 8)
-      .select(col("vec_id").as("c_id"), col("embedding").as("cv"),
-        bucketCol("embedding", 8).as("bucket"))
+  def lshTopkOn(queries: DataFrame, candidates: DataFrame, k: Int,
+      nPlanes: Int = 8, broadcastQueries: Boolean = false): DataFrame = {
+    val q0 = queries.withColumn("bucket", bucketCol("qv", nPlanes))
+    val q = if (broadcastQueries) broadcast(q0) else q0
+    val c = candidates.withColumn("bucket", bucketCol("cv", nPlanes))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    c.join(broadcast(q), Seq("bucket"))
+    c.join(q, Seq("bucket"))
       .withColumn("cos", cosExpr("qv", "cv"))
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
+      .filter(col("rk") <= k)
       .select(col("q_id"), col("c_id"), col("bucket"),
         Cols.pround(col("cos"), 6).as("cos_sim"),
         col("rk"))
+  }
+
+  /** sim_lsh_ann testdata binding: same probe/candidate split as
+    * [[bruteforceTopk]], 8 planes, broadcast probes.
+    */
+  def lshAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    lshTopkOn(
+      e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+      e.filter(col("vec_id") >= 8).select(col("vec_id").as("c_id"), col("embedding").as("cv")),
+      5, broadcastQueries = true)
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -131,18 +152,11 @@ object Similarity {
     */
   def knnJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
-    val q = e.filter(col("label") === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-        bucketCol("embedding", 8).as("bucket"))
-    val c = e.filter(col("label") =!= 0)
-      .select(col("vec_id").as("c_id"), col("embedding").as("cv"),
-        bucketCol("embedding", 8).as("bucket"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    c.join(q, Seq("bucket"))
-      .withColumn("cos", cosExpr("qv", "cv"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .select(col("q_id"), col("c_id"), Cols.pround(col("cos"), 6).as("cos_sim"), col("rk"))
+    lshTopkOn(
+      e.filter(col("label") === 0).select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+      e.filter(col("label") =!= 0).select(col("vec_id").as("c_id"), col("embedding").as("cv")),
+      3)
+      .select(col("q_id"), col("c_id"), col("cos_sim"), col("rk"))
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -161,18 +175,27 @@ object Similarity {
     * path (≈N/2^planes candidates per vector); the oracle applies the
     * identical bucket prefilter, so results match by construction.
     */
-  def embedCosineDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"),
-        bucketCol("embedding", 8).as("bucket"))
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"), col("bucket"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"), col("bucket"))
+  /** Embedding-cosine near-dup pairs within one vector set (`id`,
+    * `vec`): same LSH bucket AND true cosine ≥ `threshold`.
+    * Output: (a_id, b_id, cos_sim) with a_id < b_id.
+    */
+  def cosineNearDupOn(vectors: DataFrame, threshold: Double,
+      nPlanes: Int = 8): DataFrame = {
+    val e = vectors.withColumn("bucket", bucketCol("vec", nPlanes))
+    val a = e.select(col("id").as("a_id"), col("vec").as("va"), col("bucket"))
+    val b = e.select(col("id").as("b_id"), col("vec").as("vb"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
       .withColumn("cos", cosExpr("va", "vb"))
-      .filter(col("cos") >= 0.4)
+      .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), Cols.pround(col("cos"), 6).as("cos_sim"))
-      .orderBy(col("a_id"), col("b_id"))
   }
+
+  def embedCosineDedup(spark: SparkSession, sfDir: String): DataFrame =
+    cosineNearDupOn(
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec")),
+      0.4)
+      .orderBy(col("a_id"), col("b_id"))
 
   def embedCosineDedupSql: String =
     s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding", 8)} AS bucket FROM embeddings),

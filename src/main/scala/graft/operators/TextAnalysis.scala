@@ -5,19 +5,22 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFns
 import graft.util.{Cols, Tables}
 
-/** Text analysis operators (SURVEY.md §2.C) over `documents`.
+/** Text analysis operators (SURVEY.md §2.C).
+  *
+  * Each has a generic DataFrame→DataFrame core (`*On`) over any
+  * id + text corpus, plus a testdata binding on `documents`.
   * All scan-side, codegen'd expressions — at 100 TB these run at parquet
-  * read speed with no shuffle except the final (optional) aggregation.
+  * read speed with no shuffle except the final (optional) sort.
   */
 object TextAnalysis {
 
-  /** text_langid — stopword-marker language heuristic: ratio of
-    * English-marker tokens decides en vs unknown; emitted with the ratio
-    * so downstream filters can re-threshold.
+  /** Language ID: stopword-marker heuristic — ratio of English-marker
+    * tokens decides en vs unknown; emitted with the ratio so downstream
+    * filters can re-threshold. Output: (doc_id, n_words, en_ratio,
+    * pred_lang).
     */
-  def langid(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), TextFns.tokenize(col("text")).as("words"))
+  def langidOn(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), TextFns.tokenize(col(textCol)).as("words"))
       .filter(size(col("words")) > 0)
       .withColumn("en_ratio", TextFns.markerRatio("words"))
       .select(
@@ -25,8 +28,10 @@ object TextAnalysis {
         size(col("words")).as("n_words"),
         col("en_ratio"),
         when(col("en_ratio") >= 0.05, "en").otherwise("unknown").as("pred_lang"))
-      .orderBy(col("doc_id"))
-  }
+
+  /** text_langid testdata binding. */
+  def langid(spark: SparkSession, sfDir: String): DataFrame =
+    langidOn(Tables.documents(spark, sfDir), "doc_id", "text").orderBy(col("doc_id"))
 
   def langidSql: String =
     s"""SELECT doc_id, CAST(len(words) AS INTEGER) AS n_words, en_ratio,
@@ -36,13 +41,13 @@ object TextAnalysis {
        |      WHERE len(words) > 0)
        |ORDER BY doc_id""".stripMargin
 
-  /** text_quality — heuristic quality score from portable components:
-    * token count, unique-token ratio, punctuation density, mean token
-    * length. All int/int or int/len double divisions → bit-identical.
+  /** Quality score from portable components: token count, unique-token
+    * ratio, punctuation density, mean token length. All int/int or
+    * int/len double divisions → bit-identical across engines.
     */
-  def quality(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"), TextFns.tokenize(col("text")).as("words"))
+  def qualityOn(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        TextFns.tokenize(col(textCol)).as("words"))
       .filter(size(col("words")) > 0)
       .withColumn("n_words", size(col("words")))
       .withColumn("n_chars", length(col("text")))
@@ -56,8 +61,10 @@ object TextAnalysis {
           + least(col("mean_word_len") / 10.0, lit(1.0)) * 0.2, 6))
       .select(col("doc_id"), col("n_words"), col("n_chars"), col("uniq_ratio"),
         col("punct_ratio"), col("mean_word_len"), col("quality_score"))
-      .orderBy(col("doc_id"))
-  }
+
+  /** text_quality testdata binding. */
+  def quality(spark: SparkSession, sfDir: String): DataFrame =
+    qualityOn(Tables.documents(spark, sfDir), "doc_id", "text").orderBy(col("doc_id"))
 
   def qualitySql: String =
     s"""SELECT doc_id, CAST(len(words) AS INTEGER) AS n_words, CAST(length(text) AS INTEGER) AS n_chars,
@@ -70,18 +77,19 @@ object TextAnalysis {
        |FROM (SELECT doc_id, text, ${TextFns.tokenizeSql("text")} AS words FROM documents)
        |WHERE len(words) > 0 ORDER BY doc_id""".stripMargin
 
-  /** text_tokens — whitespace token count + BPE-ish regex token count
+  /** Token counting: whitespace token count + BPE-ish regex token count
     * (letter runs / digit runs / single symbols).
     */
-  def tokens(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.documents(spark, sfDir)
-      .select(
-        col("doc_id"),
-        size(TextFns.tokenize(col("text"))).as("n_ws_tokens"),
-        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("int").as("n_bpe_tokens"),
-        length(col("text")).as("n_chars"))
-      .orderBy(col("doc_id"))
-  }
+  def tokensOn(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      size(TextFns.tokenize(col(textCol))).as("n_ws_tokens"),
+      regexp_count(lower(col(textCol)), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("int").as("n_bpe_tokens"),
+      length(col(textCol)).as("n_chars"))
+
+  /** text_tokens testdata binding. */
+  def tokens(spark: SparkSession, sfDir: String): DataFrame =
+    tokensOn(Tables.documents(spark, sfDir), "doc_id", "text").orderBy(col("doc_id"))
 
   def tokensSql: String =
     s"""SELECT doc_id, CAST(len(${TextFns.tokenizeSql("text")}) AS INTEGER) AS n_ws_tokens,
@@ -89,19 +97,22 @@ object TextAnalysis {
        | CAST(length(text) AS INTEGER) AS n_chars
        |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** text_fingerprint — rolling polynomial document fingerprint over the
-    * normalized text; two independent multipliers combined into a 62-bit
-    * value (collision odds ~2^-62 per pair).
+  /** Rolling polynomial document fingerprint over the normalized text:
+    * two independent multipliers (31, 131 — both codegen'd
+    * [[graft.functions.PolyCharFold]]) combined into a 62-bit value
+    * (collision odds ~2^-62 per pair).
     */
-  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
-    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
-    Tables.documents(spark, sfDir)
-      .withColumn("norm", norm)
+  def fingerprintOn(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    df.withColumn("norm", norm)
       .withColumn("h1", TextFns.charFold(col("norm")))
       .withColumn("h2", graft.functions.PolyCharFold.column(col("norm"), 131L))
-      .select(col("doc_id"), (col("h1") * 2147483648L + col("h2")).as("fp64"))
-      .orderBy(col("doc_id"))
+      .select(col(idCol).as("doc_id"), (col("h1") * 2147483648L + col("h2")).as("fp64"))
   }
+
+  /** text_fingerprint testdata binding. */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    fingerprintOn(Tables.documents(spark, sfDir), "doc_id", "text").orderBy(col("doc_id"))
 
   def fingerprintSql: String = {
     val norm = raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"

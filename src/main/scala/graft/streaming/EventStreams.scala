@@ -27,19 +27,24 @@ case class SessState(n: Long, start: Long, last: Long, total: Double)
   */
 object EventStreams {
 
-  /** stream_window_agg (batch form) — 15-minute tumbling windows per
-    * event type. Bucketing is integer division on epoch micros: exact.
+  /** Tumbling-window aggregation (batch form) over any (ts, event_type,
+    * value) frame. Bucketing is integer division on epoch micros: exact.
     */
-  def windowAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.events(spark, sfDir)
+  def windowAggOn(events: DataFrame, windowMinutes: Int): DataFrame = {
+    val us = windowMinutes * 60L * 1000000L
+    events
       .withColumn("us", unix_micros(col("ts")))
-      .withColumn("bucket", expr("us div 900000000"))
+      .withColumn("bucket", expr(s"us div $us"))
       .groupBy(col("bucket"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), Cols.pround(sum(col("value")), 2).as("total_value"))
-      .withColumn("window_start", timestamp_micros(col("bucket") * 900000000L))
+      .withColumn("window_start", timestamp_micros(col("bucket") * us))
       .select(col("bucket"), col("window_start"), col("event_type"), col("n_events"), col("total_value"))
-      .orderBy(col("bucket"), col("event_type"))
   }
+
+  /** stream_window_agg testdata binding (15-minute windows). */
+  def windowAgg(spark: SparkSession, sfDir: String): DataFrame =
+    windowAggOn(Tables.events(spark, sfDir), 15)
+      .orderBy(col("bucket"), col("event_type"))
 
   def windowAggSql: String =
     """SELECT bucket, make_timestamp(bucket * 900000000) AS window_start, event_type,
@@ -47,18 +52,20 @@ object EventStreams {
       |FROM (SELECT epoch_us(ts) // 900000000 AS bucket, event_type, value FROM events)
       |GROUP BY 1, 3 ORDER BY 1, 3""".stripMargin
 
-  /** stream_sessionize (batch form) — gap-based sessions (30 min) per
-    * user: lag + running flag-sum assigns session ids, then per-session
-    * rollup. One shuffle on user_id; window sorts are per-key local.
+  /** Gap-based sessionization (batch form) over any (user_id, event_id,
+    * ts, value) frame: lag + running flag-sum assigns session ids, then
+    * per-session rollup. One shuffle on user_id; window sorts are
+    * per-key local.
     */
-  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+  def sessionizeOn(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
     val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, sfDir)
+    events
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("prev_us", lag(col("us"), 1).over(byUser))
       .withColumn("new_sess",
-        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1).otherwise(0))
       .withColumn("sess_idx", sum(col("new_sess")).over(run))
       .groupBy(col("user_id"), col("sess_idx"))
       .agg(
@@ -69,8 +76,12 @@ object EventStreams {
       .withColumn("duration_sec", expr("(end_us - start_us) div 1000000"))
       .select(col("user_id"), col("sess_idx").cast("long").as("sess_idx"),
         col("n_events"), col("start_us"), col("end_us"), col("duration_sec"), col("total_value"))
-      .orderBy(col("user_id"), col("sess_idx"))
   }
+
+  /** stream_sessionize testdata binding (30-minute gap). */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    sessionizeOn(Tables.events(spark, sfDir), 30)
+      .orderBy(col("user_id"), col("sess_idx"))
 
   def sessionizeSql: String =
     """WITH flagged AS (
