@@ -154,16 +154,20 @@ object Dedup {
        |FROM pairs ORDER BY a_id, b_id""".stripMargin
 
   /** SimHash near-dup pairs at hamming ≤ `maxHamming` (≤ 1 keeps the
-    * 4-chunk pigeonhole prefilter EXACT: hamming ≤ 1 ⇒ some 8-bit chunk
-    * equal). The 32-bit fingerprint is a codegen'd aggregation: explode
-    * tokens, 32 map-side-combined bit-count sums per doc — same votes
-    * (sum of ±1 per token > 0 ⇔ 2·count(bit set) > n) as the lambda
-    * formulation the oracle uses. Zero-token docs drop out at the
-    * explode. Output: (a_id, b_id, hamming) with a_id < b_id.
+    * two-half pigeonhole prefilter EXACT: one differing bit corrupts at
+    * most one 16-bit half, so some half matches). Halves beat narrower
+    * chunks when fingerprint bits correlate across a clustered corpus:
+    * 16-bit buckets are ~2^16-ary, so candidate volume tracks the TRUE
+    * near-dup density instead of the bit-marginal skew. The 32-bit
+    * fingerprint is a codegen'd aggregation: explode tokens, 32
+    * map-side-combined bit-count sums per doc — same votes (sum of ±1
+    * per token > 0 ⇔ 2·count(bit set) > n) as the lambda formulation
+    * the oracle uses. Zero-token docs drop out at the explode.
+    * Output: (a_id, b_id, hamming) with a_id < b_id.
     */
   def simhashPairsOn(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 1): DataFrame = {
-    require(maxHamming <= 1, "4-chunk pigeonhole prefilter is exact only for hamming <= 1")
+    require(maxHamming <= 1, "two-half pigeonhole prefilter is exact only for hamming <= 1")
     val tok = df
       .select(col(idCol).as("doc_id"), explode(TextFns.tokenize(col(textCol))).as("w"))
       .select(col("doc_id"), TextFns.charFold(col("w")).as("h"))
@@ -176,8 +180,8 @@ object Dedup {
       .select(col("doc_id"), fpCol.as("fp"))
       .persist()
     val chunks = fp.select(col("doc_id"), col("fp"),
-        explode(sequence(lit(0), lit(3))).as("ci"))
-      .select(col("doc_id"), col("ci"), expr("(fp >> (ci * 8)) & 255").as("cv"))
+        explode(sequence(lit(0), lit(1))).as("ci"))
+      .select(col("doc_id"), col("ci"), expr("(fp >> (ci * 16)) & 65535").as("cv"))
     val pairs = chunks.select(col("doc_id").as("a_id"), col("ci"), col("cv"))
       .join(chunks.select(col("doc_id").as("b_id"), col("ci"), col("cv")), Seq("ci", "cv"))
       .filter(col("a_id") < col("b_id"))
