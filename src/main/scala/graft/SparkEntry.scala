@@ -42,6 +42,7 @@ object SparkEntry {
     "q18_null_handling"  -> Relational.q18NullHandling _,
     "q19_udaf_hll"       -> Relational.q19UdafHll _,
     "q20_salted_agg"     -> Relational.q20SaltedAgg _,
+    "q21_stats_agg"      -> Relational.q21StatsAgg _,
     // §2.C LLM-data-pipeline operators
     "dedup_exact"         -> Dedup.exact _,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
@@ -218,6 +219,14 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         | floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_stats_agg" ->
+      """SELECT l_returnflag,
+        | floor(corr(l_quantity, l_extendedprice) * 1000000.0 + 0.5) / 1000000.0 AS corr_qty_price,
+        | floor(stddev_samp(l_quantity) * 1000000.0 + 0.5) / 1000000.0 AS sd_qty,
+        | floor(quantile_cont(l_quantity, 0.5) * 10000.0 + 0.5) / 10000.0 AS median_qty,
+        | floor(quantile_cont(l_extendedprice, 0.9) * 100.0 + 0.5) / 100.0 AS p90_price,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_exact"         -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_minhash"       -> Dedup.minhashLshSql,

@@ -40,6 +40,29 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
   }
 
+  /** One extracted frame feature. */
+  case class FrameFeature(doc_id: Long, frame_idx: Int, feature: Long)
+
+  /** Frame-sampling path: each payload yields `frames` sampled frames
+    * (stub: frame count derived from the payload; real impl: video
+    * decode + stride sampling). Runs per-partition — one partition = one
+    * decode batch, output exploded to (doc_id, frame_idx, feature) rows.
+    * The feature is a deterministic fake (payload byte fold per frame).
+    */
+  def sampleFrames(spark: SparkSession, sfDir: String, stride: Int = 5): Dataset[FrameFeature] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val meta = decodeStub(id, bytes)
+        (0 until meta.frames by stride).map { f =>
+          val slice = bytes.drop(f % math.max(bytes.length, 1))
+          FrameFeature(id, f, slice.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 2147483647L))
+        }
+      })
+  }
+
   /** mm_meta — expression-only metadata over the binary payload (length,
     * content digest, fake thumb signature + dimensions). Fully
     * value-oracled: every component is portable (md5 of the UTF-8

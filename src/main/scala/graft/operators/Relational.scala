@@ -313,4 +313,22 @@ object Relational {
       .agg(sum(col("pc")).as("n_events"), Cols.pround(sum(col("ps")), 2).as("total_value"))
       .orderBy(col("event_type"))
   }
+
+  /** q21_stats_agg — statistical aggregates: Pearson correlation,
+    * sample stddev, exact interpolated percentiles (median / p90). All
+    * single-pass mergeable aggregation states → one shuffle on the
+    * group key at any scale; exact percentiles sort per group (use
+    * approx_percentile when group cardinality explodes).
+    */
+  def q21StatsAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        Cols.pround(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        Cols.pround(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        Cols.pround(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        Cols.pround(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
 }

@@ -64,6 +64,36 @@ class SourcesSpec extends SparkSpecBase {
       == direct.orderBy("o_orderpriority").collect().toSeq)
   }
 
+  test("streaming from a file source matches the batch window aggregation") {
+    import graft.streaming.EventStreams
+    val dir = Files.createTempDirectory("graft_stream_src").toString
+    val batch = spark.read.parquet(s"$SfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("ts", "event_type", "value")
+    batch.write.mode("overwrite").parquet(s"$dir/in")
+    val streamIn = spark.readStream.schema(batch.schema).parquet(s"$dir/in")
+    val q = EventStreams.windowAggStream(streamIn)
+      .writeStream.format("memory").queryName("file_win_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("file_win_out")
+      .select("window_start", "event_type", "n_events").collect()
+      .map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+    val want = EventStreams.windowAgg(spark, SfDir)
+      .select("window_start", "event_type", "n_events").collect()
+      .map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(got.nonEmpty && got.subsetOf(want),
+      s"file-source streaming diverges: ${got.diff(want).take(3)}")
+  }
+
+  test("multimodal frame sampling explodes deterministic per-frame features") {
+    val frames = Multimodal.sampleFrames(spark, SfDir).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 5 == 0))
+    val again = Multimodal.sampleFrames(spark, SfDir).collect()
+    assert(frames.sortBy(f => (f.doc_id, f.frame_idx))
+      .sameElements(again.sortBy(f => (f.doc_id, f.frame_idx))))
+  }
+
   test("multimodal decode plumbing: per-partition batch decode yields typed metadata") {
     val metas = Multimodal.decodeAll(spark, SfDir).collect()
     assert(metas.length == 500)
