@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Multimodal, Relational, RetailEtl, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Multimodal, Relational, RetailEtl, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -43,6 +43,7 @@ object SparkEntry {
     "q19_udaf_hll"       -> Relational.q19UdafHll _,
     "q20_salted_agg"     -> Relational.q20SaltedAgg _,
     "q21_stats_agg"      -> Relational.q21StatsAgg _,
+    "asof_join"          -> AsOf.clicksToPurchases _,
     // §2.C LLM-data-pipeline operators
     "dedup_exact"         -> Dedup.exact _,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
@@ -219,6 +220,7 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         | floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "asof_join"           -> AsOf.clicksToPurchasesSql,
     "q21_stats_agg" ->
       """SELECT l_returnflag,
         | floor(corr(l_quantity, l_extendedprice) * 1000000.0 + 0.5) / 1000000.0 AS corr_qty_price,

@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL registration of graft's codegen expressions, so `spark.sql`
+  * users (and `expr(...)` strings) can call them directly:
+  *
+  *  - `graft_charfold(str[, mult])`      → BIGINT polynomial char hash
+  *  - `graft_fvec_dot(va, vb)`           → DOUBLE float-vector dot
+  *  - `graft_srp_bucket(vec[, planes])`  → BIGINT hyperplane LSH bucket
+  *  - `graft_minhash_sig(hashes[, k])`   → ARRAY<BIGINT> MinHash signature
+  *
+  * Two routes: `.withExtensions(new GraftExtensions)` at session build
+  * (`spark.sql.extensions=graft.functions.GraftExtensions` also works),
+  * or [[GraftFunctions.register]] on an existing session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def longArg(args: Seq[Expression], i: Int, default: Long): Long =
+    args.lift(i).map {
+      case Literal(v: Number, _) => v.longValue()
+      case e => e.eval().asInstanceOf[Number].longValue()
+    }.getOrElse(default)
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_charfold" ->
+      ((args: Seq[Expression]) => PolyCharFold(args.head, longArg(args, 1, 31L))),
+    "graft_fvec_dot" ->
+      ((args: Seq[Expression]) => FloatVecDot(args(0), args(1))),
+    "graft_srp_bucket" ->
+      ((args: Seq[Expression]) => SrpBucket(args.head, longArg(args, 1, 8L).toInt)),
+    "graft_minhash_sig" ->
+      ((args: Seq[Expression]) => MinHashSig(args.head, longArg(args, 1, 16L).toInt)),
+  )
+
+  /** Register all graft SQL functions on an existing session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) => GraftBridge.registerFunction(spark, name, b) }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.util.Tables
+
+/** As-of (backward) join — the time-series join Spark lacks natively
+  * (pandas merge_asof / kdb aj): for each left row, attach the right
+  * row with the greatest time ≤ the left row's time within the same
+  * key group.
+  *
+  * Implementation is a composition of existing operators (preference
+  * (a) over a custom physical plan): union both sides tagged, one
+  * window scan per key ordered by (time, side) carrying the latest
+  * right payload forward with `last(ignoreNulls)`. Cost: ONE shuffle on
+  * the key and a per-key local sort — no range-join pair explosion, no
+  * per-row binary search; at 100 TB this is the same shape as any
+  * windowed aggregation. Ties at equal time resolve to the right row
+  * (inclusive ≥ semantics, matching ANSI ASOF JOIN).
+  */
+object AsOf {
+
+  /** Generic core. `left` and `right` must both have `key` and `time`
+    * columns; right payload columns are emitted as `r_<name>` (plus
+    * `r_<time>`, the matched row's time). Left rows with no prior right
+    * row keep nulls (left-outer semantics). Determinism requires
+    * unique (key, time) pairs on the right side.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+      rightPrefix: String = "r_"): DataFrame = {
+    val lPay = left.columns.filterNot(c => c == key || c == time).toSeq
+    val rPay = (time +: right.columns.filterNot(c => c == key || c == time).toSeq)
+    val lSide = left.select(
+      col(key) +: col(time) +: lit(1).as("__side") +:
+        (lPay.map(col) ++
+          rPay.map(c => lit(null).cast(right.schema(c).dataType).as(rightPrefix + c))): _*)
+    val rSide = right.select(
+      col(key) +: col(time) +: lit(0).as("__side") +:
+        (lPay.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          rPay.map(c => col(c).as(rightPrefix + c))): _*)
+    val w = Window.partitionBy(col(key)).orderBy(col(time), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rPay.foldLeft(lSide.unionByName(rSide)) { (df, c) =>
+      df.withColumn(rightPrefix + c, last(col(rightPrefix + c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__side")
+  }
+
+  /** asof_join — testdata binding: each click event joined to the
+    * user's most recent purchase at or before it.
+    */
+  def clicksToPurchases(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir).withColumn("us", unix_micros(col("ts")))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us"), col("event_id").as("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), col("event_id").as("prc_id"), col("value").as("prc_value"))
+    asofJoin(clicks, purchases, "user_id", "us")
+      .select(col("user_id"), col("click_id"), col("us").as("click_us"),
+        col("r_us").as("prc_us"), col("r_prc_id").as("prc_id"), col("r_prc_value").as("prc_value"),
+        expr("(us - r_us) div 1000000").as("gap_sec"))
+      .orderBy(col("click_id"))
+  }
+
+  def clicksToPurchasesSql: String =
+    """WITH c AS (SELECT user_id, epoch_us(ts) AS us, event_id AS click_id
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, epoch_us(ts) AS us, event_id AS prc_id, value AS prc_value
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id, click_id, c.us AS click_us, p.us AS prc_us, prc_id, prc_value,
+      | (c.us - p.us) // 1000000 AS gap_sec
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.us >= p.us
+      |ORDER BY click_id""".stripMargin
+}

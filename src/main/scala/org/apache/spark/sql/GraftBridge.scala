@@ -13,4 +13,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Imperative function registration on an already-built session (the
+    * extensions route in `graft.functions.GraftExtensions` covers
+    * sessions built with `.withExtensions`).
+    */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }

@@ -47,6 +47,20 @@ class FunctionsSpec extends SparkSpecBase {
     assert(df.filter(col("fast") =!= col("slow")).count() == 0)
   }
 
+  test("SQL registration: graft_* functions callable from spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_charfold('abc') AS h31, graft_charfold('abc', 131) AS h131").head
+    // ((97*31+98)*31+99) % P and ((97*131+98)*131+99) % P
+    assert(r.getLong(0) == ((97L * 31 + 98) * 31 + 99) % P)
+    assert(r.getLong(1) == ((97L * 131 + 98) * 131 + 99) % P)
+    val d = spark.sql(
+      "SELECT graft_fvec_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>), CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS d").head
+    assert(d.getDouble(0) == 11.0)
+    val s = spark.sql("SELECT graft_minhash_sig(array(CAST(5 AS BIGINT), CAST(9 AS BIGINT)), 4) AS s").head
+    assert(s.getSeq[Long](0).length == 4)
+  }
+
   test("MinHashSig == interpreted transform/array_min") {
     val df = docs
       .select(col("doc_id"), TextFns.shingleHashes(TextFns.tokenize(col("text"))).as("h"))
