@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOf, Dedup, Multimodal, Relational, RetailEtl, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Multimodal, Ranges, Relational, RetailEtl, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -44,6 +44,7 @@ object SparkEntry {
     "q20_salted_agg"     -> Relational.q20SaltedAgg _,
     "q21_stats_agg"      -> Relational.q21StatsAgg _,
     "asof_join"          -> AsOf.clicksToPurchases _,
+    "range_join_bucketed" -> Ranges.eventBands _,
     // §2.C LLM-data-pipeline operators
     "dedup_exact"         -> Dedup.exact _,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
@@ -221,6 +222,7 @@ object SparkEntry {
         | floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "asof_join"           -> AsOf.clicksToPurchasesSql,
+    "range_join_bucketed" -> Ranges.eventBandsSql,
     "q21_stats_agg" ->
       """SELECT l_returnflag,
         | floor(corr(l_quantity, l_extendedprice) * 1000000.0 + 0.5) / 1000000.0 AS corr_qty_price,
