@@ -50,6 +50,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "dedup_minhash"       -> Dedup.minhashLsh _,
     "dedup_simhash"       -> Dedup.simhashPairs _,
+    "dedup_cluster"       -> Dedup.cluster _,
     "text_langid"         -> TextAnalysis.langid _,
     "text_quality"        -> TextAnalysis.quality _,
     "text_tokens"         -> TextAnalysis.tokens _,
@@ -235,6 +236,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_minhash"       -> Dedup.minhashLshSql,
     "dedup_simhash"       -> Dedup.simhashPairsSql,
+    "dedup_cluster"       -> Dedup.clusterSql,
     "text_langid"         -> TextAnalysis.langidSql,
     "text_quality"        -> TextAnalysis.qualitySql,
     "text_tokens"         -> TextAnalysis.tokensSql,

@@ -199,6 +199,75 @@ object Dedup {
     simhashPairsOn(Tables.documents(spark, sfDir), "doc_id", "text")
       .orderBy(col("a_id"), col("b_id"))
 
+  /** Connected components over a near-dup pair graph: every doc gets a
+    * cluster_id = the minimum doc id reachable through near-dup edges
+    * (singletons cluster with themselves). This is the step that turns
+    * pairwise near-dup evidence into "keep one per cluster" decisions.
+    *
+    * Distributed label propagation: each round, every node takes the
+    * min of its own label and its neighbors' labels — converges in
+    * O(component diameter) rounds. Each round is one shuffle
+    * (edge⋈label + groupBy); frames are persisted and counted per round
+    * BOTH to detect the fixpoint and to truncate lineage (without it
+    * the plan doubles every round). Near-dup components are shallow in
+    * practice, so rounds ≈ 3–5 at any corpus scale.
+    */
+  def clustersOn(pairs: DataFrame, allIds: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .persist()
+    var labels = allIds.select(col("id"), col("id").as("lbl")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("lbl").as("vlbl")), Seq("v"))
+        .groupBy(col("u")).agg(min(col("vlbl")).as("nlbl"))
+      val next = labels
+        .join(nbrMin.select(col("u").as("id"), col("nlbl")), Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          col("lbl").as("prev"))
+        .persist()
+      changed = next.filter(col("lbl") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next.select(col("id"), col("lbl")).persist()
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** dedup_cluster testdata binding: components of the jaccard ≥ 0.5
+    * near-dup graph over all documents.
+    */
+  def cluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    clustersOn(
+      ngramJaccardOn(docs, "doc_id", "text", 0.5),
+      docs.select(col("doc_id").as("id")))
+      .orderBy(col("doc_id"))
+  }
+
+  def clusterSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |SELECT a_id, b_id FROM (
+       |WITH t AS ($shingledSql),
+       |e AS (SELECT doc_id, h, unnest(h) AS x FROM t),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |          FROM e a JOIN e b ON a.x = b.x AND a.doc_id < b.doc_id),
+       |j AS (SELECT a_id, b_id,
+       |        CAST(len(list_intersect(ta.h, tb.h)) AS DOUBLE)
+       |          / (len(ta.h) + len(tb.h) - CAST(len(list_intersect(ta.h, tb.h)) AS DOUBLE)) AS jac
+       |      FROM cand JOIN t ta ON a_id = ta.doc_id JOIN t tb ON b_id = tb.doc_id)
+       |SELECT a_id, b_id FROM j WHERE jac >= 0.5)),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |          UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach AS (SELECT u, v FROM edges
+       |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+       |SELECT d.doc_id,
+       | least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+       |FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   def simhashPairsSql: String =
     s"""WITH fp AS (
        | SELECT doc_id, ${TextFns.simhashSql("wh")} AS fp

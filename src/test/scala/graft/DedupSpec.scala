@@ -25,6 +25,22 @@ class DedupSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"LSH recall $recall too low (found ${mh.size} pairs)")
   }
 
+  test("cluster labels: near-dup pair endpoints share a cluster, singletons self-label") {
+    val pairs = Dedup.ngramJaccard(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Dedup.cluster(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    labels.filterNot { case (id, _) => inPairs(id) }.foreach { case (id, lbl) =>
+      assert(lbl == id, s"singleton $id got foreign label $lbl")
+    }
+    assert(labels.values.forall(l => labels(l) == l), "cluster root must label itself")
+  }
+
   test("simhash pairs are symmetric-free and within hamming bound") {
     val rows = Dedup.simhashPairs(spark, SfDir).collect()
     assert(rows.forall(r => r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
