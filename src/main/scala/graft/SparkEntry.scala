@@ -43,6 +43,8 @@ object SparkEntry {
     "q19_udaf_hll"       -> Relational.q19UdafHll _,
     "q20_salted_agg"     -> Relational.q20SaltedAgg _,
     "q21_stats_agg"      -> Relational.q21StatsAgg _,
+    "q22_outer_join"     -> Relational.q22OuterJoin _,
+    "q23_window_nav"     -> Relational.q23WindowNav _,
     "asof_join"          -> AsOf.clicksToPurchases _,
     "range_join_bucketed" -> Ranges.eventBands _,
     // §2.C LLM-data-pipeline operators
@@ -222,6 +224,26 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         | floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q22_outer_join" ->
+      """WITH spend AS (SELECT o_custkey AS custkey, floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS big_spend
+        |               FROM orders WHERE o_totalprice > 250000.0 GROUP BY 1),
+        |urgent AS (SELECT o_custkey AS custkey, count(*) AS n_urgent
+        |           FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+        |SELECT coalesce(s.custkey, u.custkey) AS custkey,
+        | coalesce(big_spend, 0.0) AS big_spend, coalesce(n_urgent, 0) AS n_urgent,
+        | CASE WHEN big_spend IS NULL THEN 'urgent_only'
+        |      WHEN n_urgent IS NULL THEN 'spend_only' ELSE 'both' END AS bucket
+        |FROM spend s FULL OUTER JOIN urgent u ON s.custkey = u.custkey
+        |ORDER BY custkey""".stripMargin,
+    "q23_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        | floor(o_totalprice * 100.0 + 0.5) / 100.0 AS price,
+        | floor(lag(o_totalprice) OVER w * 100.0 + 0.5) / 100.0 AS prev_price,
+        | floor(lead(o_totalprice) OVER w * 100.0 + 0.5) / 100.0 AS next_price,
+        | CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM orders WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "asof_join"           -> AsOf.clicksToPurchasesSql,
     "range_join_bucketed" -> Ranges.eventBandsSql,
     "q21_stats_agg" ->

@@ -314,6 +314,46 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** q22_outer_join — FULL OUTER join of two per-customer aggregates
+    * (order spend vs high-value lineitem count): rows surviving from
+    * either side with explicit null bucketing. Shuffle on the join key
+    * both sides; coalesce-based null semantics.
+    */
+  def q22OuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val spend = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 250000.0)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(Cols.pround(sum(col("o_totalprice")), 2).as("big_spend"))
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_urgent"))
+    spend.join(urgent, Seq("custkey"), "full_outer")
+      .select(col("custkey"),
+        coalesce(col("big_spend"), lit(0.0)).as("big_spend"),
+        coalesce(col("n_urgent"), lit(0L)).as("n_urgent"),
+        when(col("big_spend").isNull, "urgent_only")
+          .when(col("n_urgent").isNull, "spend_only")
+          .otherwise("both").as("bucket"))
+      .orderBy(col("custkey"))
+  }
+
+  /** q23_window_nav — navigation window functions (lag/lead/ntile) over
+    * each customer's order history: previous/next order price and spend
+    * quartile. One shuffle on the partition key; per-key local sort.
+    */
+  def q23WindowNav(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") <= 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        Cols.pround(col("o_totalprice"), 2).as("price"),
+        Cols.pround(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+        Cols.pround(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** q21_stats_agg — statistical aggregates: Pearson correlation,
     * sample stddev, exact interpolated percentiles (median / p90). All
     * single-pass mergeable aggregation states → one shuffle on the
