@@ -17,6 +17,7 @@ object SparkEntry {
     "etl_clean"          -> RetailEtl.clean _,
     "etl_scd1_customers" -> RetailEtl.scd1Customers _,
     "etl_scd1_products"  -> RetailEtl.scd1Products _,
+    "etl_scd1_merge"     -> RetailEtl.scd1Merge _,
     "etl_dim_dates"      -> RetailEtl.dimDates _,
     "etl_fact_build"     -> RetailEtl.factBuild _,
     "etl_star_revenue"   -> RetailEtl.starRevenue _,
@@ -67,22 +68,28 @@ object SparkEntry {
     "stream_sessionize"   -> EventStreams.sessionize _,
   )
 
+  /** Full-data SCD1 customer rebuild — also the oracle for the
+    * INCREMENTAL merge (merge(history, delta) must equal rebuild(all)).
+    */
+  private val scd1CustomersSql =
+    """WITH latest AS (
+      | SELECT o_custkey, CAST(o_orderdate AS DATE) AS last_order_date, o_orderstatus AS last_status,
+      |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      | FROM orders)
+      |SELECT c_custkey AS customer_id, c_name AS name, c_mktsegment AS segment, last_order_date, last_status
+      |FROM customer JOIN latest ON c_custkey = o_custkey WHERE rn = 1 ORDER BY customer_id""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    "etl_scd1_merge" -> scd1CustomersSql,
     "etl_clean" ->
       """SELECT event_id AS invoice_id, coalesce(user_id, 0) AS customer_id, event_type,
         | value AS unit_price, CAST(strftime(ts, '%Y%m%d') AS INTEGER) AS date_dim_id
         |FROM events WHERE value > 0 AND regexp_matches(event_type, '^[a-z_]+$')
         |ORDER BY invoice_id""".stripMargin,
-    "etl_scd1_customers" ->
-      """WITH latest AS (
-        | SELECT o_custkey, CAST(o_orderdate AS DATE) AS last_order_date, o_orderstatus AS last_status,
-        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
-        | FROM orders)
-        |SELECT c_custkey AS customer_id, c_name AS name, c_mktsegment AS segment, last_order_date, last_status
-        |FROM customer JOIN latest ON c_custkey = o_custkey WHERE rn = 1 ORDER BY customer_id""".stripMargin,
+    "etl_scd1_customers" -> scd1CustomersSql,
     "etl_scd1_products" ->
       """WITH latest AS (
         | SELECT l_partkey, CAST(l_shipdate AS DATE) AS last_ship_date,
