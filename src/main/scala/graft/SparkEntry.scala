@@ -46,6 +46,8 @@ object SparkEntry {
     "q21_stats_agg"      -> Relational.q21StatsAgg _,
     "q22_outer_join"     -> Relational.q22OuterJoin _,
     "q23_window_nav"     -> Relational.q23WindowNav _,
+    "q24_cube"           -> Relational.q24Cube _,
+    "q25_sample_hash"    -> Relational.q25SampleHash _,
     "asof_join"          -> AsOf.clicksToPurchases _,
     "range_join_bucketed" -> Ranges.eventBands _,
     // §2.C LLM-data-pipeline operators
@@ -66,6 +68,7 @@ object SparkEntry {
     // §2.D streaming (batch-equivalent forms; streaming impls spec-tested)
     "stream_window_agg"   -> EventStreams.windowAgg _,
     "stream_sessionize"   -> EventStreams.sessionize _,
+    "stream_dedup"        -> EventStreams.dedupBatch _,
   )
 
   /** Full-data SCD1 customer rebuild — also the oracle for the
@@ -251,6 +254,17 @@ object SparkEntry {
         |FROM orders WHERE o_custkey <= 100
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q24_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        | floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total,
+        | CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INTEGER) AS gset
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q25_sample_hash" ->
+      """SELECT event_type, count(*) AS n_sampled,
+        | floor(sum(value) * 100.0 + 0.5) / 100.0 AS sampled_value
+        |FROM events WHERE (event_id * 1000003 + 12289) % 2147483647 % 100 < 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "asof_join"           -> AsOf.clicksToPurchasesSql,
     "range_join_bucketed" -> Ranges.eventBandsSql,
     "q21_stats_agg" ->
@@ -277,5 +291,6 @@ object SparkEntry {
     "mm_meta"             -> Multimodal.metaSql,
     "stream_window_agg"   -> EventStreams.windowAggSql,
     "stream_sessionize"   -> EventStreams.sessionizeSql,
+    "stream_dedup"        -> EventStreams.dedupBatchSql,
   )
 }

@@ -354,6 +354,36 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** q24_cube — CUBE over (status, priority): all 4 grouping-set
+    * combinations in one pass (Expand + single shuffle), subtotal rows
+    * marked via grouping().
+    */
+  def q24Cube(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        Cols.pround(sum(col("o_totalprice")), 2).as("total"),
+        (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+          .cast("int").as("gset"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** q25_sample_hash — DETERMINISTIC 10% sample: rows where a
+    * polynomial hash of the key lands in the sample band. Unlike
+    * seed-RNG TABLESAMPLE this is reproducible across engines, runs,
+    * and partitionings — the only sane sampling at 100 TB (re-runs and
+    * audits see the same rows) — and it pushes down as an ordinary
+    * predicate.
+    */
+  def q25SampleHash(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .filter(expr("(event_id * 1000003 + 12289) % 2147483647 % 100") < 10)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sampled"),
+        Cols.pround(sum(col("value")), 2).as("sampled_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** q21_stats_agg — statistical aggregates: Pearson correlation,
     * sample stddev, exact interpolated percentiles (median / p90). All
     * single-pass mergeable aggregation states → one shuffle on the

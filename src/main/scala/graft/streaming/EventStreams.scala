@@ -101,7 +101,35 @@ object EventStreams {
       | floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
       |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Event dedup (batch form): distinct (user_id, event_type,
+    * minute-bucket) tuples — the at-least-once-delivery cleanup step.
+    * One shuffle on the full tuple.
+    */
+  def dedupBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .withColumn("minute_bucket", expr("unix_micros(ts) div 60000000"))
+      .select(col("user_id"), col("event_type"), col("minute_bucket"))
+      .distinct()
+      .orderBy(col("user_id"), col("event_type"), col("minute_bucket"))
+  }
+
+  def dedupBatchSql: String =
+    """SELECT DISTINCT user_id, event_type, epoch_us(ts) // 60000000 AS minute_bucket
+      |FROM events ORDER BY 1, 2, 3""".stripMargin
+
   // ------------------------------------------------------- streaming forms
+
+  /** Streaming dedup: same key as [[dedupBatch]], incremental via
+    * dropDuplicatesWithinWatermark — state for a key is held only until
+    * the watermark passes it (bounded state; an exact streaming dedup
+    * with unbounded keys would grow forever).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("minute_bucket", expr("unix_micros(ts) div 60000000"))
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "minute_bucket")
+      .select(col("user_id"), col("event_type"), col("minute_bucket"))
 
   /** Streaming tumbling-window aggregation: same semantics as
     * [[windowAgg]], incremental with a 30-minute watermark bounding

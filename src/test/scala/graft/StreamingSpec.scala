@@ -61,6 +61,21 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-watermark duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val streamDf = src.toDF().toDF("ts", "user_id", "event_type")
+    val q = EventStreams.dedupStream(streamDf)
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      val t = new java.sql.Timestamp(3_000_000_000_000L)
+      src.addData((t, 1L, "click"), (t, 1L, "click"), (t, 2L, "click"), (t, 1L, "view"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 3, "expected exact-duplicate row dropped")
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes idle sessions when the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
