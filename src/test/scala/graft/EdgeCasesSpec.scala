@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOf, Dedup, Ranges, Similarity, TextAnalysis}
+
+/** Robustness of the parametric DataFrame cores on degenerate inputs:
+  * empty frames, empty strings, sub-shingle-length docs. A library user
+  * hits all of these on the first real corpus.
+  */
+class EdgeCasesSpec extends SparkSpecBase {
+
+  private def emptyDocs = {
+    import spark.implicits._
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  }
+
+  test("dedup and text cores return empty (not error) on empty corpora") {
+    assert(Dedup.exactOn(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramJaccardOn(emptyDocs, "doc_id", "text", 0.5).count() == 0)
+    assert(Dedup.minhashLshOn(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashPairsOn(emptyDocs, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.qualityOn(emptyDocs, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.langidOn(emptyDocs, "doc_id", "text").count() == 0)
+  }
+
+  test("degenerate docs: empty and sub-shingle texts hash without error") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "one"), (3L, "one two"), (4L, "a b c"), (5L, "a b c"))
+      .toDF("doc_id", "text")
+    // exact dedup sees all docs; the two identical docs collapse
+    val ex = Dedup.exactOn(docs, "doc_id", "text").collect()
+    assert(ex.length == 4)
+    assert(ex.exists(r => r.getAs[Long]("n_copies") == 2))
+    // only docs with >= 3 tokens shingle; the identical pair matches at jac 1.0
+    val jac = Dedup.ngramJaccardOn(docs, "doc_id", "text", 0.5).collect()
+    assert(jac.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((4L, 5L)))
+    // quality/langid skip zero-token docs, keep the rest
+    assert(TextAnalysis.qualityOn(docs, "doc_id", "text").count() == 4)
+  }
+
+  test("asofJoin: empty right side keeps left rows with null payload") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "x"), (1L, 200L, "y")).toDF("k", "t", "tag")
+    val right = Seq.empty[(Long, Long, Double)].toDF("k", "t", "v")
+    val out = AsOf.asofJoin(left, right, "k", "t").collect()
+    assert(out.length == 2)
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("r_v"))))
+  }
+
+  test("asofJoin: inclusive tie and strictly-later right rows ignored") {
+    import spark.implicits._
+    val left = Seq((1L, 100L)).toDF("k", "t")
+    val right = Seq((1L, 100L, 7.0), (1L, 101L, 9.0)).toDF("k", "t", "v")
+    val out = AsOf.asofJoin(left, right, "k", "t").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("r_v") == 7.0) // ts tie matches; later row doesn't
+  }
+
+  test("bucketedRangeJoin: interval edges are inclusive-lo / exclusive-hi") {
+    import spark.implicits._
+    val pts = Seq((1L, 0.0), (2L, 14.999), (3L, 15.0), (4L, 29.999), (5L, 30.0))
+      .toDF("id", "value")
+    val ivs = Seq((10L, 0.0, 30.0)).toDF("band", "lo", "hi")
+    val hit = Ranges.bucketedRangeJoin(pts, ivs, "value", "lo", "hi", 15.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(hit == Set(1L, 2L, 3L, 4L)) // 30.0 excluded
+  }
+
+  test("similarity cores: empty vector sets produce empty results") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
+    assert(Similarity.cosineNearDupOn(empty, 0.5).count() == 0)
+    val q = Seq.empty[(Long, Array[Float])].toDF("q_id", "qv")
+    val c = Seq((1L, Array(1.0f, 0.0f))).toDF("c_id", "cv")
+    assert(Similarity.bruteforceTopkOn(q, c, 3).count() == 0)
+    assert(Similarity.lshTopkOn(q, c, 3).count() == 0)
+  }
+}
