@@ -62,6 +62,7 @@ object SparkEntry {
     "text_fingerprint"    -> TextAnalysis.fingerprint _,
     "sim_bruteforce_topk" -> Similarity.bruteforceTopk _,
     "sim_lsh_ann"         -> Similarity.lshAnn _,
+    "sim_lsh_multiprobe"  -> Similarity.lshMultiprobe _,
     "embed_knn_join"      -> Similarity.knnJoin _,
     "dedup_embed_cosine"  -> Similarity.embedCosineDedup _,
     "mm_meta"             -> Multimodal.meta _,
@@ -286,6 +287,7 @@ object SparkEntry {
     "text_fingerprint"    -> TextAnalysis.fingerprintSql,
     "sim_bruteforce_topk" -> Similarity.bruteforceTopkSql,
     "sim_lsh_ann"         -> Similarity.lshAnnSql,
+    "sim_lsh_multiprobe"  -> Similarity.lshMultiprobeSql,
     "embed_knn_join"      -> Similarity.knnJoinSql,
     "dedup_embed_cosine"  -> Similarity.embedCosineDedupSql,
     "mm_meta"             -> Multimodal.metaSql,

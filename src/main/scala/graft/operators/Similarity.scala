@@ -106,8 +106,19 @@ object Similarity {
     * Output: (q_id, c_id, bucket, cos_sim, rk).
     */
   def lshTopkOn(queries: DataFrame, candidates: DataFrame, k: Int,
-      nPlanes: Int = 8, broadcastQueries: Boolean = false): DataFrame = {
-    val q0 = queries.withColumn("bucket", bucketCol("qv", nPlanes))
+      nPlanes: Int = 8, broadcastQueries: Boolean = false,
+      multiProbe: Boolean = false): DataFrame = {
+    val home = bucketCol("qv", nPlanes)
+    // multi-probe: also search every 1-bit-flip neighbor bucket —
+    // queries replicate ×(nPlanes+1) (cheap, query side is small);
+    // recall rises toward brute force without touching the candidate
+    // side's O(N) bucket shuffle. Probe buckets are pairwise distinct,
+    // so no candidate dedup is needed.
+    val q0 =
+      if (multiProbe)
+        queries.withColumn("bucket", explode(array(
+          home +: (0 until nPlanes).map(i => home.bitwiseXOR(lit(1L << i))): _*)))
+      else queries.withColumn("bucket", home)
     val q = if (broadcastQueries) broadcast(q0) else q0
     val c = candidates.withColumn("bucket", bucketCol("cv", nPlanes))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
@@ -141,6 +152,31 @@ object Similarity {
        |      FROM q JOIN c ON q.bucket = c.bucket),
        |r AS (SELECT q_id, c_id, bucket, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s)
        |SELECT q_id, c_id, bucket, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, CAST(rk AS INTEGER) AS rk
+       |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+  /** sim_lsh_multiprobe — same probe/candidate split as [[lshAnn]] but
+    * probing the home bucket plus all 8 one-bit-flip buckets.
+    */
+  def lshMultiprobe(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    lshTopkOn(
+      e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+      e.filter(col("vec_id") >= 8).select(col("vec_id").as("c_id"), col("embedding").as("cv")),
+      5, broadcastQueries = true, multiProbe = true)
+      .select(col("q_id"), col("c_id"), col("cos_sim"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  def lshMultiprobeSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv, ${bucketSql("embedding", 8)} AS b0
+       |           FROM embeddings WHERE vec_id < 8),
+       |qp AS (SELECT q_id, qv, b0 AS bucket FROM q
+       |       UNION ALL SELECT q_id, qv, xor(b0, CAST(1 AS BIGINT) << i) FROM q, generate_series(0, 7) AS g(i)),
+       |c AS (SELECT vec_id AS c_id, embedding AS cv, ${bucketSql("embedding", 8)} AS bucket
+       |      FROM embeddings WHERE vec_id >= 8),
+       |s AS (SELECT q_id, c_id, ${cosSql("qv", "cv")} AS cos FROM qp JOIN c ON qp.bucket = c.bucket),
+       |r AS (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s)
+       |SELECT q_id, c_id, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, CAST(rk AS INTEGER) AS rk
        |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
   /** embed_knn_join — k-NN join between two embedding sets (label 0 =

@@ -43,6 +43,17 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("multi-probe LSH recall >= single-bucket recall vs brute force") {
+    val bf = Similarity.bruteforceTopk(spark, SfDir)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = Similarity.lshAnn(spark, SfDir)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.lshMultiprobe(spark, SfDir)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bf.count(multi.contains) >= bf.count(single.contains),
+      "probing flip buckets must not lose recall")
+  }
+
   test("ANN hit quality: LSH neighbors overlap brute-force top-k") {
     val bf = Similarity.bruteforceTopk(spark, SfDir)
       .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

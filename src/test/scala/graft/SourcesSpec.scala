@@ -21,6 +21,16 @@ class SourcesSpec extends SparkSpecBase {
     assert(months > 1, "expected multiple month partitions")
   }
 
+  test("orc round-trip preserves values") {
+    val out = Files.createTempDirectory("graft_orc").toString
+    val dim = RetailEtl.scd1Products(spark, SfDir)
+    dim.write.mode("overwrite").orc(s"$out/orc")
+    val back = spark.read.orc(s"$out/orc")
+    assert(back.count() == dim.count())
+    assert(back.agg(sum(col("stock_code"))).head.getLong(0)
+      == dim.agg(sum(col("stock_code"))).head.getLong(0))
+  }
+
   test("csv and json round-trips preserve row counts and values") {
     val out = Files.createTempDirectory("graft_io").toString
     val dim = RetailEtl.scd1Customers(spark, SfDir)
