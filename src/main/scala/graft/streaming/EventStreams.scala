@@ -119,6 +119,24 @@ object EventStreams {
 
   // ------------------------------------------------------- streaming forms
 
+  /** Streaming SCD1 maintenance via foreachBatch: each micro-batch of
+    * key-stamped updates merges into the current dimension with
+    * keep-latest semantics (RetailEtl.keepLatest on the union). The
+    * caller provides `load`/`save` for the dim store — parquet dirs,
+    * a Delta-style table, or an in-memory handle in tests. At scale
+    * each merge costs one shuffle of |dim| + |batch|; the stream's
+    * micro-batching bounds |batch|.
+    */
+  def scd1UpsertSink(updates: DataFrame, key: String, versionCol: String,
+      load: () => DataFrame, save: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream.outputMode(OutputMode.Update).foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val merged = graft.operators.RetailEtl.keepLatest(
+          load().unionByName(batch.toDF()), Seq(key),
+          Seq(col(versionCol).desc))
+        save(merged)
+    }.start()
+
   /** Streaming dedup: same key as [[dedupBatch]], incremental via
     * dropDuplicatesWithinWatermark — state for a key is held only until
     * the watermark passes it (bounded state; an exact streaming dedup

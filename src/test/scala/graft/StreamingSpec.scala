@@ -76,6 +76,25 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("foreachBatch SCD1 upsert keeps the latest state per key across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(Long, Long, String)]
+    val updates = src.toDF().toDF("custkey", "ver", "status")
+    var dim = Seq.empty[(Long, Long, String)].toDF("custkey", "ver", "status")
+    val q = EventStreams.scd1UpsertSink(updates, "custkey", "ver",
+      load = () => dim, save = d => dim = d.collect().toSeq.map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2))).toDF("custkey", "ver", "status"))
+    try {
+      src.addData((1L, 10L, "new"), (2L, 10L, "new"))
+      q.processAllAvailable()
+      src.addData((1L, 20L, "gold"), (3L, 20L, "new"))
+      q.processAllAvailable()
+      val state = dim.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(state == Map(1L -> (20L, "gold"), 2L -> (10L, "new"), 3L -> (20L, "new")))
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes idle sessions when the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
