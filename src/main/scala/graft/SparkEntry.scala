@@ -47,6 +47,7 @@ object SparkEntry {
     "q22_outer_join"     -> Relational.q22OuterJoin _,
     "q23_window_nav"     -> Relational.q23WindowNav _,
     "q24_cube"           -> Relational.q24Cube _,
+    "q26_collect"        -> Relational.q26Collect _,
     "q25_sample_hash"    -> Relational.q25SampleHash _,
     "asof_join"          -> AsOf.clicksToPurchases _,
     "range_join_bucketed" -> Ranges.eventBands _,
@@ -261,6 +262,11 @@ object SparkEntry {
         | CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INTEGER) AS gset
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q26_collect" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        | count(DISTINCT n_name) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q25_sample_hash" ->
       """SELECT event_type, count(*) AS n_sampled,
         | floor(sum(value) * 100.0 + 0.5) / 100.0 AS sampled_value

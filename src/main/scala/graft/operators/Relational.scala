@@ -384,6 +384,22 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** q26_collect — array aggregation: per region the sorted list of
+    * nation names and its cardinality. collect_list order is
+    * partition-dependent, so the explicit sort_array makes the result
+    * deterministic — the only safe way to emit array aggregates at
+    * scale.
+    */
+  def q26Collect(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.nation(spark, sfDir)
+      .join(broadcast(Tables.region(spark, sfDir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"),
+        countDistinct(col("n_name")).as("n_nations"))
+      .orderBy(col("r_name"))
+  }
+
   /** q21_stats_agg — statistical aggregates: Pearson correlation,
     * sample stddev, exact interpolated percentiles (median / p90). All
     * single-pass mergeable aggregation states → one shuffle on the
