@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOf, Dedup, Multimodal, Ranges, Relational, RetailEtl, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Curate, Dedup, Multimodal, Ranges, Relational, RetailEtl, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -67,6 +67,7 @@ object SparkEntry {
     "embed_knn_join"      -> Similarity.knnJoin _,
     "dedup_embed_cosine"  -> Similarity.embedCosineDedup _,
     "mm_meta"             -> Multimodal.meta _,
+    "pipeline_curate"     -> Curate.curate _,
     // §2.D streaming (batch-equivalent forms; streaming impls spec-tested)
     "stream_window_agg"   -> EventStreams.windowAgg _,
     "stream_sessionize"   -> EventStreams.sessionize _,
@@ -297,6 +298,7 @@ object SparkEntry {
     "embed_knn_join"      -> Similarity.knnJoinSql,
     "dedup_embed_cosine"  -> Similarity.embedCosineDedupSql,
     "mm_meta"             -> Multimodal.metaSql,
+    "pipeline_curate"     -> Curate.curateSql,
     "stream_window_agg"   -> EventStreams.windowAggSql,
     "stream_sessionize"   -> EventStreams.sessionizeSql,
     "stream_dedup"        -> EventStreams.dedupBatchSql,
