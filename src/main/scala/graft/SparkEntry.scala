@@ -48,6 +48,7 @@ object SparkEntry {
     "q23_window_nav"     -> Relational.q23WindowNav _,
     "q24_cube"           -> Relational.q24Cube _,
     "q26_collect"        -> Relational.q26Collect _,
+    "q27_explode"        -> Relational.q27Explode _,
     "q25_sample_hash"    -> Relational.q25SampleHash _,
     "asof_join"          -> AsOf.clicksToPurchases _,
     "range_join_bucketed" -> Ranges.eventBands _,
@@ -263,6 +264,11 @@ object SparkEntry {
         | CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INTEGER) AS gset
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q27_explode" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+        |WHERE word <> '' GROUP BY 1 HAVING count(*) >= 100
+        |ORDER BY n DESC, word""".stripMargin,
     "q26_collect" ->
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
         | count(DISTINCT n_name) AS n_nations

@@ -384,6 +384,20 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** q27_explode — lateral explode (Generate): part names flatten to
+    * words, aggregated to corpus-wide word frequencies. Generate is
+    * pipelined inside the scan stage — no shuffle until the count.
+    */
+  def q27Explode(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.part(spark, sfDir)
+      .select(explode(split(col("p_name"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 100)
+      .orderBy(col("n").desc, col("word"))
+  }
+
   /** q26_collect — array aggregation: per region the sorted list of
     * nation names and its cardinality. collect_list order is
     * partition-dependent, so the explicit sort_array makes the result
