@@ -179,6 +179,62 @@ object Similarity {
        |SELECT q_id, c_id, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, CAST(rk AS INTEGER) AS rk
        |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
+  /** sim_ivf_ann — IVF-skeleton ANN: candidates are assigned to their
+    * nearest coarse centroid (the inverted file's cell), queries probe
+    * their nprobe=2 nearest cells, true-cosine top-5 within the probed
+    * cells. Centroids here are a deterministic subsample (every 64th
+    * vector) standing in for trained k-means centers — the routing,
+    * cell assignment, and probing mechanics are the real IVF shape:
+    * at scale the candidate side shuffles once on cell id, probe
+    * fan-out is nprobe cells instead of the whole corpus, and the
+    * centroid set broadcasts.
+    */
+  def ivfAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val cents = e.filter(col("vec_id") % 64 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+    val wAssign = Window.partitionBy(col("c_id")).orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = e.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", cosExpr("cv", "centv"))
+      .withColumn("ark", row_number().over(wAssign)).filter(col("ark") === 1)
+      .select(col("c_id"), col("cv"), col("cent_id"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("cent_id"))
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("qcos", cosExpr("qv", "centv"))
+      .withColumn("prk", row_number().over(wProbe)).filter(col("prk") <= 2)
+      .select(col("q_id"), col("qv"), col("cent_id"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    assigned.join(broadcast(probes), Seq("cent_id"))
+      .withColumn("cos", cosExpr("qv", "cv"))
+      .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 5)
+      .select(col("q_id"), col("c_id"), col("cent_id"),
+        Cols.pround(col("cos"), 6).as("cos_sim"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  def ivfAnnSql: String =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS centv FROM embeddings WHERE vec_id % 64 = 0),
+       |cand AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id >= 8),
+       |assign0 AS (SELECT c_id, cv, cent_id,
+       |             row_number() OVER (PARTITION BY c_id ORDER BY ${cosSql("cv", "centv")} DESC, cent_id) AS ark
+       |            FROM cand CROSS JOIN cents),
+       |assigned AS (SELECT c_id, cv, cent_id FROM assign0 WHERE ark = 1),
+       |qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+       |probe0 AS (SELECT q_id, qv, cent_id,
+       |            row_number() OVER (PARTITION BY q_id ORDER BY ${cosSql("qv", "centv")} DESC, cent_id) AS prk
+       |           FROM qs CROSS JOIN cents),
+       |probes AS (SELECT q_id, qv, cent_id FROM probe0 WHERE prk <= 2),
+       |s AS (SELECT q_id, c_id, p.cent_id, ${cosSql("qv", "cv")} AS cos
+       |      FROM assigned a JOIN probes p ON a.cent_id = p.cent_id),
+       |r AS (SELECT q_id, c_id, cent_id, cos,
+       |       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s)
+       |SELECT q_id, c_id, cent_id, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, CAST(rk AS INTEGER) AS rk
+       |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
   /** embed_knn_join — k-NN join between two embedding sets (label 0 =
     * probe side, others = build side): candidates meet probes in a
     * sign-random-projection bucket equi-join, top-3 true-cosine

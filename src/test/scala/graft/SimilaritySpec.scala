@@ -54,6 +54,15 @@ class SimilaritySpec extends SparkSpecBase {
       "probing flip buckets must not lose recall")
   }
 
+  test("IVF ANN: each query's results come from at most 2 probed cells") {
+    val rows = Similarity.ivfAnn(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { g =>
+      assert(g.map(_.getAs[Long]("cent_id")).distinct.length <= 2)
+      assert(g.length <= 5)
+    }
+  }
+
   test("ANN hit quality: LSH neighbors overlap brute-force top-k") {
     val bf = Similarity.bruteforceTopk(spark, SfDir)
       .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
