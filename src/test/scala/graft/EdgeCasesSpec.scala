@@ -66,6 +66,25 @@ class EdgeCasesSpec extends SparkSpecBase {
     assert(hit == Set(1L, 2L, 3L, 4L)) // 30.0 excluded
   }
 
+  test("asofJoin matches an in-memory merge_asof reference on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val left = (1 to 300).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    // unique (key, time) on the right, as the contract requires
+    val right = rnd.shuffle((0 until 5).flatMap(k =>
+      rnd.shuffle((0 until 1000).toList).take(40).map(t => (k.toLong, t.toLong, rnd.nextDouble()))))
+    val out = AsOf.asofJoin(
+      left.toDF("k", "t", "lid"), right.toDF("k", "t", "v"), "k", "t")
+      .select("k", "t", "lid", "r_t", "r_v").collect()
+      .map(r => (r.getLong(2), (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getDouble(4))))))
+      .toMap
+    val byKey = right.groupBy(_._1).map { case (k, rs) => k -> rs.sortBy(_._2) }
+    left.foreach { case (k, t, lid) =>
+      val want = byKey.get(k).flatMap(_.takeWhile(_._2 <= t).lastOption).map(r => (r._2, r._3))
+      assert(out(lid) == want, s"left row $lid (k=$k, t=$t)")
+    }
+  }
+
   test("similarity cores: empty vector sets produce empty results") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
