@@ -18,15 +18,20 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count()
       .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: computes every output column (count() would let the
-      // optimizer prune the projection and under-measure)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      // operators persist() their signature frames; drop them so later
-      // queries aren't charged for this query's cache pressure
-      spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      // min of two runs: the first pays codegen compilation + first-read
+      // costs, which are per-process noise, not operator cost
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink: computes every output column (count() would let the
+        // optimizer prune the projection and under-measure)
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        // operators persist() their signature frames; drop them so later
+        // queries aren't charged for this query's cache pressure
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
