@@ -74,6 +74,7 @@ object SparkEntry {
     "stream_window_agg"   -> EventStreams.windowAgg _,
     "stream_sessionize"   -> EventStreams.sessionize _,
     "stream_dedup"        -> EventStreams.dedupBatch _,
+    "stream_interval_join" -> EventStreams.intervalJoinBatch _,
   )
 
   /** Full-data SCD1 customer rebuild — also the oracle for the
@@ -310,5 +311,6 @@ object SparkEntry {
     "stream_window_agg"   -> EventStreams.windowAggSql,
     "stream_sessionize"   -> EventStreams.sessionizeSql,
     "stream_dedup"        -> EventStreams.dedupBatchSql,
+    "stream_interval_join" -> EventStreams.intervalJoinBatchSql,
   )
 }

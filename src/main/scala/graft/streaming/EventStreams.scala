@@ -101,6 +101,34 @@ object EventStreams {
       | floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
       |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Interval join (batch form): each click paired with the same
+    * user's purchases in the preceding 30 minutes — the attribution
+    * join. Equi-join on user_id plus a time-band filter; at scale one
+    * shuffle on the key, no range explosion beyond the true pair count.
+    */
+  def intervalJoinBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir).withColumn("us", unix_micros(col("ts")))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("us").as("click_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("prc_id"), col("us").as("prc_us"))
+    clicks.join(purchases, Seq("user_id"))
+      .filter(col("prc_us") >= col("click_us") - 1800000000L && col("prc_us") <= col("click_us"))
+      .select(col("user_id"), col("click_id"), col("prc_id"),
+        expr("(click_us - prc_us) div 1000000").as("lag_sec"))
+      .orderBy(col("click_id"), col("prc_id"))
+  }
+
+  def intervalJoinBatchSql: String =
+    """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id AS prc_id, epoch_us(ts) AS prc_us
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id, click_id, prc_id, (click_us - prc_us) // 1000000 AS lag_sec
+      |FROM c JOIN p ON c.user_id = p.user_id
+      | AND prc_us >= click_us - 1800000000 AND prc_us <= click_us
+      |ORDER BY click_id, prc_id""".stripMargin
+
   /** Event dedup (batch form): distinct (user_id, event_type,
     * minute-bucket) tuples — the at-least-once-delivery cleanup step.
     * One shuffle on the full tuple.
@@ -136,6 +164,21 @@ object EventStreams {
           Seq(col(versionCol).desc))
         save(merged)
     }.start()
+
+  /** Streaming form of [[intervalJoinBatch]]: a stream-stream inner
+    * join. Watermarks on both sides plus the time-band condition let
+    * the engine expire buffered state — clicks older than the watermark
+    * can never match future purchases and vice versa, so state is
+    * bounded by the band width.
+    */
+  def intervalJoinStream(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("click_ts", "30 minutes")
+    val p = purchases.withWatermark("prc_ts", "1 hour")
+    c.join(p, expr(
+      """c_user = p_user AND
+        |prc_ts >= click_ts - interval 30 minutes AND prc_ts <= click_ts""".stripMargin))
+      .select(col("c_user").as("user_id"), col("click_id"), col("prc_id"))
+  }
 
   /** Streaming dedup: same key as [[dedupBatch]], incremental via
     * dropDuplicatesWithinWatermark — state for a key is held only until

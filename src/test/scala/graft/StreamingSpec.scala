@@ -76,6 +76,30 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs clicks with in-window purchases") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val B = 4_000_000_000_000L
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val cSrc = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val pSrc = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val q = EventStreams.intervalJoinStream(
+      cSrc.toDF().toDF("click_ts", "c_user", "click_id"),
+      pSrc.toDF().toDF("prc_ts", "p_user", "prc_id"))
+      .writeStream.format("memory").queryName("ij_out").outputMode("append").start()
+    try {
+      // purchase 10 min before the click matches; 40 min before doesn't;
+      // a purchase AFTER the click doesn't; other users don't
+      pSrc.addData((ts(B - 600_000_000L), 1L, 100L), (ts(B - 2_400_000_000L), 1L, 101L),
+        (ts(B + 60_000_000L), 1L, 102L), (ts(B - 300_000_000L), 2L, 103L))
+      cSrc.addData((ts(B), 1L, 500L))
+      q.processAllAvailable()
+      val got = spark.table("ij_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 500L, 100L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("foreachBatch SCD1 upsert keeps the latest state per key across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
