@@ -49,6 +49,8 @@ object SparkEntry {
     "q24_cube"           -> Relational.q24Cube _,
     "q26_collect"        -> Relational.q26Collect _,
     "q27_explode"        -> Relational.q27Explode _,
+    "q28_approx_quantile" -> Relational.q28ApproxQuantile _,
+    "q29_not_in_null"    -> Relational.q29NotInNull _,
     "q25_sample_hash"    -> Relational.q25SampleHash _,
     "asof_join"          -> AsOf.clicksToPurchases _,
     "range_join_bucketed" -> Ranges.eventBands _,
@@ -266,6 +268,15 @@ object SparkEntry {
         | CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INTEGER) AS gset
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q29_not_in_null" ->
+      """SELECT
+        | (SELECT count(*) FROM events
+        |  WHERE user_id NOT IN (SELECT CASE WHEN value > 260.0 THEN user_id END FROM events)) AS n_not_in_with_null,
+        | (SELECT count(*) FROM events e
+        |  WHERE NOT EXISTS (SELECT 1 FROM events i
+        |                    WHERE i.value > 260.0 AND i.user_id = e.user_id)) AS n_not_exists,
+        | (SELECT count(*) FROM events
+        |  WHERE user_id NOT IN (SELECT user_id FROM events WHERE value > 260.0)) AS n_not_in_clean""".stripMargin,
     "q27_explode" ->
       """SELECT word, count(*) AS n
         |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)

@@ -398,6 +398,40 @@ object Relational {
       .orderBy(col("n").desc, col("word"))
   }
 
+  /** q28_approx_quantile — approx_percentile (Greenwald-Khanna sketch)
+    * next to the exact interpolated percentile. Mergeable fixed-size
+    * state, the percentile path when exact per-group sorts are too
+    * expensive. Sketch values are engine-specific → rows-only; the
+    * spec bounds the error against the exact value.
+    */
+  def q28ApproxQuantile(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"),
+        Cols.pround(expr("percentile(l_extendedprice, 0.5)"), 2).as("exact_median"),
+        expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("approx_p95"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q29_not_in_null — NOT IN vs NOT EXISTS under nulls: the ANSI trap
+    * where `x NOT IN (subquery containing NULL)` is never true. Both
+    * forms emitted side by side; counts differ exactly by the
+    * null-poisoning rule on engines that implement ANSI semantics.
+    */
+  def q29NotInNull(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir).createOrReplaceTempView("graft_ev")
+    spark.sql(
+      """SELECT
+        | (SELECT count(*) FROM graft_ev
+        |  WHERE user_id NOT IN (SELECT CASE WHEN value > 260.0 THEN user_id END FROM graft_ev)) AS n_not_in_with_null,
+        | (SELECT count(*) FROM graft_ev e
+        |  WHERE NOT EXISTS (SELECT 1 FROM graft_ev i
+        |                    WHERE i.value > 260.0 AND i.user_id = e.user_id)) AS n_not_exists,
+        | (SELECT count(*) FROM graft_ev
+        |  WHERE user_id NOT IN (SELECT user_id FROM graft_ev WHERE value > 260.0)) AS n_not_in_clean""".stripMargin)
+  }
+
   /** q26_collect — array aggregation: per region the sorted list of
     * nation names and its cardinality. collect_list order is
     * partition-dependent, so the explicit sort_array makes the result

@@ -48,6 +48,21 @@ class QueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("q28 approx percentile stays near the exact median") {
+    SparkEntry.queries("q28_approx_quantile")(spark, SfDir).collect().foreach { r =>
+      val approx = r.getAs[Double]("approx_median")
+      val exact = r.getAs[Double]("exact_median")
+      assert(math.abs(approx - exact) / exact <= 0.05, s"approx $approx vs exact $exact")
+    }
+  }
+
+  test("q29: NOT IN against a null-bearing subquery matches no rows") {
+    val r = SparkEntry.queries("q29_not_in_null")(spark, SfDir).head()
+    assert(r.getAs[Long]("n_not_in_with_null") == 0L)
+    assert(r.getAs[Long]("n_not_exists") == r.getAs[Long]("n_not_in_clean"))
+    assert(r.getAs[Long]("n_not_exists") > 0L)
+  }
+
   test("etl_fact_build: sentinel dim ids appear for filtered-out members") {
     val f = SparkEntry.queries("etl_fact_build")(spark, SfDir)
     assert(f.filter(col("customer_dim_id") === 0L).count() > 0, "no sentinel customers")
