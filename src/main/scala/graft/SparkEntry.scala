@@ -51,6 +51,8 @@ object SparkEntry {
     "q27_explode"        -> Relational.q27Explode _,
     "q28_approx_quantile" -> Relational.q28ApproxQuantile _,
     "q29_not_in_null"    -> Relational.q29NotInNull _,
+    "q30_date_arith"     -> Relational.q30DateArith _,
+    "q31_unpivot"        -> Relational.q31Unpivot _,
     "q25_sample_hash"    -> Relational.q25SampleHash _,
     "asof_join"          -> AsOf.clicksToPurchases _,
     "range_join_bucketed" -> Ranges.eventBands _,
@@ -268,6 +270,25 @@ object SparkEntry {
         | CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INTEGER) AS gset
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q30_date_arith" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        | CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INTEGER) AS age_days,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS doy
+        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin,
+    "q31_unpivot" ->
+      """WITH wide AS (
+        | SELECT o_orderstatus,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+        |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS other
+        | FROM orders GROUP BY 1)
+        |SELECT o_orderstatus, priority_class, n FROM (
+        | SELECT o_orderstatus, 'urgent' AS priority_class, urgent AS n FROM wide
+        | UNION ALL SELECT o_orderstatus, 'high', high FROM wide
+        | UNION ALL SELECT o_orderstatus, 'other', other FROM wide)
+        |ORDER BY o_orderstatus, priority_class""".stripMargin,
     "q29_not_in_null" ->
       """SELECT
         | (SELECT count(*) FROM events

@@ -432,6 +432,39 @@ object Relational {
         |  WHERE user_id NOT IN (SELECT user_id FROM graft_ev WHERE value > 260.0)) AS n_not_in_clean""".stripMargin)
   }
 
+  /** q30_date_arith — date arithmetic beyond trunc/extract: shifted
+    * dates, day diffs, month-end, day-of-year. All integer-exact, so
+    * fully value-oracled.
+    */
+  def q30DateArith(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") <= 2000)
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+        datediff(lit(java.sql.Date.valueOf("1998-12-31")), col("o_orderdate").cast("date")).as("age_days"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"),
+        dayofyear(col("o_orderdate").cast("date")).as("doy"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** q31_unpivot — wide→long reshape (melt/stack): per-status counts of
+    * three priority classes unpivoted to (status, priority_class, n)
+    * rows. Expand-based, no shuffle beyond the source agg.
+    */
+  def q31Unpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val wide = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("urgent"),
+        sum(when(col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L)).as("high"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("other"))
+    wide.select(col("o_orderstatus"),
+        expr("stack(3, 'urgent', urgent, 'high', high, 'other', other) AS (priority_class, n)"))
+      .orderBy(col("o_orderstatus"), col("priority_class"))
+  }
+
   /** q26_collect — array aggregation: per region the sorted list of
     * nation names and its cardinality. collect_list order is
     * partition-dependent, so the explicit sort_array makes the result
