@@ -18,6 +18,7 @@ object SparkEntry {
     "etl_scd1_customers" -> RetailEtl.scd1Customers _,
     "etl_scd1_products"  -> RetailEtl.scd1Products _,
     "etl_scd1_merge"     -> RetailEtl.scd1Merge _,
+    "etl_fk_audit"       -> RetailEtl.fkAudit _,
     "etl_dim_dates"      -> RetailEtl.dimDates _,
     "etl_fact_build"     -> RetailEtl.factBuild _,
     "etl_star_revenue"   -> RetailEtl.starRevenue _,
@@ -97,6 +98,15 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "etl_scd1_merge" -> scd1CustomersSql,
+    "etl_fk_audit" ->
+      """SELECT
+        | (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |   (SELECT 1 FROM orders o WHERE l.l_orderkey = o.o_orderkey)) AS orphan_lineitems,
+        | (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |   (SELECT 1 FROM customer c WHERE o.o_custkey = c.c_custkey)) AS orphan_orders,
+        | (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |   (SELECT 1 FROM part p WHERE l.l_partkey = p.p_partkey)) AS orphan_part_refs,
+        | (SELECT count(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)) AS dup_orderkeys""".stripMargin,
     "etl_clean" ->
       """SELECT event_id AS invoice_id, coalesce(user_id, 0) AS customer_id, event_type,
         | value AS unit_price, CAST(strftime(ts, '%Y%m%d') AS INTEGER) AS date_dim_id

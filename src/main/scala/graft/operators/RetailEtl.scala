@@ -179,6 +179,30 @@ object RetailEtl {
       .orderBy(col("invoice_id"), col("line_no"))
   }
 
+  /** etl_fk_audit — the data-quality gate a fact load runs before
+    * publishing: orphan counts for every foreign-key edge of the star
+    * (anti-joins), plus duplicate-key counts on would-be primary keys.
+    * All counts 0 ⇒ the load is referentially sound. Anti-joins
+    * broadcast the key side when dim-sized.
+    */
+  def fkAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_audit_l")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_audit_o")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_audit_c")
+    Tables.part(spark, sfDir).createOrReplaceTempView("graft_audit_p")
+    // scalar subqueries: one declarative plan, each NOT EXISTS becomes
+    // an anti-join the planner broadcasts where dim-sized
+    spark.sql(
+      """SELECT
+        | (SELECT count(*) FROM graft_audit_l l WHERE NOT EXISTS
+        |   (SELECT 1 FROM graft_audit_o o WHERE l.l_orderkey = o.o_orderkey)) AS orphan_lineitems,
+        | (SELECT count(*) FROM graft_audit_o o WHERE NOT EXISTS
+        |   (SELECT 1 FROM graft_audit_c c WHERE o.o_custkey = c.c_custkey)) AS orphan_orders,
+        | (SELECT count(*) FROM graft_audit_l l WHERE NOT EXISTS
+        |   (SELECT 1 FROM graft_audit_p p WHERE l.l_partkey = p.p_partkey)) AS orphan_part_refs,
+        | (SELECT count(*) FROM (SELECT o_orderkey FROM graft_audit_o GROUP BY 1 HAVING count(*) > 1)) AS dup_orderkeys""".stripMargin)
+  }
+
   /** etl_star_revenue — dashboard query: monthly revenue by market
     * segment over the star (fact ⋈ broadcast dims ⋈ generated dim_dates).
     */

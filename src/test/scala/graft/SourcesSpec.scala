@@ -21,6 +21,18 @@ class SourcesSpec extends SparkSpecBase {
     assert(months > 1, "expected multiple month partitions")
   }
 
+  test("schema evolution: mergeSchema reads mixed-version parquet") {
+    val out = Files.createTempDirectory("graft_evo").toString
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "name").write.parquet(s"$out/t/v=1")
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score").write.parquet(s"$out/t/v=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$out/t")
+    assert(merged.columns.toSet == Set("id", "name", "score", "v"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score")), "old rows null-fill new columns")
+    assert(rows(1).getDouble(rows(1).fieldIndex("score")) == 9.5)
+  }
+
   test("orc round-trip preserves values") {
     val out = Files.createTempDirectory("graft_orc").toString
     val dim = RetailEtl.scd1Products(spark, SfDir)
