@@ -54,6 +54,7 @@ object SparkEntry {
     "q29_not_in_null"    -> Relational.q29NotInNull _,
     "q30_date_arith"     -> Relational.q30DateArith _,
     "q31_unpivot"        -> Relational.q31Unpivot _,
+    "q32_window_pct"     -> Relational.q32WindowPct _,
     "q25_sample_hash"    -> Relational.q25SampleHash _,
     "asof_join"          -> AsOf.clicksToPurchases _,
     "range_join_bucketed" -> Ranges.eventBands _,
@@ -280,6 +281,16 @@ object SparkEntry {
         | CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INTEGER) AS gset
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q32_window_pct" ->
+      """SELECT o_orderstatus, o_orderkey,
+        | floor(o_totalprice * 100.0 + 0.5) / 100.0 AS price,
+        | floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+        | floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cume,
+        | first_value(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cheapest_order
+        |FROM orders WHERE o_custkey <= 50
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
     "q30_date_arith" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
         | CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,

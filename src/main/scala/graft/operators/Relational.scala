@@ -432,6 +432,25 @@ object Relational {
         |  WHERE user_id NOT IN (SELECT user_id FROM graft_ev WHERE value > 260.0)) AS n_not_in_clean""".stripMargin)
   }
 
+  /** q32_window_pct — distribution window functions: percent_rank,
+    * cume_dist, and first_value over an explicit full-partition frame
+    * (the default frame stops at CURRENT ROW — a classic silent-wrong
+    * window bug). Exact rational arithmetic → value-oracled.
+    */
+  def q32WindowPct(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") <= 50)
+      .select(
+        col("o_orderstatus"), col("o_orderkey"),
+        Cols.pround(col("o_totalprice"), 2).as("price"),
+        Cols.pround(percent_rank().over(w), 6).as("pct_rank"),
+        Cols.pround(cume_dist().over(w), 6).as("cume"),
+        first_value(col("o_orderkey")).over(full).as("cheapest_order"))
+      .orderBy(col("o_orderstatus"), col("o_orderkey"))
+  }
+
   /** q30_date_arith — date arithmetic beyond trunc/extract: shifted
     * dates, day diffs, month-end, day-of-year. All integer-exact, so
     * fully value-oracled.
