@@ -48,14 +48,16 @@ object Relational {
 
   /** q3_join_agg — customer ⋈ orders ⋈ lineitem revenue (TPC-H Q3
     * pattern). orders⋈lineitem is a fact-fact shuffle join on orderkey;
-    * customer side is small relative to facts → broadcast-hinted.
+    * customer grows with SF (150K rows/SF), so its join strategy is left
+    * to AQE + autoBroadcastJoinThreshold rather than a hard broadcast()
+    * hint that would force a multi-GB driver broadcast at 100×.
     */
   def q3JoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(spark, sfDir)
     val l = Tables.lineitem(spark, sfDir)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"))
       .agg(Cols.pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("n_lines"))
@@ -236,14 +238,17 @@ object Relational {
 
   /** q16_subquery_avg — TPC-H Q17 pattern: rows below 20% of their
     * group's average. The per-group average is a separate aggregate
-    * joined back (broadcast — one row per part), not a correlated
-    * re-scan per row.
+    * joined back, not a correlated re-scan per row. The aggregate is
+    * keyed by l_partkey, so its cardinality grows with the data
+    * (≈200K/SF) — it must NOT be broadcast-hinted: at scale this is a
+    * shuffle join on l_partkey, and both sides already hash-partition
+    * on that key (the agg's shuffle is reused for the join).
     */
   def q16SubqueryAvg(spark: SparkSession, sfDir: String): DataFrame = {
     val l = Tables.lineitem(spark, sfDir)
     val avgQty = l.groupBy(col("l_partkey").as("ap_partkey"))
       .agg((avg(col("l_quantity")) * 0.5).as("half_avg"))
-    l.join(broadcast(avgQty), l("l_partkey") === avgQty("ap_partkey"))
+    l.join(avgQty, l("l_partkey") === avgQty("ap_partkey"))
       .filter(col("l_quantity") < col("half_avg"))
       .agg(Cols.pround(sum(col("l_extendedprice")), 2).as("below_avg_revenue"),
         count(lit(1)).as("n_lines"))

@@ -150,8 +150,12 @@ object RetailEtl {
 
   /** etl_fact_build — surrogate-key fact build: facts left-join dims on
     * natural keys; unmatched rows get the default member (dim id 0),
-    * mirroring init_db.sql's '00000' sentinel rows. Dims are broadcast —
-    * the 100 TB fact side never shuffles here. Surrogate ids are stable
+    * mirroring init_db.sql's '00000' sentinel rows. Customer/part dims
+    * grow with the data (150K/200K rows per SF), so their join strategy
+    * is left to AQE + autoBroadcastJoinThreshold — a hard broadcast()
+    * hint here would force a multi-GB driver broadcast at 100× scale.
+    * Only truly bounded dims (region/nation/dim_dates) deserve hard
+    * hints. Surrogate ids are stable
     * key-derived values (not serials): at cluster scale a sequence is a
     * bottleneck, a deterministic mapping is free and idempotent.
     */
@@ -166,8 +170,8 @@ object RetailEtl {
       .filter(col("p_size") >= 5)
       .select(col("p_partkey"), (col("p_partkey") + 2000000L).as("product_dim_id"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(dimC), col("o_custkey") === dimC("c_custkey"), "left")
-      .join(broadcast(dimP), l("l_partkey") === dimP("p_partkey"), "left")
+      .join(dimC, col("o_custkey") === dimC("c_custkey"), "left")
+      .join(dimP, l("l_partkey") === dimP("p_partkey"), "left")
       .select(
         col("l_orderkey").as("invoice_id"),
         col("l_linenumber").as("line_no"),
@@ -204,7 +208,9 @@ object RetailEtl {
   }
 
   /** etl_star_revenue — dashboard query: monthly revenue by market
-    * segment over the star (fact ⋈ broadcast dims ⋈ generated dim_dates).
+    * segment over the star. Customer grows with SF → join strategy is
+    * AQE-decided (the slim 2-column projection keeps it broadcastable
+    * far longer than the full row, without removing Spark's size check).
     */
   def starRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val l = Tables.lineitem(spark, sfDir)
@@ -212,7 +218,7 @@ object RetailEtl {
     val c = Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_mktsegment"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(
         year(col("l_shipdate")).as("yr"),
         month(col("l_shipdate")).as("mo"),
@@ -224,12 +230,13 @@ object RetailEtl {
   }
 
   /** etl_star_topn — dashboard query: top-5 products by revenue within
-    * each brand (rank over aggregate).
+    * each brand (rank over aggregate). Part grows with SF (200K/SF) →
+    * AQE-decided join strategy, same rationale as [[starRevenue]].
     */
   def starTopn(spark: SparkSession, sfDir: String): DataFrame = {
     val l = Tables.lineitem(spark, sfDir)
     val p = Tables.part(spark, sfDir).select(col("p_partkey"), col("p_name"), col("p_brand"))
-    val agg = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+    val agg = l.join(p, l("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"), col("p_partkey"), col("p_name"))
       .agg(Cols.pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     val w = Window.partitionBy(col("p_brand"))
