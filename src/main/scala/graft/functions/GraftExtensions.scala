@@ -11,6 +11,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - `graft_fvec_dot(va, vb)`           → DOUBLE float-vector dot
   *  - `graft_srp_bucket(vec[, planes])`  → BIGINT hyperplane LSH bucket
   *  - `graft_minhash_sig(hashes[, k])`   → ARRAY<BIGINT> MinHash signature
+  *  - `graft_text_count(str[, mode])`    → BIGINT word/non-ws/punct count
+  *  - `graft_simhash32(words)`           → BIGINT 32-bit SimHash fingerprint
   *
   * Two routes: `.withExtensions(new GraftExtensions)` at session build
   * (`spark.sql.extensions=graft.functions.GraftExtensions` also works),
@@ -41,6 +43,10 @@ object GraftFunctions {
       ((args: Seq[Expression]) => SrpBucket(args.head, longArg(args, 1, 8L).toInt)),
     "graft_minhash_sig" ->
       ((args: Seq[Expression]) => MinHashSig(args.head, longArg(args, 1, 16L).toInt)),
+    "graft_text_count" ->
+      ((args: Seq[Expression]) => TextCount(args.head, longArg(args, 1, 0L).toInt)),
+    "graft_simhash32" ->
+      ((args: Seq[Expression]) => SimHash32(args.head)),
   )
 
   /** Register all graft SQL functions on an existing session. */

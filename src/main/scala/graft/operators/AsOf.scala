@@ -26,25 +26,34 @@ object AsOf {
     * `r_<time>`, the matched row's time). Left rows with no prior right
     * row keep nulls (left-outer semantics). Determinism requires
     * unique (key, time) pairs on the right side.
+    *
+    * The right payload travels as ONE struct through a single
+    * `last(ignoreNulls)` — filling each payload column independently
+    * would backfill a NULL in the matched row's column from an OLDER
+    * right row, silently mixing columns of different right rows (real
+    * ASOF JOIN semantics attach the matched row's values, including its
+    * NULLs).
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
       rightPrefix: String = "r_"): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val lPay = left.columns.filterNot(c => c == key || c == time).toSeq
     val rPay = (time +: right.columns.filterNot(c => c == key || c == time).toSeq)
+    val rStruct = StructType(rPay.map(c => StructField(rightPrefix + c, right.schema(c).dataType)))
     val lSide = left.select(
       col(key) +: col(time) +: lit(1).as("__side") +:
-        (lPay.map(col) ++
-          rPay.map(c => lit(null).cast(right.schema(c).dataType).as(rightPrefix + c))): _*)
+        (lPay.map(col) :+ lit(null).cast(rStruct).as("__r")): _*)
     val rSide = right.select(
       col(key) +: col(time) +: lit(0).as("__side") +:
-        (lPay.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-          rPay.map(c => col(c).as(rightPrefix + c))): _*)
+        (lPay.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          struct(rPay.map(c => col(c).as(rightPrefix + c)): _*).as("__r")): _*)
     val w = Window.partitionBy(col(key)).orderBy(col(time), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rPay.foldLeft(lSide.unionByName(rSide)) { (df, c) =>
-      df.withColumn(rightPrefix + c, last(col(rightPrefix + c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__side")
+    lSide.unionByName(rSide)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((col(key) +: col(time) +: lPay.map(col)) ++
+        rPay.map(c => col("__r").getField(rightPrefix + c).as(rightPrefix + c)): _*)
   }
 
   /** asof_join — testdata binding: each click event joined to the

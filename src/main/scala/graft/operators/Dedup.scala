@@ -16,18 +16,32 @@ import graft.util.Tables
   *    tiny (min id + count).
   *  - ngram-jaccard: inverted-index candidate join (explode shingle →
   *    equi-join on shingle hash) — never an all-pairs cross join. Only
-  *    slim (id, shingle) rows ride the shuffle; intersection sizes come
-  *    from a codegen'd count aggregation.
+  *    slim (id, shingle) rows ride the shuffle. Posting lists are
+  *    document-frequency-capped BEFORE the self-join: a shingle shared
+  *    by k docs emits k²/2 candidate rows into one reducer, so without
+  *    the cap a single boilerplate shingle (license header, nav bar)
+  *    with k in the millions is a skewed quadratic shuffle. Hot
+  *    shingles carry no near-dup signal at Jaccard ≥ 0.5 anyway —
+  *    exact Jaccard is still computed from the FULL arrays on the
+  *    surviving candidates.
   *  - minhash LSH: fixed-width signature per doc (16 longs), then a
   *    band-bucket equi-join (4 bands × 4 rows) — the classic
   *    sub-quadratic near-dup path; shuffle keys are (band, bandKey).
-  *  - simhash: 32-bit fingerprint via a codegen'd exploded bit-count
-  *    aggregation; candidates via 4-chunk pigeonhole (hamming ≤ 1 ⇒ at
-  *    least one 8-bit chunk identical) — an EXACT chunked equi-join
-  *    prefilter, then the precise hamming test.
+  *  - simhash: 32-bit fingerprint via the fused codegen
+  *    [[graft.functions.SimHash32]] expression (scan-side, no shuffle);
+  *    candidates via two-half pigeonhole (hamming ≤ 1 ⇒ at least one
+  *    16-bit half identical) — an EXACT halved equi-join prefilter,
+  *    then the precise hamming test.
   *
   * All hashes are portable polynomial folds (TextFns) so every operator
   * here has a full DuckDB value oracle.
+  *
+  * Caching: the `*On` operators persist() intermediate frames that are
+  * read by multiple plan branches (signatures, fingerprints, labels).
+  * The returned frames stay cached for reuse; library callers composing
+  * several operators in one session should `spark.catalog.clearCache()`
+  * (or unpersist the returned frames) when done — the Bench/Verify
+  * harnesses do exactly that between queries.
   */
 object Dedup {
 
@@ -69,28 +83,41 @@ object Dedup {
     s"""SELECT doc_id, ${TextFns.shingleHashesSql("words")} AS h
        |FROM (SELECT doc_id, ${TextFns.tokenizeSql("text")} AS words FROM documents)""".stripMargin
 
+  /** Document-frequency cap on posting lists: shingles appearing in
+    * more than this many documents are excluded from CANDIDATE
+    * generation (exact Jaccard is still computed from full arrays).
+    * Bounds the candidate volume of any single shingle at cap²/2 rows
+    * and keeps the inverted-index shuffle skew-free regardless of how
+    * much boilerplate the corpus contains.
+    */
+  val DfCap = 1024
+
   /** N-gram (3-shingle) Jaccard near-dup pairs at `threshold`.
-    * Inverted-index join on single shingle hashes; since each doc's
-    * shingle array is DISTINCT, the per-pair match count IS the
-    * intersection size — a codegen'd count aggregation replaces both a
-    * pair-distinct and a per-pair array_intersect. Set sizes rejoin
-    * afterwards for the exact |A∩B| / (|A|+|B|−|A∩B|) Jaccard.
+    * Inverted-index join on single shingle hashes, with posting lists
+    * df-capped at `dfCap` before the self-join (see [[DfCap]]) — a
+    * pair is a candidate iff it shares at least one NON-HOT shingle.
+    * Exact |A∩B| / (|A|+|B|−|A∩B|) Jaccard is then computed from the
+    * full (distinct) shingle arrays of the few surviving candidates,
+    * so the cap only ever drops pairs whose overlap is pure
+    * boilerplate.
     * Output: (a_id, b_id, jac) with a_id < b_id.
     */
   def ngramJaccardOn(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, dfCap: Int = DfCap): DataFrame = {
     val t = shingledOn(df, idCol, textCol)
     val e = t.select(col("doc_id"), explode(col("h")).as("x"))
-    val inter = e.select(col("doc_id").as("a_id"), col("x"))
-      .join(e.select(col("doc_id").as("b_id"), col("x")), Seq("x"))
+    val rare = e.groupBy(col("x")).agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") <= dfCap).select(col("x"))
+    val ec = e.join(rare, Seq("x"))
+    val cand = ec.select(col("doc_id").as("a_id"), col("x"))
+      .join(ec.select(col("doc_id").as("b_id"), col("x")), Seq("x"))
       .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).cast("double").as("i"))
-    val sizes = t.select(col("doc_id"), size(col("h")).as("n"))
-    inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
-      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
-      .withColumn("jac", col("i") / (col("na") + col("nb") - col("i")))
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(t.select(col("doc_id").as("a_id"), col("h").as("ha")), Seq("a_id"))
+      .join(t.select(col("doc_id").as("b_id"), col("h").as("hb")), Seq("b_id"))
+      .withColumn("i", size(array_intersect(col("ha"), col("hb"))).cast("double"))
+      .withColumn("jac", col("i") / (size(col("ha")) + size(col("hb")) - col("i")))
       .filter(col("jac") >= threshold)
       .select(col("a_id"), col("b_id"), col("jac"))
   }
@@ -100,16 +127,25 @@ object Dedup {
     ngramJaccardOn(Tables.documents(spark, sfDir), "doc_id", "text", 0.5)
       .orderBy(col("a_id"), col("b_id"))
 
-  def ngramJaccardSql: String =
+  /** Shared capped-candidate Jaccard SQL (mirrors [[ngramJaccardOn]]
+    * including the df cap); reused by [[ngramJaccardSql]] and
+    * [[clusterSql]].
+    */
+  private def jaccardPairsSql: String =
     s"""WITH t AS ($shingledSql),
        |e AS (SELECT doc_id, h, unnest(h) AS x FROM t),
-       |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-       |          FROM e a JOIN e b ON a.x = b.x AND a.doc_id < b.doc_id),
+       |rare AS (SELECT x FROM e GROUP BY x HAVING count(*) <= $DfCap),
+       |ec AS (SELECT e.doc_id, e.x FROM e JOIN rare ON e.x = rare.x),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |          FROM ec a JOIN ec b ON a.x = b.x AND a.doc_id < b.doc_id),
        |j AS (SELECT a_id, b_id,
        |        CAST(len(list_intersect(ta.h, tb.h)) AS DOUBLE)
        |          / (len(ta.h) + len(tb.h) - CAST(len(list_intersect(ta.h, tb.h)) AS DOUBLE)) AS jac
-       |      FROM pairs JOIN t ta ON a_id = ta.doc_id JOIN t tb ON b_id = tb.doc_id)
-       |SELECT a_id, b_id, jac FROM j WHERE jac >= 0.5 ORDER BY a_id, b_id""".stripMargin
+       |      FROM cand JOIN t ta ON a_id = ta.doc_id JOIN t tb ON b_id = tb.doc_id)
+       |SELECT a_id, b_id, jac FROM j WHERE jac >= 0.5""".stripMargin
+
+  def ngramJaccardSql: String =
+    s"$jaccardPairsSql ORDER BY a_id, b_id"
 
   /** MinHash + banded LSH candidate pairs: 16-wide signatures
     * (codegen'd), 4×4 banding — candidates share at least one full
@@ -159,25 +195,21 @@ object Dedup {
     * chunks when fingerprint bits correlate across a clustered corpus:
     * 16-bit buckets are ~2^16-ary, so candidate volume tracks the TRUE
     * near-dup density instead of the bit-marginal skew. The 32-bit
-    * fingerprint is a codegen'd aggregation: explode tokens, 32
-    * map-side-combined bit-count sums per doc — same votes (sum of ±1
-    * per token > 0 ⇔ 2·count(bit set) > n) as the lambda formulation
-    * the oracle uses. Zero-token docs drop out at the explode.
+    * fingerprint is the fused codegen [[graft.functions.SimHash32]]
+    * expression — the whole fingerprint evaluates scan-side (replacing
+    * round 1's explode + 32-column bit-count aggregation and its
+    * shuffle); votes are the same (sum of ±1 per token > 0 ⇔
+    * 2·count(bit set) > n) as the lambda formulation the oracle uses.
+    * Zero-token docs are filtered out, as the explode did implicitly.
     * Output: (a_id, b_id, hamming) with a_id < b_id.
     */
   def simhashPairsOn(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 1): DataFrame = {
     require(maxHamming <= 1, "two-half pigeonhole prefilter is exact only for hamming <= 1")
-    val tok = df
-      .select(col(idCol).as("doc_id"), explode(TextFns.tokenize(col(textCol))).as("w"))
-      .select(col("doc_id"), TextFns.charFold(col("w")).as("h"))
-    val bitSums = (0 until 32).map(i => sum(expr(s"(h >> $i) & 1")).as(s"c$i"))
-    val fpCol = (0 until 32)
-      .map(i => when(expr(s"2 * c$i > n"), lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    val fp = tok.groupBy(col("doc_id"))
-      .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("n")): _*)
-      .select(col("doc_id"), fpCol.as("fp"))
+    val fp = df
+      .select(col(idCol).as("doc_id"), TextFns.tokenize(col(textCol)).as("words"))
+      .filter(size(col("words")) > 0)
+      .select(col("doc_id"), graft.functions.SimHash32.column(col("words")).as("fp"))
       .persist()
     val chunks = fp.select(col("doc_id"), col("fp"),
         explode(sequence(lit(0), lit(1))).as("ci"))
@@ -219,7 +251,8 @@ object Dedup {
     var labels = allIds.select(col("id"), col("id").as("lbl")).persist()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    val maxIter = 20
+    while (changed > 0 && iter < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("v"), col("lbl").as("vlbl")), Seq("v"))
         .groupBy(col("u")).agg(min(col("vlbl")).as("nlbl"))
@@ -233,6 +266,13 @@ object Dedup {
       labels = next.select(col("id"), col("lbl")).persist()
       iter += 1
     }
+    // min-label propagation needs O(component diameter) rounds; a graph
+    // with diameter > maxIter would otherwise return silently-wrong
+    // unconverged labels (the oracle computes the full closure)
+    require(changed == 0,
+      s"label propagation did not converge in $maxIter rounds ($changed labels still changing); " +
+        "component diameter exceeds the round cap")
+    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
@@ -249,16 +289,7 @@ object Dedup {
 
   def clusterSql: String =
     s"""WITH RECURSIVE pairs AS (
-       |SELECT a_id, b_id FROM (
-       |WITH t AS ($shingledSql),
-       |e AS (SELECT doc_id, h, unnest(h) AS x FROM t),
-       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-       |          FROM e a JOIN e b ON a.x = b.x AND a.doc_id < b.doc_id),
-       |j AS (SELECT a_id, b_id,
-       |        CAST(len(list_intersect(ta.h, tb.h)) AS DOUBLE)
-       |          / (len(ta.h) + len(tb.h) - CAST(len(list_intersect(ta.h, tb.h)) AS DOUBLE)) AS jac
-       |      FROM cand JOIN t ta ON a_id = ta.doc_id JOIN t tb ON b_id = tb.doc_id)
-       |SELECT a_id, b_id FROM j WHERE jac >= 0.5)),
+       |SELECT a_id, b_id FROM ($jaccardPairsSql)),
        |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
        |          UNION ALL SELECT b_id, a_id FROM pairs),
        |reach AS (SELECT u, v FROM edges

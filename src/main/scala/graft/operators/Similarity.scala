@@ -179,19 +179,28 @@ object Similarity {
        |SELECT q_id, c_id, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, CAST(rk AS INTEGER) AS rk
        |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
+  /** Fixed centroid count for [[ivfAnn]] — a real IVF trains a CONSTANT
+    * k (4096-ish) regardless of corpus size, so assignment is O(N·k)
+    * with a constant-size driver broadcast. A centroid set that scales
+    * with N (e.g. every 64th vector) makes assignment O(N²/64) and the
+    * broadcast O(N) — the round-1 design flaw this constant fixes.
+    */
+  val IvfK = 256
+
   /** sim_ivf_ann — IVF-skeleton ANN: candidates are assigned to their
     * nearest coarse centroid (the inverted file's cell), queries probe
     * their nprobe=2 nearest cells, true-cosine top-5 within the probed
-    * cells. Centroids here are a deterministic subsample (every 64th
-    * vector) standing in for trained k-means centers — the routing,
-    * cell assignment, and probing mechanics are the real IVF shape:
-    * at scale the candidate side shuffles once on cell id, probe
-    * fan-out is nprobe cells instead of the whole corpus, and the
-    * centroid set broadcasts.
+    * cells. Centroids are a deterministic hash-ranked sample of exactly
+    * [[IvfK]] vectors (min(N, k)) standing in for trained k-means
+    * centers — the cardinality POLICY is the real one: |centroids| is
+    * independent of N, so at scale the candidate side shuffles once on
+    * cell id, assignment costs O(N·k) against a constant-size broadcast,
+    * and probe fan-out is nprobe cells instead of the whole corpus.
     */
   def ivfAnn(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
-    val cents = e.filter(col("vec_id") % 64 === 0)
+    val cents = e
+      .orderBy(expr(s"(vec_id * 1000003 + 12289) % $P"), col("vec_id")).limit(IvfK)
       .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
     val wAssign = Window.partitionBy(col("c_id")).orderBy(col("ccos").desc, col("cent_id"))
     val assigned = e.filter(col("vec_id") >= 8)
@@ -217,7 +226,8 @@ object Similarity {
   }
 
   def ivfAnnSql: String =
-    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS centv FROM embeddings WHERE vec_id % 64 = 0),
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS centv FROM embeddings
+       |               ORDER BY (vec_id * 1000003 + 12289) % $P, vec_id LIMIT $IvfK),
        |cand AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id >= 8),
        |assign0 AS (SELECT c_id, cv, cent_id,
        |             row_number() OVER (PARTITION BY c_id ORDER BY ${cosSql("cv", "centv")} DESC, cent_id) AS ark

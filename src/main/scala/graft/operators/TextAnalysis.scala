@@ -44,23 +44,31 @@ object TextAnalysis {
   /** Quality score from portable components: token count, unique-token
     * ratio, punctuation density, mean token length. All int/int or
     * int/len double divisions → bit-identical across engines.
+    *
+    * Hot path is fully codegen'd: word/char/punct counts come from the
+    * single-pass [[graft.functions.TextCount]] expression (replacing
+    * round 1's interpreted `aggregate` lambda and a per-row regex — the
+    * 6 s hot spot of the bench). The tokenize array is only built once,
+    * for the distinct-token ratio.
     */
-  def qualityOn(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
-        TextFns.tokenize(col(textCol)).as("words"))
-      .filter(size(col("words")) > 0)
-      .withColumn("n_words", size(col("words")))
+  def qualityOn(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.TextCount
+    df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("n_words", TextCount.column(col("text"), TextCount.Words).cast("int"))
+      .filter(col("n_words") > 0)
       .withColumn("n_chars", length(col("text")))
-      .withColumn("uniq_ratio", size(array_distinct(col("words"))).cast("double") / col("n_words"))
+      .withColumn("uniq_ratio",
+        size(array_distinct(TextFns.tokenize(col("text")))).cast("double") / col("n_words"))
       .withColumn("punct_ratio",
-        length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("double") / col("n_chars"))
+        TextCount.column(col("text"), TextCount.Punct).cast("double") / col("n_chars"))
       .withColumn("mean_word_len",
-        expr("CAST(aggregate(words, 0, (a, w) -> a + length(w)) AS DOUBLE)") / col("n_words"))
+        TextCount.column(col("text"), TextCount.NonWs).cast("double") / col("n_words"))
       .withColumn("quality_score",
         Cols.pround(col("uniq_ratio") * 0.5 + (lit(1.0) - col("punct_ratio")) * 0.3
           + least(col("mean_word_len") / 10.0, lit(1.0)) * 0.2, 6))
       .select(col("doc_id"), col("n_words"), col("n_chars"), col("uniq_ratio"),
         col("punct_ratio"), col("mean_word_len"), col("quality_score"))
+  }
 
   /** text_quality testdata binding. */
   def quality(spark: SparkSession, sfDir: String): DataFrame =

@@ -56,6 +56,20 @@ class EdgeCasesSpec extends SparkSpecBase {
     assert(out.head.getAs[Double]("r_v") == 7.0) // ts tie matches; later row doesn't
   }
 
+  test("asofJoin: matched row's NULL payload column is NOT backfilled from older rows") {
+    import spark.implicits._
+    val left = Seq((1L, 300L)).toDF("k", "t")
+    // older row has v=5.0; the MATCHED (most recent) row has v=NULL —
+    // the output must carry the matched row's NULL, not mix in 5.0
+    val right = Seq((1L, 100L, Some(5.0), "old"), (1L, 200L, None, "new"))
+      .toDF("k", "t", "v", "tag")
+    val out = AsOf.asofJoin(left, right, "k", "t").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("r_t") == 200L)
+    assert(out.head.getAs[String]("r_tag") == "new")
+    assert(out.head.isNullAt(out.head.fieldIndex("r_v")), "NULL in matched row was backfilled")
+  }
+
   test("bucketedRangeJoin: interval edges are inclusive-lo / exclusive-hi") {
     import spark.implicits._
     val pts = Seq((1L, 0.0), (2L, 14.999), (3L, 15.0), (4L, 29.999), (5L, 30.0))
@@ -83,6 +97,26 @@ class EdgeCasesSpec extends SparkSpecBase {
       val want = byKey.get(k).flatMap(_.takeWhile(_._2 <= t).lastOption).map(r => (r._2, r._3))
       assert(out(lid) == want, s"left row $lid (k=$k, t=$t)")
     }
+  }
+
+  test("ngramJaccard df-cap: a shingle shared by every doc stays out of candidate generation") {
+    import spark.implicits._
+    // 60 docs all opening with the same boilerplate shingle; tails unique.
+    // Uncapped, the shared shingle alone emits 60*59/2 = 1770 candidate
+    // pairs into one reducer; with dfCap=10 its posting list is dropped
+    // and the candidate count stays linear in the true near-dup density.
+    val boiler = (1 to 60).map(i => (i.toLong, s"common license header unique$i tail$i word$i"))
+    // plus one genuine near-dup pair sharing rare shingles
+    val dup = Seq((100L, "alpha beta gamma delta epsilon"), (101L, "alpha beta gamma delta zeta"))
+    val docs = (boiler ++ dup).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardOn(docs, "doc_id", "text", 0.5, dfCap = 10).collect()
+    // boilerplate-only overlaps are gone; the real near-dup survives with
+    // its EXACT full-array jaccard (shares 2 of its 3 shingles: 2/4 = 0.5)
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((100L, 101L)))
+    assert(pairs.head.getDouble(2) == 0.5)
+    // and the same corpus uncapped would have found the boilerplate pairs
+    val uncapped = Dedup.ngramJaccardOn(docs, "doc_id", "text", 0.0, dfCap = Int.MaxValue)
+    assert(uncapped.count() >= 1770L)
   }
 
   test("similarity cores: empty vector sets produce empty results") {

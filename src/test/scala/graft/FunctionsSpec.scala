@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.{FloatVecDot, MinHashSig, PolyCharFold, SrpBucket, TextFns}
+import graft.functions.{FloatVecDot, MinHashSig, PolyCharFold, SimHash32, SrpBucket, TextCount, TextFns}
 
 /** Pins each custom codegen'd Catalyst expression to the interpreted
   * higher-order-function formulation it replaced: the portable-hash
@@ -59,6 +59,43 @@ class FunctionsSpec extends SparkSpecBase {
     assert(d.getDouble(0) == 11.0)
     val s = spark.sql("SELECT graft_minhash_sig(array(CAST(5 AS BIGINT), CAST(9 AS BIGINT)), 4) AS s").head
     assert(s.getSeq[Long](0).length == 4)
+  }
+
+  test("TextCount == interpreted tokenize/aggregate/regex formulations") {
+    val df = docs
+      .withColumn("words", TextFns.tokenize(col("text")))
+      .withColumn("fw", TextCount.column(col("text"), TextCount.Words))
+      .withColumn("sw", size(col("words")).cast("long"))
+      .withColumn("fn", TextCount.column(col("text"), TextCount.NonWs))
+      .withColumn("sn", expr("CAST(aggregate(words, 0, (a, w) -> a + length(w)) AS BIGINT)"))
+      .withColumn("fp", TextCount.column(col("text"), TextCount.Punct))
+      .withColumn("sp", length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("long"))
+    assert(df.filter(col("fw") =!= col("sw") || col("fn") =!= col("sn")
+      || col("fp") =!= col("sp")).count() == 0)
+    // unicode / edge inputs
+    import spark.implicits._
+    val edge = Seq("", "  ", "héllo wörld.", "a\tb\nc", "¡Hola! ¿Qué tal?", "one")
+      .toDF("text")
+      .withColumn("words", TextFns.tokenize(col("text")))
+    val bad = edge
+      .withColumn("fw", TextCount.column(col("text"), TextCount.Words))
+      .withColumn("sw", size(col("words")).cast("long"))
+      .withColumn("fn", TextCount.column(col("text"), TextCount.NonWs))
+      .withColumn("sn", expr("CAST(coalesce(aggregate(words, 0, (a, w) -> a + length(w)), 0) AS BIGINT)"))
+      .withColumn("fp", TextCount.column(col("text"), TextCount.Punct))
+      .withColumn("sp", length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("long"))
+      .filter(col("fw") =!= col("sw") || col("fn") =!= col("sn") || col("fp") =!= col("sp"))
+    assert(bad.count() == 0)
+  }
+
+  test("SimHash32 == interpreted explode-free lambda formulation") {
+    val cmp = docs
+      .withColumn("words", TextFns.tokenize(col("text")))
+      .filter(size(col("words")) > 0)
+      .withColumn("wh", TextFns.tokenHashes(col("words")))
+      .withColumn("fast", SimHash32.column(col("words")))
+      .withColumn("slow", TextFns.simhash("wh"))
+    assert(cmp.filter(col("fast") =!= col("slow")).count() == 0)
   }
 
   test("MinHashSig == interpreted transform/array_min") {
