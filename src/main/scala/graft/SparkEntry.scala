@@ -71,6 +71,7 @@ object SparkEntry {
     "sim_bruteforce_topk" -> Similarity.bruteforceTopk _,
     "sim_lsh_ann"         -> Similarity.lshAnn _,
     "sim_lsh_multiprobe"  -> Similarity.lshMultiprobe _,
+    "sim_lsh_multitable"  -> Similarity.lshMultitable _,
     "sim_ivf_ann"         -> Similarity.ivfAnn _,
     "embed_knn_join"      -> Similarity.knnJoin _,
     "dedup_embed_cosine"  -> Similarity.embedCosineDedup _,
@@ -356,6 +357,7 @@ object SparkEntry {
     "sim_bruteforce_topk" -> Similarity.bruteforceTopkSql,
     "sim_lsh_ann"         -> Similarity.lshAnnSql,
     "sim_lsh_multiprobe"  -> Similarity.lshMultiprobeSql,
+    "sim_lsh_multitable"  -> Similarity.lshMultitableSql,
     "sim_ivf_ann"         -> Similarity.ivfAnnSql,
     "embed_knn_join"      -> Similarity.knnJoinSql,
     "dedup_embed_cosine"  -> Similarity.embedCosineDedupSql,

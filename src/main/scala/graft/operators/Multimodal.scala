@@ -8,11 +8,14 @@ import graft.util.Tables
   *
   * Media are opaque `binary` payloads with typed metadata alongside —
   * the pattern a 100 TB training-data pipeline uses for images/audio/
-  * video. The Spark-side mechanics here are real (binary columns,
-  * schema, partition-friendly per-batch processing via mapPartitions);
-  * the actual codec call is STUBBED with a deterministic fake because
-  * no image/audio library ships in this environment — swap
-  * [[decodeStub]]'s body for the real codec in production.
+  * video. The Spark-side mechanics are real (binary columns, schema,
+  * partition-friendly per-batch processing via mapPartitions), and the
+  * IMAGE codec is real too: [[decodeImage]]/[[thumbnail]] run
+  * javax.imageio (JDK built-in — PNG/JPEG/GIF/BMP) with no external
+  * dependency. Audio/video codecs don't ship in the JDK, so
+  * [[decodeStub]] remains the documented deterministic stand-in for
+  * those modalities (it also backs the text-payload testdata binding
+  * mm_meta, whose payloads aren't images).
   */
 object Multimodal {
 
@@ -38,6 +41,61 @@ object Multimodal {
       .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+  }
+
+  /** REAL image decode (javax.imageio): true width/height from the
+    * payload bytes. Returns None for payloads ImageIO cannot decode —
+    * callers quarantine or drop, never crash the load (a 100 TB image
+    * corpus always contains truncated files).
+    */
+  def decodeImage(docId: Long, bytes: Array[Byte]): Option[MediaMeta] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    Option(img).map(i => MediaMeta(docId, bytes.length, i.getWidth, i.getHeight, 1))
+  }
+
+  /** Batch image decode over any (doc_id, payload:binary) frame: the
+    * real codec runs per-partition (one partition = one decode batch);
+    * undecodable payloads are silently dropped — pair with a count
+    * audit when the corpus needs loss accounting.
+    */
+  def decodeImagesOn(df: DataFrame): Dataset[MediaMeta] = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => decodeImage(id, bytes) })
+  }
+
+  /** One resized thumbnail. */
+  case class Thumb(doc_id: Long, thumb: Array[Byte], width: Int, height: Int)
+
+  /** Real resize: decode → scale to (w, h) → re-encode PNG, all inside
+    * the partition batch. The feature-extraction shape of an image
+    * pipeline (decode/transform/re-encode without materializing
+    * anything on the driver).
+    */
+  def thumbnail(docId: Long, bytes: Array[Byte], w: Int, h: Int): Option[Thumb] = {
+    val src =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    Option(src).map { img =>
+      val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.drawImage(img.getScaledInstance(w, h, java.awt.Image.SCALE_SMOOTH), 0, 0, null)
+      g.dispose()
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", buf)
+      Thumb(docId, buf.toByteArray, w, h)
+    }
+  }
+
+  /** Batch thumbnailing over a (doc_id, payload:binary) frame. */
+  def thumbnailsOn(df: DataFrame, w: Int, h: Int): Dataset[Thumb] = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => thumbnail(id, bytes, w, h) })
   }
 
   /** One extracted frame feature. */

@@ -207,6 +207,18 @@ object RetailEtl {
         | (SELECT count(*) FROM (SELECT o_orderkey FROM graft_audit_o GROUP BY 1 HAVING count(*) > 1)) AS dup_orderkeys""".stripMargin)
   }
 
+  /** Warehouse load step (reference: etl.py:145/:167/:245 df.to_sql →
+    * dim_customers/dim_products/fct_invoices): write a dimension or
+    * fact frame to a JDBC warehouse. Overwrite = the reference's
+    * if_exists="replace". Thin delegation to
+    * [[graft.sources.JdbcSink.loadTable]], which documents the
+    * connection-cap scaling contract.
+    */
+  def loadDim(df: DataFrame, url: String, table: String,
+      mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.Overwrite,
+      driver: Option[String] = None, numPartitions: Int = 1): Unit =
+    graft.sources.JdbcSink.loadTable(df, url, table, mode, driver, numPartitions)
+
   /** etl_star_revenue — dashboard query: monthly revenue by market
     * segment over the star. Customer grows with SF → join strategy is
     * AQE-decided (the slim 2-column projection keeps it broadcastable

@@ -55,10 +55,27 @@ object Similarity {
   private def bucketCol(v: String, nPlanes: Int): Column =
     graft.functions.SrpBucket.column(col(v), nPlanes)
 
+  /** The ±1 sign for PRNG index k: squared congruential high bit (see
+    * [[graft.functions.SrpBucket]] for why the square is load-bearing).
+    */
+  private def signSql(k: String): String =
+    s"(CASE WHEN (((1000003 * ($k) + 12289) % $P) * ((1000003 * ($k) + 12289) % $P)) % $P > 1073741823 " +
+      s"THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)"
+
   private def bucketSql(v: String, nPlanes: Int): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, ${nPlanes - 1}), i -> " +
       s"CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len($v)), d -> CAST($v[d] AS DOUBLE) * " +
-      s"(CASE WHEN (1000003 * (i * 64 + d - 1) + 12289) % $P > 1073741823 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END))), (a, b) -> a + b) > 0 " +
+      s"${signSql("i * 64 + d - 1")})), (a, b) -> a + b) > 0 " +
+      s"THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b)"
+
+  /** Per-table bucket for multi-table LSH: table `t` (a SQL variable in
+    * the oracle form) uses plane indices t·p .. t·p+p−1 of the same
+    * PRNG stream ([[graft.functions.SrpBucket]] with offset t·p).
+    */
+  private def bucketTableSql(v: String, p: Int, t: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, ${p - 1}), i -> " +
+      s"CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len($v)), d -> CAST($v[d] AS DOUBLE) * " +
+      s"${signSql(s"($t * $p + i) * 64 + d - 1")})), (a, b) -> a + b) > 0 " +
       s"THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b)"
 
   /** Exact cosine top-k join: for each row of `queries` (`q_id`, `qv`)
@@ -109,16 +126,20 @@ object Similarity {
       nPlanes: Int = 8, broadcastQueries: Boolean = false,
       multiProbe: Boolean = false): DataFrame = {
     val home = bucketCol("qv", nPlanes)
-    // multi-probe: also search every 1-bit-flip neighbor bucket —
-    // queries replicate ×(nPlanes+1) (cheap, query side is small);
-    // recall rises toward brute force without touching the candidate
-    // side's O(N) bucket shuffle. Probe buckets are pairwise distinct,
-    // so no candidate dedup is needed.
+    // multi-probe: also search every neighbor bucket within hamming 2 —
+    // queries replicate ×(1 + p + p(p−1)/2) (cheap, query side is
+    // small; 37 probes for 8 planes); recall rises toward brute force
+    // without touching the candidate side's O(N) bucket shuffle. Probe
+    // buckets are pairwise distinct, so no candidate dedup is needed.
     val q0 =
-      if (multiProbe)
-        queries.withColumn("bucket", explode(array(
-          home +: (0 until nPlanes).map(i => home.bitwiseXOR(lit(1L << i))): _*)))
-      else queries.withColumn("bucket", home)
+      if (multiProbe) {
+        val flips1 = (0 until nPlanes).map(i => home.bitwiseXOR(lit(1L << i)))
+        val flips2 = for {
+          i <- 0 until nPlanes
+          j <- (i + 1) until nPlanes
+        } yield home.bitwiseXOR(lit((1L << i) | (1L << j)))
+        queries.withColumn("bucket", explode(array(home +: (flips1 ++ flips2): _*)))
+      } else queries.withColumn("bucket", home)
     val q = if (broadcastQueries) broadcast(q0) else q0
     val c = candidates.withColumn("bucket", bucketCol("cv", nPlanes))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
@@ -155,7 +176,8 @@ object Similarity {
        |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
   /** sim_lsh_multiprobe — same probe/candidate split as [[lshAnn]] but
-    * probing the home bucket plus all 8 one-bit-flip buckets.
+    * probing the home bucket plus every bucket within hamming 2 of it
+    * (8 one-bit + 28 two-bit flips).
     */
   def lshMultiprobe(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
@@ -171,7 +193,9 @@ object Similarity {
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv, ${bucketSql("embedding", 8)} AS b0
        |           FROM embeddings WHERE vec_id < 8),
        |qp AS (SELECT q_id, qv, b0 AS bucket FROM q
-       |       UNION ALL SELECT q_id, qv, xor(b0, CAST(1 AS BIGINT) << i) FROM q, generate_series(0, 7) AS g(i)),
+       |       UNION ALL SELECT q_id, qv, xor(b0, CAST(1 AS BIGINT) << i) FROM q, generate_series(0, 7) AS g(i)
+       |       UNION ALL SELECT q_id, qv, xor(b0, (CAST(1 AS BIGINT) << i) + (CAST(1 AS BIGINT) << j))
+       |                 FROM q, generate_series(0, 7) AS gi(i), generate_series(0, 7) AS gj(j) WHERE j > i),
        |c AS (SELECT vec_id AS c_id, embedding AS cv, ${bucketSql("embedding", 8)} AS bucket
        |      FROM embeddings WHERE vec_id >= 8),
        |s AS (SELECT q_id, c_id, ${cosSql("qv", "cv")} AS cos FROM qp JOIN c ON qp.bucket = c.bucket),
@@ -186,6 +210,66 @@ object Similarity {
     * broadcast O(N) — the round-1 design flaw this constant fixes.
     */
   val IvfK = 256
+
+  /** Multi-table LSH ANN top-k: L independent SRP hash tables (table t
+    * = planes t·p .. t·p+p−1), candidates meet queries in ANY table's
+    * bucket, per-query top-k by true cosine over the deduped union.
+    * This is the standard recall lever a single hash table lacks: a
+    * pair colliding in one table with probability q is found with
+    * 1−(1−q)^L — at cosine 0.4 and (L=16, p=4) that's ~0.94 vs ~0.03
+    * for one 8-plane table.
+    *
+    * Scale shape: both sides replicate ×L into the (table, bucket)
+    * equi-join, but only SLIM (id, t, b) rows ride that shuffle —
+    * vectors rejoin AFTER the candidate distinct. O(L·N) shuffled ids,
+    * never an all-pairs product; L and p tune recall vs candidate
+    * volume (p shrinks buckets exponentially, L buys recall linearly
+    * in cost).
+    */
+  def multiTableTopkOn(queries: DataFrame, candidates: DataFrame, k: Int,
+      tables: Int = 16, planesPerTable: Int = 4,
+      broadcastQueries: Boolean = false): DataFrame = {
+    def buckets(vecCol: String): Column = explode(array((0 until tables).map(t =>
+      struct(lit(t).as("t"),
+        graft.functions.SrpBucket.column(col(vecCol), planesPerTable, t * planesPerTable).as("b"))): _*))
+    val qb = queries.withColumn("tb", buckets("qv"))
+      .select(col("q_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val cb = candidates.withColumn("tb", buckets("cv"))
+      .select(col("c_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val cand = cb.join(if (broadcastQueries) broadcast(qb) else qb, Seq("t", "b"))
+      .select(col("q_id"), col("c_id")).distinct()
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    cand
+      .join(if (broadcastQueries) broadcast(queries) else queries, Seq("q_id"))
+      .join(candidates, Seq("c_id"))
+      .withColumn("cos", cosExpr("qv", "cv"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), Cols.pround(col("cos"), 6).as("cos_sim"), col("rk"))
+  }
+
+  /** sim_lsh_multitable testdata binding: same probe/candidate split as
+    * [[lshAnn]], 16 tables × 4 planes, k = 5.
+    */
+  def lshMultitable(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    multiTableTopkOn(
+      e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+      e.filter(col("vec_id") >= 8).select(col("vec_id").as("c_id"), col("embedding").as("cv")),
+      5, broadcastQueries = true)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  def lshMultitableSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id >= 8),
+       |qb AS (SELECT q_id, t, ${bucketTableSql("qv", 4, "t")} AS b FROM q, generate_series(0, 15) AS gt(t)),
+       |cb AS (SELECT c_id, t, ${bucketTableSql("cv", 4, "t")} AS b FROM c, generate_series(0, 15) AS gt(t)),
+       |cand AS (SELECT DISTINCT q_id, c_id FROM qb JOIN cb ON qb.t = cb.t AND qb.b = cb.b),
+       |s AS (SELECT cand.q_id, cand.c_id, ${cosSql("qv", "cv")} AS cos
+       |      FROM cand JOIN q ON cand.q_id = q.q_id JOIN c ON cand.c_id = c.c_id),
+       |r AS (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s)
+       |SELECT q_id, c_id, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, CAST(rk AS INTEGER) AS rk
+       |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
   /** sim_ivf_ann — IVF-skeleton ANN: candidates are assigned to their
     * nearest coarse centroid (the inverted file's cell), queries probe
@@ -246,47 +330,56 @@ object Similarity {
        |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
   /** embed_knn_join — k-NN join between two embedding sets (label 0 =
-    * probe side, others = build side): candidates meet probes in a
-    * sign-random-projection bucket equi-join, top-3 true-cosine
+    * probe side, others = build side): candidates meet probes in the
+    * multi-table (table, bucket) equi-join, top-3 true-cosine
     * neighbors per probe. At corpus scale this is the shape of a
-    * dataset-vs-dataset semantic join: O(N) bucket shuffle, per-bucket
-    * scoring, per-probe top-k — never an all-pairs product.
+    * dataset-vs-dataset semantic join: O(L·N) slim-id bucket shuffle,
+    * per-bucket scoring, per-probe top-k — never an all-pairs product.
     */
   def knnJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
-    lshTopkOn(
+    multiTableTopkOn(
       e.filter(col("label") === 0).select(col("vec_id").as("q_id"), col("embedding").as("qv")),
       e.filter(col("label") =!= 0).select(col("vec_id").as("c_id"), col("embedding").as("cv")),
       3)
-      .select(col("q_id"), col("c_id"), col("cos_sim"), col("rk"))
       .orderBy(col("q_id"), col("rk"))
   }
 
   def knnJoinSql: String =
-    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv, ${bucketSql("embedding", 8)} AS bucket
-       |           FROM embeddings WHERE label = 0),
-       |c AS (SELECT vec_id AS c_id, embedding AS cv, ${bucketSql("embedding", 8)} AS bucket
-       |      FROM embeddings WHERE label <> 0),
-       |s AS (SELECT q_id, c_id, ${cosSql("qv", "cv")} AS cos FROM q JOIN c ON q.bucket = c.bucket),
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE label = 0),
+       |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE label <> 0),
+       |qb AS (SELECT q_id, t, ${bucketTableSql("qv", 4, "t")} AS b FROM q, generate_series(0, 15) AS gt(t)),
+       |cb AS (SELECT c_id, t, ${bucketTableSql("cv", 4, "t")} AS b FROM c, generate_series(0, 15) AS gt(t)),
+       |cand AS (SELECT DISTINCT q_id, c_id FROM qb JOIN cb ON qb.t = cb.t AND qb.b = cb.b),
+       |s AS (SELECT cand.q_id, cand.c_id, ${cosSql("qv", "cv")} AS cos
+       |      FROM cand JOIN q ON cand.q_id = q.q_id JOIN c ON cand.c_id = c.c_id),
        |r AS (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s)
        |SELECT q_id, c_id, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, CAST(rk AS INTEGER) AS rk
        |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
 
-  /** dedup_embed_cosine — embedding-cosine near-dup pairs: same LSH
-    * bucket AND true cosine ≥ 0.4. The bucket equi-join is the scale
-    * path (≈N/2^planes candidates per vector); the oracle applies the
-    * identical bucket prefilter, so results match by construction.
-    */
   /** Embedding-cosine near-dup pairs within one vector set (`id`,
-    * `vec`): same LSH bucket AND true cosine ≥ `threshold`.
+    * `vec`): candidates share ANY of the L=16 4-plane LSH tables'
+    * buckets, kept at true cosine ≥ `threshold`. Multi-table is what
+    * makes this a real near-dup miner: a cos-0.9 pair lands in one
+    * 4-plane bucket with probability ~0.54, so 16 tables find it with
+    * ~1−0.46^16 ≈ 0.9999, while each table's buckets stay selective
+    * enough to prune (slim (id, t, b) rows on the shuffle, distinct
+    * before the vector rejoin).
     * Output: (a_id, b_id, cos_sim) with a_id < b_id.
     */
   def cosineNearDupOn(vectors: DataFrame, threshold: Double,
-      nPlanes: Int = 8): DataFrame = {
-    val e = vectors.withColumn("bucket", bucketCol("vec", nPlanes))
-    val a = e.select(col("id").as("a_id"), col("vec").as("va"), col("bucket"))
-    val b = e.select(col("id").as("b_id"), col("vec").as("vb"), col("bucket"))
-    a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+      tables: Int = 16, planesPerTable: Int = 4): DataFrame = {
+    val b = vectors.withColumn("tb", explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          graft.functions.SrpBucket.column(col("vec"), planesPerTable, t * planesPerTable).as("b"))): _*)))
+      .select(col("id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val cand = b.select(col("id").as("a_id"), col("t"), col("b"))
+      .join(b.select(col("id").as("b_id"), col("t"), col("b")), Seq("t", "b"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(vectors.select(col("id").as("a_id"), col("vec").as("va")), Seq("a_id"))
+      .join(vectors.select(col("id").as("b_id"), col("vec").as("vb")), Seq("b_id"))
       .withColumn("cos", cosExpr("va", "vb"))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), Cols.pround(col("cos"), 6).as("cos_sim"))
@@ -300,9 +393,13 @@ object Similarity {
       .orderBy(col("a_id"), col("b_id"))
 
   def embedCosineDedupSql: String =
-    s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding", 8)} AS bucket FROM embeddings),
-       |s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosSql("a.embedding", "b.embedding")} AS cos
-       |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |bk AS (SELECT vec_id, t, ${bucketTableSql("embedding", 4, "t")} AS b
+       |       FROM e, generate_series(0, 15) AS gt(t)),
+       |cand AS (SELECT DISTINCT a.vec_id AS a_id, bb.vec_id AS b_id
+       |         FROM bk a JOIN bk bb ON a.t = bb.t AND a.b = bb.b AND a.vec_id < bb.vec_id),
+       |s AS (SELECT a_id, b_id, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+       |      FROM cand JOIN e ea ON a_id = ea.vec_id JOIN e eb ON b_id = eb.vec_id)
        |SELECT a_id, b_id, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
        |FROM s WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** ANN recall gate (VERDICT r1 item 7): lsh/multiprobe/ivf verify
+  * against oracles that mirror their own prefilter — correct by
+  * construction — so this spec measures what those checks can't:
+  * recall@5 against the exact brute-force top-k on the sf0.01
+  * embedding set. Numbers are printed so tuning rounds have a metric;
+  * the assertions pin the ordering (multi-probe dominates single-
+  * bucket) and a floor under each variant.
+  *
+  * Ceiling note (measured): beyond the planted near-dup clusters, this
+  * corpus's true top-5 neighbors have cosine ≈ 0.002 on average — pure
+  * noise with no angular signal, spread uniformly across SRP buckets —
+  * so recall ≈ 0.45 IS the planted-cluster ceiling here; no probing
+  * width can recover no-signal "neighbors" (hamming-2 probing was
+  * verified to add zero hits). The floors below gate the part ANN can
+  * and must find: the genuinely-similar cluster mates.
+  */
+class AnnRecallSpec extends SparkSpecBase {
+
+  private val Sf001 = "/root/testdata/sf0.01"
+
+  private def hits(df: DataFrame): Set[(Long, Long)] =
+    df.select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("recall@5 vs brute force: multitable > multiprobe >= lsh, floors hold") {
+    val truth = hits(SparkEntry.queries("sim_bruteforce_topk")(spark, Sf001))
+    assert(truth.nonEmpty)
+    def recall(name: String): Double = {
+      val r = hits(SparkEntry.queries(name)(spark, Sf001)).intersect(truth).size.toDouble / truth.size
+      info(f"recall@5 $name%-18s = $r%.3f (truth ${truth.size})")
+      r
+    }
+    val lsh = recall("sim_lsh_ann")
+    val multi = recall("sim_lsh_multiprobe")
+    val table = recall("sim_lsh_multitable")
+    val ivf = recall("sim_ivf_ann")
+    // single-bucket at 8 selective planes is a correctness demo, not a
+    // recall path (256 buckets over 492 candidates ≈ 2 per bucket) —
+    // no floor; the ladder single < multiprobe < multitable is the gate
+    assert(multi >= lsh, s"multi-probe ($multi) must not lose to single-bucket ($lsh)")
+    assert(table >= multi, s"multi-table ($table) must not lose to multi-probe ($multi)")
+    assert(multi >= 0.4, s"multi-probe recall collapsed: $multi (0.475 measured r2)")
+    assert(table >= 0.9, s"multi-table recall floor: $table (0.975 measured r2)")
+    assert(ivf >= 0.4, s"IVF (nprobe=2, k=256) recall collapsed: $ivf (0.45 measured r2)")
+  }
+
+  test("signal recall: genuinely-similar neighbors (cos >= 0.4) are found by multi-table LSH") {
+    // the metric that matters for near-dup mining: of the true top-5
+    // pairs with real angular signal, how many does the bucketed path
+    // recover? One 8-plane table collides a cos-0.4 pair with
+    // probability ~0.63^8 ≈ 0.03 — hopeless; 16 tables × 4 planes give
+    // 1−(1−0.63⁴)^16 ≈ 0.94, which is why multi-table is the scale
+    // path for moderate-similarity retrieval.
+    val bf = SparkEntry.queries("sim_bruteforce_topk")(spark, Sf001)
+    val signal = bf.filter(org.apache.spark.sql.functions.col("cos_sim") >= 0.4)
+    val truth = hits(signal)
+    assert(truth.nonEmpty, "corpus lost its planted near-dup clusters")
+    val found = hits(SparkEntry.queries("sim_lsh_multitable")(spark, Sf001)).intersect(truth)
+    val r = found.size.toDouble / truth.size
+    info(f"signal recall@5 (cos>=0.4) multitable = $r%.3f (${truth.size} signal pairs)")
+    assert(r >= 0.9, s"multi-table misses genuinely-similar neighbors: $r")
+  }
+}

@@ -1,8 +1,10 @@
 package graft
 
 import java.nio.file.Files
+import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 import graft.operators.{Multimodal, RetailEtl}
+import graft.sources.{ExternalIngest, JdbcSink}
 
 /** Source/sink coverage (SURVEY.md §2.E): partitioned parquet DWH load,
   * csv/json round-trips, multimodal decode plumbing.
@@ -86,6 +88,67 @@ class SourcesSpec extends SparkSpecBase {
       == direct.orderBy("o_orderpriority").collect().toSeq)
   }
 
+  test("JDBC sink: dim load round-trips through an embedded Derby warehouse") {
+    // reference parity: etl.py's load phase writes dims/facts via
+    // df.to_sql; here the same step through df.write.jdbc against the
+    // Derby embedded driver shipped with Spark
+    val home = Files.createTempDirectory("graft_derby").toString
+    System.setProperty("derby.system.home", home)
+    val url = s"jdbc:derby:$home/dwh;create=true"
+    val driver = Some("org.apache.derby.jdbc.EmbeddedDriver")
+    val dim = RetailEtl.scd1Customers(spark, SfDir)
+    JdbcSink.loadTable(dim, url, "dim_customers", SaveMode.Overwrite, driver)
+    val back = JdbcSink.readTable(spark, url, "dim_customers", driver)
+    assert(back.count() == dim.count())
+    assert(back.agg(sum(col("customer_id"))).head.getLong(0)
+      == dim.agg(sum(col("customer_id"))).head.getLong(0))
+    // append mode doubles the rows (to_sql if_exists="append")
+    RetailEtl.loadDim(dim, url, "dim_customers", SaveMode.Append, driver)
+    assert(JdbcSink.readTable(spark, url, "dim_customers", driver).count() == 2 * dim.count())
+    // overwrite replaces (to_sql if_exists="replace")
+    RetailEtl.loadDim(dim, url, "dim_customers", SaveMode.Overwrite, driver)
+    assert(JdbcSink.readTable(spark, url, "dim_customers", driver).count() == dim.count())
+    // partitioned parallel read-back agrees
+    val par = JdbcSink.readTable(spark, url, "dim_customers", driver,
+      partitionColumn = Some("customer_id"), bounds = Some((0L, 10000L)), numPartitions = 4)
+    assert(par.rdd.getNumPartitions == 4 && par.count() == dim.count())
+  }
+
+  test("messy external ingest: corrupt rows quarantined, id shapes gated with reasons") {
+    val dir = Files.createTempDirectory("graft_ingest").toString
+    val csv =
+      """invoice_no,stock_code,customer_id,quantity,unit_price
+        |536365,85123,17850,6,2.55
+        |536366,71053,17850,6,3.39
+        |C537226,85123,17850,1,2.55
+        |536367,999,17850,2,1.10
+        |536368,85123,99999,notanumber,totallybroken
+        |536369,85123,12583,3,4.25
+        |""".stripMargin
+    Files.write(java.nio.file.Paths.get(s"$dir/retail.csv"), csv.getBytes)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("invoice_no", StringType),   // string on purpose: leading
+      StructField("stock_code", StringType),   // zeros + "C" prefixes survive
+      StructField("customer_id", StringType),
+      StructField("quantity", IntegerType),
+      StructField("unit_price", DoubleType)))
+    val raw = ExternalIngest.readTypedCsv(spark, s"$dir/retail.csv", schema).persist()
+    val (clean, quarantined) = ExternalIngest.splitQuarantine(raw)
+    // the type-broken row is captured intact, not dropped
+    assert(quarantined.count() == 1)
+    assert(quarantined.head.getAs[String](ExternalIngest.CorruptCol).contains("notanumber"))
+    assert(clean.count() == 5)
+    // reference shape gate: cancelled invoice + short stock code rejected, with reasons
+    val (kept, rejected) = ExternalIngest.retailShapeGate(clean)
+    assert(kept.count() == 3)
+    val reasons = rejected.select("invoice_no", "reject_reason").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(reasons("C537226") == "cancelled_invoice")
+    assert(reasons("536367") == "bad_stock_code")
+    raw.unpersist()
+  }
+
   test("streaming from a file source matches the batch window aggregation") {
     import graft.streaming.EventStreams
     val dir = Files.createTempDirectory("graft_stream_src").toString
@@ -114,6 +177,33 @@ class SourcesSpec extends SparkSpecBase {
     val again = Multimodal.sampleFrames(spark, SfDir).collect()
     assert(frames.sortBy(f => (f.doc_id, f.frame_idx))
       .sameElements(again.sortBy(f => (f.doc_id, f.frame_idx))))
+  }
+
+  test("multimodal REAL image decode: ImageIO reads true dimensions, resizes, quarantines junk") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, (x * 31 + y) % 0xffffff)))
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val payloads = Seq(
+      (1L, png(40, 30)), (2L, png(17, 99)), (3L, png(64, 64)),
+      (4L, "this is not an image".getBytes)) // truncated/corrupt payload
+    val df = payloads.toDF("doc_id", "payload")
+    val metas = Multimodal.decodeImagesOn(df).collect().sortBy(_.doc_id)
+    assert(metas.map(m => (m.doc_id, m.width, m.height)).toSeq
+      == Seq((1L, 40, 30), (2L, 17, 99), (3L, 64, 64)), "true decoded dimensions")
+    // corrupt payload quarantined (dropped), not crashed
+    assert(!metas.exists(_.doc_id == 4L))
+    // real resize: thumbnails re-decode to the requested size
+    val thumbs = Multimodal.thumbnailsOn(df, 8, 8).collect()
+    assert(thumbs.length == 3)
+    thumbs.foreach { t =>
+      val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(t.thumb))
+      assert(back.getWidth == 8 && back.getHeight == 8)
+    }
   }
 
   test("multimodal decode plumbing: per-partition batch decode yields typed metadata") {
