@@ -1,6 +1,42 @@
 package graft
+
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.{GraftMetricsBridge, Success}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every `SparkEntry.queries` entry against
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line.
+  *
+  * Methodology: warm session, min of two runs (run 1 pays codegen
+  * compilation and first-read costs — per-process noise, not operator
+  * cost), noop sink (computes every output column; count() would let
+  * the optimizer prune the projection and under-measure), cache cleared
+  * between queries. A query that THROWS reports -1, never its
+  * near-zero elapsed time — a failing operator must not look like a
+  * fast pass.
+  *
+  * Each query also reports shuffle read/write bytes (task-end metrics,
+  * listener-bus drained per run so attribution is exact, second run
+  * only so first-run cache warming doesn't inflate it) — the number
+  * that actually predicts 100 TB behavior: a plan whose wall-time looks
+  * fine but shuffles the whole input is the one that falls over at
+  * 1000 executors.
+  */
 object Bench {
+
+  private final class ShuffleTally extends SparkListener {
+    val read = new AtomicLong(0L)
+    val write = new AtomicLong(0L)
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null && te.reason == Success) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -13,30 +49,49 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
     // warm up the session (FS init, codegen compiler, shuffle machinery)
     // so the first measured query isn't charged for it
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count()
       .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      // min of two runs: the first pays codegen compilation + first-read
-      // costs, which are per-process noise, not operator cost
-      val times = (1 to 2).map { _ =>
+      var failed = false
+      var shuffleRead = 0L
+      var shuffleWrite = 0L
+      val times = (1 to 2).map { run =>
         val t0 = System.nanoTime()
-        // noop sink: computes every output column (count() would let the
-        // optimizer prune the projection and under-measure)
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        } catch {
+          case e: Throwable =>
+            failed = true
+            System.err.println(s"[bench] $name failed: $e")
+        }
         // operators persist() their signature frames; drop them so later
         // queries aren't charged for this query's cache pressure
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        GraftMetricsBridge.drainListeners(spark.sparkContext)
+        if (run == 1) { // snapshot after run 1; run 2's delta is reported
+          shuffleRead = tally.read.get(); shuffleWrite = tally.write.get()
+        } else {
+          shuffleRead = tally.read.get() - shuffleRead
+          shuffleWrite = tally.write.get() - shuffleWrite
+        }
+        elapsed
       }
-      name -> times.min
+      name -> ((if (failed) -1.0 else times.min, shuffleRead, shuffleWrite))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (t, _, _)) => "\"" + k + "\":" + t }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sh = results.map { case (k, (_, r, w)) =>
+      "\"" + k + "\":{\"read\":" + r + ",\"write\":" + w + "}"
+    }.mkString("{", ",", "}")
+    val failedNames = results.collect { case (k, (t, _, _)) if t < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.values.collect { case (t, _, _) if t >= 0 => t }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"failed":$failedNames,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

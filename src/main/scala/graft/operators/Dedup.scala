@@ -22,8 +22,9 @@ import graft.util.Tables
   *    the cap a single boilerplate shingle (license header, nav bar)
   *    with k in the millions is a skewed quadratic shuffle. Hot
   *    shingles carry no near-dup signal at Jaccard ≥ 0.5 anyway —
-  *    exact Jaccard is still computed from the FULL arrays on the
-  *    surviving candidates.
+  *    Jaccard is computed exactly within the capped universe (hot
+  *    shingles count toward neither intersection nor union, the
+  *    stopword-removal analogy).
   *  - minhash LSH: fixed-width signature per doc (16 longs), then a
   *    band-bucket equi-join (4 bands × 4 rows) — the classic
   *    sub-quadratic near-dup path; shuffle keys are (band, bandKey).
@@ -92,32 +93,39 @@ object Dedup {
     */
   val DfCap = 1024
 
-  /** N-gram (3-shingle) Jaccard near-dup pairs at `threshold`.
-    * Inverted-index join on single shingle hashes, with posting lists
-    * df-capped at `dfCap` before the self-join (see [[DfCap]]) — a
-    * pair is a candidate iff it shares at least one NON-HOT shingle.
-    * Exact |A∩B| / (|A|+|B|−|A∩B|) Jaccard is then computed from the
-    * full (distinct) shingle arrays of the few surviving candidates,
-    * so the cap only ever drops pairs whose overlap is pure
-    * boilerplate.
+  /** N-gram (3-shingle) Jaccard near-dup pairs at `threshold`, computed
+    * in the DF-CAPPED shingle universe: shingles with document
+    * frequency > `dfCap` (see [[DfCap]]) are excluded from candidates,
+    * intersections, AND set sizes — the stopword-removal analogy for
+    * shingles (two docs sharing only a license header are NOT near-dups
+    * worth reporting, and at corpus scale a hot shingle would emit
+    * k²/2 candidate rows into one reducer).
+    *
+    * Since each doc's shingle array is DISTINCT, the per-pair capped
+    * match count IS the capped intersection — a codegen'd count
+    * aggregation; capped set sizes rejoin for the exact capped-universe
+    * |A∩B| / (|A|+|B|−|A∩B|). The hot set itself is tiny and persisted;
+    * the anti-join broadcasts it (AQE), so the posting list never
+    * shuffles for the cap.
     * Output: (a_id, b_id, jac) with a_id < b_id.
     */
   def ngramJaccardOn(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, dfCap: Int = DfCap): DataFrame = {
     val t = shingledOn(df, idCol, textCol)
     val e = t.select(col("doc_id"), explode(col("h")).as("x"))
-    val rare = e.groupBy(col("x")).agg(count(lit(1)).as("dfreq"))
-      .filter(col("dfreq") <= dfCap).select(col("x"))
-    val ec = e.join(rare, Seq("x"))
-    val cand = ec.select(col("doc_id").as("a_id"), col("x"))
+    val hot = e.groupBy(col("x")).agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") > dfCap).select(col("x")).persist()
+    val ec = e.join(hot, Seq("x"), "left_anti")
+    val inter = ec.select(col("doc_id").as("a_id"), col("x"))
       .join(ec.select(col("doc_id").as("b_id"), col("x")), Seq("x"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
-    cand
-      .join(t.select(col("doc_id").as("a_id"), col("h").as("ha")), Seq("a_id"))
-      .join(t.select(col("doc_id").as("b_id"), col("h").as("hb")), Seq("b_id"))
-      .withColumn("i", size(array_intersect(col("ha"), col("hb"))).cast("double"))
-      .withColumn("jac", col("i") / (size(col("ha")) + size(col("hb")) - col("i")))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).cast("double").as("i"))
+    val sizes = ec.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .withColumn("jac", col("i") / (col("na") + col("nb") - col("i")))
       .filter(col("jac") >= threshold)
       .select(col("a_id"), col("b_id"), col("jac"))
   }
@@ -127,21 +135,20 @@ object Dedup {
     ngramJaccardOn(Tables.documents(spark, sfDir), "doc_id", "text", 0.5)
       .orderBy(col("a_id"), col("b_id"))
 
-  /** Shared capped-candidate Jaccard SQL (mirrors [[ngramJaccardOn]]
+  /** Shared capped-universe Jaccard SQL (mirrors [[ngramJaccardOn]]
     * including the df cap); reused by [[ngramJaccardSql]] and
     * [[clusterSql]].
     */
   private def jaccardPairsSql: String =
     s"""WITH t AS ($shingledSql),
-       |e AS (SELECT doc_id, h, unnest(h) AS x FROM t),
-       |rare AS (SELECT x FROM e GROUP BY x HAVING count(*) <= $DfCap),
-       |ec AS (SELECT e.doc_id, e.x FROM e JOIN rare ON e.x = rare.x),
-       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-       |          FROM ec a JOIN ec b ON a.x = b.x AND a.doc_id < b.doc_id),
-       |j AS (SELECT a_id, b_id,
-       |        CAST(len(list_intersect(ta.h, tb.h)) AS DOUBLE)
-       |          / (len(ta.h) + len(tb.h) - CAST(len(list_intersect(ta.h, tb.h)) AS DOUBLE)) AS jac
-       |      FROM cand JOIN t ta ON a_id = ta.doc_id JOIN t tb ON b_id = tb.doc_id)
+       |e AS (SELECT doc_id, unnest(h) AS x FROM t),
+       |hot AS (SELECT x FROM e GROUP BY x HAVING count(*) > $DfCap),
+       |ec AS (SELECT doc_id, x FROM e WHERE x NOT IN (SELECT x FROM hot)),
+       |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS DOUBLE) AS i
+       |          FROM ec a JOIN ec b ON a.x = b.x AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM ec GROUP BY 1),
+       |j AS (SELECT a_id, b_id, i / (sa.n + sb.n - i) AS jac
+       |      FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id)
        |SELECT a_id, b_id, jac FROM j WHERE jac >= 0.5""".stripMargin
 
   def ngramJaccardSql: String =

@@ -209,7 +209,7 @@ object Similarity {
     * with N (e.g. every 64th vector) makes assignment O(N²/64) and the
     * broadcast O(N) — the round-1 design flaw this constant fixes.
     */
-  val IvfK = 256
+  val IvfK = 128
 
   /** Multi-table LSH ANN top-k: L independent SRP hash tables (table t
     * = planes t·p .. t·p+p−1), candidates meet queries in ANY table's

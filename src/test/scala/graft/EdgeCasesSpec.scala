@@ -111,7 +111,8 @@ class EdgeCasesSpec extends SparkSpecBase {
     val docs = (boiler ++ dup).toDF("doc_id", "text")
     val pairs = Dedup.ngramJaccardOn(docs, "doc_id", "text", 0.5, dfCap = 10).collect()
     // boilerplate-only overlaps are gone; the real near-dup survives with
-    // its EXACT full-array jaccard (shares 2 of its 3 shingles: 2/4 = 0.5)
+    // its exact capped-universe jaccard (its shingles are all rare:
+    // shares 2 of its 3 shingles, 2/4 = 0.5)
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((100L, 101L)))
     assert(pairs.head.getDouble(2) == 0.5)
     // and the same corpus uncapped would have found the boilerplate pairs
