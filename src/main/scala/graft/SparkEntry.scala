@@ -68,6 +68,9 @@ object SparkEntry {
     "text_quality"        -> TextAnalysis.quality _,
     "text_tokens"         -> TextAnalysis.tokens _,
     "text_fingerprint"    -> TextAnalysis.fingerprint _,
+    "text_tfidf"          -> TextAnalysis.tfidf _,
+    "text_scrub"          -> TextAnalysis.scrub _,
+    "dedup_keep_best"     -> Curate.keepBest _,
     "sim_bruteforce_topk" -> Similarity.bruteforceTopk _,
     "sim_lsh_ann"         -> Similarity.lshAnn _,
     "sim_lsh_multiprobe"  -> Similarity.lshMultiprobe _,
@@ -354,6 +357,9 @@ object SparkEntry {
     "text_quality"        -> TextAnalysis.qualitySql,
     "text_tokens"         -> TextAnalysis.tokensSql,
     "text_fingerprint"    -> TextAnalysis.fingerprintSql,
+    "text_tfidf"          -> TextAnalysis.tfidfSql,
+    "text_scrub"          -> TextAnalysis.scrubSql,
+    "dedup_keep_best"     -> Curate.keepBestSql,
     "sim_bruteforce_topk" -> Similarity.bruteforceTopkSql,
     "sim_lsh_ann"         -> Similarity.lshAnnSql,
     "sim_lsh_multiprobe"  -> Similarity.lshMultiprobeSql,

@@ -35,6 +35,45 @@ object Curate {
       .orderBy(col("doc_id"))
   }
 
+  /** dedup_keep_best — the keep-POLICY layer over near-dup clustering:
+    * per cluster, keep the member with the highest quality score (ties
+    * → lowest doc id), reporting cluster size and the kept doc's
+    * quality. This is the decision a real curation pipeline makes —
+    * "one representative per duplicate cluster, and the BEST one" —
+    * where pipeline_curate's root-only policy keeps an arbitrary
+    * (min-id) member. Zero-token docs have no quality row and carry a
+    * −1 sentinel, so they never win against a scored member.
+    */
+  def keepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val clusters = Dedup.clustersOn(
+      Dedup.ngramJaccardOn(docs, "doc_id", "text", 0.5),
+      docs.select(col("doc_id").as("id")))
+    val quality = TextAnalysis.qualityOn(docs, "doc_id", "text")
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("cluster_id"))
+    val wr = w.orderBy(col("qs").desc, col("doc_id"))
+    clusters.join(quality, Seq("doc_id"), "left")
+      .withColumn("qs", coalesce(col("quality_score"), lit(-1.0)))
+      .withColumn("rk", row_number().over(wr))
+      .withColumn("n_members", count(lit(1)).over(w).cast("int"))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"),
+        col("n_members"), col("qs").as("best_quality"))
+      .orderBy(col("cluster_id"))
+  }
+
+  def keepBestSql: String =
+    s"""WITH cl AS (${Dedup.clusterSql.replace("ORDER BY d.doc_id", "")}),
+       |q AS (SELECT doc_id, quality_score FROM (${TextAnalysis.qualitySql.replace("ORDER BY doc_id", "")})),
+       |j AS (SELECT cl.doc_id, cl.cluster_id, coalesce(q.quality_score, -1.0) AS qs
+       |      FROM cl LEFT JOIN q ON cl.doc_id = q.doc_id),
+       |r AS (SELECT j.*, row_number() OVER (PARTITION BY cluster_id ORDER BY qs DESC, doc_id) AS rk,
+       |             count(*) OVER (PARTITION BY cluster_id) AS n_members FROM j)
+       |SELECT cluster_id, doc_id AS keep_id, CAST(n_members AS INTEGER) AS n_members, qs AS best_quality
+       |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin
+
   def curateSql: String =
     s"""SELECT q.doc_id, q.n_words, q.quality_score
        |FROM (SELECT doc_id, n_words, quality_score FROM (${TextAnalysis.qualitySql.replace("ORDER BY doc_id", "")})

@@ -105,6 +105,92 @@ object TextAnalysis {
        | CAST(length(text) AS INTEGER) AS n_chars
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF keyword extraction: top-`k` terms per document scored by
+    * tf · (N+1)/(df+1). The score is a pure integer-ratio double
+    * (no log), so it is bit-identical across engines and fully
+    * value-oracled; the ranking it induces is the same as classic
+    * tf·idf for fixed tf. Shape at scale: one explode + two
+    * aggregations (term frequencies re-aggregate to document
+    * frequencies — the df agg rides the tf agg's shuffle), corpus size
+    * joins in as a broadcast scalar, top-k per doc via window rank.
+    */
+  def tfidfOn(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol).as("doc_id"), explode(TextFns.tokenize(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        Cols.pround(col("tf").cast("double") * (col("n_docs") + 1) / (col("dfreq") + 1), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf").cast("int").as("tf"),
+        col("dfreq").cast("int").as("dfreq"), col("score"), col("rk"))
+  }
+
+  /** text_tfidf testdata binding (top-3 terms per doc). */
+  def tfidf(spark: SparkSession, sfDir: String): DataFrame =
+    tfidfOn(Tables.documents(spark, sfDir), "doc_id", "text").orderBy(col("doc_id"), col("rk"))
+
+  def tfidfSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${TextFns.tokenizeSql("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dfq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+       |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |s AS (SELECT doc_id, term, tf, dfreq,
+       |        floor(CAST(tf AS DOUBLE) * (n_docs + 1) / (dfreq + 1) * 1000000.0 + 0.5) / 1000000.0 AS score
+       |      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+       |r AS (SELECT s.*, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM s)
+       |SELECT doc_id, term, CAST(tf AS INTEGER) AS tf, CAST(dfreq AS INTEGER) AS dfreq, score, CAST(rk AS INTEGER) AS rk
+       |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  /** PII patterns shared by the Spark and oracle forms — conservative
+    * RE2-and-Java-compatible syntax (no lookaround, dash last in
+    * classes). Scrub order is email → url → phone (a url may contain an
+    * email-shaped substring; scrubbing emails first keeps the counts
+    * and the replacements consistent).
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val PhoneRe = "\\+?[0-9][0-9() -]{7,}[0-9]"
+
+  /** PII scrub: redact emails / urls / phone-shaped digit runs from the
+    * lowercased text, reporting per-document counts and the scrubbed
+    * length. All scan-side regexp expressions (codegen'd) — at corpus
+    * scale this runs at parquet read speed, the shape of a
+    * pre-training privacy pass.
+    */
+  def scrubOn(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = lower(col(textCol))
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(t,
+      EmailRe, "<email>"), UrlRe, "<url>"), PhoneRe, "<phone>")
+    df.select(
+      col(idCol).as("doc_id"),
+      regexp_count(t, lit(EmailRe)).cast("int").as("n_emails"),
+      regexp_count(t, lit(UrlRe)).cast("int").as("n_urls"),
+      regexp_count(t, lit(PhoneRe)).cast("int").as("n_phones"),
+      length(scrubbed).as("scrubbed_len"))
+  }
+
+  /** text_scrub testdata binding. */
+  def scrub(spark: SparkSession, sfDir: String): DataFrame =
+    scrubOn(Tables.documents(spark, sfDir), "doc_id", "text").orderBy(col("doc_id"))
+
+  def scrubSql: String = {
+    val t = "lower(text)"
+    val scrubbed = s"regexp_replace(regexp_replace(regexp_replace($t, " +
+      s"'$EmailRe', '<email>', 'g'), '$UrlRe', '<url>', 'g'), '$PhoneRe', '<phone>', 'g')"
+    s"""SELECT doc_id,
+       | CAST(len(regexp_extract_all($t, '$EmailRe')) AS INTEGER) AS n_emails,
+       | CAST(len(regexp_extract_all($t, '$UrlRe')) AS INTEGER) AS n_urls,
+       | CAST(len(regexp_extract_all($t, '$PhoneRe')) AS INTEGER) AS n_phones,
+       | CAST(length($scrubbed) AS INTEGER) AS scrubbed_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Rolling polynomial document fingerprint over the normalized text:
     * two independent multipliers (31, 131 — both codegen'd
     * [[graft.functions.PolyCharFold]]) combined into a 62-bit value

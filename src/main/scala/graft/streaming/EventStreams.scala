@@ -165,6 +165,33 @@ object EventStreams {
         save(merged)
     }.start()
 
+  /** Streaming SCD1 upsert into a JDBC WAREHOUSE — the reference's load
+    * phase (etl.py df.to_sql) as a streaming sink: each micro-batch
+    * keep-latest-merges into the warehouse table through
+    * [[graft.sources.JdbcSink]]. The table must exist (seed it with the
+    * initial dim load); dim-scale only — the merge rereads the table
+    * each batch, which is exactly what a dimension upsert costs, and
+    * exactly wrong for a fact stream (facts append/partition instead).
+    */
+  def scd1JdbcUpsertSink(updates: DataFrame, key: String, versionCol: String,
+      url: String, table: String, driver: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = updates.sparkSession
+    scd1UpsertSink(updates, key, versionCol,
+      load = () => graft.sources.JdbcSink.readTable(spark, url, table, driver),
+      save = d => {
+        // the merged plan READS the table the overwrite is about to
+        // drop — materialize through the cache first or the write
+        // would consume its own truncation
+        val m = d.persist()
+        m.count()
+        graft.sources.JdbcSink.loadTable(m, url, table,
+          org.apache.spark.sql.SaveMode.Overwrite, driver)
+        m.unpersist()
+        ()
+      })
+  }
+
   /** Streaming form of [[intervalJoinBatch]]: a stream-stream inner
     * join. Watermarks on both sides plus the time-band condition let
     * the engine expire buffered state — clicks older than the watermark

@@ -56,6 +56,56 @@ class QueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("text_scrub redacts planted PII and counts each class") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "Contact Alice.Smith@example.COM or visit https://example.com/a?b=1 today"),
+      (2L, "call +1 (415) 555-0199 now"),
+      (3L, "clean text with no pii at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubOn(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("n_emails") == 1)
+    assert(out(1L).getAs[Int]("n_urls") == 1)
+    assert(out(2L).getAs[Int]("n_phones") == 1)
+    assert(out(3L).getAs[Int]("n_emails") == 0 && out(3L).getAs[Int]("n_urls") == 0
+      && out(3L).getAs[Int]("n_phones") == 0)
+    // redaction really shrinks/replaces: doc 3 untouched, others changed
+    assert(out(3L).getAs[Int]("scrubbed_len") == docs.filter($"doc_id" === 3).head.getString(1).length)
+  }
+
+  test("text_tfidf: corpus-wide terms rank below distinctive terms") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "common common zebra zebra zebra"),
+      (2L, "common quartz"),
+      (3L, "common granite granite")).toDF("doc_id", "text")
+    val top1 = TextAnalysis.tfidfOn(docs, "doc_id", "text", 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "common" appears in every doc (df=3) and never wins over a term unique to the doc
+    assert(top1 == Map(1L -> "zebra", 2L -> "quartz", 3L -> "granite"))
+  }
+
+  test("dedup_keep_best keeps the highest-quality member per cluster") {
+    val out = SparkEntry.queries("dedup_keep_best")(spark, SfDir).collect()
+    assert(out.nonEmpty)
+    // one row per cluster, keep_id is a member (trivially true for roots),
+    // multi-member clusters exist on this corpus and quality is bounded
+    assert(out.map(_.getAs[Long]("cluster_id")).distinct.length == out.length)
+    assert(out.exists(_.getAs[Int]("n_members") > 1), "expected at least one non-trivial cluster")
+    assert(out.forall(r => r.getAs[Double]("best_quality") <= 1.0))
+    // the kept member never has lower quality than the cluster root it replaced
+    val quality = graft.operators.TextAnalysis.qualityOn(
+        graft.util.Tables.documents(spark, SfDir), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+    out.filter(_.getAs[Int]("n_members") > 1).foreach { r =>
+      val kept = quality.getOrElse(r.getAs[Long]("keep_id"), -1.0)
+      val root = quality.getOrElse(r.getAs[Long]("cluster_id"), -1.0)
+      assert(kept >= root, s"cluster ${r.getAs[Long]("cluster_id")}: kept $kept < root $root")
+    }
+  }
+
   test("q29: NOT IN against a null-bearing subquery matches no rows") {
     val r = SparkEntry.queries("q29_not_in_null")(spark, SfDir).head()
     assert(r.getAs[Long]("n_not_in_with_null") == 0L)

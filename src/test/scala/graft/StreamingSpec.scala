@@ -119,6 +119,32 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("foreachBatch SCD1 upsert maintains a real JDBC warehouse dim across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val home = java.nio.file.Files.createTempDirectory("graft_derby_stream").toString
+    System.setProperty("derby.system.home", home)
+    val url = s"jdbc:derby:$home/dwh;create=true"
+    val driver = Some("org.apache.derby.jdbc.EmbeddedDriver")
+    // seed the warehouse table with the initial dim load
+    graft.sources.JdbcSink.loadTable(
+      Seq((1L, 5L, "old"), (2L, 5L, "old")).toDF("custkey", "ver", "status"),
+      url, "dim_stream", org.apache.spark.sql.SaveMode.Overwrite, driver)
+    val src = MemoryStream[(Long, Long, String)]
+    val q = EventStreams.scd1JdbcUpsertSink(
+      src.toDF().toDF("custkey", "ver", "status"), "custkey", "ver", url, "dim_stream", driver)
+    try {
+      src.addData((1L, 10L, "new"), (3L, 10L, "new"))
+      q.processAllAvailable()
+      src.addData((1L, 20L, "gold"))
+      q.processAllAvailable()
+      val state = graft.sources.JdbcSink.readTable(spark, url, "dim_stream", driver)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(state == Map(1L -> (20L, "gold"), 2L -> (5L, "old"), 3L -> (10L, "new")),
+        s"warehouse dim diverged: $state")
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes idle sessions when the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
