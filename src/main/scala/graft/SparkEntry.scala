@@ -56,6 +56,8 @@ object SparkEntry {
     "q31_unpivot"        -> Relational.q31Unpivot _,
     "q32_window_pct"     -> Relational.q32WindowPct _,
     "q25_sample_hash"    -> Relational.q25SampleHash _,
+    "q33_lateral"        -> Relational.q33Lateral _,
+    "q34_funnel"         -> Relational.q34Funnel _,
     "asof_join"          -> AsOf.clicksToPurchases _,
     "range_join_bucketed" -> Ranges.eventBands _,
     // §2.C LLM-data-pipeline operators
@@ -285,6 +287,25 @@ object SparkEntry {
         | CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INTEGER) AS gset
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q33_lateral" ->
+      """SELECT n_name, c_custkey, floor(c_acctbal * 100.0 + 0.5) / 100.0 AS acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
+        |ORDER BY n_name, acctbal DESC, c_custkey""".stripMargin,
+    "q34_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |fv AS (SELECT user_id, min(us) AS v_ts FROM e WHERE event_type = 'view' GROUP BY 1),
+        |fc AS (SELECT e.user_id, min(us) AS c_ts FROM e JOIN fv ON e.user_id = fv.user_id
+        |       WHERE event_type = 'click' AND us > v_ts GROUP BY 1),
+        |fp AS (SELECT e.user_id, min(us) AS p_ts FROM e JOIN fc ON e.user_id = fc.user_id
+        |       WHERE event_type = 'purchase' AND us > c_ts GROUP BY 1)
+        |SELECT (SELECT count(*) FROM fv) AS n_viewers,
+        | (SELECT count(*) FROM fc) AS n_clickers,
+        | (SELECT count(*) FROM fp) AS n_buyers,
+        | floor(CAST((SELECT count(*) FROM fc) AS DOUBLE) / (SELECT count(*) FROM fv) * 1000000.0 + 0.5) / 1000000.0 AS click_rate,
+        | floor(CAST((SELECT count(*) FROM fp) AS DOUBLE) / (SELECT count(*) FROM fc) * 1000000.0 + 0.5) / 1000000.0 AS buy_rate""".stripMargin,
     "q32_window_pct" ->
       """SELECT o_orderstatus, o_orderkey,
         | floor(o_totalprice * 100.0 + 0.5) / 100.0 AS price,

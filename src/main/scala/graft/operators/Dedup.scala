@@ -243,36 +243,51 @@ object Dedup {
     * (singletons cluster with themselves). This is the step that turns
     * pairwise near-dup evidence into "keep one per cluster" decisions.
     *
-    * Distributed label propagation: each round, every node takes the
-    * min of its own label and its neighbors' labels — converges in
-    * O(component diameter) rounds. Each round is one shuffle
-    * (edge⋈label + groupBy); frames are persisted and counted per round
-    * BOTH to detect the fixpoint and to truncate lineage (without it
-    * the plan doubles every round). Near-dup components are shallow in
-    * practice, so rounds ≈ 3–5 at any corpus scale.
+    * Distributed FRONTIER label propagation: each round, only labels
+    * that IMPROVED last round propagate to their neighbors (a node's
+    * min can only drop via a neighbor whose min dropped — standard
+    * delta iteration), so after round 1 the per-round join touches the
+    * active frontier, not all N labels; edges are hash-partitioned on
+    * the probe key once and reused every round. Converges in
+    * O(component diameter) rounds. Frames are persisted and counted per
+    * round BOTH to detect the fixpoint and to truncate lineage (without
+    * it the plan doubles every round). Near-dup components are shallow
+    * in practice, so rounds ≈ 3–5 at any corpus scale.
     */
   def clustersOn(pairs: DataFrame, allIds: DataFrame): DataFrame = {
+    val nPart = pairs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .repartition(nPart, col("v"))
       .persist()
     var labels = allIds.select(col("id"), col("id").as("lbl")).persist()
+    var delta = labels
+    var prevRound: Option[DataFrame] = None
     var changed = 1L
     var iter = 0
     val maxIter = 20
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges
-        .join(labels.select(col("id").as("v"), col("lbl").as("vlbl")), Seq("v"))
+        .join(delta.select(col("id").as("v"), col("lbl").as("vlbl")), Seq("v"))
         .groupBy(col("u")).agg(min(col("vlbl")).as("nlbl"))
       val next = labels
         .join(nbrMin.select(col("u").as("id"), col("nlbl")), Seq("id"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
           col("lbl").as("prev"))
         .persist()
-      changed = next.filter(col("lbl") =!= col("prev")).count()
+      val nextDelta = next.filter(col("lbl") =!= col("prev"))
+        .select(col("id"), col("lbl")).persist()
+      changed = nextDelta.count() // materializes next + nextDelta
+      // previous round's frames are now fully consumed
       labels.unpersist()
-      labels = next.select(col("id"), col("lbl")).persist()
+      if (!(delta eq labels)) delta.unpersist()
+      prevRound.foreach(_.unpersist())
+      prevRound = Some(next)
+      labels = next.select(col("id"), col("lbl")) // view over next's cache
+      delta = nextDelta
       iter += 1
     }
+    if (!(delta eq labels)) delta.unpersist()
     // min-label propagation needs O(component diameter) rounds; a graph
     // with diameter > maxIter would otherwise return silently-wrong
     // unconverged labels (the oracle computes the full closure)

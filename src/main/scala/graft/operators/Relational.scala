@@ -505,6 +505,53 @@ object Relational {
       .orderBy(col("r_name"))
   }
 
+  /** q33_lateral — correlated LATERAL subquery: top-2 customers by
+    * account balance per nation, written the way an analyst writes it
+    * (per-row subquery with ORDER BY + LIMIT). Catalyst decorrelates
+    * this into a window/top-k plan rather than executing a per-row
+    * rescan — the same physical shape as q6_window_topn — which is the
+    * point: lateral syntax at 100 TB is safe only because of that
+    * rewrite. The rounding is the portable floor form inlined
+    * identically in both dialects.
+    */
+  def q33Lateral(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.nation(spark, sfDir).createOrReplaceTempView("graft_lat_n")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_lat_c")
+    spark.sql(
+      """SELECT n_name, c_custkey, floor(c_acctbal * 100.0 + 0.5) / 100.0 AS acctbal
+        |FROM graft_lat_n, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM graft_lat_c
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
+        |ORDER BY n_name, acctbal DESC, c_custkey""".stripMargin)
+  }
+
+  /** q34_funnel — conversion funnel over the event stream: users who
+    * viewed, then clicked AFTER their first view, then purchased AFTER
+    * that first qualifying click. Three aggregates all keyed on
+    * user_id, so the three stages reuse one hash partitioning; rates
+    * are exact integer-ratio doubles. The standard product-analytics
+    * query a clickstream warehouse serves.
+    */
+  def q34Funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val fv = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_ts"))
+    val fc = e.join(fv, Seq("user_id"))
+      .filter(col("event_type") === "click" && col("us") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("c_ts"))
+    val fp = e.join(fc, Seq("user_id"))
+      .filter(col("event_type") === "purchase" && col("us") > col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_ts"))
+    fv.agg(count(lit(1)).as("n_viewers"))
+      .crossJoin(fc.agg(count(lit(1)).as("n_clickers")))
+      .crossJoin(fp.agg(count(lit(1)).as("n_buyers")))
+      .select(col("n_viewers"), col("n_clickers"), col("n_buyers"),
+        Cols.pround(col("n_clickers").cast("double") / col("n_viewers"), 6).as("click_rate"),
+        Cols.pround(col("n_buyers").cast("double") / col("n_clickers"), 6).as("buy_rate"))
+  }
+
   /** q21_stats_agg — statistical aggregates: Pearson correlation,
     * sample stddev, exact interpolated percentiles (median / p90). All
     * single-pass mergeable aggregation states → one shuffle on the
