@@ -58,6 +58,8 @@ object SparkEntry {
     "q25_sample_hash"    -> Relational.q25SampleHash _,
     "q33_lateral"        -> Relational.q33Lateral _,
     "q34_funnel"         -> Relational.q34Funnel _,
+    "q35_histogram"      -> Relational.q35Histogram _,
+    "pipeline_stratified" -> ((s: SparkSession, d: String) => Curate.stratified(s, d)),
     "asof_join"          -> AsOf.clicksToPurchases _,
     "range_join_bucketed" -> Ranges.eventBands _,
     // §2.C LLM-data-pipeline operators
@@ -287,6 +289,13 @@ object SparkEntry {
         | CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INTEGER) AS gset
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q35_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 60000.0), 9.0) AS INTEGER) AS bin,
+        | count(*) AS n,
+        | floor(min(o_totalprice) * 100.0 + 0.5) / 100.0 AS lo,
+        | floor(max(o_totalprice) * 100.0 + 0.5) / 100.0 AS hi
+        |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
+    "pipeline_stratified" -> graft.operators.Curate.stratifiedSql,
     "q33_lateral" ->
       """SELECT n_name, c_custkey, floor(c_acctbal * 100.0 + 0.5) / 100.0 AS acctbal
         |FROM nation, LATERAL (

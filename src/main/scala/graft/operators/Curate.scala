@@ -35,6 +35,36 @@ object Curate {
       .orderBy(col("doc_id"))
   }
 
+  /** pipeline_stratified — deterministic stratified sampling: keep up
+    * to `perClass` documents per class (here: predicted language),
+    * chosen by polynomial-hash order — the class-balancing step of a
+    * training-data pipeline. Hash order makes the sample REPRODUCIBLE
+    * across engines, runs, and partitionings (seed-RNG sampling is
+    * none of those), and the per-class rank is one window over one
+    * shuffle on the class key.
+    */
+  def stratified(spark: SparkSession, sfDir: String, perClass: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val classed = TextAnalysis.langidOn(docs, "doc_id", "text")
+      .select(col("doc_id"), col("pred_lang"))
+    val w = Window.partitionBy(col("pred_lang"))
+      .orderBy(expr("(doc_id * 1000003 + 12289) % 2147483647"), col("doc_id"))
+    classed.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perClass)
+      .select(col("doc_id"), col("pred_lang"), col("rk"))
+      .orderBy(col("pred_lang"), col("rk"))
+  }
+
+  def stratifiedSql: String =
+    s"""WITH classed AS (SELECT doc_id, pred_lang FROM (${TextAnalysis.langidSql.replace("ORDER BY doc_id", "")})),
+       |r AS (SELECT doc_id, pred_lang,
+       |        row_number() OVER (PARTITION BY pred_lang
+       |          ORDER BY (doc_id * 1000003 + 12289) % 2147483647, doc_id) AS rk
+       |      FROM classed)
+       |SELECT doc_id, pred_lang, CAST(rk AS INTEGER) AS rk
+       |FROM r WHERE rk <= 100 ORDER BY pred_lang, rk""".stripMargin
+
   /** dedup_keep_best — the keep-POLICY layer over near-dup clustering:
     * per cluster, keep the member with the highest quality score (ties
     * → lowest doc id), reporting cluster size and the kept doc's

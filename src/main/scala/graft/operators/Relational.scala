@@ -552,6 +552,23 @@ object Relational {
         Cols.pround(col("n_buyers").cast("double") / col("n_clickers"), 6).as("buy_rate"))
   }
 
+  /** q35_histogram — fixed-width histogram of order totals: bin id is
+    * pure scan-side arithmetic (floor of price/width, clamped), so the
+    * histogram is one map-side-combined aggregation — the profile
+    * query that runs before choosing partition bounds at scale.
+    */
+  def q35Histogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val width = 60000.0
+    val bin = least(floor(col("o_totalprice") / width), lit(9.0)).cast("int")
+    Tables.orders(spark, sfDir)
+      .withColumn("bin", bin)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        Cols.pround(min(col("o_totalprice")), 2).as("lo"),
+        Cols.pround(max(col("o_totalprice")), 2).as("hi"))
+      .orderBy(col("bin"))
+  }
+
   /** q21_stats_agg — statistical aggregates: Pearson correlation,
     * sample stddev, exact interpolated percentiles (median / p90). All
     * single-pass mergeable aggregation states → one shuffle on the

@@ -149,6 +149,23 @@ class SourcesSpec extends SparkSpecBase {
     raw.unpersist()
   }
 
+  test("compaction rewrites a fragmented table to target-size files with identical data") {
+    import graft.sources.Maintenance
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    val src = spark.read.parquet(s"$SfDir/orders.parquet")
+    // fragment: 64 tiny files, the streaming-sink pathology
+    src.repartition(64).write.parquet(dir)
+    // order-independent exact fingerprint (double sums vary in the last
+    // ulp with partition order)
+    def fingerprint(d: org.apache.spark.sql.DataFrame): (Long, Long) =
+      (d.count(), d.agg(bit_xor(xxhash64(col("o_orderkey"), col("o_totalprice"), col("o_orderdate")))).head.getLong(0))
+    val beforeFp = fingerprint(spark.read.parquet(dir))
+    val (nBefore, nAfter) = Maintenance.compact(spark, dir, targetBytes = 512L * 1024)
+    assert(nBefore == 64, s"expected 64 fragments, saw $nBefore")
+    assert(nAfter < nBefore / 4, s"compaction barely helped: $nBefore -> $nAfter")
+    assert(fingerprint(spark.read.parquet(dir)) == beforeFp, "data changed under compaction")
+  }
+
   test("streaming from a file source matches the batch window aggregation") {
     import graft.streaming.EventStreams
     val dir = Files.createTempDirectory("graft_stream_src").toString
