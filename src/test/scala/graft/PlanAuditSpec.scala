@@ -106,6 +106,20 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q33_lateral: correlated LATERAL LIMIT decorrelates to a window, not a per-row rescan") {
+    val p = planOf(q("q33_lateral"))
+    assert(p.contains("Window") || p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), s"lateral fell back to a cartesian rescan:\n$p")
+  }
+
+  test("q35_histogram: single aggregation with map-side partial combine") {
+    val p = planOf(q("q35_histogram"))
+    assert(p.contains("partial_count"), p) // map-side combine before the shuffle
+    // exactly one hash shuffle (the agg); the only other exchange is the
+    // final sort's range partitioning
+    assert(p.sliding("hashpartitioning(".length).count(_ == "hashpartitioning(") == 1, p)
+  }
+
   test("etl_fact_build: lineitem scan prunes to the fact columns") {
     val p = planOf(q("etl_fact_build"))
     val lineitemScans = p.linesIterator.filter(l => l.contains("ReadSchema:") && l.contains("l_orderkey")).mkString
