@@ -59,6 +59,8 @@ object SparkEntry {
     "q33_lateral"        -> Relational.q33Lateral _,
     "q34_funnel"         -> Relational.q34Funnel _,
     "q35_histogram"      -> Relational.q35Histogram _,
+    "q36_hll_union"      -> Relational.q36HllUnion _,
+    "q37_incr_agg"       -> Relational.q37IncrAgg _,
     "pipeline_stratified" -> ((s: SparkSession, d: String) => Curate.stratified(s, d)),
     "asof_join"          -> AsOf.clicksToPurchases _,
     "range_join_bucketed" -> Ranges.eventBands _,
@@ -289,6 +291,14 @@ object SparkEntry {
         | CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INTEGER) AS gset
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q37_incr_agg" ->
+      """SELECT CAST(year(CAST(l_shipdate AS DATE)) AS INTEGER) AS yr,
+        | CAST(month(CAST(l_shipdate AS DATE)) AS INTEGER) AS mo,
+        | floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS qty,
+        | count(*) AS n_rows,
+        | floor(min(l_extendedprice) * 100.0 + 0.5) / 100.0 AS min_price,
+        | floor(max(l_extendedprice) * 100.0 + 0.5) / 100.0 AS max_price
+        |FROM lineitem GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
     "q35_histogram" ->
       """SELECT CAST(least(floor(o_totalprice / 60000.0), 9.0) AS INTEGER) AS bin,
         | count(*) AS n,

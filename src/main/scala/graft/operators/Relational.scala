@@ -569,6 +569,57 @@ object Relational {
       .orderBy(col("bin"))
   }
 
+  /** q36_hll_union — mergeable-sketch rollup: per-month HLL sketches of
+    * distinct customers union-merged into quarters, next to the exact
+    * distinct. THE pattern for distinct-counting over time at 100 TB:
+    * the per-period sketch table is tiny and append-only, and any
+    * coarser period is a cheap sketch merge instead of a re-scan of
+    * raw history. Sketch estimates are engine-specific → rows-only;
+    * the spec bounds the error against the exact count.
+    */
+  def q36HllUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"), month(col("o_orderdate")).as("mo"))
+    val monthly = o.groupBy(col("yr"), col("qtr"), col("mo"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+    val merged = monthly.groupBy(col("yr"), col("qtr"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_custs"))
+    val exact = o.groupBy(col("yr"), col("qtr"))
+      .agg(countDistinct(col("o_custkey")).as("exact_custs"))
+    merged.join(exact, Seq("yr", "qtr"))
+      .orderBy(col("yr"), col("qtr"))
+  }
+
+  /** q37_incr_agg — incremental aggregate maintenance (materialized-
+    * view pattern): a pre-aggregated history partition merged with a
+    * fresh delta partition by RE-AGGREGATING THE PARTIALS
+    * (sum-of-sums, sum-of-counts, min-of-mins) — never re-scanning
+    * history. The oracle is the full recompute over all raw rows: the
+    * incremental-correctness invariant agg(hist) ⊎ agg(delta) ≡
+    * agg(all), which is what makes daily refresh of a 100 TB rollup
+    * cost |delta| instead of |history|.
+    */
+  def q37IncrAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = "1997-01-01"
+    val l = Tables.lineitem(spark, sfDir)
+    def partial(part: DataFrame): DataFrame = part
+      .groupBy(year(col("l_shipdate")).as("yr"), month(col("l_shipdate")).as("mo"))
+      .agg(sum(col("l_quantity")).as("p_qty"),
+        count(lit(1)).as("p_rows"),
+        min(col("l_extendedprice")).as("p_minp"),
+        max(col("l_extendedprice")).as("p_maxp"))
+    val hist = partial(l.filter(col("l_shipdate") < lit(cutoff)))
+    val delta = partial(l.filter(col("l_shipdate") >= lit(cutoff)))
+    hist.unionByName(delta)
+      .groupBy(col("yr"), col("mo"))
+      .agg(Cols.pround(sum(col("p_qty")), 2).as("qty"),
+        sum(col("p_rows")).as("n_rows"),
+        Cols.pround(min(col("p_minp")), 2).as("min_price"),
+        Cols.pround(max(col("p_maxp")), 2).as("max_price"))
+      .orderBy(col("yr"), col("mo"))
+  }
+
   /** q21_stats_agg — statistical aggregates: Pearson correlation,
     * sample stddev, exact interpolated percentiles (median / p90). All
     * single-pass mergeable aggregation states → one shuffle on the

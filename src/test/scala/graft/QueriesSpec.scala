@@ -106,6 +106,15 @@ class QueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("q36 merged HLL sketches stay near the exact quarterly distincts") {
+    SparkEntry.queries("q36_hll_union")(spark, SfDir).collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_custs").toDouble
+      val exact = r.getAs[Long]("exact_custs").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.1,
+        s"yr=${r.get(0)} q=${r.get(1)}: approx $approx vs exact $exact")
+    }
+  }
+
   test("q29: NOT IN against a null-bearing subquery matches no rows") {
     val r = SparkEntry.queries("q29_not_in_null")(spark, SfDir).head()
     assert(r.getAs[Long]("n_not_in_with_null") == 0L)

@@ -145,6 +145,31 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join: streaming events pick up dim attributes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the standard streaming-enrichment shape: an unbounded stream
+    // joined to a static (batch) dimension — re-read per micro-batch,
+    // broadcast when small, no stream-stream state at all
+    val dim = spark.read.parquet(s"$SfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val src = MemoryStream[(Long, Double)]
+    val enriched = src.toDF().toDF("custkey", "amount")
+      .join(dim, col("custkey") === col("c_custkey"))
+      .select(col("custkey"), col("amount"), col("c_mktsegment"))
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      src.addData((1L, 10.0), (2L, 20.0), (999999999L, 5.0)) // last key not in dim
+      q.processAllAvailable()
+      val got = spark.table("enrich_out").collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      val want = dim.filter(col("c_custkey").isin(1L, 2L)).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == want, s"enrichment diverged: $got vs $want")
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes idle sessions when the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
