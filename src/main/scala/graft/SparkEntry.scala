@@ -66,6 +66,7 @@ object SparkEntry {
     "range_join_bucketed" -> Ranges.eventBands _,
     // §2.C LLM-data-pipeline operators
     "dedup_exact"         -> Dedup.exact _,
+    "fuzzy_join"          -> Dedup.fuzzyJoin _,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "dedup_minhash"       -> Dedup.minhashLsh _,
     "dedup_simhash"       -> Dedup.simhashPairs _,
@@ -389,6 +390,7 @@ object SparkEntry {
         | count(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_exact"         -> Dedup.exactSql,
+    "fuzzy_join"          -> Dedup.fuzzyJoinSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_minhash"       -> Dedup.minhashLshSql,
     "dedup_simhash"       -> Dedup.simhashPairsSql,

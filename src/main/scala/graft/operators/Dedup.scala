@@ -130,6 +130,76 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jac"))
   }
 
+  /** Fuzzy (entity-resolution) join between TWO string tables: for each
+    * left row the best-Jaccard right match at `threshold`, via the same
+    * df-capped inverted-index candidate generation as
+    * [[ngramJaccardOn]] but across tables — the record-linkage shape
+    * (catalog matching, vendor reconciliation) that would otherwise be
+    * an all-pairs string-distance cross join. One posting-list
+    * equi-join keyed by shingle, capped-universe Jaccard from the
+    * match counts, best match per left row by (jac desc, right id).
+    * Output: (l_id, r_id, jac) — at most one row per matched left row.
+    */
+  def fuzzyJoinOn(left: DataFrame, leftId: String, leftText: String,
+      right: DataFrame, rightId: String, rightText: String,
+      threshold: Double, dfCap: Int = DfCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lt = shingledOn(left, leftId, leftText)
+      .select(col("doc_id").as("l_id"), col("h"))
+    val rt = shingledOn(right, rightId, rightText)
+      .select(col("doc_id").as("r_id"), col("h"))
+    val le = lt.select(col("l_id"), explode(col("h")).as("x"))
+    val re = rt.select(col("r_id"), explode(col("h")).as("x"))
+    val hot = le.select(col("x")).unionAll(re.select(col("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") > dfCap).select(col("x")).persist()
+    val lc = le.join(hot, Seq("x"), "left_anti")
+    val rc = re.join(hot, Seq("x"), "left_anti")
+    val inter = lc.join(rc, Seq("x"))
+      .groupBy(col("l_id"), col("r_id")).agg(count(lit(1)).cast("double").as("i"))
+    val lsz = lc.groupBy(col("l_id")).agg(count(lit(1)).as("ln"))
+    val rsz = rc.groupBy(col("r_id")).agg(count(lit(1)).as("rn"))
+    val w = Window.partitionBy(col("l_id")).orderBy(col("jac").desc, col("r_id"))
+    inter.join(lsz, Seq("l_id")).join(rsz, Seq("r_id"))
+      .withColumn("jac", col("i") / (col("ln") + col("rn") - col("i")))
+      .filter(col("jac") >= threshold)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("l_id"), col("r_id"), col("jac"))
+  }
+
+  /** fuzzy_join testdata binding: even-id documents matched to odd-id
+    * documents by text similarity — the two "catalogs" share planted
+    * near-dup content, so real matches exist.
+    */
+  def fuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    fuzzyJoinOn(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+      0.4)
+      .orderBy(col("l_id"))
+  }
+
+  def fuzzyJoinSql: String =
+    s"""WITH t AS ($shingledSql),
+       |lt AS (SELECT doc_id AS l_id, h FROM t WHERE doc_id % 2 = 0),
+       |rt AS (SELECT doc_id AS r_id, h FROM t WHERE doc_id % 2 = 1),
+       |le AS (SELECT l_id, unnest(h) AS x FROM lt),
+       |re AS (SELECT r_id, unnest(h) AS x FROM rt),
+       |hot AS (SELECT x FROM (SELECT x FROM le UNION ALL SELECT x FROM re)
+       |        GROUP BY x HAVING count(*) > $DfCap),
+       |lc AS (SELECT l_id, x FROM le WHERE x NOT IN (SELECT x FROM hot)),
+       |rc AS (SELECT r_id, x FROM re WHERE x NOT IN (SELECT x FROM hot)),
+       |inter AS (SELECT l_id, r_id, CAST(count(*) AS DOUBLE) AS i
+       |          FROM lc JOIN rc ON lc.x = rc.x GROUP BY 1, 2),
+       |lsz AS (SELECT l_id, count(*) AS ln FROM lc GROUP BY 1),
+       |rsz AS (SELECT r_id, count(*) AS rn FROM rc GROUP BY 1),
+       |j AS (SELECT inter.l_id, inter.r_id, i / (ln + rn - i) AS jac
+       |      FROM inter JOIN lsz ON inter.l_id = lsz.l_id JOIN rsz ON inter.r_id = rsz.r_id),
+       |r AS (SELECT j.*, row_number() OVER (PARTITION BY l_id ORDER BY jac DESC, r_id) AS rk
+       |      FROM j WHERE jac >= 0.4)
+       |SELECT l_id, r_id, jac FROM r WHERE rk = 1 ORDER BY l_id""".stripMargin
+
   /** dedup_ngram_jaccard testdata binding (threshold 0.5). */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     ngramJaccardOn(Tables.documents(spark, sfDir), "doc_id", "text", 0.5)
