@@ -313,16 +313,19 @@ object Dedup {
     * (singletons cluster with themselves). This is the step that turns
     * pairwise near-dup evidence into "keep one per cluster" decisions.
     *
-    * Distributed FRONTIER label propagation: each round, only labels
-    * that IMPROVED last round propagate to their neighbors (a node's
-    * min can only drop via a neighbor whose min dropped — standard
-    * delta iteration), so after round 1 the per-round join touches the
-    * active frontier, not all N labels; edges are hash-partitioned on
-    * the probe key once and reused every round. Converges in
-    * O(component diameter) rounds. Frames are persisted and counted per
-    * round BOTH to detect the fixpoint and to truncate lineage (without
-    * it the plan doubles every round). Near-dup components are shallow
-    * in practice, so rounds ≈ 3–5 at any corpus scale.
+    * Distributed FRONTIER label propagation over the EDGE-INDUCED
+    * subgraph only: singletons (no near-dup edge) can never change
+    * label, so the iteration runs on the nodes that appear in a pair —
+    * a tiny fraction of a real corpus — and singletons join back as
+    * their own cluster at the end. Each round, only labels that
+    * IMPROVED last round propagate to their neighbors (a node's min
+    * can only drop via a neighbor whose min dropped — standard delta
+    * iteration); edges are hash-partitioned on the probe key once and
+    * reused every round. Converges in O(component diameter) rounds.
+    * Frames are persisted and counted per round BOTH to detect the
+    * fixpoint and to truncate lineage (without it the plan doubles
+    * every round). Near-dup components are shallow in practice, so
+    * rounds ≈ 3–5 at any corpus scale.
     */
   def clustersOn(pairs: DataFrame, allIds: DataFrame): DataFrame = {
     val nPart = pairs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
@@ -330,7 +333,8 @@ object Dedup {
       .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
       .repartition(nPart, col("v"))
       .persist()
-    var labels = allIds.select(col("id"), col("id").as("lbl")).persist()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).persist()
     var delta = labels
     var prevRound: Option[DataFrame] = None
     var changed = 1L
@@ -365,7 +369,9 @@ object Dedup {
       s"label propagation did not converge in $maxIter rounds ($changed labels still changing); " +
         "component diameter exceeds the round cap")
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    // singletons never entered the iteration — they cluster with themselves
+    allIds.join(labels, Seq("id"), "left")
+      .select(col("id").as("doc_id"), coalesce(col("lbl"), col("id")).as("cluster_id"))
   }
 
   /** dedup_cluster testdata binding: components of the jaccard ≥ 0.5
