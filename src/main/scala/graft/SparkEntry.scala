@@ -76,6 +76,7 @@ object SparkEntry {
     "text_tokens"         -> TextAnalysis.tokens _,
     "text_fingerprint"    -> TextAnalysis.fingerprint _,
     "text_tfidf"          -> TextAnalysis.tfidf _,
+    "text_heavy_hitters"  -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
     "text_scrub"          -> TextAnalysis.scrub _,
     "dedup_keep_best"     -> Curate.keepBest _,
     "sim_bruteforce_topk" -> Similarity.bruteforceTopk _,

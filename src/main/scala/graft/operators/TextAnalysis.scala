@@ -191,6 +191,21 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** text_heavy_hitters — frequent-token sketch: approx_top_k over the
+    * exploded token stream next to the exact token count. The sketch
+    * state is fixed-size and MERGEABLE, so at 100 TB the corpus-wide
+    * top-k costs one map-side-combined pass instead of a full
+    * token-frequency shuffle + global sort — the vocabulary/stopword
+    * profiling step of a corpus pipeline. Sketch internals are
+    * engine-specific → rows-only; the spec pins every reported count
+    * to the exact per-token count.
+    */
+  def heavyHitters(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(TextFns.tokenize(col("text"))).as("w"))
+      .agg(expr(s"approx_top_k(w, $k, 65536)").as("top_words"),
+        count(lit(1)).as("n_tokens"))
+
   /** Rolling polynomial document fingerprint over the normalized text:
     * two independent multipliers (31, 131 — both codegen'd
     * [[graft.functions.PolyCharFold]]) combined into a 62-bit value

@@ -106,6 +106,21 @@ class QueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("text_heavy_hitters: every sketched count equals the exact token count") {
+    import graft.functions.TextFns
+    import graft.util.Tables
+    val r = SparkEntry.queries("text_heavy_hitters")(spark, SfDir).head()
+    val top = r.getSeq[org.apache.spark.sql.Row](0).map(e => e.getString(0) -> e.getLong(1))
+    assert(top.length == 5)
+    val exact = Tables.documents(spark, SfDir)
+      .select(explode(TextFns.tokenize(col("text"))).as("w"))
+      .groupBy("w").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    top.foreach { case (w, c) => assert(exact(w) == c, s"$w: sketch $c vs exact ${exact(w)}") }
+    // the undisputed top-1 must be found
+    val exactTop = exact.maxBy { case (w, c) => (c, w) }
+    assert(top.head == exactTop, s"sketch top ${top.head} vs exact $exactTop")
+  }
+
   test("q36 merged HLL sketches stay near the exact quarterly distincts") {
     SparkEntry.queries("q36_hll_union")(spark, SfDir).collect().foreach { r =>
       val approx = r.getAs[Long]("approx_custs").toDouble
