@@ -61,6 +61,7 @@ object SparkEntry {
     "q35_histogram"      -> Relational.q35Histogram _,
     "q36_hll_union"      -> Relational.q36HllUnion _,
     "q37_incr_agg"       -> Relational.q37IncrAgg _,
+    "q39_array_funcs"    -> Relational.q39ArrayFuncs _,
     "pipeline_stratified" -> ((s: SparkSession, d: String) => Curate.stratified(s, d)),
     "asof_join"          -> AsOf.clicksToPurchases _,
     "range_join_bucketed" -> Ranges.eventBands _,
@@ -293,6 +294,13 @@ object SparkEntry {
         | CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INTEGER) AS gset
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q39_array_funcs" ->
+      """SELECT p_partkey,
+        | CAST(len(list_distinct(string_split(p_name, ' '))) AS INTEGER) AS n_distinct_words,
+        | list_sort(list_distinct(string_split(p_name, ' ')))[1] AS first_word,
+        | array_to_string(list_sort(list_distinct(string_split(p_name, ' ')))[1:2], '-') AS first_two,
+        | list_contains(string_split(p_name, ' '), 'green') AS has_green
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "q37_incr_agg" ->
       """SELECT CAST(year(CAST(l_shipdate AS DATE)) AS INTEGER) AS yr,
         | CAST(month(CAST(l_shipdate AS DATE)) AS INTEGER) AS mo,

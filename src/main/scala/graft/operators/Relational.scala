@@ -569,6 +569,23 @@ object Relational {
       .orderBy(col("bin"))
   }
 
+  /** q39_array_funcs — array-function pipeline over split part names:
+    * distinct/sort/slice/contains/join — all codegen'd builtins
+    * evaluated scan-side (no shuffle at all until the output sort), the
+    * array-column manipulation surface a nested-data warehouse needs.
+    */
+  def q39ArrayFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = split(col("p_name"), " ")
+    Tables.part(spark, sfDir)
+      .select(
+        col("p_partkey"),
+        size(array_distinct(words)).as("n_distinct_words"),
+        element_at(array_sort(array_distinct(words)), 1).as("first_word"),
+        concat_ws("-", slice(array_sort(array_distinct(words)), 1, 2)).as("first_two"),
+        array_contains(words, "green").as("has_green"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** q36_hll_union — mergeable-sketch rollup: per-month HLL sketches of
     * distinct customers union-merged into quarters, next to the exact
     * distinct. THE pattern for distinct-counting over time at 100 TB:
