@@ -62,6 +62,7 @@ object SparkEntry {
     "q36_hll_union"      -> Relational.q36HllUnion _,
     "q37_incr_agg"       -> Relational.q37IncrAgg _,
     "q39_array_funcs"    -> Relational.q39ArrayFuncs _,
+    "q40_range_frame"    -> Relational.q40RangeFrame _,
     "pipeline_stratified" -> ((s: SparkSession, d: String) => Curate.stratified(s, d)),
     "asof_join"          -> AsOf.clicksToPurchases _,
     "range_join_bucketed" -> Ranges.eventBands _,
@@ -294,6 +295,16 @@ object SparkEntry {
         | CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INTEGER) AS gset
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q40_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS day_num,
+        | floor(sum(o_totalprice) OVER w * 100.0 + 0.5) / 100.0 AS trailing_30d_spend,
+        | count(*) OVER w AS n_orders_30d
+        |FROM orders WHERE o_custkey <= 200
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, day_num, o_orderkey""".stripMargin,
     "q39_array_funcs" ->
       """SELECT p_partkey,
         | CAST(len(list_distinct(string_split(p_name, ' '))) AS INTEGER) AS n_distinct_words,

@@ -569,6 +569,26 @@ object Relational {
       .orderBy(col("bin"))
   }
 
+  /** q40_range_frame — VALUE-range window frame: each order's trailing
+    * 30-day spend for its customer (RANGE BETWEEN 30 PRECEDING over a
+    * day-number ordering — a ROWS frame counts rows, a RANGE frame
+    * bounds the ORDER-BY value, the correct frame for time-windowed
+    * running metrics with irregular event spacing). One shuffle on the
+    * partition key, per-key local sort, sliding-frame aggregation.
+    */
+  def q40RangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayNum = datediff(col("o_orderdate").cast("date"), lit(java.sql.Date.valueOf("1990-01-01")))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_num"))
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") <= 200)
+      .withColumn("day_num", dayNum)
+      .select(col("o_custkey"), col("o_orderkey"), col("day_num"),
+        Cols.pround(sum(col("o_totalprice")).over(w), 2).as("trailing_30d_spend"),
+        count(lit(1)).over(w).as("n_orders_30d"))
+      .orderBy(col("o_custkey"), col("day_num"), col("o_orderkey"))
+  }
+
   /** q39_array_funcs — array-function pipeline over split part names:
     * distinct/sort/slice/contains/join — all codegen'd builtins
     * evaluated scan-side (no shuffle at all until the output sort), the
