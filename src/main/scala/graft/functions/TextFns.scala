@@ -119,17 +119,20 @@ object TextFns {
 
   // ---------------------------------------------------------------- simhash
 
-  /** 32-bit SimHash over (multiset of) token hashes: bit i set iff the
-    * sum of ±1 votes from each token's bit i is positive.
+  /** 32-bit SimHash over (multiset of) token hashes: each hash is
+    * mixed by squaring mod P (a raw short-token polynomial fold has
+    * biased high bits — see [[SimHash32]]'s scaladoc), then bit i is
+    * set iff the sum of ±1 votes from each token's mixed bit i is
+    * positive.
     */
   def simhash(tokenHashesCol: String): Column =
     expr(s"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) -> acc + " +
-      s"CASE WHEN aggregate($tokenHashesCol, CAST(0 AS BIGINT), (a, h) -> a + (shiftright(h, i) & 1) * 2 - 1) > 0 " +
+      s"CASE WHEN aggregate($tokenHashesCol, CAST(0 AS BIGINT), (a, h) -> a + (shiftright((h * h) % $P, i) & 1) * 2 - 1) > 0 " +
       s"THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)")
 
   def simhashSql(tokenHashes: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, 31), i -> " +
-      s"CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($tokenHashes, h -> ((h >> i) & 1) * 2 - 1)), (a, b) -> a + b) > 0 " +
+      s"CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($tokenHashes, h -> (((h * h) % $P >> i) & 1) * 2 - 1)), (a, b) -> a + b) > 0 " +
       s"THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b)"
 
   /** Token hash array (with multiplicity) for simhash. */

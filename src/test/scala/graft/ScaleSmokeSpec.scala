@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Scale smoke test: the dedup stack on a corpus 40× the sf0.001 spec
+  * corpus (and 4× sf0.1's), with planted structure — catches the class
+  * of bug that only appears when buckets/posting lists actually fill
+  * up (the round-1 SRP degeneracy was exactly such a bug: invisible at
+  * 500 docs, catastrophic at scale). Deterministic generation, loose
+  * wall-clock bound.
+  */
+class ScaleSmokeSpec extends SparkSpecBase {
+
+  private val NDocs = 20000
+  private val Planted = 200
+
+  private def corpus = {
+    import spark.implicits._
+    // wide vocabulary (4000 words) so unrelated docs share almost no
+    // shingles — accidental similarity must come from the hashing, not
+    // from a toy word pool
+    val rnd = new scala.util.Random(20260812)
+    val base = (0 until NDocs).map { i =>
+      (i.toLong, Seq.fill(30)("w" + rnd.nextInt(4000)).mkString(" "))
+    }
+    // plant near-dups: doc k*100 gets a copy at id NDocs+k with its
+    // FIRST word changed — exactly one of ~28 distinct 3-shingles
+    // differs per side, 3-shingle jaccard ≈ 27/29 ≈ 0.93
+    val dups = (0 until Planted).map { k =>
+      val words = base(k * 100)._2.split(" ")
+      words(0) = "mutated"
+      (NDocs + k.toLong, words.mkString(" "))
+    }
+    (base ++ dups).toDF("doc_id", "text")
+  }
+
+  test("minhash LSH finds planted near-dups in a 20k-doc corpus, clusters converge") {
+    val docs = corpus.persist()
+    docs.count()
+    val t0 = System.nanoTime()
+    val pairs = Dedup.minhashLshOn(docs, "doc_id", "text")
+      .filter(col("est_sim") >= 0.5).persist()
+    val planted = pairs
+      .filter(col("b_id") >= NDocs && col("a_id") === (col("b_id") - NDocs) * 100)
+      .count()
+    // 16-sig 4x4-band LSH at jaccard ~0.93: per-band P ≈ 0.93^4 ≈ 0.75,
+    // any-of-4 ≈ 0.996 → ~1 expected miss over 200
+    assert(planted >= (Planted * 0.95).toInt,
+      s"LSH lost planted near-dups: $planted of $Planted")
+    // the cluster layer absorbs the found pairs without round blowup
+    val clusters = Dedup.clustersOn(pairs, docs.select(col("doc_id").as("id")))
+    val merged = clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).count()
+    assert(merged >= (Planted * 0.95).toInt, s"clusters lost pairs: $merged")
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"20k-doc minhash+cluster: $secs%.1f s, $planted/$Planted planted pairs found")
+    assert(secs < 180, f"dedup stack too slow at 20k docs: $secs%.1f s")
+    docs.unpersist(); pairs.unpersist()
+  }
+
+  test("simhash buckets stay balanced on the 20k-doc corpus (no degenerate hashing)") {
+    val docs = corpus
+    val pairs = Dedup.simhashPairsOn(docs, "doc_id", "text")
+    // over a wide vocabulary unrelated 32-bit fingerprints land within
+    // hamming 1 only by chance — output volume is the telltale for a
+    // degenerate fingerprint distribution (the round-1 SRP bug's twin)
+    val n = pairs.count()
+    assert(n < NDocs.toLong * 20, s"simhash near-dup volume exploded: $n pairs")
+  }
+}
