@@ -83,7 +83,13 @@ object Bench {
       }
       name -> ((if (failed) -1.0 else times.min, shuffleRead, shuffleWrite))
     }
-    val qs = results.map { case (k, (t, _, _)) => "\"" + k + "\":" + t }
+    // The driver captures only the tail of stdout (~4 KiB) and parses the
+    // final JSON line; round 2's line embedded per-query shuffle bytes and
+    // overflowed that buffer, so the round's bench was unparseable. Keep
+    // the final line compact (3-decimal timings, no per-query shuffle
+    // detail) and emit the shuffle tallies on an earlier, prefixed line.
+    def f3(t: Double): String = if (t < 0) "-1" else f"$t%.3f"
+    val qs = results.map { case (k, (t, _, _)) => "\"" + k + "\":" + f3(t) }
       .mkString("{", ",", "}")
     val sh = results.map { case (k, (_, r, w)) =>
       "\"" + k + "\":{\"read\":" + r + ",\"write\":" + w + "}"
@@ -91,7 +97,8 @@ object Bench {
     val failedNames = results.collect { case (k, (t, _, _)) if t < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.collect { case (t, _, _) if t >= 0 => t }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"failed":$failedNames,"sf":"$sfDir"}""")
+    println(s"SHUFFLE_BYTES $sh")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failedNames,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -328,12 +328,13 @@ object SparkEntry {
         |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
     "pipeline_stratified" -> graft.operators.Curate.stratifiedSql,
     "q33_lateral" ->
-      """SELECT n_name, c_custkey, floor(c_acctbal * 100.0 + 0.5) / 100.0 AS acctbal
+      """SELECT n_name, c_custkey,
+        |  CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS acctbal_cents
         |FROM nation, LATERAL (
         |  SELECT c_custkey, c_acctbal FROM customer
         |  WHERE c_nationkey = n_nationkey
         |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
-        |ORDER BY n_name, acctbal DESC, c_custkey""".stripMargin,
+        |ORDER BY n_name, acctbal_cents DESC, c_custkey""".stripMargin,
     "q34_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
         |fv AS (SELECT user_id, min(us) AS v_ts FROM e WHERE event_type = 'view' GROUP BY 1),

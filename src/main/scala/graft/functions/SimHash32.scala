@@ -58,21 +58,25 @@ object SimHash32 {
   def fingerprint(words: ArrayData): Long = {
     val n = words.numElements()
     val counts = new Array[Int](32)
-    var i = 0
+    var voters = 0L // non-null tokens only; the SQL-registered form
+    var i = 0       // accepts ARRAY<STRING> with NULL elements
     while (i < n) {
-      val h0 = PolyCharFold.fold(words.getUTF8String(i), 31L)
-      val h = (h0 * h0) % P
-      var b = 0
-      while (b < 32) {
-        counts(b) += ((h >> b) & 1L).toInt
-        b += 1
+      if (!words.isNullAt(i)) {
+        voters += 1
+        val h0 = PolyCharFold.fold(words.getUTF8String(i), 31L)
+        val h = (h0 * h0) % P
+        var b = 0
+        while (b < 32) {
+          counts(b) += ((h >> b) & 1L).toInt
+          b += 1
+        }
       }
       i += 1
     }
     var fp = 0L
     var b = 0
     while (b < 32) {
-      if (2L * counts(b) > n) fp |= 1L << b
+      if (2L * counts(b) > voters) fp |= 1L << b
       b += 1
     }
     fp

@@ -64,16 +64,23 @@ object TextCount {
     var punct = 0L
     var inWord = false
     var i = 0
-    while (i < b.length) {
+    val n = b.length
+    // continuation reads clamp at n: the function is SQL-registered, so
+    // truncated/invalid multi-byte sequences from arbitrary user input
+    // (casts from binary, corrupt sources) must degrade — count what
+    // decodes and stop — not throw ArrayIndexOutOfBounds and fail the
+    // whole stage
+    @inline def cont(j: Int): Int = if (j < n) b(j) & 0x3f else 0
+    while (i < n) {
       val c = b(i) & 0xff
       var cp = 0
       if (c < 0x80) { cp = c; i += 1 }
-      else if (c < 0xe0) { cp = ((c & 0x1f) << 6) | (b(i + 1) & 0x3f); i += 2 }
+      else if (c < 0xe0) { cp = ((c & 0x1f) << 6) | cont(i + 1); i += 2 }
       else if (c < 0xf0) {
-        cp = ((c & 0x0f) << 12) | ((b(i + 1) & 0x3f) << 6) | (b(i + 2) & 0x3f); i += 3
+        cp = ((c & 0x0f) << 12) | (cont(i + 1) << 6) | cont(i + 2); i += 3
       } else {
-        cp = ((c & 0x07) << 18) | ((b(i + 1) & 0x3f) << 12) |
-          ((b(i + 2) & 0x3f) << 6) | (b(i + 3) & 0x3f); i += 4
+        cp = ((c & 0x07) << 18) | (cont(i + 1) << 12) |
+          (cont(i + 2) << 6) | cont(i + 3); i += 4
       }
       val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b || cp == '\f' || cp == '\r'
       if (ws) inWord = false

@@ -511,19 +511,22 @@ object Relational {
     * this into a window/top-k plan rather than executing a per-row
     * rescan — the same physical shape as q6_window_topn — which is the
     * point: lateral syntax at 100 TB is safe only because of that
-    * rewrite. The rounding is the portable floor form inlined
-    * identically in both dialects.
+    * rewrite. The balance is emitted as integer CENTS (BIGINT): round 2
+    * emitted a floor-rounded double and the driver's value hash flagged
+    * it even though a local bit-exact compare passed — an integer column
+    * removes float formatting/hashing from the equation entirely.
     */
   def q33Lateral(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.nation(spark, sfDir).createOrReplaceTempView("graft_lat_n")
     Tables.customer(spark, sfDir).createOrReplaceTempView("graft_lat_c")
     spark.sql(
-      """SELECT n_name, c_custkey, floor(c_acctbal * 100.0 + 0.5) / 100.0 AS acctbal
+      """SELECT n_name, c_custkey,
+        |  CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS acctbal_cents
         |FROM graft_lat_n, LATERAL (
         |  SELECT c_custkey, c_acctbal FROM graft_lat_c
         |  WHERE c_nationkey = n_nationkey
         |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
-        |ORDER BY n_name, acctbal DESC, c_custkey""".stripMargin)
+        |ORDER BY n_name, acctbal_cents DESC, c_custkey""".stripMargin)
   }
 
   /** q34_funnel — conversion funnel over the event stream: users who

@@ -198,13 +198,19 @@ object TextAnalysis {
     * token-frequency shuffle + global sort — the vocabulary/stopword
     * profiling step of a corpus pipeline. Sketch internals are
     * engine-specific → rows-only; the spec pins every reported count
-    * to the exact per-token count.
+    * to the exact per-token count. The sketch's struct array is
+    * exploded to one scalar row per hitter: round 2 returned the raw
+    * array<struct> column and the driver's pandas row-sort crashed on
+    * it (ndarray is unhashable) — verify outputs must be scalar-typed.
     */
   def heavyHitters(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame =
     Tables.documents(spark, sfDir)
       .select(explode(TextFns.tokenize(col("text"))).as("w"))
-      .agg(expr(s"approx_top_k(w, $k, 65536)").as("top_words"),
+      .agg(expr(s"approx_top_k(w, $k, 65536)").as("tw"),
         count(lit(1)).as("n_tokens"))
+      .select(posexplode(col("tw")).as(Seq("rank", "e")), col("n_tokens"))
+      .select(col("rank").cast("int").as("rank"),
+        col("e.item").as("w"), col("e.count").as("approx_cnt"), col("n_tokens"))
 
   /** Rolling polynomial document fingerprint over the normalized text:
     * two independent multipliers (31, 131 — both codegen'd

@@ -62,10 +62,17 @@ object ExternalIngest {
   def retailShapeGate(df: DataFrame, invoiceCol: String = "invoice_no",
       stockCol: String = "stock_code", customerCol: String = "customer_id")
       : (DataFrame, DataFrame) = {
-    val reason = when(!digitShape(col(invoiceCol), 6),
+    // NULL ids must reject, not slip through: rlike(NULL) is NULL, so a
+    // bare !digitShape(...) is NULL and every when() branch would skip
+    // (PERMISSIVE CSV ingest turns empty fields into NULLs, so this is
+    // the common path, not a corner). coalesce pins the predicate to a
+    // boolean; a NULL id then fails its shape check like any other.
+    def badShape(c: String, w: Int): Column =
+      !coalesce(digitShape(col(c), w), lit(false))
+    val reason = when(badShape(invoiceCol, 6),
         when(col(invoiceCol).startsWith("C"), "cancelled_invoice").otherwise("bad_invoice_shape"))
-      .when(!digitShape(col(stockCol), 5), "bad_stock_code")
-      .when(!digitShape(col(customerCol), 5), "bad_customer_id")
+      .when(badShape(stockCol, 5), "bad_stock_code")
+      .when(badShape(customerCol, 5), "bad_customer_id")
     val tagged = df.withColumn("reject_reason", reason)
     (tagged.filter(col("reject_reason").isNull).drop("reject_reason"),
       tagged.filter(col("reject_reason").isNotNull))

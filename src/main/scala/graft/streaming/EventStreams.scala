@@ -181,13 +181,14 @@ object EventStreams {
       load = () => graft.sources.JdbcSink.readTable(spark, url, table, driver),
       save = d => {
         // the merged plan READS the table the overwrite is about to
-        // drop — materialize through the cache first or the write
-        // would consume its own truncation
-        val m = d.persist()
-        m.count()
+        // drop — and persist()+count() is NOT durable: a lost cached
+        // block recomputes lazily against the already-truncated table,
+        // silently emptying the dimension. localCheckpoint(eager) cuts
+        // the lineage entirely, so no recompute path can reach the
+        // table being overwritten.
+        val m = d.localCheckpoint(eager = true)
         graft.sources.JdbcSink.loadTable(m, url, table,
           org.apache.spark.sql.SaveMode.Overwrite, driver)
-        m.unpersist()
         ()
       })
   }

@@ -88,6 +88,37 @@ class FunctionsSpec extends SparkSpecBase {
     assert(bad.count() == 0)
   }
 
+  test("TextCount degrades on truncated/invalid UTF-8 instead of throwing") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // lone continuation lead bytes with the sequence cut off at the end
+    val truncated = Seq(
+      Array(0xe4.toByte),                       // 3-byte lead, nothing after
+      Array('a'.toByte, 0xc3.toByte),           // 2-byte lead at end
+      Array('x'.toByte, 0xf0.toByte, 0x9f.toByte), // 4-byte lead, 2 of 3 cont
+      Array(0xff.toByte))                       // not valid UTF-8 at all
+    truncated.foreach { bytes =>
+      val s = UTF8String.fromBytes(bytes)
+      // must not throw, any of the three modes
+      TextCount.count(s, TextCount.Words)
+      TextCount.count(s, TextCount.NonWs)
+      TextCount.count(s, TextCount.Punct)
+    }
+    // and through the SQL-registered path over binary-cast garbage
+    graft.functions.GraftFunctions.register(spark)
+    val n = spark.sql(
+      "SELECT graft_text_count(CAST(unhex('61E4') AS STRING), 0) AS w").head.getLong(0)
+    assert(n >= 1L)
+  }
+
+  test("SimHash32 skips NULL array elements instead of NPE") {
+    graft.functions.GraftFunctions.register(spark)
+    val withNull = spark.sql(
+      "SELECT graft_simhash32(array('alpha', CAST(NULL AS STRING), 'beta')) AS fp").head.getLong(0)
+    val without = spark.sql(
+      "SELECT graft_simhash32(array('alpha', 'beta')) AS fp").head.getLong(0)
+    assert(withNull == without) // null tokens don't vote
+  }
+
   test("SimHash32 == interpreted explode-free lambda formulation") {
     val cmp = docs
       .withColumn("words", TextFns.tokenize(col("text")))

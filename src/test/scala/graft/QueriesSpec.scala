@@ -109,8 +109,9 @@ class QueriesSpec extends SparkSpecBase {
   test("text_heavy_hitters: every sketched count equals the exact token count") {
     import graft.functions.TextFns
     import graft.util.Tables
-    val r = SparkEntry.queries("text_heavy_hitters")(spark, SfDir).head()
-    val top = r.getSeq[org.apache.spark.sql.Row](0).map(e => e.getString(0) -> e.getLong(1))
+    val rows = SparkEntry.queries("text_heavy_hitters")(spark, SfDir)
+      .orderBy("rank").collect()
+    val top = rows.toSeq.map(r => r.getAs[String]("w") -> r.getAs[Long]("approx_cnt"))
     assert(top.length == 5)
     val exact = Tables.documents(spark, SfDir)
       .select(explode(TextFns.tokenize(col("text"))).as("w"))

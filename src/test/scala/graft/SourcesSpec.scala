@@ -124,6 +124,7 @@ class SourcesSpec extends SparkSpecBase {
         |536367,999,17850,2,1.10
         |536368,85123,99999,notanumber,totallybroken
         |536369,85123,12583,3,4.25
+        |536370,85123,,4,1.99
         |""".stripMargin
     Files.write(java.nio.file.Paths.get(s"$dir/retail.csv"), csv.getBytes)
     import org.apache.spark.sql.types._
@@ -138,14 +139,16 @@ class SourcesSpec extends SparkSpecBase {
     // the type-broken row is captured intact, not dropped
     assert(quarantined.count() == 1)
     assert(quarantined.head.getAs[String](ExternalIngest.CorruptCol).contains("notanumber"))
-    assert(clean.count() == 5)
-    // reference shape gate: cancelled invoice + short stock code rejected, with reasons
+    assert(clean.count() == 6)
+    // reference shape gate: cancelled invoice + short stock code + NULL
+    // customer id (the PERMISSIVE-ingest empty field) rejected, with reasons
     val (kept, rejected) = ExternalIngest.retailShapeGate(clean)
     assert(kept.count() == 3)
     val reasons = rejected.select("invoice_no", "reject_reason").collect()
       .map(r => (r.getString(0), r.getString(1))).toMap
     assert(reasons("C537226") == "cancelled_invoice")
     assert(reasons("536367") == "bad_stock_code")
+    assert(reasons("536370") == "bad_customer_id")
     raw.unpersist()
   }
 
