@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOf, Curate, Dedup, Multimodal, Ranges, Relational, RetailEtl, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Curate, Dedup, Multimodal, Ranges, Relational, RetailEtl, Similarity, TextAnalysis, Training}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -61,6 +61,7 @@ object SparkEntry {
     "q35_histogram"      -> Relational.q35Histogram _,
     "q36_hll_union"      -> Relational.q36HllUnion _,
     "q37_incr_agg"       -> Relational.q37IncrAgg _,
+    "q38_pivot_native"   -> Relational.q38PivotNative _,
     "q39_array_funcs"    -> Relational.q39ArrayFuncs _,
     "q40_range_frame"    -> Relational.q40RangeFrame _,
     "pipeline_stratified" -> ((s: SparkSession, d: String) => Curate.stratified(s, d)),
@@ -90,6 +91,11 @@ object SparkEntry {
     "dedup_embed_cosine"  -> Similarity.embedCosineDedup _,
     "mm_meta"             -> Multimodal.meta _,
     "pipeline_curate"     -> Curate.curate _,
+    "contamination_check" -> Training.contamination _,
+    "pipeline_pack"       -> Training.pack _,
+    "dedup_cross_corpus"  -> Training.crossCorpus _,
+    "text_diversity"      -> Training.diversity _,
+    "embed_class_centroid" -> Similarity.classCentroid _,
     // §2.D streaming (batch-equivalent forms; streaming impls spec-tested)
     "stream_window_agg"   -> EventStreams.windowAgg _,
     "stream_sessionize"   -> EventStreams.sessionize _,
@@ -410,6 +416,17 @@ object SparkEntry {
         | floor(quantile_cont(l_extendedprice, 0.9) * 100.0 + 0.5) / 100.0 AS p90_price,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "contamination_check" -> Training.contaminationSql,
+    "pipeline_pack"       -> Training.packSql,
+    "dedup_cross_corpus"  -> Training.crossCorpusSql,
+    "text_diversity"      -> Training.diversitySql,
+    "embed_class_centroid" -> Similarity.classCentroidSql,
+    "q38_pivot_native" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        | floor(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) * 100.0 + 0.5) / 100.0 AS F,
+        | floor(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) * 100.0 + 0.5) / 100.0 AS O,
+        | floor(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) * 100.0 + 0.5) / 100.0 AS P
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
     "dedup_exact"         -> Dedup.exactSql,
     "fuzzy_join"          -> Dedup.fuzzyJoinSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,

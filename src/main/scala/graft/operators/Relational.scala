@@ -660,6 +660,22 @@ object Relational {
       .orderBy(col("yr"), col("mo"))
   }
 
+  /** q38_pivot_native — Spark's native relational pivot with an
+    * EXPLICIT value list: yearly revenue spread across order-status
+    * columns. The explicit list matters at scale — `pivot(col)` without
+    * values runs a driver-side distinct over the pivot column (an extra
+    * full job and an unbounded column count); with values the plan is
+    * one ordinary map-side-combined aggregate, same shape as the manual
+    * CASE pivot (q12) but with the operator Spark users actually reach
+    * for.
+    */
+  def q38PivotNative(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(Cols.pround(sum(col("o_totalprice")), 2))
+      .orderBy(col("yr"))
+
   /** q21_stats_agg — statistical aggregates: Pearson correlation,
     * sample stddev, exact interpolated percentiles (median / p90). All
     * single-pass mergeable aggregation states → one shuffle on the

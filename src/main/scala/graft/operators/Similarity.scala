@@ -402,4 +402,69 @@ object Similarity {
        |      FROM cand JOIN e ea ON a_id = ea.vec_id JOIN e eb ON b_id = eb.vec_id)
        |SELECT a_id, b_id, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
        |FROM s WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin
+
+  /** Per-class centroid affinity: each vector's cosine to ITS label's
+    * centroid — the outlier/mislabel score of an embedding-space QA
+    * pass (low affinity ⇒ the vector sits far from its class).
+    *
+    * Cross-row float sums are order-dependent, so the vectors are
+    * QUANTIZED first (qx = floor(x·2^20 + 0.5), exact: ·2^20 is a pure
+    * exponent shift on a float-widened double) and every aggregate is
+    * integer — order-independent, hence value-oracle-safe. The class
+    * size n cancels in the cosine (dot(v, s/n) / (|v|·|s/n|) =
+    * dot(v, s) / (|v|·|s|)), so centroids are kept as raw integer sums;
+    * the centroid self-product Σs² is summed in DECIMAL (it scales with
+    * n² and would overflow int64 on a billion-vector class). Division
+    * and sqrt are IEEE-correctly-rounded — deterministic across
+    * engines, unlike libm transcendentals.
+    *
+    * Scale shape: the only corpus-sized stages are the dim explode and
+    * the per-vector re-aggregation (keyed on vec id); the centroid
+    * table is |labels|·dims rows — broadcastable at any corpus size —
+    * so the rejoin never shuffles the exploded stream a second time.
+    * Output: (vec_id, label, cos_centroid) for vectors with a nonzero
+    * quantized norm.
+    */
+  def classCentroidOn(vectors: DataFrame): DataFrame = {
+    val q = vectors
+      .select(col("id"), col("label"), posexplode(col("vec")).as(Seq("d", "x")))
+      .select(col("id"), col("label"), col("d"),
+        floor(col("x").cast("double") * lit(1048576.0) + lit(0.5)).cast("long").as("qx"))
+      .persist() // read by the centroid agg AND the affinity rejoin
+    val cent = q.groupBy(col("label"), col("d"))
+      .agg(sum(col("qx")).as("s"))
+      .persist() // read by the class-norm agg AND the affinity rejoin
+    val cnorm = cent.groupBy(col("label"))
+      .agg(sum((col("s") * col("s")).cast("decimal(38,0)")).cast("double").as("cn2"))
+    val per = q.join(cent, Seq("label", "d"))
+      .groupBy(col("id"), col("label"))
+      .agg(sum(col("qx") * col("s")).as("dot"), sum(col("qx") * col("qx")).as("vn2"))
+    per.join(cnorm, Seq("label"))
+      .filter(col("vn2") > 0)
+      .select(col("id"), col("label"),
+        Cols.pround(col("dot").cast("double")
+          / (sqrt(col("vn2").cast("double")) * sqrt(col("cn2"))), 6).as("cos_centroid"))
+  }
+
+  /** embed_class_centroid testdata binding. */
+  def classCentroid(spark: SparkSession, sfDir: String): DataFrame =
+    classCentroidOn(Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("id"), col("label"), col("embedding").as("vec")))
+      .select(col("id").as("vec_id"), col("label"), col("cos_centroid"))
+      .orderBy(col("vec_id"))
+
+  def classCentroidSql: String =
+    // constant dim bound: DuckDB's generate_series can't take a lateral
+    // column argument; the testdata embeddings are uniformly 64-dim
+    s"""WITH q AS (SELECT vec_id, label, d,
+       |  CAST(floor(CAST(embedding[d] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS qx
+       |  FROM embeddings, generate_series(1, 64) AS g(d)),
+       |cent AS (SELECT label, d, CAST(sum(qx) AS BIGINT) AS s FROM q GROUP BY 1, 2),
+       |cn AS (SELECT label, CAST(sum(s * s) AS DOUBLE) AS cn2 FROM cent GROUP BY 1),
+       |per AS (SELECT vec_id, q.label AS label, CAST(sum(qx * s) AS BIGINT) AS dot,
+       |        CAST(sum(qx * qx) AS BIGINT) AS vn2
+       |        FROM q JOIN cent ON q.label = cent.label AND q.d = cent.d GROUP BY 1, 2)
+       |SELECT vec_id, per.label AS label,
+       | ${Cols.proundSql("CAST(dot AS DOUBLE) / (sqrt(CAST(vn2 AS DOUBLE)) * sqrt(cn2))", 6)} AS cos_centroid
+       |FROM per JOIN cn ON per.label = cn.label WHERE vn2 > 0 ORDER BY vec_id""".stripMargin
 }

@@ -1,0 +1,238 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextCount, TextFns}
+import graft.util.{Cols, Tables}
+
+/** Training-data pipeline operators beyond the dedup/similarity families
+  * (SURVEY.md §2.C): benchmark decontamination, sequence packing,
+  * cross-corpus dedup, lexical-diversity scoring. Like the rest of the
+  * library each operator is a generic `*On` core plus a testdata binding,
+  * and every hash is a portable TextFns polynomial fold so the DuckDB
+  * value oracle covers the full computation.
+  *
+  * Scale notes (100 TB corpus):
+  *  - contamination: the EVAL shingle set is bounded by the benchmark
+  *    suite size (thousands of docs), not the corpus — the probe side
+  *    left-semi joins against it (AQE broadcasts the small build side),
+  *    so the corpus-sized stream never shuffles for candidates; the only
+  *    corpus-sized shuffle is the per-doc hit count on doc_id.
+  *  - packing: one window per SHARD (deterministic doc_id ranges), not a
+  *    single global ORDER BY — a global cumulative sum would serialize
+  *    the corpus through one partition, while per-shard packing is how
+  *    production packing actually runs (each worker packs its shard).
+  *  - cross-corpus dedup: banded MinHash LSH across corpora — candidate
+  *    pairs meet in a (band, bandKey) equi-join, so cost tracks the true
+  *    collision count, never |new| × |snapshot|.
+  *  - diversity: two map-side-combinable aggregations (token counts,
+  *    then per-doc moments) — no joins, no skew beyond token frequency
+  *    itself, which the (doc_id, token) first-stage key disperses.
+  */
+object Training {
+
+  // ------------------------------------------------------- contamination
+
+  /** Benchmark-decontamination check: for every corpus doc, the fraction
+    * of its distinct 3-word shingles that also appear anywhere in the
+    * EVAL set (n-gram containment). A doc with containment ≥
+    * `threshold` is flagged — the standard guard against test-set
+    * leakage into training data. Containment, not Jaccard: a short
+    * benchmark item quoted inside a long page should still flag.
+    * Output: (doc_id, n_shingles, n_hit, containment, contaminated) for
+    * corpus docs with ≥ 1 shingle.
+    */
+  def contaminationOn(corpus: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, threshold: Double): DataFrame = {
+    def shingled(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+      TextFns.shingleHashes(TextFns.tokenize(col(textCol))).as("h"))
+    val evalShingles = shingled(eval)
+      .select(explode(col("h")).as("x")).distinct()
+    val docs = shingled(corpus).filter(size(col("h")) > 0).persist()
+    val hits = docs.select(col("doc_id"), explode(col("h")).as("x"))
+      .join(evalShingles, Seq("x"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    docs.select(col("doc_id"), size(col("h")).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("containment",
+        Cols.pround(col("n_hit").cast("double") / col("n_shingles"), 6))
+      .withColumn("contaminated", col("containment") >= threshold)
+  }
+
+  /** contamination_check testdata binding: docs with doc_id % 97 = 0
+    * stand in for the benchmark suite; the rest are the corpus.
+    */
+  def contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    contaminationOn(d.filter(col("doc_id") % 97 =!= 0),
+      d.filter(col("doc_id") % 97 === 0), "doc_id", "text", 0.5)
+      .orderBy(col("doc_id"))
+  }
+
+  def contaminationSql: String = {
+    val sh = s"SELECT doc_id, ${TextFns.shingleHashesSql(TextFns.tokenizeSql("text"))} AS h FROM documents"
+    s"""WITH sh AS ($sh),
+       |ev AS (SELECT DISTINCT unnest(h) AS x FROM sh WHERE doc_id % 97 = 0),
+       |docs AS (SELECT doc_id, h FROM sh WHERE doc_id % 97 <> 0 AND len(h) > 0),
+       |probe AS (SELECT doc_id, unnest(h) AS x FROM docs),
+       |hits AS (SELECT doc_id, count(*) AS n_hit FROM probe
+       |         WHERE x IN (SELECT x FROM ev) GROUP BY 1),
+       |r AS (SELECT d.doc_id, len(d.h) AS n_shingles, coalesce(hits.n_hit, 0) AS n_hit
+       |      FROM docs d LEFT JOIN hits ON d.doc_id = hits.doc_id)
+       |SELECT doc_id, n_shingles, n_hit,
+       | ${Cols.proundSql("CAST(n_hit AS DOUBLE) / n_shingles", 6)} AS containment,
+       | ${Cols.proundSql("CAST(n_hit AS DOUBLE) / n_shingles", 6)} >= 0.5 AS contaminated
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------- packing
+
+  /** Token budget per packed training sequence. */
+  val PackBudget = 512L
+
+  /** Docs per deterministic packing shard (each shard packs
+    * independently — the parallel unit).
+    */
+  val PackShard = 250L
+
+  /** Sequence packing: documents are concatenated in deterministic
+    * (shard, id) order and cut into `budget`-token training sequences; a
+    * doc belongs to the pack where it STARTS (exclusive running token
+    * offset ÷ budget). Token counts come from the codegen'd
+    * [[graft.functions.TextCount]] (identical to `len(tokenize)`).
+    * Output: one row per pack — (pack_id, n_docs, total_tokens,
+    * first_doc).
+    */
+  def packOn(df: DataFrame, idCol: String, textCol: String,
+      budget: Long = PackBudget, shardSize: Long = PackShard): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol).as("doc_id"),
+        TextCount.column(col(textCol), TextCount.Words).as("tokens"))
+      .withColumn("shard", expr(s"doc_id div $shardSize"))
+      .withColumn("off", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"shard * 1000000 + off div $budget"))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"))
+  }
+
+  /** pipeline_pack testdata binding. */
+  def pack(spark: SparkSession, sfDir: String): DataFrame =
+    packOn(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy(col("pack_id"))
+
+  def packSql: String =
+    s"""WITH tok AS (SELECT doc_id, doc_id // $PackShard AS shard,
+       |  CAST(len(${TextFns.tokenizeSql("text")}) AS BIGINT) AS tokens FROM documents),
+       |off AS (SELECT doc_id, shard, tokens,
+       |  CAST(coalesce(sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off FROM tok),
+       |p AS (SELECT CAST(shard * 1000000 + off // $PackBudget AS BIGINT) AS pack_id, doc_id, tokens FROM off)
+       |SELECT pack_id, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS total_tokens,
+       | min(doc_id) AS first_doc
+       |FROM p GROUP BY 1 ORDER BY pack_id""".stripMargin
+
+  // ------------------------------------------------- cross-corpus dedup
+
+  /** Cross-corpus near-dup detection: which NEW docs near-duplicate a
+    * doc already in the SNAPSHOT corpus (the incremental-crawl dedup
+    * step — new data is deduped against what's already in the training
+    * set, not just against itself). Banded MinHash LSH across the two
+    * corpora: signatures on each side, candidates meet in a
+    * (band, bandKey) equi-join, exact signature agreement filters at
+    * `minAgreement`. Output: (new_id, snap_id, est_sim) pairs.
+    */
+  def crossCorpusOn(newDocs: DataFrame, snapshot: DataFrame, idCol: String,
+      textCol: String, minAgreement: Double): DataFrame = {
+    def sigs(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"),
+        TextFns.shingleHashes(TextFns.tokenize(col(textCol))).as("h"))
+      .filter(size(col("h")) > 0)
+      .select(col("doc_id"), TextFns.minhashSig("h").as("s"))
+      .persist()
+    def bands(sig: DataFrame, id: String) = sig
+      .select(col("doc_id").as(id), col("s"),
+        explode(sequence(lit(0), lit(TextFns.Bands - 1))).as("band"))
+      .select(col(id), col("band"), TextFns.bandKey("s", "band").as("bk"))
+    val ns = sigs(newDocs)
+    val ss = sigs(snapshot)
+    val cand = bands(ns, "new_id").join(bands(ss, "snap_id"), Seq("band", "bk"))
+      .select(col("new_id"), col("snap_id")).distinct()
+    cand
+      .join(ns.select(col("doc_id").as("new_id"), col("s").as("sa")), Seq("new_id"))
+      .join(ss.select(col("doc_id").as("snap_id"), col("s").as("sb")), Seq("snap_id"))
+      .withColumn("est_sim", TextFns.sigAgreement("sa", "sb"))
+      .filter(col("est_sim") >= minAgreement)
+      .select(col("new_id"), col("snap_id"), col("est_sim"))
+  }
+
+  /** dedup_cross_corpus testdata binding: odd ids are the "new crawl",
+    * even ids the snapshot (the planted near-dup content spans both).
+    */
+  def crossCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    crossCorpusOn(d.filter(col("doc_id") % 2 === 1),
+      d.filter(col("doc_id") % 2 === 0), "doc_id", "text", 0.5)
+      .orderBy(col("new_id"), col("snap_id"))
+  }
+
+  def crossCorpusSql: String = {
+    val sh = s"SELECT doc_id, ${TextFns.shingleHashesSql(TextFns.tokenizeSql("text"))} AS h FROM documents"
+    s"""WITH sh AS ($sh),
+       |sig AS (SELECT doc_id, ${TextFns.minhashSigSql("h")} AS s FROM sh WHERE len(h) > 0),
+       |nb AS (SELECT doc_id AS new_id, s, j AS band, ${TextFns.bandKeySql("s", "j")} AS bk
+       |       FROM sig, generate_series(0, ${TextFns.Bands - 1}) AS g(j) WHERE doc_id % 2 = 1),
+       |sb AS (SELECT doc_id AS snap_id, s, j AS band, ${TextFns.bandKeySql("s", "j")} AS bk
+       |       FROM sig, generate_series(0, ${TextFns.Bands - 1}) AS g(j) WHERE doc_id % 2 = 0),
+       |cand AS (SELECT DISTINCT new_id, snap_id, nb.s AS sa, sb.s AS sb2
+       |         FROM nb JOIN sb ON nb.band = sb.band AND nb.bk = sb.bk)
+       |SELECT new_id, snap_id, ${TextFns.sigAgreementSql("sa", "sb2")} AS est_sim
+       |FROM cand WHERE ${TextFns.sigAgreementSql("sa", "sb2")} >= 0.5
+       |ORDER BY new_id, snap_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------- diversity
+
+  /** Lexical-diversity scoring — the repetitiveness signals a quality
+    * filter thresholds on, all EXACT rationals (no transcendentals, so
+    * the cross-engine value oracle holds bit-for-bit):
+    *  - type-token ratio: distinct tokens / tokens
+    *  - Gini–Simpson diversity: 1 − Σ cnt² / n² (probability two random
+    *    tokens differ — the rational stand-in for entropy)
+    *  - top-token ratio: max(cnt) / n (boilerplate/spam marker)
+    * Output per doc with ≥ 1 token:
+    * (doc_id, n_tokens, n_types, ttr, simpson, top_ratio).
+    */
+  def diversityOn(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(TextFns.tokenize(col(textCol))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("cnt") * col("cnt")).as("sq"), max(col("cnt")).as("top"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        Cols.pround(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        Cols.pround(lit(1.0) - col("sq").cast("double")
+          / (col("n_tokens") * col("n_tokens")), 6).as("simpson"),
+        Cols.pround(col("top").cast("double") / col("n_tokens"), 6).as("top_ratio"))
+
+  /** text_diversity testdata binding. */
+  def diversity(spark: SparkSession, sfDir: String): DataFrame =
+    diversityOn(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  def diversitySql: String =
+    s"""WITH e AS (SELECT doc_id, unnest(${TextFns.tokenizeSql("text")}) AS w FROM documents),
+       |c AS (SELECT doc_id, w, count(*) AS cnt FROM e GROUP BY 1, 2),
+       |m AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens, count(*) AS n_types,
+       |      CAST(sum(cnt * cnt) AS BIGINT) AS sq, max(cnt) AS top
+       |      FROM c GROUP BY 1)
+       |SELECT doc_id, n_tokens, n_types,
+       | ${Cols.proundSql("CAST(n_types AS DOUBLE) / n_tokens", 6)} AS ttr,
+       | ${Cols.proundSql("1.0 - CAST(sq AS DOUBLE) / (n_tokens * n_tokens)", 6)} AS simpson,
+       | ${Cols.proundSql("CAST(top AS DOUBLE) / n_tokens", 6)} AS top_ratio
+       |FROM m ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, Training}
+
+/** Semantic invariants for the training-pipeline operators (the value
+  * oracles pin cross-engine equality; these pin MEANING).
+  */
+class TrainingSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("contamination: a doc quoting an eval doc verbatim flags; disjoint text does not") {
+    val eval = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "intro text then the quick brown fox jumps over the lazy dog and more"),
+      (11L, "completely unrelated words about spark shuffles and parquet footers"))
+      .toDF("doc_id", "text")
+    val r = Training.contaminationOn(corpus, eval, "doc_id", "text", 0.5)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Boolean]("contaminated")).toMap
+    assert(r(10L), "verbatim quote must flag")
+    assert(!r(11L), "disjoint text must not flag")
+  }
+
+  test("pack: budget semantics — a doc belongs to the pack of its starting offset") {
+    // 5 docs x 300 tokens in one shard, budget 512: starts at 0,300,600,...
+    // -> packs 0,0,1,1,2
+    val docs = (0L to 4L).map(i => (i, Seq.fill(300)("tok").mkString(" "))).toDF("doc_id", "text")
+    val r = Training.packOn(docs, "doc_id", "text").orderBy("pack_id").collect()
+    assert(r.map(_.getAs[Long]("pack_id")).toSeq == Seq(0L, 1L, 2L))
+    assert(r.map(_.getAs[Long]("n_docs")).toSeq == Seq(2L, 2L, 1L))
+    // every doc's tokens counted exactly once
+    assert(r.map(_.getAs[Long]("total_tokens")).sum == 1500L)
+  }
+
+  test("pack: shards pack independently (pack ids never cross shards)") {
+    val r = Training.pack(spark, SfDir).collect()
+    r.foreach { row =>
+      val pack = row.getAs[Long]("pack_id")
+      val firstDoc = row.getAs[Long]("first_doc")
+      assert(pack / 1000000L == firstDoc / Training.PackShard,
+        s"pack $pack claims a doc from another shard ($firstDoc)")
+    }
+  }
+
+  test("cross-corpus dedup: finds planted near-dups, never pairs within one corpus") {
+    val r = Training.crossCorpus(spark, SfDir).collect()
+    assert(r.nonEmpty, "testdata plants near-dups across the even/odd split")
+    r.foreach { row =>
+      assert(row.getAs[Long]("new_id") % 2 == 1)
+      assert(row.getAs[Long]("snap_id") % 2 == 0)
+      assert(row.getAs[Double]("est_sim") >= 0.5)
+    }
+  }
+
+  test("diversity: constant doc vs all-distinct doc bracket the scores") {
+    val docs = Seq(
+      (1L, Seq.fill(50)("same").mkString(" ")),            // zero diversity
+      (2L, (1 to 50).map(i => s"w$i").mkString(" ")))      // max diversity
+      .toDF("doc_id", "text")
+    val r = Training.diversityOn(docs, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Double]("ttr") == 0.02 && r(1L).getAs[Double]("simpson") == 0.0
+      && r(1L).getAs[Double]("top_ratio") == 1.0)
+    assert(r(2L).getAs[Double]("ttr") == 1.0 && r(2L).getAs[Double]("simpson") == 0.98
+      && r(2L).getAs[Double]("top_ratio") == 0.02)
+  }
+
+  test("class centroid: separates aligned members from a planted outlier") {
+    // class 0 clusters on axis e1, class 1 on e2; vector 99 carries label 0
+    // but points along e2 — the mislabel the score exists to surface
+    def vec(main: Int, wobble: Float): Seq[Float] =
+      (0 until 64).map(d => if (d == main) 1.0f else if (d == main + 2) wobble else 0.0f)
+    val rows =
+      (0L to 4L).map(i => (i, 0, vec(0, 0.1f * i))) ++
+        (5L to 9L).map(i => (i, 1, vec(1, 0.1f * (i - 5)))) :+
+        ((99L, 0, vec(1, 0.0f)))
+    val df = rows.toDF("id", "label", "vec")
+    val r = Similarity.classCentroidOn(df)
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Double]("cos_centroid")).toMap
+    (0L to 9L).foreach(i => assert(r(i) > 0.9, s"aligned member $i scored ${r(i)}"))
+    assert(r(99L) < 0.5, s"planted outlier scored ${r(99L)} — should be far from its centroid")
+    // full testdata: scores well-formed and positively biased (self-inclusion)
+    val td = Similarity.classCentroid(spark, SfDir)
+    assert(td.filter(col("cos_centroid") < -1.000001 || col("cos_centroid") > 1.000001).count() == 0)
+    assert(td.agg(avg("cos_centroid")).head.getDouble(0) > 0.0)
+  }
+}
