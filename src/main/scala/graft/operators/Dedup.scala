@@ -115,6 +115,10 @@ object Dedup {
     val e = t.select(col("doc_id"), explode(col("h")).as("x"))
     val hot = e.groupBy(col("x")).agg(count(lit(1)).as("dfreq"))
       .filter(col("dfreq") > dfCap).select(col("x")).persist()
+    // NOT persisted: Catalyst reuses the anti-join's shuffle exchange
+    // across the three consuming branches (ReusedExchange), and a cache
+    // here measurably slows the query by forcing a materialization
+    // barrier where the branches otherwise pipeline
     val ec = e.join(hot, Seq("x"), "left_anti")
     val inter = ec.select(col("doc_id").as("a_id"), col("x"))
       .join(ec.select(col("doc_id").as("b_id"), col("x")), Seq("x"))
@@ -340,6 +344,8 @@ object Dedup {
     var changed = 1L
     var iter = 0
     val maxIter = 20
+    val debug = sys.env.contains("GRAFT_CLUSTER_DEBUG")
+    var t0 = System.nanoTime()
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges
         .join(delta.select(col("id").as("v"), col("lbl").as("vlbl")), Seq("v"))
@@ -349,19 +355,24 @@ object Dedup {
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
           col("lbl").as("prev"))
         .persist()
+      // delta is a filter VIEW over next's cache (no second persist —
+      // one materialization per round; the count both detects the
+      // fixpoint and truncates lineage)
       val nextDelta = next.filter(col("lbl") =!= col("prev"))
-        .select(col("id"), col("lbl")).persist()
-      changed = nextDelta.count() // materializes next + nextDelta
+        .select(col("id"), col("lbl"))
+      changed = nextDelta.count() // materializes next
+      if (debug) {
+        System.err.println(f"[cluster] round $iter: changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        t0 = System.nanoTime()
+      }
       // previous round's frames are now fully consumed
       labels.unpersist()
-      if (!(delta eq labels)) delta.unpersist()
       prevRound.foreach(_.unpersist())
       prevRound = Some(next)
       labels = next.select(col("id"), col("lbl")) // view over next's cache
       delta = nextDelta
       iter += 1
     }
-    if (!(delta eq labels)) delta.unpersist()
     // min-label propagation needs O(component diameter) rounds; a graph
     // with diameter > maxIter would otherwise return silently-wrong
     // unconverged labels (the oracle computes the full closure)

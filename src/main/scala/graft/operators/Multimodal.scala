@@ -11,11 +11,13 @@ import graft.util.Tables
   * video. The Spark-side mechanics are real (binary columns, schema,
   * partition-friendly per-batch processing via mapPartitions), and the
   * IMAGE codec is real too: [[decodeImage]]/[[thumbnail]] run
-  * javax.imageio (JDK built-in — PNG/JPEG/GIF/BMP) with no external
-  * dependency. Audio/video codecs don't ship in the JDK, so
-  * [[decodeStub]] remains the documented deterministic stand-in for
-  * those modalities (it also backs the text-payload testdata binding
-  * mm_meta, whose payloads aren't images).
+  * javax.imageio (JDK built-in — PNG/JPEG/GIF/BMP), and the AUDIO codec
+  * is real: [[decodeAudio]]/[[audioRmsOn]] run javax.sound.sampled (JDK
+  * built-in — WAV/AIFF/AU) including 16-bit-PCM RMS feature extraction.
+  * No external dependencies anywhere. Video codecs don't ship in the
+  * JDK, so [[decodeStub]] remains the documented deterministic stand-in
+  * for that modality (it also backs the text-payload testdata binding
+  * mm_meta, whose payloads aren't media files).
   */
 object Multimodal {
 
@@ -96,6 +98,80 @@ object Multimodal {
     df.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) => thumbnail(id, bytes, w, h) })
+  }
+
+  /** One decoded audio record. */
+  case class AudioMeta(doc_id: Long, payload_len: Int, sample_rate: Int,
+    channels: Int, n_frames: Long, duration_ms: Long)
+
+  /** REAL audio decode (javax.sound.sampled — JDK built-in; WAV/AIFF/AU):
+    * true sample rate / channels / frame count from the payload bytes.
+    * None for undecodable payloads — quarantine, never crash the load.
+    */
+  def decodeAudio(docId: Long, bytes: Array[Byte]): Option[AudioMeta] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val durMs = if (fmt.getFrameRate > 0) (frames * 1000L / fmt.getFrameRate.toLong) else -1L
+        Some(AudioMeta(docId, bytes.length, fmt.getSampleRate.toInt,
+          fmt.getChannels, frames, durMs))
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Batch audio decode over a (doc_id, payload:binary) frame — same
+    * per-partition batch shape as the image path.
+    */
+  def decodeAudiosOn(df: DataFrame): Dataset[AudioMeta] = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => decodeAudio(id, bytes) })
+  }
+
+  /** One audio analysis window. */
+  case class AudioWindow(doc_id: Long, win_idx: Int, rms: Double)
+
+  /** REAL audio feature extraction: decode 16-bit PCM and emit per-window
+    * RMS energy (the VAD/silence-trim primitive of a speech pipeline).
+    * Each payload explodes to its windows inside the partition batch —
+    * no driver involvement, output rows ∝ audio length.
+    */
+  def audioRmsOn(df: DataFrame, windowFrames: Int = 1024): Dataset[AudioWindow] = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val in =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (in == null || in.getFormat.getSampleSizeInBits != 16) Iterator.empty
+        else try {
+          val fmt = in.getFormat
+          val bytesPerFrame = fmt.getFrameSize
+          val pcm = in.readAllBytes()
+          val le = !fmt.isBigEndian
+          val nWin = pcm.length / (bytesPerFrame * windowFrames)
+          (0 until nWin).iterator.map { w =>
+            var sum = 0.0
+            var i = w * windowFrames * bytesPerFrame
+            val end = i + windowFrames * bytesPerFrame
+            while (i + 1 < end) { // first channel of each frame
+              val s = if (le) ((pcm(i + 1) << 8) | (pcm(i) & 0xff)).toShort
+                      else ((pcm(i) << 8) | (pcm(i + 1) & 0xff)).toShort
+              sum += s.toDouble * s.toDouble
+              i += bytesPerFrame
+            }
+            AudioWindow(id, w, math.sqrt(sum / windowFrames))
+          }.toSeq
+        } finally in.close()
+      })
   }
 
   /** One extracted frame feature. */

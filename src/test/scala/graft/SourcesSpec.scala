@@ -226,6 +226,41 @@ class SourcesSpec extends SparkSpecBase {
     }
   }
 
+  test("multimodal REAL audio decode: WAV format read, per-window RMS tracks signal energy") {
+    import spark.implicits._
+    // synthesize 16-bit mono PCM WAV: a loud sine burst then digital silence
+    def wav(sampleRate: Int, loudFrames: Int, silentFrames: Int): Array[Byte] = {
+      val n = loudFrames + silentFrames
+      val pcm = new Array[Byte](n * 2)
+      (0 until loudFrames).foreach { i =>
+        val s = (math.sin(i * 2 * math.Pi / 64) * 20000).toShort
+        pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+      buf.toByteArray
+    }
+    val payloads = Seq(
+      (1L, wav(16000, 2048, 2048)),
+      (2L, wav(8000, 1024, 0)),
+      (3L, "not audio at all".getBytes))
+    val df = payloads.toDF("doc_id", "payload")
+    val metas = Multimodal.decodeAudiosOn(df).collect().sortBy(_.doc_id)
+    assert(metas.map(m => (m.doc_id, m.sample_rate, m.channels, m.n_frames)).toSeq
+      == Seq((1L, 16000, 1, 4096L), (2L, 8000, 1, 1024L)), "true decoded audio format")
+    assert(metas.head.duration_ms == 256L) // 4096 frames at 16 kHz
+    assert(!metas.exists(_.doc_id == 3L), "junk payload quarantined, not crashed")
+    // RMS feature extraction: loud windows ≫ silent windows
+    val rms = Multimodal.audioRmsOn(df).collect().filter(_.doc_id == 1L).sortBy(_.win_idx)
+    assert(rms.length == 4) // 4096 frames / 1024-frame windows
+    assert(rms.take(2).forall(_.rms > 10000), s"sine burst windows: ${rms.toSeq}")
+    assert(rms.drop(2).forall(_.rms == 0.0), s"silent windows: ${rms.toSeq}")
+  }
+
   test("multimodal decode plumbing: per-partition batch decode yields typed metadata") {
     val metas = Multimodal.decodeAll(spark, SfDir).collect()
     assert(metas.length == 500)
