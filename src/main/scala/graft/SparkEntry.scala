@@ -62,6 +62,7 @@ object SparkEntry {
     "q36_hll_union"      -> Relational.q36HllUnion _,
     "q37_incr_agg"       -> Relational.q37IncrAgg _,
     "q38_pivot_native"   -> Relational.q38PivotNative _,
+    "q41_salted_join"    -> Relational.q41SaltedJoin _,
     "q39_array_funcs"    -> Relational.q39ArrayFuncs _,
     "q40_range_frame"    -> Relational.q40RangeFrame _,
     "pipeline_stratified" -> ((s: SparkSession, d: String) => Curate.stratified(s, d)),
@@ -421,6 +422,14 @@ object SparkEntry {
     "dedup_cross_corpus"  -> Training.crossCorpusSql,
     "text_diversity"      -> Training.diversitySql,
     "embed_class_centroid" -> Similarity.classCentroidSql,
+    "q41_salted_join" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events),
+        |dim AS (SELECT event_type, count(DISTINCT event_id) AS n_type_events FROM e GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n_events,
+        | floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value,
+        | max(n_type_events) AS n_type_events
+        |FROM e JOIN dim ON e.event_type = dim.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q38_pivot_native" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
         | floor(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) * 100.0 + 0.5) / 100.0 AS F,

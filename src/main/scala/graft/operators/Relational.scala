@@ -660,6 +660,46 @@ object Relational {
       .orderBy(col("yr"), col("mo"))
   }
 
+  /** Manual skew-mitigation JOIN (the companion to q20's salted agg):
+    * the fact side salts its join key with `r` deterministic variants;
+    * the dim side replicates each row across all `r` salts; the join
+    * runs on (key, salt) so a hot key's rows spread over `r` reducers
+    * instead of one. The tool for when AQE's skew split can't help —
+    * e.g. a skewed key feeding a stateful/bucketed join — at the cost
+    * of shuffling the dim `r` times (cheap when |dim| ≪ |fact|).
+    * Semantics are EXACTLY an inner equi-join on `key`.
+    */
+  def saltedJoinOn(fact: DataFrame, dim: DataFrame, key: String, r: Int): DataFrame = {
+    val saltedFact = fact.withColumn("_salt", pmod(hash(monotonically_increasing_id()), lit(r)))
+    val saltedDim = dim.withColumn("_salt", explode(sequence(lit(0), lit(r - 1))))
+    saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** q41_salted_join — salted join of the event stream (5 hot
+    * event_type keys — maximal skew: each key is ~20% of the fact) with
+    * a per-type dim, then a salted rollup; oracle = the plain join +
+    * group-by, proving the salt is semantics-free. The row-local salt
+    * here is `pmod(event_id, r)` so the oracle can mirror it exactly
+    * (the library form uses a row id).
+    */
+  def q41SaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = 8
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val dim = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("event_id")).as("n_type_events"))
+    val saltedFact = e.withColumn("_salt", pmod(col("event_id"), lit(r)))
+    val saltedDim = dim.withColumn("_salt", explode(sequence(lit(0), lit(r - 1))))
+    saltedFact.join(saltedDim, Seq("event_type", "_salt"))
+      .groupBy(col("event_type"), col("_salt"))
+      .agg(count(lit(1)).as("pc"), sum(col("value")).as("ps"),
+        max(col("n_type_events")).as("nte"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pc")).as("n_events"), Cols.pround(sum(col("ps")), 2).as("total_value"),
+        max(col("nte")).as("n_type_events"))
+      .orderBy(col("event_type"))
+  }
+
   /** q38_pivot_native — Spark's native relational pivot with an
     * EXPLICIT value list: yearly revenue spread across order-status
     * columns. The explicit list matters at scale — `pivot(col)` without

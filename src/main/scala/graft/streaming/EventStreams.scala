@@ -193,6 +193,26 @@ object EventStreams {
       })
   }
 
+  /** Streaming quality gate with DEAD-LETTER routing: each micro-batch
+    * splits on `pred` — passing rows append to `goodPath`, failing rows
+    * to `quarantinePath` — so a 100 TB ingest stream never silently
+    * drops bad records and never aborts on them (the streaming
+    * counterpart of ExternalIngest's PERMISSIVE quarantine). The batch
+    * is persisted across the two writes: both sinks must see the SAME
+    * evaluation of a micro-batch that a lazy recompute could otherwise
+    * change (and the source is only read once).
+    */
+  def qualityRouteSink(updates: DataFrame, pred: org.apache.spark.sql.Column,
+      goodPath: String, quarantinePath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream.outputMode(OutputMode.Append).foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.persist()
+        try {
+          b.filter(pred).write.mode("append").parquet(goodPath)
+          b.filter(!pred).write.mode("append").parquet(quarantinePath)
+        } finally { b.unpersist(); () }
+    }.start()
+
   /** Streaming form of [[intervalJoinBatch]]: a stream-stream inner
     * join. Watermarks on both sides plus the time-band condition let
     * the engine expire buffered state — clicks older than the watermark

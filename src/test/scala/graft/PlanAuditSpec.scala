@@ -120,6 +120,28 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.sliding("hashpartitioning(".length).count(_ == "hashpartitioning(") == 1, p)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim-filtered shuffle join") {
+    // The 100 TB scan-reduction path: when a shuffle join's build side
+    // carries a selective filter, Spark injects a bloom-filter runtime
+    // filter (might_contain) into the probe-side scan so most fact rows
+    // die before the exchange. Threshold lowered because testdata stats
+    // are far below the 10 GB production default — the assertion is
+    // that OUR join shape stays eligible for the rewrite.
+    import org.apache.spark.sql.functions.col
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      withConf("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0") {
+        val l = spark.read.parquet(s"$SfDir/lineitem.parquet")
+        val o = spark.read.parquet(s"$SfDir/orders.parquet")
+          .filter(col("o_totalprice") > 400000)
+        val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag")).count()
+        val p = planOf(j)
+        assert(p.contains("might_contain"),
+          s"no runtime bloom filter injected on the probe side:\n$p")
+      }
+    }
+  }
+
   test("etl_fact_build: lineitem scan prunes to the fact columns") {
     val p = planOf(q("etl_fact_build"))
     val lineitemScans = p.linesIterator.filter(l => l.contains("ReadSchema:") && l.contains("l_orderkey")).mkString

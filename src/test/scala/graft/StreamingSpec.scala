@@ -194,6 +194,27 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming quality gate routes every row to exactly one of good/quarantine") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_route").toString
+    val src = MemoryStream[(Long, String)]
+    val q = EventStreams.qualityRouteSink(
+      src.toDF().toDF("doc_id", "text"),
+      length(col("text")) >= 10, s"$dir/good", s"$dir/bad")
+    try {
+      src.addData((1L, "long enough to pass the gate"), (2L, "short"), (3L, "tiny too"))
+      q.processAllAvailable()
+      src.addData((4L, "second micro-batch, also long enough"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val good = spark.read.parquet(s"$dir/good").select("doc_id").as[Long].collect().toSet
+    val bad = spark.read.parquet(s"$dir/bad").select("doc_id").as[Long].collect().toSet
+    assert(good == Set(1L, 4L), s"good=$good")
+    assert(bad == Set(2L, 3L), s"bad=$bad")
+    assert((good & bad).isEmpty)
+  }
+
   test("streaming sessionization closes idle sessions when the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
