@@ -142,6 +142,27 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("contamination_check: eval shingle set is the broadcast build side of a semi join") {
+    // the corpus-sized probe stream must never shuffle for candidate
+    // generation — only the bounded eval set moves
+    val p = planOf(q("contamination_check"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"eval-set semi join not broadcast:\n$p")
+  }
+
+  test("embed_class_centroid: centroid table broadcasts back to the exploded stream") {
+    val p = planOf(q("embed_class_centroid"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"|labels|x|dims| centroid table should broadcast, not shuffle the exploded stream:\n$p")
+  }
+
+  test("pipeline_pack: per-shard window — no single-partition exchange anywhere") {
+    val p = planOf(q("pipeline_pack"))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"packing serialized through one partition:\n$p")
+    assert(p.contains("hashpartitioning(shard"), s"window not partitioned by shard:\n$p")
+  }
+
   test("etl_fact_build: lineitem scan prunes to the fact columns") {
     val p = planOf(q("etl_fact_build"))
     val lineitemScans = p.linesIterator.filter(l => l.contains("ReadSchema:") && l.contains("l_orderkey")).mkString
