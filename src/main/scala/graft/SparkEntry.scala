@@ -82,6 +82,8 @@ object SparkEntry {
     "text_tfidf"          -> TextAnalysis.tfidf _,
     "text_heavy_hitters"  -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
     "text_scrub"          -> TextAnalysis.scrub _,
+    "text_winnow"         -> TextAnalysis.winnow _,
+    "text_vocab_coverage" -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
     "dedup_keep_best"     -> Curate.keepBest _,
     "sim_bruteforce_topk" -> Similarity.bruteforceTopk _,
     "sim_lsh_ann"         -> Similarity.lshAnn _,
@@ -417,6 +419,8 @@ object SparkEntry {
         | floor(quantile_cont(l_extendedprice, 0.9) * 100.0 + 0.5) / 100.0 AS p90_price,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_winnow"         -> TextAnalysis.winnowSql,
+    "text_vocab_coverage" -> TextAnalysis.vocabCoverageSql,
     "contamination_check" -> Training.contaminationSql,
     "pipeline_pack"       -> Training.packSql,
     "dedup_cross_corpus"  -> Training.crossCorpusSql,

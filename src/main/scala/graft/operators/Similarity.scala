@@ -55,12 +55,17 @@ object Similarity {
   private def bucketCol(v: String, nPlanes: Int): Column =
     graft.functions.SrpBucket.column(col(v), nPlanes)
 
-  /** The ±1 sign for PRNG index k: squared congruential high bit (see
-    * [[graft.functions.SrpBucket]] for why the square is load-bearing).
+  /** The ±1 sign for PRNG index k: DOUBLE-squared congruential high bit
+    * — square, reinject k, square again (see
+    * [[graft.functions.SrpBucket]] for why both rounds are
+    * load-bearing).
     */
-  private def signSql(k: String): String =
-    s"(CASE WHEN (((1000003 * ($k) + 12289) % $P) * ((1000003 * ($k) + 12289) % $P)) % $P > 1073741823 " +
+  private def signSql(k: String): String = {
+    val s = s"((1000003 * ($k) + 12289) % $P)"
+    val m = s"((($s * $s) % $P + ($k)) % $P)"
+    s"(CASE WHEN ($m * $m) % $P > 1073741823 " +
       s"THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)"
+  }
 
   private def bucketSql(v: String, nPlanes: Int): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, ${nPlanes - 1}), i -> " +
@@ -365,6 +370,13 @@ object Similarity {
     * ~1−0.46^16 ≈ 0.9999, while each table's buckets stay selective
     * enough to prune (slim (id, t, b) rows on the shuffle, distinct
     * before the vector rejoin).
+    *
+    * SCALE RULE for `planesPerTable`: a table with p planes has 2^p
+    * buckets, so random-pair candidate volume is ~L·N²/2^p — the
+    * default p=4 is tuned for recall at the test corpus size, and at
+    * N vectors the depth must grow like log2(N) to stay sub-quadratic
+    * (e.g. p=12 at 50 k — asserted by ScaleSmokeSpec's bucket audit;
+    * p≈24 at 1 B), trading recall per table for more tables.
     * Output: (a_id, b_id, cos_sim) with a_id < b_id.
     */
   def cosineNearDupOn(vectors: DataFrame, threshold: Double,

@@ -212,6 +212,86 @@ object TextAnalysis {
       .select(col("rank").cast("int").as("rank"),
         col("e.item").as("w"), col("e.count").as("approx_cnt"), col("n_tokens"))
 
+  /** Winnowing window width (fingerprints guarantee detection of any
+    * shared run of ≥ WinnowW + 2 tokens: W consecutive 3-gram windows).
+    */
+  val WinnowW = 4
+
+  /** text_winnow — winnowing document fingerprints (the MOSS algorithm):
+    * over the POSITION-PRESERVING 3-gram hash sequence, keep the
+    * minimum hash of every width-W sliding window; the distinct minima
+    * are the doc's fingerprint set. Unlike sampling "every Nth hash",
+    * winnowing guarantees any two docs sharing a run of ≥ W+2 tokens
+    * share a fingerprint — the plagiarism/attribution primitive.
+    * Entirely scan-side (nested HOFs over the token-hash array, no
+    * shuffle until the per-doc distinct), output exploded to scalar
+    * (doc_id, fp) rows.
+    */
+  def winnowOn(df: DataFrame, idCol: String, textCol: String,
+      w: Int = WinnowW): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        TextFns.orderedShingleHashes(TextFns.tokenize(col(textCol))).as("kg"))
+      .filter(size(col("kg")) >= w)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          s"transform(sequence(1, size(kg) - ${w - 1}), p -> array_min(slice(kg, p, $w)))")))
+          .as("fp"))
+
+  /** text_winnow testdata binding. */
+  def winnow(spark: SparkSession, sfDir: String): DataFrame =
+    winnowOn(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy(col("doc_id"), col("fp"))
+
+  def winnowSql: String = {
+    val w = WinnowW
+    s"""WITH kgs AS (SELECT doc_id, ${TextFns.orderedShingleHashesSql(TextFns.tokenizeSql("text"))} AS kg FROM documents)
+       |SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(kg) - ${w - 1}),
+       |  p -> list_min(kg[p : p + ${w - 1}])))) AS fp
+       |FROM kgs WHERE len(kg) >= $w
+       |ORDER BY doc_id, fp""".stripMargin
+  }
+
+  /** text_vocab_coverage — vocabulary coverage profile: the top-K corpus
+    * tokens by frequency with their cumulative share of all token
+    * occurrences (the "how big must the vocab be" question of tokenizer
+    * design). The corpus-sized stages are the two count aggregations;
+    * ranking happens on the AGGREGATED vocabulary via a global top-K
+    * (TakeOrdered — never a full sort), and the running share windows
+    * over only those K rows. Ratios are exact rationals.
+    */
+  def vocabCoverageOn(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(explode(TextFns.tokenize(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val top = counts.orderBy(col("cnt").desc, col("w")).limit(k)
+    val win = Window.orderBy(col("cnt").desc, col("w"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(total)
+      .withColumn("rank", row_number().over(Window.orderBy(col("cnt").desc, col("w"))))
+      .withColumn("cum_share", Cols.pround(sum(col("cnt")).over(win).cast("double") / col("total"), 6))
+      .select(col("rank"), col("w"), col("cnt"), col("total").as("total_tokens"), col("cum_share"))
+  }
+
+  /** text_vocab_coverage testdata binding. */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame =
+    vocabCoverageOn(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy(col("rank"))
+
+  def vocabCoverageSql: String =
+    s"""WITH c AS (SELECT w, count(*) AS cnt
+       |           FROM (SELECT unnest(${TextFns.tokenizeSql("text")}) AS w FROM documents)
+       |           GROUP BY 1),
+       |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM c),
+       |top AS (SELECT w, cnt FROM c ORDER BY cnt DESC, w LIMIT 100)
+       |SELECT CAST(row_number() OVER o AS INTEGER) AS rank, w, cnt, total_tokens,
+       | ${Cols.proundSql("CAST(sum(cnt) OVER (ORDER BY cnt DESC, w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / total_tokens", 6)} AS cum_share
+       |FROM top, t
+       |WINDOW o AS (ORDER BY cnt DESC, w)
+       |ORDER BY rank""".stripMargin
+
   /** Rolling polynomial document fingerprint over the normalized text:
     * two independent multipliers (31, 131 — both codegen'd
     * [[graft.functions.PolyCharFold]]) combined into a 62-bit value

@@ -36,10 +36,12 @@ class FunctionsSpec extends SparkSpecBase {
   }
 
   test("SrpBucket == interpreted nested plane/dim aggregate") {
+    val sE = s"CAST((1000003 * (i * 64 + d - 1) + 12289) % $P AS BIGINT)"
+    val mE = s"((($sE * $sE) % $P + CAST(i * 64 + d - 1 AS BIGINT)) % $P)"
     val slow =
       s"aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, i) -> acc + " +
         s"CASE WHEN aggregate(sequence(1, size(embedding)), CAST(0 AS DOUBLE), (a, d) -> a + CAST(element_at(embedding, d) AS DOUBLE) * " +
-        s"(CASE WHEN (CAST((1000003 * (i * 64 + d - 1) + 12289) % $P AS BIGINT) * CAST((1000003 * (i * 64 + d - 1) + 12289) % $P AS BIGINT)) % $P > 1073741823 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)) > 0 " +
+        s"(CASE WHEN ($mE * $mE) % $P > 1073741823 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)) > 0 " +
         s"THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)"
     val df = vecs
       .withColumn("fast", SrpBucket.column(col("embedding"), 8))

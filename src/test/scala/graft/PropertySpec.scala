@@ -46,8 +46,10 @@ class PropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     samples(Gen.listOfN(64, Gen.chooseNum(-1.0f, 1.0f)), 200).foreach { xs =>
       val naive = (0 until 8).foldLeft(0L) { (b, i) =>
         val acc = xs.indices.foldLeft(0.0) { (a, d0) =>
-          val s = (1000003L * (i * 64 + d0) + 12289L) % P
-          val c = (s * s) % P
+          val k = i * 64L + d0
+          val s = (1000003L * k + 12289L) % P
+          val m = ((s * s) % P + k) % P
+          val c = (m * m) % P
           a + xs(d0).toDouble * (if (c > 1073741823L) 1.0 else -1.0)
         }
         if (acc > 0) b | (1L << i) else b

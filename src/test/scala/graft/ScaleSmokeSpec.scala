@@ -68,4 +68,51 @@ class ScaleSmokeSpec extends SparkSpecBase {
     val n = pairs.count()
     assert(n < NDocs.toLong * 20, s"simhash near-dup volume exploded: $n pairs")
   }
+
+  test("multi-table LSH bucket audit on 50k random embeddings: non-degenerate shallow tables, sub-quadratic deep tables") {
+    import spark.implicits._
+    // deterministic pseudo-random 64-dim vectors: the distribution every
+    // SRP plane must split ~50/50 — a sign-correlated PRNG (the round-1
+    // bug) collapses buckets and the candidate count goes quadratic
+    val NVec = 50000
+    val rnd = new scala.util.Random(31337)
+    val vecs = (0 until NVec).map { i =>
+      (i.toLong, Array.fill(64)((rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding").persist()
+    vecs.count()
+    val t0 = System.nanoTime()
+
+    def bucketSizes(tables: Int, planes: Int) = vecs.select(col("vec_id"),
+        explode(array((0 until tables).map(t => struct(lit(t).as("t"),
+          graft.functions.SrpBucket.column(col("embedding"), planes, t * planes).as("b"))): _*)).as("tb"))
+      .select(col("tb.t").as("t"), col("tb.b").as("b"))
+      .groupBy(col("t"), col("b")).agg(count(lit(1)).as("n"))
+
+    // (a) the recall configuration (16x4, the oracled operators): buckets
+    // must stay near-uniform — the PRNG-degeneracy regression gate. Sum
+    // of n^2 is the self-join candidate volume; uniform predicts
+    // 16 * N^2/16 = N^2, so 4x that bound catches any collapsed table
+    // while tolerating hyperplane correlation.
+    val shallow = bucketSizes(16, 4).persist()
+    val sStats = shallow.agg(max(col("n")).as("mx"), count(lit(1)).as("nb"),
+      sum(col("n") * col("n")).as("cand")).head
+    assert(sStats.getAs[Long]("nb") >= 16 * 14, s"bucket space underused: $sStats")
+    assert(sStats.getAs[Long]("mx") < NVec / 4, s"degenerate bucket: $sStats")
+    assert(sStats.getAs[Long]("cand") < 4L * NVec * NVec, s"collapsed table: $sStats")
+    shallow.unpersist()
+
+    // (b) the SCALE configuration: all-pairs dedup at N vectors needs
+    // bucket depth ~ log2(N) (cosineNearDupOn's planesPerTable knob).
+    // At 12 planes / 4096 buckets the candidate volume must be
+    // SUB-QUADRATIC — the property that makes the operator usable on a
+    // real corpus, asserted here at 50k because it's invisible at 500.
+    val deep = bucketSizes(16, 12).persist()
+    val dCand = deep.agg(sum(col("n") * col("n"))).head.getLong(0)
+    assert(dCand < NVec.toLong * NVec / 50,
+      s"deep-bucket candidate volume not sub-quadratic: $dCand")
+    deep.unpersist()
+    info(f"50k-vec bucket audit: ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
+      f"shallow cand=${sStats.getAs[Long]("cand")} deep cand=$dCand")
+    vecs.unpersist()
+  }
 }

@@ -66,6 +66,35 @@ class TrainingSpec extends SparkSpecBase {
       && r(2L).getAs[Double]("top_ratio") == 0.02)
   }
 
+  test("winnowing guarantee: docs sharing a long-enough run share a fingerprint; disjoint docs don't") {
+    import graft.operators.TextAnalysis
+    // shared run of WinnowW + 2 = 6 tokens inside otherwise-different docs
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two three four five $shared six seven eight nine"),
+      (2L, s"red orange yellow $shared green blue indigo violet extra"),
+      (3L, "totally disjoint vocabulary nothing in common here at all okay"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowOn(docs, "doc_id", "text")
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rows) => id -> rows.map(_.getAs[Long]("fp")).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty, "guaranteed shared fingerprint missing")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "disjoint docs must not share fingerprints")
+  }
+
+  test("vocab coverage: cumulative share is monotone and reaches 1.0 when K covers the vocab") {
+    import graft.operators.TextAnalysis
+    val r = TextAnalysis.vocabCoverage(spark, SfDir).orderBy("rank").collect()
+    assert(r.nonEmpty)
+    val shares = r.map(_.getAs[Double]("cum_share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b }, "cum_share must be monotone")
+    val counts = r.map(_.getAs[Long]("cnt"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b }, "rank order must follow counts")
+    if (r.length < 100) // K covered the whole vocabulary
+      assert(math.abs(shares.last - 1.0) < 1e-9, s"full-vocab coverage was ${shares.last}")
+  }
+
   test("class centroid: separates aligned members from a planted outlier") {
     // class 0 clusters on axis e1, class 1 on e2; vector 99 carries label 0
     // but points along e2 — the mislabel the score exists to surface
