@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOf, Curate, Dedup, Multimodal, Ranges, Relational, RetailEtl, Similarity, TextAnalysis, Training}
+import graft.operators.{Affinity, AsOf, Curate, Dedup, Multimodal, Ranges, Relational, RetailEtl, Similarity, TextAnalysis, Training}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -63,6 +63,8 @@ object SparkEntry {
     "q37_incr_agg"       -> Relational.q37IncrAgg _,
     "q38_pivot_native"   -> Relational.q38PivotNative _,
     "q41_salted_join"    -> Relational.q41SaltedJoin _,
+    "q42_copurchase"     -> Affinity.copurchase _,
+    "q43_triangles"      -> Affinity.triangles _,
     "q39_array_funcs"    -> Relational.q39ArrayFuncs _,
     "q40_range_frame"    -> Relational.q40RangeFrame _,
     "pipeline_stratified" -> ((s: SparkSession, d: String) => Curate.stratified(s, d)),
@@ -426,6 +428,8 @@ object SparkEntry {
     "dedup_cross_corpus"  -> Training.crossCorpusSql,
     "text_diversity"      -> Training.diversitySql,
     "embed_class_centroid" -> Similarity.classCentroidSql,
+    "q42_copurchase"      -> Affinity.copurchaseSql,
+    "q43_triangles"       -> Affinity.trianglesSql,
     "q41_salted_join" ->
       """WITH e AS (SELECT event_id, event_type, value FROM events),
         |dim AS (SELECT event_type, count(DISTINCT event_id) AS n_type_events FROM e GROUP BY 1)
