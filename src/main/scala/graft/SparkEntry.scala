@@ -98,6 +98,7 @@ object SparkEntry {
     "pipeline_curate"     -> Curate.curate _,
     "contamination_check" -> Training.contamination _,
     "pipeline_pack"       -> Training.pack _,
+    "pipeline_mix"        -> Training.mix _,
     "dedup_cross_corpus"  -> Training.crossCorpus _,
     "text_diversity"      -> Training.diversity _,
     "embed_class_centroid" -> Similarity.classCentroid _,
@@ -425,6 +426,7 @@ object SparkEntry {
     "text_vocab_coverage" -> TextAnalysis.vocabCoverageSql,
     "contamination_check" -> Training.contaminationSql,
     "pipeline_pack"       -> Training.packSql,
+    "pipeline_mix"        -> Training.mixSql,
     "dedup_cross_corpus"  -> Training.crossCorpusSql,
     "text_diversity"      -> Training.diversitySql,
     "embed_class_centroid" -> Similarity.classCentroidSql,

@@ -194,6 +194,63 @@ object Training {
        |ORDER BY new_id, snap_id""".stripMargin
   }
 
+  // ------------------------------------------------------------- mixing
+
+  /** Deterministic dataset mixing: each source is downsampled to its
+    * configured weight (PPM — integer parts-per-million, so the
+    * keep threshold is exact on every engine; a double weight times 1e6
+    * truncates differently across engines). A row is kept iff
+    * `charFold(source ‖ ':' ‖ id) mod 1e6 < ppm` — reproducible across
+    * runs, engines, and partitionings, and INDEPENDENT per row, which
+    * is what lets the mixture be re-materialized identically anywhere
+    * (the training-mixture construction step). Pure scan-side
+    * predicate: no shuffle, pushes the mixture into the first pass over
+    * a 100 TB corpus.
+    */
+  def mixOn(df: DataFrame, idCol: String, sourceCol: String,
+      ppmBySource: Map[String, Long], defaultPpm: Long): DataFrame = {
+    val ppm = ppmBySource.foldLeft(lit(defaultPpm)) { case (acc, (s, w)) =>
+      when(col(sourceCol) === s, lit(w)).otherwise(acc)
+    }
+    df.withColumn("mix_h",
+        pmod(TextFns.charFold(concat(col(sourceCol), lit(":"), col(idCol).cast("string"))),
+          lit(1000000L)))
+      .filter(col("mix_h") < ppm)
+      .drop("mix_h")
+  }
+
+  /** pipeline_mix testdata binding: even-indexed sources at 30%,
+    * odd-indexed at 80%. Output aggregates per source with the kept-id
+    * sum as an exact membership checksum.
+    */
+  def mix(spark: SparkSession, sfDir: String): DataFrame = {
+    val weights = (0 until 20).map(i =>
+      s"src$i" -> (if (i % 2 == 0) 300000L else 800000L)).toMap
+    val d = Tables.documents(spark, sfDir)
+    val kept = mixOn(d, "doc_id", "source", weights, 1000000L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+    d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+      .orderBy(col("source"))
+  }
+
+  def mixSql: String = {
+    val h = TextFns.charFoldSql("source || ':' || CAST(doc_id AS VARCHAR)")
+    s"""WITH k AS (SELECT source, doc_id,
+       |  ($h) % 1000000 <
+       |    (CASE WHEN CAST(substring(source, 4) AS INTEGER) % 2 = 0
+       |          THEN 300000 ELSE 800000 END) AS keep
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       | CAST(coalesce(sum(CASE WHEN keep THEN 1 END), 0) AS BIGINT) AS n_kept,
+       | CAST(coalesce(sum(CASE WHEN keep THEN doc_id END), 0) AS BIGINT) AS kept_id_sum
+       |FROM k GROUP BY 1 ORDER BY source""".stripMargin
+  }
+
   // ----------------------------------------------------------- diversity
 
   /** Lexical-diversity scoring — the repetitiveness signals a quality

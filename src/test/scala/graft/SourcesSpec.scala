@@ -226,6 +226,24 @@ class SourcesSpec extends SparkSpecBase {
     }
   }
 
+  test("observe(): data-quality metrics ride the load job - no second pass over the data") {
+    // the pipeline-monitoring primitive: row counts / null counts /
+    // sums are collected DURING the write via AccumulatorV2, so a
+    // 100 TB load gets its audit numbers for free instead of re-scanning
+    val obs = org.apache.spark.sql.Observation("load_audit")
+    val src = spark.read.parquet(s"$SfDir/orders.parquet")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice")).as("total"),
+        count_if(col("o_custkey").isNull).as("null_keys"))
+    val outDir = Files.createTempDirectory("graft_obs").toString + "/t"
+    src.write.parquet(outDir)
+    val m = obs.get
+    assert(m("n_rows") == spark.read.parquet(outDir).count())
+    assert(m("null_keys") == 0L)
+    assert(m("total").asInstanceOf[Double] > 0.0)
+  }
+
   test("multimodal REAL audio decode: WAV format read, per-window RMS tracks signal energy") {
     import spark.implicits._
     // synthesize 16-bit mono PCM WAV: a loud sine burst then digital silence

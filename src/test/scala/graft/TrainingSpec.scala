@@ -66,6 +66,23 @@ class TrainingSpec extends SparkSpecBase {
       && r(2L).getAs[Double]("top_ratio") == 0.02)
   }
 
+  test("mix: kept fraction tracks the PPM weight and the predicate is shuffle-free") {
+    import graft.util.Tables
+    val docs = Tables.documents(spark, SfDir)
+    val kept = Training.mixOn(docs, "doc_id", "source",
+      Map.empty, defaultPpm = 300000L)
+    val rate = kept.count().toDouble / docs.count()
+    assert(rate > 0.15 && rate < 0.45, s"30% mixture kept $rate")
+    // scan-side claim: the mixture filter adds NO exchange to the scan
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mix filter introduced a shuffle:\n$plan")
+    // reproducible: a second evaluation keeps the identical id set
+    val a = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Training.mixOn(docs, "doc_id", "source", Map.empty, 300000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("winnowing guarantee: docs sharing a long-enough run share a fingerprint; disjoint docs don't") {
     import graft.operators.TextAnalysis
     // shared run of WinnowW + 2 = 6 tokens inside otherwise-different docs
