@@ -64,6 +64,8 @@ object SparkEntry {
     "q38_pivot_native"   -> Relational.q38PivotNative _,
     "q41_salted_join"    -> Relational.q41SaltedJoin _,
     "q42_copurchase"     -> Affinity.copurchase _,
+    "q44_map_funcs"      -> Relational.q44MapFuncs _,
+    "text_langid_eval"   -> TextAnalysis.langidEval _,
     "q43_triangles"      -> Affinity.triangles _,
     "q39_array_funcs"    -> Relational.q39ArrayFuncs _,
     "q40_range_frame"    -> Relational.q40RangeFrame _,
@@ -431,6 +433,18 @@ object SparkEntry {
     "text_diversity"      -> Training.diversitySql,
     "embed_class_centroid" -> Similarity.classCentroidSql,
     "q42_copurchase"      -> Affinity.copurchaseSql,
+    "text_langid_eval"    -> TextAnalysis.langidEvalSql,
+    "q44_map_funcs" ->
+      """WITH r AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderstatus AS st,
+        |            floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS rev
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT yr, CAST(count(*) AS INTEGER) AS n_statuses,
+        | string_agg(st, ',' ORDER BY st) AS statuses,
+        | max(CASE WHEN st = 'F' THEN rev END) AS rev_f,
+        | max(CASE WHEN st = 'O' THEN rev END) AS rev_o,
+        | floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(rev ORDER BY st)),
+        |   (a, b) -> a + b) * 100.0 + 0.5) / 100.0 AS rev_total
+        |FROM r GROUP BY yr ORDER BY yr""".stripMargin,
     "q43_triangles"       -> Affinity.trianglesSql,
     "q41_salted_join" ->
       """WITH e AS (SELECT event_id, event_type, value FROM events),

@@ -716,6 +716,29 @@ object Relational {
       .agg(Cols.pround(sum(col("o_totalprice")), 2))
       .orderBy(col("yr"))
 
+  /** q44_map_funcs — MapType column surface: per-year status→revenue
+    * maps built with map_from_entries over a SORTED entry array
+    * (deterministic key order — map iteration order is otherwise
+    * engine-defined, which would break any value oracle), then read
+    * back via element_at / map_keys / a map_values fold. The map is
+    * built and consumed inside one aggregation pipeline — nested types
+    * as plan-internal structure, scalars at the boundary.
+    */
+  def q44MapFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(year(col("o_orderdate")).as("yr"), col("o_orderstatus").as("st"))
+      .agg(Cols.pround(sum(col("o_totalprice")), 2).as("rev"))
+      .groupBy(col("yr"))
+      .agg(map_from_entries(sort_array(collect_list(struct(col("st"), col("rev"))))).as("m"))
+      .select(col("yr"),
+        size(col("m")).as("n_statuses"),
+        concat_ws(",", map_keys(col("m"))).as("statuses"),
+        element_at(col("m"), "F").as("rev_f"),
+        element_at(col("m"), "O").as("rev_o"),
+        Cols.pround(expr(
+          "aggregate(map_values(m), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"), 2).as("rev_total"))
+      .orderBy(col("yr"))
+
   /** q21_stats_agg — statistical aggregates: Pearson correlation,
     * sample stddev, exact interpolated percentiles (median / p90). All
     * single-pass mergeable aggregation states → one shuffle on the

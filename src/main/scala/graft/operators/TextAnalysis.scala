@@ -41,6 +41,28 @@ object TextAnalysis {
        |      WHERE len(words) > 0)
        |ORDER BY doc_id""".stripMargin
 
+  /** text_langid_eval — evaluation harness for the language-ID
+    * heuristic: confusion counts of predicted vs LABELED language (the
+    * `lang` column), the precision/recall raw material every classifier
+    * in the pipeline needs. One agg over the scan; the confusion matrix
+    * is |langs|² rows at any corpus size.
+    */
+  def langidEval(spark: SparkSession, sfDir: String): DataFrame =
+    langidOn(Tables.documents(spark, sfDir), "doc_id", "text")
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+
+  def langidEvalSql: String =
+    s"""WITH p AS (SELECT doc_id,
+       |  CASE WHEN ${TextFns.markerRatioSql(TextFns.tokenizeSql("text"))} >= 0.05
+       |       THEN 'en' ELSE 'unknown' END AS pred_lang
+       |  FROM documents WHERE len(${TextFns.tokenizeSql("text")}) > 0)
+       |SELECT d.lang, p.pred_lang, count(*) AS n
+       |FROM p JOIN documents d ON p.doc_id = d.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Quality score from portable components: token count, unique-token
     * ratio, punctuation density, mean token length. All int/int or
     * int/len double divisions → bit-identical across engines.
