@@ -254,10 +254,11 @@ object TextAnalysis {
     df.select(col(idCol).as("doc_id"),
         TextFns.orderedShingleHashes(TextFns.tokenize(col(textCol))).as("kg"))
       .filter(size(col("kg")) >= w)
+      // window minima from the fused O(n) codegen WinnowMins (monotonic
+      // deque) instead of n interpreted array_min(slice(...)) lambda
+      // dispatches; same value SET, so the oracle is unchanged
       .select(col("doc_id"),
-        explode(array_distinct(expr(
-          s"transform(sequence(1, size(kg) - ${w - 1}), p -> array_min(slice(kg, p, $w)))")))
-          .as("fp"))
+        explode(graft.functions.WinnowMins.column(col("kg"), w)).as("fp"))
 
   /** text_winnow testdata binding. */
   def winnow(spark: SparkSession, sfDir: String): DataFrame =

@@ -131,6 +131,23 @@ class FunctionsSpec extends SparkSpecBase {
     assert(cmp.filter(col("fast") =!= col("slow")).count() == 0)
   }
 
+  test("WinnowMins == interpreted transform/array_min/slice (as a sorted set)") {
+    import graft.functions.WinnowMins
+    val w = 4
+    val df = docs
+      .select(TextFns.orderedShingleHashes(TextFns.tokenize(col("text"))).as("kg"))
+      .filter(size(col("kg")) >= w)
+      .withColumn("fast", WinnowMins.column(col("kg"), w))
+      .withColumn("slow", array_sort(array_distinct(expr(
+        s"transform(sequence(1, size(kg) - ${w - 1}), p -> array_min(slice(kg, p, $w)))"))))
+    assert(df.filter(to_json(col("fast")) =!= to_json(col("slow"))).count() == 0)
+    // short-array edge: fewer than w hashes -> empty fingerprint set
+    import spark.implicits._
+    val short = Seq(Seq(5L, 3L, 9L)).toDF("kg")
+      .select(WinnowMins.column(col("kg"), w).as("f")).head.getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
   test("MinHashSig == interpreted transform/array_min") {
     val df = docs
       .select(col("doc_id"), TextFns.shingleHashes(TextFns.tokenize(col("text"))).as("h"))

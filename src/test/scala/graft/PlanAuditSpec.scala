@@ -163,6 +163,25 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("hashpartitioning(shard"), s"window not partitioned by shard:\n$p")
   }
 
+  test("asof_join: one hash shuffle, no join operator at all (union + window)") {
+    // the scale-safe as-of rewrite: both sides union and sort ONCE per
+    // key — a range/theta join would explode pairs or nested-loop
+    val p = planOf(q("asof_join"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"asof fell back to a pair-exploding join:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+    val hashExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && l.contains("hashpartitioning"))
+    assert(hashExchanges <= 1, s"asof should shuffle once on the key, got $hashExchanges:\n$p")
+  }
+
+  test("range_join_bucketed: interval containment runs as an equi-join, not a nested loop") {
+    val p = planOf(q("range_join_bucketed"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to a nested loop:\n$p")
+    assert(p.contains("Join"), p)
+  }
+
   test("etl_fact_build: lineitem scan prunes to the fact columns") {
     val p = planOf(q("etl_fact_build"))
     val lineitemScans = p.linesIterator.filter(l => l.contains("ReadSchema:") && l.contains("l_orderkey")).mkString
