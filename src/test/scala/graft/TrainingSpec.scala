@@ -66,6 +66,23 @@ class TrainingSpec extends SparkSpecBase {
       && r(2L).getAs[Double]("top_ratio") == 0.02)
   }
 
+  test("edge cases: empty eval set, zero-token docs, empty corpus side") {
+    val docs = Seq((1L, "some regular document text here okay"), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text")
+    val none = docs.filter(col("doc_id") < 0)
+    // empty eval set: nothing can be contaminated, zero-token docs drop
+    val c = Training.contaminationOn(docs, none, "doc_id", "text", 0.5).collect()
+    assert(c.forall(r => !r.getAs[Boolean]("contaminated") && r.getAs[Long]("n_hit") == 0L))
+    assert(!c.exists(r => r.getAs[Long]("doc_id") >= 2L), "shingle-less docs must drop")
+    // packing: zero-token docs pack (contributing nothing to the budget)
+    val p = Training.packOn(docs, "doc_id", "text").collect()
+    assert(p.map(_.getAs[Long]("n_docs")).sum == 3L)
+    // cross-corpus with an empty snapshot: no pairs, no crash
+    assert(Training.crossCorpusOn(docs, none, "doc_id", "text", 0.5).count() == 0L)
+    // diversity drops token-less docs
+    assert(Training.diversityOn(docs, "doc_id", "text").count() == 1L)
+  }
+
   test("mix: kept fraction tracks the PPM weight and the predicate is shuffle-free") {
     import graft.util.Tables
     val docs = Tables.documents(spark, SfDir)
