@@ -102,6 +102,7 @@ object SparkEntry {
     "pipeline_pack"       -> Training.pack _,
     "pipeline_mix"        -> Training.mix _,
     "dedup_cross_corpus"  -> Training.crossCorpus _,
+    "source_minhash_sim"  -> Training.sourceMinhashSim _,
     "text_diversity"      -> Training.diversity _,
     "embed_class_centroid" -> Similarity.classCentroid _,
     // §2.D streaming (batch-equivalent forms; streaming impls spec-tested)
@@ -430,6 +431,7 @@ object SparkEntry {
     "pipeline_pack"       -> Training.packSql,
     "pipeline_mix"        -> Training.mixSql,
     "dedup_cross_corpus"  -> Training.crossCorpusSql,
+    "source_minhash_sim"  -> Training.sourceMinhashSimSql,
     "text_diversity"      -> Training.diversitySql,
     "embed_class_centroid" -> Similarity.classCentroidSql,
     "q42_copurchase"      -> Affinity.copurchaseSql,

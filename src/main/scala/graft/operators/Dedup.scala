@@ -346,6 +346,18 @@ object Dedup {
     val maxIter = 20
     val debug = sys.env.contains("GRAFT_CLUSTER_DEBUG")
     var t0 = System.nanoTime()
+    // AQE off for the iteration only: each round's frames are tiny views
+    // over caches, but AQE re-optimizes every shuffle stage into extra
+    // scheduler round-trips — measurable fixed cost per round that buys
+    // nothing on already-materialized kilobyte inputs. The HEAVY stage —
+    // the candidate-pair build feeding `edges` — is materialized first,
+    // while AQE is still on (it's the part that needs runtime
+    // coalescing/skew handling at corpus scale). Restored after.
+    labels.count() // materializes edges + initial labels under AQE
+    val spark = pairs.sparkSession
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges
         .join(delta.select(col("id").as("v"), col("lbl").as("vlbl")), Seq("v"))
@@ -373,6 +385,7 @@ object Dedup {
       delta = nextDelta
       iter += 1
     }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
     // min-label propagation needs O(component diameter) rounds; a graph
     // with diameter > maxIter would otherwise return silently-wrong
     // unconverged labels (the oracle computes the full closure)

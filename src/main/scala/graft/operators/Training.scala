@@ -251,6 +251,51 @@ object Training {
        |FROM k GROUP BY 1 ORDER BY source""".stripMargin
   }
 
+  // --------------------------------------------------- source similarity
+
+  /** source_minhash_sim — corpus provenance analytics: pairwise content
+    * overlap between SOURCES, estimated from per-source MinHash
+    * signatures. Signatures are MERGEABLE (elementwise min), so the
+    * per-source state is 16 longs regardless of source size: per-doc
+    * signatures evaluate scan-side (codegen [[graft.functions.MinHashSig]]),
+    * merge per source in one 16·|docs|-row aggregation, and the
+    * pairwise comparison runs on |sources|² tiny rows — the "which
+    * crawls duplicate each other" question answered without ever
+    * joining documents. min-of-doc-mins = min over the source's whole
+    * shingle set, so the oracle computes the same signature directly
+    * from the flattened shingles.
+    * Output: (a_src, b_src, est_sim) for all source pairs a < b.
+    */
+  def sourceMinhashSim(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        TextFns.shingleHashes(TextFns.tokenize(col("text"))).as("h"))
+      .filter(size(col("h")) > 0)
+      .select(col("source"), TextFns.minhashSig("h").as("s"))
+      .select(col("source"), posexplode(col("s")).as(Seq("i", "v")))
+      .groupBy(col("source"), col("i")).agg(min(col("v")).as("v"))
+    sig.select(col("source").as("a_src"), col("i"), col("v").as("va"))
+      .join(sig.select(col("source").as("b_src"), col("i"), col("v").as("vb")), Seq("i"))
+      .filter(col("a_src") < col("b_src"))
+      .groupBy(col("a_src"), col("b_src"))
+      .agg((count_if(col("va") === col("vb")).cast("double") / TextFns.MinhashK.toDouble)
+        .as("est_sim"))
+      .orderBy(col("a_src"), col("b_src"))
+  }
+
+  def sourceMinhashSimSql: String = {
+    val a = "(1000003*i + 12289)"
+    val b = "(999983*i + 15373)"
+    s"""WITH sh AS (SELECT source, unnest(h) AS x FROM
+       |  (SELECT source, ${TextFns.shingleHashesSql(TextFns.tokenizeSql("text"))} AS h FROM documents)),
+       |m AS (SELECT source, i, min(($a * x + $b) % ${TextFns.P}) AS v
+       |      FROM sh, generate_series(0, ${TextFns.MinhashK - 1}) AS g(i) GROUP BY 1, 2)
+       |SELECT a.source AS a_src, b.source AS b_src,
+       | CAST(count(CASE WHEN a.v = b.v THEN 1 END) AS DOUBLE) / ${TextFns.MinhashK}.0 AS est_sim
+       |FROM m a JOIN m b ON a.i = b.i AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   // ----------------------------------------------------------- diversity
 
   /** Lexical-diversity scoring — the repetitiveness signals a quality
