@@ -353,6 +353,10 @@ object Dedup {
     // the candidate-pair build feeding `edges` — is materialized first,
     // while AQE is still on (it's the part that needs runtime
     // coalescing/skew handling at corpus scale). Restored after.
+    // CAVEAT: session-scoped conf — queries running CONCURRENTLY on
+    // this session during the loop would also plan without AQE (the
+    // harnesses are sequential; parallel-job callers should isolate
+    // with spark.newSession()).
     labels.count() // materializes edges + initial labels under AQE
     val spark = pairs.sparkSession
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")

@@ -194,6 +194,28 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-static ANTI join: streaming docs dedup against the snapshot corpus") {
+    // the streaming form of cross-corpus dedup: each micro-batch drops
+    // docs whose exact fingerprint already exists in the (static)
+    // training snapshot — per-batch snapshot probe, zero stream state
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val snapshot = Seq("known doc one", "known doc two").toDF("text")
+      .select(graft.functions.TextFns.charFold(col("text")).as("fp"))
+    val src = MemoryStream[(Long, String)]
+    val stream = src.toDF().toDF("doc_id", "text")
+      .withColumn("fp", graft.functions.TextFns.charFold(col("text")))
+      .join(snapshot, Seq("fp"), "left_anti")
+    val q = stream.writeStream.format("memory").queryName("anti_out")
+      .outputMode("append").start()
+    try {
+      src.addData((1L, "known doc one"), (2L, "fresh document"), (3L, "known doc two"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("anti_out").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L), s"snapshot members must drop: kept $kept")
+  }
+
   test("streaming quality gate routes every row to exactly one of good/quarantine") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
