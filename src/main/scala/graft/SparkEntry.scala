@@ -65,6 +65,7 @@ object SparkEntry {
     "q41_salted_join"    -> Relational.q41SaltedJoin _,
     "q42_copurchase"     -> Affinity.copurchase _,
     "q44_map_funcs"      -> Relational.q44MapFuncs _,
+    "q45_transitions"    -> Relational.q45Transitions _,
     "text_langid_eval"   -> TextAnalysis.langidEval _,
     "q43_triangles"      -> Affinity.triangles _,
     "q39_array_funcs"    -> Relational.q39ArrayFuncs _,
@@ -436,6 +437,18 @@ object SparkEntry {
     "embed_class_centroid" -> Similarity.classCentroidSql,
     "q42_copurchase"      -> Affinity.copurchaseSql,
     "text_langid_eval"    -> TextAnalysis.langidEvalSql,
+    "q45_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |p AS (SELECT user_id, event_type,
+        |       lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_type
+        |      FROM e),
+        |c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+        |      FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT c.prev_type AS prev_type, next_type, n,
+        | floor(CAST(n AS DOUBLE) / tot * 1000000.0 + 0.5) / 1000000.0 AS p
+        |FROM c JOIN t ON c.prev_type = t.prev_type
+        |ORDER BY c.prev_type, next_type""".stripMargin,
     "q44_map_funcs" ->
       """WITH r AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderstatus AS st,
         |            floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS rev

@@ -716,6 +716,30 @@ object Relational {
       .agg(Cols.pround(sum(col("o_totalprice")), 2))
       .orderBy(col("yr"))
 
+  /** q45_transitions — behavioral Markov matrix: per-user event streams
+    * ordered by time, lag() pairs each event with its predecessor, and
+    * the (prev, next) counts + exact-rational transition probabilities
+    * come out of one aggregation. Window and agg both key on user_id
+    * first, so the lag's shuffle is the only corpus-sized exchange.
+    * The "what do users do after X" query of product analytics.
+    */
+  def q45Transitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev_type")).agg(sum(col("n")).as("tot"))
+    pairs.join(totals, Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        Cols.pround(col("n").cast("double") / col("tot"), 6).as("p"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   /** q44_map_funcs — MapType column surface: per-year status→revenue
     * maps built with map_from_entries over a SORTED entry array
     * (deterministic key order — map iteration order is otherwise
