@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Affinity, AsOf, Curate, Dedup, Multimodal, Ranges, Relational, RetailEtl, Similarity, TextAnalysis, Training}
+import graft.operators.{Affinity, AsOf, Curate, Dedup, Multimodal, Quality, Ranges, Relational, RetailEtl, Similarity, TextAnalysis, Training}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -66,6 +66,7 @@ object SparkEntry {
     "q42_copurchase"     -> Affinity.copurchase _,
     "q44_map_funcs"      -> Relational.q44MapFuncs _,
     "q45_transitions"    -> Relational.q45Transitions _,
+    "dq_constraints"     -> Quality.dqConstraints _,
     "text_langid_eval"   -> TextAnalysis.langidEval _,
     "q43_triangles"      -> Affinity.triangles _,
     "q39_array_funcs"    -> Relational.q39ArrayFuncs _,
@@ -433,6 +434,7 @@ object SparkEntry {
     "pipeline_mix"        -> Training.mixSql,
     "dedup_cross_corpus"  -> Training.crossCorpusSql,
     "source_minhash_sim"  -> Training.sourceMinhashSimSql,
+    "dq_constraints"      -> Quality.dqConstraintsSql,
     "text_diversity"      -> Training.diversitySql,
     "embed_class_centroid" -> Similarity.classCentroidSql,
     "q42_copurchase"      -> Affinity.copurchaseSql,

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.{Cols, Tables}
+
+/** Declarative data-quality constraint checking (the Deequ-style gate a
+  * warehouse runs before publishing a load — generalizing etl_fk_audit
+  * from one hand-built query to a constraint library).
+  *
+  * All constraint metrics for a table evaluate in ONE aggregation pass
+  * (mergeable aggregates → one scan + one tiny shuffle at any scale);
+  * the result unpivots to a row per constraint with the measured metric
+  * and the pass verdict. Metrics are exact rationals or exact
+  * aggregates, so the whole report is value-oracled.
+  */
+object Quality {
+
+  /** One constraint: a metric aggregate over the table and the pass
+    * predicate evaluated on the metric.
+    */
+  final case class Check(name: String, metric: Column, passes: Column => Column)
+
+  /** Completeness: fraction of non-null values. Pass at ≥ `atLeast`. */
+  def complete(c: String, atLeast: Double = 1.0): Check =
+    Check(s"complete_$c",
+      count(col(c)).cast("double") / count(lit(1)),
+      m => m >= atLeast)
+
+  /** Uniqueness: distinct values / rows. Pass at ≥ `atLeast` (1.0 = a
+    * true key). Exact distinct — swap approx_count_distinct in when the
+    * key cardinality makes exactness unaffordable.
+    */
+  def unique(c: String, atLeast: Double = 1.0): Check =
+    Check(s"unique_$c",
+      countDistinct(col(c)).cast("double") / count(lit(1)),
+      m => m >= atLeast)
+
+  /** Lower bound on a column's minimum. */
+  def minAtLeast(c: String, bound: Double): Check =
+    Check(s"min_$c", min(col(c)).cast("double"), m => m >= bound)
+
+  /** Domain membership: fraction of values inside the allowed set. */
+  def inDomain(c: String, allowed: Seq[String], atLeast: Double = 1.0): Check =
+    Check(s"domain_$c",
+      count_if(col(c).isin(allowed: _*)).cast("double") / count(lit(1)),
+      m => m >= atLeast)
+
+  /** Evaluate all checks in one aggregation; one output row per check:
+    * (check, metric, passed).
+    */
+  def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val agg = df.agg(checks.head.metric.as(checks.head.name),
+      checks.tail.map(c => c.metric.as(c.name)): _*)
+    val rows = checks.map(c =>
+      struct(lit(c.name).as("check_name"),
+        Cols.pround(col(c.name), 6).as("metric"),
+        c.passes(col(c.name)).as("passed")))
+    agg.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.check_name").as("check_name"), col("r.metric").as("metric"),
+        col("r.passed").as("passed"))
+  }
+
+  /** dq_constraints testdata binding: the publish gate for `orders`. */
+  def dqConstraints(spark: SparkSession, sfDir: String): DataFrame =
+    run(Tables.orders(spark, sfDir), Seq(
+      complete("o_custkey"),
+      complete("o_orderdate"),
+      unique("o_orderkey"),
+      minAtLeast("o_totalprice", 0.0),
+      inDomain("o_orderstatus", Seq("F", "O", "P"))))
+      .orderBy(col("check_name"))
+
+  def dqConstraintsSql: String =
+    """WITH m AS (SELECT
+      | CAST(count(o_custkey) AS DOUBLE) / count(*) AS complete_o_custkey,
+      | CAST(count(o_orderdate) AS DOUBLE) / count(*) AS complete_o_orderdate,
+      | CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*) AS unique_o_orderkey,
+      | CAST(min(o_totalprice) AS DOUBLE) AS min_o_totalprice,
+      | CAST(count(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 END) AS DOUBLE) / count(*) AS domain_o_orderstatus
+      | FROM orders)
+      |SELECT check_name, floor(metric * 1000000.0 + 0.5) / 1000000.0 AS metric, passed FROM (
+      | SELECT 'complete_o_custkey' AS check_name, complete_o_custkey AS metric, complete_o_custkey >= 1.0 AS passed FROM m
+      | UNION ALL SELECT 'complete_o_orderdate', complete_o_orderdate, complete_o_orderdate >= 1.0 FROM m
+      | UNION ALL SELECT 'unique_o_orderkey', unique_o_orderkey, unique_o_orderkey >= 1.0 FROM m
+      | UNION ALL SELECT 'min_o_totalprice', min_o_totalprice, min_o_totalprice >= 0.0 FROM m
+      | UNION ALL SELECT 'domain_o_orderstatus', domain_o_orderstatus, domain_o_orderstatus >= 1.0 FROM m)
+      |ORDER BY check_name""".stripMargin
+}
