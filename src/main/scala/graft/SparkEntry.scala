@@ -66,6 +66,7 @@ object SparkEntry {
     "q42_copurchase"     -> Affinity.copurchase _,
     "q44_map_funcs"      -> Relational.q44MapFuncs _,
     "q45_transitions"    -> Relational.q45Transitions _,
+    "q46_topk_agg"       -> Relational.q46TopkAgg _,
     "dq_constraints"     -> Quality.dqConstraints _,
     "text_langid_eval"   -> TextAnalysis.langidEval _,
     "q43_triangles"      -> Affinity.triangles _,
@@ -435,6 +436,13 @@ object SparkEntry {
     "dedup_cross_corpus"  -> Training.crossCorpusSql,
     "source_minhash_sim"  -> Training.sourceMinhashSimSql,
     "dq_constraints"      -> Quality.dqConstraintsSql,
+    "q46_topk_agg" ->
+      """SELECT o_orderstatus AS status, CAST(rk AS INTEGER) AS rk, cents FROM (
+        | SELECT o_orderstatus, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |  row_number() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY floor(o_totalprice * 100 + 0.5) DESC) AS rk
+        | FROM orders)
+        |WHERE rk <= 5 ORDER BY status, rk""".stripMargin,
     "text_diversity"      -> Training.diversitySql,
     "embed_class_centroid" -> Similarity.classCentroidSql,
     "q42_copurchase"      -> Affinity.copurchaseSql,

@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - `graft_minhash_sig(hashes[, k])`   → ARRAY<BIGINT> MinHash signature
   *  - `graft_text_count(str[, mode])`    → BIGINT word/non-ws/punct count
   *  - `graft_simhash32(words)`           → BIGINT 32-bit SimHash fingerprint
+  *  - `graft_topk(v[, k])`               → ARRAY<BIGINT> AGGREGATE: exact top-k per group
   *
   * Two routes: `.withExtensions(new GraftExtensions)` at session build
   * (`spark.sql.extensions=graft.functions.GraftExtensions` also works),
@@ -47,6 +48,9 @@ object GraftFunctions {
       ((args: Seq[Expression]) => TextCount(args.head, longArg(args, 1, 0L).toInt)),
     "graft_simhash32" ->
       ((args: Seq[Expression]) => SimHash32(args.head)),
+    "graft_topk" ->
+      ((args: Seq[Expression]) =>
+        TopKAgg(args.head, longArg(args, 1, 5L).toInt).toAggregateExpression()),
   )
 
   /** Register all graft SQL functions on an existing session. */

@@ -716,6 +716,23 @@ object Relational {
       .agg(Cols.pround(sum(col("o_totalprice")), 2))
       .orderBy(col("yr"))
 
+  /** q46_topk_agg — grouped top-k via the custom bounded-heap AGGREGATE
+    * [[graft.functions.TopKAgg]] (TypedImperativeAggregate, O(k) state,
+    * map-side combinable) instead of a window sort + rank filter: per
+    * group only k longs ride the shuffle, vs WindowGroupLimit's full
+    * exchange of per-partition survivors. Oracle = the ORDER BY DESC
+    * LIMIT k per group, proving the heap semantics exactly.
+    */
+  def q46TopkAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("status"))
+      .agg(graft.functions.TopKAgg.column(col("cents"), 5).as("top"))
+      .select(col("status"), posexplode(col("top")).as(Seq("i", "cents")))
+      .select(col("status"), (col("i") + 1).cast("int").as("rk"), col("cents"))
+      .orderBy(col("status"), col("rk"))
+
   /** q45_transitions — behavioral Markov matrix: per-user event streams
     * ordered by time, lag() pairs each event with its predecessor, and
     * the (prev, next) counts + exact-rational transition probabilities

@@ -148,6 +148,25 @@ class FunctionsSpec extends SparkSpecBase {
     assert(short.isEmpty)
   }
 
+  test("TopKAgg: bounded-heap aggregate == sort-desc-limit, across partition merges") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // values deliberately spread over many partitions so the heap's
+    // serialize/merge path is exercised, with duplicates at the boundary
+    val vals = (1L to 1000L) ++ Seq(1000L, 999L, 999L)
+    val df = vals.toDF("v").repartition(13)
+    df.createOrReplaceTempView("graft_topk_in")
+    val got = spark.sql("SELECT graft_topk(v, 5) AS t FROM graft_topk_in")
+      .head.getSeq[Long](0)
+    assert(got == Seq(1000L, 1000L, 999L, 999L, 999L), s"got $got")
+    // grouped form through the Column API
+    val grouped = df.withColumn("g", col("v") % 2)
+      .groupBy("g").agg(graft.functions.TopKAgg.column(col("v"), 3).as("t"))
+      .collect().map(r => r.getAs[Long]("g") -> r.getSeq[Long](1)).toMap
+    assert(grouped(0L) == Seq(1000L, 1000L, 998L))
+    assert(grouped(1L) == Seq(999L, 999L, 999L))
+  }
+
   test("MinHashSig == interpreted transform/array_min") {
     val df = docs
       .select(col("doc_id"), TextFns.shingleHashes(TextFns.tokenize(col("text"))).as("h"))
