@@ -194,6 +194,29 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("custom TopKAgg aggregate runs in a streaming aggregation (complete mode)") {
+    // the bounded-heap aggregate's state is mergeable, so it composes
+    // with streaming state like any built-in: per-key top-k over an
+    // unbounded stream with O(k) state per key
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(String, Long)]
+    val agg = src.toDF().toDF("k", "v")
+      .groupBy("k").agg(graft.functions.TopKAgg.column(col("v"), 2).as("top"))
+    val q = agg.writeStream.format("memory").queryName("topk_out")
+      .outputMode("complete").start()
+    try {
+      src.addData(("a", 5L), ("a", 9L), ("b", 1L))
+      q.processAllAvailable()
+      src.addData(("a", 7L), ("b", 4L)) // state must merge across batches
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("topk_out").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got("a") == Seq(9L, 7L), s"got ${got("a")}")
+    assert(got("b") == Seq(4L, 1L), s"got ${got("b")}")
+  }
+
   test("stream-static ANTI join: streaming docs dedup against the snapshot corpus") {
     // the streaming form of cross-corpus dedup: each micro-batch drops
     // docs whose exact fingerprint already exists in the (static)
