@@ -46,4 +46,28 @@ object Maintenance {
     fs.delete(old, true)
     (before.size, parquetFiles(path).size)
   }
+
+  /** Idempotent batch append — the EXACTLY-ONCE sink contract for
+    * foreachBatch: Structured Streaming guarantees at-least-once
+    * delivery of (batchId, data), so a restarted query RE-DELIVERS the
+    * last in-flight batch; a sink that blindly appends duplicates it.
+    * Each batch writes to `dir/batch=<id>` via a temp dir + atomic
+    * rename, and a re-delivered id is detected by the committed dir's
+    * existence and skipped. Returns true if this call performed the
+    * write, false if the batch was already committed (the replay path).
+    * Readers see `dir` as an ordinary partitioned parquet table.
+    */
+  def appendBatchIdempotent(df: org.apache.spark.sql.DataFrame, dir: String,
+      batchId: Long): Boolean = {
+    val spark = df.sparkSession
+    val target = new Path(dir, s"batch=$batchId")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(target)) return false // replayed batch: already committed
+    val tmp = new Path(dir, s"._batch_${batchId}_tmp")
+    fs.delete(tmp, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    fs.mkdirs(target.getParent)
+    require(fs.rename(tmp, target), s"could not commit batch $batchId into $dir")
+    true
+  }
 }

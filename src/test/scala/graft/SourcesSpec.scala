@@ -226,6 +226,31 @@ class SourcesSpec extends SparkSpecBase {
     }
   }
 
+  test("idempotent batch append: a replayed batchId is skipped, not duplicated") {
+    import graft.sources.Maintenance
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_idem").toString + "/t"
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val b1 = Seq((3L, "c")).toDF("id", "v")
+    assert(Maintenance.appendBatchIdempotent(b0, dir, 0L))
+    assert(Maintenance.appendBatchIdempotent(b1, dir, 1L))
+    // restart scenario: batch 1 re-delivered (at-least-once) -> skipped
+    assert(!Maintenance.appendBatchIdempotent(b1, dir, 1L))
+    val all = spark.read.parquet(dir)
+    assert(all.count() == 3, "replay must not duplicate rows")
+    assert(all.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // and it composes as a foreachBatch sink
+    implicit val sqlCtx = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val dir2 = Files.createTempDirectory("graft_idem2").toString + "/t"
+    val q = src.toDF().toDF("id", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        Maintenance.appendBatchIdempotent(batch.toDF(), dir2, id); ()
+      }.start()
+    try { src.addData((9L, "x")); q.processAllAvailable() } finally q.stop()
+    assert(spark.read.parquet(dir2).count() == 1)
+  }
+
   test("observe(): data-quality metrics ride the load job - no second pass over the data") {
     // the pipeline-monitoring primitive: row counts / null counts /
     // sums are collected DURING the write via AccumulatorV2, so a
