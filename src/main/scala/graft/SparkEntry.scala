@@ -74,6 +74,7 @@ object SparkEntry {
     "q40_range_frame"    -> Relational.q40RangeFrame _,
     "pipeline_stratified" -> ((s: SparkSession, d: String) => Curate.stratified(s, d)),
     "asof_join"          -> AsOf.clicksToPurchases _,
+    "asof_join_forward"  -> AsOf.purchasesToNextClick _,
     "range_join_bucketed" -> Ranges.eventBands _,
     // §2.C LLM-data-pipeline operators
     "dedup_exact"         -> Dedup.exact _,
@@ -419,6 +420,7 @@ object SparkEntry {
         |FROM events WHERE (event_id * 1000003 + 12289) % 2147483647 % 100 < 10
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "asof_join"           -> AsOf.clicksToPurchasesSql,
+    "asof_join_forward"   -> AsOf.purchasesToNextClickSql,
     "range_join_bucketed" -> Ranges.eventBandsSql,
     "q21_stats_agg" ->
       """SELECT l_returnflag,

@@ -81,4 +81,46 @@ object AsOf {
       | (c.us - p.us) // 1000000 AS gap_sec
       |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.us >= p.us
       |ORDER BY click_id""".stripMargin
+
+  /** FORWARD as-of join (pandas merge_asof direction='forward'): each
+    * left row matched to the EARLIEST right row at or after it. Same
+    * single-shuffle union+window core as [[asofJoin]], run on negated
+    * time (forward-on-t ≡ backward-on-−t); the emitted `r_<time>` is
+    * negated back. Completes the direction surface — backward here,
+    * forward, and nearest = coalesce(closer of the two).
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+      time: String, rightPrefix: String = "r_"): DataFrame = {
+    val neg = (df: DataFrame) => df.withColumn(time, -col(time))
+    asofJoin(neg(left), neg(right), key, time, rightPrefix)
+      .withColumn(time, -col(time))
+      .withColumn(rightPrefix + time, -col(rightPrefix + time))
+  }
+
+  /** asof_join_forward testdata binding: each purchase joined to the
+    * user's NEXT click at or after it (the "what did the buyer do
+    * next" direction).
+    */
+  def purchasesToNextClick(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir).withColumn("us", unix_micros(col("ts")))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), col("event_id").as("prc_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us"), col("event_id").as("click_id"))
+    asofJoinForward(purchases, clicks, "user_id", "us")
+      .select(col("user_id"), col("prc_id"), col("us").as("prc_us"),
+        col("r_us").as("click_us"), col("r_click_id").as("click_id"),
+        expr("(r_us - us) div 1000000").as("gap_sec"))
+      .orderBy(col("prc_id"))
+  }
+
+  def purchasesToNextClickSql: String =
+    """WITH p AS (SELECT user_id, epoch_us(ts) AS us, event_id AS prc_id
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, epoch_us(ts) AS us, event_id AS click_id
+      |      FROM events WHERE event_type = 'click')
+      |SELECT p.user_id, prc_id, p.us AS prc_us, c.us AS click_us, click_id,
+      | (c.us - p.us) // 1000000 AS gap_sec
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us <= c.us
+      |ORDER BY prc_id""".stripMargin
 }
