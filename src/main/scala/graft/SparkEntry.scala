@@ -67,6 +67,8 @@ object SparkEntry {
     "q44_map_funcs"      -> Relational.q44MapFuncs _,
     "q45_transitions"    -> Relational.q45Transitions _,
     "q46_topk_agg"       -> Relational.q46TopkAgg _,
+    "q47_grouping_sets"  -> Relational.q47GroupingSets _,
+    "q48_setops_all"     -> Relational.q48SetopsAll _,
     "dq_constraints"     -> Quality.dqConstraints _,
     "text_langid_eval"   -> TextAnalysis.langidEval _,
     "q43_triangles"      -> Affinity.triangles _,
@@ -438,6 +440,23 @@ object SparkEntry {
     "dedup_cross_corpus"  -> Training.crossCorpusSql,
     "source_minhash_sim"  -> Training.sourceMinhashSimSql,
     "dq_constraints"      -> Quality.dqConstraintsSql,
+    "q47_grouping_sets" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS prio,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  count(*) AS n, floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS rev
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus, year(o_orderdate)), ())
+        |ORDER BY status NULLS FIRST, prio NULLS FIRST, yr NULLS FIRST""".stripMargin,
+    "q48_setops_all" ->
+      """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |SELECT 'intersect_all' AS op, count(*) AS n FROM (
+        |  SELECT o_custkey FROM f INTERSECT ALL SELECT o_custkey FROM o)
+        |UNION ALL
+        |SELECT 'except_all', count(*) FROM (
+        |  SELECT o_custkey FROM f EXCEPT ALL SELECT o_custkey FROM o)
+        |ORDER BY op""".stripMargin,
     "q46_topk_agg" ->
       """SELECT o_orderstatus AS status, CAST(rk AS INTEGER) AS rk, cents FROM (
         | SELECT o_orderstatus, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,

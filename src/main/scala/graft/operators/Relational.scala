@@ -716,6 +716,42 @@ object Relational {
       .agg(Cols.pround(sum(col("o_totalprice")), 2))
       .orderBy(col("yr"))
 
+  /** q47_grouping_sets — explicit GROUPING SETS (the general form that
+    * ROLLUP/CUBE specialize): three chosen aggregation levels in one
+    * pass via Expand — each input row fans out only to its sets, one
+    * shuffle regardless of how many sets are requested.
+    */
+  def q47GroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_gs_orders")
+    spark.sql(
+      """SELECT o_orderstatus AS status, o_orderpriority AS prio,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  count(*) AS n, floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS rev
+        |FROM graft_gs_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus, year(o_orderdate)), ())
+        |ORDER BY status NULLS FIRST, prio NULLS FIRST, yr NULLS FIRST""".stripMargin)
+  }
+
+  /** q48_setops_all — bag-semantics set operations (INTERSECT ALL /
+    * EXCEPT ALL): duplicate-preserving membership, the form dedup
+    * accounting actually needs (how many copies survive), vs q10's
+    * set-semantics variants. Spark plans both as count-tracking
+    * aggregates — one shuffle each, no join explosion.
+    */
+  def q48SetopsAll(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_sa_orders")
+    spark.sql(
+      """WITH f AS (SELECT o_custkey FROM graft_sa_orders WHERE o_orderstatus = 'F'),
+        |o AS (SELECT o_custkey FROM graft_sa_orders WHERE o_orderstatus = 'O')
+        |SELECT 'intersect_all' AS op, count(*) AS n FROM (
+        |  SELECT o_custkey FROM f INTERSECT ALL SELECT o_custkey FROM o)
+        |UNION ALL
+        |SELECT 'except_all', count(*) FROM (
+        |  SELECT o_custkey FROM f EXCEPT ALL SELECT o_custkey FROM o)
+        |ORDER BY op""".stripMargin)
+  }
+
   /** q46_topk_agg — grouped top-k via the custom bounded-heap AGGREGATE
     * [[graft.functions.TopKAgg]] (TypedImperativeAggregate, O(k) state,
     * map-side combinable) instead of a window sort + rank filter: per

@@ -182,6 +182,12 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("Join"), p)
   }
 
+  test("q46_topk_agg: custom aggregate partial-aggregates map-side (k longs per group on the shuffle)") {
+    val p = planOf(q("q46_topk_agg"))
+    assert(p.contains("partial_graft_topk"),
+      s"TopKAgg not map-side combined — full rows would ride the shuffle:\n$p")
+  }
+
   test("etl_fact_build: lineitem scan prunes to the fact columns") {
     val p = planOf(q("etl_fact_build"))
     val lineitemScans = p.linesIterator.filter(l => l.contains("ReadSchema:") && l.contains("l_orderkey")).mkString
