@@ -94,6 +94,7 @@ object SparkEntry {
     "text_scrub"          -> TextAnalysis.scrub _,
     "text_winnow"         -> TextAnalysis.winnow _,
     "text_vocab_coverage" -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
+    "text_length_profile" -> TextAnalysis.lengthProfile _,
     "dedup_keep_best"     -> Curate.keepBest _,
     "sim_bruteforce_topk" -> Similarity.bruteforceTopk _,
     "sim_lsh_ann"         -> Similarity.lshAnn _,
@@ -434,6 +435,7 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_winnow"         -> TextAnalysis.winnowSql,
     "text_vocab_coverage" -> TextAnalysis.vocabCoverageSql,
+    "text_length_profile" -> TextAnalysis.lengthProfileSql,
     "contamination_check" -> Training.contaminationSql,
     "pipeline_pack"       -> Training.packSql,
     "pipeline_mix"        -> Training.mixSql,

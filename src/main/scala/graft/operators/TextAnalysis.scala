@@ -234,6 +234,34 @@ object TextAnalysis {
       .select(col("rank").cast("int").as("rank"),
         col("e.item").as("w"), col("e.count").as("approx_cnt"), col("n_tokens"))
 
+  /** text_length_profile — the sequence-length distribution report every
+    * training-data card carries: per source, doc count and exact
+    * interpolated p50/p90 token counts plus the mean. Token counts are
+    * the codegen'd [[graft.functions.TextCount]]; one aggregation keyed
+    * by source (exact percentiles sort per group — with billions of
+    * docs per source swap in approx_percentile, same shape).
+    */
+  def lengthProfile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"),
+        graft.functions.TextCount.column(col("text"), graft.functions.TextCount.Words)
+          .as("tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        Cols.pround(expr("percentile(tokens, 0.5)"), 4).as("p50_tokens"),
+        Cols.pround(expr("percentile(tokens, 0.9)"), 4).as("p90_tokens"),
+        Cols.pround(avg(col("tokens")), 6).as("mean_tokens"))
+      .orderBy(col("source"))
+
+  def lengthProfileSql: String =
+    s"""SELECT source, count(*) AS n_docs,
+       | ${Cols.proundSql("quantile_cont(tokens, 0.5)", 4)} AS p50_tokens,
+       | ${Cols.proundSql("quantile_cont(tokens, 0.9)", 4)} AS p90_tokens,
+       | ${Cols.proundSql("avg(tokens)", 6)} AS mean_tokens
+       |FROM (SELECT source, CAST(len(${TextFns.tokenizeSql("text")}) AS BIGINT) AS tokens
+       |      FROM documents)
+       |GROUP BY 1 ORDER BY source""".stripMargin
+
   /** Winnowing window width (fingerprints guarantee detection of any
     * shared run of ≥ WinnowW + 2 tokens: W consecutive 3-gram windows).
     */
