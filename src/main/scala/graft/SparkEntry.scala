@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Affinity, AsOf, Curate, Dedup, Multimodal, Quality, Ranges, Relational, RetailEtl, Similarity, TextAnalysis, Training}
+import graft.operators.{Affinity, AsOf, Curate, Dedup, Multimodal, Quality, Ranges, Relational, RetailEtl, Similarity, TextAnalysis, TimeSeries, Training}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -70,6 +70,10 @@ object SparkEntry {
     "q47_grouping_sets"  -> Relational.q47GroupingSets _,
     "q48_setops_all"     -> Relational.q48SetopsAll _,
     "dq_constraints"     -> Quality.dqConstraints _,
+    "dq_outliers"        -> Quality.dqOutliers _,
+    "ts_gapfill"         -> TimeSeries.gapfill _,
+    "ts_concurrency"     -> TimeSeries.concurrency _,
+    "q49_cohort_retention" -> TimeSeries.cohortRetention _,
     "text_langid_eval"   -> TextAnalysis.langidEval _,
     "q43_triangles"      -> Affinity.triangles _,
     "q39_array_funcs"    -> Relational.q39ArrayFuncs _,
@@ -442,6 +446,10 @@ object SparkEntry {
     "dedup_cross_corpus"  -> Training.crossCorpusSql,
     "source_minhash_sim"  -> Training.sourceMinhashSimSql,
     "dq_constraints"      -> Quality.dqConstraintsSql,
+    "dq_outliers"         -> Quality.dqOutliersSql,
+    "ts_gapfill"          -> TimeSeries.gapfillSql,
+    "ts_concurrency"      -> TimeSeries.concurrencySql,
+    "q49_cohort_retention" -> TimeSeries.cohortRetentionSql,
     "q47_grouping_sets" ->
       """SELECT o_orderstatus AS status, o_orderpriority AS prio,
         |  CAST(year(o_orderdate) AS INTEGER) AS yr,

@@ -86,4 +86,43 @@ object Quality {
       | UNION ALL SELECT 'min_o_totalprice', min_o_totalprice, min_o_totalprice >= 0.0 FROM m
       | UNION ALL SELECT 'domain_o_orderstatus', domain_o_orderstatus, domain_o_orderstatus >= 1.0 FROM m)
       |ORDER BY check_name""".stripMargin
+
+  /** Statistical outlier detection: rows whose value sits more than
+    * `zThresh` sample standard deviations from their GROUP's mean — the
+    * anomaly screen run on a metric column before it feeds dashboards
+    * or training labels.
+    *
+    * Shape: per-group moments are ONE map-side-combined aggregation
+    * (output cardinality = group count, bounded); the stats table
+    * broadcast-joins back onto the stream, so the screen is one scan +
+    * one tiny shuffle at any corpus size. The threshold compares raw
+    * doubles (`|v − μ| > z·σ`) identically on both engines; only the
+    * REPORTED z is rounded.
+    */
+  def outliersOn(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, zThresh: Double): DataFrame = {
+    val stats = df.groupBy(col(groupCol))
+      .agg(avg(col(valueCol)).as("m"), stddev_samp(col(valueCol)).as("sd"))
+    df.join(broadcast(stats), groupCol)
+      .filter(abs(col(valueCol) - col("m")) > lit(zThresh) * col("sd"))
+      .select(col(idCol), col(groupCol), col(valueCol),
+        Cols.pround((col(valueCol) - col("m")) / col("sd"), 4).as("z"))
+  }
+
+  /** dq_outliers testdata binding: events whose value is > 2σ from the
+    * event-type mean.
+    */
+  def dqOutliers(spark: SparkSession, sfDir: String): DataFrame =
+    outliersOn(Tables.events(spark, sfDir), "event_type", "value", "event_id", 2.0)
+      .orderBy(col("event_id"))
+
+  def dqOutliersSql: String =
+    """WITH s AS (
+      | SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+      | FROM events GROUP BY 1)
+      |SELECT event_id, e.event_type, value,
+      | floor(((value - m) / sd) * 10000.0 + 0.5) / 10000.0 AS z
+      |FROM events e JOIN s ON e.event_type = s.event_type
+      |WHERE abs(value - m) > 2.0 * sd
+      |ORDER BY event_id""".stripMargin
 }

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.{Cols, Tables}
+
+/** Time-series analytics over irregular event/order streams: resampling
+  * to a regular grid with forward-fill, sweep-line interval concurrency,
+  * and cohort retention — the reporting family a warehouse layers on the
+  * fact tables next to the star queries.
+  *
+  * Scale notes (100 TB):
+  *  - gapfill generates the per-key date spine with `sequence` ON THE
+  *    EXECUTORS (explode of a per-key array) — never a driver-side range
+  *    join. Spine size is bounded by key-count × span-days, and the
+  *    forward-fill window rides the same key partitioning as the
+  *    spine join, so the whole op is two shuffles on the key.
+  *  - concurrency reduces the raw interval rows to per-DAY deltas FIRST
+  *    (map-side-combined groupBy on day — output cardinality = calendar
+  *    days, thousands at most), then runs the running sum over that tiny
+  *    aggregate. The single-partition window is over days, not rows, so
+  *    it is a constant-size step at any corpus scale — the standard
+  *    sweep-line shape that replaces the quadratic self-join
+  *    ("how many intervals overlap day d" as a join is O(rows × days)).
+  *  - cohort retention is three shuffles (member-month distinct, first
+  *    month per member, cohort×offset count), each map-side combinable;
+  *    output is |months|² regardless of member count.
+  */
+object TimeSeries {
+
+  /** Resample (key, day, value) rows to a dense per-key daily grid over
+    * each key's [min(day), max(day)] span, forward-filling missing days
+    * with the last observed value. Output: key, day, observed value
+    * (null on gap days), filled value, is_gap flag.
+    */
+  def gapfillOn(perDay: DataFrame, keyCol: String, dayCol: String,
+      valueCol: String): DataFrame = {
+    val spine = perDay.groupBy(col(keyCol))
+      .agg(min(col(dayCol)).as("mn"), max(col(dayCol)).as("mx"))
+      .select(col(keyCol),
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 day"))).as(dayCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(perDay, Seq(keyCol, dayCol), "left")
+      .select(col(keyCol), col(dayCol), col(valueCol),
+        last(col(valueCol), ignoreNulls = true).over(w).as("filled"),
+        col(valueCol).isNull.as("is_gap"))
+  }
+
+  /** ts_gapfill testdata binding: per-user daily spend for users 0-19,
+    * resampled to a dense daily series with forward-fill.
+    */
+  def gapfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDay = Tables.events(spark, sfDir)
+      .filter(col("user_id") < 20)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(Cols.pround(sum(col("value")), 2).as("day_spend"))
+    gapfillOn(perDay, "user_id", "day", "day_spend")
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  def gapfillSql: String =
+    """WITH pd AS (
+      | SELECT user_id, CAST(ts AS DATE) AS day,
+      |  floor(sum(value) * 100.0 + 0.5) / 100.0 AS day_spend
+      | FROM events WHERE user_id < 20 GROUP BY 1, 2),
+      |b AS (SELECT user_id, min(day) AS mn, max(day) AS mx FROM pd GROUP BY 1),
+      |spine AS (
+      | SELECT user_id, CAST(unnest(generate_series(CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      | FROM b)
+      |SELECT s.user_id, s.day, pd.day_spend,
+      | last_value(pd.day_spend IGNORE NULLS) OVER (PARTITION BY s.user_id ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS filled,
+      | pd.day_spend IS NULL AS is_gap
+      |FROM spine s LEFT JOIN pd ON s.user_id = pd.user_id AND s.day = pd.day
+      |ORDER BY s.user_id, s.day""".stripMargin
+
+  /** Sweep-line interval concurrency: given (start_day, end_day)
+    * intervals, the number of intervals open on each calendar day.
+    * Raw intervals collapse to per-day +1/−1 deltas first (map-side
+    * combined, day-cardinality output), then one running sum over the
+    * day-level aggregate. Output: day, delta, n_open.
+    */
+  def concurrencyOn(intervals: DataFrame, startCol: String, endCol: String): DataFrame = {
+    val deltas = intervals.select(col(startCol).as("day"), lit(1L).as("d"))
+      .unionAll(intervals.select(date_add(col(endCol), 1).as("day"), lit(-1L).as("d")))
+      .groupBy(col("day")).agg(sum(col("d")).as("delta"))
+    // Day-cardinality input: the single-partition running-sum window is
+    // over calendar days (bounded), not over interval rows.
+    deltas.withColumn("n_open",
+      sum(col("delta")).over(Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** ts_concurrency testdata binding: orders open from order date until
+    * their last line shipment — concurrent open-order count per day.
+    */
+  def concurrency(spark: SparkSession, sfDir: String): DataFrame = {
+    val spans = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey")).agg(max(to_date(col("l_shipdate"))).as("end_day"))
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(to_date(col("o_orderdate")).as("start_day"), col("end_day"))
+    concurrencyOn(spans, "start_day", "end_day")
+      .filter(col("n_open") =!= 0 || col("delta") =!= 0)
+      .orderBy(col("day"))
+  }
+
+  def concurrencySql: String =
+    """WITH spans AS (
+      | SELECT CAST(o_orderdate AS DATE) AS start_day, e.end_day
+      | FROM orders JOIN (
+      |   SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS end_day
+      |   FROM lineitem GROUP BY 1) e ON o_orderkey = e.l_orderkey),
+      |deltas AS (
+      | SELECT day, CAST(sum(d) AS BIGINT) AS delta FROM (
+      |   SELECT start_day AS day, 1 AS d FROM spans
+      |   UNION ALL
+      |   SELECT end_day + 1 AS day, -1 AS d FROM spans) u
+      | GROUP BY 1),
+      |r AS (
+      | SELECT day, delta, CAST(sum(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
+      | FROM deltas)
+      |SELECT day, delta, n_open FROM r WHERE n_open <> 0 OR delta <> 0 ORDER BY day""".stripMargin
+
+  /** Cohort retention: members bucketed by first-activity month; for
+    * each (cohort_month, month_offset), how many members were active
+    * and what fraction of the cohort that is. Exact integer counts and
+    * a portably-rounded ratio. Output: cohort_month, month_off,
+    * n_active, cohort_size, retention.
+    */
+  def cohortRetentionOn(activity: DataFrame, memberCol: String, tsCol: String): DataFrame = {
+    val monthOf = (c: org.apache.spark.sql.Column) =>
+      year(c) * 12 + month(c) // absolute month index (differences only)
+    val memberMonths = activity
+      .select(col(memberCol).as("m"), to_date(date_trunc("month", col(tsCol))).as("am"))
+      .distinct()
+    val withCohort = memberMonths
+      .withColumn("cm", min(col("am")).over(Window.partitionBy(col("m"))))
+    val counts = withCohort
+      .groupBy(col("cm").as("cohort_month"),
+        (monthOf(col("am")) - monthOf(col("cm"))).cast("int").as("month_off"))
+      .agg(count(lit(1)).as("n_active"))
+    val wc = Window.partitionBy(col("cohort_month"))
+    counts
+      .withColumn("cohort_size",
+        max(when(col("month_off") === 0, col("n_active"))).over(wc))
+      .withColumn("retention",
+        Cols.pround(col("n_active").cast("double") / col("cohort_size"), 4))
+  }
+
+  /** q49_cohort_retention testdata binding: customers cohorted by first
+    * order month, retention = ordered again in month cohort+k.
+    */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame =
+    cohortRetentionOn(Tables.orders(spark, sfDir), "o_custkey", "o_orderdate")
+      .orderBy(col("cohort_month"), col("month_off"))
+
+  def cohortRetentionSql: String =
+    """WITH mm AS (
+      | SELECT DISTINCT o_custkey AS m, CAST(date_trunc('month', o_orderdate) AS DATE) AS am
+      | FROM orders),
+      |c AS (SELECT m, am, min(am) OVER (PARTITION BY m) AS cm FROM mm),
+      |counts AS (
+      | SELECT cm AS cohort_month,
+      |  CAST((year(am) * 12 + month(am)) - (year(cm) * 12 + month(cm)) AS INTEGER) AS month_off,
+      |  count(*) AS n_active
+      | FROM c GROUP BY 1, 2),
+      |sized AS (
+      | SELECT cohort_month, month_off, n_active,
+      |  max(CASE WHEN month_off = 0 THEN n_active END) OVER (PARTITION BY cohort_month) AS cohort_size
+      | FROM counts)
+      |SELECT cohort_month, month_off, n_active, cohort_size,
+      | floor((CAST(n_active AS DOUBLE) / cohort_size) * 10000.0 + 0.5) / 10000.0 AS retention
+      |FROM sized ORDER BY cohort_month, month_off""".stripMargin
+}
