@@ -84,12 +84,16 @@ object Bench {
       name -> ((if (failed) -1.0 else times.min, shuffleRead, shuffleWrite))
     }
     // The driver captures only the tail of stdout (~4 KiB) and parses the
-    // final JSON line; round 2's line embedded per-query shuffle bytes and
-    // overflowed that buffer, so the round's bench was unparseable. Keep
-    // the final line compact (3-decimal timings, no per-query shuffle
-    // detail) and emit the shuffle tallies on an earlier, prefixed line.
+    // final JSON line. Round 2's line overflowed it with per-query shuffle
+    // bytes; round 3's overflowed it AGAIN simply because the query count
+    // grew past ~100 (3-decimal timings alone exceeded the buffer, so the
+    // line's HEAD was cut off and the round's bench went unparsed). The
+    // final line now has a HARD byte budget: the "queries" map keeps the
+    // slowest entries (the perf-relevant ones) until the serialized line
+    // would exceed LINE_BUDGET bytes; the complete map is printed on an
+    // earlier QUERY_SECS-prefixed line and written to tools/bench_last.json.
     def f3(t: Double): String = if (t < 0) "-1" else f"$t%.3f"
-    val qs = results.map { case (k, (t, _, _)) => "\"" + k + "\":" + f3(t) }
+    val qsFull = results.map { case (k, (t, _, _)) => "\"" + k + "\":" + f3(t) }
       .mkString("{", ",", "}")
     val sh = results.map { case (k, (_, r, w)) =>
       "\"" + k + "\":{\"read\":" + r + ",\"write\":" + w + "}"
@@ -97,8 +101,25 @@ object Bench {
     val failedNames = results.collect { case (k, (t, _, _)) if t < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.collect { case (t, _, _) if t >= 0 => t }.sum
+    val LineBudget = 1800 // bytes; driver tail buffer is ~4 KiB and also
+    //  holds sbt's trailing "[success]" noise — stay far under it
+    def line(qs: String, omitted: Int): String =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"omitted":$omitted,"failed":$failedNames,"sf":"$sfDir"}"""
+    val bySlowest = results.toSeq.sortBy { case (_, (t, _, _)) => -t }
+    var keep = bySlowest.length
+    def qsOf(n: Int): String = bySlowest.take(n)
+      .map { case (k, (t, _, _)) => "\"" + k + "\":" + f3(t) }
+      .mkString("{", ",", "}")
+    while (keep > 1 && line(qsOf(keep), bySlowest.length - keep).length > LineBudget)
+      keep -= 1
+    println(s"QUERY_SECS $qsFull")
     println(s"SHUFFLE_BYTES $sh")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failedNames,"sf":"$sfDir"}""")
+    try {
+      val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsFull,"failed":$failedNames,"sf":"$sfDir","shuffle":$sh}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("tools/bench_last.json"),
+        full.getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // best-effort; never fail the bench
+    println(line(qsOf(keep), bySlowest.length - keep))
     spark.stop()
   }
 }

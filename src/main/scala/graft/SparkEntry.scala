@@ -453,7 +453,8 @@ object SparkEntry {
     "q47_grouping_sets" ->
       """SELECT o_orderstatus AS status, o_orderpriority AS prio,
         |  CAST(year(o_orderdate) AS INTEGER) AS yr,
-        |  count(*) AS n, floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS rev
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_cents
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |  (o_orderstatus, year(o_orderdate)), ())

@@ -151,8 +151,12 @@ object Multimodal {
           try javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(bytes))
           catch { case _: Exception => null }
-        if (in == null || in.getFormat.getSampleSizeInBits != 16) Iterator.empty
+        if (in == null) Iterator.empty
+        // the format check lives INSIDE try/finally: the early non-16-bit
+        // return path must close the stream too, not just the decode path
         else try {
+          if (in.getFormat.getSampleSizeInBits != 16) Seq.empty[AudioWindow]
+          else {
           val fmt = in.getFormat
           val bytesPerFrame = fmt.getFrameSize
           val pcm = in.readAllBytes()
@@ -170,6 +174,7 @@ object Multimodal {
             }
             AudioWindow(id, w, math.sqrt(sum / windowFrames))
           }.toSeq
+          }
         } finally in.close()
       })
   }

@@ -723,10 +723,15 @@ object Relational {
     */
   def q47GroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.orders(spark, sfDir).createOrReplaceTempView("graft_gs_orders")
+    // Revenue sums as DECIMAL cents, not doubles: the () grand-total set
+    // sums the entire table, and a double sum is order-dependent — Spark's
+    // and the oracle's partial-sum orders differ by an ulp, which flips the
+    // rounded cent. Decimal aggregation is exact and order-independent.
     spark.sql(
       """SELECT o_orderstatus AS status, o_orderpriority AS prio,
         |  CAST(year(o_orderdate) AS INT) AS yr,
-        |  count(*) AS n, floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS rev
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_cents
         |FROM graft_gs_orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |  (o_orderstatus, year(o_orderdate)), ())

@@ -425,10 +425,11 @@ object Similarity {
     * integer — order-independent, hence value-oracle-safe. The class
     * size n cancels in the cosine (dot(v, s/n) / (|v|·|s/n|) =
     * dot(v, s) / (|v|·|s|)), so centroids are kept as raw integer sums;
-    * the centroid self-product Σs² is summed in DECIMAL (it scales with
-    * n² and would overflow int64 on a billion-vector class). Division
-    * and sqrt are IEEE-correctly-rounded — deterministic across
-    * engines, unlike libm transcendentals.
+    * every product INVOLVING s (Σs², Σqx·s) is computed in DECIMAL with
+    * decimal operands — s scales with class size, so the long products
+    * would wrap on large classes. Division and sqrt are
+    * IEEE-correctly-rounded — deterministic across engines, unlike libm
+    * transcendentals.
     *
     * Scale shape: the only corpus-sized stages are the dim explode and
     * the per-vector re-aggregation (keyed on vec id); the centroid
@@ -436,6 +437,11 @@ object Similarity {
     * so the rejoin never shuffles the exploded stream a second time.
     * Output: (vec_id, label, cos_centroid) for vectors with a nonzero
     * quantized norm.
+    *
+    * Cache contract: the quantized explode and the centroid table are
+    * persist()ed (both forks precede any exchange, so ReusedExchange
+    * can't dedupe them); caller owns cleanup via
+    * `spark.catalog.clearCache()` (Bench/Verify clear between queries).
     */
   def classCentroidOn(vectors: DataFrame): DataFrame = {
     val q = vectors
@@ -446,11 +452,19 @@ object Similarity {
     val cent = q.groupBy(col("label"), col("d"))
       .agg(sum(col("qx")).as("s"))
       .persist() // read by the class-norm agg AND the affinity rejoin
+    // Operands are cast to decimal BEFORE multiplying: a long×long product
+    // wraps silently before any later cast could widen it. s scales with
+    // class size n (s ≲ n·2^20), so s·s and qx·s both leave int64 range on
+    // large classes; decimal(18,0)×decimal(18,0) → decimal(37,0) products
+    // summed in decimal(38,0) hold to n ≈ 10^11. vn2 = Σ_d qx² is
+    // per-VECTOR (≤ dims·2^40 ≈ 2^46) — long is exact regardless of n.
+    val dec = "decimal(18,0)"
     val cnorm = cent.groupBy(col("label"))
-      .agg(sum((col("s") * col("s")).cast("decimal(38,0)")).cast("double").as("cn2"))
+      .agg(sum(col("s").cast(dec) * col("s").cast(dec)).cast("double").as("cn2"))
     val per = q.join(cent, Seq("label", "d"))
       .groupBy(col("id"), col("label"))
-      .agg(sum(col("qx") * col("s")).as("dot"), sum(col("qx") * col("qx")).as("vn2"))
+      .agg(sum(col("qx").cast(dec) * col("s").cast(dec)).as("dot"),
+        sum(col("qx") * col("qx")).as("vn2"))
     per.join(cnorm, Seq("label"))
       .filter(col("vn2") > 0)
       .select(col("id"), col("label"),
@@ -472,8 +486,11 @@ object Similarity {
        |  CAST(floor(CAST(embedding[d] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS qx
        |  FROM embeddings, generate_series(1, 64) AS g(d)),
        |cent AS (SELECT label, d, CAST(sum(qx) AS BIGINT) AS s FROM q GROUP BY 1, 2),
-       |cn AS (SELECT label, CAST(sum(s * s) AS DOUBLE) AS cn2 FROM cent GROUP BY 1),
-       |per AS (SELECT vec_id, q.label AS label, CAST(sum(qx * s) AS BIGINT) AS dot,
+       |cn AS (SELECT label,
+       |        CAST(sum(CAST(s AS DECIMAL(18,0)) * CAST(s AS DECIMAL(18,0))) AS DOUBLE) AS cn2
+       |        FROM cent GROUP BY 1),
+       |per AS (SELECT vec_id, q.label AS label,
+       |        CAST(sum(CAST(qx AS DECIMAL(18,0)) * CAST(s AS DECIMAL(18,0))) AS DOUBLE) AS dot,
        |        CAST(sum(qx * qx) AS BIGINT) AS vn2
        |        FROM q JOIN cent ON q.label = cent.label AND q.d = cent.d GROUP BY 1, 2)
        |SELECT vec_id, per.label AS label,

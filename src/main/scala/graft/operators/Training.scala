@@ -41,6 +41,12 @@ object Training {
     * benchmark item quoted inside a long page should still flag.
     * Output: (doc_id, n_shingles, n_hit, containment, contaminated) for
     * corpus docs with ≥ 1 shingle.
+    *
+    * Cache contract: the shingled corpus is persist()ed because two
+    * branches fork BEFORE any exchange (no ReusedExchange possible);
+    * the cache lives until the caller clears it (`spark.catalog
+    * .clearCache()`, as Bench/Verify do between queries) — long-lived
+    * sessions own that cleanup.
     */
   def contaminationOn(corpus: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, threshold: Double): DataFrame = {
@@ -144,6 +150,10 @@ object Training {
     * corpora: signatures on each side, candidates meet in a
     * (band, bandKey) equi-join, exact signature agreement filters at
     * `minAgreement`. Output: (new_id, snap_id, est_sim) pairs.
+    *
+    * Cache contract: per-side signature frames are persist()ed (each is
+    * read by the band join AND the agreement rejoin, forking before any
+    * exchange); caller owns cleanup via `spark.catalog.clearCache()`.
     */
   def crossCorpusOn(newDocs: DataFrame, snapshot: DataFrame, idCol: String,
       textCol: String, minAgreement: Double): DataFrame = {

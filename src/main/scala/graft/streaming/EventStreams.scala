@@ -207,9 +207,14 @@ object EventStreams {
     updates.writeStream.outputMode(OutputMode.Append).foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val b = batch.persist()
+        // Pin the predicate to a boolean: filter(pred) AND filter(!pred)
+        // both exclude NULL-evaluating rows, so routing on the raw pred
+        // would silently drop exactly the malformed records a dead-letter
+        // gate exists to keep. NULL ⇒ quarantine.
+        val p = coalesce(pred, lit(false))
         try {
-          b.filter(pred).write.mode("append").parquet(goodPath)
-          b.filter(!pred).write.mode("append").parquet(quarantinePath)
+          b.filter(p).write.mode("append").parquet(goodPath)
+          b.filter(!p).write.mode("append").parquet(quarantinePath)
         } finally { b.unpersist(); () }
     }.start()
 
