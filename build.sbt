@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's final stdout JSON line. sbt's default
+// LoggedOutput strategy prefixes every forked-process line with
+// "[info] ", which defeats that parse (rounds 2-4 all went
+// parsed:null). StdoutOutput passes the child's stdout through
+// verbatim — no log decoration.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -105,7 +105,13 @@ object Bench {
     //  holds sbt's trailing "[success]" noise — stay far under it
     def line(qs: String, omitted: Int): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"omitted":$omitted,"failed":$failedNames,"sf":"$sfDir"}"""
-    val bySlowest = results.toSeq.sortBy { case (_, (t, _, _)) => -t }
+    // Failed queries (t = -1) sort FIRST: they must survive the line-budget
+    // truncation below, because tools/benchcheck.py detects failures via
+    // t < 0 in the queries map (a failure sorted last would be the first
+    // entry truncated, vanishing from the regression gate).
+    val bySlowest = results.toSeq.sortBy {
+      case (_, (t, _, _)) => if (t < 0) Double.NegativeInfinity else -t
+    }
     var keep = bySlowest.length
     def qsOf(n: Int): String = bySlowest.take(n)
       .map { case (k, (t, _, _)) => "\"" + k + "\":" + f3(t) }
@@ -116,9 +122,15 @@ object Bench {
     println(s"SHUFFLE_BYTES $sh")
     try {
       val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsFull,"failed":$failedNames,"sf":"$sfDir","shuffle":$sh}"""
-      java.nio.file.Files.write(java.nio.file.Paths.get("tools/bench_last.json"),
-        full.getBytes("UTF-8"))
-    } catch { case _: Throwable => () } // best-effort; never fail the bench
+      // Absolute path: a cwd-relative "tools/..." silently lands elsewhere
+      // (or fails) when the bench is launched from outside the repo root.
+      val sidecar = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+        .map(java.nio.file.Paths.get(_))
+        .getOrElse(java.nio.file.Paths.get("/root/repo/tools/bench_last.json"))
+      java.nio.file.Files.write(sidecar, full.getBytes("UTF-8"))
+    } catch { // best-effort; never fail the bench — but never silently either
+      case e: Throwable => System.err.println(s"[bench] bench_last.json write failed: $e")
+    }
     println(line(qsOf(keep), bySlowest.length - keep))
     spark.stop()
   }

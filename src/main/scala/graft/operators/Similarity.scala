@@ -455,10 +455,14 @@ object Similarity {
     // Operands are cast to decimal BEFORE multiplying: a long×long product
     // wraps silently before any later cast could widen it. s scales with
     // class size n (s ≲ n·2^20), so s·s and qx·s both leave int64 range on
-    // large classes; decimal(18,0)×decimal(18,0) → decimal(37,0) products
-    // summed in decimal(38,0) hold to n ≈ 10^11. vn2 = Σ_d qx² is
-    // per-VECTOR (≤ dims·2^40 ≈ 2^46) — long is exact regardless of n.
-    val dec = "decimal(18,0)"
+    // large classes. decimal(19,0) holds EVERY long (a decimal(18,0) cast
+    // nulls once s ≥ 10^18 and sum() then silently DROPS those terms under
+    // non-ANSI mode — wrong answers, not an error); two <10^19 operands
+    // multiply into decimal(38,0) without overflow, so the only place
+    // overflow can occur is the decimal(38,0) sum, where Spark nulls the
+    // whole aggregate — a loud failure instead of a silent one. vn2 = Σ_d
+    // qx² is per-VECTOR (≤ dims·2^40 ≈ 2^46) — long is exact regardless of n.
+    val dec = "decimal(19,0)"
     val cnorm = cent.groupBy(col("label"))
       .agg(sum(col("s").cast(dec) * col("s").cast(dec)).cast("double").as("cn2"))
     val per = q.join(cent, Seq("label", "d"))

@@ -8,7 +8,12 @@ Usage: benchcheck.py <bench.json|-> [max_ratio]
 BENCH_r*.json wrapper (the "parsed" key is used). Queries absent from
 the baseline are reported as NEW and not gated; a query that regresses
 more than max_ratio (default 2.0x, small absolute times are exempt
-below 0.5 s) fails the check. Exit 1 on any regression or failed query.
+below 0.5 s) fails the check. Failures come from BOTH the "failed"
+array and t<0 sentinels in the queries map. When the line was
+line-budget truncated ("omitted" > 0), the full map is recovered from
+tools/bench_last.json if its totals match; otherwise the MISSING check
+is skipped (truncation is not a regression). Exit 1 on any regression
+or failed query.
 """
 import json
 import sys
@@ -26,10 +31,34 @@ def main():
         sys.exit(__doc__)
     bench = load_bench(sys.argv[1])
     max_ratio = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
-    base = json.load(open(__file__.rsplit("/", 1)[0] + "/bench_baseline.json"))
-    bq, nq = base["queries"], bench["queries"]
-    bad = []
+    tooldir = __file__.rsplit("/", 1)[0]
+    base = json.load(open(tooldir + "/bench_baseline.json"))
+    bq, nq = base["queries"], dict(bench["queries"])
+    omitted = bench.get("omitted", 0)
+    truncated = omitted > 0
+    if truncated:
+        # The budgeted line keeps only the slowest entries; the complete
+        # map is written as a sidecar by the same bench run. Trust it only
+        # if its total matches this line's (same run, not a stale file).
+        try:
+            full = json.load(open(tooldir + "/bench_last.json"))
+            if abs(full.get("value", -1) - bench.get("value", -2)) < 1e-6:
+                nq = dict(full["queries"])
+                truncated = False
+                print(f"(line omitted {omitted} queries; "
+                      "full map recovered from bench_last.json)")
+        except Exception:
+            pass
+    if truncated:
+        print(f"(line omitted {omitted} queries and no matching "
+              "bench_last.json sidecar; MISSING check skipped)")
+    # A query can fail without appearing in the truncated map at all —
+    # the "failed" array is authoritative, t<0 sentinels are the backup.
+    failed = set(bench.get("failed", []))
+    bad = [f"FAILED  {name}: bench recorded a failure" for name in sorted(failed)]
     for name, t in sorted(nq.items()):
+        if name in failed:
+            continue  # already reported from the failed array
         if t is None or t < 0:
             bad.append(f"FAILED  {name}: bench recorded a failure sentinel")
             continue
@@ -45,9 +74,9 @@ def main():
         elif ratio < 1 / max_ratio and b > 0.5:
             tag = "improved"
         print(f"{tag:9s} {name}: {t:.2f}s vs {b:.2f}s ({ratio:.2f}x)")
-    missing = sorted(set(bq) - set(nq))
-    for name in missing:
-        bad.append(f"MISSING {name}: in baseline but not in this bench run")
+    if not truncated:
+        for name in sorted(set(bq) - set(nq)):
+            bad.append(f"MISSING {name}: in baseline but not in this bench run")
     print(f"\n{len(nq)} queries, {len(bad)} problems")
     if bad:
         print("\n".join(bad))
