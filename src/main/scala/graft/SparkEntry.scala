@@ -73,7 +73,11 @@ object SparkEntry {
     "dq_outliers"        -> Quality.dqOutliers _,
     "ts_gapfill"         -> TimeSeries.gapfill _,
     "ts_concurrency"     -> TimeSeries.concurrency _,
+    "ts_islands"         -> TimeSeries.islands _,
+    "ts_ohlc"            -> TimeSeries.ohlc _,
     "q49_cohort_retention" -> TimeSeries.cohortRetention _,
+    "q50_mode"           -> Relational.q50Mode _,
+    "etl_rfm"            -> RetailEtl.rfm _,
     "text_langid_eval"   -> TextAnalysis.langidEval _,
     "q43_triangles"      -> Affinity.triangles _,
     "q39_array_funcs"    -> Relational.q39ArrayFuncs _,
@@ -449,7 +453,11 @@ object SparkEntry {
     "dq_outliers"         -> Quality.dqOutliersSql,
     "ts_gapfill"          -> TimeSeries.gapfillSql,
     "ts_concurrency"      -> TimeSeries.concurrencySql,
+    "ts_islands"          -> TimeSeries.islandsSql,
+    "ts_ohlc"             -> TimeSeries.ohlcSql,
     "q49_cohort_retention" -> TimeSeries.cohortRetentionSql,
+    "q50_mode"            -> Relational.q50ModeSql,
+    "etl_rfm"             -> RetailEtl.rfmSql,
     "q47_grouping_sets" ->
       """SELECT o_orderstatus AS status, o_orderpriority AS prio,
         |  CAST(year(o_orderdate) AS INTEGER) AS yr,

@@ -333,8 +333,15 @@ object Dedup {
     */
   def clustersOn(pairs: DataFrame, allIds: DataFrame): DataFrame = {
     val nPart = pairs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
-      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+    // Both edge directions come from ONE evaluation of `pairs` via a
+    // scan-side explode — a union of (a,b) and (b,a) projections would
+    // run the (expensive, unpersisted) pair-generation subtree once per
+    // branch: only the agg exchanges get ReusedExchange, the post-shuffle
+    // join/filter work is duplicated.
+    val edges = pairs.select(explode(array(
+        struct(col("a_id").as("u"), col("b_id").as("v")),
+        struct(col("b_id").as("u"), col("a_id").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .repartition(nPart, col("v"))
       .persist()
     var labels = edges.select(col("u").as("id")).distinct()

@@ -821,6 +821,42 @@ object Relational {
           "aggregate(map_values(m), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"), 2).as("rev_total"))
       .orderBy(col("yr"))
 
+  /** q50_mode — modal value per group with a DETERMINISTIC tie-break
+    * (highest count, then smallest value). Spark's builtin `mode()`
+    * leaves ties engine-defined — useless for a reproducible pipeline
+    * or a cross-engine oracle — so the portable form is the two-level
+    * aggregate: value counts (one map-side-combined shuffle on
+    * (group, value)), then a per-group top-1 window over the COUNT
+    * rows. The window input is |group|×|distinct values| — aggregate
+    * cardinality, not data cardinality — so the second stage is
+    * constant-size at any corpus scale.
+    */
+  def q50Mode(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.orders(spark, sfDir)
+      .groupBy(year(col("o_orderdate")).cast("int").as("yr"),
+        col("o_orderstatus").as("status"), col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("yr"), col("status"))
+      .orderBy(col("n").desc, col("prio"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("yr"), col("status"), col("prio").as("modal_prio"), col("n"))
+      .orderBy(col("yr"), col("status"))
+  }
+
+  def q50ModeSql: String =
+    """WITH counts AS (
+      | SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderstatus AS status,
+      |  o_orderpriority AS prio, count(*) AS n
+      | FROM orders GROUP BY 1, 2, 3),
+      |rk AS (
+      | SELECT yr, status, prio, n,
+      |  row_number() OVER (PARTITION BY yr, status ORDER BY n DESC, prio) AS rk
+      | FROM counts)
+      |SELECT yr, status, prio AS modal_prio, n FROM rk WHERE rk = 1
+      |ORDER BY yr, status""".stripMargin
+
   /** q21_stats_agg — statistical aggregates: Pearson correlation,
     * sample stddev, exact interpolated percentiles (median / p90). All
     * single-pass mergeable aggregation states → one shuffle on the

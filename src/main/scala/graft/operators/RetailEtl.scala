@@ -258,4 +258,75 @@ object RetailEtl {
       .select(col("p_brand"), col("p_partkey"), col("p_name"), col("revenue"), col("rk"))
       .orderBy(col("p_brand"), col("rk"))
   }
+
+  /** etl_rfm — RFM customer segmentation (the classic retail-analytics
+    * read off the invoice fact: Recency / Frequency / Monetary quartile
+    * scores per customer, the reference dashboard's customer-value
+    * cut). Recency is measured against the corpus max order date (a
+    * 1-row aggregate, broadcast); quartiles are ntile(4) with explicit
+    * tie-breaks (metric, then customer key) so the segmentation is
+    * REPRODUCIBLE across engines and runs; monetary rides in integer
+    * cents. The ntile windows run over the per-customer AGGREGATE
+    * (one slim row per customer, not fact rows); their single global
+    * partition is exact-quartile semantics — the scale swap, when
+    * |customers| outgrows one partition, is percentile_approx
+    * boundaries broadcast to a scan-side bucket join, which this
+    * operator's output contract (scores 1..4) is designed to keep
+    * compatible.
+    */
+  def rfm(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val maxDate = o.agg(max(to_date(col("o_orderdate"))).as("max_d"))
+    val per = o.groupBy(col("o_custkey").as("customer_id"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("monetary_cents"))
+      .crossJoin(broadcast(maxDate)) // 1-row aggregate: bounded at any SF
+      .withColumn("recency_days", datediff(col("max_d"), col("last_order")))
+    // score 4 = best quartile on every axis (most recent, most
+    // frequent, highest spend); ties broken by customer_id so every
+    // engine assigns identical buckets
+    val rW = Window.orderBy(col("recency_days").desc, col("customer_id"))
+    val fW = Window.orderBy(col("frequency"), col("customer_id"))
+    val mW = Window.orderBy(col("monetary_cents"), col("customer_id"))
+    per
+      .withColumn("r_score", ntile(4).over(rW))
+      .withColumn("f_score", ntile(4).over(fW))
+      .withColumn("m_score", ntile(4).over(mW))
+      .withColumn("rfm", concat(col("r_score"), col("f_score"), col("m_score")))
+      .withColumn("segment",
+        when(col("r_score") >= 3 && col("f_score") >= 3 && col("m_score") >= 3, "champion")
+          .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk_loyal")
+          .when(col("r_score") >= 3 && col("f_score") <= 2, "new_or_promising")
+          .otherwise("hibernating"))
+      .select(col("customer_id"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
+        col("rfm"), col("segment"))
+      .orderBy(col("customer_id"))
+  }
+
+  def rfmSql: String =
+    """WITH per AS (
+      | SELECT o_custkey AS customer_id,
+      |  max(CAST(o_orderdate AS DATE)) AS last_order,
+      |  count(*) AS frequency,
+      |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS monetary_cents
+      | FROM orders GROUP BY 1),
+      |mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS max_d FROM orders),
+      |scored AS (
+      | SELECT customer_id,
+      |  CAST(date_diff('day', last_order, max_d) AS INTEGER) AS recency_days,
+      |  frequency, monetary_cents,
+      |  CAST(ntile(4) OVER (ORDER BY date_diff('day', last_order, max_d) DESC, customer_id) AS INTEGER) AS r_score,
+      |  CAST(ntile(4) OVER (ORDER BY frequency, customer_id) AS INTEGER) AS f_score,
+      |  CAST(ntile(4) OVER (ORDER BY monetary_cents, customer_id) AS INTEGER) AS m_score
+      | FROM per CROSS JOIN mx)
+      |SELECT customer_id, recency_days, frequency, monetary_cents,
+      | r_score, f_score, m_score,
+      | CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS rfm,
+      | CASE WHEN r_score >= 3 AND f_score >= 3 AND m_score >= 3 THEN 'champion'
+      |      WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk_loyal'
+      |      WHEN r_score >= 3 AND f_score <= 2 THEN 'new_or_promising'
+      |      ELSE 'hibernating' END AS segment
+      |FROM scored ORDER BY customer_id""".stripMargin
 }

@@ -156,6 +156,103 @@ object TimeSeries {
     cohortRetentionOn(Tables.orders(spark, sfDir), "o_custkey", "o_orderdate")
       .orderBy(col("cohort_month"), col("month_off"))
 
+  /** Gaps-and-islands: per key, maximal runs of CONSECUTIVE activity
+    * days ("islands"). The classic trick: within a key, day_number −
+    * row_number() is constant exactly along a consecutive run, so
+    * islands fall out of one groupBy on that difference — no self-join,
+    * no iteration. Output per key: active-day count, island count,
+    * longest/mean streak.
+    *
+    * Scale: distinct (key, day) first — collapses the raw event volume
+    * to at most key-count × span-days rows before any window. The
+    * window, island groupBy, and per-key rollup all partition by key,
+    * so AQE/exchange reuse keeps it to the one post-distinct shuffle
+    * sequence; no stage sees more than the distinct-day row count.
+    */
+  def islandsOn(activity: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val days = activity
+      .select(col(keyCol), to_date(col(tsCol)).as("day")).distinct()
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+    val islands = days
+      .withColumn("grp", datediff(col("day"), lit("1970-01-01").cast("date"))
+        - row_number().over(w))
+      .groupBy(col(keyCol), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy(col(keyCol))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_islands"),
+        max(col("len")).cast("int").as("longest_streak"))
+      .withColumn("mean_streak",
+        Cols.pround(col("n_active_days").cast("double") / col("n_islands"), 4))
+  }
+
+  /** ts_islands testdata binding: per-user consecutive-activity-day
+    * streak profile over the event stream.
+    */
+  def islands(spark: SparkSession, sfDir: String): DataFrame =
+    islandsOn(Tables.events(spark, sfDir), "user_id", "ts")
+      .orderBy(col("user_id"))
+
+  def islandsSql: String =
+    """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |grps AS (
+      | SELECT user_id, day,
+      |  date_diff('day', DATE '1970-01-01', day)
+      |    - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      | FROM days),
+      |islands AS (SELECT user_id, grp, count(*) AS len FROM grps GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+      | count(*) AS n_islands, CAST(max(len) AS INTEGER) AS longest_streak,
+      | floor(CAST(sum(len) AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS mean_streak
+      |FROM islands GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  /** OHLC downsampling: irregular (key, time, value) observations
+    * resampled to per-(key, week) bars — open/close = value at the
+    * first/last observation of the bar (total order: time, then id),
+    * high/low = extremes, volume = observation count. One map-side-
+    * combined groupBy: open/close ride min_by/max_by over a single
+    * BIGINT ordering key (epoch-day · 10^10 + id — ids stay below
+    * 10^10, so the composite preserves the (time, id) total order and
+    * both engines compare it identically), never a sort. Values in
+    * integer cents so the hashed output is float-free.
+    */
+  def ohlcOn(obs: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    val cents = floor(col(valueCol) * 100.0 + 0.5).cast("long")
+    val ord = (datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date")).cast("long")
+      * lit(10000000000L)) + col(idCol)
+    obs
+      .select(col(keyCol), to_date(date_trunc("week", col(tsCol))).as("week"),
+        cents.as("cents"), ord.as("ord"))
+      .groupBy(col(keyCol), col("week"))
+      .agg(min_by(col("cents"), col("ord")).as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max_by(col("cents"), col("ord")).as("close_cents"),
+        count(lit(1)).as("volume"))
+  }
+
+  /** ts_ohlc testdata binding: weekly order-price bars per order
+    * priority class.
+    */
+  def ohlc(spark: SparkSession, sfDir: String): DataFrame =
+    ohlcOn(Tables.orders(spark, sfDir),
+      "o_orderpriority", "o_orderdate", "o_orderkey", "o_totalprice")
+      .orderBy(col("o_orderpriority"), col("week"))
+
+  def ohlcSql: String =
+    """WITH o AS (
+      | SELECT o_orderpriority, CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+      |  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+      |  date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) * 10000000000
+      |    + o_orderkey AS ord
+      | FROM orders)
+      |SELECT o_orderpriority, week,
+      | arg_min(cents, ord) AS open_cents, max(cents) AS high_cents,
+      | min(cents) AS low_cents, arg_max(cents, ord) AS close_cents,
+      | count(*) AS volume
+      |FROM o GROUP BY 1, 2 ORDER BY o_orderpriority, week""".stripMargin
+
   def cohortRetentionSql: String =
     """WITH mm AS (
       | SELECT DISTINCT o_custkey AS m, CAST(date_trunc('month', o_orderdate) AS DATE) AS am
