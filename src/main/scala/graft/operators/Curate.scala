@@ -75,22 +75,27 @@ object Curate {
     * −1 sentinel, so they never win against a scored member.
     */
   def keepBest(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
     val clusters = Dedup.clustersOn(
       Dedup.ngramJaccardOn(docs, "doc_id", "text", 0.5),
       docs.select(col("doc_id").as("id")))
     val quality = TextAnalysis.qualityOn(docs, "doc_id", "text")
       .select(col("doc_id"), col("quality_score"))
-    val w = Window.partitionBy(col("cluster_id"))
-    val wr = w.orderBy(col("qs").desc, col("doc_id"))
+    // "best member" is an argmax, not a ranking: max over (qs, -doc_id)
+    // structs gives the highest-quality member with lowest-id tie-break
+    // as a PARTIALLY AGGREGATABLE group state (map-side combine, no
+    // per-cluster sort) — the window formulation sorts every cluster's
+    // full membership just to read row 1, which at corpus scale is a
+    // full shuffle + sort of all N rows instead of a combine down to
+    // one struct per cluster per mapper.
     clusters.join(quality, Seq("doc_id"), "left")
       .withColumn("qs", coalesce(col("quality_score"), lit(-1.0)))
-      .withColumn("rk", row_number().over(wr))
-      .withColumn("n_members", count(lit(1)).over(w).cast("int"))
-      .filter(col("rk") === 1)
-      .select(col("cluster_id"), col("doc_id").as("keep_id"),
-        col("n_members"), col("qs").as("best_quality"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(struct(col("qs"), (-col("doc_id")).as("nid"))).as("m"),
+        count(lit(1)).cast("int").as("n_members"))
+      .select(col("cluster_id"), (-col("m.nid")).as("keep_id"),
+        col("n_members"), col("m.qs").as("best_quality"))
       .orderBy(col("cluster_id"))
   }
 
