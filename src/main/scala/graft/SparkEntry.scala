@@ -78,6 +78,12 @@ object SparkEntry {
     "q49_cohort_retention" -> TimeSeries.cohortRetention _,
     "q50_mode"           -> Relational.q50Mode _,
     "etl_rfm"            -> RetailEtl.rfm _,
+    "etl_scd2"           -> RetailEtl.scd2Customers _,
+    "etl_cdc_diff"       -> RetailEtl.cdcDiff _,
+    "q51_assoc_rules"    -> Affinity.assocRules _,
+    "q52_pagerank"       -> Affinity.pagerank _,
+    "text_bm25"          -> TextAnalysis.bm25 _,
+    "dedup_spans"        -> Dedup.spanDedup _,
     "text_langid_eval"   -> TextAnalysis.langidEval _,
     "q43_triangles"      -> Affinity.triangles _,
     "q39_array_funcs"    -> Relational.q39ArrayFuncs _,
@@ -458,6 +464,12 @@ object SparkEntry {
     "q49_cohort_retention" -> TimeSeries.cohortRetentionSql,
     "q50_mode"            -> Relational.q50ModeSql,
     "etl_rfm"             -> RetailEtl.rfmSql,
+    "etl_scd2"            -> RetailEtl.scd2CustomersSql,
+    "etl_cdc_diff"        -> RetailEtl.cdcDiffSql,
+    "q51_assoc_rules"     -> Affinity.assocRulesSql,
+    "q52_pagerank"        -> Affinity.pagerankSql,
+    "text_bm25"           -> TextAnalysis.bm25Sql,
+    "dedup_spans"         -> Dedup.spanDedupSql,
     "q47_grouping_sets" ->
       """SELECT o_orderstatus AS status, o_orderpriority AS prio,
         |  CAST(year(o_orderdate) AS INTEGER) AS yr,

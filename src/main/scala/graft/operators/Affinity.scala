@@ -83,6 +83,126 @@ object Affinity {
     trianglesOn(copurchase(spark, sfDir))
       .orderBy(col("a"), col("b"), col("c"))
 
+  /** Association rules over the co-occurrence pairs: confidence in both
+    * directions and lift for every supported pair — the
+    * market-basket read (P(B|A), P(A|B), P(A,B)/(P(A)·P(B))) a
+    * recommender derives from [[copurchaseOn]]'s counts. Adds one
+    * item-frequency aggregation and a 1-row basket count (broadcast) to
+    * the pair build; every ratio divides EXACT integer counts cast to
+    * double in identical expression order, so values are bit-identical
+    * across engines.
+    * Output: (a_item, b_item, n_baskets, conf_ab, conf_ba, lift).
+    */
+  def assocRulesOn(basketItems: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long): DataFrame = {
+    val it = basketItems.select(col(basketCol).as("bk"), col(itemCol).as("item")).distinct()
+    val pairs = copurchaseOn(basketItems, basketCol, itemCol, minSupport)
+    val itemCnt = it.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val nTotal = it.select(countDistinct(col("bk")).as("n_total"))
+    pairs
+      .join(itemCnt.select(col("item").as("a_item"), col("n_item").as("na")), Seq("a_item"))
+      .join(itemCnt.select(col("item").as("b_item"), col("n_item").as("nb")), Seq("b_item"))
+      .crossJoin(broadcast(nTotal))
+      .select(col("a_item"), col("b_item"), col("n_baskets"),
+        (col("n_baskets").cast("double") / col("na").cast("double")).as("conf_ab"),
+        (col("n_baskets").cast("double") / col("nb").cast("double")).as("conf_ba"),
+        ((col("n_baskets") * col("n_total")).cast("double") / (col("na") * col("nb")).cast("double")).as("lift"))
+  }
+
+  /** q51_assoc_rules testdata binding: rules over parts co-ordered in
+    * ≥ 2 orders.
+    */
+  def assocRules(spark: SparkSession, sfDir: String): DataFrame =
+    assocRulesOn(Tables.lineitem(spark, sfDir), "l_orderkey", "l_partkey", 2L)
+      .orderBy(col("a_item"), col("b_item"))
+
+  def assocRulesSql: String =
+    """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
+      |p AS (SELECT a.item AS a_item, b.item AS b_item, count(*) AS n_baskets
+      |      FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |ic AS (SELECT item, count(*) AS n_item FROM it GROUP BY 1),
+      |n AS (SELECT count(DISTINCT bk) AS n_total FROM it)
+      |SELECT a_item, b_item, n_baskets,
+      | CAST(n_baskets AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS conf_ab,
+      | CAST(n_baskets AS DOUBLE) / CAST(ib.n_item AS DOUBLE) AS conf_ba,
+      | CAST(n_baskets * n_total AS DOUBLE) / CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+      |FROM p JOIN ic ia ON p.a_item = ia.item JOIN ic ib ON p.b_item = ib.item CROSS JOIN n
+      |ORDER BY a_item, b_item""".stripMargin
+
+  /** PageRank iteration count and fixed-point scale shared by the Spark
+    * form and the oracle. INTEGER fixed-point arithmetic throughout —
+    * rank mass rides as (rank × 10¹²) longs and every step is integer
+    * multiply/divide, so 5 iterations produce bit-identical longs on
+    * any engine and any summation order (float PageRank is
+    * order-sensitive and can't be value-oracled).
+    */
+  val PrIters = 5
+  val PrScale = 1000000000000L // 10^12: headroom for 85·rank within int64
+
+  /** Fixed-iteration PageRank over an undirected edge set (a < b rows;
+    * both directions derived scan-side). Damping 0.85 as the integer
+    * pair (85, 100). Each iteration is one equi-join (edges ⋈ ranks on
+    * the source) + one sum shuffle on the target — the textbook
+    * distributed shape; degrees ride WITH the rank rows so no extra
+    * join per round. Isolated nodes don't occur (every edge endpoint
+    * has degree ≥ 1); dangling mass doesn't occur (undirected ⇒ out-deg
+    * = deg ≥ 1). Output: (id, deg, pr_fixed) — pr_fixed ≈ rank × 10¹².
+    */
+  def pagerankOn(edges: DataFrame, iters: Int = PrIters): DataFrame = {
+    val e = edges.select(explode(array(
+        struct(col("a_item").as("u"), col("b_item").as("v")),
+        struct(col("b_item").as("u"), col("a_item").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val nTotal = deg.select(count(lit(1)).as("n_nodes"))
+    // every frame below carries (id, deg, r); base = (15 · (S div N)) div 100
+    var ranks = deg.crossJoin(broadcast(nTotal))
+      .select(col("u").as("id"), col("deg"),
+        expr(s"$PrScale DIV n_nodes").as("r"))
+    (1 to iters).foreach { _ =>
+      val sums = e
+        .join(ranks.select(col("id").as("u"), col("deg").as("du"), col("r")), Seq("u"))
+        .select(col("v"), expr("r DIV du").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("s"))
+      ranks = deg.crossJoin(broadcast(nTotal))
+        .join(sums, col("u") === col("v"), "left")
+        .select(col("u").as("id"), col("deg"),
+          (expr(s"(15 * ($PrScale DIV n_nodes)) DIV 100") +
+            expr("(85 * coalesce(s, 0)) DIV 100")).as("r"))
+    }
+    ranks.select(col("id"), col("deg"), col("r").as("pr_fixed"))
+  }
+
+  /** q52_pagerank testdata binding: PageRank over the support-≥2
+    * co-purchase graph.
+    */
+  def pagerank(spark: SparkSession, sfDir: String): DataFrame =
+    pagerankOn(copurchase(spark, sfDir))
+      .orderBy(col("id"))
+
+  def pagerankSql: String = {
+    val prelude =
+      s"""WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
+         |p AS (SELECT a.item AS a_item, b.item AS b_item, count(*) AS n_baskets
+         |      FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item
+         |      GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e AS (SELECT a_item AS u, b_item AS v FROM p
+         |      UNION ALL SELECT b_item, a_item FROM p),
+         |deg AS (SELECT u AS id, count(*) AS deg FROM e GROUP BY 1),
+         |n AS (SELECT count(*) AS n_nodes FROM deg),
+         |r0 AS (SELECT id, deg, $PrScale // n_nodes AS r FROM deg CROSS JOIN n)""".stripMargin
+    val steps = (1 to PrIters).map { i =>
+      s"""r$i AS (SELECT d.id, d.deg,
+         |  CAST(((15 * ($PrScale // n_nodes)) // 100) + ((85 * coalesce(s.s, 0)) // 100) AS BIGINT) AS r
+         |  FROM deg d CROSS JOIN n LEFT JOIN
+         |   (SELECT e.v, CAST(sum(pr.r // pr.deg) AS BIGINT) AS s
+         |    FROM e JOIN r${i - 1} pr ON e.u = pr.id GROUP BY e.v) s ON d.id = s.v)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$prelude$steps
+       |SELECT id, deg, r AS pr_fixed FROM r$PrIters ORDER BY id""".stripMargin
+  }
+
   def trianglesSql: String =
     """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
       |p AS (SELECT a.item AS a_item, b.item AS b_item, count(*) AS n_baskets

@@ -432,6 +432,70 @@ object Dedup {
        |FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  /** Span width (tokens) for [[spanDedupOn]] — non-overlapping blocks,
+    * the C4-style "remove repeated spans across the corpus" granularity
+    * adapted to a sentence-less corpus.
+    */
+  val SpanTokens = 10
+
+  /** Cross-corpus SPAN-level dedup diagnostics: each document splits
+    * into non-overlapping [[SpanTokens]]-token blocks; a block is a
+    * duplicate if the same normalized block text occurred EARLIER in
+    * corpus order (lower doc id, or same doc at a lower offset) — the
+    * C4/CCNet-style repeated-span removal signal, reported per document
+    * so curation can drop or trim. Shape: scan-side block build (one
+    * transform + explode, no per-doc shuffle), ONE shuffle on the block
+    * hash for first-occurrence ranking, one per-doc sum — never a
+    * self-join; at 100 TB the shuffle carries slim (hash, doc, blk)
+    * rows and hot blocks (boilerplate) concentrate into single groups
+    * whose state is a counter, not a pair explosion.
+    * Output: (doc_id, n_blocks, n_dup_blocks) for every document.
+    */
+  def spanDedupOn(df: DataFrame, idCol: String, textCol: String,
+      span: Int = SpanTokens): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocks = df
+      .select(col(idCol).as("doc_id"), TextFns.tokenize(col(textCol)).as("w"))
+      .filter(size(col("w")) > 0) // sequence(0, -1) would DESCEND, not empty
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, CAST(ceil(size(w) / $span.0) AS INT) - 1), " +
+          s"b -> array_join(slice(w, b * $span + 1, $span), ' '))")))
+      .select(col("doc_id"), col("pos").as("blk"), TextFns.charFold(col("col")).as("h"))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("blk"))
+    val marked = blocks.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_blocks"),
+        sum(when(col("rn") > 1, 1).otherwise(0)).cast("int").as("n_dup_blocks"))
+    df.select(col(idCol).as("doc_id")).join(marked, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_blocks"), lit(0)).as("n_blocks"),
+        coalesce(col("n_dup_blocks"), lit(0)).as("n_dup_blocks"))
+  }
+
+  /** dedup_spans testdata binding. */
+  def spanDedup(spark: SparkSession, sfDir: String): DataFrame =
+    spanDedupOn(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  def spanDedupSql: String = {
+    val s = SpanTokens
+    s"""WITH t AS (SELECT doc_id, ${TextFns.tokenizeSql("text")} AS w FROM documents),
+       |bi AS (SELECT doc_id, w, unnest(range(0, CAST(ceil(len(w) / $s.0) AS INTEGER))) AS b
+       |       FROM t WHERE len(w) > 0),
+       |bl AS (SELECT doc_id, b AS blk,
+       |        array_to_string(w[b * $s + 1 : (b + 1) * $s], ' ') AS btxt
+       |       FROM bi),
+       |r AS (SELECT doc_id, blk,
+       |        row_number() OVER (PARTITION BY ${TextFns.charFoldSql("btxt")} ORDER BY doc_id, blk) AS rn
+       |      FROM bl),
+       |agg AS (SELECT doc_id, count(*) AS n_blocks,
+       |         sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dup
+       |        FROM r GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(n_blocks, 0) AS INTEGER) AS n_blocks,
+       | CAST(coalesce(n_dup, 0) AS INTEGER) AS n_dup_blocks
+       |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
+
   def simhashPairsSql: String =
     s"""WITH fp AS (
        | SELECT doc_id, ${TextFns.simhashSql("wh")} AS fp

@@ -305,6 +305,110 @@ object RetailEtl {
       .orderBy(col("customer_id"))
   }
 
+  /** etl_scd2 — SCD TYPE-2 customer dimension: full status HISTORY as
+    * versioned rows with effective-date ranges, not just the latest
+    * state (the reference's SCD1 dims overwrite; type 2 is the other
+    * half of the warehouse-dimension toolkit). One observation per
+    * (customer, day) — the day's latest order wins — then consecutive
+    * same-status runs collapse to one version row (change points via
+    * lag), effective_to = day before the next version (null while
+    * current). Both window passes share the customer-key partitioning,
+    * so the whole history build is ONE shuffle on the natural key; at
+    * 100 TB the per-key sort is local and the dimension's row count is
+    * bounded by CHANGES, not by fact volume.
+    */
+  def scd2Customers(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val daily = keepLatest(
+      o.select(col("o_custkey"), to_date(col("o_orderdate")).as("odate"),
+        col("o_orderstatus").as("status"), col("o_orderkey")),
+      Seq("o_custkey", "odate"), Seq(col("o_orderkey").desc))
+    val wc = Window.partitionBy(col("o_custkey")).orderBy(col("odate"))
+    daily
+      .withColumn("prev", lag(col("status"), 1).over(wc))
+      .filter(col("prev").isNull || col("status") =!= col("prev"))
+      .withColumn("version", row_number().over(wc).cast("int"))
+      .withColumn("effective_to", date_sub(lead(col("odate"), 1).over(wc), 1))
+      .select(col("o_custkey").as("customer_id"), col("version"),
+        col("status"), col("odate").as("effective_from"), col("effective_to"),
+        when(col("effective_to").isNull, 1).otherwise(0).as("is_current"))
+      .orderBy(col("customer_id"), col("version"))
+  }
+
+  def scd2CustomersSql: String =
+    """WITH daily AS (
+      | SELECT o_custkey, CAST(o_orderdate AS DATE) AS odate, o_orderstatus AS status,
+      |  row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+      | FROM orders),
+      |chg AS (
+      | SELECT o_custkey, odate, status,
+      |  lag(status) OVER (PARTITION BY o_custkey ORDER BY odate) AS prev
+      | FROM daily WHERE rn = 1),
+      |v AS (
+      | SELECT o_custkey, odate, status,
+      |  row_number() OVER (PARTITION BY o_custkey ORDER BY odate) AS version,
+      |  lead(odate) OVER (PARTITION BY o_custkey ORDER BY odate) - INTERVAL 1 DAY AS eff_to
+      | FROM chg WHERE prev IS NULL OR status <> prev)
+      |SELECT o_custkey AS customer_id, CAST(version AS INTEGER) AS version, status,
+      | odate AS effective_from, CAST(eff_to AS DATE) AS effective_to,
+      | CASE WHEN eff_to IS NULL THEN 1 ELSE 0 END AS is_current
+      |FROM v ORDER BY customer_id, version""".stripMargin
+
+  /** etl_cdc_diff — snapshot change-data-capture: diff two point-in-time
+    * builds of the customer dimension (here: the dim as observed over
+    * 1994–95 vs over 1995–96 order windows) into insert / delete /
+    * update change rows — the feed an incremental downstream consumes
+    * instead of re-reading a full dimension. One co-partitioned
+    * full-outer join on the natural key; at scale both snapshots shuffle
+    * once and the diff streams — no driver-side state.
+    */
+  def cdcDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    def snap(from: String, until: String): DataFrame =
+      keepLatest(
+        o.filter(col("o_orderdate") >= lit(from) && col("o_orderdate") < lit(until)),
+        Seq("o_custkey"), Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+        .select(col("o_custkey").as("customer_id"),
+          to_date(col("o_orderdate")).as("snap_date"),
+          col("o_orderstatus").as("snap_status"))
+    val a = snap("1994-01-01", "1996-01-01")
+      .select(col("customer_id"), col("snap_date").as("old_date"), col("snap_status").as("old_status"))
+    val b = snap("1995-01-01", "1997-01-01")
+      .select(col("customer_id"), col("snap_date").as("new_date"), col("snap_status").as("new_status"))
+    a.join(b, Seq("customer_id"), "full_outer")
+      .withColumn("change_type",
+        when(col("old_status").isNull, "insert")
+          .when(col("new_status").isNull, "delete")
+          .when(col("old_status") =!= col("new_status") || col("old_date") =!= col("new_date"), "update")
+          .otherwise("unchanged"))
+      .filter(col("change_type") =!= "unchanged")
+      .select(col("customer_id"), col("change_type"),
+        col("old_date"), col("old_status"), col("new_date"), col("new_status"))
+      .orderBy(col("customer_id"))
+  }
+
+  def cdcDiffSql: String =
+    """WITH snap_a AS (
+      | SELECT o_custkey AS customer_id, CAST(o_orderdate AS DATE) AS old_date, o_orderstatus AS old_status
+      | FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |       FROM orders WHERE o_orderdate >= '1994-01-01' AND o_orderdate < '1996-01-01')
+      | WHERE rn = 1),
+      |snap_b AS (
+      | SELECT o_custkey AS customer_id, CAST(o_orderdate AS DATE) AS new_date, o_orderstatus AS new_status
+      | FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |       FROM orders WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1997-01-01')
+      | WHERE rn = 1),
+      |d AS (
+      | SELECT coalesce(snap_a.customer_id, snap_b.customer_id) AS customer_id,
+      |  old_date, old_status, new_date, new_status,
+      |  CASE WHEN old_status IS NULL THEN 'insert'
+      |       WHEN new_status IS NULL THEN 'delete'
+      |       WHEN old_status <> new_status OR old_date <> new_date THEN 'update'
+      |       ELSE 'unchanged' END AS change_type
+      | FROM snap_a FULL OUTER JOIN snap_b ON snap_a.customer_id = snap_b.customer_id)
+      |SELECT customer_id, change_type, old_date, old_status, new_date, new_status
+      |FROM d WHERE change_type <> 'unchanged' ORDER BY customer_id""".stripMargin
+
   def rfmSql: String =
     """WITH per AS (
       | SELECT o_custkey AS customer_id,

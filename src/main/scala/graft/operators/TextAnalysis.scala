@@ -368,4 +368,72 @@ object TextAnalysis {
        | FROM (SELECT doc_id, $norm AS norm FROM documents))
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Fixed query-term set for the text_bm25 binding — common corpus
+    * vocabulary so every SF has hits.
+    */
+  val Bm25Terms = Seq("spark", "join", "window")
+
+  /** BM25 relevance search (k1 = 1.2, b = 0.75) for a fixed query-term
+    * set: top-`k` documents by summed per-term BM25. Uses the
+    * RATIONAL-idf BM25 variant — idf = (N − df + 0.5)/(df + 0.5)
+    * without the log — a monotone transform of Robertson idf chosen so
+    * every score derives from exact integer counts through one fixed
+    * expression tree (bit-identical across engines; ln() is
+    * implementation-defined in the last ulp). Per-term scores quantize
+    * to integer MICROPOINTS before the per-doc sum, so the aggregate is
+    * exact and summation-order-free — the same order-independence trick
+    * as embed_class_centroid. Shape: one token explode + three
+    * aggregations; the (term-filtered) tf frame is tiny, corpus stats
+    * are a 1-row broadcast; the final top-k is a sort of per-DOC rows
+    * only. N and avgdl are measured over docs with ≥ 1 token.
+    * Output: (doc_id, n_terms, bm25_micros), top k by score.
+    */
+  def bm25On(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int = 10): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(TextFns.tokenize(col(textCol))).as("term"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(sum(col("dl")).as("sum_dl"), count(lit(1)).as("n_docs"))
+    val tf = tok.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+    val idf = ((col("n_docs") - col("dfreq")).cast("double") + lit(0.5)) /
+      (col("dfreq").cast("double") + lit(0.5))
+    val ratio = col("dl").cast("double") * col("n_docs").cast("double") /
+      col("sum_dl").cast("double")
+    val score = idf * ((col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * ratio)))
+    tf.join(dfreq, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("micros", floor(score * lit(1000000.0) + lit(0.5)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_terms"), sum(col("micros")).as("bm25_micros"))
+      .orderBy(col("bm25_micros").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** text_bm25 testdata binding. */
+  def bm25(spark: SparkSession, sfDir: String): DataFrame =
+    bm25On(Tables.documents(spark, sfDir), "doc_id", "text", Bm25Terms)
+
+  def bm25Sql: String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH tok AS (SELECT doc_id, unnest(${TextFns.tokenizeSql("text")}) AS term FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       |stats AS (SELECT sum(dl) AS sum_dl, count(*) AS n_docs FROM dl),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term IN $termList GROUP BY 1, 2),
+       |dfq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+       |s AS (SELECT tf.doc_id,
+       |  CAST(floor(
+       |    ((CAST(n_docs - dfreq AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(dfreq AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+       |    * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+       |       (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+       |        (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))))
+       |    * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS micros
+       | FROM tf JOIN dfq USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
+       |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms, CAST(sum(micros) AS BIGINT) AS bm25_micros
+       |FROM s GROUP BY doc_id ORDER BY bm25_micros DESC, doc_id LIMIT 10""".stripMargin
+  }
 }
