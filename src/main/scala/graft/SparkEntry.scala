@@ -84,6 +84,9 @@ object SparkEntry {
     "q52_pagerank"       -> Affinity.pagerank _,
     "text_bm25"          -> TextAnalysis.bm25 _,
     "dedup_spans"        -> Dedup.spanDedup _,
+    "text_repetition"    -> TextAnalysis.repetition _,
+    "ts_ewma"            -> TimeSeries.ewma _,
+    "pipeline_split"     -> Training.split _,
     "text_langid_eval"   -> TextAnalysis.langidEval _,
     "q43_triangles"      -> Affinity.triangles _,
     "q39_array_funcs"    -> Relational.q39ArrayFuncs _,
@@ -470,6 +473,9 @@ object SparkEntry {
     "q52_pagerank"        -> Affinity.pagerankSql,
     "text_bm25"           -> TextAnalysis.bm25Sql,
     "dedup_spans"         -> Dedup.spanDedupSql,
+    "text_repetition"     -> TextAnalysis.repetitionSql,
+    "ts_ewma"             -> TimeSeries.ewmaSql,
+    "pipeline_split"      -> Training.splitSql,
     "q47_grouping_sets" ->
       """SELECT o_orderstatus AS status, o_orderpriority AS prio,
         |  CAST(year(o_orderdate) AS INTEGER) AS yr,

@@ -436,4 +436,86 @@ object TextAnalysis {
        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms, CAST(sum(micros) AS BIGINT) AS bm25_micros
        |FROM s GROUP BY doc_id ORDER BY bm25_micros DESC, doc_id LIMIT 10""".stripMargin
   }
+
+  /** text_repetition — Gopher-style within-document repetition signals
+    * (the quality rules that catch boilerplate/spam the length and
+    * stopword heuristics miss), adapted to token n-grams for a
+    * newline-free corpus: the count of the most frequent token bigram,
+    * the number of trigram positions inside duplicated trigrams, and the
+    * longest same-token run. All EXACT integers — no ratios, so the
+    * value oracle is trivial and downstream thresholds stay
+    * engine-independent. Shape: one posexplode + one doc-keyed window
+    * pass derives bigram/trigram/run-id in a single shuffle; the three
+    * n-gram aggregations fan out from that frame (persisted — three
+    * forks of a window output; each is a groupBy with map-side combine
+    * whose state is per-(doc, gram), never corpus-global). At 100 TB
+    * per-doc group state is bounded by document length, and no stage
+    * holds more than slim (doc, gram) rows.
+    * Output: (doc_id, n_tokens, top_bigram_n, dup_trigram_n, max_run).
+    */
+  def repetitionOn(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = df.select(col(idCol).as("doc_id"), TextFns.tokenize(col(textCol)).as("w"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val seqd = t.filter(size(col("w")) > 0)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tk")))
+      .withColumn("nxt", lead(col("tk"), 1).over(wd))
+      .withColumn("nxt2", lead(col("tk"), 2).over(wd))
+      .withColumn("newrun",
+        when(lag(col("tk"), 1).over(wd).isNull ||
+          lag(col("tk"), 1).over(wd) =!= col("tk"), 1).otherwise(0))
+      .withColumn("run_id", sum(col("newrun")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .persist() // three aggregation forks below re-read this window output
+    val bg = seqd.filter(col("nxt").isNotNull)
+      .groupBy(col("doc_id"), concat_ws(" ", col("tk"), col("nxt")).as("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).cast("int").as("top_bigram_n"))
+    val tg = seqd.filter(col("nxt2").isNotNull)
+      .groupBy(col("doc_id"), concat_ws(" ", col("tk"), col("nxt"), col("nxt2")).as("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(0)).cast("int").as("dup_trigram_n"))
+    val rn = seqd.groupBy(col("doc_id"), col("run_id")).agg(count(lit(1)).as("rl"))
+      .groupBy(col("doc_id")).agg(max(col("rl")).cast("int").as("max_run"))
+    t.select(col("doc_id"), size(col("w")).as("n_tokens"))
+      .join(bg, Seq("doc_id"), "left")
+      .join(tg, Seq("doc_id"), "left")
+      .join(rn, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("top_bigram_n"), lit(0)).as("top_bigram_n"),
+        coalesce(col("dup_trigram_n"), lit(0)).as("dup_trigram_n"),
+        coalesce(col("max_run"), lit(0)).as("max_run"))
+  }
+
+  /** text_repetition testdata binding. */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionOn(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  def repetitionSql: String =
+    s"""WITH t AS (SELECT doc_id, ${TextFns.tokenizeSql("text")} AS w FROM documents),
+       |tok AS (SELECT doc_id, i AS pos, w[i] AS tk
+       |        FROM t, unnest(generate_series(1, len(w))) AS u(i) WHERE len(w) > 0),
+       |seqd AS (SELECT doc_id, pos, tk,
+       |   lead(tk, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt,
+       |   lead(tk, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt2,
+       |   CASE WHEN lag(tk, 1) OVER (PARTITION BY doc_id ORDER BY pos) IS DISTINCT FROM tk
+       |        THEN 1 ELSE 0 END AS newrun
+       | FROM tok),
+       |rid AS (SELECT *, sum(newrun) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id FROM seqd),
+       |bg AS (SELECT doc_id, max(c) AS top_bigram_n FROM (
+       |   SELECT doc_id, tk || ' ' || nxt AS g, count(*) AS c
+       |   FROM seqd WHERE nxt IS NOT NULL GROUP BY 1, 2) GROUP BY 1),
+       |tg AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_trigram_n FROM (
+       |   SELECT doc_id, tk || ' ' || nxt || ' ' || nxt2 AS g, count(*) AS c
+       |   FROM seqd WHERE nxt2 IS NOT NULL GROUP BY 1, 2) GROUP BY 1),
+       |rn AS (SELECT doc_id, max(rl) AS max_run FROM (
+       |   SELECT doc_id, run_id, count(*) AS rl FROM rid GROUP BY 1, 2) GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+       |  CAST(coalesce(top_bigram_n, 0) AS INTEGER) AS top_bigram_n,
+       |  CAST(coalesce(dup_trigram_n, 0) AS INTEGER) AS dup_trigram_n,
+       |  CAST(coalesce(max_run, 0) AS INTEGER) AS max_run
+       |FROM t LEFT JOIN bg USING (doc_id) LEFT JOIN tg USING (doc_id) LEFT JOIN rn USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 }

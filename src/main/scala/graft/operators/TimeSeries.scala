@@ -253,6 +253,62 @@ object TimeSeries {
       | count(*) AS volume
       |FROM o GROUP BY 1, 2 ORDER BY o_orderpriority, week""".stripMargin
 
+  /** EWMA window width (lags 0..W−1) and the power-of-two weight of
+    * lag k: 2^(W−1−k) — a truncated α=1/2 exponential decay whose
+    * weights are exact integers, shared with the oracle.
+    */
+  val EwmaW = 8
+
+  /** ts_ewma — truncated exponentially-weighted moving average per key:
+    * each observation's smoothed value is the 2^k-weighted mean of the
+    * trailing [[EwmaW]] observations (the standard recursive EWMA
+    * truncated at 8 lags so the value is a FIXED finite expression
+    * tree, not an order-sensitive running recursion — bit-identical
+    * doubles on any IEEE engine, where true recursive EWMA cannot be
+    * value-oracled). One key-partitioned window supplies all lags; at
+    * 100 TB this is a single shuffle on the key and O(W) state per row
+    * — no self-joins, no recursion.
+    * Output: (idCol, keyCol, ewma).
+    */
+  def ewmaOn(obs: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val lags = (0 until EwmaW).map(k =>
+      if (k == 0) col(valueCol) else lag(col(valueCol), k).over(w))
+    val weights = (0 until EwmaW).map(k => 1L << (EwmaW - 1 - k))
+    val num = lags.zip(weights)
+      .map { case (c, wt) => coalesce(c, lit(0.0)) * lit(wt.toDouble) }
+      .reduce(_ + _)
+    val den = lags.zip(weights)
+      .map { case (c, wt) => when(c.isNotNull, lit(wt)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+    obs.select(col(idCol), col(keyCol), col(tsCol), col(valueCol))
+      .withColumn("ewma", Cols.pround(num / den.cast("double"), 6))
+      .select(col(idCol), col(keyCol), col("ewma"))
+  }
+
+  /** ts_ewma testdata binding: per-user smoothed event values. */
+  def ewma(spark: SparkSession, sfDir: String): DataFrame =
+    ewmaOn(Tables.events(spark, sfDir), "user_id", "ts", "event_id", "value")
+      .orderBy(col("event_id"))
+
+  def ewmaSql: String = {
+    val num = (0 until EwmaW).map { k =>
+      val wt = 1L << (EwmaW - 1 - k)
+      val c = if (k == 0) "value" else s"lag(value, $k) OVER w"
+      s"coalesce($c, 0.0) * $wt.0"
+    }.mkString(" + ")
+    val den = (0 until EwmaW).map { k =>
+      val wt = 1L << (EwmaW - 1 - k)
+      val c = if (k == 0) "value" else s"lag(value, $k) OVER w"
+      s"CASE WHEN $c IS NOT NULL THEN $wt ELSE 0 END"
+    }.mkString(" + ")
+    s"""SELECT event_id, user_id,
+       | ${Cols.proundSql(s"($num) / CAST($den AS DOUBLE)", 6)} AS ewma
+       |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |ORDER BY event_id""".stripMargin
+  }
+
   def cohortRetentionSql: String =
     """WITH mm AS (
       | SELECT DISTINCT o_custkey AS m, CAST(date_trunc('month', o_orderdate) AS DATE) AS am

@@ -347,4 +347,44 @@ object Training {
        | ${Cols.proundSql("1.0 - CAST(sq AS DOUBLE) / (n_tokens * n_tokens)", 6)} AS simpson,
        | ${Cols.proundSql("CAST(top AS DOUBLE) / n_tokens", 6)} AS top_ratio
        |FROM m ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------- splitting
+
+  /** pipeline_split — deterministic train/validation/test assignment:
+    * each row's split is a pure function of its id via the portable
+    * polynomial hash (`charFold('split:' ‖ id) mod 100` against
+    * cumulative percentage cut points) — reproducible across runs,
+    * engines, and partitionings, stable under corpus growth (a doc
+    * never changes split when new docs arrive — the property date- or
+    * position-based splits lack), and zero-shuffle: the assignment is a
+    * scan-side expression a 100 TB pipeline evaluates in the first pass
+    * (leakage-free by construction: splits partition the id space).
+    * `cuts` are integer percentages, e.g. (80, 90) → 80/10/10.
+    */
+  def splitOn(df: DataFrame, idCol: String, cuts: (Int, Int)): DataFrame = {
+    val h = pmod(TextFns.charFold(concat(lit("split:"), col(idCol).cast("string"))),
+      lit(100L))
+    df.withColumn("split",
+      when(h < cuts._1, "train").when(h < cuts._2, "val").otherwise("test"))
+  }
+
+  /** pipeline_split testdata binding: 80/10/10 over documents, reported
+    * per (source, split) with an exact membership checksum (id sum) so
+    * the oracle verifies the ASSIGNMENT, not just the counts.
+    */
+  def split(spark: SparkSession, sfDir: String): DataFrame =
+    splitOn(Tables.documents(spark, sfDir), "doc_id", (80, 90))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("source"), col("split"))
+
+  def splitSql: String = {
+    val h = TextFns.charFoldSql("'split:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH s AS (SELECT source, doc_id,
+       |  CASE WHEN ($h) % 100 < 80 THEN 'train'
+       |       WHEN ($h) % 100 < 90 THEN 'val' ELSE 'test' END AS split
+       | FROM documents)
+       |SELECT source, split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM s GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+  }
 }
