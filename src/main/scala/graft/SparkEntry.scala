@@ -87,6 +87,8 @@ object SparkEntry {
     "text_repetition"    -> TextAnalysis.repetition _,
     "ts_ewma"            -> TimeSeries.ewma _,
     "pipeline_split"     -> Training.split _,
+    "embed_quantize"     -> Similarity.quantize _,
+    "embed_kmeans"       -> Similarity.kmeans _,
     "text_langid_eval"   -> TextAnalysis.langidEval _,
     "q43_triangles"      -> Affinity.triangles _,
     "q39_array_funcs"    -> Relational.q39ArrayFuncs _,
@@ -476,6 +478,8 @@ object SparkEntry {
     "text_repetition"     -> TextAnalysis.repetitionSql,
     "ts_ewma"             -> TimeSeries.ewmaSql,
     "pipeline_split"      -> Training.splitSql,
+    "embed_quantize"      -> Similarity.quantizeSql,
+    "embed_kmeans"        -> Similarity.kmeansSql,
     "q47_grouping_sets" ->
       """SELECT o_orderstatus AS status, o_orderpriority AS prio,
         |  CAST(year(o_orderdate) AS INTEGER) AS yr,

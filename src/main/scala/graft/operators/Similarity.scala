@@ -491,13 +491,142 @@ object Similarity {
        |  FROM embeddings, generate_series(1, 64) AS g(d)),
        |cent AS (SELECT label, d, CAST(sum(qx) AS BIGINT) AS s FROM q GROUP BY 1, 2),
        |cn AS (SELECT label,
-       |        CAST(sum(CAST(s AS DECIMAL(18,0)) * CAST(s AS DECIMAL(18,0))) AS DOUBLE) AS cn2
+       |        CAST(sum(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))) AS DOUBLE) AS cn2
        |        FROM cent GROUP BY 1),
        |per AS (SELECT vec_id, q.label AS label,
-       |        CAST(sum(CAST(qx AS DECIMAL(18,0)) * CAST(s AS DECIMAL(18,0))) AS DOUBLE) AS dot,
+       |        CAST(sum(CAST(qx AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))) AS DOUBLE) AS dot,
        |        CAST(sum(qx * qx) AS BIGINT) AS vn2
        |        FROM q JOIN cent ON q.label = cent.label AND q.d = cent.d GROUP BY 1, 2)
        |SELECT vec_id, per.label AS label,
        | ${Cols.proundSql("CAST(dot AS DOUBLE) / (sqrt(CAST(vn2 AS DOUBLE)) * sqrt(cn2))", 6)} AS cos_centroid
        |FROM per JOIN cn ON per.label = cn.label WHERE vn2 > 0 ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------------- quantization
+
+  /** embed_quantize — int8 scalar quantization (the storage/ANN
+    * compression step: 4 bytes/dim → 1): per-DIMENSION max-|x| scales
+    * each coordinate to q = round(x·127/max|x|) ∈ [−127, 127]. The
+    * per-dim scale table is one tiny aggregation (|dims| rows —
+    * broadcast back regardless of corpus size), quantization is
+    * scan-side, and the per-vector report aggregates EXACT integers
+    * (Σq², Σq, zero count — order-independent, so fully value-oracled;
+    * a float reconstruction-error sum would be summation-order
+    * dependent). Shape at 100 TB: one explode pass + one 64-row
+    * broadcast join + one vec-keyed aggregation.
+    * Output: (vec_id, q_norm2, q_sum, n_zero).
+    */
+  def quantizeOn(vectors: DataFrame): DataFrame = {
+    val e = vectors.select(col("id"), posexplode(col("vec")).as(Seq("d", "x")))
+      .select(col("id"), col("d"), col("x").cast("double").as("x"))
+    val scales = e.groupBy(col("d")).agg(max(abs(col("x"))).as("ma"))
+    e.join(broadcast(scales), Seq("d"))
+      .select(col("id"),
+        floor(col("x") * lit(127.0) / col("ma") + lit(0.5)).cast("long").as("q"))
+      .groupBy(col("id"))
+      .agg(sum(col("q") * col("q")).as("q_norm2"),
+        sum(col("q")).as("q_sum"),
+        sum(when(col("q") === 0, 1L).otherwise(0L)).as("n_zero"))
+      .select(col("id").as("vec_id"), col("q_norm2"), col("q_sum"), col("n_zero"))
+  }
+
+  /** embed_quantize testdata binding. */
+  def quantize(spark: SparkSession, sfDir: String): DataFrame =
+    quantizeOn(Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec")))
+      .orderBy(col("vec_id"))
+
+  def quantizeSql: String =
+    s"""WITH e AS (SELECT vec_id AS id, d, CAST(embedding[d] AS DOUBLE) AS x
+       |  FROM embeddings, generate_series(1, 64) AS g(d)),
+       |m AS (SELECT d, max(abs(x)) AS ma FROM e GROUP BY 1),
+       |q AS (SELECT id, CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT) AS q
+       |      FROM e JOIN m USING (d))
+       |SELECT id AS vec_id, CAST(sum(q * q) AS BIGINT) AS q_norm2,
+       | CAST(sum(q) AS BIGINT) AS q_sum,
+       | CAST(coalesce(sum(CASE WHEN q = 0 THEN 1 END), 0) AS BIGINT) AS n_zero
+       |FROM q GROUP BY 1 ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------------------ k-means
+
+  /** k-means cluster count, Lloyd iterations, and fixed-point scale —
+    * shared constants between the Spark form and the oracle.
+    */
+  val KmK = 8
+  val KmIters = 3
+  val KmQ = 1048576L // 2^20 quantization steps
+
+  /** embed_kmeans — distributed Lloyd's k-means in INTEGER fixed point:
+    * coordinates quantize to qx = round((x+1)·2^20) (the +1 shift keeps
+    * every value non-negative so truncating integer division is
+    * identical across engines; shifts cancel in distances), centroid
+    * means truncate to integers, and each assignment minimizes the
+    * EXACT integer Σ(qx−cq)² with ties → lowest centroid id via a
+    * single packed argmin key (dist²·16 + cid — dist² < 2⁴⁸ so the pack
+    * is exact). Every quantity is integer arithmetic in a fixed
+    * expression tree → [[KmIters]] iterations are bit-identical on any
+    * engine and any partitioning (float k-means can't be value-oracled:
+    * both the mean and the distance sum are order-sensitive).
+    *
+    * Scale shape per iteration: assignment joins the exploded vectors
+    * against a BROADCAST centroid table (k·dims rows — constant, never
+    * grows with the corpus) and aggregates per (vec, cid) with map-side
+    * combine — O(N·k·d) work, one shuffle on vec id; the update is one
+    * groupBy(cid, d) over N·d slim rows. Seeds are the k lowest-id
+    * vectors (deterministic; k-means|| would replace the seeding step
+    * at scale without touching the iteration shape). Empty clusters
+    * drop out of the centroid table exactly as the oracle's arithmetic
+    * does. Output: (vec_id, cluster, dist2_fixed).
+    */
+  def kmeansOn(vectors: DataFrame, k: Int = KmK, iters: Int = KmIters): DataFrame = {
+    require(k <= 16, "argmin packing reserves 4 bits for the centroid id")
+    val v = vectors.select(col("id"), posexplode(col("vec")).as(Seq("d", "x")))
+      .select(col("id"), col("d"),
+        floor((col("x").cast("double") + lit(1.0)) * lit(KmQ.toDouble) + lit(0.5))
+          .cast("long").as("qx"))
+      .persist() // re-read by every Lloyd iteration and the final assignment
+    def assignTo(cents: DataFrame): DataFrame =
+      v.join(broadcast(cents), Seq("d"))
+        .groupBy(col("id"), col("cid"))
+        .agg(sum((col("qx") - col("cq")) * (col("qx") - col("cq"))).as("dist2"))
+        .groupBy(col("id"))
+        .agg(min(col("dist2") * lit(16L) + col("cid")).as("amin"))
+    var cents = v.filter(col("id") < k).select(col("id").as("cid"), col("d"), col("qx").as("cq"))
+    (1 to iters).foreach { _ =>
+      val assign = assignTo(cents).select(col("id"), pmod(col("amin"), lit(16L)).as("cid"))
+      cents = v.join(assign, Seq("id"))
+        .groupBy(col("cid"), col("d"))
+        .agg(expr("sum(qx) DIV count(1)").as("cq"))
+    }
+    assignTo(cents)
+      .select(col("id").as("vec_id"),
+        pmod(col("amin"), lit(16L)).cast("int").as("cluster"),
+        expr("amin DIV 16").as("dist2_fixed"))
+  }
+
+  /** embed_kmeans testdata binding. */
+  def kmeans(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansOn(Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec")))
+      .orderBy(col("vec_id"))
+
+  def kmeansSql: String = {
+    def assignFrom(c: String): String =
+      s"""SELECT id, CAST(min(dist2 * 16 + cid) AS BIGINT) AS amin FROM (
+         |  SELECT id, cid, CAST(sum((qx - cq) * (qx - cq)) AS BIGINT) AS dist2
+         |  FROM v JOIN $c USING (d) GROUP BY 1, 2) GROUP BY 1""".stripMargin
+    val prelude =
+      s"""WITH v AS (SELECT vec_id AS id, d,
+         |  CAST(floor((CAST(embedding[d] AS DOUBLE) + 1.0) * $KmQ.0 + 0.5) AS BIGINT) AS qx
+         |  FROM embeddings, generate_series(1, 64) AS g(d)),
+         |c0 AS (SELECT id AS cid, d, qx AS cq FROM v WHERE id < $KmK)""".stripMargin
+    val steps = (1 to KmIters).map { i =>
+      s"""a$i AS (SELECT id, CAST(amin % 16 AS BIGINT) AS cid FROM (${assignFrom(s"c${i - 1}")})),
+         |c$i AS (SELECT cid, d, CAST(sum(qx) // count(*) AS BIGINT) AS cq
+         |        FROM v JOIN a$i USING (id) GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$prelude$steps
+       |SELECT id AS vec_id, CAST(amin % 16 AS INTEGER) AS cluster,
+       | CAST(amin // 16 AS BIGINT) AS dist2_fixed
+       |FROM (${assignFrom(s"c$KmIters")}) ORDER BY vec_id""".stripMargin
+  }
 }
