@@ -87,6 +87,10 @@ object SparkEntry {
     "text_repetition"    -> TextAnalysis.repetition _,
     "ts_ewma"            -> TimeSeries.ewma _,
     "pipeline_split"     -> Training.split _,
+    "pipeline_length_buckets" -> ((s: SparkSession, d: String) => Training.lengthBuckets(s, d)),
+    "text_bpe_pairs"     -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
+    "q53_skyline"        -> Relational.q53Skyline _,
+    "ts_interp_linear"   -> TimeSeries.interpLinear _,
     "embed_quantize"     -> Similarity.quantize _,
     "embed_kmeans"       -> Similarity.kmeans _,
     "text_langid_eval"   -> TextAnalysis.langidEval _,
@@ -478,6 +482,10 @@ object SparkEntry {
     "text_repetition"     -> TextAnalysis.repetitionSql,
     "ts_ewma"             -> TimeSeries.ewmaSql,
     "pipeline_split"      -> Training.splitSql,
+    "pipeline_length_buckets" -> Training.lengthBucketsSql,
+    "text_bpe_pairs"      -> TextAnalysis.bpePairsSql,
+    "q53_skyline"         -> Relational.q53SkylineSql,
+    "ts_interp_linear"    -> TimeSeries.interpLinearSql,
     "embed_quantize"      -> Similarity.quantizeSql,
     "embed_kmeans"        -> Similarity.kmeansSql,
     "q47_grouping_sets" ->

@@ -738,6 +738,60 @@ object Relational {
         |ORDER BY status NULLS FIRST, prio NULLS FIRST, yr NULLS FIRST""".stripMargin)
   }
 
+  /** q53_skyline — 2-D Pareto frontier ("skyline"): the orders no other
+    * order dominates, where dominance = placed on an earlier-or-equal
+    * date AND strictly more expensive (the earliest-big-spenders
+    * frontier). The textbook formulation is a quadratic NOT EXISTS
+    * self-join; for 2-D the frontier is exactly the rows whose price
+    * equals the running maximum over date order, which distributes:
+    *  1. per-MONTH max price — one map-side-combined aggregate whose
+    *     output is month-cardinality (bounded by the calendar, like
+    *     ts_concurrency's sweep), then the running max over strictly
+    *     earlier months on those few rows;
+    *  2. broadcast that month table back; within each month a
+    *     month-PARTITIONED window computes the running max over date
+    *     order (RANGE frame so same-date peers see each other);
+    *  3. a row is on the skyline iff its price equals
+    *     greatest(within-month running max, prior-months max).
+    * No window in the plan is global over data rows — the only
+    * single-partition step runs on the month AGGREGATE — so the shape
+    * survives any corpus scale; ties (same date, same max price) all
+    * qualify, keeping the output deterministic without arbitrary
+    * row picks. Prices ride as integer cents.
+    * Output: (o_orderkey, d, cents), the frontier ordered by date.
+    */
+  def q53Skyline(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select(
+      col("o_orderkey"),
+      col("o_orderdate").cast("date").as("d"),
+      floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      .withColumn("mon", trunc(col("d"), "month"))
+    val monthMax = o.groupBy(col("mon")).agg(max(col("cents")).as("mmax"))
+      .withColumn("prior_max",
+        max(col("mmax")).over(Window.orderBy(col("mon"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("mon"), col("prior_max"))
+    val wIn = Window.partitionBy(col("mon")).orderBy(col("d"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    o.join(broadcast(monthMax), Seq("mon"))
+      .withColumn("run_max",
+        greatest(max(col("cents")).over(wIn),
+          coalesce(col("prior_max"), lit(Long.MinValue))))
+      .filter(col("cents") === col("run_max"))
+      .select(col("o_orderkey"), col("d"), col("cents"))
+      .orderBy(col("d"), col("o_orderkey"))
+  }
+
+  def q53SkylineSql: String =
+    """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+      |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      | FROM orders)
+      |SELECT o_orderkey, d, cents FROM (
+      | SELECT o_orderkey, d, cents,
+      |  max(cents) OVER (ORDER BY d RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+      | FROM o)
+      |WHERE cents = run_max ORDER BY d, o_orderkey""".stripMargin
+
   /** q48_setops_all — bag-semantics set operations (INTERSECT ALL /
     * EXCEPT ALL): duplicate-preserving membership, the form dedup
     * accounting actually needs (how many copies survive), vs q10's

@@ -437,6 +437,50 @@ object TextAnalysis {
        |FROM s GROUP BY doc_id ORDER BY bm25_micros DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  /** text_bpe_pairs — the counting step of one BPE-training iteration:
+    * corpus-wide adjacent-token-pair frequencies, the top `k` merge
+    * candidates with a deterministic tie-break (count desc, then pair
+    * asc — an engine-defined tie order would make the merge table
+    * irreproducible). Pairs derive SCAN-SIDE by zipping the token array
+    * with its own tail — no window pass, no per-token shuffle; the only
+    * shuffle is the (pair → count) aggregate, map-side combined, whose
+    * state is bounded by the pair VOCABULARY, not the corpus; the final
+    * top-k plans as TakeOrdered over the aggregate output (never a full
+    * sort). This is the building block a distributed BPE trainer runs
+    * per merge round at 100 TB.
+    * Output: (rank, pair, n).
+    */
+  def bpePairsOn(df: DataFrame, textCol: String, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = df
+      .select(TextFns.tokenize(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("pair"))
+    pairs.groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("pair"))))
+      .select(col("rank"), col("pair"), col("n"))
+  }
+
+  /** text_bpe_pairs testdata binding. */
+  def bpePairs(spark: SparkSession, sfDir: String): DataFrame =
+    bpePairsOn(Tables.documents(spark, sfDir), "text").orderBy(col("rank"))
+
+  def bpePairsSql: String =
+    s"""WITH t AS (SELECT ${TextFns.tokenizeSql("text")} AS w FROM documents),
+       |p AS (SELECT w[i] || ' ' || w[i + 1] AS pair
+       |      FROM t, unnest(generate_series(1, len(w) - 1)) AS u(i)
+       |      WHERE len(w) >= 2),
+       |c AS (SELECT pair, count(*) AS n FROM p GROUP BY 1
+       |      ORDER BY n DESC, pair LIMIT 50)
+       |SELECT CAST(row_number() OVER (ORDER BY n DESC, pair) AS INTEGER) AS rank,
+       | pair, n
+       |FROM c ORDER BY rank""".stripMargin
+
   /** text_repetition — Gopher-style within-document repetition signals
     * (the quality rules that catch boilerplate/spam the length and
     * stopword heuristics miss), adapted to token n-grams for a

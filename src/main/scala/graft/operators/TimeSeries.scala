@@ -75,6 +75,90 @@ object TimeSeries {
       |FROM spine s LEFT JOIN pd ON s.user_id = pd.user_id AND s.day = pd.day
       |ORDER BY s.user_id, s.day""".stripMargin
 
+  /** Linear-interpolation resampling — the other half of the resample
+    * toolkit next to [[gapfillOn]]'s forward-fill: gap days get the
+    * straight line between the surrounding observations instead of a
+    * held value. All arithmetic is EXACT INTEGER: observed values enter
+    * as integer cents, and a gap day d between observations (d0,v0) and
+    * (d1,v1) interpolates as (v0·(d1−d) + v1·(d−d0)) div (d1−d0) —
+    * weighted-average form whose operands are all non-negative, so
+    * truncating and floor division agree and the result is identical on
+    * any engine (a double lerp would be ulp-unstable in the oracle).
+    * The spine spans each key's observed range, so every gap day has
+    * both neighbors — no extrapolation case exists. Same scale shape as
+    * gapfill: executor-side spine, and BOTH direction windows (previous
+    * / next observation) ride the one key partitioning — still two
+    * shuffles total.
+    * Output: key, day, cents (observed), interp_cents, is_gap.
+    */
+  def interpLinearOn(perDay: DataFrame, keyCol: String, dayCol: String,
+      centsCol: String): DataFrame = {
+    val spine = perDay.groupBy(col(keyCol))
+      .agg(min(col(dayCol)).as("mn"), max(col(dayCol)).as("mx"))
+      .select(col(keyCol),
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 day"))).as(dayCol))
+    val back = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col(centsCol).isNotNull, col(dayCol))
+    spine.join(perDay, Seq(keyCol, dayCol), "left")
+      .select(col(keyCol), col(dayCol), col(centsCol),
+        last(col(centsCol), ignoreNulls = true).over(back).as("v0"),
+        last(obsDay, ignoreNulls = true).over(back).as("d0"),
+        first(col(centsCol), ignoreNulls = true).over(fwd).as("v1"),
+        first(obsDay, ignoreNulls = true).over(fwd).as("d1"))
+      .withColumn("num",
+        col("v0") * datediff(col("d1"), col(dayCol)) +
+          col("v1") * datediff(col(dayCol), col("d0")))
+      .withColumn("den", datediff(col("d1"), col("d0")))
+      .select(col(keyCol), col(dayCol), col(centsCol),
+        when(col(centsCol).isNotNull, col(centsCol))
+          // strict gap: d0 < day < d1 → den > 0; num, den both ≥ 0 so
+          // `div` (trunc) ≡ floor division, matching DuckDB's `//`
+          .otherwise(expr("num div den"))
+          .cast("long").as("interp_cents"),
+        col(centsCol).isNull.as("is_gap"))
+  }
+
+  /** ts_interp_linear testdata binding: per-user daily spend (integer
+    * cents) for users 0-19, linearly interpolated across gap days.
+    */
+  def interpLinear(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDay = Tables.events(spark, sfDir)
+      .filter(col("user_id") < 20)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(floor(sum(col("value")) * 100.0 + 0.5).cast("long").as("cents"))
+    interpLinearOn(perDay, "user_id", "day", "cents")
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  def interpLinearSql: String =
+    """WITH pd AS (
+      | SELECT user_id, CAST(ts AS DATE) AS day,
+      |  CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS cents
+      | FROM events WHERE user_id < 20 GROUP BY 1, 2),
+      |b AS (SELECT user_id, min(day) AS mn, max(day) AS mx FROM pd GROUP BY 1),
+      |spine AS (
+      | SELECT user_id, CAST(unnest(generate_series(CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      | FROM b),
+      |j AS (
+      | SELECT s.user_id, s.day, pd.cents,
+      |  last_value(pd.cents IGNORE NULLS) OVER wb AS v0,
+      |  last_value(CASE WHEN pd.cents IS NOT NULL THEN s.day END IGNORE NULLS) OVER wb AS d0,
+      |  first_value(pd.cents IGNORE NULLS) OVER wf AS v1,
+      |  first_value(CASE WHEN pd.cents IS NOT NULL THEN s.day END IGNORE NULLS) OVER wf AS d1
+      | FROM spine s LEFT JOIN pd ON s.user_id = pd.user_id AND s.day = pd.day
+      | WINDOW
+      |  wb AS (PARTITION BY s.user_id ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  wf AS (PARTITION BY s.user_id ORDER BY s.day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, day, cents,
+      | CAST(CASE WHEN cents IS NOT NULL THEN cents
+      |      ELSE (v0 * date_diff('day', day, d1) + v1 * date_diff('day', d0, day))
+      |           // date_diff('day', d0, d1) END AS BIGINT) AS interp_cents,
+      | cents IS NULL AS is_gap
+      |FROM j ORDER BY user_id, day""".stripMargin
+
   /** Sweep-line interval concurrency: given (start_day, end_day)
     * intervals, the number of intervals open on each calendar day.
     * Raw intervals collapse to per-day +1/−1 deltas first (map-side

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextCount, TextFns}
 import graft.util.{Cols, Tables}
@@ -386,5 +386,62 @@ object Training {
        | FROM documents)
        |SELECT source, split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
        |FROM s GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+  }
+
+  // --------------------------------------------------------- batching
+
+  /** Fixed power-of-two sequence-length buckets for
+    * [[lengthBucketsOn]]. FIXED thresholds, not data-derived (a
+    * quantile-derived bucketing would shift when the corpus grows —
+    * batch shapes must be stable across pipeline runs; and computing
+    * exact corpus quantiles is a sort, this is a scan).
+    */
+  val LengthBuckets: Seq[Int] = Seq(64, 128, 256, 512, 1024, 2048, 4096, 8192)
+
+  /** pipeline_length_buckets — length-bucketed batching profile: docs
+    * binned to the smallest power-of-two sequence length that fits,
+    * with EXACT padding-waste accounting per bucket (padded slots =
+    * bucket · n_docs; waste_ppm = wasted slots per million, integer
+    * floor division) — the report that decides bucket boundaries for a
+    * padded-batch training run, where the waste hides in the long
+    * tail. One scan (token counts are scan-side) + one map-side
+    * combined aggregate whose state is |buckets| rows; integer output
+    * end-to-end so the oracle is exact.
+    * Output: (bucket, n_docs, sum_tokens, padded_tokens, waste_ppm).
+    */
+  def lengthBucketsOn(df: DataFrame, textCol: String): DataFrame = {
+    val n = size(TextFns.tokenize(col(textCol)))
+    val bucket = LengthBuckets.init.reverse
+      .foldLeft(lit(LengthBuckets.last): Column)((acc, b) =>
+        when(col("n_tok") <= b, b).otherwise(acc))
+    df.select(n.as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("bucket", bucket)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("sum_tokens"))
+      .withColumn("padded_tokens", col("bucket").cast("long") * col("n_docs"))
+      .withColumn("waste_ppm",
+        expr("((padded_tokens - sum_tokens) * 1000000) div padded_tokens"))
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+        col("padded_tokens"), col("waste_ppm"))
+  }
+
+  /** pipeline_length_buckets testdata binding. */
+  def lengthBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    lengthBucketsOn(Tables.documents(spark, sfDir), "text").orderBy(col("bucket"))
+
+  def lengthBucketsSql: String = {
+    val cases = LengthBuckets.init.map(b => s"WHEN n_tok <= $b THEN $b")
+      .mkString(" ")
+    s"""WITH t AS (SELECT CAST(len(${TextFns.tokenizeSql("text")}) AS INTEGER) AS n_tok
+       |           FROM documents),
+       |b AS (SELECT CASE $cases ELSE ${LengthBuckets.last} END AS bucket, n_tok
+       |      FROM t WHERE n_tok > 0),
+       |a AS (SELECT bucket, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+       |      FROM b GROUP BY 1)
+       |SELECT bucket, n_docs, sum_tokens,
+       | CAST(bucket * n_docs AS BIGINT) AS padded_tokens,
+       | CAST((bucket * n_docs - sum_tokens) * 1000000 // (bucket * n_docs) AS BIGINT) AS waste_ppm
+       |FROM a ORDER BY bucket""".stripMargin
   }
 }
