@@ -91,6 +91,9 @@ object SparkEntry {
     "text_bpe_pairs"     -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
     "q53_skyline"        -> Relational.q53Skyline _,
     "ts_interp_linear"   -> TimeSeries.interpLinear _,
+    "ts_merge_intervals" -> TimeSeries.mergeIntervals _,
+    "dq_mad_outliers"    -> Quality.dqMadOutliers _,
+    "q54_khop"           -> Affinity.khop _,
     "embed_quantize"     -> Similarity.quantize _,
     "embed_kmeans"       -> Similarity.kmeans _,
     "text_langid_eval"   -> TextAnalysis.langidEval _,
@@ -486,6 +489,9 @@ object SparkEntry {
     "text_bpe_pairs"      -> TextAnalysis.bpePairsSql,
     "q53_skyline"         -> Relational.q53SkylineSql,
     "ts_interp_linear"    -> TimeSeries.interpLinearSql,
+    "ts_merge_intervals"  -> TimeSeries.mergeIntervalsSql,
+    "dq_mad_outliers"     -> Quality.dqMadOutliersSql,
+    "q54_khop"            -> Affinity.khopSql,
     "embed_quantize"      -> Similarity.quantizeSql,
     "embed_kmeans"        -> Similarity.kmeansSql,
     "q47_grouping_sets" ->

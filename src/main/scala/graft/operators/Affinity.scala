@@ -203,6 +203,57 @@ object Affinity {
        |SELECT id, deg, r AS pr_fixed FROM r$PrIters ORDER BY id""".stripMargin
   }
 
+  /** 2-hop neighborhood profile over an undirected edge set (a < b
+    * rows): per node, the direct-neighbor count and the count of
+    * distinct nodes reachable in ≤ 2 hops (self excluded) — the
+    * "friends-of-friends" reach that drives recommendation-candidate
+    * pool sizing. One edge self-join under the symmetrized edge list
+    * produces the 2-hop pairs; the union with 1-hop pairs distincts
+    * into the reach set — cost is Σ deg² over the SUPPORT-FILTERED
+    * graph (pruned upstream, like every affinity analytic here); at
+    * web-graph skew the hub nodes need a degree cap before the
+    * self-join, the same df-cap policy as hot shingles in
+    * [[Dedup.ngramJaccardOn]]. Output: (id, n_1hop, n_reach2).
+    */
+  def khopOn(edges: DataFrame): DataFrame = {
+    val e = edges.select(explode(array(
+        struct(col("a_item").as("u"), col("b_item").as("v")),
+        struct(col("b_item").as("u"), col("a_item").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+    val two = e.select(col("u"), col("v").as("w"))
+      .join(e.select(col("u").as("w"), col("v")), Seq("w"))
+      .select(col("u"), col("v"))
+      .filter(col("u") =!= col("v"))
+    val reach = e.unionAll(two).distinct()
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("n_1hop"))
+    reach.groupBy(col("u"))
+      .agg(count(lit(1)).as("n_reach2"))
+      .join(deg, Seq("u"))
+      .select(col("u").as("id"), col("n_1hop"), col("n_reach2"))
+  }
+
+  /** q54_khop testdata binding: 2-hop reach over the support-≥2
+    * co-purchase graph.
+    */
+  def khop(spark: SparkSession, sfDir: String): DataFrame =
+    khopOn(copurchase(spark, sfDir))
+      .orderBy(col("id"))
+
+  def khopSql: String =
+    """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
+      |p AS (SELECT a.item AS a_item, b.item AS b_item, count(*) AS n_baskets
+      |      FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |e AS (SELECT a_item AS u, b_item AS v FROM p
+      |      UNION ALL SELECT b_item, a_item FROM p),
+      |two AS (SELECT a.u, b.v FROM e a JOIN e b ON a.v = b.u WHERE a.u <> b.v),
+      |reach AS (SELECT u, v FROM e UNION SELECT u, v FROM two),
+      |deg AS (SELECT u, count(*) AS n_1hop FROM e GROUP BY 1)
+      |SELECT r.u AS id, deg.n_1hop, count(*) AS n_reach2
+      |FROM reach r JOIN deg ON r.u = deg.u
+      |GROUP BY r.u, deg.n_1hop
+      |ORDER BY id""".stripMargin
+
   def trianglesSql: String =
     """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
       |p AS (SELECT a.item AS a_item, b.item AS b_item, count(*) AS n_baskets

@@ -116,6 +116,68 @@ object Quality {
     outliersOn(Tables.events(spark, sfDir), "event_type", "value", "event_id", 2.0)
       .orderBy(col("event_id"))
 
+  /** Robust (MAD-based) outlier detection — the screen that survives
+    * what breaks [[outliersOn]]: mean and σ are themselves dragged by
+    * the outliers they're meant to find, while the median and the
+    * median absolute deviation have a 50% breakdown point. Flags rows
+    * with |v − median| > `kMad` · MAD within their group.
+    *
+    * Determinism: values enter as integer CENTS, so the interpolated
+    * group median is exactly representable (midpoint of two longs →
+    * a .0/.5 double — bit-identical on any engine, where interpolating
+    * raw doubles can differ in ulps between engines' lerp forms), and
+    * the flag compare is exact integer-valued double arithmetic.
+    *
+    * Shape: two aggregation passes (group medians, then deviation
+    * medians), each map-side combined with |groups|-cardinality output
+    * joined back AQE-broadcast — two scans + two tiny shuffles at any
+    * corpus size. Exact medians need the full group in one pass; at
+    * extreme group cardinality swap `percentile` for
+    * `percentile_approx` and re-declare the op rows-only.
+    */
+  def madOutliersOn(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, kMad: Double): DataFrame = {
+    val cents = df.select(col(idCol), col(groupCol),
+      floor(col(valueCol) * 100.0 + 0.5).cast("long").as("cents"))
+    val med = cents.groupBy(col(groupCol))
+      .agg(percentile(col("cents"), lit(0.5)).as("med"))
+    val dev = cents.join(med, groupCol)
+      .withColumn("dev", abs(col("cents").cast("double") - col("med")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+    dev.join(mad, groupCol)
+      .filter(col("dev") > lit(kMad) * col("mad"))
+      // MAD 0 (a >50%-constant group) degenerates the flag to dev > 0 —
+      // still the right robust-stats read — but the score is undefined:
+      // emit null rather than ±Inf (or an ANSI divide-by-zero error)
+      .select(col(idCol), col(groupCol), col("cents"),
+        when(col("mad") > 0.0, Cols.pround(col("dev") / col("mad"), 4))
+          .as("mad_score"))
+  }
+
+  /** dq_mad_outliers testdata binding: events whose value sits more
+    * than 5 MADs from the event-type median.
+    */
+  def dqMadOutliers(spark: SparkSession, sfDir: String): DataFrame =
+    madOutliersOn(Tables.events(spark, sfDir), "event_type", "value", "event_id", 5.0)
+      .orderBy(col("event_id"))
+
+  def dqMadOutliersSql: String =
+    """WITH c AS (
+      | SELECT event_id, event_type,
+      |  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      | FROM events),
+      |med AS (SELECT event_type, quantile_cont(cents, 0.5) AS med FROM c GROUP BY 1),
+      |dev AS (
+      | SELECT event_id, c.event_type, cents, abs(CAST(cents AS DOUBLE) - med) AS dev
+      | FROM c JOIN med ON c.event_type = med.event_type),
+      |mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY 1)
+      |SELECT event_id, d.event_type, cents,
+      | CASE WHEN mad > 0.0 THEN floor((dev / mad) * 10000.0 + 0.5) / 10000.0 END AS mad_score
+      |FROM dev d JOIN mad ON d.event_type = mad.event_type
+      |WHERE dev > 5.0 * mad
+      |ORDER BY event_id""".stripMargin
+
   def dqOutliersSql: String =
     """WITH s AS (
       | SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd

@@ -393,6 +393,69 @@ object TimeSeries {
        |ORDER BY event_id""".stripMargin
   }
 
+  /** Merge overlapping intervals per key ("span coalescing"): maximal
+    * unions of overlapping [start, end] ranges, the classic prerequisite
+    * for utilization, coverage, and SLA math. One window pass computes
+    * the running max of PRIOR interval ends; an interval whose start
+    * exceeds it opens a new span, and the cumulative count of those
+    * openings is the span id — no self-join, no iteration (the naive
+    * "which intervals touch" formulation is a quadratic range self-join).
+    * Both window frames and the span groupBy ride ONE key partitioning,
+    * so the whole op is a single shuffle at any scale. Intervals are
+    * inclusive; touching intervals (start = prior end) merge.
+    * Output per span: key, span_start, span_end, n_intervals.
+    */
+  def mergeIntervalsOn(intervals: DataFrame, keyCol: String, startCol: String,
+      endCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(startCol), col(idCol))
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    intervals
+      .withColumn("opens",
+        when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("span",
+        sum(col("opens")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("span"))
+      .agg(min(col(startCol)).as("span_start"), max(col(endCol)).as("span_end"),
+        count(lit(1)).as("n_intervals"))
+      .drop("span")
+  }
+
+  /** ts_merge_intervals testdata binding: per-customer order-activity
+    * spans — each order covers [order date, order date + 14 days];
+    * overlapping orders coalesce into continuous engagement spans.
+    */
+  def mergeIntervals(spark: SparkSession, sfDir: String): DataFrame =
+    mergeIntervalsOn(
+      Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("start_day"),
+          date_add(to_date(col("o_orderdate")), 14).as("end_day")),
+      "o_custkey", "start_day", "end_day", "o_orderkey")
+      .orderBy(col("o_custkey"), col("span_start"))
+
+  def mergeIntervalsSql: String =
+    """WITH iv AS (
+      | SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS start_day,
+      |  CAST(o_orderdate AS DATE) + 14 AS end_day
+      | FROM orders),
+      |m AS (
+      | SELECT o_custkey, o_orderkey, start_day, end_day,
+      |  CASE WHEN max(end_day) OVER w IS NULL OR start_day > max(end_day) OVER w
+      |       THEN 1 ELSE 0 END AS opens
+      | FROM iv
+      | WINDOW w AS (PARTITION BY o_custkey ORDER BY start_day, o_orderkey
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |s AS (
+      | SELECT o_custkey, start_day, end_day,
+      |  sum(opens) OVER (PARTITION BY o_custkey ORDER BY start_day, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+      | FROM m)
+      |SELECT o_custkey, min(start_day) AS span_start,
+      | max(end_day) AS span_end, count(*) AS n_intervals
+      |FROM s GROUP BY o_custkey, span
+      |ORDER BY o_custkey, span_start""".stripMargin
+
   def cohortRetentionSql: String =
     """WITH mm AS (
       | SELECT DISTINCT o_custkey AS m, CAST(date_trunc('month', o_orderdate) AS DATE) AS am

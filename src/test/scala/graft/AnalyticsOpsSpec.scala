@@ -81,4 +81,54 @@ class AnalyticsOpsSpec extends SparkSpecBase {
       (2L, "2024-01-03", 66L, true), (2L, "2024-01-04", 100L, false))
     assert(got.toSeq == expect)
   }
+
+  test("mergeIntervalsOn coalesces overlapping and touching spans, splits gaps") {
+    import spark.implicits._
+    val iv = Seq(
+      // key 1: [1..5] ∪ [4..8] overlap; [8..9] touches (start = prior end);
+      // [11..12] gaps → two spans
+      (1L, 10L, "2024-01-01", "2024-01-05"),
+      (1L, 11L, "2024-01-04", "2024-01-08"),
+      (1L, 12L, "2024-01-08", "2024-01-09"),
+      (1L, 13L, "2024-01-11", "2024-01-12"),
+      // key 2: containment — [1..9] swallows [2..3]
+      (2L, 20L, "2024-01-01", "2024-01-09"),
+      (2L, 21L, "2024-01-02", "2024-01-03")
+    ).toDF("k", "id", "s", "e")
+      .select(col("k"), col("id"), to_date(col("s")).as("s"), to_date(col("e")).as("e"))
+    val got = TimeSeries.mergeIntervalsOn(iv, "k", "s", "e", "id")
+      .collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[java.sql.Date]("span_start").toString,
+        r.getAs[java.sql.Date]("span_end").toString, r.getAs[Long]("n_intervals")))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      (1L, "2024-01-01", "2024-01-09", 3L),
+      (1L, "2024-01-11", "2024-01-12", 1L),
+      (2L, "2024-01-01", "2024-01-09", 2L)))
+  }
+
+  test("madOutliersOn flags by exact integer-cent deviation medians") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 10.0), (2L, "a", 11.0), (3L, "a", 12.0),
+      (4L, "a", 13.0), (5L, "a", 100.0), // devs {200,100,0,100,8800}, MAD 100
+      // MAD-0 group: devs {0,0,50} → flag degrades to dev > 0, null score
+      (6L, "b", 50.0), (7L, "b", 50.0), (8L, "b", 50.5)
+    ).toDF("id", "g", "v")
+    val got = graft.operators.Quality.madOutliersOn(df, "g", "v", "id", 5.0)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), Option(r.getAs[java.lang.Double]("mad_score"))))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((5L, Some(88.0)), (8L, None)))
+  }
+
+  test("khopOn counts 1-hop and 2-hop reach on a path graph") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a_item", "b_item")
+    val got = graft.operators.Affinity.khopOn(edges)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_1hop"), r.getAs[Long]("n_reach2")))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L, 2L), (2L, 2L, 3L), (3L, 2L, 3L), (4L, 1L, 2L)))
+  }
 }
