@@ -106,6 +106,8 @@ object SparkEntry {
     "range_join_bucketed" -> Ranges.eventBands _,
     // §2.C LLM-data-pipeline operators
     "dedup_exact"         -> Dedup.exact _,
+    "dedup_containment"   -> Dedup.containment _,
+    "text_novelty"        -> TextAnalysis.novelty _,
     "fuzzy_join"          -> Dedup.fuzzyJoin _,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "dedup_minhash"       -> Dedup.minhashLsh _,
@@ -562,6 +564,8 @@ object SparkEntry {
         | floor(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) * 100.0 + 0.5) / 100.0 AS P
         |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
     "dedup_exact"         -> Dedup.exactSql,
+    "dedup_containment"   -> Dedup.containmentSql,
+    "text_novelty"        -> TextAnalysis.noveltySql,
     "fuzzy_join"          -> Dedup.fuzzyJoinSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_minhash"       -> Dedup.minhashLshSql,

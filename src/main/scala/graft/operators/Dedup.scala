@@ -228,6 +228,57 @@ object Dedup {
   def ngramJaccardSql: String =
     s"$jaccardPairsSql ORDER BY a_id, b_id"
 
+  /** Asymmetric shingle CONTAINMENT pairs — the doc-in-doc detector
+    * Jaccard structurally misses: when a short document is quoted or
+    * wrapped inside a much longer one, |A∩B|/|A∪B| stays small (the
+    * union is dominated by the long doc) while |A∩B|/min(|A|,|B|) ≈ 1.
+    * Same df-capped inverted-index candidate generation and capped
+    * universe as [[ngramJaccardOn]] — identical shuffle shape, only the
+    * denominator changes — reported with the Jaccard alongside so
+    * downstream policy can distinguish near-dup from containment.
+    * Output: (a_id, b_id, cont, jac) with a_id < b_id, cont ≥ threshold.
+    */
+  def containmentOn(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, dfCap: Int = DfCap): DataFrame = {
+    val t = shingledOn(df, idCol, textCol)
+    val e = t.select(col("doc_id"), explode(col("h")).as("x"))
+    val hot = e.groupBy(col("x")).agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") > dfCap).select(col("x")).persist()
+    val ec = e.join(hot, Seq("x"), "left_anti")
+    val inter = ec.select(col("doc_id").as("a_id"), col("x"))
+      .join(ec.select(col("doc_id").as("b_id"), col("x")), Seq("x"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).cast("double").as("i"))
+    val sizes = ec.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .withColumn("cont", col("i") / least(col("na"), col("nb")).cast("double"))
+      .withColumn("jac", col("i") / (col("na") + col("nb") - col("i")))
+      .filter(col("cont") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cont"), col("jac"))
+  }
+
+  /** dedup_containment testdata binding (containment ≥ 0.6). */
+  def containment(spark: SparkSession, sfDir: String): DataFrame =
+    containmentOn(Tables.documents(spark, sfDir), "doc_id", "text", 0.6)
+      .orderBy(col("a_id"), col("b_id"))
+
+  def containmentSql: String =
+    s"""WITH t AS ($shingledSql),
+       |e AS (SELECT doc_id, unnest(h) AS x FROM t),
+       |hot AS (SELECT x FROM e GROUP BY x HAVING count(*) > $DfCap),
+       |ec AS (SELECT doc_id, x FROM e WHERE x NOT IN (SELECT x FROM hot)),
+       |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS DOUBLE) AS i
+       |          FROM ec a JOIN ec b ON a.x = b.x AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM ec GROUP BY 1),
+       |c AS (SELECT a_id, b_id, i / CAST(least(sa.n, sb.n) AS DOUBLE) AS cont,
+       |       i / (sa.n + sb.n - i) AS jac
+       |      FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id)
+       |SELECT a_id, b_id, cont, jac FROM c WHERE cont >= 0.6
+       |ORDER BY a_id, b_id""".stripMargin
+
   /** MinHash + banded LSH candidate pairs: 16-wide signatures
     * (codegen'd), 4×4 banding — candidates share at least one full
     * band; reported with the signature-agreement jaccard estimate.

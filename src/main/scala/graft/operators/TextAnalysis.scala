@@ -470,6 +470,52 @@ object TextAnalysis {
   def bpePairs(spark: SparkSession, sfDir: String): DataFrame =
     bpePairsOn(Tables.documents(spark, sfDir), "text").orderBy(col("rank"))
 
+  /** Per-document n-gram NOVELTY — the memorization/duplication risk
+    * signal of a training corpus read per document: of a doc's distinct
+    * 3-shingles, what fraction appears in NO other document
+    * (corpus-wide document frequency 1). Low novelty marks templated /
+    * heavily-duplicated docs even when no single pair crosses a
+    * near-dup threshold; high novelty marks unique content worth
+    * upsampling. Shape: shingles hash scan-side (the shared codegen
+    * poly-hash, so the shuffle carries slim (doc, long) rows, never
+    * n-gram strings), one df aggregation keyed on the shingle hash, one
+    * join back on the same key, one doc-keyed count — all map-side
+    * combinable, no stage state beyond (doc, shingle) cardinality.
+    * Docs with < 3 tokens have no shingles and drop out (mirrored by
+    * the oracle's join semantics).
+    * Output: (doc_id, n_shingles, n_novel, novelty).
+    */
+  def noveltyOn(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val e = df.select(col(idCol).as("doc_id"),
+        TextFns.shingleHashes(TextFns.tokenize(col(textCol))).as("h"))
+      .select(col("doc_id"), explode(col("h")).as("x"))
+      .persist() // read by the df agg AND the per-doc rollup
+    val dfreq = e.groupBy(col("x")).agg(count(lit(1)).as("dfreq"))
+    e.join(dfreq, Seq("x"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count_if(col("dfreq") === 1).as("n_novel"))
+      .withColumn("novelty",
+        Cols.pround(col("n_novel").cast("double") / col("n_shingles"), 6))
+  }
+
+  /** text_novelty testdata binding. */
+  def novelty(spark: SparkSession, sfDir: String): DataFrame =
+    noveltyOn(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  def noveltySql: String =
+    s"""WITH t AS (
+       | SELECT doc_id, ${TextFns.shingleHashesSql("words")} AS h
+       | FROM (SELECT doc_id, ${TextFns.tokenizeSql("text")} AS words FROM documents)),
+       |e AS (SELECT doc_id, unnest(h) AS x FROM t),
+       |d AS (SELECT x, count(*) AS dfreq FROM e GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_shingles,
+       | count(CASE WHEN dfreq = 1 THEN 1 END) AS n_novel,
+       | ${Cols.proundSql("CAST(count(CASE WHEN dfreq = 1 THEN 1 END) AS DOUBLE) / count(*)", 6)} AS novelty
+       |FROM e JOIN d ON e.x = d.x GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   def bpePairsSql: String =
     s"""WITH t AS (SELECT ${TextFns.tokenizeSql("text")} AS w FROM documents),
        |p AS (SELECT w[i] || ' ' || w[i + 1] AS pair

@@ -122,6 +122,39 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(got.toSeq == Seq((5L, Some(88.0)), (8L, None)))
   }
 
+  test("containmentOn finds doc-in-doc pairs that jaccard misses") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon"
+    val long = short + " " + (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long), (3L, "unrelated words only here now"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.containmentOn(docs, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("cont"), r.getAs[Double]("jac")))
+    // doc1's 3 shingles all appear in doc2 → containment 1.0, but the
+    // jaccard is 3/43 — far below any near-dup threshold
+    assert(got.length == 1)
+    val (a, b, cont, jac) = got.head
+    assert(a == 1L && b == 2L && cont == 1.0 && jac < 0.1)
+    spark.catalog.clearCache()
+  }
+
+  test("noveltyOn scores corpus-unique shingles per doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),       // shingles: abc, bcd
+      (2L, "a b c x"),       // shingles: abc, bcx
+      (3L, "q r s t u")      // shingles: qrs, rst, stu — all unique
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.noveltyOn(docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_novel"), r.getAs[Double]("novelty")))
+      .sortBy(_._1)
+    // "a b c" is shared by docs 1 and 2 (df 2); the rest are df-1
+    assert(got.toSeq == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 3L, 3L, 1.0)))
+    spark.catalog.clearCache()
+  }
+
   test("khopOn counts 1-hop and 2-hop reach on a path graph") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a_item", "b_item")
