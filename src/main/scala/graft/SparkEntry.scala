@@ -96,6 +96,7 @@ object SparkEntry {
     "q54_khop"           -> Affinity.khop _,
     "embed_quantize"     -> Similarity.quantize _,
     "embed_kmeans"       -> Similarity.kmeans _,
+    "embed_pq"           -> Similarity.pq _,
     "text_langid_eval"   -> TextAnalysis.langidEval _,
     "q43_triangles"      -> Affinity.triangles _,
     "q39_array_funcs"    -> Relational.q39ArrayFuncs _,
@@ -496,6 +497,7 @@ object SparkEntry {
     "q54_khop"            -> Affinity.khopSql,
     "embed_quantize"      -> Similarity.quantizeSql,
     "embed_kmeans"        -> Similarity.kmeansSql,
+    "embed_pq"            -> Similarity.pqSql,
     "q47_grouping_sets" ->
       """SELECT o_orderstatus AS status, o_orderpriority AS prio,
         |  CAST(year(o_orderdate) AS INTEGER) AS yr,

@@ -609,6 +609,96 @@ object Similarity {
         .select(col("vec_id").as("id"), col("embedding").as("vec")))
       .orderBy(col("vec_id"))
 
+  /** Product-quantization geometry and training constants: 8 subspaces
+    * of 8 dims over the 64-dim testdata embeddings, 16 centroids per
+    * subspace (one nibble per code → the 8 codes pack into 32 bits),
+    * 2 Lloyd rounds per subspace.
+    */
+  val PqSubs = 8
+  val PqSubDim = 8
+  val PqK = 16
+  val PqIters = 2
+
+  /** embed_pq — product quantization, the codebook-training +
+    * encoding step of an IVF-PQ index build: each vector splits into
+    * [[PqSubs]] contiguous subvectors; per SUBSPACE an independent
+    * fixed-point Lloyd k-means (same integer arithmetic contract as
+    * [[kmeansOn]] — bit-identical on any engine/partitioning) learns
+    * [[PqK]] centroids; a vector's code is the argmin centroid per
+    * subspace, packed little-endian into one BIGINT (code nibble s at
+    * 16^s), with the EXACT integer reconstruction error alongside —
+    * compressing each vector to 4 bytes + the shared 1 KiB codebook.
+    *
+    * Scale shape: ALL subspaces train simultaneously — the subspace id
+    * rides as one more key column through the same joins/aggregations
+    * (never 8 sequential jobs); per round the assignment joins the
+    * exploded stream against a BROADCAST codebook (subs·k·subdim ≈ 1 K
+    * rows, constant at any corpus size) for O(N·d·k) work, and the
+    * update aggregates (sub, cid, d) — ≤ 1 K groups. The final pack is
+    * one vec-keyed aggregation. Same seeding policy as kmeansOn (the k
+    * lowest-id vectors' subvectors, deterministic).
+    * Output: (vec_id, pq_code, dist2_total).
+    */
+  def pqOn(vectors: DataFrame, subDim: Int = PqSubDim, k: Int = PqK,
+      iters: Int = PqIters): DataFrame = {
+    require(k <= 16, "argmin packing and the nibble pack reserve 4 bits per code")
+    val v = vectors.select(col("id"), posexplode(col("vec")).as(Seq("d", "x")))
+      .select(col("id"), (col("d") / lit(subDim)).cast("int").as("sub"), col("d"),
+        floor((col("x").cast("double") + lit(1.0)) * lit(KmQ.toDouble) + lit(0.5))
+          .cast("long").as("qx"))
+      .persist() // re-read by every Lloyd round and the final encode
+    def assignTo(cents: DataFrame): DataFrame =
+      v.join(broadcast(cents), Seq("sub", "d"))
+        .groupBy(col("id"), col("sub"), col("cid"))
+        .agg(sum((col("qx") - col("cq")) * (col("qx") - col("cq"))).as("dist2"))
+        .groupBy(col("id"), col("sub"))
+        .agg(min(col("dist2") * lit(16L) + col("cid")).as("amin"))
+    var cents = v.filter(col("id") < k)
+      .select(col("sub"), col("id").as("cid"), col("d"), col("qx").as("cq"))
+    (1 to iters).foreach { _ =>
+      val assign = assignTo(cents)
+        .select(col("id"), col("sub"), pmod(col("amin"), lit(16L)).as("cid"))
+      cents = v.join(assign, Seq("id", "sub"))
+        .groupBy(col("sub"), col("cid"), col("d"))
+        .agg(expr("sum(qx) DIV count(1)").as("cq"))
+    }
+    assignTo(cents)
+      .groupBy(col("id"))
+      // 16^sub ≤ 16^7 < 2^53: power() is exact, the cast is exact, and
+      // the pack is a plain integer sum — portable across engines
+      .agg(sum(expr("(amin % 16) * cast(power(16, sub) as bigint)")).as("pq_code"),
+        sum(expr("amin DIV 16")).as("dist2_total"))
+      .select(col("id").as("vec_id"), col("pq_code"), col("dist2_total"))
+  }
+
+  /** embed_pq testdata binding. */
+  def pq(spark: SparkSession, sfDir: String): DataFrame =
+    pqOn(Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec")))
+      .orderBy(col("vec_id"))
+
+  def pqSql: String = {
+    def assignFrom(c: String): String =
+      s"""SELECT id, sub, CAST(min(dist2 * 16 + cid) AS BIGINT) AS amin FROM (
+         |  SELECT id, sub, cid, CAST(sum((qx - cq) * (qx - cq)) AS BIGINT) AS dist2
+         |  FROM v JOIN $c USING (sub, d) GROUP BY 1, 2, 3) GROUP BY 1, 2""".stripMargin
+    val prelude =
+      s"""WITH v AS (SELECT vec_id AS id, (d - 1) // $PqSubDim AS sub, d,
+         |  CAST(floor((CAST(embedding[d] AS DOUBLE) + 1.0) * $KmQ.0 + 0.5) AS BIGINT) AS qx
+         |  FROM embeddings, generate_series(1, 64) AS g(d)),
+         |c0 AS (SELECT sub, id AS cid, d, qx AS cq FROM v WHERE id < $PqK)""".stripMargin
+    val steps = (1 to PqIters).map { i =>
+      s"""a$i AS (SELECT id, sub, CAST(amin % 16 AS BIGINT) AS cid FROM (${assignFrom(s"c${i - 1}")})),
+         |c$i AS (SELECT sub, cid, d, CAST(sum(qx) // count(*) AS BIGINT) AS cq
+         |        FROM v JOIN a$i USING (id, sub) GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$prelude$steps
+       |SELECT id AS vec_id,
+       | CAST(sum((amin % 16) * CAST(power(16, sub) AS BIGINT)) AS BIGINT) AS pq_code,
+       | CAST(sum(amin // 16) AS BIGINT) AS dist2_total
+       |FROM (${assignFrom(s"c$PqIters")}) GROUP BY 1 ORDER BY vec_id""".stripMargin
+  }
+
   def kmeansSql: String = {
     def assignFrom(c: String): String =
       s"""SELECT id, CAST(min(dist2 * 16 + cid) AS BIGINT) AS amin FROM (

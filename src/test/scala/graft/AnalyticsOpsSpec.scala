@@ -155,6 +155,27 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("pqOn encodes identical subvectors identically with zero error on exact codebooks") {
+    import spark.implicits._
+    // 16-dim vectors, 2 subspaces of 8: every distinct subvector has a
+    // dedicated centroid (≤ 16 seeds), so reconstruction is exact
+    val vecs = Seq(
+      (0L, Array.fill(16)(0.9f)),
+      (1L, Array.fill(16)(-0.9f)),
+      (2L, Array.tabulate(16)(i => if (i < 8) 0.9f else -0.9f)),
+      (3L, Array.tabulate(16)(i => if (i < 8) -0.9f else 0.9f)),
+      (4L, Array.fill(16)(0.9f)) // duplicate of 0
+    ).toDF("id", "vec")
+    val got = graft.operators.Similarity.pqOn(vecs, subDim = 8)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("pq_code"), r.getAs[Long]("dist2_total")))).toMap
+    assert(got.size == 5)
+    assert(got.values.forall(_._2 == 0L), s"nonzero reconstruction error: $got")
+    assert(got(4L)._1 == got(0L)._1) // identical vectors → identical code
+    assert(got(1L)._1 != got(0L)._1) // distinct vectors → distinct codes here
+    spark.catalog.clearCache()
+  }
+
   test("khopOn counts 1-hop and 2-hop reach on a path graph") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a_item", "b_item")
