@@ -97,6 +97,7 @@ object SparkEntry {
     "embed_quantize"     -> Similarity.quantize _,
     "embed_kmeans"       -> Similarity.kmeans _,
     "embed_pq"           -> Similarity.pq _,
+    "sim_pq_adc"         -> Similarity.pqAdc _,
     "text_langid_eval"   -> TextAnalysis.langidEval _,
     "q43_triangles"      -> Affinity.triangles _,
     "q39_array_funcs"    -> Relational.q39ArrayFuncs _,
@@ -498,6 +499,7 @@ object SparkEntry {
     "embed_quantize"      -> Similarity.quantizeSql,
     "embed_kmeans"        -> Similarity.kmeansSql,
     "embed_pq"            -> Similarity.pqSql,
+    "sim_pq_adc"          -> Similarity.pqAdcSql,
     "q47_grouping_sets" ->
       """SELECT o_orderstatus AS status, o_orderpriority AS prio,
         |  CAST(year(o_orderdate) AS INTEGER) AS yr,

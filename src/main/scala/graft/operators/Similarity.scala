@@ -699,6 +699,107 @@ object Similarity {
        |FROM (${assignFrom(s"c$PqIters")}) GROUP BY 1 ORDER BY vec_id""".stripMargin
   }
 
+  /** sim_pq_adc — asymmetric distance computation over the PQ index,
+    * the query-side payoff of [[pqOn]]: each probe precomputes a
+    * distance LOOKUP TABLE to every codebook centroid (probes × subs ×
+    * k rows — constant per probe, independent of corpus size), and a
+    * database vector's approximate distance is then just the sum of 8
+    * table lookups keyed by its code nibbles — the corpus-sized stream
+    * touches ONLY the slim (id, sub, cid) code rows joined against the
+    * BROADCAST LUT, never the raw vectors. Exact integer arithmetic
+    * end-to-end (squared fixed-point distances), so ranked results are
+    * engine-identical. Top-[[AdcTopK]] per probe with vec-id
+    * tie-break; probes are excluded from their own candidate list.
+    * Output: (probe_id, vec_id, adc_dist2, rk).
+    */
+  val AdcProbes = 5
+  val AdcTopK = 3
+
+  def pqAdcOn(vectors: DataFrame, probeMaxId: Int = AdcProbes,
+      subDim: Int = PqSubDim, k: Int = PqK, iters: Int = PqIters): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k <= 16, "argmin packing reserves 4 bits per code")
+    val v = vectors.select(col("id"), posexplode(col("vec")).as(Seq("d", "x")))
+      .select(col("id"), (col("d") / lit(subDim)).cast("int").as("sub"), col("d"),
+        floor((col("x").cast("double") + lit(1.0)) * lit(KmQ.toDouble) + lit(0.5))
+          .cast("long").as("qx"))
+      .persist() // re-read per Lloyd round, the encode, and the probe LUT
+    def assignTo(cents: DataFrame): DataFrame =
+      v.join(broadcast(cents), Seq("sub", "d"))
+        .groupBy(col("id"), col("sub"), col("cid"))
+        .agg(sum((col("qx") - col("cq")) * (col("qx") - col("cq"))).as("dist2"))
+        .groupBy(col("id"), col("sub"))
+        .agg(min(col("dist2") * lit(16L) + col("cid")).as("amin"))
+    var cents = v.filter(col("id") < k)
+      .select(col("sub"), col("id").as("cid"), col("d"), col("qx").as("cq"))
+    (1 to iters).foreach { _ =>
+      val assign = assignTo(cents)
+        .select(col("id"), col("sub"), pmod(col("amin"), lit(16L)).as("cid"))
+      cents = v.join(assign, Seq("id", "sub"))
+        .groupBy(col("sub"), col("cid"), col("d"))
+        .agg(expr("sum(qx) DIV count(1)").as("cq"))
+    }
+    val codes = assignTo(cents)
+      .select(col("id"), col("sub"), pmod(col("amin"), lit(16L)).as("cid"))
+    // per-probe LUT: exact dist² from each probe subvector to each centroid
+    val lut = v.filter(col("id") < probeMaxId)
+      .withColumnRenamed("id", "probe_id")
+      .join(broadcast(cents), Seq("sub", "d"))
+      .groupBy(col("probe_id"), col("sub"), col("cid"))
+      .agg(sum((col("qx") - col("cq")) * (col("qx") - col("cq"))).as("ld"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_dist2"), col("vec_id"))
+    codes
+      .join(broadcast(lut), Seq("sub", "cid"))
+      .filter(col("id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("id").as("vec_id"))
+      .agg(sum(col("ld")).as("adc_dist2"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= AdcTopK)
+      .select(col("probe_id"), col("vec_id"), col("adc_dist2"),
+        col("rk").cast("int").as("rk"))
+  }
+
+  /** sim_pq_adc testdata binding. */
+  def pqAdc(spark: SparkSession, sfDir: String): DataFrame =
+    pqAdcOn(Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec")))
+      .orderBy(col("probe_id"), col("rk"))
+
+  def pqAdcSql: String = {
+    def assignFrom(c: String): String =
+      s"""SELECT id, sub, CAST(min(dist2 * 16 + cid) AS BIGINT) AS amin FROM (
+         |  SELECT id, sub, cid, CAST(sum((qx - cq) * (qx - cq)) AS BIGINT) AS dist2
+         |  FROM v JOIN $c USING (sub, d) GROUP BY 1, 2, 3) GROUP BY 1, 2""".stripMargin
+    val prelude =
+      s"""WITH v AS (SELECT vec_id AS id, (d - 1) // $PqSubDim AS sub, d,
+         |  CAST(floor((CAST(embedding[d] AS DOUBLE) + 1.0) * $KmQ.0 + 0.5) AS BIGINT) AS qx
+         |  FROM embeddings, generate_series(1, 64) AS g(d)),
+         |c0 AS (SELECT sub, id AS cid, d, qx AS cq FROM v WHERE id < $PqK)""".stripMargin
+    val steps = (1 to PqIters).map { i =>
+      s"""a$i AS (SELECT id, sub, CAST(amin % 16 AS BIGINT) AS cid FROM (${assignFrom(s"c${i - 1}")})),
+         |c$i AS (SELECT sub, cid, d, CAST(sum(qx) // count(*) AS BIGINT) AS cq
+         |        FROM v JOIN a$i USING (id, sub) GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$prelude$steps,
+       |codes AS (SELECT id, sub, CAST(amin % 16 AS BIGINT) AS cid
+       |          FROM (${assignFrom(s"c$PqIters")})),
+       |lut AS (SELECT v.id AS probe_id, sub, cid,
+       |         CAST(sum((qx - cq) * (qx - cq)) AS BIGINT) AS ld
+       |        FROM v JOIN c$PqIters USING (sub, d) WHERE v.id < $AdcProbes
+       |        GROUP BY 1, 2, 3),
+       |adc AS (SELECT probe_id, codes.id AS vec_id, CAST(sum(ld) AS BIGINT) AS adc_dist2
+       |        FROM codes JOIN lut USING (sub, cid)
+       |        WHERE codes.id <> lut.probe_id
+       |        GROUP BY 1, 2),
+       |r AS (SELECT probe_id, vec_id, adc_dist2,
+       |       CAST(row_number() OVER (PARTITION BY probe_id
+       |         ORDER BY adc_dist2, vec_id) AS INTEGER) AS rk
+       |      FROM adc)
+       |SELECT probe_id, vec_id, adc_dist2, rk FROM r WHERE rk <= $AdcTopK
+       |ORDER BY probe_id, rk""".stripMargin
+  }
+
   def kmeansSql: String = {
     def assignFrom(c: String): String =
       s"""SELECT id, CAST(min(dist2 * 16 + cid) AS BIGINT) AS amin FROM (

@@ -176,6 +176,24 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("pqAdcOn ranks an identical vector at ADC distance zero") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array.fill(16)(0.9f)),
+      (1L, Array.fill(16)(-0.9f)),
+      (2L, Array.tabulate(16)(i => if (i < 8) 0.9f else -0.9f)),
+      (3L, Array.tabulate(16)(i => if (i < 8) -0.9f else 0.9f)),
+      (4L, Array.fill(16)(0.9f)) // duplicate of 0
+    ).toDF("id", "vec")
+    val rows = graft.operators.Similarity.pqAdcOn(vecs, probeMaxId = 1, subDim = 8)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("adc_dist2"), r.getAs[Int]("rk")))
+    // probe 0's nearest database vector is its duplicate (id 4) at ADC 0
+    assert(rows.head == ((0L, 4L, 0L, 1)))
+    assert(rows.forall { case (_, v, _, _) => v != 0L }) // self excluded
+    spark.catalog.clearCache()
+  }
+
   test("khopOn counts 1-hop and 2-hop reach on a path graph") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a_item", "b_item")
