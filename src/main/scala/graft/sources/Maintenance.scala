@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Table-maintenance operations — the operational layer every parquet
   * warehouse needs at scale and no query engine gives you for free.
@@ -46,6 +47,42 @@ object Maintenance {
     fs.delete(old, true)
     (before.size, parquetFiles(path).size)
   }
+
+  /** Morton (Z-order) interleave of the low `bits` bits of two
+    * non-negative integer columns: bit i of `a` lands at position 2i+1
+    * and bit i of `b` at 2i. Rows close in z-value are close in BOTH
+    * dimensions, which is what makes the clustered layout below prune
+    * on either filter column.
+    */
+  def zvalue(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _) // disjoint bit positions: + is |
+
+  /** Z-order-clustered parquet write — multi-dimensional data layout,
+    * the OPTIMIZE ZORDER of the table formats expressed as a plain
+    * parquet rewrite. A single-column sort prunes row groups only for
+    * filters on THAT column; range-partitioning + sorting on the
+    * interleaved [[zvalue]] tightens every row group's min/max stats on
+    * BOTH dimensions, so parquet row-group skipping (and at cluster
+    * scale, file skipping — range partitioning aligns file boundaries
+    * with z-ranges) works for filters on either column or both. The
+    * skipping is MEASURED, not assumed: SourcesSpec compares the scan's
+    * output-row metric for the same selective filter over an unsorted
+    * vs a z-ordered copy of the same data and asserts a multiple-×
+    * reduction. At 100 TB this is the difference between touching a few
+    * files and scanning the table for every point-ish query.
+    */
+  def zorderWrite(df: DataFrame, dir: String, c1: String, c2: String,
+      nFiles: Int = 8, bits: Int = 16,
+      rowGroupBytes: Long = 1L * 1024 * 1024): Unit =
+    df.withColumn("_z", zvalue(col(c1), col(c2), bits))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.option("parquet.block.size", rowGroupBytes.toString)
+      .mode("overwrite").parquet(dir)
 
   /** Idempotent batch append — the EXACTLY-ONCE sink contract for
     * foreachBatch: Structured Streaming guarantees at-least-once

@@ -4,7 +4,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 import graft.operators.{Multimodal, RetailEtl}
-import graft.sources.{ExternalIngest, JdbcSink}
+import graft.sources.{ExternalIngest, JdbcSink, Maintenance}
 
 /** Source/sink coverage (SURVEY.md §2.E): partitioned parquet DWH load,
   * csv/json round-trips, multimodal decode plumbing.
@@ -150,6 +150,42 @@ class SourcesSpec extends SparkSpecBase {
     assert(reasons("536367") == "bad_stock_code")
     assert(reasons("536370") == "bad_customer_id")
     raw.unpersist()
+  }
+
+  test("z-order layout: row-group skipping measured on a two-dimensional filter") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    val base = spark.range(200000).select(
+      pmod(hash(col("id")), lit(1024)).as("k1"),
+      pmod(hash(col("id") * 7 + 1), lit(1024)).as("k2"),
+      col("id").as("payload"))
+    val dir = Files.createTempDirectory("zorder").toString
+    // plain copy: same file count + row-group sizing, natural
+    // (key-uncorrelated) order → every row group's k1/k2 stats span the
+    // full domain and nothing can be skipped
+    base.repartition(8)
+      .write.option("parquet.block.size", (256 * 1024).toString)
+      .mode("overwrite").parquet(s"$dir/plain")
+    Maintenance.zorderWrite(base, s"$dir/z", "k1", "k2",
+      nFiles = 8, bits = 10, rowGroupBytes = 256 * 1024)
+    def scanned(path: String): (Long, Seq[Long]) = {
+      val df = spark.read.parquet(path)
+        .filter(col("k1") < 32 && col("k2") < 32)
+      val rows = df.collect().map(_.getAs[Long]("payload")).sorted.toSeq
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+        case s: FileSourceScanExec => s
+      }
+      val read = scans(df.queryExecution.executedPlan)
+        .map(_.metrics("numOutputRows").value).sum
+      (read, rows)
+    }
+    val (plainRead, plainRows) = scanned(s"$dir/plain")
+    val (zRead, zRows) = scanned(s"$dir/z")
+    assert(zRows == plainRows, "layouts must return identical data")
+    assert(plainRows.nonEmpty)
+    // the measured point: the z-ordered layout's parquet stats prune
+    // most row groups for a filter on BOTH dimensions
+    assert(zRead * 3 <= plainRead,
+      s"z-order read $zRead rows vs $plainRead unsorted — no skipping measured")
   }
 
   test("compaction rewrites a fragmented table to target-size files with identical data") {
