@@ -389,12 +389,23 @@ object Dedup {
     // run the (expensive, unpersisted) pair-generation subtree once per
     // branch: only the agg exchanges get ReusedExchange, the post-shuffle
     // join/filter work is duplicated.
-    val edges = pairs.select(explode(array(
+    val edgesRaw = pairs.select(explode(array(
         struct(col("a_id").as("u"), col("b_id").as("v")),
         struct(col("b_id").as("u"), col("a_id").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-      .repartition(nPart, col("v"))
       .persist()
+    // The heavy candidate-pair build materializes HERE, under AQE.
+    val edgeRows = edgesRaw.count()
+    // Iteration width from the MEASURED near-dup-graph size, capped at
+    // the session width — the driver-side analog of the AQE partition
+    // coalescing that is deliberately off inside the loop. The graph is
+    // orders of magnitude smaller than the corpus (it holds only
+    // near-dup pairs), so iterating at the corpus's configured shuffle
+    // width pays per-round task-dispatch cost over near-empty
+    // partitions: measured at sf0.1 local[32], 32-wide rounds over a
+    // ~50-edge graph more than double the whole operator's wall time.
+    val iterPart = math.max(1, math.min(nPart, math.ceil(edgeRows / 65536.0).toInt))
+    val edges = edgesRaw.repartition(iterPart, col("v")).persist()
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).persist()
     var delta = labels
@@ -416,9 +427,13 @@ object Dedup {
     // harnesses are sequential; parallel-job callers should isolate
     // with spark.newSession()).
     labels.count() // materializes edges + initial labels under AQE
+    edgesRaw.unpersist() // re-keyed copy is the one the loop reads
     val spark = pairs.sparkSession
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partWas = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // loop aggregations shuffle at the graph-sized width too
+    spark.conf.set("spark.sql.shuffle.partitions", iterPart.toString)
     try {
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges
@@ -447,7 +462,10 @@ object Dedup {
       delta = nextDelta
       iter += 1
     }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", partWas)
+    }
     // min-label propagation needs O(component diameter) rounds; a graph
     // with diameter > maxIter would otherwise return silently-wrong
     // unconverged labels (the oracle computes the full closure)
