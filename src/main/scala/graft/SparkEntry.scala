@@ -111,6 +111,8 @@ object SparkEntry {
     "dedup_containment"   -> Dedup.containment _,
     "text_novelty"        -> TextAnalysis.novelty _,
     "fuzzy_join"          -> Dedup.fuzzyJoin _,
+    "fuzzy_rerank_lev"    -> Dedup.levRerank _,
+    "pipeline_epoch_order" -> ((s: SparkSession, d: String) => Training.epochOrder(s, d)),
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "dedup_minhash"       -> Dedup.minhashLsh _,
     "dedup_simhash"       -> Dedup.simhashPairs _,
@@ -571,6 +573,8 @@ object SparkEntry {
     "dedup_containment"   -> Dedup.containmentSql,
     "text_novelty"        -> TextAnalysis.noveltySql,
     "fuzzy_join"          -> Dedup.fuzzyJoinSql,
+    "fuzzy_rerank_lev"    -> Dedup.levRerankSql,
+    "pipeline_epoch_order" -> Training.epochOrderSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_minhash"       -> Dedup.minhashLshSql,
     "dedup_simhash"       -> Dedup.simhashPairsSql,

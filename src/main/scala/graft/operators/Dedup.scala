@@ -171,6 +171,89 @@ object Dedup {
       .select(col("l_id"), col("r_id"), col("jac"))
   }
 
+  /** Edit-distance reranking over inverted-index candidates — the
+    * second stage of a production entity-resolution pipeline: the
+    * df-capped shingle index proposes candidates at a LOW Jaccard bar
+    * (cheap, sub-quadratic, high recall), and true Levenshtein distance
+    * — computed on a bounded `prefixLen`-char prefix, since edit
+    * distance is O(n·m) per pair and unbounded strings would make
+    * candidate cost depend on document length — picks the best match
+    * per left row (ties → lowest right id). Never an all-pairs
+    * string-distance product: Levenshtein runs ONLY on pairs the index
+    * surfaced. Output: (l_id, r_id, lev, jac) — one row per matched
+    * left row.
+    */
+  def levRerankOn(left: DataFrame, leftId: String, leftText: String,
+      right: DataFrame, rightId: String, rightText: String,
+      candThreshold: Double, prefixLen: Int = 200,
+      dfCap: Int = DfCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lt = shingledOn(left, leftId, leftText)
+      .select(col("doc_id").as("l_id"), col("h"))
+    val rt = shingledOn(right, rightId, rightText)
+      .select(col("doc_id").as("r_id"), col("h"))
+    val le = lt.select(col("l_id"), explode(col("h")).as("x"))
+    val re = rt.select(col("r_id"), explode(col("h")).as("x"))
+    val hot = le.select(col("x")).unionAll(re.select(col("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") > dfCap).select(col("x")).persist()
+    val lc = le.join(hot, Seq("x"), "left_anti")
+    val rc = re.join(hot, Seq("x"), "left_anti")
+    val inter = lc.join(rc, Seq("x"))
+      .groupBy(col("l_id"), col("r_id")).agg(count(lit(1)).cast("double").as("i"))
+    val lsz = lc.groupBy(col("l_id")).agg(count(lit(1)).as("ln"))
+    val rsz = rc.groupBy(col("r_id")).agg(count(lit(1)).as("rn"))
+    val w = Window.partitionBy(col("l_id")).orderBy(col("lev"), col("r_id"))
+    inter.join(lsz, Seq("l_id")).join(rsz, Seq("r_id"))
+      .withColumn("jac", col("i") / (col("ln") + col("rn") - col("i")))
+      .filter(col("jac") >= candThreshold)
+      .join(left.select(col(leftId).as("l_id"),
+        substring(col(leftText), 1, prefixLen).as("ltext")), Seq("l_id"))
+      .join(right.select(col(rightId).as("r_id"),
+        substring(col(rightText), 1, prefixLen).as("rtext")), Seq("r_id"))
+      .withColumn("lev", levenshtein(col("ltext"), col("rtext")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("l_id"), col("r_id"), col("lev"), col("jac"))
+  }
+
+  /** fuzzy_rerank_lev testdata binding: even-id vs odd-id documents,
+    * candidates at Jaccard ≥ 0.2, reranked by 200-char-prefix edit
+    * distance.
+    */
+  def levRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    levRerankOn(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+      0.2)
+      .orderBy(col("l_id"))
+  }
+
+  def levRerankSql: String =
+    s"""WITH t AS ($shingledSql),
+       |lt AS (SELECT doc_id AS l_id, h FROM t WHERE doc_id % 2 = 0),
+       |rt AS (SELECT doc_id AS r_id, h FROM t WHERE doc_id % 2 = 1),
+       |le AS (SELECT l_id, unnest(h) AS x FROM lt),
+       |re AS (SELECT r_id, unnest(h) AS x FROM rt),
+       |hot AS (SELECT x FROM (SELECT x FROM le UNION ALL SELECT x FROM re)
+       |        GROUP BY x HAVING count(*) > $DfCap),
+       |lc AS (SELECT l_id, x FROM le WHERE x NOT IN (SELECT x FROM hot)),
+       |rc AS (SELECT r_id, x FROM re WHERE x NOT IN (SELECT x FROM hot)),
+       |inter AS (SELECT l_id, r_id, CAST(count(*) AS DOUBLE) AS i
+       |          FROM lc JOIN rc ON lc.x = rc.x GROUP BY 1, 2),
+       |lsz AS (SELECT l_id, count(*) AS ln FROM lc GROUP BY 1),
+       |rsz AS (SELECT r_id, count(*) AS rn FROM rc GROUP BY 1),
+       |j AS (SELECT inter.l_id, inter.r_id, i / (ln + rn - i) AS jac
+       |      FROM inter JOIN lsz ON inter.l_id = lsz.l_id JOIN rsz ON inter.r_id = rsz.r_id),
+       |cand AS (SELECT j.l_id, j.r_id, j.jac,
+       |          CAST(levenshtein(substring(dl.text, 1, 200), substring(dr.text, 1, 200)) AS INTEGER) AS lev
+       |         FROM j JOIN documents dl ON j.l_id = dl.doc_id
+       |              JOIN documents dr ON j.r_id = dr.doc_id
+       |         WHERE j.jac >= 0.2),
+       |r AS (SELECT cand.*, row_number() OVER (PARTITION BY l_id ORDER BY lev, r_id) AS rk
+       |      FROM cand)
+       |SELECT l_id, r_id, lev, jac FROM r WHERE rk = 1 ORDER BY l_id""".stripMargin
+
   /** fuzzy_join testdata binding: even-id documents matched to odd-id
     * documents by text similarity — the two "catalogs" share planted
     * near-dup content, so real matches exist.

@@ -388,6 +388,50 @@ object Training {
        |FROM s GROUP BY 1, 2 ORDER BY source, split""".stripMargin
   }
 
+  /** pipeline_epoch_order — deterministic per-epoch example ordering,
+    * the data-loader reshuffle of a training run expressed as a query:
+    * each epoch permutes the corpus by a PORTABLE hash of (epoch, id)
+    * — reproducible across engines, runs, and partitionings, unlike
+    * seeded-RNG shuffles — and examples are dealt to `shards` loader
+    * shards with a shard-local position. The parallel unit is (epoch,
+    * shard): the position window sorts only ~N/shards rows per task
+    * and there is NO global sort at any corpus size (a global
+    * row_number would serialize the corpus through one partition).
+    * Output: (epoch, shard, pos, doc_id).
+    */
+  def epochOrderOn(df: DataFrame, idCol: String, epochs: Int,
+      shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = df.select(col(idCol).as("doc_id"),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("h", pmod(TextFns.charFold(
+        concat(lit("epoch:"), col("epoch").cast("string"),
+          lit(":"), col("doc_id").cast("string"))), lit(1000000007L)))
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)).cast("int"))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    e.withColumn("pos", row_number().over(w))
+      .select(col("epoch").cast("int").as("epoch"), col("shard"),
+        col("pos"), col("doc_id"))
+  }
+
+  /** pipeline_epoch_order testdata binding: 2 epochs × 4 shards. */
+  def epochOrder(spark: SparkSession, sfDir: String): DataFrame =
+    epochOrderOn(Tables.documents(spark, sfDir), "doc_id", epochs = 2, shards = 4)
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+
+  def epochOrderSql: String = {
+    val h = TextFns.charFoldSql(
+      "'epoch:' || CAST(ep AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")
+    s"""WITH e AS (
+       | SELECT doc_id, CAST(ep AS INTEGER) AS epoch, ($h) % 1000000007 AS h
+       | FROM documents, generate_series(0, 1) AS g(ep))
+       |SELECT epoch, CAST(h % 4 AS INTEGER) AS shard,
+       | CAST(row_number() OVER (PARTITION BY epoch, h % 4 ORDER BY h, doc_id) AS INTEGER) AS pos,
+       | doc_id
+       |FROM e ORDER BY epoch, shard, pos""".stripMargin
+  }
+
   // --------------------------------------------------------- batching
 
   /** Fixed power-of-two sequence-length buckets for

@@ -194,6 +194,44 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("epochOrderOn deals every doc once per epoch with contiguous shard positions") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val rows = graft.operators.Training.epochOrderOn(docs, "doc_id", epochs = 2, shards = 4)
+      .collect().map(r => (r.getAs[Int]("epoch"), r.getAs[Int]("shard"),
+        r.getAs[Int]("pos"), r.getAs[Long]("doc_id")))
+    // each epoch is a full permutation of the corpus
+    (0 to 1).foreach { e =>
+      val ep = rows.filter(_._1 == e)
+      assert(ep.map(_._4).sorted.toSeq == (0L until 50L))
+      // positions are contiguous 1..n within each shard
+      ep.groupBy(_._2).foreach { case (_, xs) =>
+        assert(xs.map(_._3).sorted.toSeq == (1 to xs.length))
+      }
+    }
+    // the two epochs order the corpus differently
+    val o0 = rows.filter(_._1 == 0).sortBy(t => (t._2, t._3)).map(_._4).toSeq
+    val o1 = rows.filter(_._1 == 1).sortBy(t => (t._2, t._3)).map(_._4).toSeq
+    assert(o0 != o1)
+  }
+
+  test("levRerankOn picks the edit-distance-closest candidate, not the jaccard winner") {
+    import spark.implicits._
+    val baseText = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, baseText),                          // left
+      (1L, baseText),                          // exact copy → lev 0
+      (3L, baseText + " extra trailing words") // still a candidate, lev > 0
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.levRerankOn(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", 0.2)
+      .collect().map(r => (r.getAs[Long]("l_id"), r.getAs[Long]("r_id"),
+        r.getAs[Int]("lev")))
+    assert(got.toSeq == Seq((0L, 1L, 0)))
+    spark.catalog.clearCache()
+  }
+
   test("khopOn counts 1-hop and 2-hop reach on a path graph") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a_item", "b_item")
