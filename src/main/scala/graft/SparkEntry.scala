@@ -85,6 +85,7 @@ object SparkEntry {
     "text_bm25"          -> TextAnalysis.bm25 _,
     "dedup_spans"        -> Dedup.spanDedup _,
     "text_repetition"    -> TextAnalysis.repetition _,
+    "text_surprise"      -> TextAnalysis.surprise _,
     "ts_ewma"            -> TimeSeries.ewma _,
     "pipeline_split"     -> Training.split _,
     "pipeline_length_buckets" -> ((s: SparkSession, d: String) => Training.lengthBuckets(s, d)),
@@ -92,6 +93,7 @@ object SparkEntry {
     "q53_skyline"        -> Relational.q53Skyline _,
     "ts_interp_linear"   -> TimeSeries.interpLinear _,
     "ts_merge_intervals" -> TimeSeries.mergeIntervals _,
+    "ts_cum_distinct"    -> TimeSeries.cumDistinct _,
     "dq_mad_outliers"    -> Quality.dqMadOutliers _,
     "q54_khop"           -> Affinity.khop _,
     "embed_quantize"     -> Similarity.quantize _,
@@ -117,6 +119,7 @@ object SparkEntry {
     "dedup_minhash"       -> Dedup.minhashLsh _,
     "dedup_simhash"       -> Dedup.simhashPairs _,
     "dedup_cluster"       -> Dedup.cluster _,
+    "dedup_cluster_pd"    -> Dedup.clusterPd _,
     "text_langid"         -> TextAnalysis.langid _,
     "text_quality"        -> TextAnalysis.quality _,
     "text_tokens"         -> TextAnalysis.tokens _,
@@ -496,6 +499,8 @@ object SparkEntry {
     "q53_skyline"         -> Relational.q53SkylineSql,
     "ts_interp_linear"    -> TimeSeries.interpLinearSql,
     "ts_merge_intervals"  -> TimeSeries.mergeIntervalsSql,
+    "ts_cum_distinct"     -> TimeSeries.cumDistinctSql,
+    "text_surprise"       -> TextAnalysis.surpriseSql,
     "dq_mad_outliers"     -> Quality.dqMadOutliersSql,
     "q54_khop"            -> Affinity.khopSql,
     "embed_quantize"      -> Similarity.quantizeSql,
@@ -579,6 +584,7 @@ object SparkEntry {
     "dedup_minhash"       -> Dedup.minhashLshSql,
     "dedup_simhash"       -> Dedup.simhashPairsSql,
     "dedup_cluster"       -> Dedup.clusterSql,
+    "dedup_cluster_pd"    -> Dedup.clusterSql,
     "text_langid"         -> TextAnalysis.langidSql,
     "text_quality"        -> TextAnalysis.qualitySql,
     "text_tokens"         -> TextAnalysis.tokensSql,

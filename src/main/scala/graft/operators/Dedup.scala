@@ -584,6 +584,129 @@ object Dedup {
        |FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR edge
+    * rewrites (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", 2014 — a public algorithm): each round every node hooks
+    * its larger (large-star) or not-larger (small-star) neighbors
+    * directly onto the minimum of its closed neighborhood, so pointer
+    * chains HALVE each round and the edge set converges to disjoint
+    * stars rooted at each component's minimum id in O(log² n) rounds —
+    * vs [[clustersOn]]'s O(component diameter). Same contract and
+    * oracle as clustersOn; this is the variant to reach for when the
+    * near-dup graph has DEEP components (chained paraphrase edits,
+    * template families), where diameter-bound propagation needs
+    * hundreds of rounds: a 1024-node path converges here in a handful
+    * of rounds (spec-exercised) where label propagation needs 1023 —
+    * more than clustersOn's round cap allows.
+    *
+    * Edge set is kept CANONICAL (lo < hi, distinct) so each round's
+    * rewrite is two small aggregates + a distinct over the (tiny,
+    * edge-induced) graph — the corpus itself never re-enters the loop.
+    * Each round ends in an EAGER localCheckpoint, not a persist: a
+    * round's plan references the previous round's frame ~6 times (sym
+    * twice, the two min-aggregates, the two star joins), so with
+    * persist alone the LOGICAL plan grows ~6× per round and Catalyst
+    * analysis goes exponential around round 10 even though execution
+    * hits the caches (measured: the 1024-node-path spec hangs).
+    * clustersOn tolerates persist because propagation references its
+    * prior round fewer times and near-dup graphs converge in ~4
+    * rounds; contraction's deeper round count needs the hard
+    * plan-truncation. The same measured iteration width applies (the
+    * graph is orders of magnitude smaller than the corpus).
+    */
+  def clustersPdOn(pairs: DataFrame, allIds: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // canonical undirected edges, no self-loops
+    // Eager checkpoint: the heavy candidate-pair build materializes HERE,
+    // under AQE, and the loop below starts from a flat cached-scan plan.
+    val e0 = pairs.select(
+        least(col("a_id"), col("b_id")).as("lo"),
+        greatest(col("a_id"), col("b_id")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct().localCheckpoint(true)
+    val edgeRows = e0.count()
+    val iterPart = math.max(1, math.min(nPart, math.ceil(edgeRows / 65536.0).toInt))
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partWas = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", iterPart.toString)
+    var edges = e0
+    var nEdges = edgeRows
+    var converged = edgeRows == 0
+    var iter = 0
+    // Star contraction converges in ~log n rounds in practice (the
+    // proven worst case is O(log² n)); 50 is far beyond either for any
+    // graph that fits on disk, and rounds on a converged-size graph are
+    // milliseconds — the cap only turns a rewrite bug into a loud error.
+    val maxIter = 50
+    try {
+      while (!converged && iter < maxIter) {
+        // LARGE-STAR: center each node u over its full neighborhood; every
+        // strictly larger neighbor re-hooks to m = min(Γ(u) ∪ {u}). Each
+        // undirected edge {a<b} is emitted exactly once, from a's view,
+        // as (m_a, b) — and m_a ≤ a < b keeps the output canonical.
+        val sym = edges.select(explode(array(
+            struct(col("lo").as("u"), col("hi").as("v")),
+            struct(col("hi").as("u"), col("lo").as("v")))).as("e"))
+          .select(col("e.u").as("u"), col("e.v").as("v"))
+        val mOfU = sym.groupBy(col("u"))
+          .agg(min(col("v")).as("mn"))
+          .select(col("u"), least(col("u"), col("mn")).as("m"))
+        val large = sym.join(mOfU, Seq("u")).filter(col("v") > col("u"))
+          .select(col("m").as("lo"), col("v").as("hi"))
+          .filter(col("lo") =!= col("hi")).distinct()
+        // SMALL-STAR: center each node at the LARGER endpoint of its
+        // canonical edges; the smaller neighbors (and the center itself)
+        // all re-hook to the minimum smaller neighbor.
+        val mOfHi = large.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+        // Eager checkpoint materializes the round AND flattens its plan
+        // to a cached scan — see the scaladoc on why persist is not
+        // enough here.
+        val next = large.join(mOfHi, Seq("hi"))
+          .select(explode(array(
+            struct(col("m").as("nlo"), col("lo").as("nhi")),
+            struct(col("m").as("nlo"), col("hi").as("nhi")))).as("e"))
+          .select(col("e.nlo").as("lo"), col("e.nhi").as("hi"))
+          .filter(col("lo") =!= col("hi")).distinct().localCheckpoint(true)
+        val nNext = next.count()
+        // Fixpoint = edge set unchanged. Both sets are distinct and
+        // canonical, so equal counts + empty difference ⇔ equality; the
+        // except runs over the (tiny) cached graph frames.
+        // Both sides are checkpointed scans, so the except is a tiny
+        // graph-sized job. Freed RDD blocks are reclaimed by the
+        // ContextCleaner as rounds drop their references.
+        converged = nNext == nEdges && next.except(edges).isEmpty
+        edges = next
+        nEdges = nNext
+        iter += 1
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", partWas)
+    }
+    require(converged,
+      s"star contraction did not converge in $maxIter rounds — far beyond " +
+        "the O(log² n) bound for any real graph; indicates an edge-rewrite bug")
+    // Fixpoint is a disjoint union of stars: every edge is (root, member)
+    // with root = component minimum. Roots label themselves.
+    val labels = edges.select(col("hi").as("id"), col("lo").as("lbl"))
+      .union(edges.select(col("lo").as("id"), col("lo").as("lbl")))
+      .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+    allIds.join(labels, Seq("id"), "left")
+      .select(col("id").as("doc_id"), coalesce(col("lbl"), col("id")).as("cluster_id"))
+  }
+
+  /** dedup_cluster_pd testdata binding: same component semantics (and
+    * oracle) as dedup_cluster, computed by star contraction.
+    */
+  def clusterPd(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    clustersPdOn(
+      ngramJaccardOn(docs, "doc_id", "text", 0.5),
+      docs.select(col("doc_id").as("id")))
+      .orderBy(col("doc_id"))
+  }
+
   /** Span width (tokens) for [[spanDedupOn]] — non-overlapping blocks,
     * the C4-style "remove repeated spans across the corpus" granularity
     * adapted to a sentence-less corpus.

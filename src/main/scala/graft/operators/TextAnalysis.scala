@@ -169,6 +169,68 @@ object TextAnalysis {
        |SELECT doc_id, term, CAST(tf AS INTEGER) AS tf, CAST(dfreq AS INTEGER) AS dfreq, score, CAST(rk AS INTEGER) AS rk
        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  /** Unigram-LM surprise scoring: per-document average Shannon surprise
+    * under the corpus's own unigram distribution — the classic "is this
+    * document typical or rare-token soup" quality signal (the cheap
+    * stand-in for perplexity scoring where no external LM is
+    * available). Surprise of a token with corpus count c out of T total
+    * occurrences is log2(T/c) bits; to stay bit-identical across
+    * engines (and overflow-free at any corpus size) it is quantized to
+    * WHOLE bits via integer arithmetic: bits(t) = floor(log2(T div c))
+    * = length(bin(T div c)) − 1 — no floating log anywhere, so the op
+    * is fully value-oracled. Per doc: mean surprise (milli-bits),
+    * rarest-token surprise, and hapax-occurrence count (tokens unique
+    * in the corpus — the OCR-garbage/gibberish indicator).
+    *
+    * Shape at scale: one explode, (doc,term) tf agg, term-count agg
+    * riding the tf shuffle, corpus total as a 1-row broadcast, per-doc
+    * re-agg — the exact tfidf pipeline shape; every value bounded by
+    * 63·n_tokens so no overflow envelope to document.
+    */
+  def surpriseOn(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol).as("doc_id"), explode(TextFns.tokenize(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val tot = cnt.agg(sum(col("cnt")).as("total"))
+    val perDoc = tf.join(cnt, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .withColumn("bits", (length(bin(expr("total div cnt"))) - 1).cast("bigint"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("bits")).as("sum_bits"),
+        max(col("bits")).as("max_surprise_bits"),
+        sum(when(col("cnt") === 1, col("tf")).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(1000 * sum_bits) div n_tokens").as("avg_surprise_milli"),
+        col("max_surprise_bits"), col("n_hapax"))
+    df.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("avg_surprise_milli"), lit(0L)).as("avg_surprise_milli"),
+        coalesce(col("max_surprise_bits"), lit(0L)).as("max_surprise_bits"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"))
+  }
+
+  /** text_surprise testdata binding. */
+  def surprise(spark: SparkSession, sfDir: String): DataFrame =
+    surpriseOn(Tables.documents(spark, sfDir), "doc_id", "text").orderBy(col("doc_id"))
+
+  def surpriseSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${TextFns.tokenizeSql("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |c AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+       |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+       |p AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |        CAST(sum(tf * (length(bin(total // cnt)) - 1)) AS BIGINT) AS sum_bits,
+       |        CAST(max(length(bin(total // cnt)) - 1) AS BIGINT) AS max_surprise_bits,
+       |        CAST(sum(CASE WHEN cnt = 1 THEN tf ELSE 0 END) AS BIGINT) AS n_hapax
+       |      FROM tf JOIN c USING (term) CROSS JOIN t GROUP BY 1)
+       |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+       | coalesce((1000 * sum_bits) // n_tokens, 0) AS avg_surprise_milli,
+       | coalesce(max_surprise_bits, 0) AS max_surprise_bits,
+       | coalesce(n_hapax, 0) AS n_hapax
+       |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** PII patterns shared by the Spark and oracle forms — conservative
     * RE2-and-Java-compatible syntax (no lookaround, dash last in
     * classes). Scrub order is email → url → phone (a url may contain an

@@ -456,6 +456,50 @@ object TimeSeries {
       |FROM s GROUP BY o_custkey, span
       |ORDER BY o_custkey, span_start""".stripMargin
 
+  /** Cumulative-distinct curve (audience growth): per day, the active
+    * user count, the count of FIRST-SEEN users, and the running total of
+    * distinct users ever seen. The naive form — count(DISTINCT) over an
+    * expanding window — re-scans the whole history per day and Spark
+    * (correctly) refuses DISTINCT aggregates over windows; the scalable
+    * identity is cum_distinct(d) = Σ_{d' ≤ d} |{users first seen d'}|:
+    * one per-user min-day aggregate, one per-day count, and a running
+    * sum over DAY-cardinality rows (bounded by the calendar, not the
+    * data). Two map-side-combinable shuffles at any corpus size.
+    */
+  def cumDistinctOn(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val e = events.filter(col(keyCol).isNotNull)
+      .select(to_date(col(tsCol)).as("day"), col(keyCol).as("k"))
+    val active = e.distinct().groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+    val firstSeen = e.groupBy(col("k")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    active.join(firstSeen, Seq("day"), "left")
+      .select(col("day"), col("n_active"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_distinct",
+        sum(col("n_new")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** ts_cum_distinct testdata binding: daily audience growth over the
+    * events stream.
+    */
+  def cumDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    cumDistinctOn(Tables.events(spark, sfDir), "user_id", "ts")
+      .orderBy(col("day"))
+
+  /** Oracle states the SEMANTICS directly — a correlated expanding
+    * count(DISTINCT) — not the rewrite, so it independently checks the
+    * first-seen identity.
+    */
+  def cumDistinctSql: String =
+    """WITH e AS (
+      | SELECT CAST(ts AS DATE) AS day, user_id FROM events WHERE user_id IS NOT NULL),
+      |days AS (SELECT day, count(DISTINCT user_id) AS n_active FROM e GROUP BY 1)
+      |SELECT d.day, d.n_active,
+      | (SELECT count(*) FROM (SELECT user_id, min(day) AS fd FROM e GROUP BY 1) f
+      |   WHERE f.fd = d.day) AS n_new,
+      | (SELECT count(DISTINCT user_id) FROM e WHERE e.day <= d.day) AS cum_distinct
+      |FROM days d ORDER BY day""".stripMargin
+
   def cohortRetentionSql: String =
     """WITH mm AS (
       | SELECT DISTINCT o_custkey AS m, CAST(date_trunc('month', o_orderdate) AS DATE) AS am

@@ -41,6 +41,23 @@ class DedupSpec extends SparkSpecBase {
     assert(labels.values.forall(l => labels(l) == l), "cluster root must label itself")
   }
 
+  test("pointer-doubling clustering matches label propagation on the testdata graph") {
+    val lp = Dedup.cluster(spark, SfDir).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val pd = Dedup.clusterPd(spark, SfDir).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pd == lp, "star contraction must produce the same components as propagation")
+  }
+
+  test("pointer-doubling clustering converges on a 1024-node path (diameter beyond propagation's cap)") {
+    import spark.implicits._
+    // path 0-1-2-...-1023: one component, diameter 1023. clustersOn's
+    // O(diameter) rounds would blow its cap; star contraction needs ~log n.
+    val pairs = (0L until 1023L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val ids = (0L to 1023L).toDF("id")
+    val labels = Dedup.clustersPdOn(pairs, ids).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 1024)
+    assert(labels.forall(_._2 == 0L), "every path node must label to the component min")
+  }
+
   test("simhash pairs are symmetric-free and within hamming bound") {
     val rows = Dedup.simhashPairs(spark, SfDir).collect()
     assert(rows.forall(r => r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
