@@ -94,6 +94,8 @@ object SparkEntry {
     "ts_interp_linear"   -> TimeSeries.interpLinear _,
     "ts_merge_intervals" -> TimeSeries.mergeIntervals _,
     "ts_cum_distinct"    -> TimeSeries.cumDistinct _,
+    "q55_attribution"    -> TimeSeries.attribution _,
+    "sim_recall_eval"    -> Similarity.recallEval _,
     "dq_mad_outliers"    -> Quality.dqMadOutliers _,
     "q54_khop"           -> Affinity.khop _,
     "embed_quantize"     -> Similarity.quantize _,
@@ -500,6 +502,8 @@ object SparkEntry {
     "ts_interp_linear"    -> TimeSeries.interpLinearSql,
     "ts_merge_intervals"  -> TimeSeries.mergeIntervalsSql,
     "ts_cum_distinct"     -> TimeSeries.cumDistinctSql,
+    "q55_attribution"     -> TimeSeries.attributionSql,
+    "sim_recall_eval"     -> Similarity.recallEvalSql,
     "text_surprise"       -> TextAnalysis.surpriseSql,
     "dq_mad_outliers"     -> Quality.dqMadOutliersSql,
     "q54_khop"            -> Affinity.khopSql,

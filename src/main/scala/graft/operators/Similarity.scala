@@ -276,6 +276,65 @@ object Similarity {
        |SELECT q_id, c_id, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, CAST(rk AS INTEGER) AS rk
        |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
+  /** sim_recall_eval — the ANN quality gate as a first-class, oracled
+    * operator: recall@5 of the multi-table LSH path against the exact
+    * brute-force ground truth, per probe. An index is only as good as
+    * its measured recall, so the measurement itself belongs in the
+    * library (the batch analog of the AnnRecallSpec test gate), not
+    * only in the test suite: run it after every index build / plane
+    * reseed to detect bucket degeneration (the SRP PRNG bug class) in
+    * production. Exact integer ratios (hits × 1e6 div k) — fully
+    * value-oracled.
+    *
+    * Scale: ground truth is O(Q·N) brute force, so run with a SAMPLED
+    * probe set (here the fixed 8-probe split) — recall estimation
+    * needs tens of probes, not the corpus; the LSH side is the normal
+    * production path.
+    */
+  def recallEvalOn(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val truth = bruteforceTopkOn(queries, candidates, k).select(col("q_id"), col("c_id"))
+    val found = multiTableTopkOn(queries, candidates, k, broadcastQueries = true)
+      .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+    truth.join(found, Seq("q_id", "c_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("q_id"), col("n_true"), col("n_hits"),
+        expr("(1000000 * n_hits) div n_true").as("recall_ppm"))
+  }
+
+  /** sim_recall_eval testdata binding: the standard probe/candidate
+    * split, k = 5.
+    */
+  def recallEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    recallEvalOn(
+      e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+      e.filter(col("vec_id") >= 8).select(col("vec_id").as("c_id"), col("embedding").as("cv")),
+      5)
+      .orderBy(col("q_id"))
+  }
+
+  def recallEvalSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id >= 8),
+       |ts AS (SELECT q_id, c_id, ${cosSql("qv", "cv")} AS cos FROM q CROSS JOIN c),
+       |tr AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM ts),
+       |truth AS (SELECT q_id, c_id FROM tr WHERE rk <= 5),
+       |qb AS (SELECT q_id, t, ${bucketTableSql("qv", 4, "t")} AS b FROM q, generate_series(0, 15) AS gt(t)),
+       |cb AS (SELECT c_id, t, ${bucketTableSql("cv", 4, "t")} AS b FROM c, generate_series(0, 15) AS gt(t)),
+       |cand AS (SELECT DISTINCT q_id, c_id FROM qb JOIN cb ON qb.t = cb.t AND qb.b = cb.b),
+       |ls AS (SELECT cand.q_id, cand.c_id, ${cosSql("qv", "cv")} AS cos
+       |       FROM cand JOIN q ON cand.q_id = q.q_id JOIN c ON cand.c_id = c.c_id),
+       |lr AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM ls),
+       |found AS (SELECT q_id, c_id FROM lr WHERE rk <= 5),
+       |h AS (SELECT t.q_id, CAST(count(*) AS BIGINT) AS n_true,
+       |       CAST(sum(CASE WHEN f.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |      FROM truth t LEFT JOIN found f ON t.q_id = f.q_id AND t.c_id = f.c_id
+       |      GROUP BY 1)
+       |SELECT q_id, n_true, n_hits, (1000000 * n_hits) // n_true AS recall_ppm
+       |FROM h ORDER BY q_id""".stripMargin
+
   /** sim_ivf_ann — IVF-skeleton ANN: candidates are assigned to their
     * nearest coarse centroid (the inverted file's cell), queries probe
     * their nprobe=2 nearest cells, true-cosine top-5 within the probed

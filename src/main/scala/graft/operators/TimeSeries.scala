@@ -500,6 +500,54 @@ object TimeSeries {
       | (SELECT count(DISTINCT user_id) FROM e WHERE e.day <= d.day) AS cum_distinct
       |FROM days d ORDER BY day""".stripMargin
 
+  /** Linear multi-touch attribution: every click in the 30 minutes
+    * before a purchase shares the purchase's credit equally (1/n_touch
+    * each, in exact micro-units via integer division — deterministic
+    * across engines), rolled up to the click's day: the marketing
+    * question "which day's clicks actually drove purchases" that
+    * last-touch (the as-of join) over-simplifies. Shape: one user-key
+    * band join (the stream_interval_join shuffle — no range explosion
+    * beyond true pairs), touch counts on the purchase key riding a
+    * second slim shuffle, day-cardinality rollup.
+    * Output per click-day: touches, distinct purchases touched, total
+    * credit in micro-purchases.
+    */
+  def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir).withColumn("us", unix_micros(col("ts")))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("us").as("click_us"), to_date(col("ts")).as("click_day"))
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("prc_id"), col("us").as("prc_us"))
+    val touched = clicks.join(buys, Seq("user_id"))
+      .filter(col("click_us") <= col("prc_us") &&
+        col("click_us") > col("prc_us") - 1800000000L)
+    val perPurchase = touched.groupBy(col("prc_id")).agg(count(lit(1)).as("n_touch"))
+    touched.join(perPurchase, Seq("prc_id"))
+      .withColumn("credit_micro", expr("1000000 div n_touch"))
+      .groupBy(col("click_day").as("day"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("prc_id")).as("n_purchases_touched"),
+        sum(col("credit_micro")).as("credit_micro"))
+      .orderBy(col("day"))
+  }
+
+  def attributionSql: String =
+    """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us,
+      |            CAST(ts AS DATE) AS click_day
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id AS prc_id, epoch_us(ts) AS prc_us
+      |      FROM events WHERE event_type = 'purchase'),
+      |touched AS (
+      | SELECT click_day, click_id, prc_id FROM c JOIN p ON c.user_id = p.user_id
+      |  AND click_us <= prc_us AND click_us > prc_us - 1800000000),
+      |nt AS (SELECT prc_id, count(*) AS n_touch FROM touched GROUP BY 1)
+      |SELECT click_day AS day, count(*) AS n_touches,
+      | count(DISTINCT touched.prc_id) AS n_purchases_touched,
+      | CAST(sum(1000000 // n_touch) AS BIGINT) AS credit_micro
+      |FROM touched JOIN nt ON touched.prc_id = nt.prc_id
+      |GROUP BY 1 ORDER BY day""".stripMargin
+
   def cohortRetentionSql: String =
     """WITH mm AS (
       | SELECT DISTINCT o_custkey AS m, CAST(date_trunc('month', o_orderdate) AS DATE) AS am

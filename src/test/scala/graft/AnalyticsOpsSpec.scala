@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Relational, TextAnalysis, TimeSeries, Training}
+import graft.operators.{Relational, Similarity, TextAnalysis, TimeSeries, Training}
 
 /** Value-level unit tests for the r5 batch: BPE pair counting,
   * length-bucket batching profile, 2-D skyline, and linear-interpolation
@@ -10,6 +10,59 @@ import graft.operators.{Relational, TextAnalysis, TimeSeries, Training}
   * known by hand.
   */
 class AnalyticsOpsSpec extends SparkSpecBase {
+
+  test("cumDistinctOn: running total equals the distinct prefix count and ends at the global distinct") {
+    import spark.implicits._
+    val e = Seq((1L, "2024-01-01 10:00:00"), (1L, "2024-01-02 10:00:00"),
+      (2L, "2024-01-02 11:00:00"), (3L, "2024-01-03 09:00:00"),
+      (2L, "2024-01-03 12:00:00"))
+      .toDF("user_id", "s").select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val rows = TimeSeries.cumDistinctOn(e, "user_id", "ts")
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      ("2024-01-01", 1L, 1L, 1L),   // user 1 first seen
+      ("2024-01-02", 2L, 1L, 2L),   // users 1,2 active; 2 is new
+      ("2024-01-03", 2L, 1L, 3L)))  // users 2,3 active; 3 is new
+  }
+
+  test("attribution conserves purchase credit up to integer-division truncation") {
+    val df = TimeSeries.attribution(spark, SfDir)
+    val agg = df.agg(sum("credit_micro"), sum("n_touches")).head
+    val credit = agg.getLong(0)
+    val touches = agg.getLong(1)
+    val nPurchases = df.agg(sum("n_purchases_touched")).head.getLong(0)
+    assert(credit > 0, "testdata should contain attributed purchases")
+    // each touched purchase emits n_touch * (1e6 div n_touch) micro-credit:
+    // at most 1e6, and short by less than n_touch
+    assert(credit <= 1000000L * nPurchases)
+    assert(credit >= 1000000L * nPurchases - touches - nPurchases)
+  }
+
+  test("surpriseOn: constant corpus has zero surprise, rare tokens raise it") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a a"), (2L, "a a a a"), (3L, "a a a zzz"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.surpriseOn(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+    // 12 occurrences total: 'a' ×11 → T div c = 1 → 0 bits;
+    // 'zzz' ×1 → T div c = 12 → floor(log2 12) = 3 bits, and it's a hapax
+    assert(rows(0) == ((1L, 0L, 0L)))
+    assert(rows(1) == ((2L, 0L, 0L)))
+    assert(rows(2) == ((3L, (1000L * 3) / 4, 1L)))
+  }
+
+  test("recallEval reports consistent per-probe hit ratios") {
+    val rows = Similarity.recallEval(spark, SfDir).collect()
+    assert(rows.length == 8, "one row per probe")
+    rows.foreach { r =>
+      val (nTrue, nHits, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nTrue == 5L)
+      assert(nHits >= 0L && nHits <= nTrue)
+      assert(ppm == (1000000L * nHits) / nTrue)
+    }
+  }
 
   test("bpePairsOn counts adjacent pairs with a deterministic tie-break") {
     import spark.implicits._
