@@ -96,6 +96,7 @@ object SparkEntry {
     "ts_cum_distinct"    -> TimeSeries.cumDistinct _,
     "q55_attribution"    -> TimeSeries.attribution _,
     "sim_recall_eval"    -> Similarity.recallEval _,
+    "sim_mips_ann"       -> Similarity.mipsAnn _,
     "dq_mad_outliers"    -> Quality.dqMadOutliers _,
     "q54_khop"           -> Affinity.khop _,
     "embed_quantize"     -> Similarity.quantize _,
@@ -504,6 +505,7 @@ object SparkEntry {
     "ts_cum_distinct"     -> TimeSeries.cumDistinctSql,
     "q55_attribution"     -> TimeSeries.attributionSql,
     "sim_recall_eval"     -> Similarity.recallEvalSql,
+    "sim_mips_ann"        -> Similarity.mipsAnnSql,
     "text_surprise"       -> TextAnalysis.surpriseSql,
     "dq_mad_outliers"     -> Quality.dqMadOutliersSql,
     "q54_khop"            -> Affinity.khopSql,

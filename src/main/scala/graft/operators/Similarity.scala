@@ -335,6 +335,72 @@ object Similarity {
        |SELECT q_id, n_true, n_hits, (1000000 * n_hits) // n_true AS recall_ppm
        |FROM h ORDER BY q_id""".stripMargin
 
+  /** sim_mips_ann — maximum-inner-product search (the recommendation /
+    * retrieval scoring primitive, where un-normalized magnitude
+    * matters) via the public norm-augmentation reduction to cosine LSH
+    * (Neyshabur & Srebro, 2015): append one dimension holding
+    * sqrt(M² − |c|²) to every candidate (M² = the corpus max squared
+    * norm, a 1-row broadcast) and 0 to every query — then cos(q̂, ĉ) =
+    * qᵀc / (|q|·M), so angular bucketing on the augmented vectors
+    * targets exactly the inner-product ranking that plain SRP on raw
+    * vectors does NOT (cosine LSH is magnitude-blind). Candidates meet
+    * queries in the augmented-bucket equi-join; scoring is the EXACT
+    * dot product (codegen FloatVecDot), so results are value-oracled.
+    * A query's appended 0 contributes nothing to any plane, so the
+    * query side buckets on the raw vector — bit-identical.
+    *
+    * Scale shape: identical to [[lshTopkOn]] — O(N) bucket shuffle,
+    * the augmentation is scan-side arithmetic; M² is one aggregate
+    * broadcast (constant size at any N).
+    * Output: (q_id, c_id, dot, rk).
+    */
+  def mipsAnnOn(queries: DataFrame, candidates: DataFrame, k: Int,
+      nPlanes: Int = 8, broadcastQueries: Boolean = false): DataFrame = {
+    val selfdot = graft.functions.FloatVecDot.column(col("cv"), col("cv"))
+    val m2 = candidates.agg(max(selfdot).as("m2"))
+    val c = candidates.crossJoin(broadcast(m2))
+      .withColumn("aug", concat(col("cv"),
+        array(sqrt(greatest(lit(0.0), col("m2") - selfdot)).cast("float"))))
+      .withColumn("bucket", bucketCol("aug", nPlanes))
+      .select(col("c_id"), col("cv"), col("bucket"))
+    val q0 = queries.withColumn("bucket", bucketCol("qv", nPlanes))
+    val q = if (broadcastQueries) broadcast(q0) else q0
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dot").desc, col("c_id"))
+    c.join(q, Seq("bucket"))
+      .withColumn("dot", graft.functions.FloatVecDot.column(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), Cols.pround(col("dot"), 6).as("dot"), col("rk"))
+  }
+
+  /** sim_mips_ann testdata binding: the standard probe/candidate split,
+    * 8 planes, k = 5.
+    */
+  def mipsAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    mipsAnnOn(
+      e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+      e.filter(col("vec_id") >= 8).select(col("vec_id").as("c_id"), col("embedding").as("cv")),
+      5, broadcastQueries = true)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  def mipsAnnSql: String = {
+    val aug = "list_append(cv, CAST(sqrt(greatest(CAST(0 AS DOUBLE), " +
+      s"m2 - ${dotSql("cv", "cv")})) AS REAL))"
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv, ${bucketSql("embedding", 8)} AS bucket
+       |           FROM embeddings WHERE vec_id < 8),
+       |m AS (SELECT max(${dotSql("embedding", "embedding")}) AS m2
+       |      FROM embeddings WHERE vec_id >= 8),
+       |c0 AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id >= 8),
+       |c AS (SELECT c_id, cv, ${bucketSql(aug, 8)} AS bucket FROM c0, m),
+       |s AS (SELECT q_id, c_id, ${dotSql("qv", "cv")} AS dot
+       |      FROM q JOIN c ON q.bucket = c.bucket),
+       |r AS (SELECT q_id, c_id, dot, row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, c_id) AS rk FROM s)
+       |SELECT q_id, c_id, floor(dot * 1000000.0 + 0.5) / 1000000.0 AS dot, CAST(rk AS INTEGER) AS rk
+       |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+  }
+
   /** sim_ivf_ann — IVF-skeleton ANN: candidates are assigned to their
     * nearest coarse centroid (the inverted file's cell), queries probe
     * their nprobe=2 nearest cells, true-cosine top-5 within the probed

@@ -59,6 +59,27 @@ class ScaleSmokeSpec extends SparkSpecBase {
     docs.unpersist(); pairs.unpersist()
   }
 
+  test("star-contraction clustering matches propagation on the 20k-doc near-dup graph, bounded wall-clock") {
+    val docs = corpus.persist()
+    docs.count()
+    val pairs = Dedup.minhashLshOn(docs, "doc_id", "text")
+      .filter(col("est_sim") >= 0.5).persist()
+    pairs.count()
+    val ids = docs.select(col("doc_id").as("id"))
+    val t0 = System.nanoTime()
+    val pd = Dedup.clustersPdOn(pairs, ids)
+    // same partition: compare against propagation labels, not just counts
+    val lp = Dedup.clustersOn(pairs, ids)
+    val diff = pd.select(col("doc_id"), col("cluster_id").as("pd"))
+      .join(lp.select(col("doc_id"), col("cluster_id").as("lp")), Seq("doc_id"))
+      .filter(col("pd") =!= col("lp")).count()
+    assert(diff == 0, s"$diff docs labeled differently by contraction vs propagation")
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"20k-doc star contraction + equivalence check: $secs%.1f s")
+    assert(secs < 120, f"star contraction too slow at 20k docs: $secs%.1f s")
+    docs.unpersist(); pairs.unpersist()
+  }
+
   test("simhash buckets stay balanced on the 20k-doc corpus (no degenerate hashing)") {
     val docs = corpus
     val pairs = Dedup.simhashPairsOn(docs, "doc_id", "text")

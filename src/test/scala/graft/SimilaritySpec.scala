@@ -63,6 +63,30 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("MIPS ANN: ranks by raw inner product, magnitude included") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.mipsAnn(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Int]("rk")).toSeq == (1 to sorted.length))
+      val dots = sorted.map(_.getAs[Double]("dot"))
+      assert(dots.zip(dots.tail).forall { case (a, b) => a >= b },
+        "dot must be non-increasing in rank")
+    }
+    // magnitude sensitivity: a doubled copy of a candidate must outrank it
+    import spark.implicits._
+    val dir = Array.tabulate(64)(i => (math.sin(i + 1) / 8).toFloat)
+    val qs = Seq((100L, dir)).toDF("q_id", "qv")
+    val cs = Seq((1L, dir.map(x => 2f * x)), (2L, dir))
+      .toDF("c_id", "cv")
+    val out = Similarity.mipsAnnOn(qs, cs, 2, broadcastQueries = true)
+      .orderBy("rk").collect()
+    // both candidates are collinear with the query; if both surface, the
+    // scaled one must lead (cosine ranking would tie them)
+    if (out.length == 2) assert(out(0).getAs[Long]("c_id") == 1L)
+  }
+
   test("ANN hit quality: LSH neighbors overlap brute-force top-k") {
     val bf = Similarity.bruteforceTopk(spark, SfDir)
       .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
