@@ -95,6 +95,9 @@ object SparkEntry {
     "ts_merge_intervals" -> TimeSeries.mergeIntervals _,
     "ts_cum_distinct"    -> TimeSeries.cumDistinct _,
     "q55_attribution"    -> TimeSeries.attribution _,
+    "ts_rolling_median"  -> TimeSeries.rollingMedian _,
+    "q56_kcore"          -> Affinity.kcore _,
+    "dq_profile_drift"   -> Quality.dqProfileDrift _,
     "sim_recall_eval"    -> Similarity.recallEval _,
     "sim_mips_ann"       -> Similarity.mipsAnn _,
     "dq_mad_outliers"    -> Quality.dqMadOutliers _,
@@ -504,6 +507,9 @@ object SparkEntry {
     "ts_merge_intervals"  -> TimeSeries.mergeIntervalsSql,
     "ts_cum_distinct"     -> TimeSeries.cumDistinctSql,
     "q55_attribution"     -> TimeSeries.attributionSql,
+    "ts_rolling_median"   -> TimeSeries.rollingMedianSql,
+    "q56_kcore"           -> Affinity.kcoreSql,
+    "dq_profile_drift"    -> Quality.dqProfileDriftSql,
     "sim_recall_eval"     -> Similarity.recallEvalSql,
     "sim_mips_ann"        -> Similarity.mipsAnnSql,
     "text_surprise"       -> TextAnalysis.surpriseSql,

@@ -254,6 +254,81 @@ object Affinity {
       |GROUP BY r.u, deg.n_1hop
       |ORDER BY id""".stripMargin
 
+  /** Bounded-round k-core peeling over an undirected (a_item < b_item)
+    * edge set: repeatedly remove nodes with degree < k and their edges —
+    * the graph-mining densification step (the 2-core strips pendant
+    * chains; degeneracy ordering generalizes it). The contract is
+    * exactly `rounds` peels (extra rounds past the fixpoint are
+    * no-ops), so the semantics unroll into plain SQL for the oracle the
+    * same way pagerank's fixed iterations do; the spec pins that the
+    * testdata graph reaches its fixpoint well inside the bound.
+    *
+    * Scale shape per round: one degree aggregate over the (shrinking)
+    * edge set + two semi-joins against the surviving-node set — all
+    * keyed shuffles on the graph, which only shrinks; rounds end in an
+    * eager localCheckpoint (same plan-growth reasoning as
+    * [[Dedup.clustersPdOn]]), with an early exit when a round removes
+    * nothing. Output: (item, core_deg) for nodes surviving all peels.
+    */
+  def kcorePeelOn(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    def sym(e: DataFrame): DataFrame = e.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+    var e = edges.select(col("a_item").as("u"), col("b_item").as("v"))
+      .localCheckpoint(true)
+    var nE = e.count()
+    var r = 0
+    while (r < rounds && nE > 0) {
+      val alive = sym(e).groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("u").as("n"))
+      val next = e
+        .join(alive.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(alive.select(col("n").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      val nNext = next.count()
+      e = next
+      if (nNext == nE) r = rounds // fixpoint: remaining rounds are no-ops
+      else { nE = nNext; r += 1 }
+    }
+    sym(e).groupBy(col("u").as("item")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** q56_kcore testdata binding: the 2-core of the support-≥2
+    * co-purchase graph, 8 peel rounds.
+    */
+  def kcore(spark: SparkSession, sfDir: String): DataFrame =
+    kcorePeelOn(copurchase(spark, sfDir), 2, 8)
+      .orderBy(col("item"))
+
+  def kcoreSql: String = {
+    val prelude =
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
+        |p AS (SELECT a.item AS a_item, b.item AS b_item, count(*) AS n_baskets
+        |      FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e0 AS MATERIALIZED (SELECT a_item AS u, b_item AS v FROM p)""".stripMargin
+    // MATERIALIZED is load-bearing: each round references the previous
+    // round three times (twice through the degree filter, once in the
+    // edge filter), so an inlined unroll re-evaluates e0 3^8 times —
+    // DuckDB runs out of file handles re-opening the parquet before it
+    // runs out of patience.
+    val steps = (1 to 8).map { i =>
+      val prev = s"e${i - 1}"
+      s"""a$i AS MATERIALIZED (SELECT u AS n FROM (
+         |  SELECT u, count(*) AS deg FROM (
+         |    SELECT u, v FROM $prev UNION ALL SELECT v, u FROM $prev) GROUP BY 1)
+         |  WHERE deg >= 2),
+         |e$i AS MATERIALIZED (SELECT u, v FROM $prev
+         |  WHERE u IN (SELECT n FROM a$i) AND v IN (SELECT n FROM a$i))""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$prelude$steps
+       |SELECT u AS item, count(*) AS core_deg FROM (
+       |  SELECT u, v FROM e8 UNION ALL SELECT v, u FROM e8)
+       |GROUP BY 1 ORDER BY item""".stripMargin
+  }
+
   def trianglesSql: String =
     """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
       |p AS (SELECT a.item AS a_item, b.item AS b_item, count(*) AS n_baskets

@@ -187,4 +187,79 @@ object Quality {
       |FROM events e JOIN s ON e.event_type = s.event_type
       |WHERE abs(value - m) > 2.0 * sd
       |ORDER BY event_id""".stripMargin
+
+  /** Snapshot profile drift: per-column summary statistics of two data
+    * slices (here: orders before vs from 1995) compared side by side
+    * with an exact integer drift ratio — the monitoring report that
+    * catches silent upstream changes (a price rescale, a vanished
+    * segment, an id-space jump) BEFORE they poison downstream models.
+    * The complement of etl_cdc_diff: CDC diffs row identity, this
+    * diffs distributions.
+    *
+    * Shape: ONE aggregation pass computes both slices' metrics as
+    * conditional aggregates (no second scan, no join of two profile
+    * jobs), then the 1-wide-row result unpivots scan-side to a row per
+    * metric. Constant output at any corpus size.
+    * drift_ppm = |new − old| · 1e6 div max(old, 1) — all integer.
+    */
+  def profileDriftOn(df: DataFrame, oldPred: Column): DataFrame = {
+    val isOld = when(oldPred, 1L).otherwise(0L)
+    val isNew = lit(1L) - isOld
+    val cents = floor(col("o_totalprice") * 100.0 + 0.5).cast("long")
+    def side(flag: Column, c: Column): Column = when(flag === 1L, c)
+    val wide = df.select(isOld.as("o"), cents.as("cents"),
+        col("o_custkey"), col("o_orderpriority"))
+      .agg(
+        sum(col("o")).as("old_n_rows"),
+        sum(lit(1L) - col("o")).as("new_n_rows"),
+        min(side(col("o"), col("cents"))).as("old_min_cents"),
+        min(side(lit(1L) - col("o"), col("cents"))).as("new_min_cents"),
+        max(side(col("o"), col("cents"))).as("old_max_cents"),
+        max(side(lit(1L) - col("o"), col("cents"))).as("new_max_cents"),
+        countDistinct(side(col("o"), col("o_custkey"))).as("old_n_customers"),
+        countDistinct(side(lit(1L) - col("o"), col("o_custkey"))).as("new_n_customers"),
+        countDistinct(side(col("o"), col("o_orderpriority"))).as("old_n_priorities"),
+        countDistinct(side(lit(1L) - col("o"), col("o_orderpriority"))).as("new_n_priorities"))
+    val metrics = Seq("n_rows", "min_cents", "max_cents", "n_customers", "n_priorities")
+    val stacked = metrics.map(m =>
+      s"struct('$m' AS metric, old_$m AS v_old, new_$m AS v_new)").mkString(", ")
+    wide.select(explode(expr(s"array($stacked)")).as("r"))
+      .select(col("r.metric").as("metric"),
+        col("r.v_old").as("v_old"), col("r.v_new").as("v_new"),
+        expr("(abs(r.v_new - r.v_old) * 1000000) div greatest(abs(r.v_old), 1)")
+          .as("drift_ppm"))
+  }
+
+  /** dq_profile_drift testdata binding: orders before vs from
+    * 1995-01-01.
+    */
+  def dqProfileDrift(spark: SparkSession, sfDir: String): DataFrame =
+    profileDriftOn(Tables.orders(spark, sfDir),
+      col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
+      .orderBy(col("metric"))
+
+  def dqProfileDriftSql: String =
+    """WITH m AS (SELECT
+      | CAST(sum(CASE WHEN old THEN 1 ELSE 0 END) AS BIGINT) AS old_n_rows,
+      | CAST(sum(CASE WHEN old THEN 0 ELSE 1 END) AS BIGINT) AS new_n_rows,
+      | min(CASE WHEN old THEN cents END) AS old_min_cents,
+      | min(CASE WHEN NOT old THEN cents END) AS new_min_cents,
+      | max(CASE WHEN old THEN cents END) AS old_max_cents,
+      | max(CASE WHEN NOT old THEN cents END) AS new_max_cents,
+      | CAST(count(DISTINCT CASE WHEN old THEN o_custkey END) AS BIGINT) AS old_n_customers,
+      | CAST(count(DISTINCT CASE WHEN NOT old THEN o_custkey END) AS BIGINT) AS new_n_customers,
+      | CAST(count(DISTINCT CASE WHEN old THEN o_orderpriority END) AS BIGINT) AS old_n_priorities,
+      | CAST(count(DISTINCT CASE WHEN NOT old THEN o_orderpriority END) AS BIGINT) AS new_n_priorities
+      | FROM (SELECT o_orderdate < TIMESTAMP '1995-01-01' AS old,
+      |        CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+      |        o_custkey, o_orderpriority FROM orders)),
+      |s AS (
+      | SELECT 'n_rows' AS metric, old_n_rows AS v_old, new_n_rows AS v_new FROM m
+      | UNION ALL SELECT 'min_cents', old_min_cents, new_min_cents FROM m
+      | UNION ALL SELECT 'max_cents', old_max_cents, new_max_cents FROM m
+      | UNION ALL SELECT 'n_customers', old_n_customers, new_n_customers FROM m
+      | UNION ALL SELECT 'n_priorities', old_n_priorities, new_n_priorities FROM m)
+      |SELECT metric, v_old, v_new,
+      | (abs(v_new - v_old) * 1000000) // greatest(abs(v_old), 1) AS drift_ppm
+      |FROM s ORDER BY metric""".stripMargin
 }

@@ -500,6 +500,55 @@ object TimeSeries {
       | (SELECT count(DISTINCT user_id) FROM e WHERE e.day <= d.day) AS cum_distinct
       |FROM days d ORDER BY day""".stripMargin
 
+  /** Rolling exact median (trailing 5 orders) of per-customer order
+    * value, in integer cents — the robust smoother for spiky spend
+    * series where the rolling MEAN (q7's running window) chases
+    * outliers. Spark has no median window aggregate; over a SMALL fixed
+    * frame the exact form is a sorted frame-array lookup (lower median
+    * = element (n+1) div 2) — O(frame log frame) per row with frame a
+    * constant 5, riding the one customer-key shuffle every other
+    * per-key window shares. For wide frames this becomes the remedian /
+    * two-heap territory — out of declarative range and documented as
+    * such. Output: (custkey, orderkey, day, cents, n_window, med_cents).
+    */
+  def rollingMedianOn(obs: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: String, frame: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-(frame - 1), Window.currentRow)
+    obs
+      .withColumn("cents", floor(col(valCol) * 100.0 + 0.5).cast("long"))
+      .withColumn("arr", sort_array(collect_list(col("cents")).over(w)))
+      .select(col(keyCol), col(idCol), col(tsCol),
+        col("cents"), size(col("arr")).cast("long").as("n_window"),
+        expr("element_at(arr, cast((size(arr) + 1) div 2 as int))").as("med_cents"))
+  }
+
+  /** ts_rolling_median testdata binding: per-customer trailing-5-order
+    * median price.
+    */
+  def rollingMedian(spark: SparkSession, sfDir: String): DataFrame =
+    rollingMedianOn(
+      Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("day"), col("o_totalprice")),
+      "o_custkey", "day", "o_orderkey", "o_totalprice")
+      .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+
+  def rollingMedianSql: String =
+    """WITH o AS (
+      | SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS day,
+      |  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      | FROM orders),
+      |f AS (
+      | SELECT o_custkey, o_orderkey, day, cents,
+      |  list(cents) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey
+      |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS arr
+      | FROM o)
+      |SELECT o_custkey, o_orderkey, day, cents,
+      | CAST(len(arr) AS BIGINT) AS n_window,
+      | list_sort(arr)[(len(arr) + 1) // 2] AS med_cents
+      |FROM f ORDER BY o_custkey, day, o_orderkey""".stripMargin
+
   /** Linear multi-touch attribution: every click in the 30 minutes
     * before a purchase shares the purchase's credit equally (1/n_touch
     * each, in exact micro-units via integer division — deterministic

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Relational, Similarity, TextAnalysis, TimeSeries, Training}
+import graft.operators.{Affinity, Quality, Relational, Similarity, TextAnalysis, TimeSeries, Training}
 
 /** Value-level unit tests for the r5 batch: BPE pair counting,
   * length-bucket batching profile, 2-D skyline, and linear-interpolation
@@ -51,6 +51,46 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(rows(0) == ((1L, 0L, 0L)))
     assert(rows(1) == ((2L, 0L, 0L)))
     assert(rows(2) == ((3L, (1000L * 3) / 4, 1L)))
+  }
+
+  test("kcorePeelOn strips pendant chains, keeps the triangle") {
+    import spark.implicits._
+    // triangle 1-2-3 with a pendant path 3-4-5: the 2-core is the triangle
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a_item", "b_item")
+    val core = Affinity.kcorePeelOn(edges, 2, 8)
+      .orderBy("item").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(core.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("kcorePeelOn reaches its fixpoint inside the round bound on testdata") {
+    val r8 = Affinity.kcore(spark, SfDir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r12 = Affinity.kcorePeelOn(
+      Affinity.copurchase(spark, SfDir), 2, 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r8 == r12, "8 peel rounds must already be the fixpoint on testdata")
+  }
+
+  test("rollingMedianOn computes the exact lower median of the trailing frame") {
+    import spark.implicits._
+    val obs = Seq((1L, 1L, "2024-01-01", 0.10), (1L, 2L, "2024-01-02", 1.00),
+      (1L, 3L, "2024-01-03", 0.20))
+      .toDF("k", "id", "s", "v")
+      .select(col("k"), col("id"), col("s").cast("date").as("day"), col("v"))
+    val rows = TimeSeries.rollingMedianOn(obs, "k", "day", "id", "v")
+      .orderBy("id").collect().map(r => (r.getAs[Long]("n_window"), r.getAs[Long]("med_cents")))
+    // cents: 10, 100, 20 → frames [10], [10,100], [10,100,20]
+    assert(rows.toSeq == Seq((1L, 10L), (2L, 10L), (3L, 20L)))
+  }
+
+  test("profileDriftOn emits one row per metric; drift is non-negative or null on an empty slice") {
+    val rows = Quality.dqProfileDrift(spark, SfDir).collect()
+    assert(rows.map(_.getString(0)).toSet ==
+      Set("n_rows", "min_cents", "max_cents", "n_customers", "n_priorities"))
+    rows.foreach { r =>
+      // a slice with no rows has null min/max → null drift (honest, not 0)
+      if (!r.isNullAt(3)) assert(r.getLong(3) >= 0L)
+    }
   }
 
   test("recallEval reports consistent per-probe hit ratios") {

@@ -188,6 +188,38 @@ class PlanAuditSpec extends SparkSpecBase {
       s"TopKAgg not map-side combined — full rows would ride the shuffle:\n$p")
   }
 
+  test("q55_attribution: band join is a user-key hash join, never a pair-exploding loop") {
+    val p = planOf(q("q55_attribution"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"attribution band join fell back to a nested loop:\n$p")
+    assert(p.contains("hashpartitioning(user_id") || p.contains("BroadcastHashJoin"),
+      s"band join should equi-join on user_id:\n$p")
+  }
+
+  test("ts_cum_distinct: running sum runs over day-cardinality aggregates, not raw events") {
+    // the single-partition window is fine ONLY because its input is the
+    // per-day aggregate; both aggregates must sit below the window
+    val p = planOf(q("ts_cum_distinct"))
+    // first block of the formatted explain = the operator tree, root
+    // first; the window must sit ABOVE (i.e. print before) the
+    // aggregates that bound its input to day cardinality
+    val tree = p.linesIterator.takeWhile(_.nonEmpty).toSeq
+    val windowAt = tree.indexWhere(l => l.contains("Window"))
+    val aggsBelow = tree.zipWithIndex
+      .count { case (l, i) => l.contains("HashAggregate") && i > windowAt }
+    assert(windowAt >= 0, s"no window in plan:\n$p")
+    assert(aggsBelow >= 2,
+      s"window must consume aggregated day rows (aggregates below it in the tree):\n$p")
+  }
+
+  test("sim_mips_ann: M2 and the probe set broadcast; candidates never replicate") {
+    val p = planOf(q("sim_mips_ann"))
+    assert(!p.contains("CartesianProduct"),
+      s"MIPS augmentation must not cross-join the corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"probe set / M2 should broadcast:\n$p")
+  }
+
   test("etl_fact_build: lineitem scan prunes to the fact columns") {
     val p = planOf(q("etl_fact_build"))
     val lineitemScans = p.linesIterator.filter(l => l.contains("ReadSchema:") && l.contains("l_orderkey")).mkString
