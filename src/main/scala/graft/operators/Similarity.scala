@@ -764,6 +764,34 @@ object Similarity {
     * lowest-id vectors' subvectors, deterministic).
     * Output: (vec_id, pq_code, dist2_total).
     */
+  /** Shared PQ training/encoding internals: the per-(vector, subspace)
+    * argmin over the k centroids runs against a PIVOTED codebook — the
+    * (sub, d) → [cq_0 .. cq_15] wide form — so assignment is ONE
+    * broadcast join at N·subs·subdim rows with a 16-column aggregate,
+    * instead of exploding to N·subs·subdim·k (cid, dist) rows and
+    * re-aggregating twice. Same integers, 16× less aggregate traffic
+    * and two fewer stages per Lloyd round — the shape that matters when
+    * N is billions of vectors. An empty cluster yields a null centroid
+    * column; null distance sums propagate through the packed argmin
+    * terms and `least` skips them, exactly matching the row form's
+    * "min over present cids".
+    */
+  private def pqCentsWide(cents: DataFrame, k: Int): DataFrame =
+    cents.groupBy(col("sub"), col("d"))
+      .pivot("cid", (0 until k).map(i => i.toLong))
+      .agg(first(col("cq")))
+  private def pqAssign(v: DataFrame, centsWide: DataFrame, k: Int): DataFrame = {
+    val sums = (0 until k).map { i =>
+      val diff = col("qx") - col(i.toLong.toString)
+      sum(diff * diff).as(s"s$i")
+    }
+    val packed = (0 until k).map(i => col(s"s$i") * lit(16L) + lit(i.toLong))
+    v.join(broadcast(centsWide), Seq("sub", "d"))
+      .groupBy(col("id"), col("sub"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("id"), col("sub"), least(packed: _*).as("amin"))
+  }
+
   def pqOn(vectors: DataFrame, subDim: Int = PqSubDim, k: Int = PqK,
       iters: Int = PqIters): DataFrame = {
     require(k <= 16, "argmin packing and the nibble pack reserve 4 bits per code")
@@ -773,11 +801,7 @@ object Similarity {
           .cast("long").as("qx"))
       .persist() // re-read by every Lloyd round and the final encode
     def assignTo(cents: DataFrame): DataFrame =
-      v.join(broadcast(cents), Seq("sub", "d"))
-        .groupBy(col("id"), col("sub"), col("cid"))
-        .agg(sum((col("qx") - col("cq")) * (col("qx") - col("cq"))).as("dist2"))
-        .groupBy(col("id"), col("sub"))
-        .agg(min(col("dist2") * lit(16L) + col("cid")).as("amin"))
+      pqAssign(v, pqCentsWide(cents, k), k)
     var cents = v.filter(col("id") < k)
       .select(col("sub"), col("id").as("cid"), col("d"), col("qx").as("cq"))
     (1 to iters).foreach { _ =>
@@ -850,11 +874,7 @@ object Similarity {
           .cast("long").as("qx"))
       .persist() // re-read per Lloyd round, the encode, and the probe LUT
     def assignTo(cents: DataFrame): DataFrame =
-      v.join(broadcast(cents), Seq("sub", "d"))
-        .groupBy(col("id"), col("sub"), col("cid"))
-        .agg(sum((col("qx") - col("cq")) * (col("qx") - col("cq"))).as("dist2"))
-        .groupBy(col("id"), col("sub"))
-        .agg(min(col("dist2") * lit(16L) + col("cid")).as("amin"))
+      pqAssign(v, pqCentsWide(cents, k), k) // see pqOn: 16× slimmer agg
     var cents = v.filter(col("id") < k)
       .select(col("sub"), col("id").as("cid"), col("d"), col("qx").as("cq"))
     (1 to iters).foreach { _ =>
