@@ -709,12 +709,24 @@ object Similarity {
         floor((col("x").cast("double") + lit(1.0)) * lit(KmQ.toDouble) + lit(0.5))
           .cast("long").as("qx"))
       .persist() // re-read by every Lloyd iteration and the final assignment
-    def assignTo(cents: DataFrame): DataFrame =
-      v.join(broadcast(cents), Seq("d"))
-        .groupBy(col("id"), col("cid"))
-        .agg(sum((col("qx") - col("cq")) * (col("qx") - col("cq"))).as("dist2"))
+    // Pivoted-codebook assignment (same rewrite as pqAssign): the
+    // centroid table pivots to d → [cq_0 .. cq_{k−1}], so the argmin is
+    // one broadcast join at N·d rows + a k-column aggregate instead of
+    // exploding to N·d·k (cid, dist) rows — identical integers (null
+    // columns from empty clusters drop out of least() like absent cids).
+    def assignTo(cents: DataFrame): DataFrame = {
+      val wide = cents.groupBy(col("d"))
+        .pivot("cid", (0 until k).map(i => i.toLong)).agg(first(col("cq")))
+      val sums = (0 until k).map { i =>
+        val diff = col("qx") - col(i.toLong.toString)
+        sum(diff * diff).as(s"s$i")
+      }
+      val packed = (0 until k).map(i => col(s"s$i") * lit(16L) + lit(i.toLong))
+      v.join(broadcast(wide), Seq("d"))
         .groupBy(col("id"))
-        .agg(min(col("dist2") * lit(16L) + col("cid")).as("amin"))
+        .agg(sums.head, sums.tail: _*)
+        .select(col("id"), least(packed: _*).as("amin"))
+    }
     var cents = v.filter(col("id") < k).select(col("id").as("cid"), col("d"), col("qx").as("cq"))
     (1 to iters).foreach { _ =>
       val assign = assignTo(cents).select(col("id"), pmod(col("amin"), lit(16L)).as("cid"))
