@@ -262,6 +262,42 @@ class SourcesSpec extends SparkSpecBase {
     }
   }
 
+  test("real multi-frame video decode: animated GIF frame count, dims, and strided luma sampling") {
+    import spark.implicits._
+    // write a real 3-frame animated GIF with ImageIO (solid luma levels
+    // 10, 100, 200 — a single-color frame survives GIF palettization
+    // exactly)
+    def gif(lumas: Seq[Int], w: Int, h: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      lumas.foreach { l =>
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color(l, l, l)); g.fillRect(0, 0, w, h); g.dispose()
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+          writer.getDefaultWriteParam)
+      }
+      writer.endWriteSequence(); writer.dispose(); ios.close()
+      out.toByteArray
+    }
+    val df = Seq(
+      (1L, gif(Seq(10, 100, 200), 12, 8)),
+      (2L, gif(Seq(50), 6, 6)),
+      (3L, "not a video".getBytes)).toDF("doc_id", "payload")
+    val metas = Multimodal.decodeVideosOn(df).collect().sortBy(_.doc_id)
+    assert(metas.map(m => (m.doc_id, m.width, m.height, m.frames)).toSeq
+      == Seq((1L, 12, 8, 3), (2L, 6, 6, 1)), "true container frame counts and dims")
+    assert(!metas.exists(_.doc_id == 3L), "non-video payload quarantined, not crashed")
+    // strided sampling decodes frames 0 and 2 with their true pixel means
+    val frames = Multimodal.sampleVideoFramesOn(df.filter($"doc_id" === 1L), stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(f => (f.frame_idx, f.mean_luma)).toSeq == Seq((0, 10L), (2, 200L)),
+      "strided frames decode to their planted luma levels")
+  }
+
   test("idempotent batch append: a replayed batchId is skipped, not duplicated") {
     import graft.sources.Maintenance
     import spark.implicits._
