@@ -103,6 +103,9 @@ object SparkEntry {
     "dq_mad_outliers"    -> Quality.dqMadOutliers _,
     "q54_khop"           -> Affinity.khop _,
     "embed_quantize"     -> Similarity.quantize _,
+    "embed_dim_stats"    -> Similarity.dimStats _,
+    "dedup_bag"          -> Dedup.bag _,
+    "pipeline_quality_mix" -> Training.qualityMix _,
     "embed_kmeans"       -> Similarity.kmeans _,
     "embed_pq"           -> Similarity.pq _,
     "sim_pq_adc"         -> Similarity.pqAdc _,
@@ -516,6 +519,9 @@ object SparkEntry {
     "dq_mad_outliers"     -> Quality.dqMadOutliersSql,
     "q54_khop"            -> Affinity.khopSql,
     "embed_quantize"      -> Similarity.quantizeSql,
+    "embed_dim_stats"     -> Similarity.dimStatsSql,
+    "dedup_bag"           -> Dedup.bagSql,
+    "pipeline_quality_mix" -> Training.qualityMixSql,
     "embed_kmeans"        -> Similarity.kmeansSql,
     "embed_pq"            -> Similarity.pqSql,
     "sim_pq_adc"          -> Similarity.pqAdcSql,

@@ -707,6 +707,50 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Bag-of-tokens exact dedup: the order-INVARIANT fingerprint
+    * (token-hash sum mod P, token count) groups documents that are
+    * exact duplicates up to word order — shuffled list items, re-sorted
+    * CSV rows, re-serialized JSON — which byte-exact dedup misses and
+    * near-dup similarity pays a candidate join to find. Sits between
+    * [[exactOn]] and [[ngramJaccardOn]] in the dedup ladder at exactOn's
+    * cost: one doc-keyed sum over the exploded token hashes (map-side
+    * combined, order-free by construction) and one fingerprint
+    * group-by. Same portable poly-hash as every other dedup key, so the
+    * op is fully value-oracled.
+    * Output: (bag_hash, n_tokens, keep_id, n_copies).
+    */
+  def bagOn(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val th = df.select(col(idCol).as("id"),
+      explode(TextFns.tokenHashes(TextFns.tokenize(col(textCol)))).as("h"))
+    val fp0 = th.groupBy(col("id"))
+      .agg(pmod(sum(col("h")), lit(2147483647L)).as("bag_hash"),
+        count(lit(1)).as("n_tokens"))
+    df.select(col(idCol).as("id")).join(fp0, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("bag_hash"), lit(0L)).as("bag_hash"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .groupBy(col("bag_hash"), col("n_tokens"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** dedup_bag testdata binding. */
+  def bag(spark: SparkSession, sfDir: String): DataFrame =
+    bagOn(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy(col("keep_id"))
+
+  def bagSql: String =
+    s"""WITH th AS (SELECT doc_id,
+       |  unnest(${TextFns.tokenHashesSql(TextFns.tokenizeSql("text"))}) AS h
+       | FROM documents),
+       |fp0 AS (SELECT doc_id, CAST(sum(h) % 2147483647 AS BIGINT) AS bag_hash,
+       |         CAST(count(*) AS BIGINT) AS n_tokens
+       |        FROM th GROUP BY 1),
+       |fp AS (SELECT d.doc_id, coalesce(bag_hash, 0) AS bag_hash,
+       |        coalesce(n_tokens, 0) AS n_tokens
+       |       FROM documents d LEFT JOIN fp0 USING (doc_id))
+       |SELECT bag_hash, n_tokens, min(doc_id) AS keep_id, count(*) AS n_copies
+       |FROM fp GROUP BY 1, 2 ORDER BY keep_id""".stripMargin
+
   /** Span width (tokens) for [[spanDedupOn]] — non-overlapping blocks,
     * the C4-style "remove repeated spans across the corpus" granularity
     * adapted to a sentence-less corpus.

@@ -671,6 +671,55 @@ object Similarity {
        | CAST(coalesce(sum(CASE WHEN q = 0 THEN 1 END), 0) AS BIGINT) AS n_zero
        |FROM q GROUP BY 1 ORDER BY vec_id""".stripMargin
 
+  /** embed_dim_stats — per-dimension feature statistics (count, range,
+    * mean, variance) over the embedding corpus: the normalization /
+    * whitening table every index build and model-input pipeline derives
+    * first, and the drift report for embedding versions. Coordinates
+    * use the kmeans fixed-point quantization ((x+1)·2^20 — the shift
+    * keeps values non-negative so integer division truncates
+    * identically on both engines); the second moment accumulates in
+    * DECIMAL (qx² ≤ 2^42, a long sum wraps near N ≈ 2^21 vectors) so
+    * the exact integer variance numerator converts once to double —
+    * engine-identical. One exploded aggregation, |dims| output rows at
+    * any corpus size.
+    * Output: (d, n, min_q, max_q, mean_q, var_q).
+    */
+  def dimStatsOn(vectors: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = vectors.select(posexplode(col("vec")).as(Seq("d", "x")))
+      .select(col("d"),
+        floor((col("x").cast("double") + lit(1.0)) * lit(KmQ.toDouble) + lit(0.5))
+          .cast("long").as("qx"))
+    v.groupBy(col("d"))
+      .agg(count(lit(1)).as("n"),
+        min(col("qx")).as("min_q"), max(col("qx")).as("max_q"),
+        sum(col("qx")).as("sum_q"),
+        sum(col("qx").cast(dec) * col("qx").cast(dec)).as("sum_q2"))
+      .select(col("d"), col("n"), col("min_q"), col("max_q"),
+        expr("sum_q div n").as("mean_q"),
+        Cols.pround(
+          (col("n").cast(dec) * col("sum_q2") - col("sum_q").cast(dec) * col("sum_q").cast(dec))
+            .cast("double")
+            / (col("n").cast("double") * (col("n") - 1).cast("double")), 4).as("var_q"))
+  }
+
+  /** embed_dim_stats testdata binding. */
+  def dimStats(spark: SparkSession, sfDir: String): DataFrame =
+    dimStatsOn(Tables.embeddings(spark, sfDir).select(col("embedding").as("vec")))
+      .orderBy(col("d"))
+
+  def dimStatsSql: String =
+    s"""WITH e AS (SELECT CAST(d - 1 AS INTEGER) AS d,
+       |  CAST(floor((CAST(embedding[d] AS DOUBLE) + 1.0) * $KmQ.0 + 0.5) AS BIGINT) AS qx
+       |  FROM embeddings, generate_series(1, 64) AS g(d)),
+       |s AS (SELECT d, CAST(count(*) AS BIGINT) AS n, min(qx) AS min_q, max(qx) AS max_q,
+       |       CAST(sum(qx) AS BIGINT) AS sum_q, sum(qx * qx) AS sum_q2
+       |      FROM e GROUP BY 1)
+       |SELECT d, n, min_q, max_q, sum_q // n AS mean_q,
+       | floor((CAST(n * sum_q2 - sum_q * sum_q AS DOUBLE)
+       |   / (CAST(n AS DOUBLE) * (n - 1))) * 10000.0 + 0.5) / 10000.0 AS var_q
+       |FROM s ORDER BY d""".stripMargin
+
   // ------------------------------------------------------------ k-means
 
   /** k-means cluster count, Lloyd iterations, and fixed-point scale —

@@ -261,6 +261,54 @@ object Training {
        |FROM k GROUP BY 1 ORDER BY source""".stripMargin
   }
 
+  /** pipeline_quality_mix — quality-WEIGHTED downsampling, the curation
+    * recipe between "hard threshold" (pipeline_curate) and "uniform
+    * mixture" (pipeline_mix): high-quality docs (score ≥ 0.75) all
+    * survive, mid-quality ([0.5, 0.75)) keep a deterministic 30% by the
+    * same portable row hash pipeline_mix uses, low and unscorable docs
+    * drop. Reported per (source, tier) with kept counts and the exact
+    * kept-id checksum so the oracle verifies MEMBERSHIP, not just
+    * counts. Scan-side predicate over the quality score (itself one
+    * scan) — no shuffle beyond the report aggregate.
+    */
+  def qualityMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val score = graft.operators.TextAnalysis.qualityOn(d, "doc_id", "text")
+      .select(col("doc_id"), col("quality_score"))
+    d.join(score, Seq("doc_id"), "left")
+      .withColumn("tier",
+        when(col("quality_score") >= 0.75, "high")
+          .when(col("quality_score") >= 0.5, "mid").otherwise("low"))
+      .withColumn("ppm",
+        when(col("tier") === "high", 1000000L)
+          .when(col("tier") === "mid", 300000L).otherwise(0L))
+      .withColumn("h",
+        pmod(TextFns.charFold(concat(col("source"), lit(":"), col("doc_id").cast("string"))),
+          lit(1000000L)))
+      .withColumn("keep", col("h") < col("ppm"))
+      .groupBy(col("source"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("kept_id_sum"))
+      .orderBy(col("source"), col("tier"))
+  }
+
+  def qualityMixSql: String = {
+    val h = TextFns.charFoldSql("d.source || ':' || CAST(d.doc_id AS VARCHAR)")
+    s"""WITH q AS (${graft.operators.TextAnalysis.qualitySql}),
+       |t AS (SELECT d.source, d.doc_id,
+       |  CASE WHEN quality_score >= 0.75 THEN 'high'
+       |       WHEN quality_score >= 0.5 THEN 'mid' ELSE 'low' END AS tier,
+       |  CASE WHEN quality_score >= 0.75 THEN 1000000
+       |       WHEN quality_score >= 0.5 THEN 300000 ELSE 0 END AS ppm,
+       |  ($h) % 1000000 AS h
+       | FROM documents d LEFT JOIN q ON d.doc_id = q.doc_id)
+       |SELECT source, tier, count(*) AS n_docs,
+       | CAST(coalesce(sum(CASE WHEN h < ppm THEN 1 END), 0) AS BIGINT) AS n_kept,
+       | CAST(coalesce(sum(CASE WHEN h < ppm THEN doc_id END), 0) AS BIGINT) AS kept_id_sum
+       |FROM t GROUP BY 1, 2 ORDER BY source, tier""".stripMargin
+  }
+
   // --------------------------------------------------- source similarity
 
   /** source_minhash_sim — corpus provenance analytics: pairwise content

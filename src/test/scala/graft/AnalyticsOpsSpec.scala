@@ -93,6 +93,33 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("dimStatsOn: constant dimension has zero variance, exact quantized mean") {
+    import spark.implicits._
+    // dim 0 constant 0.5 → qx = floor(1.5·2^20 + .5) for every vector;
+    // dim 1 alternates ±0.5 → nonzero variance
+    val vecs = Seq(
+      Array(0.5f, 0.5f), Array(0.5f, -0.5f), Array(0.5f, 0.5f), Array(0.5f, -0.5f))
+      .toDF("vec")
+    val rows = Similarity.dimStatsOn(vecs).orderBy("d").collect()
+    val q = math.floor(1.5 * 1048576.0 + 0.5).toLong
+    assert(rows(0).getAs[Long]("mean_q") == q)
+    assert(rows(0).getAs[Double]("var_q") == 0.0)
+    assert(rows(1).getAs[Double]("var_q") > 0.0)
+  }
+
+  test("qualityMix: high tier keeps everything, low tier keeps nothing") {
+    val rows = Training.qualityMix(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tier, nDocs, nKept) = (r.getString(1), r.getLong(2), r.getLong(3))
+      tier match {
+        case "high" => assert(nKept == nDocs, s"high tier must keep all: $r")
+        case "low"  => assert(nKept == 0L, s"low tier must keep none: $r")
+        case "mid"  => assert(nKept <= nDocs)
+      }
+    }
+  }
+
   test("recallEval reports consistent per-probe hit ratios") {
     val rows = Similarity.recallEval(spark, SfDir).collect()
     assert(rows.length == 8, "one row per probe")

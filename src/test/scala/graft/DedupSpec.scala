@@ -58,6 +58,17 @@ class DedupSpec extends SparkSpecBase {
     assert(labels.forall(_._2 == 0L), "every path node must label to the component min")
   }
 
+  test("bag dedup: word order is invisible, multiplicity is not") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"),
+      (3L, "alpha beta beta gamma"), (4L, "")).toDF("doc_id", "text")
+    val rows = Dedup.bagOn(docs, "doc_id", "text")
+      .orderBy("keep_id").collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"), r.getAs[Long]("n_tokens")))
+    // 1 and 2 are the same bag; 3 has an extra 'beta'; 4 is the empty bag
+    assert(rows.toSeq == Seq((1L, 2L, 3L), (3L, 1L, 4L), (4L, 1L, 0L)))
+  }
+
   test("simhash pairs are symmetric-free and within hamming bound") {
     val rows = Dedup.simhashPairs(spark, SfDir).collect()
     assert(rows.forall(r => r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
