@@ -96,6 +96,8 @@ object SparkEntry {
     "ts_cum_distinct"    -> TimeSeries.cumDistinct _,
     "q55_attribution"    -> TimeSeries.attribution _,
     "ts_rolling_median"  -> TimeSeries.rollingMedian _,
+    "ts_out_of_order"    -> TimeSeries.outOfOrder _,
+    "q57_ab_test"        -> Relational.q57AbTest _,
     "q56_kcore"          -> Affinity.kcore _,
     "dq_profile_drift"   -> Quality.dqProfileDrift _,
     "sim_recall_eval"    -> Similarity.recallEval _,
@@ -511,6 +513,8 @@ object SparkEntry {
     "ts_cum_distinct"     -> TimeSeries.cumDistinctSql,
     "q55_attribution"     -> TimeSeries.attributionSql,
     "ts_rolling_median"   -> TimeSeries.rollingMedianSql,
+    "ts_out_of_order"     -> TimeSeries.outOfOrderSql,
+    "q57_ab_test"         -> Relational.q57AbTestSql,
     "q56_kcore"           -> Affinity.kcoreSql,
     "dq_profile_drift"    -> Quality.dqProfileDriftSql,
     "sim_recall_eval"     -> Similarity.recallEvalSql,

@@ -928,4 +928,38 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** q57_ab_test — deterministic experiment analysis: users assign to
+    * variants by the same portable hash the sampling ops use (no stored
+    * assignment table, reproducible on any engine — the standard
+    * hash-bucketing every experimentation platform runs), then
+    * per-variant funnel counts and the exact conversion rate in ppm.
+    * Two distinct-aggregates over the user key (one shuffle, map-side
+    * partial distinct), two output rows at any scale.
+    * Output: (variant, n_users, n_buyers, conv_ppm).
+    */
+  def q57AbTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir).filter(col("user_id").isNotNull)
+      .withColumn("variant",
+        pmod(col("user_id") * lit(1000003L) + lit(12289L), lit(2147483647L)) % 2)
+    e.groupBy(col("variant"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("event_type") === "purchase", col("user_id")))
+          .as("n_buyers"))
+      .select(col("variant").cast("int").as("variant"), col("n_users"), col("n_buyers"),
+        expr("(1000000 * n_buyers) div n_users").as("conv_ppm"))
+      .orderBy(col("variant"))
+  }
+
+  def q57AbTestSql: String =
+    """WITH e AS (
+      | SELECT ((user_id * 1000003 + 12289) % 2147483647) % 2 AS variant,
+      |  user_id, event_type
+      | FROM events WHERE user_id IS NOT NULL)
+      |SELECT CAST(variant AS INTEGER) AS variant,
+      | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      | CAST(count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT) AS n_buyers,
+      | (1000000 * count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END))
+      |   // count(DISTINCT user_id) AS conv_ppm
+      |FROM e GROUP BY variant ORDER BY variant""".stripMargin
 }

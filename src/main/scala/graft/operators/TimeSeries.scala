@@ -549,6 +549,53 @@ object TimeSeries {
       | list_sort(arr)[(len(arr) + 1) // 2] AS med_cents
       |FROM f ORDER BY o_custkey, day, o_orderkey""".stripMargin
 
+  /** Event-time disorder profile — the report that SIZES watermarks:
+    * for each user stream (arrival order ≈ event_id), an event is late
+    * by (max event time seen so far − its own event time); per day the
+    * profile reports how many events are out of order, how many are
+    * late beyond one minute, and the worst disorder. Pick the
+    * streaming watermark delay / dropDuplicatesWithinWatermark window
+    * from these numbers instead of folklore. Per-user running max +
+    * day rollup ride one user-key shuffle then a day-cardinality agg.
+    * Output: (day, n_events, n_out_of_order, n_late_1m, max_disorder_sec).
+    */
+  def outOfOrderOn(events: DataFrame, keyCol: String, tsCol: String,
+      arrivalCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(arrivalCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("us", unix_micros(col(tsCol)))
+      .withColumn("late_us", // first event per key: empty frame → 0 late
+        greatest(lit(0L), coalesce(max(col("us")).over(w), col("us")) - col("us")))
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0L, 1L).otherwise(0L)).as("n_out_of_order"),
+        sum(when(col("late_us") > 60000000L, 1L).otherwise(0L)).as("n_late_1m"),
+        coalesce(max(expr("late_us div 1000000")), lit(0L)).as("max_disorder_sec"))
+  }
+
+  /** ts_out_of_order testdata binding: per-user disorder over the
+    * events stream, daily profile.
+    */
+  def outOfOrder(spark: SparkSession, sfDir: String): DataFrame =
+    outOfOrderOn(Tables.events(spark, sfDir), "user_id", "ts", "event_id")
+      .orderBy(col("day"))
+
+  def outOfOrderSql: String =
+    """WITH e AS (
+      | SELECT CAST(ts AS DATE) AS day, epoch_us(ts) AS us, user_id, event_id
+      | FROM events),
+      |l AS (
+      | SELECT day,
+      |  greatest(0, coalesce(max(us) OVER (PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), us) - us) AS late_us
+      | FROM e)
+      |SELECT day, count(*) AS n_events,
+      | CAST(coalesce(sum(CASE WHEN late_us > 0 THEN 1 END), 0) AS BIGINT) AS n_out_of_order,
+      | CAST(coalesce(sum(CASE WHEN late_us > 60000000 THEN 1 END), 0) AS BIGINT) AS n_late_1m,
+      | CAST(coalesce(max(late_us // 1000000), 0) AS BIGINT) AS max_disorder_sec
+      |FROM l GROUP BY 1 ORDER BY day""".stripMargin
+
   /** Linear multi-touch attribution: every click in the 30 minutes
     * before a purchase shares the purchase's credit equally (1/n_touch
     * each, in exact micro-units via integer division — deterministic
