@@ -97,6 +97,8 @@ object SparkEntry {
     "q55_attribution"    -> TimeSeries.attribution _,
     "ts_rolling_median"  -> TimeSeries.rollingMedian _,
     "ts_out_of_order"    -> TimeSeries.outOfOrder _,
+    "q58_entry_paths"    -> TimeSeries.entryPaths _,
+    "text_bigram_surprise" -> TextAnalysis.bigramSurprise _,
     "q57_ab_test"        -> Relational.q57AbTest _,
     "q56_kcore"          -> Affinity.kcore _,
     "dq_profile_drift"   -> Quality.dqProfileDrift _,
@@ -514,6 +516,8 @@ object SparkEntry {
     "q55_attribution"     -> TimeSeries.attributionSql,
     "ts_rolling_median"   -> TimeSeries.rollingMedianSql,
     "ts_out_of_order"     -> TimeSeries.outOfOrderSql,
+    "q58_entry_paths"     -> TimeSeries.entryPathsSql,
+    "text_bigram_surprise" -> TextAnalysis.bigramSurpriseSql,
     "q57_ab_test"         -> Relational.q57AbTestSql,
     "q56_kcore"           -> Affinity.kcoreSql,
     "dq_profile_drift"    -> Quality.dqProfileDriftSql,

@@ -231,6 +231,66 @@ object TextAnalysis {
        | coalesce(n_hapax, 0) AS n_hapax
        |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Bigram-LM surprise — the second-order upgrade of [[surpriseOn]]:
+    * a token's surprise is conditioned on its predecessor,
+    * −log2 P(cur | prev) with P = C(prev,cur)/C(prev,·), quantized to
+    * whole bits by the same integer-log2 device (C(prev,·) div
+    * C(prev,cur) ≥ 1 always, since every bigram is one of its prefix's
+    * continuations). Catches locally-incoherent text (word salad with
+    * a plausible unigram mix) that unigram surprise scores as normal.
+    * Shape: scan-side bigram explode (token array zipped with its own
+    * tail — no window), bigram-count agg, context-count agg riding the
+    * same shuffle, one corpus-keyed rejoin, per-doc re-agg.
+    * Output: (doc_id, n_bigrams, avg_surprise_milli, max_surprise_bits).
+    */
+  def bigramSurpriseOn(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bi = df.select(col(idCol).as("doc_id"), TextFns.tokenize(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("prev"), b.as("cur")))).as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+    val c2 = bi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
+    val perDoc = bi.join(c2, Seq("prev", "cur")).join(c1, Seq("prev"))
+      .withColumn("bits", (length(bin(expr("c1 div c2"))) - 1).cast("bigint"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("bits")).as("sum_bits"),
+        max(col("bits")).as("max_surprise_bits"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("(1000 * sum_bits) div n_bigrams").as("avg_surprise_milli"),
+        col("max_surprise_bits"))
+    df.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_surprise_milli"), lit(0L)).as("avg_surprise_milli"),
+        coalesce(col("max_surprise_bits"), lit(0L)).as("max_surprise_bits"))
+  }
+
+  /** text_bigram_surprise testdata binding. */
+  def bigramSurprise(spark: SparkSession, sfDir: String): DataFrame =
+    bigramSurpriseOn(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  def bigramSurpriseSql: String =
+    s"""WITH t AS (SELECT doc_id, ${TextFns.tokenizeSql("text")} AS w FROM documents),
+       |bi AS (SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+       |       FROM t, unnest(generate_series(1, len(w) - 1)) AS u(i)
+       |       WHERE len(w) >= 2),
+       |c2 AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY 1, 2),
+       |c1 AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+       |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |       CAST(sum(length(bin(c1 // c2)) - 1) AS BIGINT) AS sum_bits,
+       |       CAST(max(length(bin(c1 // c2)) - 1) AS BIGINT) AS max_surprise_bits
+       |      FROM bi JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
+       |      GROUP BY 1)
+       |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+       | coalesce((1000 * sum_bits) // n_bigrams, 0) AS avg_surprise_milli,
+       | coalesce(max_surprise_bits, 0) AS max_surprise_bits
+       |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** PII patterns shared by the Spark and oracle forms — conservative
     * RE2-and-Java-compatible syntax (no lookaround, dash last in
     * classes). Scrub order is email → url → phone (a url may contain an

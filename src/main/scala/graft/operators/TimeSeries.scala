@@ -549,6 +549,47 @@ object TimeSeries {
       | list_sort(arr)[(len(arr) + 1) // 2] AS med_cents
       |FROM f ORDER BY o_custkey, day, o_orderkey""".stripMargin
 
+  /** Entry-path mining (sequence analytics lite): each user's FIRST
+    * three event types in time order form their entry path; the report
+    * counts users per path — "how do people start" for onboarding and
+    * funnel design, the complement of q45's one-step Markov matrix
+    * (which forgets position). Output cardinality is bounded by
+    * |event types|³ regardless of users. One user-key shuffle shared
+    * by the ranking window and the path assembly; deterministic
+    * ordering via (ts, event_id) ties and an in-array sort.
+    * Output: (path, n_users).
+    */
+  def entryPathsOn(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String, depth: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    events.filter(col(keyCol).isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= depth)
+      .groupBy(col(keyCol))
+      .agg(concat_ws(">",
+        transform(array_sort(collect_list(struct(col("rn"), col(typeCol).as("t")))),
+          p => p.getField("t"))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+  }
+
+  /** q58_entry_paths testdata binding: first-3-event-type paths over
+    * the events stream.
+    */
+  def entryPaths(spark: SparkSession, sfDir: String): DataFrame =
+    entryPathsOn(Tables.events(spark, sfDir), "user_id", "ts", "event_id", "event_type")
+      .orderBy(col("n_users").desc, col("path"))
+
+  def entryPathsSql: String =
+    """WITH e AS (
+      | SELECT user_id, event_type,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+      | FROM events WHERE user_id IS NOT NULL),
+      |p AS (
+      | SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      | FROM e WHERE rn <= 3 GROUP BY 1)
+      |SELECT path, count(*) AS n_users FROM p GROUP BY 1
+      |ORDER BY n_users DESC, path""".stripMargin
+
   /** Event-time disorder profile — the report that SIZES watermarks:
     * for each user stream (arrival order ≈ event_id), an event is late
     * by (max event time seen so far − its own event time); per day the

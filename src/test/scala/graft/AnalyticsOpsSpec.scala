@@ -120,6 +120,36 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("bigramSurpriseOn: deterministic continuations are free, rare ones cost bits") {
+    import spark.implicits._
+    // corpus bigrams: (a b)×4, (b a)×1, (b c)×1, (c a)×1.
+    // contexts: a→4, b→2, c→1. bits = floor(log2(ctx // count)):
+    // (a b): 4//4 → 0; (b a): 2//1 → 1; (b c): 2//1 → 1; (c a): 1//1 → 0
+    val docs = Seq((1L, "a b a b"), (2L, "a b c a b")).toDF("doc_id", "text")
+    val rows = TextAnalysis.bigramSurpriseOn(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc1: (a b),(b a),(a b) → bits 0,1,0 → avg = 1000/3 = 333
+    assert(rows(0) == ((1L, 3L, 333L, 1L)))
+    // doc2: (a b),(b c),(c a),(a b) → bits 0,1,0,0 → avg = 1000/4 = 250
+    assert(rows(1) == ((2L, 4L, 250L, 1L)))
+  }
+
+  test("entryPathsOn builds ordered depth-3 paths per user") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (1L, 2L, "2024-01-01 10:01:00", "click"),
+      (1L, 3L, "2024-01-01 10:02:00", "purchase"),
+      (1L, 4L, "2024-01-01 10:03:00", "view"), // beyond depth — ignored
+      (2L, 5L, "2024-01-01 11:00:00", "view"))
+      .toDF("user_id", "event_id", "s", "event_type")
+      .select(col("user_id"), col("event_id"), col("s").cast("timestamp").as("ts"), col("event_type"))
+    val paths = TimeSeries.entryPathsOn(e, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(paths == Map("view>click>purchase" -> 1L, "view" -> 1L))
+  }
+
   test("recallEval reports consistent per-probe hit ratios") {
     val rows = Similarity.recallEval(spark, SfDir).collect()
     assert(rows.length == 8, "one row per probe")
