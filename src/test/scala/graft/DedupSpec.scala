@@ -58,6 +58,42 @@ class DedupSpec extends SparkSpecBase {
     assert(labels.forall(_._2 == 0L), "every path node must label to the component min")
   }
 
+  test("both clustering algorithms match a union-find ground truth on random graphs") {
+    import spark.implicits._
+    val n = 200
+    for (trial <- 0 until 2) {
+      val rnd = new scala.util.Random(1000 + trial)
+      val edges = (0 until 320)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      // local union-find reference: union by min root, so every
+      // component's final root is its minimum id
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val truth = (0 until n).map(i => i -> find(i).toLong).toMap
+      val pairsDf = edges.toDF("a_id", "b_id")
+      val ids = (0L until n.toLong).toDF("id")
+      val pd = Dedup.clustersPdOn(pairsDf, ids).collect()
+        .map(r => (r.getLong(0).toInt, r.getLong(1))).toMap
+      val lp = Dedup.clustersOn(pairsDf, ids).collect()
+        .map(r => (r.getLong(0).toInt, r.getLong(1))).toMap
+      (0 until n).foreach { i =>
+        assert(pd(i) == truth(i), s"trial $trial: contraction mislabeled node $i")
+        assert(lp(i) == truth(i), s"trial $trial: propagation mislabeled node $i")
+      }
+    }
+  }
+
   test("bag dedup: word order is invisible, multiplicity is not") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"),
