@@ -8,12 +8,17 @@ Usage: benchcheck.py <bench.json|-> [max_ratio]
 BENCH_r*.json wrapper (the "parsed" key is used). Queries absent from
 the baseline are reported as NEW and not gated; a query that regresses
 more than max_ratio (default 2.0x, small absolute times are exempt
-below 0.5 s) fails the check. Failures come from BOTH the "failed"
-array and t<0 sentinels in the queries map. When the line was
-line-budget truncated ("omitted" > 0), the full map is recovered from
-tools/bench_last.json if its totals match; otherwise the MISSING check
-is skipped (truncation is not a regression). Exit 1 on any regression
-or failed query.
+below 1.5 s — fixed-overhead noise territory) fails the check.
+Failures come from BOTH the "failed" array and t<0 sentinels in the
+queries map. When the line was line-budget truncated ("omitted" > 0),
+the full map is recovered from tools/bench_last.json if its totals
+match; otherwise the MISSING check is skipped (truncation is not a
+regression). A second, noise-immune gate compares per-query shuffle
+WRITE BYTES (from the bench_last.json sidecar) against
+tools/shuffle_baseline.json: bytes are deterministic where wall time
+is not, so plan regressions (lost broadcast, dropped partial agg)
+fail here even when timing noise hides them. Exit 1 on any
+regression or failed query.
 """
 import json
 import sys
@@ -83,6 +88,24 @@ def main():
     if not truncated:
         for name in sorted(set(bq) - set(nq)):
             bad.append(f"MISSING {name}: in baseline but not in this bench run")
+    # Shuffle-BYTES gate: plans are deterministic, so per-query shuffle
+    # write bytes are stable run to run (unlike wall time, which noise
+    # swamps below ~1.5 s). A lost broadcast, a dropped map-side partial
+    # aggregate, or a new exchange shows up here as a bytes jump even
+    # when the timing gate can't see it. Gated at 1.5x AND > 1 MiB
+    # absolute (AQE coalescing jitters small shuffles by a few percent;
+    # tiny queries legitimately fluctuate by kilobytes).
+    try:
+        sbase = json.load(open(tooldir + "/shuffle_baseline.json"))
+        snew = json.load(open(tooldir + "/bench_last.json")).get("shuffle", {})
+        for name in sorted(set(sbase) & set(snew)):
+            bw, nw = sbase[name]["write"], snew[name]["write"]
+            if nw > 1.5 * bw and nw - bw > 1 << 20:
+                bad.append(
+                    f"SHUFFLE {name}: {nw/1e6:.1f} MB written vs baseline "
+                    f"{bw/1e6:.1f} MB ({nw/max(bw,1):.1f}x) — plan regression?")
+    except FileNotFoundError:
+        print("(no shuffle_baseline.json — bytes gate skipped)")
     print(f"\n{len(nq)} queries, {len(bad)} problems")
     if bad:
         print("\n".join(bad))
