@@ -80,6 +80,7 @@ object SparkEntry {
     "etl_rfm"            -> RetailEtl.rfm _,
     "etl_scd2"           -> RetailEtl.scd2Customers _,
     "etl_cdc_diff"       -> RetailEtl.cdcDiff _,
+    "etl_pit_lookup"     -> RetailEtl.pitLookup _,
     "q51_assoc_rules"    -> Affinity.assocRules _,
     "q52_pagerank"       -> Affinity.pagerank _,
     "text_bm25"          -> TextAnalysis.bm25 _,
@@ -500,6 +501,7 @@ object SparkEntry {
     "etl_rfm"             -> RetailEtl.rfmSql,
     "etl_scd2"            -> RetailEtl.scd2CustomersSql,
     "etl_cdc_diff"        -> RetailEtl.cdcDiffSql,
+    "etl_pit_lookup"      -> RetailEtl.pitLookupSql,
     "q51_assoc_rules"     -> Affinity.assocRulesSql,
     "q52_pagerank"        -> Affinity.pagerankSql,
     "text_bm25"           -> TextAnalysis.bm25Sql,

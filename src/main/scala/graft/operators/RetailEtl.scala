@@ -354,6 +354,41 @@ object RetailEtl {
       | CASE WHEN eff_to IS NULL THEN 1 ELSE 0 END AS is_current
       |FROM v ORDER BY customer_id, version""".stripMargin
 
+  /** etl_pit_lookup — POINT-IN-TIME dimension attribution, the Kimball
+    * pattern SCD2 history exists to serve: each fact row joins the
+    * dimension VERSION that was valid on its transaction date (not
+    * today's row — the classic late-arriving-fact / restated-history
+    * correctness trap), here orders attributed to the customer-status
+    * version in force on the order date, rolled up by attributed
+    * status × year. Scale shape: one equi-join shuffle on the customer
+    * key with the validity-interval predicate applied post-join (a
+    * customer's version list is tiny — interval filtering never
+    * explodes), then a |statuses|×|years| aggregate.
+    */
+  def pitLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = scd2Customers(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).select(col("o_custkey"),
+      to_date(col("o_orderdate")).as("odate"), col("o_totalprice"))
+    o.join(dim, col("o_custkey") === col("customer_id") &&
+        col("odate") >= col("effective_from") &&
+        (col("effective_to").isNull || col("odate") <= col("effective_to")))
+      .groupBy(col("status").as("status_at_order"), year(col("odate")).as("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("total_cents"))
+      .orderBy(col("status_at_order"), col("yr"))
+  }
+
+  def pitLookupSql: String =
+    s"""WITH dim AS ($scd2CustomersSql),
+       |o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS odate, o_totalprice FROM orders)
+       |SELECT status AS status_at_order, CAST(year(odate) AS INTEGER) AS yr,
+       | count(*) AS n_orders,
+       | CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+       |FROM o JOIN dim ON o.o_custkey = dim.customer_id
+       | AND odate >= effective_from
+       | AND (effective_to IS NULL OR odate <= effective_to)
+       |GROUP BY 1, 2 ORDER BY status_at_order, yr""".stripMargin
+
   /** etl_cdc_diff — snapshot change-data-capture: diff two point-in-time
     * builds of the customer dimension (here: the dim as observed over
     * 1994–95 vs over 1995–96 order windows) into insert / delete /

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Affinity, Quality, Relational, Similarity, TextAnalysis, TimeSeries, Training}
+import graft.operators.{Affinity, Quality, Relational, RetailEtl, Similarity, TextAnalysis, TimeSeries, Training}
 
 /** Value-level unit tests for the r5 batch: BPE pair counting,
   * length-bucket batching profile, 2-D skyline, and linear-interpolation
@@ -148,6 +148,16 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     val paths = TimeSeries.entryPathsOn(e, "user_id", "ts", "event_id", "event_type")
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(paths == Map("view>click>purchase" -> 1L, "view" -> 1L))
+  }
+
+  test("point-in-time lookup attributes every order to exactly one dimension version") {
+    val attributed = RetailEtl.pitLookup(spark, SfDir)
+      .agg(sum("n_orders")).head.getLong(0)
+    val orders = spark.read.parquet(s"$SfDir/orders.parquet").count()
+    // SCD2 versions partition each customer's timeline from their first
+    // order onward, so the validity join is exactly 1:1 — duplicates or
+    // drops here are the classic point-in-time bug
+    assert(attributed == orders, s"attributed $attributed of $orders orders")
   }
 
   test("recallEval reports consistent per-probe hit ratios") {
