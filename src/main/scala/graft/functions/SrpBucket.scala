@@ -42,8 +42,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * multi-table LSH its L independent hash tables from the same PRNG
   * stream: table t uses offset t·nPlanes. offset 0 is the original
   * single-table bucket (all existing oracles unchanged).
+  *
+  * `stride` is the per-plane PRNG index step (default 64 = the raw
+  * embedding width; all existing call sites and oracles unchanged).
+  * It must EXCEED the vector length: with stride 64 a 65-dim vector's
+  * last dimension lands on index (i+1)·64 — exactly plane i+1's dim-1
+  * coefficient — so adjacent planes share a sign component and lose
+  * hash-table independence. The norm-augmented MIPS bucketing (65
+  * dims) uses stride 128, putting the augmented dimension's index in a
+  * range (…·128+64) no plane's leading dims can reach.
   */
-case class SrpBucket(child: Expression, nPlanes: Int, offset: Int = 0)
+case class SrpBucket(child: Expression, nPlanes: Int, offset: Int = 0,
+    stride: Int = 64)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -55,10 +65,11 @@ case class SrpBucket(child: Expression, nPlanes: Int, offset: Int = 0)
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any =
-    SrpBucket.bucket(input.asInstanceOf[ArrayData], nPlanes, offset)
+    SrpBucket.bucket(input.asInstanceOf[ArrayData], nPlanes, offset, stride)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SrpBucket.bucket($c, $nPlanes, $offset)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SrpBucket.bucket($c, $nPlanes, $offset, $stride)")
 
   override protected def withNewChildInternal(newChild: Expression): SrpBucket =
     copy(child = newChild)
@@ -69,7 +80,7 @@ case class SrpBucket(child: Expression, nPlanes: Int, offset: Int = 0)
 object SrpBucket {
   final val P = 2147483647L
 
-  def bucket(v: ArrayData, nPlanes: Int, offset: Int): Long = {
+  def bucket(v: ArrayData, nPlanes: Int, offset: Int, stride: Int = 64): Long = {
     val n = v.numElements()
     var b = 0L
     var i = 0
@@ -77,7 +88,7 @@ object SrpBucket {
       var acc = 0.0
       var d = 1
       while (d <= n) {
-        val k = (offset + i) * 64L + d - 1
+        val k = (offset + i) * stride.toLong + d - 1
         val s = (1000003L * k + 12289L) % P
         val h = (s * s) % P
         val m = (h + k) % P
@@ -92,6 +103,7 @@ object SrpBucket {
   }
 
   /** Column-API entry point. */
-  def column(c: Column, nPlanes: Int, offset: Int = 0): Column =
-    GraftBridge.toColumn(new SrpBucket(GraftBridge.toExpression(c), nPlanes, offset))
+  def column(c: Column, nPlanes: Int, offset: Int = 0, stride: Int = 64): Column =
+    GraftBridge.toColumn(
+      new SrpBucket(GraftBridge.toExpression(c), nPlanes, offset, stride))
 }

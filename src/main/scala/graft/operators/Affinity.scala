@@ -150,10 +150,17 @@ object Affinity {
     * = deg ≥ 1). Output: (id, deg, pr_fixed) — pr_fixed ≈ rank × 10¹².
     */
   def pagerankOn(edges: DataFrame, iters: Int = PrIters): DataFrame = {
+    // persist() makes the iteration base explicit: every iteration joins
+    // this edge list, and without it correctness-of-cost hangs on
+    // Catalyst's ReuseExchange deduplicating `iters + 1` identical
+    // subtrees — one nondeterministic expression or AQE replan away from
+    // recomputing the upstream pair explosion per round (the same
+    // contract dedup_cluster pins at Dedup.clustersOn).
     val e = edges.select(explode(array(
         struct(col("a_item").as("u"), col("b_item").as("v")),
         struct(col("b_item").as("u"), col("a_item").as("v")))).as("p"))
       .select(col("p.u").as("u"), col("p.v").as("v"))
+      .persist()
     val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val nTotal = deg.select(count(lit(1)).as("n_nodes"))
     // every frame below carries (id, deg, r); base = (15 · (S div N)) div 100
@@ -203,25 +210,47 @@ object Affinity {
        |SELECT id, deg, r AS pr_fixed FROM r$PrIters ORDER BY id""".stripMargin
   }
 
+  /** Per-middle-vertex adjacency cap for [[khopOn]]'s self-join: each
+    * node contributes at most this many outgoing edges as the SECOND
+    * hop. 64 is far above the testdata co-purchase graph's max degree
+    * (13 at sf0.01, 6 at sf0.1), so the capped operator is EXACT there;
+    * on a power-law graph at 100× it bounds the self-join's output at
+    * cap·|E| instead of Σ deg² (one 10⁵-degree hub would otherwise
+    * put 10¹⁰ intermediate rows on a single join key).
+    */
+  val KhopDegCap = 64
+
   /** 2-hop neighborhood profile over an undirected edge set (a < b
     * rows): per node, the direct-neighbor count and the count of
     * distinct nodes reachable in ≤ 2 hops (self excluded) — the
     * "friends-of-friends" reach that drives recommendation-candidate
     * pool sizing. One edge self-join under the symmetrized edge list
     * produces the 2-hop pairs; the union with 1-hop pairs distincts
-    * into the reach set — cost is Σ deg² over the SUPPORT-FILTERED
-    * graph (pruned upstream, like every affinity analytic here); at
-    * web-graph skew the hub nodes need a degree cap before the
-    * self-join, the same df-cap policy as hot shingles in
-    * [[Dedup.ngramJaccardOn]]. Output: (id, n_1hop, n_reach2).
+    * into the reach set. The middle-vertex side of the self-join is
+    * HUB-CAPPED at `degCap` neighbors, chosen per node by a
+    * deterministic hash rank (portable integer arithmetic, identical in
+    * the oracle) — the df-cap policy of [[Dedup.ngramJaccardOn]]'s hot
+    * shingles applied to graph hubs. Candidate volume is therefore
+    * Σ deg_in(w)·min(deg(w), cap) ≤ cap·|E|, never Σ deg²; reach
+    * through a hub beyond the cap degrades to a deterministic sample
+    * (exact whenever max degree ≤ cap, as on the testdata graph). The
+    * cap's row_number window partitions on the same key the join
+    * shuffles on, so it rides the join exchange rather than adding one.
+    * Output: (id, n_1hop, n_reach2).
     */
-  def khopOn(edges: DataFrame): DataFrame = {
+  def khopOn(edges: DataFrame, degCap: Int = KhopDegCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val e = edges.select(explode(array(
         struct(col("a_item").as("u"), col("b_item").as("v")),
         struct(col("b_item").as("u"), col("a_item").as("v")))).as("p"))
       .select(col("p.u").as("u"), col("p.v").as("v"))
+    val eCap = e
+      .withColumn("rk", row_number().over(Window.partitionBy(col("u"))
+        .orderBy(expr("(v * 1103515245 + 12345) % 1000000007"), col("v"))))
+      .filter(col("rk") <= degCap)
+      .select(col("u"), col("v"))
     val two = e.select(col("u"), col("v").as("w"))
-      .join(e.select(col("u").as("w"), col("v")), Seq("w"))
+      .join(eCap.select(col("u").as("w"), col("v")), Seq("w"))
       .select(col("u"), col("v"))
       .filter(col("u") =!= col("v"))
     val reach = e.unionAll(two).distinct()
@@ -246,7 +275,11 @@ object Affinity {
       |      GROUP BY 1, 2 HAVING count(*) >= 2),
       |e AS (SELECT a_item AS u, b_item AS v FROM p
       |      UNION ALL SELECT b_item, a_item FROM p),
-      |two AS (SELECT a.u, b.v FROM e a JOIN e b ON a.v = b.u WHERE a.u <> b.v),
+      |ec AS (SELECT u, v FROM (
+      |      SELECT u, v, row_number() OVER (PARTITION BY u
+      |        ORDER BY (v * 1103515245 + 12345) % 1000000007, v) AS rk FROM e)
+      |      WHERE rk <= 64),
+      |two AS (SELECT a.u, b.v FROM e a JOIN ec b ON a.v = b.u WHERE a.u <> b.v),
       |reach AS (SELECT u, v FROM e UNION SELECT u, v FROM two),
       |deg AS (SELECT u, count(*) AS n_1hop FROM e GROUP BY 1)
       |SELECT r.u AS id, deg.n_1hop, count(*) AS n_reach2

@@ -67,10 +67,10 @@ object Similarity {
       s"THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)"
   }
 
-  private def bucketSql(v: String, nPlanes: Int): String =
+  private def bucketSql(v: String, nPlanes: Int, stride: Int = 64): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, ${nPlanes - 1}), i -> " +
       s"CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len($v)), d -> CAST($v[d] AS DOUBLE) * " +
-      s"${signSql("i * 64 + d - 1")})), (a, b) -> a + b) > 0 " +
+      s"${signSql(s"i * $stride + d - 1")})), (a, b) -> a + b) > 0 " +
       s"THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b)"
 
   /** Per-table bucket for multi-table LSH: table `t` (a SQL variable in
@@ -347,7 +347,11 @@ object Similarity {
     * queries in the augmented-bucket equi-join; scoring is the EXACT
     * dot product (codegen FloatVecDot), so results are value-oracled.
     * A query's appended 0 contributes nothing to any plane, so the
-    * query side buckets on the raw vector — bit-identical.
+    * query side buckets on the raw vector — bit-identical. Both sides
+    * bucket with PRNG stride 128 (not the default 64): a 65-dim
+    * augmented vector at stride 64 would put its last dimension on
+    * index (i+1)·64 — plane i+1's dim-1 coefficient — correlating
+    * adjacent planes' signs (see [[graft.functions.SrpBucket]]).
     *
     * Scale shape: identical to [[lshTopkOn]] — O(N) bucket shuffle,
     * the augmentation is scan-side arithmetic; M² is one aggregate
@@ -361,9 +365,11 @@ object Similarity {
     val c = candidates.crossJoin(broadcast(m2))
       .withColumn("aug", concat(col("cv"),
         array(sqrt(greatest(lit(0.0), col("m2") - selfdot)).cast("float"))))
-      .withColumn("bucket", bucketCol("aug", nPlanes))
+      .withColumn("bucket",
+        graft.functions.SrpBucket.column(col("aug"), nPlanes, 0, 128))
       .select(col("c_id"), col("cv"), col("bucket"))
-    val q0 = queries.withColumn("bucket", bucketCol("qv", nPlanes))
+    val q0 = queries.withColumn("bucket",
+      graft.functions.SrpBucket.column(col("qv"), nPlanes, 0, 128))
     val q = if (broadcastQueries) broadcast(q0) else q0
     val w = Window.partitionBy(col("q_id")).orderBy(col("dot").desc, col("c_id"))
     c.join(q, Seq("bucket"))
@@ -388,12 +394,12 @@ object Similarity {
   def mipsAnnSql: String = {
     val aug = "list_append(cv, CAST(sqrt(greatest(CAST(0 AS DOUBLE), " +
       s"m2 - ${dotSql("cv", "cv")})) AS REAL))"
-    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv, ${bucketSql("embedding", 8)} AS bucket
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv, ${bucketSql("embedding", 8, 128)} AS bucket
        |           FROM embeddings WHERE vec_id < 8),
        |m AS (SELECT max(${dotSql("embedding", "embedding")}) AS m2
        |      FROM embeddings WHERE vec_id >= 8),
        |c0 AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id >= 8),
-       |c AS (SELECT c_id, cv, ${bucketSql(aug, 8)} AS bucket FROM c0, m),
+       |c AS (SELECT c_id, cv, ${bucketSql(aug, 8, 128)} AS bucket FROM c0, m),
        |s AS (SELECT q_id, c_id, ${dotSql("qv", "cv")} AS dot
        |      FROM q JOIN c ON q.bucket = c.bucket),
        |r AS (SELECT q_id, c_id, dot, row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, c_id) AS rk FROM s)

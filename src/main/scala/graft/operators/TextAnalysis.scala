@@ -649,6 +649,31 @@ object TextAnalysis {
        | pair, n
        |FROM c ORDER BY rank""".stripMargin
 
+  /** Longest run of equal ADJACENT elements in a string array — a
+    * scan-side fold (state: previous element, current run, best run).
+    * On a SORTED array this is the count of the most frequent element,
+    * which is how [[repetitionOn]] gets per-gram mode counts without a
+    * (doc, gram) aggregation shuffle. Empty/absent arrays fold to 0.
+    */
+  private def maxAdjRunExpr(arr: String): String =
+    s"""aggregate($arr,
+       |  named_struct('prev', CAST(NULL AS STRING), 'cur', 0, 'best', 0),
+       |  (s, x) -> named_struct(
+       |    'prev', x,
+       |    'cur',  CASE WHEN s.prev <=> x THEN s.cur + 1 ELSE 1 END,
+       |    'best', GREATEST(s.best, CASE WHEN s.prev <=> x THEN s.cur + 1 ELSE 1 END)),
+       |  s -> s.best)""".stripMargin
+
+  /** Count of positions in a SORTED string array whose value occurs more
+    * than once: total length minus the singletons (elements equal to
+    * neither sorted neighbor). Pure index arithmetic over the array —
+    * no shuffle, no per-gram state.
+    */
+  private def dupPositionsExpr(arr: String): String =
+    s"size($arr) - size(filter(transform($arr, (x, i) -> i), i -> " +
+      s"(i = 0 OR element_at($arr, i) <> element_at($arr, i + 1)) AND " +
+      s"(i = size($arr) - 1 OR element_at($arr, i + 2) <> element_at($arr, i + 1))))"
+
   /** text_repetition — Gopher-style within-document repetition signals
     * (the quality rules that catch boilerplate/spam the length and
     * stopword heuristics miss), adapted to token n-grams for a
@@ -656,49 +681,32 @@ object TextAnalysis {
     * the number of trigram positions inside duplicated trigrams, and the
     * longest same-token run. All EXACT integers — no ratios, so the
     * value oracle is trivial and downstream thresholds stay
-    * engine-independent. Shape: one posexplode + one doc-keyed window
-    * pass derives bigram/trigram/run-id in a single shuffle; the three
-    * n-gram aggregations fan out from that frame (persisted — three
-    * forks of a window output; each is a groupBy with map-side combine
-    * whose state is per-(doc, gram), never corpus-global). At 100 TB
-    * per-doc group state is bounded by document length, and no stage
-    * holds more than slim (doc, gram) rows.
+    * engine-independent. Shape: pure scan-side HOFs over the token
+    * array, zero shuffles — a repetition signal is a function of ONE
+    * document, so nothing should ever leave the scan task. Bigram /
+    * trigram arrays come from zipping the array with its own tail (the
+    * [[bpePairsOn]] pattern); `array_sort` makes equal grams adjacent,
+    * turning "most frequent gram" and "positions in duplicated grams"
+    * into adjacent-run folds ([[maxAdjRunExpr]] / [[dupPositionsExpr]]).
+    * Per-row cost is O(len · log len) in the doc's own length — at
+    * 100 TB this is embarrassingly parallel with no stage state at all
+    * (the prior window form shuffled every TOKEN of the corpus on
+    * (doc, pos) three times).
     * Output: (doc_id, n_tokens, top_bigram_n, dup_trigram_n, max_run).
     */
-  def repetitionOn(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val t = df.select(col(idCol).as("doc_id"), TextFns.tokenize(col(textCol)).as("w"))
-    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val seqd = t.filter(size(col("w")) > 0)
-      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tk")))
-      .withColumn("nxt", lead(col("tk"), 1).over(wd))
-      .withColumn("nxt2", lead(col("tk"), 2).over(wd))
-      .withColumn("newrun",
-        when(lag(col("tk"), 1).over(wd).isNull ||
-          lag(col("tk"), 1).over(wd) =!= col("tk"), 1).otherwise(0))
-      .withColumn("run_id", sum(col("newrun")).over(
-        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .persist() // three aggregation forks below re-read this window output
-    val bg = seqd.filter(col("nxt").isNotNull)
-      .groupBy(col("doc_id"), concat_ws(" ", col("tk"), col("nxt")).as("g"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).cast("int").as("top_bigram_n"))
-    val tg = seqd.filter(col("nxt2").isNotNull)
-      .groupBy(col("doc_id"), concat_ws(" ", col("tk"), col("nxt"), col("nxt2")).as("g"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("c") > 1, col("c")).otherwise(0)).cast("int").as("dup_trigram_n"))
-    val rn = seqd.groupBy(col("doc_id"), col("run_id")).agg(count(lit(1)).as("rl"))
-      .groupBy(col("doc_id")).agg(max(col("rl")).cast("int").as("max_run"))
-    t.select(col("doc_id"), size(col("w")).as("n_tokens"))
-      .join(bg, Seq("doc_id"), "left")
-      .join(tg, Seq("doc_id"), "left")
-      .join(rn, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("top_bigram_n"), lit(0)).as("top_bigram_n"),
-        coalesce(col("dup_trigram_n"), lit(0)).as("dup_trigram_n"),
-        coalesce(col("max_run"), lit(0)).as("max_run"))
-  }
+  def repetitionOn(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), TextFns.tokenize(col(textCol)).as("w"))
+      .withColumn("bgs", expr(
+        "array_sort(zip_with(slice(w, 1, greatest(size(w) - 1, 0)), " +
+          "slice(w, 2, greatest(size(w) - 1, 0)), (a, b) -> concat(a, ' ', b)))"))
+      .withColumn("tgs", expr(
+        "array_sort(zip_with(zip_with(slice(w, 1, greatest(size(w) - 2, 0)), " +
+          "slice(w, 2, greatest(size(w) - 2, 0)), (a, b) -> concat(a, ' ', b)), " +
+          "slice(w, 3, greatest(size(w) - 2, 0)), (p, c) -> concat(p, ' ', c)))"))
+      .select(col("doc_id"), size(col("w")).as("n_tokens"),
+        expr(maxAdjRunExpr("bgs")).as("top_bigram_n"),
+        expr(dupPositionsExpr("tgs")).as("dup_trigram_n"),
+        expr(maxAdjRunExpr("w")).as("max_run"))
 
   /** text_repetition testdata binding. */
   def repetition(spark: SparkSession, sfDir: String): DataFrame =

@@ -31,7 +31,20 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     val agg = df.agg(sum("credit_micro"), sum("n_touches")).head
     val credit = agg.getLong(0)
     val touches = agg.getLong(1)
-    val nPurchases = df.agg(sum("n_purchases_touched")).head.getLong(0)
+    // GLOBAL distinct touched purchases, re-derived from the events —
+    // summing the per-day distinct column double-counts any purchase
+    // whose 30-min touch window spans midnight, which overshoots the
+    // conservation bound on valid data
+    val e = graft.util.Tables.events(spark, SfDir)
+      .withColumn("us", unix_micros(col("ts")))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("click_us"))
+    val nPurchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("prc_id"), col("us").as("prc_us"))
+      .join(clicks, Seq("user_id"))
+      .filter(col("click_us") <= col("prc_us") &&
+        col("click_us") > col("prc_us") - 1800000000L)
+      .agg(countDistinct(col("prc_id"))).head.getLong(0)
     assert(credit > 0, "testdata should contain attributed purchases")
     // each touched purchase emits n_touch * (1e6 div n_touch) micro-credit:
     // at most 1e6, and short by less than n_touch

@@ -225,4 +225,33 @@ class PlanAuditSpec extends SparkSpecBase {
     val lineitemScans = p.linesIterator.filter(l => l.contains("ReadSchema:") && l.contains("l_orderkey")).mkString
     assert(!lineitemScans.contains("l_comment") && !lineitemScans.contains("l_returnflag"), lineitemScans)
   }
+
+  test("q52_pagerank: the pair-exploding copurchase subtree materializes once (persisted iteration base)") {
+    // every iteration joins the symmetrized edge list; before the
+    // persist() the plan carried iters+1 copies of the basket-pair
+    // explosion and relied on ReuseExchange to deduplicate them at
+    // runtime — one nondeterministic expression away from recomputing
+    // the explosion per round. With the cache the explosion subtree
+    // appears at most once (inside the InMemoryRelation definition) and
+    // every iteration reads the cache.
+    val p = planOf(q("q52_pagerank"))
+    val explosions = p.linesIterator.count(_.contains("flatten(transform(sequence"))
+    assert(explosions <= 1,
+      s"copurchase pair explosion planned $explosions times — iteration base not persisted:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"iterations should read the persisted edge list:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("text_repetition: pure scan-side plan — no exchange at all before the output sort") {
+    // a repetition signal is a function of ONE document; the operator
+    // core must not shuffle (the prior form window-shuffled every token
+    // of the corpus three times). The testdata binding's orderBy is the
+    // only permitted exchange.
+    val core = graft.operators.TextAnalysis.repetitionOn(
+      graft.util.Tables.documents(spark, SfDir), "doc_id", "text")
+    val p = planOf(core)
+    assert(!p.contains("Exchange"), s"scan-side operator grew a shuffle:\n$p")
+    assert(!p.contains("Window"), s"scan-side operator grew a window:\n$p")
+  }
 }

@@ -90,6 +90,33 @@ class ScaleSmokeSpec extends SparkSpecBase {
     assert(n < NDocs.toLong * 20, s"simhash near-dup volume exploded: $n pairs")
   }
 
+  test("khop hub cap bounds the self-join on a planted-hub graph: candidate volume is cap·N, not deg²") {
+    import spark.implicits._
+    // a 5000-leaf star: the worst shape for the 2-hop self-join — every
+    // (leaf, leaf') pair meets at the hub, so the UNCAPPED middle-vertex
+    // join would emit deg² = 25M candidate rows on ONE key; the
+    // deterministic top-cap adjacency keeps it at deg·cap = 320k
+    val hubDeg = 5000
+    val edges = (1 to hubDeg).map(i => (0L, i.toLong)).toDF("a_item", "b_item")
+    val got = graft.operators.Affinity.khopOn(edges)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_1hop"), r.getAs[Long]("n_reach2")))).toMap
+    // hub: all leaves are 1-hop; nothing new at 2 hops
+    assert(got(0L) == ((hubDeg.toLong, hubDeg.toLong)))
+    // each leaf reaches the hub plus AT MOST cap second-hop neighbors —
+    // the capped sample, never the full deg(hub) fan-out
+    val leafReach = got.collect { case (id, (_, r2)) if id != 0L => r2 }
+    assert(leafReach.size == hubDeg)
+    assert(leafReach.max <= graft.operators.Affinity.KhopDegCap + 1,
+      s"hub cap did not bind: max leaf reach ${leafReach.max}")
+    assert(leafReach.min >= graft.operators.Affinity.KhopDegCap.toLong,
+      s"cap kept too few: min leaf reach ${leafReach.min}")
+    // raising the cap past the max degree restores the exact semantics
+    val exact = graft.operators.Affinity.khopOn(edges, degCap = hubDeg + 1)
+      .filter(col("id") =!= 0L).agg(min(col("n_reach2")), max(col("n_reach2"))).head
+    assert(exact.getLong(0) == hubDeg.toLong && exact.getLong(1) == hubDeg.toLong)
+  }
+
   test("multi-table LSH bucket audit on 50k random embeddings: non-degenerate shallow tables, sub-quadratic deep tables") {
     import spark.implicits._
     // deterministic pseudo-random 64-dim vectors: the distribution every
