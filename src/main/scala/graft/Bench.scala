@@ -55,7 +55,15 @@ object Bench {
     // so the first measured query isn't charged for it
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count()
       .write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Iteration aid: SPARK_GRAFT_ONLY=q52_pagerank,q54_khop runs just
+    // those queries (full-suite runs — the driver's — leave it unset).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       var failed = false
       var shuffleRead = 0L
       var shuffleWrite = 0L

@@ -81,8 +81,10 @@ object SparkEntry {
     "etl_scd2"           -> RetailEtl.scd2Customers _,
     "etl_cdc_diff"       -> RetailEtl.cdcDiff _,
     "etl_pit_lookup"     -> RetailEtl.pitLookup _,
+    "etl_dim_serial"     -> RetailEtl.dimSerial _,
     "q51_assoc_rules"    -> Affinity.assocRules _,
     "q52_pagerank"       -> Affinity.pagerank _,
+    "q59_coreness"       -> Affinity.coreness _,
     "text_bm25"          -> TextAnalysis.bm25 _,
     "dedup_spans"        -> Dedup.spanDedup _,
     "text_repetition"    -> TextAnalysis.repetition _,
@@ -97,6 +99,7 @@ object SparkEntry {
     "ts_cum_distinct"    -> TimeSeries.cumDistinct _,
     "q55_attribution"    -> TimeSeries.attribution _,
     "ts_rolling_median"  -> TimeSeries.rollingMedian _,
+    "ts_rolling_median_wide" -> TimeSeries.rollingMedianWide _,
     "ts_out_of_order"    -> TimeSeries.outOfOrder _,
     "q58_entry_paths"    -> TimeSeries.entryPaths _,
     "text_bigram_surprise" -> TextAnalysis.bigramSurprise _,
@@ -502,8 +505,10 @@ object SparkEntry {
     "etl_scd2"            -> RetailEtl.scd2CustomersSql,
     "etl_cdc_diff"        -> RetailEtl.cdcDiffSql,
     "etl_pit_lookup"      -> RetailEtl.pitLookupSql,
+    "etl_dim_serial"      -> RetailEtl.dimSerialSql,
     "q51_assoc_rules"     -> Affinity.assocRulesSql,
     "q52_pagerank"        -> Affinity.pagerankSql,
+    "q59_coreness"        -> Affinity.corenessSql,
     "text_bm25"           -> TextAnalysis.bm25Sql,
     "dedup_spans"         -> Dedup.spanDedupSql,
     "text_repetition"     -> TextAnalysis.repetitionSql,
@@ -517,6 +522,7 @@ object SparkEntry {
     "ts_cum_distinct"     -> TimeSeries.cumDistinctSql,
     "q55_attribution"     -> TimeSeries.attributionSql,
     "ts_rolling_median"   -> TimeSeries.rollingMedianSql,
+    "ts_rolling_median_wide" -> TimeSeries.rollingMedianWideSql,
     "ts_out_of_order"     -> TimeSeries.outOfOrderSql,
     "q58_entry_paths"     -> TimeSeries.entryPathsSql,
     "text_bigram_surprise" -> TextAnalysis.bigramSurpriseSql,

@@ -150,17 +150,22 @@ object Affinity {
     * = deg ≥ 1). Output: (id, deg, pr_fixed) — pr_fixed ≈ rank × 10¹².
     */
   def pagerankOn(edges: DataFrame, iters: Int = PrIters): DataFrame = {
-    // persist() makes the iteration base explicit: every iteration joins
-    // this edge list, and without it correctness-of-cost hangs on
-    // Catalyst's ReuseExchange deduplicating `iters + 1` identical
-    // subtrees — one nondeterministic expression or AQE replan away from
-    // recomputing the upstream pair explosion per round (the same
-    // contract dedup_cluster pins at Dedup.clustersOn).
+    // localCheckpoint() makes the iteration base explicit: every
+    // iteration joins this edge list, and without it correctness-of-cost
+    // hangs on Catalyst's ReuseExchange deduplicating `iters + 1`
+    // identical subtrees — one nondeterministic expression or AQE replan
+    // away from recomputing the upstream pair explosion per round (the
+    // same contract dedup_cluster pins at Dedup.clustersOn). Checkpoint,
+    // NOT persist(): measured at sf0.1, the columnar cache doubles the
+    // query (7.4 s vs 3.7 s un-pinned) because every scan pays columnar
+    // encode/decode that ReuseExchange never charged, while the eager
+    // row-level checkpoint (2.5-2.7 s) materializes once AND truncates
+    // the lineage, so the 5 iteration plans stay shallow.
     val e = edges.select(explode(array(
         struct(col("a_item").as("u"), col("b_item").as("v")),
         struct(col("b_item").as("u"), col("a_item").as("v")))).as("p"))
       .select(col("p.u").as("u"), col("p.v").as("v"))
-      .persist()
+      .localCheckpoint()
     val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val nTotal = deg.select(count(lit(1)).as("n_nodes"))
     // every frame below carries (id, deg, r); base = (15 · (S div N)) div 100
@@ -360,6 +365,93 @@ object Affinity {
        |SELECT u AS item, count(*) AS core_deg FROM (
        |  SELECT u, v FROM e8 UNION ALL SELECT v, u FROM e8)
        |GROUP BY 1 ORDER BY item""".stripMargin
+  }
+
+  /** Iteration bound shared by [[corenessOn]]'s testdata binding and
+    * its oracle unroll (extra iterations past the fixpoint are no-ops,
+    * same contract as [[pagerankOn]] / [[kcorePeelOn]]).
+    */
+  val CorenessIters = 32
+
+  /** Full core decomposition — every node's core number (the largest k
+    * for which the node survives k-core peeling), not just one k-core's
+    * survivors ([[kcorePeelOn]]). Runs the iterated-h-index fixpoint
+    * (Lu et al., Nature Communications 2016, a published public
+    * algorithm): start each node at its degree, then repeatedly replace
+    * a node's value with the H-index of its neighbors' values — the
+    * sequence decreases monotonically and converges to coreness. This
+    * is THE distributed shape for core decomposition: per round one
+    * edge⋈value join plus one per-node window/agg (keyed shuffles on
+    * the graph), instead of per-(k, round) peels — k never appears, so
+    * the full decomposition costs the same as one peel sequence.
+    *
+    * The H-index rides a window: neighbors sorted by value desc, rank
+    * r, H = max(least(r, value)) — all integer arithmetic, so the
+    * oracle unrolls bit-identically. Rounds end in an eager
+    * localCheckpoint (plan-growth contract, as [[kcorePeelOn]]); the
+    * one scalar read per round is the standard iterative-driver
+    * fixpoint check, not a collect of data. The bound: measured
+    * convergence is round 21 at sf0.001, 10 at sf0.01, 5 at sf0.1
+    * (BIGGER graphs converge FASTER here — convergence tracks the
+    * depth of h-value cascades, and the small graph's long pendant
+    * chains out-depth the dense one's cliques), so the bound carries
+    * real margin, the early exit keeps actual cost at the convergence
+    * round count, and the spec cross-checks coreness against
+    * independent peels at every k — an unconverged bound cannot pass
+    * silently (an unconverged h-index OVERestimates: at 16 iterations
+    * sf0.001 still claimed 81 nodes >= 16 while the true 16-core is
+    * empty). Output: (item, coreness).
+    */
+  def corenessOn(edges: DataFrame, iters: Int = CorenessIters): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(explode(array(
+        struct(col("a_item").as("u"), col("b_item").as("v")),
+        struct(col("b_item").as("u"), col("a_item").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+      .localCheckpoint()
+    var core = e.groupBy(col("u")).agg(count(lit(1)).as("c"))
+    var r = 0
+    while (r < iters) {
+      val byV = core.select(col("u").as("v"), col("c").as("cv"))
+      val next = e.join(byV, Seq("v"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("u")).orderBy(col("cv").desc, col("v"))))
+        .groupBy(col("u"))
+        .agg(max(least(col("rk").cast("long"), col("cv"))).as("c"))
+        .localCheckpoint()
+      val changed = next.join(core.withColumnRenamed("c", "c_prev"), Seq("u"))
+        .filter(col("c") =!= col("c_prev")).limit(1).count()
+      core = next
+      if (changed == 0) r = iters // fixpoint: remaining rounds are no-ops
+      else r += 1
+    }
+    core.select(col("u").as("item"), col("c").as("coreness"))
+  }
+
+  /** q59_coreness testdata binding: full core decomposition of the
+    * support-≥2 co-purchase graph.
+    */
+  def coreness(spark: SparkSession, sfDir: String): DataFrame =
+    corenessOn(copurchase(spark, sfDir))
+      .orderBy(col("item"))
+
+  def corenessSql: String = {
+    val prelude =
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
+        |p AS (SELECT a.item AS a_item, b.item AS b_item, count(*) AS n_baskets
+        |      FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS MATERIALIZED (SELECT a_item AS u, b_item AS v FROM p
+        |      UNION ALL SELECT b_item, a_item FROM p),
+        |c0 AS MATERIALIZED (SELECT u, count(*) AS c FROM e GROUP BY 1)""".stripMargin
+    val steps = (1 to CorenessIters).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT u, max(least(rk, cv)) AS c FROM (
+         |  SELECT e.u, p.c AS cv, row_number() OVER (PARTITION BY e.u
+         |    ORDER BY p.c DESC, e.v) AS rk
+         |  FROM e JOIN c${i - 1} p ON e.v = p.u) GROUP BY u)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$prelude$steps
+       |SELECT u AS item, c AS coreness FROM c$CorenessIters ORDER BY item""".stripMargin
   }
 
   def trianglesSql: String =

@@ -207,6 +207,74 @@ object RetailEtl {
         | (SELECT count(*) FROM (SELECT o_orderkey FROM graft_audit_o GROUP BY 1 HAVING count(*) > 1)) AS dup_orderkeys""".stripMargin)
   }
 
+  /** Dense insert-ordered surrogate assignment (reference
+    * init_db.sql:8,16 `SERIAL PRIMARY KEY`; :12-13 pre-seeded default
+    * member): new rows receive serials max(existing.sk)+1, +2, … in
+    * deterministic natural-key order — the load semantic a database
+    * sequence provides, re-expressed without one (at cluster scale a
+    * sequence is a serialization point; a deterministic rank is free
+    * and idempotent). `existing` must carry `sk`; `incoming`'s keys
+    * are assumed unique and disjoint from existing (anti-join first —
+    * [[keepLatest]] / [[scd1Merge]] own that step).
+    *
+    * Shape: a naive global `row_number() OVER (ORDER BY key)` plans as
+    * a SINGLE-PARTITION sort — the anti-pattern that serializes a
+    * 100 TB load through one task. This computes the identical dense
+    * rank in two phases: range-bucket the keys (scan-side div), count
+    * per bucket (map-side-combined aggregate, output = #buckets rows),
+    * prefix-sum those counts (a window over BUCKET COUNTS — bounded by
+    * keyspace/bucketWidth, never by row count; size bucketWidth so
+    * this stays thousands of rows), then rank WITHIN buckets only.
+    * serial = max_sk + bucket_offset + within-bucket rank.
+    */
+  def dimSerialOn(existing: DataFrame, incoming: DataFrame, keyCol: String,
+      bucketWidth: Long = 65536L): DataFrame = {
+    val base = existing.agg(coalesce(max(col("sk")), lit(0L)).as("base"))
+    val b = incoming.withColumn("bkt", expr(s"CAST($keyCol AS BIGINT) div $bucketWidth"))
+    val cum = b.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(
+        Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val w = Window.partitionBy(col("bkt")).orderBy(col(keyCol))
+    b.join(broadcast(cum), Seq("bkt"))
+      .crossJoin(broadcast(base))
+      .withColumn("sk", col("base") + col("off") + row_number().over(w))
+      .drop("bkt", "base", "off")
+  }
+
+  /** etl_dim_serial testdata binding: the reference's dim load replayed
+    * as two batches — seed the default member (sk 1, 'Unknown'), load
+    * nations 0–11's customers, then APPEND the rest; serials stay dense
+    * and insert-ordered across the append, exactly what a SERIAL column
+    * would have produced. Output: (sk, c_custkey, c_name).
+    */
+  def dimSerial(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val seed = spark.range(1).select(lit(1L).as("sk"),
+      lit(0L).as("c_custkey"), lit("Unknown").as("c_name"))
+    val cols = Seq(col("sk"), col("c_custkey"), col("c_name"))
+    val loaded1 = seed.unionByName(
+      dimSerialOn(seed, c.filter(col("c_nationkey") < 12).drop("c_nationkey"),
+        "c_custkey").select(cols: _*))
+    loaded1.unionByName(
+      dimSerialOn(loaded1, c.filter(col("c_nationkey") >= 12).drop("c_nationkey"),
+        "c_custkey").select(cols: _*))
+      .orderBy(col("sk"))
+  }
+
+  def dimSerialSql: String =
+    """WITH seed AS (SELECT CAST(1 AS BIGINT) AS sk, CAST(0 AS BIGINT) AS c_custkey, 'Unknown' AS c_name),
+      |b1 AS (SELECT c_custkey, c_name FROM customer WHERE c_nationkey < 12),
+      |e1 AS (SELECT CAST(1 + row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS sk, c_custkey, c_name FROM b1),
+      |l1 AS (SELECT * FROM seed UNION ALL SELECT * FROM e1),
+      |m AS (SELECT max(sk) AS mx FROM l1),
+      |b2 AS (SELECT c_custkey, c_name FROM customer WHERE c_nationkey >= 12),
+      |e2 AS (SELECT CAST(mx + row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS sk, c_custkey, c_name FROM b2, m)
+      |SELECT sk, c_custkey, c_name FROM l1
+      |UNION ALL SELECT sk, c_custkey, c_name FROM e2
+      |ORDER BY sk""".stripMargin
+
   /** Warehouse load step (reference: etl.py:145/:167/:245 df.to_sql →
     * dim_customers/dim_products/fct_invoices): write a dimension or
     * fact frame to a JDBC warehouse. Overwrite = the reference's

@@ -1,0 +1,219 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.util.zip.ZipInputStream
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Minimal .xlsx ingestion (reference airflow/dags/etl.py:46 —
+  * `pd.read_excel("online_retail.xlsx", dtype=...)` is the pipeline's
+  * actual extract step). An xlsx file is a zip of XML parts; this reads
+  * `xl/sharedStrings.xml` plus the first worksheet with the JDK's
+  * streaming StAX parser — no external dependency, and every cell
+  * surfaces as a STRING so the load flows through the same
+  * explicit-schema + quarantine contract as [[ExternalIngest.readTypedCsv]]
+  * (no inference: digit-like codes keep their leading zeros, the same
+  * reason the reference passes per-column dtype overrides).
+  *
+  * Scale shape: one xlsx is NOT splittable (a zip stream), so the unit
+  * of parallelism is the FILE — `binaryFile` rows fan out to executors
+  * and each parses its own workbook. The driver reads only the FIRST
+  * file's header row to fix the schema (a metadata-sized read, like a
+  * parquet footer). A single giant workbook should be converted to CSV
+  * or parquet upstream — that boundary is deliberate and documented
+  * (SURVEY §2.E); this reader exists for the many-small-workbooks drop
+  * folder the reference's single-laptop step implies.
+  *
+  * Out of scope (documented, not silent): date cells surface as Excel
+  * serial-number strings; formula cells surface as their cached value.
+  */
+object XlsxIngest {
+
+  /** Parse one workbook's bytes: rows of cell strings from the first
+    * worksheet (lexicographically smallest `xl/worksheets/` entry, the
+    * same "first sheet" pandas defaults to). Missing cells are null;
+    * trailing missing cells are padded by the caller. Streaming StAX —
+    * constant memory beyond the shared-string table (which IS data).
+    */
+  def parseXlsx(bytes: Array[Byte], maxRows: Int = Int.MaxValue): Vector[Vector[String]] = {
+    var sharedXml: Array[Byte] = null
+    var sheetName: String = null
+    var sheetXml: Array[Byte] = null
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        val name = e.getName
+        if (name == "xl/sharedStrings.xml") sharedXml = zin.readAllBytes()
+        else if (name.startsWith("xl/worksheets/") && name.endsWith(".xml") &&
+            (sheetName == null || name < sheetName)) {
+          sheetName = name
+          sheetXml = zin.readAllBytes()
+        }
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    require(sheetXml != null, "not an xlsx: no xl/worksheets/*.xml entry")
+    val sst = if (sharedXml == null) Vector.empty[String] else parseSharedStrings(sharedXml)
+    parseSheet(sheetXml, sst, maxRows)
+  }
+
+  private def staxFactory: XMLInputFactory = {
+    val f = XMLInputFactory.newInstance()
+    // spreadsheet XML never needs DTDs; disabling them also closes XXE
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f
+  }
+
+  /** `<si>` entries in document order; rich-text runs (`<r><t>…`)
+    * concatenate, matching how every reader flattens them.
+    */
+  private def parseSharedStrings(xml: Array[Byte]): Vector[String] = {
+    val r = staxFactory.createXMLStreamReader(new ByteArrayInputStream(xml))
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var inSi = false
+    var inT = false
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "si" => inSi = true; cur.clear()
+              case "t" if inSi => inT = true
+              case _ =>
+            }
+          case XMLStreamConstants.CHARACTERS if inT =>
+            cur.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "si" => inSi = false; out += cur.toString
+              case "t" => inT = false
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+    } finally r.close()
+    out.result()
+  }
+
+  /** Column index from a cell ref like "BC23" → 54 (0-based). */
+  private[graft] def colIndex(ref: String): Int = {
+    var i = 0
+    var acc = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      acc = acc * 26 + (ref.charAt(i).toUpper - 'A' + 1)
+      i += 1
+    }
+    acc - 1
+  }
+
+  private def parseSheet(xml: Array[Byte], sst: Vector[String],
+      maxRows: Int): Vector[Vector[String]] = {
+    val r = staxFactory.createXMLStreamReader(new ByteArrayInputStream(xml))
+    val rows = Vector.newBuilder[Vector[String]]
+    var nRows = 0
+    var row = collection.mutable.ArrayBuffer.empty[String]
+    var inRow = false
+    var cellCol = -1
+    var cellType = ""
+    var inV = false
+    var inIsT = false
+    val text = new StringBuilder
+    def endCell(): Unit = if (cellCol >= 0) {
+      val raw = text.toString
+      val value = cellType match {
+        case "s" => sst(raw.trim.toInt)
+        case "b" => if (raw.trim == "1") "true" else "false"
+        case _ => raw // n / str / inlineStr / e: the cached text
+      }
+      while (row.length < cellCol) row += null
+      if (row.length == cellCol) row += value else row(cellCol) = value
+      cellCol = -1
+    }
+    try {
+      while (r.hasNext && nRows < maxRows) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "row" => inRow = true; row = collection.mutable.ArrayBuffer.empty[String]
+              case "c" if inRow =>
+                val ref = r.getAttributeValue(null, "r")
+                cellCol = if (ref == null) row.length else colIndex(ref)
+                cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+                text.clear()
+              case "v" => inV = true
+              case "t" if cellType == "inlineStr" => inIsT = true
+              case _ =>
+            }
+          case XMLStreamConstants.CHARACTERS if inV || inIsT =>
+            text.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "row" =>
+                inRow = false
+                rows += row.toVector
+                nRows += 1
+              case "c" => endCell()
+              case "v" => inV = false
+              case "t" => inIsT = false
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+    } finally r.close()
+    rows.result()
+  }
+
+  /** All-string DataFrame from a path (file or directory) of xlsx
+    * workbooks: header row of the first workbook names the columns,
+    * every workbook's data rows fan out to executors. Ragged rows pad /
+    * truncate to the header width (null-filled — the quarantine gate
+    * downstream decides their fate, never this reader).
+    */
+  def readXlsx(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+    val first = bin.orderBy(col("path")).select(col("content"))
+      .head.getAs[Array[Byte]](0)
+    val header = parseXlsx(first, maxRows = 1).headOption
+      .getOrElse(Vector.empty)
+    require(header.nonEmpty && header.forall(_ != null),
+      s"first workbook has no usable header row: $header")
+    val n = header.length
+    val data = bin.select(col("content")).as[Array[Byte]]
+      .flatMap { b =>
+        parseXlsx(b).drop(1) // every workbook carries the header row
+          .map(r => r.padTo(n, null: String).take(n))
+      }
+    data.select((0 until n).map(i =>
+      element_at(col("value"), i + 1).as(header(i))): _*)
+  }
+
+  /** Typed xlsx read behind the [[ExternalIngest]] quarantine contract:
+    * each column try_casts to its schema type; a row where any present
+    * string fails its cast lands INTACT (as JSON) in
+    * [[ExternalIngest.CorruptCol]] with nulls elsewhere — the xlsx
+    * mirror of PERMISSIVE csv. Schema field order must match the
+    * workbook's column order by NAME (names come from the header row).
+    */
+  def readTypedXlsx(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val raw = readXlsx(spark, path)
+    val bad = schema.fields.map { f =>
+      col(f.name).isNotNull && expr(s"try_cast(`${f.name}` AS ${f.dataType.sql})").isNull
+    }.reduce(_ || _)
+    val casts = schema.fields.map { f =>
+      when(bad, lit(null)).otherwise(
+        expr(s"try_cast(`${f.name}` AS ${f.dataType.sql})")).as(f.name)
+    }
+    raw.select(casts :+ when(bad,
+      to_json(struct(raw.columns.map(col): _*))).as(ExternalIngest.CorruptCol): _*)
+  }
+}

@@ -84,6 +84,63 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(r8 == r12, "8 peel rounds must already be the fixpoint on testdata")
   }
 
+  test("corenessOn assigns known core numbers: triangle 2, pendant path 1, K4 3") {
+    import spark.implicits._
+    // K4 {10,11,12,13} bridged to triangle {1,2,3} by edge 3-10, with a
+    // pendant path 3-4-5: coreness must be 3 on the K4, 2 on the
+    // triangle, 1 on the path — the bridge must NOT promote either side
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), // triangle
+      (3L, 4L), (4L, 5L), // pendant path
+      (3L, 10L), // bridge
+      (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L)) // K4
+      .toDF("a_item", "b_item")
+    val got = Affinity.corenessOn(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L, 13L -> 3L)
+    assert(got == want)
+  }
+
+  test("corenessOn agrees with kcorePeelOn survivors at every k on testdata") {
+    // node has coreness >= k  <=>  node survives the k-core peel: the
+    // h-index fixpoint and the peel loop are independent algorithms, so
+    // their agreement cross-checks both (and pins that CorenessIters
+    // covers the testdata graph's convergence, since the peel's own
+    // fixpoint is pinned by the test above)
+    val core = Affinity.coreness(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val kMax = core.values.max
+    assert(kMax >= 2L, s"testdata graph unexpectedly shallow (kMax=$kMax)")
+    (2L to kMax).foreach { k =>
+      val peeled = Affinity.kcorePeelOn(
+        Affinity.copurchase(spark, SfDir), k.toInt, 64)
+        .collect().map(_.getLong(0)).toSet
+      val byCoreness = core.collect { case (n, c) if c >= k => n }.toSet
+      assert(peeled == byCoreness, s"k=$k: peel survivors != coreness>=k")
+    }
+  }
+
+  test("rollingMedianWideOn (two-heap) matches the sorted-frame form at frames 2, 5 and 64") {
+    import graft.operators.TimeSeries
+    val obs = graft.util.Tables.orders(spark, SfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+    Seq(2, 5, 64).foreach { frame =>
+      val sorted = TimeSeries.rollingMedianOn(
+        obs, "o_custkey", "day", "o_orderkey", "o_totalprice", frame)
+        .select(col("o_orderkey"), col("n_window").as("n_s"), col("med_cents").as("m_s"))
+      val wide = TimeSeries.rollingMedianWideOn(
+        obs, "o_custkey", "day", "o_orderkey", "o_totalprice", frame)
+        .select(col("o_orderkey"), col("n_window").as("n_w"), col("med_cents").as("m_w"))
+      val diff = sorted.join(wide, Seq("o_orderkey"), "full")
+        .filter(col("n_s").isNull || col("n_w").isNull ||
+          col("n_s") =!= col("n_w") || col("m_s") =!= col("m_w"))
+        .count()
+      assert(diff == 0, s"frame $frame: $diff rows disagree between two-heap and sorted-frame")
+    }
+  }
+
   test("rollingMedianOn computes the exact lower median of the trailing frame") {
     import spark.implicits._
     val obs = Seq((1L, 1L, "2024-01-01", 0.10), (1L, 2L, "2024-01-02", 1.00),

@@ -226,21 +226,22 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!lineitemScans.contains("l_comment") && !lineitemScans.contains("l_returnflag"), lineitemScans)
   }
 
-  test("q52_pagerank: the pair-exploding copurchase subtree materializes once (persisted iteration base)") {
-    // every iteration joins the symmetrized edge list; before the
-    // persist() the plan carried iters+1 copies of the basket-pair
-    // explosion and relied on ReuseExchange to deduplicate them at
-    // runtime — one nondeterministic expression away from recomputing
-    // the explosion per round. With the cache the explosion subtree
-    // appears at most once (inside the InMemoryRelation definition) and
-    // every iteration reads the cache.
+  test("q52_pagerank: the pair-exploding copurchase subtree materializes once (checkpointed iteration base)") {
+    // every iteration joins the symmetrized edge list; before the eager
+    // localCheckpoint() the plan carried iters+1 copies of the
+    // basket-pair explosion and relied on ReuseExchange to deduplicate
+    // them at runtime — one nondeterministic expression away from
+    // recomputing the explosion per round. The checkpoint truncates the
+    // lineage, so the final plan contains NO explosion subtree at all:
+    // iterations scan the materialized RDD. (persist() would also pin
+    // the base but measured 2x slower — columnar encode/decode on every
+    // scan; see pagerankOn's doc.)
     val p = planOf(q("q52_pagerank"))
     val explosions = p.linesIterator.count(_.contains("flatten(transform(sequence"))
-    assert(explosions <= 1,
-      s"copurchase pair explosion planned $explosions times — iteration base not persisted:\n$p")
-    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
-      s"iterations should read the persisted edge list:\n$p")
-    spark.catalog.clearCache()
+    assert(explosions == 0,
+      s"copurchase pair explosion survived the checkpoint boundary:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"iterations should scan the checkpointed edge list:\n$p")
   }
 
   test("text_repetition: pure scan-side plan — no exchange at all before the output sort") {

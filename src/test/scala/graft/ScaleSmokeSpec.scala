@@ -117,6 +117,56 @@ class ScaleSmokeSpec extends SparkSpecBase {
     assert(exact.getLong(0) == hubDeg.toLong && exact.getLong(1) == hubDeg.toLong)
   }
 
+  test("minhash→cluster→keep-best stack at 200k docs: planted recall, bounded candidate volume, one survivor per cluster") {
+    // 10× the 20k smoke — the sf1-shaped rehearsal. Generated ON THE
+    // EXECUTORS (spark.range + hash-derived words): a 200k-row
+    // driver-side Seq would serialize ~40 MB through the driver, which
+    // is exactly the anti-pattern the operators avoid. Same planted
+    // structure as the 20k corpus: doc k*100 duplicated at id 200k+k
+    // with its first word mutated (3-shingle jaccard ≈ 0.93).
+    val N = 200000L
+    val PlantedBig = 2000L
+    def words(idCol: String, from: Int) = expr(
+      s"transform(sequence($from, 30), j -> concat('w', pmod(hash($idCol, j), 4000)))")
+    val base = spark.range(N).select(col("id").as("doc_id"),
+      concat_ws(" ", words("id", 1)).as("text"))
+    val dups = spark.range(PlantedBig).select((col("id") + N).as("doc_id"),
+      concat(lit("mutated "), concat_ws(" ", words("id * 100", 2))).as("text"))
+    val docs = base.unionByName(dups).persist()
+    docs.count()
+    val t0 = System.nanoTime()
+    val pairs = Dedup.minhashLshOn(docs, "doc_id", "text")
+      .filter(col("est_sim") >= 0.5).persist()
+    val nPairs = pairs.count()
+    // bucket-health invariant at the larger N: candidate SURVIVORS stay
+    // linear-ish in N (wide vocabulary → unrelated docs almost never
+    // agree on a band); a degenerate signature would go quadratic
+    assert(nPairs < N * 2, s"near-dup pair volume exploded at 200k docs: $nPairs")
+    val planted = pairs
+      .filter(col("b_id") >= N && col("a_id") === (col("b_id") - N) * 100)
+      .count()
+    assert(planted >= (PlantedBig * 0.95).toLong,
+      s"LSH lost planted near-dups at 200k: $planted of $PlantedBig")
+    // cluster + keep-best (argmax per cluster, map-side combinable):
+    // exactly one survivor per cluster, and the planted clusters keep
+    // their lower-id (original) member under the min-id policy
+    val clusters = Dedup.clustersOn(pairs, docs.select(col("doc_id").as("id"))).persist()
+    val survivors = clusters.groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_members"))
+      .persist()
+    val nSurv = survivors.count()
+    val nMerged = survivors.filter(col("n_members") >= 2).count()
+    assert(nMerged >= (PlantedBig * 0.95).toLong, s"clusters lost planted pairs: $nMerged")
+    // each found planted pair removes one doc; ≤5% may be missed, and
+    // accidental merges may remove at most another PlantedBig docs
+    assert(nSurv <= N + (PlantedBig * 0.05).toLong, s"dedup kept too many: $nSurv of ${N + PlantedBig}")
+    assert(nSurv >= N - PlantedBig, s"dedup over-merged: $nSurv")
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"200k-doc minhash+cluster+keep-best: $secs%.1f s, $planted/$PlantedBig planted, $nSurv survivors")
+    assert(secs < 600, f"dedup stack too slow at 200k docs: $secs%.1f s")
+    docs.unpersist(); pairs.unpersist(); clusters.unpersist(); survivors.unpersist()
+  }
+
   test("multi-table LSH bucket audit on 50k random embeddings: non-degenerate shallow tables, sub-quadratic deep tables") {
     import spark.implicits._
     // deterministic pseudo-random 64-dim vectors: the distribution every
