@@ -100,6 +100,9 @@ object SparkEntry {
     "q55_attribution"    -> TimeSeries.attribution _,
     "ts_rolling_median"  -> TimeSeries.rollingMedian _,
     "ts_rolling_median_wide" -> TimeSeries.rollingMedianWide _,
+    "ts_trend"           -> TimeSeries.trend _,
+    "ts_changepoint"     -> TimeSeries.changepoint _,
+    "dedup_minhash_eval" -> Dedup.minhashEval _,
     "ts_out_of_order"    -> TimeSeries.outOfOrder _,
     "q58_entry_paths"    -> TimeSeries.entryPaths _,
     "text_bigram_surprise" -> TextAnalysis.bigramSurprise _,
@@ -523,6 +526,9 @@ object SparkEntry {
     "q55_attribution"     -> TimeSeries.attributionSql,
     "ts_rolling_median"   -> TimeSeries.rollingMedianSql,
     "ts_rolling_median_wide" -> TimeSeries.rollingMedianWideSql,
+    "ts_trend"            -> TimeSeries.trendSql,
+    "ts_changepoint"      -> TimeSeries.changepointSql,
+    "dedup_minhash_eval"  -> Dedup.minhashEvalSql,
     "ts_out_of_order"     -> TimeSeries.outOfOrderSql,
     "q58_entry_paths"     -> TimeSeries.entryPathsSql,
     "text_bigram_surprise" -> TextAnalysis.bigramSurpriseSql,

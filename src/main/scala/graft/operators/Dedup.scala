@@ -404,6 +404,57 @@ object Dedup {
        |SELECT a_id, b_id, ${TextFns.sigAgreementSql("sa", "sb")} AS est_sim
        |FROM pairs ORDER BY a_id, b_id""".stripMargin
 
+  /** MinHash-LSH index health check — recall AND precision of the
+    * banded estimator against the EXACT shingle-Jaccard pairs on the
+    * same corpus, the text-side twin of Similarity's sim_recall_eval:
+    * the number a pipeline owner consults before trusting the sketch
+    * tier with a corpus whose shingle distribution shifted. Both sides
+    * already exist as operators; this composes them and reduces to ONE
+    * row (three map-side-combinable counts + integer-ppm ratios), so
+    * the eval costs the two pair scans it audits and nothing more.
+    * Exact pairs use threshold `thr` on true Jaccard; candidates are
+    * the LSH pairs whose SIGNATURE-estimated similarity clears the
+    * same threshold. Output: (n_exact, n_cand, n_hit, recall_ppm,
+    * precision_ppm).
+    */
+  def minhashEvalOn(df: DataFrame, idCol: String, textCol: String,
+      thr: Double): DataFrame = {
+    val exact = ngramJaccardOn(df, idCol, textCol, thr)
+      .select(col("a_id"), col("b_id"))
+    val cand = minhashLshOn(df, idCol, textCol)
+      .filter(col("est_sim") >= thr)
+      .select(col("a_id"), col("b_id"))
+    val nE = exact.agg(count(lit(1)).as("n_exact"))
+    val nC = cand.agg(count(lit(1)).as("n_cand"))
+    val nH = exact.join(cand, Seq("a_id", "b_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nE.crossJoin(broadcast(nC)).crossJoin(broadcast(nH))
+      .select(col("n_exact"), col("n_cand"), col("n_hit"),
+        when(col("n_exact") === 0, lit(null).cast("long"))
+          .otherwise(expr("(1000000 * n_hit) div n_exact")).as("recall_ppm"),
+        when(col("n_cand") === 0, lit(null).cast("long"))
+          .otherwise(expr("(1000000 * n_hit) div n_cand")).as("precision_ppm"))
+  }
+
+  /** dedup_minhash_eval testdata binding (threshold 0.5). */
+  def minhashEval(spark: SparkSession, sfDir: String): DataFrame =
+    minhashEvalOn(Tables.documents(spark, sfDir), "doc_id", "text", 0.5)
+
+  def minhashEvalSql: String =
+    s"""WITH ex AS (SELECT a_id, b_id FROM ($jaccardPairsSql)),
+       |cd AS (SELECT a_id, b_id
+       |       FROM (${minhashLshSql.replace("ORDER BY a_id, b_id", "")})
+       |       WHERE est_sim >= 0.5),
+       |m AS (SELECT
+       |  (SELECT count(*) FROM ex) AS n_exact,
+       |  (SELECT count(*) FROM cd) AS n_cand,
+       |  (SELECT count(*) FROM ex JOIN cd USING (a_id, b_id)) AS n_hit)
+       |SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_cand AS BIGINT) AS n_cand,
+       | CAST(n_hit AS BIGINT) AS n_hit,
+       | CASE WHEN n_exact = 0 THEN NULL ELSE CAST((1000000 * n_hit) // n_exact AS BIGINT) END AS recall_ppm,
+       | CASE WHEN n_cand = 0 THEN NULL ELSE CAST((1000000 * n_hit) // n_cand AS BIGINT) END AS precision_ppm
+       |FROM m""".stripMargin
+
   /** SimHash near-dup pairs at hamming ≤ `maxHamming` (≤ 1 keeps the
     * two-half pigeonhole prefilter EXACT: one differing bit corrupts at
     * most one 16-bit half, so some half matches). Halves beat narrower

@@ -226,6 +226,13 @@ object RetailEtl {
     * keyspace/bucketWidth, never by row count; size bucketWidth so
     * this stays thousands of rows), then rank WITHIN buckets only.
     * serial = max_sk + bucket_offset + within-bucket rank.
+    *
+    * Keys must be NUMERIC (castable to BIGINT): range bucketing by
+    * integer division is what keeps the prefix-sum frame tiny without
+    * a sampling pass. String natural keys need a range-sampled
+    * boundary map (Spark's repartitionByRange machinery) — out of
+    * scope until a consumer needs it; hash-bucketing instead would
+    * break the insert-ordered (key-ordered) serial contract.
     */
   def dimSerialOn(existing: DataFrame, incoming: DataFrame, keyCol: String,
       bucketWidth: Long = 65536L): DataFrame = {

@@ -831,6 +831,21 @@ object Similarity {
     * lowest-id vectors' subvectors, deterministic).
     * Output: (vec_id, pq_code, dist2_total).
     */
+  /** OPQ (optimized product quantization — learned rotation before the
+    * subspace split) is deliberately NOT implemented: the rotation is a
+    * dense float matrix updated by SVD per iteration, which (a) cannot
+    * be value-oracled — float matrix products are summation-order-
+    * sensitive, and SVD has sign/permutation ambiguity, so no portable
+    * integer formulation exists, unlike every quantizer here; and
+    * (b) buys the most when subspace dimensions are strongly
+    * correlated, which the 64-dim test embeddings are not. The scale
+    * path if needed later: train the rotation OFFLINE (driver-side
+    * SVD over a sampled covariance, a few thousand floats), broadcast
+    * the fixed matrix, and apply it as a scan-side zip_with before the
+    * existing pqOn — training stays tiny, application stays
+    * distributed, and the quantizer below is unchanged.
+    */
+
   /** Shared PQ training/encoding internals: the per-(vector, subspace)
     * argmin over the k centroids runs against a PIVOTED codebook — the
     * (sub, d) → [cq_0 .. cq_15] wide form — so assignment is ONE

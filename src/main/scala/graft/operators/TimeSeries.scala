@@ -673,6 +673,124 @@ object TimeSeries {
       | list_sort(arr)[(len(arr) + 1) // 2] AS med_cents
       |FROM f ORDER BY o_custkey, day, o_orderkey""".stripMargin
 
+  /** Per-group OLS trend — the "is this customer's spend rising or
+    * falling" slope every account dashboard wants, computed EXACTLY:
+    * x = day ordinal (days since epoch, integer), y = integer cents,
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) emitted as the raw
+    * int64 numerator/denominator pair plus the rounded double ratio.
+    * All five moments (n, Σx, Σy, Σxy, Σx²) are plain sums — ONE
+    * map-side-combinable aggregate per key, no window, no sort; the
+    * shape holds at any scale because the state per key is five longs.
+    * Magnitudes stay inside int64: day ordinals ~10⁴, cents ≤ ~10⁸,
+    * n per key bounded by a customer's order count, so n·Σxy ≲ 10¹⁵.
+    * Groups with a degenerate x spread (one order, or all orders the
+    * same day) emit NULL slope — a fit over one x value is not a
+    * trend. Output: (key, n_orders, slope_num, slope_den, slope_cpd).
+    */
+  def trendOn(obs: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val x = datediff(col(tsCol), lit("1970-01-01")).cast("long")
+    val y = floor(col(valCol) * 100.0 + 0.5).cast("long")
+    obs
+      .select(col(keyCol), x.as("x"), y.as("y"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col(keyCol), col("n").as("n_orders"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      .withColumn("slope_cpd", when(col("slope_den") === 0, lit(null).cast("double"))
+        .otherwise(Cols.pround(col("slope_num").cast("double") / col("slope_den").cast("double"), 6)))
+  }
+
+  /** ts_trend testdata binding: per-customer order-value trend in
+    * cents/day.
+    */
+  def trend(spark: SparkSession, sfDir: String): DataFrame =
+    trendOn(
+      Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"), col("o_totalprice")),
+      "o_custkey", "day", "o_totalprice")
+      .orderBy(col("o_custkey"))
+
+  def trendSql: String =
+    """WITH o AS (
+      | SELECT o_custkey,
+      |  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+      |  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS y
+      | FROM orders),
+      |m AS (
+      | SELECT o_custkey, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |  CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+      |  CAST(sum(x * x) AS BIGINT) AS sxx
+      | FROM o GROUP BY 1)
+      |SELECT o_custkey, n AS n_orders,
+      | n * sxy - sx * sy AS slope_num,
+      | n * sxx - sx * sx AS slope_den,
+      | CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+      |      ELSE floor(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5) / 1000000
+      | END AS slope_cpd
+      |FROM m ORDER BY o_custkey""".stripMargin
+
+  /** Per-series change-point detection via the exact integer CUSUM:
+    * the point where a series' running behavior most departs from its
+    * overall mean — "when did this customer's spend change". The
+    * mean-centered cumulative sum Σ_{i≤t}(y_i − S/n) is kept EXACT by
+    * scaling through n: C_t = n·ps_t − t·S (all int64 — ps ≲ 10⁹ per
+    * key, n ≲ 10², so n·ps ≲ 10¹¹), and the change point is the t
+    * maximizing |C_t| (earliest wins ties). One key shuffle: ranking,
+    * running sum and per-key totals all ride the same partitioning,
+    * and the argmax is a map-side-combinable struct max, not a second
+    * sort. Output: (key, n_obs, cp_idx, cp_day, cusum).
+    */
+  def changepointOn(obs: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: String): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val run = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col(keyCol))
+    obs
+      .select(col(keyCol), col(idCol), col(tsCol),
+        floor(col(valCol) * 100.0 + 0.5).cast("long").as("y"))
+      .withColumn("t", row_number().over(byKey).cast("long"))
+      .withColumn("ps", sum(col("y")).over(run))
+      .withColumn("s", sum(col("y")).over(all))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("cu", col("n") * col("ps") - col("t") * col("s"))
+      .groupBy(col(keyCol))
+      .agg(max(struct(abs(col("cu")).as("acu"), (-col("t")).as("nt"),
+        col("cu").as("cv"), col(tsCol).as("dv"), col("n").as("nv"))).as("m"))
+      .select(col(keyCol), col("m.nv").as("n_obs"), (-col("m.nt")).as("cp_idx"),
+        col("m.dv").as("cp_day"), col("m.cv").as("cusum"))
+  }
+
+  /** ts_changepoint testdata binding: per-customer spend change point.
+    */
+  def changepoint(spark: SparkSession, sfDir: String): DataFrame =
+    changepointOn(
+      Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("day"), col("o_totalprice")),
+      "o_custkey", "day", "o_orderkey", "o_totalprice")
+      .orderBy(col("o_custkey"))
+
+  def changepointSql: String =
+    """WITH o AS (
+      | SELECT o_custkey AS k, o_orderkey AS id, CAST(o_orderdate AS DATE) AS d,
+      |  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS y
+      | FROM orders),
+      |w AS (
+      | SELECT k, d, CAST(row_number() OVER pk AS BIGINT) AS t,
+      |  CAST(sum(y) OVER (PARTITION BY k ORDER BY d, id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ps,
+      |  CAST(sum(y) OVER (PARTITION BY k) AS BIGINT) AS s,
+      |  CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n
+      | FROM o WINDOW pk AS (PARTITION BY k ORDER BY d, id)),
+      |c AS (SELECT k, d, t, n, n * ps - t * s AS cu FROM w),
+      |r AS (SELECT k, d, t, n, cu,
+      |      row_number() OVER (PARTITION BY k ORDER BY abs(cu) DESC, t) AS rk FROM c)
+      |SELECT k AS o_custkey, n AS n_obs, t AS cp_idx, d AS cp_day, cu AS cusum
+      |FROM r WHERE rk = 1 ORDER BY o_custkey""".stripMargin
+
   /** Entry-path mining (sequence analytics lite): each user's FIRST
     * three event types in time order form their entry path; the report
     * counts users per path — "how do people start" for onboarding and

@@ -20,9 +20,11 @@ import org.apache.spark.sql.types.StructType
   *
   * Scale shape: one xlsx is NOT splittable (a zip stream), so the unit
   * of parallelism is the FILE — `binaryFile` rows fan out to executors
-  * and each parses its own workbook. The driver reads only the FIRST
-  * file's header row to fix the schema (a metadata-sized read, like a
-  * parquet footer). A single giant workbook should be converted to CSV
+  * and each parses its own workbook. The driver parses ONE workbook
+  * (the lexicographically first) to fix the schema from its header
+  * row — bounded by a single workbook's size, and the file is selected
+  * by sorting PATHS only, never by dragging every workbook's bytes
+  * through a sort. A single giant workbook should be converted to CSV
   * or parquet upstream — that boundary is deliberate and documented
   * (SURVEY §2.E); this reader exists for the many-small-workbooks drop
   * folder the reference's single-laptop step implies.
@@ -181,8 +183,13 @@ object XlsxIngest {
     import spark.implicits._
     val bin = spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content"))
-    val first = bin.orderBy(col("path")).select(col("content"))
-      .head.getAs[Array[Byte]](0)
+    // schema probe: sort PATHS (strings) to pick the first workbook,
+    // then fetch that one file's bytes — an orderBy over (path, content)
+    // would shuffle every workbook's full payload just to read one
+    val firstPath = bin.select(col("path")).orderBy(col("path"))
+      .head.getString(0)
+    val first = bin.filter(col("path") === firstPath)
+      .select(col("content")).head.getAs[Array[Byte]](0)
     val header = parseXlsx(first, maxRows = 1).headOption
       .getOrElse(Vector.empty)
     require(header.nonEmpty && header.forall(_ != null),

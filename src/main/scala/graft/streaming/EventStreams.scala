@@ -12,6 +12,8 @@ case class Ev(user_id: Long, us: Long, value: Double)
 case class EvT(user_id: Long, us: Long, value: Double, ets: java.sql.Timestamp)
 case class SessionOut(user_id: Long, n_events: Long, start_us: Long, end_us: Long, total_value: Double)
 case class SessState(n: Long, start: Long, last: Long, total: Double)
+case class TriggerLateness(batch_id: Long, watermark: String,
+  rows_in: Long, dropped_by_watermark: Long, state_rows: Long)
 
 /** Event-stream operators (SURVEY.md §2.D).
   *
@@ -231,6 +233,28 @@ object EventStreams {
       """c_user = p_user AND
         |prc_ts >= click_ts - interval 30 minutes AND prc_ts <= click_ts""".stripMargin))
       .select(col("c_user").as("user_id"), col("click_id"), col("prc_id"))
+  }
+
+  /** Watermark-lateness observability: per-trigger watermark position,
+    * input volume, rows DROPPED as too late, and live state size,
+    * lifted out of the query's progress reports into a queryable
+    * DataFrame. This is the number an operator watches in production —
+    * silent watermark drops are data loss that no output diff shows
+    * (the rows simply never aggregate), and state growth is the
+    * leading indicator of an OOM hours away. Driver-side by nature and
+    * by size: progress reports are one small object per trigger
+    * (bounded by spark.sql.streaming.numRecentProgressUpdates, default
+    * 100), not data.
+    */
+  def latenessAudit(spark: SparkSession,
+      q: org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
+    import spark.implicits._
+    q.recentProgress.toSeq.map { p =>
+      val dropped = p.stateOperators.map(_.numRowsDroppedByWatermark).sum
+      val stateRows = p.stateOperators.map(_.numRowsTotal).sum
+      val wm = Option(p.eventTime.get("watermark")).getOrElse("")
+      TriggerLateness(p.batchId, wm, p.numInputRows, dropped, stateRows)
+    }.toDF()
   }
 
   /** Streaming dedup: same key as [[dedupBatch]], incremental via

@@ -141,6 +141,60 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("trendOn fits the exact OLS slope in integer arithmetic") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // key 1: perfect +1.00/day line; key 2: one order (no x spread)
+    val obs = Seq((1L, "2024-01-01", 1.00), (1L, "2024-01-02", 2.00),
+      (1L, "2024-01-03", 3.00), (2L, "2024-05-05", 9.99))
+      .toDF("k", "d", "v")
+      .select(col("k"), col("d").cast("date").as("day"), col("v"))
+    val rows = TimeSeries.trendOn(obs, "k", "day", "v")
+      .orderBy("k").collect()
+    val r1 = rows(0)
+    // n=3, x=(d,d+1,d+2), y=(100,200,300): num/den reduces to 100 exactly
+    assert(r1.getAs[Long]("slope_den") > 0)
+    assert(r1.getAs[Long]("slope_num") == 100 * r1.getAs[Long]("slope_den"))
+    assert(r1.getAs[Double]("slope_cpd") == 100.0)
+    val r2 = rows(1)
+    assert(r2.getAs[Long]("slope_den") == 0 && r2.isNullAt(r2.fieldIndex("slope_cpd")))
+  }
+
+  test("changepointOn finds the exact level-shift point of a step series") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // 4 days at 1.00 then 4 days at 9.00: |CUSUM| peaks at the last
+    // pre-shift observation (t=4)
+    val obs = (1 to 8).map(i =>
+      (1L, i.toLong, f"2024-01-$i%02d", if (i <= 4) 1.00 else 9.00))
+      .toDF("k", "id", "d", "v")
+      .select(col("k"), col("id"), col("d").cast("date").as("day"), col("v"))
+    val r = TimeSeries.changepointOn(obs, "k", "day", "id", "v").head
+    assert(r.getAs[Long]("n_obs") == 8L)
+    assert(r.getAs[Long]("cp_idx") == 4L)
+    assert(r.getAs[java.sql.Date]("cp_day").toString == "2024-01-04")
+    // C_4 = n*ps - t*S = 8*400 - 4*4000 = -12800 (cents scale)
+    assert(r.getAs[Long]("cusum") == -12800L)
+  }
+
+  test("minhashEvalOn reports perfect recall/precision when LSH and exact agree") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // two identical docs (one exact pair, found by both sides) plus
+    // unrelated filler: recall and precision are both 1000000 ppm
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight nine"),
+      (4L, "red orange yellow green blue indigo violet pink"))
+      .toDF("doc_id", "text")
+    val r = Dedup.minhashEvalOn(docs, "doc_id", "text", 0.5).head
+    assert(r.getAs[Long]("n_exact") == 1L)
+    assert(r.getAs[Long]("n_hit") == 1L)
+    assert(r.getAs[Long]("recall_ppm") == 1000000L)
+    assert(r.getAs[Long]("precision_ppm") == 1000000L)
+  }
+
   test("rollingMedianOn computes the exact lower median of the trailing frame") {
     import spark.implicits._
     val obs = Seq((1L, 1L, "2024-01-01", 0.10), (1L, 2L, "2024-01-02", 1.00),

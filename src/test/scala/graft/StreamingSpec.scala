@@ -40,6 +40,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(g.subsetOf(w), s"streaming rows diverge from batch: ${g.diff(w).take(3)}")
   }
 
+  test("latenessAudit surfaces watermark-dropped rows and state size per trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(java.sql.Timestamp, String, Double)]
+    def ts(min: Long) = java.sql.Timestamp.valueOf(
+      f"2024-03-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+    val streamDf = src.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.windowAggStream(streamDf)
+      .writeStream.format("memory").queryName("late_out").outputMode("append").start()
+    try {
+      // batch 1: establish event time at minute 120
+      src.addData((ts(120), "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: advance the watermark well past minute 10 (wm = max - 30min)
+      src.addData((ts(180), "click", 1.0))
+      q.processAllAvailable()
+      // batch 3: a row 2+ hours older than the watermark — must be DROPPED
+      src.addData((ts(10), "click", 1.0))
+      q.processAllAvailable()
+      val audit = EventStreams.latenessAudit(spark, q).orderBy(col("batch_id"))
+      val rows = audit.collect()
+      assert(rows.nonEmpty, "no progress reports captured")
+      assert(rows.map(_.getAs[Long]("dropped_by_watermark")).sum >= 1L,
+        s"late row not counted as dropped:\n${rows.mkString("\n")}")
+      assert(rows.exists(_.getAs[String]("watermark").nonEmpty),
+        "watermark position never surfaced")
+      assert(rows.exists(_.getAs[Long]("state_rows") > 0),
+        "state size never surfaced")
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on gap timeout") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
