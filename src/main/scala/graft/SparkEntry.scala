@@ -102,6 +102,7 @@ object SparkEntry {
     "ts_rolling_median_wide" -> TimeSeries.rollingMedianWide _,
     "ts_trend"           -> TimeSeries.trend _,
     "ts_changepoint"     -> TimeSeries.changepoint _,
+    "ts_autocorr"        -> TimeSeries.autocorr _,
     "dedup_minhash_eval" -> Dedup.minhashEval _,
     "ts_out_of_order"    -> TimeSeries.outOfOrder _,
     "q58_entry_paths"    -> TimeSeries.entryPaths _,
@@ -109,6 +110,7 @@ object SparkEntry {
     "q57_ab_test"        -> Relational.q57AbTest _,
     "q56_kcore"          -> Affinity.kcore _,
     "dq_profile_drift"   -> Quality.dqProfileDrift _,
+    "dq_freshness"       -> Quality.dqFreshness _,
     "sim_recall_eval"    -> Similarity.recallEval _,
     "sim_mips_ann"       -> Similarity.mipsAnn _,
     "dq_mad_outliers"    -> Quality.dqMadOutliers _,
@@ -125,6 +127,7 @@ object SparkEntry {
     "q39_array_funcs"    -> Relational.q39ArrayFuncs _,
     "q40_range_frame"    -> Relational.q40RangeFrame _,
     "pipeline_stratified" -> ((s: SparkSession, d: String) => Curate.stratified(s, d)),
+    "pipeline_reservoir" -> Curate.reservoir _,
     "asof_join"          -> AsOf.clicksToPurchases _,
     "asof_join_forward"  -> AsOf.purchasesToNextClick _,
     "range_join_bucketed" -> Ranges.eventBands _,
@@ -170,6 +173,7 @@ object SparkEntry {
     // §2.D streaming (batch-equivalent forms; streaming impls spec-tested)
     "stream_window_agg"   -> EventStreams.windowAgg _,
     "stream_sessionize"   -> EventStreams.sessionize _,
+    "stream_session_native" -> EventStreams.sessionNative _,
     "stream_dedup"        -> EventStreams.dedupBatch _,
     "stream_interval_join" -> EventStreams.intervalJoinBatch _,
   )
@@ -404,6 +408,7 @@ object SparkEntry {
         | floor(max(o_totalprice) * 100.0 + 0.5) / 100.0 AS hi
         |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
     "pipeline_stratified" -> graft.operators.Curate.stratifiedSql,
+    "pipeline_reservoir"  -> graft.operators.Curate.reservoirSql,
     "q33_lateral" ->
       """SELECT n_name, c_custkey,
         |  CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS acctbal_cents
@@ -528,6 +533,7 @@ object SparkEntry {
     "ts_rolling_median_wide" -> TimeSeries.rollingMedianWideSql,
     "ts_trend"            -> TimeSeries.trendSql,
     "ts_changepoint"      -> TimeSeries.changepointSql,
+    "ts_autocorr"         -> TimeSeries.autocorrSql,
     "dedup_minhash_eval"  -> Dedup.minhashEvalSql,
     "ts_out_of_order"     -> TimeSeries.outOfOrderSql,
     "q58_entry_paths"     -> TimeSeries.entryPathsSql,
@@ -535,6 +541,7 @@ object SparkEntry {
     "q57_ab_test"         -> Relational.q57AbTestSql,
     "q56_kcore"           -> Affinity.kcoreSql,
     "dq_profile_drift"    -> Quality.dqProfileDriftSql,
+    "dq_freshness"        -> Quality.dqFreshnessSql,
     "sim_recall_eval"     -> Similarity.recallEvalSql,
     "sim_mips_ann"        -> Similarity.mipsAnnSql,
     "text_surprise"       -> TextAnalysis.surpriseSql,
@@ -643,6 +650,7 @@ object SparkEntry {
     "pipeline_curate"     -> Curate.curateSql,
     "stream_window_agg"   -> EventStreams.windowAggSql,
     "stream_sessionize"   -> EventStreams.sessionizeSql,
+    "stream_session_native" -> EventStreams.sessionNativeSql,
     "stream_dedup"        -> EventStreams.dedupBatchSql,
     "stream_interval_join" -> EventStreams.intervalJoinBatchSql,
   )

@@ -65,6 +65,50 @@ object Curate {
        |SELECT doc_id, pred_lang, CAST(rk AS INTEGER) AS rk
        |FROM r WHERE rk <= 100 ORDER BY pred_lang, rk""".stripMargin
 
+  /** pipeline_reservoir — fixed-k per-stratum deterministic sampling
+    * via the bounded-heap aggregate: the SCALE form of
+    * [[stratified]]'s window sort. Priority is the q25 portable
+    * polynomial hash of the id; (priority, id) is packed into one
+    * int64 (priority·2²² + id — ids must fit 22 bits here; wider ids
+    * would pack into priority·2⁴⁰ style splits or hash-join back) and
+    * graft_topk keeps the k LARGEST packed values per stratum, which
+    * is exactly ORDER BY priority DESC, id DESC LIMIT k because the
+    * pack is lexicographic. Where the window form shuffles and sorts
+    * EVERY row of every stratum, this ships k-element heaps per map
+    * task — per-stratum state is O(k) and merges, so the sample of a
+    * 100 TB corpus costs one map-side-combined aggregation and the
+    * explode of |strata|·k longs. Output: (stratum, id, priority).
+    */
+  def reservoirOn(df: DataFrame, stratumCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val packed = expr(
+      s"((($idCol % 2147483647) * 1000003 + 12289) % 2147483647) * 4194304 + $idCol")
+    df.select(col(stratumCol), packed.as("packed"))
+      .groupBy(col(stratumCol))
+      .agg(graft.functions.TopKAgg.column(col("packed"), k).as("top"))
+      .select(col(stratumCol), explode(col("top")).as("packed"))
+      .select(col(stratumCol),
+        (col("packed") % 4194304L).as(idCol),
+        expr("packed div 4194304").as("priority"))
+      .orderBy(col(stratumCol), col("priority").desc, col(idCol).desc)
+  }
+
+  /** pipeline_reservoir testdata binding: 20 docs per source. */
+  def reservoir(spark: SparkSession, sfDir: String): DataFrame =
+    reservoirOn(Tables.documents(spark, sfDir), "source", "doc_id", 20)
+
+  def reservoirSql: String =
+    """WITH pr AS (
+      | SELECT source, doc_id,
+      |  ((doc_id % 2147483647) * 1000003 + 12289) % 2147483647 AS priority
+      | FROM documents),
+      |r AS (
+      | SELECT source, doc_id, priority,
+      |  row_number() OVER (PARTITION BY source ORDER BY priority DESC, doc_id DESC) AS rk
+      | FROM pr)
+      |SELECT source, doc_id, priority FROM r WHERE rk <= 20
+      |ORDER BY source, priority DESC, doc_id DESC""".stripMargin
+
   /** dedup_keep_best — the keep-POLICY layer over near-dup clustering:
     * per cluster, keep the member with the highest quality score (ties
     * → lowest doc id), reporting cluster size and the kept doc's

@@ -262,4 +262,43 @@ object Quality {
       |SELECT metric, v_old, v_new,
       | (abs(v_new - v_old) * 1000000) // greatest(abs(v_old), 1) AS drift_ppm
       |FROM s ORDER BY metric""".stripMargin
+
+  /** dq_freshness — event-time staleness audit: per key, the newest
+    * event and its lag behind the table's global newest — the check a
+    * pipeline runs to catch a SILENT partition: a source that stopped
+    * producing fails no constraint (its historical rows are all
+    * valid), it just goes quiet, and only its freshness lag says so.
+    * One grouped aggregate (per-key max/count is map-side
+    * combinable) plus a broadcast of the one-row global max; output is
+    * |keys| rows at any scale. All-integer micros; staleness verdict
+    * is an int flag at `staleSec`.
+    */
+  def freshnessOn(df: DataFrame, keyCol: String, tsCol: String,
+      staleSec: Long): DataFrame = {
+    val perKey = df
+      .select(col(keyCol), unix_micros(col(tsCol)).as("us"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"), max(col("us")).as("max_us"))
+    val global = perKey.agg(max(col("max_us")).as("global_max_us"))
+    perKey.crossJoin(broadcast(global))
+      .select(col(keyCol), col("n_events"), col("max_us"),
+        expr("(global_max_us - max_us) div 1000000").as("lag_sec"))
+      .withColumn("is_stale",
+        when(col("lag_sec") > staleSec, 1).otherwise(0))
+  }
+
+  /** dq_freshness testdata binding: per event_type, stale past 1 h. */
+  def dqFreshness(spark: SparkSession, sfDir: String): DataFrame =
+    freshnessOn(Tables.events(spark, sfDir), "event_type", "ts", 3600L)
+      .orderBy(col("event_type"))
+
+  def dqFreshnessSql: String =
+    """WITH k AS (
+      | SELECT event_type, count(*) AS n_events, max(epoch_us(ts)) AS max_us
+      | FROM events GROUP BY 1),
+      |g AS (SELECT max(max_us) AS gmax FROM k)
+      |SELECT event_type, n_events, max_us,
+      | (gmax - max_us) // 1000000 AS lag_sec,
+      | CAST(CASE WHEN (gmax - max_us) // 1000000 > 3600 THEN 1 ELSE 0 END AS INTEGER) AS is_stale
+      |FROM k, g ORDER BY event_type""".stripMargin
 }

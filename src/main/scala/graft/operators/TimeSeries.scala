@@ -791,6 +791,81 @@ object TimeSeries {
       |SELECT k AS o_custkey, n AS n_obs, t AS cp_idx, d AS cp_day, cu AS cusum
       |FROM r WHERE rk = 1 ORDER BY o_custkey""".stripMargin
 
+  /** Per-series lag-1 autocorrelation — "is this customer's spending
+    * momentum-driven or mean-reverting", the diagnostic read before
+    * trusting any forecasting model on the series. Pearson r over the
+    * consecutive pairs (y_{t-1}, y_t), kept EXACT to the last step:
+    * all six moments (m pairs, Σa, Σb, Σab, Σa², Σb²) are int64 sums
+    * of integer cents (y ≤ ~5·10⁷ cents, m ≤ ~10² orders per key, so
+    * m·Σa² ≲ 10¹⁸ stays inside int64), the numerator and the two
+    * denominator halves are emitted raw, and only the final
+    * r = num / √(dena·denb) goes through IEEE double (the product is
+    * computed in double — dena·denb would overflow int64 — and
+    * int64→double conversion plus sqrt are bit-identical across
+    * engines). One lag window and one aggregate ride the same key
+    * shuffle; state per key is six longs, so the shape holds at any
+    * scale. Keys with fewer than two observations vanish (no pair, no
+    * autocorrelation); degenerate spreads (constant series) emit NULL.
+    * Output: (key, n_pairs, ac1_num, ac1_dena, ac1_denb, ac1).
+    */
+  def autocorrOn(obs: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: String): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    obs
+      .select(col(keyCol), col(idCol), col(tsCol),
+        floor(col(valCol) * 100.0 + 0.5).cast("long").as("y"))
+      .withColumn("py", lag(col("y"), 1).over(byKey))
+      .filter(col("py").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("m"),
+        sum(col("py")).as("sa"), sum(col("y")).as("sb"),
+        sum(col("py") * col("y")).as("sab"),
+        sum(col("py") * col("py")).as("saa"),
+        sum(col("y") * col("y")).as("sbb"))
+      .select(col(keyCol), col("m").as("n_pairs"),
+        (col("m") * col("sab") - col("sa") * col("sb")).as("ac1_num"),
+        (col("m") * col("saa") - col("sa") * col("sa")).as("ac1_dena"),
+        (col("m") * col("sbb") - col("sb") * col("sb")).as("ac1_denb"))
+      .withColumn("ac1",
+        when(col("ac1_dena") > 0 && col("ac1_denb") > 0,
+          Cols.pround(col("ac1_num").cast("double") /
+            sqrt(col("ac1_dena").cast("double") * col("ac1_denb").cast("double")), 6)))
+  }
+
+  /** ts_autocorr testdata binding: per-customer order-value lag-1
+    * autocorrelation in time order.
+    */
+  def autocorr(spark: SparkSession, sfDir: String): DataFrame =
+    autocorrOn(
+      Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("day"), col("o_totalprice")),
+      "o_custkey", "day", "o_orderkey", "o_totalprice")
+      .orderBy(col("o_custkey"))
+
+  def autocorrSql: String =
+    """WITH o AS (
+      | SELECT o_custkey AS k, o_orderkey AS id, CAST(o_orderdate AS DATE) AS d,
+      |  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS y
+      | FROM orders),
+      |w AS (SELECT k, y, lag(y) OVER (PARTITION BY k ORDER BY d, id) AS py FROM o),
+      |p AS (SELECT k, py, y FROM w WHERE py IS NOT NULL),
+      |m AS (
+      | SELECT k, CAST(count(*) AS BIGINT) AS m, CAST(sum(py) AS BIGINT) AS sa,
+      |  CAST(sum(y) AS BIGINT) AS sb, CAST(sum(py * y) AS BIGINT) AS sab,
+      |  CAST(sum(py * py) AS BIGINT) AS saa, CAST(sum(y * y) AS BIGINT) AS sbb
+      | FROM p GROUP BY 1)
+      |SELECT k AS o_custkey, m AS n_pairs,
+      | m * sab - sa * sb AS ac1_num,
+      | m * saa - sa * sa AS ac1_dena,
+      | m * sbb - sb * sb AS ac1_denb,
+      | CASE WHEN m * saa - sa * sa > 0 AND m * sbb - sb * sb > 0
+      |  THEN floor(CAST(m * sab - sa * sb AS DOUBLE)
+      |    / sqrt(CAST(m * saa - sa * sa AS DOUBLE) * CAST(m * sbb - sb * sb AS DOUBLE))
+      |    * 1000000 + 0.5) / 1000000
+      |  ELSE NULL END AS ac1
+      |FROM m ORDER BY o_custkey""".stripMargin
+
   /** Entry-path mining (sequence analytics lite): each user's FIRST
     * three event types in time order form their entry path; the report
     * counts users per path — "how do people start" for onboarding and

@@ -147,6 +147,48 @@ object EventStreams {
     """SELECT DISTINCT user_id, event_type, epoch_us(ts) // 60000000 AS minute_bucket
       |FROM events ORDER BY 1, 2, 3""".stripMargin
 
+  /** Native session-window sessionization — the same gap idea as
+    * [[sessionizeOn]] but expressed through Spark's `session_window`
+    * grouping, the form whose streaming twin runs incrementally with
+    * watermark-bounded MERGING state and no custom state function
+    * (the engine merges per-event windows [ts, ts+gap] whose CLOSED
+    * ends touch — measured, not assumed, and pinned by spec: a
+    * successor exactly `gap` after its predecessor still merges, one
+    * microsecond beyond splits, so the gap semantics equal the lag
+    * form's `diff > gap` split rule). start_us = first event, end_us =
+    * last event + gap (the window's close), both exact epoch micros.
+    * One shuffle on (user, window); the window-merge is per-key local.
+    */
+  def sessionNativeOn(events: DataFrame, gapMinutes: Int): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), Cols.pround(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"), col("total_value"))
+
+  /** stream_session_native testdata binding (30-minute gap). */
+  def sessionNative(spark: SparkSession, sfDir: String): DataFrame =
+    sessionNativeOn(Tables.events(spark, sfDir), 30)
+      .orderBy(col("user_id"), col("start_us"))
+
+  def sessionNativeSql: String =
+    """WITH flagged AS (
+      | SELECT user_id, event_id, value, epoch_us(ts) AS us,
+      |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |sess AS (
+      | SELECT user_id, value, us,
+      |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      | FROM flagged)
+      |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+      | count(*) AS n_events, floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+      |FROM sess GROUP BY user_id, g ORDER BY user_id, start_us""".stripMargin
+
   // ------------------------------------------------------- streaming forms
 
   /** Streaming SCD1 maintenance via foreachBatch: each micro-batch of
@@ -282,6 +324,22 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
   }
+
+  /** Streaming twin of [[sessionNativeOn]]: the engine's own MERGING
+    * session-window state (no custom state function) with a watermark
+    * bounding it — sessions emit when the watermark passes their close.
+    * Same output shape as the batch form, so the spec can diff them
+    * row-for-row on the watermark-closed prefix.
+    */
+  def sessionNativeStream(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), Cols.pround(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"), col("total_value"))
 
   /** Streaming gap-sessionization via flatMapGroupsWithState: a session
     * closes when a user's next event arrives >30 min later (in-batch

@@ -177,6 +177,69 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("cusum") == -12800L)
   }
 
+  test("autocorrOn: linear series r=1, alternating series r=-1, constant NULL, singleton absent") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // key 1: linear ramp (consecutive pairs perfectly correlated);
+    // key 2: strict alternation (perfectly anti-correlated);
+    // key 3: constant (zero variance -> NULL); key 4: one obs (no pair)
+    val rows =
+      (1 to 6).map(i => (1L, i.toLong, f"2024-01-$i%02d", i * 1.00)) ++
+      (1 to 6).map(i => (2L, i.toLong, f"2024-01-$i%02d", if (i % 2 == 0) 9.00 else 1.00)) ++
+      (1 to 4).map(i => (3L, i.toLong, f"2024-01-$i%02d", 5.00)) :+
+      ((4L, 1L, "2024-01-01", 7.00))
+    val obs = rows.toDF("k", "id", "d", "v")
+      .select(col("k"), col("id"), col("d").cast("date").as("day"), col("v"))
+    val got = TimeSeries.autocorrOn(obs, "k", "day", "id", "v")
+      .orderBy("k").collect()
+    assert(got.length == 3, "singleton key must vanish (no pair)")
+    assert(got(0).getAs[Double]("ac1") == 1.0)
+    assert(got(1).getAs[Double]("ac1") == -1.0)
+    assert(got(2).getAs[Long]("ac1_dena") == 0L &&
+      got(2).isNullAt(got(2).fieldIndex("ac1")))
+    // moments are exact: n_pairs = n-1 for each surviving key
+    assert(got.map(_.getAs[Long]("n_pairs")).toSeq == Seq(5L, 5L, 3L))
+  }
+
+  test("reservoirOn equals the window-sort form and caps every stratum at k") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Curate
+    // 3 strata of sizes 50 / 3 / 1: big stratum capped at k, sub-k ones
+    // kept whole; sample identical to the explicit ORDER BY window form
+    val df = ((1 to 50).map(i => (i.toLong, "big")) ++
+      (51 to 53).map(i => (i.toLong, "small")) :+ ((58L, "one")))
+      .toDF("doc_id", "source")
+    val k = 5
+    val got = Curate.reservoirOn(df, "source", "doc_id", k)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val pr = expr("((doc_id % 2147483647) * 1000003 + 12289) % 2147483647")
+    val w = Window.partitionBy(col("source")).orderBy(pr.desc, col("doc_id").desc)
+    val want = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.count(_._1 == "big") == k)
+    assert(got.count(_._1 == "small") == 3)
+    assert(got.count(_._1 == "one") == 1)
+  }
+
+  test("freshnessOn flags the silent key by lag, not by any constraint") {
+    import spark.implicits._
+    import graft.operators.Quality
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // 'live' produced up to 12:00; 'quiet' stopped at 09:00 (3h stale);
+    // every individual row is perfectly valid
+    val ev = Seq(("live", t("2024-03-01 11:00:00")), ("live", t("2024-03-01 12:00:00")),
+      ("quiet", t("2024-03-01 08:00:00")), ("quiet", t("2024-03-01 09:00:00")))
+      .toDF("src", "ts")
+    val got = Quality.freshnessOn(ev, "src", "ts", 3600L)
+      .orderBy("src").collect()
+    assert(got(0).getAs[Long]("lag_sec") == 0L && got(0).getAs[Int]("is_stale") == 0)
+    assert(got(1).getAs[Long]("lag_sec") == 3L * 3600 && got(1).getAs[Int]("is_stale") == 1)
+  }
+
   test("minhashEvalOn reports perfect recall/precision when LSH and exact agree") {
     import spark.implicits._
     import graft.operators.Dedup

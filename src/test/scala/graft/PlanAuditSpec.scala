@@ -255,4 +255,17 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("Exchange"), s"scan-side operator grew a shuffle:\n$p")
     assert(!p.contains("Window"), s"scan-side operator grew a window:\n$p")
   }
+
+  test("pipeline_reservoir: heap aggregate, not a per-stratum window sort") {
+    // the point of the operator: the window form sorts every row of
+    // every stratum after a full exchange; the heap form ships k-long
+    // heaps through a map-side-combined ObjectHashAggregate
+    val core = graft.operators.Curate.reservoirOn(
+      graft.util.Tables.documents(spark, SfDir), "source", "doc_id", 20)
+    val p = planOf(core)
+    assert(!p.contains("Window"), s"reservoir grew a window sort:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"heap aggregate missing:\n$p")
+    assert(p.toLowerCase.contains("partial_graft_topk"),
+      s"map-side partial aggregation missing — heaps must combine before the shuffle:\n$p")
+  }
 }

@@ -71,6 +71,62 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sessionNativeOn boundary: exactly gap later merges, one microsecond beyond splits") {
+    import spark.implicits._
+    // measured session_window semantics: per-event windows [ts, ts+gap]
+    // merge when their CLOSED ends touch — diff == gap still merges
+    // (same split rule as the lag form's diff > gap), diff == gap + 1us
+    // splits
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-03-01 10:00:00"), 1.0), (1L, t("2024-03-01 10:30:00"), 2.0),
+      (2L, t("2024-03-01 10:00:00"), 1.0), (2L, t("2024-03-01 10:30:00.000001"), 2.0))
+      .toDF("user_id", "ts", "value")
+    val got = EventStreams.sessionNativeOn(ev, 30)
+      .orderBy("user_id", "start_us").collect()
+    assert(got.length == 3)
+    assert(got(0).getAs[Long]("n_events") == 2L, "30:00 successor must merge")
+    assert(got(1).getAs[Long]("n_events") == 1L, "30:00.000001 successor must split")
+    assert(got(2).getAs[Long]("n_events") == 1L)
+    // window close = last event + gap, exact micros
+    assert(got(0).getAs[Long]("end_us") ==
+      got(0).getAs[Long]("start_us") + (30 * 60 + 30 * 60) * 1000000L)
+    assert(got(2).getAs[Long]("start_us") % 1000000L == 1L, "micros must survive")
+  }
+
+  test("streaming native session window matches the batch form on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // feed epoch MICROS through the stream and rebuild the timestamp
+    // inside the query — java.sql.Timestamp round-trips via getTime
+    // (millis) would silently truncate the sub-millisecond precision
+    // that session boundaries compare on
+    val batch = spark.read.parquet(s"$SfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("user_id", "ts", "value")
+    val data = batch.select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect()
+    val src = MemoryStream[(Long, Long, Double)]
+    src.addData(data.map(r => (r.getAs[Long]("user_id"),
+      r.getAs[Long]("us"), r.getAs[Double]("value"))).toSeq)
+    val streamDf = src.toDF().toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("value"))
+    val q = EventStreams.sessionNativeStream(streamDf)
+      .writeStream.format("memory").queryName("sess_native_out")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // append mode emits only watermark-closed sessions; compare the
+    // closed prefix against the batch form (identical output shape)
+    val got = spark.table("sess_native_out")
+    assert(got.count() > 0, "streaming emitted no closed sessions")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("n_events"))
+    val g = got.collect().map(key).toSet
+    val w = EventStreams.sessionNativeOn(batch, 30).collect().map(key).toSet
+    assert(g.subsetOf(w), s"streaming sessions diverge from batch: ${g.diff(w).take(3)}")
+  }
+
   test("streaming sessionization closes sessions on gap timeout") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
