@@ -419,16 +419,22 @@ object Dedup {
     */
   def minhashEvalOn(df: DataFrame, idCol: String, textCol: String,
       thr: Double): DataFrame = {
+    // each side's pair scan appears EXACTLY ONCE in the plan: the
+    // full-outer join classifies every pair as exact-only / both /
+    // cand-only and one count-flag aggregate reduces it — counting the
+    // sides separately would reference each expensive subtree twice
+    // and lean on ReuseExchange to dedupe (the implicit contract the
+    // pagerank pin removed; here the plan simply never duplicates)
     val exact = ngramJaccardOn(df, idCol, textCol, thr)
-      .select(col("a_id"), col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(1L).as("ex"))
     val cand = minhashLshOn(df, idCol, textCol)
       .filter(col("est_sim") >= thr)
-      .select(col("a_id"), col("b_id"))
-    val nE = exact.agg(count(lit(1)).as("n_exact"))
-    val nC = cand.agg(count(lit(1)).as("n_cand"))
-    val nH = exact.join(cand, Seq("a_id", "b_id"), "left_semi")
-      .agg(count(lit(1)).as("n_hit"))
-    nE.crossJoin(broadcast(nC)).crossJoin(broadcast(nH))
+      .select(col("a_id"), col("b_id"), lit(1L).as("cd"))
+    exact.join(cand, Seq("a_id", "b_id"), "full_outer")
+      .agg(coalesce(sum(coalesce(col("ex"), lit(0L))), lit(0L)).as("n_exact"),
+        coalesce(sum(coalesce(col("cd"), lit(0L))), lit(0L)).as("n_cand"),
+        coalesce(sum(when(col("ex").isNotNull && col("cd").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_hit"))
       .select(col("n_exact"), col("n_cand"), col("n_hit"),
         when(col("n_exact") === 0, lit(null).cast("long"))
           .otherwise(expr("(1000000 * n_hit) div n_exact")).as("recall_ppm"),

@@ -275,10 +275,14 @@ object Quality {
     */
   def freshnessOn(df: DataFrame, keyCol: String, tsCol: String,
       staleSec: Long): DataFrame = {
+    // perKey feeds both the output and the global max — persist the
+    // |keys|-row frame so the reuse is an explicit contract, not
+    // ReuseExchange luck (the pagerank-pin lesson)
     val perKey = df
       .select(col(keyCol), unix_micros(col(tsCol)).as("us"))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_events"), max(col("us")).as("max_us"))
+      .persist()
     val global = perKey.agg(max(col("max_us")).as("global_max_us"))
     perKey.crossJoin(broadcast(global))
       .select(col(keyCol), col("n_events"), col("max_us"),
