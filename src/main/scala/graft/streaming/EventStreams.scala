@@ -277,6 +277,26 @@ object EventStreams {
       .select(col("c_user").as("user_id"), col("click_id"), col("prc_id"))
   }
 
+  /** LEFT OUTER stream-stream interval join: every click emits — with
+    * its in-window purchases when they exist, or ONCE with a null
+    * purchase after the watermark proves no match can still arrive
+    * (the engine holds the click in state until purchase-side event
+    * time passes its window, then emits the null row). This is the
+    * attribution join a funnel report actually needs: unmatched
+    * clicks ARE the signal, and an inner join silently drops them.
+    * Both watermarks bound state exactly as in [[intervalJoinStream]];
+    * the outer row costs no extra state, only the deferred emit.
+    */
+  def intervalJoinLeftStream(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("click_ts", "30 minutes")
+    val p = purchases.withWatermark("prc_ts", "1 hour")
+    c.join(p, expr(
+      """c_user = p_user AND
+        |prc_ts >= click_ts - interval 30 minutes AND prc_ts <= click_ts""".stripMargin),
+      "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"), col("prc_id"))
+  }
+
   /** Watermark-lateness observability: per-trigger watermark position,
     * input volume, rows DROPPED as too late, and live state size,
     * lifted out of the query's progress reports into a queryable

@@ -201,6 +201,35 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(got.map(_.getAs[Long]("n_pairs")).toSeq == Seq(5L, 5L, 3L))
   }
 
+  test("trend and autocorr are exactly invariant under time translation (random series)") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // n·Σ(x+c)y − Σ(x+c)Σy and n·Σ(x+c)² − (Σ(x+c))² both reduce to the
+    // untranslated forms ALGEBRAICALLY, so in integer arithmetic the
+    // raw num/den columns — not just the ratio — must survive a
+    // 97-day shift bit-for-bit. Random series, deterministic seed.
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 50).flatMap { k =>
+      (1 to (2 + rnd.nextInt(18))).map { i =>
+        (k.toLong, i.toLong, java.sql.Date.valueOf(
+          java.time.LocalDate.of(2024, 1, 1).plusDays(rnd.nextInt(300))),
+          rnd.nextInt(100000) / 100.0)
+      }
+    }
+    val obs = rows.toDF("k", "id", "day", "v")
+    val shifted = obs.withColumn("day", date_add(col("day"), 97))
+    def trendMap(df: org.apache.spark.sql.DataFrame) =
+      TimeSeries.trendOn(df, "k", "day", "v").collect()
+        .map(r => r.getAs[Long]("k") ->
+          ((r.getAs[Long]("slope_num"), r.getAs[Long]("slope_den")))).toMap
+    assert(trendMap(obs) == trendMap(shifted))
+    def acMap(df: org.apache.spark.sql.DataFrame) =
+      TimeSeries.autocorrOn(df, "k", "day", "id", "v").collect()
+        .map(r => r.getAs[Long]("k") -> ((r.getAs[Long]("ac1_num"),
+          r.getAs[Long]("ac1_dena"), r.getAs[Long]("ac1_denb")))).toMap
+    assert(acMap(obs) == acMap(shifted))
+  }
+
   test("reservoirOn equals the window-sort form and caps every stratum at k") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

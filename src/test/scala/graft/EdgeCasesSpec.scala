@@ -129,4 +129,26 @@ class EdgeCasesSpec extends SparkSpecBase {
     assert(Similarity.bruteforceTopkOn(q, c, 3).count() == 0)
     assert(Similarity.lshTopkOn(q, c, 3).count() == 0)
   }
+
+  test("time-series and curation cores return empty (not error) on empty inputs") {
+    import spark.implicits._
+    import graft.operators.{Curate, Quality, TimeSeries}
+    import graft.streaming.EventStreams
+    val emptyObs = Seq.empty[(Long, Long, java.sql.Date, Double)]
+      .toDF("k", "id", "day", "v")
+    assert(TimeSeries.trendOn(emptyObs, "k", "day", "v").count() == 0)
+    assert(TimeSeries.changepointOn(emptyObs, "k", "day", "id", "v").count() == 0)
+    assert(TimeSeries.autocorrOn(emptyObs, "k", "day", "id", "v").count() == 0)
+    val emptyEv = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("user_id", "ts", "value")
+    assert(EventStreams.sessionNativeOn(emptyEv, 30).count() == 0)
+    assert(Quality.freshnessOn(emptyEv, "user_id", "ts", 3600L).count() == 0)
+    val emptyDocs2 = Seq.empty[(Long, String)].toDF("doc_id", "source")
+    assert(Curate.reservoirOn(emptyDocs2, "source", "doc_id", 5).count() == 0)
+    // the LSH health eval on an empty corpus reports zero counts and
+    // NULL ratios — not a crash, not a NULL count row
+    val ev = Dedup.minhashEvalOn(emptyDocs, "doc_id", "text", 0.5).head
+    assert(ev.getAs[Long]("n_exact") == 0L && ev.getAs[Long]("n_cand") == 0L)
+    assert(ev.isNullAt(ev.fieldIndex("recall_ppm")))
+  }
 }

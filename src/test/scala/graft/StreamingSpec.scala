@@ -187,6 +187,44 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream interval join emits unmatched clicks after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val B = 4_000_000_000_000L
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val cSrc = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val pSrc = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val q = EventStreams.intervalJoinLeftStream(
+      cSrc.toDF().toDF("click_ts", "c_user", "click_id"),
+      pSrc.toDF().toDF("prc_ts", "p_user", "prc_id"))
+      .writeStream.format("memory").queryName("ijl_out").outputMode("append").start()
+    try {
+      // user 1's click has an in-window purchase; user 2's click has
+      // none — the outer row for it may only emit once the purchase
+      // watermark proves no match can still arrive
+      pSrc.addData((ts(B - 600_000_000L), 1L, 100L))
+      cSrc.addData((ts(B), 1L, 500L), (ts(B), 2L, 501L))
+      q.processAllAvailable()
+      val early = spark.table("ijl_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!early.contains((2L, 501L)),
+        s"outer row emitted before the watermark could prove no match: $early")
+      // advance BOTH event-time watermarks far past the click windows
+      pSrc.addData((ts(B + 90L * 60_000_000L), 9L, 900L))
+      cSrc.addData((ts(B + 90L * 60_000_000L), 9L, 901L))
+      q.processAllAvailable()
+      // one more cycle so the new watermark value takes effect on state
+      pSrc.addData((ts(B + 91L * 60_000_000L), 9L, 902L))
+      cSrc.addData((ts(B + 91L * 60_000_000L), 9L, 903L))
+      q.processAllAvailable()
+      val rows = spark.table("ijl_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      assert(rows.contains((1L, 500L, 100L)), s"matched row missing: ${rows.toSeq}")
+      assert(rows.contains((2L, 501L, -1L)),
+        s"unmatched click never emitted its null-purchase row: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("foreachBatch SCD1 upsert keeps the latest state per key across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
