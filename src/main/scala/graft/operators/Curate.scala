@@ -81,8 +81,15 @@ object Curate {
     */
   def reservoirOn(df: DataFrame, stratumCol: String, idCol: String,
       k: Int): DataFrame = {
+    // loud failure beats silent corruption: an id outside the 22-bit
+    // pack range would scramble the (priority, id) ordering, so the
+    // scan itself rejects it (zero-cost branch in codegen when ids
+    // are in range)
     val packed = expr(
-      s"((($idCol % 2147483647) * 1000003 + 12289) % 2147483647) * 4194304 + $idCol")
+      s"""IF($idCol BETWEEN 0 AND 4194303,
+         |((($idCol % 2147483647) * 1000003 + 12289) % 2147483647) * 4194304 + $idCol,
+         |raise_error(concat('pipeline_reservoir: id out of 22-bit pack range: ',
+         |  cast($idCol as string))))""".stripMargin)
     df.select(col(stratumCol), packed.as("packed"))
       .groupBy(col(stratumCol))
       .agg(graft.functions.TopKAgg.column(col("packed"), k).as("top"))

@@ -254,6 +254,19 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(got.count(_._1 == "one") == 1)
   }
 
+  test("reservoirOn rejects ids outside the 22-bit pack range loudly") {
+    import spark.implicits._
+    import graft.operators.Curate
+    val df = Seq((4194304L, "big_id")).toDF("doc_id", "source")
+    val e = intercept[Exception] {
+      Curate.reservoirOn(df, "source", "doc_id", 5).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("pack range")),
+      s"expected the raise_error message, got: ${messages(e)}")
+  }
+
   test("freshnessOn flags the silent key by lag, not by any constraint") {
     import spark.implicits._
     import graft.operators.Quality
