@@ -63,16 +63,55 @@ object Affinity {
       |SELECT a_item, b_item, n_baskets FROM p WHERE n_baskets >= 2
       |ORDER BY a_item, b_item""".stripMargin
 
-  /** Triangle listing over an undirected edge set (a < b rows): every
-    * triple whose three edges all exist, found once via two equi-joins
-    * under the a < b < c ordering. Output: (a, b, c) vertex triples.
+  /** Triangle listing over an undirected edge set (a < b rows), via
+    * DEGREE-ordered orientation (compact-forward): every edge points
+    * from its (degree, id)-smaller endpoint to the larger, wedges form
+    * only at a triangle's unique ≺-minimal vertex, and the closing
+    * edge is probed in the same oriented set. Out-degrees under this
+    * orientation are O(√m), so wedge volume is O(Σ outdeg²) ≤ O(m^1.5)
+    * — id-ordering (the naive a<b<c join) leaves a LOW-ID HUB with
+    * deg² wedges on one key, the same Σdeg² failure q54_khop's cap
+    * closes, except here the degree orientation removes it EXACTLY
+    * (hubs sort last, so nothing fans out of them; orientedEdges is
+    * spec-pinned to out-degree ≤ a constant on a planted-hub star).
+    * Costs one degree aggregation + two broadcast-joinable degree
+    * lookups more than the naive form; output is the same id-canonical
+    * (a, b, c) triple set. Output: (a, b, c).
     */
+  private[graft] def orientedEdges(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(col("a_item").as("u"), col("b_item").as("v"))
+    val deg = e0.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    e0
+      .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(fwd, col("u")).otherwise(col("v")).as("s"),
+        when(fwd, col("v")).otherwise(col("u")).as("t"),
+        when(fwd, col("dv")).otherwise(col("du")).as("dt"))
+  }
+
   def trianglesOn(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a_item").as("u"), col("b_item").as("v"))
-    e.select(col("u").as("a"), col("v").as("b"))
-      .join(e.select(col("u").as("b"), col("v").as("c")), Seq("b"))
-      .join(e.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"), "left_semi")
-      .select(col("a"), col("b"), col("c"))
+    // three references below (both wedge arms + the closing-edge
+    // probe): materialize the slim (s, t, dt) rows once — same eager
+    // localCheckpoint pin as pagerank's iteration base, measured
+    // cheaper than recomputing the upstream pair build per arm
+    val ed = orientedEdges(edges).localCheckpoint(true)
+    // wedge at the ≺-minimal vertex: two out-edges (s→t1), (s→t2) with
+    // t1 ≺ t2; the triangle closes iff t1→t2 is itself an oriented edge
+    val w1 = ed.select(col("s"), col("t").as("t1"), col("dt").as("d1"))
+    val w2 = ed.select(col("s"), col("t").as("t2"), col("dt").as("d2"))
+    w1.join(w2, Seq("s"))
+      .filter(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("t1") < col("t2")))
+      .join(ed.select(col("s").as("t1"), col("t").as("t2")),
+        Seq("t1", "t2"), "left_semi")
+      .select(expr("array_sort(array(s, t1, t2))").as("tri"))
+      .select(col("tri").getItem(0).as("a"),
+        col("tri").getItem(1).as("b"),
+        col("tri").getItem(2).as("c"))
   }
 
   /** q43_triangles testdata binding: triangles of the support-≥2

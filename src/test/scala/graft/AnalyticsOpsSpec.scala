@@ -621,6 +621,32 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("trianglesOn lists each K4 triangle once, id-canonical, pendant-blind") {
+    import spark.implicits._
+    import graft.operators.Affinity
+    // K4 on {1,2,3,4} (4 triangles) plus pendant edge 4-9 (no new ones)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 9L))
+      .toDF("a_item", "b_item")
+    val got = Affinity.trianglesOn(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+  }
+
+  test("degree orientation bounds out-degree on a planted hub star (id-order would fan deg² wedges)") {
+    import spark.implicits._
+    import graft.operators.Affinity
+    // hub id 0 with 5000 leaves: id-ordering points ALL edges out of
+    // the hub (C(5000,2) ≈ 1.2e7 wedges on one key); degree-ordering
+    // points every edge INTO the hub, so no wedge forms at all
+    val hubDeg = 5000
+    val edges = (1 to hubDeg).map(i => (0L, i.toLong)).toDF("a_item", "b_item")
+    val maxOut = Affinity.orientedEdges(edges)
+      .groupBy(col("s")).agg(count(lit(1)).as("outdeg"))
+      .agg(max(col("outdeg"))).head.getLong(0)
+    assert(maxOut == 1L, s"hub fan-out survived orientation: max outdeg $maxOut")
+    assert(Affinity.trianglesOn(edges).count() == 0L)
+  }
+
   test("khopOn counts 1-hop and 2-hop reach on a path graph") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a_item", "b_item")
