@@ -97,6 +97,7 @@ object SparkEntry {
     "ts_interp_linear"   -> TimeSeries.interpLinear _,
     "ts_merge_intervals" -> TimeSeries.mergeIntervals _,
     "ts_cum_distinct"    -> TimeSeries.cumDistinct _,
+    "ts_active_users"    -> TimeSeries.activeUsers _,
     "q55_attribution"    -> TimeSeries.attribution _,
     "ts_rolling_median"  -> TimeSeries.rollingMedian _,
     "ts_rolling_median_wide" -> TimeSeries.rollingMedianWide _,
@@ -528,6 +529,7 @@ object SparkEntry {
     "ts_interp_linear"    -> TimeSeries.interpLinearSql,
     "ts_merge_intervals"  -> TimeSeries.mergeIntervalsSql,
     "ts_cum_distinct"     -> TimeSeries.cumDistinctSql,
+    "ts_active_users"     -> TimeSeries.activeUsersSql,
     "q55_attribution"     -> TimeSeries.attributionSql,
     "ts_rolling_median"   -> TimeSeries.rollingMedianSql,
     "ts_rolling_median_wide" -> TimeSeries.rollingMedianWideSql,

@@ -500,6 +500,61 @@ object TimeSeries {
       | (SELECT count(DISTINCT user_id) FROM e WHERE e.day <= d.day) AS cum_distinct
       |FROM days d ORDER BY day""".stripMargin
 
+  /** Active-user curve — DAU and trailing-7-day WAU, EXACT: the product
+    * metric every event stream reports, and the one a sliding
+    * count(DISTINCT) window cannot express (Spark correctly refuses
+    * DISTINCT window aggregates, and re-scanning 7 days per report day
+    * re-reads the corpus 7×). The scalable identity: each distinct
+    * (user, day) activity contributes that user to report days
+    * d..d+6, so EXPLODE the bounded 7-day contribution range and
+    * count distinct users per report day — deduplication across a
+    * user's multiple active days inside one window happens in the
+    * same distinct aggregate. Shape: one distinct over (user, day)
+    * (bounded by user·calendar, not events), a 7× map-side explode of
+    * those slim pairs, two distinct aggregates — every stage
+    * map-side-combinable, no window over history. The distinct
+    * (user, day) frame feeds both DAU and WAU, so it is persist-pinned
+    * (twin-subtree contract). Report days without same-day activity
+    * are omitted (they have no DAU row — the oracle agrees).
+    * Day arithmetic is pure integer micros-div, identical on both
+    * engines. Output: (day_ord, day, dau, wau).
+    */
+  def activeUsersOn(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val ud = events.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).as("u"),
+        expr(s"unix_micros($tsCol) div 86400000000").as("d"))
+      .distinct()
+      .persist()
+    val dau = ud.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("u"), explode(sequence(col("d"), col("d") + 6)).as("rd"))
+      .groupBy(col("rd")).agg(countDistinct(col("u")).as("wau"))
+    dau.join(wau, col("d") === col("rd"))
+      .select(col("d").as("day_ord"),
+        expr("date_add('1970-01-01', cast(d as int))").as("day"),
+        col("dau"), col("wau"))
+  }
+
+  /** ts_active_users testdata binding: DAU/WAU over the events stream. */
+  def activeUsers(spark: SparkSession, sfDir: String): DataFrame =
+    activeUsersOn(Tables.events(spark, sfDir), "user_id", "ts")
+      .orderBy(col("day_ord"))
+
+  /** Oracle states the semantics directly — per report day, distinct
+    * users active in [d-6, d] — not the contribution-explode rewrite,
+    * so it independently checks the identity.
+    */
+  def activeUsersSql: String =
+    """WITH ud AS (
+      | SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS d
+      | FROM events WHERE user_id IS NOT NULL),
+      |days AS (SELECT d, count(*) AS dau FROM ud GROUP BY 1)
+      |SELECT days.d AS day_ord, DATE '1970-01-01' + CAST(days.d AS INTEGER) AS day,
+      | dau,
+      | (SELECT count(DISTINCT u) FROM ud w
+      |   WHERE w.d BETWEEN days.d - 6 AND days.d) AS wau
+      |FROM days ORDER BY day_ord""".stripMargin
+
   /** Rolling exact median (trailing 5 orders) of per-customer order
     * value, in integer cents — the robust smoother for spiky spend
     * series where the rolling MEAN (q7's running window) chases

@@ -621,6 +621,27 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("activeUsersOn: WAU counts a user once across multiple active days in the window") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1 active on days 0 and 2 (twice on day 0); user 2 on day 2;
+    // user 3 only on day 9 — outside day 2's window, inside day 9's
+    val ev = Seq(
+      (1L, t("2024-03-01 10:00:00")), (1L, t("2024-03-01 11:00:00")),
+      (1L, t("2024-03-03 10:00:00")), (2L, t("2024-03-03 12:00:00")),
+      (3L, t("2024-03-10 09:00:00")))
+      .toDF("user_id", "ts")
+    val got = TimeSeries.activeUsersOn(ev, "user_id", "ts")
+      .orderBy("day_ord").collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("dau"), r.getAs[Long]("wau")))
+    assert(got.toSeq == Seq(
+      ("2024-03-01", 1L, 1L),   // day 0: user 1 (deduped same-day)
+      ("2024-03-03", 2L, 2L),   // day 2: users 1,2; WAU window covers day 0 but user 1 counts ONCE
+      ("2024-03-10", 1L, 1L)))  // day 9: only user 3 in [3..9]
+  }
+
   test("trianglesOn lists each K4 triangle once, id-canonical, pendant-blind") {
     import spark.implicits._
     import graft.operators.Affinity
