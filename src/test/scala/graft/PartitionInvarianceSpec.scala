@@ -1,0 +1,47 @@
+package graft
+
+/** Determinism under parallelism: the same query must produce
+  * bit-identical rows at different shuffle-partition counts. This is
+  * the 100 TB concern the DuckDB oracle cannot see — the oracle run
+  * fixes ONE partitioning, but a production cluster's width changes
+  * with autoscaling, and any operator whose result depends on
+  * partition count (float summation order, unstable intra-group
+  * ordering, partition-id leakage) silently breaks reproducibility.
+  * The operators were designed order-independent (integer/rational
+  * arithmetic, explicit tie-breaks); this spec PROVES it for the
+  * float-adjacent and ordering-sensitive ones by running each at 2
+  * and at 13 shuffle partitions (13 is prime — no accidental
+  * alignment with the 4-partition base config) and diffing the full
+  * row multisets.
+  */
+class PartitionInvarianceSpec extends SparkSpecBase {
+
+  // float-bearing aggregations, iterative fixpoints, windowed
+  // orderings, sketches with declared determinism, and the new
+  // round's moment arithmetic
+  private val Sensitive = Seq(
+    "ts_ewma", "text_tfidf", "embed_kmeans", "dedup_minhash",
+    "q52_pagerank", "q21_stats_agg", "ts_trend", "ts_autocorr",
+    "ts_changepoint", "ts_active_users", "pipeline_reservoir",
+    "q43_triangles", "dedup_minhash_eval", "q46_topk_agg")
+
+  private def rowsAt(name: String, partitions: Int): Seq[String] = {
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    try SparkEntry.queries(name)(spark, SfDir)
+      .collect().map(_.toString).sorted.toSeq
+    finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+  }
+
+  Sensitive.foreach { name =>
+    test(s"$name: identical rows at 2 and 13 shuffle partitions") {
+      spark.catalog.clearCache()
+      val a = rowsAt(name, 2)
+      spark.catalog.clearCache()
+      val b = rowsAt(name, 13)
+      assert(a.size == b.size, s"row count diverged: ${a.size} vs ${b.size}")
+      val diff = a.zip(b).find { case (x, y) => x != y }
+      assert(diff.isEmpty,
+        diff.map { case (x, y) => s"first diverging row: $x vs $y" }.getOrElse(""))
+    }
+  }
+}
