@@ -267,6 +267,30 @@ object Multimodal {
       })
   }
 
+  /** Scene-cut detection over sampled frames: a cut is a sampled frame
+    * whose mean luma jumps ≥ `minDelta` from the previous SAMPLED
+    * frame of the same payload — the shot-boundary heuristic a video
+    * curation pipeline runs off the cheap luma pass (black-frame
+    * slates and hard cuts both register; a real pipeline follows with
+    * a histogram check only on the flagged boundaries). Pure
+    * DataFrame work on top of [[sampleVideoFramesOn]]'s output: one
+    * lag window on the (doc, frame) key the sampler already produced,
+    * so the decode pass — the actual cost — is not repeated. Stride
+    * coarsens boundary positions by up to stride-1 frames; that is
+    * the sampling trade, documented not hidden.
+    * Output: (doc_id, frame_idx, luma_delta).
+    */
+  def sceneCutsOn(frames: DataFrame, minDelta: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("prev_luma", lag(col("mean_luma"), 1).over(w))
+      .filter(col("prev_luma").isNotNull &&
+        abs(col("mean_luma") - col("prev_luma")) >= minDelta)
+      .select(col("doc_id"), col("frame_idx"),
+        (col("mean_luma") - col("prev_luma")).as("luma_delta"))
+  }
+
   /** One extracted frame feature. */
   case class FrameFeature(doc_id: Long, frame_idx: Int, feature: Long)
 

@@ -296,6 +296,14 @@ class SourcesSpec extends SparkSpecBase {
       .collect().sortBy(_.frame_idx)
     assert(frames.map(f => (f.frame_idx, f.mean_luma)).toSeq == Seq((0, 10L), (2, 200L)),
       "strided frames decode to their planted luma levels")
+    // scene cuts over a planted hard cut: dark..dark | bright..bright;
+    // every frame sampled (stride 1) so the boundary lands exactly
+    val cutDf = Seq((7L, gif(Seq(20, 22, 230, 228), 10, 10))).toDF("doc_id", "payload")
+    val cuts = Multimodal.sceneCutsOn(
+      Multimodal.sampleVideoFramesOn(cutDf, stride = 1).toDF(), minDelta = 100L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(cuts.toSeq == Seq((7L, 2, 208L)),
+      s"exactly the planted dark->bright boundary, with its signed delta: ${cuts.toSeq}")
   }
 
   test("idempotent batch append: a replayed batchId is skipped, not duplicated") {
