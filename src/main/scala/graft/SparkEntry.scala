@@ -113,6 +113,7 @@ object SparkEntry {
     "dq_profile_drift"   -> Quality.dqProfileDrift _,
     "dq_freshness"       -> Quality.dqFreshness _,
     "sim_recall_eval"    -> Similarity.recallEval _,
+    "dedup_threshold_sweep" -> Similarity.thresholdSweep _,
     "sim_mips_ann"       -> Similarity.mipsAnn _,
     "dq_mad_outliers"    -> Quality.dqMadOutliers _,
     "q54_khop"           -> Affinity.khop _,
@@ -545,6 +546,7 @@ object SparkEntry {
     "dq_profile_drift"    -> Quality.dqProfileDriftSql,
     "dq_freshness"        -> Quality.dqFreshnessSql,
     "sim_recall_eval"     -> Similarity.recallEvalSql,
+    "dedup_threshold_sweep" -> Similarity.thresholdSweepSql,
     "sim_mips_ann"        -> Similarity.mipsAnnSql,
     "text_surprise"       -> TextAnalysis.surpriseSql,
     "dq_mad_outliers"     -> Quality.dqMadOutliersSql,

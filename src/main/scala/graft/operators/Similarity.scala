@@ -546,6 +546,51 @@ object Similarity {
        |SELECT a_id, b_id, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
        |FROM s WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin
 
+  /** dedup_threshold_sweep — the tuning report behind every cosine
+    * dedup: how many candidate pairs live in each similarity band,
+    * and how many survive at-or-above each band's floor — the
+    * cumulative column is read directly against a dedup budget BEFORE
+    * committing a 100 TB pass to one threshold. ONE scan of the pair
+    * set at the lowest threshold of interest; ≤21 bucket rows out at
+    * any corpus size, so the cumulative window over them is
+    * driver-trivial by construction. Buckets floor the already
+    * pround-ed cos (bit-identical across engines), so band edges are
+    * engine-safe. Output: (bucket, thr_lo, n_pairs, n_at_or_above).
+    */
+  def thresholdSweepOn(pairs: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pairs
+      .groupBy(floor(col("cos_sim") * 20.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("thr_lo", Cols.pround(col("bucket").cast("double") / 20.0, 2))
+      .withColumn("n_at_or_above", sum(col("n_pairs")).over(w))
+      .select(col("bucket"), col("thr_lo"), col("n_pairs"), col("n_at_or_above"))
+  }
+
+  /** dedup_threshold_sweep testdata binding: bands of the 0.4+ cosine
+    * pair set.
+    */
+  def thresholdSweep(spark: SparkSession, sfDir: String): DataFrame =
+    thresholdSweepOn(
+      cosineNearDupOn(
+        Tables.embeddings(spark, sfDir)
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        0.4))
+      .orderBy(col("bucket").desc)
+
+  def thresholdSweepSql: String =
+    s"""WITH p AS (SELECT cos_sim FROM (
+       |  ${embedCosineDedupSql.replace("ORDER BY a_id, b_id", "")})),
+       |h AS (SELECT CAST(floor(cos_sim * 20.0) AS BIGINT) AS bucket,
+       |        count(*) AS n_pairs FROM p GROUP BY 1)
+       |SELECT bucket,
+       | floor(CAST(bucket AS DOUBLE) / 20.0 * 100.0 + 0.5) / 100.0 AS thr_lo,
+       | n_pairs,
+       | CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at_or_above
+       |FROM h ORDER BY bucket DESC""".stripMargin
+
   /** Per-class centroid affinity: each vector's cosine to ITS label's
     * centroid — the outlier/mislabel score of an embedding-space QA
     * pass (low affinity ⇒ the vector sits far from its class).

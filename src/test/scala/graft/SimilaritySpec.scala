@@ -95,4 +95,18 @@ class SimilaritySpec extends SparkSpecBase {
     // approximate: expect SOME overlap, not full recall, at 8 planes
     assert(ann.nonEmpty && bf.nonEmpty)
   }
+
+  test("thresholdSweepOn bands pairs and accumulates from the top band down") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, 0.41), (1L, 3L, 0.55), (2L, 3L, 0.57), (4L, 5L, 0.95))
+      .toDF("a_id", "b_id", "cos_sim")
+    val got = Similarity.thresholdSweepOn(pairs)
+      .orderBy(org.apache.spark.sql.functions.col("bucket").desc).collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("thr_lo"),
+        r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (19L, 0.95, 1L, 1L),   // [0.95, 1.00): the 0.95 pair
+      (11L, 0.55, 2L, 3L),   // [0.55, 0.60): two pairs; 3 at >= 0.55
+      (8L, 0.40, 1L, 4L)))   // [0.40, 0.45): all 4 at >= 0.40
+  }
 }
