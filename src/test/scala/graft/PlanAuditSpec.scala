@@ -256,6 +256,18 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"scan-side operator grew a window:\n$p")
   }
 
+  test("ts_active_users: cache-pinned distinct pairs, contribution explode, no history self-join") {
+    val p = planOf(q("ts_active_users"))
+    // the distinct (user, day) frame feeds DAU and WAU — must come
+    // from the pinned cache, not two distinct computations
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"shared distinct frame not cache-pinned:\n$p")
+    // WAU arrives by exploding the bounded 7-day contribution range,
+    // never by joining each report day against 7 days of history
+    assert(p.contains("Generate") || p.contains("explode"),
+      s"contribution explode missing:\n$p")
+  }
+
   test("pipeline_reservoir: heap aggregate, not a per-stratum window sort") {
     // the point of the operator: the window form sorts every row of
     // every stratum after a full exchange; the heap form ships k-long
