@@ -121,6 +121,7 @@ object SparkEntry {
     "embed_dim_stats"    -> Similarity.dimStats _,
     "dedup_bag"          -> Dedup.bag _,
     "pipeline_quality_mix" -> Training.qualityMix _,
+    "pipeline_mix_temp"  -> Training.mixTemp _,
     "embed_kmeans"       -> Similarity.kmeans _,
     "embed_pq"           -> Similarity.pq _,
     "sim_pq_adc"         -> Similarity.pqAdc _,
@@ -555,6 +556,7 @@ object SparkEntry {
     "embed_dim_stats"     -> Similarity.dimStatsSql,
     "dedup_bag"           -> Dedup.bagSql,
     "pipeline_quality_mix" -> Training.qualityMixSql,
+    "pipeline_mix_temp"   -> Training.mixTempSql,
     "embed_kmeans"        -> Similarity.kmeansSql,
     "embed_pq"            -> Similarity.pqSql,
     "sim_pq_adc"          -> Similarity.pqAdcSql,

@@ -261,6 +261,69 @@ object Training {
        |FROM k GROUP BY 1 ORDER BY source""".stripMargin
   }
 
+  /** pipeline_mix_temp — temperature-based source re-weighting: the
+    * standard size^α mix (α = 1 proportional, α → 0 uniform; smaller
+    * α upweights small sources — the multilingual/LLM data-mixing
+    * technique). α is FIXED at 1/2 here because sqrt is
+    * IEEE-correctly-rounded and therefore engine-portable, where a
+    * general pow() is a libm transcendental with no such guarantee;
+    * for other α, compute the per-source ppm offline and feed
+    * [[mixOn]] — the distributed path is identical. The one hidden
+    * trap: Σ√n over sources is FLOAT-SUMMATION-ORDER dependent, so
+    * each √n_s is quantized to integer units (floor(√n·2²⁰) — sqrt,
+    * exponent shift and floor are all exact) BEFORE summing; targets
+    * k_s = (K · q_s) div Σq_s are then pure int64. Selection is
+    * deterministic hash-rank within source (one window on the source
+    * key); the bounded-heap reservoir is the drop-in at hub-source
+    * scale. Output: (source, n_docs, target_k, n_kept, kept_id_sum).
+    */
+  def mixTempOn(df: DataFrame, idCol: String, sourceCol: String,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("q", floor(sqrt(col("n_docs").cast("double")) * 1048576.0).cast("long"))
+      .persist()
+    val tot = counts.agg(sum(col("q")).as("sq"))
+    val targets = counts.crossJoin(broadcast(tot))
+      .withColumn("target_k", expr(s"($budget * q) div sq"))
+      .select(col(sourceCol), col("n_docs"), col("target_k"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(expr(s"($idCol * 1000003 + 12289) % 2147483647"), col(idCol))
+    val kept = df.select(col(sourceCol), col(idCol))
+      .join(broadcast(targets.select(col(sourceCol), col("target_k"))), Seq(sourceCol))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("target_k"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_kept"), sum(col(idCol)).as("kept_id_sum"))
+    targets.join(kept, Seq(sourceCol), "left")
+      .select(col(sourceCol), col("n_docs"), col("target_k"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+  }
+
+  /** pipeline_mix_temp testdata binding: 200-doc budget at α = 1/2. */
+  def mixTemp(spark: SparkSession, sfDir: String): DataFrame =
+    mixTempOn(Tables.documents(spark, sfDir), "doc_id", "source", 200L)
+      .orderBy(col("source"))
+
+  def mixTempSql: String =
+    """WITH c AS (
+      | SELECT source, count(*) AS n_docs,
+      |  CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1048576.0) AS BIGINT) AS q
+      | FROM documents GROUP BY 1),
+      |t AS (SELECT source, n_docs, (200 * q) // (SELECT sum(q) FROM c) AS target_k FROM c),
+      |r AS (SELECT source, doc_id,
+      |  row_number() OVER (PARTITION BY source
+      |    ORDER BY (doc_id * 1000003 + 12289) % 2147483647, doc_id) AS rk
+      | FROM documents),
+      |k AS (SELECT r.source, count(*) AS n_kept, sum(doc_id) AS kept_id_sum
+      |      FROM r JOIN t ON r.source = t.source WHERE rk <= target_k GROUP BY 1)
+      |SELECT t.source, n_docs, CAST(target_k AS BIGINT) AS target_k,
+      | CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+      | CAST(coalesce(kept_id_sum, 0) AS BIGINT) AS kept_id_sum
+      |FROM t LEFT JOIN k ON t.source = k.source ORDER BY t.source""".stripMargin
+
   /** pipeline_quality_mix — quality-WEIGHTED downsampling, the curation
     * recipe between "hard threshold" (pipeline_curate) and "uniform
     * mixture" (pipeline_mix): high-quality docs (score ≥ 0.75) all

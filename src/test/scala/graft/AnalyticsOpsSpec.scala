@@ -621,6 +621,23 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("mixTempOn upweights small sources by exact integer sqrt-quantized targets") {
+    import spark.implicits._
+    import graft.operators.Training
+    // sources sized 100 / 25 / 1, budget 10. q = floor(sqrt(n)*2^20) =
+    // (10485760, 5242880, 1048576), sum 16777216; targets (10*q) div sum
+    // = (6, 3, 0). Proportional mixing would give (7, 1, 0) — the √
+    // temperature hands the small source 3x its proportional share.
+    val docs = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 125).map(i => (i.toLong, "mid")) :+ ((126L, "tiny")))
+      .toDF("doc_id", "source")
+    val got = Training.mixTempOn(docs, "doc_id", "source", 10L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("big", 100L, 6L, 6L), ("mid", 25L, 3L, 3L), ("tiny", 1L, 0L, 0L)))
+  }
+
   test("activeUsersOn: WAU counts a user once across multiple active days in the window") {
     import spark.implicits._
     import graft.operators.TimeSeries
