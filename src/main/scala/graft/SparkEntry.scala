@@ -133,6 +133,7 @@ object SparkEntry {
     "pipeline_reservoir" -> Curate.reservoir _,
     "asof_join"          -> AsOf.clicksToPurchases _,
     "asof_join_forward"  -> AsOf.purchasesToNextClick _,
+    "asof_join_nearest"  -> AsOf.clicksToNearestPurchase _,
     "range_join_bucketed" -> Ranges.eventBands _,
     // §2.C LLM-data-pipeline operators
     "dedup_exact"         -> Dedup.exact _,
@@ -487,6 +488,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "asof_join"           -> AsOf.clicksToPurchasesSql,
     "asof_join_forward"   -> AsOf.purchasesToNextClickSql,
+    "asof_join_nearest"   -> AsOf.clicksToNearestPurchaseSql,
     "range_join_bucketed" -> Ranges.eventBandsSql,
     "q21_stats_agg" ->
       """SELECT l_returnflag,

@@ -123,4 +123,80 @@ object AsOf {
       | (c.us - p.us) // 1000000 AS gap_sec
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us <= c.us
       |ORDER BY prc_id""".stripMargin
+
+  /** NEAREST as-of join (pandas merge_asof direction='nearest' — the
+    * sensor-fusion alignment): each left row matched to the right row
+    * with the SMALLEST |Δt| in either direction, ties toward the
+    * past. Composes the two directional passes (each the proven
+    * single-shuffle union+window core) and chooses scan-side after an
+    * equi-join on a caller-provided UNIQUE left id — the id, not
+    * (key, time), because duplicate left timestamps must not
+    * cross-match, and a synthetic monotonically_increasing_id would
+    * be partitioning-dependent. The emitted lag stays in raw signed
+    * MICROS: dividing it would hit the `div`-truncates vs `//`-floors
+    * divergence on negative (future-match) lags. Output: left columns
+    * + `<prefix><time>`/payload of the chosen row + matched_dir
+    * ('past' / 'future' / null) — Δt=0 rows sit in 'past' by the tie
+    * rule.
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+      time: String, idCol: String, rightPrefix: String = "n_"): DataFrame = {
+    val rPay = time +: right.columns.filterNot(c => c == key || c == time).toSeq
+    val b = asofJoin(left, right, key, time, "__b_")
+    val f = asofJoinForward(left, right, key, time, "__f_")
+      .select(col(idCol) +: rPay.map(c => col("__f_" + c)): _*)
+    val bt = col("__b_" + time)
+    val ft = col("__f_" + time)
+    val pickB = ft.isNull || (bt.isNotNull && (col(time) - bt) <= (ft - col(time)))
+    val chosen = rPay.map(c =>
+      when(pickB, col("__b_" + c)).otherwise(col("__f_" + c)).as(rightPrefix + c))
+    val dir = when(pickB && bt.isNotNull, lit("past"))
+      .when(!pickB, lit("future"))
+      .otherwise(lit(null).cast("string")).as("matched_dir")
+    b.join(f, Seq(idCol), "left")
+      .select(left.columns.toSeq.map(col) ++ chosen :+ dir: _*)
+  }
+
+  /** asof_join_nearest testdata binding: each click to the user's
+    * nearest purchase in time, either direction.
+    */
+  def clicksToNearestPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir).withColumn("us", unix_micros(col("ts")))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us"), col("event_id").as("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), col("event_id").as("prc_id"), col("value").as("prc_value"))
+    asofJoinNearest(clicks, purchases, "user_id", "us", "click_id")
+      .select(col("user_id"), col("click_id"), col("us").as("click_us"),
+        col("n_us").as("prc_us"), col("n_prc_id").as("prc_id"),
+        col("n_prc_value").as("prc_value"),
+        (col("us") - col("n_us")).as("lag_us"), col("matched_dir"))
+      .orderBy(col("click_id"))
+  }
+
+  def clicksToNearestPurchaseSql: String =
+    """WITH c AS (SELECT user_id, epoch_us(ts) AS us, event_id AS click_id
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, epoch_us(ts) AS us, event_id AS prc_id, value AS prc_value
+      |      FROM events WHERE event_type = 'purchase'),
+      |b AS (SELECT c.user_id, click_id, c.us,
+      |        p.us AS bus, prc_id AS bid, prc_value AS bval
+      |      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.us >= p.us),
+      |f AS (SELECT click_id, p.us AS fus, prc_id AS fid, prc_value AS fval
+      |      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.us <= p.us)
+      |SELECT b.user_id, b.click_id, b.us AS click_us,
+      | CASE WHEN fus IS NULL OR (bus IS NOT NULL AND b.us - bus <= fus - b.us)
+      |      THEN bus ELSE fus END AS prc_us,
+      | CASE WHEN fus IS NULL OR (bus IS NOT NULL AND b.us - bus <= fus - b.us)
+      |      THEN bid ELSE fid END AS prc_id,
+      | CASE WHEN fus IS NULL OR (bus IS NOT NULL AND b.us - bus <= fus - b.us)
+      |      THEN bval ELSE fval END AS prc_value,
+      | b.us - (CASE WHEN fus IS NULL OR (bus IS NOT NULL AND b.us - bus <= fus - b.us)
+      |              THEN bus ELSE fus END) AS lag_us,
+      | CASE WHEN (fus IS NULL OR (bus IS NOT NULL AND b.us - bus <= fus - b.us))
+      |        AND bus IS NOT NULL THEN 'past'
+      |      WHEN NOT (fus IS NULL OR (bus IS NOT NULL AND b.us - bus <= fus - b.us))
+      |      THEN 'future' ELSE NULL END AS matched_dir
+      |FROM b LEFT JOIN f ON b.click_id = f.click_id
+      |ORDER BY b.click_id""".stripMargin
 }

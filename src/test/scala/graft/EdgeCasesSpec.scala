@@ -130,6 +130,29 @@ class EdgeCasesSpec extends SparkSpecBase {
     assert(Similarity.lshTopkOn(q, c, 3).count() == 0)
   }
 
+  test("asofJoinNearest: closer side wins, exact tie goes to the past, no-match stays null") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, 10L),  // past at 90 (d=10), future at 150 (d=50) -> past
+      (1L, 200L, 11L),  // past at 150 (d=50), future at 210 (d=10) -> future
+      (1L, 250L, 12L),  // past at 210 (d=40) == future at 290 (d=40) -> past
+      (2L, 500L, 13L),  // only future at 600 -> future
+      (3L, 700L, 14L))  // no right rows at all -> null
+      .toDF("k", "t", "lid")
+    val right = Seq(
+      (1L, 90L, 900.0), (1L, 150L, 901.0), (1L, 210L, 902.0), (1L, 290L, 903.0),
+      (2L, 600L, 904.0))
+      .toDF("k", "t", "v")
+    val got = AsOf.asofJoinNearest(left, right, "k", "t", "lid")
+      .orderBy("lid").collect()
+      .map(r => (r.getAs[Long]("lid"),
+        if (r.isNullAt(r.fieldIndex("n_t"))) -1L else r.getAs[Long]("n_t"),
+        r.getAs[String]("matched_dir")))
+    assert(got.toSeq == Seq(
+      (10L, 90L, "past"), (11L, 210L, "future"), (12L, 210L, "past"),
+      (13L, 600L, "future"), (14L, -1L, null)))
+  }
+
   test("time-series and curation cores return empty (not error) on empty inputs") {
     import spark.implicits._
     import graft.operators.{Curate, Quality, TimeSeries}
