@@ -23,7 +23,8 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     "ts_ewma", "text_tfidf", "embed_kmeans", "dedup_minhash",
     "q52_pagerank", "q21_stats_agg", "ts_trend", "ts_autocorr",
     "ts_changepoint", "ts_active_users", "pipeline_reservoir",
-    "q43_triangles", "dedup_minhash_eval", "q46_topk_agg")
+    "q43_triangles", "dedup_minhash_eval", "q46_topk_agg",
+    "pipeline_mix_temp", "asof_join_nearest", "dedup_threshold_sweep")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
