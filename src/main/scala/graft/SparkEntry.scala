@@ -178,6 +178,7 @@ object SparkEntry {
     "stream_window_agg"   -> EventStreams.windowAgg _,
     "stream_sessionize"   -> EventStreams.sessionize _,
     "stream_session_native" -> EventStreams.sessionNative _,
+    "q61_session_conversion" -> EventStreams.sessionConversion _,
     "stream_dedup"        -> EventStreams.dedupBatch _,
     "stream_interval_join" -> EventStreams.intervalJoinBatch _,
   )
@@ -659,6 +660,7 @@ object SparkEntry {
     "stream_window_agg"   -> EventStreams.windowAggSql,
     "stream_sessionize"   -> EventStreams.sessionizeSql,
     "stream_session_native" -> EventStreams.sessionNativeSql,
+    "q61_session_conversion" -> EventStreams.sessionConversionSql,
     "stream_dedup"        -> EventStreams.dedupBatchSql,
     "stream_interval_join" -> EventStreams.intervalJoinBatchSql,
   )

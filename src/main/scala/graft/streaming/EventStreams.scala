@@ -147,6 +147,62 @@ object EventStreams {
     """SELECT DISTINCT user_id, event_type, epoch_us(ts) // 60000000 AS minute_bucket
       |FROM events ORDER BY 1, 2, 3""".stripMargin
 
+  /** Per-day session conversion — the dashboard read over gap
+    * sessions: of the sessions STARTING each day, how many contained
+    * a purchase, and the exact conversion rate in ppm. Same lag +
+    * cumsum island assignment as [[sessionizeOn]] (one user-key
+    * shuffle), then a per-session flag rollup and a day-cardinality
+    * aggregate — the session's day is its FIRST event's day, so a
+    * midnight-spanning session counts once, on its entry day.
+    * Integer-division ppm on non-negative counts is engine-safe.
+    * Output: (day, n_sessions, n_converted, conv_ppm).
+    */
+  def sessionConversionOn(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("sess_idx", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("sess_idx"))
+      .agg(min(col("us")).as("start_us"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+      .groupBy(expr("start_us div 86400000000").as("day_ord"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("converted")).as("n_converted"))
+      .select(col("day_ord"), col("n_sessions"), col("n_converted"),
+        expr("(1000000 * n_converted) div n_sessions").as("conv_ppm"))
+  }
+
+  /** q61_session_conversion testdata binding (30-minute gap). */
+  def sessionConversion(spark: SparkSession, sfDir: String): DataFrame =
+    sessionConversionOn(Tables.events(spark, sfDir), 30)
+      .orderBy(col("day_ord"))
+
+  def sessionConversionSql: String =
+    """WITH flagged AS (
+      | SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |sess AS (
+      | SELECT user_id, event_type, us,
+      |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      | FROM flagged),
+      |per AS (
+      | SELECT user_id, g, min(us) AS start_us,
+      |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      | FROM sess GROUP BY 1, 2)
+      |SELECT start_us // 86400000000 AS day_ord,
+      | count(*) AS n_sessions,
+      | CAST(sum(converted) AS BIGINT) AS n_converted,
+      | (1000000 * CAST(sum(converted) AS BIGINT)) // count(*) AS conv_ppm
+      |FROM per GROUP BY 1 ORDER BY day_ord""".stripMargin
+
   /** Native session-window sessionization — the same gap idea as
     * [[sessionizeOn]] but expressed through Spark's `session_window`
     * grouping, the form whose streaming twin runs incrementally with

@@ -71,6 +71,24 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sessionConversionOn: sessions count on their entry day, conversion flag per session") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: one session spanning midnight (23:50 -> 00:05 next day),
+    // with a purchase — counts ONCE on day 1, converted;
+    // user 2: a click-only session on day 2 — not converted
+    val ev = Seq(
+      (1L, 10L, t("2024-03-01 23:50:00"), "click"),
+      (1L, 11L, t("2024-03-02 00:05:00"), "purchase"),
+      (2L, 12L, t("2024-03-02 09:00:00"), "click"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = EventStreams.sessionConversionOn(ev, 30)
+      .orderBy("day_ord").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 1L, 1000000L), (1L, 0L, 0L)),
+      s"got ${got.toSeq}")
+  }
+
   test("sessionNativeOn boundary: exactly gap later merges, one microsecond beyond splits") {
     import spark.implicits._
     // measured session_window semantics: per-event windows [ts, ts+gap]
