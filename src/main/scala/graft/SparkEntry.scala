@@ -102,6 +102,7 @@ object SparkEntry {
     "ts_rolling_median"  -> TimeSeries.rollingMedian _,
     "ts_rolling_median_wide" -> TimeSeries.rollingMedianWide _,
     "ts_trend"           -> TimeSeries.trend _,
+    "ts_theil_sen"       -> TimeSeries.theilSen _,
     "ts_changepoint"     -> TimeSeries.changepoint _,
     "ts_autocorr"        -> TimeSeries.autocorr _,
     "dedup_minhash_eval" -> Dedup.minhashEval _,
@@ -539,6 +540,7 @@ object SparkEntry {
     "ts_rolling_median"   -> TimeSeries.rollingMedianSql,
     "ts_rolling_median_wide" -> TimeSeries.rollingMedianWideSql,
     "ts_trend"            -> TimeSeries.trendSql,
+    "ts_theil_sen"        -> TimeSeries.theilSenSql,
     "ts_changepoint"      -> TimeSeries.changepointSql,
     "ts_autocorr"         -> TimeSeries.autocorrSql,
     "dedup_minhash_eval"  -> Dedup.minhashEvalSql,

@@ -846,6 +846,73 @@ object TimeSeries {
       |SELECT k AS o_custkey, n AS n_obs, t AS cp_idx, d AS cp_day, cu AS cusum
       |FROM r WHERE rk = 1 ORDER BY o_custkey""".stripMargin
 
+  /** Per-series Theil–Sen slope — the ROBUST trend estimator (median
+    * of all pairwise slopes, up to 29% outlier breakdown) next to
+    * [[trendOn]]'s OLS, which one wild order drags arbitrarily far.
+    * Exact end to end: each pair's slope is the rational (Δcents,
+    * Δdays) with Δdays > 0 — same-day pairs are excluded (undefined
+    * slope), so keys need two DISTINCT days to appear; the lower
+    * median is selected by rank over (slope-as-double, Δy, Δx) —
+    * the double is only a SORT key (identical int64→double conversion
+    * and division on both engines), and rank ties can only occur
+    * between pairs with identical (Δy, Δx), which emit identical
+    * output. Scale shape: the per-key pair self-join is C(n,2) with n
+    * a customer's ORDER COUNT (bounded small, ~10²), not corpus size
+    * — the same per-key-bounded-frame class as the sorted rolling
+    * median; both sides of the join ride one key shuffle. Output:
+    * (key, n_pairs, med_num, med_den, slope_cpd).
+    */
+  def theilSenOn(obs: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val o = obs.select(col(keyCol).as("k"),
+      datediff(col(tsCol), lit("1970-01-01")).cast("long").as("x"),
+      floor(col(valCol) * 100.0 + 0.5).cast("long").as("y"))
+    val a = o.select(col("k"), col("x").as("ax"), col("y").as("ay"))
+    val b = o.select(col("k"), col("x").as("bx"), col("y").as("by"))
+    val pairs = a.join(b, Seq("k")).filter(col("ax") < col("bx"))
+      .select(col("k"), (col("by") - col("ay")).as("num"),
+        (col("bx") - col("ax")).as("den"))
+      .withColumn("sd", col("num").cast("double") / col("den").cast("double"))
+    val w = Window.partitionBy(col("k")).orderBy(col("sd"), col("num"), col("den"))
+    val n = Window.partitionBy(col("k"))
+    pairs
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(n))
+      .filter(col("rk") === expr("(m + 1) div 2"))
+      .select(col("k").as(keyCol), col("m").as("n_pairs"),
+        col("num").as("med_num"), col("den").as("med_den"),
+        Cols.pround(col("sd"), 6).as("slope_cpd"))
+  }
+
+  /** ts_theil_sen testdata binding: robust per-customer order-value
+    * trend in cents/day.
+    */
+  def theilSen(spark: SparkSession, sfDir: String): DataFrame =
+    theilSenOn(
+      Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"), col("o_totalprice")),
+      "o_custkey", "day", "o_totalprice")
+      .orderBy(col("o_custkey"))
+
+  def theilSenSql: String =
+    """WITH o AS (
+      | SELECT o_custkey AS k,
+      |  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+      |  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS y
+      | FROM orders),
+      |p AS (
+      | SELECT a.k, b.y - a.y AS num, b.x - a.x AS den,
+      |  CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS sd
+      | FROM o a JOIN o b ON a.k = b.k AND a.x < b.x),
+      |r AS (
+      | SELECT k, num, den, sd,
+      |  CAST(row_number() OVER (PARTITION BY k ORDER BY sd, num, den) AS BIGINT) AS rk,
+      |  CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS m
+      | FROM p)
+      |SELECT k AS o_custkey, m AS n_pairs, num AS med_num, den AS med_den,
+      | floor(sd * 1000000 + 0.5) / 1000000 AS slope_cpd
+      |FROM r WHERE rk = (m + 1) // 2 ORDER BY o_custkey""".stripMargin
+
   /** Per-series lag-1 autocorrelation — "is this customer's spending
     * momentum-driven or mean-reverting", the diagnostic read before
     * trusting any forecasting model on the series. Pearson r over the

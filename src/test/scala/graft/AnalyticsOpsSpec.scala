@@ -160,6 +160,30 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(r2.getAs[Long]("slope_den") == 0 && r2.isNullAt(r2.fieldIndex("slope_cpd")))
   }
 
+  test("theilSenOn shrugs off the outlier that drags the OLS slope") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // 6 clean days on an exact +1.00/day line, then a wild 1000.00:
+    // 15 clean pairwise slopes of exactly 100 c/day, 6 contaminated
+    // ones all larger -> the rank-11 lower median stays 100; OLS on
+    // the same series is pulled far above it. Same-day-only key 2
+    // has no valid pair and must vanish.
+    val obs = ((1 to 6).map(i => (1L, f"2024-01-$i%02d", i * 1.00)) :+
+      ((1L, "2024-01-07", 1000.00))) ++
+      Seq((2L, "2024-02-01", 5.0), (2L, "2024-02-01", 6.0))
+    val df = obs.toDF("k", "d", "v")
+      .select(col("k"), col("d").cast("date").as("day"), col("v"))
+    val ts = TimeSeries.theilSenOn(df, "k", "day", "v").collect()
+    assert(ts.length == 1, "same-day-only key must vanish")
+    val r = ts.head
+    assert(r.getAs[Long]("n_pairs") == 21L)
+    assert(r.getAs[Double]("slope_cpd") == 100.0)
+    assert(r.getAs[Long]("med_num") == 100L * r.getAs[Long]("med_den"))
+    val ols = TimeSeries.trendOn(df.filter(col("k") === 1L), "k", "day", "v").head
+    assert(ols.getAs[Double]("slope_cpd") > 5000.0,
+      s"the outlier should drag OLS far past 100: ${ols.getAs[Double]("slope_cpd")}")
+  }
+
   test("changepointOn finds the exact level-shift point of a step series") {
     import spark.implicits._
     import graft.operators.TimeSeries
