@@ -24,7 +24,8 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     "q52_pagerank", "q21_stats_agg", "ts_trend", "ts_autocorr",
     "ts_changepoint", "ts_active_users", "pipeline_reservoir",
     "q43_triangles", "dedup_minhash_eval", "q46_topk_agg",
-    "pipeline_mix_temp", "asof_join_nearest", "dedup_threshold_sweep")
+    "pipeline_mix_temp", "asof_join_nearest", "dedup_threshold_sweep",
+    "ts_theil_sen", "q61_session_conversion")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
