@@ -334,20 +334,50 @@ object RetailEtl {
       .orderBy(col("p_brand"), col("rk"))
   }
 
+  /** Closed-form SQL `ntile(k)` from a global 1-based rank and the
+    * total row count: with q = n div k, r = n mod k, the first r tiles
+    * get q+1 rows and the rest q. CASE branches evaluate lazily, but
+    * the q=0 divisor is still guarded (greatest) so ANSI mode can
+    * never see a div-by-zero.
+    */
+  private def ntileFromRank(rankCol: String, totalCol: String, k: Int): String =
+    s"""CAST(CASE WHEN $rankCol <= ($totalCol % $k) * (($totalCol div $k) + 1)
+       |  THEN 1 + ($rankCol - 1) div (($totalCol div $k) + 1)
+       |  ELSE 1 + ($totalCol % $k)
+       |       + ($rankCol - ($totalCol % $k) * (($totalCol div $k) + 1) - 1)
+       |         div greatest($totalCol div $k, 1)
+       |END AS INT)""".stripMargin
+
   /** etl_rfm — RFM customer segmentation (the classic retail-analytics
     * read off the invoice fact: Recency / Frequency / Monetary quartile
     * scores per customer, the reference dashboard's customer-value
     * cut). Recency is measured against the corpus max order date (a
-    * 1-row aggregate, broadcast); quartiles are ntile(4) with explicit
-    * tie-breaks (metric, then customer key) so the segmentation is
-    * REPRODUCIBLE across engines and runs; monetary rides in integer
-    * cents. The ntile windows run over the per-customer AGGREGATE
-    * (one slim row per customer, not fact rows); their single global
-    * partition is exact-quartile semantics — the scale swap, when
-    * |customers| outgrows one partition, is percentile_approx
-    * boundaries broadcast to a scan-side bucket join, which this
-    * operator's output contract (scores 1..4) is designed to keep
-    * compatible.
+    * 1-row aggregate, broadcast); quartiles are exact ntile(4) with
+    * explicit tie-breaks (metric, then customer key) so the
+    * segmentation is REPRODUCIBLE across engines and runs; monetary
+    * rides in integer cents. |customers| scales with data, so a global
+    * `ntile(4) OVER (ORDER BY …)` — a single-partition sort of every
+    * customer row, executed three times — is replaced by the
+    * dimSerialOn two-phase rank, generalized to three axes in ONE
+    * pass:
+    *  1. range-bucket each axis scan-side (`div` is monotone, so equal
+    *     keys share a bucket and bucket order respects sort order;
+    *     DESC recency buckets on the negated key);
+    *  2. ONE grouping-sets aggregate emits all three per-bucket count
+    *     tables in a single shuffle (bucket cardinality =
+    *     value-range/width, never row count: recency is
+    *     calendar-bounded at width 64, frequency order-count-bounded
+    *     at width 4, monetary cents at width 2^22 ≈ $42k/bucket);
+    *  3. bucket offsets and totals by prefix sum over the count
+    *     tables — a window PARTITIONED by grouping id, so etl_rfm's
+    *     plan has no unpartitioned window at all (PlanAuditSpec); the
+    *     offset table is pinned with an eager localCheckpoint so the
+    *     three axis joins share one computation;
+    *  4. per axis: broadcast the offset map back, rank within buckets
+    *     (partitioned window, local sorts), global rank = offset +
+    *     local rank, quartile = closed-form [[ntileFromRank]].
+    * Same integers as the three ntile windows, no data-scaled
+    * single-partition sort anywhere.
     */
   def rfm(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
@@ -361,13 +391,46 @@ object RetailEtl {
     // score 4 = best quartile on every axis (most recent, most
     // frequent, highest spend); ties broken by customer_id so every
     // engine assigns identical buckets
-    val rW = Window.orderBy(col("recency_days").desc, col("customer_id"))
-    val fW = Window.orderBy(col("frequency"), col("customer_id"))
-    val mW = Window.orderBy(col("monetary_cents"), col("customer_id"))
-    per
-      .withColumn("r_score", ntile(4).over(rW))
-      .withColumn("f_score", ntile(4).over(fW))
-      .withColumn("m_score", ntile(4).over(mW))
+    val keyed = per
+      .withColumn("_rb", expr("(-recency_days) div 64"))
+      .withColumn("_fb", expr("frequency div 4"))
+      .withColumn("_mb", expr(s"monetary_cents div ${1L << 22}"))
+    val counts = keyed
+      .groupingSets(Seq(Seq(col("_rb")), Seq(col("_fb")), Seq(col("_mb"))),
+        col("_rb"), col("_fb"), col("_mb"))
+      .agg(count(lit(1)).as("_n"), grouping_id().as("_gid"))
+      .withColumn("_bkt", coalesce(col("_rb"), col("_fb"), col("_mb")))
+    val wg = Window.partitionBy(col("_gid")).orderBy(col("_bkt"))
+    // eager localCheckpoint, not persist: three axis joins read this
+    // frame, and DeduplicateRelations re-aliases the 2nd and 3rd
+    // occurrences of a repeated subtree, which breaks the cache's
+    // sameResult match (measured: 1 of 3 joins hit, the others
+    // re-planned the aggregate + prefix sum). A checkpoint pins the
+    // bucket-cardinality rows (value-range/width, never row count) as
+    // a concrete RDD leaf all three joins scan — the pagerank pin.
+    val cum = counts.select(col("_gid"), col("_bkt"),
+      coalesce(sum(col("_n")).over(
+        wg.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("_off"),
+      sum(col("_n")).over(
+        wg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("_tot"))
+      .localCheckpoint()
+    // axis rank + quartile: broadcast offset map, partitioned window
+    def scoreAxis(df: DataFrame, bucketCol: String, orderKey: org.apache.spark.sql.Column,
+        gid: Int, out: String): DataFrame = {
+      val m = cum.filter(col("_gid") === gid)
+        .select(col("_bkt").as(bucketCol), col("_off"), col("_tot"))
+      val w = Window.partitionBy(col(bucketCol)).orderBy(orderKey, col("customer_id"))
+      df.join(broadcast(m), Seq(bucketCol))
+        .withColumn("_rank", col("_off") + row_number().over(w))
+        .withColumn(out, expr(ntileFromRank("_rank", "_tot", 4)))
+        .drop("_off", "_tot", "_rank")
+    }
+    // grouping_id bits (rb,fb,mb): 1 = not grouped → set {_rb}=0b011=3,
+    // {_fb}=0b101=5, {_mb}=0b110=6
+    val s1 = scoreAxis(keyed, "_rb", col("recency_days").desc, 3, "r_score")
+    val s2 = scoreAxis(s1, "_fb", col("frequency"), 5, "f_score")
+    val s3 = scoreAxis(s2, "_mb", col("monetary_cents"), 6, "m_score")
+    s3.drop("_rb", "_fb", "_mb")
       .withColumn("rfm", concat(col("r_score"), col("f_score"), col("m_score")))
       .withColumn("segment",
         when(col("r_score") >= 3 && col("f_score") >= 3 && col("m_score") >= 3, "champion")

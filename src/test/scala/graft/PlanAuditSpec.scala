@@ -268,6 +268,75 @@ class PlanAuditSpec extends SparkSpecBase {
       s"contribution explode missing:\n$p")
   }
 
+  test("etl_rfm: no unpartitioned window at all — quartiles are bucketed two-phase ranks") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = q("etl_rfm").queryExecution.sparkPlan
+    val roots = withCachedPlans(plan)
+    val unpart = roots.flatMap(_.collect { case w: WindowExec if w.partitionSpec.isEmpty => w })
+    assert(unpart.isEmpty,
+      s"etl_rfm regressed to a global window sort (${unpart.size} unpartitioned):\n$plan")
+    // the bucket-count prefix sum ran once inside the eager checkpoint
+    // (itself a PARTITIONED window over grouping id); the query plan
+    // shows only the three axis rank windows, each over its bucket,
+    // reading the checkpointed offset table as a concrete RDD leaf
+    val part = roots.flatMap(_.collect { case w: WindowExec if w.partitionSpec.nonEmpty => w })
+    assert(part.size == 3, s"expected 3 partitioned axis-rank windows, got ${part.size}:\n$plan")
+    assert(plan.toString.contains("ExistingRDD"),
+      s"bucket-count offsets not checkpoint-pinned (re-planned prefix-sum subtrees):\n$plan")
+  }
+
+  /** The audited plan plus every cached subtree reachable from it —
+    * persist() must not hide a window from the audit.
+    */
+  private def withCachedPlans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val cached = p.collect { case i: InMemoryTableScanExec => i.relation.cachedPlan }
+    p +: cached.flatMap(withCachedPlans)
+  }
+
+  test("unpartitioned-window audit: every driver query's unpartitioned windows are allowlisted bounded-input sites") {
+    // VERDICT r6 item 2: the etl_rfm class of bug — a WindowExec with no
+    // PARTITION BY moves ALL rows to one task, so it is only admissible
+    // over provably bounded cardinalities. Each allowlist entry below
+    // was audited by hand; any NEW unpartitioned window (or an extra one
+    // in a listed query) fails this gate until audited and added.
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.execution.SparkPlan
+    val allow: Map[String, Int] = Map(
+      // prefix sums over range-BUCKET counts (dimSerialOn): cardinality
+      // = value-range / bucketWidth, never row count
+      "etl_dim_serial"        -> 3,
+      // running sums/maxes over CALENDAR-bounded aggregates (days/months)
+      "ts_concurrency"        -> 1, // per-day sweep deltas
+      "ts_cum_distinct"       -> 1, // per-day first-seen counts
+      "q53_skyline"           -> 1, // per-month max price
+      // fixed-size parameter sweeps / top-K after aggregate+limit
+      "dedup_threshold_sweep" -> 1, // <=21 threshold bands
+      "text_bpe_pairs"        -> 1, // top-50 pair rows post-limit
+      "text_vocab_coverage"   -> 1) // rank deciles over the top-1k vocab
+    def unpartitioned(p: SparkPlan): Int = {
+      // subqueriesAll can surface LOGICAL plans for not-yet-planned
+      // subquery expressions despite its Seq[SparkPlan] signature —
+      // upcast so the type test is real, and audit only the physical ones.
+      // Cached subtrees (persist-pinned frames) are audited too — a
+      // persist() must not hide a global window from the gate.
+      val subs: Seq[Any] = p.subqueriesAll
+      val roots = (p +: subs.collect { case sp: SparkPlan => sp })
+        .flatMap(withCachedPlans)
+      roots.map(_.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty           => w: SparkPlan
+        case g: WindowGroupLimitExec if g.partitionSpec.isEmpty => g: SparkPlan
+      }.size).sum
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = unpartitioned(fn(spark, SfDir).queryExecution.sparkPlan)
+      if (n > allow.getOrElse(name, 0)) Some(s"$name: $n unpartitioned windows (allowed ${allow.getOrElse(name, 0)})")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("pipeline_reservoir: heap aggregate, not a per-stratum window sort") {
     // the point of the operator: the window form sorts every row of
     // every stratum after a full exchange; the heap form ships k-long
