@@ -64,6 +64,8 @@ object SparkEntry {
     "q38_pivot_native"   -> Relational.q38PivotNative _,
     "q41_salted_join"    -> Relational.q41SaltedJoin _,
     "q42_copurchase"     -> Affinity.copurchase _,
+    "q60_bipartite_proj" -> Affinity.bipartiteProj _,
+    "q62_quantile_rollup" -> Relational.q62QuantileRollup _,
     "q44_map_funcs"      -> Relational.q44MapFuncs _,
     "q45_transitions"    -> Relational.q45Transitions _,
     "q46_topk_agg"       -> Relational.q46TopkAgg _,
@@ -593,6 +595,7 @@ object SparkEntry {
     "text_diversity"      -> Training.diversitySql,
     "embed_class_centroid" -> Similarity.classCentroidSql,
     "q42_copurchase"      -> Affinity.copurchaseSql,
+    "q60_bipartite_proj"  -> Affinity.bipartiteProjSql,
     "text_langid_eval"    -> TextAnalysis.langidEvalSql,
     "q45_transitions" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),

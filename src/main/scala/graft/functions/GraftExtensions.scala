@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.Decimal
 
 /** SQL registration of graft's codegen expressions, so `spark.sql`
   * users (and `expr(...)` strings) can call them directly:
@@ -14,6 +15,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - `graft_text_count(str[, mode])`    → BIGINT word/non-ws/punct count
   *  - `graft_simhash32(words)`           → BIGINT 32-bit SimHash fingerprint
   *  - `graft_topk(v[, k])`               → ARRAY<BIGINT> AGGREGATE: exact top-k per group
+  *  - `graft_qsketch(v[, acc])`          → BINARY AGGREGATE: mergeable GK quantile sketch
+  *  - `graft_qsketch_merge(sk[, acc])`   → BINARY AGGREGATE: union-merge of sketches
+  *  - `graft_qsketch_quantile(sk, p)`    → DOUBLE quantile estimate from a sketch
   *
   * Two routes: `.withExtensions(new GraftExtensions)` at session build
   * (`spark.sql.extensions=graft.functions.GraftExtensions` also works),
@@ -51,6 +55,22 @@ object GraftFunctions {
     "graft_topk" ->
       ((args: Seq[Expression]) =>
         TopKAgg(args.head, longArg(args, 1, 5L).toInt).toAggregateExpression()),
+    "graft_qsketch" ->
+      ((args: Seq[Expression]) =>
+        QuantileSketchAgg(args.head,
+          longArg(args, 1, QuantileSketch.DefaultAccuracy).toInt).toAggregateExpression()),
+    "graft_qsketch_merge" ->
+      ((args: Seq[Expression]) =>
+        QuantileSketchMergeAgg(args.head,
+          longArg(args, 1, QuantileSketch.DefaultAccuracy).toInt).toAggregateExpression()),
+    "graft_qsketch_quantile" ->
+      ((args: Seq[Expression]) =>
+        QuantileSketchQuantile(args.head, args(1).eval() match {
+          case d: java.lang.Double => d.doubleValue()
+          case d: java.math.BigDecimal => d.doubleValue()
+          case d: Decimal => d.toDouble
+          case n: Number => n.doubleValue()
+        })),
   )
 
   /** Register all graft SQL functions on an existing session. */

@@ -503,4 +503,76 @@ object Affinity {
       |FROM e e1 JOIN e e2 ON e1.v = e2.u
       |WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.u = e1.u AND e3.v = e2.v)
       |ORDER BY a, b, c""".stripMargin
+
+  /** Per-left-vertex adjacency cap for [[bipartiteProjectOn]]: each
+    * left node (user) contributes pairs only among its `degCap`
+    * deterministically-sampled right neighbors (items). 16 covers the
+    * common case and bounds the quadratic-in-degree pair explosion; a
+    * 10⁵-item hub account otherwise emits 5·10⁹ pairs on its own.
+    */
+  val BipartiteDegCap = 16
+
+  /** Bipartite projection — the general form behind [[copurchaseOn]]:
+    * project a (left, right) engagement edge set onto a RIGHT–RIGHT
+    * graph whose edge weight is the number of shared left neighbors
+    * (items co-engaged by the same user, authors co-cited by the same
+    * paper, …). The classic graph-mining primitive the moment a second
+    * entity pair appears.
+    *
+    * Scale shape: pair volume from left vertex u is deg(u)²/2, so
+    * Σ deg² — the khop hub failure — unless capped. Each left
+    * adjacency is therefore capped at `degCap` right neighbors chosen
+    * by the deterministic hash rank (portable integer arithmetic,
+    * identical in the oracle); candidate volume is then
+    * Σ min(deg,cap)²/2 ≤ (cap/2)·|edges|, linear in the input. The
+    * cap's row_number window partitions on the join/groupBy key it
+    * rides. Projection through a hub beyond the cap degrades to a
+    * deterministic sample (exact whenever max left degree ≤ cap);
+    * ScaleSmokeSpec pins the planted-hub volume bound. Output:
+    * (a_right, b_right, n_shared), a < b, n_shared ≥ `minShared`.
+    */
+  def bipartiteProjectOn(edges: DataFrame, leftCol: String, rightCol: String,
+      degCap: Int = BipartiteDegCap, minShared: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uv = edges.select(col(leftCol).as("u"), col(rightCol).as("v")).distinct()
+    val capped = uv
+      .withColumn("rk", row_number().over(Window.partitionBy(col("u"))
+        .orderBy(expr("(v * 1103515245 + 12345) % 1000000007"), col("v"))))
+      .filter(col("rk") <= degCap)
+      .select(col("u"), col("v"))
+    capped.select(col("u"), col("v").as("a_right"))
+      .join(capped.select(col("u"), col("v").as("b_right")), Seq("u"))
+      .filter(col("a_right") < col("b_right"))
+      .groupBy(col("a_right"), col("b_right"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** q60_bipartite_proj testdata binding: customer→part engagement
+    * (which parts each customer has ever ordered, via orders⋈lineitem)
+    * projected to the part–part co-engagement graph — co_purchase's
+    * same-basket affinity generalized to same-CUSTOMER affinity across
+    * that customer's whole history.
+    */
+  def bipartiteProj(spark: SparkSession, sfDir: String): DataFrame = {
+    val eng = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+    bipartiteProjectOn(eng, "cust", "item")
+      .orderBy(col("a_right"), col("b_right"))
+  }
+
+  def bipartiteProjSql: String =
+    s"""WITH uv AS (SELECT DISTINCT o_custkey AS u, l_partkey AS v
+       |      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |cap AS (SELECT u, v FROM (
+       |      SELECT u, v, row_number() OVER (PARTITION BY u
+       |        ORDER BY (v * 1103515245 + 12345) % 1000000007, v) AS rk FROM uv)
+       |      WHERE rk <= $BipartiteDegCap)
+       |SELECT a.v AS a_right, b.v AS b_right, count(*) AS n_shared
+       |FROM cap a JOIN cap b ON a.u = b.u AND a.v < b.v
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY a_right, b_right""".stripMargin
 }

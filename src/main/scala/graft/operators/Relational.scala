@@ -631,6 +631,42 @@ object Relational {
       .orderBy(col("yr"), col("qtr"))
   }
 
+  /** q62_quantile_rollup — mergeable-sketch QUANTILE rollup, the
+    * [[q36HllUnion]] shape for percentiles: per-month Greenwald–Khanna
+    * sketches of order value (integer cents) union-merged into
+    * quarters, read at p50/p90 next to the exact quantiles. THE
+    * pattern for percentile reporting over time at 100 TB — the
+    * per-period sketch table is tiny and append-only, and any coarser
+    * period (quarter, year, all-time) is a cheap sketch merge instead
+    * of a re-scan (and re-SORT) of raw history; the same tier
+    * [[graft.operators.TextAnalysis.lengthProfile]] and
+    * [[graft.operators.TimeSeries.ohlc]] reach for when their
+    * exact-percentile groups outgrow a partition. Sketch estimates
+    * are engine-specific → rows-only; QuantileSketchSpec bounds each
+    * estimate between the exact (p−ε) and (p+ε) quantiles (the GK
+    * rank-error contract), and pins month-merge ≡ direct-on-quarter
+    * up to that same bound.
+    */
+  def q62QuantileRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.QuantileSketch
+    val o = Tables.orders(spark, sfDir)
+      .select(year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"), month(col("o_orderdate")).as("mo"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+    val monthly = o.groupBy(col("yr"), col("qtr"), col("mo"))
+      .agg(QuantileSketch.sketch(col("cents").cast("double")).as("sk"))
+    val merged = monthly.groupBy(col("yr"), col("qtr"))
+      .agg(QuantileSketch.merge(col("sk")).as("qsk"))
+      .select(col("yr"), col("qtr"),
+        QuantileSketch.quantile(col("qsk"), 0.5).cast("long").as("approx_p50"),
+        QuantileSketch.quantile(col("qsk"), 0.9).cast("long").as("approx_p90"))
+    val exact = o.groupBy(col("yr"), col("qtr"))
+      .agg(expr("percentile(cents, 0.5)").as("exact_p50"),
+        expr("percentile(cents, 0.9)").as("exact_p90"))
+    merged.join(exact, Seq("yr", "qtr"))
+      .orderBy(col("yr"), col("qtr"))
+  }
+
   /** q37_incr_agg — incremental aggregate maintenance (materialized-
     * view pattern): a pre-aggregated history partition merged with a
     * fresh delta partition by RE-AGGREGATING THE PARTIALS

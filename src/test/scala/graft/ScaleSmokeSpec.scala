@@ -117,6 +117,35 @@ class ScaleSmokeSpec extends SparkSpecBase {
     assert(exact.getLong(0) == hubDeg.toLong && exact.getLong(1) == hubDeg.toLong)
   }
 
+  test("bipartite projection hub cap: pair volume is Σ min(deg,cap)², not Σ deg²") {
+    import spark.implicits._
+    // one 5000-item hub account + 2000 normal 8-item users. Uncapped,
+    // the hub alone projects deg²/2 = 12.5M pairs onto ONE join key;
+    // capped, it contributes at most cap²/2 = 128 — the normal users
+    // dominate and total output stays linear in the input
+    val hubDeg = 5000
+    val cap = graft.operators.Affinity.BipartiteDegCap
+    val hub = (1 to hubDeg).map(i => (0L, i.toLong))
+    val normals = (1 to 2000).flatMap(u => (1 to 8).map(i => (u.toLong, ((u * 7 + i) % 500).toLong)))
+    val edges = (hub ++ normals).toDF("u", "v")
+    val proj = graft.operators.Affinity.bipartiteProjectOn(edges, "u", "v", minShared = 1L)
+    // total pair mass (pre-dedup) = Σ over users of min(deg,cap)·(min(deg,cap)−1)/2
+    val pairMass = proj.agg(sum(col("n_shared"))).head.getLong(0)
+    val bound = (hubDeg.toLong.min(cap) * (hubDeg.toLong.min(cap) - 1)) / 2 +
+      2000L * (8L * 7L) / 2
+    assert(pairMass == bound,
+      s"pair mass $pairMass != Σ min(deg,cap)²-bound $bound — cap not binding or over-binding")
+    // raising the cap past max degree restores exact projection on the
+    // normal users' subgraph (hub excluded: its exact form is the 12.5M
+    // blow-up the cap exists to prevent)
+    val exactNormals = graft.operators.Affinity.bipartiteProjectOn(
+      normals.toDF("u", "v"), "u", "v", degCap = 16, minShared = 1L)
+    val unc = graft.operators.Affinity.bipartiteProjectOn(
+      normals.toDF("u", "v"), "u", "v", degCap = 1000000, minShared = 1L)
+    assert(exactNormals.unionAll(unc).distinct().count() == unc.count(),
+      "cap altered projection on a graph whose degrees are all below it")
+  }
+
   test("minhash→cluster→keep-best stack at 200k docs: planted recall, bounded candidate volume, one survivor per cluster") {
     // 10× the 20k smoke — the sf1-shaped rehearsal. Generated ON THE
     // EXECUTORS (spark.range + hash-derived words): a 200k-row
