@@ -277,7 +277,9 @@ object Quality {
       staleSec: Long): DataFrame = {
     // perKey feeds both the output and the global max — persist the
     // |keys|-row frame so the reuse is an explicit contract, not
-    // ReuseExchange luck (the pagerank-pin lesson)
+    // ReuseExchange luck (the pagerank-pin lesson). Cache contract:
+    // operators persist, CALLERS release (unpersist/clearCache when
+    // done — Bench/Verify clearCache between queries)
     val perKey = df
       .select(col(keyCol), unix_micros(col(tsCol)).as("us"))
       .groupBy(col(keyCol))

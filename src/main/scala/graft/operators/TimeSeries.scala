@@ -520,9 +520,15 @@ object TimeSeries {
     * engines. Output: (day_ord, day, dau, wau).
     */
   def activeUsersOn(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    // floorDiv, not `div`: day bucketing must FLOOR so pre-1970
+    // timestamps land on the right day (DuckDB's `//` floors; Spark's
+    // `div` truncates toward zero — they diverge on negatives).
+    // Cache contract on the persisted (u, d) frame: operators persist,
+    // CALLERS release (unpersist/clearCache when done — Bench/Verify
+    // clearCache between queries)
     val ud = events.filter(col(keyCol).isNotNull)
       .select(col(keyCol).as("u"),
-        expr(s"unix_micros($tsCol) div 86400000000").as("d"))
+        Cols.floorDiv(unix_micros(col(tsCol)), 86400000000L).as("d"))
       .distinct()
       .persist()
     val dau = ud.groupBy(col("d")).agg(count(lit(1)).as("dau"))
@@ -918,15 +924,19 @@ object TimeSeries {
     * trusting any forecasting model on the series. Pearson r over the
     * consecutive pairs (y_{t-1}, y_t), kept EXACT to the last step:
     * all six moments (m pairs, Σa, Σb, Σab, Σa², Σb²) are int64 sums
-    * of integer cents (y ≤ ~5·10⁷ cents, m ≤ ~10² orders per key, so
-    * m·Σa² ≲ 10¹⁸ stays inside int64), the numerator and the two
-    * denominator halves are emitted raw, and only the final
-    * r = num / √(dena·denb) goes through IEEE double (the product is
-    * computed in double — dena·denb would overflow int64 — and
-    * int64→double conversion plus sqrt are bit-identical across
-    * engines). One lag window and one aggregate ride the same key
-    * shuffle; state per key is six longs, so the shape holds at any
-    * scale. Keys with fewer than two observations vanish (no pair, no
+    * of integer cents; the moment PRODUCTS (m·Σab, Σa·Σb, …) are
+    * computed in DECIMAL(38,0) — with y ≤ 5·10⁷ cents and m ≤ 10²
+    * pairs they reach ~2.5·10¹⁹, past int64, and ANSI mode would
+    * throw — then the differences cast back to int64 (they are
+    * m²·cov-scale, far below the products; the documented per-key
+    * precondition is m·max|y| ≲ 3·10⁹, at which the DIFFERENCES still
+    * fit — beyond that the cast throws rather than wrapping).
+    * Only the final r = num / √(dena·denb) goes through IEEE double
+    * (the denominator product would overflow int64; int64→double
+    * conversion plus sqrt are bit-identical across engines). One lag
+    * window and one aggregate ride the same key shuffle; state per
+    * key is six longs, so the shape holds at any scale. Keys with
+    * fewer than two observations vanish (no pair, no
     * autocorrelation); degenerate spreads (constant series) emit NULL.
     * Output: (key, n_pairs, ac1_num, ac1_dena, ac1_denb, ac1).
     */
@@ -945,9 +955,12 @@ object TimeSeries {
         sum(col("py") * col("py")).as("saa"),
         sum(col("y") * col("y")).as("sbb"))
       .select(col(keyCol), col("m").as("n_pairs"),
-        (col("m") * col("sab") - col("sa") * col("sb")).as("ac1_num"),
-        (col("m") * col("saa") - col("sa") * col("sa")).as("ac1_dena"),
-        (col("m") * col("sbb") - col("sb") * col("sb")).as("ac1_denb"))
+        (col("m").cast("decimal(38,0)") * col("sab") -
+          col("sa").cast("decimal(38,0)") * col("sb")).cast("long").as("ac1_num"),
+        (col("m").cast("decimal(38,0)") * col("saa") -
+          col("sa").cast("decimal(38,0)") * col("sa")).cast("long").as("ac1_dena"),
+        (col("m").cast("decimal(38,0)") * col("sbb") -
+          col("sb").cast("decimal(38,0)") * col("sb")).cast("long").as("ac1_denb"))
       .withColumn("ac1",
         when(col("ac1_dena") > 0 && col("ac1_denb") > 0,
           Cols.pround(col("ac1_num").cast("double") /

@@ -280,6 +280,11 @@ object Training {
   def mixTempOn(df: DataFrame, idCol: String, sourceCol: String,
       budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // |sources|-row frame feeding two consumers (total + per-source
+    // targets). Cache contract (same as the dedup family): operators
+    // persist, CALLERS release — unpersist the lineage or
+    // spark.catalog.clearCache() when done, as Bench/Verify do
+    // between queries.
     val counts = df.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("q", floor(sqrt(col("n_docs").cast("double")) * 1048576.0).cast("long"))

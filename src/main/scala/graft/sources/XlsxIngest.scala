@@ -35,33 +35,101 @@ import org.apache.spark.sql.types.StructType
 object XlsxIngest {
 
   /** Parse one workbook's bytes: rows of cell strings from the first
-    * worksheet (lexicographically smallest `xl/worksheets/` entry, the
-    * same "first sheet" pandas defaults to). Missing cells are null;
-    * trailing missing cells are padded by the caller. Streaming StAX —
-    * constant memory beyond the shared-string table (which IS data).
+    * worksheet in WORKBOOK order — the first `<sheet>` of
+    * `xl/workbook.xml`, its `r:id` resolved through
+    * `xl/_rels/workbook.xml.rels` (pandas' default sheet). Part NAMES
+    * need not track display order after sheet deletion/reordering, so
+    * the lexicographically-smallest `xl/worksheets/` entry is only the
+    * FALLBACK when the workbook/rels parts are absent or unparsable.
+    * Missing cells are null; trailing missing cells are padded by the
+    * caller. Two streaming passes over the in-memory zip (locate the
+    * target part, then parse it) — constant memory beyond one sheet
+    * plus the shared-string table (which IS data).
     */
   def parseXlsx(bytes: Array[Byte], maxRows: Int = Int.MaxValue): Vector[Vector[String]] = {
     var sharedXml: Array[Byte] = null
-    var sheetName: String = null
-    var sheetXml: Array[Byte] = null
+    var workbookXml: Array[Byte] = null
+    var relsXml: Array[Byte] = null
+    var firstName: String = null
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     try {
       var e = zin.getNextEntry
       while (e != null) {
         val name = e.getName
         if (name == "xl/sharedStrings.xml") sharedXml = zin.readAllBytes()
+        else if (name == "xl/workbook.xml") workbookXml = zin.readAllBytes()
+        else if (name == "xl/_rels/workbook.xml.rels") relsXml = zin.readAllBytes()
         else if (name.startsWith("xl/worksheets/") && name.endsWith(".xml") &&
-            (sheetName == null || name < sheetName)) {
-          sheetName = name
-          sheetXml = zin.readAllBytes()
-        }
+            (firstName == null || name < firstName)) firstName = name
         e = zin.getNextEntry
       }
     } finally zin.close()
-    require(sheetXml != null, "not an xlsx: no xl/worksheets/*.xml entry")
+    val target = resolveFirstSheet(workbookXml, relsXml).getOrElse(firstName)
+    require(target != null, "not an xlsx: no xl/worksheets/*.xml entry")
+    val sheetXml = readZipEntry(bytes, target)
+      .orElse(if (firstName != null) readZipEntry(bytes, firstName) else None)
+      .getOrElse(throw new IllegalArgumentException(
+        s"xlsx: resolved sheet part '$target' not present in archive"))
     val sst = if (sharedXml == null) Vector.empty[String] else parseSharedStrings(sharedXml)
     parseSheet(sheetXml, sst, maxRows)
   }
+
+  /** Second pass: one named part's bytes. */
+  private def readZipEntry(bytes: Array[Byte], name: String): Option[Array[Byte]] = {
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (e.getName == name) return Some(zin.readAllBytes())
+        e = zin.getNextEntry
+      }
+      None
+    } finally zin.close()
+  }
+
+  /** The zip part name of the workbook's FIRST sheet: workbook.xml's
+    * first `<sheet>` `r:id` resolved via the rels part's
+    * Id → Target map ("worksheets/sheet2.xml", or absolute
+    * "/xl/worksheets/sheet2.xml"). None when either part is missing
+    * or malformed — callers fall back to part-name order.
+    */
+  private[graft] def resolveFirstSheet(workbookXml: Array[Byte],
+      relsXml: Array[Byte]): Option[String] =
+    if (workbookXml == null || relsXml == null) None
+    else try {
+      var rid: String = null
+      val wr = staxFactory.createXMLStreamReader(new ByteArrayInputStream(workbookXml))
+      try {
+        while (rid == null && wr.hasNext) {
+          if (wr.next() == XMLStreamConstants.START_ELEMENT &&
+              wr.getLocalName == "sheet") {
+            // r:id lives in the officeDocument relationship namespace;
+            // match by local name to dodge prefix variance
+            var i = 0
+            while (rid == null && i < wr.getAttributeCount) {
+              if (wr.getAttributeLocalName(i) == "id") rid = wr.getAttributeValue(i)
+              i += 1
+            }
+          }
+        }
+      } finally wr.close()
+      if (rid == null) None
+      else {
+        var target: String = null
+        val rr = staxFactory.createXMLStreamReader(new ByteArrayInputStream(relsXml))
+        try {
+          while (target == null && rr.hasNext) {
+            if (rr.next() == XMLStreamConstants.START_ELEMENT &&
+                rr.getLocalName == "Relationship" &&
+                rr.getAttributeValue(null, "Id") == rid)
+              target = rr.getAttributeValue(null, "Target")
+          }
+        } finally rr.close()
+        Option(target).map { t =>
+          if (t.startsWith("/")) t.stripPrefix("/") else s"xl/$t"
+        }
+      }
+    } catch { case _: Exception => None }
 
   private def staxFactory: XMLInputFactory = {
     val f = XMLInputFactory.newInstance()
@@ -130,7 +198,12 @@ object XlsxIngest {
     def endCell(): Unit = if (cellCol >= 0) {
       val raw = text.toString
       val value = cellType match {
-        case "s" => sst(raw.trim.toInt)
+        // guard the shared-string lookup: an empty or out-of-range
+        // index surfaces as a null CELL flowing into the quarantine
+        // contract, never an executor-side exception that fails the
+        // whole load for one malformed workbook
+        case "s" => raw.trim.toIntOption
+          .filter(i => i >= 0 && i < sst.length).map(sst).orNull
         case "b" => if (raw.trim == "1") "true" else "false"
         case _ => raw // n / str / inlineStr / e: the cached text
       }

@@ -1,6 +1,7 @@
 package graft.util
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
 import org.apache.spark.sql.functions._
 
 /** Column helpers shared across operators. */
@@ -24,5 +25,18 @@ object Cols {
   def proundSql(expr: String, scale: Int): String = {
     val s = math.pow(10, scale).toLong
     s"floor(($expr) * $s.0 + 0.5) / $s.0"
+  }
+
+  /** FLOORING integer division, matching DuckDB's `//`. Spark's `div`
+    * truncates toward zero, so the two disagree on negative operands —
+    * the pre-1970-timestamp trap for day bucketing. `x − pmod(x, d)`
+    * is the floored multiple (pmod is non-negative), and integral
+    * division of an exact multiple is exact, so this is pure int64
+    * arithmetic with floor semantics on both engines (never the
+    * Column `/` double path, which loses exactness past 2⁵³).
+    */
+  def floorDiv(x: Column, d: Long): Column = {
+    val m = GraftBridge.toExpression(x - pmod(x, lit(d)))
+    GraftBridge.toColumn(new IntegralDivide(m, Literal(d)))
   }
 }

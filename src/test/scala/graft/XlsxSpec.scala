@@ -123,6 +123,46 @@ class XlsxSpec extends SparkSpecBase {
     assert(invoices == Set("536365", "C537226", "536366", "536367", "536370"))
   }
 
+  test("first sheet follows WORKBOOK order, not part-name order") {
+    // after a sheet deletion/reorder, display-order sheet 1 can live in
+    // a part named sheet2.xml while a stale sheet1.xml sorts first —
+    // the reader must follow workbook.xml's first <sheet> r:id through
+    // the rels, as pandas does
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    entry(z, "xl/workbook.xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="Current" sheetId="2" r:id="rId7"/><sheet name="Old" sheetId="1" r:id="rId3"/></sheets>
+        |</workbook>""".stripMargin)
+    entry(z, "xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId3" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |<Relationship Id="rId7" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>
+        |</Relationships>""".stripMargin)
+    def sheet(v: String) =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+         |<sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>$v</t></is></c></row></sheetData>
+         |</worksheet>""".stripMargin
+    entry(z, "xl/worksheets/sheet1.xml", sheet("stale"))
+    entry(z, "xl/worksheets/sheet2.xml", sheet("current"))
+    z.close()
+    val rows = XlsxIngest.parseXlsx(bos.toByteArray)
+    assert(rows == Vector(Vector("current")),
+      s"read ${rows} — part-name order won over workbook order")
+  }
+
+  test("malformed shared-string refs surface as null cells, not executor exceptions") {
+    // out-of-range and empty <v> under t="s": the quarantine contract
+    // says one bad workbook degrades to null cells, never a thrown
+    // NumberFormatException/IndexOutOfBounds that fails the whole load
+    val rows = XlsxIngest.parseXlsx(workbook(Seq("only"),
+      """<row r="1"><c r="A1" t="s"><v>99</v></c><c r="B1" t="s"><v></v></c><c r="C1" t="s"><v>0</v></c></row>"""))
+    assert(rows == Vector(Vector(null, null, "only")), rows.toString)
+  }
+
   test("readTypedXlsx quarantines cast failures intact; shape gate labels the rest") {
     val schema = StructType(Seq(
       StructField("invoice_no", StringType), StructField("stock_code", StringType),
