@@ -12,6 +12,8 @@ case class Ev(user_id: Long, us: Long, value: Double)
 case class EvT(user_id: Long, us: Long, value: Double, ets: java.sql.Timestamp)
 case class SessionOut(user_id: Long, n_events: Long, start_us: Long, end_us: Long, total_value: Double)
 case class SessState(n: Long, start: Long, last: Long, total: Double)
+case class SessionUpd(user_id: Long, n_events: Long, start_us: Long, end_us: Long,
+    total_value: Double, is_final: Boolean)
 case class TriggerLateness(batch_id: Long, watermark: String,
   rows_in: Long, dropped_by_watermark: Long, state_rows: Long)
 
@@ -170,7 +172,9 @@ object EventStreams {
       .groupBy(col("user_id"), col("sess_idx"))
       .agg(min(col("us")).as("start_us"),
         max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
-      .groupBy(expr("start_us div 86400000000").as("day_ord"))
+      // floorDiv, not `div`: floor day bucketing matches DuckDB `//`
+      // on pre-1970 (negative-micros) sessions too
+      .groupBy(graft.util.Cols.floorDiv(col("start_us"), 86400000000L).as("day_ord"))
       .agg(count(lit(1)).as("n_sessions"), sum(col("converted")).as("n_converted"))
       .select(col("day_ord"), col("n_sessions"), col("n_converted"),
         expr("(1000000 * n_converted) div n_sessions").as("conv_ppm"))
@@ -461,6 +465,65 @@ object EventStreams {
               state.setTimeoutTimestamp(s.last / 1000L + 30L * 60L * 1000L)
             }
             closed.result().iterator
+          }
+      }
+  }
+
+  /** UPDATE-mode sessionization — the intermediate-emission twin of
+    * [[sessionizeStream]], for consumers that need the IN-PROGRESS
+    * picture (live session dashboards, concurrent-session counters)
+    * rather than only watermark-closed sessions. Spark's native
+    * `session_window` aggregation supports APPEND only (the refusal is
+    * spec-pinned), so update-mode emission lives where custom state
+    * always has: `flatMapGroupsWithState(OutputMode.Update)`.
+    *
+    * Emission contract per trigger, per touched user: every session
+    * CLOSED by an in-batch gap emits once with `is_final = true`
+    * (end_us = its last event, the batch islands' value), and the
+    * still-open session emits a snapshot with `is_final = false`
+    * (end_us = last event seen so far, growing across triggers).
+    * Watermark timeout finalizes an idle user's open session. Replays
+    * re-emit snapshots (update mode is at-least-once per key-version);
+    * the FINAL rows converge to exactly the batch gap-islands —
+    * spec-pinned against [[sessionizeOn]]. State per user is O(1),
+    * cleaned by the same event-time timeout as the append twin.
+    */
+  def sessionizeUpdateStream(events: Dataset[Ev]): Dataset[SessionUpd] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ets", timestamp_micros(col("us")))
+      .withWatermark("ets", "30 minutes")
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionUpd](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[EvT], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              SessionUpd(uid, s.n, s.start, s.last, s.total, is_final = true))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.us, e.value))
+            var cur = state.getOption
+            val out = Seq.newBuilder[SessionUpd]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.us - s.last > 1800000000L =>
+                  out += SessionUpd(uid, s.n, s.start, s.last, s.total, is_final = true)
+                  cur = Some(SessState(1, e.us, e.us, e.value))
+                case Some(s) =>
+                  cur = Some(SessState(s.n + 1, s.start, e.us, s.total + e.value))
+                case None =>
+                  cur = Some(SessState(1, e.us, e.us, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last / 1000L + 30L * 60L * 1000L)
+              out += SessionUpd(uid, s.n, s.start, s.last, s.total, is_final = false)
+            }
+            out.result().iterator
           }
       }
   }

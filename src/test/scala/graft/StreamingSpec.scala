@@ -166,6 +166,66 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("native session_window refuses update mode — the engine boundary the fMGWS twin exists for") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // Spark supports session_window aggregation only in APPEND mode;
+    // pin the refusal so a future Spark that lifts it surfaces here
+    // (and the update-mode path below stops being the only route)
+    val src = MemoryStream[(Long, Long, Double)]
+    val streamDf = src.toDF().toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("value"))
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      EventStreams.sessionNativeStream(streamDf)
+        .writeStream.format("memory").queryName("sess_native_upd_refused")
+        .outputMode("update").start()
+    }
+    assert(ex.getMessage.toLowerCase.contains("session window") ||
+      ex.getMessage.toLowerCase.contains("update"), ex.getMessage)
+  }
+
+  test("sessionize UPDATE mode: per-trigger open-session snapshots converge to the batch islands") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[Ev]
+    val q = EventStreams.sessionizeUpdateStream(src.toDS())
+      .writeStream.format("memory").queryName("sess_upd_out")
+      .outputMode("update").start()
+    try {
+      val B = 1_000_000_000_000L
+      val M = 60L * 1000000L
+      // trigger 1: open session (n=1); trigger 2: same session grows
+      // (n=2); trigger 3: 35min gap closes it (final) and opens a new
+      // one (n=1 snapshot)
+      src.addData(Ev(1, B, 1.0)); q.processAllAvailable()
+      src.addData(Ev(1, B + 10 * M, 2.0)); q.processAllAvailable()
+      src.addData(Ev(1, B + 45 * M, 5.0)); q.processAllAvailable()
+      val rows = spark.table("sess_upd_out")
+        .as[graft.streaming.SessionUpd].collect()
+      // growth is visible: both the n=1 and n=2 snapshots of session 1
+      // were emitted as non-final updates
+      assert(rows.exists(r => !r.is_final && r.start_us == B && r.n_events == 1))
+      assert(rows.exists(r => !r.is_final && r.start_us == B && r.n_events == 2
+        && r.total_value == 3.0))
+      // the gap closed session 1 exactly once, as final, at its batch
+      // values
+      val fin = rows.filter(_.is_final)
+      assert(fin.toSeq == Seq(graft.streaming.SessionUpd(1, 2, B, B + 10 * M, 3.0, true)),
+        fin.mkString(";"))
+      // the open tail snapshot is the new session
+      assert(rows.exists(r => !r.is_final && r.start_us == B + 45 * M && r.n_events == 1))
+      // final picture (closed finals + latest open snapshots) ==
+      // the batch gap-islands on the same data
+      val batchSessions = EventStreams.sessionizeOn(
+        Seq((1L, 1L, B, 1.0), (1L, 2L, B + 10 * M, 2.0), (1L, 3L, B + 45 * M, 5.0))
+          .toDF("user_id", "event_id", "us", "value")
+          .select(col("user_id"), col("event_id"),
+            timestamp_micros(col("us")).as("ts"), col("value")),
+        30).collect()
+      assert(batchSessions.length == 2, batchSessions.mkString(";"))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-watermark duplicates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
