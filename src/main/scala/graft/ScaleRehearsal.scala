@@ -147,9 +147,18 @@ object ScaleRehearsal {
     val hit = (truth & ann).size
     val recall = hit.toDouble / truth.size
     val recallOk = recall >= 0.8
+    // the OTHER recall lever at the same plane depth: ONE table probed
+    // at hamming ≤ 2 (1 + p + p(p−1)/2 buckets/query) instead of 16
+    // independent tables — recorded head-to-head so the multiprobe-vs-
+    // multitable crossover is measured, not assumed
+    val (mp, tMp) = timed(keySet(
+      graft.operators.Similarity.lshTopkOn(probes, corpus, k,
+        nPlanes = planes, broadcastQueries = true, multiProbe = true)))
+    val recallMp = (truth & mp).size.toDouble / truth.size
     println(s"""{"metric":"scale_rehearsal_ann","n_vectors":$n,"n_probes":$nProbes,""" +
       s""""k":$k,"planes":$planes,"recall":${f"$recall%.3f"},"brute_sec":${f"$tBrute%.1f"},""" +
-      s""""ann_sec":${f"$tAnn%.1f"},"recall_ok":$recallOk}""")
+      s""""ann_sec":${f"$tAnn%.1f"},"mp_recall":${f"$recallMp%.3f"},""" +
+      s""""mp_sec":${f"$tMp%.1f"},"recall_ok":$recallOk}""")
     spark.stop()
     if (!recallOk) sys.exit(1)
   }

@@ -127,6 +127,7 @@ object SparkEntry {
     "pipeline_mix_temp"  -> Training.mixTemp _,
     "embed_kmeans"       -> Similarity.kmeans _,
     "embed_pq"           -> Similarity.pq _,
+    "embed_opq"          -> Similarity.opq _,
     "sim_pq_adc"         -> Similarity.pqAdc _,
     "text_langid_eval"   -> TextAnalysis.langidEval _,
     "q43_triangles"      -> Affinity.triangles _,

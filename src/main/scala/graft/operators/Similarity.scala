@@ -876,19 +876,23 @@ object Similarity {
     * lowest-id vectors' subvectors, deterministic).
     * Output: (vec_id, pq_code, dist2_total).
     */
-  /** OPQ (optimized product quantization — learned rotation before the
-    * subspace split) is deliberately NOT implemented: the rotation is a
-    * dense float matrix updated by SVD per iteration, which (a) cannot
-    * be value-oracled — float matrix products are summation-order-
-    * sensitive, and SVD has sign/permutation ambiguity, so no portable
-    * integer formulation exists, unlike every quantizer here; and
-    * (b) buys the most when subspace dimensions are strongly
-    * correlated, which the 64-dim test embeddings are not. The scale
-    * path if needed later: train the rotation OFFLINE (driver-side
-    * SVD over a sampled covariance, a few thousand floats), broadcast
-    * the fixed matrix, and apply it as a scan-side zip_with before the
-    * existing pqOn — training stays tiny, application stays
-    * distributed, and the quantizer below is unchanged.
+  /** OPQ — the PARAMETRIC variant (OPQ-P, Ge et al.: PCA rotation +
+    * eigenvalue-balanced dimension allocation) is implemented below as
+    * [[opqOn]]/`embed_opq`: rotation TRAINED offline from exact-int64
+    * distributed moments + a deterministic driver-side Jacobi
+    * eigensolve (the matrix is dim², bounded), APPLIED scan-side as
+    * dim codegen dot products against literal rotation rows ahead of
+    * the unchanged [[pqOn]] quantizer — zero added shuffle.
+    * The ITERATIVE variant (OPQ-NP, per-Lloyd-round SVD refits)
+    * remains out of scope: each round's SVD is another driver-side
+    * dense solve for single-digit extra recall on already-decorrelated
+    * data, and the refit breaks the train-once/broadcast-forever shape
+    * that makes the parametric form 100-TB-safe. Rotated coordinates
+    * ride IEEE-double sums (summation-order-sensitive), so embed_opq
+    * is declared rows-only like every float-path sketch; OpqSpec pins
+    * the reconstruction-error win on cross-subspace-correlated data
+    * (where contiguous PQ wastes whole subspaces on duplicate signal)
+    * and near-parity on the uncorrelated testdata embeddings.
     */
 
   /** Shared PQ training/encoding internals: the per-(vector, subspace)
@@ -950,6 +954,168 @@ object Similarity {
   /** embed_pq testdata binding. */
   def pq(spark: SparkSession, sfDir: String): DataFrame =
     pqOn(Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec")))
+      .orderBy(col("vec_id"))
+
+  /** OPQ-P rotation training: PCA basis + eigenvalue-balanced
+    * dimension allocation, from a DETERMINISTIC sample (ids <
+    * `sampleN` — training data is id-selected, not partition-
+    * selected). The distributed part ships EXACT int64 moments (dim²
+    * second moments of the fixed-point coordinates; products bounded
+    * by sampleN·(2·KmQ)² ≈ 10¹⁶); the driver part is a cyclic Jacobi
+    * eigensolve over the dim×dim covariance — bounded by the embedding
+    * WIDTH, never the corpus — with deterministic sweep order, sign
+    * fix (largest-|component| positive) and (λ, index) ordering, so
+    * retraining on the same sample reproduces the same matrix.
+    * Dimensions then go to subspaces by greedy log-eigenvalue
+    * balancing (each principal axis joins the subspace with the
+    * smallest variance product), the OPQ-P allocation that equalizes
+    * per-subspace information. Returns the rotation as rows:
+    * rotated[out] = Σ_in R(out)(in) · x[in].
+    */
+  def opqRotationOn(vectors: DataFrame, sampleN: Int = 2048,
+      subDim: Int = PqSubDim): Array[Array[Double]] = {
+    val s = vectors.filter(col("id") < sampleN)
+      .select(col("id"), posexplode(col("vec")).as(Seq("d", "x")))
+      .select(col("id"), col("d"),
+        floor((col("x").cast("double") + lit(1.0)) * lit(KmQ.toDouble) + lit(0.5))
+          .cast("long").as("qx"))
+      .persist()
+    val n = s.select(col("id")).distinct().count().toDouble
+    require(n >= 2, s"opq rotation needs >= 2 sample vectors, got $n")
+    val sx = s.groupBy(col("d")).agg(sum(col("qx")).as("sx"))
+      .collect().map(r => r.getAs[Int]("d") -> r.getAs[Long]("sx")).toMap
+    val dim = sx.keys.max + 1
+    require(dim % subDim == 0, s"dim $dim not a multiple of subDim $subDim")
+    val sxy = s.select(col("id"), col("d").as("d1"), col("qx").as("q1"))
+      .join(s.select(col("id"), col("d").as("d2"), col("qx").as("q2")), Seq("id"))
+      .filter(col("d1") <= col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(sum(col("q1") * col("q2")).as("sxy"))
+      .collect().map(r => (r.getAs[Int]("d1"), r.getAs[Int]("d2")) -> r.getAs[Long]("sxy"))
+      .toMap
+    s.unpersist()
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      sxy((a, b)) / n - (sx(a) / n) * (sx(b) / n)
+    }
+    val (eigVals, eigVecs) = jacobiEigen(cov)
+    // sign fix + deterministic order: λ desc, original index asc
+    val order = eigVals.indices.sortBy(i => (-eigVals(i), i))
+    val axes = order.map { i =>
+      val vcol = Array.tabulate(dim)(r => eigVecs(r)(i))
+      val m = vcol.indices.maxBy(r => (math.abs(vcol(r)), -r))
+      (eigVals(i), if (vcol(m) < 0) vcol.map(-_) else vcol)
+    }
+    // greedy balance: each axis (desc λ) joins the non-full subspace
+    // with the smallest accumulated log-variance product
+    val subs = dim / subDim
+    val logSum = Array.fill(subs)(0.0)
+    val filled = Array.fill(subs)(0)
+    val slots = Array.fill(subs)(Vector.empty[Array[Double]])
+    axes.foreach { case (lam, vec) =>
+      val sIdx = (0 until subs).filter(filled(_) < subDim)
+        .minBy(i => (logSum(i), i))
+      logSum(sIdx) += math.log(math.max(lam, 1e-12))
+      filled(sIdx) += 1
+      slots(sIdx) :+= vec
+    }
+    slots.flatten.toArray
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix —
+    * deterministic (fixed sweep order, fixed convergence threshold),
+    * O(dim³) on the DRIVER where dim is the embedding width. Returns
+    * (eigenvalues, eigenvector COLUMNS).
+    */
+  private[graft] def jacobiEigen(m: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < n) { var j = i + 1; while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    var sweep = 0
+    while (sweep < 64 && off() > 1e-18) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+                    else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sn = t * c
+            var k = 0
+            while (k < n) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - sn * akq
+              a(k)(q) = sn * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - sn * aqk
+              a(q)(k) = sn * apk + c * aqk
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - sn * vkq
+              v(k)(q) = sn * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** OPQ encode: rotate every vector by the trained matrix ENTIRELY
+    * scan-side — each output coordinate is one [[graft.functions
+    * .FloatVecDot]] (codegen) of the vector against a LITERAL rotation
+    * row baked into the plan (dim² floats, constant at any corpus
+    * size), so the rotation adds zero shuffle and zero joins: the
+    * matrix rides the plan the way a broadcast variable rides a task,
+    * and whole-stage codegen fuses all dim dot products into the scan.
+    * The explode-join-aggregate matmul alternative puts N·dim² slim
+    * rows through a shuffle — the wrong side of the scan-vs-shuffle
+    * line for a fixed 64×64 matrix. PQ then trains/encodes on the
+    * rotated frame via the unchanged [[pqOn]].
+    */
+  def opqEncode(vectors: DataFrame, rot: Array[Array[Double]],
+      subDim: Int = PqSubDim, k: Int = PqK, iters: Int = PqIters): DataFrame = {
+    val rotated = vectors.select(col("id"),
+      array(rot.map { row =>
+        graft.functions.FloatVecDot.column(col("vec"), typedLit(row.map(_.toFloat)))
+          .cast("float")
+      }: _*).as("vec"))
+    pqOn(rotated, subDim, k, iters)
+  }
+
+  /** OPQ-P end to end: train the rotation on the deterministic sample,
+    * broadcast-apply it, PQ the rotated space.
+    */
+  def opqOn(vectors: DataFrame, subDim: Int = PqSubDim, k: Int = PqK,
+      iters: Int = PqIters, sampleN: Int = 2048): DataFrame =
+    opqEncode(vectors, opqRotationOn(vectors, sampleN, subDim), subDim, k, iters)
+
+  /** embed_opq testdata binding — rows-only (rotated coordinates ride
+    * order-sensitive double sums; see the OPQ note above [[pqOn]]).
+    */
+  def opq(spark: SparkSession, sfDir: String): DataFrame =
+    opqOn(Tables.embeddings(spark, sfDir)
         .select(col("vec_id").as("id"), col("embedding").as("vec")))
       .orderBy(col("vec_id"))
 
