@@ -1,8 +1,8 @@
 package graft.util
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   * One parquet per table under the scale-factor dir.
@@ -22,16 +22,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong
-    * and this loader converts the raw nanos (integer div — a double
-    * division would lose precision above 2^53) back to a timestamp.
+  /** Normalizes `events.ts` to TimestampType regardless of how the parquet
+    * encodes it. Two encodings have shipped in the driver testdata:
+    *   - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; sessions set
+    *     spark.sql.legacy.parquet.nanosAsLong and this loader converts the raw
+    *     nanos (integer div — a double division would lose precision above
+    *     2^53) back to a timestamp.
+    *   - TIMESTAMP(µs, isAdjustedToUTC=false): Spark 4 reads TIMESTAMP_NTZ,
+    *     which `unix_micros` et al. reject. With a UTC session timezone the
+    *     cast to TimestampType is value-identical to the oracle's naive µs.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = load(s, d, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

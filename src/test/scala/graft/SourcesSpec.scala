@@ -208,8 +208,7 @@ class SourcesSpec extends SparkSpecBase {
   test("streaming from a file source matches the batch window aggregation") {
     import graft.streaming.EventStreams
     val dir = Files.createTempDirectory("graft_stream_src").toString
-    val batch = spark.read.parquet(s"$SfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = graft.util.Tables.events(spark, SfDir)
       .select("ts", "event_type", "value")
     batch.write.mode("overwrite").parquet(s"$dir/in")
     val streamIn = spark.readStream.schema(batch.schema).parquet(s"$dir/in")

@@ -13,8 +13,7 @@ class StreamingSpec extends SparkSpecBase {
   test("streaming window agg matches the batch form on the same data") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    val batch = spark.read.parquet(s"$SfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = graft.util.Tables.events(spark, SfDir)
       .select("ts", "event_type", "value")
     val data = batch.collect()
 
@@ -119,8 +118,7 @@ class StreamingSpec extends SparkSpecBase {
     // inside the query — java.sql.Timestamp round-trips via getTime
     // (millis) would silently truncate the sub-millisecond precision
     // that session boundaries compare on
-    val batch = spark.read.parquet(s"$SfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = graft.util.Tables.events(spark, SfDir)
       .select("user_id", "ts", "value")
     val data = batch.select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
       .collect()
