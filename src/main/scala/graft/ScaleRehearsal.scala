@@ -137,8 +137,13 @@ object ScaleRehearsal {
     // leaves 31k-vector buckets and the candidate join, not the
     // scoring, dominates — measured 210 s (4 planes) vs 10 s (11
     // planes) at 512 probes, recall 1.000 both ways
-    val planes = math.min(16, math.max(4,
-      math.ceil(math.log(n / 250.0) / math.log(2)).toInt))
+    // the rule now LIVES in the operator (Similarity.planesFor, the
+    // AutoPlanes default); the rehearsal asserts the derived value
+    // matches the measured sizing before trusting the run
+    val planes = graft.operators.Similarity.planesFor(n)
+    assert(planes == math.min(16, math.max(4,
+      math.ceil(math.log(n / 250.0) / math.log(2)).toInt)),
+      s"planesFor($n) drifted from the measured log2(N/250) rule")
     val (ann, tAnn) = timed(keySet(
       graft.operators.Similarity.multiTableTopkOn(probes, corpus, k,
         tables = 16, planesPerTable = planes, broadcastQueries = true)))

@@ -23,6 +23,36 @@ object Similarity {
 
   val P: Long = 2147483647L
 
+  /** Sentinel for "derive the LSH bucket depth from the corpus size".
+    * Operators taking a plane count accept this (their default) and
+    * resolve it via [[planesFor]] on a cheap candidate-side count().
+    */
+  val AutoPlanes: Int = 0
+
+  /** The MEASURED bucket-depth sizing rule: p = clamp(4..16,
+    * ceil(log2(n / 250))) — size buckets to ~250 candidates each. A
+    * table with p planes has 2^p buckets, so random-pair candidate
+    * volume is ~N²/2^p; holding p fixed while N grows leaves the
+    * candidate join, not the scoring, dominant (ScaleRehearsal
+    * measured 210 s at the old fixed p=4 vs 10 s at the derived p=11
+    * for 500 k vectors, recall 1.000 both ways). The cap at 16 planes
+    * keeps bucket sketches in one long; past it, add tables instead
+    * (recall is bought linearly by L, selectivity exponentially by p).
+    */
+  def planesFor(n: Long, targetPerBucket: Int = 250,
+      minPlanes: Int = 4, maxPlanes: Int = 16): Int =
+    math.min(maxPlanes, math.max(minPlanes,
+      math.ceil(math.log(math.max(1L, n).toDouble / targetPerBucket)
+        / math.log(2)).toInt))
+
+  /** Resolves a caller plane count: [[AutoPlanes]] → [[planesFor]] the
+    * candidate count (one columnar count() job — metadata-cheap on a
+    * parquet scan, and the price of not shipping N²/2^p candidates
+    * through the shuffle with a size-blind default).
+    */
+  private def resolvePlanes(requested: Int, candidates: DataFrame): Int =
+    if (requested == AutoPlanes) planesFor(candidates.count()) else requested
+
   /** Left-fold double dot product of two float-array columns (SQL text
     * shared with the oracle builder below).
     */
@@ -128,9 +158,10 @@ object Similarity {
     * Output: (q_id, c_id, bucket, cos_sim, rk).
     */
   def lshTopkOn(queries: DataFrame, candidates: DataFrame, k: Int,
-      nPlanes: Int = 8, broadcastQueries: Boolean = false,
+      nPlanes: Int = AutoPlanes, broadcastQueries: Boolean = false,
       multiProbe: Boolean = false): DataFrame = {
-    val home = bucketCol("qv", nPlanes)
+    val p = resolvePlanes(nPlanes, candidates)
+    val home = bucketCol("qv", p)
     // multi-probe: also search every neighbor bucket within hamming 2 —
     // queries replicate ×(1 + p + p(p−1)/2) (cheap, query side is
     // small; 37 probes for 8 planes); recall rises toward brute force
@@ -138,15 +169,15 @@ object Similarity {
     // buckets are pairwise distinct, so no candidate dedup is needed.
     val q0 =
       if (multiProbe) {
-        val flips1 = (0 until nPlanes).map(i => home.bitwiseXOR(lit(1L << i)))
+        val flips1 = (0 until p).map(i => home.bitwiseXOR(lit(1L << i)))
         val flips2 = for {
-          i <- 0 until nPlanes
-          j <- (i + 1) until nPlanes
+          i <- 0 until p
+          j <- (i + 1) until p
         } yield home.bitwiseXOR(lit((1L << i) | (1L << j)))
         queries.withColumn("bucket", explode(array(home +: (flips1 ++ flips2): _*)))
       } else queries.withColumn("bucket", home)
     val q = if (broadcastQueries) broadcast(q0) else q0
-    val c = candidates.withColumn("bucket", bucketCol("cv", nPlanes))
+    val c = candidates.withColumn("bucket", bucketCol("cv", p))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     c.join(q, Seq("bucket"))
       .withColumn("cos", cosExpr("qv", "cv"))
@@ -165,7 +196,7 @@ object Similarity {
     lshTopkOn(
       e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding").as("qv")),
       e.filter(col("vec_id") >= 8).select(col("vec_id").as("c_id"), col("embedding").as("cv")),
-      5, broadcastQueries = true)
+      5, nPlanes = 8, broadcastQueries = true)
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -189,7 +220,7 @@ object Similarity {
     lshTopkOn(
       e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding").as("qv")),
       e.filter(col("vec_id") >= 8).select(col("vec_id").as("c_id"), col("embedding").as("cv")),
-      5, broadcastQueries = true, multiProbe = true)
+      5, nPlanes = 8, broadcastQueries = true, multiProbe = true)
       .select(col("q_id"), col("c_id"), col("cos_sim"), col("rk"))
       .orderBy(col("q_id"), col("rk"))
   }
@@ -232,11 +263,12 @@ object Similarity {
     * in cost).
     */
   def multiTableTopkOn(queries: DataFrame, candidates: DataFrame, k: Int,
-      tables: Int = 16, planesPerTable: Int = 4,
+      tables: Int = 16, planesPerTable: Int = AutoPlanes,
       broadcastQueries: Boolean = false): DataFrame = {
+    val p = resolvePlanes(planesPerTable, candidates)
     def buckets(vecCol: String): Column = explode(array((0 until tables).map(t =>
       struct(lit(t).as("t"),
-        graft.functions.SrpBucket.column(col(vecCol), planesPerTable, t * planesPerTable).as("b"))): _*))
+        graft.functions.SrpBucket.column(col(vecCol), p, t * p).as("b"))): _*))
     val qb = queries.withColumn("tb", buckets("qv"))
       .select(col("q_id"), col("tb.t").as("t"), col("tb.b").as("b"))
     val cb = candidates.withColumn("tb", buckets("cv"))
@@ -260,7 +292,7 @@ object Similarity {
     multiTableTopkOn(
       e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding").as("qv")),
       e.filter(col("vec_id") >= 8).select(col("vec_id").as("c_id"), col("embedding").as("cv")),
-      5, broadcastQueries = true)
+      5, planesPerTable = 4, broadcastQueries = true)
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -293,7 +325,8 @@ object Similarity {
     */
   def recallEvalOn(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val truth = bruteforceTopkOn(queries, candidates, k).select(col("q_id"), col("c_id"))
-    val found = multiTableTopkOn(queries, candidates, k, broadcastQueries = true)
+    val found = multiTableTopkOn(queries, candidates, k,
+      planesPerTable = 4, broadcastQueries = true)
       .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
     truth.join(found, Seq("q_id", "c_id"), "left")
       .groupBy(col("q_id"))
@@ -359,17 +392,18 @@ object Similarity {
     * Output: (q_id, c_id, dot, rk).
     */
   def mipsAnnOn(queries: DataFrame, candidates: DataFrame, k: Int,
-      nPlanes: Int = 8, broadcastQueries: Boolean = false): DataFrame = {
+      nPlanes: Int = AutoPlanes, broadcastQueries: Boolean = false): DataFrame = {
+    val p = resolvePlanes(nPlanes, candidates)
     val selfdot = graft.functions.FloatVecDot.column(col("cv"), col("cv"))
     val m2 = candidates.agg(max(selfdot).as("m2"))
     val c = candidates.crossJoin(broadcast(m2))
       .withColumn("aug", concat(col("cv"),
         array(sqrt(greatest(lit(0.0), col("m2") - selfdot)).cast("float"))))
       .withColumn("bucket",
-        graft.functions.SrpBucket.column(col("aug"), nPlanes, 0, 128))
+        graft.functions.SrpBucket.column(col("aug"), p, 0, 128))
       .select(col("c_id"), col("cv"), col("bucket"))
     val q0 = queries.withColumn("bucket",
-      graft.functions.SrpBucket.column(col("qv"), nPlanes, 0, 128))
+      graft.functions.SrpBucket.column(col("qv"), p, 0, 128))
     val q = if (broadcastQueries) broadcast(q0) else q0
     val w = Window.partitionBy(col("q_id")).orderBy(col("dot").desc, col("c_id"))
     c.join(q, Seq("bucket"))
@@ -387,7 +421,7 @@ object Similarity {
     mipsAnnOn(
       e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding").as("qv")),
       e.filter(col("vec_id") >= 8).select(col("vec_id").as("c_id"), col("embedding").as("cv")),
-      5, broadcastQueries = true)
+      5, nPlanes = 8, broadcastQueries = true)
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -477,7 +511,7 @@ object Similarity {
     multiTableTopkOn(
       e.filter(col("label") === 0).select(col("vec_id").as("q_id"), col("embedding").as("qv")),
       e.filter(col("label") =!= 0).select(col("vec_id").as("c_id"), col("embedding").as("cv")),
-      3)
+      3, planesPerTable = 4)
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -504,17 +538,20 @@ object Similarity {
     *
     * SCALE RULE for `planesPerTable`: a table with p planes has 2^p
     * buckets, so random-pair candidate volume is ~L·N²/2^p — the
-    * default p=4 is tuned for recall at the test corpus size, and at
-    * N vectors the depth must grow like log2(N) to stay sub-quadratic
-    * (e.g. p=12 at 50 k — asserted by ScaleSmokeSpec's bucket audit;
-    * p≈24 at 1 B), trading recall per table for more tables.
+    * default is [[AutoPlanes]], which derives p = [[planesFor]](N)
+    * ≈ log2(N/250) from a candidate-side count() so the depth grows
+    * with the corpus and candidate volume stays sub-quadratic
+    * (asserted by ScaleSmokeSpec's bucket audit and ScaleRehearsal's
+    * 500 k-vector measurement); past the 16-plane cap, add tables,
+    * trading recall per table for more tables.
     * Output: (a_id, b_id, cos_sim) with a_id < b_id.
     */
   def cosineNearDupOn(vectors: DataFrame, threshold: Double,
-      tables: Int = 16, planesPerTable: Int = 4): DataFrame = {
+      tables: Int = 16, planesPerTable: Int = AutoPlanes): DataFrame = {
+    val p = resolvePlanes(planesPerTable, vectors)
     val b = vectors.withColumn("tb", explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
-          graft.functions.SrpBucket.column(col("vec"), planesPerTable, t * planesPerTable).as("b"))): _*)))
+          graft.functions.SrpBucket.column(col("vec"), p, t * p).as("b"))): _*)))
       .select(col("id"), col("tb.t").as("t"), col("tb.b").as("b"))
     val cand = b.select(col("id").as("a_id"), col("t"), col("b"))
       .join(b.select(col("id").as("b_id"), col("t"), col("b")), Seq("t", "b"))
@@ -532,7 +569,7 @@ object Similarity {
     cosineNearDupOn(
       Tables.embeddings(spark, sfDir)
         .select(col("vec_id").as("id"), col("embedding").as("vec")),
-      0.4)
+      0.4, planesPerTable = 4)
       .orderBy(col("a_id"), col("b_id"))
 
   def embedCosineDedupSql: String =
@@ -576,7 +613,7 @@ object Similarity {
       cosineNearDupOn(
         Tables.embeddings(spark, sfDir)
           .select(col("vec_id").as("id"), col("embedding").as("vec")),
-        0.4))
+        0.4, planesPerTable = 4))
       .orderBy(col("bucket").desc)
 
   def thresholdSweepSql: String =

@@ -5,6 +5,33 @@ import graft.operators.Similarity
 
 class SimilaritySpec extends SparkSpecBase {
 
+  test("planesFor implements the measured log2(N/250) bucket-depth rule") {
+    // floor at 4 planes for small corpora (the testdata regime)
+    assert(Similarity.planesFor(0) == 4)
+    assert(Similarity.planesFor(500) == 4)
+    assert(Similarity.planesFor(4000) == 4)
+    // the 500k-vector measurement that motivated the rule: 11 planes
+    // (210 s at the old fixed 4-plane default vs 10 s derived)
+    assert(Similarity.planesFor(500000) == 11)
+    assert(Similarity.planesFor(1000000) == 12)
+    // capped at one long's worth of bucket bits; add tables past this
+    assert(Similarity.planesFor(1000000000L) == 16)
+    // monotone non-decreasing in N
+    val ns = Seq(1L, 100L, 10000L, 100000L, 10000000L, 1000000000L)
+    assert(ns.map(Similarity.planesFor(_)) == ns.map(Similarity.planesFor(_)).sorted)
+  }
+
+  test("AutoPlanes default derives depth from the candidate count") {
+    import spark.implicits._
+    // a tiny corpus resolves to the 4-plane floor: the auto path must
+    // equal an explicit planesPerTable = 4 call bit-for-bit
+    val e = graft.util.Tables.embeddings(spark, SfDir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val auto = Similarity.cosineNearDupOn(e, 0.4).collect().toSet
+    val pinned = Similarity.cosineNearDupOn(e, 0.4, planesPerTable = 4).collect().toSet
+    assert(auto == pinned)
+  }
+
   test("brute-force top-k: 5 neighbors per query, cosine in [-1,1], ranked") {
     val rows = Similarity.bruteforceTopk(spark, SfDir).collect()
     assert(rows.length == 40) // 8 queries x top-5
