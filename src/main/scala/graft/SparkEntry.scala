@@ -567,6 +567,7 @@ object SparkEntry {
     "pipeline_mix_temp"   -> Training.mixTempSql,
     "embed_kmeans"        -> Similarity.kmeansSql,
     "embed_pq"            -> Similarity.pqSql,
+    "embed_opq"           -> Similarity.opqSql,
     "sim_pq_adc"          -> Similarity.pqAdcSql,
     "q47_grouping_sets" ->
       """SELECT o_orderstatus AS status, o_orderpriority AS prio,

@@ -1148,23 +1148,27 @@ object Similarity {
       iters: Int = PqIters, sampleN: Int = 2048): DataFrame =
     opqEncode(vectors, opqRotationOn(vectors, sampleN, subDim), subDim, k, iters)
 
-  /** embed_opq testdata binding — rows-only (rotated coordinates ride
-    * order-sensitive double sums; see the OPQ note above [[pqOn]]).
+  /** embed_opq testdata binding — fully value-oracled: the rotation is
+    * deterministic by construction, so [[opqSql]] replays the PINNED
+    * matrix (drift-gated against a fresh training run by OpqSpec).
     */
   def opq(spark: SparkSession, sfDir: String): DataFrame =
     opqOn(Tables.embeddings(spark, sfDir)
         .select(col("vec_id").as("id"), col("embedding").as("vec")))
       .orderBy(col("vec_id"))
 
-  def pqSql: String = {
+  /** The Lloyd-round + encode tail of the PQ oracle, over whichever
+    * `v` (id, sub, d, qx) CTE the caller supplies — shared between
+    * [[pqSql]] (raw coordinates) and [[opqSql]] (pinned-rotation
+    * coordinates).
+    */
+  private def pqPipelineSql(vCtes: String): String = {
     def assignFrom(c: String): String =
       s"""SELECT id, sub, CAST(min(dist2 * 16 + cid) AS BIGINT) AS amin FROM (
          |  SELECT id, sub, cid, CAST(sum((qx - cq) * (qx - cq)) AS BIGINT) AS dist2
          |  FROM v JOIN $c USING (sub, d) GROUP BY 1, 2, 3) GROUP BY 1, 2""".stripMargin
     val prelude =
-      s"""WITH v AS (SELECT vec_id AS id, (d - 1) // $PqSubDim AS sub, d,
-         |  CAST(floor((CAST(embedding[d] AS DOUBLE) + 1.0) * $KmQ.0 + 0.5) AS BIGINT) AS qx
-         |  FROM embeddings, generate_series(1, 64) AS g(d)),
+      s"""WITH $vCtes,
          |c0 AS (SELECT sub, id AS cid, d, qx AS cq FROM v WHERE id < $PqK)""".stripMargin
     val steps = (1 to PqIters).map { i =>
       s"""a$i AS (SELECT id, sub, CAST(amin % 16 AS BIGINT) AS cid FROM (${assignFrom(s"c${i - 1}")})),
@@ -1176,6 +1180,40 @@ object Similarity {
        | CAST(sum((amin % 16) * CAST(power(16, sub) AS BIGINT)) AS BIGINT) AS pq_code,
        | CAST(sum(amin // 16) AS BIGINT) AS dist2_total
        |FROM (${assignFrom(s"c$PqIters")}) GROUP BY 1 ORDER BY vec_id""".stripMargin
+  }
+
+  def pqSql: String = pqPipelineSql(
+    s"""v AS (SELECT vec_id AS id, (d - 1) // $PqSubDim AS sub, d,
+       |  CAST(floor((CAST(embedding[d] AS DOUBLE) + 1.0) * $KmQ.0 + 0.5) AS BIGINT) AS qx
+       |  FROM embeddings, generate_series(1, 64) AS g(d))""".stripMargin)
+
+  /** embed_opq value oracle: the PINNED sf0.01 rotation
+    * ([[OpqRotationPinned]], trained deterministically — exact integer
+    * moments + fixed-order driver Jacobi, regenerated by
+    * graft.GenOpqRotation, drift-gated by OpqSpec) applied in DuckDB
+    * with the identical IEEE operation sequence as the Spark side:
+    * rotated[d] = the [[dotSql]] double fold of the float vector
+    * against the float rotation row, cast back to REAL, then the
+    * shared [[pqPipelineSql]] fixed-point Lloyd/encode. Every
+    * arithmetic step is either exact-integer or an identical-order
+    * IEEE fold, so the driver hash-matches end to end.
+    */
+  def opqSql: String = {
+    // every float32 is exactly a finite decimal AND exactly a double,
+    // so emitting the EXACT expansion (BigDecimal of the widened
+    // value) makes DuckDB's decimal->double parse lossless -- the
+    // shortest float repr instead would double-round (decimal->double
+    // ->float), which measured 1-ulp rotated-coordinate divergences
+    val rows = OpqRotationPinned.Sf01.zipWithIndex.map { case (row, o) =>
+      s"(${o + 1}, [${row.map(f =>
+        new java.math.BigDecimal(f.toDouble).toPlainString).mkString(", ")}])"
+    }.mkString(",\n|  ")
+    pqPipelineSql(
+      s"""rot(d, rw) AS (VALUES $rows),
+         |rv AS (SELECT vec_id, d, CAST(${dotSql("embedding", "rw")} AS REAL) AS rx
+         |       FROM embeddings, rot),
+         |v AS (SELECT vec_id AS id, (d - 1) // $PqSubDim AS sub, d,
+         |  CAST(floor((CAST(rx AS DOUBLE) + 1.0) * $KmQ.0 + 0.5) AS BIGINT) AS qx FROM rv)""".stripMargin)
   }
 
   /** sim_pq_adc — asymmetric distance computation over the PQ index,

@@ -72,6 +72,25 @@ class OpqSpec extends SparkSpecBase {
     info(s"testdata:   plain=$p opq=$o (ratio ${o.toDouble / p})")
   }
 
+  test("pinned rotation matches a fresh sf0.01 training run (oracle drift gate)") {
+    // the embed_opq oracle SQL bakes OpqRotationPinned into DuckDB; if
+    // the driver ever re-encodes embeddings.parquet this retraining
+    // comparison fails FIRST, pointing at graft.GenOpqRotation to
+    // regenerate the pin (the r7 events.ts lesson, applied here)
+    val fresh = Similarity.opqRotationOn(
+      graft.util.Tables.embeddings(spark, "/root/testdata/sf0.01")
+        .select(col("vec_id").as("id"), col("embedding").as("vec")))
+    val pinned = graft.operators.OpqRotationPinned.Sf01
+    assert(fresh.length == pinned.length)
+    val diffs = for {
+      i <- fresh.indices
+      j <- fresh(i).indices
+      if fresh(i)(j).toFloat != pinned(i)(j)
+    } yield (i, j, fresh(i)(j).toFloat, pinned(i)(j))
+    assert(diffs.isEmpty,
+      s"rotation drifted at ${diffs.take(3)} — regenerate OpqRotationPinned via graft.GenOpqRotation")
+  }
+
   test("embed_opq driver query: rows out, same schema as embed_pq") {
     val df = SparkEntry.queries("embed_opq")(spark, SfDir)
     assert(df.columns.toSeq == Seq("vec_id", "pq_code", "dist2_total"))
