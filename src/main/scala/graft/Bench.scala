@@ -78,6 +78,7 @@ object Bench {
         }
         // operators persist() their signature frames; drop them so later
         // queries aren't charged for this query's cache pressure
+        graft.util.CacheScope.drain()
         spark.catalog.clearCache()
         val elapsed = (System.nanoTime() - t0) / 1e9
         GraftMetricsBridge.drainListeners(spark.sparkContext)

@@ -28,6 +28,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drain operator-registered caches FIRST (the library-user path
+      // CacheAuditSpec gates), then clear any stragglers
+      graft.util.CacheScope.drain()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -78,7 +78,7 @@ object Dedup {
   private def shingledOn(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"),
         TextFns.shingleHashes(TextFns.tokenize(col(textCol))).as("h"))
-      .persist()
+      .transform(graft.util.CacheScope.cached)
 
   private val shingledSql =
     s"""SELECT doc_id, ${TextFns.shingleHashesSql("words")} AS h
@@ -114,7 +114,8 @@ object Dedup {
     val t = shingledOn(df, idCol, textCol)
     val e = t.select(col("doc_id"), explode(col("h")).as("x"))
     val hot = e.groupBy(col("x")).agg(count(lit(1)).as("dfreq"))
-      .filter(col("dfreq") > dfCap).select(col("x")).persist()
+      .filter(col("dfreq") > dfCap).select(col("x"))
+      .transform(graft.util.CacheScope.cached)
     // NOT persisted: Catalyst reuses the anti-join's shuffle exchange
     // across the three consuming branches (ReusedExchange), and a cache
     // here measurably slows the query by forcing a materialization
@@ -156,7 +157,8 @@ object Dedup {
     val re = rt.select(col("r_id"), explode(col("h")).as("x"))
     val hot = le.select(col("x")).unionAll(re.select(col("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("dfreq"))
-      .filter(col("dfreq") > dfCap).select(col("x")).persist()
+      .filter(col("dfreq") > dfCap).select(col("x"))
+      .transform(graft.util.CacheScope.cached)
     val lc = le.join(hot, Seq("x"), "left_anti")
     val rc = re.join(hot, Seq("x"), "left_anti")
     val inter = lc.join(rc, Seq("x"))
@@ -196,7 +198,8 @@ object Dedup {
     val re = rt.select(col("r_id"), explode(col("h")).as("x"))
     val hot = le.select(col("x")).unionAll(re.select(col("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("dfreq"))
-      .filter(col("dfreq") > dfCap).select(col("x")).persist()
+      .filter(col("dfreq") > dfCap).select(col("x"))
+      .transform(graft.util.CacheScope.cached)
     val lc = le.join(hot, Seq("x"), "left_anti")
     val rc = re.join(hot, Seq("x"), "left_anti")
     val inter = lc.join(rc, Seq("x"))
@@ -326,7 +329,8 @@ object Dedup {
     val t = shingledOn(df, idCol, textCol)
     val e = t.select(col("doc_id"), explode(col("h")).as("x"))
     val hot = e.groupBy(col("x")).agg(count(lit(1)).as("dfreq"))
-      .filter(col("dfreq") > dfCap).select(col("x")).persist()
+      .filter(col("dfreq") > dfCap).select(col("x"))
+      .transform(graft.util.CacheScope.cached)
     val ec = e.join(hot, Seq("x"), "left_anti")
     val inter = ec.select(col("doc_id").as("a_id"), col("x"))
       .join(ec.select(col("doc_id").as("b_id"), col("x")), Seq("x"))
@@ -374,7 +378,7 @@ object Dedup {
     val sig = shingledOn(df, idCol, textCol)
       .filter(size(col("h")) > 0)
       .select(col("doc_id"), TextFns.minhashSig("h").as("s"))
-      .persist()
+      .transform(graft.util.CacheScope.cached)
     val bands = sig
       .select(col("doc_id"), col("s"), explode(sequence(lit(0), lit(TextFns.Bands - 1))).as("band"))
       .select(col("doc_id"), col("band"), TextFns.bandKey("s", "band").as("bk"))
@@ -482,7 +486,7 @@ object Dedup {
       .select(col(idCol).as("doc_id"), TextFns.tokenize(col(textCol)).as("words"))
       .filter(size(col("words")) > 0)
       .select(col("doc_id"), graft.functions.SimHash32.column(col("words")).as("fp"))
-      .persist()
+      .transform(graft.util.CacheScope.cached)
     val chunks = fp.select(col("doc_id"), col("fp"),
         explode(sequence(lit(0), lit(1))).as("ci"))
       .select(col("doc_id"), col("ci"), expr("(fp >> (ci * 16)) & 65535").as("cv"))
@@ -613,6 +617,9 @@ object Dedup {
       s"label propagation did not converge in $maxIter rounds ($changed labels still changing); " +
         "component diameter exceeds the round cap")
     edges.unpersist()
+    // the FINAL round's cache is referenced by the returned plan (labels
+    // is a view over it) — hand it to CacheScope for the caller's drain
+    prevRound.foreach(graft.util.CacheScope.register)
     // singletons never entered the iteration — they cluster with themselves
     allIds.join(labels, Seq("id"), "left")
       .select(col("id").as("doc_id"), coalesce(col("lbl"), col("id")).as("cluster_id"))

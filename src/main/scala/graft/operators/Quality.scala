@@ -284,7 +284,7 @@ object Quality {
       .select(col(keyCol), unix_micros(col(tsCol)).as("us"))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_events"), max(col("us")).as("max_us"))
-      .persist()
+      .transform(graft.util.CacheScope.cached)
     val global = perKey.agg(max(col("max_us")).as("global_max_us"))
     perKey.crossJoin(broadcast(global))
       .select(col(keyCol), col("n_events"), col("max_us"),

@@ -661,10 +661,10 @@ object Similarity {
       .select(col("id"), col("label"), posexplode(col("vec")).as(Seq("d", "x")))
       .select(col("id"), col("label"), col("d"),
         floor(col("x").cast("double") * lit(1048576.0) + lit(0.5)).cast("long").as("qx"))
-      .persist() // read by the centroid agg AND the affinity rejoin
+      .transform(graft.util.CacheScope.cached) // read by the centroid agg AND the affinity rejoin
     val cent = q.groupBy(col("label"), col("d"))
       .agg(sum(col("qx")).as("s"))
-      .persist() // read by the class-norm agg AND the affinity rejoin
+      .transform(graft.util.CacheScope.cached) // read by the class-norm agg AND the affinity rejoin
     // Operands are cast to decimal BEFORE multiplying: a long×long product
     // wraps silently before any later cast could widen it. s scales with
     // class size n (s ≲ n·2^20), so s·s and qx·s both leave int64 range on
@@ -845,7 +845,7 @@ object Similarity {
       .select(col("id"), col("d"),
         floor((col("x").cast("double") + lit(1.0)) * lit(KmQ.toDouble) + lit(0.5))
           .cast("long").as("qx"))
-      .persist() // re-read by every Lloyd iteration and the final assignment
+      .transform(graft.util.CacheScope.cached) // re-read by every Lloyd iteration and the final assignment
     // Pivoted-codebook assignment (same rewrite as pqAssign): the
     // centroid table pivots to d → [cq_0 .. cq_{k−1}], so the argmin is
     // one broadcast join at N·d rows + a k-column aggregate instead of
@@ -967,7 +967,7 @@ object Similarity {
       .select(col("id"), (col("d") / lit(subDim)).cast("int").as("sub"), col("d"),
         floor((col("x").cast("double") + lit(1.0)) * lit(KmQ.toDouble) + lit(0.5))
           .cast("long").as("qx"))
-      .persist() // re-read by every Lloyd round and the final encode
+      .transform(graft.util.CacheScope.cached) // re-read by every Lloyd round and the final encode
     def assignTo(cents: DataFrame): DataFrame =
       pqAssign(v, pqCentsWide(cents, k), k)
     var cents = v.filter(col("id") < k)
@@ -1240,7 +1240,7 @@ object Similarity {
       .select(col("id"), (col("d") / lit(subDim)).cast("int").as("sub"), col("d"),
         floor((col("x").cast("double") + lit(1.0)) * lit(KmQ.toDouble) + lit(0.5))
           .cast("long").as("qx"))
-      .persist() // re-read per Lloyd round, the encode, and the probe LUT
+      .transform(graft.util.CacheScope.cached) // re-read per Lloyd round, the encode, and the probe LUT
     def assignTo(cents: DataFrame): DataFrame =
       pqAssign(v, pqCentsWide(cents, k), k) // see pqOn: 16× slimmer agg
     var cents = v.filter(col("id") < k)

@@ -611,7 +611,7 @@ object TextAnalysis {
     val e = df.select(col(idCol).as("doc_id"),
         TextFns.shingleHashes(TextFns.tokenize(col(textCol))).as("h"))
       .select(col("doc_id"), explode(col("h")).as("x"))
-      .persist() // read by the df agg AND the per-doc rollup
+      .transform(graft.util.CacheScope.cached) // read by the df agg AND the per-doc rollup
     val dfreq = e.groupBy(col("x")).agg(count(lit(1)).as("dfreq"))
     e.join(dfreq, Seq("x"))
       .groupBy(col("doc_id"))

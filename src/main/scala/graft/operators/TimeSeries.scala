@@ -530,7 +530,7 @@ object TimeSeries {
       .select(col(keyCol).as("u"),
         Cols.floorDiv(unix_micros(col(tsCol)), 86400000000L).as("d"))
       .distinct()
-      .persist()
+      .transform(graft.util.CacheScope.cached)
     val dau = ud.groupBy(col("d")).agg(count(lit(1)).as("dau"))
     val wau = ud
       .select(col("u"), explode(sequence(col("d"), col("d") + 6)).as("rd"))

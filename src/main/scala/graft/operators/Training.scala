@@ -54,7 +54,8 @@ object Training {
       TextFns.shingleHashes(TextFns.tokenize(col(textCol))).as("h"))
     val evalShingles = shingled(eval)
       .select(explode(col("h")).as("x")).distinct()
-    val docs = shingled(corpus).filter(size(col("h")) > 0).persist()
+    val docs = shingled(corpus).filter(size(col("h")) > 0)
+      .transform(graft.util.CacheScope.cached)
     val hits = docs.select(col("doc_id"), explode(col("h")).as("x"))
       .join(evalShingles, Seq("x"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
@@ -162,7 +163,7 @@ object Training {
         TextFns.shingleHashes(TextFns.tokenize(col(textCol))).as("h"))
       .filter(size(col("h")) > 0)
       .select(col("doc_id"), TextFns.minhashSig("h").as("s"))
-      .persist()
+      .transform(graft.util.CacheScope.cached)
     def bands(sig: DataFrame, id: String) = sig
       .select(col("doc_id").as(id), col("s"),
         explode(sequence(lit(0), lit(TextFns.Bands - 1))).as("band"))
@@ -288,7 +289,7 @@ object Training {
     val counts = df.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("q", floor(sqrt(col("n_docs").cast("double")) * 1048576.0).cast("long"))
-      .persist()
+      .transform(graft.util.CacheScope.cached)
     val tot = counts.agg(sum(col("q")).as("sq"))
     val targets = counts.crossJoin(broadcast(tot))
       .withColumn("target_k", expr(s"($budget * q) div sq"))

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.util.CacheScope
+
+/** Unpersist discipline (VERDICT r7 item 8): a long-lived session must
+  * not accumulate operator-internal caches. Two gates:
+  *
+  *  1. STATIC: every `.persist()` in the library source is either a
+  *     CacheScope registration or on the allowlist of sites proven to
+  *     unpersist within their own scope. A new raw persist fails here
+  *     until it is classified.
+  *  2. DYNAMIC: running every cache-using driver query and then
+  *     draining leaves ZERO persisted RDDs — i.e. nothing escapes the
+  *     registry.
+  */
+class CacheAuditSpec extends SparkSpecBase {
+
+  test("static audit: raw persist() calls are allowlisted in-scope pairs") {
+    val root = Paths.get("src/main/scala/graft")
+    // sites whose persist provably unpersists in the same scope (loop
+    // pins, training samples, foreachBatch try/finally), plus the
+    // registry itself and standalone mains that stop their session
+    val allow = Set(
+      "util/CacheScope.scala",      // the registry's own persist
+      "streaming/EventStreams.scala", // foreachBatch try/finally unpersist
+      "operators/Similarity.scala", // OPQ training sample, unpersisted after collect
+      "operators/Dedup.scala",      // cluster loop pins; final round -> CacheScope.register
+      "ScaleRehearsal.scala")       // standalone main, session stopped at exit
+    val offenders = Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val rel = root.relativize(p).toString
+        val n = Files.readString(p).sliding(10).count(_ == ".persist()")
+        if (n > 0 && !allow.contains(rel)) Some(s"$rel ($n persist)") else None
+      }.toList
+    assert(offenders.isEmpty,
+      s"unclassified .persist() sites (route through CacheScope.cached " +
+        s"or allowlist with an in-scope unpersist): $offenders")
+  }
+
+  test("dynamic audit: cache-using query sweep + drain leaves zero persisted RDDs") {
+    // queries whose operators register caches (the leak class r7 found)
+    val cacheUsers = Seq(
+      "ts_active_users", "dq_freshness", "text_novelty",
+      "dedup_ngram_jaccard", "dedup_containment", "dedup_minhash",
+      "dedup_simhash", "dedup_cluster", "fuzzy_join",
+      "contamination_check", "dedup_cross_corpus", "pipeline_mix_temp",
+      "embed_kmeans", "embed_pq", "embed_opq", "sim_pq_adc",
+      "embed_class_centroid")
+    spark.catalog.clearCache() // start from a clean slate
+    cacheUsers.foreach { name =>
+      SparkEntry.queries(name)(spark, SfDir).write.format("noop").mode("overwrite").save()
+    }
+    assert(CacheScope.pending > 0,
+      "sweep registered nothing — operators stopped routing through CacheScope?")
+    CacheScope.drain()
+    val leaked = spark.sparkContext.getPersistentRDDs
+    assert(leaked.isEmpty,
+      s"${leaked.size} cached RDDs survived the drain: " +
+        leaked.values.take(5).map(_.name).mkString("; "))
+  }
+}
