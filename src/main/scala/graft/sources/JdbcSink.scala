@@ -37,6 +37,67 @@ object JdbcSink {
     w.jdbc(url, table, new Properties())
   }
 
+  /** The reference warehouse's constrained star-schema DDL
+    * (init_db.sql:7-41), in portable-enough SQL: surrogate dim keys as
+    * GENERATED ALWAYS AS IDENTITY (the SERIAL analog), NOT NULL natural
+    * keys, FK REFERENCES from the fact to all three dims, and the
+    * pre-seeded '00000' default members unknown facts attribute to.
+    * Loads then go through [[loadTable]] with SaveMode.Append — an
+    * Overwrite would re-create the table WITHOUT the constraints, the
+    * same reason the reference splits init_db from to_sql(append).
+    */
+  def starSchemaDdl(schema: String = "RETAIL"): Seq[String] = Seq(
+    s"CREATE SCHEMA $schema",
+    s"""CREATE TABLE $schema.DIM_CUSTOMERS (
+       |  CUSTOMER_DIM_ID INTEGER NOT NULL GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+       |  CUSTOMER_ID CHAR(5) NOT NULL,
+       |  COUNTRY VARCHAR(64))""".stripMargin,
+    s"INSERT INTO $schema.DIM_CUSTOMERS (CUSTOMER_ID, COUNTRY) VALUES ('00000', NULL)",
+    s"""CREATE TABLE $schema.DIM_PRODUCTS (
+       |  PRODUCT_DIM_ID INTEGER NOT NULL GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+       |  STOCK_CODE CHAR(5) NOT NULL,
+       |  DESCRIPTION VARCHAR(256))""".stripMargin,
+    s"INSERT INTO $schema.DIM_PRODUCTS (STOCK_CODE, DESCRIPTION) VALUES ('00000', NULL)",
+    s"""CREATE TABLE $schema.DIM_DATES (
+       |  DATE_DIM_ID INTEGER NOT NULL PRIMARY KEY,
+       |  DT DATE,
+       |  YR SMALLINT,
+       |  MON SMALLINT,
+       |  DAY SMALLINT,
+       |  DAY_OF_WEEK SMALLINT,
+       |  WEEK SMALLINT)""".stripMargin,
+    s"""CREATE TABLE $schema.FCT_INVOICES (
+       |  INVOICE_ID CHAR(6),
+       |  INVOICE_DATE_DIM_ID INTEGER REFERENCES $schema.DIM_DATES (DATE_DIM_ID),
+       |  PRODUCT_DIM_ID INTEGER REFERENCES $schema.DIM_PRODUCTS (PRODUCT_DIM_ID),
+       |  CUSTOMER_DIM_ID INTEGER REFERENCES $schema.DIM_CUSTOMERS (CUSTOMER_DIM_ID),
+       |  UNIT_PRICE DECIMAL(8,2) NOT NULL,
+       |  QUANTITY INTEGER NOT NULL)""".stripMargin)
+
+  /** Create (optionally re-create) the constrained star schema over a
+    * plain JDBC connection — the init_db step that must run BEFORE any
+    * [[loadTable]] append. Drops the four tables first when they exist
+    * (the reference's DROP SCHEMA CASCADE; Derby has no cascading
+    * schema drop, so tables go individually, fact first for FK order).
+    */
+  def initStarSchema(url: String, driver: Option[String] = None,
+      schema: String = "RETAIL"): Unit = {
+    driver.foreach(Class.forName)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      def tryExec(sql: String): Unit =
+        try { st.execute(sql); () } catch { case _: java.sql.SQLException => () }
+      Seq("FCT_INVOICES", "DIM_CUSTOMERS", "DIM_PRODUCTS", "DIM_DATES")
+        .foreach(t => tryExec(s"DROP TABLE $schema.$t"))
+      starSchemaDdl(schema).foreach { sql =>
+        // CREATE SCHEMA alone may pre-exist after a drop/re-init
+        if (sql.startsWith("CREATE SCHEMA")) tryExec(sql) else { st.execute(sql); () }
+      }
+      st.close()
+    } finally conn.close()
+  }
+
   /** Read a JDBC table back; `partitionColumn`+`bounds` enable a
     * parallel partitioned scan (without them the read is one task —
     * fine for dims, wrong for facts).

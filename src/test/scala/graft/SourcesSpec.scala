@@ -114,6 +114,64 @@ class SourcesSpec extends SparkSpecBase {
     assert(par.rdd.getNumPartitions == 4 && par.count() == dim.count())
   }
 
+  test("JDBC init: constrained star schema (PK/FK/defaults) gates appended loads") {
+    // reference parity: init_db.sql creates the constrained schema
+    // (SERIAL PKs, FK REFERENCES, '00000' default members) BEFORE any
+    // load; loads then APPEND so constraints survive
+    val home = Files.createTempDirectory("graft_derby_ddl").toString
+    System.setProperty("derby.system.home", home)
+    val url = s"jdbc:derby:$home/dwh;create=true"
+    val driver = Some("org.apache.derby.jdbc.EmbeddedDriver")
+    JdbcSink.initStarSchema(url, driver)
+
+    // the DDL-declared constraints exist in the catalog: 3 PKs, 3 FKs
+    Class.forName(driver.get)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        """SELECT c.TYPE, count(*) FROM SYS.SYSCONSTRAINTS c
+          |JOIN SYS.SYSSCHEMAS s ON c.SCHEMAID = s.SCHEMAID
+          |WHERE s.SCHEMANAME = 'RETAIL' GROUP BY c.TYPE""".stripMargin)
+      val types = Iterator.continually(rs)
+        .takeWhile(_.next()).map(r => r.getString(1) -> r.getInt(2)).toMap
+      assert(types.getOrElse("P", 0) == 3, s"want 3 primary keys, got $types")
+      assert(types.getOrElse("F", 0) == 3, s"want 3 foreign keys, got $types")
+    } finally conn.close()
+
+    // pre-seeded default members, identity-assigned dim ids
+    val dimC = JdbcSink.readTable(spark, url, "RETAIL.DIM_CUSTOMERS", driver)
+    assert(dimC.filter(col("CUSTOMER_ID") === "00000").count() == 1)
+
+    // appended load through the Spark writer keeps the constraints and
+    // fills the identity surrogate
+    import spark.implicits._
+    val newDims = Seq(("17850", "United Kingdom"), ("12583", "France"))
+      .toDF("CUSTOMER_ID", "COUNTRY")
+    JdbcSink.loadTable(newDims, url, "RETAIL.DIM_CUSTOMERS", SaveMode.Append, driver)
+    val loaded = JdbcSink.readTable(spark, url, "RETAIL.DIM_CUSTOMERS", driver)
+    assert(loaded.count() == 3)
+    assert(loaded.agg(countDistinct(col("CUSTOMER_DIM_ID"))).head.getLong(0) == 3,
+      "identity surrogate keys not assigned")
+
+    // FK enforcement: an orphan fact row is REJECTED by the warehouse
+    val orphan = Seq(("536365", 99, 99, 99, java.math.BigDecimal.valueOf(2.55), 6))
+      .toDF("INVOICE_ID", "INVOICE_DATE_DIM_ID", "PRODUCT_DIM_ID",
+        "CUSTOMER_DIM_ID", "UNIT_PRICE", "QUANTITY")
+    val err = intercept[Exception] {
+      JdbcSink.loadTable(orphan, url, "RETAIL.FCT_INVOICES", SaveMode.Append, driver)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(_.getMessage != null) &&
+      causes(err).map(c => Option(c.getMessage).getOrElse("")).mkString(" ")
+        .toUpperCase.contains("FOREIGN KEY"),
+      s"expected a foreign-key violation, got: ${err.getMessage}")
+
+    // re-init is idempotent: drops and re-creates with the seeds back
+    JdbcSink.initStarSchema(url, driver)
+    assert(JdbcSink.readTable(spark, url, "RETAIL.DIM_CUSTOMERS", driver).count() == 1)
+  }
+
   test("messy external ingest: corrupt rows quarantined, id shapes gated with reasons") {
     val dir = Files.createTempDirectory("graft_ingest").toString
     val csv =
