@@ -98,6 +98,7 @@ object SparkEntry {
     "q53_skyline"        -> Relational.q53Skyline _,
     "ts_interp_linear"   -> TimeSeries.interpLinear _,
     "ts_merge_intervals" -> TimeSeries.mergeIntervals _,
+    "ts_seasonality"     -> TimeSeries.seasonality _,
     "ts_cum_distinct"    -> TimeSeries.cumDistinct _,
     "ts_active_users"    -> TimeSeries.activeUsers _,
     "q55_attribution"    -> TimeSeries.attribution _,
@@ -118,6 +119,7 @@ object SparkEntry {
     "sim_recall_eval"    -> Similarity.recallEval _,
     "dedup_threshold_sweep" -> Similarity.thresholdSweep _,
     "sim_mips_ann"       -> Similarity.mipsAnn _,
+    "sim_range_search"   -> Similarity.rangeSearch _,
     "dq_mad_outliers"    -> Quality.dqMadOutliers _,
     "q54_khop"           -> Affinity.khop _,
     "embed_quantize"     -> Similarity.quantize _,
@@ -127,6 +129,7 @@ object SparkEntry {
     "pipeline_mix_temp"  -> Training.mixTemp _,
     "embed_kmeans"       -> Similarity.kmeans _,
     "embed_pq"           -> Similarity.pq _,
+    "embed_pca"          -> Similarity.pca _,
     "embed_opq"          -> Similarity.opq _,
     "sim_pq_adc"         -> Similarity.pqAdc _,
     "text_langid_eval"   -> TextAnalysis.langidEval _,
@@ -537,6 +540,7 @@ object SparkEntry {
     "q53_skyline"         -> Relational.q53SkylineSql,
     "ts_interp_linear"    -> TimeSeries.interpLinearSql,
     "ts_merge_intervals"  -> TimeSeries.mergeIntervalsSql,
+    "ts_seasonality"      -> TimeSeries.seasonalitySql,
     "ts_cum_distinct"     -> TimeSeries.cumDistinctSql,
     "ts_active_users"     -> TimeSeries.activeUsersSql,
     "q55_attribution"     -> TimeSeries.attributionSql,
@@ -557,6 +561,7 @@ object SparkEntry {
     "sim_recall_eval"     -> Similarity.recallEvalSql,
     "dedup_threshold_sweep" -> Similarity.thresholdSweepSql,
     "sim_mips_ann"        -> Similarity.mipsAnnSql,
+    "sim_range_search"    -> Similarity.rangeSearchSql,
     "text_surprise"       -> TextAnalysis.surpriseSql,
     "dq_mad_outliers"     -> Quality.dqMadOutliersSql,
     "q54_khop"            -> Affinity.khopSql,
@@ -567,6 +572,7 @@ object SparkEntry {
     "pipeline_mix_temp"   -> Training.mixTempSql,
     "embed_kmeans"        -> Similarity.kmeansSql,
     "embed_pq"            -> Similarity.pqSql,
+    "embed_pca"           -> Similarity.pcaSql,
     "embed_opq"           -> Similarity.opqSql,
     "sim_pq_adc"          -> Similarity.pqAdcSql,
     "q47_grouping_sets" ->

@@ -527,6 +527,66 @@ object Similarity {
        |SELECT q_id, c_id, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, CAST(rk AS INTEGER) AS rk
        |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
 
+  /** Radius (range) search: every candidate within cosine >= `threshold`
+    * of any probe — the retrieval mode top-k cannot express ("give me
+    * EVERYTHING similar enough", for dedup sweeps, policy screens,
+    * recall-bounded retrieval). Same multi-table LSH candidate shape as
+    * [[multiTableTopkOn]] (slim (id, t, b) rows shuffle; vectors rejoin
+    * after the candidate distinct; AutoPlanes depth), but the filter is
+    * a threshold, not a rank — so output size is data-dependent and the
+    * per-probe match COUNT rides along (n_matches) as the budget signal
+    * a caller checks before materializing a runaway radius.
+    * Output: (q_id, c_id, cos_sim, n_matches).
+    */
+  def rangeSearchOn(queries: DataFrame, candidates: DataFrame, threshold: Double,
+      tables: Int = 16, planesPerTable: Int = AutoPlanes,
+      broadcastQueries: Boolean = false): DataFrame = {
+    val p = resolvePlanes(planesPerTable, candidates)
+    def buckets(vecCol: String): Column = explode(array((0 until tables).map(t =>
+      struct(lit(t).as("t"),
+        graft.functions.SrpBucket.column(col(vecCol), p, t * p).as("b"))): _*))
+    val qb = queries.withColumn("tb", buckets("qv"))
+      .select(col("q_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val cb = candidates.withColumn("tb", buckets("cv"))
+      .select(col("c_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val cand = cb.join(if (broadcastQueries) broadcast(qb) else qb, Seq("t", "b"))
+      .select(col("q_id"), col("c_id")).distinct()
+    val wq = Window.partitionBy(col("q_id"))
+    cand
+      .join(if (broadcastQueries) broadcast(queries) else queries, Seq("q_id"))
+      .join(candidates, Seq("c_id"))
+      .withColumn("cos", cosExpr("qv", "cv"))
+      .filter(col("cos") >= threshold)
+      .withColumn("n_matches", count(lit(1)).over(wq))
+      .select(col("q_id"), col("c_id"), Cols.pround(col("cos"), 6).as("cos_sim"),
+        col("n_matches"))
+  }
+
+  /** sim_range_search testdata binding: the standard probe/candidate
+    * split, radius cos >= 0.3, pinned 4-plane tables (oracle parity).
+    */
+  def rangeSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    rangeSearchOn(
+      e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+      e.filter(col("vec_id") >= 8).select(col("vec_id").as("c_id"), col("embedding").as("cv")),
+      0.3, planesPerTable = 4, broadcastQueries = true)
+      .orderBy(col("q_id"), col("c_id"))
+  }
+
+  def rangeSearchSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id >= 8),
+       |qb AS (SELECT q_id, t, ${bucketTableSql("qv", 4, "t")} AS b FROM q, generate_series(0, 15) AS gt(t)),
+       |cb AS (SELECT c_id, t, ${bucketTableSql("cv", 4, "t")} AS b FROM c, generate_series(0, 15) AS gt(t)),
+       |cand AS (SELECT DISTINCT q_id, c_id FROM qb JOIN cb ON qb.t = cb.t AND qb.b = cb.b),
+       |s AS (SELECT cand.q_id, cand.c_id, ${cosSql("qv", "cv")} AS cos
+       |      FROM cand JOIN q ON cand.q_id = q.q_id JOIN c ON cand.c_id = c.c_id),
+       |f AS (SELECT q_id, c_id, cos FROM s WHERE cos >= 0.3)
+       |SELECT q_id, c_id, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim,
+       | count(*) OVER (PARTITION BY q_id) AS n_matches
+       |FROM f ORDER BY q_id, c_id""".stripMargin
+
   /** Embedding-cosine near-dup pairs within one vector set (`id`,
     * `vec`): candidates share ANY of the L=16 4-plane LSH tables'
     * buckets, kept at true cosine ≥ `threshold`. Multi-table is what
@@ -1012,6 +1072,33 @@ object Similarity {
     */
   def opqRotationOn(vectors: DataFrame, sampleN: Int = 2048,
       subDim: Int = PqSubDim): Array[Array[Double]] = {
+    val (eigVals, axes) = pcaEigenOn(vectors, sampleN)
+    val dim = axes.length
+    require(dim % subDim == 0, s"dim $dim not a multiple of subDim $subDim")
+    // greedy balance: each axis (desc lambda) joins the non-full subspace
+    // with the smallest accumulated log-variance product
+    val subs = dim / subDim
+    val logSum = Array.fill(subs)(0.0)
+    val filled = Array.fill(subs)(0)
+    val slots = Array.fill(subs)(Vector.empty[Array[Double]])
+    eigVals.zip(axes).foreach { case (lam, vec) =>
+      val sIdx = (0 until subs).filter(filled(_) < subDim)
+        .minBy(i => (logSum(i), i))
+      logSum(sIdx) += math.log(math.max(lam, 1e-12))
+      filled(sIdx) += 1
+      slots(sIdx) :+= vec
+    }
+    slots.flatten.toArray
+  }
+
+  /** The PCA core [[opqRotationOn]] balances into subspaces: exact
+    * integer sample moments → driver Jacobi → (eigenvalues desc,
+    * sign-fixed axis ROWS in the same order). Deterministic end to end
+    * (see opqRotationOn's note), which is what lets [[pcaSql]] replay
+    * a pinned basis.
+    */
+  private[graft] def pcaEigenOn(vectors: DataFrame, sampleN: Int)
+      : (Array[Double], Array[Array[Double]]) = {
     val s = vectors.filter(col("id") < sampleN)
       .select(col("id"), posexplode(col("vec")).as(Seq("d", "x")))
       .select(col("id"), col("d"),
@@ -1023,7 +1110,6 @@ object Similarity {
     val sx = s.groupBy(col("d")).agg(sum(col("qx")).as("sx"))
       .collect().map(r => r.getAs[Int]("d") -> r.getAs[Long]("sx")).toMap
     val dim = sx.keys.max + 1
-    require(dim % subDim == 0, s"dim $dim not a multiple of subDim $subDim")
     val sxy = s.select(col("id"), col("d").as("d1"), col("qx").as("q1"))
       .join(s.select(col("id"), col("d").as("d2"), col("qx").as("q2")), Seq("id"))
       .filter(col("d1") <= col("d2"))
@@ -1043,20 +1129,54 @@ object Similarity {
       val m = vcol.indices.maxBy(r => (math.abs(vcol(r)), -r))
       (eigVals(i), if (vcol(m) < 0) vcol.map(-_) else vcol)
     }
-    // greedy balance: each axis (desc λ) joins the non-full subspace
-    // with the smallest accumulated log-variance product
-    val subs = dim / subDim
-    val logSum = Array.fill(subs)(0.0)
-    val filled = Array.fill(subs)(0)
-    val slots = Array.fill(subs)(Vector.empty[Array[Double]])
-    axes.foreach { case (lam, vec) =>
-      val sIdx = (0 until subs).filter(filled(_) < subDim)
-        .minBy(i => (logSum(i), i))
-      logSum(sIdx) += math.log(math.max(lam, 1e-12))
-      filled(sIdx) += 1
-      slots(sIdx) :+= vec
-    }
-    slots.flatten.toArray
+    (axes.map(_._1).toArray, axes.map(_._2).toArray)
+  }
+
+  /** Number of principal components [[pca]] keeps — the 64→8
+    * dimensionality reduction a clustering/visualization stage runs on.
+    */
+  val PcaK = 8
+
+  /** PCA projection: every vector's coordinates on the top-k principal
+    * axes, quantized to exact integers (floor((proj + 8)·2¹⁶ + ½);
+    * |proj| ≤ √64 bounds the offset). The axes come from
+    * [[pcaEigenOn]] — deterministic training, so projections are
+    * engine-replayable — and ride the plan as codegen literals exactly
+    * like [[opqEncode]]'s rotation: zero shuffle, zero joins, the scan
+    * does k fused dot products per vector.
+    */
+  def pcaProjectOn(vectors: DataFrame, axes: Array[Array[Double]]): DataFrame =
+    vectors.select(col("id").as("vec_id") +: axes.zipWithIndex.map { case (ax, j) =>
+      floor((graft.functions.FloatVecDot.column(col("vec"), typedLit(ax.map(_.toFloat)))
+        + lit(8.0)) * lit(65536.0) + lit(0.5)).cast("long").as(s"pc${j + 1}")
+    }: _*)
+
+  /** embed_pca testdata binding: in-query deterministic training, top
+    * [[PcaK]] axes, all vectors projected. Oracle = [[pcaSql]] with the
+    * PINNED sf0.01 axes (PcaAxesPinned, regenerated by
+    * graft.GenPcaAxes, drift-gated by OpqSpec).
+    */
+  def pca(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val axes = pcaEigenOn(vecs, 2048)._2.take(PcaK)
+    pcaProjectOn(vecs, axes).orderBy(col("vec_id"))
+  }
+
+  def pcaSql: String = {
+    val rows = PcaAxesPinned.Sf01.zipWithIndex.map { case (row, o) =>
+      s"(${o + 1}, [${row.map(f =>
+        new java.math.BigDecimal(f.toDouble).toPlainString).mkString(", ")}])"
+    }.mkString(",\n|  ")
+    val pcs = (1 to PcaK).map(j =>
+      s"CAST(sum(qp) FILTER (d = $j) AS BIGINT) AS pc$j").mkString(",\n| ")
+    s"""WITH rot(d, rw) AS (VALUES $rows),
+       |p AS (SELECT vec_id, d,
+       |  CAST(floor((${dotSql("embedding", "rw")} + 8.0) * 65536.0 + 0.5) AS BIGINT) AS qp
+       |  FROM embeddings, rot)
+       |SELECT vec_id,
+       | $pcs
+       |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix —

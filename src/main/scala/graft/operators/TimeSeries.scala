@@ -393,6 +393,70 @@ object TimeSeries {
        |ORDER BY event_id""".stripMargin
   }
 
+  /** Weekly seasonal profile per series — the pre-forecasting
+    * diagnostic that answers "does this series have a day-of-week
+    * shape worth modeling" (the complement of [[trend]]'s direction
+    * and [[autocorr]]'s momentum): per (key, ISO day-of-week), event
+    * count, exact cents sum, and the seasonal index as integer ppm of
+    * the series mean — 1 000 000 = flat, >1e6 = that weekday runs hot.
+    *
+    * Exactness: day-of-week derives from the epoch DAY ordinal
+    * ((day + 3) mod 7 + 1 — epoch day 0 was a Thursday = ISO 4), pure
+    * int64 both engines, no calendar/timezone functions whose
+    * conventions differ; the index is one integer division of
+    * DECIMAL(38,0) products ((s_d·n·10⁶) div (n_d·s), all positive at
+    * this operator's precondition of non-negative values, where
+    * truncating div and flooring // agree). Σcents·N·10⁶ stays under
+    * 10³⁸ to ~10¹⁶ rows per key of ~$500 events.
+    *
+    * Scale shape: one key shuffle for the (key, dow) aggregate; the
+    * series totals ride a ≤7-row window over the SAME partitioning —
+    * no second shuffle, no join. Output bounded at 7·|keys| rows.
+    */
+  def seasonalityOn(events: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val byDow = events
+      .select(col(keyCol),
+        (pmod(Cols.floorDiv(unix_micros(col(tsCol)), 86400000000L) + 3, lit(7)) + 1)
+          .as("iso_dow"),
+        floor(col(valCol) * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy(col(keyCol), col("iso_dow"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+    val wk = Window.partitionBy(col(keyCol))
+    byDow
+      .withColumn("n_total", sum(col("n_events")).over(wk))
+      .withColumn("s_total", sum(col("sum_cents")).over(wk))
+      .withColumn("seasonal_ppm",
+        expr("(CAST(sum_cents AS DECIMAL(38,0)) * n_total * 1000000) " +
+          "div (CAST(n_events AS DECIMAL(38,0)) * s_total)"))
+      .select(col(keyCol), col("iso_dow"), col("n_events"), col("sum_cents"),
+        col("seasonal_ppm"))
+  }
+
+  /** ts_seasonality testdata binding: per-event-type weekday profile. */
+  def seasonality(spark: SparkSession, sfDir: String): DataFrame =
+    seasonalityOn(Tables.events(spark, sfDir), "event_type", "ts", "value")
+      .orderBy(col("event_type"), col("iso_dow"))
+
+  def seasonalitySql: String =
+    """WITH e AS (
+      | SELECT event_type,
+      |  ((epoch_us(ts) // 86400000000 + 3) % 7) + 1 AS iso_dow,
+      |  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      | FROM events),
+      |d AS (SELECT event_type, iso_dow, count(*) AS n_events,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents
+      |      FROM e GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) AS n_total,
+      |       CAST(sum(sum_cents) AS BIGINT) AS s_total
+      |      FROM d GROUP BY 1)
+      |SELECT d.event_type, iso_dow, n_events,
+      | sum_cents,
+      | CAST((CAST(sum_cents AS HUGEINT) * n_total * 1000000)
+      |      // (CAST(n_events AS HUGEINT) * s_total) AS BIGINT) AS seasonal_ppm
+      |FROM d JOIN t USING (event_type)
+      |ORDER BY event_type, iso_dow""".stripMargin
+
   /** Merge overlapping intervals per key ("span coalescing"): maximal
     * unions of overlapping [start, end] ranges, the classic prerequisite
     * for utilization, coverage, and SLA math. One window pass computes

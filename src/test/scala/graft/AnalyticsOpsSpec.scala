@@ -11,6 +11,31 @@ import graft.operators.{Affinity, Quality, Relational, RetailEtl, Similarity, Te
   */
 class AnalyticsOpsSpec extends SparkSpecBase {
 
+  test("seasonalityOn: planted hot weekday reads above 1e6 ppm, flat series reads exactly 1e6") {
+    import spark.implicits._
+    // 2024-01-01 is a Monday; two weeks of daily events, Mondays 3x hot
+    val rows = for (d <- 0 until 14) yield {
+      val v = if (d % 7 == 0) 300.0 else 100.0 // d=0 is Monday
+      (s"k", f"2024-01-${d + 1}%02d 12:00:00", v)
+    }
+    val e = rows.toDF("k", "s", "value")
+      .select(col("k"), col("s").cast("timestamp").as("ts"), col("value"))
+    val out = TimeSeries.seasonalityOn(e, "k", "ts", "value")
+      .orderBy(col("iso_dow")).collect()
+    assert(out.length == 7)
+    val mon = out.find(_.getAs[Long]("iso_dow") == 1L).get
+    // mean = (2*300 + 12*100)/14 cents-exact; Monday index = 300/mean
+    // = 300*14/180 = 2333333 ppm (integer-division floor)
+    assert(mon.getAs[Long]("seasonal_ppm") == 2333333L)
+    assert(mon.getAs[Long]("n_events") == 2L && mon.getAs[Long]("sum_cents") == 60000L)
+    // a flat series is exactly 1e6 on every weekday
+    val flat = (0 until 14).map(d => ("f", f"2024-01-${d + 1}%02d 12:00:00", 50.0))
+      .toDF("k", "s", "value")
+      .select(col("k"), col("s").cast("timestamp").as("ts"), col("value"))
+    val fo = TimeSeries.seasonalityOn(flat, "k", "ts", "value").collect()
+    assert(fo.forall(_.getAs[Long]("seasonal_ppm") == 1000000L))
+  }
+
   test("cumDistinctOn: running total equals the distinct prefix count and ends at the global distinct") {
     import spark.implicits._
     val e = Seq((1L, "2024-01-01 10:00:00"), (1L, "2024-01-02 10:00:00"),

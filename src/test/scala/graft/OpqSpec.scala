@@ -91,6 +91,37 @@ class OpqSpec extends SparkSpecBase {
       s"rotation drifted at ${diffs.take(3)} — regenerate OpqRotationPinned via graft.GenOpqRotation")
   }
 
+  test("pinned PCA axes match a fresh sf0.01 training run (embed_pca oracle drift gate)") {
+    val fresh = Similarity.pcaEigenOn(
+      graft.util.Tables.embeddings(spark, "/root/testdata/sf0.01")
+        .select(col("vec_id").as("id"), col("embedding").as("vec")), 2048)
+      ._2.take(Similarity.PcaK)
+    val pinned = graft.operators.PcaAxesPinned.Sf01
+    assert(fresh.length == pinned.length)
+    val diffs = for {
+      i <- fresh.indices; j <- fresh(i).indices
+      if fresh(i)(j).toFloat != pinned(i)(j)
+    } yield (i, j)
+    assert(diffs.isEmpty,
+      s"PCA axes drifted at ${diffs.take(3)} — regenerate PcaAxesPinned via graft.GenPcaAxes")
+  }
+
+  test("pca projection concentrates variance in leading components") {
+    // on the correlated corpus (16 true dims tiled 4x), the top-16
+    // projected coordinates must carry (nearly) all the variance: the
+    // corpus has rank <= 16, so components beyond it are ~constant
+    val corr = correlated(500)
+    val axes = Similarity.pcaEigenOn(corr, 2048)._2
+    val proj = Similarity.pcaProjectOn(corr, axes.take(32))
+    val vars = (1 to 32).map { j =>
+      proj.agg(variance(col(s"pc$j"))).head.getDouble(0)
+    }
+    val lead = vars.take(16).sum
+    val tail = vars.drop(16).sum
+    assert(tail < lead * 0.001,
+      s"rank-16 corpus leaked variance into trailing components: lead=$lead tail=$tail")
+  }
+
   test("embed_opq driver query: rows out, same schema as embed_pq") {
     val df = SparkEntry.queries("embed_opq")(spark, SfDir)
     assert(df.columns.toSeq == Seq("vec_id", "pq_code", "dist2_total"))
