@@ -66,6 +66,7 @@ object SparkEntry {
     "q42_copurchase"     -> Affinity.copurchase _,
     "q60_bipartite_proj" -> Affinity.bipartiteProj _,
     "q62_quantile_rollup" -> Relational.q62QuantileRollup _,
+    "q63_sketch_audit"   -> Relational.q63SketchAudit _,
     "q44_map_funcs"      -> Relational.q44MapFuncs _,
     "q45_transitions"    -> Relational.q45Transitions _,
     "q46_topk_agg"       -> Relational.q46TopkAgg _,
@@ -87,6 +88,7 @@ object SparkEntry {
     "q51_assoc_rules"    -> Affinity.assocRules _,
     "q52_pagerank"       -> Affinity.pagerank _,
     "q59_coreness"       -> Affinity.coreness _,
+    "q64_community_lp"   -> Affinity.communityLp _,
     "text_bm25"          -> TextAnalysis.bm25 _,
     "dedup_spans"        -> Dedup.spanDedup _,
     "text_repetition"    -> TextAnalysis.repetition _,
@@ -575,6 +577,8 @@ object SparkEntry {
     "embed_pca"           -> Similarity.pcaSql,
     "embed_opq"           -> Similarity.opqSql,
     "sim_pq_adc"          -> Similarity.pqAdcSql,
+    "q63_sketch_audit"    -> Relational.q63SketchAuditSql,
+    "q64_community_lp"    -> Affinity.communityLpSql,
     "q47_grouping_sets" ->
       """SELECT o_orderstatus AS status, o_orderpriority AS prio,
         |  CAST(year(o_orderdate) AS INTEGER) AS yr,

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.util.Tables
 
 /** Market-basket / graph-affinity analytics (SURVEY.md §2.B extension):
@@ -503,6 +504,74 @@ object Affinity {
       |FROM e e1 JOIN e e2 ON e1.v = e2.u
       |WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.u = e1.u AND e3.v = e2.v)
       |ORDER BY a, b, c""".stripMargin
+
+  /** Fixed unroll for [[communityLpOn]] — enough for community shapes
+    * on the support graph at every testdata SF (measured; the oracle
+    * replays the same K, so equality holds even where the fixpoint
+    * has not settled — CommunitySpec pins actual community semantics
+    * on planted graphs, the q59 two-algorithm lesson).
+    */
+  val CommunityIters = 4
+
+  /** q64_community_lp — synchronous label-propagation communities over
+    * an undirected edge set: every node starts as its own label and
+    * each round adopts the most frequent label among neighbors, ties
+    * to the SMALLEST label — fully deterministic, so the fixed-K
+    * unroll is engine-replayable (no randomized async order, the
+    * classic LPA reproducibility fix). Per round: one edge⋈label join,
+    * one (node, label) count, one node-key window top-1 — all riding
+    * the node-key shuffle, O(K) rounds total, labels integer-only.
+    * The community coarsening step between the pairwise near-dup tier
+    * (connected components) and global structure (pagerank/k-core):
+    * components give "are these linked at all", LPA gives "which
+    * cluster claims them".
+    */
+  def communityLpOn(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a_item").as("u"), col("b_item").as("v"))
+      .unionByName(pairs.select(col("b_item").as("u"), col("a_item").as("v")))
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    val wTop = Window.partitionBy(col("u"))
+      .orderBy(col("cnt").desc, col("nlbl"))
+    (1 to CommunityIters).foreach { _ =>
+      labels = edges
+        .join(labels.select(col("id").as("v"), col("lbl").as("nlbl")), Seq("v"))
+        .groupBy(col("u"), col("nlbl")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") === 1)
+        .select(col("u").as("id"), col("nlbl").as("lbl"))
+        .localCheckpoint() // truncate the per-round lineage (q52 pin)
+    }
+    labels.select(col("id").as("item"), col("lbl").as("community"))
+  }
+
+  /** q64_community_lp testdata binding: communities of the support-≥2
+    * co-purchase graph.
+    */
+  def communityLp(spark: SparkSession, sfDir: String): DataFrame =
+    communityLpOn(copurchase(spark, sfDir))
+      .orderBy(col("item"))
+
+  def communityLpSql: String = {
+    val prelude =
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
+        |p AS (SELECT a.item AS a_item, b.item AS b_item, count(*) AS n_baskets
+        |      FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS MATERIALIZED (SELECT a_item AS u, b_item AS v FROM p
+        |      UNION ALL SELECT b_item, a_item FROM p),
+        |l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM e)""".stripMargin
+    val steps = (1 to CommunityIters).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT u AS id, nlbl AS lbl FROM (
+         |  SELECT u, nlbl, row_number() OVER (PARTITION BY u
+         |    ORDER BY cnt DESC, nlbl) AS rn
+         |  FROM (SELECT e.u, p.lbl AS nlbl, count(*) AS cnt
+         |        FROM e JOIN l${i - 1} p ON e.v = p.id GROUP BY 1, 2))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$prelude$steps
+       |SELECT id AS item, lbl AS community FROM l$CommunityIters ORDER BY item""".stripMargin
+  }
 
   /** Per-left-vertex adjacency cap for [[bipartiteProjectOn]]: each
     * left node (user) contributes pairs only among its `degCap`

@@ -667,6 +667,77 @@ object Relational {
       .orderBy(col("yr"), col("qtr"))
   }
 
+  /** q63_sketch_audit — the driver-visible MERGE-CONTRACT audit for the
+    * [[q62QuantileRollup]] sketch tier: per quarter, the exact rank
+    * band [(p−ε)·n, (p+ε)·n] each percentile estimate must land in
+    * (GK's rank-error theorem at ε = 1/accuracy), and an integer
+    * verdict that the month-merged sketch's estimate actually does.
+    * The verdicts are CONSTANT 1 when the implementation honors the
+    * contract — which is exactly what makes the audit value-oracled
+    * where q62's raw estimates are engine-specific rows-only: an
+    * implementation that drifts out of bounds hash-mismatches the
+    * oracle's literal verdict. Band endpoints are exact rank-indexed
+    * values (row_number over the quarter-key shuffle — no interpolated
+    * percentile() whose conventions differ); the sketch, ranking, and
+    * band extraction all ride ONE quarter-key partitioning.
+    */
+  def q63SketchAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.QuantileSketch
+    val eps = 1.0 / QuantileSketch.DefaultAccuracy
+    val o = Tables.orders(spark, sfDir)
+      .select(year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"), month(col("o_orderdate")).as("mo"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+    val approx = o.groupBy(col("yr"), col("qtr"), col("mo"))
+      .agg(QuantileSketch.sketch(col("cents").cast("double")).as("sk"))
+      .groupBy(col("yr"), col("qtr"))
+      .agg(QuantileSketch.merge(col("sk")).as("qsk"))
+      .select(col("yr"), col("qtr"),
+        QuantileSketch.quantile(col("qsk"), 0.5).cast("long").as("a50"),
+        QuantileSketch.quantile(col("qsk"), 0.9).cast("long").as("a90"))
+    val wq = Window.partitionBy(col("yr"), col("qtr"))
+    val ranked = o
+      .withColumn("rk", row_number().over(wq.orderBy(col("cents"))))
+      .withColumn("n", count(lit(1)).over(wq))
+    def klo(p: Double) = greatest(lit(1L),
+      floor((lit(p) - lit(eps)) * col("n")).cast("long"))
+    def khi(p: Double) = least(col("n"),
+      ceil((lit(p) + lit(eps)) * col("n")).cast("long") + 1L)
+    val bands = ranked
+      .groupBy(col("yr"), col("qtr"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("rk") === klo(0.5), col("cents"))).as("p50_lo"),
+        min(when(col("rk") === khi(0.5), col("cents"))).as("p50_hi"),
+        min(when(col("rk") === klo(0.9), col("cents"))).as("p90_lo"),
+        min(when(col("rk") === khi(0.9), col("cents"))).as("p90_hi"))
+    bands.join(approx, Seq("yr", "qtr"))
+      .select(col("yr"), col("qtr"), col("n"),
+        col("p50_lo"), col("p50_hi"), col("p90_lo"), col("p90_hi"),
+        (col("a50") >= col("p50_lo") && col("a50") <= col("p50_hi"))
+          .cast("int").as("p50_ok"),
+        (col("a90") >= col("p90_lo") && col("a90") <= col("p90_hi"))
+          .cast("int").as("p90_ok"))
+      .orderBy(col("yr"), col("qtr"))
+  }
+
+  def q63SketchAuditSql: String =
+    """WITH o AS (
+      | SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+      |  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      | FROM orders),
+      |r AS (SELECT yr, qtr, cents,
+      |       row_number() OVER (PARTITION BY yr, qtr ORDER BY cents) AS rk,
+      |       count(*) OVER (PARTITION BY yr, qtr) AS n
+      |      FROM o)
+      |SELECT yr, qtr, CAST(max(n) AS BIGINT) AS n,
+      | min(CASE WHEN rk = greatest(1, CAST(floor((0.5 - 0.0001) * n) AS BIGINT)) THEN cents END) AS p50_lo,
+      | min(CASE WHEN rk = least(n, CAST(ceil((0.5 + 0.0001) * n) AS BIGINT) + 1) THEN cents END) AS p50_hi,
+      | min(CASE WHEN rk = greatest(1, CAST(floor((0.9 - 0.0001) * n) AS BIGINT)) THEN cents END) AS p90_lo,
+      | min(CASE WHEN rk = least(n, CAST(ceil((0.9 + 0.0001) * n) AS BIGINT) + 1) THEN cents END) AS p90_hi,
+      | 1 AS p50_ok, 1 AS p90_ok
+      |FROM r GROUP BY yr, qtr ORDER BY yr, qtr""".stripMargin
+
   /** q37_incr_agg — incremental aggregate maintenance (materialized-
     * view pattern): a pre-aggregated history partition merged with a
     * fresh delta partition by RE-AGGREGATING THE PARTIALS

@@ -109,6 +109,34 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(r8 == r12, "8 peel rounds must already be the fixpoint on testdata")
   }
 
+  test("communityLpOn: planted cliques settle on their min label, bridge does not merge them") {
+    import spark.implicits._
+    // two K4s {1..4} and {10..13} joined by one bridge 4-10: after
+    // convergence every clique member carries the clique's min label,
+    // and one bridge edge must NOT merge the communities (each node has
+    // 3 in-clique neighbors vs 1 bridge neighbor)
+    def k4(base: Long) = for {
+      i <- 0 until 4; j <- (i + 1) until 4
+    } yield (base + i, base + j)
+    val edges = (k4(1) ++ k4(10) :+ (4L, 10L))
+      .toDF("a_item", "b_item")
+    val got = Affinity.communityLpOn(edges).collect()
+      .map(r => r.getAs[Long]("item") -> r.getAs[Long]("community")).toMap
+    assert((1L to 4L).forall(got(_) == 1L), s"left clique: $got")
+    assert((10L to 13L).forall(got(_) == 10L), s"right clique: $got")
+  }
+
+  test("communityLpOn is partition-invariant (deterministic sync ties)") {
+    import spark.implicits._
+    val edges = (for { i <- 1L to 30L; j <- i + 1 to math.min(i + 3, 30L) }
+      yield (i, j)).toDF("a_item", "b_item")
+    val a = Affinity.communityLpOn(edges.repartition(2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Affinity.communityLpOn(edges.repartition(13)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b, "LPA labels changed under repartitioning")
+  }
+
   test("corenessOn assigns known core numbers: triangle 2, pendant path 1, K4 3") {
     import spark.implicits._
     // K4 {10,11,12,13} bridged to triangle {1,2,3} by edge 3-10, with a
