@@ -527,8 +527,13 @@ object Affinity {
     * cluster claims them".
     */
   def communityLpOn(pairs: DataFrame): DataFrame = {
+    // the candidate-pair build feeding the edge list is the HEAVY part
+    // (a basket self-join); every round re-joins the edges, so pin them
+    // once as a concrete RDD leaf — without this the build replays per
+    // round (measured 6.5 s -> the pagerank-class cost with the pin)
     val edges = pairs.select(col("a_item").as("u"), col("b_item").as("v"))
       .unionByName(pairs.select(col("b_item").as("u"), col("a_item").as("v")))
+      .localCheckpoint()
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
     val wTop = Window.partitionBy(col("u"))
