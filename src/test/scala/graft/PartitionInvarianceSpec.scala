@@ -25,7 +25,11 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     "ts_changepoint", "ts_active_users", "pipeline_reservoir",
     "q43_triangles", "dedup_minhash_eval", "q46_topk_agg",
     "pipeline_mix_temp", "asof_join_nearest", "dedup_threshold_sweep",
-    "ts_theil_sen", "q61_session_conversion")
+    "ts_theil_sen", "q61_session_conversion",
+    // r8: seasonal DECIMAL ratio, PCA double projections over a trained
+    // basis, LPA fixpoint, sketch-audit verdicts, radius-search counts
+    "ts_seasonality", "embed_pca", "q64_community_lp",
+    "q63_sketch_audit", "sim_range_search")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
