@@ -104,6 +104,74 @@ object Multimodal {
       .mapPartitions(_.flatMap { case (id, bytes) => thumbnail(id, bytes, w, h) })
   }
 
+  /** One perceptual image hash. */
+  case class ImageHash(doc_id: Long, ahash: Long)
+
+  /** Perceptual average-hash of a REAL decoded image: 8×8 SCALE_SMOOTH
+    * downsample, integer ITU-R 601 luma per cell, each of the 64 bits
+    * set when its cell is at or above the mean (row-major, MSB first).
+    * Brightness-shifted, recompressed, or lightly-edited copies land
+    * within a few bits — the image tier's answer to [[graft.operators
+    * .Dedup]]'s simhash. None for undecodable payloads (quarantine,
+    * never crash the scan).
+    */
+  def aHash(docId: Long, bytes: Array[Byte]): Option[ImageHash] = {
+    val src =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    Option(src).map { img =>
+      val out = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.drawImage(img.getScaledInstance(8, 8, java.awt.Image.SCALE_SMOOTH), 0, 0, null)
+      g.dispose()
+      val luma = Array.tabulate(64) { i =>
+        val rgb = out.getRGB(i % 8, i / 8)
+        (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+      }
+      val mean = luma.sum / 64
+      val h = luma.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+        if (v >= mean) acc | (1L << (63 - i)) else acc
+      }
+      ImageHash(docId, h)
+    }
+  }
+
+  /** Batch perceptual hashing over a (doc_id, payload:binary) frame —
+    * the per-partition decode batch shape of every codec path here.
+    */
+  def imageAHashesOn(df: DataFrame): Dataset[ImageHash] = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => aHash(id, bytes) })
+  }
+
+  /** Image near-dup pairs over perceptual hashes: candidates meet when
+    * ANY 16-bit chunk of the 64-bit hash matches exactly (hamming ≤ 3
+    * implies at least one of the 4 chunks is untouched — pigeonhole,
+    * the [[graft.operators.Dedup]] simhash banding), then the exact
+    * hamming filter keeps pairs within `maxDist`. Slim (id, chunk)
+    * rows shuffle; the full hashes rejoin only for the distinct
+    * candidate pairs. Output: (a_id, b_id, hamming), a_id < b_id.
+    */
+  def imageNearDupOn(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4x16-bit banding guarantees recall only to hamming 3")
+    val chunks = hashes.select(col("doc_id"), col("ahash"),
+        explode(sequence(lit(0), lit(3))).as("ci"))
+      .select(col("doc_id"), col("ahash"), col("ci"),
+        expr("(ahash >> (ci * 16)) & 65535").as("cv"))
+    val cand = chunks.select(col("doc_id").as("a_id"), col("ci"), col("cv"))
+      .join(chunks.select(col("doc_id").as("b_id"), col("ci"), col("cv")), Seq("ci", "cv"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(hashes.select(col("doc_id").as("a_id"), col("ahash").as("ha")), Seq("a_id"))
+      .join(hashes.select(col("doc_id").as("b_id"), col("ahash").as("hb")), Seq("b_id"))
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   /** One decoded audio record. */
   case class AudioMeta(doc_id: Long, payload_len: Int, sample_rate: Int,
     channels: Int, n_frames: Long, duration_ms: Long)

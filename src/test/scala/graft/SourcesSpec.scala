@@ -319,6 +319,42 @@ class SourcesSpec extends SparkSpecBase {
     }
   }
 
+  test("perceptual aHash image near-dup: brightened copy pairs with its original, unrelated image does not") {
+    import spark.implicits._
+    // deterministic noise image + a mild global brightening of the SAME
+    // pixels (the re-encode/levels-tweak duplicate class) + an
+    // unrelated noise image
+    def noisePng(seed: Int, shift: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) {
+        val h = ((x * 73856093 ^ y * 19349663 ^ seed * 83492791) & 0x7fffffff) % 200
+        val v = math.min(255, h + shift)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val df = Seq(
+      (1L, noisePng(1, 0)), (2L, noisePng(1, 12)), // same structure, brightened
+      (3L, noisePng(7, 0)),                        // unrelated
+      (4L, "junk".getBytes))                       // quarantined
+      .toDF("doc_id", "payload")
+    val hashes = Multimodal.imageAHashesOn(df)
+    val hs = hashes.collect().map(h => h.doc_id -> h.ahash).toMap
+    assert(hs.keySet == Set(1L, 2L, 3L), "junk quarantined, images hashed")
+    // aHash is mean-relative, so a global brightness shift preserves
+    // most bits; unrelated noise differs in ~half of 64
+    val pairs = Multimodal.imageNearDupOn(hashes.toDF()).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(pairs.contains((1L, 2L)), s"brightened copy not found: $pairs")
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L),
+      s"unrelated image paired: $pairs")
+    // determinism: rehashing bit-identical
+    val again = Multimodal.imageAHashesOn(df).collect().map(h => h.doc_id -> h.ahash).toMap
+    assert(again == hs)
+  }
+
   test("real multi-frame video decode: animated GIF frame count, dims, and strided luma sampling") {
     import spark.implicits._
     // write a real 3-frame animated GIF with ImageIO (solid luma levels
