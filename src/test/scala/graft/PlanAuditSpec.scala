@@ -70,6 +70,21 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("embed_pca: projection plan is join-free and aggregation-free (axes ride as literals)") {
+    val p = planOf(q("embed_pca"))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema:")).mkString
+    assert(readSchema.contains("vec_id") && readSchema.contains("embedding"), readSchema)
+  }
+
+  test("sim_range_search: probe side broadcasts even with threshold disabled") {
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val p = planOf(q("sim_range_search"))
+      assert(p.contains("BroadcastHashJoin"), p)
+    }
+  }
+
   test("q16_subquery_avg: fact-keyed aggregate is NOT hint-broadcast") {
     withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
       val p = planOf(q("q16_subquery_avg"))
