@@ -252,6 +252,106 @@ object Multimodal {
   }
 
   /** One decoded video (multi-frame container) record. */
+  /** One per-window spectral fingerprint. */
+  case class AudioFp(doc_id: Long, win_idx: Int, fp: Long)
+
+  /** REAL audio spectral fingerprinting: per analysis window, Goertzel
+    * band energies at 32 fixed fractions of the sample rate (k/128 for
+    * k = 1..32 — coefficients 2·cos(2πk/128) depend only on the band,
+    * so two files at different sample RATES still fingerprint their
+    * spectral SHAPE comparably), mean-thresholded into a 32-bit
+    * fingerprint per window — the aHash recipe applied to spectra, and
+    * the primitive behind audio dedup / re-encode detection. 16-bit
+    * PCM only (the JDK decode path); each payload explodes to its
+    * windows inside the partition batch.
+    */
+  def audioFingerprintsOn(df: DataFrame, windowFrames: Int = 1024): Dataset[AudioFp] = {
+    import df.sparkSession.implicits._
+    val nBands = 32
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val in =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (in == null) Iterator.empty
+        else try {
+          if (in.getFormat.getSampleSizeInBits != 16) Seq.empty[AudioFp]
+          else {
+            val fmt = in.getFormat
+            val bytesPerFrame = fmt.getFrameSize
+            val pcm = in.readAllBytes()
+            val le = !fmt.isBigEndian
+            val nFrames = pcm.length / math.max(bytesPerFrame, 1)
+            // first channel only: spectral shape, not mix balance
+            def sample(f: Int): Double = {
+              val o = f * bytesPerFrame
+              val (lo, hi) = if (le) (pcm(o), pcm(o + 1)) else (pcm(o + 1), pcm(o))
+              (((hi & 0xff) << 8) | (lo & 0xff)).toShort.toDouble / 32768.0
+            }
+            (0 until nFrames / windowFrames).map { w =>
+              val base = w * windowFrames
+              val energies = Array.tabulate(nBands) { b =>
+                // Goertzel recurrence at bin (b+1)/128 of the frame rate
+                val coeff = 2.0 * math.cos(2.0 * math.Pi * (b + 1) / 128.0)
+                var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+                var i = 0
+                while (i < windowFrames) {
+                  s0 = sample(base + i) + coeff * s1 - s2
+                  s2 = s1; s1 = s0
+                  i += 1
+                }
+                s1 * s1 + s2 * s2 - coeff * s1 * s2
+              }
+              val mean = energies.sum / nBands
+              val fp = energies.zipWithIndex.foldLeft(0L) { case (acc, (e, i)) =>
+                if (e >= mean) acc | (1L << i) else acc
+              }
+              AudioFp(id, w, fp)
+            }
+          }
+        } finally in.close()
+      })
+  }
+
+  /** Audio near-dup pairs over window fingerprint SEQUENCES: two docs
+    * are near-dups when ≥ `minFrac` ppm of their aligned windows agree
+    * within `maxBits` spectral bits — candidates meet in a
+    * (win_idx, fingerprint-chunk) equi-join (the pigeonhole banding a
+    * third time: hamming ≤ 2 over 32 bits leaves one of the 4 8-bit
+    * chunks intact... ≤ 3 needs chunk count 4, so maxBits ≤ 3), never
+    * an all-pairs product over documents. Output:
+    * (a_id, b_id, n_windows, n_close, close_ppm).
+    */
+  def audioNearDupOn(fps: DataFrame, maxBits: Int = 3,
+      minFracPpm: Long = 800000L): DataFrame = {
+    require(maxBits <= 3, "4x8-bit banding guarantees recall only to hamming 3")
+    val chunks = fps.select(col("doc_id"), col("win_idx"), col("fp"),
+        explode(sequence(lit(0), lit(3))).as("ci"))
+      .select(col("doc_id"), col("win_idx"), col("fp"), col("ci"),
+        expr("(fp >> (ci * 8)) & 255").as("cv"))
+    val cand = chunks.select(col("doc_id").as("a_id"), col("win_idx"),
+        col("ci"), col("cv"), col("fp").as("fa"))
+      .join(chunks.select(col("doc_id").as("b_id"), col("win_idx"),
+        col("ci"), col("cv"), col("fp").as("fb")), Seq("win_idx", "ci", "cv"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("win_idx"), col("fa"), col("fb"))
+      .distinct()
+    val close = cand
+      .filter(expr(s"bit_count(fa ^ fb) <= $maxBits"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_close"))
+    val winCounts = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
+    close
+      .join(winCounts.select(col("doc_id").as("a_id"), col("nw").as("na")), Seq("a_id"))
+      .join(winCounts.select(col("doc_id").as("b_id"), col("nw").as("nb")), Seq("b_id"))
+      .withColumn("n_windows", least(col("na"), col("nb")))
+      .withColumn("close_ppm", expr("n_close * 1000000 div n_windows"))
+      .filter(col("close_ppm") >= minFracPpm)
+      .select(col("a_id"), col("b_id"), col("n_windows"), col("n_close"), col("close_ppm"))
+  }
+
   case class VideoMeta(doc_id: Long, payload_len: Int, width: Int, height: Int, frames: Int)
 
   /** REAL multi-frame container decode via javax.imageio — the JDK

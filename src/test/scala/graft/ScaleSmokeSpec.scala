@@ -196,6 +196,26 @@ class ScaleSmokeSpec extends SparkSpecBase {
     docs.unpersist(); pairs.unpersist(); clusters.unpersist(); survivors.unpersist()
   }
 
+  test("LPA communities at 20k nodes: 2000 planted cliques recovered exactly, bounded wall-clock") {
+    import spark.implicits._
+    // 2000 disjoint 10-cliques: LPA must converge each to its min id
+    // within the fixed 4 rounds (clique diameter 1), and the run must
+    // stay in the seconds range — the shape where a per-round plan
+    // explosion or an unpinned edge build shows up immediately
+    val edges = (for {
+      c <- 0 until 2000
+      i <- 0 until 10; j <- (i + 1) until 10
+    } yield (c * 10L + i, c * 10L + j)).toDF("a_item", "b_item")
+    val t0 = System.nanoTime()
+    val labels = graft.operators.Affinity.communityLpOn(edges).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(labels.length == 20000)
+    val wrong = labels.filter(r => r.getAs[Long]("community") != (r.getAs[Long]("item") / 10) * 10)
+    assert(wrong.isEmpty, s"${wrong.length} nodes off their clique label, e.g. ${wrong.take(3).toSeq}")
+    assert(secs < 60, f"20k-node LPA took $secs%.1f s")
+    info(f"20k-node 2000-clique LPA: $secs%.1f s")
+  }
+
   test("multi-table LSH bucket audit on 50k random embeddings: non-degenerate shallow tables, sub-quadratic deep tables") {
     import spark.implicits._
     // deterministic pseudo-random 64-dim vectors: the distribution every

@@ -355,6 +355,42 @@ class SourcesSpec extends SparkSpecBase {
     assert(again == hs)
   }
 
+  test("audio spectral fingerprint: attenuated copy pairs with its original, different tone does not") {
+    import spark.implicits._
+    // tone WAV: sum of two sines at periods p1/p2 frames, amp-scaled
+    def toneWav(p1: Int, p2: Int, amp: Double, frames: Int): Array[Byte] = {
+      val pcm = new Array[Byte](frames * 2)
+      (0 until frames).foreach { i =>
+        val v = (math.sin(i * 2 * math.Pi / p1) + 0.5 * math.sin(i * 2 * math.Pi / p2)) * amp
+        val s = (v * 12000).toShort
+        pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+      buf.toByteArray
+    }
+    val df = Seq(
+      (1L, toneWav(64, 16, 1.0, 4096)),  // original
+      (2L, toneWav(64, 16, 0.55, 4096)), // same tones, quieter (re-encode class)
+      (3L, toneWav(20, 7, 1.0, 4096)),   // different spectrum
+      (4L, "not audio".getBytes))        // quarantined
+      .toDF("doc_id", "payload")
+    val fps = Multimodal.audioFingerprintsOn(df)
+    val rows = fps.collect()
+    assert(rows.map(_.doc_id).toSet == Set(1L, 2L, 3L))
+    assert(rows.count(_.doc_id == 1L) == 4, "4096 frames / 1024-frame windows")
+    // mean-relative band energies: global attenuation preserves the
+    // fingerprint; a different tone pair flips spectral bits
+    val pairs = Multimodal.audioNearDupOn(fps.toDF()).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(pairs.contains((1L, 2L)), s"attenuated copy not found: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"different tone paired: $pairs")
+  }
+
   test("real multi-frame video decode: animated GIF frame count, dims, and strided luma sampling") {
     import spark.implicits._
     // write a real 3-frame animated GIF with ImageIO (solid luma levels
