@@ -95,6 +95,7 @@ object SparkEntry {
     "text_surprise"      -> TextAnalysis.surprise _,
     "ts_ewma"            -> TimeSeries.ewma _,
     "pipeline_split"     -> Training.split _,
+    "pipeline_token_budget" -> Training.tokenBudget _,
     "pipeline_length_buckets" -> ((s: SparkSession, d: String) => Training.lengthBuckets(s, d)),
     "text_bpe_pairs"     -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
     "q53_skyline"        -> Relational.q53Skyline _,
@@ -123,6 +124,7 @@ object SparkEntry {
     "sim_mips_ann"       -> Similarity.mipsAnn _,
     "sim_range_search"   -> Similarity.rangeSearch _,
     "dq_mad_outliers"    -> Quality.dqMadOutliers _,
+    "dq_benford"         -> Quality.dqBenford _,
     "q54_khop"           -> Affinity.khop _,
     "embed_quantize"     -> Similarity.quantize _,
     "embed_dim_stats"    -> Similarity.dimStats _,
@@ -537,6 +539,7 @@ object SparkEntry {
     "text_repetition"     -> TextAnalysis.repetitionSql,
     "ts_ewma"             -> TimeSeries.ewmaSql,
     "pipeline_split"      -> Training.splitSql,
+    "pipeline_token_budget" -> Training.tokenBudgetSql,
     "pipeline_length_buckets" -> Training.lengthBucketsSql,
     "text_bpe_pairs"      -> TextAnalysis.bpePairsSql,
     "q53_skyline"         -> Relational.q53SkylineSql,
@@ -566,6 +569,7 @@ object SparkEntry {
     "sim_range_search"    -> Similarity.rangeSearchSql,
     "text_surprise"       -> TextAnalysis.surpriseSql,
     "dq_mad_outliers"     -> Quality.dqMadOutliersSql,
+    "dq_benford"          -> Quality.dqBenfordSql,
     "q54_khop"            -> Affinity.khopSql,
     "embed_quantize"      -> Similarity.quantizeSql,
     "embed_dim_stats"     -> Similarity.dimStatsSql,

@@ -155,6 +155,54 @@ object Quality {
           .as("mad_score"))
   }
 
+  /** Benford's-law first-digit ppm, d = 1..9 — BAKED constants
+    * (floor(log10(1+1/d)·10⁶ + ½)) so neither engine evaluates log10.
+    */
+  private val BenfordPpm: Seq[(Int, Long)] = Seq(1 -> 301030L, 2 -> 176091L,
+    3 -> 124939L, 4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+    8 -> 51153L, 9 -> 45757L)
+
+  /** dq_benford — first-significant-digit distribution audit (the
+    * classic fabricated-numbers / unit-mixup screen: organically grown
+    * monetary amounts follow Benford's law; keyed-in or re-scaled ones
+    * don't): per digit the observed count, exact observed ppm, the
+    * BAKED Benford expectation, and |deviation| ppm. The first digit
+    * extracts from the INTEGER cents' decimal string (portable — no
+    * float log10 whose rounding could reclassify a boundary value);
+    * one map-side-combinable 9-group aggregate, 9 rows out at any
+    * scale.
+    */
+  def dqBenford(spark: SparkSession, sfDir: String): DataFrame = {
+    val expCase = BenfordPpm.map { case (d, p) => s"WHEN $d THEN ${p}L" }
+      .mkString("CASE digit ", " ", " END")
+    val o = Tables.orders(spark, sfDir)
+      .select(floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+    val n = o.agg(count(lit(1)).as("n_total"))
+    o.groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      .crossJoin(broadcast(n))
+      .select(col("digit"), col("n_obs"),
+        expr("n_obs * 1000000 div n_total").as("obs_ppm"),
+        expr(expCase).as("exp_ppm"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+      .orderBy(col("digit"))
+  }
+
+  def dqBenfordSql: String = {
+    val expCase = BenfordPpm.map { case (d, p) => s"WHEN $d THEN $p" }
+      .mkString("CASE digit ", " ", " END")
+    s"""WITH c AS (
+       | SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+       | FROM orders WHERE floor(o_totalprice * 100.0 + 0.5) > 0),
+       |n AS (SELECT count(*) AS n_total FROM c)
+       |SELECT digit, count(*) AS n_obs,
+       | CAST(count(*) * 1000000 // n_total AS BIGINT) AS obs_ppm,
+       | CAST($expCase AS BIGINT) AS exp_ppm,
+       | CAST(abs(count(*) * 1000000 // n_total - ($expCase)) AS BIGINT) AS dev_ppm
+       |FROM c, n GROUP BY digit, n_total ORDER BY digit""".stripMargin
+  }
+
   /** dq_mad_outliers testdata binding: events whose value sits more
     * than 5 MADs from the event-type median.
     */

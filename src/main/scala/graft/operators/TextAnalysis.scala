@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
 import graft.util.{Cols, Tables}
@@ -106,6 +106,30 @@ object TextAnalysis {
        |   + least((CAST(list_reduce(list_prepend(0, list_transform(words, w -> length(w))), (a, b) -> a + b) AS DOUBLE) / len(words)) / 10.0, 1.0) * 0.2) * 1000000.0 + 0.5) / 1000000.0 AS quality_score
        |FROM (SELECT doc_id, text, ${TextFns.tokenizeSql("text")} AS words FROM documents)
        |WHERE len(words) > 0 ORDER BY doc_id""".stripMargin
+
+  /** The [[qualityOn]] combination score as an exact integer ppm —
+    * floor(raw·10⁶ + ½) on the UNROUNDED combo, shared by
+    * pipeline_token_budget's selection order (an integer sort key
+    * cannot tie-break differently across engines the way a rounded
+    * double could). `words` must be the [[TextFns.tokenize]] of
+    * `text`.
+    */
+  def qualityPpm(text: Column, words: Column): Column = {
+    import graft.functions.TextCount
+    val nWords = TextCount.column(text, TextCount.Words).cast("double")
+    val uniq = size(array_distinct(words)).cast("double") / nWords
+    val punct = TextCount.column(text, TextCount.Punct).cast("double") / length(text)
+    val mwl = TextCount.column(text, TextCount.NonWs).cast("double") / nWords
+    floor((uniq * 0.5 + (lit(1.0) - punct) * 0.3
+      + least(mwl / 10.0, lit(1.0)) * 0.2) * 1000000.0 + lit(0.5)).cast("long")
+  }
+
+  /** [[qualityPpm]]'s DuckDB mirror over aliases `text` and `words`. */
+  def qualityPpmSql: String =
+    "CAST(floor(((CAST(len(list_distinct(words)) AS DOUBLE) / len(words)) * 0.5" +
+      " + (1.0 - CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text)) * 0.3" +
+      " + least((CAST(list_reduce(list_prepend(0, list_transform(words, w -> length(w))), (a, b) -> a + b) AS DOUBLE) / len(words)) / 10.0, 1.0) * 0.2)" +
+      " * 1000000.0 + 0.5) AS BIGINT)"
 
   /** Token counting: whitespace token count + BPE-ish regex token count
     * (letter runs / digit runs / single symbols).

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.{TextCount, TextFns}
 import graft.util.{Cols, Tables}
 
@@ -504,6 +505,80 @@ object Training {
        |SELECT source, split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
        |FROM s GROUP BY 1, 2 ORDER BY source, split""".stripMargin
   }
+
+  /** Token budget for [[tokenBudget]] — ≈55% of the testdata corpus, so
+    * the boundary bucket is genuinely split (some docs in, some out).
+    */
+  val TokenBudget = 15000L
+
+  /** pipeline_token_budget — greedy best-first dataset assembly under a
+    * token budget: take documents in (quality desc, id) order until the
+    * budget is spent — the "fill the training run with the best data"
+    * selection. A naive implementation is ONE global sort + running
+    * sum (serializes the corpus through a single partition); this is
+    * the [[graft.operators.RetailEtl.rfm]] bucketed two-phase shape
+    * instead: coarse ppm-quality buckets aggregate token totals, a
+    * ≤21-row prefix sum finds the BOUNDARY bucket, buckets above it
+    * are wholly selected with no per-doc ordering at all, and only the
+    * boundary bucket's docs rank within their bucket-local window.
+    * Selection is exact-greedy and fully deterministic ((q_ppm, id)
+    * total order, integer token counts), so the oracle verifies the
+    * MEMBERSHIP via per-source checksums, not just counts.
+    * Output: (source, n_docs, n_tokens, id_sum).
+    */
+  def tokenBudgetOn(docs: DataFrame, budget: Long): DataFrame = {
+    val d = docs
+      .select(col("source"), col("doc_id"), TextFns.tokenize(col("text")).as("w"),
+        col("text"))
+      .filter(size(col("w")) > 0)
+      .select(col("source"), col("doc_id"), size(col("w")).cast("long").as("n_tok"),
+        TextAnalysis.qualityPpm(col("text"), col("w")).as("q_ppm"))
+      .withColumn("bkt", expr("q_ppm div 50000"))
+    val buckets = d.groupBy(col("bkt"))
+      .agg(sum(col("n_tok")).as("b_tok"))
+    val wb = Window.orderBy(col("bkt").desc)
+    val cum = buckets
+      .withColumn("cum_before", coalesce(sum(col("b_tok"))
+        .over(wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("cum_before"))
+    val withCum = d.join(broadcast(cum), Seq("bkt"))
+    val wdoc = Window.partitionBy(col("bkt"))
+      .orderBy(col("q_ppm").desc, col("doc_id"))
+    val selected = withCum
+      .withColumn("run", sum(col("n_tok"))
+        .over(wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_before") + col("run") <= lit(budget))
+    selected.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("source"))
+  }
+
+  /** pipeline_token_budget testdata binding. */
+  def tokenBudget(spark: SparkSession, sfDir: String): DataFrame =
+    tokenBudgetOn(Tables.documents(spark, sfDir), TokenBudget)
+
+  def tokenBudgetSql: String =
+    s"""WITH d AS (
+       | SELECT source, doc_id,
+       |  CAST(len(words) AS BIGINT) AS n_tok,
+       |  ${TextAnalysis.qualityPpmSql} AS q_ppm
+       | FROM (SELECT source, doc_id, text, ${TextFns.tokenizeSql("text")} AS words FROM documents)
+       | WHERE len(words) > 0),
+       |b AS (SELECT q_ppm // 50000 AS bkt, CAST(sum(n_tok) AS BIGINT) AS b_tok
+       |      FROM d GROUP BY 1),
+       |c AS (SELECT bkt, CAST(coalesce(sum(b_tok) OVER (ORDER BY bkt DESC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |      FROM b),
+       |r AS (SELECT d.source, d.doc_id, d.n_tok, c.cum_before,
+       |       CAST(sum(d.n_tok) OVER (PARTITION BY d.q_ppm // 50000
+       |         ORDER BY d.q_ppm DESC, d.doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+       |      FROM d JOIN c ON d.q_ppm // 50000 = c.bkt)
+       |SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       | CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM r WHERE cum_before + run <= $TokenBudget
+       |GROUP BY source ORDER BY source""".stripMargin
 
   /** pipeline_epoch_order — deterministic per-epoch example ordering,
     * the data-loader reshuffle of a training run expressed as a query:

@@ -11,6 +11,21 @@ import graft.operators.{Affinity, Quality, Relational, RetailEtl, Similarity, Te
   */
 class AnalyticsOpsSpec extends SparkSpecBase {
 
+  test("dq_benford: digit extraction and ppm arithmetic are exact on the driver binding") {
+    val rows = SparkEntry.queries("dq_benford")(spark, SfDir).collect()
+    assert(rows.length == 9)
+    assert(rows.map(_.getAs[Int]("digit")).toSeq == (1 to 9))
+    val nTotal = rows.map(_.getAs[Long]("n_obs")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("obs_ppm") == r.getAs[Long]("n_obs") * 1000000L / nTotal)
+      assert(r.getAs[Long]("dev_ppm") ==
+        math.abs(r.getAs[Long]("obs_ppm") - r.getAs[Long]("exp_ppm")))
+    }
+    // the Benford expectations sum to ~1e6 (floor rounding leaves 0..9 ppm slack)
+    val expSum = rows.map(_.getAs[Long]("exp_ppm")).sum
+    assert(expSum >= 999995L && expSum <= 1000005L, s"exp sum $expSum")
+  }
+
   test("seasonalityOn: planted hot weekday reads above 1e6 ppm, flat series reads exactly 1e6") {
     import spark.implicits._
     // 2024-01-01 is a Monday; two weeks of daily events, Mondays 3x hot

@@ -8,6 +8,27 @@ import graft.operators.{Similarity, Training}
   */
 class TrainingSpec extends SparkSpecBase {
 
+  test("tokenBudgetOn: greedy best-first fill respects the budget and quality order") {
+    import spark.implicits._
+    // quality separates by uniqueness: 'hi' docs have distinct words,
+    // 'lo' docs repeat one word; each doc is 10 tokens
+    def doc(i: Int, distinct: Boolean): (String, Long, String) = {
+      val words = if (distinct) (0 until 10).map(j => s"w${i}_$j")
+        else Seq.fill(10)(s"rep$i")
+      (if (distinct) "hi" else "lo", i.toLong, words.mkString(" "))
+    }
+    val docs = ((0 until 8).map(doc(_, true)) ++ (8 until 16).map(doc(_, false)))
+      .toDF("source", "doc_id", "text")
+    // budget of 50 tokens = exactly 5 docs; all must come from 'hi'
+    val out = graft.operators.Training.tokenBudgetOn(docs, 50L).collect()
+    assert(out.length == 1 && out.head.getAs[String]("source") == "hi", out.toSeq.toString)
+    assert(out.head.getAs[Long]("n_docs") == 5 && out.head.getAs[Long]("n_tokens") == 50)
+    // greedy tie-break by id: docs 0..4 selected
+    assert(out.head.getAs[Long]("id_sum") == (0L + 1 + 2 + 3 + 4))
+    // a budget below one document selects nothing
+    assert(graft.operators.Training.tokenBudgetOn(docs, 9L).count() == 0)
+  }
+
   import spark.implicits._
 
   test("contamination: a doc quoting an eval doc verbatim flags; disjoint text does not") {
