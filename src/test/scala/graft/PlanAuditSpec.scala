@@ -329,7 +329,8 @@ class PlanAuditSpec extends SparkSpecBase {
       // fixed-size parameter sweeps / top-K after aggregate+limit
       "dedup_threshold_sweep" -> 1, // <=21 threshold bands
       "text_bpe_pairs"        -> 1, // top-50 pair rows post-limit
-      "text_vocab_coverage"   -> 1) // rank deciles over the top-1k vocab
+      "text_vocab_coverage"   -> 1, // rank deciles over the top-1k vocab
+      "pipeline_token_budget" -> 1) // prefix sum over <=21 quality buckets
     def unpartitioned(p: SparkPlan): Int = {
       // subqueriesAll can surface LOGICAL plans for not-yet-planned
       // subquery expressions despite its Seq[SparkPlan] signature —
