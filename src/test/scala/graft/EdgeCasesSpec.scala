@@ -120,6 +120,33 @@ class EdgeCasesSpec extends SparkSpecBase {
     assert(uncapped.count() >= 1770L)
   }
 
+  test("r8 operators tolerate empty and degenerate inputs") {
+    import spark.implicits._
+    // empty events -> no seasonal rows
+    val noEvents = Seq.empty[(String, java.sql.Timestamp, Double)]
+      .toDF("k", "ts", "value")
+    assert(graft.operators.TimeSeries.seasonalityOn(noEvents, "k", "ts", "value").count() == 0)
+    // empty corpus -> empty budget selection
+    val noDocs = Seq.empty[(String, Long, String)].toDF("source", "doc_id", "text")
+    assert(graft.operators.Training.tokenBudgetOn(noDocs, 1000L).count() == 0)
+    // whitespace-only docs are filtered, not divided by zero
+    val wsDocs = Seq(("s", 1L, "   ")).toDF("source", "doc_id", "text")
+    assert(graft.operators.Training.tokenBudgetOn(wsDocs, 1000L).count() == 0)
+    // empty edge set -> empty communities
+    val noEdges = Seq.empty[(Long, Long)].toDF("a_item", "b_item")
+    assert(graft.operators.Affinity.communityLpOn(noEdges).count() == 0)
+    // empty hash/fingerprint sets -> empty near-dup pairs
+    val noHashes = Seq.empty[(Long, Long)].toDF("doc_id", "ahash")
+    assert(graft.operators.Multimodal.imageNearDupOn(noHashes).count() == 0)
+    val noFps = Seq.empty[(Long, Int, Long)].toDF("doc_id", "win_idx", "fp")
+    assert(graft.operators.Multimodal.audioNearDupOn(noFps).count() == 0)
+    // empty probe/candidate sets -> empty radius search (AutoPlanes on
+    // an empty candidate side resolves to the 4-plane floor, no crash)
+    val q0 = Seq.empty[(Long, Array[Float])].toDF("q_id", "qv")
+    val c0 = Seq.empty[(Long, Array[Float])].toDF("c_id", "cv")
+    assert(Similarity.rangeSearchOn(q0, c0, 0.5).count() == 0)
+  }
+
   test("similarity cores: empty vector sets produce empty results") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
