@@ -82,9 +82,12 @@ object Multimodal {
     * anything on the driver).
     */
   def thumbnail(docId: Long, bytes: Array[Byte], w: Int, h: Int): Option[Thumb] = {
+    // NonFatal, not just IOException: imageio plugins throw runtime
+    // exceptions on malformed payloads (IllegalArgumentException on CMYK
+    // JPEG paths, for one) and those must quarantine too, not fail the task
     val src =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     Option(src).map { img =>
       val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val g = out.createGraphics()
@@ -116,9 +119,12 @@ object Multimodal {
     * never crash the scan).
     */
   def aHash(docId: Long, bytes: Array[Byte]): Option[ImageHash] = {
+    // NonFatal, not just IOException: imageio plugins throw runtime
+    // exceptions on malformed payloads (IllegalArgumentException on CMYK
+    // JPEG paths, for one) and those must quarantine too, not fail the task
     val src =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     Option(src).map { img =>
       val out = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val g = out.createGraphics()
@@ -277,13 +283,18 @@ object Multimodal {
           catch { case _: Exception => null }
         if (in == null) Iterator.empty
         else try {
-          if (in.getFormat.getSampleSizeInBits != 16) Seq.empty[AudioFp]
+          // frame size can be NOT_SPECIFIED (-1): sample() multiplies by
+          // it, so a non-positive value would index negatively — skip such
+          // streams the same way non-16-bit ones are skipped (quarantine,
+          // never crash the scan)
+          if (in.getFormat.getSampleSizeInBits != 16 ||
+              in.getFormat.getFrameSize <= 0) Seq.empty[AudioFp]
           else {
             val fmt = in.getFormat
             val bytesPerFrame = fmt.getFrameSize
             val pcm = in.readAllBytes()
             val le = !fmt.isBigEndian
-            val nFrames = pcm.length / math.max(bytesPerFrame, 1)
+            val nFrames = pcm.length / bytesPerFrame
             // first channel only: spectral shape, not mix balance
             def sample(f: Int): Double = {
               val o = f * bytesPerFrame
@@ -311,6 +322,11 @@ object Multimodal {
               AudioFp(id, w, fp)
             }
           }
+        } catch {
+          // truncated/lying WAV payloads can fail mid-read (readAllBytes
+          // IOException past the header's claimed length); quarantine
+          // like the stream-open path does
+          case scala.util.control.NonFatal(_) => Seq.empty[AudioFp]
         } finally in.close()
       })
   }

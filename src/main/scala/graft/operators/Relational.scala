@@ -720,8 +720,12 @@ object Relational {
       .orderBy(col("yr"), col("qtr"))
   }
 
-  def q63SketchAuditSql: String =
-    """WITH o AS (
+  def q63SketchAuditSql: String = {
+    // One shared constant: the band endpoints must track the Spark
+    // side's eps = 1/DefaultAccuracy, or a future accuracy change would
+    // silently desync the oracle's rank bands (not just the verdicts)
+    val eps = 1.0 / graft.functions.QuantileSketch.DefaultAccuracy
+    s"""WITH o AS (
       | SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
       |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
       |  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
@@ -731,12 +735,13 @@ object Relational {
       |       count(*) OVER (PARTITION BY yr, qtr) AS n
       |      FROM o)
       |SELECT yr, qtr, CAST(max(n) AS BIGINT) AS n,
-      | min(CASE WHEN rk = greatest(1, CAST(floor((0.5 - 0.0001) * n) AS BIGINT)) THEN cents END) AS p50_lo,
-      | min(CASE WHEN rk = least(n, CAST(ceil((0.5 + 0.0001) * n) AS BIGINT) + 1) THEN cents END) AS p50_hi,
-      | min(CASE WHEN rk = greatest(1, CAST(floor((0.9 - 0.0001) * n) AS BIGINT)) THEN cents END) AS p90_lo,
-      | min(CASE WHEN rk = least(n, CAST(ceil((0.9 + 0.0001) * n) AS BIGINT) + 1) THEN cents END) AS p90_hi,
+      | min(CASE WHEN rk = greatest(1, CAST(floor((0.5 - $eps) * n) AS BIGINT)) THEN cents END) AS p50_lo,
+      | min(CASE WHEN rk = least(n, CAST(ceil((0.5 + $eps) * n) AS BIGINT) + 1) THEN cents END) AS p50_hi,
+      | min(CASE WHEN rk = greatest(1, CAST(floor((0.9 - $eps) * n) AS BIGINT)) THEN cents END) AS p90_lo,
+      | min(CASE WHEN rk = least(n, CAST(ceil((0.9 + $eps) * n) AS BIGINT) + 1) THEN cents END) AS p90_hi,
       | 1 AS p50_ok, 1 AS p90_ok
       |FROM r GROUP BY yr, qtr ORDER BY yr, qtr""".stripMargin
+  }
 
   /** q37_incr_agg — incremental aggregate maintenance (materialized-
     * view pattern): a pre-aggregated history partition merged with a

@@ -441,7 +441,7 @@ object TimeSeries {
   def seasonalitySql: String =
     """WITH e AS (
       | SELECT event_type,
-      |  ((epoch_us(ts) // 86400000000 + 3) % 7) + 1 AS iso_dow,
+      |  ((((epoch_us(ts) // 86400000000 + 3) % 7) + 7) % 7) + 1 AS iso_dow,
       |  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
       | FROM events),
       |d AS (SELECT event_type, iso_dow, count(*) AS n_events,

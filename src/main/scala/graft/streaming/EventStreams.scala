@@ -38,7 +38,9 @@ object EventStreams {
     val us = windowMinutes * 60L * 1000000L
     events
       .withColumn("us", unix_micros(col("ts")))
-      .withColumn("bucket", expr(s"us div $us"))
+      // floorDiv, not `div`: the oracle buckets with DuckDB's flooring
+      // `//`, and pre-1970 timestamps have negative micros
+      .withColumn("bucket", Cols.floorDiv(col("us"), us))
       .groupBy(col("bucket"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), Cols.pround(sum(col("value")), 2).as("total_value"))
       .withColumn("window_start", timestamp_micros(col("bucket") * us))
@@ -137,9 +139,17 @@ object EventStreams {
     * minute-bucket) tuples — the at-least-once-delivery cleanup step.
     * One shuffle on the full tuple.
     */
+  /** The dedup key's minute bucket, shared by the batch and streaming
+    * forms so their keys agree BY CONSTRUCTION. floorDiv, not `div`:
+    * the oracle buckets with DuckDB's flooring `//`, and pre-1970
+    * timestamps have negative micros where the two diverge.
+    */
+  def minuteBucket(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Cols.floorDiv(unix_micros(ts), 60000000L)
+
   def dedupBatch(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.events(spark, sfDir)
-      .withColumn("minute_bucket", expr("unix_micros(ts) div 60000000"))
+      .withColumn("minute_bucket", minuteBucket(col("ts")))
       .select(col("user_id"), col("event_type"), col("minute_bucket"))
       .distinct()
       .orderBy(col("user_id"), col("event_type"), col("minute_bucket"))
@@ -386,7 +396,7 @@ object EventStreams {
     */
   def dedupStream(events: DataFrame): DataFrame =
     events
-      .withColumn("minute_bucket", expr("unix_micros(ts) div 60000000"))
+      .withColumn("minute_bucket", minuteBucket(col("ts")))
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type", "minute_bucket")
       .select(col("user_id"), col("event_type"), col("minute_bucket"))

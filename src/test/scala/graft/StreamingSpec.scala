@@ -239,6 +239,32 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("pre-1970 events: shared minute bucket FLOORS; watermarked stream drops them as late") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the bucket expression is SHARED by dedupBatch and dedupStream, so
+    // proving floor semantics once covers both keys: -1 s of epoch is
+    // bucket -1 (floorDiv), where a truncating div would say 0
+    val pre = new java.sql.Timestamp(-1000L) // 1969-12-31T23:59:59Z
+    val post = new java.sql.Timestamp(1000L)
+    val buckets = Seq((pre, 9L, "click"), (post, 9L, "click"))
+      .toDF("ts", "user_id", "event_type")
+      .select(EventStreams.minuteBucket(col("ts")).as("b")).as[Long].collect()
+    assert(buckets.toSeq == Seq(-1L, 0L), s"buckets: ${buckets.toSeq}")
+    // and the engine-behavior caveat, pinned so it stays documented: the
+    // initial event-time watermark is epoch 0, so a watermarked streaming
+    // dedup treats pre-1970 rows as late data and emits NOTHING for them
+    val src = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = EventStreams.dedupStream(src.toDF().toDF("ts", "user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_pre_out").outputMode("append").start()
+    try {
+      src.addData((pre, 9L, "click"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_pre_out").isEmpty,
+        "pre-epoch rows are late vs the initial watermark and must be dropped")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs clicks with in-window purchases") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -67,4 +67,23 @@ for name in sorted(spark_only):
     print(f"ROWS-ONLY {name}: {n} rows {'OK' if n > 0 else 'EMPTY!'}")
 
 print(f"\n{n_pass} pass, {n_fail} fail, {len(spark_only)} rows-only")
+
+# Bench gate: a round must not close with a failing benchcheck (r8
+# shipped with etl_pit_lookup 4x over pin because nothing asserted the
+# gate before the end-of-round commits). Checked against the freshest
+# bench artifact; absent artifacts only warn (correctness runs happen
+# on hosts without a bench).
+bench = "tools/bench_last.json"
+if os.path.exists(bench):
+    import subprocess
+    rc = subprocess.run([sys.executable, "tools/benchcheck.py", bench],
+                        capture_output=True, text=True)
+    tail = rc.stdout.strip().splitlines()[-3:]
+    print("\nbenchcheck(tools/bench_last.json): " +
+          ("OK" if rc.returncode == 0 else "FAILING") + " — " + " | ".join(tail))
+    if rc.returncode != 0:
+        n_fail += 1
+else:
+    print("\n(no tools/bench_last.json — benchcheck gate skipped)")
+
 sys.exit(1 if n_fail else 0)
