@@ -160,11 +160,47 @@ object ScaleRehearsal {
       graft.operators.Similarity.lshTopkOn(probes, corpus, k,
         nPlanes = planes, broadcastQueries = true, multiProbe = true)))
     val recallMp = (truth & mp).size.toDouble / truth.size
+    // the r9 layered path: LSH-ASSIGNED two-stage IVF refine. The
+    // first rehearsal of this measured WHY cell count is the recall
+    // axis: 128 sampled cells against this corpus's 1000 natural
+    // clusters left most clusters with no nearby cell, so per-vector
+    // noise sprayed cluster-mates across many equidistant cells —
+    // recall 0.100. A DENSE cell table (4096 — coverage 1−e^(−4.1) ≈
+    // 98% of clusters hold a sampled cell) fixes recall, and the now-
+    // unaffordable exact assignment (N·4096 cosines) is replaced by
+    // the library's own multi-table index over the CELLS (k=1,
+    // corpus-sized plane depth): build cost O(L·N) bucketed ids, the
+    // same class as indexing the corpus for LSH. Build (one-time,
+    // amortized) and query are timed separately; the gate is the
+    // verdict's: recall ≥ 0.9 and query wall-time under the
+    // multi-table query path at the same k.
+    val nCells = math.min(4096, math.max(64, (n / 64).toInt))
+    val cents = corpus
+      .orderBy(expr("(c_id * 1000003 + 12289) % 2147483647"), col("c_id")).limit(nCells)
+      .select(col("c_id").as("cent_id"), col("cv").as("centv"))
+      .localCheckpoint(true)
+    val (assign, tBuild) = timed {
+      val a = graft.operators.Similarity.multiTableTopkOn(
+          corpus.select(col("c_id").as("q_id"), col("cv").as("qv")),
+          cents.select(col("cent_id").as("c_id"), col("centv").as("cv")),
+          k = 1, tables = 16, planesPerTable = planes)
+        .selectExpr("q_id AS c_id", "c_id AS cent_id")
+        .localCheckpoint(true)
+      a.count(); a
+    }
+    val (ivfr, tIvf) = timed(keySet(
+      graft.operators.Similarity.ivfRefineAssigned(probes, corpus, cents, assign, k,
+        nProbe = 8, shortlist = 4 * k)))
+    val recallIvf = (truth & ivfr).size.toDouble / truth.size
+    val ivfOk = recallIvf >= 0.9 && tIvf <= tAnn
     println(s"""{"metric":"scale_rehearsal_ann","n_vectors":$n,"n_probes":$nProbes,""" +
       s""""k":$k,"planes":$planes,"recall":${f"$recall%.3f"},"brute_sec":${f"$tBrute%.1f"},""" +
       s""""ann_sec":${f"$tAnn%.1f"},"mp_recall":${f"$recallMp%.3f"},""" +
-      s""""mp_sec":${f"$tMp%.1f"},"recall_ok":$recallOk}""")
+      s""""mp_sec":${f"$tMp%.1f"},"ivf_cells":$nCells,""" +
+      s""""ivf_build_sec":${f"$tBuild%.1f"},""" +
+      s""""ivf_recall":${f"$recallIvf%.3f"},"ivf_sec":${f"$tIvf%.1f"},""" +
+      s""""recall_ok":$recallOk,"ivf_ok":$ivfOk}""")
     spark.stop()
-    if (!recallOk) sys.exit(1)
+    if (!(recallOk && ivfOk)) sys.exit(1)
   }
 }

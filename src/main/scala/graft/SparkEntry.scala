@@ -174,9 +174,11 @@ object SparkEntry {
     "sim_lsh_multiprobe"  -> Similarity.lshMultiprobe _,
     "sim_lsh_multitable"  -> Similarity.lshMultitable _,
     "sim_ivf_ann"         -> Similarity.ivfAnn _,
+    "sim_ivf_refine"      -> Similarity.ivfRefine _,
     "embed_knn_join"      -> Similarity.knnJoin _,
     "dedup_embed_cosine"  -> Similarity.embedCosineDedup _,
     "mm_meta"             -> Multimodal.meta _,
+    "mm_audio_fp"         -> Multimodal.audioFp _,
     "pipeline_curate"     -> Curate.curate _,
     "contamination_check" -> Training.contamination _,
     "pipeline_pack"       -> Training.pack _,
@@ -674,6 +676,7 @@ object SparkEntry {
     "sim_lsh_multiprobe"  -> Similarity.lshMultiprobeSql,
     "sim_lsh_multitable"  -> Similarity.lshMultitableSql,
     "sim_ivf_ann"         -> Similarity.ivfAnnSql,
+    "sim_ivf_refine"      -> Similarity.ivfRefineSql,
     "embed_knn_join"      -> Similarity.knnJoinSql,
     "dedup_embed_cosine"  -> Similarity.embedCosineDedupSql,
     "mm_meta"             -> Multimodal.metaSql,

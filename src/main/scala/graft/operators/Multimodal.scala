@@ -368,6 +368,57 @@ object Multimodal {
       .select(col("a_id"), col("b_id"), col("n_windows"), col("n_close"), col("close_ppm"))
   }
 
+  /** Deterministic synthesized 16-bit mono WAV: two sine tones (frame
+    * periods p1/p2), StrictMath so the PCM is bit-identical on any
+    * JVM. The codec STAND-IN the container's lack of real audio
+    * corpora requires — everything downstream of these bytes
+    * (AudioSystem decode, Goertzel bands) is the real path.
+    */
+  def synthToneWav(p1: Int, p2: Int, amp: Double, frames: Int): Array[Byte] = {
+    val pcm = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val v = (StrictMath.sin(i * 2 * StrictMath.PI / p1)
+        + 0.5 * StrictMath.sin(i * 2 * StrictMath.PI / p2)) * amp
+      val s = (v * 12000).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    buf.toByteArray
+  }
+
+  /** mm_audio_fp — the audio spectral tier as a DRIVER-VISIBLE query
+    * (the image tier's mm_meta counterpart): every document carries a
+    * deterministic [[synthToneWav]] payload whose tone periods derive
+    * from doc_id, the REAL decode + Goertzel path fingerprints it, and
+    * the per-document spectral profile (window count, first-window
+    * fingerprint, total spectral bits) comes back as rows. The Goertzel
+    * recurrence over decoded PCM is not SQL-expressible, so the query
+    * is rows-only in CORRECTNESS; the planted-pair near-dup gates and
+    * the determinism/profile spec carry the value checks.
+    */
+  def audioFp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wavs = Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, synthToneWav(8 + (id % 48L).toInt, 5 + (id * 7 % 23L).toInt, 0.8, 2048))
+      }).toDF("doc_id", "payload")
+    audioFingerprintsOn(wavs).toDF()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        min_by(col("fp"), col("win_idx")).as("fp0"),
+        sum(expr("bit_count(fp)")).as("spectral_bits"))
+      .orderBy(col("doc_id"))
+  }
+
   case class VideoMeta(doc_id: Long, payload_len: Int, width: Int, height: Int, frames: Int)
 
   /** REAL multi-frame container decode via javax.imageio — the JDK

@@ -49,6 +49,12 @@ object Similarity {
     * candidate count (one columnar count() job — metadata-cheap on a
     * parquet scan, and the price of not shipping N²/2^p candidates
     * through the shuffle with a size-blind default).
+    *
+    * The count() is only cheap for scan-shaped inputs. A DERIVED
+    * candidate frame (filters, joins, decodes upstream) re-executes its
+    * whole plan once per AutoPlanes resolution — callers with such
+    * inputs should cache()/localCheckpoint() the frame first, or pass
+    * an explicit plane count and skip the probe entirely.
     */
   private def resolvePlanes(requested: Int, candidates: DataFrame): Int =
     if (requested == AutoPlanes) planesFor(candidates.count()) else requested
@@ -497,6 +503,172 @@ object Similarity {
        |r AS (SELECT q_id, c_id, cent_id, cos,
        |       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s)
        |SELECT q_id, c_id, cent_id, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, CAST(rk AS INTEGER) AS rk
+       |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+  /** Fixed-point scale for [[ivfRefine]]'s cheap pass: 2¹⁰ over the
+    * NORMALIZED vector keeps every code in ±(S+1), every product and
+    * the 64-term sum exactly representable in double on BOTH engines.
+    */
+  val IvfQuantScale = 1024
+  /** Probe width and shortlist size for [[ivfRefine]]: probe 4 cells
+    * (vs [[ivfAnn]]'s 2 — the refine stage makes wider probing cheap),
+    * re-rank the integer-score top 20 exactly.
+    */
+  val IvfRefineProbes = 4
+  val IvfRefineR = 20
+
+  /** Scan-side fixed-point quantization of the L2-NORMALIZED vector —
+    * the "compressed codes" representation the cheap pass scores
+    * against, so the integer dot approximates S²·COSINE. Normalizing
+    * first is load-bearing, not cosmetic: quantized RAW dots rank by
+    * |candidate| when a cluster's members all sit at near-identical
+    * cosine (the first 1M-vector rehearsal measured recall 0.100 —
+    * norm variance ±10% swamped cosine spread ±0.5% and pushed every
+    * true neighbor out of the shortlist). floor(x·S/‖v‖ + 0.5) is
+    * exact IEEE double arithmetic, identical in the oracle (the norm
+    * is the same index-order dot fold both engines run); codes are
+    * stored as FLOAT so the codegen [[graft.functions.FloatVecDot]]
+    * scores them (each code is an integer ≪ 2²⁴ — float-exact).
+    */
+  private def withQuantNorm(df: DataFrame, v: String, out: String): DataFrame =
+    df.withColumn("_nrm",
+        sqrt(greatest(graft.functions.FloatVecDot.column(col(v), col(v)), lit(1e-300))))
+      .withColumn(out, expr(
+        s"transform($v, x -> CAST(floor(CAST(x AS DOUBLE) * $IvfQuantScale.0 / _nrm + 0.5) AS FLOAT))"))
+      .drop("_nrm")
+
+  /** Exact-integer normalized-quantized dot for the DuckDB oracle —
+    * the same codes/products/sums [[withQuantNorm]]+FloatVecDot
+    * produce Spark-side (recomputing the norm per element yields the
+    * same double every time — bit-identical, just slower, which an
+    * oracle can afford).
+    */
+  private def qdotSql(a: String, b: String): String = {
+    def q(v: String, i: String) =
+      s"floor(CAST($v[$i] AS DOUBLE) * $IvfQuantScale.0 / greatest(sqrt(${dotSql(v, v)}), 1e-300) + 0.5)"
+    s"CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len($a)), i -> " +
+      s"${q(a, "i")} * ${q(b, "i")})), " +
+      s"(acc, v) -> acc + v) AS BIGINT)"
+  }
+
+  /** sim_ivf_refine — two-stage IVF ANN (the IVF-Flat + refine design
+    * real vector stores ship): candidates live in their nearest coarse
+    * cell as in [[ivfAnn]]; a query probes its [[IvfRefineProbes]]
+    * nearest cells; stage 1 ranks every probed candidate by an
+    * integer QUANTIZED dot product over [[quantVec]] codes and keeps
+    * the top [[IvfRefineR]]; stage 2 computes the exact double cosine
+    * for the shortlist only and emits the top 5.
+    *
+    * Scale shape — the reason this beats single-stage IVF at 100 TB:
+    * the cheap pass joins SLIM rows (ids + fixed-point codes — at
+    * scale, int8/PQ codes 4–16× smaller than the raw vectors) so the
+    * probed-cell scan is memory-bandwidth-light, and the full-precision
+    * vectors are touched only by the R-row-per-query refine join.
+    * Wider probing (recall) is bought at code-scan prices, exactness at
+    * O(R·Q). Every stage is deterministic integer-or-IEEE arithmetic —
+    * fully value-oracled, unlike most ANN implementations.
+    */
+  /** The general two-stage form behind [[ivfRefine]]: `queries`
+    * (q_id, qv), `candidates` (c_id, cv), `cents` (cent_id, centv — a
+    * broadcastable cell table; callers size it ~√N).
+    *
+    * Cell assignment is an ARGMAX AGGREGATION (max_by over a
+    * (cos, −cent_id) struct), not a row_number window: the N·|cells|
+    * assignment rows collapse map-side via partial aggregation instead
+    * of shuffling through a per-candidate sort — at 10⁶ vectors ×
+    * 256 cells that is the difference between combining 2.6·10⁸ rows
+    * in place and sorting them. Tie-break (highest cos, then lowest
+    * cent_id) matches the oracle's ORDER BY cos DESC, cent_id.
+    */
+  def ivfRefineOn(queries: DataFrame, candidates: DataFrame, cents: DataFrame,
+      k: Int, nProbe: Int = IvfRefineProbes, shortlist: Int = IvfRefineR): DataFrame = {
+    // flat exact assignment — right when |cells| is broadcast-small;
+    // at large nlist use ivfRefineAssigned with an ANN-built map
+    val assign = candidates
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", cosExpr("cv", "centv"))
+      .groupBy(col("c_id"))
+      .agg(max_by(col("cent_id"), struct(col("ccos"), (-col("cent_id")).as("nid"))).as("cent_id"))
+    ivfRefineAssigned(queries, candidates, cents, assign, k, nProbe, shortlist)
+  }
+
+  /** [[ivfRefineOn]] with a caller-supplied cell assignment
+    * (`assign` = (c_id, cent_id)) — the seam that makes IVF scale past
+    * broadcast-sized cell tables: a dense nlist (√N-to-4096 cells, the
+    * regime where cell-spray stops killing recall on multi-modal data)
+    * makes exact flat assignment O(N·nlist); real systems assign by
+    * running the ANN index over the CENTROIDS instead, and here that is
+    * literally [[multiTableTopkOn]](corpus, cells, k=1) — the library
+    * composing with itself. Assignment quality degrades gracefully: a
+    * near-nearest cell still co-locates a vector with its neighbors.
+    */
+  def ivfRefineAssigned(queries: DataFrame, candidates: DataFrame, cents: DataFrame,
+      assign: DataFrame, k: Int, nProbe: Int = IvfRefineProbes,
+      shortlist: Int = IvfRefineR): DataFrame = {
+    // inverted file: (cell, candidate id, codes) — no raw vectors
+    val assigned = withQuantNorm(candidates.join(assign, Seq("c_id")), "cv", "qc")
+      .select(col("c_id"), col("qc"), col("cent_id"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("cent_id"))
+    val probes = withQuantNorm(queries, "qv", "qq")
+      .crossJoin(broadcast(cents))
+      .withColumn("qcos", cosExpr("qv", "centv"))
+      .withColumn("prk", row_number().over(wProbe)).filter(col("prk") <= nProbe)
+      .select(col("q_id"), col("qq"), col("cent_id"))
+    // stage 1: integer-score every probed candidate, shortlist top R
+    val wShort = Window.partitionBy(col("q_id")).orderBy(col("iscore").desc, col("c_id"))
+    val short = assigned.join(broadcast(probes), Seq("cent_id"))
+      .withColumn("iscore",
+        graft.functions.FloatVecDot.column(col("qq"), col("qc")).cast("long"))
+      .withColumn("srk", row_number().over(wShort)).filter(col("srk") <= shortlist)
+      .select(col("q_id"), col("c_id"), col("cent_id"), col("iscore"))
+    // stage 2: exact cosine for the R-row shortlist only — full vectors
+    // re-enter here, never in the cell scan
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    short
+      .join(candidates, Seq("c_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("cos", cosExpr("qv", "cv"))
+      .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), col("cent_id"), col("iscore"),
+        Cols.pround(col("cos"), 6).as("cos_sim"), col("rk"))
+  }
+
+  def ivfRefine(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val cents = e
+      .orderBy(expr(s"(vec_id * 1000003 + 12289) % $P"), col("vec_id")).limit(IvfK)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+    ivfRefineOn(
+      e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+      e.filter(col("vec_id") >= 8).select(col("vec_id").as("c_id"), col("embedding").as("cv")),
+      cents, 5)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  def ivfRefineSql: String =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS centv FROM embeddings
+       |               ORDER BY (vec_id * 1000003 + 12289) % $P, vec_id LIMIT $IvfK),
+       |cand AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id >= 8),
+       |assign0 AS (SELECT c_id, cv, cent_id,
+       |             row_number() OVER (PARTITION BY c_id ORDER BY ${cosSql("cv", "centv")} DESC, cent_id) AS ark
+       |            FROM cand CROSS JOIN cents),
+       |assigned AS (SELECT c_id, cv, cent_id FROM assign0 WHERE ark = 1),
+       |qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+       |probe0 AS (SELECT q_id, qv, cent_id,
+       |            row_number() OVER (PARTITION BY q_id ORDER BY ${cosSql("qv", "centv")} DESC, cent_id) AS prk
+       |           FROM qs CROSS JOIN cents),
+       |probes AS (SELECT q_id, qv, cent_id FROM probe0 WHERE prk <= $IvfRefineProbes),
+       |s1 AS (SELECT q_id, c_id, p.cent_id, ${qdotSql("qv", "cv")} AS iscore
+       |       FROM assigned a JOIN probes p ON a.cent_id = p.cent_id),
+       |short AS (SELECT q_id, c_id, cent_id, iscore,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY iscore DESC, c_id) AS srk
+       |          FROM s1),
+       |s2 AS (SELECT s.q_id, s.c_id, s.cent_id, s.iscore, ${cosSql("qv", "cv")} AS cos
+       |       FROM short s JOIN cand ON s.c_id = cand.c_id JOIN qs ON s.q_id = qs.q_id
+       |       WHERE s.srk <= $IvfRefineR),
+       |r AS (SELECT q_id, c_id, cent_id, iscore, cos,
+       |       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s2)
+       |SELECT q_id, c_id, cent_id, iscore, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, CAST(rk AS INTEGER) AS rk
        |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
   /** embed_knn_join — k-NN join between two embedding sets (label 0 =

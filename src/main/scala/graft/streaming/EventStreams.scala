@@ -332,6 +332,81 @@ object EventStreams {
         } finally { b.unpersist(); () }
     }.start()
 
+  /** Streaming INCREMENTAL connected components — the streaming twin
+    * of the clustering stack ([[graft.operators.Dedup.clustersOn]] /
+    * the community queries), specialised to the MIN-LABEL fixpoint
+    * precisely because that fixpoint is CONFLUENT: the final labels
+    * depend only on the SET of edges seen, not their arrival order or
+    * batching, so batch ≡ stream equality is provable (and
+    * spec-diffed), which a frequency-LPA streaming twin could never
+    * promise.
+    *
+    * State is one (id, lbl) row per node ever seen — NO stored edges.
+    * Each micro-batch of undirected (u, v) edges union-finds:
+    *  1. look up current endpoint labels (new nodes label themselves);
+    *  2. distinct cross-component (lbl_u, lbl_v) pairs form the MERGE
+    *     GRAPH — bounded by the batch, not the corpus;
+    *  3. close its transitive chains with the batch min-label
+    *     propagation (clustersOn reused verbatim — a batch can merge
+    *     A−B and B−C, so single-step min would under-merge);
+    *  4. rewrite state through the old→new label map with one label
+    *     equi-join — members of an absorbed component all share its
+    *     label by invariant, so NO edge traversal ever re-runs.
+    *
+    * Scale: per batch, one |batch|-sized lookup join against state and
+    * one broadcast-sized relabel map over |state| rows; the expensive
+    * part of batch clustering (candidate pairs over the corpus) is
+    * amortized to the arriving delta — the reason to stream at all.
+    */
+  def componentsUpsertSink(edges: DataFrame,
+      load: () => DataFrame, save: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    edges.writeStream.outputMode(OutputMode.Append).foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+          .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+          .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+          .persist()
+        try {
+          if (!b.isEmpty) {
+            val st = load() // (id, lbl)
+            val touched = b.select(col("u").as("id"))
+              .unionByName(b.select(col("v").as("id"))).distinct()
+            val touchedL = touched.join(st, Seq("id"), "left")
+              .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
+              .persist()
+            val merges = b
+              .join(touchedL.select(col("id").as("u"), col("lbl").as("ulbl")), Seq("u"))
+              .join(touchedL.select(col("id").as("v"), col("lbl").as("vlbl")), Seq("v"))
+              .select(col("ulbl").as("a_id"), col("vlbl").as("b_id"))
+              .filter(col("a_id") =!= col("b_id"))
+            // transitive closure of the (tiny) label-merge graph; ids
+            // absent from any merge keep their label via the left join.
+            // clustersPdOn (star contraction, O(log² n) rounds,
+            // localCheckpoint-truncated), NOT clustersOn: a batch's
+            // merge pairs can chain into a DEEP path (e.g. edges of one
+            // long chain arriving in a single batch), where the
+            // diameter-bound frontier iteration both exceeds its round
+            // cap and drags Catalyst through an exponentially growing
+            // persist-only plan (measured: a 29-diameter merge chain
+            // wedged the spec for 13+ min)
+            val mapping = graft.operators.Dedup.clustersPdOn(
+                merges, merges.select(col("a_id").as("id"))
+                  .unionByName(merges.select(col("b_id").as("id"))).distinct())
+              .select(col("doc_id").as("lbl"), col("cluster_id").as("new_lbl"))
+            val grown = st.join(touchedL, Seq("id"), "left_anti").unionByName(touchedL)
+            val next = grown.join(broadcast(mapping), Seq("lbl"), "left")
+              .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+            // localCheckpoint: state is re-read next batch; an
+            // un-truncated lineage would re-derive batch k's state
+            // through every prior batch's plan
+            save(next.localCheckpoint(true))
+            touchedL.unpersist()
+            ()
+          }
+        } finally { b.unpersist(); () }
+    }.start()
+
   /** Streaming form of [[intervalJoinBatch]]: a stream-stream inner
     * join. Watermarks on both sides plus the time-band condition let
     * the engine expire buffered state — clicks older than the watermark

@@ -37,6 +37,7 @@ class AnnRecallSpec extends SparkSpecBase {
     val multi = recall("sim_lsh_multiprobe")
     val table = recall("sim_lsh_multitable")
     val ivf = recall("sim_ivf_ann")
+    val ivfR = recall("sim_ivf_refine")
     // single-bucket at 8 selective planes is a correctness demo, not a
     // recall path (256 buckets over 492 candidates ≈ 2 per bucket) —
     // no floor; the ladder single < multiprobe < multitable is the gate
@@ -52,6 +53,9 @@ class AnnRecallSpec extends SparkSpecBase {
     assert(multi >= 0.2, s"multi-probe recall collapsed: $multi (0.275 measured r3)")
     assert(table >= 0.9, s"multi-table recall floor: $table (0.925 measured r3)")
     assert(ivf >= 0.4, s"IVF (nprobe=2, k=256) recall collapsed: $ivf (0.45 measured r2)")
+    // the two-stage refine probes 4 cells (vs 2) and re-ranks a
+    // 20-deep quantized shortlist — it must dominate single-stage IVF
+    assert(ivfR >= ivf, s"IVF refine ($ivfR) must not lose to single-stage IVF ($ivf)")
   }
 
   test("signal recall: genuinely-similar neighbors (cos >= 0.4) are found by multi-table LSH") {

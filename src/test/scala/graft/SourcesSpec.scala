@@ -355,6 +355,22 @@ class SourcesSpec extends SparkSpecBase {
     assert(again == hs)
   }
 
+  test("mm_audio_fp: one spectral profile per doc, 2 windows each, deterministic, spectrally varied") {
+    val Sf = "/root/testdata/sf0.001"
+    val rows = Multimodal.audioFp(spark, Sf).collect()
+    val nDocs = graft.util.Tables.documents(spark, Sf).count()
+    assert(rows.length == nDocs, s"${rows.length} profiles for $nDocs docs")
+    assert(rows.forall(_.getAs[Long]("n_windows") == 2L), "2048 frames / 1024-frame windows")
+    // distinct tone parameters must produce spectral variation — a
+    // constant fingerprint would mean the Goertzel bands collapsed
+    val fps = rows.map(_.getAs[Long]("fp0")).distinct
+    assert(fps.length > nDocs / 4, s"only ${fps.length} distinct fingerprints")
+    // bit-identical across runs (StrictMath synth + integer thresholds)
+    val again = Multimodal.audioFp(spark, Sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(2))).toSeq, "rerun drifted")
+  }
+
   test("audio spectral fingerprint: attenuated copy pairs with its original, different tone does not") {
     import spark.implicits._
     // tone WAV: sum of two sines at periods p1/p2 frames, amp-scaled

@@ -265,6 +265,54 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming incremental components: state equals batch connectivity after every prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Dedup
+    // a 30-node chain dealt round-robin across 3 batches (so components
+    // only fully merge once later batches bridge earlier fragments — the
+    // worst case for an incremental design), plus a hash-random
+    // background graph and an isolated pair
+    val chain = (0L until 29L).map(i => (100L + i, 101L + i))
+    val background = (0 until 40).map { i =>
+      (((i * 1103515245L + 12345) % 50 + 50) % 50,
+        ((i * 69069L + 7) % 50 + 50) % 50)
+    }.filter { case (u, v) => u != v }
+    val all = (chain ++ background :+ (900L, 901L)).zipWithIndex
+    val batches = (0 until 3).map(k => all.filter(_._2 % 3 == k).map(_._1))
+    def batchComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val p = edges.toDF("a_id", "b_id")
+      val ids = p.select(col("a_id").as("id"))
+        .unionByName(p.select(col("b_id").as("id"))).distinct()
+      // the star-contraction variant: the 29-diameter chain exceeds the
+      // frontier iteration's round cap (and its persist-only plan growth)
+      Dedup.clustersPdOn(p, ids).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    var state = Seq.empty[(Long, Long)].toDF("id", "lbl")
+    val src = MemoryStream[(Long, Long)]
+    val q = EventStreams.componentsUpsertSink(src.toDF().toDF("u", "v"),
+      load = () => state, save = d => { state = d })
+    try {
+      var seen = Seq.empty[(Long, Long)]
+      batches.foreach { es =>
+        src.addData(es: _*)
+        q.processAllAvailable()
+        seen ++= es
+        // confluence is the whole point: after EVERY prefix the state
+        // must equal the batch connectivity of the edges seen so far
+        val got = state.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == batchComponents(seen),
+          s"prefix of ${seen.size} edges diverged from batch connectivity")
+      }
+      // the dealt-out chain really did exercise cross-batch merges: all
+      // 30 chain nodes share one final label
+      val fin = state.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((100L to 129L).map(fin).toSet.size == 1, "chain not fully merged")
+      assert(fin(900L) == 900L && fin(901L) == 900L)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs clicks with in-window purchases") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
