@@ -175,6 +175,8 @@ object SparkEntry {
     "sim_lsh_multitable"  -> Similarity.lshMultitable _,
     "sim_ivf_ann"         -> Similarity.ivfAnn _,
     "sim_ivf_refine"      -> Similarity.ivfRefine _,
+    "sim_ivf_health"      -> Similarity.ivfHealth _,
+    "sim_ivfpq"           -> Similarity.ivfPq _,
     "embed_knn_join"      -> Similarity.knnJoin _,
     "dedup_embed_cosine"  -> Similarity.embedCosineDedup _,
     "mm_meta"             -> Multimodal.meta _,
@@ -677,6 +679,8 @@ object SparkEntry {
     "sim_lsh_multitable"  -> Similarity.lshMultitableSql,
     "sim_ivf_ann"         -> Similarity.ivfAnnSql,
     "sim_ivf_refine"      -> Similarity.ivfRefineSql,
+    "sim_ivf_health"      -> Similarity.ivfHealthSql,
+    "sim_ivfpq"           -> Similarity.ivfPqSql,
     "embed_knn_join"      -> Similarity.knnJoinSql,
     "dedup_embed_cosine"  -> Similarity.embedCosineDedupSql,
     "mm_meta"             -> Multimodal.metaSql,

@@ -645,6 +645,53 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** sim_ivf_health — IVF index-health audit (the [[recallEval]]
+    * rationale applied to the cell structure): per-cell population
+    * stats of the inverted file reduced to one verdict row — used
+    * cells, max/min cell load, and the imbalance factor
+    * max·cells/N (1e6 = perfectly balanced). Cell skew is the IVF
+    * failure mode at scale (one hot cell turns every probe of it into
+    * a near-linear scan, exactly like an LSH bucket degenerating), so
+    * the audit belongs in the library, value-oracled, not in a
+    * notebook. One assignment pass + a cells-cardinality aggregate.
+    */
+  def ivfHealth(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val cents = e
+      .orderBy(expr(s"(vec_id * 1000003 + 12289) % $P"), col("vec_id")).limit(IvfK)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+    val assign = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", cosExpr("cv", "centv"))
+      .groupBy(col("c_id"))
+      .agg(max_by(col("cent_id"), struct(col("ccos"), (-col("cent_id")).as("nid"))).as("cent_id"))
+    assign.groupBy(col("cent_id")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_cells_used"),
+        sum(col("n")).as("n_vectors"),
+        max(col("n")).as("max_cell"),
+        min(col("n")).as("min_cell"))
+      .select(lit(IvfK).as("n_cells"), col("n_cells_used"), col("n_vectors"),
+        col("max_cell"), col("min_cell"),
+        expr(s"(max_cell * $IvfK * 1000000) div n_vectors").as("imbalance_ppm"))
+  }
+
+  def ivfHealthSql: String =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS centv FROM embeddings
+       |               ORDER BY (vec_id * 1000003 + 12289) % $P, vec_id LIMIT $IvfK),
+       |v AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+       |assign0 AS (SELECT c_id, cent_id,
+       |             row_number() OVER (PARTITION BY c_id ORDER BY ${cosSql("cv", "centv")} DESC, cent_id) AS ark
+       |            FROM v CROSS JOIN cents),
+       |cells AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n
+       |          FROM assign0 WHERE ark = 1 GROUP BY 1),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n_cells_used,
+       |       CAST(sum(n) AS BIGINT) AS n_vectors,
+       |       CAST(max(n) AS BIGINT) AS max_cell, CAST(min(n) AS BIGINT) AS min_cell
+       |      FROM cells)
+       |SELECT $IvfK AS n_cells, n_cells_used, n_vectors, max_cell, min_cell,
+       | (max_cell * $IvfK * 1000000) // n_vectors AS imbalance_ppm
+       |FROM s""".stripMargin
+
   def ivfRefineSql: String =
     s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS centv FROM embeddings
        |               ORDER BY (vec_id * 1000003 + 12289) % $P, vec_id LIMIT $IvfK),
@@ -1192,26 +1239,41 @@ object Similarity {
       .select(col("id"), col("sub"), least(packed: _*).as("amin"))
   }
 
-  def pqOn(vectors: DataFrame, subDim: Int = PqSubDim, k: Int = PqK,
-      iters: Int = PqIters): DataFrame = {
-    require(k <= 16, "argmin packing and the nibble pack reserve 4 bits per code")
-    val v = vectors.select(col("id"), posexplode(col("vec")).as(Seq("d", "x")))
-      .select(col("id"), (col("d") / lit(subDim)).cast("int").as("sub"), col("d"),
-        floor((col("x").cast("double") + lit(1.0)) * lit(KmQ.toDouble) + lit(0.5))
-          .cast("long").as("qx"))
-      .transform(graft.util.CacheScope.cached) // re-read by every Lloyd round and the final encode
-    def assignTo(cents: DataFrame): DataFrame =
-      pqAssign(v, pqCentsWide(cents, k), k)
+  /** The shared Lloyd loop of every PQ consumer ([[pqOn]], [[pqAdcOn]],
+    * [[ivfPq]]): seed each subspace's codebook from the k lowest-id
+    * vectors' subvectors, then `iters` rounds of broadcast-codebook
+    * assignment + (sub, cid, d) centroid means. All integers.
+    */
+  private def pqTrainCents(v: DataFrame, k: Int, iters: Int): DataFrame = {
     var cents = v.filter(col("id") < k)
       .select(col("sub"), col("id").as("cid"), col("d"), col("qx").as("cq"))
     (1 to iters).foreach { _ =>
-      val assign = assignTo(cents)
+      val assign = pqAssign(v, pqCentsWide(cents, k), k)
         .select(col("id"), col("sub"), pmod(col("amin"), lit(16L)).as("cid"))
       cents = v.join(assign, Seq("id", "sub"))
         .groupBy(col("sub"), col("cid"), col("d"))
         .agg(expr("sum(qx) DIV count(1)").as("cq"))
     }
-    assignTo(cents)
+    cents
+  }
+
+  /** The exploded fixed-point (id, sub, d, qx) stream every PQ stage
+    * reads — cached because Lloyd rounds, the encode, and probe LUTs
+    * all re-scan it.
+    */
+  private def pqExplode(vectors: DataFrame, subDim: Int): DataFrame =
+    vectors.select(col("id"), posexplode(col("vec")).as(Seq("d", "x")))
+      .select(col("id"), (col("d") / lit(subDim)).cast("int").as("sub"), col("d"),
+        floor((col("x").cast("double") + lit(1.0)) * lit(KmQ.toDouble) + lit(0.5))
+          .cast("long").as("qx"))
+      .transform(graft.util.CacheScope.cached)
+
+  def pqOn(vectors: DataFrame, subDim: Int = PqSubDim, k: Int = PqK,
+      iters: Int = PqIters): DataFrame = {
+    require(k <= 16, "argmin packing and the nibble pack reserve 4 bits per code")
+    val v = pqExplode(vectors, subDim)
+    val cents = pqTrainCents(v, k, iters)
+    pqAssign(v, pqCentsWide(cents, k), k)
       .groupBy(col("id"))
       // 16^sub ≤ 16^7 < 2^53: power() is exact, the cast is exact, and
       // the pack is a plain integer sum — portable across engines
@@ -1528,23 +1590,9 @@ object Similarity {
       subDim: Int = PqSubDim, k: Int = PqK, iters: Int = PqIters): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k <= 16, "argmin packing reserves 4 bits per code")
-    val v = vectors.select(col("id"), posexplode(col("vec")).as(Seq("d", "x")))
-      .select(col("id"), (col("d") / lit(subDim)).cast("int").as("sub"), col("d"),
-        floor((col("x").cast("double") + lit(1.0)) * lit(KmQ.toDouble) + lit(0.5))
-          .cast("long").as("qx"))
-      .transform(graft.util.CacheScope.cached) // re-read per Lloyd round, the encode, and the probe LUT
-    def assignTo(cents: DataFrame): DataFrame =
-      pqAssign(v, pqCentsWide(cents, k), k) // see pqOn: 16× slimmer agg
-    var cents = v.filter(col("id") < k)
-      .select(col("sub"), col("id").as("cid"), col("d"), col("qx").as("cq"))
-    (1 to iters).foreach { _ =>
-      val assign = assignTo(cents)
-        .select(col("id"), col("sub"), pmod(col("amin"), lit(16L)).as("cid"))
-      cents = v.join(assign, Seq("id", "sub"))
-        .groupBy(col("sub"), col("cid"), col("d"))
-        .agg(expr("sum(qx) DIV count(1)").as("cq"))
-    }
-    val codes = assignTo(cents)
+    val v = pqExplode(vectors, subDim)
+    val cents = pqTrainCents(v, k, iters)
+    val codes = pqAssign(v, pqCentsWide(cents, k), k) // see pqOn: 16× slimmer agg
       .select(col("id"), col("sub"), pmod(col("amin"), lit(16L)).as("cid"))
     // per-probe LUT: exact dist² from each probe subvector to each centroid
     val lut = v.filter(col("id") < probeMaxId)
@@ -1603,6 +1651,136 @@ object Similarity {
        |      FROM adc)
        |SELECT probe_id, vec_id, adc_dist2, rk FROM r WHERE rk <= $AdcTopK
        |ORDER BY probe_id, rk""".stripMargin
+  }
+
+  /** Shortlist depth for [[ivfPq]]'s exact-refine stage. */
+  val IvfPqShortlist = 10
+
+  /** sim_ivfpq — the full production ANN composite (the FAISS-IVFPQ
+    * shape), assembled from the library's own stages: IVF cells route
+    * each probe to its [[IvfRefineProbes]] nearest of [[IvfK]] cells;
+    * the ADC scan ([[pqAdcOn]]'s LUT arithmetic, exact integers)
+    * scores ONLY the codes of vectors living in probed cells — at
+    * scale that is nprobe/cells of the corpus, each row 4 code bytes
+    * instead of d floats; the top-[[IvfPqShortlist]] shortlist alone
+    * pays exact cosine, and the top-[[AdcTopK]] emits. Every stage is
+    * integer-or-IEEE deterministic → the whole composite is
+    * value-oracled, PQ training included.
+    *
+    * Scale shape: codebook + LUT + probe map are constant-size
+    * broadcasts; the corpus appears as (id, sub, cid) code rows
+    * filtered by the cell equi-join before the LUT aggregate; raw
+    * vectors are touched once for assignment (build-time) and R·Q
+    * times for refine. Cell assignment here is the flat broadcast
+    * argmax (IvfK constant); a dense-cell deployment swaps in the
+    * ANN-built map exactly as [[ivfRefineAssigned]] does.
+    */
+  def ivfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sfDir)
+    val cents = e
+      .orderBy(expr(s"(vec_id * 1000003 + 12289) % $P"), col("vec_id")).limit(IvfK)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+    // IVF: candidate→cell argmax, probe→top-nprobe cells
+    val cellOf = e.filter(col("vec_id") >= AdcProbes)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", cosExpr("cv", "centv"))
+      .groupBy(col("c_id"))
+      .agg(max_by(col("cent_id"), struct(col("ccos"), (-col("cent_id")).as("nid"))).as("cent_id"))
+    val wProbe = Window.partitionBy(col("probe_id")).orderBy(col("qcos").desc, col("cent_id"))
+    val probeCells = e.filter(col("vec_id") < AdcProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("qcos", cosExpr("qv", "centv"))
+      .withColumn("prk", row_number().over(wProbe)).filter(col("prk") <= IvfRefineProbes)
+      .select(col("probe_id"), col("cent_id"))
+    // PQ: train on the full set, encode, probe LUTs (pqAdcOn's stages)
+    val v = pqExplode(e.select(col("vec_id").as("id"), col("embedding").as("vec")), PqSubDim)
+    val pqCents = pqTrainCents(v, PqK, PqIters)
+    val codes = pqAssign(v, pqCentsWide(pqCents, PqK), PqK)
+      .select(col("id"), col("sub"), pmod(col("amin"), lit(16L)).as("cid"))
+    val lut = v.filter(col("id") < AdcProbes)
+      .withColumnRenamed("id", "probe_id")
+      .join(broadcast(pqCents), Seq("sub", "d"))
+      .groupBy(col("probe_id"), col("sub"), col("cid"))
+      .agg(sum((col("qx") - col("cq")) * (col("qx") - col("cq"))).as("ld"))
+    // ADC restricted to probed cells: codes ⋈ cell ⋈ probe map ⋈ LUT
+    val wShort = Window.partitionBy(col("probe_id")).orderBy(col("adc_dist2"), col("vec_id"))
+    val short = codes
+      .join(cellOf.select(col("c_id").as("id"), col("cent_id")), Seq("id"))
+      .join(broadcast(probeCells), Seq("cent_id"))
+      .join(broadcast(lut), Seq("probe_id", "sub", "cid"))
+      .groupBy(col("probe_id"), col("id").as("vec_id"), col("cent_id"))
+      .agg(sum(col("ld")).as("adc_dist2"))
+      .withColumn("srk", row_number().over(wShort)).filter(col("srk") <= IvfPqShortlist)
+      .select(col("probe_id"), col("vec_id"), col("cent_id"), col("adc_dist2"))
+    // exact refine of the shortlist only
+    val wTop = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    short
+      .join(e.select(col("vec_id"), col("embedding").as("cv")), Seq("vec_id"))
+      .join(broadcast(e.filter(col("vec_id") < AdcProbes)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("qv"))), Seq("probe_id"))
+      .withColumn("cos", cosExpr("qv", "cv"))
+      .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= AdcTopK)
+      .select(col("probe_id"), col("vec_id"), col("cent_id"), col("adc_dist2"),
+        Cols.pround(col("cos"), 6).as("cos_sim"), col("rk").cast("int").as("rk"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
+  def ivfPqSql: String = {
+    def assignFrom(c: String): String =
+      s"""SELECT id, sub, CAST(min(dist2 * 16 + cid) AS BIGINT) AS amin FROM (
+         |  SELECT id, sub, cid, CAST(sum((qx - cq) * (qx - cq)) AS BIGINT) AS dist2
+         |  FROM v JOIN $c USING (sub, d) GROUP BY 1, 2, 3) GROUP BY 1, 2""".stripMargin
+    val pqSteps = (1 to PqIters).map { i =>
+      s"""a$i AS (SELECT id, sub, CAST(amin % 16 AS BIGINT) AS cid FROM (${assignFrom(s"c${i - 1}")})),
+         |c$i AS (SELECT sub, cid, d, CAST(sum(qx) // count(*) AS BIGINT) AS cq
+         |        FROM v JOIN a$i USING (id, sub) GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""WITH v AS (SELECT vec_id AS id, (d - 1) // $PqSubDim AS sub, d,
+       |  CAST(floor((CAST(embedding[d] AS DOUBLE) + 1.0) * $KmQ.0 + 0.5) AS BIGINT) AS qx
+       |  FROM embeddings, generate_series(1, 64) AS g(d)),
+       |c0 AS (SELECT sub, id AS cid, d, qx AS cq FROM v WHERE id < $PqK)$pqSteps,
+       |codes AS (SELECT id, sub, CAST(amin % 16 AS BIGINT) AS cid
+       |          FROM (${assignFrom(s"c$PqIters")})),
+       |lut AS (SELECT v.id AS probe_id, sub, cid,
+       |         CAST(sum((qx - cq) * (qx - cq)) AS BIGINT) AS ld
+       |        FROM v JOIN c$PqIters USING (sub, d) WHERE v.id < $AdcProbes
+       |        GROUP BY 1, 2, 3),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS centv FROM embeddings
+       |          ORDER BY (vec_id * 1000003 + 12289) % $P, vec_id LIMIT $IvfK),
+       |cand AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id >= $AdcProbes),
+       |assign0 AS (SELECT c_id, cent_id,
+       |             row_number() OVER (PARTITION BY c_id ORDER BY ${cosSql("cv", "centv")} DESC, cent_id) AS ark
+       |            FROM cand CROSS JOIN cents),
+       |cellof AS (SELECT c_id, cent_id FROM assign0 WHERE ark = 1),
+       |qs AS (SELECT vec_id AS probe_id, embedding AS qv FROM embeddings WHERE vec_id < $AdcProbes),
+       |probe0 AS (SELECT probe_id, cent_id,
+       |            row_number() OVER (PARTITION BY probe_id ORDER BY ${cosSql("qv", "centv")} DESC, cent_id) AS prk
+       |           FROM qs CROSS JOIN cents),
+       |probecells AS (SELECT probe_id, cent_id FROM probe0 WHERE prk <= $IvfRefineProbes),
+       |adc AS (SELECT p.probe_id, codes.id AS vec_id, p.cent_id,
+       |         CAST(sum(ld) AS BIGINT) AS adc_dist2
+       |        FROM codes
+       |        JOIN cellof ON codes.id = cellof.c_id
+       |        JOIN probecells p ON cellof.cent_id = p.cent_id
+       |        JOIN lut ON lut.probe_id = p.probe_id AND lut.sub = codes.sub AND lut.cid = codes.cid
+       |        GROUP BY 1, 2, 3),
+       |short AS (SELECT probe_id, vec_id, cent_id, adc_dist2,
+       |           row_number() OVER (PARTITION BY probe_id ORDER BY adc_dist2, vec_id) AS srk
+       |          FROM adc),
+       |s2 AS (SELECT s.probe_id, s.vec_id, s.cent_id, s.adc_dist2,
+       |        ${cosSql("qv", "cv")} AS cos
+       |       FROM short s
+       |       JOIN (SELECT vec_id, embedding AS cv FROM embeddings) c ON s.vec_id = c.vec_id
+       |       JOIN qs ON s.probe_id = qs.probe_id
+       |       WHERE s.srk <= $IvfPqShortlist),
+       |r AS (SELECT probe_id, vec_id, cent_id, adc_dist2, cos,
+       |       row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk FROM s2)
+       |SELECT probe_id, vec_id, cent_id, adc_dist2,
+       | floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, CAST(rk AS INTEGER) AS rk
+       |FROM r WHERE rk <= $AdcTopK ORDER BY probe_id, rk""".stripMargin
   }
 
   def kmeansSql: String = {

@@ -29,7 +29,13 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     // r8: seasonal DECIMAL ratio, PCA double projections over a trained
     // basis, LPA fixpoint, sketch-audit verdicts, radius-search counts
     "ts_seasonality", "embed_pca", "q64_community_lp",
-    "q63_sketch_audit", "sim_range_search")
+    "q63_sketch_audit", "sim_range_search",
+    // r9: the two-stage IVF (double cosines in assignment/probing plus
+    // the quantized-integer shortlist — every tie broken on ids), the
+    // decoded-PCM spectral profile (per-doc local computation), the
+    // cell-balance audit, and the IVFPQ composite (Lloyd fixpoints +
+    // cosine routing + LUT sums, all id-tie-broken)
+    "sim_ivf_refine", "mm_audio_fp", "sim_ivf_health", "sim_ivfpq")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

@@ -85,6 +85,22 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("sim_ivf_refine: cells/probes/queries broadcast; the corpus side never does") {
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val p = planOf(q("sim_ivf_refine"))
+      // the cell table and the tiny probe/query frames are deliberate
+      // hint-broadcasts (constant-bounded: IvfK cells, 8 probes); with
+      // the threshold off, any OTHER broadcast would mean the N-scaled
+      // candidate side is being driver-collected
+      assert(p.contains("BroadcastExchange"), p)
+      // stage-2 candidate rejoin must be a hash join keyed on c_id,
+      // with the SHORTLIST (bounded R·Q rows) as the broadcast-able
+      // side never forced — i.e. at least one non-broadcast join
+      // remains for the corpus-scaled side
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    }
+  }
+
   test("q16_subquery_avg: fact-keyed aggregate is NOT hint-broadcast") {
     withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
       val p = planOf(q("q16_subquery_avg"))
