@@ -92,6 +92,7 @@ object SparkEntry {
     "text_bm25"          -> TextAnalysis.bm25 _,
     "dedup_spans"        -> Dedup.spanDedup _,
     "text_repetition"    -> TextAnalysis.repetition _,
+    "text_keyphrases"    -> TextAnalysis.keyphrases _,
     "text_surprise"      -> TextAnalysis.surprise _,
     "ts_ewma"            -> TimeSeries.ewma _,
     "pipeline_split"     -> Training.split _,
@@ -541,6 +542,7 @@ object SparkEntry {
     "text_bm25"           -> TextAnalysis.bm25Sql,
     "dedup_spans"         -> Dedup.spanDedupSql,
     "text_repetition"     -> TextAnalysis.repetitionSql,
+    "text_keyphrases"     -> TextAnalysis.keyphrasesSql,
     "ts_ewma"             -> TimeSeries.ewmaSql,
     "pipeline_split"      -> Training.splitSql,
     "pipeline_token_budget" -> Training.tokenBudgetSql,

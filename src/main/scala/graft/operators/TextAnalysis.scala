@@ -762,4 +762,103 @@ object TextAnalysis {
        |  CAST(coalesce(max_run, 0) AS INTEGER) AS max_run
        |FROM t LEFT JOIN bg USING (doc_id) LEFT JOIN tg USING (doc_id) LEFT JOIN rn USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  /** RAKE phrase-length cap and per-doc output width. */
+  val RakeMaxPhrase = 3
+  val RakeTopK = 3
+
+  /** text_keyphrases — RAKE keyword extraction (Rose et al. 2010, the
+    * public rapid-automatic-keyword-extraction recipe): stopwords
+    * delimit candidate phrases (maximal runs of ≤ [[RakeMaxPhrase]]
+    * non-stopword tokens, the library's EnMarkers family standing in
+    * for a full stopword list); within each DOCUMENT every phrase word
+    * w gets freq(w) = its occurrence count and deg(w) = Σ of the
+    * lengths of the phrases it appears in, and a phrase scores
+    * Σ_w (1000·deg(w)) div freq(w) — integer milli-units, positive
+    * everywhere, so `div` ≡ `//` and the whole operator value-oracles
+    * exactly. Top-[[RakeTopK]] distinct phrases per doc.
+    *
+    * Shape at scale: one token explode, then every window and both
+    * aggregations partition on doc_id — a single document-key shuffle
+    * end to end (RAKE statistics are per-document by definition), so
+    * the operator scales exactly like the corpus scan that feeds it.
+    * Output: (doc_id, phrase, n_words, score_milli, rk).
+    */
+  def keyphrasesOn(df: DataFrame, idCol: String, textCol: String,
+      k: Int = RakeTopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stops = TextFns.EnMarkers.map(m => s"'$m'").mkString("(", ", ", ")")
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = df
+      .select(col(idCol).as("doc_id"), posexplode(TextFns.tokenize(col(textCol))).as(Seq("pos", "w")))
+      .withColumn("stop", expr(s"CASE WHEN w IN $stops THEN 1 ELSE 0 END"))
+      .withColumn("phrase_id",
+        sum(col("stop")).over(byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("stop") === 0)
+    val phrases = toks
+      .groupBy(col("doc_id"), col("phrase_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("w")))).as("ws"))
+      .filter(size(col("ws")) <= RakeMaxPhrase)
+      .select(col("doc_id"), col("phrase_id"),
+        expr("array_join(transform(ws, s -> s.w), ' ')").as("phrase"),
+        size(col("ws")).as("n_words"))
+      .transform(graft.util.CacheScope.cached) // read by word stats AND the final score join
+    val wordStats = phrases
+      .select(col("doc_id"), col("n_words"), explode(split(col("phrase"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("n_words")).as("deg"))
+      .withColumn("wscore", expr("(1000 * deg) div freq"))
+    // score each phrase INSTANCE (sum of its words' scores, words
+    // counted with multiplicity), then collapse repeated phrase texts —
+    // instances of the same text share identical word stats, so the
+    // distinct is exact, while the stats side above kept every
+    // instance's contribution to freq/deg
+    val scored = phrases
+      .select(col("doc_id"), col("phrase_id"), col("phrase"), col("n_words"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(wordStats.select(col("doc_id"), col("w"), col("wscore")), Seq("doc_id", "w"))
+      .groupBy(col("doc_id"), col("phrase_id"), col("phrase"), col("n_words"))
+      .agg(sum(col("wscore")).as("score_milli"))
+      .select(col("doc_id"), col("phrase"), col("n_words"), col("score_milli"))
+      .distinct()
+    val wTop = Window.partitionBy(col("doc_id")).orderBy(col("score_milli").desc, col("phrase"))
+    scored
+      .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= k)
+      .select(col("doc_id"), col("phrase"), col("n_words").cast("int").as("n_words"),
+        col("score_milli"), col("rk").cast("int").as("rk"))
+  }
+
+  /** text_keyphrases testdata binding. */
+  def keyphrases(spark: SparkSession, sfDir: String): DataFrame =
+    keyphrasesOn(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy(col("doc_id"), col("rk"))
+
+  def keyphrasesSql: String = {
+    val stops = TextFns.EnMarkers.map(m => s"'$m'").mkString("(", ", ", ")")
+    s"""WITH t AS (SELECT doc_id, ${TextFns.tokenizeSql("text")} AS wa FROM documents),
+       |tok AS (SELECT doc_id, i AS pos, wa[i] AS w
+       |        FROM t, unnest(generate_series(1, len(wa))) AS u(i) WHERE len(wa) > 0),
+       |st AS (SELECT doc_id, pos, w,
+       |        CASE WHEN w IN $stops THEN 1 ELSE 0 END AS stop FROM tok),
+       |pid AS (SELECT *, sum(stop) OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id FROM st),
+       |pw AS (SELECT doc_id, phrase_id, pos, w FROM pid WHERE stop = 0),
+       |ph AS (SELECT doc_id, phrase_id, string_agg(w, ' ' ORDER BY pos) AS phrase,
+       |        CAST(count(*) AS BIGINT) AS n_words
+       |       FROM pw GROUP BY 1, 2 HAVING count(*) <= $RakeMaxPhrase),
+       |wstat AS (SELECT pw.doc_id, w, CAST(count(*) AS BIGINT) AS freq,
+       |           CAST(sum(n_words) AS BIGINT) AS deg
+       |          FROM pw JOIN ph USING (doc_id, phrase_id) GROUP BY 1, 2),
+       |inst AS (SELECT pw.doc_id, pw.phrase_id, ph.phrase, ph.n_words,
+       |          CAST(sum((1000 * deg) // freq) AS BIGINT) AS score_milli
+       |         FROM pw JOIN ph USING (doc_id, phrase_id)
+       |         JOIN wstat ON wstat.doc_id = pw.doc_id AND wstat.w = pw.w
+       |         GROUP BY 1, 2, 3, 4),
+       |ded AS (SELECT DISTINCT doc_id, phrase, n_words, score_milli FROM inst),
+       |r AS (SELECT doc_id, phrase, n_words, score_milli,
+       |       row_number() OVER (PARTITION BY doc_id ORDER BY score_milli DESC, phrase) AS rk
+       |      FROM ded)
+       |SELECT doc_id, phrase, CAST(n_words AS INTEGER) AS n_words, score_milli,
+       | CAST(rk AS INTEGER) AS rk
+       |FROM r WHERE rk <= $RakeTopK ORDER BY doc_id, rk""".stripMargin
+  }
 }

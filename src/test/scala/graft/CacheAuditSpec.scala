@@ -49,7 +49,10 @@ class CacheAuditSpec extends SparkSpecBase {
       "dedup_simhash", "dedup_cluster", "fuzzy_join",
       "contamination_check", "dedup_cross_corpus", "pipeline_mix_temp",
       "embed_kmeans", "embed_pq", "embed_opq", "sim_pq_adc",
-      "embed_class_centroid")
+      "embed_class_centroid",
+      // r9: the IVFPQ composite routes its exploded PQ stream through
+      // the same pqExplode cache
+      "sim_ivfpq", "text_keyphrases")
     spark.catalog.clearCache() // start from a clean slate
     cacheUsers.foreach { name =>
       SparkEntry.queries(name)(spark, SfDir).write.format("noop").mode("overwrite").save()

@@ -35,7 +35,9 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     // decoded-PCM spectral profile (per-doc local computation), the
     // cell-balance audit, and the IVFPQ composite (Lloyd fixpoints +
     // cosine routing + LUT sums, all id-tie-broken)
-    "sim_ivf_refine", "mm_audio_fp", "sim_ivf_health", "sim_ivfpq")
+    "sim_ivf_refine", "mm_audio_fp", "sim_ivf_health", "sim_ivfpq",
+    // r9: RAKE — collect_list assembly + integer scoring, pos-sorted
+    "text_keyphrases")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
