@@ -89,10 +89,12 @@ object SparkEntry {
     "q52_pagerank"       -> Affinity.pagerank _,
     "q59_coreness"       -> Affinity.coreness _,
     "q64_community_lp"   -> Affinity.communityLp _,
+    "q65_bfs"            -> Affinity.bfs _,
     "text_bm25"          -> TextAnalysis.bm25 _,
     "dedup_spans"        -> Dedup.spanDedup _,
     "text_repetition"    -> TextAnalysis.repetition _,
     "text_keyphrases"    -> TextAnalysis.keyphrases _,
+    "text_gopher_rules"  -> TextAnalysis.gopherRules _,
     "text_surprise"      -> TextAnalysis.surprise _,
     "ts_ewma"            -> TimeSeries.ewma _,
     "pipeline_split"     -> Training.split _,
@@ -178,10 +180,12 @@ object SparkEntry {
     "sim_ivf_refine"      -> Similarity.ivfRefine _,
     "sim_ivf_health"      -> Similarity.ivfHealth _,
     "sim_ivfpq"           -> Similarity.ivfPq _,
+    "sim_knn_graph"       -> Similarity.knnGraph _,
     "embed_knn_join"      -> Similarity.knnJoin _,
     "dedup_embed_cosine"  -> Similarity.embedCosineDedup _,
     "mm_meta"             -> Multimodal.meta _,
     "mm_audio_fp"         -> Multimodal.audioFp _,
+    "mm_video_scenes"     -> Multimodal.videoScenes _,
     "pipeline_curate"     -> Curate.curate _,
     "contamination_check" -> Training.contamination _,
     "pipeline_pack"       -> Training.pack _,
@@ -543,6 +547,7 @@ object SparkEntry {
     "dedup_spans"         -> Dedup.spanDedupSql,
     "text_repetition"     -> TextAnalysis.repetitionSql,
     "text_keyphrases"     -> TextAnalysis.keyphrasesSql,
+    "text_gopher_rules"   -> TextAnalysis.gopherRulesSql,
     "ts_ewma"             -> TimeSeries.ewmaSql,
     "pipeline_split"      -> Training.splitSql,
     "pipeline_token_budget" -> Training.tokenBudgetSql,
@@ -589,6 +594,7 @@ object SparkEntry {
     "sim_pq_adc"          -> Similarity.pqAdcSql,
     "q63_sketch_audit"    -> Relational.q63SketchAuditSql,
     "q64_community_lp"    -> Affinity.communityLpSql,
+    "q65_bfs"             -> Affinity.bfsSql,
     "q47_grouping_sets" ->
       """SELECT o_orderstatus AS status, o_orderpriority AS prio,
         |  CAST(year(o_orderdate) AS INTEGER) AS yr,
@@ -683,6 +689,7 @@ object SparkEntry {
     "sim_ivf_refine"      -> Similarity.ivfRefineSql,
     "sim_ivf_health"      -> Similarity.ivfHealthSql,
     "sim_ivfpq"           -> Similarity.ivfPqSql,
+    "sim_knn_graph"       -> Similarity.knnGraphSql,
     "embed_knn_join"      -> Similarity.knnJoinSql,
     "dedup_embed_cosine"  -> Similarity.embedCosineDedupSql,
     "mm_meta"             -> Multimodal.metaSql,

@@ -573,4 +573,83 @@ object Multimodal {
       | CAST(16 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
       | CAST(16 + (octet_length(encode(text)) * 7) % 64 AS INTEGER) AS height
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Deterministic synthesized animated GIF: one solid gray frame per
+    * `lumas` entry, written through the JDK's real GIF sequence
+    * encoder. Gray values survive the indexed-palette round-trip
+    * exactly (a gray pixel maps to a gray palette entry), so decoded
+    * mean luma equals the planted value. The codec STAND-IN the
+    * container's lack of real video corpora requires — everything
+    * downstream of these bytes ([[decodeVideo]],
+    * [[sampleVideoFramesOn]], [[sceneCutsOn]]) is the real path.
+    */
+  def synthSceneGif(lumas: Seq[Int], w: Int = 16, h: Int = 16): Array[Byte] = {
+    val ios = new java.io.ByteArrayOutputStream()
+    val out = javax.imageio.ImageIO.createImageOutputStream(ios)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(out)
+      writer.prepareWriteSequence(null)
+      lumas.foreach { l =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        img.getRaster.setSamples(0, 0, w, h, 0, Array.fill(w * h)(l))
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); out.close() }
+    ios.toByteArray
+  }
+
+  /** Scene-cut luma threshold for [[videoScenes]]. */
+  val SceneCutMinDelta = 64L
+
+  /** mm_video_scenes — the video tier as a DRIVER-VISIBLE query (the
+    * audio tier's [[audioFp]] counterpart): every document carries a
+    * deterministic [[synthSceneGif]] payload — 6–10 frames at a
+    * doc_id-derived base luma with ONE hard cut planted at a
+    * doc_id-derived frame — and the REAL container-decode path
+    * (javax.imageio multi-frame scan → per-frame pixel luma →
+    * lag-window cut detection) profiles it back to one row per doc:
+    * container frame count, sampled-frame count, detected cut count,
+    * first cut position, and the cut magnitude. Codec byte recurrence
+    * is not SQL-expressible, so the query is rows-only in CORRECTNESS;
+    * the spec pins determinism and that every planted cut (and nothing
+    * else) is recovered at its planted frame.
+    *
+    * Shape at scale: payload synth + decode are per-partition batch
+    * work (the decode explodes frames INSIDE the partition); the only
+    * shuffles are the (doc, frame)-keyed lag window and the final
+    * per-doc aggregate — both on the document key, so the tier scales
+    * exactly like the binary scan a real corpus would feed it.
+    */
+  def videoScenes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val gifs = Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val nFrames = 6 + (id % 5L).toInt
+        val base = 40 + (id % 4L).toInt * 20
+        val cutAt = 2 + (id % 3L).toInt
+        (id, synthSceneGif((0 until nFrames).map(f => if (f >= cutAt) 220 else base)))
+      }).toDF("doc_id", "payload")
+      .transform(graft.util.CacheScope.cached) // meta scan + frame scan share the synth/decode
+    val meta = decodeVideosOn(gifs).toDF()
+      .select(col("doc_id"), col("frames").as("n_frames"))
+    val frames = sampleVideoFramesOn(gifs, stride = 1).toDF()
+      .transform(graft.util.CacheScope.cached) // sampled count + cut window
+    val cuts = sceneCutsOn(frames, SceneCutMinDelta)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_cuts"), min(col("frame_idx")).as("cut_frame"),
+        max(abs(col("luma_delta"))).as("max_delta"))
+    meta
+      .join(frames.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sampled")), Seq("doc_id"))
+      .join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"),
+        col("n_sampled").cast("int").as("n_sampled"),
+        coalesce(col("n_cuts"), lit(0L)).cast("int").as("n_cuts"),
+        coalesce(col("cut_frame"), lit(-1)).cast("int").as("cut_frame"),
+        coalesce(col("max_delta"), lit(0L)).as("max_delta"))
+      .orderBy(col("doc_id"))
+  }
 }

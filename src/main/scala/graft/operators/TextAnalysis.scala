@@ -861,4 +861,113 @@ object TextAnalysis {
        | CAST(rk AS INTEGER) AS rk
        |FROM r WHERE rk <= $RakeTopK ORDER BY doc_id, rk""".stripMargin
   }
+
+  // ------------------------------------------------------------ gopher rules
+
+  /** Rule thresholds for [[gopherRulesOn]] — the published Gopher-paper
+    * bounds where the corpus can exercise them (mean-word-length 3–10,
+    * alpha-word ≥ 0.8), tightened where the published bound would be
+    * constant-true on short synthetic docs (min-words 50 vs Gopher's
+    * 50; top-word 10% standing in for the duplicate-n-gram family,
+    * which [[repetitionOn]] measures in full).
+    */
+  val RuleMinWords = 50L
+  val RuleMaxWords = 100000L
+  val RuleMinMwlMilli = 3000L
+  val RuleMaxMwlMilli = 10000L
+  val RuleMinAlphaPpm = 800000L
+  val RuleMinStopwords = 2L
+  val RuleMaxTopWordPpm = 100000L
+
+  /** text_gopher_rules — the rule-based corpus quality filter of the
+    * Gopher/MassiveText family (Rae et al. 2021, App. A; the same rule
+    * shapes C4 and FineWeb apply): per document, word count in
+    * [[[RuleMinWords]], [[RuleMaxWords]]], mean word length in
+    * [3, 10], ≥ 80% of word instances containing a letter, ≥ 2 distinct
+    * stopwords present, and no single word accounting for > 10% of the
+    * document. Every metric is exact integer arithmetic (milli / ppm by
+    * positive `div`, so Spark `div` ≡ DuckDB `//`) and every rule an
+    * integer 0/1 flag — the whole filter value-oracles exactly.
+    *
+    * Shape at scale: the per-instance counters (words, non-ws chars)
+    * ride the corpus scan as single-pass codegen [[TextCount]]s — no
+    * shuffle; the distinct-word statistics (top-word count, distinct
+    * stopwords, alpha instances) are one explode + two aggregations
+    * both keyed on doc_id — a single document-key shuffle, the same
+    * bound as RAKE — then one doc_id equi-join back to the scan side.
+    * Nothing is corpus-global: the filter is embarrassingly parallel
+    * over documents, the shape that matters when this gate is the first
+    * pass over 100 TB of crawl.
+    * Output: (doc_id, n_words, mwl_milli, alpha_ppm, n_stopwords,
+    * top_word_ppm, r_words, r_mwl, r_alpha, r_stop, r_rep, pass).
+    */
+  def gopherRulesOn(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.TextCount
+    val stops = TextFns.EnMarkers
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(TextFns.tokenize(col(textCol))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        max(col("c")).as("top_word_n"),
+        sum(when(col("w").isin(stops: _*), 1L).otherwise(0L)).as("n_stopwords"),
+        sum(when(col("w").rlike("[a-z]"), col("c")).otherwise(0L)).as("n_alpha"))
+    val scan = df.select(col(idCol).as("doc_id"),
+        TextCount.column(col(textCol), TextCount.Words).as("n_words"),
+        TextCount.column(col(textCol), TextCount.NonWs).as("n_nonws"))
+      .filter(col("n_words") > 0)
+    val flag = (c: Column) => when(c, 1).otherwise(0)
+    scan.join(toks, Seq("doc_id"))
+      .withColumn("mwl_milli", expr("(1000 * n_nonws) div n_words"))
+      .withColumn("alpha_ppm", expr("(1000000 * n_alpha) div n_words"))
+      .withColumn("top_word_ppm", expr("(1000000 * top_word_n) div n_words"))
+      .withColumn("r_words",
+        flag(col("n_words").between(RuleMinWords, RuleMaxWords)))
+      .withColumn("r_mwl",
+        flag(col("mwl_milli").between(RuleMinMwlMilli, RuleMaxMwlMilli)))
+      .withColumn("r_alpha", flag(col("alpha_ppm") >= RuleMinAlphaPpm))
+      .withColumn("r_stop", flag(col("n_stopwords") >= RuleMinStopwords))
+      .withColumn("r_rep", flag(col("top_word_ppm") <= RuleMaxTopWordPpm))
+      .withColumn("pass", col("r_words") * col("r_mwl") * col("r_alpha")
+        * col("r_stop") * col("r_rep"))
+      .select(col("doc_id"), col("n_words").cast("int").as("n_words"),
+        col("mwl_milli"), col("alpha_ppm"),
+        col("n_stopwords").cast("int").as("n_stopwords"), col("top_word_ppm"),
+        col("r_words"), col("r_mwl"), col("r_alpha"), col("r_stop"),
+        col("r_rep"), col("pass"))
+  }
+
+  /** text_gopher_rules testdata binding. */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame =
+    gopherRulesOn(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  def gopherRulesSql: String = {
+    val stops = TextFns.EnMarkers.map(m => s"'$m'").mkString("(", ", ", ")")
+    s"""WITH t AS (SELECT doc_id, ${TextFns.tokenizeSql("text")} AS words FROM documents),
+       |cnt AS (SELECT doc_id, w, count(*) AS c
+       |        FROM (SELECT doc_id, unnest(words) AS w FROM t) GROUP BY 1, 2),
+       |st AS (SELECT doc_id, max(c) AS top_word_n,
+       |        CAST(sum(CASE WHEN w IN $stops THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords,
+       |        CAST(sum(CASE WHEN regexp_matches(w, '[a-z]') THEN c ELSE 0 END) AS BIGINT) AS n_alpha
+       |       FROM cnt GROUP BY 1),
+       |sc AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+       |        CAST(list_reduce(list_prepend(0, list_transform(words, w -> length(w))), (a, b) -> a + b) AS BIGINT) AS n_nonws
+       |       FROM t WHERE len(words) > 0),
+       |m AS (SELECT sc.doc_id, n_words, (1000 * n_nonws) // n_words AS mwl_milli,
+       |        (1000000 * n_alpha) // n_words AS alpha_ppm, n_stopwords,
+       |        (1000000 * top_word_n) // n_words AS top_word_ppm
+       |       FROM sc JOIN st ON sc.doc_id = st.doc_id),
+       |r AS (SELECT *,
+       |        CASE WHEN n_words BETWEEN $RuleMinWords AND $RuleMaxWords THEN 1 ELSE 0 END AS r_words,
+       |        CASE WHEN mwl_milli BETWEEN $RuleMinMwlMilli AND $RuleMaxMwlMilli THEN 1 ELSE 0 END AS r_mwl,
+       |        CASE WHEN alpha_ppm >= $RuleMinAlphaPpm THEN 1 ELSE 0 END AS r_alpha,
+       |        CASE WHEN n_stopwords >= $RuleMinStopwords THEN 1 ELSE 0 END AS r_stop,
+       |        CASE WHEN top_word_ppm <= $RuleMaxTopWordPpm THEN 1 ELSE 0 END AS r_rep
+       |       FROM m)
+       |SELECT doc_id, CAST(n_words AS INTEGER) AS n_words, mwl_milli, alpha_ppm,
+       | CAST(n_stopwords AS INTEGER) AS n_stopwords, top_word_ppm,
+       | r_words, r_mwl, r_alpha, r_stop, r_rep,
+       | r_words * r_mwl * r_alpha * r_stop * r_rep AS pass
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
 }

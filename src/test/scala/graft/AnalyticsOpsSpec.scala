@@ -786,4 +786,42 @@ class AnalyticsOpsSpec extends SparkSpecBase {
       .sortBy(_._1)
     assert(got.toSeq == Seq((1L, 1L, 2L), (2L, 2L, 3L), (3L, 2L, 3L), (4L, 1L, 2L)))
   }
+
+  test("bfsOn assigns min hop distances from multiple seeds and stops at the round bound") {
+    import spark.implicits._
+    // two chains meeting: seeds 1 and 10; node 4 is 3 hops from seed 1
+    // but only reached if rounds allow; 20 is isolated from the seeds
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 4L), (20L, 21L))
+      .toDF("a_item", "b_item")
+    val seeds = Seq(1L, 10L).toDF("id")
+    val got = Affinity.bfsOn(edges, seeds, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // 4 is 2 hops via 10→11→4, not 3 via the other chain (min-dist)
+    assert(got.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 2L),
+      (10L, 0L), (11L, 1L)), s"got ${got.toSeq}")
+    // bound respected: rounds=1 reaches only direct neighbors
+    val one = Affinity.bfsOn(edges, seeds, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(one.toSeq == Seq((1L, 0L), (2L, 1L), (10L, 0L), (11L, 1L)))
+  }
+
+  test("gopherRulesOn flags each rule independently with exact integer metrics") {
+    import spark.implicits._
+    // 55 distinct words + 5 stopwords: 60 words, top-word 1/60, mwl ~5.5
+    val good = (1 to 55).map(i => s"word$i").mkString(" ") + " the a is of to"
+    val shortDoc = "the tiny a doc"                       // fails word count
+    val repeated = ("spam " * 60).trim + " the a end"     // fails top-word 10%
+    val noStops = (1 to 60).map(i => s"tok$i").mkString(" ") // fails stopword rule
+    val df = Seq((1L, good), (2L, shortDoc), (3L, repeated), (4L, noStops))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRulesOn(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Int]("pass") == 1, s"good doc failed: ${got(1L)}")
+    assert(got(2L).getAs[Int]("r_words") == 0 && got(2L).getAs[Int]("pass") == 0)
+    assert(got(3L).getAs[Int]("r_rep") == 0, s"repetition not flagged: ${got(3L)}")
+    assert(got(4L).getAs[Int]("r_stop") == 0, s"stopword rule not flagged: ${got(4L)}")
+    // exact metric check on the short doc: 4 words, 11 non-ws chars
+    assert(got(2L).getAs[Int]("n_words") == 4)
+    assert(got(2L).getAs[Long]("mwl_milli") == (1000L * 11) / 4)
+  }
 }

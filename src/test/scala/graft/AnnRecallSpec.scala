@@ -74,4 +74,32 @@ class AnnRecallSpec extends SparkSpecBase {
     info(f"signal recall@5 (cos>=0.4) multitable = $r%.3f (${truth.size} signal pairs)")
     assert(r >= 0.9, s"multi-table misses genuinely-similar neighbors: $r")
   }
+
+  test("sim_knn_graph: NN-Descent improves on its init and finds the signal neighbors") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.util.Tables.embeddings(spark, Sf001)
+    // graph truth: exact top-4 per node (self excluded — self is the
+    // cos-1.0 rank-1 row of a k=5 self-join)
+    val truthDf = graft.operators.Similarity.bruteforceTopkOn(
+      e.select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+      e.select(col("vec_id").as("c_id"), col("embedding").as("cv")), 5)
+      .filter(col("q_id") =!= col("c_id"))
+    val truth = hits(truthDf)
+    val signal = hits(truthDf.filter(col("cos_sim") >= 0.4))
+    assert(signal.nonEmpty, "corpus lost its planted near-dup clusters")
+    def graphPairs(rounds: Int): Set[(Long, Long)] =
+      graft.operators.Similarity.knnGraphOn(e, rounds = rounds)
+        .select("u", "nbr").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val init = graphPairs(0)
+    val descended = graphPairs(3)
+    val r0 = init.intersect(truth).size.toDouble / truth.size
+    val r3 = descended.intersect(truth).size.toDouble / truth.size
+    val rs = descended.intersect(signal).size.toDouble / signal.size
+    info(f"knn-graph recall@4: init = $r0%.3f, after 3 rounds = $r3%.3f " +
+      f"(truth ${truth.size}); signal (cos>=0.4) = $rs%.3f (${signal.size} pairs)")
+    assert(r3 > r0, s"descent did not improve on its init: $r0 -> $r3")
+    // the metric that matters: cluster mates with real angular signal
+    // concentrate the descent — they must be found
+    assert(rs >= 0.8, s"NN-Descent misses genuinely-similar neighbors: $rs")
+  }
 }

@@ -52,7 +52,10 @@ class CacheAuditSpec extends SparkSpecBase {
       "embed_class_centroid",
       // r9: the IVFPQ composite routes its exploded PQ stream through
       // the same pqExplode cache
-      "sim_ivfpq", "text_keyphrases")
+      "sim_ivfpq", "text_keyphrases",
+      // r9 late: the video tier caches its synth/decode (meta + frame
+      // scans share it)
+      "mm_video_scenes")
     spark.catalog.clearCache() // start from a clean slate
     cacheUsers.foreach { name =>
       SparkEntry.queries(name)(spark, SfDir).write.format("noop").mode("overwrite").save()

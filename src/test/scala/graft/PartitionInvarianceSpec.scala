@@ -37,7 +37,11 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     // cosine routing + LUT sums, all id-tie-broken)
     "sim_ivf_refine", "mm_audio_fp", "sim_ivf_health", "sim_ivfpq",
     // r9: RAKE — collect_list assembly + integer scoring, pos-sorted
-    "text_keyphrases")
+    "text_keyphrases",
+    // r9 late: BFS frontier iteration (min-dist confluence), the
+    // integer rule filter's grouped stats, and the decoded-GIF scene
+    // profile (per-doc local computation + lag window)
+    "q65_bfs", "text_gopher_rules", "mm_video_scenes")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

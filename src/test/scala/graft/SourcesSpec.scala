@@ -451,6 +451,24 @@ class SourcesSpec extends SparkSpecBase {
       s"exactly the planted dark->bright boundary, with its signed delta: ${cuts.toSeq}")
   }
 
+  test("mm_video_scenes: every doc profiles its planted cut at the planted frame, deterministic") {
+    val Sf = "/root/testdata/sf0.001"
+    val rows = Multimodal.videoScenes(spark, Sf).collect()
+    val nDocs = graft.util.Tables.documents(spark, Sf).count()
+    assert(rows.length == nDocs, s"${rows.length} profiles for $nDocs docs")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("n_frames") == 6 + (id % 5L).toInt, s"container frame count: $r")
+      assert(r.getAs[Int]("n_sampled") == r.getAs[Int]("n_frames"), s"stride-1 samples all: $r")
+      assert(r.getAs[Int]("n_cuts") == 1, s"exactly the planted cut: $r")
+      assert(r.getAs[Int]("cut_frame") == 2 + (id % 3L).toInt, s"cut at planted frame: $r")
+      assert(r.getAs[Long]("max_delta") == 220L - (40 + (id % 4L).toInt * 20),
+        s"cut magnitude is the planted luma jump: $r")
+    }
+    val again = Multimodal.videoScenes(spark, Sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "rerun drifted")
+  }
+
   test("idempotent batch append: a replayed batchId is skipped, not duplicated") {
     import graft.sources.Maintenance
     import spark.implicits._
