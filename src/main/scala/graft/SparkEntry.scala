@@ -100,6 +100,7 @@ object SparkEntry {
     "pipeline_split"     -> Training.split _,
     "pipeline_token_budget" -> Training.tokenBudget _,
     "pipeline_length_buckets" -> ((s: SparkSession, d: String) => Training.lengthBuckets(s, d)),
+    "pipeline_dsir"      -> Training.dsir _,
     "text_bpe_pairs"     -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
     "q53_skyline"        -> Relational.q53Skyline _,
     "ts_interp_linear"   -> TimeSeries.interpLinear _,
@@ -181,8 +182,10 @@ object SparkEntry {
     "sim_ivf_health"      -> Similarity.ivfHealth _,
     "sim_ivfpq"           -> Similarity.ivfPq _,
     "sim_knn_graph"       -> Similarity.knnGraph _,
+    "sim_graph_beam"      -> Similarity.graphBeam _,
     "embed_knn_join"      -> Similarity.knnJoin _,
     "dedup_embed_cosine"  -> Similarity.embedCosineDedup _,
+    "dedup_semantic"      -> Similarity.semanticDedup _,
     "mm_meta"             -> Multimodal.meta _,
     "mm_audio_fp"         -> Multimodal.audioFp _,
     "mm_video_scenes"     -> Multimodal.videoScenes _,
@@ -552,6 +555,7 @@ object SparkEntry {
     "pipeline_split"      -> Training.splitSql,
     "pipeline_token_budget" -> Training.tokenBudgetSql,
     "pipeline_length_buckets" -> Training.lengthBucketsSql,
+    "pipeline_dsir"       -> Training.dsirSql,
     "text_bpe_pairs"      -> TextAnalysis.bpePairsSql,
     "q53_skyline"         -> Relational.q53SkylineSql,
     "ts_interp_linear"    -> TimeSeries.interpLinearSql,
@@ -690,8 +694,10 @@ object SparkEntry {
     "sim_ivf_health"      -> Similarity.ivfHealthSql,
     "sim_ivfpq"           -> Similarity.ivfPqSql,
     "sim_knn_graph"       -> Similarity.knnGraphSql,
+    "sim_graph_beam"      -> Similarity.graphBeamSql,
     "embed_knn_join"      -> Similarity.knnJoinSql,
     "dedup_embed_cosine"  -> Similarity.embedCosineDedupSql,
+    "dedup_semantic"      -> Similarity.semanticDedupSql,
     "mm_meta"             -> Multimodal.metaSql,
     "pipeline_curate"     -> Curate.curateSql,
     "stream_window_agg"   -> EventStreams.windowAggSql,

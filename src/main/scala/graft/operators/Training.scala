@@ -680,4 +680,145 @@ object Training {
        | CAST((bucket * n_docs - sum_tokens) * 1000000 // (bucket * n_docs) AS BIGINT) AS waste_ppm
        |FROM a ORDER BY bucket""".stripMargin
   }
+
+  // ----------------------------------------------------------------- dsir
+
+  /** DSIR contract constants, shared with the oracle: hashed-feature
+    * bucket count and fixed-point fractional bits of the integer log2.
+    */
+  val DsirB = 1024L
+  val DsirF = 12
+
+  /** Per-doc hashed n-gram feature buckets (unigram + bigram token
+    * hashes mod [[DsirB]], with multiplicity — the bag-of-hashed-ngrams
+    * model DSIR estimates distributions over). The token-hash array is
+    * bound via a single-element `transform` lambda so it evaluates once
+    * per row (the [[TextFns.shingleHashes]] CSE device).
+    */
+  private def dsirFeatures(words: Column): Column =
+    element_at(transform(array(TextFns.tokenHashes(words)), a =>
+      concat(
+        transform(a, h => h % DsirB),
+        when(size(a) >= 2,
+          transform(sequence(lit(1), size(a) - 1), i =>
+            ((element_at(a, i) * 131 + element_at(a, i + 1)) % TextFns.P) % DsirB))
+          .otherwise(array().cast("array<bigint>")))), 1)
+
+  private def dsirFeaturesSql(words: String): String =
+    s"list_transform([${TextFns.tokenHashesSql(words)}], a -> " +
+      s"list_concat(list_transform(a, h -> h % $DsirB), " +
+      s"CASE WHEN len(a) >= 2 THEN list_transform(generate_series(1, len(a)-1), i -> " +
+      s"((a[i]*131 + a[i+1]) % ${TextFns.P}) % $DsirB) ELSE [] END))[1]"
+
+  /** pipeline_dsir — Data Selection via Importance Resampling (Xie et
+    * al. 2023, arXiv:2302.03169): score every raw doc by how much more
+    * likely it is under a TARGET distribution than under the raw-corpus
+    * distribution, both estimated as hashed-ngram bag models —
+    * weight(doc) = Σ_features log(p_target(f) / p_raw(f)) with
+    * add-one smoothing. Docs with weight ≥ 0 look more target-like
+    * than corpus-like; downstream selection resamples by this weight.
+    *
+    * The repo's exactness rule extended one step: a floating ln() would
+    * make the score engine-dependent, so the log2 is computed in FIXED
+    * POINT ([[DsirF]] fractional bits) by pure int64 arithmetic — the
+    * ratio scales to q = max(1, num·2^F div den) (the max(1,·) floors a
+    * vanishing ratio at −F·2^F units ≈ −12 bits, documented clamp);
+    * integer part via the length(bin(q))−1 device (text_tokens'
+    * integer log2), fractional bits by the classic SQUARING method
+    * (square the [1,2) fixed-point mantissa; ≥2 ⇒ emit bit, halve —
+    * each of the F steps is one integer multiply/shift). Identical
+    * integers on both engines ⇒ the whole op value-oracles exactly.
+    * Per-doc totals are INTEGER sums of per-bucket weights — order-free,
+    * no float-fold contract needed. Exact while total feature
+    * occurrences × per-bucket counts stay under 2^51 (num·2^F head
+    * room); past that, scale the smoothing to per-mille counts before
+    * widening the fixed point.
+    *
+    * Scale shape: feature explode is scan-side; the distribution table
+    * is [[DsirB]] rows (the POINT of hashing the feature space — at
+    * any corpus size the model is a constant-size broadcast, exactly
+    * why the paper's method runs on full CommonCrawl); the fixed-point
+    * log chain rides those B rows; per-doc scoring is one broadcast
+    * join on the exploded stream + one map-side-combined doc_id sum —
+    * a single corpus-sized shuffle end to end.
+    * Output: (doc_id, n_feats, dsir_fp, keep); dsir_fp in 2^-F bits.
+    */
+  def dsirOn(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame = {
+    val f = df.select(col(idCol).as("doc_id"), isTarget.cast("long").as("tgt"),
+        explode(dsirFeatures(TextFns.tokenize(col(textCol)))).as("h"))
+      .transform(graft.util.CacheScope.cached) // feeds the stats build AND the scoring join
+    val stats = f.groupBy(col("h"))
+      .agg(count(lit(1)).as("cr"), sum(col("tgt")).as("ct"))
+    val tot = stats.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val half = 1L << (DsirF + 1)
+    var w = stats.crossJoin(broadcast(tot))
+      .withColumn("q", greatest(lit(1L), expr(
+        s"shiftleft((ct + 1) * (nr + $DsirB), $DsirF) div ((cr + 1) * (nt + $DsirB))")))
+      .withColumn("ilog", length(bin(col("q"))).cast("long") - 1L)
+      .withColumn("m", when(col("ilog") >= DsirF,
+          expr(s"shiftright(q, cast(ilog - $DsirF as int))"))
+        .otherwise(expr(s"shiftleft(q, cast($DsirF - ilog as int))")))
+      .withColumn("acc", lit(0L))
+    (1 to DsirF).foreach { i =>
+      w = w.withColumn("m2", expr(s"shiftright(m * m, $DsirF)"))
+        .withColumn("acc", when(col("m2") >= half,
+          col("acc") + lit(1L << (DsirF - i))).otherwise(col("acc")))
+        .withColumn("m", when(col("m2") >= half,
+          expr("shiftright(m2, 1)")).otherwise(col("m2")))
+        .drop("m2")
+    }
+    val wt = w.select(col("h"),
+      ((col("ilog") - DsirF) * (1L << DsirF) + col("acc")).as("w_fp"))
+    f.join(broadcast(wt), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w_fp")).as("dsir_fp"))
+      .select(col("doc_id"), col("n_feats"), col("dsir_fp"),
+        when(col("dsir_fp") >= 0, 1).otherwise(0).cast("int").as("keep"))
+  }
+
+  /** pipeline_dsir testdata binding: target distribution = the
+    * lang='en' slice (the usual proxy-target setup: a trusted subset
+    * stands in for the domain you want more of).
+    */
+  def dsir(spark: SparkSession, sfDir: String): DataFrame =
+    dsirOn(Tables.documents(spark, sfDir), "doc_id", "text",
+      col("lang") === "en")
+      .orderBy(col("doc_id"))
+
+  def dsirSql: String = {
+    val half = 1L << (DsirF + 1)
+    val steps = (1 to DsirF).map { i =>
+      s"""l$i AS (SELECT h, ilog,
+         |  CASE WHEN ((m*m) >> $DsirF) >= $half THEN ((m*m) >> $DsirF) >> 1
+         |       ELSE (m*m) >> $DsirF END AS m,
+         |  acc + CASE WHEN ((m*m) >> $DsirF) >= $half THEN ${1L << (DsirF - i)}
+         |             ELSE 0 END AS acc
+         | FROM l${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH f AS (SELECT doc_id, tgt, unnest(features) AS h FROM (
+       |      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+       |        ${dsirFeaturesSql(TextFns.tokenizeSql("text"))} AS features
+       |      FROM documents)),
+       |s AS (SELECT h, CAST(count(*) AS BIGINT) AS cr, CAST(sum(tgt) AS BIGINT) AS ct
+       |      FROM f GROUP BY 1),
+       |t AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM s),
+       |w0 AS (SELECT h, greatest(CAST(1 AS BIGINT),
+       |        (((ct + 1) * (nr + $DsirB)) << $DsirF) // ((cr + 1) * (nt + $DsirB))) AS q
+       |       FROM s CROSS JOIN t),
+       |w1 AS (SELECT h, q, CAST(length(bin(q)) - 1 AS BIGINT) AS ilog FROM w0),
+       |l0 AS (SELECT h, ilog,
+       |        CASE WHEN ilog >= $DsirF THEN q >> CAST(ilog - $DsirF AS INTEGER)
+       |             ELSE q << CAST($DsirF - ilog AS INTEGER) END AS m,
+       |        CAST(0 AS BIGINT) AS acc
+       |       FROM w1),
+       |$steps,
+       |wt AS (SELECT h, (ilog - $DsirF) * ${1L << DsirF} + acc AS w_fp FROM l$DsirF),
+       |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |       CAST(sum(w_fp) AS BIGINT) AS dsir_fp
+       |      FROM f JOIN wt USING (h) GROUP BY 1)
+       |SELECT doc_id, n_feats, dsir_fp,
+       | CAST(CASE WHEN dsir_fp >= 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
 }

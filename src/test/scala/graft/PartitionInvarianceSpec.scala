@@ -41,7 +41,13 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     // r9 late: BFS frontier iteration (min-dist confluence), the
     // integer rule filter's grouped stats, and the decoded-GIF scene
     // profile (per-doc local computation + lag window)
-    "q65_bfs", "text_gopher_rules", "mm_video_scenes")
+    "q65_bfs", "text_gopher_rules", "mm_video_scenes",
+    // r9 late: kmeans+exemplar cosine composite, LSH-seeded frontier
+    // beam over the NN-Descent graph (double cosines at every keep
+    // decision), and the fixed-point log2 importance weights (integer
+    // sums — invariance here gates the feature explode + broadcast
+    // join shape, not arithmetic)
+    "dedup_semantic", "sim_graph_beam", "pipeline_dsir")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

@@ -136,4 +136,30 @@ class SimilaritySpec extends SparkSpecBase {
       (11L, 0.55, 2L, 3L),   // [0.55, 0.60): two pairs; 3 at >= 0.55
       (8L, 0.40, 1L, 4L)))   // [0.40, 0.45): all 4 at >= 0.40
   }
+
+  test("semantic dedup: planted near-copies flag against the cluster exemplar; singletons don't") {
+    import spark.implicits._
+    // 8 seed vectors (ids 0..7) on distinct axes — under the lowest-id
+    // seeding each seeds its own cluster — plus two near-copies of
+    // id 0's direction (ids 8, 9; 0.05 off-axis perturbations keep them
+    // distinct but at cos ≈ 0.999). kmeans pulls {0, 8, 9} into one
+    // cluster; the two non-exemplar members must flag, every
+    // single-member cluster's exemplar must not.
+    def axis(a: Int, eps: Float = 0f, epsAxis: Int = 32): Array[Float] = {
+      val v = Array.fill(64)(0f); v(a) = 1f; if (eps != 0f) v(epsAxis) = eps; v
+    }
+    val v = ((0 until 8).map(i => (i.toLong, axis(i))) ++
+      Seq((8L, axis(0, 0.05f, 40)), (9L, axis(0, 0.05f, 41)))).toDF("vec_id", "vec")
+    val out = Similarity.semanticDedupOn(
+      Similarity.kmeansOn(v.select(col("vec_id").as("id"), col("vec"))), v).collect()
+    assert(out.length == 10)
+    val dups = out.filter(_.getAs[Int]("is_dup") == 1).map(_.getAs[Long]("vec_id")).toSet
+    assert(dups.size == 2 && dups.subsetOf(Set(0L, 8L, 9L)),
+      s"expected 2 of {0,8,9} flagged (the non-exemplar near-copies), got $dups")
+    assert(out.filter(r => (1L to 7L).contains(r.getAs[Long]("vec_id")))
+      .forall(_.getAs[Int]("is_dup") == 0), "singleton clusters must not flag")
+    // the flagged copies sit essentially on top of the exemplar
+    assert(out.filter(_.getAs[Int]("is_dup") == 1)
+      .forall(_.getAs[Double]("cos_exemplar") >= 0.99))
+  }
 }

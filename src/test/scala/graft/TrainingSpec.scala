@@ -169,4 +169,37 @@ class TrainingSpec extends SparkSpecBase {
     assert(td.filter(col("cos_centroid") < -1.000001 || col("cos_centroid") > 1.000001).count() == 0)
     assert(td.agg(avg("cos_centroid")).head.getDouble(0) > 0.0)
   }
+
+  test("dsir: target-vocabulary probes outrank off-target probes; keep follows the sign") {
+    import spark.implicits._
+    // target slice = lang 'en' docs on vocabulary A; raw-only noise on
+    // vocabulary B. Probe 9 (A-vocab, OUTSIDE the target slice) must
+    // outscore probe 10 (B-vocab): its features are relatively frequent
+    // in the target distribution, B-vocab features appear 0 times there.
+    // Note the smoothing floor: with B=1024 buckets and a toy corpus the
+    // add-one prior dominates, so even A-vocab scores sit near 0 — the
+    // ORDERING is the invariant, not positivity (the sf0.001 binding
+    // keeps 81/500 docs, so real corpora do produce positive scores).
+    val docs = ((1L to 4L).map(i => (i, "alpha beta gamma delta", "en")) ++
+      (5L to 8L).map(i => (i, "zeta eta theta iota", "xx")) ++
+      Seq((9L, "alpha beta gamma delta", "xx"),
+          (10L, "zeta eta theta iota", "xx"))).toDF("doc_id", "text", "lang")
+    val out = Training.dsirOn(docs, "doc_id", "text", col("lang") === "en")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("dsir_fp"), r.getAs[Int]("keep"))).toMap
+    assert(out.size == 10)
+    assert(out(9L)._1 > out(10L)._1,
+      s"target-vocab probe ${out(9L)._1} must outscore off-target ${out(10L)._1}")
+    assert(out(10L)._1 < 0, "a feature set absent from the target must score negative")
+    // identical text => identical integer score (the exactness contract)
+    assert(out(9L)._1 == out(1L)._1)
+    // keep is exactly the sign bit of the fixed-point score
+    out.values.foreach { case (fp, k) => assert(k == (if (fp >= 0) 1 else 0)) }
+    // full testdata binding: both classes occur and scores are bounded
+    val td = Training.dsir(spark, SfDir)
+    val keeps = td.groupBy("keep").count().collect()
+      .map(r => r.getAs[Int]("keep") -> r.getAs[Long]("count")).toMap
+    assert(keeps.getOrElse(1, 0L) > 0 && keeps.getOrElse(0, 0L) > 0,
+      s"degenerate keep split on testdata: $keeps")
+  }
 }
