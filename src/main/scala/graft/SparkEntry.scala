@@ -90,6 +90,7 @@ object SparkEntry {
     "q59_coreness"       -> Affinity.coreness _,
     "q64_community_lp"   -> Affinity.communityLp _,
     "q65_bfs"            -> Affinity.bfs _,
+    "q66_sssp"           -> Affinity.sssp _,
     "text_bm25"          -> TextAnalysis.bm25 _,
     "dedup_spans"        -> Dedup.spanDedup _,
     "text_repetition"    -> TextAnalysis.repetition _,
@@ -158,6 +159,7 @@ object SparkEntry {
     "fuzzy_rerank_lev"    -> Dedup.levRerank _,
     "pipeline_epoch_order" -> ((s: SparkSession, d: String) => Training.epochOrder(s, d)),
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
+    "dedup_minhash_weighted" -> Dedup.weightedMinhash _,
     "dedup_minhash"       -> Dedup.minhashLsh _,
     "dedup_simhash"       -> Dedup.simhashPairs _,
     "dedup_cluster"       -> Dedup.cluster _,
@@ -599,6 +601,7 @@ object SparkEntry {
     "q63_sketch_audit"    -> Relational.q63SketchAuditSql,
     "q64_community_lp"    -> Affinity.communityLpSql,
     "q65_bfs"             -> Affinity.bfsSql,
+    "q66_sssp"            -> Affinity.ssspSql,
     "q47_grouping_sets" ->
       """SELECT o_orderstatus AS status, o_orderpriority AS prio,
         |  CAST(year(o_orderdate) AS INTEGER) AS yr,
@@ -675,6 +678,7 @@ object SparkEntry {
     "pipeline_epoch_order" -> Training.epochOrderSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_minhash"       -> Dedup.minhashLshSql,
+    "dedup_minhash_weighted" -> Dedup.weightedMinhashSql,
     "dedup_simhash"       -> Dedup.simhashPairsSql,
     "dedup_cluster"       -> Dedup.clusterSql,
     "dedup_cluster_pd"    -> Dedup.clusterSql,

@@ -732,4 +732,108 @@ object Affinity {
     s"""$prelude$steps
        |SELECT id, dist FROM d$BfsRounds ORDER BY id""".stripMargin
   }
+
+  /** Relaxation-round bound for [[ssspOn]], shared with the unrolled
+    * oracle. Weighted shortest paths need more rounds than hop-BFS
+    * (the optimal path can be longer in hops than the hop-minimal
+    * one); measured convergence (empty frontier): 6 rounds at
+    * sf0.001/0.01, 5 at sf0.1 — the bound is the worst case + 2
+    * headroom, and SsspSpec cross-checks against an independent
+    * driver-side Dijkstra so an unconverged fixpoint cannot hide
+    * behind an oracle that runs the same k steps.
+    */
+  val SsspRounds = 8
+
+  /** q66_sssp — multi-source WEIGHTED shortest paths (Bellman-Ford
+    * delta iteration) over an undirected integer-weighted edge set:
+    * sources start at 0; each round relaxes only the edges out of the
+    * previous round's IMPROVED set (the frontier), folds candidate
+    * distances with min per node, and keeps nodes whose distance
+    * improved. Where [[bfsOn]] measures hops, this measures
+    * accumulated edge COST — on the co-purchase graph below, cost
+    * 1000 div support, so a 2-hop path through strong ties undercuts
+    * a weak direct edge (the planted-path spec pins exactly that).
+    *
+    * Shape at scale: the same delta-iteration contract as BFS — per
+    * round one node-keyed equi-join of the edge list against the
+    * FRONTIER (never the full distance table), one map-side-combined
+    * min aggregate over the relaxed candidates, one left-outer
+    * improvement filter, one min-merge of the distance table; every
+    * shuffle keys on the node id, per-round work tracks the frontier
+    * size, rounds end in eager localCheckpoint (lineage truncation)
+    * and exit early on an empty frontier. Integer distances with
+    * min-confluence → partition-order-independent → exact unrolled
+    * oracle.
+    * Output: (id, dist) for nodes reached within [[SsspRounds]]
+    * relaxation rounds.
+    */
+  def ssspOn(edges: DataFrame, sources: DataFrame,
+      rounds: Int = SsspRounds): DataFrame = {
+    val e = edges.select(explode(array(
+        struct(col("a_item").as("u"), col("b_item").as("v"), col("w")),
+        struct(col("b_item").as("u"), col("a_item").as("v"), col("w")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"), col("p.w").as("w"))
+      .localCheckpoint(true)
+    var dist = sources.select(col("id"), lit(0L).as("dist")).localCheckpoint(true)
+    var frontier = dist
+    var i = 1
+    var frontierN = frontier.count()
+    while (i <= rounds && frontierN > 0) {
+      val relaxed = e.join(
+          frontier.select(col("id").as("u"), col("dist").as("du")), Seq("u"))
+        .select(col("v").as("id"), (col("du") + col("w")).as("nd"))
+        .groupBy(col("id")).agg(min(col("nd")).as("nd"))
+      val improved = relaxed.join(dist, Seq("id"), "left_outer")
+        .filter(col("dist").isNull || col("nd") < col("dist"))
+        .select(col("id"), col("nd").as("dist"))
+        .localCheckpoint(true)
+      frontierN = improved.count()
+      frontier = improved
+      dist = dist.unionAll(improved)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    dist
+  }
+
+  /** q66_sssp testdata binding: cost 1000 div n_baskets per
+    * co-purchase edge (strong ties are cheap), the item-id ≡ 0
+    * (mod 97) seed set.
+    */
+  def sssp(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = copurchase(spark, sfDir)
+      .select(col("a_item"), col("b_item"),
+        expr("1000 div n_baskets").cast("long").as("w"))
+    val nodes = edges.select(col("a_item").as("id"))
+      .unionAll(edges.select(col("b_item").as("id"))).distinct()
+    ssspOn(edges, nodes.filter(col("id") % 97 === 0))
+      .orderBy(col("id"))
+  }
+
+  def ssspSql: String = {
+    val prelude =
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
+        |p AS (SELECT a.item AS a_item, b.item AS b_item,
+        |       CAST(1000 // count(*) AS BIGINT) AS w
+        |      FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS MATERIALIZED (SELECT a_item AS u, b_item AS v, w FROM p
+        |      UNION ALL SELECT b_item, a_item, w FROM p),
+        |nd AS (SELECT DISTINCT u AS id FROM e),
+        |d0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS dist FROM nd WHERE id % 97 = 0),
+        |f0 AS MATERIALIZED (SELECT id, dist FROM d0)""".stripMargin
+    val steps = (1 to SsspRounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT id, min(dist) AS dist FROM (
+         |      SELECT id, dist FROM d${i - 1}
+         |      UNION ALL
+         |      SELECT e.v AS id, f.dist + e.w AS dist
+         |      FROM e JOIN f${i - 1} f ON e.u = f.id) GROUP BY 1),
+         |f$i AS MATERIALIZED (SELECT d.id, d.dist FROM d$i d
+         |      LEFT JOIN d${i - 1} prev ON d.id = prev.id
+         |      WHERE prev.id IS NULL OR d.dist < prev.dist)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$prelude$steps
+       |SELECT id, dist FROM d$SsspRounds ORDER BY id""".stripMargin
+  }
 }

@@ -465,6 +465,145 @@ object Dedup {
        | CASE WHEN n_cand = 0 THEN NULL ELSE CAST((1000000 * n_hit) // n_cand AS BIGINT) END AS precision_ppm
        |FROM m""".stripMargin
 
+  /** Weighted-minhash contract constants, shared with the oracle:
+    * idf-bit weight cap (bounds the per-token signature expansion) and
+    * the emitted weighted-Jaccard floor in ppm.
+    */
+  val WmhCap = 8L
+  val WmhMinPpm = 300000L
+
+  /** dedup_minhash_weighted — tf-idf-WEIGHTED near-dup mining: weighted
+    * Jaccard J_w = Σ min(w_a, w_b) / Σ max(w_a, w_b) over per-doc
+    * DISTINCT 3-gram shingles with integer idf weights, LSH-bucketed
+    * by a weighted MinHash signature. Plain minhash treats a
+    * boilerplate shingle and a rare content shingle as equally
+    * informative, so template-heavy docs collide on scaffolding;
+    * weighting by rarity makes the estimator track CONTENT overlap —
+    * the standard upgrade for near-dup mining over templated corpora
+    * (the dominant failure mode of web-crawl dedup). Elements are
+    * shingles, not tokens: unigram weighting was measured emitting
+    * 6.6M pairs at sf0.1 (nearly the full pair square — token overlap
+    * carries no document identity on a shared-vocabulary corpus).
+    *
+    * The repo's exactness rule end to end: the weight is the WHOLE-BITS
+    * idf, w_s = min([[WmhCap]], bitlen(N div df_s)) via the
+    * length(bin(·)) device (≥ 1, pure int64), and weighted minhash is
+    * computed by the integer-EXPANSION reduction — shingle s expands
+    * to w_s virtual elements (s,0)..(s,w_s−1), each hashed (h·131+r)
+    * mod P, and plain minhash over the expanded multiset IS minhash of
+    * the weighted set (Jaccard over the expansion equals J_w for
+    * integer weights — the integer special case of Ioffe's CWS that
+    * needs no float sampling). Signature position i is a
+    * map-side-combined MIN aggregate of (a_i·eh+b_i) mod P over the
+    * expanded stream (the [[TextFns]] permutation constants) —
+    * order-free, one doc_id shuffle, never a per-doc array build. The
+    * emitted J_w is exact integer ppm.
+    *
+    * Scale shape: expansion multiplies the exploded shingle stream by
+    * ≤ [[WmhCap]] (a constant), the weight table joins on the shingle
+    * hash exactly like text_tfidf's df join, candidates meet in the
+    * (band, key) equi-join with slim (id, band, key) rows, and the
+    * exact re-score joins posting lists only for candidate pairs.
+    * Output: (a_id, b_id, n_agree, inter_w, union_w, wjac_ppm) with
+    * a_id < b_id, wjac_ppm ≥ [[WmhMinPpm]].
+    */
+  def weightedMinhashOn(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import TextFns.P
+    val d = shingledOn(df, idCol, textCol)
+      .select(col("doc_id"), col("h").as("th"))
+      .filter(size(col("th")) > 0)
+    val e = d.select(col("doc_id"), explode(col("th")).as("x"))
+    val stats = e.groupBy(col("x")).agg(count(lit(1)).as("dfreq"))
+    val tot = d.agg(count(lit(1)).as("n"))
+    val weights = stats.crossJoin(broadcast(tot))
+      .select(col("x"),
+        least(lit(WmhCap), length(bin(expr("n div dfreq"))).cast("long")).as("w"))
+    val tw = e.join(weights, Seq("x"))
+      .transform(graft.util.CacheScope.cached) // sig expansion + pair re-score + doc sums
+    val exp = tw
+      .select(col("doc_id"), col("x"), explode(sequence(lit(0L), col("w") - 1)).as("r"))
+      .select(col("doc_id"), ((col("x") * 131 + col("r")) % P).as("eh"))
+    val mins = (0 until TextFns.MinhashK).map { i =>
+      val a = 1000003L * i + 12289L
+      val b = 999983L * i + 15373L
+      min((col("eh") * a + b) % P).as(s"m$i")
+    }
+    val sig = exp.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until TextFns.MinhashK).map(i => col(s"m$i")): _*).as("s"))
+      .transform(graft.util.CacheScope.cached) // band keys + per-side agreement joins
+    val bands = sig.select(col("doc_id"), col("s"),
+        explode(sequence(lit(0), lit(TextFns.Bands - 1))).as("band"))
+      .withColumn("bk", TextFns.bandKey("s", "band"))
+      .select(col("doc_id"), col("band"), col("bk"))
+    val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("bk"))
+      .join(bands.select(col("doc_id").as("b_id"), col("band"), col("bk")), Seq("band", "bk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val sums = tw.groupBy(col("doc_id")).agg(sum(col("w")).as("sw"))
+    val inter = cand
+      .join(tw.select(col("doc_id").as("a_id"), col("x"), col("w").as("wa")), Seq("a_id"))
+      .join(tw.select(col("doc_id").as("b_id"), col("x"), col("w").as("wb")), Seq("b_id", "x"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(least(col("wa"), col("wb"))).as("inter_w"))
+    inter
+      .join(sums.select(col("doc_id").as("a_id"), col("sw").as("swa")), Seq("a_id"))
+      .join(sums.select(col("doc_id").as("b_id"), col("sw").as("swb")), Seq("b_id"))
+      .join(sig.select(col("doc_id").as("a_id"), col("s").as("siga")), Seq("a_id"))
+      .join(sig.select(col("doc_id").as("b_id"), col("s").as("sigb")), Seq("b_id"))
+      .withColumn("union_w", col("swa") + col("swb") - col("inter_w"))
+      .withColumn("wjac_ppm", expr("(inter_w * 1000000) div union_w"))
+      .filter(col("wjac_ppm") >= WmhMinPpm)
+      .withColumn("n_agree", expr(
+        s"size(filter(sequence(1, ${TextFns.MinhashK}), i -> element_at(siga, i) = element_at(sigb, i)))"))
+      .select(col("a_id"), col("b_id"), col("n_agree"),
+        col("inter_w"), col("union_w"), col("wjac_ppm"))
+  }
+
+  /** dedup_minhash_weighted testdata binding. */
+  def weightedMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    weightedMinhashOn(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy(col("a_id"), col("b_id"))
+
+  def weightedMinhashSql: String = {
+    val P = TextFns.P
+    s"""WITH d AS (SELECT doc_id, h AS th FROM ($shingledSql)),
+       |e AS (SELECT doc_id, unnest(th) AS x FROM d WHERE len(th) > 0),
+       |st AS (SELECT x, CAST(count(*) AS BIGINT) AS dfreq FROM e GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d WHERE len(th) > 0),
+       |wt AS (SELECT x, least($WmhCap, CAST(length(bin(n // dfreq)) AS BIGINT)) AS w
+       |       FROM st CROSS JOIN nn),
+       |tw AS MATERIALIZED (SELECT doc_id, x, w FROM e JOIN wt USING (x)),
+       |exp AS (SELECT doc_id,
+       |        unnest(list_transform(generate_series(0, w - 1), r -> (x * 131 + r) % $P)) AS eh
+       |        FROM tw),
+       |sg AS (SELECT doc_id, i,
+       |        min(((1000003 * i + 12289) * eh + (999983 * i + 15373)) % $P) AS m
+       |       FROM exp CROSS JOIN generate_series(0, ${TextFns.MinhashK - 1}) AS gi(i)
+       |       GROUP BY 1, 2),
+       |sig AS MATERIALIZED (SELECT doc_id, list(m ORDER BY i) AS s FROM sg GROUP BY 1),
+       |bd AS (SELECT doc_id, j AS band, ${TextFns.bandKeySql("s", "j")} AS bk
+       |       FROM sig, generate_series(0, ${TextFns.Bands - 1}) AS g(j)),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |         FROM bd a JOIN bd b ON a.band = b.band AND a.bk = b.bk
+       |         AND a.doc_id < b.doc_id),
+       |iw AS (SELECT c.a_id, c.b_id, CAST(sum(least(ta.w, tb.w)) AS BIGINT) AS inter_w
+       |       FROM cand c JOIN tw ta ON ta.doc_id = c.a_id
+       |       JOIN tw tb ON tb.doc_id = c.b_id AND tb.x = ta.x
+       |       GROUP BY 1, 2),
+       |sw AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS sw FROM tw GROUP BY 1),
+       |f AS (SELECT a_id, b_id, inter_w, sa.sw + sb.sw - inter_w AS union_w,
+       |       (inter_w * 1000000) // (sa.sw + sb.sw - inter_w) AS wjac_ppm,
+       |       ga.s AS siga, gb.s AS sigb
+       |      FROM iw JOIN sw sa ON sa.doc_id = a_id JOIN sw sb ON sb.doc_id = b_id
+       |      JOIN sig ga ON ga.doc_id = a_id JOIN sig gb ON gb.doc_id = b_id)
+       |SELECT a_id, b_id,
+       | CAST(len(list_filter(generate_series(1, ${TextFns.MinhashK}), i -> siga[i] = sigb[i])) AS INTEGER) AS n_agree,
+       | inter_w, union_w, CAST(wjac_ppm AS BIGINT) AS wjac_ppm
+       |FROM f WHERE wjac_ppm >= $WmhMinPpm ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** SimHash near-dup pairs at hamming ≤ `maxHamming` (≤ 1 keeps the
     * two-half pigeonhole prefilter EXACT: one differing bit corrupts at
     * most one 16-bit half, so some half matches). Halves beat narrower

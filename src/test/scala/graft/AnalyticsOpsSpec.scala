@@ -805,6 +805,41 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(one.toSeq == Seq((1L, 0L), (2L, 1L), (10L, 0L), (11L, 1L)))
   }
 
+  test("ssspOn: strong-tie 2-hop path undercuts a weak direct edge; matches driver-side Dijkstra") {
+    import spark.implicits._
+    // planted: direct 1–3 weak (w 500); 1–2 and 2–3 strong (w 100 each)
+    // — weighted distance to 3 must be 200, where hop-BFS would say 1
+    val edges = Seq((1L, 3L, 500L), (1L, 2L, 100L), (2L, 3L, 100L), (3L, 4L, 250L))
+      .toDF("a_item", "b_item", "w")
+    val got = Affinity.ssspOn(edges, Seq(1L).toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 100L, 3L -> 200L, 4L -> 450L), s"got $got")
+    // independent-algorithm convergence check (the unrolled oracle runs
+    // the SAME k rounds, so oracle-green alone cannot prove the bound
+    // suffices): classic Dijkstra over the collected testdata graph
+    // must agree exactly with the bounded delta iteration
+    val g = Affinity.copurchase(spark, SfDir)
+      .selectExpr("a_item", "b_item", "CAST(1000 div n_baskets AS LONG) AS w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val adj = (g.map(e => (e._1, (e._2, e._3))) ++ g.map(e => (e._2, (e._1, e._3))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val seeds = adj.keys.filter(_ % 97 == 0).toSeq
+    val dij = scala.collection.mutable.Map[Long, Long](seeds.map(_ -> 0L): _*)
+    val pq = scala.collection.mutable.PriorityQueue[(Long, Long)](
+      seeds.map(s => (0L, s)): _*)(Ordering.by(-_._1))
+    while (pq.nonEmpty) {
+      val (d, u) = pq.dequeue()
+      if (dij(u) == d) adj.getOrElse(u, Array.empty[(Long, Long)]).foreach { case (v, w) =>
+        if (dij.get(v).forall(_ > d + w)) { dij(v) = d + w; pq.enqueue((d + w, v)) }
+      }
+    }
+    val sssp = Affinity.sssp(spark, SfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sssp == dij.toMap,
+      s"bounded delta iteration diverged from Dijkstra on ${
+        (sssp.toSet diff dij.toSet).take(3)} / ${(dij.toSet diff sssp.toSet).take(3)}")
+  }
+
   test("gopherRulesOn flags each rule independently with exact integer metrics") {
     import spark.implicits._
     // 55 distinct words + 5 stopwords: 60 words, top-word 1/60, mwl ~5.5

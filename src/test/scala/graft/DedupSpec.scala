@@ -110,4 +110,43 @@ class DedupSpec extends SparkSpecBase {
     assert(rows.forall(r => r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
     assert(rows.forall(_.getAs[Int]("hamming") <= 1))
   }
+
+  test("weighted minhash: shared rare content pairs, shared boilerplate alone does not") {
+    import spark.implicits._
+    // 20 docs all OPENING with the same 8-token boilerplate, so the 6
+    // shingles fully inside it have df = 20 → idf weight bitlen(1) = 1.
+    // Docs 1/2 continue with 4 shared rare tokens + one unique token
+    // each: shingles 7–10 (spanning into / inside the rare span) have
+    // df = 2 → weight bitlen(10) = 4, and each doc's final shingle
+    // (touching alphaX) df = 1 → weight bitlen(20) = 5. Docs 3/4 share
+    // ONLY the boilerplate over 4 unique tokens each (their content
+    // shingles: df = 1 → weight 5). Plain shingle Jaccard(3,4) =
+    // 6/14 ≈ 0.43; weighted = 6/46 ≈ 0.13 rejects the scaffolding
+    // collision, while (1,2) = (6 + 4·4)/(22 + 5 + 5) = 22/32 =
+    // 0.6875 pairs.
+    val boiler = "terms conditions apply all rights reserved contact support"
+    val rare = "quantum flux capacitor azure"
+    val docs = (Seq(
+      (1L, s"$boiler $rare alpha1"),
+      (2L, s"$boiler $rare alpha2"),
+      (3L, s"$boiler beta1 beta2 beta3 beta4"),
+      (4L, s"$boiler gamma1 gamma2 gamma3 gamma4")) ++
+      (5L to 20L).map(i => (i, s"$boiler filler${i}a filler${i}b"))).toDF("doc_id", "text")
+    val got = Dedup.weightedMinhashOn(docs, "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        (r.getAs[Long]("inter_w"), r.getAs[Long]("union_w"), r.getAs[Long]("wjac_ppm"))).toMap
+    assert(got.contains((1L, 2L)), s"rare-content pair missed: $got")
+    assert(got((1L, 2L)) == (22L, 32L, 687500L), s"exact weighted Jaccard: ${got((1L, 2L))}")
+    assert(!got.contains((3L, 4L)),
+      "boilerplate-only overlap must not clear the weighted threshold " +
+        s"(plain shingle Jaccard would be 0.43): $got")
+    // emitted invariants on the testdata binding
+    val td = Dedup.weightedMinhash(spark, SfDir).collect()
+    assert(td.nonEmpty, "testdata corpus lost its near-dup pairs")
+    assert(td.forall(r => r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
+    assert(td.forall { r =>
+      val i = r.getAs[Long]("inter_w"); val u = r.getAs[Long]("union_w")
+      i > 0 && i <= u && r.getAs[Long]("wjac_ppm") == i * 1000000L / u
+    })
+  }
 }

@@ -47,7 +47,11 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     // decision), and the fixed-point log2 importance weights (integer
     // sums — invariance here gates the feature explode + broadcast
     // join shape, not arithmetic)
-    "dedup_semantic", "sim_graph_beam", "pipeline_dsir")
+    "dedup_semantic", "sim_graph_beam", "pipeline_dsir",
+    // r9 late: Bellman-Ford min-confluence distances and the expanded
+    // weighted-minhash signature mins (both pure-integer aggregates —
+    // invariance gates the frontier/banding join shapes)
+    "q66_sssp", "dedup_minhash_weighted")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
