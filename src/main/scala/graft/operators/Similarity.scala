@@ -2105,7 +2105,9 @@ object Similarity {
     */
   def graphBeamOn(graph: DataFrame, vectors: DataFrame, queries: DataFrame,
       entries: Int = BeamE, width: Int = BeamWidth,
-      rounds: Int = BeamRounds, k: Int = BeamK): DataFrame = {
+      rounds: Int = BeamRounds, k: Int = BeamK,
+      seedPlanes: Int = AutoPlanes): DataFrame = {
+    val p = resolvePlanes(seedPlanes, vectors)
     val und = graph.select(col("u"), col("nbr"))
       .unionAll(graph.select(col("nbr").as("u"), col("u").as("nbr")))
       .distinct()
@@ -2121,7 +2123,7 @@ object Similarity {
     def buckets(df: DataFrame, idCol: String, vecCol: String): DataFrame =
       df.withColumn("tb", explode(array((0 until BeamSeedTables).map(t =>
           struct(lit(t).as("t"), graft.functions.SrpBucket.column(
-            col(vecCol), BeamSeedPlanes, t * BeamSeedPlanes).as("b"))): _*)))
+            col(vecCol), p, t * p).as("b"))): _*)))
         .select(col(idCol), col("tb.t").as("t"), col("tb.b").as("b"))
     val seedCand = buckets(queries, "q_id", "qv")
       .join(buckets(vectors, "c_id", "cv"), Seq("t", "b"))
@@ -2151,7 +2153,9 @@ object Similarity {
   }
 
   /** sim_graph_beam testdata binding: probes = the first 8 vectors
-    * (searched against the full-corpus graph, self-hits excluded).
+    * (searched against the full-corpus graph, self-hits excluded);
+    * seed depth pinned at [[BeamSeedPlanes]] for oracle parity (the
+    * AutoPlanes default applies the log2(N/250) rule at scale).
     */
   def graphBeam(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
@@ -2159,7 +2163,8 @@ object Similarity {
       knnGraphOn(e),
       e.select(col("vec_id").as("c_id"), col("embedding").as("cv")),
       e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+      seedPlanes = BeamSeedPlanes)
       .orderBy(col("q_id"), col("rk"))
   }
 
