@@ -137,6 +137,7 @@ object SparkEntry {
     "pipeline_quality_mix" -> Training.qualityMix _,
     "pipeline_mix_temp"  -> Training.mixTemp _,
     "embed_kmeans"       -> Similarity.kmeans _,
+    "embed_rq"           -> Similarity.rq _,
     "embed_pq"           -> Similarity.pq _,
     "embed_pca"          -> Similarity.pca _,
     "embed_opq"          -> Similarity.opq _,
@@ -594,6 +595,7 @@ object SparkEntry {
     "pipeline_quality_mix" -> Training.qualityMixSql,
     "pipeline_mix_temp"   -> Training.mixTempSql,
     "embed_kmeans"        -> Similarity.kmeansSql,
+    "embed_rq"            -> Similarity.rqSql,
     "embed_pq"            -> Similarity.pqSql,
     "embed_pca"           -> Similarity.pcaSql,
     "embed_opq"           -> Similarity.opqSql,

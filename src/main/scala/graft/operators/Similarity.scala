@@ -1118,18 +1118,27 @@ object Similarity {
     * drop out of the centroid table exactly as the oracle's arithmetic
     * does. Output: (vec_id, cluster, dist2_fixed).
     */
-  def kmeansOn(vectors: DataFrame, k: Int = KmK, iters: Int = KmIters): DataFrame = {
+  /** One full Lloyd run over an ALREADY-QUANTIZED (id, d, qx) stream —
+    * the shared core of [[kmeansOn]] and the residual stage of
+    * [[rqOn]]. `qx` must be NON-NEGATIVE (the truncating `div` in the
+    * centroid mean diverges from DuckDB's flooring `//` on negatives —
+    * callers shift into non-negative range). Returns (final
+    * assignment (id, amin), final centroid table (cid, d, cq)).
+    *
+    * Pivoted-codebook assignment (same rewrite as pqAssign): the
+    * centroid table pivots to d → [cq_0 .. cq_{k−1}], so the argmin is
+    * one broadcast join at N·d rows + a k-column aggregate instead of
+    * exploding to N·d·k (cid, dist) rows — identical integers (null
+    * columns from empty clusters drop out of least() like absent cids).
+    */
+  /** s² mod P — the mixing round that turns a (monotone) LCG value
+    * into a rank-scattering hash; exact int64 (s < 2^31 ⇒ s² < 2^62).
+    */
+  private def pow2ModP(s: Column): Column = (s * s) % P
+
+  private def lloyd(v: DataFrame, k: Int, iters: Int,
+      hashSeeds: Boolean = false): (DataFrame, DataFrame) = {
     require(k <= 16, "argmin packing reserves 4 bits for the centroid id")
-    val v = vectors.select(col("id"), posexplode(col("vec")).as(Seq("d", "x")))
-      .select(col("id"), col("d"),
-        floor((col("x").cast("double") + lit(1.0)) * lit(KmQ.toDouble) + lit(0.5))
-          .cast("long").as("qx"))
-      .transform(graft.util.CacheScope.cached) // re-read by every Lloyd iteration and the final assignment
-    // Pivoted-codebook assignment (same rewrite as pqAssign): the
-    // centroid table pivots to d → [cq_0 .. cq_{k−1}], so the argmin is
-    // one broadcast join at N·d rows + a k-column aggregate instead of
-    // exploding to N·d·k (cid, dist) rows — identical integers (null
-    // columns from empty clusters drop out of least() like absent cids).
     def assignTo(cents: DataFrame): DataFrame = {
       val wide = cents.groupBy(col("d"))
         .pivot("cid", (0 until k).map(i => i.toLong)).agg(first(col("cq")))
@@ -1143,14 +1152,57 @@ object Similarity {
         .agg(sums.head, sums.tail: _*)
         .select(col("id"), least(packed: _*).as("amin"))
     }
-    var cents = v.filter(col("id") < k).select(col("id").as("cid"), col("d"), col("qx").as("cq"))
+    // seeding: the k lowest ids (kmeans' documented policy), or —
+    // hashSeeds — the k lowest SQUARED-LCG-hash ids, remapped to cid
+    // 0..k−1. The hash scatter matters when low ids correlate with a
+    // data pattern: RQ's residual stage measured ZERO stage-2 gain on
+    // a planted corpus whose ids 0..7 all carried identical residuals
+    // (8 coincident seeds → one effective centroid). The square-mod-P
+    // mixing round is load-bearing: a bare LCG is MONOTONE over small
+    // id ranges, so ordering by it reproduced id-order seeding
+    // exactly (the SrpBucket bit-consumer lesson applied to ranking).
+    // TakeOrdered top-k, never a corpus-wide window.
+    var cents =
+      if (hashSeeds) {
+        val seeds = v.select(col("id")).distinct()
+          .withColumn("h", pow2ModP((col("id") * 1000003L + 12289L) % P))
+          .orderBy(col("h"), col("id")).limit(k)
+          .withColumn("cid", row_number().over(
+            Window.orderBy(col("h"), col("id"))) - 1L)
+          .select(col("id"), col("cid"))
+        v.join(broadcast(seeds), Seq("id"))
+          .select(col("cid"), col("d"), col("qx").as("cq"))
+      } else {
+        v.filter(col("id") < k).select(col("id").as("cid"), col("d"), col("qx").as("cq"))
+      }
     (1 to iters).foreach { _ =>
       val assign = assignTo(cents).select(col("id"), pmod(col("amin"), lit(16L)).as("cid"))
+      // pin each round's k·d-row centroid table: truncates the
+      // per-iteration lineage AND lets the final (assignment, cents)
+      // pair share one materialization — RQ consumes both, and
+      // unpinned they re-ran the whole chain twice (8.8 s → the
+      // two-stage composite at ~2× kmeans)
       cents = v.join(assign, Seq("id"))
         .groupBy(col("cid"), col("d"))
         .agg(expr("sum(qx) DIV count(1)").as("cq"))
+        .localCheckpoint(true)
     }
-    assignTo(cents)
+    (assignTo(cents), cents)
+  }
+
+  /** The (+1)·2^20 fixed-point quantization of a float-vector frame to
+    * the exploded (id, d, qx) integer stream the Lloyd core consumes.
+    */
+  private def quantized(vectors: DataFrame): DataFrame =
+    vectors.select(col("id"), posexplode(col("vec")).as(Seq("d", "x")))
+      .select(col("id"), col("d"),
+        floor((col("x").cast("double") + lit(1.0)) * lit(KmQ.toDouble) + lit(0.5))
+          .cast("long").as("qx"))
+
+  def kmeansOn(vectors: DataFrame, k: Int = KmK, iters: Int = KmIters): DataFrame = {
+    val v = quantized(vectors)
+      .transform(graft.util.CacheScope.cached) // re-read by every Lloyd iteration and the final assignment
+    lloyd(v, k, iters)._1
       .select(col("id").as("vec_id"),
         pmod(col("amin"), lit(16L)).cast("int").as("cluster"),
         expr("amin DIV 16").as("dist2_fixed"))
@@ -1161,6 +1213,67 @@ object Similarity {
     kmeansOn(Tables.embeddings(spark, sfDir)
         .select(col("vec_id").as("id"), col("embedding").as("vec")))
       .orderBy(col("vec_id"))
+
+  /** Residual shift: |qx − cq| ≤ 2·KmQ = 2^21, so adding 2^21 keeps
+    * every residual coordinate non-negative — the truncating-vs-
+    * flooring integer-division contract the Lloyd core requires. The
+    * shift cancels in every distance.
+    */
+  val RqShift: Long = 2L * KmQ
+
+  /** embed_rq — RESIDUAL quantization (the additive-codebook family
+    * under RQ/LSQ indexes and neural codecs): stage 1 runs the exact
+    * fixed-point Lloyd over the vectors; stage 2 runs THE SAME Lloyd
+    * over the stage-1 residuals (qx − cq, shifted by [[RqShift]]), so
+    * a vector compresses to two 4-bit codes whose centroid SUM
+    * approximates it — where PQ partitions dimensions, RQ refines the
+    * whole-vector error iteratively, which is why it wins on vectors
+    * whose energy isn't axis-separable. Emitted alongside: the exact
+    * integer reconstruction error after each stage; the stage-2 error
+    * is the quantity an index builder watches to decide whether
+    * another residual stage pays.
+    *
+    * Scale shape: each stage is [[lloyd]] — O(N·k·d) broadcast-join
+    * assignment per round, constant-size centroid state; the residual
+    * join adds one broadcast of the k·d stage-1 centroid table. The
+    * whole composite is integer-exact → fully value-oracled (oracle =
+    * the kmeans CTEs + a second unrolled Lloyd over the residual CTE).
+    * Output: (vec_id, c1, dist2_coarse, c2, dist2_final).
+    */
+  def rqOn(vectors: DataFrame, k: Int = KmK, iters: Int = KmIters): DataFrame = {
+    val v = quantized(vectors)
+      .transform(graft.util.CacheScope.cached) // both Lloyd stages + residual build
+    val (a1, c1) = lloyd(v, k, iters)
+    val assign1 = a1.select(col("id"),
+        pmod(col("amin"), lit(16L)).as("cid"), expr("amin DIV 16").as("d1"))
+      .transform(graft.util.CacheScope.cached) // residual build + final join
+    val resid = v.join(assign1.select(col("id"), col("cid")), Seq("id"))
+      .join(broadcast(c1), Seq("cid", "d"))
+      .select(col("id"), col("d"), (col("qx") - col("cq") + lit(RqShift)).as("qx"))
+      .transform(graft.util.CacheScope.cached) // re-read by every stage-2 Lloyd round
+    val (a2, _) = lloyd(resid, k, iters, hashSeeds = true)
+    assign1.join(a2.select(col("id"),
+        pmod(col("amin"), lit(16L)).as("c2"), expr("amin DIV 16").as("d2")), Seq("id"))
+      .select(col("id").as("vec_id"),
+        col("cid").cast("int").as("c1"), col("d1").as("dist2_coarse"),
+        col("c2").cast("int").as("c2"), col("d2").as("dist2_final"))
+  }
+
+  /** embed_rq testdata binding. */
+  def rq(spark: SparkSession, sfDir: String): DataFrame =
+    rqOn(Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec")))
+      .orderBy(col("vec_id"))
+
+  def rqSql: String =
+    s"""WITH $kmeansCtes,
+       |rv AS (SELECT v.id, v.d, v.qx - c.cq + $RqShift AS qx
+       |       FROM v JOIN cfin f ON v.id = f.id
+       |       JOIN c$KmIters c ON c.cid = f.cluster AND c.d = v.d),
+       |${lloydCtes("rv", "r", hashSeeds = true)}
+       |SELECT f.id AS vec_id, f.cluster AS c1, f.dist2 AS dist2_coarse,
+       | r.cluster AS c2, r.dist2 AS dist2_final
+       |FROM cfin f JOIN rfin r ON f.id = r.id ORDER BY vec_id""".stripMargin
 
   /** Product-quantization geometry and training constants: 8 subspaces
     * of 8 dims over the 64-dim testdata embeddings, 16 centroids per
@@ -1783,31 +1896,50 @@ object Similarity {
        |FROM r WHERE rk <= $AdcTopK ORDER BY probe_id, rk""".stripMargin
   }
 
-  /** The kmeans assignment as a reusable WITH-body ending in
-    * `km(vec_id, cluster, dist2_fixed)` — shared by [[kmeansSql]] and
-    * the SemDeDup oracle (the library's oracles compose exactly like
-    * its operators do).
+  /** One unrolled Lloyd run over CTE `src(id, d, qx)` as a WITH-body
+    * fragment: centroid chain `$pfx0..$pfx$KmIters`, assignments
+    * `${pfx}a$i`, final `${pfx}fin(id, cluster, dist2)` — the oracle
+    * twin of [[lloyd]], shared by the kmeans and RQ oracles.
     */
-  private def kmeansCtes: String = {
+  private def lloydCtes(src: String, pfx: String,
+      hashSeeds: Boolean = false): String = {
     def assignFrom(c: String): String =
       s"""SELECT id, CAST(min(dist2 * 16 + cid) AS BIGINT) AS amin FROM (
          |  SELECT id, cid, CAST(sum((qx - cq) * (qx - cq)) AS BIGINT) AS dist2
-         |  FROM v JOIN $c USING (d) GROUP BY 1, 2) GROUP BY 1""".stripMargin
-    val prelude =
-      s"""v AS (SELECT vec_id AS id, d,
-         |  CAST(floor((CAST(embedding[d] AS DOUBLE) + 1.0) * $KmQ.0 + 0.5) AS BIGINT) AS qx
-         |  FROM embeddings, generate_series(1, 64) AS g(d)),
-         |c0 AS (SELECT id AS cid, d, qx AS cq FROM v WHERE id < $KmK)""".stripMargin
+         |  FROM $src JOIN $c USING (d) GROUP BY 1, 2) GROUP BY 1""".stripMargin
+    val head =
+      if (hashSeeds)
+        s"""${pfx}s AS (SELECT id, rn - 1 AS cid FROM (
+           |  SELECT id, row_number() OVER (ORDER BY
+           |    (((id * 1000003 + 12289) % $P) * ((id * 1000003 + 12289) % $P)) % $P, id) AS rn
+           |  FROM (SELECT DISTINCT id FROM $src)) WHERE rn <= $KmK),
+           |${pfx}0 AS (SELECT s.cid, t.d, t.qx AS cq
+           |  FROM ${pfx}s s JOIN $src t ON s.id = t.id)""".stripMargin
+      else
+        s"${pfx}0 AS (SELECT id AS cid, d, qx AS cq FROM $src WHERE id < $KmK)"
     val steps = (1 to KmIters).map { i =>
-      s"""a$i AS (SELECT id, CAST(amin % 16 AS BIGINT) AS cid FROM (${assignFrom(s"c${i - 1}")})),
-         |c$i AS (SELECT cid, d, CAST(sum(qx) // count(*) AS BIGINT) AS cq
-         |        FROM v JOIN a$i USING (id) GROUP BY 1, 2)""".stripMargin
-    }.mkString(",\n", ",\n", "")
-    s"""$prelude$steps,
-       |km AS (SELECT id AS vec_id, CAST(amin % 16 AS INTEGER) AS cluster,
-       |       CAST(amin // 16 AS BIGINT) AS dist2_fixed
-       |       FROM (${assignFrom(s"c$KmIters")}))""".stripMargin
+      s"""${pfx}a$i AS (SELECT id, CAST(amin % 16 AS BIGINT) AS cid FROM (${assignFrom(s"$pfx${i - 1}")})),
+         |$pfx$i AS (SELECT cid, d, CAST(sum(qx) // count(*) AS BIGINT) AS cq
+         |        FROM $src JOIN ${pfx}a$i USING (id) GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val fin =
+      s"""${pfx}fin AS (SELECT id, CAST(amin % 16 AS INTEGER) AS cluster,
+         |       CAST(amin // 16 AS BIGINT) AS dist2
+         |       FROM (${assignFrom(s"$pfx$KmIters")}))""".stripMargin
+    s"$head,\n$steps,\n$fin"
   }
+
+  /** The kmeans assignment as a reusable WITH-body ending in
+    * `km(vec_id, cluster, dist2_fixed)` — shared by [[kmeansSql]] and
+    * the SemDeDup / RQ oracles (the library's oracles compose exactly
+    * like its operators do).
+    */
+  private def kmeansCtes: String =
+    s"""v AS (SELECT vec_id AS id, d,
+       |  CAST(floor((CAST(embedding[d] AS DOUBLE) + 1.0) * $KmQ.0 + 0.5) AS BIGINT) AS qx
+       |  FROM embeddings, generate_series(1, 64) AS g(d)),
+       |${lloydCtes("v", "c")},
+       |km AS (SELECT id AS vec_id, cluster, dist2 AS dist2_fixed FROM cfin)""".stripMargin
 
   def kmeansSql: String =
     s"""WITH $kmeansCtes

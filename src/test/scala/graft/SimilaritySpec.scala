@@ -137,6 +137,40 @@ class SimilaritySpec extends SparkSpecBase {
       (8L, 0.40, 1L, 4L)))   // [0.40, 0.45): all 4 at >= 0.40
   }
 
+  test("residual quantization: stage 2 collapses structured within-cluster error") {
+    import spark.implicits._
+    // 8 clusters on distinct axes (ids 0..7 are the seeds, one per
+    // cluster); every cluster carries the SAME three off-axis offset
+    // patterns (+d, +d, −d on axis 20) across its non-seed members.
+    // Stage 1 nails the cluster; the residual set then takes only a
+    // handful of distinct values repeated across clusters, so stage 2's
+    // 8 centroids capture them near-exactly — the additive-codebook
+    // win that dimension-partitioned PQ cannot express when the error
+    // pattern lives on one axis.
+    def member(axis: Int, off: Float): Array[Float] = {
+      val v = Array.fill(64)(0f); v(axis) = 1f; v(20) = off; v
+    }
+    val rows = (0 until 8).flatMap { c =>
+      Seq((c.toLong, member(c, 0f)),
+        (8L + c * 3, member(c, 0.2f)), (9L + c * 3, member(c, 0.2f)),
+        (10L + c * 3, member(c, -0.2f)))
+    }
+    val out = Similarity.rqOn(rows.toDF("id", "vec")).collect()
+    assert(out.length == 32)
+    val coarse = out.map(_.getAs[Long]("dist2_coarse")).sum
+    val fin = out.map(_.getAs[Long]("dist2_final")).sum
+    assert(coarse > 0, "planted offsets must leave stage-1 error")
+    assert(fin * 5 < coarse,
+      s"stage 2 should collapse the structured residuals: coarse=$coarse final=$fin")
+    assert(out.forall(r => (0 to 7).contains(r.getAs[Int]("c1")) &&
+      (0 to 7).contains(r.getAs[Int]("c2"))))
+    // on the (noise-like) testdata corpus the win is small but real
+    val td = Similarity.rq(spark, SfDir).collect()
+    val improved = td.count(r => r.getAs[Long]("dist2_final") < r.getAs[Long]("dist2_coarse"))
+    assert(improved * 10 > td.length * 9,
+      s"stage 2 should improve >=90% of vectors: $improved/${td.length}")
+  }
+
   test("semantic dedup: planted near-copies flag against the cluster exemplar; singletons don't") {
     import spark.implicits._
     // 8 seed vectors (ids 0..7) on distinct axes — under the lowest-id
