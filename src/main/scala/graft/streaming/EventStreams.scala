@@ -332,6 +332,46 @@ object EventStreams {
         } finally { b.unpersist(); () }
     }.start()
 
+  /** Streaming NEAR-dup flagging against a STATIC snapshot corpus —
+    * the streaming twin of [[graft.operators.Training.crossCorpusOn]]
+    * (where the stream-static ANTI join covers exact fingerprints,
+    * this covers the banded-MinHash near-dup tier: an incoming crawl
+    * page that paraphrases a snapshot doc flags before it enters the
+    * corpus). The stream side computes the SAME scan-side codegen
+    * signature/band primitives as the batch operator; candidates meet
+    * the snapshot's (band, key) table in a stream-static equi-join —
+    * a per-batch probe with NO stream-stream state — and survive the
+    * exact signature-agreement filter. The pair-level dedup is a
+    * streaming dropDuplicates keyed (new_id, snap_id): its state is
+    * one row per FLAGGED pair (the operator's own output), not per
+    * doc; bound it with a watermark upstream if flagged volume is
+    * unbounded. Output: (new_id, snap_id, est_sim) — identical rows
+    * to the batch operator on the same doc set (spec-diffed).
+    */
+  def nearDupFlagStream(docs: DataFrame, snapshot: DataFrame,
+      minAgreement: Double): DataFrame = {
+    import graft.functions.TextFns
+    def sigs(df: DataFrame) = df
+      .select(col("doc_id"),
+        TextFns.shingleHashes(TextFns.tokenize(col("text"))).as("h"))
+      .filter(size(col("h")) > 0)
+      .select(col("doc_id"), TextFns.minhashSig("h").as("s"))
+    def bands(sig: DataFrame, id: String) = sig
+      .select(col("doc_id").as(id), col("s"),
+        explode(sequence(lit(0), lit(TextFns.Bands - 1))).as("band"))
+      .select(col(id), col("s"), col("band"), TextFns.bandKey("s", "band").as("bk"))
+    val snapB = bands(sigs(snapshot), "snap_id")
+      .select(col("snap_id"), col("s").as("sb"), col("band"), col("bk"))
+      .transform(graft.util.CacheScope.cached) // static side, probed every micro-batch
+    bands(sigs(docs), "new_id")
+      .withColumnRenamed("s", "sa")
+      .join(snapB, Seq("band", "bk"))
+      .withColumn("est_sim", TextFns.sigAgreement("sa", "sb"))
+      .filter(col("est_sim") >= minAgreement)
+      .select(col("new_id"), col("snap_id"), col("est_sim"))
+      .dropDuplicates("new_id", "snap_id")
+  }
+
   /** Streaming INCREMENTAL connected components — the streaming twin
     * of the clustering stack ([[graft.operators.Dedup.clustersOn]] /
     * the community queries), specialised to the MIN-LABEL fixpoint

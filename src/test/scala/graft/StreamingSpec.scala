@@ -514,6 +514,47 @@ class StreamingSpec extends SparkSpecBase {
     assert(kept == Set(2L), s"snapshot members must drop: kept $kept")
   }
 
+  test("stream-static NEAR-dup: banded-minhash flags vs the snapshot equal the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // snapshot docs vs a stream carrying one near-copy (one word
+    // swapped), one exact copy, and one unrelated doc — delivered
+    // across TWO micro-batches to prove the per-batch probe composes
+    // long docs so a one-word swap stays at shingle-Jaccard ~0.9 — a
+    // 14-token doc with one swap sits near 0.6, where 4x4 banding
+    // only catches ~43% of pairs (batch and stream agreed on the miss)
+    val snapA = "the quick brown fox jumps over the lazy dog again and again every day " +
+      "while the patient heron waits beside the quiet river watching silver fish " +
+      "drift slowly past the mossy stones under the fading autumn light"
+    val snapB = "pack my box with five dozen liquor jugs before the long winter arrives " +
+      "and stack the cellar shelves with preserves candles rope and sturdy boots " +
+      "so the household weathers every storm the dark season brings"
+    val snapshot = Seq((100L, snapA), (101L, snapB)).toDF("doc_id", "text")
+    val nearA = snapA.replace("lazy", "sleepy")
+    val fresh = "completely unrelated content about spark catalyst expression codegen internals"
+    val src = MemoryStream[(Long, String)]
+    val out = EventStreams.nearDupFlagStream(
+      src.toDF().toDF("doc_id", "text"), snapshot, 0.5)
+    val q = out.writeStream.format("memory").queryName("near_dup_out")
+      .outputMode("append").start()
+    try {
+      src.addData((1L, nearA), (2L, fresh))
+      q.processAllAvailable()
+      src.addData((3L, snapB))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("near_dup_out")
+      .select("new_id", "snap_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.Training.crossCorpusOn(
+        Seq((1L, nearA), (2L, fresh), (3L, snapB)).toDF("doc_id", "text"),
+        snapshot, "doc_id", "text", 0.5)
+      .select("new_id", "snap_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(streamed.contains((1L, 100L)), "the near-copy must flag against its snapshot source")
+    assert(streamed.contains((3L, 101L)), "the exact copy must flag")
+    assert(!streamed.exists(_._1 == 2L), "the unrelated doc must not flag")
+  }
+
   test("streaming quality gate routes every row to exactly one of good/quarantine") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
