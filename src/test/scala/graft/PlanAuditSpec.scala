@@ -187,6 +187,37 @@ class PlanAuditSpec extends SparkSpecBase {
       s"|labels|x|dims| centroid table should broadcast, not shuffle the exploded stream:\n$p")
   }
 
+  test("dedup_semantic: the cluster-exemplar table broadcasts to the member scan") {
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val p = planOf(q("dedup_semantic"))
+      assert(p.contains("BroadcastHashJoin"),
+        s"k-row exemplar table should broadcast, never shuffle the members:\n$p")
+    }
+  }
+
+  test("pipeline_dsir: the bucket-weight model broadcasts; no cartesian anywhere") {
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val p = planOf(q("pipeline_dsir"))
+      // two deliberate broadcasts: the 1-row totals and the B-row
+      // weight table — the property that makes DSIR run at corpus
+      // scale (the model is constant-size whatever N is)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"constant-size model tables should broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"the 1-row totals must ride a broadcast, not a cartesian:\n$p")
+    }
+  }
+
+  test("sim_graph_beam: probes broadcast; edges and candidates meet in hash equi-joins") {
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val p = planOf(q("sim_graph_beam"))
+      assert(p.contains("BroadcastHashJoin"),
+        s"the probe set should broadcast into every scoring join:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"beam expansion must stay equi-join-shaped:\n$p")
+    }
+  }
+
   test("pipeline_pack: per-shard window — no single-partition exchange anywhere") {
     val p = planOf(q("pipeline_pack"))
     assert(!p.contains("Exchange SinglePartition"),
