@@ -124,6 +124,7 @@ object SparkEntry {
     "q56_kcore"          -> Affinity.kcore _,
     "dq_profile_drift"   -> Quality.dqProfileDrift _,
     "dq_freshness"       -> Quality.dqFreshness _,
+    "embed_mrl_eval"      -> Similarity.mrlEval _,
     "sim_recall_eval"    -> Similarity.recallEval _,
     "dedup_threshold_sweep" -> Similarity.thresholdSweep _,
     "sim_mips_ann"       -> Similarity.mipsAnn _,
@@ -582,6 +583,7 @@ object SparkEntry {
     "dq_profile_drift"    -> Quality.dqProfileDriftSql,
     "dq_freshness"        -> Quality.dqFreshnessSql,
     "sim_recall_eval"     -> Similarity.recallEvalSql,
+    "embed_mrl_eval"      -> Similarity.mrlEvalSql,
     "dedup_threshold_sweep" -> Similarity.thresholdSweepSql,
     "sim_mips_ann"        -> Similarity.mipsAnnSql,
     "sim_range_search"    -> Similarity.rangeSearchSql,

@@ -374,6 +374,84 @@ object Similarity {
        |SELECT q_id, n_true, n_hits, (1000000 * n_hits) // n_true AS recall_ppm
        |FROM h ORDER BY q_id""".stripMargin
 
+  /** Prefix-dimension ladder for [[mrlEvalOn]], shared with the
+    * oracle: the truncation points evaluated (the last entry must be
+    * the full dimensionality — it defines the truth set).
+    */
+  val MrlDims = Seq(8, 16, 32, 64)
+
+  /** embed_mrl_eval — Matryoshka truncation audit (Kusupati et al.
+    * 2022): recall@k of PREFIX-dimension cosine retrieval against the
+    * full-dimension truth, one row per truncation point. The question
+    * it answers is the embedding-budget tradeoff every store faces —
+    * how many leading dims must be kept for retrieval to survive
+    * (8× storage/compute reduction at dims=8 if recall holds; for
+    * MRL-trained embeddings the leading dims carry the signal by
+    * construction, and for non-MRL embeddings this measures the decay
+    * honestly — the testdata's unstructured vectors show it).
+    *
+    * Shape: the dims ladder rides as exploded rows through ONE
+    * scoring pass (|Q|·|C|·|ladder| scored rows — an EVAL on a probe
+    * sample, like [[recallEvalOn]], never a full-corpus pass); prefix
+    * cosine is the same exact-IEEE fold over `slice(v, 1, dims)`, so
+    * every number value-oracles; integer hit counts and ppm recall.
+    * Output: (dims, n_true, n_hits, recall_ppm).
+    */
+  def mrlEvalOn(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("dims"), col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    val scored = candidates.crossJoin(broadcast(queries))
+      .withColumn("dims", explode(array(MrlDims.map(lit(_)): _*)))
+      .withColumn("qp", expr("slice(qv, 1, dims)"))
+      .withColumn("cp", expr("slice(cv, 1, dims)"))
+      .withColumn("cos", cosExpr("qp", "cp"))
+      .select(col("dims"), col("q_id"), col("c_id"), col("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .transform(graft.util.CacheScope.cached) // truth slice + per-dims join
+    val truth = scored.filter(col("dims") === MrlDims.last)
+      .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+    scored.select(col("dims"), col("q_id"), col("c_id"))
+      .join(truth, Seq("q_id", "c_id"), "left")
+      .groupBy(col("dims"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("dims"), col("n_true"), col("n_hits"),
+        expr("(1000000 * n_hits) div n_true").as("recall_ppm"))
+  }
+
+  /** embed_mrl_eval testdata binding: the standard probe/candidate
+    * split, k = 5.
+    */
+  def mrlEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    mrlEvalOn(
+      e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+      e.filter(col("vec_id") >= 8).select(col("vec_id").as("c_id"), col("embedding").as("cv")),
+      5)
+      .orderBy(col("dims"))
+  }
+
+  def mrlEvalSql: String = {
+    val dims = MrlDims.mkString("(", "), (", ")")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id >= 8),
+       |s AS (SELECT d.dims, q_id, c_id,
+       |       ${cosSql("qv[1:d.dims]", "cv[1:d.dims]")} AS cos
+       |      FROM q CROSS JOIN c CROSS JOIN (VALUES $dims) AS d(dims)),
+       |r AS (SELECT dims, q_id, c_id,
+       |       row_number() OVER (PARTITION BY dims, q_id ORDER BY cos DESC, c_id) AS rk
+       |      FROM s),
+       |topk AS (SELECT dims, q_id, c_id FROM r WHERE rk <= 5),
+       |truth AS (SELECT q_id, c_id FROM topk WHERE dims = ${MrlDims.last}),
+       |h AS (SELECT t.dims, CAST(count(*) AS BIGINT) AS n_true,
+       |       CAST(sum(CASE WHEN tr.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |      FROM topk t LEFT JOIN truth tr ON t.q_id = tr.q_id AND t.c_id = tr.c_id
+       |      GROUP BY 1)
+       |SELECT dims, n_true, n_hits, (1000000 * n_hits) // n_true AS recall_ppm
+       |FROM h ORDER BY dims""".stripMargin
+  }
+
   /** sim_mips_ann — maximum-inner-product search (the recommendation /
     * retrieval scoring primitive, where un-normalized magnitude
     * matters) via the public norm-augmentation reduction to cosine LSH

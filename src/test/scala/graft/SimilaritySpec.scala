@@ -137,6 +137,41 @@ class SimilaritySpec extends SparkSpecBase {
       (8L, 0.40, 1L, 4L)))   // [0.40, 0.45): all 4 at >= 0.40
   }
 
+  test("mrl eval: full-dims recall is exactly 1; leading-dim signal survives truncation, trailing noise doesn't") {
+    import spark.implicits._
+    // the testdata ladder: recall monotone-ish and exactly 1.0 at 64
+    val td = Similarity.mrlEval(spark, SfDir).collect()
+      .map(r => r.getAs[Int]("dims") -> r.getAs[Long]("recall_ppm")).toMap
+    assert(td(64) == 1000000L, s"truth vs itself must be exact: $td")
+    assert(td(8) <= td(64) && td(16) <= td(64))
+    // planted MRL-shaped corpus: ALL retrieval signal in dims 0..7
+    // (cluster axes), pure per-id noise in the trailing dims — an
+    // 8-dim prefix must already retrieve the cluster mates
+    def vec(axis: Int, id: Long): Array[Float] = {
+      val v = Array.fill(64)(0f); v(axis) = 1f
+      (8 until 64).foreach(d => v(d) = (((id * 31 + d) % 7).toFloat - 3f) / 30f)
+      v
+    }
+    val rows = (0 until 4).flatMap { c =>
+      (0 until 10).map(j => (c * 10L + j, vec(c, c * 10L + j)))
+    }
+    val df = rows.toDF("id", "v")
+    val out = Similarity.mrlEvalOn(
+      df.filter(col("id") % 10 === 0).select(col("id").as("q_id"), col("v").as("qv")),
+      df.filter(col("id") % 10 =!= 0).select(col("id").as("c_id"), col("v").as("cv")),
+      5).collect().map(r => r.getAs[Int]("dims") -> r.getAs[Long]("recall_ppm")).toMap
+    assert(out(64) == 1000000L)
+    // prefix-8 ties ALL cluster mates at cos 1.0, so id tie-breaks can
+    // pick a different 5 of the 9 mates than the noise-ranked truth —
+    // 0.6 measured. The claim is the CONTRAST: the structured corpus
+    // retrieves cluster mates from 8 dims where the unstructured
+    // testdata corpus got 0.0; 16 dims (prefix + some noise) restores
+    // truth-exact ranking.
+    assert(out(8) >= 500000L && out(8) > td(8),
+      s"an 8-dim prefix should beat the unstructured baseline (${td(8)}): $out")
+    assert(out(16) >= 900000L, s"16-dim prefix should rank near-exactly: $out")
+  }
+
   test("residual quantization: stage 2 collapses structured within-cluster error") {
     import spark.implicits._
     // 8 clusters on distinct axes (ids 0..7 are the seeds, one per
