@@ -187,14 +187,17 @@ object SparkEntry {
     "sim_ivfpq"           -> Similarity.ivfPq _,
     "sim_knn_graph"       -> Similarity.knnGraph _,
     "sim_graph_beam"      -> Similarity.graphBeam _,
+    "sim_mmr"             -> Similarity.mmr _,
     "embed_knn_join"      -> Similarity.knnJoin _,
     "dedup_embed_cosine"  -> Similarity.embedCosineDedup _,
     "dedup_semantic"      -> Similarity.semanticDedup _,
     "mm_meta"             -> Multimodal.meta _,
     "mm_audio_fp"         -> Multimodal.audioFp _,
     "mm_video_scenes"     -> Multimodal.videoScenes _,
+    "mm_image_phash"      -> Multimodal.imagePhashPairs _,
     "pipeline_curate"     -> Curate.curate _,
     "contamination_check" -> Training.contamination _,
+    "contamination_bloom" -> Training.contaminationBloom _,
     "pipeline_pack"       -> Training.pack _,
     "pipeline_mix"        -> Training.mix _,
     "dedup_cross_corpus"  -> Training.crossCorpus _,
@@ -530,6 +533,7 @@ object SparkEntry {
     "text_vocab_coverage" -> TextAnalysis.vocabCoverageSql,
     "text_length_profile" -> TextAnalysis.lengthProfileSql,
     "contamination_check" -> Training.contaminationSql,
+    "contamination_bloom" -> Training.contaminationBloomSql,
     "pipeline_pack"       -> Training.packSql,
     "pipeline_mix"        -> Training.mixSql,
     "dedup_cross_corpus"  -> Training.crossCorpusSql,
@@ -703,6 +707,7 @@ object SparkEntry {
     "sim_ivfpq"           -> Similarity.ivfPqSql,
     "sim_knn_graph"       -> Similarity.knnGraphSql,
     "sim_graph_beam"      -> Similarity.graphBeamSql,
+    "sim_mmr"             -> Similarity.mmrSql,
     "embed_knn_join"      -> Similarity.knnJoinSql,
     "dedup_embed_cosine"  -> Similarity.embedCosineDedupSql,
     "dedup_semantic"      -> Similarity.semanticDedupSql,

@@ -178,6 +178,114 @@ object Multimodal {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
+  /** One DCT perceptual hash. */
+  case class ImagePHash(doc_id: Long, phash: Long)
+
+  /** 8×32 DCT-II basis rows (StrictMath — bit-identical on every JVM):
+    * cos((2x+1)·u·π/64) for the 8 lowest frequencies over 32 samples.
+    */
+  private lazy val PHashCos: Array[Array[Double]] =
+    Array.tabulate(8, 32)((u, x) =>
+      StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 64.0))
+
+  /** DCT perceptual hash (the classic pHash) of a REAL decoded image:
+    * 32×32 SCALE_SMOOTH downsample → integer ITU-R 601 luma → separable
+    * 2-D DCT-II → the 8×8 lowest-frequency block minus the DC term,
+    * each of the 63 bits set when its coefficient exceeds the block
+    * median. Dropping DC makes the hash invariant to uniform brightness
+    * shifts exactly (aHash's mean threshold only approximately), and
+    * median thresholding fixes the bit balance at ~50% — the property
+    * the 16-bit pigeonhole banding needs to stay selective. StrictMath
+    * basis + integer luma keeps the hash bit-identical across JVMs.
+    * None for undecodable payloads (quarantine, never crash the scan).
+    */
+  def pHash(docId: Long, bytes: Array[Byte]): Option[ImagePHash] = {
+    val src =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    Option(src).map { img =>
+      val out = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.drawImage(img.getScaledInstance(32, 32, java.awt.Image.SCALE_SMOOTH), 0, 0, null)
+      g.dispose()
+      val luma = Array.tabulate(32, 32) { (y, x) =>
+        val rgb = out.getRGB(x, y)
+        ((299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+          + 114 * (rgb & 0xff)) / 1000).toDouble
+      }
+      // separable DCT: rows first (8×32 partial), then columns (8×8)
+      val part = Array.tabulate(8, 32)((u, y) =>
+        (0 until 32).foldLeft(0.0)((acc, x) => acc + luma(y)(x) * PHashCos(u)(x)))
+      val coef = Array.tabulate(8, 8)((u, v) =>
+        (0 until 32).foldLeft(0.0)((acc, y) => acc + part(u)(y) * PHashCos(v)(y)))
+      val ac = for { u <- 0 until 8; v <- 0 until 8; if u != 0 || v != 0 }
+        yield coef(u)(v)
+      val med = ac.sorted.apply(31) // median of the 63 AC coefficients
+      val h = ac.zipWithIndex.foldLeft(0L) { case (acc, (c, i)) =>
+        if (c > med) acc | (1L << (62 - i)) else acc
+      }
+      ImagePHash(docId, h)
+    }
+  }
+
+  /** Batch DCT hashing over a (doc_id, payload:binary) frame. */
+  def imagePHashesOn(df: DataFrame): Dataset[ImagePHash] = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => pHash(id, bytes) })
+  }
+
+  /** pHash near-dup pairs — the same 4×16-bit pigeonhole banding as
+    * [[imageNearDupOn]] over the DCT hashes.
+    */
+  def imagePHashNearDupOn(hashes: DataFrame, maxDist: Int = 3): DataFrame =
+    imageNearDupOn(hashes.select(col("doc_id"), col("phash").as("ahash")), maxDist)
+
+  /** Deterministic 32×32 grayscale PNG: full-entropy per-pixel noise
+    * from a splitmix-style integer mix of (seed, pixel index), range
+    * 40..199 so a +15 brightness shift never saturates (saturation
+    * would break the DCT's exact shift invariance).
+    */
+  def synthNoisePng(seed: Long, brightness: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val px = Array.tabulate(32 * 32) { i =>
+      var z = seed * 0x9e3779b97f4a7c15L + i.toLong * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 30)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (40 + Math.floorMod(z, 160L).toInt + brightness)
+    }
+    img.getRaster.setSamples(0, 0, 32, 32, 0, px)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  /** mm_image_phash — the image near-dup tier as a DRIVER-VISIBLE query
+    * (completing the tier set: mm_meta scans, mm_audio_fp, mm_video_
+    * scenes): every document carries a deterministic [[synthNoisePng]]
+    * payload — full-entropy noise keyed by doc_id, except docs with
+    * id % 50 == 1, which repeat their predecessor's pattern at +15
+    * brightness (the planted near-dup; DC-only change, so the DCT hash
+    * matches exactly) — decoded by the REAL ImageIO path, DCT-hashed,
+    * and banded-joined into (a_id, b_id, hamming) pairs. Codec bytes
+    * are not SQL-expressible → rows-only in CORRECTNESS; the spec pins
+    * that exactly the planted pairs (and nothing else) come back.
+    */
+  def imagePhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pngs = Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        if (id % 50L == 1L) (id, synthNoisePng(id - 1L, 15))
+        else (id, synthNoisePng(id, 0))
+      }).toDF("doc_id", "payload")
+    imagePHashNearDupOn(imagePHashesOn(pngs).toDF(), maxDist = 3)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** One decoded audio record. */
   case class AudioMeta(doc_id: Long, payload_len: Int, sample_rate: Int,
     channels: Int, n_frames: Long, duration_ms: Long)

@@ -2417,4 +2417,120 @@ object Similarity {
        |      FROM ($all))
        |WHERE rk <= $BeamK ORDER BY q_id, rk""".stripMargin
   }
+
+  // ---------------------------------------------------------------- MMR
+
+  /** MMR selection depth / trade-off / fixed-point scale. λ = 700 milli
+    * weights relevance 70/30 against redundancy — the usual exemplar-
+    * selection setting; 2^20 fixed-point keeps every dot product exact
+    * int64 (|q| ≤ 2^19 on unit vectors → 64-dim dots ≤ 2^44, scores
+    * ≤ 1000·2^44 ≪ 2^63).
+    */
+  val MmrK = 5
+  val MmrLambdaMilli = 700L
+  val MmrFp = 1L << 20
+
+  /** sim_mmr — maximal-marginal-relevance selection (Carbonell &
+    * Goldstein 1998): greedily pick k vectors maximizing
+    * λ·rel(v) − (1−λ)·max_{s∈selected} sim(v, s) — the training-data
+    * selection step that wants exemplars RELEVANT to a target but not
+    * redundant with each other (dedup_keep_best keeps one per cluster;
+    * MMR balances the two objectives in one score).
+    *
+    * Exactness: vectors are quantized once to 2^20 fixed point
+    * scan-side; relevance and pairwise similarity are exact integer
+    * dot products, the score an exact integer combination — the greedy
+    * argmax (score DESC, id ASC tie-break) is deterministic on both
+    * engines, so the whole k-step selection value-oracles as a k-step
+    * unrolled SQL the builder generates from the same constants.
+    *
+    * Shape at scale: MMR is inherently sequential in k, but each step
+    * is one full scan + argmax reduce — embarrassingly parallel — with
+    * the ≤k selected vectors riding as broadcast literals (the same
+    * pattern a 100 TB exemplar pass uses: k driver-side rows, never a
+    * pairwise matrix). The k `head` calls are bounded scalar reads
+    * (k·(64+4) longs), the allowlisted fixpoint-read pattern.
+    * Output: (rk, vec_id, rel, max_sim, score).
+    */
+  def mmrOn(vectors: DataFrame, queryId: Long, k: Int = MmrK,
+      lambdaMilli: Long = MmrLambdaMilli): DataFrame = {
+    val spark = vectors.sparkSession
+    val qArr = transform(col("vec"),
+      x => floor(x.cast("double") * lit(MmrFp.toDouble) + lit(0.5)).cast("long"))
+    val quant = vectors.select(col("id"), qArr.as("q"))
+      .transform(graft.util.CacheScope.cached) // rescanned once per greedy step
+    def dotLit(v: Seq[Long]): Column = {
+      val lits = array(v.map(lit): _*)
+      aggregate(zip_with(col("q"), lits, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+    }
+    val qvec = {
+      val r = quant.filter(col("id") === queryId).head
+      r.getSeq[Long](r.fieldIndex("q")).toIndexedSeq
+    }
+    val cand = quant.filter(col("id") =!= queryId)
+      .withColumn("rel", dotLit(qvec))
+      .transform(graft.util.CacheScope.cached) // rel reused across all k steps
+    var selected = Vector.empty[(Long, Seq[Long], Long, Long, Long)]
+    (1 to k).foreach { _ =>
+      val chosen = selected.map(_._1)
+      val maxSim =
+        if (selected.isEmpty) lit(0L)
+        else if (selected.size == 1) dotLit(selected.head._2)
+        else greatest(selected.map(s => dotLit(s._2)): _*)
+      val remaining =
+        if (chosen.isEmpty) cand else cand.filter(!col("id").isin(chosen: _*))
+      val step = remaining
+        .withColumn("max_sim", maxSim)
+        .withColumn("score",
+          lit(lambdaMilli) * col("rel") - lit(1000L - lambdaMilli) * col("max_sim"))
+        .orderBy(col("score").desc, col("id").asc)
+        .select(col("id"), col("q"), col("rel"), col("max_sim"), col("score"))
+        .head
+      selected :+= ((step.getAs[Long]("id"),
+        step.getSeq[Long](step.fieldIndex("q")).toIndexedSeq,
+        step.getAs[Long]("rel"), step.getAs[Long]("max_sim"),
+        step.getAs[Long]("score")))
+    }
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, _, rel, ms, sc), i) => (i + 1, id, rel, ms, sc) }
+      .toDF("rk", "vec_id", "rel", "max_sim", "score")
+  }
+
+  /** sim_mmr testdata binding: query = vector 0, select 5 from the rest. */
+  def mmr(spark: SparkSession, sfDir: String): DataFrame =
+    mmrOn(Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec")),
+      queryId = 0L)
+
+  def mmrSql: String = {
+    val lam = MmrLambdaMilli
+    val dot = (a: String, b: String) =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, 64), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+    val steps = (2 to MmrK).map { t =>
+      val prev = (1 until t).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+      s"""c$t AS (SELECT r.vec_id, max(${dot("r.q", "s.q")}) AS max_sim
+         |       FROM rel r CROSS JOIN (SELECT q FROM ($prev)) s
+         |       WHERE r.vec_id NOT IN (SELECT vec_id FROM ($prev)) GROUP BY 1),
+         |s$t AS (SELECT $t AS rk, r.vec_id, r.q, r.rel, c.max_sim,
+         |         $lam * r.rel - ${1000 - lam} * c.max_sim AS score
+         |        FROM rel r JOIN c$t c USING (vec_id)
+         |        ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val all = (1 to MmrK).map(i => s"SELECT rk, vec_id, rel, max_sim, score FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""WITH vq AS (SELECT vec_id, list_transform(embedding,
+       |        x -> CAST(floor(CAST(x AS DOUBLE) * $MmrFp.0 + 0.5) AS BIGINT)) AS q
+       |      FROM embeddings),
+       |qv AS (SELECT q FROM vq WHERE vec_id = 0),
+       |rel AS (SELECT v.vec_id, v.q, ${dot("v.q", "qv.q")} AS rel
+       |        FROM vq v CROSS JOIN qv WHERE v.vec_id <> 0),
+       |s1 AS (SELECT 1 AS rk, vec_id, q, rel, CAST(0 AS BIGINT) AS max_sim,
+       |        $lam * rel AS score
+       |       FROM rel ORDER BY score DESC, vec_id LIMIT 1)$steps
+       |SELECT CAST(rk AS INTEGER) AS rk, vec_id, rel, max_sim, score
+       |FROM ($all) ORDER BY rk""".stripMargin
+  }
 }

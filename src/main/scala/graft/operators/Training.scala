@@ -94,6 +94,144 @@ object Training {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------- bloom prefilter
+
+  /** Bloom filter geometry for [[contaminationBloomOn]]: 2^15 bits
+    * packed as 1024 × 32-bit words (32-bit words so every set-bit mask
+    * `1 << (pos % 32)` stays strictly positive in int64 — a 63-bit
+    * shift's sign bit behaves differently across engines' literals).
+    */
+  val BloomBits = 32768L
+  val BloomWordBits = 32L
+
+  /** The k=2 Bloom hash family: h_j(x) = ((a_j·x + b_j) mod P) mod
+    * [[BloomBits]]. Coefficients differ from the MinHash family so the
+    * two sketches decorrelate; x < P < 2^31 keeps a_j·x < 2^62.
+    */
+  val BloomCoef: Seq[(Long, Long)] = Seq((1103515245L, 12345L), (69069L, 362437L))
+
+  /** contamination_bloom — the decontamination probe restructured the
+    * way a 100 TB pass actually runs: the EVAL shingle set is compiled
+    * into a tiny Bloom filter (≤1024 words — kilobytes broadcast to
+    * every executor), every corpus shingle is tested SCAN-SIDE against
+    * it via two 1024-row broadcast word-table joins (zero shuffle for
+    * the membership test), and only the shingles that pass the Bloom
+    * enter the exact semi-join verification. On an uncontaminated
+    * corpus — the overwhelmingly common case — the expensive
+    * shingle-keyed shuffle of [[contaminationOn]] shrinks to the Bloom
+    * false-positive stream (~n_shingles · (1 − e^{−kn/m})^k), while the
+    * exact verify keeps the result identical to the unfiltered check:
+    * a Bloom has no false negatives, so n_true_hit here ≡ n_hit there.
+    * The report also surfaces the filter's measured FP count per doc —
+    * the sizing feedback a production gate monitors.
+    * Output: (doc_id, n_shingles, n_bloom_hit, n_true_hit, n_fp,
+    * containment_milli, contaminated) for corpus docs with ≥1 shingle;
+    * every metric exact int64, so the whole operator value-oracles.
+    */
+  def contaminationBloomOn(corpus: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, thresholdMilli: Long = 500L): DataFrame = {
+    val P = TextFns.P
+    def shingled(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+      TextFns.shingleHashes(TextFns.tokenize(col(textCol))).as("h"))
+    // eval shingles feed BOTH the bloom build and the exact verify —
+    // cache: the fork is pre-exchange, no ReusedExchange possible
+    val evalX = shingled(eval).select(explode(col("h")).as("x")).distinct()
+      .transform(graft.util.CacheScope.cached)
+    def pos(j: Int, x: Column): Column = {
+      val (a, b) = BloomCoef(j)
+      (x * a + b) % P % BloomBits
+    }
+    val bloom = evalX
+      .select(explode(array(BloomCoef.indices.map(j => pos(j, col("x"))): _*)).as("p"))
+      .select(expr(s"p div $BloomWordBits").as("w"),
+        expr(s"shiftleft(cast(1 as bigint), cast(p % $BloomWordBits as int))").as("m"))
+      .groupBy(col("w")).agg(expr("bit_or(m)").as("bits"))
+    val docs = shingled(corpus).filter(size(col("h")) > 0)
+      .transform(graft.util.CacheScope.cached)
+    // scan-side membership: one left join per hash against the
+    // broadcast word table; hit ⇔ both probed bits set
+    val probed = docs.select(col("doc_id"), explode(col("h")).as("x"))
+      .withColumn("p0", pos(0, col("x"))).withColumn("p1", pos(1, col("x")))
+      .withColumn("w0", expr(s"p0 div $BloomWordBits"))
+      .withColumn("w1", expr(s"p1 div $BloomWordBits"))
+      .join(broadcast(bloom.select(col("w").as("w0"), col("bits").as("bits0"))),
+        Seq("w0"), "left")
+      .join(broadcast(bloom.select(col("w").as("w1"), col("bits").as("bits1"))),
+        Seq("w1"), "left")
+      .withColumn("hit", when(
+        col("bits0").isNotNull && col("bits1").isNotNull &&
+          (col("bits0").bitwiseAND(expr(s"shiftleft(cast(1 as bigint), cast(p0 % $BloomWordBits as int))")) =!= 0L) &&
+          (col("bits1").bitwiseAND(expr(s"shiftleft(cast(1 as bigint), cast(p1 % $BloomWordBits as int))")) =!= 0L),
+        1L).otherwise(0L))
+    val bloomHits = probed.groupBy(col("doc_id"))
+      .agg(sum(col("hit")).as("n_bloom_hit"))
+    // exact verify — ONLY the bloom survivors reach the semi join
+    val trueHits = probed.filter(col("hit") === 1L)
+      .select(col("doc_id"), col("x"))
+      .join(evalX, Seq("x"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_true_hit"))
+    docs.select(col("doc_id"), size(col("h")).cast("long").as("n_shingles"))
+      .join(bloomHits, Seq("doc_id"), "left")
+      .join(trueHits, Seq("doc_id"), "left")
+      .withColumn("n_bloom_hit", coalesce(col("n_bloom_hit"), lit(0L)))
+      .withColumn("n_true_hit", coalesce(col("n_true_hit"), lit(0L)))
+      .withColumn("n_fp", col("n_bloom_hit") - col("n_true_hit"))
+      .withColumn("containment_milli", expr("(1000 * n_true_hit) div n_shingles"))
+      .withColumn("contaminated",
+        when(col("containment_milli") >= thresholdMilli, 1).otherwise(0))
+  }
+
+  /** contamination_bloom testdata binding — same eval split as
+    * [[contamination]] so the two reports are directly comparable
+    * (n_true_hit ≡ contamination_check's n_hit).
+    */
+  def contaminationBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    contaminationBloomOn(d.filter(col("doc_id") % 97 =!= 0),
+      d.filter(col("doc_id") % 97 === 0), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  def contaminationBloomSql: String = {
+    val P = TextFns.P
+    val sh = s"SELECT doc_id, ${TextFns.shingleHashesSql(TextFns.tokenizeSql("text"))} AS h FROM documents"
+    def posSql(j: Int, x: String) = {
+      val (a, b) = BloomCoef(j)
+      s"(($x * $a + $b) % $P) % $BloomBits"
+    }
+    def maskSql(p: String) =
+      s"(CAST(1 AS BIGINT) << CAST($p % $BloomWordBits AS INTEGER))"
+    s"""WITH sh AS ($sh),
+       |ev AS (SELECT DISTINCT unnest(h) AS x FROM sh WHERE doc_id % 97 = 0),
+       |pos AS (SELECT ${posSql(0, "x")} AS p FROM ev
+       |        UNION ALL SELECT ${posSql(1, "x")} FROM ev),
+       |bloom AS (SELECT p // $BloomWordBits AS w, bit_or(${maskSql("p")}) AS bits
+       |          FROM pos GROUP BY 1),
+       |docs AS (SELECT doc_id, h FROM sh WHERE doc_id % 97 <> 0 AND len(h) > 0),
+       |px AS (SELECT doc_id, unnest(h) AS x FROM docs),
+       |pp AS (SELECT doc_id, x, ${posSql(0, "x")} AS p0, ${posSql(1, "x")} AS p1 FROM px),
+       |ht AS (SELECT pp.doc_id, pp.x,
+       |        CASE WHEN b0.bits IS NOT NULL AND b1.bits IS NOT NULL
+       |              AND (b0.bits & ${maskSql("pp.p0")}) <> 0
+       |              AND (b1.bits & ${maskSql("pp.p1")}) <> 0
+       |             THEN 1 ELSE 0 END AS hit
+       |       FROM pp LEFT JOIN bloom b0 ON pp.p0 // $BloomWordBits = b0.w
+       |               LEFT JOIN bloom b1 ON pp.p1 // $BloomWordBits = b1.w),
+       |bh AS (SELECT doc_id, CAST(sum(hit) AS BIGINT) AS n_bloom_hit FROM ht GROUP BY 1),
+       |th AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_true_hit FROM ht
+       |       WHERE hit = 1 AND x IN (SELECT x FROM ev) GROUP BY 1),
+       |r AS (SELECT d.doc_id, CAST(len(d.h) AS BIGINT) AS n_shingles,
+       |        coalesce(bh.n_bloom_hit, 0) AS n_bloom_hit,
+       |        coalesce(th.n_true_hit, 0) AS n_true_hit
+       |      FROM docs d LEFT JOIN bh ON d.doc_id = bh.doc_id
+       |                  LEFT JOIN th ON d.doc_id = th.doc_id)
+       |SELECT doc_id, n_shingles, n_bloom_hit, n_true_hit,
+       | n_bloom_hit - n_true_hit AS n_fp,
+       | (1000 * n_true_hit) // n_shingles AS containment_milli,
+       | CAST(CASE WHEN (1000 * n_true_hit) // n_shingles >= 500 THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------- packing
 
   /** Token budget per packed training sequence. */

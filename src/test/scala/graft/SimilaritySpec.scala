@@ -231,4 +231,29 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.filter(_.getAs[Int]("is_dup") == 1)
       .forall(_.getAs[Double]("cos_exemplar") >= 0.99))
   }
+
+  test("mmr: redundancy penalty diversifies — an exact clone of the first pick loses to an orthogonal vector") {
+    import spark.implicits._
+    // query (id 0) along x; ids 1 and 2 are clones of it (max relevance,
+    // maximal mutual redundancy); id 3 is orthogonal (zero relevance).
+    val v = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(1f, 0f, 0f, 0f)),
+      (3L, Seq(0f, 1f, 0f, 0f))).toDF("id", "vec")
+    // λ=300: step 1 takes id 1 (max rel, id tie-break vs 2); step 2 the
+    // clone scores 300·FP² − 700·FP² < 0 while the orthogonal vector
+    // scores 0 — redundancy must flip the order to 1, 3, 2.
+    val r = Similarity.mmrOn(v, queryId = 0L, k = 3, lambdaMilli = 300L)
+      .orderBy("rk").collect()
+    assert(r.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 3L, 2L), r.mkString(";"))
+    val fp2 = Similarity.MmrFp * Similarity.MmrFp
+    assert(r(0).getAs[Long]("rel") == fp2 && r(0).getAs[Long]("max_sim") == 0L)
+    // the clone's max_sim is the full fixed-point square (cos 1.0)
+    assert(r(2).getAs[Long]("max_sim") == fp2)
+    // pure-relevance ordering (λ=1000) keeps both clones first instead
+    val pure = Similarity.mmrOn(v, queryId = 0L, k = 3, lambdaMilli = 1000L)
+      .orderBy("rk").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(pure == Seq(1L, 2L, 3L), pure.toString)
+  }
 }

@@ -355,6 +355,38 @@ class SourcesSpec extends SparkSpecBase {
     assert(again == hs)
   }
 
+  test("DCT pHash: exact brightness invariance (DC dropped), planted pairs only, ~balanced bits") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Multimodal.synthNoisePng(1L, 0)),
+      (2L, Multimodal.synthNoisePng(1L, 15)),  // same pattern, +15 brightness
+      (3L, Multimodal.synthNoisePng(7L, 0)),   // unrelated
+      (4L, "junk".getBytes))                   // quarantined
+      .toDF("doc_id", "payload")
+    val hs = Multimodal.imagePHashesOn(df).collect().map(h => h.doc_id -> h.phash).toMap
+    assert(hs.keySet == Set(1L, 2L, 3L), "junk quarantined, images hashed")
+    // a uniform shift moves ONLY the DC coefficient, which pHash drops:
+    // the hashes are bit-identical, not merely close
+    assert(hs(1L) == hs(2L), f"brightness shift changed the hash: ${hs(1L)}%x vs ${hs(2L)}%x")
+    // median thresholding pins the bit balance near 31/63
+    hs.values.foreach { h =>
+      val bits = java.lang.Long.bitCount(h)
+      assert(bits >= 24 && bits <= 39, s"unbalanced hash: $bits bits")
+    }
+    val pairs = Multimodal.imagePHashNearDupOn(Multimodal.imagePHashesOn(df).toDF())
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(pairs == Set((1L, 2L)), s"expected only the planted pair: $pairs")
+  }
+
+  test("mm_image_phash driver query: exactly the planted predecessor pairs at hamming 0") {
+    val rows = Multimodal.imagePhashPairs(spark, "/root/testdata/sf0.001").collect()
+    val pairs = rows.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    // docs 0..499: ids with id % 50 == 1 repeat id-1's pattern → (id-1, id)
+    val planted = (0L until 500L).filter(_ % 50L == 1L).map(i => (i - 1, i)).toSet
+    assert(pairs == planted, s"got ${pairs.size} pairs, want ${planted.size}: ${pairs.diff(planted)}")
+    assert(rows.forall(_.getAs[Int]("hamming") == 0), "planted pairs differ only in DC")
+  }
+
   test("mm_audio_fp: one spectral profile per doc, 2 windows each, deterministic, spectrally varied") {
     val Sf = "/root/testdata/sf0.001"
     val rows = Multimodal.audioFp(spark, Sf).collect()

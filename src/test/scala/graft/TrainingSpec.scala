@@ -43,6 +43,42 @@ class TrainingSpec extends SparkSpecBase {
     assert(!r(11L), "disjoint text must not flag")
   }
 
+  test("contamination bloom: no false negatives — n_true_hit equals the unfiltered check's n_hit") {
+    val d = graft.util.Tables.documents(spark, SfDir)
+    val corpus = d.filter(col("doc_id") % 97 =!= 0)
+    val eval = d.filter(col("doc_id") % 97 === 0)
+    val bloom = Training.contaminationBloomOn(corpus, eval, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bloom_hit"), r.getAs[Long]("n_true_hit"),
+          r.getAs[Long]("n_fp"))).toMap
+    val exact = Training.contaminationOn(corpus, eval, "doc_id", "text", 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hit")).toMap
+    assert(bloom.keySet == exact.keySet)
+    bloom.foreach { case (id, (bh, th, fp)) =>
+      assert(th == exact(id), s"doc $id: bloom-verified $th vs exact ${exact(id)}")
+      assert(fp == bh - th && fp >= 0L, s"doc $id: fp accounting")
+    }
+    // the bloom actually prunes: across the corpus, bloom hits must be
+    // far below total shingles (a saturated filter would pass everything
+    // and the prefilter would be a no-op at 100 TB)
+    val totalShingles = Training.contaminationBloomOn(corpus, eval, "doc_id", "text")
+      .agg(sum(col("n_shingles")), sum(col("n_bloom_hit"))).head
+    assert(totalShingles.getLong(1) < totalShingles.getLong(0) / 2,
+      s"filter saturated: ${totalShingles.getLong(1)} of ${totalShingles.getLong(0)} shingles pass")
+  }
+
+  test("contamination bloom: a verbatim eval quote flags; disjoint text does not") {
+    val eval = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "intro text then the quick brown fox jumps over the lazy dog and more"),
+      (11L, "completely unrelated words about spark shuffles and parquet footers"))
+      .toDF("doc_id", "text")
+    val r = Training.contaminationBloomOn(corpus, eval, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Int]("contaminated")).toMap
+    assert(r(10L) == 1, "verbatim quote must flag")
+    assert(r(11L) == 0, "disjoint text must not flag")
+  }
+
   test("pack: budget semantics — a doc belongs to the pack of its starting offset") {
     // 5 docs x 300 tokens in one shard, budget 512: starts at 0,300,600,...
     // -> packs 0,0,1,1,2
