@@ -91,6 +91,7 @@ object SparkEntry {
     "q64_community_lp"   -> Affinity.communityLp _,
     "q65_bfs"            -> Affinity.bfs _,
     "q66_sssp"           -> Affinity.sssp _,
+    "q68_link_pred"      -> Affinity.linkPred _,
     "text_bm25"          -> TextAnalysis.bm25 _,
     "dedup_spans"        -> Dedup.spanDedup _,
     "text_repetition"    -> TextAnalysis.repetition _,
@@ -210,6 +211,7 @@ object SparkEntry {
     "stream_session_native" -> EventStreams.sessionNative _,
     "q61_session_conversion" -> EventStreams.sessionConversion _,
     "stream_dedup"        -> EventStreams.dedupBatch _,
+    "stream_topk"         -> EventStreams.topkBatch _,
     "stream_interval_join" -> EventStreams.intervalJoinBatch _,
   )
 
@@ -610,6 +612,7 @@ object SparkEntry {
     "q64_community_lp"    -> Affinity.communityLpSql,
     "q65_bfs"             -> Affinity.bfsSql,
     "q66_sssp"            -> Affinity.ssspSql,
+    "q68_link_pred"       -> Affinity.linkPredSql,
     "q47_grouping_sets" ->
       """SELECT o_orderstatus AS status, o_orderpriority AS prio,
         |  CAST(year(o_orderdate) AS INTEGER) AS yr,
@@ -718,6 +721,7 @@ object SparkEntry {
     "stream_session_native" -> EventStreams.sessionNativeSql,
     "q61_session_conversion" -> EventStreams.sessionConversionSql,
     "stream_dedup"        -> EventStreams.dedupBatchSql,
+    "stream_topk"         -> EventStreams.topkBatchSql,
     "stream_interval_join" -> EventStreams.intervalJoinBatchSql,
   )
 }

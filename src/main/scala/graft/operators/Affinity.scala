@@ -836,4 +836,84 @@ object Affinity {
     s"""$prelude$steps
        |SELECT id, dist FROM d$SsspRounds ORDER BY id""".stripMargin
   }
+
+  // ------------------------------------------------------ link prediction
+
+  /** Wedge-center adjacency cap for [[linkPredOn]] — the same Σ deg²
+    * bound as [[BipartiteDegCap]]: common-neighbor candidates explode
+    * quadratically at hub centers, so each center contributes wedges
+    * only among its `degCap` hash-rank-sampled neighbors.
+    */
+  val LinkPredDegCap = 16
+
+  /** q68_link_pred — common-neighbor / Jaccard link prediction
+    * (Liben-Nowell & Kleinberg 2003): for every NON-adjacent vertex
+    * pair at distance 2, the number of shared neighbors and the
+    * Jaccard coefficient of their neighborhoods — the classic
+    * "customers who buy these also buy..." candidate generator over
+    * the affinity graph.
+    *
+    * Shape at scale: candidates are generated as wedges at their
+    * CENTER vertex (two capped adjacency probes joined on the center —
+    * Σ min(deg,cap)² ≤ cap·|edges|, linear), aggregated on the slim
+    * (u, w) pair key, anti-joined against the edge set, then degree-
+    * joined for the Jaccard denominator. Degrees stay UNCAPPED (one
+    * cheap aggregation — only candidate generation needs the bound);
+    * jacc_milli = (1000·cn) div (du + dw − cn) is exact non-negative
+    * integer arithmetic, so the whole ranking value-oracles.
+    * Output: (u, w, cn, du, dw, jacc_milli) for pairs with cn ≥
+    * `minCommon`, u < w.
+    */
+  def linkPredOn(edges: DataFrame, minCommon: Long = 2L,
+      degCap: Int = LinkPredDegCap): DataFrame = {
+    val und = edges.select(col("a").as("c"), col("b").as("n"))
+      .union(edges.select(col("b").as("c"), col("a").as("n")))
+    val deg = und.groupBy(col("c")).agg(count(lit(1)).as("deg"))
+    val capped = und
+      .withColumn("rk", row_number().over(Window.partitionBy(col("c"))
+        .orderBy(expr("(n * 1103515245 + 12345) % 1000000007"), col("n"))))
+      .filter(col("rk") <= degCap)
+      .select(col("c"), col("n"))
+    val cand = capped.select(col("c"), col("n").as("u"))
+      .join(capped.select(col("c"), col("n").as("w")), Seq("c"))
+      .filter(col("u") < col("w"))
+      .groupBy(col("u"), col("w")).agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= minCommon)
+    cand
+      .join(edges.select(col("a").as("u"), col("b").as("w")), Seq("u", "w"), "left_anti")
+      .join(deg.select(col("c").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("c").as("w"), col("deg").as("dw")), Seq("w"))
+      .withColumn("jacc_milli", expr("(1000 * cn) div (du + dw - cn)"))
+      .select(col("u"), col("w"), col("cn"), col("du"), col("dw"), col("jacc_milli"))
+  }
+
+  /** q68_link_pred testdata binding: predicted next co-purchase edges
+    * over the support-≥2 affinity graph.
+    */
+  def linkPred(spark: SparkSession, sfDir: String): DataFrame =
+    linkPredOn(copurchase(spark, sfDir)
+        .select(col("a_item").as("a"), col("b_item").as("b")))
+      .orderBy(col("u"), col("w"))
+
+  def linkPredSql: String =
+    s"""WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
+       |p AS (SELECT a.item AS a_item, b.item AS b_item, count(*) AS n_baskets
+       |      FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item
+       |      GROUP BY 1, 2),
+       |e AS (SELECT a_item AS a, b_item AS b FROM p WHERE n_baskets >= 2),
+       |und AS (SELECT a AS c, b AS n FROM e UNION ALL SELECT b, a FROM e),
+       |deg AS (SELECT c, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+       |cap AS (SELECT c, n FROM (
+       |      SELECT c, n, row_number() OVER (PARTITION BY c
+       |        ORDER BY (n * 1103515245 + 12345) % 1000000007, n) AS rk FROM und)
+       |      WHERE rk <= $LinkPredDegCap),
+       |cand AS (SELECT a.n AS u, b.n AS w, CAST(count(*) AS BIGINT) AS cn
+       |      FROM cap a JOIN cap b ON a.c = b.c AND a.n < b.n
+       |      GROUP BY 1, 2 HAVING count(*) >= 2),
+       |ne AS (SELECT u, w, cn FROM cand
+       |      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = cand.u AND e.b = cand.w))
+       |SELECT u, w, cn, du.deg AS du, dw.deg AS dw,
+       | (1000 * cn) // (du.deg + dw.deg - cn) AS jacc_milli
+       |FROM ne JOIN deg du ON ne.u = du.c JOIN deg dw ON ne.w = dw.c
+       |ORDER BY u, w""".stripMargin
 }

@@ -530,6 +530,83 @@ object EventStreams {
         col("n_events"), col("total_value"))
   }
 
+  /** Windowed top-k (batch form): per tumbling window, the k heaviest
+    * event types by count (ties → event_type asc) — the "trending now"
+    * rollup every event pipeline serves. Rank windows partition on the
+    * bucket key, so the sort is per-window local; counts come from the
+    * same one-shuffle aggregation as [[windowAggOn]].
+    * Output: (bucket, window_start, event_type, n_events, rk).
+    */
+  def topkBatchOn(events: DataFrame, windowMinutes: Int, k: Int): DataFrame = {
+    val byBucket = Window.partitionBy(col("bucket"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    windowAggOn(events, windowMinutes)
+      .withColumn("rk", row_number().over(byBucket))
+      .filter(col("rk") <= k)
+      .select(col("bucket"), col("window_start"), col("event_type"),
+        col("n_events"), col("rk"))
+  }
+
+  /** stream_topk testdata binding: top-3 event types per 15-minute
+    * window.
+    */
+  def topkBatch(spark: SparkSession, sfDir: String): DataFrame =
+    topkBatchOn(Tables.events(spark, sfDir), 15, 3)
+      .orderBy(col("bucket"), col("rk"))
+
+  def topkBatchSql: String =
+    """WITH c AS (SELECT epoch_us(ts) // 900000000 AS bucket, event_type,
+      |        count(*) AS n_events FROM events GROUP BY 1, 2),
+      |r AS (SELECT bucket, event_type, n_events,
+      |        row_number() OVER (PARTITION BY bucket
+      |          ORDER BY n_events DESC, event_type) AS rk FROM c)
+      |SELECT bucket, make_timestamp(bucket * 900000000) AS window_start,
+      | event_type, n_events, CAST(rk AS INTEGER) AS rk
+      |FROM r WHERE rk <= 3 ORDER BY bucket, rk""".stripMargin
+
+  /** Streaming half of the top-k tier: UPDATE-mode windowed counts —
+    * each trigger re-emits only the (window, event_type) rows whose
+    * count changed, the incremental feed a serving store upserts. A
+    * global rank can't stream (any count change can reorder k), so the
+    * tier splits the way production top-k actually does: the engine
+    * maintains counts incrementally, [[countsUpsertSink]] merges them
+    * into a snapshot, and [[topkOfSnapshot]] ranks at read time.
+    * Output per row: (start_us, event_type, n_events).
+    */
+  def topkCountsStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("window.start")).as("start_us"),
+        col("event_type"), col("n_events"))
+
+  /** foreachBatch merge of update-mode counts into a snapshot store:
+    * per-key counts are monotone under update mode, so merge =
+    * max(n_events) per (start_us, event_type). localCheckpoint cuts
+    * the load→merge→save lineage (same read-before-overwrite hazard as
+    * [[scd1UpsertSink]]).
+    */
+  def countsUpsertSink(counts: DataFrame,
+      load: () => DataFrame, save: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    counts.writeStream.outputMode(OutputMode.Update).foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val merged = load().unionByName(batch.toDF())
+          .groupBy(col("start_us"), col("event_type"))
+          .agg(max(col("n_events")).as("n_events"))
+        save(merged.localCheckpoint(true))
+    }.start()
+
+  /** Serving-side rank over a counts snapshot — the read half of the
+    * streaming top-k tier.
+    */
+  def topkOfSnapshot(snapshot: DataFrame, k: Int): DataFrame =
+    snapshot
+      .withColumn("rk", row_number().over(Window.partitionBy(col("start_us"))
+        .orderBy(col("n_events").desc, col("event_type"))))
+      .filter(col("rk") <= k)
+
   /** Streaming twin of [[sessionNativeOn]]: the engine's own MERGING
     * session-window state (no custom state function) with a watermark
     * bounding it — sessions emit when the watermark passes their close.

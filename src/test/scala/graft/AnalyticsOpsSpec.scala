@@ -859,4 +859,22 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(got(2L).getAs[Int]("n_words") == 4)
     assert(got(2L).getAs[Long]("mwl_milli") == (1000L * 11) / 4)
   }
+
+  test("linkPredOn predicts exactly the square's diagonals, never existing edges") {
+    import spark.implicits._
+    // 4-cycle 1-2-3-4-1: the only distance-2 pairs are the diagonals
+    // (1,3) and (2,4), each with two common neighbors and full Jaccard
+    // overlap (deg 2 everywhere: 2/(2+2-2) = 1)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val r = graft.operators.Affinity.linkPredOn(edges).collect()
+      .map(x => (x.getAs[Long]("u"), x.getAs[Long]("w")) ->
+        (x.getAs[Long]("cn"), x.getAs[Long]("jacc_milli"))).toMap
+    assert(r.keySet == Set((1L, 3L), (2L, 4L)), r.toString)
+    assert(r.values.forall(_ == (2L, 1000L)), r.toString)
+    // adding the diagonal removes it from predictions (anti-join)
+    val withDiag = edges.union(Seq((1L, 3L)).toDF("a", "b"))
+    val r2 = graft.operators.Affinity.linkPredOn(withDiag).collect()
+      .map(x => (x.getAs[Long]("u"), x.getAs[Long]("w"))).toSet
+    assert(!r2.contains((1L, 3L)), s"existing edge predicted: $r2")
+  }
 }

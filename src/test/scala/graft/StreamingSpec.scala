@@ -599,4 +599,41 @@ class StreamingSpec extends SparkSpecBase {
         s"expected user 7's idle session closed by watermark, got ${closed.mkString(";")}")
     } finally q.stop()
   }
+
+  test("streaming top-k tier: update-mode counts + snapshot upsert + serving rank equal the batch query") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val batchEvents = graft.util.Tables.events(spark, SfDir)
+      .select("ts", "event_type", "value")
+    val data = batchEvents.collect()
+    val src = MemoryStream[(java.sql.Timestamp, String, Double)]
+    // two prefix-ordered batches: the second updates windows the first
+    // already emitted — the upsert path, not just the append path
+    val sorted = data.sortBy(_.getAs[java.sql.Timestamp]("ts").getTime)
+    val (first, second) = sorted.splitAt(sorted.length / 2)
+    def tup(rows: Array[org.apache.spark.sql.Row]) = rows.map(r => (
+      new java.sql.Timestamp(r.getAs[java.sql.Timestamp]("ts").getTime),
+      r.getAs[String]("event_type"), r.getAs[Double]("value"))).toSeq
+    val streamDf = src.toDF().toDF("ts", "event_type", "value")
+    var snapshot = Seq.empty[(Long, String, Long)]
+      .toDF("start_us", "event_type", "n_events")
+    val q = EventStreams.countsUpsertSink(
+      EventStreams.topkCountsStream(streamDf),
+      load = () => snapshot, save = d => snapshot = d)
+    try {
+      src.addData(tup(first)); q.processAllAvailable()
+      src.addData(tup(second)); q.processAllAvailable()
+    } finally q.stop()
+    val got = EventStreams.topkOfSnapshot(snapshot, 3)
+      .collect().map(r => (r.getAs[Long]("start_us"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Int]("rk"))).toSet
+    val want = EventStreams.topkBatch(spark, SfDir)
+      .collect().map(r => (unixMicrosOf(r.getAs[java.sql.Timestamp]("window_start")),
+        r.getAs[String]("event_type"), r.getAs[Long]("n_events"), r.getAs[Int]("rk"))).toSet
+    assert(got == want,
+      s"stream!=batch: missing=${want.diff(got).take(3)} extra=${got.diff(want).take(3)}")
+  }
+
+  private def unixMicrosOf(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000) / 1000
 }
