@@ -36,6 +36,7 @@ object ScaleRehearsal {
     if (args.headOption.contains("ann")) { annMain(args.drop(1)); return }
     if (args.headOption.contains("wmh")) { wmhMain(args.drop(1)); return }
     if (args.headOption.contains("beam")) { beamMain(args.drop(1)); return }
+    if (args.headOption.contains("bloom")) { bloomMain(args.drop(1)); return }
     val n = if (args.nonEmpty) args(0).toLong else 2000000L
     val planted = math.max(n / 100, 1L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -334,5 +335,85 @@ object ScaleRehearsal {
       s""""recall_ok":$recallOk,"ivf_ok":$ivfOk}""")
     spark.stop()
     if (!(recallOk && ivfOk)) sys.exit(1)
+  }
+
+  /** Bloom-prefilter decontamination rehearsal: N corpus docs vs an
+    * N/1000-doc eval set, half of which are verbatim copies of corpus
+    * docs (the planted contamination) and half fresh text. The gates
+    * are the operator's 100 TB story: (1) the bloom result is
+    * IDENTICAL to the exact check (no false negatives — same flagged
+    * docs, same hit counts); (2) the probe ratio (shingles passing the
+    * bloom / total corpus shingles) stays small — that ratio IS the
+    * shuffle-volume reduction of the exact verify join on a mostly-
+    * clean corpus; (3) the 2^22-bit filter (a ~0.5 MB broadcast)
+    * keeps per-shingle FP under 1%.
+    */
+  private def bloomMain(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 2000000L
+    val evalN = math.max(n / 1000, 10L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val vocab = math.max(4000L, n / 50)
+    def words(idCol: String, from: Int) = expr(
+      s"transform(sequence($from, 30), j -> concat('w', pmod(hash($idCol, j), $vocab)))")
+    val corpus = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", words("id", 1)).as("text")).persist()
+    // eval: first half copies corpus docs k*1000 (the leak), second
+    // half fresh ids beyond the corpus range (clean benchmark items)
+    val leak = spark.range(evalN / 2).select((col("id") + n).as("doc_id"),
+      concat_ws(" ", words("id * 1000", 1)).as("text"))
+    val fresh = spark.range(evalN / 2).select((col("id") + n + evalN).as("doc_id"),
+      concat_ws(" ", words("id + 3000000000", 1)).as("text"))
+    val eval = leak.unionByName(fresh).persist()
+    eval.count(); corpus.count()
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (exact, tExact) = timed {
+      val e = graft.operators.Training
+        .contaminationOn(corpus, eval, "doc_id", "text", 0.5)
+        .select(col("doc_id"), col("n_hit"),
+          col("contaminated").cast("int").as("flag")).persist()
+      e.count(); e
+    }
+    val (bloom, tBloom) = timed {
+      val b = graft.operators.Training
+        .contaminationBloomOn(corpus, eval, "doc_id", "text",
+          bloomBits = 1L << 22)
+        .persist()
+      b.count(); b
+    }
+    val joined = exact.join(bloom, Seq("doc_id")).persist()
+    val nDiff = joined
+      .filter(col("n_hit") =!= col("n_true_hit") ||
+        col("flag") =!= col("contaminated")).count()
+    val agg = bloom.agg(
+      sum(col("n_shingles")).as("s"), sum(col("n_bloom_hit")).as("h"),
+      sum(col("n_fp")).as("fp"), sum(col("contaminated")).as("flagged")).head
+    val (s, h, fp, flagged) =
+      (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
+    val exactOk = nDiff == 0
+    val planted = evalN / 2
+    val flaggedOk = flagged == planted // exactly the copied docs flag
+    val probeRatio = h.toDouble / s
+    val fpRatio = fp.toDouble / s
+    val probeOk = probeRatio < 0.05
+    val fpOk = fpRatio < 0.01
+    println(s"""{"metric":"bloom_rehearsal","n_docs":$n,"n_eval":$evalN,""" +
+      s""""exact_sec":${f"$tExact%.1f"},"bloom_sec":${f"$tBloom%.1f"},""" +
+      s""""n_shingles":$s,"n_bloom_hit":$h,"n_fp":$fp,"flagged":$flagged,""" +
+      s""""probe_ratio":${f"$probeRatio%.5f"},"fp_ratio":${f"$fpRatio%.5f"},""" +
+      s""""exact_match":$exactOk,"flagged_ok":$flaggedOk,""" +
+      s""""probe_ok":$probeOk,"fp_ok":$fpOk}""")
+    spark.stop()
+    if (!(exactOk && flaggedOk && probeOk && fpOk)) sys.exit(1)
   }
 }

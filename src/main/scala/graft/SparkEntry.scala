@@ -101,6 +101,7 @@ object SparkEntry {
     "ts_ewma"            -> TimeSeries.ewma _,
     "pipeline_split"     -> Training.split _,
     "pipeline_token_budget" -> Training.tokenBudget _,
+    "pipeline_shard_assign" -> Training.shardAssign _,
     "pipeline_length_buckets" -> ((s: SparkSession, d: String) => Training.lengthBuckets(s, d)),
     "pipeline_dsir"      -> Training.dsir _,
     "text_bpe_pairs"     -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
@@ -564,6 +565,7 @@ object SparkEntry {
     "ts_ewma"             -> TimeSeries.ewmaSql,
     "pipeline_split"      -> Training.splitSql,
     "pipeline_token_budget" -> Training.tokenBudgetSql,
+    "pipeline_shard_assign" -> Training.shardAssignSql,
     "pipeline_length_buckets" -> Training.lengthBucketsSql,
     "pipeline_dsir"       -> Training.dsirSql,
     "text_bpe_pairs"      -> TextAnalysis.bpePairsSql,

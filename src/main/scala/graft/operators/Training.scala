@@ -129,7 +129,13 @@ object Training {
     * every metric exact int64, so the whole operator value-oracles.
     */
   def contaminationBloomOn(corpus: DataFrame, eval: DataFrame, idCol: String,
-      textCol: String, thresholdMilli: Long = 500L): DataFrame = {
+      textCol: String, thresholdMilli: Long = 500L,
+      bloomBits: Long = BloomBits): DataFrame = {
+    // sizing rule: m ≳ 16× the eval shingle count keeps FP < 1% at k=2
+    // (fp = (1−e^{−2s/m})²); the 2^15 default fits the testdata eval
+    // split — a benchmark-suite-scale eval set wants 2^22 (still a
+    // ~0.5 MB broadcast). The ORACLE binds the default; callers sizing
+    // up pass bloomBits explicitly (ScaleRehearsal bloom mode).
     val P = TextFns.P
     def shingled(df: DataFrame) = df.select(col(idCol).as("doc_id"),
       TextFns.shingleHashes(TextFns.tokenize(col(textCol))).as("h"))
@@ -139,7 +145,7 @@ object Training {
       .transform(graft.util.CacheScope.cached)
     def pos(j: Int, x: Column): Column = {
       val (a, b) = BloomCoef(j)
-      (x * a + b) % P % BloomBits
+      (x * a + b) % P % bloomBits
     }
     val bloom = evalX
       .select(explode(array(BloomCoef.indices.map(j => pos(j, col("x"))): _*)).as("p"))
@@ -230,6 +236,67 @@ object Training {
        | (1000 * n_true_hit) // n_shingles AS containment_milli,
        | CAST(CASE WHEN (1000 * n_true_hit) // n_shingles >= 500 THEN 1 ELSE 0 END AS INTEGER) AS contaminated
        |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------ sharding
+
+  /** Output shard count for [[shardAssignOn]]. */
+  val NShards = 16L
+
+  /** pipeline_shard_assign — deterministic output sharding + balance
+    * audit: every doc routes to shard mix(id) mod N (the square-mod-P
+    * round on top of the LCG — the repo's hash-consumer rule: a bare
+    * LCG is monotone over small id ranges, which for sharding means
+    * consecutive ids stripe predictably instead of mixing), and the
+    * report is the thing a 100 TB writer checks BEFORE the write: per
+    * shard, doc count, exact token load, and load_ppm = tokens·N·10⁶
+    * div total (10⁶ = perfectly balanced). A skewed shard here is a
+    * straggler executor and an oversized output file at scale.
+    *
+    * Shape: one scan (codegen token counts, arithmetic shard key) +
+    * one N-row aggregate + a 1-row broadcast total — the audit costs
+    * one pass regardless of corpus size. All-integer → fully
+    * value-oracled.
+    * Output: (shard, n_docs, n_tokens, min_doc, max_doc, load_ppm).
+    */
+  def shardAssignOn(df: DataFrame, idCol: String, textCol: String,
+      nShards: Long = NShards): DataFrame = {
+    val P = TextFns.P
+    val mixed = df.select(col(idCol).as("doc_id"),
+        TextCount.column(col(textCol), TextCount.Words).as("tokens"))
+      .withColumn("h", pmod(col("doc_id") * 1000003L + 12289L, lit(P)))
+      .withColumn("shard", pmod(col("h") * col("h"), lit(P)) % nShards)
+    val per = mixed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+    val total = per.agg(sum(col("n_tokens")).as("t_tokens"))
+    per.crossJoin(broadcast(total))
+      .withColumn("load_ppm",
+        expr(s"(n_tokens * $nShards * 1000000) div t_tokens"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        col("min_doc"), col("max_doc"), col("load_ppm"))
+  }
+
+  /** pipeline_shard_assign testdata binding. */
+  def shardAssign(spark: SparkSession, sfDir: String): DataFrame =
+    shardAssignOn(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy(col("shard"))
+
+  def shardAssignSql: String = {
+    val P = TextFns.P
+    s"""WITH tok AS (SELECT doc_id,
+       |    CAST(len(${TextFns.tokenizeSql("text")}) AS BIGINT) AS tokens,
+       |    ((doc_id * 1000003 + 12289) % $P) AS h
+       |  FROM documents),
+       |sh AS (SELECT doc_id, tokens, ((h * h) % $P) % $NShards AS shard FROM tok),
+       |per AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(tokens) AS BIGINT) AS n_tokens,
+       |    min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |  FROM sh GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tokens FROM per)
+       |SELECT shard, n_docs, n_tokens, min_doc, max_doc,
+       | (n_tokens * $NShards * 1000000) // t_tokens AS load_ppm
+       |FROM per CROSS JOIN tot ORDER BY shard""".stripMargin
   }
 
   // ------------------------------------------------------------- packing

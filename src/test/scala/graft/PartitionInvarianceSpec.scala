@@ -51,7 +51,15 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     // r9 late: Bellman-Ford min-confluence distances and the expanded
     // weighted-minhash signature mins (both pure-integer aggregates —
     // invariance gates the frontier/banding join shapes)
-    "q66_sssp", "dedup_minhash_weighted")
+    "q66_sssp", "dedup_minhash_weighted",
+    // r9 late: bloom word-packing bit_or + broadcast membership joins,
+    // the sequential greedy argmax (head() reads must not depend on
+    // partitioning — ties broken on id), capped wedge generation +
+    // degree joins, the decoded-PNG DCT near-dup pairs, and the
+    // windowed rank (all integer; invariance gates the join shapes
+    // and tie-breaks)
+    "contamination_bloom", "sim_mmr", "q68_link_pred",
+    "mm_image_phash", "stream_topk")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

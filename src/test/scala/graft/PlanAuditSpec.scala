@@ -181,6 +181,22 @@ class PlanAuditSpec extends SparkSpecBase {
       s"eval-set semi join not broadcast:\n$p")
   }
 
+  test("contamination_bloom: word table broadcasts scan-side; the exact verify stays a semi join") {
+    // the 100 TB contract: the probe stream tests bloom membership via
+    // BROADCAST joins of the <=1024-row word table (no shuffle before
+    // the per-doc aggregate), and only survivors reach the semi join
+    val p = planOf(q("contamination_bloom"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"bloom word table must broadcast to the probe scan:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"exact verification semi join missing:\n$p")
+  }
+
+  test("q68_link_pred: existing edges leave via an anti join, never a full outer") {
+    val p = planOf(q("q68_link_pred"))
+    assert(p.contains("LeftAnti"), s"edge removal should be an anti join:\n$p")
+  }
+
   test("embed_class_centroid: centroid table broadcasts back to the exploded stream") {
     val p = planOf(q("embed_class_centroid"))
     assert(p.contains("BroadcastHashJoin"),

@@ -79,6 +79,39 @@ class TrainingSpec extends SparkSpecBase {
     assert(r(11L) == 0, "disjoint text must not flag")
   }
 
+  test("shard assign: every shard populated, loads near-balanced, ids mixed not striped") {
+    // structural facts on testdata: total routing and full shard cover
+    // (the 500-doc corpus is too small for a tight balance gate —
+    // multinomial doc-count sd alone is ~18% per shard there)
+    val r = Training.shardAssign(spark, SfDir).collect()
+    assert(r.length == Training.NShards, s"empty shards: ${r.length} of ${Training.NShards}")
+    val totalDocs = r.map(_.getAs[Long]("n_docs")).sum
+    assert(totalDocs == graft.util.Tables.documents(spark, SfDir).count(),
+      "every doc routed to exactly one shard")
+    // the balance gate runs where the law of large numbers applies:
+    // 20k uniform docs → 1250/shard, sd ~2.8%, so ±10% catches any
+    // structural bias while never tripping on noise
+    val big = spark.range(20000L).toDF("doc_id")
+      .withColumn("text", expr(
+        "concat_ws(' ', transform(sequence(1, 20), j -> concat('w', pmod(hash(doc_id, j), 997))))"))
+    val loads = Training.shardAssignOn(big, "doc_id", "text").collect()
+    assert(loads.length == Training.NShards)
+    loads.foreach { row =>
+      val ppm = row.getAs[Long]("load_ppm")
+      assert(ppm > 900000 && ppm < 1100000,
+        s"structural imbalance: shard ${row.getAs[Long]("shard")} at $ppm ppm of ideal")
+    }
+    // square-mix scatters consecutive ids: the 16 lowest doc_ids must
+    // NOT land on 16 distinct shards in id order (the bare-LCG stripe)
+    import spark.implicits._
+    val first = (0L until 16L).toDF("doc_id")
+      .withColumn("text", lit("a b c"))
+    val shards = Training.shardAssignOn(first, "doc_id", "text")
+      .orderBy("shard").collect().map(_.getAs[Long]("shard"))
+    assert(shards.distinct.length < 16,
+      s"consecutive ids stripe one-per-shard — assignment is not mixed: ${shards.toSeq}")
+  }
+
   test("pack: budget semantics — a doc belongs to the pack of its starting offset") {
     // 5 docs x 300 tokens in one shard, budget 512: starts at 0,300,600,...
     // -> packs 0,0,1,1,2
