@@ -97,6 +97,7 @@ object SparkEntry {
     "text_repetition"    -> TextAnalysis.repetition _,
     "text_keyphrases"    -> TextAnalysis.keyphrases _,
     "text_gopher_rules"  -> TextAnalysis.gopherRules _,
+    "text_entropy"       -> TextAnalysis.entropy _,
     "text_surprise"      -> TextAnalysis.surprise _,
     "ts_ewma"            -> TimeSeries.ewma _,
     "pipeline_split"     -> Training.split _,
@@ -562,6 +563,7 @@ object SparkEntry {
     "text_repetition"     -> TextAnalysis.repetitionSql,
     "text_keyphrases"     -> TextAnalysis.keyphrasesSql,
     "text_gopher_rules"   -> TextAnalysis.gopherRulesSql,
+    "text_entropy"        -> TextAnalysis.entropySql,
     "ts_ewma"             -> TimeSeries.ewmaSql,
     "pipeline_split"      -> Training.splitSql,
     "pipeline_token_budget" -> Training.tokenBudgetSql,

@@ -970,4 +970,78 @@ object TextAnalysis {
        | r_words * r_mwl * r_alpha * r_stop * r_rep AS pass
        |FROM r ORDER BY doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------------- entropy
+
+  /** Fractional bits of the entropy fixed point (shared with
+    * [[graft.util.FixedLog2]]'s DSIR use: 12 bits ≈ 2.4e-4 resolution).
+    */
+  val EntF = 12
+
+  /** text_entropy — per-document token Shannon entropy in EXACT fixed
+    * point: H = log2(n) − (Σ c_w·log2(c_w))/n over the doc's token
+    * counts — the repetitiveness/diversity scalar (0 bits = one token
+    * repeated; log2(n_distinct) = perfectly uniform) that quality
+    * pipelines threshold alongside [[repetitionOn]]'s top-heavy ratio
+    * and [[gopherRulesOn]]'s single-word cap. A float log would make
+    * the score engine-dependent; [[graft.util.FixedLog2]]'s squaring
+    * chain keeps every value int64-exact, so the operator fully
+    * value-oracles (powers of two are exact: a uniform 8×2-token doc
+    * scores exactly 3·2^12).
+    *
+    * Shape at scale: token counts are one (doc_id, w)-keyed aggregate;
+    * the log table is computed ONCE over the DISTINCT count values —
+    * a few hundred rows at any corpus size (counts and doc lengths,
+    * not tokens) — and broadcast back; per-doc assembly is one more
+    * doc-keyed aggregate. The log chain never rides the corpus-sized
+    * stream.
+    * Output: (doc_id, n_tokens, n_distinct, entropy_fp) in 2^-12 bits,
+    * for docs with ≥1 token.
+    */
+  def entropyOn(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cnt = df.select(col(idCol).as("doc_id"),
+        explode(TextFns.tokenize(col(textCol))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .transform(graft.util.CacheScope.cached) // feeds totals AND the value join
+    val docn = cnt.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+    val vals = cnt.select(col("c").as("v"))
+      .union(docn.select(col("n").as("v"))).distinct()
+      .withColumn("q", expr(s"shiftleft(v, $EntF)"))
+    val lg = graft.util.FixedLog2.log2Fp(vals, "q", "lg_fp", EntF)
+      .select(col("v"), col("lg_fp"))
+    val sumc = cnt
+      .join(broadcast(lg.select(col("v").as("c"), col("lg_fp"))), Seq("c"))
+      .groupBy(col("doc_id")).agg(sum(col("c") * col("lg_fp")).as("sum_clg"))
+    docn
+      .join(broadcast(lg.select(col("v").as("n"), col("lg_fp"))), Seq("n"))
+      .join(sumc, Seq("doc_id"))
+      .withColumn("entropy_fp", col("lg_fp") - expr("sum_clg div n"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("n_distinct"),
+        col("entropy_fp"))
+  }
+
+  /** text_entropy testdata binding. */
+  def entropy(spark: SparkSession, sfDir: String): DataFrame =
+    entropyOn(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  def entropySql: String = {
+    val (chain, fin) =
+      graft.util.FixedLog2.sqlCtes("vals", Seq("v"), "lg_fp", EntF)
+    s"""WITH cnt AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM (
+       |      SELECT doc_id, unnest(${TextFns.tokenizeSql("text")}) AS w
+       |      FROM documents) GROUP BY 1, 2),
+       |docn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+       |        CAST(count(*) AS BIGINT) AS n_distinct FROM cnt GROUP BY 1),
+       |vals AS (SELECT v, v << $EntF AS q FROM (
+       |      SELECT DISTINCT c AS v FROM cnt UNION SELECT DISTINCT n FROM docn)),
+       |$chain,
+       |sumc AS (SELECT doc_id, CAST(sum(c * lg_fp) AS BIGINT) AS sum_clg
+       |      FROM cnt JOIN $fin ON cnt.c = $fin.v GROUP BY 1)
+       |SELECT d.doc_id, d.n AS n_tokens, d.n_distinct,
+       | lg.lg_fp - (sumc.sum_clg // d.n) AS entropy_fp
+       |FROM docn d JOIN $fin lg ON d.n = lg.v JOIN sumc ON d.doc_id = sumc.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

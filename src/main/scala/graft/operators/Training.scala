@@ -956,25 +956,11 @@ object Training {
     val stats = f.groupBy(col("h"))
       .agg(count(lit(1)).as("cr"), sum(col("tgt")).as("ct"))
     val tot = stats.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
-    val half = 1L << (DsirF + 1)
-    var w = stats.crossJoin(broadcast(tot))
+    val wq = stats.crossJoin(broadcast(tot))
       .withColumn("q", greatest(lit(1L), expr(
         s"shiftleft((ct + 1) * (nr + $DsirB), $DsirF) div ((cr + 1) * (nt + $DsirB))")))
-      .withColumn("ilog", length(bin(col("q"))).cast("long") - 1L)
-      .withColumn("m", when(col("ilog") >= DsirF,
-          expr(s"shiftright(q, cast(ilog - $DsirF as int))"))
-        .otherwise(expr(s"shiftleft(q, cast($DsirF - ilog as int))")))
-      .withColumn("acc", lit(0L))
-    (1 to DsirF).foreach { i =>
-      w = w.withColumn("m2", expr(s"shiftright(m * m, $DsirF)"))
-        .withColumn("acc", when(col("m2") >= half,
-          col("acc") + lit(1L << (DsirF - i))).otherwise(col("acc")))
-        .withColumn("m", when(col("m2") >= half,
-          expr("shiftright(m2, 1)")).otherwise(col("m2")))
-        .drop("m2")
-    }
-    val wt = w.select(col("h"),
-      ((col("ilog") - DsirF) * (1L << DsirF) + col("acc")).as("w_fp"))
+    val wt = graft.util.FixedLog2.log2Fp(wq, "q", "w_fp", DsirF)
+      .select(col("h"), col("w_fp"))
     f.join(broadcast(wt), Seq("h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"), sum(col("w_fp")).as("dsir_fp"))
@@ -992,15 +978,8 @@ object Training {
       .orderBy(col("doc_id"))
 
   def dsirSql: String = {
-    val half = 1L << (DsirF + 1)
-    val steps = (1 to DsirF).map { i =>
-      s"""l$i AS (SELECT h, ilog,
-         |  CASE WHEN ((m*m) >> $DsirF) >= $half THEN ((m*m) >> $DsirF) >> 1
-         |       ELSE (m*m) >> $DsirF END AS m,
-         |  acc + CASE WHEN ((m*m) >> $DsirF) >= $half THEN ${1L << (DsirF - i)}
-         |             ELSE 0 END AS acc
-         | FROM l${i - 1})""".stripMargin
-    }.mkString(",\n")
+    val (chain, fin) =
+      graft.util.FixedLog2.sqlCtes("w0", Seq("h"), "w_fp", DsirF)
     s"""WITH f AS (SELECT doc_id, tgt, unnest(features) AS h FROM (
        |      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
        |        ${dsirFeaturesSql(TextFns.tokenizeSql("text"))} AS features
@@ -1011,17 +990,10 @@ object Training {
        |w0 AS (SELECT h, greatest(CAST(1 AS BIGINT),
        |        (((ct + 1) * (nr + $DsirB)) << $DsirF) // ((cr + 1) * (nt + $DsirB))) AS q
        |       FROM s CROSS JOIN t),
-       |w1 AS (SELECT h, q, CAST(length(bin(q)) - 1 AS BIGINT) AS ilog FROM w0),
-       |l0 AS (SELECT h, ilog,
-       |        CASE WHEN ilog >= $DsirF THEN q >> CAST(ilog - $DsirF AS INTEGER)
-       |             ELSE q << CAST($DsirF - ilog AS INTEGER) END AS m,
-       |        CAST(0 AS BIGINT) AS acc
-       |       FROM w1),
-       |$steps,
-       |wt AS (SELECT h, (ilog - $DsirF) * ${1L << DsirF} + acc AS w_fp FROM l$DsirF),
+       |$chain,
        |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
        |       CAST(sum(w_fp) AS BIGINT) AS dsir_fp
-       |      FROM f JOIN wt USING (h) GROUP BY 1)
+       |      FROM f JOIN $fin USING (h) GROUP BY 1)
        |SELECT doc_id, n_feats, dsir_fp,
        | CAST(CASE WHEN dsir_fp >= 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
        |FROM d ORDER BY doc_id""".stripMargin

@@ -860,6 +860,32 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(got(2L).getAs[Long]("mwl_milli") == (1000L * 11) / 4)
   }
 
+  test("entropyOn: exact fixed-point entropy — uniform doc hits log2(k)·2^12, constant doc hits 0") {
+    import spark.implicits._
+    val docs = Seq(
+      // 8 distinct tokens x2 each: H = log2(16) - (16·log2(2))/16 = 3 bits exactly
+      (1L, (0 until 8).flatMap(i => Seq(s"t$i", s"t$i")).mkString(" ")),
+      (2L, "x x x x x x x x"),          // one token: H = 0
+      (3L, "a b c d")                   // uniform singletons: H = log2(4) = 2 bits
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.entropyOn(docs, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("n_distinct"),
+          x.getAs[Long]("entropy_fp"))).toMap
+    val fp = 1L << graft.operators.TextAnalysis.EntF
+    assert(r(1L) == ((16L, 8L, 3 * fp)), r(1L).toString)
+    assert(r(2L) == ((8L, 1L, 0L)), r(2L).toString)
+    assert(r(3L) == ((4L, 4L, 2 * fp)), r(3L).toString)
+    // bound: H never exceeds log2(n_distinct) (+1 fixed-point ulp slack
+    // for the truncating division)
+    graft.operators.TextAnalysis.entropy(spark, SfDir).collect().foreach { row =>
+      val h = row.getAs[Long]("entropy_fp").toDouble / fp
+      val k = row.getAs[Long]("n_distinct").toDouble
+      assert(h <= math.log(k) / math.log(2) + 1.0 / fp && h >= 0.0,
+        s"doc ${row.getAs[Long]("doc_id")}: H=$h bits over log2($k)")
+    }
+  }
+
   test("linkPredOn predicts exactly the square's diagonals, never existing edges") {
     import spark.implicits._
     // 4-cycle 1-2-3-4-1: the only distance-2 pairs are the diagonals
