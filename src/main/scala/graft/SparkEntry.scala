@@ -92,6 +92,7 @@ object SparkEntry {
     "q65_bfs"            -> Affinity.bfs _,
     "q66_sssp"           -> Affinity.sssp _,
     "q68_link_pred"      -> Affinity.linkPred _,
+    "q69_assortativity"  -> Affinity.assortativity _,
     "text_bm25"          -> TextAnalysis.bm25 _,
     "dedup_spans"        -> Dedup.spanDedup _,
     "text_repetition"    -> TextAnalysis.repetition _,
@@ -191,6 +192,7 @@ object SparkEntry {
     "sim_knn_graph"       -> Similarity.knnGraph _,
     "sim_graph_beam"      -> Similarity.graphBeam _,
     "sim_mmr"             -> Similarity.mmr _,
+    "sim_hard_negatives"  -> Similarity.hardNegatives _,
     "embed_knn_join"      -> Similarity.knnJoin _,
     "dedup_embed_cosine"  -> Similarity.embedCosineDedup _,
     "dedup_semantic"      -> Similarity.semanticDedup _,
@@ -617,6 +619,7 @@ object SparkEntry {
     "q65_bfs"             -> Affinity.bfsSql,
     "q66_sssp"            -> Affinity.ssspSql,
     "q68_link_pred"       -> Affinity.linkPredSql,
+    "q69_assortativity"   -> Affinity.assortativitySql,
     "q47_grouping_sets" ->
       """SELECT o_orderstatus AS status, o_orderpriority AS prio,
         |  CAST(year(o_orderdate) AS INTEGER) AS yr,
@@ -715,6 +718,7 @@ object SparkEntry {
     "sim_knn_graph"       -> Similarity.knnGraphSql,
     "sim_graph_beam"      -> Similarity.graphBeamSql,
     "sim_mmr"             -> Similarity.mmrSql,
+    "sim_hard_negatives"  -> Similarity.hardNegativesSql,
     "embed_knn_join"      -> Similarity.knnJoinSql,
     "dedup_embed_cosine"  -> Similarity.embedCosineDedupSql,
     "dedup_semantic"      -> Similarity.semanticDedupSql,

@@ -837,6 +837,73 @@ object Affinity {
        |SELECT id, dist FROM d$SsspRounds ORDER BY id""".stripMargin
   }
 
+  // -------------------------------------------------------- assortativity
+
+  /** q69_assortativity — degree assortativity (Newman 2002): the
+    * Pearson correlation of endpoint degrees over all directed edge
+    * ends — the one-number answer to "do hubs connect to hubs
+    * (assortative, r>0) or to leaves (disassortative, r<0)", which
+    * predicts how the affinity graph degrades under hub removal and
+    * how k-core/PageRank mass concentrates.
+    *
+    * Exactness: all five moments (m, Σx, Σxy, Σx², and Σy ≡ Σx by
+    * symmetry over both orientations) are exact int64 sums; the final
+    * r divides them in ONE fixed expression order in double (identical
+    * IEEE sequence both engines) and prounds — so a single-row float
+    * output still value-oracles. Shape: one degree aggregate + one
+    * broadcast-degree edge join + one global 5-moment reduce; no
+    * window, no second shuffle of the edge set.
+    * Output: (m_ends, sum_x, sum_xy, sum_x2, assortativity_r).
+    */
+  def assortativityOn(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+    val deg = und.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    und
+      .join(broadcast(deg.select(col("id").as("u"), col("deg").as("du"))), Seq("u"))
+      .join(broadcast(deg.select(col("id").as("v"), col("deg").as("dv"))), Seq("v"))
+      .agg(count(lit(1)).as("m_ends"), sum(col("du")).as("sum_x"),
+        sum(col("du") * col("dv")).as("sum_xy"),
+        sum(col("du") * col("du")).as("sum_x2"))
+      .withColumn("num",
+        (col("m_ends") * col("sum_xy") - col("sum_x") * col("sum_x")).cast("double"))
+      .withColumn("den",
+        (col("m_ends") * col("sum_x2") - col("sum_x") * col("sum_x")).cast("double"))
+      // zero degree variance (every endpoint the same degree) makes the
+      // correlation undefined — report NULL explicitly (ANSI division
+      // would throw, a silent NaN would hash-diverge across engines)
+      .withColumn("assortativity_r", when(col("den") === 0.0,
+          lit(null).cast("double"))
+        .otherwise(graft.util.Cols.pround(col("num") / col("den"), 6)))
+      .select(col("m_ends"), col("sum_x"), col("sum_xy"), col("sum_x2"),
+        col("assortativity_r"))
+  }
+
+  /** q69_assortativity testdata binding: the co-purchase graph. */
+  def assortativity(spark: SparkSession, sfDir: String): DataFrame =
+    assortativityOn(copurchase(spark, sfDir)
+      .select(col("a_item").as("a"), col("b_item").as("b")))
+
+  def assortativitySql: String =
+    """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
+      |p AS (SELECT a.item AS a_item, b.item AS b_item, count(*) AS n_baskets
+      |      FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item
+      |      GROUP BY 1, 2),
+      |e AS (SELECT a_item AS a, b_item AS b FROM p WHERE n_baskets >= 2),
+      |und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+      |deg AS (SELECT u AS id, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS m_ends,
+      |       CAST(sum(du.deg) AS BIGINT) AS sum_x,
+      |       CAST(sum(du.deg * dv.deg) AS BIGINT) AS sum_xy,
+      |       CAST(sum(du.deg * du.deg) AS BIGINT) AS sum_x2
+      |      FROM und JOIN deg du ON und.u = du.id JOIN deg dv ON und.v = dv.id)
+      |SELECT m_ends, sum_x, sum_xy, sum_x2,
+      | CASE WHEN CAST(m_ends * sum_x2 - sum_x * sum_x AS DOUBLE) = 0.0 THEN NULL
+      |      ELSE floor(CAST(m_ends * sum_xy - sum_x * sum_x AS DOUBLE)
+      |        / CAST(m_ends * sum_x2 - sum_x * sum_x AS DOUBLE) * 1000000.0 + 0.5)
+      |        / 1000000.0 END AS assortativity_r
+      |FROM m""".stripMargin
+
   // ------------------------------------------------------ link prediction
 
   /** Wedge-center adjacency cap for [[linkPredOn]] — the same Σ deg²

@@ -2418,6 +2418,76 @@ object Similarity {
        |WHERE rk <= $BeamK ORDER BY q_id, rk""".stripMargin
   }
 
+  // ------------------------------------------------------ hard negatives
+
+  /** sim_hard_negatives — hard-negative mining for contrastive
+    * training (the DPR/SimCLR data-prep step): for EVERY vector, the
+    * top-k most-similar vectors carrying a DIFFERENT label — the
+    * near-boundary negatives that make contrastive batches
+    * informative (random negatives are trivially separable). Unlike
+    * [[knnJoin]]'s static probe/build split, the label-inequality
+    * predicate is per-PAIR, so labels ride the slim bucket rows and
+    * filter candidates before the vector rejoin.
+    *
+    * Shape at scale: the same multi-table SRP equi-join as every ANN
+    * tier here — O(L·N) slim (id, label, t, b) rows shuffle, same-label
+    * collisions drop at the bucket join, exact cosine only on the
+    * surviving cross-label candidates, per-anchor top-k window. Fully
+    * value-oracled (deterministic buckets, IEEE cosine fold, id
+    * tie-breaks).
+    * Output: (q_id, neg_id, neg_label, cos_sim, rk).
+    */
+  def hardNegativesOn(vectors: DataFrame, k: Int, tables: Int = 16,
+      planesPerTable: Int = AutoPlanes): DataFrame = {
+    val p = resolvePlanes(planesPerTable, vectors)
+    val b = vectors.withColumn("tb", explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          graft.functions.SrpBucket.column(col("vec"), p, t * p).as("b"))): _*)))
+      .select(col("id"), col("label"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val cand = b.select(col("id").as("q_id"), col("label").as("q_label"),
+        col("t"), col("b"))
+      .join(b.select(col("id").as("c_id"), col("label").as("c_label"),
+        col("t"), col("b")), Seq("t", "b"))
+      .filter(col("q_label") =!= col("c_label"))
+      .select(col("q_id"), col("c_id")).distinct()
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    cand
+      .join(vectors.select(col("id").as("q_id"), col("vec").as("qv")), Seq("q_id"))
+      .join(vectors.select(col("id").as("c_id"), col("vec").as("cv"),
+        col("label").as("neg_label")), Seq("c_id"))
+      .withColumn("cos", cosExpr("qv", "cv"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id").as("neg_id"), col("neg_label"),
+        Cols.pround(col("cos"), 6).as("cos_sim"), col("rk"))
+  }
+
+  /** sim_hard_negatives testdata binding: top-2 cross-label negatives
+    * per vector.
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame =
+    hardNegativesOn(Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label")),
+      k = 2, planesPerTable = 4)
+      .orderBy(col("q_id"), col("rk"))
+
+  def hardNegativesSql: String =
+    s"""WITH v AS (SELECT vec_id AS id, embedding AS vec, label FROM embeddings),
+       |bk AS (SELECT id, label, t, ${bucketTableSql("vec", 4, "t")} AS b
+       |       FROM v, generate_series(0, 15) AS gt(t)),
+       |cand AS (SELECT DISTINCT a.id AS q_id, c.id AS c_id
+       |         FROM bk a JOIN bk c ON a.t = c.t AND a.b = c.b AND a.label <> c.label),
+       |s AS (SELECT cand.q_id, cand.c_id, cv.label AS neg_label,
+       |        ${cosSql("qv.vec", "cv.vec")} AS cos
+       |      FROM cand JOIN v qv ON cand.q_id = qv.id JOIN v cv ON cand.c_id = cv.id),
+       |r AS (SELECT q_id, c_id, neg_label, cos,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+       |      FROM s)
+       |SELECT q_id, c_id AS neg_id, neg_label,
+       | floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim, CAST(rk AS INTEGER) AS rk
+       |FROM r WHERE rk <= 2 ORDER BY q_id, rk""".stripMargin
+
   // ---------------------------------------------------------------- MMR
 
   /** MMR selection depth / trade-off / fixed-point scale. λ = 700 milli

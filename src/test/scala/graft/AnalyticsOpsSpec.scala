@@ -886,6 +886,23 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("assortativityOn: star graph is perfectly disassortative (r = -1), uniform cycle undefined-degenerate") {
+    import spark.implicits._
+    // star: center 0 with leaves 1..5 — every edge joins deg 5 to deg 1,
+    // the textbook r = -1 case
+    val star = (1L to 5L).map(i => (0L, i)).toDF("a", "b")
+    val rs = graft.operators.Affinity.assortativityOn(star).head
+    assert(rs.getAs[Long]("m_ends") == 10L)
+    assert(rs.getAs[Double]("assortativity_r") == -1.0, rs.toString)
+    // two disjoint edges: all degrees 1, zero variance — the
+    // correlation is undefined and the report says so with an explicit
+    // NULL (ANSI division would throw; a NaN would hash-diverge)
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val rp = graft.operators.Affinity.assortativityOn(pairs).head
+    assert(rp.getAs[Long]("m_ends") == 4L)
+    assert(rp.isNullAt(rp.fieldIndex("assortativity_r")), rp.toString)
+  }
+
   test("linkPredOn predicts exactly the square's diagonals, never existing edges") {
     import spark.implicits._
     // 4-cycle 1-2-3-4-1: the only distance-2 pairs are the diagonals

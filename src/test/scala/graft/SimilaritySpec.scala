@@ -232,6 +232,31 @@ class SimilaritySpec extends SparkSpecBase {
       .forall(_.getAs[Double]("cos_exemplar") >= 0.99))
   }
 
+  test("hard negatives: nearest cross-label vector wins; same-label neighbors never appear") {
+    import spark.implicits._
+    // two tight clusters at 45 degrees (cross cos ~0.707, well above the
+    // SRP collision floor) plus a same-label twin inside each cluster —
+    // the twin is each anchor's true nearest neighbor but must be
+    // EXCLUDED by the label-inequality predicate
+    val s = math.sqrt(0.5).toFloat
+    def jit(x: Float, e: Float) = x + e
+    val v = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(jit(1f, 0.01f), 0.01f, 0f, 0f), 0),   // same-label twin of 0
+      (2L, Seq(s, s, 0f, 0f), 1),
+      (3L, Seq(jit(s, 0.01f), s, 0f, 0f), 1))         // same-label twin of 2
+      .toDF("id", "vec", "label")
+    val r = Similarity.hardNegativesOn(v, k = 1, planesPerTable = 4)
+      .collect().map(x => x.getAs[Long]("q_id") ->
+        (x.getAs[Long]("neg_id"), x.getAs[Int]("neg_label"))).toMap
+    // every anchor mined a negative, it comes from the OTHER cluster
+    assert(r.keySet == Set(0L, 1L, 2L, 3L), r.toString)
+    assert(r(0L)._2 == 1 && r(1L)._2 == 1 && r(2L)._2 == 0 && r(3L)._2 == 0,
+      s"hard negative with the anchor's own label: $r")
+    // and it's the nearest cross-label vector (exact cosine order)
+    assert(Set(2L, 3L).contains(r(0L)._1) && Set(0L, 1L).contains(r(2L)._1))
+  }
+
   test("mmr: redundancy penalty diversifies — an exact clone of the first pick loses to an orthogonal vector") {
     import spark.implicits._
     // query (id 0) along x; ids 1 and 2 are clones of it (max relevance,
