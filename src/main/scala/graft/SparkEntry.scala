@@ -99,6 +99,7 @@ object SparkEntry {
     "text_keyphrases"    -> TextAnalysis.keyphrases _,
     "text_gopher_rules"  -> TextAnalysis.gopherRules _,
     "text_entropy"       -> TextAnalysis.entropy _,
+    "text_zipf"          -> ((s: SparkSession, d: String) => TextAnalysis.zipf(s, d)),
     "text_surprise"      -> TextAnalysis.surprise _,
     "ts_ewma"            -> TimeSeries.ewma _,
     "pipeline_split"     -> Training.split _,
@@ -193,6 +194,7 @@ object SparkEntry {
     "sim_graph_beam"      -> Similarity.graphBeam _,
     "sim_mmr"             -> Similarity.mmr _,
     "sim_hard_negatives"  -> Similarity.hardNegatives _,
+    "sim_kcenter"         -> Similarity.kcenter _,
     "embed_knn_join"      -> Similarity.knnJoin _,
     "dedup_embed_cosine"  -> Similarity.embedCosineDedup _,
     "dedup_semantic"      -> Similarity.semanticDedup _,
@@ -566,6 +568,7 @@ object SparkEntry {
     "text_keyphrases"     -> TextAnalysis.keyphrasesSql,
     "text_gopher_rules"   -> TextAnalysis.gopherRulesSql,
     "text_entropy"        -> TextAnalysis.entropySql,
+    "text_zipf"           -> TextAnalysis.zipfSql,
     "ts_ewma"             -> TimeSeries.ewmaSql,
     "pipeline_split"      -> Training.splitSql,
     "pipeline_token_budget" -> Training.tokenBudgetSql,
@@ -719,6 +722,7 @@ object SparkEntry {
     "sim_graph_beam"      -> Similarity.graphBeamSql,
     "sim_mmr"             -> Similarity.mmrSql,
     "sim_hard_negatives"  -> Similarity.hardNegativesSql,
+    "sim_kcenter"         -> Similarity.kcenterSql,
     "embed_knn_join"      -> Similarity.knnJoinSql,
     "dedup_embed_cosine"  -> Similarity.embedCosineDedupSql,
     "dedup_semantic"      -> Similarity.semanticDedupSql,

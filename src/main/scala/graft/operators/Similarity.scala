@@ -2568,6 +2568,87 @@ object Similarity {
       .toDF("rk", "vec_id", "rel", "max_sim", "score")
   }
 
+  /** sim_kcenter — greedy k-center / farthest-point coreset sampling
+    * (Gonzalez 1985; Sener & Savarese 2018 use it as the coreset
+    * selector for training data): starting from a deterministic seed,
+    * repeatedly pick the vector FARTHEST from the selected set (on
+    * unit vectors, the one whose max-dot to any selected vector is
+    * minimal) — the k points that 2-approximate the optimal cover,
+    * i.e. the most geometrically diverse exemplars. The complement of
+    * [[mmrOn]]: MMR balances relevance against redundancy; k-center
+    * maximizes pure coverage.
+    *
+    * Same exactness/shape contract as MMR: 2^20 fixed-point dots make
+    * every coverage score exact int64 (argmin tie-broken on id), the
+    * selected set rides as ≤k broadcast literals, each step is one
+    * scan + argmin reduce, and the whole greedy sequence value-oracles
+    * via a generated k-step unrolled SQL.
+    * Output: (rk, vec_id, max_dot) — max_dot = the new pick's closest
+    * fixed-point dot to the prior selection (0 for the seed row).
+    */
+  def kcenterOn(vectors: DataFrame, seedId: Long, k: Int = MmrK): DataFrame = {
+    val spark = vectors.sparkSession
+    val qArr = transform(col("vec"),
+      x => floor(x.cast("double") * lit(MmrFp.toDouble) + lit(0.5)).cast("long"))
+    val quant = vectors.select(col("id"), qArr.as("q"))
+      .transform(graft.util.CacheScope.cached) // rescanned once per greedy step
+    def dotLit(v: Seq[Long]): Column = {
+      val lits = array(v.map(lit): _*)
+      aggregate(zip_with(col("q"), lits, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+    }
+    val seed = quant.filter(col("id") === seedId).head
+    var selected = Vector((seedId,
+      seed.getSeq[Long](seed.fieldIndex("q")).toIndexedSeq, 0L))
+    (2 to k).foreach { _ =>
+      val chosen = selected.map(_._1)
+      val maxDot =
+        if (selected.size == 1) dotLit(selected.head._2)
+        else greatest(selected.map(s => dotLit(s._2)): _*)
+      val step = quant.filter(!col("id").isin(chosen: _*))
+        .withColumn("max_dot", maxDot)
+        .orderBy(col("max_dot").asc, col("id").asc)
+        .select(col("id"), col("q"), col("max_dot"))
+        .head
+      selected :+= ((step.getAs[Long]("id"),
+        step.getSeq[Long](step.fieldIndex("q")).toIndexedSeq,
+        step.getAs[Long]("max_dot")))
+    }
+    import spark.implicits._
+    selected.zipWithIndex.map { case ((id, _, md), i) => (i + 1, id, md) }
+      .toDF("rk", "vec_id", "max_dot")
+  }
+
+  /** sim_kcenter testdata binding: 5-point coreset seeded at vector 0. */
+  def kcenter(spark: SparkSession, sfDir: String): DataFrame =
+    kcenterOn(Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec")),
+      seedId = 0L)
+
+  def kcenterSql: String = {
+    val dot = (a: String, b: String) =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, 64), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+    val steps = (2 to MmrK).map { t =>
+      val prev = (1 until t).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+      s"""c$t AS (SELECT v.vec_id, max(${dot("v.q", "s.q")}) AS max_dot
+         |       FROM vq v CROSS JOIN (SELECT q FROM ($prev)) s
+         |       WHERE v.vec_id NOT IN (SELECT vec_id FROM ($prev)) GROUP BY 1),
+         |s$t AS (SELECT $t AS rk, v.vec_id, v.q, c.max_dot
+         |        FROM vq v JOIN c$t c USING (vec_id)
+         |        ORDER BY c.max_dot ASC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val all = (1 to MmrK).map(i => s"SELECT rk, vec_id, max_dot FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""WITH vq AS (SELECT vec_id, list_transform(embedding,
+       |        x -> CAST(floor(CAST(x AS DOUBLE) * $MmrFp.0 + 0.5) AS BIGINT)) AS q
+       |      FROM embeddings),
+       |s1 AS (SELECT 1 AS rk, vec_id, q, CAST(0 AS BIGINT) AS max_dot
+       |       FROM vq WHERE vec_id = 0)$steps
+       |SELECT CAST(rk AS INTEGER) AS rk, vec_id, max_dot
+       |FROM ($all) ORDER BY rk""".stripMargin
+  }
+
   /** sim_mmr testdata binding: query = vector 0, select 5 from the rest. */
   def mmr(spark: SparkSession, sfDir: String): DataFrame =
     mmrOn(Tables.embeddings(spark, sfDir)

@@ -1021,6 +1021,88 @@ object TextAnalysis {
         col("entropy_fp"))
   }
 
+  /** Head size for the [[zipfOn]] rank–frequency fit. */
+  val ZipfK = 100
+
+  /** text_zipf — Zipf rank–frequency slope of the corpus vocabulary:
+    * OLS fit of log2(count) against log2(rank) over the [[ZipfK]] most
+    * frequent tokens — natural language sits near slope −1 (Zipf's
+    * law), and a corpus that departs hard (flat: templated/boilerplate
+    * text; steep: degenerate repetition) fails the diagnostic before
+    * anyone trains on it. The corpus-level complement of the per-doc
+    * [[entropyOn]].
+    *
+    * Exactness: both logs come from the shared [[graft.util.FixedLog2]]
+    * chain (exact int64), the five OLS moments are exact integer sums
+    * over the ≤K head rows, and the slope is ONE fixed-order double
+    * division prounded ([[graft.operators.Affinity.assortativityOn]]'s
+    * device) — a single-row float that still value-oracles; degenerate
+    * vocab (< 2 tokens) reports explicit NULL.
+    *
+    * Shape at scale: one (w)-keyed count aggregate (map-side combined),
+    * a distributed top-K sort-limit (never a global window over the
+    * vocabulary), then everything else rides K rows on the driver-side
+    * plan — the rank window and log chains are K-row local.
+    * Output: (n_fit, sum_lgr, sum_lgc, sum_xy, sum_x2, zipf_slope).
+    */
+  def zipfOn(df: DataFrame, textCol: String, k: Int = ZipfK): DataFrame = {
+    val F = EntF
+    val head = df.select(explode(TextFns.tokenize(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(k)
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("w"))).cast("long"))
+      .withColumn("qr", expr(s"shiftleft(r, $F)"))
+      .withColumn("qc", expr(s"shiftleft(c, $F)"))
+    val logged = graft.util.FixedLog2.log2Fp(
+      graft.util.FixedLog2.log2Fp(head, "qr", "lgr", F), "qc", "lgc", F)
+    logged.agg(count(lit(1)).as("n_fit"),
+        sum(col("lgr")).as("sum_lgr"), sum(col("lgc")).as("sum_lgc"),
+        sum(col("lgr") * col("lgc")).as("sum_xy"),
+        sum(col("lgr") * col("lgr")).as("sum_x2"))
+      .withColumn("num",
+        (col("n_fit") * col("sum_xy") - col("sum_lgr") * col("sum_lgc")).cast("double"))
+      .withColumn("den",
+        (col("n_fit") * col("sum_x2") - col("sum_lgr") * col("sum_lgr")).cast("double"))
+      .withColumn("zipf_slope", when(col("den") === 0.0, lit(null).cast("double"))
+        .otherwise(Cols.pround(col("num") / col("den"), 6)))
+      .select(col("n_fit"), col("sum_lgr"), col("sum_lgc"), col("sum_xy"),
+        col("sum_x2"), col("zipf_slope"))
+  }
+
+  /** text_zipf testdata binding. */
+  def zipf(spark: SparkSession, sfDir: String): DataFrame =
+    zipfOn(Tables.documents(spark, sfDir), "text")
+
+  def zipfSql: String = {
+    val F = EntF
+    val (chainR, finR) =
+      graft.util.FixedLog2.sqlCtes("tr", Seq("w"), "lgr", F, prefix = "lr")
+    val (chainC, finC) =
+      graft.util.FixedLog2.sqlCtes("tc", Seq("w"), "lgc", F, prefix = "lc")
+    s"""WITH cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+       |      SELECT unnest(${TextFns.tokenizeSql("text")}) AS w FROM documents)
+       |      GROUP BY 1),
+       |head AS (SELECT w, c, CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS r
+       |      FROM (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT $ZipfK)),
+       |tr AS (SELECT w, r << $F AS q FROM head),
+       |tc AS (SELECT w, c << $F AS q FROM head),
+       |$chainR,
+       |$chainC,
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n_fit,
+       |       CAST(sum(lgr) AS BIGINT) AS sum_lgr, CAST(sum(lgc) AS BIGINT) AS sum_lgc,
+       |       CAST(sum(lgr * lgc) AS BIGINT) AS sum_xy,
+       |       CAST(sum(lgr * lgr) AS BIGINT) AS sum_x2
+       |      FROM $finR JOIN $finC USING (w))
+       |SELECT n_fit, sum_lgr, sum_lgc, sum_xy, sum_x2,
+       | CASE WHEN CAST(n_fit * sum_x2 - sum_lgr * sum_lgr AS DOUBLE) = 0.0 THEN NULL
+       |      ELSE floor(CAST(n_fit * sum_xy - sum_lgr * sum_lgc AS DOUBLE)
+       |        / CAST(n_fit * sum_x2 - sum_lgr * sum_lgr AS DOUBLE) * 1000000.0 + 0.5)
+       |        / 1000000.0 END AS zipf_slope
+       |FROM m""".stripMargin
+  }
+
   /** text_entropy testdata binding. */
   def entropy(spark: SparkSession, sfDir: String): DataFrame =
     entropyOn(Tables.documents(spark, sfDir), "doc_id", "text")

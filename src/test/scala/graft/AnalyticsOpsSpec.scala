@@ -886,6 +886,27 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("zipfOn: an exact power-law head fits slope -1; uniform counts fit slope 0") {
+    import spark.implicits._
+    // counts 64 and 32 at ranks 1 and 2: log-log points (0, 6·2^12)
+    // and (1·2^12, 5·2^12) — all powers of two, so the fixed-point
+    // chain is exact end to end and the slope is exactly -1
+    val two = Seq.fill(64)("a") ++ Seq.fill(32)("b")
+    val r2 = graft.operators.TextAnalysis.zipfOn(
+      Seq(two.mkString(" ")).toDF("text"), "text").head
+    assert(r2.getAs[Long]("n_fit") == 2L)
+    assert(r2.getAs[Double]("zipf_slope") == -1.0, r2.toString)
+    // uniform counts: slope exactly 0
+    val flat = Seq.fill(4)(Seq("p", "q", "r", "s")).flatten
+    val rf = graft.operators.TextAnalysis.zipfOn(
+      Seq(flat.mkString(" ")).toDF("text"), "text").head
+    assert(rf.getAs[Double]("zipf_slope") == 0.0, rf.toString)
+    // degenerate single-token vocab: explicit NULL
+    val one = graft.operators.TextAnalysis.zipfOn(
+      Seq("x x x").toDF("text"), "text").head
+    assert(one.isNullAt(one.fieldIndex("zipf_slope")), one.toString)
+  }
+
   test("assortativityOn: star graph is perfectly disassortative (r = -1), uniform cycle undefined-degenerate") {
     import spark.implicits._
     // star: center 0 with leaves 1..5 — every edge joins deg 5 to deg 1,

@@ -59,7 +59,13 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     // windowed rank (all integer; invariance gates the join shapes
     // and tie-breaks)
     "contamination_bloom", "sim_mmr", "q68_link_pred",
-    "mm_image_phash", "stream_topk")
+    "mm_image_phash", "stream_topk",
+    // r9 late: cross-label bucket-join negatives (double cosines,
+    // id tie-breaks), single-row moment correlations, the greedy
+    // coverage argmin, and the top-K head fit (sort-limit ties broken
+    // on the token)
+    "sim_hard_negatives", "q69_assortativity", "sim_kcenter",
+    "text_zipf")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

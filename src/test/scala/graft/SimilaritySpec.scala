@@ -232,6 +232,29 @@ class SimilaritySpec extends SparkSpecBase {
       .forall(_.getAs[Double]("cos_exemplar") >= 0.99))
   }
 
+  test("kcenter: farthest-point picks cover the corners before any near-duplicate of the seed") {
+    import spark.implicits._
+    // seed 0 along x, clones of the seed (1, 2), and three spread
+    // directions: greedy coverage must take y, z, w axes before the
+    // clones (whose max-dot to the seed is maximal)
+    val v = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(1f, 0f, 0f, 0f)),
+      (3L, Seq(0f, 1f, 0f, 0f)),
+      (4L, Seq(0f, 0f, 1f, 0f)),
+      (5L, Seq(0f, 0f, 0f, 1f))).toDF("id", "vec")
+    val picked = Similarity.kcenterOn(v, seedId = 0L, k = 4)
+      .orderBy("rk").collect().map(_.getAs[Long]("vec_id")).toSeq
+    // rk 1 = seed; rk 2..4 = the three orthogonal axes (id tie-break
+    // among equally-far candidates picks ascending ids)
+    assert(picked.head == 0L && picked.tail.toSet == Set(3L, 4L, 5L), picked.toString)
+    // the first pick's coverage gap is exact: orthogonal to the seed
+    val r2 = Similarity.kcenterOn(v, seedId = 0L, k = 2).collect()
+      .find(_.getAs[Int]("rk") == 2).get
+    assert(r2.getAs[Long]("max_dot") == 0L)
+  }
+
   test("hard negatives: nearest cross-label vector wins; same-label neighbors never appear") {
     import spark.implicits._
     // two tight clusters at 45 degrees (cross cos ~0.707, well above the
