@@ -205,6 +205,7 @@ object SparkEntry {
     "pipeline_curate"     -> Curate.curate _,
     "contamination_check" -> Training.contamination _,
     "contamination_bloom" -> Training.contaminationBloom _,
+    "contamination_spans" -> Training.contaminationSpans _,
     "pipeline_pack"       -> Training.pack _,
     "pipeline_mix"        -> Training.mix _,
     "dedup_cross_corpus"  -> Training.crossCorpus _,
@@ -542,6 +543,7 @@ object SparkEntry {
     "text_length_profile" -> TextAnalysis.lengthProfileSql,
     "contamination_check" -> Training.contaminationSql,
     "contamination_bloom" -> Training.contaminationBloomSql,
+    "contamination_spans" -> Training.contaminationSpansSql,
     "pipeline_pack"       -> Training.packSql,
     "pipeline_mix"        -> Training.mixSql,
     "dedup_cross_corpus"  -> Training.crossCorpusSql,

@@ -94,6 +94,72 @@ object Training {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------ contamination spans
+
+  /** contamination_spans — span-level localization of eval overlap:
+    * once [[contaminationOn]] (or its bloom form) flags a document,
+    * the removal/redaction decision needs to know WHERE the leaked
+    * benchmark text sits — this operator returns each maximal run of
+    * consecutive eval-matching 3-shingles as a token span [span_start,
+    * span_end] (inclusive 0-based token indices; a shingle at position
+    * p covers tokens p..p+2). The decontamination family's third
+    * stage: check → bloom prefilter → localize.
+    *
+    * Shape at scale: POSITION-preserving shingles explode scan-side;
+    * the eval semi-join is the same bounded-build-side broadcast as
+    * contamination_check, and only MATCHED positions (eval-bounded,
+    * not corpus-bounded) reach the per-doc islands window — the
+    * gaps-and-islands device (pos − row_number) runs partitioned on
+    * doc_id over match rows only. All-integer → fully value-oracled.
+    * Output: (doc_id, span_start, span_end, n_matched) per maximal
+    * span, docs with ≥1 matching shingle only.
+    */
+  def contaminationSpansOn(corpus: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val evalX = eval.select(
+        explode(TextFns.shingleHashes(TextFns.tokenize(col(textCol)))).as("x"))
+      .distinct()
+    val px = corpus.select(col(idCol).as("doc_id"),
+        posexplode(TextFns.orderedShingleHashes(TextFns.tokenize(col(textCol))))
+          .as(Seq("pos", "x")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("x"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    px.join(evalX, Seq("x"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + 2L).as("span_end"),
+        count(lit(1)).as("n_matched"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_matched"))
+  }
+
+  /** contamination_spans testdata binding — same eval split as the
+    * doc-level checks.
+    */
+  def contaminationSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    contaminationSpansOn(d.filter(col("doc_id") % 97 =!= 0),
+      d.filter(col("doc_id") % 97 === 0), "doc_id", "text")
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  def contaminationSpansSql: String = {
+    val ord = TextFns.orderedShingleHashesSql(TextFns.tokenizeSql("text"))
+    val dst = TextFns.shingleHashesSql(TextFns.tokenizeSql("text"))
+    s"""WITH ev AS (SELECT DISTINCT unnest(h) AS x FROM (
+       |      SELECT $dst AS h FROM documents WHERE doc_id % 97 = 0)),
+       |t AS (SELECT doc_id, $ord AS h FROM documents WHERE doc_id % 97 <> 0),
+       |px AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, h[i + 1] AS x
+       |       FROM (SELECT doc_id, h, unnest(range(0, len(h))) AS i FROM t)),
+       |m AS (SELECT doc_id, pos FROM px WHERE x IN (SELECT x FROM ev)),
+       |g AS (SELECT doc_id, pos,
+       |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |      FROM m)
+       |SELECT doc_id, min(pos) AS span_start, max(pos) + 2 AS span_end,
+       | CAST(count(*) AS BIGINT) AS n_matched
+       |FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
+  }
+
   // --------------------------------------------------- bloom prefilter
 
   /** Bloom filter geometry for [[contaminationBloomOn]]: 2^15 bits

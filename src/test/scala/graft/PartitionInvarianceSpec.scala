@@ -65,7 +65,9 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     // coverage argmin, and the top-K head fit (sort-limit ties broken
     // on the token)
     "sim_hard_negatives", "q69_assortativity", "sim_kcenter",
-    "text_zipf")
+    "text_zipf",
+    // r9 late: islands grouping over matched shingle positions
+    "contamination_spans")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

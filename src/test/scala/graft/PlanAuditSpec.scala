@@ -197,6 +197,15 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("LeftAnti"), s"edge removal should be an anti join:\n$p")
   }
 
+  test("text_zipf: the vocabulary head is a distributed top-K, never a global sort or window") {
+    // at 100 TB the vocabulary is huge; the fit must ride
+    // TakeOrderedAndProject (per-partition heads + driver merge), not
+    // a full Sort or an unpartitioned rank window over the vocab
+    val p = planOf(q("text_zipf"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab head should be a sort-limit top-K:\n$p")
+  }
+
   test("embed_class_centroid: centroid table broadcasts back to the exploded stream") {
     val p = planOf(q("embed_class_centroid"))
     assert(p.contains("BroadcastHashJoin"),

@@ -67,6 +67,28 @@ class TrainingSpec extends SparkSpecBase {
       s"filter saturated: ${totalShingles.getLong(1)} of ${totalShingles.getLong(0)} shingles pass")
   }
 
+  test("contamination spans: the leaked quote localizes to its exact token range") {
+    val eval = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // tokens 3..11 are the 9-token quote -> shingle positions 3..9,
+      // one maximal span [3, 11] with 7 matched shingles
+      (10L, "intro text then the quick brown fox jumps over the lazy dog and more"),
+      (11L, "completely unrelated words about spark shuffles and parquet footers"))
+      .toDF("doc_id", "text")
+    val r = Training.contaminationSpansOn(corpus, eval, "doc_id", "text").collect()
+    assert(r.length == 1, r.mkString(";"))
+    assert(r.head.getAs[Long]("doc_id") == 10L)
+    assert(r.head.getAs[Long]("span_start") == 3L && r.head.getAs[Long]("span_end") == 11L,
+      r.head.toString)
+    assert(r.head.getAs[Long]("n_matched") == 7L)
+    // two disjoint quotes in one doc -> two separate spans
+    val split = Seq((20L,
+      "the quick brown fox zzz yyy xxx over the lazy dog qqq")).toDF("doc_id", "text")
+    val r2 = Training.contaminationSpansOn(split, eval, "doc_id", "text")
+      .orderBy(col("span_start")).collect()
+    assert(r2.length == 2, r2.mkString(";"))
+  }
+
   test("contamination bloom: a verbatim eval quote flags; disjoint text does not") {
     val eval = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     val corpus = Seq(
