@@ -372,6 +372,43 @@ object EventStreams {
       .dropDuplicates("new_id", "snap_id")
   }
 
+  /** Streaming decontamination gate — [[graft.operators.Training
+    * .contaminationOn]] as a stream-static probe: documents arriving
+    * on a stream score their 3-shingle containment against the STATIC
+    * eval shingle set (broadcastable, cached — probed every
+    * micro-batch) and flag at `thresholdMilli`. A doc's exploded
+    * shingles all land in its own micro-batch, so the per-doc
+    * update-mode aggregate completes within the batch and each doc
+    * emits exactly one final row — which is what makes batch ≡ stream
+    * provable and spec-diffed row-for-row against the batch check.
+    * Integer milli containment (same `div` as the batch form) so the
+    * comparison is exact.
+    * Output per doc with ≥1 MATCHING shingle (a clean doc emits no
+    * row — the gate only surfaces suspects; the batch form's n_hit=0
+    * rows are the complement): (doc_id, n_shingles, n_hit,
+    * containment_milli, contaminated).
+    */
+  def contaminationFlagStream(docs: DataFrame, eval: DataFrame,
+      thresholdMilli: Long = 500L): DataFrame = {
+    import graft.functions.TextFns
+    val evalX = eval.select(
+        explode(TextFns.shingleHashes(TextFns.tokenize(col("text")))).as("x"))
+      .distinct()
+      .transform(graft.util.CacheScope.cached) // static side, probed per batch
+    docs
+      .select(col("doc_id"),
+        TextFns.shingleHashes(TextFns.tokenize(col("text"))).as("h"))
+      .filter(size(col("h")) > 0)
+      .select(col("doc_id"), size(col("h")).cast("long").as("n_shingles"),
+        explode(col("h")).as("x"))
+      .join(evalX, Seq("x"), "left_semi")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_hit"))
+      .withColumn("containment_milli", expr("(1000 * n_hit) div n_shingles"))
+      .withColumn("contaminated",
+        when(col("containment_milli") >= thresholdMilli, 1).otherwise(0))
+  }
+
   /** Streaming INCREMENTAL connected components — the streaming twin
     * of the clustering stack ([[graft.operators.Dedup.clustersOn]] /
     * the community queries), specialised to the MIN-LABEL fixpoint

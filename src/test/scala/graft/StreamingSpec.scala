@@ -600,6 +600,39 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming decontamination gate: stream-static containment equals the batch check on suspect docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val d = graft.util.Tables.documents(spark, SfDir)
+    val corpus = d.filter(col("doc_id") % 97 =!= 0)
+    val eval = d.filter(col("doc_id") % 97 === 0)
+    val src = MemoryStream[(Long, String)]
+    val batches = corpus.select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val (b1, b2) = batches.splitAt(batches.length / 2)
+    val streamDocs = src.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.EventStreams
+      .contaminationFlagStream(streamDocs, eval)
+      .writeStream.format("memory").queryName("contam_out")
+      .outputMode("update").start()
+    try {
+      src.addData(b1.toSeq); q.processAllAvailable()
+      src.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("contam_out")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_hit"), r.getAs[Int]("contaminated"))).toSet
+    val want = graft.operators.Training
+      .contaminationOn(corpus, eval, "doc_id", "text", 0.5)
+      .filter(col("n_hit") > 0)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_hit"),
+        if (r.getAs[Boolean]("contaminated")) 1 else 0)).toSet
+    assert(got.nonEmpty, "stream gate surfaced no suspects on the planted split")
+    assert(got == want,
+      s"stream!=batch: missing=${want.diff(got).take(3)} extra=${got.diff(want).take(3)}")
+  }
+
   test("streaming top-k tier: update-mode counts + snapshot upsert + serving rank equal the batch query") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
