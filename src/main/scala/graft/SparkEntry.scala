@@ -121,6 +121,7 @@ object SparkEntry {
     "ts_theil_sen"       -> TimeSeries.theilSen _,
     "ts_changepoint"     -> TimeSeries.changepoint _,
     "ts_autocorr"        -> TimeSeries.autocorr _,
+    "ts_acf"             -> TimeSeries.acf _,
     "dedup_minhash_eval" -> Dedup.minhashEval _,
     "ts_out_of_order"    -> TimeSeries.outOfOrder _,
     "q58_entry_paths"    -> TimeSeries.entryPaths _,
@@ -591,6 +592,7 @@ object SparkEntry {
     "ts_theil_sen"        -> TimeSeries.theilSenSql,
     "ts_changepoint"      -> TimeSeries.changepointSql,
     "ts_autocorr"         -> TimeSeries.autocorrSql,
+    "ts_acf"              -> TimeSeries.acfSql,
     "dedup_minhash_eval"  -> Dedup.minhashEvalSql,
     "ts_out_of_order"     -> TimeSeries.outOfOrderSql,
     "q58_entry_paths"     -> TimeSeries.entryPathsSql,

@@ -1031,6 +1031,100 @@ object TimeSeries {
             sqrt(col("ac1_dena").cast("double") * col("ac1_denb").cast("double")), 6)))
   }
 
+  /** Lag depth for [[acfOn]] — lags 1..4 cover the short-cycle
+    * periodicities a weekly/monthly business series shows at daily
+    * grain without blowing up the per-key state (6 longs per lag).
+    */
+  val AcfLags = 4
+
+  /** ts_acf — the multi-lag autocorrelation PROFILE: [[autocorrOn]]'s
+    * exact Pearson machinery at every lag 1..[[AcfLags]] — the
+    * periodicity fingerprint (a strong lag-k with weak lag-1 is a
+    * cycle, all-strong is a trend, all-weak is noise; this is the
+    * pre-forecasting triage next to [[seasonalityOn]]'s weekday
+    * shape). Same exactness contract as the lag-1 form: integer cents,
+    * exact int64 moments per (key, lag) with DECIMAL(38,0) difference
+    * guards, one IEEE division + sqrt at the end, NULL on degenerate
+    * spreads.
+    *
+    * Shape: the lag columns all ride ONE key-ordered window (no extra
+    * shuffle per lag), stack scan-side via an explode of (lag, py)
+    * structs, and aggregate on (key, lag) — the same single key
+    * shuffle as lag-1, ≤[[AcfLags]]·|keys| output rows.
+    * Output: (key, lag, n_pairs, ac_num, ac_dena, ac_denb, ac).
+    */
+  def acfOn(obs: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: String, lags: Int = AcfLags): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    var base = obs.select(col(keyCol), col(idCol), col(tsCol),
+      floor(col(valCol) * 100.0 + 0.5).cast("long").as("y"))
+    (1 to lags).foreach { l =>
+      base = base.withColumn(s"py$l", lag(col("y"), l).over(byKey))
+    }
+    base
+      .withColumn("lp", explode(array((1 to lags).map(l =>
+        struct(lit(l).as("lag"), col(s"py$l").as("py"))): _*)))
+      .filter(col("lp.py").isNotNull)
+      .select(col(keyCol), col("lp.lag").as("lag"), col("lp.py").as("py"), col("y"))
+      .groupBy(col(keyCol), col("lag"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("py")).as("sa"), sum(col("y")).as("sb"),
+        sum(col("py") * col("y")).as("sab"),
+        sum(col("py") * col("py")).as("saa"),
+        sum(col("y") * col("y")).as("sbb"))
+      .select(col(keyCol), col("lag"), col("m").as("n_pairs"),
+        (col("m").cast("decimal(38,0)") * col("sab") -
+          col("sa").cast("decimal(38,0)") * col("sb")).cast("long").as("ac_num"),
+        (col("m").cast("decimal(38,0)") * col("saa") -
+          col("sa").cast("decimal(38,0)") * col("sa")).cast("long").as("ac_dena"),
+        (col("m").cast("decimal(38,0)") * col("sbb") -
+          col("sb").cast("decimal(38,0)") * col("sb")).cast("long").as("ac_denb"))
+      .withColumn("ac",
+        when(col("ac_dena") > 0 && col("ac_denb") > 0,
+          Cols.pround(col("ac_num").cast("double") /
+            sqrt(col("ac_dena").cast("double") * col("ac_denb").cast("double")), 6)))
+  }
+
+  /** ts_acf testdata binding: per-customer order-value ACF at lags
+    * 1..4 in time order.
+    */
+  def acf(spark: SparkSession, sfDir: String): DataFrame =
+    acfOn(
+      Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("day"), col("o_totalprice")),
+      "o_custkey", "day", "o_orderkey", "o_totalprice")
+      .orderBy(col("o_custkey"), col("lag"))
+
+  def acfSql: String = {
+    val lagCols = (1 to AcfLags).map(l =>
+      s"lag(y, $l) OVER (PARTITION BY k ORDER BY d, id) AS p$l").mkString(", ")
+    val stack = (1 to AcfLags).map(l =>
+      s"SELECT k, $l AS lag, p$l AS py, y FROM w WHERE p$l IS NOT NULL")
+      .mkString(" UNION ALL ")
+    s"""WITH o AS (
+       | SELECT o_custkey AS k, o_orderkey AS id, CAST(o_orderdate AS DATE) AS d,
+       |  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS y
+       | FROM orders),
+       |w AS (SELECT k, y, $lagCols FROM o),
+       |st AS ($stack),
+       |m AS (
+       | SELECT k, lag, CAST(count(*) AS BIGINT) AS m, CAST(sum(py) AS BIGINT) AS sa,
+       |  CAST(sum(y) AS BIGINT) AS sb, CAST(sum(py * y) AS BIGINT) AS sab,
+       |  CAST(sum(py * py) AS BIGINT) AS saa, CAST(sum(y * y) AS BIGINT) AS sbb
+       | FROM st GROUP BY 1, 2)
+       |SELECT k AS o_custkey, CAST(lag AS INTEGER) AS lag, m AS n_pairs,
+       | m * sab - sa * sb AS ac_num,
+       | m * saa - sa * sa AS ac_dena,
+       | m * sbb - sb * sb AS ac_denb,
+       | CASE WHEN m * saa - sa * sa > 0 AND m * sbb - sb * sb > 0
+       |  THEN floor(CAST(m * sab - sa * sb AS DOUBLE)
+       |    / sqrt(CAST(m * saa - sa * sa AS DOUBLE) * CAST(m * sbb - sb * sb AS DOUBLE))
+       |    * 1000000 + 0.5) / 1000000
+       |  ELSE NULL END AS ac
+       |FROM m ORDER BY o_custkey, lag""".stripMargin
+  }
+
   /** ts_autocorr testdata binding: per-customer order-value lag-1
     * autocorrelation in time order.
     */

@@ -293,6 +293,29 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(got.map(_.getAs[Long]("n_pairs")).toSeq == Seq(5L, 5L, 3L))
   }
 
+  test("acfOn: alternation flips sign by lag parity; lag-1 slice equals autocorrOn") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // strict alternation: odd lags perfectly anti-correlated, even lags
+    // perfectly correlated — the parity signature only a multi-lag
+    // profile can show
+    val rows = (1 to 9).map(i =>
+      (1L, i.toLong, f"2024-01-$i%02d", if (i % 2 == 0) 9.00 else 1.00))
+    val obs = rows.toDF("k", "id", "d", "v")
+      .select(col("k"), col("id"), col("d").cast("date").as("day"), col("v"))
+    val got = TimeSeries.acfOn(obs, "k", "day", "id", "v")
+      .orderBy("lag").collect()
+    assert(got.map(_.getAs[Int]("lag")).toSeq == Seq(1, 2, 3, 4))
+    assert(got.map(_.getAs[Double]("ac")).toSeq == Seq(-1.0, 1.0, -1.0, 1.0),
+      got.mkString(";"))
+    assert(got.map(_.getAs[Long]("n_pairs")).toSeq == Seq(8L, 7L, 6L, 5L))
+    // the lag-1 slice is the existing operator, moment for moment
+    val a1 = TimeSeries.autocorrOn(obs, "k", "day", "id", "v").head
+    val l1 = got(0)
+    assert(a1.getAs[Long]("ac1_num") == l1.getAs[Long]("ac_num"))
+    assert(a1.getAs[Double]("ac1") == l1.getAs[Double]("ac"))
+  }
+
   test("trend and autocorr are exactly invariant under time translation (random series)") {
     import spark.implicits._
     import graft.operators.TimeSeries

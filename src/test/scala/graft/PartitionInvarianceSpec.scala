@@ -66,8 +66,9 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     // on the token)
     "sim_hard_negatives", "q69_assortativity", "sim_kcenter",
     "text_zipf",
-    // r9 late: islands grouping over matched shingle positions
-    "contamination_spans")
+    // r9 late: islands grouping over matched shingle positions, and
+    // the multi-lag moment profile (same class as ts_autocorr)
+    "contamination_spans", "ts_acf")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
