@@ -55,7 +55,10 @@ class CacheAuditSpec extends SparkSpecBase {
       "sim_ivfpq", "text_keyphrases",
       // r9 late: the video tier caches its synth/decode (meta + frame
       // scans share it)
-      "mm_video_scenes")
+      "mm_video_scenes",
+      // r9 late: bloom eval-shingle + probed-doc caches, the quantized
+      // corpus behind the greedy selectors, and entropy's count stream
+      "contamination_bloom", "sim_mmr", "sim_kcenter", "text_entropy")
     spark.catalog.clearCache() // start from a clean slate
     cacheUsers.foreach { name =>
       SparkEntry.queries(name)(spark, SfDir).write.format("noop").mode("overwrite").save()

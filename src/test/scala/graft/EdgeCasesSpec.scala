@@ -147,6 +147,42 @@ class EdgeCasesSpec extends SparkSpecBase {
     assert(Similarity.rangeSearchOn(q0, c0, 0.5).count() == 0)
   }
 
+  test("r9-late operators tolerate empty and degenerate inputs") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val oneEval = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    // empty corpus -> empty bloom report and empty span report
+    assert(graft.operators.Training
+      .contaminationBloomOn(noDocs, oneEval, "doc_id", "text").count() == 0)
+    assert(graft.operators.Training
+      .contaminationSpansOn(noDocs, oneEval, "doc_id", "text").count() == 0)
+    // empty EVAL set -> every doc reports zero hits, nothing flags
+    val docs = Seq((1L, "some ordinary words here today")).toDF("doc_id", "text")
+    val b = graft.operators.Training
+      .contaminationBloomOn(docs, noDocs, "doc_id", "text").collect()
+    assert(b.length == 1 && b.head.getAs[Long]("n_bloom_hit") == 0L
+      && b.head.getAs[Int]("contaminated") == 0)
+    // whitespace-only docs: entropy emits no row (no tokens), sharding
+    // still routes them (zero-token load)
+    val ws = Seq((1L, "   ")).toDF("doc_id", "text")
+    assert(graft.operators.TextAnalysis.entropyOn(ws, "doc_id", "text").count() == 0)
+    assert(graft.operators.Training.shardAssignOn(ws, "doc_id", "text").count() == 1)
+    // empty corpora -> zipf reports nothing; empty edges -> no
+    // predictions and no assortativity row
+    assert(graft.operators.TextAnalysis.zipfOn(noDocs, "text").head
+      .getAs[Long]("n_fit") == 0L)
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.operators.Affinity.linkPredOn(noEdges).count() == 0)
+    // empty vector set -> no hard negatives (AutoPlanes floor, no crash)
+    val noVecs = Seq.empty[(Long, Array[Float], Int)].toDF("id", "vec", "label")
+    assert(Similarity.hardNegativesOn(noVecs, k = 1).count() == 0)
+    // single-observation keys vanish from the ACF (no pair at any lag)
+    val one = Seq((1L, 1L, java.sql.Date.valueOf("2024-01-01"), 5.0))
+      .toDF("k", "id", "day", "v")
+    assert(graft.operators.TimeSeries.acfOn(one, "k", "day", "id", "v").count() == 0)
+  }
+
   test("similarity cores: empty vector sets produce empty results") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
