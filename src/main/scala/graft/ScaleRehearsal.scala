@@ -37,6 +37,7 @@ object ScaleRehearsal {
     if (args.headOption.contains("wmh")) { wmhMain(args.drop(1)); return }
     if (args.headOption.contains("beam")) { beamMain(args.drop(1)); return }
     if (args.headOption.contains("bloom")) { bloomMain(args.drop(1)); return }
+    if (args.headOption.contains("select")) { selectMain(args.drop(1)); return }
     val n = if (args.nonEmpty) args(0).toLong else 2000000L
     val planted = math.max(n / 100, 1L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -335,6 +336,57 @@ object ScaleRehearsal {
       s""""recall_ok":$recallOk,"ivf_ok":$ivfOk}""")
     spark.stop()
     if (!(recallOk && ivfOk)) sys.exit(1)
+  }
+
+  /** Greedy-selector rehearsal: [[graft.operators.Similarity.kcenterOn]]
+    * and [[graft.operators.Similarity.mmrOn]] at corpus scale — each
+    * step of the driver-sequenced greedy is one full scan + argmax
+    * reduce, so wall time must stay ~k·scan. The semantic gate is
+    * COVERAGE on clustered geometry: every non-seed k-center pick must
+    * land in a cluster none of the previous picks occupy (farthest-
+    * point on 1000-cluster data hops clusters by construction;
+    * a broken score would re-pick the seed's neighbors). MMR gates on
+    * k distinct picks with monotone non-increasing scores (the greedy
+    * invariant).
+    */
+  private def selectMain(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 500000L
+    val k = 5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val vec = expr(
+      """transform(sequence(0, 63), j -> cast(
+        |  (cast(pmod(hash(cast(id % 1000 as int), j), 2001) as double) - 1000.0) / 1000.0
+        |  + (cast(pmod(hash(cast(id as int), j, 7), 201) as double) - 100.0) / 1000.0
+        |as float))""".stripMargin)
+    val corpus = spark.range(n).select(col("id"), vec.as("vec")).persist()
+    corpus.count()
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (kc, tKc) = timed(
+      graft.operators.Similarity.kcenterOn(corpus, seedId = 0L, k = k).collect())
+    val (mm, tMm) = timed(
+      graft.operators.Similarity.mmrOn(corpus, queryId = 0L, k = k).collect())
+    val kcIds = kc.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("vec_id"))
+    val kcClusters = kcIds.map(_ % 1000L)
+    val coverageOk = kcClusters.distinct.length == k
+    val mmScores = mm.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("score"))
+    val mmOk = mm.map(_.getAs[Long]("vec_id")).distinct.length == k &&
+      mmScores.zip(mmScores.tail).forall { case (a, b) => a >= b }
+    println(s"""{"metric":"select_rehearsal","n_docs":$n,"k":$k,""" +
+      s""""kcenter_sec":${f"$tKc%.1f"},"mmr_sec":${f"$tMm%.1f"},""" +
+      s""""kcenter_clusters":[${kcClusters.mkString(",")}],""" +
+      s""""coverage_ok":$coverageOk,"mmr_ok":$mmOk}""")
+    spark.stop()
+    if (!(coverageOk && mmOk)) sys.exit(1)
   }
 
   /** Bloom-prefilter decontamination rehearsal: N corpus docs vs an
