@@ -402,7 +402,8 @@ class PlanAuditSpec extends SparkSpecBase {
       "dedup_threshold_sweep" -> 1, // <=21 threshold bands
       "text_bpe_pairs"        -> 1, // top-50 pair rows post-limit
       "text_vocab_coverage"   -> 1, // rank deciles over the top-1k vocab
-      "pipeline_token_budget" -> 1) // prefix sum over <=21 quality buckets
+      "pipeline_token_budget" -> 1, // prefix sum over <=21 quality buckets
+      "text_zipf"             -> 1) // rank over the top-100 vocab head (post-limit)
     def unpartitioned(p: SparkPlan): Int = {
       // subqueriesAll can surface LOGICAL plans for not-yet-planned
       // subquery expressions despite its Seq[SparkPlan] signature —
