@@ -204,11 +204,18 @@ object Multimodal {
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case scala.util.control.NonFatal(_) => null }
     Option(src).map { img =>
-      val out = new java.awt.image.BufferedImage(32, 32,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val g = out.createGraphics()
-      g.drawImage(img.getScaledInstance(32, 32, java.awt.Image.SCALE_SMOOTH), 0, 0, null)
-      g.dispose()
+      // identity fast path: SCALE_SMOOTH runs its area filter even for
+      // a same-size target (measured ~1 ms/image — the whole query's
+      // cost at corpus scale); an already-32x32 payload reads directly
+      val out = if (img.getWidth == 32 && img.getHeight == 32) img
+      else {
+        val o = new java.awt.image.BufferedImage(32, 32,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = o.createGraphics()
+        g.drawImage(img.getScaledInstance(32, 32, java.awt.Image.SCALE_SMOOTH), 0, 0, null)
+        g.dispose()
+        o
+      }
       val luma = Array.tabulate(32, 32) { (y, x) =>
         val rgb = out.getRGB(x, y)
         ((299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
