@@ -127,6 +127,7 @@ object SparkEntry {
     "q58_entry_paths"    -> TimeSeries.entryPaths _,
     "text_bigram_surprise" -> TextAnalysis.bigramSurprise _,
     "q57_ab_test"        -> Relational.q57AbTest _,
+    "q67_sole_blame"     -> Relational.q67SoleBlame _,
     "q56_kcore"          -> Affinity.kcore _,
     "dq_profile_drift"   -> Quality.dqProfileDrift _,
     "dq_freshness"       -> Quality.dqFreshness _,
@@ -598,6 +599,7 @@ object SparkEntry {
     "q58_entry_paths"     -> TimeSeries.entryPathsSql,
     "text_bigram_surprise" -> TextAnalysis.bigramSurpriseSql,
     "q57_ab_test"         -> Relational.q57AbTestSql,
+    "q67_sole_blame"      -> Relational.q67SoleBlameSql,
     "q56_kcore"           -> Affinity.kcoreSql,
     "dq_profile_drift"    -> Quality.dqProfileDriftSql,
     "dq_freshness"        -> Quality.dqFreshnessSql,

@@ -1074,4 +1074,57 @@ object Relational {
       | (1000000 * count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END))
       |   // count(DISTINCT user_id) AS conv_ppm
       |FROM e GROUP BY variant ORDER BY variant""".stripMargin
+
+  /** q67_sole_blame — the TPC-H Q21 pattern (correlated EXISTS + NOT
+    * EXISTS: "suppliers who kept multi-supplier orders waiting where
+    * they were the ONLY one at fault"), re-keyed to this schema's
+    * fault marker (l_returnflag = 'R'): for every multi-supplier order
+    * whose returned lines all come from ONE supplier, blame that
+    * supplier; report the top-20 by blamed-order count.
+    *
+    * The Spark-first re-expression is the point: the textbook form is
+    * two correlated subqueries per row (the oracle SQL keeps it — the
+    * cross-engine equality PROVES the decomposition), but the
+    * declarative plan wants ONE pass: per order, count distinct
+    * suppliers, distinct at-fault suppliers, and the at-fault supplier
+    * when unique — a single order-key aggregate — then filter
+    * (n_supp ≥ 2 ∧ n_fault = 1) and count per supplier. Two shuffles
+    * (order key, supplier key) + a distributed top-k; no join at all,
+    * where the EXISTS form would self-join lineitem twice.
+    * Output: (l_suppkey, n_orders), top-20, count-desc/key-asc.
+    */
+  def q67SoleBlame(spark: SparkSession, sfDir: String): DataFrame = {
+    // two-phase instead of two countDistincts: a multi-distinct
+    // aggregate EXPANDs the scan 3x before the shuffle (measured 27 MB
+    // vs 3 MB here); collapsing to (order, supp) first pays one slim
+    // pair shuffle and the order-level rollup is then distinct-free
+    val per = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("fault"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("fault")).as("n_fault"),
+        max(when(col("fault") === 1, col("l_suppkey"))).as("fault_supp"))
+    per.filter(col("n_supp") >= 2 && col("n_fault") === 1)
+      .groupBy(col("fault_supp").as("l_suppkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("l_suppkey"))
+      .limit(20)
+  }
+
+  def q67SoleBlameSql: String =
+    """WITH blamed AS (
+      | SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      | FROM lineitem l1
+      | WHERE l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R'))
+      |SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_orders
+      |FROM blamed GROUP BY 1
+      |ORDER BY n_orders DESC, l_suppkey LIMIT 20""".stripMargin
 }

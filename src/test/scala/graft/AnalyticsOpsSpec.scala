@@ -909,6 +909,29 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("q67 sole-blame semantics: only the unique at-fault supplier of a multi-supplier order is blamed") {
+    import spark.implicits._
+    // order 100: supp 1 returned, supp 2 clean  -> blame supp 1
+    // order 200: supp 1 and supp 3 both returned -> shared fault, nobody
+    // order 300: supp 3 returned, sole supplier  -> no co-supplier, nobody
+    // order 400: nothing returned                -> nobody
+    val li = Seq(
+      (100L, 1L, "R"), (100L, 2L, "N"),
+      (200L, 1L, "R"), (200L, 3L, "R"),
+      (300L, 3L, "R"),
+      (400L, 2L, "N"), (400L, 3L, "N"))
+      .toDF("l_orderkey", "l_suppkey", "l_returnflag")
+    // run the aggregate decomposition directly on the planted frame
+    val per = li.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("n_fault"),
+        max(when(col("l_returnflag") === "R", col("l_suppkey"))).as("fault_supp"))
+    val blamed = per.filter(col("n_supp") >= 2 && col("n_fault") === 1)
+      .groupBy(col("fault_supp").as("l_suppkey")).agg(count(lit(1)).as("n_orders"))
+      .collect().map(r => r.getAs[Long]("l_suppkey") -> r.getAs[Long]("n_orders")).toMap
+    assert(blamed == Map(1L -> 1L), blamed.toString)
+  }
+
   test("zipfOn: an exact power-law head fits slope -1; uniform counts fit slope 0") {
     import spark.implicits._
     // counts 64 and 32 at ranks 1 and 2: log-log points (0, 6·2^12)
