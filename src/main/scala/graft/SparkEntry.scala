@@ -100,6 +100,7 @@ object SparkEntry {
     "text_gopher_rules"  -> TextAnalysis.gopherRules _,
     "text_entropy"       -> TextAnalysis.entropy _,
     "text_zipf"          -> ((s: SparkSession, d: String) => TextAnalysis.zipf(s, d)),
+    "text_compress_ratio" -> TextAnalysis.compressRatio _,
     "text_surprise"      -> TextAnalysis.surprise _,
     "ts_ewma"            -> TimeSeries.ewma _,
     "pipeline_split"     -> Training.split _,

@@ -1021,6 +1021,46 @@ object TextAnalysis {
         col("entropy_fp"))
   }
 
+  /** text_compress_ratio — deflate-compressibility as a quality
+    * signal (the CCNet/RefinedWeb-family filter): boilerplate and
+    * repetition compress far below natural text, so ratio_milli =
+    * 1000·deflated/raw separates templated junk (≲150‰ on heavy
+    * repetition) from organic prose without any vocabulary model —
+    * the cheap complement to [[entropyOn]] (token-level) and
+    * [[repetitionOn]] (top-heaviness), catching LONG-RANGE structure
+    * both miss. DEFLATE's bit stream is not SQL-expressible, so the
+    * query is rows-only in CORRECTNESS (the codec-tier contract) with
+    * the separation/determinism spec carrying the value checks; the
+    * JDK Deflater at a fixed level is deterministic for a given
+    * input, and one Deflater instance is REUSED per partition (reset
+    * between docs — per-doc allocation dominated an early cut).
+    * Shape: embarrassingly parallel scan, zero shuffle.
+    * Output: (doc_id, raw_len, deflated_len, ratio_milli).
+    */
+  def compressRatioOn(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(6, true)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          d.reset(); d.setInput(raw); d.finish()
+          var n = 0L
+          while (!d.finished()) n += d.deflate(buf)
+          (id, raw.length.toLong, n,
+            if (raw.length > 0) 1000L * n / raw.length else 0L)
+        }
+      }
+      .toDF("doc_id", "raw_len", "deflated_len", "ratio_milli")
+  }
+
+  /** text_compress_ratio testdata binding. */
+  def compressRatio(spark: SparkSession, sfDir: String): DataFrame =
+    compressRatioOn(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Head size for the [[zipfOn]] rank–frequency fit. */
   val ZipfK = 100
 

@@ -932,6 +932,31 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(blamed == Map(1L -> 1L), blamed.toString)
   }
 
+  test("compressRatioOn: repetition compresses far below high-entropy text; deterministic; empty-safe") {
+    import spark.implicits._
+    // a hash-derived hex stream approximates incompressible text;
+    // pure repetition approaches the deflate floor
+    val noisy = (0 until 200).map(i =>
+      java.lang.Long.toHexString((i.toLong * 0x9e3779b97f4a7c15L) ^ (i.toLong << 21)))
+      .mkString(" ")
+    val docs = Seq(
+      (1L, "spam " * 400),
+      (2L, noisy),
+      (3L, "")).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.compressRatioOn(docs, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("raw_len"), x.getAs[Long]("ratio_milli"))).toMap
+    assert(r(1L)._2 < 100, s"repetition should compress below 10%: ${r(1L)}")
+    assert(r(2L)._2 > 400, s"high-entropy text should resist compression: ${r(2L)}")
+    assert(r(3L) == ((0L, 0L)), "empty doc: zero lengths, no division")
+    // determinism: bit-identical on a second pass
+    val again = graft.operators.TextAnalysis.compressRatioOn(docs, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("deflated_len")).toMap
+    val first = graft.operators.TextAnalysis.compressRatioOn(docs, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("deflated_len")).toMap
+    assert(again == first)
+  }
+
   test("zipfOn: an exact power-law head fits slope -1; uniform counts fit slope 0") {
     import spark.implicits._
     // counts 64 and 32 at ranks 1 and 2: log-log points (0, 6·2^12)
