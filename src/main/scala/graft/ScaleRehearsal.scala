@@ -459,13 +459,28 @@ object ScaleRehearsal {
     val fpRatio = fp.toDouble / s
     val probeOk = probeRatio < 0.05
     val fpOk = fpRatio < 0.01
+    // third decontamination stage at the same scale: span localization
+    // must put ONE full-length span (28 matched shingles of the
+    // 30-token template) on exactly the planted docs; shingle-hash
+    // collisions may add short spurious spans, never full-length ones
+    val (spans, tSpans) = timed {
+      val sp = graft.operators.Training
+        .contaminationSpansOn(corpus, eval, "doc_id", "text").persist()
+      sp.count(); sp
+    }
+    val full = spans.filter(col("n_matched") === 28L)
+      .select(col("doc_id")).distinct()
+    val nFull = full.count()
+    val fullOnPlanted = full.filter(col("doc_id") % 1000L === 0L).count()
+    val spansOk = nFull == planted && fullOnPlanted == nFull
     println(s"""{"metric":"bloom_rehearsal","n_docs":$n,"n_eval":$evalN,""" +
       s""""exact_sec":${f"$tExact%.1f"},"bloom_sec":${f"$tBloom%.1f"},""" +
       s""""n_shingles":$s,"n_bloom_hit":$h,"n_fp":$fp,"flagged":$flagged,""" +
       s""""probe_ratio":${f"$probeRatio%.5f"},"fp_ratio":${f"$fpRatio%.5f"},""" +
+      s""""spans_sec":${f"$tSpans%.1f"},"n_full_spans":$nFull,""" +
       s""""exact_match":$exactOk,"flagged_ok":$flaggedOk,""" +
-      s""""probe_ok":$probeOk,"fp_ok":$fpOk}""")
+      s""""probe_ok":$probeOk,"fp_ok":$fpOk,"spans_ok":$spansOk}""")
     spark.stop()
-    if (!(exactOk && flaggedOk && probeOk && fpOk)) sys.exit(1)
+    if (!(exactOk && flaggedOk && probeOk && fpOk && spansOk)) sys.exit(1)
   }
 }

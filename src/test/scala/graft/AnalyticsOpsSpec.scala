@@ -909,6 +909,43 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("q67 decomposition equals Spark's own correlated EXISTS SQL on random lineitems") {
+    import spark.implicits._
+    // the oracle proves the rewrite against DuckDB; this proves it
+    // against Spark's OWN subquery planner on adversarial random data
+    // (shared faults, sole suppliers, clean orders all arise)
+    val rnd = new scala.util.Random(42)
+    val li = (1 to 3000).map { _ =>
+      (rnd.nextInt(300).toLong + 1, rnd.nextInt(20).toLong + 1,
+        if (rnd.nextInt(4) == 0) "R" else "N")
+    }.toDF("l_orderkey", "l_suppkey", "l_returnflag")
+    li.createOrReplaceTempView("li_rand")
+    val viaExists = spark.sql(
+      """WITH blamed AS (
+        |  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey FROM li_rand l1
+        |  WHERE l1.l_returnflag = 'R'
+        |   AND EXISTS (SELECT 1 FROM li_rand l2
+        |               WHERE l2.l_orderkey = l1.l_orderkey
+        |                 AND l2.l_suppkey <> l1.l_suppkey)
+        |   AND NOT EXISTS (SELECT 1 FROM li_rand l3
+        |                   WHERE l3.l_orderkey = l1.l_orderkey
+        |                     AND l3.l_suppkey <> l1.l_suppkey
+        |                     AND l3.l_returnflag = 'R'))
+        |SELECT l_suppkey, count(*) AS n FROM blamed GROUP BY 1""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaAgg = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("fault"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("fault")).as("n_fault"),
+        max(when(col("fault") === 1, col("l_suppkey"))).as("fault_supp"))
+      .filter(col("n_supp") >= 2 && col("n_fault") === 1)
+      .groupBy(col("fault_supp")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg == viaExists,
+      s"decomposition diverges: only-agg=${viaAgg.toSet.diff(viaExists.toSet)} only-exists=${viaExists.toSet.diff(viaAgg.toSet)}")
+    assert(viaExists.nonEmpty, "degenerate random draw — no blamed orders at all")
+  }
+
   test("q67 sole-blame semantics: only the unique at-fault supplier of a multi-supplier order is blamed") {
     import spark.implicits._
     // order 100: supp 1 returned, supp 2 clean  -> blame supp 1
