@@ -132,6 +132,7 @@ object SparkEntry {
     "q56_kcore"          -> Affinity.kcore _,
     "dq_profile_drift"   -> Quality.dqProfileDrift _,
     "dq_freshness"       -> Quality.dqFreshness _,
+    "dq_volume_anomaly"  -> Quality.dqVolumeAnomaly _,
     "embed_mrl_eval"      -> Similarity.mrlEval _,
     "sim_recall_eval"    -> Similarity.recallEval _,
     "dedup_threshold_sweep" -> Similarity.thresholdSweep _,
@@ -604,6 +605,7 @@ object SparkEntry {
     "q56_kcore"           -> Affinity.kcoreSql,
     "dq_profile_drift"    -> Quality.dqProfileDriftSql,
     "dq_freshness"        -> Quality.dqFreshnessSql,
+    "dq_volume_anomaly"   -> Quality.dqVolumeAnomalySql,
     "sim_recall_eval"     -> Similarity.recallEvalSql,
     "embed_mrl_eval"      -> Similarity.mrlEvalSql,
     "dedup_threshold_sweep" -> Similarity.thresholdSweepSql,

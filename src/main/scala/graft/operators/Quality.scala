@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.util.{Cols, Tables}
 
 /** Declarative data-quality constraint checking (the Deequ-style gate a
@@ -355,4 +356,74 @@ object Quality {
       | (gmax - max_us) // 1000000 AS lag_sec,
       | CAST(CASE WHEN (gmax - max_us) // 1000000 > 3600 THEN 1 ELSE 0 END AS INTEGER) AS is_stale
       |FROM k, g ORDER BY event_type""".stripMargin
+
+  /** Warmup floor / flag band for [[volumeAnomalyOn]]: fewer than 3
+    * trailing days yields no verdict; outside [½×, 2×] of the trailing
+    * mean flags.
+    */
+  val VolMinPriorDays = 3L
+  val VolLowPpm = 500000L
+  val VolHighPpm = 2000000L
+
+  /** dq_volume_anomaly — the silent-volume-shift monitor
+    * ([[freshnessOn]]'s complement: freshness catches a source that
+    * STOPPED; this catches one that silently halved or doubled): per
+    * (key, day), today's row count as ppm of the trailing-week daily
+    * mean, flagged outside [½×, 2×]. The trailing mean is exact
+    * integer arithmetic — ppm = (n·10⁶·n_prior) div Σ_prior — over a
+    * RANGE frame on the epoch-day ordinal (calendar-correct under gaps:
+    * a silent day is absent from the frame, not zero-filled — the
+    * frame denominator counts PRESENT days, so the ratio reads
+    * "vs days that reported"). Days with < [[VolMinPriorDays]] prior
+    * reporting days emit NULL ppm/flag (warmup, explicit).
+    *
+    * Shape: one (key, day) count aggregate + one key-partitioned range
+    * window over the per-day rows (≤366·|keys| rows/yr — day-grain,
+    * not event-grain); one shuffle end to end.
+    * Output: (key, day_ord, n, n_prior, sum_prior, vol_ppm, flag).
+    */
+  def volumeAnomalyOn(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val perDay = df
+      .select(col(keyCol),
+        Cols.floorDiv(unix_micros(col(tsCol)), 86400000000L).as("day_ord"))
+      .groupBy(col(keyCol), col("day_ord"))
+      .agg(count(lit(1)).as("n"))
+    val trail = Window.partitionBy(col(keyCol)).orderBy(col("day_ord"))
+      .rangeBetween(-7, -1)
+    perDay
+      .withColumn("n_prior", count(col("n")).over(trail))
+      .withColumn("sum_prior", sum(col("n")).over(trail))
+      .withColumn("vol_ppm",
+        when(col("n_prior") >= VolMinPriorDays,
+          expr("(n * 1000000 * n_prior) div sum_prior")))
+      .withColumn("flag",
+        when(col("vol_ppm").isNull, lit(null).cast("int"))
+          .when(col("vol_ppm") < VolLowPpm || col("vol_ppm") > VolHighPpm, 1)
+          .otherwise(0))
+      .select(col(keyCol), col("day_ord"), col("n"), col("n_prior"),
+        col("sum_prior"), col("vol_ppm"), col("flag"))
+  }
+
+  /** dq_volume_anomaly testdata binding: per event_type daily volume. */
+  def dqVolumeAnomaly(spark: SparkSession, sfDir: String): DataFrame =
+    volumeAnomalyOn(Tables.events(spark, sfDir), "event_type", "ts")
+      .orderBy(col("event_type"), col("day_ord"))
+
+  def dqVolumeAnomalySql: String =
+    s"""WITH d AS (
+       | SELECT event_type, epoch_us(ts) // 86400000000 AS day_ord, count(*) AS n
+       | FROM events GROUP BY 1, 2),
+       |w AS (SELECT event_type, day_ord, n,
+       |  CAST(count(n) OVER tr AS BIGINT) AS n_prior,
+       |  CAST(sum(n) OVER tr AS BIGINT) AS sum_prior
+       | FROM d WINDOW tr AS (PARTITION BY event_type ORDER BY day_ord
+       |   RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+       |SELECT event_type, day_ord, CAST(n AS BIGINT) AS n, n_prior, sum_prior,
+       | CASE WHEN n_prior >= $VolMinPriorDays
+       |      THEN (n * 1000000 * n_prior) // sum_prior END AS vol_ppm,
+       | CAST(CASE WHEN n_prior < $VolMinPriorDays THEN NULL
+       |      WHEN (n * 1000000 * n_prior) // sum_prior < $VolLowPpm
+       |        OR (n * 1000000 * n_prior) // sum_prior > $VolHighPpm THEN 1
+       |      ELSE 0 END AS INTEGER) AS flag
+       |FROM w ORDER BY event_type, day_ord""".stripMargin
 }

@@ -969,6 +969,26 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(blamed == Map(1L -> 1L), blamed.toString)
   }
 
+  test("volumeAnomalyOn: a halved day flags, steady volume doesn't, warmup days stay NULL") {
+    import spark.implicits._
+    // key 'a': 100 events/day for 7 days, then a day at 40 (a silent
+    // 60% drop -> 400000 ppm < the 500000 floor)
+    def day(d: Int, n: Int, k: String) = (0 until n).map(i =>
+      (k, java.sql.Timestamp.valueOf(f"2024-03-${d}%02d 10:00:${i % 60}%02d.${i}%06d")))
+    val ev = ((1 to 7).flatMap(day(_, 100, "a")) ++ day(8, 40, "a")).toDF("event_type", "ts")
+    val r = graft.operators.Quality.volumeAnomalyOn(ev, "event_type", "ts")
+      .orderBy("day_ord").collect()
+    assert(r.length == 8)
+    // days 1-3 are warmup (0..2 prior days): NULL verdicts
+    (0 until 3).foreach(i => assert(r(i).isNullAt(r(i).fieldIndex("flag")), r(i).toString))
+    // steady days read exactly 1000000 ppm, no flag
+    (3 until 7).foreach { i =>
+      assert(r(i).getAs[Long]("vol_ppm") == 1000000L && r(i).getAs[Int]("flag") == 0, r(i).toString)
+    }
+    // the drop day: 40 vs trailing mean 100 -> 400000 ppm, flagged
+    assert(r(7).getAs[Long]("vol_ppm") == 400000L && r(7).getAs[Int]("flag") == 1, r(7).toString)
+  }
+
   test("compressRatioOn: repetition compresses far below high-entropy text; deterministic; empty-safe") {
     import spark.implicits._
     // a hash-derived hex stream approximates incompressible text;

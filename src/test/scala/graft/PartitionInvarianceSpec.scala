@@ -69,8 +69,9 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     // r9 late: islands grouping over matched shingle positions, and
     // the multi-lag moment profile (same class as ts_autocorr)
     "contamination_spans", "ts_acf",
-    // r9 late: top-20 boundary determinism under the two-phase rollup
-    "q67_sole_blame")
+    // r9 late: top-20 boundary determinism under the two-phase rollup,
+    // and the trailing range-frame volume monitor
+    "q67_sole_blame", "dq_volume_anomaly")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
