@@ -947,7 +947,12 @@ object Affinity {
       .groupBy(col("u"), col("w")).agg(count(lit(1)).as("cn"))
       .filter(col("cn") >= minCommon)
     cand
-      .join(edges.select(col("a").as("u"), col("b").as("w")), Seq("u", "w"), "left_anti")
+      // candidates are canonical u < w, so anti-join against the
+      // CANONICALIZED edge list (least/greatest) — a caller passing
+      // non-canonical or bidirectional edges would otherwise get
+      // already-adjacent pairs predicted (identity when a < b holds).
+      .join(edges.select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("w")), Seq("u", "w"), "left_anti")
       .join(deg.select(col("c").as("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("c").as("w"), col("deg").as("dw")), Seq("w"))
       .withColumn("jacc_milli", expr("(1000 * cn) div (du + dw - cn)"))

@@ -1043,6 +1043,11 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions { it =>
         val d = new java.util.zip.Deflater(6, true)
+        // native zlib buffers are freed by end(), not GC — release on
+        // task completion so long-running executors don't accumulate
+        // unreclaimed native memory across thousands of tasks
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => d.end()))
         val buf = new Array[Byte](1 << 16)
         it.map { case (id, text) =>
           val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -383,27 +383,47 @@ object EventStreams {
     * provable and spec-diffed row-for-row against the batch check.
     * Integer milli containment (same `div` as the batch form) so the
     * comparison is exact.
+    *
+    * STATE LIFECYCLE: when `ingestTsCol` names an event-time column on
+    * `docs`, the per-doc aggregate is keyed by (ingest window, doc) UNDER
+    * a watermark, so Spark EVICTS each doc's state once the watermark
+    * passes its window — unbounded streams run at constant state (the
+    * doc's shingles all land in one micro-batch, so eviction never
+    * drops a partial aggregate). With no `ingestTsCol` ("") the
+    * aggregate is unwatermarked and per-doc state is retained for the
+    * life of the query — BOUNDED-INPUT ONLY (replays, backfills).
     * Output per doc with ≥1 MATCHING shingle (a clean doc emits no
     * row — the gate only surfaces suspects; the batch form's n_hit=0
     * rows are the complement): (doc_id, n_shingles, n_hit,
     * containment_milli, contaminated).
     */
   def contaminationFlagStream(docs: DataFrame, eval: DataFrame,
-      thresholdMilli: Long = 500L): DataFrame = {
+      thresholdMilli: Long = 500L, ingestTsCol: String = "",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
     import graft.functions.TextFns
     val evalX = eval.select(
         explode(TextFns.shingleHashes(TextFns.tokenize(col("text")))).as("x"))
       .distinct()
       .transform(graft.util.CacheScope.cached) // static side, probed per batch
-    docs
-      .select(col("doc_id"),
-        TextFns.shingleHashes(TextFns.tokenize(col("text"))).as("h"))
+    val shingled = docs
+      .select(col("doc_id") +: TextFns.shingleHashes(TextFns.tokenize(col("text"))).as("h") +:
+        (if (ingestTsCol.nonEmpty) Seq(col(ingestTsCol)) else Nil): _*)
       .filter(size(col("h")) > 0)
-      .select(col("doc_id"), size(col("h")).cast("long").as("n_shingles"),
-        explode(col("h")).as("x"))
+      .select(col("doc_id") +: size(col("h")).cast("long").as("n_shingles") +:
+        explode(col("h")).as("x") +:
+        (if (ingestTsCol.nonEmpty) Seq(col(ingestTsCol)) else Nil): _*)
       .join(evalX, Seq("x"), "left_semi")
-      .groupBy(col("doc_id"), col("n_shingles"))
-      .agg(count(lit(1)).as("n_hit"))
+    val agged =
+      if (ingestTsCol.nonEmpty)
+        shingled.withWatermark(ingestTsCol, watermarkDelay)
+          .groupBy(window(col(ingestTsCol), "10 minutes"),
+            col("doc_id"), col("n_shingles"))
+          .agg(count(lit(1)).as("n_hit"))
+          .drop("window")
+      else
+        shingled.groupBy(col("doc_id"), col("n_shingles"))
+          .agg(count(lit(1)).as("n_hit"))
+    agged
       .withColumn("containment_milli", expr("(1000 * n_hit) div n_shingles"))
       .withColumn("contaminated",
         when(col("containment_milli") >= thresholdMilli, 1).otherwise(0))

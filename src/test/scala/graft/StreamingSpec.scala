@@ -606,18 +606,25 @@ class StreamingSpec extends SparkSpecBase {
     val d = graft.util.Tables.documents(spark, SfDir)
     val corpus = d.filter(col("doc_id") % 97 =!= 0)
     val eval = d.filter(col("doc_id") % 97 === 0)
-    val src = MemoryStream[(Long, String)]
+    val src = MemoryStream[(Long, String, java.sql.Timestamp)]
     val batches = corpus.select("doc_id", "text").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
     val (b1, b2) = batches.splitAt(batches.length / 2)
-    val streamDocs = src.toDF().toDF("doc_id", "text")
+    val streamDocs = src.toDF().toDF("doc_id", "text", "ingest_ts")
+    // batch 2 arrives an hour later: its event time advances the
+    // watermark past batch 1's window, evicting batch 1's per-doc
+    // state — output must still equal the batch check (each doc's
+    // shingles complete within its own micro-batch)
+    val t0 = 1_700_000_000_000L
+    def at(rows: Array[(Long, String)], ts: Long) =
+      rows.map { case (id, tx) => (id, tx, new java.sql.Timestamp(ts)) }.toSeq
     val q = graft.streaming.EventStreams
-      .contaminationFlagStream(streamDocs, eval)
+      .contaminationFlagStream(streamDocs, eval, ingestTsCol = "ingest_ts")
       .writeStream.format("memory").queryName("contam_out")
       .outputMode("update").start()
     try {
-      src.addData(b1.toSeq); q.processAllAvailable()
-      src.addData(b2.toSeq); q.processAllAvailable()
+      src.addData(at(b1, t0)); q.processAllAvailable()
+      src.addData(at(b2, t0 + 3_600_000L)); q.processAllAvailable()
     } finally q.stop()
     val got = spark.table("contam_out")
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shingles"),
