@@ -38,6 +38,11 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // Bench measures PRODUCTION plans: harness-imposed determinism
+    // sorts (Cols.verifySort — canonical row order for the oracle
+    // compare) are dropped so a load path's wall/shuffle numbers
+    // reflect what a cluster would actually run.
+    System.setProperty("graft.bench.nosort", "1")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -54,7 +54,7 @@ object RetailEtl {
       .filter(col("event_type").rlike("^[a-z_]+$"))
       .withColumn("date_dim_id", date_format(col("ts"), "yyyyMMdd").cast("int"))
       .drop("ts")
-      .orderBy(col("invoice_id"))
+      .transform(Cols.verifySort(_, col("invoice_id")))
   }
 
   /** etl_scd1_customers — SCD type-1 customer dim: latest order decides
@@ -180,7 +180,7 @@ object RetailEtl {
         coalesce(col("product_dim_id"), lit(0L)).as("product_dim_id"),
         Cols.pround(col("l_extendedprice") / col("l_quantity"), 2).as("unit_price"),
         col("l_quantity").as("quantity"))
-      .orderBy(col("invoice_id"), col("line_no"))
+      .transform(Cols.verifySort(_, col("invoice_id"), col("line_no")))
   }
 
   /** etl_fk_audit — the data-quality gate a fact load runs before

@@ -48,6 +48,10 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     // sums — invariance here gates the feature explode + broadcast
     // join shape, not arithmetic)
     "dedup_semantic", "sim_graph_beam", "pipeline_dsir",
+    // r10: the NN-Descent build itself (was only gated indirectly
+    // through sim_graph_beam; the beam binding now memoizes the graph
+    // artifact, so the build needs its own direct gate)
+    "sim_knn_graph",
     // r9 late: Bellman-Ford min-confluence distances and the expanded
     // weighted-minhash signature mins (both pure-integer aggregates —
     // invariance gates the frontier/banding join shapes)
