@@ -95,6 +95,7 @@ object SparkEntry {
     "q69_assortativity"  -> Affinity.assortativity _,
     "text_bm25"          -> TextAnalysis.bm25 _,
     "dedup_spans"        -> Dedup.spanDedup _,
+    "dedup_exact_spans"  -> Dedup.exactSpans _,
     "text_repetition"    -> TextAnalysis.repetition _,
     "text_keyphrases"    -> TextAnalysis.keyphrases _,
     "text_gopher_rules"  -> TextAnalysis.gopherRules _,
@@ -109,6 +110,7 @@ object SparkEntry {
     "pipeline_length_buckets" -> ((s: SparkSession, d: String) => Training.lengthBuckets(s, d)),
     "pipeline_dsir"      -> Training.dsir _,
     "text_bpe_pairs"     -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
+    "text_bpe_train"     -> TextAnalysis.bpeTrain _,
     "q53_skyline"        -> Relational.q53Skyline _,
     "ts_interp_linear"   -> TimeSeries.interpLinear _,
     "ts_merge_intervals" -> TimeSeries.mergeIntervals _,
@@ -570,6 +572,7 @@ object SparkEntry {
     "q59_coreness"        -> Affinity.corenessSql,
     "text_bm25"           -> TextAnalysis.bm25Sql,
     "dedup_spans"         -> Dedup.spanDedupSql,
+    "dedup_exact_spans"   -> Dedup.exactSpansSql,
     "text_repetition"     -> TextAnalysis.repetitionSql,
     "text_keyphrases"     -> TextAnalysis.keyphrasesSql,
     "text_gopher_rules"   -> TextAnalysis.gopherRulesSql,
@@ -582,6 +585,7 @@ object SparkEntry {
     "pipeline_length_buckets" -> Training.lengthBucketsSql,
     "pipeline_dsir"       -> Training.dsirSql,
     "text_bpe_pairs"      -> TextAnalysis.bpePairsSql,
+    "text_bpe_train"      -> TextAnalysis.bpeTrainSql,
     "q53_skyline"         -> Relational.q53SkylineSql,
     "ts_interp_linear"    -> TimeSeries.interpLinearSql,
     "ts_merge_intervals"  -> TimeSeries.mergeIntervalsSql,

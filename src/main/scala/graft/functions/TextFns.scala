@@ -161,6 +161,19 @@ object TextFns {
   def tokenHashesSql(words: String): String =
     s"list_transform($words, w -> ${charFoldSql("w")})"
 
+  /** DuckDB twin of [[WindowFoldHash]]: position-preserving k-token
+    * window hashes out[i] = fold((acc·131 + wh) mod P) over
+    * wh ∈ tokenHashes[i..i+k−1]; empty below k tokens. Bound through a
+    * single-element list so the token-hash array evaluates once.
+    */
+  def windowFoldHashesSql(words: String, k: Int): String =
+    s"list_transform([${tokenHashesSql(words)}], a -> " +
+      s"CASE WHEN len(a) >= $k THEN " +
+      s"list_transform(generate_series(1, len(a) - $k + 1), i -> " +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), a[i : i + $k - 1]), " +
+      s"(acc, x) -> (acc * 131 + x) % $P)) " +
+      s"ELSE [] END)[1]"
+
   // ---------------------------------------------------------------- langid
 
   /** Stopword-family markers for the n-gram language heuristic. */

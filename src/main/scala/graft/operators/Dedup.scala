@@ -1018,6 +1018,98 @@ object Dedup {
        |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Fingerprint window width (tokens) for [[exactSpansOn]] — the
+    * match resolution: two passages agree on a span iff every k-token
+    * sliding window inside it collides. k trades positional precision
+    * (small k) against accidental-collision surface (large k); 8 keeps
+    * boilerplate phrases below the radar while a genuine copied
+    * sentence still spans multiple windows.
+    */
+  val ExactSpanK = 8
+
+  /** Minimal duplicated-run length (tokens) reported by
+    * [[exactSpansOn]] — the Lee et al. 2022 "remove any ≥50-token
+    * exact repeat" threshold (arXiv:2107.06499, §4).
+    */
+  val ExactSpanMinRun = 50L
+
+  /** dedup_exact_spans — EXACT-SUBSTRING dedup (the Lee et al. 2022
+    * rung of the dedup ladder): every maximal token span whose text
+    * repeats verbatim anywhere else in the corpus (another document,
+    * or a second occurrence inside the same document), reported as
+    * [span_start, span_end] token indices per document when the run
+    * reaches [[ExactSpanMinRun]] tokens — the passage-level removal
+    * set that doc-level ([[exactOn]]) and near-dup ([[minhashOn]])
+    * dedup both miss. The suffix-array formulation of the paper is
+    * re-expressed as a shuffle: POSITION-PRESERVING k-token window
+    * fingerprints (codegen [[graft.functions.WindowFoldHash]], one
+    * scan-side pass), one corpus-wide group-by marking fingerprints
+    * with ≥2 occurrences, a semi-join back to positions, and the
+    * gaps-and-islands device (pos − row_number, per-doc window over
+    * MATCHED positions only) assembling consecutive duplicated
+    * windows into maximal spans — a run of matched windows p..q
+    * covers tokens p..q+k−1.
+    *
+    * Scale shape: the explode carries slim (doc, pos, h) rows; the
+    * duplicate-marking group-by is map-side combinable (count), and
+    * hot fingerprints (boilerplate) concentrate into counters, never
+    * a pair join; the islands window partitions on doc_id over
+    * matched rows only (duplication-bounded, not corpus-bounded).
+    * All-integer arithmetic → fully value-oracled.
+    * Output: (doc_id, span_start, span_end, span_tokens, n_windows)
+    * per maximal span of ≥ minRun tokens.
+    */
+  def exactSpansOn(df: DataFrame, idCol: String, textCol: String,
+      k: Int = ExactSpanK, minRun: Long = ExactSpanMinRun): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.WindowFoldHash.column(
+          TextFns.tokenHashes(TextFns.tokenize(col(textCol))), k))
+          .as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+    val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select(col("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    wins.join(dup, Seq("h"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1).toLong).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1L)
+      .filter(col("span_tokens") >= minRun)
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("span_tokens"), col("n_windows"))
+  }
+
+  /** dedup_exact_spans testdata binding. */
+  def exactSpans(spark: SparkSession, sfDir: String): DataFrame =
+    exactSpansOn(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy(col("doc_id"), col("span_start"))
+
+  def exactSpansSql: String = {
+    val k = ExactSpanK
+    s"""WITH t AS (SELECT doc_id,
+       |  ${TextFns.windowFoldHashesSql(TextFns.tokenizeSql("text"), k)} AS h
+       | FROM documents),
+       |px AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, h[i + 1] AS x
+       |       FROM (SELECT doc_id, h, unnest(range(0, len(h))) AS i FROM t)),
+       |dup AS (SELECT x FROM px GROUP BY x HAVING count(*) > 1),
+       |m AS (SELECT doc_id, pos FROM px WHERE x IN (SELECT x FROM dup)),
+       |g AS (SELECT doc_id, pos,
+       |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |      FROM m),
+       |sp AS (SELECT doc_id, min(pos) AS span_start,
+       |         max(pos) + $k - 1 AS span_end,
+       |         CAST(count(*) AS BIGINT) AS n_windows
+       |       FROM g GROUP BY doc_id, grp)
+       |SELECT doc_id, span_start, span_end,
+       | span_end - span_start + 1 AS span_tokens, n_windows
+       |FROM sp WHERE span_end - span_start + 1 >= $ExactSpanMinRun
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
+
   def simhashPairsSql: String =
     s"""WITH fp AS (
        | SELECT doc_id, ${TextFns.simhashSql("wh")} AS fp

@@ -673,6 +673,118 @@ object TextAnalysis {
        | pair, n
        |FROM c ORDER BY rank""".stripMargin
 
+  /** Merge rounds for [[bpeTrainOn]] — bounded so the unrolled DuckDB
+    * oracle stays tractable; a production vocabulary run raises it.
+    */
+  val BpeTrainRounds = 4
+
+  /** text_bpe_train — the ITERATIVE BPE trainer over the per-round
+    * counting primitive ([[bpePairsOn]]): `rounds` greedy merge rounds,
+    * each one (1) counting corpus-wide adjacent symbol pairs, (2)
+    * electing the top pair (count desc, then (s1, s2) asc — the
+    * deterministic tie-break every reproducible merge table needs),
+    * and (3) applying the merge LEFTMOST-FIRST, NON-OVERLAPPING to
+    * every document via the codegen scan-side
+    * [[graft.functions.BpeMergeApply]] (Sennrich et al. 2016's
+    * training loop, word-level symbols standing in for the usual
+    * character alphabet). The merge decision each round compares whole
+    * array ELEMENTS — never the space-joined display strings, which
+    * become ambiguous once merged symbols nest.
+    *
+    * Scale shape: per round, ONE map-side-combinable (s1, s2) count
+    * shuffle whose state is the pair vocabulary (corpus-independent),
+    * one single-row driver read (the elected merge is a scalar/round —
+    * the sanctioned fixpoint pattern), and one zero-shuffle scan
+    * applying it; each round ends in an eager `localCheckpoint` so the
+    * iteration's lineage stays flat. A 100 TB trainer runs this on the
+    * standard held-out sample, not the raw corpus — the loop's cost is
+    * rounds × (count shuffle + corpus materialization).
+    * Output: (round, s1, s2, pair, n) — the learned merge table.
+    */
+  def bpeTrainOn(df: DataFrame, textCol: String,
+      rounds: Int = BpeTrainRounds): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var sym = df.select(TextFns.tokenize(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 1)
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = sym.filter(size(col("w")) >= 2)
+        .select(explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (x, y) => struct(x.as("s1"), y.as("s2")))).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("s1"), col("s2"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (s1, s2, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, s1, s2, n))
+        sym = sym
+          .select(graft.functions.BpeMergeApply.column(col("w"), s1, s2).as("w"))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("round", "s1", "s2", "n")
+      .select(col("round"), col("s1"), col("s2"),
+        concat_ws(" ", col("s1"), col("s2")).as("pair"), col("n"))
+  }
+
+  /** text_bpe_train testdata binding. */
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame =
+    bpeTrainOn(Tables.documents(spark, sfDir), "text").orderBy(col("round"))
+
+  /** Bounded-unroll oracle: each round counts pairs, elects the top
+    * merge, and applies it POSITIONALLY — match islands per doc, merge
+    * at even offsets within each island — which equals the Spark
+    * side's leftmost-first greedy walk (a >1-length island only arises
+    * for an (x, x) merge over a run of x's, where leftmost-first
+    * consumes exactly the even offsets).
+    */
+  def bpeTrainSql: String = {
+    val rounds = (1 to BpeTrainRounds).map { r =>
+      val p = r - 1
+      s"""p$r AS (SELECT w[i] AS s1, w[i + 1] AS s2, count(*) AS n
+         |      FROM s$p, unnest(generate_series(1, len(w) - 1)) AS u(i)
+         |      WHERE len(w) >= 2 GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (SELECT s1, s2, n FROM p$r ORDER BY n DESC, s1, s2 LIMIT 1),
+         |x$r AS (SELECT doc_id, i, w[i] AS t, w[i + 1] AS nxt
+         |      FROM s$p, unnest(generate_series(1, len(w))) AS u(i)),
+         |mm$r AS (SELECT x.doc_id, x.i FROM x$r x, m$r m
+         |      WHERE x.t = m.s1 AND x.nxt = m.s2),
+         |g$r AS (SELECT doc_id, i,
+         |        i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+         |      FROM mm$r),
+         |sel$r AS (SELECT doc_id, i FROM (
+         |      SELECT doc_id, i, min(i) OVER (PARTITION BY doc_id, grp) AS i0 FROM g$r)
+         |      WHERE (i - i0) % 2 = 0),
+         |s$r AS MATERIALIZED (
+         |  SELECT x.doc_id,
+         |    list(CASE WHEN sh.i IS NOT NULL THEN x.t || ' ' || x.nxt ELSE x.t END
+         |         ORDER BY x.i) AS w
+         |  FROM x$r x
+         |  LEFT JOIN sel$r sh ON x.doc_id = sh.doc_id AND x.i = sh.i
+         |  LEFT JOIN sel$r sc ON x.doc_id = sc.doc_id AND x.i = sc.i + 1
+         |  WHERE sc.i IS NULL
+         |  GROUP BY x.doc_id)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val all = (1 to BpeTrainRounds)
+      .map(r => s"SELECT $r AS round, s1, s2, n FROM m$r").mkString(" UNION ALL ")
+    s"""WITH s0 AS MATERIALIZED (SELECT doc_id, w FROM (
+       | SELECT doc_id, ${TextFns.tokenizeSql("text")} AS w FROM documents)
+       | WHERE len(w) >= 1)$rounds
+       |SELECT CAST(round AS INTEGER) AS round, s1, s2,
+       | s1 || ' ' || s2 AS pair, CAST(n AS BIGINT) AS n
+       |FROM ($all) ORDER BY round""".stripMargin
+  }
+
   /** Longest run of equal ADJACENT elements in a string array — a
     * scan-side fold (state: previous element, current run, best run).
     * On a SORTED array this is the count of the most frequent element,

@@ -531,6 +531,37 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(TextAnalysis.bpePairsOn(docs, "text").count() == 0)
   }
 
+  test("bpeTrainOn learns the planted merge sequence, leftmost-first on equal runs") {
+    import spark.implicits._
+    // round 1: "x x" (6 adjacent occurrences — pair COUNTING sees every
+    // overlapping adjacency: 4 in the 5-run + 2 in the 3-run; the
+    // APPLICATION is then leftmost-first non-overlapping);
+    // after merging, "new york" (3) out-counts everything for round 2;
+    // round 3 then merges the nested ("new york", "city") pair.
+    val docs = Seq(
+      (1L, "x x x x x new york city"),
+      (2L, "x x x new york city"),
+      (3L, "new york city tour")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrainOn(docs, "text", rounds = 3).collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("s1"),
+        r.getAs[String]("s2"), r.getAs[Long]("n"))).toSeq
+    assert(got == Seq(
+      (1, "x", "x", 6L),
+      (2, "new", "york", 3L),
+      (3, "new york", "city", 3L)), s"merge table: $got")
+    // leftmost-first application: 5 x's collapse to (x x)(x x)(x),
+    // so round 2's counts see "x x"->"x x" exactly once (doc 1)
+    val round2Counts = {
+      val after1 = docs.select(
+        graft.functions.BpeMergeApply.column(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " "), "x", "x").as("w"))
+      after1.selectExpr("filter(w, s -> s = 'x x') AS xs")
+        .selectExpr("size(xs) AS k").collect().map(_.getInt(0)).sorted.toSeq
+    }
+    assert(round2Counts == Seq(0, 1, 2), s"merged-run shapes: $round2Counts")
+  }
+
   test("lengthBucketsOn bins to the smallest fitting power of two with exact waste") {
     import spark.implicits._
     def words(n: Int): String = Seq.fill(n)("w").mkString(" ")

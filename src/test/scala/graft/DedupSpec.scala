@@ -149,4 +149,45 @@ class DedupSpec extends SparkSpecBase {
       i > 0 && i <= u && r.getAs[Long]("wjac_ppm") == i * 1000000L / u
     })
   }
+
+  test("exact-substring spans: a planted shared paragraph localizes to its exact token range in both docs") {
+    import spark.implicits._
+    // 60-token paragraph planted verbatim into two otherwise-unrelated
+    // docs at KNOWN offsets; a third doc shares only a short phrase
+    // (below the 50-token threshold) and must emit nothing.
+    val para = (1 to 60).map(i => s"shared$i").mkString(" ")
+    val preA = (1 to 10).map(i => s"lead$i").mkString(" ")    // span starts at token 10
+    val preB = (1 to 25).map(i => s"intro$i").mkString(" ")   // span starts at token 25
+    val docs = Seq(
+      (1L, s"$preA $para " + (1 to 30).map(i => s"tailA$i").mkString(" ")),
+      (2L, s"$preB $para " + (1 to 12).map(i => s"tailB$i").mkString(" ")),
+      (3L, "short shared phrase only here " + (1 to 40).map(i => s"uniq$i").mkString(" ")),
+      (4L, "short shared phrase only here " + (1 to 40).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSpansOn(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("span_start"), r.getAs[Long]("span_end"),
+          r.getAs[Long]("span_tokens"))).toMap
+    // k=8 windows: first fully-shared window starts at the paragraph's
+    // first token; last at its 53rd (60-8+1 windows) -> the maximal run
+    // covers exactly the 60 planted tokens.
+    assert(got.keySet == Set(1L, 2L), s"expected docs 1,2 only, got $got")
+    assert(got(1L) == (10L, 69L, 60L), s"doc 1 span: ${got(1L)}")
+    assert(got(2L) == (25L, 84L, 60L), s"doc 2 span: ${got(2L)}")
+    // same-document self-repeat: one doc repeating its own 55-token
+    // block twice is flagged at both offsets (the paper dedups within
+    // documents too)
+    val selfPara = (1 to 55).map(i => s"rep$i").mkString(" ")
+    val selfDoc = Seq((9L, s"$selfPara " + (1 to 20).map(i => s"mid$i").mkString(" ") + s" $selfPara"))
+      .toDF("doc_id", "text")
+    val selfSpans = Dedup.exactSpansOn(selfDoc, "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("span_start"), r.getAs[Long]("span_end"))).toSet
+    assert(selfSpans == Set((0L, 54L), (75L, 129L)), s"self-repeat spans: $selfSpans")
+    // testdata binding surfaces the corpus's long planted repeats
+    val td = Dedup.exactSpans(spark, SfDir).collect()
+    assert(td.nonEmpty, "no >=50-token exact repeats found in testdata")
+    assert(td.forall(_.getAs[Long]("span_tokens") >= Dedup.ExactSpanMinRun))
+    assert(td.forall(r => r.getAs[Long]("span_end") - r.getAs[Long]("span_start") + 1
+      == r.getAs[Long]("span_tokens")))
+  }
 }
