@@ -127,6 +127,7 @@ object SparkEntry {
     "ts_acf"             -> TimeSeries.acf _,
     "dedup_minhash_eval" -> Dedup.minhashEval _,
     "ts_out_of_order"    -> TimeSeries.outOfOrder _,
+    "stream_watermark_size" -> TimeSeries.watermarkRecommend _,
     "q58_entry_paths"    -> TimeSeries.entryPaths _,
     "text_bigram_surprise" -> TextAnalysis.bigramSurprise _,
     "q57_ab_test"        -> Relational.q57AbTest _,
@@ -198,6 +199,7 @@ object SparkEntry {
     "sim_ivfpq"           -> Similarity.ivfPq _,
     "sim_knn_graph"       -> Similarity.knnGraph _,
     "sim_graph_beam"      -> Similarity.graphBeam _,
+    "sim_hnsw"            -> Similarity.hnsw _,
     "sim_mmr"             -> Similarity.mmr _,
     "sim_hard_negatives"  -> Similarity.hardNegatives _,
     "sim_kcenter"         -> Similarity.kcenter _,
@@ -602,6 +604,7 @@ object SparkEntry {
     "ts_acf"              -> TimeSeries.acfSql,
     "dedup_minhash_eval"  -> Dedup.minhashEvalSql,
     "ts_out_of_order"     -> TimeSeries.outOfOrderSql,
+    "stream_watermark_size" -> TimeSeries.watermarkRecommendSql,
     "q58_entry_paths"     -> TimeSeries.entryPathsSql,
     "text_bigram_surprise" -> TextAnalysis.bigramSurpriseSql,
     "q57_ab_test"         -> Relational.q57AbTestSql,
@@ -733,6 +736,7 @@ object SparkEntry {
     "sim_ivfpq"           -> Similarity.ivfPqSql,
     "sim_knn_graph"       -> Similarity.knnGraphSql,
     "sim_graph_beam"      -> Similarity.graphBeamSql,
+    "sim_hnsw"            -> Similarity.hnswSql,
     "sim_mmr"             -> Similarity.mmrSql,
     "sim_hard_negatives"  -> Similarity.hardNegativesSql,
     "sim_kcenter"         -> Similarity.kcenterSql,

@@ -2216,44 +2216,52 @@ object Similarity {
     * `g$KnnGraphRounds(u, nbr, cos, rk)` — shared by [[knnGraphSql]]
     * and the graph-beam oracle.
     */
-  private def knnGraphCtes: String = {
+  private def knnGraphCtes: String = knnGraphCtesFor("", "TRUE")
+
+  /** [[knnGraphCtes]] generalized to a NODE SUBSET (`vPred` over
+    * embeddings) with every CTE name prefixed `px` — the HNSW oracle
+    * builds one NN-Descent graph per layer this way; the default
+    * ("", TRUE) instance is byte-identical to the historical body.
+    * Ends in `${px}g$KnnGraphRounds(u, nbr, cos, rk)`.
+    */
+  private def knnGraphCtesFor(px: String, vPred: String): String = {
     val steps = KnnGraphSteps.take(KnnGraphK).map(s => s"($s)").mkString(", ")
     def topk(pairs: String, out: String): String =
       s"""$out AS MATERIALIZED (SELECT u, nbr, cos, rk FROM (
          | SELECT u, nbr, cos, row_number() OVER (PARTITION BY u ORDER BY cos DESC, nbr) AS rk
          | FROM (SELECT p.u, p.nbr, ${cosSql("a.embedding", "b.embedding")} AS cos
-         |       FROM $pairs p JOIN v a ON p.u = a.vec_id JOIN v b ON p.nbr = b.vec_id))
+         |       FROM $pairs p JOIN ${px}v a ON p.u = a.vec_id JOIN ${px}v b ON p.nbr = b.vec_id))
          | WHERE rk <= $KnnGraphK)""".stripMargin
     val prelude =
-      s"""v AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
-         |nn AS MATERIALIZED (SELECT count(*) AS n FROM v),
-         |tb AS MATERIALIZED (SELECT vec_id, t,
+      s"""${px}v AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE $vPred),
+         |${px}nn AS MATERIALIZED (SELECT count(*) AS n FROM ${px}v),
+         |${px}tb AS MATERIALIZED (SELECT vec_id, t,
          |      ${bucketTableSql("embedding", KnnGraphInitPlanes, "t")} AS b
-         |      FROM v, generate_series(0, ${KnnGraphInitTables - 1}) AS gt(t)),
-         |tc AS MATERIALIZED (SELECT vec_id, t, b FROM (
+         |      FROM ${px}v, generate_series(0, ${KnnGraphInitTables - 1}) AS gt(t)),
+         |${px}tc AS MATERIALIZED (SELECT vec_id, t, b FROM (
          |      SELECT vec_id, t, b, row_number() OVER (PARTITION BY t, b
          |        ORDER BY (vec_id * 1103515245 + 12345) % 1000000007, vec_id) AS brk
-         |      FROM tb) WHERE brk <= $KnnGraphBucketCap),
-         |ls AS MATERIALIZED (SELECT DISTINCT a.vec_id AS u, b.vec_id AS nbr FROM tc a
-         |      JOIN tc b ON a.t = b.t AND a.b = b.b AND a.vec_id <> b.vec_id),
-         |i0 AS MATERIALIZED (SELECT DISTINCT u, nbr FROM (
-         |      SELECT u, nbr FROM ls
+         |      FROM ${px}tb) WHERE brk <= $KnnGraphBucketCap),
+         |${px}ls AS MATERIALIZED (SELECT DISTINCT a.vec_id AS u, b.vec_id AS nbr FROM ${px}tc a
+         |      JOIN ${px}tc b ON a.t = b.t AND a.b = b.b AND a.vec_id <> b.vec_id),
+         |${px}i0 AS MATERIALIZED (SELECT DISTINCT u, nbr FROM (
+         |      SELECT u, nbr FROM ${px}ls
          |      UNION ALL SELECT vec_id AS u, (vec_id + s) % n AS nbr
-         |      FROM v CROSS JOIN nn CROSS JOIN (VALUES $steps) AS st(s)
+         |      FROM ${px}v CROSS JOIN ${px}nn CROSS JOIN (VALUES $steps) AS st(s)
          |      WHERE (vec_id + s) % n <> vec_id)),
-         |${topk("i0", "g0")}""".stripMargin
+         |${topk(s"${px}i0", s"${px}g0")}""".stripMargin
     val roundsSql = (1 to KnnGraphRounds).map { r =>
-      s"""u$r AS MATERIALIZED (SELECT DISTINCT w, x FROM (
-         |      SELECT u AS w, nbr AS x FROM g${r - 1}
-         |      UNION ALL SELECT nbr, u FROM g${r - 1})),
-         |c$r AS MATERIALIZED (SELECT w, x FROM (
+      s"""${px}u$r AS MATERIALIZED (SELECT DISTINCT w, x FROM (
+         |      SELECT u AS w, nbr AS x FROM ${px}g${r - 1}
+         |      UNION ALL SELECT nbr, u FROM ${px}g${r - 1})),
+         |${px}c$r AS MATERIALIZED (SELECT w, x FROM (
          |      SELECT w, x, row_number() OVER (PARTITION BY w
-         |        ORDER BY (x * 1103515245 + 12345) % 1000000007, x) AS crk FROM u$r)
+         |        ORDER BY (x * 1103515245 + 12345) % 1000000007, x) AS crk FROM ${px}u$r)
          |      WHERE crk <= $KnnGraphCap),
-         |p$r AS MATERIALIZED (SELECT DISTINCT u, nbr FROM (
-         |      SELECT a.x AS u, b.x AS nbr FROM c$r a JOIN c$r b ON a.w = b.w AND a.x <> b.x
-         |      UNION ALL SELECT u, nbr FROM g${r - 1})),
-         |${topk(s"p$r", s"g$r")}""".stripMargin
+         |${px}p$r AS MATERIALIZED (SELECT DISTINCT u, nbr FROM (
+         |      SELECT a.x AS u, b.x AS nbr FROM ${px}c$r a JOIN ${px}c$r b ON a.w = b.w AND a.x <> b.x
+         |      UNION ALL SELECT u, nbr FROM ${px}g${r - 1})),
+         |${topk(s"${px}p$r", s"${px}g$r")}""".stripMargin
     }.mkString(",\n", ",\n", "")
     s"$prelude$roundsSql"
   }
@@ -2313,11 +2321,16 @@ object Similarity {
     * unrolled SQL twin composed onto the [[knnGraphCtes]] build.
     * Output: (q_id, c_id, cos_sim, rk).
     */
-  def graphBeamOn(graph: DataFrame, vectors: DataFrame, queries: DataFrame,
-      entries: Int = BeamE, width: Int = BeamWidth,
-      rounds: Int = BeamRounds, k: Int = BeamK,
-      seedPlanes: Int = AutoPlanes): DataFrame = {
-    val p = resolvePlanes(seedPlanes, vectors)
+  /** The frontier-beam core from CALLER-PROVIDED seed candidates —
+    * [[graphBeamOn]] supplies LSH bucket collisions, [[hnswOn]] the
+    * upper layer's descent output. Plan shape identical either way:
+    * slim (q_id, c_id) frontier equi-joins against the cached
+    * undirected edge list, visited anti-join, broadcast probe rejoin
+    * to score, per-probe top-W window (WindowGroupLimit map-side).
+    */
+  private def beamFrom(graph: DataFrame, vectors: DataFrame, queries: DataFrame,
+      seedCand: DataFrame, entries: Int, width: Int, rounds: Int,
+      k: Int): DataFrame = {
     val und = graph.select(col("u"), col("nbr"))
       .unionAll(graph.select(col("nbr").as("u"), col("u").as("nbr")))
       .distinct()
@@ -2330,18 +2343,14 @@ object Similarity {
         .withColumn("srk", row_number().over(wq))
         .filter(col("srk") <= keep)
         .drop("srk")
-    def buckets(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-      df.withColumn("tb", explode(array((0 until BeamSeedTables).map(t =>
-          struct(lit(t).as("t"), graft.functions.SrpBucket.column(
-            col(vecCol), p, t * p).as("b"))): _*)))
-        .select(col(idCol), col("tb.t").as("t"), col("tb.b").as("b"))
-    val seedCand = buckets(queries, "q_id", "qv")
-      .join(buckets(vectors, "c_id", "cv"), Seq("t", "b"))
-      .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id")).distinct()
     // every round's pool is re-read by the anti-join, the union, and
     // the final window — cache each round's (tiny: probes × width rows)
-    // increment so the seed-scoring subtree runs once, not per round
+    // increment so the seed-scoring subtree runs once, not per round.
+    // persist, NOT per-round localCheckpoint: ~0.7 s of eager-job
+    // overhead per checkpoint swamps these row counts (measured +2.1 s
+    // on the 2-round beam, +3 s on the hierarchy); the lineage-growth
+    // ceiling this implies is ~4 rounds per beam — callers needing
+    // deeper walks checkpoint BETWEEN beams (hnswSearchOn does).
     var visited = score(seedCand, entries)
       .transform(graft.util.CacheScope.cached)
     var frontier = visited.select(col("q_id"), col("c_id"))
@@ -2360,6 +2369,23 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("q_id"), col("c_id"), Cols.pround(col("cos"), 6).as("cos_sim"),
         col("rk"))
+  }
+
+  def graphBeamOn(graph: DataFrame, vectors: DataFrame, queries: DataFrame,
+      entries: Int = BeamE, width: Int = BeamWidth,
+      rounds: Int = BeamRounds, k: Int = BeamK,
+      seedPlanes: Int = AutoPlanes): DataFrame = {
+    val p = resolvePlanes(seedPlanes, vectors)
+    def buckets(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+      df.withColumn("tb", explode(array((0 until BeamSeedTables).map(t =>
+          struct(lit(t).as("t"), graft.functions.SrpBucket.column(
+            col(vecCol), p, t * p).as("b"))): _*)))
+        .select(col(idCol), col("tb.t").as("t"), col("tb.b").as("b"))
+    val seedCand = buckets(queries, "q_id", "qv")
+      .join(buckets(vectors, "c_id", "cv"), Seq("t", "b"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id")).distinct()
+    beamFrom(graph, vectors, queries, seedCand, entries, width, rounds, k)
   }
 
   /** Prebuilt kNN-graph ARTIFACT for the beam binding, memoized per
@@ -2439,6 +2465,230 @@ object Similarity {
     }.mkString(",\n", ",\n", "")
     val all = (0 to BeamRounds).map(i => s"SELECT q_id, c_id, cos FROM vis$i").mkString(" UNION ALL ")
     s"""$prelude$roundsSql
+       |SELECT q_id, c_id, ${Cols.proundSql("cos", 6)} AS cos_sim, CAST(rk AS INTEGER) AS rk
+       |FROM (SELECT q_id, c_id, cos,
+       |       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+       |      FROM ($all))
+       |WHERE rk <= $BeamK ORDER BY q_id, rk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- HNSW
+
+  /** HNSW layer geometry: [[HnswLayers]] coarse layers above the base
+    * graph, each holding an expected 1/[[HnswFanout]] of the layer
+    * below (the geometric level distribution of Malkov & Yashunin
+    * 2018, made DETERMINISTIC: node id's mixed hash ≡ 0 mod fanout^l —
+    * reproducible layer membership instead of a sampled level, and
+    * layers nest by construction). [[HnswEntryCap]] top-layer nodes
+    * form the entry set; each descent layer keeps an ef-beam of
+    * [[HnswEf]] candidates for the layer below.
+    */
+  val HnswLayers = 2
+  val HnswFanout = 8
+  val HnswEntryCap = 8
+  val HnswEf = 48
+  val HnswDescentRounds = 2
+  val HnswBaseRounds = 4
+
+  private val HnswP = 2147483647L
+
+  /** Layer-assignment hash: LCG then the SQUARE-mod-P mixing round —
+    * a bare LCG's low bits are periodic in id (the bit-position
+    * consumer bug class), the squared form decorrelates membership
+    * from id order. Exact int64 on both engines (s < 2^31, s² < 2^62).
+    */
+  private def hnswMix(c: Column): Column = {
+    val s = (c * 1103515245L + 12345L) % HnswP
+    (s * s) % HnswP
+  }
+  private def hnswMixSql(c: String): String =
+    s"((($c * 1103515245 + 12345) % $HnswP) * " +
+      s"(($c * 1103515245 + 12345) % $HnswP)) % $HnswP"
+
+  private def hnswLayerDiv(l: Int): Long =
+    (0 until l).foldLeft(1L)((acc, _) => acc * HnswFanout)
+
+  /** sim_hnsw — HIERARCHICAL graph ANN (the HNSW decomposition proper,
+    * completing the story [[graphBeamOn]]'s flat LSH-seeded beam
+    * started): [[hnswBuild]] erects one NN-Descent k-NN graph per
+    * layer over nested deterministic subsets (layer l = ids whose
+    * mixed hash ≡ 0 mod fanout^l); search enters at the tiny top
+    * layer's fixed entry set, runs an ef-beam within each coarse layer
+    * to LOCATE the query's neighborhood, hands the survivors down as
+    * the next layer's seeds, and finishes with the full frontier beam
+    * on the base graph. The upper layers replace the flat search's
+    * global LSH bucket join: each probe touches O(entry + ef·degree)
+    * nodes per layer — log-structured navigation, N-independent once
+    * the graphs exist, which is precisely the property that makes
+    * HNSW the billion-scale default.
+    *
+    * Scale shape: builds are per-layer [[knnGraphOn]] artifacts
+    * (amortized; layer l costs 1/fanout^l of the base build); search
+    * is the same slim equi-join beam as [[graphBeamOn]] at every
+    * layer, probes riding as rows. Deterministic end to end (pinned
+    * layer hash, exact-IEEE cosines, id tie-breaks) → fully
+    * value-oracled against the layered unrolled SQL twin.
+    * Output: (q_id, c_id, cos_sim, rk).
+    */
+  def hnswBuild(vectors: DataFrame, layers: Int = HnswLayers): Seq[DataFrame] =
+    (0 to layers).map { l =>
+      knnGraphOn(vectors.filter(hnswMix(col("vec_id")) % lit(hnswLayerDiv(l)) === 0))
+    }
+
+  /** Layered search over [[hnswBuild]]'s graphs; `vectors` is the full
+    * (vec_id, embedding) corpus, `queries` is (q_id, qv).
+    */
+  def hnswSearchOn(layerGraphs: Seq[DataFrame], vectors: DataFrame,
+      queries: DataFrame, k: Int = BeamK): DataFrame = {
+    val layers = layerGraphs.length - 1
+    // ~10 score joins re-read these across the layered search — scan
+    // the corpus and the probe set once
+    val v = vectors.select(col("vec_id"), col("embedding"))
+      .transform(graft.util.CacheScope.cached)
+    val q = queries.transform(graft.util.CacheScope.cached)
+    def layerCand(l: Int): DataFrame = v
+      .filter(hnswMix(col("vec_id")) % lit(hnswLayerDiv(l)) === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    // fixed entry set: the first entryCap top-layer members in mixed-
+    // hash order (top layer is N/fanout^layers rows — the global rank
+    // window is bounded by construction, not data-scaled)
+    val entries = v
+      .filter(hnswMix(col("vec_id")) % lit(hnswLayerDiv(layers)) === 0)
+      .select(col("vec_id"))
+      .withColumn("erk", row_number().over(
+        Window.orderBy(hnswMix(col("vec_id")), col("vec_id"))))
+      .filter(col("erk") <= HnswEntryCap)
+      .select(col("vec_id").as("c_id"))
+    var seeds = q.select(col("q_id"))
+      .crossJoin(broadcast(entries))
+      .filter(col("q_id") =!= col("c_id"))
+    (layers to 1 by -1).foreach { l =>
+      // each layer's survivors are probes × ef rows — localCheckpoint
+      // truncates the stacked-beam lineage (three nested beams
+      // otherwise compose a plan that grows ~3^rounds PER LAYER:
+      // measured 18 MiB task binaries and an explain-string OOM)
+      seeds = beamFrom(layerGraphs(l), layerCand(l), q, seeds,
+        HnswEf, HnswEf, rounds = HnswDescentRounds, k = HnswEf)
+        .select(col("q_id"), col("c_id"))
+        .localCheckpoint(true)
+    }
+    // every coarse-layer survivor seeds the base beam (entries = ef);
+    // the hierarchy's seeds land NEAR the neighborhood rather than in
+    // it (no global bucket join), so the base walk gets ef width and
+    // extra rounds to travel the last hops — still O(rounds·ef·degree)
+    // exact scores per probe, N-independent
+    beamFrom(layerGraphs(0), layerCand(0), q, seeds,
+      HnswEf, HnswEf, HnswBaseRounds, k)
+  }
+
+  /** Prebuilt per-layer graph artifacts, memoized per (session, sfDir)
+    * — same amortization contract as [[prebuiltKnnGraph]] (which
+    * SERVES AS layer 0, so the flat beam and the hierarchy share the
+    * base build).
+    */
+  @volatile private var hnswGraphCache: Option[(SparkSession, String, Seq[DataFrame])] = None
+  private def prebuiltHnswGraphs(spark: SparkSession, sfDir: String): Seq[DataFrame] =
+    synchronized {
+      hnswGraphCache match {
+        case Some((s, d, g)) if (s eq spark) && d == sfDir => g
+        case _ =>
+          val e = Tables.embeddings(spark, sfDir)
+          val g = prebuiltKnnGraph(spark, sfDir) +:
+            (1 to HnswLayers).map { l =>
+              knnGraphOn(e.filter(hnswMix(col("vec_id")) % lit(hnswLayerDiv(l)) === 0))
+                .localCheckpoint(true)
+            }
+          hnswGraphCache = Some((spark, sfDir, g))
+          g
+      }
+    }
+
+  /** sim_hnsw testdata binding: same 8 probes as sim_graph_beam,
+    * searched through the layered index.
+    */
+  def hnsw(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    hnswSearchOn(prebuiltHnswGraphs(spark, sfDir), e,
+      e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  def hnswSql: String = {
+    def undOf(px: String): String =
+      s"""SELECT DISTINCT u, nbr FROM (
+         | SELECT u, nbr FROM ${px}g$KnnGraphRounds
+         | UNION ALL SELECT nbr, u FROM ${px}g$KnnGraphRounds)""".stripMargin
+    // score candidates against a layer's member vectors, keep top-n
+    def score(cand: String, vTab: String, out: String, keep: Int): String =
+      s"""$out AS MATERIALIZED (SELECT q_id, c_id, cos FROM (
+         | SELECT q_id, c_id, cos,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS srk
+         | FROM (SELECT p.q_id, p.c_id, ${cosSql("q.qv", "b.embedding")} AS cos
+         |       FROM $cand p JOIN qs q ON p.q_id = q.q_id
+         |       JOIN $vTab b ON p.c_id = b.vec_id))
+         | WHERE srk <= $keep)""".stripMargin
+    // one ef-beam descent inside layer l (HnswDescentRounds expansions)
+    def descent(l: Int, seedTab: String): String = {
+      val px = s"h$l"
+      val head =
+        s"""${px}und AS MATERIALIZED (${undOf(px)}),
+           |${score(seedTab, s"${px}v", s"${px}vis0", HnswEf)}""".stripMargin
+      val rounds = (1 to HnswDescentRounds).map { r =>
+        val pool = (0 until r).map(i => s"SELECT q_id, c_id FROM ${px}vis$i")
+          .mkString(" UNION ALL ")
+        s"""${px}e$r AS (SELECT q_id, c_id FROM (
+           |      SELECT DISTINCT f.q_id, g.nbr AS c_id
+           |      FROM ${px}vis${r - 1} f JOIN ${px}und g ON f.c_id = g.u
+           |      WHERE g.nbr <> f.q_id) n
+           |      WHERE NOT EXISTS (SELECT 1 FROM ($pool) p
+           |                        WHERE p.q_id = n.q_id AND p.c_id = n.c_id)),
+           |${score(s"${px}e$r", s"${px}v", s"${px}vis$r", HnswEf)}""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      val all = (0 to HnswDescentRounds)
+        .map(i => s"SELECT q_id, c_id, cos FROM ${px}vis$i").mkString(" UNION ALL ")
+      s"""$head$rounds,
+         |${px}out AS MATERIALIZED (SELECT q_id, c_id FROM (
+         |      SELECT q_id, c_id,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+         |      FROM ($all))
+         |      WHERE rk <= $HnswEf)""".stripMargin
+    }
+    val layerPreds = (1 to HnswLayers).map(l =>
+      s"${hnswMixSql("vec_id")} % ${hnswLayerDiv(l)} = 0")
+    val builds = (s"${knnGraphCtesFor("", "TRUE")}" +:
+      (1 to HnswLayers).map(l => knnGraphCtesFor(s"h$l", layerPreds(l - 1))))
+      .mkString(",\n")
+    val top = HnswLayers
+    val prelude =
+      s"""WITH $builds,
+         |und AS MATERIALIZED (${undOf("")}),
+         |qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+         |ent AS (SELECT vec_id AS c_id FROM (
+         |      SELECT vec_id, row_number() OVER (
+         |        ORDER BY ${hnswMixSql("vec_id")}, vec_id) AS erk FROM h${top}v)
+         |      WHERE erk <= $HnswEntryCap),
+         |seed$top AS (SELECT q_id, c_id FROM qs CROSS JOIN ent WHERE q_id <> c_id)""".stripMargin
+    val descents = (top to 1 by -1).map { l =>
+      val seedTab = if (l == top) s"seed$top" else s"h${l + 1}out"
+      descent(l, seedTab)
+    }.mkString(",\n", ",\n", "")
+    // base-layer beam (BeamRounds rounds) from h1's survivors — the
+    // same structure as graphBeamSql's rounds, seeded by the descent
+    val base0 = s"""${score("h1out", "v", "vis0", HnswEf)}"""
+    val baseRounds = (1 to HnswBaseRounds).map { r =>
+      val pool = (0 until r).map(i => s"SELECT q_id, c_id FROM vis$i").mkString(" UNION ALL ")
+      s"""e$r AS (SELECT q_id, c_id FROM (
+         |      SELECT DISTINCT f.q_id, g.nbr AS c_id
+         |      FROM vis${r - 1} f JOIN und g ON f.c_id = g.u
+         |      WHERE g.nbr <> f.q_id) n
+         |      WHERE NOT EXISTS (SELECT 1 FROM ($pool) p
+         |                        WHERE p.q_id = n.q_id AND p.c_id = n.c_id)),
+         |${score(s"e$r", "v", s"vis$r", HnswEf)}""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val all = (0 to HnswBaseRounds).map(i => s"SELECT q_id, c_id, cos FROM vis$i").mkString(" UNION ALL ")
+    s"""$prelude$descents,
+       |$base0$baseRounds
        |SELECT q_id, c_id, ${Cols.proundSql("cos", 6)} AS cos_sim, CAST(rk AS INTEGER) AS rk
        |FROM (SELECT q_id, c_id, cos,
        |       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk

@@ -1247,6 +1247,92 @@ object TimeSeries {
       | CAST(coalesce(max(late_us // 1000000), 0) AS BIGINT) AS max_disorder_sec
       |FROM l GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** Watermark grid (seconds): [[watermarkRecommendOn]] rounds its p99
+    * recommendation UP to this granularity, floored at one grid step —
+    * an operator deploys "30 s", not "23 s".
+    */
+  val WatermarkGridSec = 10L
+
+  /** stream_watermark_size — the AUTO-SIZING step between the disorder
+    * profile ([[outOfOrderOn]]) and a deployed watermark
+    * (`withWatermark` / [[graft.streaming.EventStreams.latenessAudit]]):
+    * per-event disorder (max-seen event time − own event time, per
+    * key, arrival order), quantized to seconds, then EXACT p50/p95/p99
+    * via the counts-and-cumulative-rank device — the smallest disorder
+    * d with rank(d) ≥ ⌈q·n⌉ — and a deployable recommendation:
+    * p99 rounded up to the [[WatermarkGridSec]] grid. A watermark of
+    * that size keeps ≥99% of events inside the window (the producer's
+    * tail beyond p99 is the documented loss budget); sizing from the
+    * MAX instead holds state hostage to one pathological producer,
+    * which is why p99 is the production rule of thumb.
+    *
+    * Shape at scale: one key shuffle for the running max (shared with
+    * outOfOrderOn's profile), one map-side-combinable count keyed by
+    * DISORDER SECOND — cardinality bounded by the worst disorder in
+    * seconds, not the corpus — and a cumulative window over that tiny
+    * set (bounded global window, the sanctioned bucket-prefix-sum
+    * class). All-integer → fully value-oracled.
+    * Output (single row): (n_events, p50_sec, p95_sec, p99_sec,
+    * max_sec, recommended_watermark_sec).
+    */
+  def watermarkRecommendOn(events: DataFrame, keyCol: String, tsCol: String,
+      arrivalCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(arrivalCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lat = events
+      .withColumn("us", unix_micros(col(tsCol)))
+      .withColumn("late_us",
+        greatest(lit(0L), coalesce(max(col("us")).over(w), col("us")) - col("us")))
+      .select(expr("late_us div 1000000").as("late_sec"))
+    val counts = lat.groupBy(col("late_sec")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("n"))
+    val cum = counts.crossJoin(broadcast(total))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("late_sec"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    def pick(permille: Long): org.apache.spark.sql.Column =
+      min(when(col("cum") * 1000L >= lit(permille) * col("n"), col("late_sec")))
+    cum.agg(
+        max(col("n")).as("n_events"),
+        pick(500L).as("p50_sec"),
+        pick(950L).as("p95_sec"),
+        pick(990L).as("p99_sec"),
+        max(col("late_sec")).as("max_sec"))
+      .withColumn("recommended_watermark_sec",
+        greatest(lit(WatermarkGridSec),
+          Cols.floorDiv(col("p99_sec") + (WatermarkGridSec - 1L), WatermarkGridSec)
+            * WatermarkGridSec))
+  }
+
+  /** stream_watermark_size testdata binding: sized from the events
+    * stream's per-user disorder.
+    */
+  def watermarkRecommend(spark: SparkSession, sfDir: String): DataFrame =
+    watermarkRecommendOn(Tables.events(spark, sfDir), "user_id", "ts", "event_id")
+
+  def watermarkRecommendSql: String = {
+    val g = WatermarkGridSec
+    """WITH e AS (
+      | SELECT epoch_us(ts) AS us, user_id, event_id FROM events),
+      |l AS (
+      | SELECT greatest(0, coalesce(max(us) OVER (PARTITION BY user_id ORDER BY event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), us) - us) // 1000000 AS late_sec
+      | FROM e),
+      |c AS (SELECT late_sec, CAST(count(*) AS BIGINT) AS c FROM l GROUP BY 1),
+      |s AS (SELECT late_sec, c,
+      |       sum(c) OVER (ORDER BY late_sec
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |       sum(c) OVER () AS n
+      |      FROM c)
+      |SELECT CAST(max(n) AS BIGINT) AS n_events,
+      | CAST(min(CASE WHEN cum * 1000 >= 500 * n THEN late_sec END) AS BIGINT) AS p50_sec,
+      | CAST(min(CASE WHEN cum * 1000 >= 950 * n THEN late_sec END) AS BIGINT) AS p95_sec,
+      | CAST(min(CASE WHEN cum * 1000 >= 990 * n THEN late_sec END) AS BIGINT) AS p99_sec,
+      | CAST(max(late_sec) AS BIGINT) AS max_sec,""".stripMargin + s"""
+      | CAST(greatest($g, ((min(CASE WHEN cum * 1000 >= 990 * n THEN late_sec END) + ${g - 1}) // $g) * $g) AS BIGINT) AS recommended_watermark_sec
+      |FROM s""".stripMargin
+  }
+
   /** Linear multi-touch attribution: every click in the 30 minutes
     * before a purchase shares the purchase's credit equally (1/n_touch
     * each, in exact micro-units via integer division — deterministic

@@ -116,4 +116,16 @@ class AnnRecallSpec extends SparkSpecBase {
       "directed greedy beam from fixed entries measured 0.125 — the " +
       "LSH seeding + frontier/visited split are both load-bearing)")
   }
+
+  test("HNSW layered search recall@5 vs brute force") {
+    // the hierarchy must navigate to the same neighborhoods the flat
+    // LSH-seeded beam reaches — entry set + 2 coarse-layer ef-beams
+    // replacing the global bucket join
+    val truth = hits(SparkEntry.queries("sim_bruteforce_topk")(spark, Sf001))
+    val layered = hits(SparkEntry.queries("sim_hnsw")(spark, Sf001))
+    val r = layered.intersect(truth).size.toDouble / truth.size
+    info(f"recall@5 sim_hnsw = $r%.3f (truth ${truth.size})")
+    assert(r >= 0.9, s"hnsw recall floor: $r — the layer descent is " +
+      "dropping the query's neighborhood before the base beam")
+  }
 }

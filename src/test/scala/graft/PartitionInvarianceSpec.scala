@@ -50,8 +50,9 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     "dedup_semantic", "sim_graph_beam", "pipeline_dsir",
     // r10: the NN-Descent build itself (was only gated indirectly
     // through sim_graph_beam; the beam binding now memoizes the graph
-    // artifact, so the build needs its own direct gate)
-    "sim_knn_graph",
+    // artifact, so the build needs its own direct gate), and the
+    // layered HNSW search (double cosines at every descent keep)
+    "sim_knn_graph", "sim_hnsw",
     // r9 late: Bellman-Ford min-confluence distances and the expanded
     // weighted-minhash signature mins (both pure-integer aggregates —
     // invariance gates the frontier/banding join shapes)

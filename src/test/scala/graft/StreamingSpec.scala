@@ -70,6 +70,55 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("watermark auto-sizing: the recommended delay loses no rows, an undersized one drops them") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def t(min: Long, sec: Long = 0) = java.sql.Timestamp.valueOf(
+      f"2024-03-01 ${10 + min / 60}%02d:${min % 60}%02d:$sec%02d")
+    // planted disorder (arrival order = event_id): event 4 arrives
+    // carrying an event time 35 s BEHIND the max-seen (ev3 at
+    // 10:01:10) — late enough that its 1-minute window [10:00, 10:01)
+    // is already EXPIRED under an undersized 5 s watermark (wm
+    // 10:01:05 >= window end) but alive under the sized one. All
+    // other arrivals carry ascending event times (watermarks are
+    // GLOBAL, so the plant keeps cross-user arrival order clean).
+    val planted = (
+      Seq((1L, 1L, t(0)), (2L, 2L, t(0, 30)), (1L, 3L, t(1, 10)),
+        (1L, 4L, t(0, 35)), // 35 s behind the stream max
+        (2L, 5L, t(1, 30))) ++
+        (6L to 30L).map(i => (2L, i, t(i))))
+      .toDF("user_id", "event_id", "ts")
+    val rec = graft.operators.TimeSeries
+      .watermarkRecommendOn(planted, "user_id", "ts", "event_id").head()
+    assert(rec.getAs[Long]("max_sec") == 35L, s"planted disorder: $rec")
+    assert(rec.getAs[Long]("p99_sec") == 35L, s"p99 over 30 events: $rec")
+    val recSec = rec.getAs[Long]("recommended_watermark_sec")
+    assert(recSec == 40L, s"35 s p99 must round up to the 10 s grid: $rec")
+
+    // wire the recommendation into a live stream: count per 1-minute
+    // window under (a) the recommended watermark, (b) an undersized 5 s
+    def run(delaySec: Long, name: String): Long = {
+      val src = MemoryStream[(Long, java.sql.Timestamp)]
+      val q = src.toDF().toDF("user_id", "ts")
+        .withWatermark("ts", s"$delaySec seconds")
+        .groupBy(window(col("ts"), "1 minute")).agg(count(lit(1)))
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        // arrival order = event_id order, one batch per event: the
+        // watermark advances between arrivals exactly as in production
+        val rows = planted.orderBy("event_id").collect()
+          .map(r => (r.getLong(0), r.getTimestamp(2)))
+        rows.foreach { r => src.addData(r); q.processAllAvailable() }
+        EventStreams.latenessAudit(spark, q)
+          .agg(sum(col("dropped_by_watermark"))).head().getLong(0)
+      } finally q.stop()
+    }
+    assert(run(5L, "wm_under") >= 1L,
+      "undersized watermark must drop the 35 s-late event")
+    assert(run(recSec, "wm_sized") == 0L,
+      "the auto-sized watermark must lose nothing on the stream it was sized from")
+  }
+
   test("sessionConversionOn: sessions count on their entry day, conversion flag per session") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
