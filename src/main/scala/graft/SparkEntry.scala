@@ -218,6 +218,8 @@ object SparkEntry {
     "pipeline_mix"        -> Training.mix _,
     "dedup_cross_corpus"  -> Training.crossCorpus _,
     "source_minhash_sim"  -> Training.sourceMinhashSim _,
+    "tx_merge"            -> graft.sources.TxTable.mergeQuery _,
+    "tx_time_travel"      -> graft.sources.TxTable.timeTravelQuery _,
     "text_diversity"      -> Training.diversity _,
     "embed_class_centroid" -> Similarity.classCentroid _,
     // §2.D streaming (batch-equivalent forms; streaming impls spec-tested)
@@ -556,6 +558,8 @@ object SparkEntry {
     "pipeline_mix"        -> Training.mixSql,
     "dedup_cross_corpus"  -> Training.crossCorpusSql,
     "source_minhash_sim"  -> Training.sourceMinhashSimSql,
+    "tx_merge"            -> graft.sources.TxTable.mergeQuerySql,
+    "tx_time_travel"      -> graft.sources.TxTable.timeTravelQuerySql,
     "dq_constraints"      -> Quality.dqConstraintsSql,
     "dq_outliers"         -> Quality.dqOutliersSql,
     "ts_gapfill"          -> TimeSeries.gapfillSql,

@@ -53,6 +53,29 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     // artifact, so the build needs its own direct gate), and the
     // layered HNSW search (double cosines at every descent keep)
     "sim_knn_graph", "sim_hnsw",
+    // r10 sweep — every remaining operator whose result COULD depend
+    // on partitioning, by class:
+    // double-sum/avg/ratio aggregations (float addition order)
+    "q1_agg", "q3_join_agg", "etl_star_revenue", "etl_star_topn",
+    "q16_subquery_avg", "q32_window_pct", "q35_histogram",
+    "q49_cohort_retention", "q57_ab_test", "dq_outliers",
+    "dq_profile_drift", "q51_assoc_rules",
+    // float interpolation / per-key imperative passes (the two-heap
+    // rolling median runs mapPartitions over key-sorted frames)
+    "ts_gapfill", "ts_interp_linear", "ts_ohlc",
+    "ts_rolling_median", "ts_rolling_median_wide",
+    // sketches whose merge must be order/partition-free by design
+    "q19_udaf_hll", "q36_hll_union", "q28_approx_quantile",
+    "q62_quantile_rollup",
+    // hash-derived sampling (deterministic by construction — proven)
+    "q25_sample_hash", "pipeline_stratified",
+    // iterative fixpoints not already gated
+    "q59_coreness", "q56_kcore", "q54_khop", "text_bpe_train",
+    // quantization chains + float evals over pinned models
+    "embed_pq", "embed_rq", "embed_opq", "sim_pq_adc",
+    "sim_mips_ann", "sim_recall_eval", "embed_mrl_eval",
+    // islands/window assembly over matched positions
+    "dedup_exact_spans",
     // r9 late: Bellman-Ford min-confluence distances and the expanded
     // weighted-minhash signature mins (both pure-integer aggregates —
     // invariance gates the frontier/banding join shapes)

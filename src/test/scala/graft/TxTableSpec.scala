@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.TxTable
+
+/** The transactional-table protocol end to end: snapshot isolation and
+  * time travel over immutable files, file-granular copy-on-write
+  * MERGE, atomic-rename optimistic concurrency, manifest-stats data
+  * skipping, Z-order re-layout, and vacuum.
+  */
+class TxTableSpec extends SparkSpecBase {
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft_tx").resolve("t").toString
+
+  test("create/read round-trip; append adds a version, old snapshots stay readable") {
+    import spark.implicits._
+    val t = tmpTable()
+    val base = (1L to 100L).map(i => (i, s"row$i")).toDF("id", "payload")
+    assert(TxTable.create(spark, t, base, Seq("id")) == 1)
+    assert(TxTable.read(spark, t).count() == 100)
+    val delta = (101L to 120L).map(i => (i, s"row$i")).toDF("id", "payload")
+    assert(TxTable.append(spark, t, delta, Seq("id")) == 2)
+    assert(TxTable.read(spark, t).count() == 120)
+    // time travel: v1 is still exactly the original 100 rows
+    assert(TxTable.read(spark, t, version = 1).count() == 100)
+    assert(TxTable.read(spark, t, version = 1)
+      .agg(max(col("id"))).head().getLong(0) == 100L)
+  }
+
+  test("merge upserts at file granularity: matched keys replaced, new inserted, disjoint files untouched") {
+    import spark.implicits._
+    val t = tmpTable()
+    // two well-separated key clusters land in different files
+    val lo = (1L to 100L).map(i => (i, "old")).toDF("id", "val").repartition(1)
+    val hi = (100001L to 100100L).map(i => (i, "old")).toDF("id", "val").repartition(1)
+    TxTable.create(spark, t, lo, Seq("id"))
+    TxTable.append(spark, t, hi, Seq("id"))
+    val before = TxTable.manifest(t, TxTable.latestVersion(t)).files
+    val updates = (Seq((50L, "new"), (60L, "new")) ++ (201L to 210L).map(i => (i, "ins")))
+      .toDF("id", "val")
+    val res = TxTable.merge(spark, t, updates, "id", Seq("id"))
+    // only the low-cluster file intersects [50, 210]
+    assert(res.rewritten == 1 && res.untouched == 1, res.toString)
+    val after = TxTable.manifest(t, res.version).files
+    val hiFile = before.find(_.stats("id").min == 100001L).get
+    assert(after.exists(_.path == hiFile.path), "disjoint file must carry over by reference")
+    val now = TxTable.read(spark, t)
+    assert(now.count() == 210) // 100 + 100 + 10 inserts
+    assert(now.filter(col("id") === 50L).head().getString(1) == "new")
+    assert(now.filter(col("id") === 51L).head().getString(1) == "old")
+    assert(now.filter(col("id") === 205L).head().getString(1) == "ins")
+    // merge result equals the relational truth
+    val want = spark.range(1, 101).select(col("id"))
+      .unionByName(spark.range(100001, 100101).select(col("id")))
+      .unionByName(spark.range(201, 211).select(col("id")))
+    assert(now.select("id").except(want).count() == 0)
+    assert(want.except(now.select("id")).count() == 0)
+  }
+
+  test("optimistic concurrency: the second writer of a version loses with a conflict, not corruption") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t, Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    val files = TxTable.manifest(t, 1).files
+    // writer A commits v2
+    assert(TxTable.commit(t, 1, files) == 2)
+    // writer B, still based on v1, races for v2 — must conflict
+    intercept[java.util.ConcurrentModificationException] {
+      TxTable.commit(t, 1, files)
+    }
+    // the table is uncorrupted: v2 readable, v3 free for a rebased retry
+    assert(TxTable.latestVersion(t) == 2)
+    assert(TxTable.commit(t, 2, files) == 3)
+  }
+
+  test("manifest stats skip files outside the predicate range; pruned read equals filtered full scan") {
+    import spark.implicits._
+    val t = tmpTable()
+    // 4 files, each a distinct 1000-key range
+    (0 until 4).foreach { b =>
+      val df = ((b * 1000L + 1) to (b * 1000L + 1000)).map(i => (i, i * 2)).toDF("id", "x")
+        .repartition(1)
+      if (b == 0) TxTable.create(spark, t, df, Seq("id")) else TxTable.append(spark, t, df, Seq("id"))
+    }
+    val (kept, skipped) = TxTable.prune(t, "id", 1500L, 1600L)
+    assert(kept.size == 1 && skipped.size == 3,
+      s"kept ${kept.map(_.path)} skipped ${skipped.size}")
+    val pruned = TxTable.readPruned(spark, t, "id", 1500L, 1600L)
+    val full = TxTable.read(spark, t).filter(col("id").between(1500L, 1600L))
+    assert(pruned.count() == 101)
+    assert(pruned.except(full).count() == 0 && full.except(pruned).count() == 0)
+  }
+
+  test("zorder re-layout makes BOTH dimensions skippable; content unchanged") {
+    import spark.implicits._
+    val t = tmpTable()
+    // insert order clusters id; y is uniform within every file -> no
+    // file can be skipped on y before the re-layout
+    (0 until 4).foreach { b =>
+      val df = ((b * 1000L + 1) to (b * 1000L + 1000))
+        .map(i => (i, i % 997)).toDF("id", "y").repartition(1)
+      if (b == 0) TxTable.create(spark, t, df, Seq("id", "y"))
+      else TxTable.append(spark, t, df, Seq("id", "y"))
+    }
+    val beforeY = TxTable.prune(t, "y", 10L, 20L)._2.size
+    assert(beforeY == 0, s"pre-zorder layout unexpectedly skips $beforeY files on y")
+    val contentBefore = TxTable.read(spark, t).collect().toSet
+    TxTable.zorder(spark, t, "id", "y", Seq("id", "y"), numFiles = 16)
+    assert(TxTable.read(spark, t).collect().toSet == contentBefore,
+      "zorder is a layout-only commit — content must be identical")
+    val afterY = TxTable.prune(t, "y", 10L, 20L)._2.size
+    val afterId = TxTable.prune(t, "id", 1500L, 1600L)._2.size
+    assert(afterY >= 8, s"zorder should make y skippable: only $afterY/16 skipped")
+    assert(afterId >= 8, s"zorder must keep id skippable too: only $afterId/16 skipped")
+    // pruned reads stay correct on the curve layout
+    val pruned = TxTable.readPruned(spark, t, "y", 10L, 20L)
+    val full = TxTable.read(spark, t).filter(col("y").between(10L, 20L))
+    assert(pruned.except(full).count() == 0 && full.except(pruned).count() == 0)
+  }
+
+  test("vacuum reclaims files no kept manifest references; the kept window survives") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t, (1L to 50L).map(i => (i, "a")).toDF("id", "v"), Seq("id"))
+    TxTable.merge(spark, t, Seq((1L, "b")).toDF("id", "v"), "id", Seq("id"))   // v2 rewrites
+    TxTable.merge(spark, t, Seq((2L, "c")).toDF("id", "v"), "id", Seq("id"))   // v3 rewrites
+    val deleted = TxTable.vacuum(t, keepFromVersion = 3)
+    assert(deleted.nonEmpty, "copy-on-write garbage existed and must be reclaimed")
+    assert(TxTable.read(spark, t).count() == 50)
+    assert(TxTable.read(spark, t).filter(col("id") === 2L).head().getString(1) == "c")
+    intercept[Exception] { TxTable.read(spark, t, version = 1).count() }
+  }
+}
