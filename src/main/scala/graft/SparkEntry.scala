@@ -111,6 +111,8 @@ object SparkEntry {
     "pipeline_dsir"      -> Training.dsir _,
     "text_bpe_pairs"     -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
     "text_bpe_train"     -> TextAnalysis.bpeTrain _,
+    "text_bpe_apply"     -> TextAnalysis.bpeApply _,
+    "sim_hamming_ann"    -> Similarity.hammingAnn _,
     "q53_skyline"        -> Relational.q53Skyline _,
     "ts_interp_linear"   -> TimeSeries.interpLinear _,
     "ts_merge_intervals" -> TimeSeries.mergeIntervals _,
@@ -592,6 +594,8 @@ object SparkEntry {
     "pipeline_dsir"       -> Training.dsirSql,
     "text_bpe_pairs"      -> TextAnalysis.bpePairsSql,
     "text_bpe_train"      -> TextAnalysis.bpeTrainSql,
+    "text_bpe_apply"      -> TextAnalysis.bpeApplySql,
+    "sim_hamming_ann"     -> Similarity.hammingAnnSql,
     "q53_skyline"         -> Relational.q53SkylineSql,
     "ts_interp_linear"    -> TimeSeries.interpLinearSql,
     "ts_merge_intervals"  -> TimeSeries.mergeIntervalsSql,

@@ -2696,6 +2696,107 @@ object Similarity {
        |WHERE rk <= $BeamK ORDER BY q_id, rk""".stripMargin
   }
 
+  // ----------------------------------------------------- binary-code ANN
+
+  /** Binary-code geometry: 8 bands × 8 sign-projection bits = a 64-bit
+    * code per vector (held as 8 band values — no 64-bit packing, so
+    * every intermediate stays strictly positive in BIGINT on both
+    * engines); candidate pairs share ≥ 1 equal band (the multi-index
+    * pigeonhole prefilter), survive a Hamming ≤ [[HammingRadius]]
+    * screen over the full code, and rerank by exact cosine.
+    */
+  val HammingBands = 16
+  val HammingBandBits = 4
+  val HammingRadius = 28
+  val HammingK = 5
+
+  /** sim_hamming_ann — BINARY-code ANN (the sign/Hamming tier of the
+    * family: 32× smaller index than float vectors, XOR+popcount
+    * distance — the binary-passage-retrieval / Norouzi et al. 2012
+    * multi-index shape): each vector compresses to 8×8 sign-projection
+    * band bytes (codegen [[graft.functions.SrpBucket]] per band, same
+    * PRNG stream as every LSH tier); probes meet candidates on ANY
+    * equal band (slim (t, b) equi-join — never an all-pairs scan),
+    * the full-code Hamming screen keeps pairs ≤ radius, and the
+    * survivors rerank by EXACT cosine top-k — the standard
+    * coarse-code-then-rerank two-stage. At scale the band join is the
+    * index probe (8 bounded postings per vector) and the float
+    * vectors are touched only for the rerank's survivors.
+    * Deterministic end to end → fully value-oracled.
+    * Output: (q_id, c_id, hamming, cos_sim, rk).
+    */
+  def hammingAnnOn(vectors: DataFrame, queries: DataFrame,
+      k: Int = HammingK, radius: Int = HammingRadius): DataFrame = {
+    def codes(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+      df.select(col(idCol), col(vecCol),
+        array((0 until HammingBands).map(t =>
+          graft.functions.SrpBucket.column(col(vecCol), HammingBandBits,
+            t * HammingBandBits)): _*).as("code"))
+    val qc = codes(queries, "q_id", "qv")
+      .transform(graft.util.CacheScope.cached) // bands + rerank both read it
+    val cc = codes(vectors, "c_id", "cv")
+      .transform(graft.util.CacheScope.cached)
+    def bands(df: DataFrame, idCol: String): DataFrame =
+      df.select(col(idCol), posexplode(col("code")).as(Seq("t", "b")))
+    val cand = bands(qc, "q_id").join(bands(cc, "c_id"), Seq("t", "b"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id")).distinct()
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    cand
+      .join(qc.select(col("q_id"), col("qv"), col("code").as("qcode")), Seq("q_id"))
+      .join(cc.select(col("c_id"), col("cv"), col("code").as("ccode")), Seq("c_id"))
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(qcode, ccode, (x, y) -> CAST(bit_count(x ^ y) AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .filter(col("hamming") <= radius)
+      .withColumn("cos", cosExpr("qv", "cv"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), col("hamming"),
+        Cols.pround(col("cos"), 6).as("cos_sim"), col("rk"))
+  }
+
+  /** sim_hamming_ann testdata binding: same 8 probes as the other ANN
+    * tiers.
+    */
+  def hammingAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    hammingAnnOn(
+      e.select(col("vec_id").as("c_id"), col("embedding").as("cv")),
+      e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  def hammingAnnSql: String = {
+    val p = HammingBandBits
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+       |qc AS MATERIALIZED (SELECT q_id, qv,
+       |      list_transform(generate_series(0, ${HammingBands - 1}), t ->
+       |        ${bucketTableSql("qv", p, "t")}) AS code FROM q),
+       |cc AS MATERIALIZED (SELECT c_id, cv,
+       |      list_transform(generate_series(0, ${HammingBands - 1}), t ->
+       |        ${bucketTableSql("cv", p, "t")}) AS code FROM c),
+       |cand AS (SELECT DISTINCT a.q_id, b.c_id
+       |      FROM (SELECT q_id, t, code[t + 1] AS b FROM qc, generate_series(0, ${HammingBands - 1}) AS gt(t)) a
+       |      JOIN (SELECT c_id, t, code[t + 1] AS b FROM cc, generate_series(0, ${HammingBands - 1}) AS gt(t)) b
+       |        ON a.t = b.t AND a.b = b.b
+       |      WHERE a.q_id <> b.c_id),
+       |h AS (SELECT cand.q_id, cand.c_id,
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(generate_series(1, ${HammingBands}), i ->
+       |          CAST(bit_count(xor(qc.code[i], cc.code[i])) AS BIGINT))),
+       |        (a, x) -> a + x) AS hamming,
+       |      ${cosSql("qc.qv", "cc.cv")} AS cos
+       |      FROM cand JOIN qc ON cand.q_id = qc.q_id JOIN cc ON cand.c_id = cc.c_id)
+       |SELECT q_id, c_id, hamming, ${Cols.proundSql("cos", 6)} AS cos_sim,
+       | CAST(rk AS INTEGER) AS rk
+       |FROM (SELECT q_id, c_id, hamming, cos,
+       |       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+       |      FROM h WHERE hamming <= $HammingRadius)
+       |WHERE rk <= $HammingK ORDER BY q_id, rk""".stripMargin
+  }
+
   // ------------------------------------------------------ hard negatives
 
   /** sim_hard_negatives — hard-negative mining for contrastive

@@ -749,6 +749,20 @@ object TextAnalysis {
     * consumes exactly the even offsets).
     */
   def bpeTrainSql: String = {
+    s"""WITH $bpeTrainCtes
+       |SELECT CAST(round AS INTEGER) AS round, s1, s2,
+       | s1 || ' ' || s2 AS pair, CAST(n AS BIGINT) AS n
+       |FROM (${(1 to BpeTrainRounds)
+        .map(r => s"SELECT $r AS round, s1, s2, n FROM m$r").mkString(" UNION ALL ")})
+       |ORDER BY round""".stripMargin
+  }
+
+  /** The trainer's round CTEs as a reusable WITH body — `s0` (tokenized
+    * docs) through `s$BpeTrainRounds` (post-merge symbols) and the
+    * per-round elected merges `m1..mR`; shared by [[bpeTrainSql]] and
+    * [[bpeApplySql]].
+    */
+  private def bpeTrainCtes: String = {
     val rounds = (1 to BpeTrainRounds).map { r =>
       val p = r - 1
       s"""p$r AS (SELECT w[i] AS s1, w[i + 1] AS s2, count(*) AS n
@@ -775,15 +789,55 @@ object TextAnalysis {
          |  WHERE sc.i IS NULL
          |  GROUP BY x.doc_id)""".stripMargin
     }.mkString(",\n", ",\n", "")
-    val all = (1 to BpeTrainRounds)
-      .map(r => s"SELECT $r AS round, s1, s2, n FROM m$r").mkString(" UNION ALL ")
-    s"""WITH s0 AS MATERIALIZED (SELECT doc_id, w FROM (
+    s"""s0 AS MATERIALIZED (SELECT doc_id, w FROM (
        | SELECT doc_id, ${TextFns.tokenizeSql("text")} AS w FROM documents)
-       | WHERE len(w) >= 1)$rounds
-       |SELECT CAST(round AS INTEGER) AS round, s1, s2,
-       | s1 || ' ' || s2 AS pair, CAST(n AS BIGINT) AS n
-       |FROM ($all) ORDER BY round""".stripMargin
+       | WHERE len(w) >= 1)$rounds""".stripMargin
   }
+
+  /** text_bpe_apply — the trained merge table APPLIED back to the
+    * corpus (the tokenizer-deployment half of the BPE pair: train
+    * elects merges, apply consumes them): the [[bpeTrainOn]] merge
+    * sequence folds over every document as chained codegen
+    * [[graft.functions.BpeMergeApply]] passes (k literal merges — one
+    * zero-shuffle scan, whole-stage codegen'd), reporting per doc the
+    * raw token count, the post-merge symbol count, and the tokens
+    * saved — the compression the learned vocabulary buys, which is
+    * the number a tokenizer rollout is judged on. The oracle replays
+    * the same rounds positionally and diffs s0 against s_k.
+    * Output: (doc_id, n_tokens, n_symbols, n_saved).
+    */
+  def bpeApplyOn(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val toks = TextFns.tokenize(col(textCol))
+    val applied = merges.foldLeft(toks) { case (c, (a, b)) =>
+      graft.functions.BpeMergeApply.column(c, a, b)
+    }
+    df.select(col(idCol).as("doc_id"), toks.as("w0"), applied.as("wk"))
+      .filter(size(col("w0")) >= 1)
+      .select(col("doc_id"),
+        size(col("w0")).cast("long").as("n_tokens"),
+        size(col("wk")).cast("long").as("n_symbols"))
+      .withColumn("n_saved", col("n_tokens") - col("n_symbols"))
+  }
+
+  /** text_bpe_apply testdata binding: merges from the trainer on the
+    * same corpus (one scalar-table driver read — the artifact hand-off
+    * a deployed tokenizer does once).
+    */
+  def bpeApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = bpeTrain(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("s1"), r.getAs[String]("s2"))).toSeq
+    bpeApplyOn(Tables.documents(spark, sfDir), "doc_id", "text", merges)
+      .orderBy(col("doc_id"))
+  }
+
+  def bpeApplySql: String =
+    s"""WITH $bpeTrainCtes
+       |SELECT a.doc_id, CAST(len(a.w) AS BIGINT) AS n_tokens,
+       | CAST(len(b.w) AS BIGINT) AS n_symbols,
+       | CAST(len(a.w) - len(b.w) AS BIGINT) AS n_saved
+       |FROM s0 a JOIN s$BpeTrainRounds b ON a.doc_id = b.doc_id
+       |ORDER BY a.doc_id""".stripMargin
 
   /** Longest run of equal ADJACENT elements in a string array — a
     * scan-side fold (state: previous element, current run, best run).

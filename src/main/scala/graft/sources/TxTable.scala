@@ -79,9 +79,14 @@ object TxTable {
     Manifest(node.get("version").asInt(), files)
   }
 
-  private def writeManifest(table: String, m: Manifest): Unit = {
+  private def writeManifest(table: String, m: Manifest,
+      batches: Set[Long] = Set.empty): Unit = {
     val root = M.createObjectNode()
     root.put("version", m.version)
+    if (batches.nonEmpty) {
+      val ba = root.putArray("batches")
+      batches.toSeq.sorted.foreach(ba.add)
+    }
     val arr = root.putArray("files")
     m.files.foreach { f =>
       val fn = arr.addObject()
@@ -266,6 +271,56 @@ object TxTable {
       .drop("_z")
     val written = writeFiles(spark, table, slot, laid, statsCols)
     commit(table, parent, written)
+  }
+
+  // ------------------------------------------------- streaming / compaction
+
+  /** Batch ids already committed to the table (the exactly-once
+    * ledger), read from the latest manifest.
+    */
+  def committedBatches(table: String): Set[Long] = {
+    val v = latestVersion(table)
+    if (v == 0) return Set.empty
+    val node = M.readTree(Files.readAllBytes(logDir(table).resolve(f"v$v%08d.json")))
+    val b = node.get("batches")
+    if (b == null) Set.empty
+    else b.elements().asScala.map(_.asLong()).toSet
+  }
+
+  /** EXACTLY-ONCE streaming append: the foreachBatch body for a
+    * `writeStream` landing in this table under at-least-once delivery.
+    * A replayed micro-batch (same batchId after a sink retry /
+    * restart) is detected against the manifest's batch ledger and
+    * SKIPPED — the idempotent-sink contract, here fused with the
+    * table's own atomic commit so data and ledger can never disagree
+    * (the standalone file-sink form is Maintenance.appendBatchIdempotent).
+    * Returns true when the batch was committed, false when replayed.
+    */
+  def appendBatchExactlyOnce(spark: SparkSession, table: String, df: DataFrame,
+      batchId: Long, statsCols: Seq[String]): Boolean = {
+    if (committedBatches(table).contains(batchId)) return false
+    val parent = latestVersion(table)
+    val slot = f"v${parent + 1}%08d-b$batchId"
+    val prior = if (parent == 0) Seq.empty else manifest(table, parent).files
+    val files = prior ++ writeFiles(spark, table, slot, df, statsCols)
+    // the data files and the ledger entry publish as ONE atomic
+    // manifest — idempotence can never desync from the data
+    writeManifest(table, Manifest(parent + 1, files),
+      committedBatches(table) + batchId)
+    true
+  }
+
+  /** Small-files COMPACTION as a table commit: rewrite the live set
+    * into ~`targetFiles` files (content-identical new version; old
+    * versions stay time-travelable until [[vacuum]]) — the maintenance
+    * pass that keeps a streaming-appended table scannable.
+    */
+  def compact(spark: SparkSession, table: String, statsCols: Seq[String],
+      targetFiles: Int = 4): Int = {
+    val parent = latestVersion(table)
+    val slot = f"v${parent + 1}%08d-c"
+    val df = read(spark, table, parent).repartition(targetFiles)
+    commit(table, parent, writeFiles(spark, table, slot, df, statsCols))
   }
 
   // -------------------------------------------------------- driver queries

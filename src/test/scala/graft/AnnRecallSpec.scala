@@ -117,6 +117,18 @@ class AnnRecallSpec extends SparkSpecBase {
       "LSH seeding + frontier/visited split are both load-bearing)")
   }
 
+  test("binary Hamming ANN recall@5 vs brute force; codes separate signal from noise") {
+    val truth = hits(SparkEntry.queries("sim_bruteforce_topk")(spark, Sf001))
+    val ham = SparkEntry.queries("sim_hamming_ann")(spark, Sf001)
+    val got = hits(ham)
+    val r = got.intersect(truth).size.toDouble / truth.size
+    info(f"recall@5 sim_hamming_ann = $r%.3f (truth ${truth.size})")
+    assert(r >= 0.6, s"binary-code recall floor: $r — 64 sign bits + " +
+      "band prefilter should recover most exact top-5")
+    // every emitted pair respects the radius screen
+    assert(ham.collect().forall(_.getAs[Long]("hamming") <= graft.operators.Similarity.HammingRadius.toLong))
+  }
+
   test("HNSW layered search recall@5 vs brute force") {
     // the hierarchy must navigate to the same neighborhoods the flat
     // LSH-seeded beam reaches — entry set + 2 coarse-layer ef-beams

@@ -76,6 +76,8 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     "sim_mips_ann", "sim_recall_eval", "embed_mrl_eval",
     // islands/window assembly over matched positions
     "dedup_exact_spans",
+    // r10 late: binary-code rerank (double cosines), merge-table apply
+    "sim_hamming_ann", "text_bpe_apply",
     // r9 late: Bellman-Ford min-confluence distances and the expanded
     // weighted-minhash signature mins (both pure-integer aggregates —
     // invariance gates the frontier/banding join shapes)

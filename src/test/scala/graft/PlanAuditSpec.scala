@@ -403,7 +403,10 @@ class PlanAuditSpec extends SparkSpecBase {
       "text_bpe_pairs"        -> 1, // top-50 pair rows post-limit
       "text_vocab_coverage"   -> 1, // rank deciles over the top-1k vocab
       "pipeline_token_budget" -> 1, // prefix sum over <=21 quality buckets
-      "text_zipf"             -> 1) // rank over the top-100 vocab head (post-limit)
+      "text_zipf"             -> 1, // rank over the top-100 vocab head (post-limit)
+      // cumulative rank over disorder SECONDS: cardinality = worst
+      // observed disorder in seconds, never event count
+      "stream_watermark_size" -> 1)
     def unpartitioned(p: SparkPlan): Int = {
       // subqueriesAll can surface LOGICAL plans for not-yet-planned
       // subquery expressions despite its Seq[SparkPlan] signature —

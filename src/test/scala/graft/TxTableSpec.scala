@@ -121,6 +121,51 @@ class TxTableSpec extends SparkSpecBase {
     assert(pruned.except(full).count() == 0 && full.except(pruned).count() == 0)
   }
 
+  test("exactly-once streaming append: a real replayed micro-batch lands once; ledger survives versions") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val t = tmpTable()
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("id", "v").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        TxTable.appendBatchExactlyOnce(spark, t, df, batchId, Seq("id")); ()
+      }.start()
+    try {
+      src.addData((1L, "a"), (2L, "a")); q.processAllAvailable()
+      src.addData((3L, "b")); q.processAllAvailable()
+    } finally q.stop()
+    assert(TxTable.read(spark, t).count() == 3)
+    // at-least-once redelivery: the sink retries batch 1 after a
+    // restart — the ledger must refuse the duplicate
+    val replay = Seq((3L, "b")).toDF("id", "v")
+    assert(!TxTable.appendBatchExactlyOnce(spark, t, replay, 1L, Seq("id")),
+      "replayed batchId must be skipped")
+    assert(TxTable.read(spark, t).count() == 3, "replay must not duplicate rows")
+    // a genuinely new batch still lands, and the ledger carries forward
+    assert(TxTable.appendBatchExactlyOnce(spark, t, Seq((4L, "c")).toDF("id", "v"), 2L, Seq("id")))
+    assert(TxTable.committedBatches(t) == Set(0L, 1L, 2L))
+    assert(TxTable.read(spark, t).count() == 4)
+  }
+
+  test("compact shrinks the live file set content-identically; older versions stay travelable") {
+    import spark.implicits._
+    val t = tmpTable()
+    (1 to 12).foreach { b =>
+      val df = Seq((b.toLong, s"frag$b")).toDF("id", "v")
+      if (b == 1) TxTable.create(spark, t, df, Seq("id"))
+      else TxTable.append(spark, t, df, Seq("id"))
+    }
+    val before = TxTable.manifest(t, TxTable.latestVersion(t)).files.size
+    assert(before >= 12, s"fragmented table expected, got $before files")
+    val content = TxTable.read(spark, t).collect().toSet
+    val v = TxTable.compact(spark, t, Seq("id"), targetFiles = 2)
+    val after = TxTable.manifest(t, v).files.size
+    assert(after <= 2, s"compaction left $after files")
+    assert(TxTable.read(spark, t).collect().toSet == content)
+    assert(TxTable.read(spark, t, version = v - 1).count() == 12, "pre-compaction snapshot readable")
+  }
+
   test("vacuum reclaims files no kept manifest references; the kept window survives") {
     import spark.implicits._
     val t = tmpTable()
