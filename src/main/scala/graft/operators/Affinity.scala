@@ -255,6 +255,89 @@ object Affinity {
        |SELECT id, deg, r AS pr_fixed FROM r$PrIters ORDER BY id""".stripMargin
   }
 
+  /** Seed-set size for [[pprOn]] — the top-degree nodes personalize
+    * the walk (deterministic: degree desc, id asc).
+    */
+  val PprSeeds = 3
+
+  /** q70_ppr — PERSONALIZED PageRank (the recommendation/locality
+    * variant of q52: teleport mass returns to a SEED SET instead of
+    * uniformly, so rank concentrates around the seeds' neighborhoods —
+    * "related to THESE products", the walk-with-restart scoring behind
+    * item-to-item recommendation and local community detection). Same
+    * integer fixed-point contract as [[pagerankOn]] (scale 10^12,
+    * floor division both engines — operands non-negative), same
+    * per-round shape (one edge⋈rank join + per-node sum, checkpointed
+    * iteration base), only the teleport term changes: seeds get
+    * (15 · S/|seeds|)/100, everyone else 0. Fixed [[PrIters]] rounds,
+    * fully value-oracled against the unrolled SQL twin.
+    * Output: (id, deg, is_seed, ppr_fixed).
+    */
+  def pprOn(edges: DataFrame, iters: Int = PrIters,
+      nSeeds: Int = PprSeeds): DataFrame = {
+    val e = edges.select(explode(array(
+        struct(col("a_item").as("u"), col("b_item").as("v")),
+        struct(col("b_item").as("u"), col("a_item").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+      .localCheckpoint()
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val seeds = deg.orderBy(col("deg").desc, col("u")).limit(nSeeds)
+      .select(col("u").as("id"), lit(1).as("is_seed"))
+    val base = deg.select(col("u").as("id"), col("deg"))
+      .join(broadcast(seeds), Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("is_seed"), lit(0)).as("is_seed"))
+      .localCheckpoint()
+    val teleport = expr(s"(15 * ($PrScale DIV $nSeeds)) DIV 100") * col("is_seed")
+    var ranks = base.withColumn("r",
+      expr(s"$PrScale DIV $nSeeds") * col("is_seed"))
+    (1 to iters).foreach { _ =>
+      val sums = e
+        .join(ranks.select(col("id").as("u"), col("deg").as("du"), col("r")), Seq("u"))
+        .select(col("v"), expr("r DIV du").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("s"))
+      ranks = base
+        .join(sums, col("id") === col("v"), "left")
+        .select(col("id"), col("deg"), col("is_seed"),
+          (teleport + expr("(85 * coalesce(s, 0)) DIV 100")).as("r"))
+    }
+    ranks.select(col("id"), col("deg"), col("is_seed"), col("r").as("ppr_fixed"))
+  }
+
+  /** q70_ppr testdata binding: restart walk over the support-≥2
+    * co-purchase graph, personalized to the 3 highest-degree items.
+    */
+  def ppr(spark: SparkSession, sfDir: String): DataFrame =
+    pprOn(copurchase(spark, sfDir))
+      .orderBy(col("id"))
+
+  def pprSql: String = {
+    val prelude =
+      s"""WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
+         |p AS (SELECT a.item AS a_item, b.item AS b_item, count(*) AS n_baskets
+         |      FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item
+         |      GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e AS (SELECT a_item AS u, b_item AS v FROM p
+         |      UNION ALL SELECT b_item, a_item FROM p),
+         |deg AS (SELECT u AS id, count(*) AS deg FROM e GROUP BY 1),
+         |sd AS MATERIALIZED (SELECT id FROM deg ORDER BY deg DESC, id LIMIT $PprSeeds),
+         |b AS MATERIALIZED (SELECT d.id, d.deg,
+         |      CASE WHEN sd.id IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+         |     FROM deg d LEFT JOIN sd ON d.id = sd.id),
+         |r0 AS (SELECT id, deg, is_seed,
+         |      CAST(($PrScale // $PprSeeds) * is_seed AS BIGINT) AS r FROM b)""".stripMargin
+    val steps = (1 to PrIters).map { i =>
+      s"""r$i AS (SELECT b.id, b.deg, b.is_seed,
+         |  CAST(((15 * ($PrScale // $PprSeeds)) // 100) * b.is_seed
+         |   + ((85 * coalesce(s.s, 0)) // 100) AS BIGINT) AS r
+         |  FROM b LEFT JOIN
+         |   (SELECT e.v, CAST(sum(pr.r // pr.deg) AS BIGINT) AS s
+         |    FROM e JOIN r${i - 1} pr ON e.u = pr.id GROUP BY e.v) s ON b.id = s.v)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$prelude$steps
+       |SELECT id, deg, is_seed, r AS ppr_fixed FROM r$PrIters ORDER BY id""".stripMargin
+  }
+
   /** Per-middle-vertex adjacency cap for [[khopOn]]'s self-join: each
     * node contributes at most this many outgoing edges as the SECOND
     * hop. 64 is far above the testdata co-purchase graph's max degree

@@ -70,7 +70,7 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     // hash-derived sampling (deterministic by construction — proven)
     "q25_sample_hash", "pipeline_stratified",
     // iterative fixpoints not already gated
-    "q59_coreness", "q56_kcore", "q54_khop", "text_bpe_train",
+    "q59_coreness", "q56_kcore", "q54_khop", "text_bpe_train", "q70_ppr",
     // quantization chains + float evals over pinned models
     "embed_pq", "embed_rq", "embed_opq", "sim_pq_adc",
     "sim_mips_ann", "sim_recall_eval", "embed_mrl_eval",
