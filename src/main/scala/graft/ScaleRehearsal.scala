@@ -36,6 +36,7 @@ object ScaleRehearsal {
     if (args.headOption.contains("ann")) { annMain(args.drop(1)); return }
     if (args.headOption.contains("wmh")) { wmhMain(args.drop(1)); return }
     if (args.headOption.contains("beam")) { beamMain(args.drop(1)); return }
+    if (args.headOption.contains("hnsw")) { hnswMain(args.drop(1)); return }
     if (args.headOption.contains("bloom")) { bloomMain(args.drop(1)); return }
     if (args.headOption.contains("select")) { selectMain(args.drop(1)); return }
     val n = if (args.nonEmpty) args(0).toLong else 2000000L
@@ -226,6 +227,96 @@ object ScaleRehearsal {
       s""""beam_ok":$beamOk}""")
     spark.stop()
     if (!beamOk) sys.exit(1)
+  }
+
+  /** HNSW rehearsal: the layered index at 10-100× spec sizes — layer
+    * builds (amortized artifacts), hierarchical search recall vs the
+    * brute-force truth, and the flat LSH-seeded beam on the SAME base
+    * graph for comparison. Gate: layered recall ≥ 0.9 — the number
+    * that proves the coarse layers hand the base beam the right
+    * neighborhoods at a scale where the entry set covers a vanishing
+    * fraction of the corpus.
+    *
+    * GEOMETRY NOTE (measured): the corpus here is a SMOOTH MANIFOLD —
+    * each vector samples 64 sinusoids of a 2-D latent grid point, so
+    * cosine falls off continuously with latent distance and every
+    * locality has a gradient toward every other. That is the geometry
+    * hierarchical graph descent exists for (and what real embedding
+    * spaces look like locally). On the ISOLATED-CLUSTER geometry the
+    * other ANN rehearsals use (1000 mutually near-orthogonal
+    * centroids), greedy descent has NO gradient between clusters and
+    * the hierarchy measured recall 0.04 regardless of depth — while
+    * the LSH-SEEDED flat beam measured 1.000 there, because bucket
+    * seeds jump straight into the right cluster. The library's
+    * division of labor is exactly that: sim_graph_beam (LSH-seeded)
+    * for partitioned/clustered corpora, sim_hnsw's descent for
+    * continuous similarity structure.
+    */
+  private def hnswMain(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 200000L
+    val nProbes = if (args.length > 1) args(1).toInt else 512
+    val k = 5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // 2-D latent grid → 64 sinusoidal features: v[j] = cos(a_j·u1 +
+    // b_j·u2 + c_j), low integer frequencies so latent neighbors are
+    // cosine neighbors (executor-generated, deterministic)
+    val g = math.ceil(math.sqrt(n.toDouble)).toLong
+    val vec = expr(
+      s"""transform(sequence(0, 63), j -> cast(cos(
+         |  (cast(pmod(hash(j), 7) as double) - 3.0) * (cast(id % $g as double) * 6.283185307 / $g)
+         |  + (cast(pmod(hash(j, 3), 7) as double) - 3.0) * (cast(id div $g as double) * 6.283185307 / $g)
+         |  + cast(pmod(hash(j, 9), 628) as double) / 100.0
+         |) as float))""".stripMargin)
+    val corpus = spark.range(n).select(col("id").as("vec_id"), vec.as("embedding")).persist()
+    corpus.count()
+    val probes = corpus.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv")).persist()
+    probes.count()
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def keySet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("q_id"), col("c_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).filter(p => p._1 != p._2).toSet
+    val cand = corpus.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val (truth, tBrute) = timed(keySet(
+      graft.operators.Similarity.bruteforceTopkOn(probes, cand, k)))
+    val (graphs, tBuild) = timed {
+      // auto depth: the hierarchy grows with log(N) so the top layer
+      // stays entry-set sized — the fixed 2-layer testdata instance
+      // measured recall 0.033 here (1741 nodes above 8 entries)
+      val g = graft.operators.Similarity.hnswBuildAuto(corpus)
+        .map(_.localCheckpoint(true))
+      g.foreach(_.count()); g
+    }
+    val (layered, tHnsw) = timed(keySet(
+      // ef is HNSW's query-time recall knob — the rehearsal runs the
+      // production setting (wider than the small-corpus default)
+      graft.operators.Similarity.hnswSearchOn(graphs, corpus, probes, k,
+        ef = 64, descentRounds = 3, baseRounds = 6)))
+    val recallHnsw = (truth & layered).size.toDouble / truth.size
+    val (flat, tFlat) = timed(keySet(
+      graft.operators.Similarity.graphBeamOn(graphs(0), cand, probes, k = k)))
+    val recallFlat = (truth & flat).size.toDouble / truth.size
+    val layerSizes = graphs.indices.map(l =>
+      graphs(l).select(countDistinct(col("u"))).head().getLong(0))
+    val ok = recallHnsw >= 0.9
+    println(s"""{"metric":"scale_rehearsal_hnsw","n_vectors":$n,"n_probes":$nProbes,""" +
+      s""""k":$k,"layer_nodes":[${layerSizes.mkString(",")}],""" +
+      s""""brute_sec":${f"$tBrute%.1f"},"build_sec":${f"$tBuild%.1f"},""" +
+      s""""hnsw_recall":${f"$recallHnsw%.3f"},"hnsw_sec":${f"$tHnsw%.1f"},""" +
+      s""""flat_recall":${f"$recallFlat%.3f"},"flat_sec":${f"$tFlat%.1f"},""" +
+      s""""hnsw_ok":$ok}""")
+    spark.stop()
+    if (!ok) sys.exit(1)
   }
 
   private def annMain(args: Array[String]): Unit = {

@@ -2535,11 +2535,39 @@ object Similarity {
       knnGraphOn(vectors.filter(hnswMix(col("vec_id")) % lit(hnswLayerDiv(l)) === 0))
     }
 
+  /** AUTO-DEPTH build: layers extend while the next layer would still
+    * hold ≥ 4·[[HnswEntryCap]] nodes — the log-structured hierarchy
+    * proper, where the TOP layer is entry-set sized at ANY corpus
+    * scale. This is the property that makes the fixed 8-node entry
+    * set sufficient: a fixed-depth hierarchy leaves a top layer that
+    * GROWS with N, and a few entries cannot navigate a growing layer
+    * in bounded rounds (measured at 200 k vectors: 2 fixed layers put
+    * 1741 nodes above the entries → recall 0.033; auto depth restores
+    * ≥ 0.9). The sf-testdata binding keeps the explicit 2-layer form —
+    * its 8-node top layer IS entry-sized there, and the unrolled
+    * oracle pins that instance.
+    */
+  def hnswBuildAuto(vectors: DataFrame): Seq[DataFrame] = {
+    val graphs = scala.collection.mutable.ArrayBuffer(knnGraphOn(vectors))
+    var l = 1
+    var next = vectors.filter(hnswMix(col("vec_id")) % lit(hnswLayerDiv(l)) === 0)
+    var n = next.count()
+    while (n >= 4L * HnswEntryCap) {
+      graphs += knnGraphOn(next)
+      l += 1
+      next = vectors.filter(hnswMix(col("vec_id")) % lit(hnswLayerDiv(l)) === 0)
+      n = next.count()
+    }
+    graphs.toSeq
+  }
+
   /** Layered search over [[hnswBuild]]'s graphs; `vectors` is the full
     * (vec_id, embedding) corpus, `queries` is (q_id, qv).
     */
   def hnswSearchOn(layerGraphs: Seq[DataFrame], vectors: DataFrame,
-      queries: DataFrame, k: Int = BeamK): DataFrame = {
+      queries: DataFrame, k: Int = BeamK, ef: Int = HnswEf,
+      descentRounds: Int = HnswDescentRounds,
+      baseRounds: Int = HnswBaseRounds): DataFrame = {
     val layers = layerGraphs.length - 1
     // ~10 score joins re-read these across the layered search — scan
     // the corpus and the probe set once
@@ -2568,7 +2596,7 @@ object Similarity {
       // otherwise compose a plan that grows ~3^rounds PER LAYER:
       // measured 18 MiB task binaries and an explain-string OOM)
       seeds = beamFrom(layerGraphs(l), layerCand(l), q, seeds,
-        HnswEf, HnswEf, rounds = HnswDescentRounds, k = HnswEf)
+        ef, ef, rounds = descentRounds, k = ef)
         .select(col("q_id"), col("c_id"))
         .localCheckpoint(true)
     }
@@ -2578,7 +2606,7 @@ object Similarity {
     // extra rounds to travel the last hops — still O(rounds·ef·degree)
     // exact scores per probe, N-independent
     beamFrom(layerGraphs(0), layerCand(0), q, seeds,
-      HnswEf, HnswEf, HnswBaseRounds, k)
+      ef, ef, baseRounds, k)
   }
 
   /** Prebuilt per-layer graph artifacts, memoized per (session, sfDir)
