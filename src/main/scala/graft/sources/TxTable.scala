@@ -273,6 +273,32 @@ object TxTable {
     commit(table, parent, written)
   }
 
+  // ------------------------------------------------------------ change feed
+
+  /** CHANGE-DATA FEED between two committed versions, computed from
+    * the manifests' FILE diff: net row inserts and deletes (an upsert
+    * surfaces as delete+insert of the key — the consumer's MERGE
+    * semantics, a Delta-CDF-lite without tracking columns). Only the
+    * symmetric difference of the FILE sets is read — an append-mostly
+    * table diffs its appended files, never the table — and rows a
+    * copy-on-write rewrite merely CARRIED OVER (present identically in
+    * a removed and an added file) cancel via the multiset exceptAll,
+    * so a merge's untouched survivors never surface as phantom churn.
+    */
+  def changesBetween(spark: SparkSession, table: String,
+      fromV: Int, toV: Int): DataFrame = {
+    val before = manifest(table, fromV).files.map(_.path).toSet
+    val after = manifest(table, toV).files.map(_.path).toSet
+    def readSet(paths: Set[String]): Option[DataFrame] =
+      if (paths.isEmpty) None
+      else Some(spark.read.parquet(paths.toSeq.sorted.map(p => s"$table/$p"): _*))
+    val empty = read(spark, table, toV).filter(lit(false))
+    val added = readSet(after -- before).getOrElse(empty)
+    val removed = readSet(before -- after).getOrElse(empty)
+    added.exceptAll(removed).withColumn("_change", lit("insert"))
+      .unionByName(removed.exceptAll(added).withColumn("_change", lit("delete")))
+  }
+
   // ------------------------------------------------- streaming / compaction
 
   /** Batch ids already committed to the table (the exactly-once

@@ -166,6 +166,28 @@ class TxTableSpec extends SparkSpecBase {
     assert(TxTable.read(spark, t, version = v - 1).count() == 12, "pre-compaction snapshot readable")
   }
 
+  test("change feed: net row diff between versions; copy-on-write carry-over rows are silent") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t, (1L to 100L).map(i => (i, "old")).toDF("id", "v"), Seq("id"))
+    // merge rewrites the whole single file: 2 updates + 3 inserts;
+    // the 98 untouched survivors ride the rewrite but must NOT churn
+    TxTable.merge(spark, t,
+      (Seq((5L, "new"), (6L, "new")) ++ (101L to 103L).map(i => (i, "ins"))).toDF("id", "v"),
+      "id", Seq("id"))
+    val ch = TxTable.changesBetween(spark, t, 1, 2)
+      .collect().map(r => (r.getString(2), r.getLong(0), r.getString(1))).toSet
+    val want = Set(
+      ("insert", 5L, "new"), ("insert", 6L, "new"),
+      ("insert", 101L, "ins"), ("insert", 102L, "ins"), ("insert", 103L, "ins"),
+      ("delete", 5L, "old"), ("delete", 6L, "old"))
+    assert(ch == want, s"net changes: ${ch.diff(want)} / missing ${want.diff(ch)}")
+    // append-only delta: pure inserts, no deletes, reads only new files
+    TxTable.append(spark, t, Seq((200L, "a2")).toDF("id", "v"), Seq("id"))
+    val ch2 = TxTable.changesBetween(spark, t, 2, 3).collect()
+    assert(ch2.length == 1 && ch2.head.getString(2) == "insert" && ch2.head.getLong(0) == 200L)
+  }
+
   test("vacuum reclaims files no kept manifest references; the kept window survives") {
     import spark.implicits._
     val t = tmpTable()
