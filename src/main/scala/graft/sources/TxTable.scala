@@ -212,6 +212,9 @@ object TxTable {
     * granularity. Only files whose key-range stats intersect the
     * update keys' range are rewritten; the rest carry over by
     * reference, so a clustered table rewrites a handful of files.
+    * CONTRACT: `updates` must carry one row per key — duplicate update
+    * keys would all insert (SQL MERGE's "multiple rows matched" error
+    * class); callers dedupe upstream (keepLatest is the usual step).
     */
   def merge(spark: SparkSession, table: String, updates: DataFrame,
       keyCol: String, statsCols: Seq[String]): MergeResult = {
@@ -418,6 +421,7 @@ object TxTable {
     val keep = (keepFromVersion to latest)
       .flatMap(v => manifest(table, v).files.map(_.path)).toSet
     val dataDir = Paths.get(table, "data")
+    if (!Files.isDirectory(dataDir)) return Nil
     val deleted = Files.walk(dataDir).iterator().asScala
       .filter(p => Files.isRegularFile(p))
       .map(p => Paths.get(table).toAbsolutePath.relativize(p.toAbsolutePath).toString)
