@@ -28,11 +28,20 @@ object Bench {
   private final class ShuffleTally extends SparkListener {
     val read = new AtomicLong(0L)
     val write = new AtomicLong(0L)
+    // Scan-side signal: input rows/bytes read from sources. A
+    // zero-shuffle query (pure scan+project, e.g. etl_clean) has no
+    // shuffle bytes to prove its plan unchanged, so wall-time noise on
+    // it was previously unadjudicable — input rows are deterministic
+    // for an unchanged plan and give the gate its secondary evidence.
+    val inRows = new AtomicLong(0L)
+    val inBytes = new AtomicLong(0L)
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
       if (m != null && te.reason == Success) {
         read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        inRows.addAndGet(m.inputMetrics.recordsRead)
+        inBytes.addAndGet(m.inputMetrics.bytesRead)
       }
     }
   }
@@ -72,6 +81,8 @@ object Bench {
       var failed = false
       var shuffleRead = 0L
       var shuffleWrite = 0L
+      var inputRows = 0L
+      var inputBytes = 0L
       def onePass(run: Int): Double = {
         val t0 = System.nanoTime()
         try {
@@ -89,9 +100,12 @@ object Bench {
         GraftMetricsBridge.drainListeners(spark.sparkContext)
         if (run == 1) { // snapshot after run 1; run 2's delta is reported
           shuffleRead = tally.read.get(); shuffleWrite = tally.write.get()
+          inputRows = tally.inRows.get(); inputBytes = tally.inBytes.get()
         } else if (run == 2) {
           shuffleRead = tally.read.get() - shuffleRead
           shuffleWrite = tally.write.get() - shuffleWrite
+          inputRows = tally.inRows.get() - inputRows
+          inputBytes = tally.inBytes.get() - inputBytes
         }
         elapsed
       }
@@ -102,7 +116,7 @@ object Bench {
       // One extra pass when the min still looks slow is cheap insurance:
       // real heavyweights pay one more run; noise victims get corrected.
       if (!failed && best >= 1.0) best = math.min(best, onePass(3))
-      name -> ((if (failed) -1.0 else best, shuffleRead, shuffleWrite))
+      name -> ((if (failed) -1.0 else best, shuffleRead, shuffleWrite, inputRows, inputBytes))
     }
     // The driver captures only the tail of stdout (~4 KiB) and parses the
     // final JSON line. Round 2's line overflowed it with per-query shuffle
@@ -114,14 +128,15 @@ object Bench {
     // would exceed LINE_BUDGET bytes; the complete map is printed on an
     // earlier QUERY_SECS-prefixed line and written to tools/bench_last.json.
     def f3(t: Double): String = if (t < 0) "-1" else f"$t%.3f"
-    val qsFull = results.map { case (k, (t, _, _)) => "\"" + k + "\":" + f3(t) }
+    val qsFull = results.map { case (k, (t, _, _, _, _)) => "\"" + k + "\":" + f3(t) }
       .mkString("{", ",", "}")
-    val sh = results.map { case (k, (_, r, w)) =>
-      "\"" + k + "\":{\"read\":" + r + ",\"write\":" + w + "}"
+    val sh = results.map { case (k, (_, r, w, ir, ib)) =>
+      "\"" + k + "\":{\"read\":" + r + ",\"write\":" + w +
+        ",\"inRows\":" + ir + ",\"inBytes\":" + ib + "}"
     }.mkString("{", ",", "}")
-    val failedNames = results.collect { case (k, (t, _, _)) if t < 0 => "\"" + k + "\"" }
+    val failedNames = results.collect { case (k, (t, _, _, _, _)) if t < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.values.collect { case (t, _, _) if t >= 0 => t }.sum
+    val total = results.values.collect { case (t, _, _, _, _) if t >= 0 => t }.sum
     val LineBudget = 1800 // bytes; driver tail buffer is ~4 KiB and also
     //  holds sbt's trailing "[success]" noise — stay far under it
     def line(qs: String, omitted: Int): String =
@@ -131,11 +146,11 @@ object Bench {
     // t < 0 in the queries map (a failure sorted last would be the first
     // entry truncated, vanishing from the regression gate).
     val bySlowest = results.toSeq.sortBy {
-      case (_, (t, _, _)) => if (t < 0) Double.NegativeInfinity else -t
+      case (_, (t, _, _, _, _)) => if (t < 0) Double.NegativeInfinity else -t
     }
     var keep = bySlowest.length
     def qsOf(n: Int): String = bySlowest.take(n)
-      .map { case (k, (t, _, _)) => "\"" + k + "\":" + f3(t) }
+      .map { case (k, (t, _, _, _, _)) => "\"" + k + "\":" + f3(t) }
       .mkString("{", ",", "}")
     while (keep > 1 && line(qsOf(keep), bySlowest.length - keep).length > LineBudget)
       keep -= 1

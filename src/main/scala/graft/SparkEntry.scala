@@ -223,6 +223,7 @@ object SparkEntry {
     "source_minhash_sim"  -> Training.sourceMinhashSim _,
     "tx_merge"            -> graft.sources.TxTable.mergeQuery _,
     "tx_time_travel"      -> graft.sources.TxTable.timeTravelQuery _,
+    "tx_sql_read"         -> graft.sources.TxTable.sqlReadQuery _,
     "text_diversity"      -> Training.diversity _,
     "embed_class_centroid" -> Similarity.classCentroid _,
     // §2.D streaming (batch-equivalent forms; streaming impls spec-tested)
@@ -563,6 +564,7 @@ object SparkEntry {
     "source_minhash_sim"  -> Training.sourceMinhashSimSql,
     "tx_merge"            -> graft.sources.TxTable.mergeQuerySql,
     "tx_time_travel"      -> graft.sources.TxTable.timeTravelQuerySql,
+    "tx_sql_read"         -> graft.sources.TxTable.sqlReadQuerySql,
     "dq_constraints"      -> Quality.dqConstraintsSql,
     "dq_outliers"         -> Quality.dqOutliersSql,
     "ts_gapfill"          -> TimeSeries.gapfillSql,

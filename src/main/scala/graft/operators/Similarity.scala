@@ -2726,8 +2726,8 @@ object Similarity {
 
   // ----------------------------------------------------- binary-code ANN
 
-  /** Binary-code geometry: 8 bands × 8 sign-projection bits = a 64-bit
-    * code per vector (held as 8 band values — no 64-bit packing, so
+  /** Binary-code geometry: 16 bands × 4 sign-projection bits = a 64-bit
+    * code per vector (held as 16 band values — no 64-bit packing, so
     * every intermediate stays strictly positive in BIGINT on both
     * engines); candidate pairs share ≥ 1 equal band (the multi-index
     * pigeonhole prefilter), survive a Hamming ≤ [[HammingRadius]]

@@ -1,0 +1,137 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** SQL/catalog surface for [[TxTable]]: `spark.read.format("graft-tx")`
+  * and `CREATE TEMPORARY VIEW t USING \`graft-tx\` OPTIONS (path '…',
+  * version '…')` — snapshot reads and TIME TRAVEL become reachable
+  * from plain SQL and BI tooling, the gap a warehouse user hits first
+  * (the reference's star is SQL-queryable by design — dashboards over
+  * Postgres, reference README.md:91).
+  *
+  * Options:
+  *  - `path`     (required): the table root
+  *  - `version`  (optional): snapshot to read; latest when absent
+  *
+  * The relation implements [[PrunedFilteredScan]]: pushed filters on
+  * stats columns drive MANIFEST-LEVEL FILE SKIPPING (a skipped file is
+  * never opened — the same pruning [[TxTable.prune]] exposes
+  * programmatically), then column pruning and the residual row-level
+  * filters execute inside the delegated parquet scan, so predicate
+  * pushdown and column projection reach the parquet reader unchanged.
+  * All filters are declared unhandled — Spark re-applies them above
+  * the scan; the manifest skipping is a pure file-set reduction and
+  * never changes row-level semantics.
+  */
+final class TxDataSource extends RelationProvider with DataSourceRegister {
+  override def shortName(): String = "graft-tx"
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val table = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-tx requires a path option"))
+    val version = parameters.get("version").map(_.toInt).getOrElse(-1)
+    new TxRelation(sqlContext, table, version)
+  }
+}
+
+object TxDataSource {
+
+  /** The manifest's live files for `version`, minus every file a
+    * pushed-filter range provably excludes. Conservative: unknown
+    * filter shapes, columns without stats, and timestamp-typed stats
+    * (whose ISO rendering differs between engines in the fraction
+    * digits) keep the file.
+    */
+  def filesFor(table: String, version: Int, filters: Seq[Filter]): Seq[TxTable.FileEntry] = {
+    val v = if (version > 0) version else TxTable.latestVersion(table)
+    TxTable.manifest(table, v).files.filter(f => filters.forall(keep(f, _)))
+  }
+
+  private def render(v: Any): String = v match {
+    case null => null
+    case s: String => s
+    case other => other.toString // numbers, java.sql.Date (ISO) — matches ColStats rendering
+  }
+
+  private def rangeKeeps(f: TxTable.FileEntry, colName: String, lo: Any, hi: Any): Boolean =
+    f.stats.get(colName) match {
+      case Some(s) if s.typ != "timestamp" =>
+        val (l, h) = (render(lo), render(hi))
+        if (l == null || h == null) true else s.intersects(l, h)
+      case _ => true
+    }
+
+  /** Max-rendered-string sentinel bounds: stats values never exceed
+    * them in any typ's ordering, so "open" range ends keep files.
+    */
+  private def keep(f: TxTable.FileEntry, filter: Filter): Boolean = filter match {
+    case EqualTo(c, v)            => rangeKeeps(f, c, v, v)
+    case EqualNullSafe(c, v)      => v == null || rangeKeeps(f, c, v, v)
+    case In(c, vs)                => vs.exists(v => rangeKeeps(f, c, v, v))
+    case GreaterThan(c, v)        => lowerKeeps(f, c, v)
+    case GreaterThanOrEqual(c, v) => lowerKeeps(f, c, v)
+    case LessThan(c, v)           => upperKeeps(f, c, v)
+    case LessThanOrEqual(c, v)    => upperKeeps(f, c, v)
+    case And(l, r)                => keep(f, l) && keep(f, r)
+    case Or(l, r)                 => keep(f, l) || keep(f, r)
+    case _                        => true
+  }
+
+  // one-sided ranges: file.max >= v  /  file.min <= v (strict vs
+  // non-strict collapses to the non-strict test — conservative)
+  private def lowerKeeps(f: TxTable.FileEntry, c: String, v: Any): Boolean =
+    f.stats.get(c) match {
+      case Some(s) if s.typ != "timestamp" && render(v) != null =>
+        s.intersects(render(v), s.max)
+      case _ => true
+    }
+
+  private def upperKeeps(f: TxTable.FileEntry, c: String, v: Any): Boolean =
+    f.stats.get(c) match {
+      case Some(s) if s.typ != "timestamp" && render(v) != null =>
+        s.intersects(s.min, render(v))
+      case _ => true
+    }
+}
+
+/** One snapshot of a [[TxTable]] as a Spark relation. The scan
+  * delegates to the session's parquet reader over EXACTLY the
+  * manifest's (possibly filter-pruned) file set with the snapshot's
+  * merged schema pinned — so schema evolution (add-column appends)
+  * surfaces nulls for pre-evolution files, and a later writer's files
+  * are invisible to this snapshot (snapshot isolation).
+  */
+final class TxRelation(ctx: SQLContext, table: String, version: Int)
+    extends BaseRelation with PrunedFilteredScan {
+
+  private val spark = ctx.sparkSession
+  private val resolved = if (version > 0) version else TxTable.latestVersion(table)
+
+  override def sqlContext: SQLContext = ctx
+
+  override val schema: StructType = TxTable.read(spark, table, resolved).schema
+
+  // rows cross the boundary as InternalRow straight from the delegated
+  // parquet scan — no Row conversion layer on the hot path
+  override def needConversion: Boolean = false
+
+  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val kept = TxDataSource.filesFor(table, resolved, filters.toSeq)
+    val base: DataFrame =
+      if (kept.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else
+        // explicit snapshot schema (not re-inferred): pre-evolution
+        // files yield nulls for later-added columns, and the pruned
+        // file subset can't narrow the schema
+        spark.read.schema(schema).parquet(kept.map(f => s"$table/${f.path}"): _*)
+    // empty requiredColumns (count(*)-style scans) → zero-column rows
+    val projected = base.select(requiredColumns.map(col).toSeq: _*)
+    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+}

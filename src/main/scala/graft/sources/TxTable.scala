@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   *   <table>/data/v<N>/part-*.parquet     // immutable data files
   *   <table>/_log/v<N>.json               // manifest: the LIVE file set
   * }}}
-  * A manifest lists every live file with its row count and integral
+  * A manifest lists every live file with its row count and typed
   * column min/max. Readers resolve the latest (or any historical)
   * manifest and read exactly its files — data files are immutable, so
   * every version stays readable until [[vacuum]] (time travel).
@@ -47,7 +47,29 @@ import org.apache.spark.sql.functions._
   */
 object TxTable {
 
-  final case class ColStats(min: Long, max: Long)
+  /** Typed per-file min/max. Values ride as STRINGS with a type tag;
+    * ordering dispatches on the tag — numeric for long/double,
+    * lexicographic for string/date/timestamp (correct for ISO-8601
+    * renderings, including variable-length fraction digits). String
+    * keys are the realistic skipping case at 100 TB — natural keys are
+    * CHAR codes (reference init_db.sql:9,17), not synthetic longs.
+    */
+  final case class ColStats(typ: String, min: String, max: String) {
+    private def cmp(a: String, b: String): Int = typ match {
+      case "long"   => java.lang.Long.compare(a.toLong, b.toLong)
+      case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+      case _        => a.compareTo(b)
+    }
+    /** Does the file range [min,max] intersect the query range [lo,hi]? */
+    def intersects(lo: String, hi: String): Boolean =
+      cmp(min, hi) <= 0 && cmp(max, lo) >= 0
+    def minLong: Long = min.toLong
+    def maxLong: Long = max.toLong
+  }
+  object ColStats {
+    def ofLongs(min: Long, max: Long): ColStats =
+      ColStats("long", min.toString, max.toString)
+  }
   final case class FileEntry(path: String, rows: Long, stats: Map[String, ColStats])
   final case class Manifest(version: Int, files: Seq[FileEntry])
   final case class MergeResult(version: Int, rewritten: Int, untouched: Int)
@@ -72,7 +94,11 @@ object TxTable {
     val node = M.readTree(Files.readAllBytes(logDir(table).resolve(f"v$version%08d.json")))
     val files = node.get("files").elements().asScala.map { f =>
       val stats = f.get("stats").properties().asScala.map { e =>
-        e.getKey -> ColStats(e.getValue.get("min").asLong(), e.getValue.get("max").asLong())
+        val v = e.getValue
+        val tn = v.get("typ")
+        // pre-typed manifests carried bare numeric min/max (long-only)
+        e.getKey -> (if (tn == null) ColStats.ofLongs(v.get("min").asLong(), v.get("max").asLong())
+                     else ColStats(tn.asText(), v.get("min").asText(), v.get("max").asText()))
       }.toMap
       FileEntry(f.get("path").asText(), f.get("rows").asLong(), stats)
     }.toSeq
@@ -94,7 +120,13 @@ object TxTable {
       fn.put("rows", f.rows)
       val sn = fn.putObject("stats")
       f.stats.toSeq.sortBy(_._1).foreach { case (c, s) =>
-        val cn = sn.putObject(c); cn.put("min", s.min); cn.put("max", s.max); ()
+        val cn = sn.putObject(c)
+        if (s.typ == "long") { // long stays the bare-numeric legacy shape
+          cn.put("min", s.min.toLong); cn.put("max", s.max.toLong)
+        } else {
+          cn.put("typ", s.typ); cn.put("min", s.min); cn.put("max", s.max)
+        }
+        ()
       }
     }
     val dir = logDir(table)
@@ -121,19 +153,38 @@ object TxTable {
 
   /** Commit `files` as the new live set on top of `expectedParent`.
     * Atomic: exactly one writer wins a version; losers must rebase.
+    * The parent's batch ledger is CARRIED FORWARD: the exactly-once
+    * dedup set must survive maintenance commits (compact/zorder/merge)
+    * interleaved with streaming appends, or a replayed micro-batch
+    * after a compaction would re-land (Delta retains its SetTransaction
+    * ledger across commits for the same reason).
     */
   def commit(table: String, expectedParent: Int, files: Seq[FileEntry]): Int = {
     val v = expectedParent + 1
-    writeManifest(table, Manifest(v, files))
+    writeManifest(table, Manifest(v, files), batchesAt(table, expectedParent))
     v
   }
 
   // ------------------------------------------------------------- data files
 
+  /** Stats type tag for a column's Spark type — drives the ordering
+    * used by [[ColStats.intersects]].
+    */
+  private def statTyp(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => "long"
+      case FloatType | DoubleType | _: DecimalType       => "double"
+      case DateType                                      => "date"
+      case TimestampType                                 => "timestamp"
+      case _                                             => "string"
+    }
+  }
+
   /** Write `df` as a new immutable file set under data/v<slot>/ and
-    * return entries with per-file rows + min/max for `statsCols`
-    * (integral/date-ordinal columns — the skipping keys). Stats come
-    * from ONE pass over the just-written files grouped by
+    * return entries with per-file rows + typed min/max for `statsCols`
+    * (the skipping keys — integral, string, date, decimal all work).
+    * Stats come from ONE pass over the just-written files grouped by
     * input_file_name — exact, and at scale a metadata-only read of
     * parquet footers would replace it.
     */
@@ -142,18 +193,27 @@ object TxTable {
     val dir = Paths.get(table, "data", slot)
     df.write.mode("errorifexists").parquet(dir.toString)
     val written = spark.read.parquet(dir.toString)
+    val typs = statsCols.map(c => c -> statTyp(written.schema(c).dataType)).toMap
     val aggs = count(lit(1)).as("rows") +:
-      statsCols.flatMap(c => Seq(min(col(c)).cast("long").as(s"min_$c"),
-        max(col(c)).cast("long").as(s"max_$c")))
+      statsCols.flatMap(c => Seq(min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c")))
     written
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
-        val p = r.getAs[String]("f").stripPrefix("file:")
+        // input_file_name() yields a percent-encoded URI; decode via
+        // java.net.URI so table paths with spaces/special chars resolve
+        val raw = r.getAs[String]("f")
+        val p = if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw
         val rel = Paths.get(table).toAbsolutePath.relativize(Paths.get(p).toAbsolutePath)
-        FileEntry(rel.toString, r.getAs[Long]("rows"),
-          statsCols.map(c => c -> ColStats(r.getAs[Long](s"min_$c"), r.getAs[Long](s"max_$c"))).toMap)
+        val stats = statsCols.flatMap { c =>
+          val mn = r.getAs[String](s"min_$c"); val mx = r.getAs[String](s"max_$c")
+          // an all-null column gets NO stat entry → the file is never
+          // skipped on that column (conservative, like parquet footers)
+          if (mn == null || mx == null) None else Some(c -> ColStats(typs(c), mn, mx))
+        }.toMap
+        FileEntry(rel.toString, r.getAs[Long]("rows"), stats)
       }.toSeq
       .sortBy(_.path)
   }
@@ -178,11 +238,16 @@ object TxTable {
 
   /** Snapshot read: exactly the manifest's files (latest by default;
     * any committed `version` for time travel — files are immutable).
+    * mergeSchema: files within one live set may carry DIFFERENT
+    * schemas after an add-column evolution (an append with a wider
+    * frame); the merged read surfaces the union schema with nulls for
+    * the pre-evolution files — Delta/Iceberg add-column semantics on
+    * plain parquet.
     */
   def read(spark: SparkSession, table: String, version: Int = -1): DataFrame = {
     val v = if (version > 0) version else latestVersion(table)
     val files = manifest(table, v).files.map(f => s"$table/${f.path}")
-    spark.read.parquet(files: _*)
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
   /** Manifest-level data skipping: split the live set into (kept,
@@ -190,8 +255,14 @@ object TxTable {
     * [lo, hi] — the reader never opens a skipped file.
     */
   def prune(table: String, colName: String, lo: Long, hi: Long): (Seq[FileEntry], Seq[FileEntry]) =
+    pruneTyped(table, colName, lo.toString, hi.toString)
+
+  /** [[prune]] with typed bounds: strings compare lexicographically,
+    * dates as ISO — pass bounds in the column's natural rendering.
+    */
+  def pruneTyped(table: String, colName: String, lo: String, hi: String): (Seq[FileEntry], Seq[FileEntry]) =
     manifest(table, latestVersion(table)).files.partition { f =>
-      f.stats.get(colName).forall(s => s.max >= lo && s.min <= hi)
+      f.stats.get(colName).forall(_.intersects(lo, hi))
     }
 
   /** Range read through [[prune]] — only intersecting files are opened
@@ -201,8 +272,17 @@ object TxTable {
       lo: Long, hi: Long): DataFrame = {
     val (kept, _) = prune(table, colName, lo, hi)
     if (kept.isEmpty) return read(spark, table).filter(lit(false))
-    spark.read.parquet(kept.map(f => s"$table/${f.path}"): _*)
+    spark.read.option("mergeSchema", "true").parquet(kept.map(f => s"$table/${f.path}"): _*)
       .filter(col(colName) >= lo && col(colName) <= hi)
+  }
+
+  /** [[readPruned]] for string-keyed tables (CHAR-code natural keys). */
+  def readPrunedTyped(spark: SparkSession, table: String, colName: String,
+      lo: String, hi: String): DataFrame = {
+    val (kept, _) = pruneTyped(table, colName, lo, hi)
+    if (kept.isEmpty) return read(spark, table).filter(lit(false))
+    spark.read.option("mergeSchema", "true").parquet(kept.map(f => s"$table/${f.path}"): _*)
+      .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 
   // ------------------------------------------------------------------ merge
@@ -220,16 +300,18 @@ object TxTable {
       keyCol: String, statsCols: Seq[String]): MergeResult = {
     val parent = latestVersion(table)
     val live = manifest(table, parent).files
-    val bounds = updates.agg(min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long")).head()
+    val bounds = updates.agg(min(col(keyCol)).cast("string"), max(col(keyCol)).cast("string")).head()
     if (bounds.isNullAt(0)) // empty update set: nothing to do, no new version
       return MergeResult(parent, 0, live.size)
+    val (lo, hi) = (bounds.getString(0), bounds.getString(1))
     val (touched, untouched) = live.partition { f =>
-      f.stats.get(keyCol).forall(s => s.max >= bounds.getLong(0) && s.min <= bounds.getLong(1))
+      f.stats.get(keyCol).forall(_.intersects(lo, hi))
     }
     val slot = f"v${parent + 1}%08d"
     val survivors =
       if (touched.isEmpty) updates
-      else spark.read.parquet(touched.map(f => s"$table/${f.path}"): _*)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(touched.map(f => s"$table/${f.path}"): _*)
         .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
         .unionByName(updates)
     val written = writeFiles(spark, table, slot, survivors, statsCols)
@@ -294,7 +376,8 @@ object TxTable {
     val after = manifest(table, toV).files.map(_.path).toSet
     def readSet(paths: Set[String]): Option[DataFrame] =
       if (paths.isEmpty) None
-      else Some(spark.read.parquet(paths.toSeq.sorted.map(p => s"$table/$p"): _*))
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(paths.toSeq.sorted.map(p => s"$table/$p"): _*))
     val empty = read(spark, table, toV).filter(lit(false))
     val added = readSet(after -- before).getOrElse(empty)
     val removed = readSet(before -- after).getOrElse(empty)
@@ -307,10 +390,12 @@ object TxTable {
   /** Batch ids already committed to the table (the exactly-once
     * ledger), read from the latest manifest.
     */
-  def committedBatches(table: String): Set[Long] = {
-    val v = latestVersion(table)
-    if (v == 0) return Set.empty
-    val node = M.readTree(Files.readAllBytes(logDir(table).resolve(f"v$v%08d.json")))
+  def committedBatches(table: String): Set[Long] =
+    batchesAt(table, latestVersion(table))
+
+  private def batchesAt(table: String, version: Int): Set[Long] = {
+    if (version == 0) return Set.empty
+    val node = M.readTree(Files.readAllBytes(logDir(table).resolve(f"v$version%08d.json")))
     val b = node.get("batches")
     if (b == null) Set.empty
     else b.elements().asScala.map(_.asLong()).toSet
@@ -409,6 +494,33 @@ object TxTable {
       |UNION ALL
       |SELECT CAST(2 AS INTEGER), 2 * count(*) FROM orders
       |ORDER BY version""".stripMargin
+
+  /** tx_sql_read — the SQL/catalog surface as a driver query: stage
+    * customer into a transactional table, append a shifted copy (v2),
+    * then read v1 through a `CREATE TEMPORARY VIEW … USING graft-tx`
+    * SQL view and v2 through `spark.read.format("graft-tx")` — the two
+    * public entry points of [[TxDataSource]]. Per-segment counts from
+    * both snapshots joined: matching the oracle proves the format
+    * resolves, time-travels, and isolates snapshots end to end.
+    */
+  def sqlReadQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Files.createTempDirectory("graft_tx_sql").resolve("t").toString
+    val base = graft.util.Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long").as("k"), col("c_mktsegment").as("seg"))
+    create(spark, t, base, Seq("k", "seg"))
+    append(spark, t, base.select((col("k") + 10000000L).as("k"), col("seg")), Seq("k", "seg"))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_tx_v1 " +
+      s"USING `graft-tx` OPTIONS (path '$t', version '1')")
+    val v1 = spark.table("graft_tx_v1").groupBy("seg").agg(count(lit(1)).as("n_v1"))
+    val v2 = spark.read.format("graft-tx").load(t)
+      .groupBy("seg").agg(count(lit(1)).as("n_v2"))
+    v1.join(v2, Seq("seg")).select(col("seg"), col("n_v1"), col("n_v2"))
+      .orderBy(col("seg"))
+  }
+
+  def sqlReadQuerySql: String =
+    """SELECT c_mktsegment AS seg, count(*) AS n_v1, 2 * count(*) AS n_v2
+      |FROM customer GROUP BY 1 ORDER BY seg""".stripMargin
 
   // ---------------------------------------------------------------- vacuum
 

@@ -45,7 +45,7 @@ class TxTableSpec extends SparkSpecBase {
     // only the low-cluster file intersects [50, 210]
     assert(res.rewritten == 1 && res.untouched == 1, res.toString)
     val after = TxTable.manifest(t, res.version).files
-    val hiFile = before.find(_.stats("id").min == 100001L).get
+    val hiFile = before.find(_.stats("id").minLong == 100001L).get
     assert(after.exists(_.path == hiFile.path), "disjoint file must carry over by reference")
     val now = TxTable.read(spark, t)
     assert(now.count() == 210) // 100 + 100 + 10 inserts
@@ -148,6 +148,38 @@ class TxTableSpec extends SparkSpecBase {
     assert(TxTable.read(spark, t).count() == 4)
   }
 
+  test("batch ledger survives maintenance commits: compact between append and replay must not re-admit the batch") {
+    import spark.implicits._
+    val t = tmpTable()
+    // two streamed micro-batches land with the exactly-once sink
+    assert(TxTable.appendBatchExactlyOnce(spark, t, Seq((1L, "a"), (2L, "a")).toDF("id", "v"), 0L, Seq("id")))
+    assert(TxTable.appendBatchExactlyOnce(spark, t, Seq((3L, "b")).toDF("id", "v"), 1L, Seq("id")))
+    // the documented maintenance pass for a streaming-appended table
+    TxTable.compact(spark, t, Seq("id"), targetFiles = 1)
+    assert(TxTable.committedBatches(t) == Set(0L, 1L),
+      "compact must carry the batch ledger forward, not wipe it")
+    // sink restart replays batch 1 — the post-compact ledger must refuse it
+    assert(!TxTable.appendBatchExactlyOnce(spark, t, Seq((3L, "b")).toDF("id", "v"), 1L, Seq("id")),
+      "replayed batchId after a maintenance commit must be skipped")
+    assert(TxTable.read(spark, t).count() == 3, "replay after compact must not duplicate rows")
+    // merge and zorder are commits too — the ledger rides through both
+    TxTable.merge(spark, t, Seq((2L, "upd")).toDF("id", "v"), "id", Seq("id"))
+    TxTable.zorder(spark, t, "id", "id", Seq("id"), numFiles = 2)
+    assert(TxTable.committedBatches(t) == Set(0L, 1L))
+    assert(!TxTable.appendBatchExactlyOnce(spark, t, Seq((9L, "x")).toDF("id", "v"), 0L, Seq("id")))
+    assert(TxTable.read(spark, t).count() == 3)
+  }
+
+  test("table path with URI-special characters: manifest entries resolve on read") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft_tx sp").resolve("odd name").toString
+    TxTable.create(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"))
+    assert(TxTable.read(spark, t).count() == 2)
+    TxTable.append(spark, t, Seq((3L, "c")).toDF("id", "v"), Seq("id"))
+    assert(TxTable.read(spark, t).count() == 3)
+    assert(TxTable.read(spark, t, version = 1).count() == 2)
+  }
+
   test("compact shrinks the live file set content-identically; older versions stay travelable") {
     import spark.implicits._
     val t = tmpTable()
@@ -186,6 +218,80 @@ class TxTableSpec extends SparkSpecBase {
     TxTable.append(spark, t, Seq((200L, "a2")).toDF("id", "v"), Seq("id"))
     val ch2 = TxTable.changesBetween(spark, t, 2, 3).collect()
     assert(ch2.length == 1 && ch2.head.getString(2) == "insert" && ch2.head.getLong(0) == 200L)
+  }
+
+  test("string-keyed skipping: CHAR-code natural keys prune files; pruned read equals filtered scan") {
+    import spark.implicits._
+    val t = tmpTable()
+    // 4 files, each a distinct alphabetic key prefix — the reference's
+    // dims key on CHAR(5) codes, so string stats are the realistic case
+    val blocks = Seq("AA" -> "AZ", "BA" -> "BZ", "CA" -> "CZ", "DA" -> "DZ")
+    blocks.zipWithIndex.foreach { case ((a, _), i) =>
+      val df = (0 until 100).map(j => (f"$a${j}%03d", j)).toDF("code", "x").repartition(1)
+      if (i == 0) TxTable.create(spark, t, df, Seq("code"))
+      else TxTable.append(spark, t, df, Seq("code"))
+    }
+    val (kept, skipped) = TxTable.pruneTyped(t, "code", "BA", "BZ")
+    assert(kept.size == 1 && skipped.size == 3,
+      s"kept ${kept.map(_.path)} skipped ${skipped.size}")
+    val pruned = TxTable.readPrunedTyped(spark, t, "code", "BA", "BZ")
+    val full = TxTable.read(spark, t).filter(col("code").between("BA", "BZ"))
+    assert(pruned.count() == 100)
+    assert(pruned.except(full).count() == 0 && full.except(pruned).count() == 0)
+    // string-keyed MERGE only rewrites the intersecting file
+    val res = TxTable.merge(spark, t, Seq(("CA005", 999)).toDF("code", "x"), "code", Seq("code"))
+    assert(res.rewritten == 1 && res.untouched == 3, res.toString)
+    assert(TxTable.read(spark, t).filter(col("code") === "CA005").head().getInt(1) == 999)
+  }
+
+  test("schema evolution: add-column append; both snapshots read with their own width; old files yield nulls") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"))
+    // v2 widens the table: new files carry an extra column
+    TxTable.append(spark, t, Seq((3L, "c", 30)).toDF("id", "v", "extra"), Seq("id"))
+    val latest = TxTable.read(spark, t)
+    assert(latest.columns.toSet == Set("id", "v", "extra"))
+    assert(latest.count() == 3)
+    assert(latest.filter(col("id") === 1L).head().isNullAt(latest.columns.indexOf("extra")),
+      "pre-evolution rows surface null for the added column")
+    assert(latest.filter(col("id") === 3L).select("extra").head().getInt(0) == 30)
+    // the old snapshot keeps its original width
+    assert(TxTable.read(spark, t, version = 1).columns.toSet == Set("id", "v"))
+  }
+
+  test("graft-tx data source: format/SQL reads, time travel, and pushed-filter file skipping") {
+    import org.apache.spark.sql.sources.{And, GreaterThanOrEqual, LessThan}
+    import spark.implicits._
+    val t = tmpTable()
+    (0 until 4).foreach { b =>
+      val df = ((b * 1000L + 1) to (b * 1000L + 1000)).map(i => (i, s"r$i")).toDF("id", "v")
+        .repartition(1)
+      if (b == 0) TxTable.create(spark, t, df, Seq("id")) else TxTable.append(spark, t, df, Seq("id"))
+    }
+    // spark.read.format: latest snapshot
+    val latest = spark.read.format("graft-tx").load(t)
+    assert(latest.count() == 4000)
+    // version option = time travel
+    assert(spark.read.format("graft-tx").option("version", "2").load(t).count() == 2000)
+    // SQL surface: temp view USING graft-tx
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW tx_spec_v1 USING `graft-tx` " +
+      s"OPTIONS (path '$t', version '1')")
+    assert(spark.sql("SELECT count(*) FROM tx_spec_v1").head().getLong(0) == 1000)
+    // pushed range filter skips manifest files: [1500, 1600] hits 1 of 4
+    val kept = graft.sources.TxDataSource.filesFor(t, -1,
+      Seq(And(GreaterThanOrEqual("id", 1500L), LessThan("id", 1600L))))
+    assert(kept.size == 1, s"expected 1 kept file, got ${kept.map(_.path)}")
+    // and the filtered SQL result is still exactly right
+    val got = latest.filter(col("id") >= 1500L && col("id") < 1600L)
+    val want = TxTable.read(spark, t).filter(col("id") >= 1500L && col("id") < 1600L)
+    assert(got.count() == 100)
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+    // column pruning through the relation: a 1-column projection works
+    assert(latest.select("v").filter(col("v") === "r42").count() == 1)
+    // snapshot isolation: the view planned at v1 ignores a later append
+    TxTable.append(spark, t, Seq((99999L, "late")).toDF("id", "v"), Seq("id"))
+    assert(spark.sql("SELECT count(*) FROM tx_spec_v1").head().getLong(0) == 1000)
   }
 
   test("vacuum reclaims files no kept manifest references; the kept window survives") {

@@ -26,10 +26,13 @@ against the pinned shuffle baseline is reported as
 provably did not change, so the wall delta is host contention (r9:
 21 queries >2x on a contended driver host, all 21 within 0.08% of
 their byte pins; the same commit measured 196.9 s vs 300.1 s on a
-quiet host). The adjudication requires the query to HAVE shuffle
-traffic (read+write > 0): a zero-shuffle scan query regressing on
-wall could be a real CPU-side regression (codegen fallback) that
-moves no bytes, so the wall gate stays authoritative there. A
+quiet host). A ZERO-SHUFFLE query (pure scan+project) has no bytes
+to prove its plan unchanged, so (r11) the sidecar carries a
+scan-side signal — input rows/bytes read (inRows/inBytes) — and the
+adjudication for a zero-shuffle query requires EXACTLY-equal input
+rows (deterministic for an unchanged plan), input bytes within 2%,
+and still-zero shuffle. Pins recorded before r11 lack the signal →
+no exemption, wall gate stays authoritative (fail-closed). A
 shuffle-byte delta beyond jitter disqualifies the exemption, and the
 separate bytes gate still fails on byte growth. Exit 1 on any
 non-noise regression or failed query.
@@ -79,16 +82,19 @@ def main():
     sbase, snew = {}, {}
     try:
         sbase = json.load(open(tooldir + "/shuffle_baseline.json"))
-        snew = bench.get("shuffle")
-        if snew is None:
+    except FileNotFoundError:
+        print("(no shuffle_baseline.json — bytes gate skipped)")
+    snew = bench.get("shuffle")
+    if snew is None:
+        try:
             full = json.load(open(tooldir + "/bench_last.json"))
             if abs(full.get("value", -1) - bench.get("value", -2)) < 1e-6:
                 snew = full.get("shuffle", {})
             else:
-                snew = {}
                 print("(bench_last.json is a different run; shuffle gate skipped)")
-    except FileNotFoundError:
-        print("(no shuffle_baseline.json — bytes gate skipped)")
+        except FileNotFoundError:
+            print("(no bench_last.json sidecar — shuffle gate skipped)")
+    snew = snew or {}
 
     def shuffle_identical(name):
         # "Identical" = unchanged within 0.2% (or 4 KiB, whichever is
@@ -98,11 +104,26 @@ def main():
         # plan change — a lost broadcast, a dropped partial agg, a new
         # exchange — moves bytes by many MB / multiples.
         b, n = sbase.get(name), snew.get(name)
-        if not b or not n or b["read"] + b["write"] == 0:
+        if not b or not n:
             return False
         def close(x, y):
             return abs(x - y) <= max(4096, 0.002 * max(x, y))
-        return close(b["read"], n["read"]) and close(b["write"], n["write"])
+        if not (close(b["read"], n["read"]) and close(b["write"], n["write"])):
+            return False
+        if b["read"] + b["write"] > 0:
+            return True
+        # Zero-shuffle scan: bytes can't prove the plan unchanged (a
+        # codegen fallback moves no bytes and neither does a scan). The
+        # scan-side signal stands in: input ROWS are deterministic for
+        # an unchanged plan (exact match required, and must be nonzero
+        # — an all-zero sidecar proves nothing); input BYTES jitter
+        # slightly with readahead/task boundaries (2% / 64 KiB). Pins
+        # without the signal (pre-r11) get no exemption: fail-closed.
+        if "inRows" not in b or "inRows" not in n or b["inRows"] == 0:
+            return False
+        return (b["inRows"] == n["inRows"]
+                and abs(b["inBytes"] - n["inBytes"])
+                <= max(65536, 0.02 * max(b["inBytes"], n["inBytes"])))
 
     # A query can fail without appearing in the truncated map at all —
     # the "failed" array is authoritative, t<0 sentinels are the backup.

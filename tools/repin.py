@@ -7,6 +7,11 @@ Usage: repin.py [bench_last.json]
   the baseline keeps the best-KNOWN time; new queries enter at their
   fresh measurement. Queries absent from the fresh run keep their pin
   (a filtered SPARK_GRAFT_ONLY run must not evict the rest).
+  EXCEPTION: when a query's shuffle READ/WRITE bytes changed beyond
+  jitter (the plan changed), the wall pin RESETS to the fresh
+  measurement — min() would keep the old plan's pin forever while the
+  byte-identity NOISE adjudication exempts every future wall flag
+  against it, silently disabling the wall gate for that query.
 - tools/shuffle_baseline.json: fresh bytes WHOLESALE for measured
   queries (bytes track the current plan — keeping stale bytes would
   make the NOISE adjudication compare against a plan that no longer
@@ -28,10 +33,29 @@ def main():
         sb = json.load(open(tooldir + "/shuffle_baseline.json"))
     except FileNotFoundError:
         sb = {}
+    def close(x, y):
+        # same jitter tolerance as benchcheck's NOISE adjudication
+        return abs(x - y) <= max(4096, 0.002 * max(x, y))
+
+    def plan_changed(name):
+        old, new = sb.get(name), fresh.get("shuffle", {}).get(name)
+        if old is None or new is None:
+            return False
+        return not (close(old["read"], new["read"])
+                    and close(old["write"], new["write"]))
+
     moved = 0
     for name, t in fresh["queries"].items():
         old = bq["queries"].get(name)
-        new = t if old is None else min(old, t)
+        if old is None:
+            new = t
+        elif plan_changed(name):
+            # accepted plan change: the old plan's pin is meaningless and
+            # min() would freeze it forever — reset to the new reality
+            print(f"pin {name}: plan changed (shuffle bytes moved) — reset")
+            new = t
+        else:
+            new = min(old, t)
         if old is None or abs(new - old) > 1e-9:
             print(f"pin {name}: {old if old is not None else '(new)'} -> {new:.3f}")
             moved += 1
