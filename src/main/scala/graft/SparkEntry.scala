@@ -203,6 +203,7 @@ object SparkEntry {
     "sim_knn_graph"       -> Similarity.knnGraph _,
     "sim_graph_beam"      -> Similarity.graphBeam _,
     "sim_hnsw"            -> Similarity.hnsw _,
+    "sim_hnsw_build"      -> Similarity.hnswBuildStats _,
     "sim_mmr"             -> Similarity.mmr _,
     "sim_hard_negatives"  -> Similarity.hardNegatives _,
     "sim_kcenter"         -> Similarity.kcenter _,
@@ -749,6 +750,7 @@ object SparkEntry {
     "sim_knn_graph"       -> Similarity.knnGraphSql,
     "sim_graph_beam"      -> Similarity.graphBeamSql,
     "sim_hnsw"            -> Similarity.hnswSql,
+    "sim_hnsw_build"      -> Similarity.hnswBuildStatsSql,
     "sim_mmr"             -> Similarity.mmrSql,
     "sim_hard_negatives"  -> Similarity.hardNegativesSql,
     "sim_kcenter"         -> Similarity.kcenterSql,

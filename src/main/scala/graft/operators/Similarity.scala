@@ -2631,6 +2631,41 @@ object Similarity {
       }
     }
 
+  /** sim_hnsw_build — the hierarchy's UPPER-layer construction as its
+    * own benched, value-oracled query, so the index build cost sits on
+    * the bench record separately from the search path (layer 0, the
+    * expensive base graph, is already on the record as
+    * `sim_knn_graph`; `sim_hnsw`'s pin is the SEARCH against the
+    * prebuilt artifacts — measured split at sf0.1: ~19 s cold build
+    * for all layers vs 5.7 s layered search, the latter
+    * fixed-overhead-dominated at local[32] and N-independent by
+    * construction). Output: (layer, n_members, n_edges) per upper
+    * layer — member counts pin the deterministic layer assignment,
+    * edge counts pin the per-layer NN-Descent result against the same
+    * unrolled CTE twin `sim_hnsw`'s oracle composes onto.
+    */
+  def hnswBuildStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val rows = (1 to HnswLayers).map { l =>
+      val members = e.filter(hnswMix(col("vec_id")) % lit(hnswLayerDiv(l)) === 0)
+      (l, members.count(), knnGraphOn(members).count())
+    }
+    rows.toDF("layer", "n_members", "n_edges").orderBy(col("layer"))
+  }
+
+  def hnswBuildStatsSql: String = {
+    val builds = (1 to HnswLayers).map(l =>
+      knnGraphCtesFor(s"h$l", s"${hnswMixSql("vec_id")} % ${hnswLayerDiv(l)} = 0"))
+      .mkString(",\n")
+    val rows = (1 to HnswLayers).map { l =>
+      s"""SELECT CAST($l AS INTEGER) AS layer,
+         | (SELECT count(*) FROM h${l}v) AS n_members,
+         | (SELECT count(*) FROM h${l}g$KnnGraphRounds) AS n_edges""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"WITH $builds\n$rows ORDER BY layer"
+  }
+
   /** sim_hnsw testdata binding: same 8 probes as sim_graph_beam,
     * searched through the layered index.
     */
