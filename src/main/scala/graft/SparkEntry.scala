@@ -201,6 +201,7 @@ object SparkEntry {
     "sim_ivf_health"      -> Similarity.ivfHealth _,
     "sim_ivfpq"           -> Similarity.ivfPq _,
     "sim_knn_graph"       -> Similarity.knnGraph _,
+    "sim_knn_insert"      -> Similarity.knnInsert _,
     "sim_graph_beam"      -> Similarity.graphBeam _,
     "sim_hnsw"            -> Similarity.hnsw _,
     "sim_hnsw_build"      -> Similarity.hnswBuildStats _,
@@ -748,6 +749,7 @@ object SparkEntry {
     "sim_ivf_health"      -> Similarity.ivfHealthSql,
     "sim_ivfpq"           -> Similarity.ivfPqSql,
     "sim_knn_graph"       -> Similarity.knnGraphSql,
+    "sim_knn_insert"      -> Similarity.knnInsertSql,
     "sim_graph_beam"      -> Similarity.graphBeamSql,
     "sim_hnsw"            -> Similarity.hnswSql,
     "sim_hnsw_build"      -> Similarity.hnswBuildStatsSql,

@@ -2152,7 +2152,14 @@ object Similarity {
     * node.
     */
   def knnGraphOn(vectors: DataFrame, k: Int = KnnGraphK,
-      rounds: Int = KnnGraphRounds, cap: Int = KnnGraphCap): DataFrame = {
+      rounds: Int = KnnGraphRounds, cap: Int = KnnGraphCap,
+      initPlanes: Int = KnnGraphInitPlanes): DataFrame = {
+    // initPlanes defaults PINNED for oracle parity at testdata sizes
+    // (where planesFor resolves to the same 4); scale callers pass
+    // planesFor(n) — at 200k vectors the pinned default makes 16
+    // buckets/table of ~12.5k members and the 64-member bucket cap
+    // then evicts essentially every true neighbor (measured graph
+    // recall 0.000; planesFor's 10 planes restore it)
     val v = vectors.select(col("vec_id"), col("embedding"))
       .transform(graft.util.CacheScope.cached) // joined 2× per round + init
     val n = v.count()
@@ -2167,7 +2174,7 @@ object Similarity {
         .filter(col("rk") <= k)
     val tb = v.withColumn("tb", explode(array((0 until KnnGraphInitTables).map(t =>
         struct(lit(t).as("t"), graft.functions.SrpBucket.column(
-          col("embedding"), KnnGraphInitPlanes, t * KnnGraphInitPlanes).as("b"))): _*)))
+          col("embedding"), initPlanes, t * initPlanes).as("b"))): _*)))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
     // cap bucket MEMBERSHIP (the df-cap policy — a hot bucket degrades
     // to a deterministic sample), never the per-node candidate list by
@@ -2211,6 +2218,263 @@ object Similarity {
   def knnGraph(spark: SparkSession, sfDir: String): DataFrame =
     knnGraphOn(Tables.embeddings(spark, sfDir))
       .orderBy(col("u"), col("rk"))
+
+  /** INCREMENTAL kNN-graph maintenance: admit a `delta` of new vectors
+    * into an existing [[knnGraphOn]] graph WITHOUT a rebuild — the
+    * vector-tier analog of `dedup_cross_corpus`'s incremental
+    * admission, and the operation a daily crawl needs at 100 TB (a
+    * 10B-vector graph cannot be rebuilt per day; a 0.1% delta must
+    * cost ~0.1% of the build).
+    *
+    * Three delta-proportional stages:
+    *  1. SEED — the arrivals LSH-bucket-join against the combined
+    *     corpus (same SRP geometry and bucket df-cap as the builder;
+    *     the delta side rides uncapped so a hot bucket cannot orphan
+    *     an arrival), and every collision is introduced SYMMETRICALLY:
+    *     the colliding resident nodes see the arrival as a candidate
+    *     too, so new nodes become reachable, not just connected.
+    *  2. RESCORE the AFFECTED set (arrivals + residents they collided
+    *     with): each affected node's current edges merge with its
+    *     introductions and re-rank by exact cosine top-k — untouched
+    *     residents' adjacency is carried over BY REFERENCE, never
+    *     recomputed.
+    *  3. LOCAL NN-Descent REPAIR — `repairRounds` rounds of
+    *     neighbor-of-neighbor proposals where the PIVOT is restricted
+    *     to nodes whose adjacency actually CHANGED in stage 2
+    *     (arrivals, plus residents an introduction displaced into):
+    *     only neighborhoods an arrival actually entered propose pairs
+    *     (bounded by |changed|·cap² per round), and only proposal
+    *     endpoints rescore. This is the bounded local repair that
+    *     lets an arrival's cluster re-link through it while the rest
+    *     of the graph stays untouched — and it stays
+    *     delta-proportional even when a modest delta collides with
+    *     every LSH bucket (the collided-resident set saturates toward
+    *     the corpus; the CHANGED set cannot).
+    *
+    * Deterministic end to end (same hash orderings, exact-IEEE
+    * cosines, id tie-breaks as the builder). Work scales with
+    * |delta|·cap², not N — the graph rows of never-affected nodes are
+    * not even read back for scoring, only anti-joined by key.
+    * Output: (u, nbr, cos_sim, rk) — the maintained graph, same
+    * contract as [[knnGraphOn]].
+    */
+  def knnGraphInsert(graph: DataFrame, baseVectors: DataFrame, delta: DataFrame,
+      k: Int = KnnGraphK, repairRounds: Int = 2, cap: Int = KnnGraphCap,
+      initPlanes: Int = KnnGraphInitPlanes): DataFrame = {
+    val all = baseVectors.select(col("vec_id"), col("embedding"))
+      .unionByName(delta.select(col("vec_id"), col("embedding")))
+      .transform(graft.util.CacheScope.cached) // scored against every stage
+    val uSide = all.select(col("vec_id").as("u"), col("embedding").as("uv"))
+    val nSide = all.select(col("vec_id").as("nbr"), col("embedding").as("nv"))
+    val w = Window.partitionBy(col("u")).orderBy(col("cos").desc, col("nbr"))
+    def scoreTopK(pairs: DataFrame): DataFrame =
+      pairs.join(uSide, Seq("u")).join(nSide, Seq("nbr"))
+        .withColumn("cos", cosExpr("uv", "nv"))
+        .select(col("u"), col("nbr"), col("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+    def buckets(df: DataFrame): DataFrame =
+      df.withColumn("tb", explode(array((0 until KnnGraphInitTables).map(t =>
+          struct(lit(t).as("t"), graft.functions.SrpBucket.column(
+            col("embedding"), initPlanes, t * initPlanes).as("b"))): _*)))
+        .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val candCap = buckets(all).withColumn("brk", row_number().over(
+        Window.partitionBy(col("t"), col("b"))
+          .orderBy(expr("(vec_id * 1103515245 + 12345) % 1000000007"), col("vec_id"))))
+      .filter(col("brk") <= KnnGraphBucketCap)
+      .select(col("vec_id"), col("t"), col("b"))
+    // seeds stay builder-parity WIDE (every capped bucket member — a
+    // per-arrival cap of 8/table was measured costing 9pts overall /
+    // 46pts on arrival neighborhoods at sf0.01, because the builder's
+    // own candidate budget IS the whole capped bucket): the wide part
+    // is only SCORED once, which is delta-proportional; the bounded
+    // part is the repair loop below
+    val seeds = buckets(delta).select(col("t"), col("b"), col("vec_id").as("u"))
+      .join(candCap.select(col("t"), col("b"), col("vec_id").as("x")), Seq("t", "b"))
+      .filter(col("u") =!= col("x"))
+      .select(col("u"), col("x").as("nbr")).distinct()
+    val intro = seeds.unionAll(seeds.select(col("nbr").as("u"), col("u").as("nbr")))
+      .distinct()
+    val affected = intro.select(col("u")).distinct()
+      .transform(graft.util.CacheScope.cached) // pivot filter every round
+    val gEdges = graph.select(col("u"), col("nbr"))
+    var touched = affected
+    var touchedAdj = scoreTopK(
+        gEdges.join(affected, Seq("u"), "left_semi").unionAll(intro).distinct())
+      .localCheckpoint(true)
+    // Repair PIVOTS: only nodes whose adjacency actually CHANGED in
+    // the rescore above (arrivals have no prior rows, so every arrival
+    // is a pivot; a resident is one only when an introduction entered
+    // its top-k). The wide rescore touches every bucket-collided
+    // resident ONCE (cheap, seed-proportional rows); the repair rounds
+    // — the expensive part — follow actual graph MUTATIONS, which is
+    // what keeps them delta-proportional even when a modest delta
+    // blankets every LSH bucket and the collided set saturates toward
+    // the corpus (measured at 200k vectors: pivoting on the full
+    // collided set cost 0.58x a rebuild at a 1% delta; the naive
+    // full-graph undirected-distinct per round cost 2.2x at 10%).
+    val pivots = touchedAdj.select(col("u"), col("nbr"))
+      .join(gEdges, Seq("u", "nbr"), "left_anti")
+      .select(col("u")).distinct()
+      .transform(graft.util.CacheScope.cached) // pivot filter every round
+    // in-edges INTO the pivot set from the PRIOR graph, computed ONCE:
+    // never-touched nodes' adjacency cannot change, so this
+    // |pivots|*in-degree slice is the only part of the full edge set
+    // the rounds ever re-read.
+    // NOTE: a USING-join moves its key columns to the FRONT of the
+    // output — every frame that later meets a positional unionAll is
+    // re-selected to (u, nbr) explicitly, or one branch rides with
+    // swapped columns (this exact bug halved the repair candidates
+    // until the DuckDB twin caught it)
+    val gInPiv = gEdges
+      .join(pivots.select(col("u").as("nbr")), Seq("nbr"), "left_semi")
+      .select(col("u"), col("nbr"))
+      .localCheckpoint(true)
+    (1 to repairRounds).foreach { _ =>
+      // the pivots' undirected neighborhoods only:
+      //  out-edges — the pivots' CURRENT adjacency (pivots ⊆ touched,
+      //  so touchedAdj carries it);
+      //  in-edges  — the once-computed prior-graph slice with rows from
+      //  since-touched sources swapped for their current ones.
+      val curr = touchedAdj.select(col("u"), col("nbr"))
+      val outPiv = curr.join(pivots, Seq("u"), "left_semi")
+      val inPiv = gInPiv.join(touched, Seq("u"), "left_anti")
+        .unionAll(curr.join(pivots.select(col("u").as("nbr")), Seq("nbr"), "left_semi")
+          .select(col("u"), col("nbr")))
+      val und = outPiv.select(col("u").as("w"), col("nbr").as("x"))
+        .unionAll(inPiv.select(col("nbr").as("w"), col("u").as("x")))
+        .distinct()
+      val undPiv = und.withColumn("crk", row_number().over(
+          Window.partitionBy(col("w"))
+            .orderBy(expr("(x * 1103515245 + 12345) % 1000000007"), col("x"))))
+        .filter(col("crk") <= cap).select(col("w"), col("x"))
+      val cand = undPiv.select(col("w"), col("x").as("a"))
+        .join(undPiv.select(col("w"), col("x").as("b")), Seq("w"))
+        .filter(col("a") =!= col("b"))
+        .select(col("a").as("u"), col("b").as("nbr")).distinct()
+      touched = touched.unionAll(cand.select(col("u"))).distinct()
+        .localCheckpoint(true)
+      // rescore ONLY this round's proposal targets; every other
+      // touched node's adjacency is carried forward BY REFERENCE — the
+      // per-round score volume is |cand| + |targets|·2k, not
+      // |touched|·k (the all-touched rescore was measured dominating
+      // the 1%-delta insert at 200k vectors). For a target the input
+      // is a superset of its previous candidate list (current rows ∪
+      // original edges ∪ proposals), so the deterministic top-k can
+      // only hold or improve — re-surfaced previously-dropped edges
+      // lose again.
+      val targets = cand.select(col("u")).distinct()
+        .transform(graft.util.CacheScope.cached) // three joins below
+      val rescored = scoreTopK(
+        gEdges.join(targets, Seq("u"), "left_semi")
+          .unionAll(curr.join(targets, Seq("u"), "left_semi"))
+          .unionAll(cand).distinct())
+      touchedAdj = rescored
+        .unionAll(touchedAdj.join(targets, Seq("u"), "left_anti"))
+        .localCheckpoint(true)
+    }
+    graph.join(touched, Seq("u"), "left_anti")
+      .select(col("u"), col("nbr"), col("cos_sim"), col("rk"))
+      .unionAll(touchedAdj.select(col("u"), col("nbr"),
+        Cols.pround(col("cos"), 6).as("cos_sim"), col("rk")))
+  }
+
+  /** Delta-admission rounds for the [[knnGraphInsert]] driver binding
+    * (bounded local NN-Descent repair — the sweep an arrival's
+    * neighborhood needs to re-link through it).
+    */
+  val KnnInsertRepairRounds = 2
+
+
+  /** sim_knn_insert testdata binding: build the NN-Descent graph on
+    * the first 90% of the embeddings corpus, admit the last 10% with
+    * [[knnGraphInsert]] — the whole maintenance pass (LSH seed →
+    * affected rescore → local repair) is deterministic, so the
+    * MAINTAINED graph value-oracles row for row against the unrolled
+    * SQL twin ([[knnInsertSql]]); recall-vs-rebuild is gated
+    * separately in AnnRecallSpec and the 200k ScaleRehearsal.
+    */
+  def knnInsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val cut = e.count() * 9 / 10
+    val base = e.filter(col("vec_id") < cut)
+    val delta = e.filter(col("vec_id") >= cut)
+    knnGraphInsert(knnGraphOn(base), base, delta,
+        repairRounds = KnnInsertRepairRounds)
+      .orderBy(col("u"), col("rk"))
+  }
+
+  /** [[knnInsert]]'s oracle: the base build via [[knnGraphCtesFor]]
+    * over the sub-corpus, then the insert's three stages unrolled CTE
+    * by CTE — seed join, collided-set rescore, changed-pivot extraction (EXCEPT
+    * against the prior edges), [[KnnInsertRepairRounds]] repair rounds — ending in the same (u, nbr, cos_sim, rk) graph.
+    */
+  def knnInsertSql: String = {
+    // scoreTopK against the FULL corpus (arrivals + residents)
+    def topkAll(pairs: String, out: String): String =
+      s"""$out AS MATERIALIZED (SELECT u, nbr, cos, rk FROM (
+         | SELECT u, nbr, cos, row_number() OVER (PARTITION BY u ORDER BY cos DESC, nbr) AS rk
+         | FROM (SELECT p.u, p.nbr, ${cosSql("a.embedding", "b.embedding")} AS cos
+         |       FROM $pairs p JOIN iall a ON p.u = a.vec_id JOIN iall b ON p.nbr = b.vec_id))
+         | WHERE rk <= $KnnGraphK)""".stripMargin
+    val bg = s"bg$KnnGraphRounds" // the base build's final CTE
+    val prelude =
+      s"""icut AS MATERIALIZED (SELECT 9 * count(*) // 10 AS cut FROM embeddings),
+         |${knnGraphCtesFor("b", "vec_id < (SELECT cut FROM icut)")},
+         |iall AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+         |itb AS MATERIALIZED (SELECT vec_id, t,
+         |      ${bucketTableSql("embedding", KnnGraphInitPlanes, "t")} AS b
+         |      FROM iall, generate_series(0, ${KnnGraphInitTables - 1}) AS gt(t)),
+         |icc AS MATERIALIZED (SELECT vec_id, t, b FROM (
+         |      SELECT vec_id, t, b, row_number() OVER (PARTITION BY t, b
+         |        ORDER BY (vec_id * 1103515245 + 12345) % 1000000007, vec_id) AS brk
+         |      FROM itb) WHERE brk <= $KnnGraphBucketCap),
+         |isd AS MATERIALIZED (SELECT DISTINCT d.vec_id AS u, c.vec_id AS nbr
+         |      FROM itb d JOIN icc c ON d.t = c.t AND d.b = c.b AND d.vec_id <> c.vec_id
+         |      WHERE d.vec_id >= (SELECT cut FROM icut)),
+         |iin AS MATERIALIZED (SELECT DISTINCT u, nbr FROM (
+         |      SELECT u, nbr FROM isd UNION ALL SELECT nbr, u FROM isd)),
+         |iaf AS MATERIALIZED (SELECT DISTINCT u FROM iin),
+         |ige AS MATERIALIZED (SELECT u, nbr FROM $bg),
+         |it0 AS MATERIALIZED (SELECT u FROM iaf),
+         |ip0 AS MATERIALIZED (SELECT DISTINCT u, nbr FROM (
+         |      SELECT u, nbr FROM ige WHERE u IN (SELECT u FROM iaf)
+         |      UNION ALL SELECT u, nbr FROM iin)),
+         |${topkAll("ip0", "ia0")},
+         |ipv AS MATERIALIZED (SELECT DISTINCT u FROM (
+         |      SELECT u, nbr FROM ia0 EXCEPT SELECT u, nbr FROM ige)),
+         |igi AS MATERIALIZED (SELECT u, nbr FROM ige WHERE nbr IN (SELECT u FROM ipv))""".stripMargin
+    val roundsSql = (1 to KnnInsertRepairRounds).map { r =>
+      s"""iund$r AS MATERIALIZED (SELECT DISTINCT w, x FROM (
+         |      SELECT u AS w, nbr AS x FROM ia${r - 1} WHERE u IN (SELECT u FROM ipv)
+         |      UNION ALL SELECT nbr AS w, u AS x FROM (
+         |        SELECT u, nbr FROM igi WHERE u NOT IN (SELECT u FROM it${r - 1})
+         |        UNION ALL SELECT u, nbr FROM ia${r - 1} WHERE nbr IN (SELECT u FROM ipv)))),
+         |iuc$r AS MATERIALIZED (SELECT w, x FROM (
+         |      SELECT w, x, row_number() OVER (PARTITION BY w
+         |        ORDER BY (x * 1103515245 + 12345) % 1000000007, x) AS crk FROM iund$r)
+         |      WHERE crk <= $KnnGraphCap),
+         |icd$r AS MATERIALIZED (SELECT DISTINCT a.x AS u, b.x AS nbr
+         |      FROM iuc$r a JOIN iuc$r b ON a.w = b.w AND a.x <> b.x),
+         |itg$r AS MATERIALIZED (SELECT DISTINCT u FROM icd$r),
+         |it$r AS MATERIALIZED (SELECT DISTINCT u FROM (
+         |      SELECT u FROM it${r - 1} UNION ALL SELECT u FROM itg$r)),
+         |ip$r AS MATERIALIZED (SELECT DISTINCT u, nbr FROM (
+         |      SELECT u, nbr FROM ige WHERE u IN (SELECT u FROM itg$r)
+         |      UNION ALL SELECT u, nbr FROM ia${r - 1} WHERE u IN (SELECT u FROM itg$r)
+         |      UNION ALL SELECT u, nbr FROM icd$r)),
+         |${topkAll(s"ip$r", s"ian$r")},
+         |ia$r AS MATERIALIZED (SELECT u, nbr, cos, rk FROM ian$r
+         |      UNION ALL SELECT u, nbr, cos, rk FROM ia${r - 1}
+         |      WHERE u NOT IN (SELECT u FROM itg$r))""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val last = KnnInsertRepairRounds
+    s"""WITH $prelude$roundsSql
+       |SELECT u, nbr, ${Cols.proundSql("cos", 6)} AS cos_sim, CAST(rk AS INTEGER) AS rk
+       |FROM (SELECT u, nbr, cos, rk FROM $bg WHERE u NOT IN (SELECT u FROM it$last)
+       |      UNION ALL SELECT u, nbr, cos, rk FROM ia$last)
+       |ORDER BY u, rk""".stripMargin
+  }
 
   /** The NN-Descent build as a reusable WITH-body ending in
     * `g$KnnGraphRounds(u, nbr, cos, rk)` — shared by [[knnGraphSql]]
@@ -2666,6 +2930,56 @@ object Similarity {
     s"WITH $builds\n$rows ORDER BY layer"
   }
 
+  /** INCREMENTAL maintenance for the LAYERED index — [[knnGraphInsert]]
+    * composed per layer, completing the maintenance story the flat
+    * graph started (a daily crawl updates the whole hierarchy, not
+    * just layer 0): each layer admits exactly the delta members its
+    * deterministic hash assigns it (layer membership is id-derived, so
+    * arrivals land in the same layers a full rebuild would put them
+    * in — the maintained index is structurally comparable to the
+    * rebuilt one by construction), untouched layers carry over by
+    * reference, and when the grown corpus justifies a deeper hierarchy
+    * the new TINY top layer is erected from scratch (fanout^depth
+    * smaller than the corpus — negligible against any delta).
+    *
+    * `autoPlanes` applies the per-layer [[planesFor]] rule to each
+    * layer's own population (upper layers are exponentially smaller,
+    * so one global plane count would over-partition their buckets and
+    * starve arrivals of introductions); the pinned default keeps
+    * sf-testdata parity with the build's oracle geometry.
+    */
+  def hnswInsert(layerGraphs: Seq[DataFrame], baseVectors: DataFrame,
+      delta: DataFrame, autoPlanes: Boolean = false): Seq[DataFrame] = {
+    val maintained = layerGraphs.zipWithIndex.map { case (g, l) =>
+      val div = lit(hnswLayerDiv(l))
+      val bl = baseVectors.filter(hnswMix(col("vec_id")) % div === 0)
+      val dl = delta.filter(hnswMix(col("vec_id")) % div === 0)
+      if (dl.isEmpty) g // a layer the delta never reaches is untouched
+      else {
+        val planes = if (autoPlanes) planesFor(bl.count() + dl.count())
+                     else KnnGraphInitPlanes
+        knnGraphInsert(g, bl, dl, initPlanes = planes).localCheckpoint(true)
+      }
+    }
+    // auto-depth extension (the hnswBuildAuto rule on the GROWN
+    // corpus): while the next layer up would still hold ≥ 4·entryCap
+    // nodes, build it fresh — it is fanout× smaller each time
+    val all = baseVectors.select(col("vec_id"), col("embedding"))
+      .unionByName(delta.select(col("vec_id"), col("embedding")))
+    val extended = scala.collection.mutable.ArrayBuffer(maintained: _*)
+    var l = maintained.length
+    var next = all.filter(hnswMix(col("vec_id")) % lit(hnswLayerDiv(l)) === 0)
+    var n = next.count()
+    while (n >= 4L * HnswEntryCap) {
+      val planes = if (autoPlanes) planesFor(n) else KnnGraphInitPlanes
+      extended += knnGraphOn(next, initPlanes = planes).localCheckpoint(true)
+      l += 1
+      next = all.filter(hnswMix(col("vec_id")) % lit(hnswLayerDiv(l)) === 0)
+      n = next.count()
+    }
+    extended.toSeq
+  }
+
   /** sim_hnsw testdata binding: same 8 probes as sim_graph_beam,
     * searched through the layered index.
     */
@@ -2776,14 +3090,15 @@ object Similarity {
   /** sim_hamming_ann — BINARY-code ANN (the sign/Hamming tier of the
     * family: 32× smaller index than float vectors, XOR+popcount
     * distance — the binary-passage-retrieval / Norouzi et al. 2012
-    * multi-index shape): each vector compresses to 8×8 sign-projection
-    * band bytes (codegen [[graft.functions.SrpBucket]] per band, same
-    * PRNG stream as every LSH tier); probes meet candidates on ANY
-    * equal band (slim (t, b) equi-join — never an all-pairs scan),
-    * the full-code Hamming screen keeps pairs ≤ radius, and the
-    * survivors rerank by EXACT cosine top-k — the standard
-    * coarse-code-then-rerank two-stage. At scale the band join is the
-    * index probe (8 bounded postings per vector) and the float
+    * multi-index shape): each vector compresses to [[HammingBands]]×
+    * [[HammingBandBits]] sign-projection band values (codegen
+    * [[graft.functions.SrpBucket]] per band, same PRNG stream as every
+    * LSH tier); probes meet candidates on ANY equal band (slim (t, b)
+    * equi-join — never an all-pairs scan), the full-code Hamming
+    * screen keeps pairs ≤ radius, and the survivors rerank by EXACT
+    * cosine top-k — the standard coarse-code-then-rerank two-stage. At
+    * scale the band join is the index probe (16 bounded postings per
+    * vector) and the float
     * vectors are touched only for the rerank's survivors.
     * Deterministic end to end → fully value-oracled.
     * Output: (q_id, c_id, hamming, cos_sim, rk).

@@ -103,6 +103,42 @@ class AnnRecallSpec extends SparkSpecBase {
     assert(rs >= 0.8, s"NN-Descent misses genuinely-similar neighbors: $rs")
   }
 
+  test("incremental kNN-graph insert: 10% delta, recall within 2pts of a full rebuild") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.util.Tables.embeddings(spark, Sf001)
+    val n = e.count()
+    val cut = (n * 9 / 10)
+    val base = e.filter(col("vec_id") < cut)
+    val delta = e.filter(col("vec_id") >= cut)
+    assert(delta.count() > 0)
+    val truthDf = graft.operators.Similarity.bruteforceTopkOn(
+      e.select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+      e.select(col("vec_id").as("c_id"), col("embedding").as("cv")), 5)
+      .filter(col("q_id") =!= col("c_id"))
+    val truth = hits(truthDf)
+    def pairs(g: DataFrame): Set[(Long, Long)] =
+      g.select("u", "nbr").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gBase = graft.operators.Similarity.knnGraphOn(base)
+    val gIncr = graft.operators.Similarity.knnGraphInsert(gBase, base, delta)
+    val gFull = graft.operators.Similarity.knnGraphOn(e)
+    val rIncr = pairs(gIncr).intersect(truth).size.toDouble / truth.size
+    val rFull = pairs(gFull).intersect(truth).size.toDouble / truth.size
+    // delta-node quality specifically: the arrivals' own true
+    // neighborhoods must be linked, not just reachable
+    val deltaTruth = truth.filter(_._1 >= cut)
+    val rDelta = pairs(gIncr).intersect(deltaTruth).size.toDouble / deltaTruth.size
+    info(f"knn-graph insert recall@4: incremental = $rIncr%.3f vs full rebuild = " +
+      f"$rFull%.3f (truth ${truth.size}); delta-node recall = $rDelta%.3f (${deltaTruth.size})")
+    assert(rIncr >= rFull - 0.02,
+      s"incremental maintenance lost more than 2pts vs rebuild: $rIncr vs $rFull")
+    assert(rDelta >= rFull - 0.05,
+      s"arrivals are under-linked relative to the rebuilt graph: $rDelta vs $rFull")
+    // the maintained graph keeps the builder's contract: <= k rows per
+    // node, every node present
+    val degs = gIncr.groupBy("u").count()
+    assert(degs.filter(col("count") > graft.operators.Similarity.KnnGraphK).count() == 0)
+  }
+
   test("graph-beam frontier search recall@5 vs brute force") {
     // brute-force truth excludes candidates < 8 (the probe block) while
     // the beam searches the full graph, so a beam slot spent on a
@@ -127,6 +163,35 @@ class AnnRecallSpec extends SparkSpecBase {
       "band prefilter should recover most exact top-5")
     // every emitted pair respects the radius screen
     assert(ham.collect().forall(_.getAs[Long]("hamming") <= graft.operators.Similarity.HammingRadius.toLong))
+  }
+
+  test("HNSW incremental insert: maintained hierarchy searches within 5pts of a rebuilt one") {
+    import org.apache.spark.sql.functions.col
+    val S = graft.operators.Similarity
+    val e = graft.util.Tables.embeddings(spark, Sf001)
+    val n = e.count()
+    val cut = n * 9 / 10
+    val base = e.filter(col("vec_id") < cut)
+    val delta = e.filter(col("vec_id") >= cut)
+    // probes from both sides: residents (the sim_hnsw probe block) and
+    // arrivals (whose layers only the insert path ever linked)
+    val probes = e.filter(col("vec_id") < 8 || col("vec_id") >= n - 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val truth = hits(S.bruteforceTopkOn(
+        probes, e.select(col("vec_id").as("c_id"), col("embedding").as("cv")), 6)
+      .filter(col("q_id") =!= col("c_id")))
+    val layersBase = S.hnswBuild(base).map(_.localCheckpoint(true))
+    val maintained = S.hnswInsert(layersBase, base, delta)
+    val rebuilt = S.hnswBuild(e).map(_.localCheckpoint(true))
+    assert(maintained.length == rebuilt.length,
+      "a 10% delta must not change the hierarchy depth at this N")
+    def searchRecall(layers: Seq[DataFrame]): Double =
+      hits(S.hnswSearchOn(layers, e, probes)).intersect(truth).size.toDouble / truth.size
+    val rM = searchRecall(maintained)
+    val rR = searchRecall(rebuilt)
+    info(f"hnsw insert search recall: maintained = $rM%.3f vs rebuilt = $rR%.3f (truth ${truth.size})")
+    assert(rM >= rR - 0.05,
+      s"maintained hierarchy lost more than 5pts vs a full rebuild: $rM vs $rR")
   }
 
   test("HNSW layered search recall@5 vs brute force") {
