@@ -81,6 +81,7 @@ object SparkEntry {
     "q49_cohort_retention" -> TimeSeries.cohortRetention _,
     "q50_mode"           -> Relational.q50Mode _,
     "etl_rfm"            -> RetailEtl.rfm _,
+    "etl_late_dim"       -> RetailEtl.lateDim _,
     "etl_scd2"           -> RetailEtl.scd2Customers _,
     "etl_cdc_diff"       -> RetailEtl.cdcDiff _,
     "etl_pit_lookup"     -> RetailEtl.pitLookup _,
@@ -101,6 +102,7 @@ object SparkEntry {
     "text_keyphrases"    -> TextAnalysis.keyphrases _,
     "text_gopher_rules"  -> TextAnalysis.gopherRules _,
     "text_entropy"       -> TextAnalysis.entropy _,
+    "text_perplexity"    -> TextAnalysis.perplexity _,
     "text_zipf"          -> ((s: SparkSession, d: String) => TextAnalysis.zipf(s, d)),
     "text_compress_ratio" -> TextAnalysis.compressRatio _,
     "text_surprise"      -> TextAnalysis.surprise _,
@@ -139,6 +141,7 @@ object SparkEntry {
     "dq_profile_drift"   -> Quality.dqProfileDrift _,
     "dq_freshness"       -> Quality.dqFreshness _,
     "dq_volume_anomaly"  -> Quality.dqVolumeAnomaly _,
+    "dq_skew_profile"    -> Quality.dqSkewProfile _,
     "embed_mrl_eval"      -> Similarity.mrlEval _,
     "sim_recall_eval"    -> Similarity.recallEval _,
     "dedup_threshold_sweep" -> Similarity.thresholdSweep _,
@@ -196,6 +199,7 @@ object SparkEntry {
     "sim_lsh_ann"         -> Similarity.lshAnn _,
     "sim_lsh_multiprobe"  -> Similarity.lshMultiprobe _,
     "sim_lsh_multitable"  -> Similarity.lshMultitable _,
+    "sim_filtered_ann"    -> Similarity.filteredAnn _,
     "sim_ivf_ann"         -> Similarity.ivfAnn _,
     "sim_ivf_refine"      -> Similarity.ivfRefine _,
     "sim_ivf_health"      -> Similarity.ivfHealth _,
@@ -226,6 +230,7 @@ object SparkEntry {
     "tx_merge"            -> graft.sources.TxTable.mergeQuery _,
     "tx_time_travel"      -> graft.sources.TxTable.timeTravelQuery _,
     "tx_sql_read"         -> graft.sources.TxTable.sqlReadQuery _,
+    "tx_delete"           -> graft.sources.TxTable.deleteQuery _,
     "text_diversity"      -> Training.diversity _,
     "embed_class_centroid" -> Similarity.classCentroid _,
     // §2.D streaming (batch-equivalent forms; streaming impls spec-tested)
@@ -567,6 +572,7 @@ object SparkEntry {
     "tx_merge"            -> graft.sources.TxTable.mergeQuerySql,
     "tx_time_travel"      -> graft.sources.TxTable.timeTravelQuerySql,
     "tx_sql_read"         -> graft.sources.TxTable.sqlReadQuerySql,
+    "tx_delete"           -> graft.sources.TxTable.deleteQuerySql,
     "dq_constraints"      -> Quality.dqConstraintsSql,
     "dq_outliers"         -> Quality.dqOutliersSql,
     "ts_gapfill"          -> TimeSeries.gapfillSql,
@@ -576,6 +582,7 @@ object SparkEntry {
     "q49_cohort_retention" -> TimeSeries.cohortRetentionSql,
     "q50_mode"            -> Relational.q50ModeSql,
     "etl_rfm"             -> RetailEtl.rfmSql,
+    "etl_late_dim"        -> RetailEtl.lateDimSql,
     "etl_scd2"            -> RetailEtl.scd2CustomersSql,
     "etl_cdc_diff"        -> RetailEtl.cdcDiffSql,
     "etl_pit_lookup"      -> RetailEtl.pitLookupSql,
@@ -591,6 +598,7 @@ object SparkEntry {
     "text_keyphrases"     -> TextAnalysis.keyphrasesSql,
     "text_gopher_rules"   -> TextAnalysis.gopherRulesSql,
     "text_entropy"        -> TextAnalysis.entropySql,
+    "text_perplexity"     -> TextAnalysis.perplexitySql,
     "text_zipf"           -> TextAnalysis.zipfSql,
     "ts_ewma"             -> TimeSeries.ewmaSql,
     "pipeline_split"      -> Training.splitSql,
@@ -627,6 +635,7 @@ object SparkEntry {
     "dq_profile_drift"    -> Quality.dqProfileDriftSql,
     "dq_freshness"        -> Quality.dqFreshnessSql,
     "dq_volume_anomaly"   -> Quality.dqVolumeAnomalySql,
+    "dq_skew_profile"     -> Quality.dqSkewProfileSql,
     "sim_recall_eval"     -> Similarity.recallEvalSql,
     "embed_mrl_eval"      -> Similarity.mrlEvalSql,
     "dedup_threshold_sweep" -> Similarity.thresholdSweepSql,
@@ -744,6 +753,7 @@ object SparkEntry {
     "sim_lsh_ann"         -> Similarity.lshAnnSql,
     "sim_lsh_multiprobe"  -> Similarity.lshMultiprobeSql,
     "sim_lsh_multitable"  -> Similarity.lshMultitableSql,
+    "sim_filtered_ann"    -> Similarity.filteredAnnSql,
     "sim_ivf_ann"         -> Similarity.ivfAnnSql,
     "sim_ivf_refine"      -> Similarity.ivfRefineSql,
     "sim_ivf_health"      -> Similarity.ivfHealthSql,

@@ -426,4 +426,70 @@ object Quality {
        |        OR (n * 1000000 * n_prior) // sum_prior > $VolHighPpm THEN 1
        |      ELSE 0 END AS INTEGER) AS flag
        |FROM w ORDER BY event_type, day_ord""".stripMargin
+
+  // ----------------------------------------------------------- key skew
+
+  /** dq_skew_profile — shuffle-key skew diagnostics: the pre-flight a
+    * 100 TB job runs on its join/groupBy keys BEFORE paying for the
+    * shuffle, so the salting decision ([[Relational.saltedAgg]]/
+    * [[Relational.saltedJoin]] and AQE's skew-join threshold) is made
+    * from measurement, not from an OOM post-mortem. Per candidate key:
+    * cardinality, total rows, heaviest-key count, the max/mean skew
+    * ratio, the share held by the top-10 keys, and the integer salt
+    * factor (ceil(max/mean)) that would level the heaviest partition
+    * to the average.
+    *
+    * Shape at scale: one (key)-keyed count aggregate per profiled
+    * column (map-side partials), a top-10 via distributed
+    * TakeOrdered (never a global sort), and 1-row × 1-row scalar
+    * joins. All integer arithmetic → fully value-oracled.
+    * Output: one row per profiled key column.
+    */
+  def skewProfileOf(df: DataFrame, keyCol: String): DataFrame = {
+    val cnt = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+      .transform(graft.util.CacheScope.cached) // feeds stats AND top-10
+    val top = cnt.orderBy(col("c").desc, col("k")).limit(10)
+      .agg(sum(col("c")).as("top10"))
+    cnt.agg(count(lit(1)).as("n_keys"), sum(col("c")).as("total_rows"),
+        max(col("c")).as("max_cnt"))
+      .crossJoin(broadcast(top))
+      .select(lit(keyCol).as("key_col"), col("n_keys"), col("total_rows"),
+        col("max_cnt"),
+        expr("(1000 * total_rows) div n_keys").as("mean_cnt_milli"),
+        expr("(1000 * max_cnt * n_keys) div total_rows").as("skew_ratio_milli"),
+        expr("(1000000 * top10) div total_rows").as("top10_ppm"),
+        expr("(max_cnt * n_keys + total_rows - 1) div total_rows").as("salt_factor"))
+  }
+
+  /** dq_skew_profile testdata binding: the three natural shuffle keys
+    * of the star schema's fact joins.
+    */
+  def dqSkewProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    skewProfileOf(l, "l_suppkey")
+      .unionAll(skewProfileOf(l, "l_partkey"))
+      .unionAll(skewProfileOf(o, "o_custkey"))
+      .orderBy(col("key_col"))
+  }
+
+  def dqSkewProfileSql: String = {
+    def one(table: String, key: String): String =
+      s"""(WITH c AS (SELECT $key AS k, CAST(count(*) AS BIGINT) AS c FROM $table GROUP BY 1),
+         | s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         |        CAST(sum(c) AS BIGINT) AS total_rows,
+         |        CAST(max(c) AS BIGINT) AS max_cnt FROM c),
+         | t AS (SELECT CAST(sum(c) AS BIGINT) AS top10 FROM (
+         |        SELECT c FROM c ORDER BY c DESC, k LIMIT 10))
+         |SELECT '$key' AS key_col, n_keys, total_rows, max_cnt,
+         | (1000 * total_rows) // n_keys AS mean_cnt_milli,
+         | (1000 * max_cnt * n_keys) // total_rows AS skew_ratio_milli,
+         | (1000000 * top10) // total_rows AS top10_ppm,
+         | (max_cnt * n_keys + total_rows - 1) // total_rows AS salt_factor
+         |FROM s CROSS JOIN t)""".stripMargin
+    s"""${one("lineitem", "l_suppkey")}
+       |UNION ALL ${one("lineitem", "l_partkey")}
+       |UNION ALL ${one("orders", "o_custkey")}
+       |ORDER BY key_col""".stripMargin
+  }
 }

@@ -606,4 +606,76 @@ object RetailEtl {
       |      WHEN r_score >= 3 AND f_score <= 2 THEN 'new_or_promising'
       |      ELSE 'hibernating' END AS segment
       |FROM scored ORDER BY customer_id""".stripMargin
+
+  /** Cutoff splitting "dim as loaded" from "late facts" for
+    * [[lateDim]] — chosen so both sides are non-trivial at every SF.
+    */
+  val LateDimCutoff = "1996-01-01"
+
+  /** etl_late_dim — LATE-ARRIVING DIMENSION handling, the star-schema
+    * failure mode the reference's truncate-and-reload sidesteps but a
+    * continuously-loaded warehouse cannot: fact rows referencing a
+    * dimension key the dim table hasn't seen yet. The Kimball answer,
+    * expressed as one plan: facts anti-joined against the dim mint an
+    * INFERRED member per unknown key (attributes defaulted, flagged
+    * inferred=true, so the FK constraint holds and the fact load never
+    * blocks), and when the real attribute row later arrives the
+    * inferred member is RESOLVED in place (SCD1 overwrite keyed on the
+    * natural key — here the customer master standing in for the
+    * late-arriving attribute feed). Output is the post-resolution dim
+    * state: every member with its provenance (loaded / inferred /
+    * resolved) — the audit a warehouse team actually queries.
+    *
+    * Shape at scale: one key-keyed anti-join (unknown keys), one
+    * distinct over the late facts' keys (bounded by dim cardinality,
+    * not fact volume), one left join for resolution. No window, no
+    * global sort; every join keys on the dim natural key.
+    * Output: (customer_id, segment, provenance) + per-provenance
+    * rollup is left to the consumer; rows are the dim itself.
+    */
+  def lateDimOn(c: DataFrame, o: DataFrame, cutoff: String): DataFrame = {
+    // dim as of the last load: customers who ordered before the cutoff
+    val dim = c.join(
+        o.filter(col("o_orderdate") < lit(cutoff))
+          .select(col("o_custkey")).distinct(),
+        c("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey").as("customer_id"),
+        col("c_mktsegment").as("segment"), lit("loaded").as("provenance"))
+    // late facts: orders at/after the cutoff; unknown keys mint members
+    val lateKeys = o.filter(col("o_orderdate") >= lit(cutoff))
+      .select(col("o_custkey").as("customer_id")).distinct()
+    val inferred = lateKeys.join(dim, Seq("customer_id"), "left_anti")
+    // resolution feed: the customer master (late attribute arrival)
+    val resolved = inferred.join(
+        c.select(col("c_custkey").as("customer_id"),
+          col("c_mktsegment").as("m_segment")),
+        Seq("customer_id"), "left")
+      .select(col("customer_id"),
+        coalesce(col("m_segment"), lit("<unknown>")).as("segment"),
+        when(col("m_segment").isNotNull, lit("resolved"))
+          .otherwise(lit("inferred")).as("provenance"))
+    dim.unionAll(resolved).orderBy(col("customer_id"))
+  }
+
+  /** etl_late_dim testdata binding. */
+  def lateDim(spark: SparkSession, sfDir: String): DataFrame =
+    lateDimOn(Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
+      LateDimCutoff)
+
+  def lateDimSql: String =
+    s"""WITH dim AS (
+       | SELECT c_custkey AS customer_id, c_mktsegment AS segment,
+       |  'loaded' AS provenance
+       | FROM customer WHERE c_custkey IN (
+       |   SELECT o_custkey FROM orders WHERE o_orderdate < DATE '$LateDimCutoff')),
+       |late AS (SELECT DISTINCT o_custkey AS customer_id FROM orders
+       |         WHERE o_orderdate >= DATE '$LateDimCutoff'),
+       |unknown AS (SELECT customer_id FROM late
+       |            WHERE customer_id NOT IN (SELECT customer_id FROM dim)),
+       |res AS (SELECT u.customer_id,
+       |         coalesce(c.c_mktsegment, '<unknown>') AS segment,
+       |         CASE WHEN c.c_custkey IS NOT NULL THEN 'resolved'
+       |              ELSE 'inferred' END AS provenance
+       |        FROM unknown u LEFT JOIN customer c ON u.customer_id = c.c_custkey)
+       |SELECT * FROM dim UNION ALL SELECT * FROM res ORDER BY customer_id""".stripMargin
 }

@@ -1337,4 +1337,147 @@ object TextAnalysis {
        |FROM docn d JOIN $fin lg ON d.n = lg.v JOIN sumc ON d.doc_id = sumc.doc_id
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------- perplexity
+
+  /** Train-split share for [[perplexityOn]] (CCNet-style held-out
+    * scoring: the LM is fit on one deterministic hash split and scores
+    * the other, so a document never scores against counts it
+    * contributed to — self-scoring systematically flatters near-dup
+    * boilerplate, the exact text a perplexity filter exists to catch).
+    */
+  val PplTrainPct = 70
+
+  /** text_perplexity — CCNet-family LM quality filter: an add-one
+    * smoothed BIGRAM language model is fit on the train split of the
+    * corpus (portable hash of the doc id — reproducible across engines
+    * and partitionings) and every held-out document is scored by its
+    * cross-entropy in bits per bigram, then bucketed head/middle/tail
+    * PER LANGUAGE by ntile — the published CCNet recipe buckets per
+    * language because cross-language entropy ranges aren't comparable.
+    * P(cur|prev) = (C(prev,cur)+1)/(C(prev,·)+V) with V = train vocab
+    * + 1 (OOV); an unseen context degrades to the uniform prior
+    * 1/V — every bigram, seen or not, gets a finite score.
+    *
+    * Exactness: bits are [[graft.util.FixedLog2]] fixed point over the
+    * integer ratio floor(((c1+V)<<12)/(c2+1)) — no float log, so the
+    * score value-oracles. The log chain runs over the DISTINCT ratio
+    * values only (bounded by distinct (c1,c2) pairs, corpus-size-free)
+    * and broadcasts back, the [[entropyOn]] device.
+    *
+    * Shape at scale: two (prev[,cur])-keyed count aggregates over the
+    * train split, two equi-joins of the scored bigram stream against
+    * them (count tables are vocabulary-sized — candidates for
+    * broadcast at any corpus size; Catalyst/AQE decides), one doc-keyed
+    * re-agg. The tercile assignment is NOT a per-language ntile window
+    * (that funnels a whole language's docs through one task); it is
+    * the [[Training.tokenBudgetOn]] two-phase device — coarse
+    * (lang, xent div 100) buckets aggregate counts, a slim
+    * buckets-only prefix window computes each bucket's starting rank,
+    * and docs rank within their (lang, bucket) only — reproducing
+    * EXACT ntile(3) semantics (first n mod 3 tiles one larger, rank
+    * tie-broken (xent, doc_id)) with (lang, bucket) as the parallel
+    * unit. No all-pairs, no global or per-language sort.
+    * Output: (doc_id, lang, n_bigrams, xent_milli, ppl_bucket) for
+    * held-out docs with ≥1 bigram.
+    */
+  def perplexityOn(df: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val F = EntF
+    val base = df.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        TextFns.tokenize(col(textCol)).as("w"))
+      .withColumn("split_h", pmod(TextFns.charFold(
+        concat(lit("ppl:"), col("doc_id").cast("string"))), lit(100L)))
+    val bi = base.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"), col("split_h"), explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("prev"), b.as("cur")))).as("p"))
+      .select(col("doc_id"), col("lang"), col("split_h"),
+        col("p.prev").as("prev"), col("p.cur").as("cur"))
+      .transform(graft.util.CacheScope.cached) // feeds train counts AND scoring
+    val train = bi.filter(col("split_h") < PplTrainPct)
+    val c2 = train.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
+    // V = train-split distinct unigrams + 1 (the OOV slot); broadcast
+    // 1-row scalar (sanctioned: constant-size, never a data crossJoin).
+    val vocab = base.filter(col("split_h") < PplTrainPct)
+      .select(explode(col("w")).as("u")).agg((count_distinct(col("u")) + 1L).as("v"))
+    val scored = bi.filter(col("split_h") >= PplTrainPct)
+      .join(c2, Seq("prev", "cur"), "left")
+      .join(c1, Seq("prev"), "left")
+      .na.fill(0L, Seq("c2", "c1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("q", expr(s"shiftleft(c1 + v, $F) div (c2 + 1)"))
+    val vals = scored.select(col("q")).distinct()
+    val lg = graft.util.FixedLog2.log2Fp(vals, "q", "lg_fp", F)
+    val perDoc = scored
+      .join(broadcast(lg), Seq("q"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lg_fp")).as("sum_fp"))
+      .withColumn("xent_milli",
+        expr(s"(1000 * sum_fp) div (n_bigrams * ${1L << F})"))
+      .withColumn("bkt", expr("xent_milli div 100"))
+      .transform(graft.util.CacheScope.cached) // feeds buckets AND ranking
+    // two-phase exact ntile(3): bucket counts + slim prefix window
+    // (rows = distinct (lang, bucket) — hundreds at any corpus size),
+    // then rank within (lang, bucket) only
+    val W = org.apache.spark.sql.expressions.Window
+    val buckets = perDoc.groupBy(col("lang"), col("bkt"))
+      .agg(count(lit(1)).as("b_n"))
+    val pre = buckets
+      .withColumn("cum_before", coalesce(sum(col("b_n")).over(
+        W.partitionBy(col("lang")).orderBy(col("bkt"))
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("b_n")).over(W.partitionBy(col("lang"))))
+      .select(col("lang"), col("bkt"), col("cum_before"), col("n"))
+    perDoc
+      .join(broadcast(pre), Seq("lang", "bkt"))
+      .withColumn("rank", col("cum_before") + row_number().over(
+        W.partitionBy(col("lang"), col("bkt"))
+          .orderBy(col("xent_milli"), col("doc_id"))))
+      // ntile(3) boundaries: tile t ends at t·(n div 3) + min(t, n mod 3)
+      .withColumn("ppl_bucket",
+        when(col("rank") <= expr("n div 3 + least(1L, n % 3)"), lit("head"))
+          .when(col("rank") <= expr("2 * (n div 3) + least(2L, n % 3)"),
+            lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("xent_milli"), col("ppl_bucket"))
+  }
+
+  /** text_perplexity testdata binding. */
+  def perplexity(spark: SparkSession, sfDir: String): DataFrame =
+    perplexityOn(Tables.documents(spark, sfDir), "doc_id", "text", "lang")
+      .orderBy(col("doc_id"))
+
+  def perplexitySql: String = {
+    val F = EntF
+    val split = TextFns.charFoldSql("'ppl:' || CAST(doc_id AS VARCHAR)")
+    val (chain, fin) =
+      graft.util.FixedLog2.sqlCtes("vals", Seq("qk"), "lg_fp", F)
+    s"""WITH base AS (SELECT doc_id, lang, ${TextFns.tokenizeSql("text")} AS w,
+       |        ($split) % 100 AS split_h FROM documents),
+       |bi AS (SELECT doc_id, lang, split_h, w[i] AS prev, w[i + 1] AS cur
+       |       FROM base, unnest(generate_series(1, len(w) - 1)) AS u(i)
+       |       WHERE len(w) >= 2),
+       |c2 AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2
+       |       FROM bi WHERE split_h < $PplTrainPct GROUP BY 1, 2),
+       |c1 AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+       |voc AS (SELECT CAST(count(DISTINCT u) + 1 AS BIGINT) AS v FROM (
+       |       SELECT unnest(w) AS u FROM base WHERE split_h < $PplTrainPct)),
+       |sc AS (SELECT doc_id, lang,
+       |        ((coalesce(c1.c1, 0) + v) << $F) // (coalesce(c2.c2, 0) + 1) AS q
+       |       FROM bi LEFT JOIN c2 USING (prev, cur) LEFT JOIN c1 USING (prev)
+       |       CROSS JOIN voc WHERE split_h >= $PplTrainPct),
+       |vals AS (SELECT q AS qk, q FROM (SELECT DISTINCT q FROM sc)),
+       |$chain,
+       |pd AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |        (1000 * CAST(sum(lg_fp) AS BIGINT)) // (count(*) * ${1L << F}) AS xent_milli
+       |       FROM sc JOIN $fin ON sc.q = $fin.qk GROUP BY 1, 2)
+       |SELECT doc_id, lang, n_bigrams, xent_milli,
+       | (['head', 'middle', 'tail'])[ntile(3) OVER (PARTITION BY lang
+       |    ORDER BY xent_milli, doc_id)] AS ppl_bucket
+       |FROM pd ORDER BY doc_id""".stripMargin
+  }
 }

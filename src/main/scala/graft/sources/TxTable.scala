@@ -319,6 +319,37 @@ object TxTable {
     MergeResult(v, touched.size, untouched.size)
   }
 
+  /** DELETE WHERE `predCol` ∈ [lo, hi] (bounds as the stats-string
+    * rendering of the column's type, like [[pruneTyped]]): copy-on-
+    * write at file granularity — only files whose min/max stats
+    * intersect the range are rewritten WITHOUT their matching rows,
+    * disjoint files carry over by reference, and a rewrite left empty
+    * writes nothing (the file simply leaves the live set). The
+    * Delta-class row-level DELETE with data skipping; nulls never
+    * match a range predicate, so they survive. Old snapshots stay
+    * readable (immutable files + manifest isolation).
+    */
+  def delete(spark: SparkSession, table: String, predCol: String,
+      lo: String, hi: String, statsCols: Seq[String]): MergeResult = {
+    val parent = latestVersion(table)
+    val live = manifest(table, parent).files
+    val (touched, untouched) = live.partition { f =>
+      f.stats.get(predCol).forall(_.intersects(lo, hi))
+    }
+    if (touched.isEmpty) return MergeResult(parent, 0, live.size)
+    val touchedDf = spark.read.option("mergeSchema", "true")
+      .parquet(touched.map(f => s"$table/${f.path}"): _*)
+    val dt = touchedDf.schema(predCol).dataType
+    val kept = touchedDf.filter(col(predCol) < lit(lo).cast(dt) ||
+      col(predCol) > lit(hi).cast(dt) || col(predCol).isNull)
+    val slot = f"v${parent + 1}%08d-d"
+    val written =
+      if (kept.isEmpty) Seq.empty[FileEntry]
+      else writeFiles(spark, table, slot, kept, statsCols)
+    val v = commit(table, parent, untouched ++ written)
+    MergeResult(v, touched.size, untouched.size)
+  }
+
   // ---------------------------------------------------------------- zorder
 
   /** Interleave the low 16 bits of two non-negative values — the
@@ -494,6 +525,37 @@ object TxTable {
       |UNION ALL
       |SELECT CAST(2 AS INTEGER), 2 * count(*) FROM orders
       |ORDER BY version""".stripMargin
+
+  /** tx_delete — row-level DELETE as a driver-checkable query: stage
+    * orders key-clustered (range layout → tight per-file key stats),
+    * DELETE the middle [max/4, max/2] key band — which touches only
+    * the files whose stats intersect it — and read the survivor
+    * snapshot back, per-status. The oracle states the post-delete
+    * truth relationally; matching it proves the rewrite dropped
+    * exactly the matching rows while carried-over files kept theirs,
+    * and the id_sum pins MEMBERSHIP, not just counts. File-skipping
+    * and old-snapshot isolation are spec-gated (TxTableSpec).
+    */
+  def deleteQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Files.createTempDirectory("graft_tx_del").resolve("t").toString
+    val base = graft.util.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("status"))
+    create(spark, t, base.repartitionByRange(8, col("k")), Seq("k"))
+    val mk = base.agg(max(col("k"))).head().getLong(0)
+    delete(spark, t, "k", (mk / 4).toString, (mk / 2).toString, Seq("k"))
+    read(spark, t).groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("id_sum"))
+      .orderBy(col("status"))
+  }
+
+  def deleteQuerySql: String =
+    """WITH m AS (SELECT max(o_orderkey) AS mk FROM orders)
+      |SELECT o_orderstatus AS status, count(*) AS n_rows,
+      | CAST(sum(o_orderkey) AS BIGINT) AS id_sum
+      |FROM orders, m
+      |WHERE o_orderkey < mk // 4 OR o_orderkey > mk // 2
+      |GROUP BY 1 ORDER BY status""".stripMargin
 
   /** tx_sql_read — the SQL/catalog surface as a driver query: stage
     * customer into a transactional table, append a shifted copy (v2),

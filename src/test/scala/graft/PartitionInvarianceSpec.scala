@@ -101,7 +101,14 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     "contamination_spans", "ts_acf",
     // r9 late: top-20 boundary determinism under the two-phase rollup,
     // and the trailing range-frame volume monitor
-    "q67_sole_blame", "dq_volume_anomaly")
+    "q67_sole_blame", "dq_volume_anomaly",
+    // r11: LM fit + fixed-point scoring + per-language ntile (tie-
+    // broken), the delta-admission maintenance pass (LSH seed + local
+    // repair fixpoint), filtered multi-table LSH (double cosines, id
+    // tie-breaks), the top-10 boundary in the skew diagnostics, and
+    // the anti-join/provenance assembly
+    "text_perplexity", "sim_knn_insert", "sim_filtered_ann",
+    "dq_skew_profile", "etl_late_dim")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

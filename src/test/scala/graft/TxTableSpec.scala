@@ -60,6 +60,37 @@ class TxTableSpec extends SparkSpecBase {
     assert(want.except(now.select("id")).count() == 0)
   }
 
+  test("delete drops the key band file-granularly: disjoint files carry over, old snapshot keeps the rows") {
+    import spark.implicits._
+    val t = tmpTable()
+    val lo = (1L to 100L).map(i => (i, "keep")).toDF("id", "val").repartition(1)
+    val hi = (100001L to 100100L).map(i => (i, "keep")).toDF("id", "val").repartition(1)
+    TxTable.create(spark, t, lo, Seq("id"))
+    TxTable.append(spark, t, hi, Seq("id"))
+    val before = TxTable.manifest(t, TxTable.latestVersion(t)).files
+    val res = TxTable.delete(spark, t, "id", "40", "60", Seq("id"))
+    assert(res.rewritten == 1 && res.untouched == 1, res.toString)
+    val after = TxTable.manifest(t, res.version).files
+    val hiFile = before.find(_.stats("id").minLong == 100001L).get
+    assert(after.exists(_.path == hiFile.path), "disjoint file must carry over by reference")
+    val now = TxTable.read(spark, t)
+    assert(now.count() == 179) // 200 - 21 deleted
+    assert(now.filter(col("id").between(40L, 60L)).count() == 0)
+    assert(now.filter(col("id") === 39L).count() == 1)
+    assert(now.filter(col("id") === 61L).count() == 1)
+    // snapshot isolation: the pre-delete version still has the band
+    assert(TxTable.read(spark, t, version = res.version - 1)
+      .filter(col("id").between(40L, 60L)).count() == 21)
+    // a band matching nothing is a no-op: same version, no commit
+    val noop = TxTable.delete(spark, t, "id", "5000", "6000", Seq("id"))
+    assert(noop.version == res.version && noop.rewritten == 0)
+    // a band swallowing a whole file leaves it out of the live set
+    val res2 = TxTable.delete(spark, t, "id", "100001", "100100", Seq("id"))
+    assert(TxTable.read(spark, t).count() == 79)
+    assert(TxTable.manifest(t, res2.version).files
+      .forall(_.stats("id").maxLong <= 100L), "emptied file must leave the live set")
+  }
+
   test("optimistic concurrency: the second writer of a version loses with a conflict, not corruption") {
     import spark.implicits._
     val t = tmpTable()
