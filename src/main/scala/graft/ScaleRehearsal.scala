@@ -40,6 +40,7 @@ object ScaleRehearsal {
     if (args.headOption.contains("bloom")) { bloomMain(args.drop(1)); return }
     if (args.headOption.contains("select")) { selectMain(args.drop(1)); return }
     if (args.headOption.contains("insert")) { insertMain(args.drop(1)); return }
+    if (args.headOption.contains("ppl")) { pplMain(args.drop(1)); return }
     val n = if (args.nonEmpty) args(0).toLong else 2000000L
     val planted = math.max(n / 100, 1L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -672,5 +673,82 @@ object ScaleRehearsal {
       s""""probe_ok":$probeOk,"fp_ok":$fpOk,"spans_ok":$spansOk}""")
     spark.stop()
     if (!(exactOk && flaggedOk && probeOk && fpOk && spansOk)) sys.exit(1)
+  }
+
+  /** Perplexity-filter rehearsal: text_perplexity's full pass (train-
+    * split bigram LM fit + held-out scoring + per-language two-phase
+    * terciles) at 10-100× the testdata corpus, with 1% planted word
+    * salad. Prose docs walk a 500-word ring vocabulary (consecutive
+    * indices), so the corpus-wide bigram table is ~500 rows and every
+    * prose bigram is high-count/cheap; salad docs draw from a
+    * disjoint hash-random vocabulary, so every salad bigram is
+    * unseen-context and costs exactly the uniform prior log2(V).
+    * Gates:
+    *  - SEPARATION: every scored salad doc's xent exceeds every
+    *    scored prose doc's (the geometry guarantees it; a miss means
+    *    the LM join or the split leaked),
+    *  - BOUNDED LOG TABLE: the distinct-ratio count the FixedLog2
+    *    chain runs over stays corpus-size-free (≤ distinct (c1,c2)
+    *    pairs — thousands, not millions),
+    *  - EXACT TERCILES: per language, tile sizes differ by ≤ 1 (the
+    *    two-phase device reproduces ntile semantics distributed).
+    */
+  private def pplMain(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 2000000L
+    val saladEvery = 100L // 1% planted salad
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val prose = expr(
+      "concat_ws(' ', transform(sequence(1, 30), j -> concat('w', pmod(hash(id) + j, 500))))")
+    val salad = expr(
+      "concat_ws(' ', transform(sequence(1, 30), j -> concat('s', pmod(hash(id, j), 100000))))")
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+        when(col("id") % saladEvery === 0, salad).otherwise(prose).as("text"),
+        concat(lit("lang"), pmod(col("id"), lit(3)).cast("string")).as("lang"))
+      .persist()
+    val nDocs = docs.count()
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (scored, tScore) = timed {
+      val s = graft.operators.TextAnalysis
+        .perplexityOn(docs, "doc_id", "text", "lang").persist()
+      s.count(); s
+    }
+    val agg = scored
+      .withColumn("is_salad", col("doc_id") % saladEvery === 0)
+      .groupBy(col("is_salad"))
+      .agg(count(lit(1)).as("n"), min(col("xent_milli")).as("mn"),
+        max(col("xent_milli")).as("mx"))
+      .collect().map(r => r.getBoolean(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (nProse, _, proseMax) = agg(false)
+    val (nSalad, saladMin, _) = agg(true)
+    val sepOk = nSalad > 0 && nProse > 0 && saladMin > proseMax
+    // tile balance per language: exact ntile ⇒ sizes differ by ≤ 1
+    val tiles = scored.groupBy(col("lang"), col("ppl_bucket"))
+      .agg(count(lit(1)).as("c")).collect()
+    val tileOk = tiles.groupBy(_.getString(0)).values.forall { rs =>
+      val cs = rs.map(_.getLong(2))
+      cs.length == 3 && cs.max - cs.min <= 1
+    }
+    // the log chain's input cardinality (distinct smoothed ratios)
+    val distinctRatios = scored.agg(count_distinct(
+      expr("xent_milli")).as("d")).head().getLong(0) // proxy visible post-agg
+    val cardOk = distinctRatios < 200000L
+    println(s"""{"metric":"scale_rehearsal_ppl","n_docs":$nDocs,""" +
+      s""""scored":${nProse + nSalad},"score_sec":${f"$tScore%.1f"},""" +
+      s""""prose_max_milli":$proseMax,"salad_min_milli":$saladMin,""" +
+      s""""distinct_xent":$distinctRatios,""" +
+      s""""sep_ok":$sepOk,"tile_ok":$tileOk,"card_ok":$cardOk}""")
+    spark.stop()
+    if (!(sepOk && tileOk && cardOk)) sys.exit(1)
   }
 }
