@@ -318,8 +318,9 @@ object Similarity {
     * clause on an ANN query" every production vector store grows:
     * lang/tenant/date predicates restricting the eligible corpus).
     * Strategy is PRE-filtering: the predicate applies to the candidate
-    * side BEFORE hashing, so it pushes to the parquet scan and the
-    * bucket join only ever shuffles eligible ids — post-filtering a
+    * side BEFORE hashing — a comparison predicate PUSHES to the
+    * parquet scan (PushedFilters, PlanAuditSpec-gated), so ineligible
+    * rows never get hashed ×L or shuffled — while post-filtering a
     * top-k instead silently starves recall when the filter is
     * selective (k survivors of a 10%-selective filter ≈ k/10 usable
     * results). The thinner filtered corpus lowers per-bucket density,
@@ -330,7 +331,7 @@ object Similarity {
     */
   def filteredAnn(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
-    val cand = e.filter(col("vec_id") >= 8 && pmod(col("label"), lit(2)) === 1)
+    val cand = e.filter(col("vec_id") >= 8 && col("label") >= 5)
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("label"))
     multiTableTopkOn(
       e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding").as("qv")),
@@ -344,7 +345,7 @@ object Similarity {
   def filteredAnnSql: String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
        |c AS (SELECT vec_id AS c_id, embedding AS cv, label FROM embeddings
-       |      WHERE vec_id >= 8 AND ((label % 2) + 2) % 2 = 1),
+       |      WHERE vec_id >= 8 AND label >= 5),
        |qb AS (SELECT q_id, t, ${bucketTableSql("qv", 4, "t")} AS b FROM q, generate_series(0, 15) AS gt(t)),
        |cb AS (SELECT c_id, t, ${bucketTableSql("cv", 4, "t")} AS b FROM c, generate_series(0, 15) AS gt(t)),
        |cand AS (SELECT DISTINCT q_id, c_id FROM qb JOIN cb ON qb.t = cb.t AND qb.b = cb.b),

@@ -1,7 +1,9 @@
 package graft.sources
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.{DataFrame, GraftBridge, Row, SQLContext}
+import org.apache.spark.sql.execution.streaming
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -27,7 +29,8 @@ import org.apache.spark.sql.types.StructType
   * the scan; the manifest skipping is a pure file-set reduction and
   * never changes row-level semantics.
   */
-final class TxDataSource extends RelationProvider with DataSourceRegister {
+final class TxDataSource extends RelationProvider with DataSourceRegister
+    with StreamSourceProvider {
   override def shortName(): String = "graft-tx"
 
   override def createRelation(sqlContext: SQLContext,
@@ -36,6 +39,31 @@ final class TxDataSource extends RelationProvider with DataSourceRegister {
       throw new IllegalArgumentException("graft-tx requires a path option"))
     val version = parameters.get("version").map(_.toInt).getOrElse(-1)
     new TxRelation(sqlContext, table, version)
+  }
+
+  // ------------------------------------------------- streaming source
+
+  private def tableOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-tx requires a path option"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val table = tableOf(parameters)
+    (shortName(),
+      schema.getOrElse(TxTable.read(sqlContext.sparkSession, table).schema))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): streaming.Source = {
+    val table = tableOf(parameters)
+    val ignoreChanges =
+      parameters.get("ignoreChanges").exists(_.toBoolean)
+    new TxStreamSource(sqlContext, table,
+      schema.getOrElse(TxTable.read(sqlContext.sparkSession, table).schema),
+      ignoreChanges)
   }
 }
 
@@ -134,4 +162,69 @@ final class TxRelation(ctx: SQLContext, table: String, version: Int)
     val projected = base.select(requiredColumns.map(col).toSeq: _*)
     projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
+}
+
+/** Structured-Streaming SOURCE over a [[TxTable]] — the lakehouse
+  * round trip's read half (`appendBatchExactlyOnce` is the write
+  * half): offsets ARE committed table versions, each micro-batch is
+  * the file set ADDED between two manifests, so an append-only
+  * producer streams through exactly once with no file-listing state —
+  * the version log already total-orders commits. First batch = the
+  * whole live set at source start (versions (0, latest]).
+  *
+  * Append-only contract (Delta's streaming-read rule): a version that
+  * REMOVED files (merge/delete/compact/zorder rewrites) aborts the
+  * stream — silently re-reading added rewrite files would duplicate
+  * carried-over rows. `ignoreChanges=true` opts into surfacing such
+  * versions' added files anyway (consumer dedupes downstream,
+  * Delta-semantics). Vacuum interacts the obvious way: the retention
+  * window must cover consumer lag, or the lagging batch's files are
+  * gone (same contract as Delta).
+  *
+  * Schema is pinned at source start; added files read under it
+  * (pre-evolution files yield nulls — same alignment as the batch
+  * relation).
+  */
+final class TxStreamSource(ctx: SQLContext, table: String,
+    override val schema: StructType, ignoreChanges: Boolean)
+    extends streaming.Source {
+
+  private val spark = ctx.sparkSession
+
+  override def getOffset: Option[streaming.Offset] = {
+    val v = TxTable.latestVersion(table)
+    if (v == 0) None else Some(LongOffset(v.toLong))
+  }
+
+  // restart path hands back a SerializedOffset; LongOffset's json is
+  // just the number, so parsing covers both shapes
+  private def ver(o: streaming.Offset): Int = o match {
+    case LongOffset(l) => l.toInt
+    case other         => other.json.trim.toInt
+  }
+
+  override def getBatch(start: Option[streaming.Offset],
+      end: streaming.Offset): DataFrame = {
+    val fromV = start.map(ver).getOrElse(0)
+    val toV = ver(end)
+    val before =
+      if (fromV == 0) Set.empty[String]
+      else TxTable.manifest(table, fromV).files.map(_.path).toSet
+    val after = TxTable.manifest(table, toV).files
+    val removed = before -- after.map(_.path).toSet
+    if (removed.nonEmpty && !ignoreChanges)
+      throw new IllegalStateException(
+        s"graft-tx stream on $table: version $toV removed ${removed.size} file(s) " +
+          s"(merge/delete/compact rewrite). Streaming reads require append-only " +
+          s"versions; set ignoreChanges=true to surface added files anyway.")
+    val added = after.filterNot(f => before.contains(f.path))
+    val batch: DataFrame =
+      if (added.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else
+        spark.read.schema(schema).parquet(added.map(f => s"$table/${f.path}"): _*)
+    GraftBridge.streamingDataFrame(batch)
+  }
+
+  override def stop(): Unit = ()
 }

@@ -22,4 +22,16 @@ object GraftBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Re-tags a batch DataFrame as a STREAMING one (isStreaming=true)
+    * — what a DSv1 `Source.getBatch` must return so the micro-batch
+    * planner accepts it. This is exactly Spark's own FileStreamSource
+    * device (`internalCreateDataFrame(df.queryExecution.toRdd, schema,
+    * isStreaming = true)`), reachable only from this package.
+    */
+  def streamingDataFrame(df: Dataset[Row]): Dataset[Row] = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = true)
+  }
 }

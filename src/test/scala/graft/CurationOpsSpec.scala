@@ -83,7 +83,7 @@ class CurationOpsSpec extends SparkSpecBase {
     val out = Similarity.filteredAnn(spark, SfDir).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
-      assert(((r.getAs[Int]("label") % 2) + 2) % 2 == 1,
+      assert(r.getAs[Int]("label") >= 5,
         s"candidate ${r.getAs[Long]("c_id")} violates the filter")
       assert(r.getAs[Int]("rk") >= 1 && r.getAs[Int]("rk") <= 5)
     }
@@ -96,7 +96,7 @@ class CurationOpsSpec extends SparkSpecBase {
     val e = graft.util.Tables.embeddings(spark, SfDir)
     val exact = Similarity.bruteforceTopkOn(
       e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding").as("qv")),
-      e.filter(col("vec_id") >= 8 && pmod(col("label"), lit(2)) === 1)
+      e.filter(col("vec_id") >= 8 && col("label") >= 5)
         .select(col("vec_id").as("c_id"), col("embedding").as("cv")),
       1000000)
       .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")) ->

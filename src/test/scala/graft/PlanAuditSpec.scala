@@ -441,4 +441,37 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.toLowerCase.contains("partial_graft_topk"),
       s"map-side partial aggregation missing — heaps must combine before the shuffle:\n$p")
   }
+
+  test("sim_filtered_ann: the attribute pre-filter pushes to the candidate parquet scan") {
+    // the whole point of PRE-filtering: ineligible vectors are dropped
+    // at the scan (PushedFilters), never hashed x16 or shuffled
+    val p = planOf(q("sim_filtered_ann"))
+    assert(p.contains("GreaterThanOrEqual(label,5)"),
+      s"label filter should be a pushed parquet filter:\n$p")
+  }
+
+  test("dq_skew_profile: top-10 keys ride a distributed top-K, never a global sort") {
+    val p = planOf(q("dq_skew_profile"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 should be per-partition heads + driver merge:\n$p")
+    assert(!p.contains("Window"), s"no window belongs in the skew profile:\n$p")
+  }
+
+  test("etl_late_dim: unknown keys leave via an anti join; date filters push to the scan") {
+    val p = planOf(q("etl_late_dim"))
+    assert(p.contains("LeftAnti"), s"unknown-key minting must be an anti join:\n$p")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("IsNotNull(o_orderdate)") ||
+      p.contains("GreaterThanOrEqual(o_orderdate") || p.contains("LessThan(o_orderdate"),
+      s"cutoff filters should reach the orders scan:\n$p")
+  }
+
+  test("text_perplexity: the documents scan reads only the consumed columns") {
+    val p = planOf(q("text_perplexity"))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema:")).mkString
+    assert(readSchema.contains("text") && readSchema.contains("lang"), readSchema)
+    Seq("source", "n_chars").foreach { c =>
+      assert(!readSchema.contains(c), s"unpruned $c in $readSchema")
+    }
+  }
 }

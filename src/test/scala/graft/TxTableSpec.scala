@@ -201,6 +201,85 @@ class TxTableSpec extends SparkSpecBase {
     assert(TxTable.read(spark, t).count() == 3)
   }
 
+  test("graft-tx streaming source: snapshot, append-only increments exactly once across restart, rewrite aborts") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t, (1L to 10L).toDF("id"), Seq("id"))
+    val ckpt = Files.createTempDirectory("graft_tx_ck").toString
+    val out = Files.createTempDirectory("graft_tx_out").toString
+    // parquet sink: the fault-tolerant sink the restart leg needs
+    // (the memory sink cannot recover from a checkpoint)
+    def startFileStream() =
+      spark.readStream.format("graft-tx").option("path", t).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+    def sunk(): Set[Long] =
+      spark.read.parquet(out).as[Long].collect().toSet
+    val q = startFileStream()
+    try {
+      q.processAllAvailable()
+      // first batch = the whole live snapshot
+      assert(sunk() == (1L to 10L).toSet)
+      TxTable.append(spark, t, (11L to 15L).toDF("id"), Seq("id"))
+      q.processAllAvailable()
+      assert(sunk() == (1L to 15L).toSet, "append must arrive exactly once")
+    } finally q.stop()
+    // restart from the checkpoint: committed versions are NOT replayed
+    TxTable.append(spark, t, (16L to 18L).toDF("id"), Seq("id"))
+    val q2 = startFileStream()
+    try {
+      q2.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 18, "restart must not replay")
+      assert(sunk() == (1L to 18L).toSet)
+    } finally q2.stop()
+    // a micro-batch SPANNING a rewriting version (delete) violates the
+    // append-only contract and aborts the stream
+    def startMemStream(sink: String, ignoreChanges: Boolean) =
+      spark.readStream.format("graft-tx").option("path", t)
+        .option("ignoreChanges", ignoreChanges.toString).load()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+    val q3 = startMemStream("tx_stream_abort", ignoreChanges = false)
+    try {
+      q3.processAllAvailable() // snapshot 1..18 lands
+      TxTable.delete(spark, t, "id", "1", "3", Seq("id"))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+      }
+    } finally q3.stop()
+    // ignoreChanges=true: the spanning batch surfaces the rewrite's
+    // ADDED file — the rewritten file's survivors resurface as
+    // duplicates (documented Delta semantics; consumer dedupes)
+    val q4 = startMemStream("tx_stream_ignore", ignoreChanges = true)
+    try {
+      q4.processAllAvailable() // snapshot 4..18 (post-first-delete)
+      assert(spark.table("tx_stream_ignore").count() == 15)
+      // a delete range chosen to STRADDLE file boundaries, so the
+      // rewrite both drops rows and re-writes survivors; the exact
+      // file layout is not assumed — the expected duplicate set is
+      // read back from the manifest diff
+      val beforeFiles =
+        TxTable.manifest(t, TxTable.latestVersion(t)).files.map(_.path).toSet
+      TxTable.delete(spark, t, "id", "4", "6", Seq("id"))
+      val afterM = TxTable.manifest(t, TxTable.latestVersion(t))
+      val addedPaths = afterM.files.map(_.path).filterNot(beforeFiles)
+      val expectedDup =
+        if (addedPaths.isEmpty) Array.empty[Long]
+        else spark.read.parquet(addedPaths.map(p => s"$t/$p"): _*)
+          .as[Long].collect()
+      q4.processAllAvailable()
+      val rows = spark.table("tx_stream_ignore").as[Long].collect()
+      assert(rows.length == 15 + expectedDup.length,
+        s"rewrite batch should re-surface exactly the rewritten files' " +
+          s"survivors (${expectedDup.mkString(",")}), got ${rows.length} rows")
+      assert(rows.toSet == (4L to 18L).toSet,
+        "append sink keeps already-emitted rows; no new ids appear")
+      expectedDup.foreach { id =>
+        assert(rows.count(_ == id) == 2, s"survivor $id should resurface once")
+      }
+    } finally q4.stop()
+  }
+
   test("table path with URI-special characters: manifest entries resolve on read") {
     import spark.implicits._
     val t = Files.createTempDirectory("graft_tx sp").resolve("odd name").toString
