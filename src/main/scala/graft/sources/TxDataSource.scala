@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, GraftBridge, Row, SQLContext}
+import org.apache.spark.sql.{DataFrame, GraftBridge, Row, SaveMode, SQLContext}
 import org.apache.spark.sql.execution.streaming
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.col
@@ -30,7 +30,8 @@ import org.apache.spark.sql.types.StructType
   * never changes row-level semantics.
   */
 final class TxDataSource extends RelationProvider with DataSourceRegister
-    with StreamSourceProvider {
+    with StreamSourceProvider with CreatableRelationProvider
+    with StreamSinkProvider {
   override def shortName(): String = "graft-tx"
 
   override def createRelation(sqlContext: SQLContext,
@@ -41,11 +42,45 @@ final class TxDataSource extends RelationProvider with DataSourceRegister
     new TxRelation(sqlContext, table, version)
   }
 
+  /** `df.write.format("graft-tx")` — the write half of the SQL
+    * surface. SaveMode maps onto the table protocol: Append =
+    * [[TxTable.append]] (create when absent), Overwrite =
+    * [[TxTable.overwrite]] (a VERSIONED overwrite — prior snapshots
+    * stay time-travelable), ErrorIfExists/Ignore with their standard
+    * semantics. `statsColumns` (comma-separated) selects the manifest
+    * min/max stats columns that drive data skipping on later reads.
+    */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val table = tableOf(parameters)
+    val stats = statsColsOf(parameters)
+    val spark = sqlContext.sparkSession
+    val exists = TxTable.latestVersion(table) > 0
+    mode match {
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(s"graft-tx table exists: $table")
+        TxTable.create(spark, table, data, stats)
+      case SaveMode.Ignore =>
+        if (!exists) TxTable.create(spark, table, data, stats)
+      case SaveMode.Append =>
+        if (exists) TxTable.append(spark, table, data, stats)
+        else TxTable.create(spark, table, data, stats)
+      case SaveMode.Overwrite =>
+        TxTable.overwrite(spark, table, data, stats)
+    }
+    new TxRelation(sqlContext, table, -1)
+  }
+
   // ------------------------------------------------- streaming source
 
   private def tableOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-tx requires a path option"))
+
+  private def statsColsOf(parameters: Map[String, String]): Seq[String] =
+    parameters.get("statsColumns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
@@ -64,6 +99,34 @@ final class TxDataSource extends RelationProvider with DataSourceRegister
     new TxStreamSource(sqlContext, table,
       schema.getOrElse(TxTable.read(sqlContext.sparkSession, table).schema),
       ignoreChanges)
+  }
+
+  /** `df.writeStream.format("graft-tx")` — an EXACTLY-ONCE streaming
+    * sink: each micro-batch lands through
+    * [[TxTable.appendBatchExactlyOnce]], whose batch-id ledger rides
+    * the same atomic manifest publish as the data, so a replayed
+    * micro-batch (sink retry / query restart) commits nothing. Append
+    * output mode only — the table protocol is append-structured;
+    * aggregating queries use foreachBatch + merge.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-tx sink supports Append output mode only, got $outputMode")
+    new TxStreamSink(tableOf(parameters), statsColsOf(parameters))
+  }
+}
+
+/** The DSv1 sink behind `writeStream.format("graft-tx")`. */
+final class TxStreamSink(table: String, statsCols: Seq[String])
+    extends streaming.Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // re-base the micro-batch view onto a batch plan before writing
+    // (the handed Dataset rides the streaming IncrementalExecution)
+    val batch = GraftBridge.rebasedBatchDataFrame(data)
+    TxTable.appendBatchExactlyOnce(batch.sparkSession, table, batch,
+      batchId, statsCols)
   }
 }
 

@@ -234,6 +234,18 @@ object TxTable {
       writeFiles(spark, table, slot, df, statsCols))
   }
 
+  /** OVERWRITE commit: the new version's live set is ONLY the new
+    * files — the prior content stays time-travelable (immutable files)
+    * until [[vacuum]], unlike a filesystem overwrite. Creates the
+    * table when absent (version 1).
+    */
+  def overwrite(spark: SparkSession, table: String, df: DataFrame,
+      statsCols: Seq[String]): Int = {
+    val parent = latestVersion(table)
+    val slot = f"v${parent + 1}%08d-o"
+    commit(table, parent, writeFiles(spark, table, slot, df, statsCols))
+  }
+
   // ---------------------------------------------------------------- reading
 
   /** Snapshot read: exactly the manifest's files (latest by default;

@@ -34,4 +34,18 @@ object GraftBridge {
     ds.sparkSession.internalCreateDataFrame(
       ds.queryExecution.toRdd, ds.schema, isStreaming = true)
   }
+
+  /** Re-bases a DSv1 `Sink.addBatch` Dataset onto a plain batch plan.
+    * The Dataset handed to addBatch is a view over the micro-batch's
+    * already-planned IncrementalExecution; writing it through a new
+    * action must not re-plan the streaming query, so the rows are
+    * copied out of the incremental plan (InternalRow buffers are
+    * reused — the copy is mandatory) and wrapped as a fresh batch
+    * DataFrame. Same device as Spark's own memory/console sinks.
+    */
+  def rebasedBatchDataFrame(df: Dataset[Row]): Dataset[Row] = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    val rows = ds.queryExecution.toRdd.map(_.copy())
+    ds.sparkSession.internalCreateDataFrame(rows, ds.schema, isStreaming = false)
+  }
 }

@@ -201,6 +201,47 @@ class TxTableSpec extends SparkSpecBase {
     assert(TxTable.read(spark, t).count() == 3)
   }
 
+  test("graft-tx write surface: SaveModes version the table; streaming sink lands exactly once on the ledger") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val t = tmpTable()
+    def w(df: org.apache.spark.sql.DataFrame) =
+      df.write.format("graft-tx").option("path", t).option("statsColumns", "id")
+    w((1L to 5L).toDF("id")).mode("errorifexists").save()
+    assert(TxTable.read(spark, t).count() == 5)
+    intercept[Exception] { w((9L to 9L).toDF("id")).mode("errorifexists").save() }
+    w((99L to 99L).toDF("id")).mode("ignore").save() // no-op on existing
+    assert(TxTable.read(spark, t).count() == 5)
+    w((6L to 8L).toDF("id")).mode("append").save()
+    assert(TxTable.read(spark, t).as[Long].collect().toSet == (1L to 8L).toSet)
+    w(Seq(100L, 101L).toDF("id")).mode("overwrite").save()
+    assert(TxTable.read(spark, t).as[Long].collect().toSet == Set(100L, 101L))
+    // a VERSIONED overwrite: the pre-overwrite snapshot stays readable
+    val vNow = TxTable.latestVersion(t)
+    assert(TxTable.read(spark, t, vNow - 1).count() == 8)
+    // statsColumns reached the manifest: skipping works on the write path
+    assert(TxTable.manifest(t, vNow).files.forall(_.stats.contains("id")))
+    // streaming sink: micro-batches land through the exactly-once ledger
+    val t2 = tmpTable()
+    val ckpt = Files.createTempDirectory("graft_tx_sinkck").toString
+    val src = MemoryStream[Long]
+    val q = src.toDF().select(col("value").as("id"))
+      .writeStream.format("graft-tx").option("path", t2)
+      .option("statsColumns", "id").option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      src.addData(1L, 2L); q.processAllAvailable()
+      src.addData(3L); q.processAllAvailable()
+    } finally q.stop()
+    assert(TxTable.read(spark, t2).as[Long].collect().toSet == Set(1L, 2L, 3L))
+    assert(TxTable.committedBatches(t2) == Set(0L, 1L),
+      "sink batches must ride the ledger")
+    // a sink-retry replay of either batch is refused by the ledger
+    assert(!TxTable.appendBatchExactlyOnce(spark, t2, Seq(3L).toDF("id"), 1L, Seq("id")))
+    assert(TxTable.read(spark, t2).count() == 3)
+  }
+
   test("graft-tx streaming source: snapshot, append-only increments exactly once across restart, rewrite aborts") {
     import spark.implicits._
     val t = tmpTable()
