@@ -41,6 +41,7 @@ object ScaleRehearsal {
     if (args.headOption.contains("select")) { selectMain(args.drop(1)); return }
     if (args.headOption.contains("insert")) { insertMain(args.drop(1)); return }
     if (args.headOption.contains("ppl")) { pplMain(args.drop(1)); return }
+    if (args.headOption.contains("tx")) { txMain(args.drop(1)); return }
     val n = if (args.nonEmpty) args(0).toLong else 2000000L
     val planted = math.max(n / 100, 1L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -750,5 +751,81 @@ object ScaleRehearsal {
       s""""sep_ok":$sepOk,"tile_ok":$tileOk,"card_ok":$cardOk}""")
     spark.stop()
     if (!(sepOk && tileOk && cardOk)) sys.exit(1)
+  }
+
+  /** Transactional-table rehearsal: the lakehouse tier at warehouse
+    * row counts — a 20M-row key-clustered table across 64 files, then
+    * the three locality claims measured instead of asserted:
+    *  - PRUNED READ: a single-band predicate opens ≤ 3 of 64 files
+    *    (manifest stats) and returns exactly the filtered full scan,
+    *  - MERGE locality: a one-band update rewrites ≤ 3 files, the
+    *    rest carry over by reference,
+    *  - DELETE locality: same contract for a one-band delete,
+    *  - CHANGE FEED: the version diff after a 1% append reads ONLY
+    *    the delta files (row count == delta), never the table.
+    * Each step also times the full-scan alternative it avoids, so the
+    * record carries the measured ratio, not a slogan.
+    */
+  private def txMain(args: Array[String]): Unit = {
+    import graft.sources.TxTable
+    val n = if (args.nonEmpty) args(0).toLong else 20000000L
+    val files = 64
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val t = java.nio.file.Files.createTempDirectory("graft_tx_rehearsal")
+      .resolve("t").toString
+    val base = spark.range(n).select(col("id"),
+      expr("cast(pmod(hash(id), 1000) as int)").as("v"))
+    val (_, tCreate) = timed {
+      TxTable.create(spark, t, base.repartitionByRange(files, col("id")), Seq("id"))
+    }
+    // single-band predicate: one 64th of the key space
+    val (lo, hi) = (n / files * 10, n / files * 11 - 1)
+    val (kept, skipped) = TxTable.prune(t, "id", lo, hi)
+    val pruneOk = kept.size <= 3 && skipped.size >= files - 3
+    val ((prunedCount, fullCount), tReads) = timed {
+      (TxTable.readPruned(spark, t, "id", lo, hi).count(),
+        TxTable.read(spark, t).filter(col("id").between(lo, hi)).count())
+    }
+    val readOk = prunedCount == fullCount && prunedCount == (hi - lo + 1)
+    // one-band merge: 0.1% of keys inside the band re-valued
+    val updates = spark.range(lo, lo + n / 1000).select(col("id"), lit(-1).as("v"))
+    val (mRes, tMerge) = timed(TxTable.merge(spark, t, updates, "id", Seq("id")))
+    val mergeOk = mRes.rewritten <= 3 && mRes.untouched >= files - 3
+    // one-band delete
+    val (dRes, tDelete) = timed(
+      TxTable.delete(spark, t, "id", (lo + 100).toString, (lo + 5000).toString, Seq("id")))
+    val deleteOk = dRes.rewritten <= 3 &&
+      TxTable.read(spark, t).filter(col("id").between(lo + 100, lo + 5000)).count() == 0
+    // 1% append, then the change feed reads only the delta files
+    val vBefore = TxTable.latestVersion(t)
+    val delta = spark.range(n, n + n / 100).select(col("id"),
+      expr("cast(pmod(hash(id), 1000) as int)").as("v"))
+    TxTable.append(spark, t, delta, Seq("id"))
+    val (cdf, tCdf) = timed {
+      val c = TxTable.changesBetween(spark, t, vBefore, vBefore + 1)
+      (c.filter(col("_change") === "insert").count(), c.filter(col("_change") === "delete").count())
+    }
+    val cdfOk = cdf._1 == n / 100 && cdf._2 == 0
+    val ok = pruneOk && readOk && mergeOk && deleteOk && cdfOk
+    println(s"""{"metric":"scale_rehearsal_tx","n_rows":$n,"files":$files,""" +
+      s""""create_sec":${f"$tCreate%.1f"},"pruned_files":${kept.size},""" +
+      s""""reads_sec":${f"$tReads%.1f"},"merge_rewritten":${mRes.rewritten},""" +
+      s""""merge_sec":${f"$tMerge%.1f"},"delete_rewritten":${dRes.rewritten},""" +
+      s""""delete_sec":${f"$tDelete%.1f"},"cdf_sec":${f"$tCdf%.1f"},""" +
+      s""""prune_ok":$pruneOk,"read_ok":$readOk,"merge_ok":$mergeOk,""" +
+      s""""delete_ok":$deleteOk,"cdf_ok":$cdfOk}""")
+    spark.stop()
+    if (!ok) sys.exit(1)
   }
 }
