@@ -246,6 +246,44 @@ object TxTable {
     commit(table, parent, writeFiles(spark, table, slot, df, statsCols))
   }
 
+  /** RESTORE: make version `toVersion`'s content the live set again,
+    * as a NEW commit referencing the OLD version's files — a pure
+    * manifest operation, zero data movement (Delta's RESTORE
+    * semantics: a bad write is rolled back without losing the history
+    * between; the mistaken versions stay travelable until [[vacuum]]).
+    * The batch ledger carries forward — a restore must not re-admit
+    * replayed micro-batches.
+    */
+  def restore(spark: SparkSession, table: String, toVersion: Int): Int = {
+    val parent = latestVersion(table)
+    require(toVersion >= 1 && toVersion <= parent,
+      s"restore target $toVersion outside committed range [1, $parent]")
+    writeManifest(table, Manifest(parent + 1, manifest(table, toVersion).files),
+      batchesAt(table, parent))
+    parent + 1
+  }
+
+  /** DESCRIBE HISTORY: one row per committed version — file count,
+    * row count (manifest sums, no data read), net files added/removed
+    * vs the parent, and the exactly-once batch-ledger size. The audit
+    * surface a table owner queries before vacuum/restore decisions.
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val latest = latestVersion(table)
+    (1 to latest).map { v =>
+      val m = manifest(table, v)
+      val prior: Set[String] =
+        if (v == 1) Set.empty
+        else manifest(table, v - 1).files.map(_.path).toSet
+      val paths = m.files.map(_.path).toSet
+      (v, m.files.size.toLong, m.files.map(_.rows).sum,
+        (paths -- prior).size.toLong, (prior -- paths).size.toLong,
+        batchesAt(table, v).size.toLong)
+    }.toDF("version", "n_files", "n_rows", "files_added", "files_removed",
+      "n_batches")
+  }
+
   // ---------------------------------------------------------------- reading
 
   /** Snapshot read: exactly the manifest's files (latest by default;

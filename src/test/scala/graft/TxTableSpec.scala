@@ -91,6 +91,34 @@ class TxTableSpec extends SparkSpecBase {
       .forall(_.stats("id").maxLong <= 100L), "emptied file must leave the live set")
   }
 
+  test("restore rolls the live set back as a new commit; history reports every version without reading data") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t, (1L to 10L).toDF("id"), Seq("id"))          // v1
+    TxTable.append(spark, t, (11L to 15L).toDF("id"), Seq("id"))         // v2
+    assert(TxTable.appendBatchExactlyOnce(spark, t,
+      (16L to 17L).toDF("id"), 7L, Seq("id")))                           // v3, batch 7
+    TxTable.overwrite(spark, t, Seq(99L).toDF("id"), Seq("id"))          // v4 (the bad write)
+    assert(TxTable.read(spark, t).count() == 1)
+    val v = TxTable.restore(spark, t, 3)                                 // v5 = v3's content
+    assert(v == 5)
+    assert(TxTable.read(spark, t).as[Long].collect().toSet == (1L to 17L).toSet)
+    // zero data movement: the restored manifest references v3's files
+    assert(TxTable.manifest(t, 5).files.map(_.path).toSet
+      == TxTable.manifest(t, 3).files.map(_.path).toSet)
+    // the mistake stays travelable; the ledger survives the restore
+    assert(TxTable.read(spark, t, version = 4).count() == 1)
+    assert(TxTable.committedBatches(t) == Set(7L))
+    assert(!TxTable.appendBatchExactlyOnce(spark, t,
+      (16L to 17L).toDF("id"), 7L, Seq("id")), "restore must not re-admit a replay")
+    val h = TxTable.history(spark, t).orderBy(col("version")).collect()
+    assert(h.map(_.getAs[Int]("version")).toSeq == (1 to 5))
+    assert(h.map(_.getAs[Long]("n_rows")).toSeq == Seq(10L, 15L, 17L, 1L, 17L))
+    assert(h.last.getAs[Long]("files_added") >= 1L) // restore re-adds v3's files vs v4
+    assert(h(3).getAs[Long]("files_removed") >= 1L) // the overwrite dropped v3's
+    intercept[IllegalArgumentException] { TxTable.restore(spark, t, 99) }
+  }
+
   test("optimistic concurrency: the second writer of a version loses with a conflict, not corruption") {
     import spark.implicits._
     val t = tmpTable()
