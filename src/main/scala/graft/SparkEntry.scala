@@ -233,6 +233,7 @@ object SparkEntry {
     "tx_delete"           -> graft.sources.TxTable.deleteQuery _,
     "text_diversity"      -> Training.diversity _,
     "embed_class_centroid" -> Similarity.classCentroid _,
+    "embed_outliers"      -> Similarity.embedOutliers _,
     // §2.D streaming (batch-equivalent forms; streaming impls spec-tested)
     "stream_window_agg"   -> EventStreams.windowAgg _,
     "stream_sessionize"   -> EventStreams.sessionize _,
@@ -689,6 +690,7 @@ object SparkEntry {
         |WHERE rk <= 5 ORDER BY status, rk""".stripMargin,
     "text_diversity"      -> Training.diversitySql,
     "embed_class_centroid" -> Similarity.classCentroidSql,
+    "embed_outliers"      -> Similarity.embedOutliersSql,
     "q42_copurchase"      -> Affinity.copurchaseSql,
     "q60_bipartite_proj"  -> Affinity.bipartiteProjSql,
     "text_langid_eval"    -> TextAnalysis.langidEvalSql,

@@ -1112,6 +1112,85 @@ object Similarity {
        | ${Cols.proundSql("CAST(dot AS DOUBLE) / (sqrt(CAST(vn2 AS DOUBLE)) * sqrt(cn2))", 6)} AS cos_centroid
        |FROM per JOIN cn ON per.label = cn.label WHERE vn2 > 0 ORDER BY vec_id""".stripMargin
 
+  /** embed_outliers — embedding-space OUTLIER screen (the CLIP-score
+    * filtering analog for labeled embedding corpora: vectors far from
+    * their own class's centroid are mislabeled, corrupted, or
+    * off-distribution — exactly what gets dropped before training):
+    * [[classCentroidOn]]'s own-class cosine, robust-flagged per label
+    * with the [[graft.operators.Quality.madOutliersOn]] device —
+    * median/MAD have a 50% breakdown point, so the contamination
+    * being hunted cannot drag its own threshold the way mean/σ would.
+    * Cosines quantize to exact MICRO units (1e-6 — the pround
+    * precision; the device's default cents are too coarse for
+    * cosines that cluster near 1), so both medians interpolate
+    * exactly representable midpoints and the whole report
+    * value-oracles.
+    *
+    * Shape at scale: the centroid affinity is two |labels|·|dims|
+    * aggregates + broadcast rejoins; the flags are two more
+    * label-keyed exact-median aggregates (map-side combined, label-
+    * cardinality outputs joined back broadcast). Exact medians want
+    * the per-label values in one pass; at extreme label cardinality
+    * swap percentile_approx in and re-declare rows-only.
+    * Output: (label, vec_id, cos_micro, mad_score) for flagged
+    * vectors.
+    */
+  def embedOutliersOn(vectors: DataFrame, kMad: Double): DataFrame = {
+    val micro = classCentroidOn(vectors)
+      .select(col("id"), col("label"),
+        floor(col("cos_centroid") * lit(1000000.0) + lit(0.5)).cast("long").as("micro"))
+    val med = micro.groupBy(col("label"))
+      .agg(percentile(col("micro"), lit(0.5)).as("med"))
+    val dev = micro.join(med, "label")
+      .withColumn("dev", abs(col("micro").cast("double") - col("med")))
+    val mad = dev.groupBy(col("label"))
+      .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+    dev.join(mad, "label")
+      .filter(col("dev") > lit(kMad) * col("mad"))
+      .select(col("label"), col("id"), col("micro").as("cos_micro"),
+        when(col("mad") > 0.0, Cols.pround(col("dev") / col("mad"), 4))
+          .as("mad_score"))
+  }
+
+  /** embed_outliers testdata binding: vectors beyond 3 MADs from
+    * their label's median centroid affinity.
+    */
+  def embedOutliers(spark: SparkSession, sfDir: String): DataFrame =
+    embedOutliersOn(Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("id"), col("label"), col("embedding").as("vec")),
+      kMad = 3.0)
+      .select(col("label"), col("id").as("vec_id"), col("cos_micro"), col("mad_score"))
+      .orderBy(col("label"), col("vec_id"))
+
+  def embedOutliersSql: String = {
+    // the centroid-affinity CTEs are classCentroidSql's, re-terminated
+    // into micro units instead of the rounded double
+    s"""WITH q AS (SELECT vec_id, label, d,
+       |  CAST(floor(CAST(embedding[d] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS qx
+       |  FROM embeddings, generate_series(1, 64) AS g(d)),
+       |cent AS (SELECT label, d, CAST(sum(qx) AS BIGINT) AS s FROM q GROUP BY 1, 2),
+       |cn AS (SELECT label,
+       |        CAST(sum(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))) AS DOUBLE) AS cn2
+       |        FROM cent GROUP BY 1),
+       |per AS (SELECT vec_id, q.label AS label,
+       |        CAST(sum(CAST(qx AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))) AS DOUBLE) AS dot,
+       |        CAST(sum(qx * qx) AS BIGINT) AS vn2
+       |        FROM q JOIN cent ON q.label = cent.label AND q.d = cent.d GROUP BY 1, 2),
+       |aff AS (SELECT vec_id, per.label AS label,
+       |        CAST(floor((${Cols.proundSql("CAST(dot AS DOUBLE) / (sqrt(CAST(vn2 AS DOUBLE)) * sqrt(cn2))", 6)}) * 1000000.0 + 0.5) AS BIGINT) AS micro
+       |        FROM per JOIN cn ON per.label = cn.label WHERE vn2 > 0),
+       |med AS (SELECT label, quantile_cont(micro, 0.5) AS med FROM aff GROUP BY 1),
+       |dev AS (SELECT vec_id, a.label AS label, micro,
+       |        abs(CAST(micro AS DOUBLE) - med) AS dev
+       |        FROM aff a JOIN med ON a.label = med.label),
+       |mad AS (SELECT label, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY 1)
+       |SELECT d.label, vec_id, micro AS cos_micro,
+       | CASE WHEN mad > 0.0 THEN floor((dev / mad) * 10000.0 + 0.5) / 10000.0 END AS mad_score
+       |FROM dev d JOIN mad ON d.label = mad.label
+       |WHERE dev > 3.0 * mad
+       |ORDER BY d.label, vec_id""".stripMargin
+  }
+
   // ------------------------------------------------------- quantization
 
   /** embed_quantize — int8 scalar quantization (the storage/ANN

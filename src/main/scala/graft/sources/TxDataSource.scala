@@ -272,7 +272,17 @@ final class TxStreamSource(ctx: SQLContext, table: String,
     val toV = ver(end)
     val before =
       if (fromV == 0) Set.empty[String]
-      else TxTable.manifest(table, fromV).files.map(_.path).toSet
+      else try TxTable.manifest(table, fromV).files.map(_.path).toSet
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          // the checkpointed offset's manifest was vacuumed away —
+          // surface the retention contract, not a raw missing-file path
+          throw new IllegalStateException(
+            s"graft-tx stream on $table: committed offset (version $fromV) was " +
+              s"vacuumed. Consumer lag exceeded the vacuum retention window — " +
+              s"keep vacuum's keepFromVersion at or below every live consumer's " +
+              s"offset, or restart the stream from a fresh checkpoint.", e)
+      }
     val after = TxTable.manifest(table, toV).files
     val removed = before -- after.map(_.path).toSet
     if (removed.nonEmpty && !ignoreChanges)

@@ -108,6 +108,21 @@ class CurationOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("embedOutliersOn: a planted inverted vector is flagged; the tight cluster is not") {
+    // label 0: 40 near-identical vectors + one INVERTED one (cosine to
+    // the centroid ≈ −1); label 1: a clean control cluster
+    val vecs = ((0L until 40L).map(i =>
+        (i, 0, Array(1.0f, 0.5f, 0.25f + (i % 3) * 0.001f))) ++
+      Seq((99L, 0, Array(-1.0f, -0.5f, -0.25f))) ++
+      (100L until 120L).map(i => (i, 1, Array(0.1f, 1.0f, 0.3f))))
+      .toDF("id", "label", "vec")
+    val out = graft.operators.Similarity.embedOutliersOn(vecs, kMad = 3.0).collect()
+    val flagged = out.map(r => r.getAs[Long]("id")).toSet
+    assert(flagged.contains(99L), s"inverted vector must be flagged, got $flagged")
+    assert(!flagged.exists(_ >= 100L), "the clean control cluster must not flag")
+    assert(flagged.size <= 3, s"tight cluster members must survive, got $flagged")
+  }
+
   test("lateDimOn: loaded, resolved, and inferred members each carry the right provenance") {
     val customer = Seq(
       (1L, "seg_a"), (2L, "seg_b"), (3L, "seg_c")

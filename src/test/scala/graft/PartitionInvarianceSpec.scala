@@ -108,7 +108,9 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     // tie-breaks), the top-10 boundary in the skew diagnostics, and
     // the anti-join/provenance assembly
     "text_perplexity", "sim_knn_insert", "sim_filtered_ann",
-    "dq_skew_profile", "etl_late_dim")
+    "dq_skew_profile", "etl_late_dim",
+    // r11 late: centroid-affinity doubles + two exact-median passes
+    "embed_outliers")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

@@ -349,6 +349,27 @@ class TxTableSpec extends SparkSpecBase {
     } finally q4.stop()
   }
 
+  test("graft-tx streaming source: vacuum past the consumer's offset fails with the retention contract") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t, (1L to 5L).toDF("id"), Seq("id"))
+    val q = spark.readStream.format("graft-tx").option("path", t).load()
+      .writeStream.format("memory").queryName("tx_stream_vac")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // consumer offset now = version 1
+      TxTable.append(spark, t, (6L to 8L).toDF("id"), Seq("id"))
+      TxTable.vacuum(t, keepFromVersion = 2) // drops v1's manifest
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("vacuum retention"),
+        s"expected the retention-contract message, got: $msgs")
+    } finally q.stop()
+  }
+
   test("table path with URI-special characters: manifest entries resolve on read") {
     import spark.implicits._
     val t = Files.createTempDirectory("graft_tx sp").resolve("odd name").toString
