@@ -82,6 +82,7 @@ object SparkEntry {
     "q50_mode"           -> Relational.q50Mode _,
     "etl_rfm"            -> RetailEtl.rfm _,
     "etl_late_dim"       -> RetailEtl.lateDim _,
+    "etl_fact_accumulating" -> RetailEtl.factAccumulating _,
     "etl_scd2"           -> RetailEtl.scd2Customers _,
     "etl_cdc_diff"       -> RetailEtl.cdcDiff _,
     "etl_pit_lookup"     -> RetailEtl.pitLookup _,
@@ -584,6 +585,7 @@ object SparkEntry {
     "q50_mode"            -> Relational.q50ModeSql,
     "etl_rfm"             -> RetailEtl.rfmSql,
     "etl_late_dim"        -> RetailEtl.lateDimSql,
+    "etl_fact_accumulating" -> RetailEtl.factAccumulatingSql,
     "etl_scd2"            -> RetailEtl.scd2CustomersSql,
     "etl_cdc_diff"        -> RetailEtl.cdcDiffSql,
     "etl_pit_lookup"      -> RetailEtl.pitLookupSql,

@@ -662,6 +662,59 @@ object RetailEtl {
     lateDimOn(Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
       LateDimCutoff)
 
+  /** etl_fact_accumulating — the Kimball ACCUMULATING-SNAPSHOT fact,
+    * completing the fact-table trilogy the star schema teaches
+    * (transaction grain = [[factBuild]], periodic snapshot =
+    * TimeSeries.concurrency/activeUsers forms, accumulating = this):
+    * one row per order carrying its lifecycle MILESTONES — placed,
+    * first ship, last ship (the milestones the testdata carries; a
+    * richer schema adds commit/receipt the same way) — and the lag
+    * columns a fulfillment dashboard actually plots (placed→first
+    * ship, the fulfillment window, total cycle). In a live warehouse this row is
+    * UPDATED as milestones land (the MERGE-on-natural-key pattern
+    * [[scd1Merge]]/TxTable.merge already provide); the query states
+    * the post-update truth, which is the oracle-checkable contract.
+    *
+    * Shape at scale: one (orderkey)-keyed aggregate over lineitem
+    * (map-side combined) + one co-keyed join to orders — both on the
+    * natural key, no window, no global sort. Integer day lags.
+    * Output: (order_id, order_date, first_ship, last_ship, n_lines,
+    * ship_lag_days, fulfill_days, cycle_days).
+    */
+  def factAccumulating(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("order_id"),
+        col("o_orderdate").cast("date").as("order_date"))
+    val m = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey").as("order_id"))
+      .agg(min(col("l_shipdate")).cast("date").as("first_ship"),
+        max(col("l_shipdate")).cast("date").as("last_ship"),
+        count(lit(1)).as("n_lines"))
+    o.join(m, Seq("order_id"))
+      .withColumn("ship_lag_days",
+        datediff(col("first_ship"), col("order_date")).cast("long"))
+      .withColumn("fulfill_days",
+        datediff(col("last_ship"), col("first_ship")).cast("long"))
+      .withColumn("cycle_days",
+        datediff(col("last_ship"), col("order_date")).cast("long"))
+      .orderBy(col("order_id"))
+  }
+
+  def factAccumulatingSql: String =
+    """WITH m AS (
+      | SELECT l_orderkey AS order_id,
+      |  CAST(min(l_shipdate) AS DATE) AS first_ship,
+      |  CAST(max(l_shipdate) AS DATE) AS last_ship,
+      |  count(*) AS n_lines
+      | FROM lineitem GROUP BY 1)
+      |SELECT o.o_orderkey AS order_id, CAST(o.o_orderdate AS DATE) AS order_date,
+      | first_ship, last_ship, n_lines,
+      | CAST(date_diff('day', CAST(o.o_orderdate AS DATE), first_ship) AS BIGINT) AS ship_lag_days,
+      | CAST(date_diff('day', first_ship, last_ship) AS BIGINT) AS fulfill_days,
+      | CAST(date_diff('day', CAST(o.o_orderdate AS DATE), last_ship) AS BIGINT) AS cycle_days
+      |FROM orders o JOIN m ON o.o_orderkey = m.order_id
+      |ORDER BY order_id""".stripMargin
+
   def lateDimSql: String =
     s"""WITH dim AS (
        | SELECT c_custkey AS customer_id, c_mktsegment AS segment,
