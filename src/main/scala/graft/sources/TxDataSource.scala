@@ -96,9 +96,14 @@ final class TxDataSource extends RelationProvider with DataSourceRegister
     val table = tableOf(parameters)
     val ignoreChanges =
       parameters.get("ignoreChanges").exists(_.toBoolean)
+    def cap(key: String): Option[Int] = parameters.get(key).map { s =>
+      val k = s.toInt
+      require(k >= 1, s"graft-tx: $key must be >= 1, got $k")
+      k
+    }
     new TxStreamSource(sqlContext, table,
       schema.getOrElse(TxTable.read(sqlContext.sparkSession, table).schema),
-      ignoreChanges)
+      ignoreChanges, cap("maxVersionsPerTrigger"), cap("maxFilesPerTrigger"))
   }
 
   /** `df.writeStream.format("graft-tx")` — an EXACTLY-ONCE streaming
@@ -247,17 +252,76 @@ final class TxRelation(ctx: SQLContext, table: String, version: Int)
   * Schema is pinned at source start; added files read under it
   * (pre-evolution files yield nulls — same alignment as the batch
   * relation).
+  *
+  * RATE LIMITING (Delta's maxFilesPerTrigger semantics): without a
+  * cap, a lagging consumer — or a fresh checkpoint over a long-lived
+  * table — gets the ENTIRE backlog as one micro-batch, the classic
+  * catch-up OOM. `maxVersionsPerTrigger` bounds each batch to at most
+  * k versions past the last offset this source handed out;
+  * `maxFilesPerTrigger` additionally stops extending the batch once
+  * the accumulated added-file count reaches the cap (always admitting
+  * at least ONE version — a version is the atomic commit unit, so a
+  * single version larger than the cap still flows, Delta-style).
+  * Offsets stay committed table versions, so exactly-once across a
+  * mid-backlog restart is unchanged: the engine re-runs the recovered
+  * batch via getBatch before asking for new offsets (the documented
+  * DSv1 recovery contract), which re-syncs the pacing state.
   */
 final class TxStreamSource(ctx: SQLContext, table: String,
-    override val schema: StructType, ignoreChanges: Boolean)
+    override val schema: StructType, ignoreChanges: Boolean,
+    maxVersionsPerTrigger: Option[Int] = None,
+    maxFilesPerTrigger: Option[Int] = None)
     extends streaming.Source {
 
   private val spark = ctx.sparkSession
 
+  /** Pacing watermark: the highest version this source has handed out
+    * (via getOffset) or been asked to produce (via getBatch). Synced
+    * in getBatch so checkpoint recovery — which always replays the
+    * last batch through getBatch before the next getOffset — restores
+    * pacing relative to the consumer's true progress, not version 0.
+    */
+  private var pacedThrough: Int = 0
+
   override def getOffset: Option[streaming.Offset] = {
-    val v = TxTable.latestVersion(table)
-    if (v == 0) None else Some(LongOffset(v.toLong))
+    val latest = TxTable.latestVersion(table)
+    if (latest == 0) return None
+    if (maxVersionsPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty)
+      return Some(LongOffset(latest.toLong))
+    val base = pacedThrough
+    if (latest <= base) return Some(LongOffset(latest.toLong))
+    val byVersions = maxVersionsPerTrigger
+      .map(k => math.min(latest, base + k)).getOrElse(latest)
+    val end = maxFilesPerTrigger match {
+      case None => byVersions
+      case Some(fileCap) => capByFiles(base, byVersions, fileCap)
+    }
+    pacedThrough = math.max(pacedThrough, end)
+    Some(LongOffset(end.toLong))
   }
+
+  /** Largest version in (base, limit] whose cumulative added-file
+    * count stays within `fileCap` — always at least base+1. Manifest
+    * reads only (metadata-sized); a vacuumed base falls back to the
+    * full range so getBatch surfaces the retention-contract error.
+    */
+  private def capByFiles(base: Int, limit: Int, fileCap: Int): Int = try {
+    var prior: Set[String] =
+      if (base == 0) Set.empty
+      else TxTable.manifest(table, base).files.map(_.path).toSet
+    var end = base
+    var budget = fileCap
+    var exhausted = false
+    while (end < limit && !exhausted) {
+      val next = TxTable.manifest(table, end + 1).files.map(_.path).toSet
+      val added = (next -- prior).size
+      if (added <= budget || end == base) { // first version always admitted
+        end += 1; budget -= added; prior = next
+        if (budget <= 0) exhausted = true
+      } else exhausted = true
+    }
+    end
+  } catch { case _: java.nio.file.NoSuchFileException => limit }
 
   // restart path hands back a SerializedOffset; LongOffset's json is
   // just the number, so parsing covers both shapes
@@ -266,24 +330,36 @@ final class TxStreamSource(ctx: SQLContext, table: String,
     case other         => other.json.trim.toInt
   }
 
+  /** Every missing-manifest / missing-file failure inside a batch is
+    * the SAME root cause — vacuum outran the consumer — so every path
+    * (start manifest, end manifest, the added files themselves)
+    * surfaces the retention contract, not a raw missing-file trace.
+    */
+  private def retentionError(what: String, e: Throwable): Nothing =
+    throw new IllegalStateException(
+      s"graft-tx stream on $table: $what was vacuumed. Consumer lag " +
+        s"exceeded the vacuum retention window — keep vacuum's " +
+        s"keepFromVersion at or below every live consumer's offset, or " +
+        s"restart the stream from a fresh checkpoint.", e)
+
   override def getBatch(start: Option[streaming.Offset],
       end: streaming.Offset): DataFrame = {
     val fromV = start.map(ver).getOrElse(0)
     val toV = ver(end)
+    pacedThrough = math.max(pacedThrough, math.max(fromV, toV))
     val before =
       if (fromV == 0) Set.empty[String]
       else try TxTable.manifest(table, fromV).files.map(_.path).toSet
       catch {
         case e: java.nio.file.NoSuchFileException =>
-          // the checkpointed offset's manifest was vacuumed away —
-          // surface the retention contract, not a raw missing-file path
-          throw new IllegalStateException(
-            s"graft-tx stream on $table: committed offset (version $fromV) was " +
-              s"vacuumed. Consumer lag exceeded the vacuum retention window — " +
-              s"keep vacuum's keepFromVersion at or below every live consumer's " +
-              s"offset, or restart the stream from a fresh checkpoint.", e)
+          retentionError(s"committed offset (version $fromV)", e)
       }
-    val after = TxTable.manifest(table, toV).files
+    val after =
+      try TxTable.manifest(table, toV).files
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          retentionError(s"batch end offset (version $toV)", e)
+      }
     val removed = before -- after.map(_.path).toSet
     if (removed.nonEmpty && !ignoreChanges)
       throw new IllegalStateException(
@@ -291,6 +367,14 @@ final class TxStreamSource(ctx: SQLContext, table: String,
           s"(merge/delete/compact rewrite). Streaming reads require append-only " +
           s"versions; set ignoreChanges=true to surface added files anyway.")
     val added = after.filterNot(f => before.contains(f.path))
+    // verify the batch's data files still exist BEFORE handing the
+    // plan to the engine — a vacuumed file inside the parquet scan
+    // would otherwise surface as an opaque task failure mid-batch
+    added.map(_.path).find(p => !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(table, p))).foreach { p =>
+      retentionError(s"data file $p (batch versions ($fromV, $toV])",
+        new java.nio.file.NoSuchFileException(s"$table/$p"))
+    }
     val batch: DataFrame =
       if (added.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)

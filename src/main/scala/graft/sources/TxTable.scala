@@ -90,6 +90,20 @@ object TxTable {
       .foldLeft(0)(math.max)
   }
 
+  /** Oldest version whose manifest is still retained ([[vacuum]]
+    * drops manifests below its keepFromVersion) — the lower bound of
+    * the time-travel window. 0 when the table does not exist.
+    */
+  def oldestRetainedVersion(table: String): Int = {
+    val dir = logDir(table)
+    if (!Files.isDirectory(dir)) return 0
+    val vs = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d+\\.json") => s.stripPrefix("v").stripSuffix(".json").toInt }
+      .toSeq
+    if (vs.isEmpty) 0 else vs.min
+  }
+
   def manifest(table: String, version: Int): Manifest = {
     val node = M.readTree(Files.readAllBytes(logDir(table).resolve(f"v$version%08d.json")))
     val files = node.get("files").elements().asScala.map { f =>
@@ -256,25 +270,39 @@ object TxTable {
     */
   def restore(spark: SparkSession, table: String, toVersion: Int): Int = {
     val parent = latestVersion(table)
+    val oldest = oldestRetainedVersion(table)
     require(toVersion >= 1 && toVersion <= parent,
       s"restore target $toVersion outside committed range [1, $parent]")
+    if (toVersion < oldest)
+      // same retention-contract voice as the streaming source: the
+      // version existed but vacuum reclaimed it — actionable, not a
+      // raw NoSuchFileException out of the manifest read
+      throw new IllegalStateException(
+        s"restore target $toVersion on $table was vacuumed: the retained " +
+          s"time-travel window is [$oldest, $parent]. Vacuum with a larger " +
+          s"keepFromVersion margin if restores this deep must stay possible.")
     writeManifest(table, Manifest(parent + 1, manifest(table, toVersion).files),
       batchesAt(table, parent))
     parent + 1
   }
 
-  /** DESCRIBE HISTORY: one row per committed version — file count,
+  /** DESCRIBE HISTORY: one row per RETAINED version — file count,
     * row count (manifest sums, no data read), net files added/removed
     * vs the parent, and the exactly-once batch-ledger size. The audit
-    * surface a table owner queries before vacuum/restore decisions.
+    * surface a table owner queries before vacuum/restore decisions —
+    * which is exactly why it must keep working AFTER a vacuum: only
+    * versions whose manifests survive are listed, and the oldest
+    * retained version (the retention horizon) reports its whole live
+    * set as `files_added` since its parent diff is gone.
     */
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     val latest = latestVersion(table)
-    (1 to latest).map { v =>
+    val oldest = math.max(1, oldestRetainedVersion(table))
+    (oldest to latest).map { v =>
       val m = manifest(table, v)
       val prior: Set[String] =
-        if (v == 1) Set.empty
+        if (v == oldest) Set.empty
         else manifest(table, v - 1).files.map(_.path).toSet
       val paths = m.files.map(_.path).toSet
       (v, m.files.size.toLong, m.files.map(_.rows).sum,
@@ -554,7 +582,7 @@ object TxTable {
       .unionByName(spark.range(1, MergeInserts + 1)
         .select((col("id") + maxKey).as("c_custkey"), lit("ins").as("tag")))
     merge(spark, t, updates, "c_custkey", Seq("c_custkey"))
-    read(spark, t).orderBy(col("c_custkey"))
+    read(spark, t).transform(graft.util.Cols.verifySort(_, col("c_custkey")))
   }
 
   def mergeQuerySql: String =

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import graft.sources.TxTable
 
@@ -505,5 +507,86 @@ class TxTableSpec extends SparkSpecBase {
     assert(TxTable.read(spark, t).count() == 50)
     assert(TxTable.read(spark, t).filter(col("id") === 2L).head().getString(1) == "c")
     intercept[Exception] { TxTable.read(spark, t, version = 1).count() }
+  }
+
+  test("vacuumed table: history lists only retained versions; restore below the horizon names the retention contract") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t, (1L to 10L).toDF("id"), Seq("id"))     // v1
+    TxTable.append(spark, t, (11L to 15L).toDF("id"), Seq("id"))    // v2
+    TxTable.append(spark, t, (16L to 20L).toDF("id"), Seq("id"))    // v3
+    TxTable.append(spark, t, (21L to 25L).toDF("id"), Seq("id"))    // v4
+    TxTable.vacuum(t, keepFromVersion = 3)
+    assert(TxTable.oldestRetainedVersion(t) == 3)
+    // DESCRIBE HISTORY keeps working after vacuum — only retained
+    // versions, with the horizon version reporting its full live set
+    val h = TxTable.history(spark, t).orderBy(col("version")).collect()
+    assert(h.map(_.getAs[Int]("version")).toSeq == Seq(3, 4))
+    assert(h.map(_.getAs[Long]("n_rows")).toSeq == Seq(20L, 25L))
+    assert(h.head.getAs[Long]("files_added") == h.head.getAs[Long]("n_files"))
+    // restore above the horizon still works; below it fails with the
+    // retention contract, not a raw missing-file path
+    assert(TxTable.restore(spark, t, 3) == 5)
+    assert(TxTable.read(spark, t).count() == 20)
+    val e = intercept[IllegalStateException] { TxTable.restore(spark, t, 2) }
+    assert(e.getMessage.contains("vacuumed") && e.getMessage.contains("[3, 5]"),
+      s"expected the retention-window message, got: ${e.getMessage}")
+  }
+
+  test("streaming source rate limit: maxVersionsPerTrigger bounds catch-up; exactly-once across a mid-backlog restart") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t, (1L to 10L).toDF("id"), Seq("id"))     // v1
+    (1 to 4).foreach { i =>                                          // v2..v5
+      TxTable.append(spark, t, (10L * i + 1L to 10L * i + 10L).toDF("id"), Seq("id"))
+    }
+    val ckpt = Files.createTempDirectory("graft_tx_rl_ck").toString
+    val out = Files.createTempDirectory("graft_tx_rl_out").toString
+    def start(trigger: Option[org.apache.spark.sql.streaming.Trigger]) = {
+      val w = spark.readStream.format("graft-tx").option("path", t)
+        .option("maxVersionsPerTrigger", "2").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append")
+      trigger.fold(w)(w.trigger).start()
+    }
+    def sunk(): Set[Long] = spark.read.parquet(out).as[Long].collect().toSet
+    def nBatches(): Int = Files.list(java.nio.file.Paths.get(ckpt, "offsets"))
+      .iterator().asScala.count(_.getFileName.toString.matches("\\d+"))
+    // Trigger.Once = exactly one micro-batch — and the cap must bound
+    // it to 2 versions, NOT the whole 5-version backlog
+    val q1 = start(Some(org.apache.spark.sql.streaming.Trigger.Once()))
+    q1.awaitTermination()
+    assert(sunk() == (1L to 20L).toSet,
+      s"first capped batch must cover exactly versions (0,2], got ${sunk().size} rows")
+    assert(nBatches() == 1)
+    // restart mid-backlog: pacing resumes from the COMMITTED offset
+    // (not version 0, not latest); drain fills in ceil(3/2)=2 batches
+    val q2 = start(None)
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(sunk() == (1L to 50L).toSet, "drain must deliver the backlog exactly once")
+    assert(spark.read.parquet(out).count() == 50, "no duplicates across the restart")
+    assert(nBatches() == 3, s"5 versions at cap 2 = 3 batches, got ${nBatches()}")
+  }
+
+  test("streaming source rate limit: maxFilesPerTrigger caps the added-file budget; an oversized version still flows") {
+    import spark.implicits._
+    val t = tmpTable()
+    // every version adds exactly 2 files
+    TxTable.create(spark, t, (1L to 10L).toDF("id").repartition(2), Seq("id"))
+    TxTable.append(spark, t, (11L to 20L).toDF("id").repartition(2), Seq("id"))
+    TxTable.append(spark, t, (21L to 30L).toDF("id").repartition(2), Seq("id"))
+    val ckpt = Files.createTempDirectory("graft_tx_fl_ck").toString
+    val out = Files.createTempDirectory("graft_tx_fl_out").toString
+    // budget 1 < any single version's 2 files: each batch must still
+    // admit one version (the atomic unit), so 3 versions = 3 batches
+    val q = spark.readStream.format("graft-tx").option("path", t)
+      .option("maxFilesPerTrigger", "1").load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    assert(spark.read.parquet(out).as[Long].collect().toSet == (1L to 30L).toSet)
+    val n = Files.list(java.nio.file.Paths.get(ckpt, "offsets"))
+      .iterator().asScala.count(_.getFileName.toString.matches("\\d+"))
+    assert(n == 3, s"2-file versions under a 1-file budget = one version per batch, got $n")
   }
 }
