@@ -54,7 +54,7 @@ object Affinity {
   /** q42_copurchase testdata binding: parts co-ordered in ≥ 2 orders. */
   def copurchase(spark: SparkSession, sfDir: String): DataFrame =
     copurchaseOn(Tables.lineitem(spark, sfDir), "l_orderkey", "l_partkey", 2L)
-      .orderBy(col("a_item"), col("b_item"))
+      .transform(graft.util.Cols.verifySort(_, col("a_item"), col("b_item")))
 
   def copurchaseSql: String =
     """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
@@ -121,7 +121,7 @@ object Affinity {
     */
   def triangles(spark: SparkSession, sfDir: String): DataFrame =
     trianglesOn(copurchase(spark, sfDir))
-      .orderBy(col("a"), col("b"), col("c"))
+      .transform(graft.util.Cols.verifySort(_, col("a"), col("b"), col("c")))
 
   /** Association rules over the co-occurrence pairs: confidence in both
     * directions and lift for every supported pair — the
@@ -154,7 +154,7 @@ object Affinity {
     */
   def assocRules(spark: SparkSession, sfDir: String): DataFrame =
     assocRulesOn(Tables.lineitem(spark, sfDir), "l_orderkey", "l_partkey", 2L)
-      .orderBy(col("a_item"), col("b_item"))
+      .transform(graft.util.Cols.verifySort(_, col("a_item"), col("b_item")))
 
   def assocRulesSql: String =
     """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
@@ -231,7 +231,7 @@ object Affinity {
     */
   def pagerank(spark: SparkSession, sfDir: String): DataFrame =
     pagerankOn(copurchase(spark, sfDir))
-      .orderBy(col("id"))
+      .transform(graft.util.Cols.verifySort(_, col("id")))
 
   def pagerankSql: String = {
     val prelude =
@@ -309,7 +309,7 @@ object Affinity {
     */
   def ppr(spark: SparkSession, sfDir: String): DataFrame =
     pprOn(copurchase(spark, sfDir))
-      .orderBy(col("id"))
+      .transform(graft.util.Cols.verifySort(_, col("id")))
 
   def pprSql: String = {
     val prelude =
@@ -394,7 +394,7 @@ object Affinity {
     */
   def khop(spark: SparkSession, sfDir: String): DataFrame =
     khopOn(copurchase(spark, sfDir))
-      .orderBy(col("id"))
+      .transform(graft.util.Cols.verifySort(_, col("id")))
 
   def khopSql: String =
     """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
@@ -461,7 +461,7 @@ object Affinity {
     */
   def kcore(spark: SparkSession, sfDir: String): DataFrame =
     kcorePeelOn(copurchase(spark, sfDir), 2, 8)
-      .orderBy(col("item"))
+      .transform(graft.util.Cols.verifySort(_, col("item")))
 
   def kcoreSql: String = {
     val prelude =
@@ -556,7 +556,7 @@ object Affinity {
     */
   def coreness(spark: SparkSession, sfDir: String): DataFrame =
     corenessOn(copurchase(spark, sfDir))
-      .orderBy(col("item"))
+      .transform(graft.util.Cols.verifySort(_, col("item")))
 
   def corenessSql: String = {
     val prelude =
@@ -638,7 +638,7 @@ object Affinity {
     */
   def communityLp(spark: SparkSession, sfDir: String): DataFrame =
     communityLpOn(copurchase(spark, sfDir))
-      .orderBy(col("item"))
+      .transform(graft.util.Cols.verifySort(_, col("item")))
 
   def communityLpSql: String = {
     val prelude =
@@ -718,7 +718,7 @@ object Affinity {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
     bipartiteProjectOn(eng, "cust", "item")
-      .orderBy(col("a_right"), col("b_right"))
+      .transform(graft.util.Cols.verifySort(_, col("a_right"), col("b_right")))
   }
 
   def bipartiteProjSql: String =
@@ -793,7 +793,7 @@ object Affinity {
     val nodes = edges.select(col("a_item").as("id"))
       .unionAll(edges.select(col("b_item").as("id"))).distinct()
     bfsOn(edges, nodes.filter(col("id") % 97 === 0))
-      .orderBy(col("id"))
+      .transform(graft.util.Cols.verifySort(_, col("id")))
   }
 
   def bfsSql: String = {
@@ -891,7 +891,7 @@ object Affinity {
     val nodes = edges.select(col("a_item").as("id"))
       .unionAll(edges.select(col("b_item").as("id"))).distinct()
     ssspOn(edges, nodes.filter(col("id") % 97 === 0))
-      .orderBy(col("id"))
+      .transform(graft.util.Cols.verifySort(_, col("id")))
   }
 
   def ssspSql: String = {
@@ -1048,7 +1048,7 @@ object Affinity {
   def linkPred(spark: SparkSession, sfDir: String): DataFrame =
     linkPredOn(copurchase(spark, sfDir)
         .select(col("a_item").as("a"), col("b_item").as("b")))
-      .orderBy(col("u"), col("w"))
+      .transform(graft.util.Cols.verifySort(_, col("u"), col("w")))
 
   def linkPredSql: String =
     s"""WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),

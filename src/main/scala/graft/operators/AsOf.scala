@@ -69,7 +69,7 @@ object AsOf {
       .select(col("user_id"), col("click_id"), col("us").as("click_us"),
         col("r_us").as("prc_us"), col("r_prc_id").as("prc_id"), col("r_prc_value").as("prc_value"),
         expr("(us - r_us) div 1000000").as("gap_sec"))
-      .orderBy(col("click_id"))
+      .transform(graft.util.Cols.verifySort(_, col("click_id")))
   }
 
   def clicksToPurchasesSql: String =
@@ -111,7 +111,7 @@ object AsOf {
       .select(col("user_id"), col("prc_id"), col("us").as("prc_us"),
         col("r_us").as("click_us"), col("r_click_id").as("click_id"),
         expr("(r_us - us) div 1000000").as("gap_sec"))
-      .orderBy(col("prc_id"))
+      .transform(graft.util.Cols.verifySort(_, col("prc_id")))
   }
 
   def purchasesToNextClickSql: String =
@@ -171,7 +171,7 @@ object AsOf {
         col("n_us").as("prc_us"), col("n_prc_id").as("prc_id"),
         col("n_prc_value").as("prc_value"),
         (col("us") - col("n_us")).as("lag_us"), col("matched_dir"))
-      .orderBy(col("click_id"))
+      .transform(graft.util.Cols.verifySort(_, col("click_id")))
   }
 
   def clicksToNearestPurchaseSql: String =

@@ -32,7 +32,7 @@ object Curate {
       .filter(col("doc_id") === col("cluster_id"))
       .select(col("doc_id"))
     quality.join(english, Seq("doc_id")).join(roots, Seq("doc_id"))
-      .orderBy(col("doc_id"))
+      .transform(graft.util.Cols.verifySort(_, col("doc_id")))
   }
 
   /** pipeline_stratified — deterministic stratified sampling: keep up
@@ -147,7 +147,7 @@ object Curate {
         count(lit(1)).cast("int").as("n_members"))
       .select(col("cluster_id"), (-col("m.nid")).as("keep_id"),
         col("n_members"), col("m.qs").as("best_quality"))
-      .orderBy(col("cluster_id"))
+      .transform(graft.util.Cols.verifySort(_, col("cluster_id")))
   }
 
   def keepBestSql: String =

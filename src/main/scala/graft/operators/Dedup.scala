@@ -60,7 +60,7 @@ object Dedup {
   /** dedup_exact testdata binding. */
   def exact(spark: SparkSession, sfDir: String): DataFrame =
     exactOn(Tables.documents(spark, sfDir), "doc_id", "text")
-      .orderBy(col("keep_id"))
+      .transform(graft.util.Cols.verifySort(_, col("keep_id")))
 
   def exactSql: String = {
     val norm = raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
@@ -229,7 +229,7 @@ object Dedup {
       docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
       docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
       0.2)
-      .orderBy(col("l_id"))
+      .transform(graft.util.Cols.verifySort(_, col("l_id")))
   }
 
   def levRerankSql: String =
@@ -267,7 +267,7 @@ object Dedup {
       docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
       docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
       0.4)
-      .orderBy(col("l_id"))
+      .transform(graft.util.Cols.verifySort(_, col("l_id")))
   }
 
   def fuzzyJoinSql: String =
@@ -293,7 +293,7 @@ object Dedup {
   /** dedup_ngram_jaccard testdata binding (threshold 0.5). */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     ngramJaccardOn(Tables.documents(spark, sfDir), "doc_id", "text", 0.5)
-      .orderBy(col("a_id"), col("b_id"))
+      .transform(graft.util.Cols.verifySort(_, col("a_id"), col("b_id")))
 
   /** Shared capped-universe Jaccard SQL (mirrors [[ngramJaccardOn]]
     * including the df cap); reused by [[ngramJaccardSql]] and
@@ -350,7 +350,7 @@ object Dedup {
   /** dedup_containment testdata binding (containment ≥ 0.6). */
   def containment(spark: SparkSession, sfDir: String): DataFrame =
     containmentOn(Tables.documents(spark, sfDir), "doc_id", "text", 0.6)
-      .orderBy(col("a_id"), col("b_id"))
+      .transform(graft.util.Cols.verifySort(_, col("a_id"), col("b_id")))
 
   def containmentSql: String =
     s"""WITH t AS ($shingledSql),
@@ -396,7 +396,7 @@ object Dedup {
   /** dedup_minhash testdata binding. */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     minhashLshOn(Tables.documents(spark, sfDir), "doc_id", "text")
-      .orderBy(col("a_id"), col("b_id"))
+      .transform(graft.util.Cols.verifySort(_, col("a_id"), col("b_id")))
 
   def minhashLshSql: String =
     s"""WITH t AS ($shingledSql),
@@ -564,7 +564,7 @@ object Dedup {
   /** dedup_minhash_weighted testdata binding. */
   def weightedMinhash(spark: SparkSession, sfDir: String): DataFrame =
     weightedMinhashOn(Tables.documents(spark, sfDir), "doc_id", "text")
-      .orderBy(col("a_id"), col("b_id"))
+      .transform(graft.util.Cols.verifySort(_, col("a_id"), col("b_id")))
 
   def weightedMinhashSql: String = {
     val P = TextFns.P
@@ -644,7 +644,7 @@ object Dedup {
   /** dedup_simhash testdata binding. */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     simhashPairsOn(Tables.documents(spark, sfDir), "doc_id", "text")
-      .orderBy(col("a_id"), col("b_id"))
+      .transform(graft.util.Cols.verifySort(_, col("a_id"), col("b_id")))
 
   /** Connected components over a near-dup pair graph: every doc gets a
     * cluster_id = the minimum doc id reachable through near-dup edges
@@ -772,7 +772,7 @@ object Dedup {
     clustersOn(
       ngramJaccardOn(docs, "doc_id", "text", 0.5),
       docs.select(col("doc_id").as("id")))
-      .orderBy(col("doc_id"))
+      .transform(graft.util.Cols.verifySort(_, col("doc_id")))
   }
 
   def clusterSql: String =
@@ -907,7 +907,7 @@ object Dedup {
     clustersPdOn(
       ngramJaccardOn(docs, "doc_id", "text", 0.5),
       docs.select(col("doc_id").as("id")))
-      .orderBy(col("doc_id"))
+      .transform(graft.util.Cols.verifySort(_, col("doc_id")))
   }
 
   /** Bag-of-tokens exact dedup: the order-INVARIANT fingerprint
@@ -939,7 +939,7 @@ object Dedup {
   /** dedup_bag testdata binding. */
   def bag(spark: SparkSession, sfDir: String): DataFrame =
     bagOn(Tables.documents(spark, sfDir), "doc_id", "text")
-      .orderBy(col("keep_id"))
+      .transform(graft.util.Cols.verifySort(_, col("keep_id")))
 
   def bagSql: String =
     s"""WITH th AS (SELECT doc_id,
@@ -997,7 +997,7 @@ object Dedup {
   /** dedup_spans testdata binding. */
   def spanDedup(spark: SparkSession, sfDir: String): DataFrame =
     spanDedupOn(Tables.documents(spark, sfDir), "doc_id", "text")
-      .orderBy(col("doc_id"))
+      .transform(graft.util.Cols.verifySort(_, col("doc_id")))
 
   def spanDedupSql: String = {
     val s = SpanTokens
@@ -1086,7 +1086,7 @@ object Dedup {
   /** dedup_exact_spans testdata binding. */
   def exactSpans(spark: SparkSession, sfDir: String): DataFrame =
     exactSpansOn(Tables.documents(spark, sfDir), "doc_id", "text")
-      .orderBy(col("doc_id"), col("span_start"))
+      .transform(graft.util.Cols.verifySort(_, col("doc_id"), col("span_start")))
 
   def exactSpansSql: String = {
     val k = ExactSpanK

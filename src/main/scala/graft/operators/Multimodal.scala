@@ -290,7 +290,7 @@ object Multimodal {
         else (id, synthNoisePng(id, 0))
       }).toDF("doc_id", "payload")
     imagePHashNearDupOn(imagePHashesOn(pngs).toDF(), maxDist = 3)
-      .orderBy(col("a_id"), col("b_id"))
+      .transform(graft.util.Cols.verifySort(_, col("a_id"), col("b_id")))
   }
 
   /** One decoded audio record. */
@@ -531,7 +531,7 @@ object Multimodal {
       .agg(count(lit(1)).as("n_windows"),
         min_by(col("fp"), col("win_idx")).as("fp0"),
         sum(expr("bit_count(fp)")).as("spectral_bits"))
-      .orderBy(col("doc_id"))
+      .transform(graft.util.Cols.verifySort(_, col("doc_id")))
   }
 
   case class VideoMeta(doc_id: Long, payload_len: Int, width: Int, height: Int, frames: Int)
@@ -679,7 +679,7 @@ object Multimodal {
         substring(md5(col("payload")), 1, 8).as("thumb_sig"),
         (lit(16) + length(col("payload")) % 64).as("width"),
         (lit(16) + (length(col("payload")) * 7) % 64).as("height"))
-      .orderBy(col("doc_id"))
+      .transform(graft.util.Cols.verifySort(_, col("doc_id")))
   }
 
   def metaSql: String =
@@ -765,6 +765,6 @@ object Multimodal {
         coalesce(col("n_cuts"), lit(0L)).cast("int").as("n_cuts"),
         coalesce(col("cut_frame"), lit(-1)).cast("int").as("cut_frame"),
         coalesce(col("max_delta"), lit(0L)).as("max_delta"))
-      .orderBy(col("doc_id"))
+      .transform(graft.util.Cols.verifySort(_, col("doc_id")))
   }
 }

@@ -115,7 +115,7 @@ object Quality {
     */
   def dqOutliers(spark: SparkSession, sfDir: String): DataFrame =
     outliersOn(Tables.events(spark, sfDir), "event_type", "value", "event_id", 2.0)
-      .orderBy(col("event_id"))
+      .transform(graft.util.Cols.verifySort(_, col("event_id")))
 
   /** Robust (MAD-based) outlier detection — the screen that survives
     * what breaks [[outliersOn]]: mean and σ are themselves dragged by
@@ -209,7 +209,7 @@ object Quality {
     */
   def dqMadOutliers(spark: SparkSession, sfDir: String): DataFrame =
     madOutliersOn(Tables.events(spark, sfDir), "event_type", "value", "event_id", 5.0)
-      .orderBy(col("event_id"))
+      .transform(graft.util.Cols.verifySort(_, col("event_id")))
 
   def dqMadOutliersSql: String =
     """WITH c AS (
@@ -455,10 +455,19 @@ object Quality {
       .crossJoin(broadcast(top))
       .select(lit(keyCol).as("key_col"), col("n_keys"), col("total_rows"),
         col("max_cnt"),
+        // max_cnt×n_keys / 1000000×top10 products wrap silently in
+        // Long at ~1e13-row×wide-key scale (non-ANSI semantics) — and
+        // a wrapped product here yields a WRONG SALT FACTOR from the
+        // very diagnostic meant to prevent bad shuffles. Route the
+        // products through DECIMAL(38,0) (exact to 1e38; `div` still
+        // returns BIGINT); quotients stay well inside Long.
         expr("(1000 * total_rows) div n_keys").as("mean_cnt_milli"),
-        expr("(1000 * max_cnt * n_keys) div total_rows").as("skew_ratio_milli"),
-        expr("(1000000 * top10) div total_rows").as("top10_ppm"),
-        expr("(max_cnt * n_keys + total_rows - 1) div total_rows").as("salt_factor"))
+        expr("(CAST(1000 AS DECIMAL(38,0)) * max_cnt * n_keys) div total_rows")
+          .as("skew_ratio_milli"),
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * top10) div total_rows")
+          .as("top10_ppm"),
+        expr("(CAST(max_cnt AS DECIMAL(38,0)) * n_keys + total_rows - 1) div total_rows")
+          .as("salt_factor"))
   }
 
   /** dq_skew_profile testdata binding: the three natural shuffle keys
@@ -483,9 +492,9 @@ object Quality {
          |        SELECT c FROM c ORDER BY c DESC, k LIMIT 10))
          |SELECT '$key' AS key_col, n_keys, total_rows, max_cnt,
          | (1000 * total_rows) // n_keys AS mean_cnt_milli,
-         | (1000 * max_cnt * n_keys) // total_rows AS skew_ratio_milli,
-         | (1000000 * top10) // total_rows AS top10_ppm,
-         | (max_cnt * n_keys + total_rows - 1) // total_rows AS salt_factor
+         | CAST((CAST(1000 AS HUGEINT) * max_cnt * n_keys) // total_rows AS BIGINT) AS skew_ratio_milli,
+         | CAST((CAST(1000000 AS HUGEINT) * top10) // total_rows AS BIGINT) AS top10_ppm,
+         | CAST((CAST(max_cnt AS HUGEINT) * n_keys + total_rows - 1) // total_rows AS BIGINT) AS salt_factor
          |FROM s CROSS JOIN t)""".stripMargin
     s"""${one("lineitem", "l_suppkey")}
        |UNION ALL ${one("lineitem", "l_partkey")}

@@ -43,7 +43,7 @@ object Relational {
       .filter(col("p_size") >= 10 && col("p_retailprice") > 950.0)
       .select(col("p_partkey"), col("p_brand"),
         Cols.pround(col("p_retailprice") * 0.9, 2).as("discounted"))
-      .orderBy(col("p_partkey"))
+      .transform(graft.util.Cols.verifySort(_, col("p_partkey")))
   }
 
   /** q3_join_agg — customer ⋈ orders ⋈ lineitem revenue (TPC-H Q3
@@ -92,7 +92,7 @@ object Relational {
       .select(col("c_custkey"), col("c_name")).withColumn("bucket", lit("has_high_value"))
     val noOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name")).withColumn("bucket", lit("no_orders"))
-    withHi.unionAll(noOrders).orderBy(col("bucket"), col("c_custkey"))
+    withHi.unionAll(noOrders).transform(graft.util.Cols.verifySort(_, col("bucket"), col("c_custkey")))
   }
 
   /** q6_window_topn — top-3 orders per customer by price; rank window
@@ -107,7 +107,7 @@ object Relational {
       .filter(col("rk") <= 3)
       .select(col("o_custkey"), col("o_orderkey"),
         Cols.pround(col("o_totalprice"), 2).as("price"), col("rk"))
-      .orderBy(col("o_custkey"), col("rk"))
+      .transform(graft.util.Cols.verifySort(_, col("o_custkey"), col("rk")))
   }
 
   /** q7_running_window — per-supplier running revenue ordered by ship
@@ -123,7 +123,7 @@ object Relational {
       .withColumn("running_qty", Cols.pround(sum(col("l_quantity")).over(w), 2))
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("running_qty"))
-      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      .transform(graft.util.Cols.verifySort(_, col("l_suppkey"), col("l_orderkey"), col("l_linenumber")))
   }
 
   /** q8_distinct — exact distinct counting per group; Spark expands to
@@ -219,7 +219,7 @@ object Relational {
         substring(col("p_name"), 1, 8).as("name_prefix"),
         regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
         size(split(col("p_name"), " ")).as("name_words"))
-      .orderBy(col("p_partkey"))
+      .transform(graft.util.Cols.verifySort(_, col("p_partkey")))
   }
 
   /** q15_json — JSON field extraction from `events.props` strings;
@@ -263,7 +263,7 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"),
         Cols.pround(sum(col("o_totalprice")), 2).as("total_spent"))
       .filter(col("n_orders") >= 3)
-      .orderBy(col("o_custkey"))
+      .transform(graft.util.Cols.verifySort(_, col("o_custkey")))
   }
 
   /** q18_null_handling — coalesce / null-safe equality / null bucketing
@@ -340,7 +340,7 @@ object Relational {
         when(col("big_spend").isNull, "urgent_only")
           .when(col("n_urgent").isNull, "spend_only")
           .otherwise("both").as("bucket"))
-      .orderBy(col("custkey"))
+      .transform(graft.util.Cols.verifySort(_, col("custkey")))
   }
 
   /** q23_window_nav — navigation window functions (lag/lead/ntile) over
@@ -356,7 +356,7 @@ object Relational {
         Cols.pround(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
         Cols.pround(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
         ntile(4).over(w).as("quartile"))
-      .orderBy(col("o_custkey"), col("o_orderkey"))
+      .transform(graft.util.Cols.verifySort(_, col("o_custkey"), col("o_orderkey")))
   }
 
   /** q24_cube — CUBE over (status, priority): all 4 grouping-set
@@ -453,7 +453,7 @@ object Relational {
         Cols.pround(percent_rank().over(w), 6).as("pct_rank"),
         Cols.pround(cume_dist().over(w), 6).as("cume"),
         first_value(col("o_orderkey")).over(full).as("cheapest_order"))
-      .orderBy(col("o_orderstatus"), col("o_orderkey"))
+      .transform(graft.util.Cols.verifySort(_, col("o_orderstatus"), col("o_orderkey")))
   }
 
   /** q30_date_arith — date arithmetic beyond trunc/extract: shifted
@@ -470,7 +470,7 @@ object Relational {
         datediff(lit(java.sql.Date.valueOf("1998-12-31")), col("o_orderdate").cast("date")).as("age_days"),
         last_day(col("o_orderdate").cast("date")).as("month_end"),
         dayofyear(col("o_orderdate").cast("date")).as("doy"))
-      .orderBy(col("o_orderkey"))
+      .transform(graft.util.Cols.verifySort(_, col("o_orderkey")))
   }
 
   /** q31_unpivot — wide→long reshape (melt/stack): per-status counts of
@@ -589,7 +589,7 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"), col("day_num"),
         Cols.pround(sum(col("o_totalprice")).over(w), 2).as("trailing_30d_spend"),
         count(lit(1)).over(w).as("n_orders_30d"))
-      .orderBy(col("o_custkey"), col("day_num"), col("o_orderkey"))
+      .transform(graft.util.Cols.verifySort(_, col("o_custkey"), col("day_num"), col("o_orderkey")))
   }
 
   /** q39_array_funcs — array-function pipeline over split part names:
@@ -606,7 +606,7 @@ object Relational {
         element_at(array_sort(array_distinct(words)), 1).as("first_word"),
         concat_ws("-", slice(array_sort(array_distinct(words)), 1, 2)).as("first_two"),
         array_contains(words, "green").as("has_green"))
-      .orderBy(col("p_partkey"))
+      .transform(graft.util.Cols.verifySort(_, col("p_partkey")))
   }
 
   /** q36_hll_union — mergeable-sketch rollup: per-month HLL sketches of
@@ -891,7 +891,7 @@ object Relational {
           coalesce(col("prior_max"), lit(Long.MinValue))))
       .filter(col("cents") === col("run_max"))
       .select(col("o_orderkey"), col("d"), col("cents"))
-      .orderBy(col("d"), col("o_orderkey"))
+      .transform(graft.util.Cols.verifySort(_, col("d"), col("o_orderkey")))
   }
 
   def q53SkylineSql: String =

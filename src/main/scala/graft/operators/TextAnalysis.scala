@@ -31,7 +31,7 @@ object TextAnalysis {
 
   /** text_langid testdata binding. */
   def langid(spark: SparkSession, sfDir: String): DataFrame =
-    langidOn(Tables.documents(spark, sfDir), "doc_id", "text").orderBy(col("doc_id"))
+    langidOn(Tables.documents(spark, sfDir), "doc_id", "text").transform(graft.util.Cols.verifySort(_, col("doc_id")))
 
   def langidSql: String =
     s"""SELECT doc_id, CAST(len(words) AS INTEGER) AS n_words, en_ratio,
@@ -94,7 +94,7 @@ object TextAnalysis {
 
   /** text_quality testdata binding. */
   def quality(spark: SparkSession, sfDir: String): DataFrame =
-    qualityOn(Tables.documents(spark, sfDir), "doc_id", "text").orderBy(col("doc_id"))
+    qualityOn(Tables.documents(spark, sfDir), "doc_id", "text").transform(graft.util.Cols.verifySort(_, col("doc_id")))
 
   def qualitySql: String =
     s"""SELECT doc_id, CAST(len(words) AS INTEGER) AS n_words, CAST(length(text) AS INTEGER) AS n_chars,
@@ -143,7 +143,7 @@ object TextAnalysis {
 
   /** text_tokens testdata binding. */
   def tokens(spark: SparkSession, sfDir: String): DataFrame =
-    tokensOn(Tables.documents(spark, sfDir), "doc_id", "text").orderBy(col("doc_id"))
+    tokensOn(Tables.documents(spark, sfDir), "doc_id", "text").transform(graft.util.Cols.verifySort(_, col("doc_id")))
 
   def tokensSql: String =
     s"""SELECT doc_id, CAST(len(${TextFns.tokenizeSql("text")}) AS INTEGER) AS n_ws_tokens,
@@ -179,7 +179,7 @@ object TextAnalysis {
 
   /** text_tfidf testdata binding (top-3 terms per doc). */
   def tfidf(spark: SparkSession, sfDir: String): DataFrame =
-    tfidfOn(Tables.documents(spark, sfDir), "doc_id", "text").orderBy(col("doc_id"), col("rk"))
+    tfidfOn(Tables.documents(spark, sfDir), "doc_id", "text").transform(graft.util.Cols.verifySort(_, col("doc_id"), col("rk")))
 
   def tfidfSql: String =
     s"""WITH tok AS (SELECT doc_id, unnest(${TextFns.tokenizeSql("text")}) AS term FROM documents),
@@ -237,7 +237,7 @@ object TextAnalysis {
 
   /** text_surprise testdata binding. */
   def surprise(spark: SparkSession, sfDir: String): DataFrame =
-    surpriseOn(Tables.documents(spark, sfDir), "doc_id", "text").orderBy(col("doc_id"))
+    surpriseOn(Tables.documents(spark, sfDir), "doc_id", "text").transform(graft.util.Cols.verifySort(_, col("doc_id")))
 
   def surpriseSql: String =
     s"""WITH tok AS (SELECT doc_id, unnest(${TextFns.tokenizeSql("text")}) AS term FROM documents),
@@ -296,7 +296,7 @@ object TextAnalysis {
   /** text_bigram_surprise testdata binding. */
   def bigramSurprise(spark: SparkSession, sfDir: String): DataFrame =
     bigramSurpriseOn(Tables.documents(spark, sfDir), "doc_id", "text")
-      .orderBy(col("doc_id"))
+      .transform(graft.util.Cols.verifySort(_, col("doc_id")))
 
   def bigramSurpriseSql: String =
     s"""WITH t AS (SELECT doc_id, ${TextFns.tokenizeSql("text")} AS w FROM documents),
@@ -345,7 +345,7 @@ object TextAnalysis {
 
   /** text_scrub testdata binding. */
   def scrub(spark: SparkSession, sfDir: String): DataFrame =
-    scrubOn(Tables.documents(spark, sfDir), "doc_id", "text").orderBy(col("doc_id"))
+    scrubOn(Tables.documents(spark, sfDir), "doc_id", "text").transform(graft.util.Cols.verifySort(_, col("doc_id")))
 
   def scrubSql: String = {
     val t = "lower(text)"
@@ -437,7 +437,7 @@ object TextAnalysis {
   /** text_winnow testdata binding. */
   def winnow(spark: SparkSession, sfDir: String): DataFrame =
     winnowOn(Tables.documents(spark, sfDir), "doc_id", "text")
-      .orderBy(col("doc_id"), col("fp"))
+      .transform(graft.util.Cols.verifySort(_, col("doc_id"), col("fp")))
 
   def winnowSql: String = {
     val w = WinnowW
@@ -504,7 +504,7 @@ object TextAnalysis {
 
   /** text_fingerprint testdata binding. */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
-    fingerprintOn(Tables.documents(spark, sfDir), "doc_id", "text").orderBy(col("doc_id"))
+    fingerprintOn(Tables.documents(spark, sfDir), "doc_id", "text").transform(graft.util.Cols.verifySort(_, col("doc_id")))
 
   def fingerprintSql: String = {
     val norm = raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
@@ -648,7 +648,7 @@ object TextAnalysis {
   /** text_novelty testdata binding. */
   def novelty(spark: SparkSession, sfDir: String): DataFrame =
     noveltyOn(Tables.documents(spark, sfDir), "doc_id", "text")
-      .orderBy(col("doc_id"))
+      .transform(graft.util.Cols.verifySort(_, col("doc_id")))
 
   def noveltySql: String =
     s"""WITH t AS (
@@ -828,7 +828,7 @@ object TextAnalysis {
     val merges = bpeTrain(spark, sfDir).collect()
       .map(r => (r.getAs[String]("s1"), r.getAs[String]("s2"))).toSeq
     bpeApplyOn(Tables.documents(spark, sfDir), "doc_id", "text", merges)
-      .orderBy(col("doc_id"))
+      .transform(graft.util.Cols.verifySort(_, col("doc_id")))
   }
 
   def bpeApplySql: String =
@@ -901,7 +901,7 @@ object TextAnalysis {
   /** text_repetition testdata binding. */
   def repetition(spark: SparkSession, sfDir: String): DataFrame =
     repetitionOn(Tables.documents(spark, sfDir), "doc_id", "text")
-      .orderBy(col("doc_id"))
+      .transform(graft.util.Cols.verifySort(_, col("doc_id")))
 
   def repetitionSql: String =
     s"""WITH t AS (SELECT doc_id, ${TextFns.tokenizeSql("text")} AS w FROM documents),
@@ -997,7 +997,7 @@ object TextAnalysis {
   /** text_keyphrases testdata binding. */
   def keyphrases(spark: SparkSession, sfDir: String): DataFrame =
     keyphrasesOn(Tables.documents(spark, sfDir), "doc_id", "text")
-      .orderBy(col("doc_id"), col("rk"))
+      .transform(graft.util.Cols.verifySort(_, col("doc_id"), col("rk")))
 
   def keyphrasesSql: String = {
     val stops = TextFns.EnMarkers.map(m => s"'$m'").mkString("(", ", ", ")")
@@ -1105,7 +1105,7 @@ object TextAnalysis {
   /** text_gopher_rules testdata binding. */
   def gopherRules(spark: SparkSession, sfDir: String): DataFrame =
     gopherRulesOn(Tables.documents(spark, sfDir), "doc_id", "text")
-      .orderBy(col("doc_id"))
+      .transform(graft.util.Cols.verifySort(_, col("doc_id")))
 
   def gopherRulesSql: String = {
     val stops = TextFns.EnMarkers.map(m => s"'$m'").mkString("(", ", ", ")")
@@ -1230,7 +1230,7 @@ object TextAnalysis {
   /** text_compress_ratio testdata binding. */
   def compressRatio(spark: SparkSession, sfDir: String): DataFrame =
     compressRatioOn(Tables.documents(spark, sfDir), "doc_id", "text")
-      .orderBy(col("doc_id"))
+      .transform(graft.util.Cols.verifySort(_, col("doc_id")))
 
   /** Head size for the [[zipfOn]] rank–frequency fit. */
   val ZipfK = 100
@@ -1317,7 +1317,7 @@ object TextAnalysis {
   /** text_entropy testdata binding. */
   def entropy(spark: SparkSession, sfDir: String): DataFrame =
     entropyOn(Tables.documents(spark, sfDir), "doc_id", "text")
-      .orderBy(col("doc_id"))
+      .transform(graft.util.Cols.verifySort(_, col("doc_id")))
 
   def entropySql: String = {
     val (chain, fin) =
@@ -1449,7 +1449,7 @@ object TextAnalysis {
   /** text_perplexity testdata binding. */
   def perplexity(spark: SparkSession, sfDir: String): DataFrame =
     perplexityOn(Tables.documents(spark, sfDir), "doc_id", "text", "lang")
-      .orderBy(col("doc_id"))
+      .transform(graft.util.Cols.verifySort(_, col("doc_id")))
 
   def perplexitySql: String = {
     val F = EntF

@@ -57,7 +57,7 @@ object TimeSeries {
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(Cols.pround(sum(col("value")), 2).as("day_spend"))
     gapfillOn(perDay, "user_id", "day", "day_spend")
-      .orderBy(col("user_id"), col("day"))
+      .transform(graft.util.Cols.verifySort(_, col("user_id"), col("day")))
   }
 
   def gapfillSql: String =
@@ -130,7 +130,7 @@ object TimeSeries {
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(floor(sum(col("value")) * 100.0 + 0.5).cast("long").as("cents"))
     interpLinearOn(perDay, "user_id", "day", "cents")
-      .orderBy(col("user_id"), col("day"))
+      .transform(graft.util.Cols.verifySort(_, col("user_id"), col("day")))
   }
 
   def interpLinearSql: String =
@@ -275,7 +275,7 @@ object TimeSeries {
     */
   def islands(spark: SparkSession, sfDir: String): DataFrame =
     islandsOn(Tables.events(spark, sfDir), "user_id", "ts")
-      .orderBy(col("user_id"))
+      .transform(graft.util.Cols.verifySort(_, col("user_id")))
 
   def islandsSql: String =
     """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
@@ -374,7 +374,7 @@ object TimeSeries {
   /** ts_ewma testdata binding: per-user smoothed event values. */
   def ewma(spark: SparkSession, sfDir: String): DataFrame =
     ewmaOn(Tables.events(spark, sfDir), "user_id", "ts", "event_id", "value")
-      .orderBy(col("event_id"))
+      .transform(graft.util.Cols.verifySort(_, col("event_id")))
 
   def ewmaSql: String = {
     val num = (0 until EwmaW).map { k =>
@@ -496,7 +496,7 @@ object TimeSeries {
           to_date(col("o_orderdate")).as("start_day"),
           date_add(to_date(col("o_orderdate")), 14).as("end_day")),
       "o_custkey", "start_day", "end_day", "o_orderkey")
-      .orderBy(col("o_custkey"), col("span_start"))
+      .transform(graft.util.Cols.verifySort(_, col("o_custkey"), col("span_start")))
 
   def mergeIntervalsSql: String =
     """WITH iv AS (
@@ -657,7 +657,7 @@ object TimeSeries {
         .select(col("o_custkey"), col("o_orderkey"),
           to_date(col("o_orderdate")).as("day"), col("o_totalprice")),
       "o_custkey", "day", "o_orderkey", "o_totalprice")
-      .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+      .transform(graft.util.Cols.verifySort(_, col("o_custkey"), col("day"), col("o_orderkey")))
 
   def rollingMedianSql: String =
     """WITH o AS (
@@ -781,7 +781,7 @@ object TimeSeries {
         .select(col("o_custkey"), col("o_orderkey"),
           to_date(col("o_orderdate")).as("day"), col("o_totalprice")),
       "o_custkey", "day", "o_orderkey", "o_totalprice")
-      .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+      .transform(graft.util.Cols.verifySort(_, col("o_custkey"), col("day"), col("o_orderkey")))
 
   def rollingMedianWideSql: String =
     """WITH o AS (
@@ -836,7 +836,7 @@ object TimeSeries {
       Tables.orders(spark, sfDir)
         .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"), col("o_totalprice")),
       "o_custkey", "day", "o_totalprice")
-      .orderBy(col("o_custkey"))
+      .transform(graft.util.Cols.verifySort(_, col("o_custkey")))
 
   def trendSql: String =
     """WITH o AS (
@@ -896,7 +896,7 @@ object TimeSeries {
         .select(col("o_custkey"), col("o_orderkey"),
           to_date(col("o_orderdate")).as("day"), col("o_totalprice")),
       "o_custkey", "day", "o_orderkey", "o_totalprice")
-      .orderBy(col("o_custkey"))
+      .transform(graft.util.Cols.verifySort(_, col("o_custkey")))
 
   def changepointSql: String =
     """WITH o AS (
@@ -962,7 +962,7 @@ object TimeSeries {
       Tables.orders(spark, sfDir)
         .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"), col("o_totalprice")),
       "o_custkey", "day", "o_totalprice")
-      .orderBy(col("o_custkey"))
+      .transform(graft.util.Cols.verifySort(_, col("o_custkey")))
 
   def theilSenSql: String =
     """WITH o AS (
@@ -1094,7 +1094,7 @@ object TimeSeries {
         .select(col("o_custkey"), col("o_orderkey"),
           to_date(col("o_orderdate")).as("day"), col("o_totalprice")),
       "o_custkey", "day", "o_orderkey", "o_totalprice")
-      .orderBy(col("o_custkey"), col("lag"))
+      .transform(graft.util.Cols.verifySort(_, col("o_custkey"), col("lag")))
 
   def acfSql: String = {
     val lagCols = (1 to AcfLags).map(l =>
@@ -1134,7 +1134,7 @@ object TimeSeries {
         .select(col("o_custkey"), col("o_orderkey"),
           to_date(col("o_orderdate")).as("day"), col("o_totalprice")),
       "o_custkey", "day", "o_orderkey", "o_totalprice")
-      .orderBy(col("o_custkey"))
+      .transform(graft.util.Cols.verifySort(_, col("o_custkey")))
 
   def autocorrSql: String =
     """WITH o AS (

@@ -75,7 +75,7 @@ object Training {
     val d = Tables.documents(spark, sfDir)
     contaminationOn(d.filter(col("doc_id") % 97 =!= 0),
       d.filter(col("doc_id") % 97 === 0), "doc_id", "text", 0.5)
-      .orderBy(col("doc_id"))
+      .transform(graft.util.Cols.verifySort(_, col("doc_id")))
   }
 
   def contaminationSql: String = {
@@ -140,7 +140,7 @@ object Training {
     val d = Tables.documents(spark, sfDir)
     contaminationSpansOn(d.filter(col("doc_id") % 97 =!= 0),
       d.filter(col("doc_id") % 97 === 0), "doc_id", "text")
-      .orderBy(col("doc_id"), col("span_start"))
+      .transform(graft.util.Cols.verifySort(_, col("doc_id"), col("span_start")))
   }
 
   def contaminationSpansSql: String = {
@@ -261,7 +261,7 @@ object Training {
     val d = Tables.documents(spark, sfDir)
     contaminationBloomOn(d.filter(col("doc_id") % 97 =!= 0),
       d.filter(col("doc_id") % 97 === 0), "doc_id", "text")
-      .orderBy(col("doc_id"))
+      .transform(graft.util.Cols.verifySort(_, col("doc_id")))
   }
 
   def contaminationBloomSql: String = {
@@ -401,7 +401,7 @@ object Training {
   /** pipeline_pack testdata binding. */
   def pack(spark: SparkSession, sfDir: String): DataFrame =
     packOn(Tables.documents(spark, sfDir), "doc_id", "text")
-      .orderBy(col("pack_id"))
+      .transform(graft.util.Cols.verifySort(_, col("pack_id")))
 
   def packSql: String =
     s"""WITH tok AS (SELECT doc_id, doc_id // $PackShard AS shard,
@@ -459,7 +459,7 @@ object Training {
     val d = Tables.documents(spark, sfDir)
     crossCorpusOn(d.filter(col("doc_id") % 2 === 1),
       d.filter(col("doc_id") % 2 === 0), "doc_id", "text", 0.5)
-      .orderBy(col("new_id"), col("snap_id"))
+      .transform(graft.util.Cols.verifySort(_, col("new_id"), col("snap_id")))
   }
 
   def crossCorpusSql: String = {
@@ -723,7 +723,7 @@ object Training {
   /** text_diversity testdata binding. */
   def diversity(spark: SparkSession, sfDir: String): DataFrame =
     diversityOn(Tables.documents(spark, sfDir), "doc_id", "text")
-      .orderBy(col("doc_id"))
+      .transform(graft.util.Cols.verifySort(_, col("doc_id")))
 
   def diversitySql: String =
     s"""WITH e AS (SELECT doc_id, unnest(${TextFns.tokenizeSql("text")}) AS w FROM documents),
@@ -881,7 +881,7 @@ object Training {
   /** pipeline_epoch_order testdata binding: 2 epochs × 4 shards. */
   def epochOrder(spark: SparkSession, sfDir: String): DataFrame =
     epochOrderOn(Tables.documents(spark, sfDir), "doc_id", epochs = 2, shards = 4)
-      .orderBy(col("epoch"), col("shard"), col("pos"))
+      .transform(graft.util.Cols.verifySort(_, col("epoch"), col("shard"), col("pos")))
 
   def epochOrderSql: String = {
     val h = TextFns.charFoldSql(
@@ -1041,7 +1041,7 @@ object Training {
   def dsir(spark: SparkSession, sfDir: String): DataFrame =
     dsirOn(Tables.documents(spark, sfDir), "doc_id", "text",
       col("lang") === "en")
-      .orderBy(col("doc_id"))
+      .transform(graft.util.Cols.verifySort(_, col("doc_id")))
 
   def dsirSql: String = {
     val (chain, fin) =

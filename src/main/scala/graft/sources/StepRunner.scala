@@ -157,4 +157,65 @@ final class StepRunner(spark: SparkSession, runDir: String,
     publish(name, "effect", -1L)
     true // body executed this call, whoever won the marker race
   }
+
+  /** DIAMOND fan-out: run independent branches CONCURRENTLY — the
+    * reference DAG runs `initial_clean` alongside `init_db` before
+    * both feed `load_dims` (etl.py:273-274's `>>` chain is the
+    * sequential flattening of that diamond; Airflow's scheduler runs
+    * the independent tasks in parallel). Each thunk should wrap its
+    * work in [[step]]/[[effect]] so the ledger still arbitrates —
+    * the marker race makes concurrent execution safe, this just
+    * overlaps the wall-clock. Spark's scheduler is thread-safe:
+    * concurrent branches submit jobs from their own threads and the
+    * FAIR/FIFO pool interleaves stages across the cluster, which at
+    * 100 TB keeps executors busy while one branch waits on a shuffle.
+    *
+    * ALL branches settle before this returns (no orphaned threads);
+    * the FIRST failure (in argument order) then propagates, with the
+    * other branches' ledger progress preserved for the resume.
+    */
+  def concurrently[A](tasks: (() => A)*): Seq[A] = {
+    if (tasks.isEmpty) return Seq.empty
+    if (tasks.size == 1) return Seq(tasks.head())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    try {
+      val futs = tasks.map { t =>
+        pool.submit(new java.util.concurrent.Callable[A] { def call(): A = t() })
+      }
+      val results = futs.map(f => scala.util.Try(f.get()))
+      results.collectFirst { case scala.util.Failure(e) =>
+        throw (e match {
+          case ee: java.util.concurrent.ExecutionException if ee.getCause != null => ee.getCause
+          case other => other
+        })
+      }
+      results.map(_.get)
+    } finally {
+      pool.shutdown()
+      ()
+    }
+  }
+
+  /** ALL_DONE finalizer (Airflow `trigger_rule="all_done"`; the
+    * reference's end-of-run cleanup, etl.py:265-274): run `body`,
+    * then run `cleanup` REGARDLESS of the body's outcome, then
+    * rethrow the body's failure if there was one. The cleanup is
+    * deliberately NOT ledger-tracked — its contract is "runs after
+    * every attempt" (temp-dir removal, lock release), so a resumed
+    * run must execute it again; a cleanup failure on a FAILED body is
+    * attached as a suppressed exception so the root cause surfaces,
+    * while on a successful body it propagates as the run's failure.
+    */
+  def withFinalizer[A](cleanup: => Unit)(body: => A): A = {
+    val result =
+      try Right(body)
+      catch { case e: Throwable => Left(e) }
+    result match {
+      case Right(a) => cleanup; a
+      case Left(e) =>
+        try cleanup
+        catch { case c: Throwable if c ne e => e.addSuppressed(c) }
+        throw e
+    }
+  }
 }

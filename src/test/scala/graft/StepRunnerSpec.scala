@@ -134,4 +134,106 @@ class StepRunnerSpec extends SparkSpecBase {
     assert(log.isEmpty, "a fully-completed run must skip every step")
     assert(JdbcSink.readTable(spark, url, "RESUME_FACT", driver).count() == oneShot.count())
   }
+
+  test("diamond DAG: init_db runs concurrently with the clean branch into a shared load_dims; finalizer runs even on failure") {
+    import spark.implicits._
+    val runDir = freshRunDir()
+    val initRan = new AtomicInteger(0)
+    val cleanRan = new AtomicInteger(0)
+    val cleanupRan = new AtomicInteger(0)
+    // the reference diamond: init_db ∥ initial_clean, both into load_dims
+    def diamond(r: StepRunner): DataFrame = r.withFinalizer(cleanupRan.incrementAndGet()) {
+      val Seq(_, cleanAny) = r.concurrently[Any](
+        () => r.effect("init_db") { initRan.incrementAndGet(); Thread.sleep(50) },
+        () => r.step("clean") {
+          cleanRan.incrementAndGet(); Thread.sleep(50)
+          Seq((1, "a"), (2, "b")).toDF("id", "v")
+        })
+      val clean = cleanAny.asInstanceOf[DataFrame]
+      r.step("load_dims") { clean.select(col("id"), upper(col("v")).as("v")) }
+    }
+    val out = diamond(new StepRunner(spark, runDir))
+    assert(out.as[(Int, String)].collect().sorted.toSeq == Seq((1, "A"), (2, "B")))
+    assert(initRan.get() == 1 && cleanRan.get() == 1 && cleanupRan.get() == 1)
+    // resume over the same run dir: both branches skip, finalizer re-runs
+    diamond(new StepRunner(spark, runDir))
+    assert(initRan.get() == 1 && cleanRan.get() == 1, "completed branches must skip")
+    assert(cleanupRan.get() == 2, "all_done cleanup runs on every attempt")
+
+    // FAILURE leg: one branch dies — the other branch's ledger
+    // progress survives, the cleanup still runs, the failure surfaces
+    val runDir2 = freshRunDir()
+    val okRan = new AtomicInteger(0)
+    val cleanup2 = new AtomicInteger(0)
+    val r2 = new StepRunner(spark, runDir2)
+    val e = intercept[RuntimeException] {
+      r2.withFinalizer(cleanup2.incrementAndGet()) {
+        r2.concurrently[Any](
+          () => r2.step("ok") { okRan.incrementAndGet(); Seq(1).toDF("x") },
+          () => r2.effect("boom") { throw new RuntimeException("branch died") })
+      }
+    }
+    assert(e.getMessage == "branch died")
+    assert(cleanup2.get() == 1, "all_done cleanup must run on the failed attempt")
+    assert(r2.completed("ok") && !r2.completed("boom"),
+      "the surviving branch's progress must be durable")
+    // resume: only the failed branch re-runs
+    val resumed = new AtomicInteger(0)
+    new StepRunner(spark, runDir2).concurrently[Any](
+      () => new StepRunner(spark, runDir2).step("ok") { okRan.incrementAndGet(); Seq(1).toDF("x") },
+      () => new StepRunner(spark, runDir2).effect("boom") { resumed.incrementAndGet(); () })
+    assert(okRan.get() == 1 && resumed.get() == 1)
+  }
+
+  test("backfill: missing logical dates fill in order, pre-completed dates skip, re-run is a no-op, a mid-backfill kill resumes") {
+    import java.time.LocalDate
+    import graft.sources.Backfill
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_backfill").resolve("daily").toString
+    val start = LocalDate.parse("2012-03-01")
+    val end = LocalDate.parse("2012-03-05")
+    val stepRuns = new AtomicInteger(0)
+    def pipeline(fail: Set[LocalDate])(r: StepRunner, d: LocalDate): Unit = {
+      val day = r.step("extract") {
+        stepRuns.incrementAndGet()
+        Seq((d.toString, 1L)).toDF("run_date", "n")
+      }
+      if (fail(d)) throw new RuntimeException(s"killed on $d")
+      r.step("load") { day.withColumn("loaded", lit(true)) }
+      ()
+    }
+    // pre-complete 2012-03-03 (an earlier partial backfill finished it)
+    Backfill.run(spark, root, LocalDate.parse("2012-03-03"),
+      LocalDate.parse("2012-03-03"))(pipeline(Set.empty))
+    assert(stepRuns.get() == 1)
+
+    // mid-backfill kill on 03-04: 01 and 02 complete first (catchup
+    // order), 03 skips, 04 dies AFTER its extract step committed
+    val e = intercept[RuntimeException] {
+      Backfill.run(spark, root, start, end)(
+        pipeline(Set(LocalDate.parse("2012-03-04"))))
+    }
+    assert(e.getMessage == "killed on 2012-03-04")
+    assert(stepRuns.get() == 4, "01, 02 ran; 03 skipped; 04's extract ran then died")
+    assert(Backfill.missingDates(spark, root, start, end)
+      .map(_.toString) == Seq("2012-03-04", "2012-03-05"))
+
+    // resume: only the 4 missing dates execute — and 04's completed
+    // extract step is marker-skipped inside its resumed run
+    val rep = Backfill.run(spark, root, start, end)(pipeline(Set.empty))
+    assert(rep.executed.map(_.toString) == Seq("2012-03-04", "2012-03-05"))
+    assert(rep.skipped.map(_.toString) == Seq("2012-03-01", "2012-03-02", "2012-03-03"))
+    assert(stepRuns.get() == 5, "exactly one extract per date across the whole backfill")
+
+    // every date's artifact is in place exactly once
+    val all = spark.read.parquet(
+      Backfill.dateRange(start, end).map(d => s"${Backfill.runDir(root, d)}/artifacts/load"): _*)
+    assert(all.select("run_date").as[String].collect().sorted.toSeq ==
+      Backfill.dateRange(start, end).map(_.toString))
+
+    // full re-run is a no-op end to end
+    val rep2 = Backfill.run(spark, root, start, end)(pipeline(Set.empty))
+    assert(rep2.executed.isEmpty && rep2.skipped.size == 5)
+    assert(stepRuns.get() == 5)
+  }
 }
