@@ -207,6 +207,7 @@ object SparkEntry {
     "sim_ivfpq"           -> Similarity.ivfPq _,
     "sim_knn_graph"       -> Similarity.knnGraph _,
     "sim_knn_insert"      -> Similarity.knnInsert _,
+    "sim_knn_delete"      -> Similarity.knnDelete _,
     "sim_graph_beam"      -> Similarity.graphBeam _,
     "sim_hnsw"            -> Similarity.hnsw _,
     "sim_hnsw_build"      -> Similarity.hnswBuildStats _,
@@ -232,6 +233,7 @@ object SparkEntry {
     "tx_time_travel"      -> graft.sources.TxTable.timeTravelQuery _,
     "tx_sql_read"         -> graft.sources.TxTable.sqlReadQuery _,
     "tx_delete"           -> graft.sources.TxTable.deleteQuery _,
+    "tx_update"           -> graft.sources.TxTable.updateQuery _,
     "text_diversity"      -> Training.diversity _,
     "embed_class_centroid" -> Similarity.classCentroid _,
     "embed_outliers"      -> Similarity.embedOutliers _,
@@ -575,6 +577,7 @@ object SparkEntry {
     "tx_time_travel"      -> graft.sources.TxTable.timeTravelQuerySql,
     "tx_sql_read"         -> graft.sources.TxTable.sqlReadQuerySql,
     "tx_delete"           -> graft.sources.TxTable.deleteQuerySql,
+    "tx_update"           -> graft.sources.TxTable.updateQuerySql,
     "dq_constraints"      -> Quality.dqConstraintsSql,
     "dq_outliers"         -> Quality.dqOutliersSql,
     "ts_gapfill"          -> TimeSeries.gapfillSql,
@@ -764,6 +767,7 @@ object SparkEntry {
     "sim_ivfpq"           -> Similarity.ivfPqSql,
     "sim_knn_graph"       -> Similarity.knnGraphSql,
     "sim_knn_insert"      -> Similarity.knnInsertSql,
+    "sim_knn_delete"      -> Similarity.knnDeleteSql,
     "sim_graph_beam"      -> Similarity.graphBeamSql,
     "sim_hnsw"            -> Similarity.hnswSql,
     "sim_hnsw_build"      -> Similarity.hnswBuildStatsSql,

@@ -2619,6 +2619,252 @@ object Similarity {
        |ORDER BY u, rk""".stripMargin
   }
 
+  /** Delta-repair rounds for [[knnGraphDelete]] (same class as
+    * [[KnnInsertRepairRounds]]).
+    */
+  val KnnDeleteRepairRounds = 2
+
+  /** INCREMENTAL kNN-graph DELETION — the other half of the
+    * maintenance story [[knnGraphInsert]] opened: tombstone a set of
+    * vectors (a GDPR purge, a dedup eviction) and LOCALLY repair the
+    * orphaned neighborhoods, because a 10B-vector graph cannot be
+    * rebuilt for a 0.1% removal any more than for a 0.1% arrival.
+    *
+    * Delta-proportional stages (mirrors of the insert's three):
+    *  1. ORPHANS — surviving nodes that pointed at a deleted node
+    *     (their top-k lost members). Never-orphaned survivors' rows
+    *     carry over BY REFERENCE — a node with no deleted neighbor is
+    *     untouched by definition.
+    *  2. CANDIDATES for each orphan: its surviving current edges,
+    *     plus BRIDGES through the tombstone (the deleted node's other
+    *     in/out neighbors — they were close to the deleted node,
+    *     which was close to the orphan: the triangle-inequality
+    *     replacement pool), plus an LSH re-seed against the capped
+    *     surviving corpus (same SRP geometry as the builder) — the
+    *     safety net for the adversarial case where a whole CLUSTER is
+    *     purged and the bridges died with it. Exact-cosine top-k
+    *     rescore over survivors only.
+    *  3. LOCAL NN-Descent REPAIR — [[KnnDeleteRepairRounds]] rounds
+    *     with the pivot set fixed to the orphans (every orphan's
+    *     adjacency changed), proposing neighbor-of-neighbor pairs
+    *     inside pivot neighborhoods only and rescoring only proposal
+    *     targets — the same bounded repair loop as the insert, so the
+    *     round cost is |orphans|·cap², not N.
+    *
+    * Deterministic end to end (builder hash orderings, exact-IEEE
+    * cosines, id tie-breaks). Output: (u, nbr, cos_sim, rk) over the
+    * SURVIVING node set — no deleted id appears on either side.
+    */
+  def knnGraphDelete(graph: DataFrame, vectors: DataFrame, deleteIds: DataFrame,
+      k: Int = KnnGraphK, repairRounds: Int = KnnDeleteRepairRounds,
+      cap: Int = KnnGraphCap, initPlanes: Int = KnnGraphInitPlanes): DataFrame = {
+    val del = deleteIds.select(col("vec_id")).distinct()
+      .transform(graft.util.CacheScope.cached) // anti-joined by 5 frames
+    val survivors = vectors.select(col("vec_id"), col("embedding"))
+      .join(del, Seq("vec_id"), "left_anti")
+      .transform(graft.util.CacheScope.cached) // scored against every stage
+    val uSide = survivors.select(col("vec_id").as("u"), col("embedding").as("uv"))
+    val nSide = survivors.select(col("vec_id").as("nbr"), col("embedding").as("nv"))
+    val w = Window.partitionBy(col("u")).orderBy(col("cos").desc, col("nbr"))
+    def scoreTopK(pairs: DataFrame): DataFrame =
+      pairs.join(uSide, Seq("u")).join(nSide, Seq("nbr"))
+        .withColumn("cos", cosExpr("uv", "nv"))
+        .select(col("u"), col("nbr"), col("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+    // the prior graph with every deleted endpoint dropped
+    val gEdges = graph.select(col("u"), col("nbr"))
+      .join(del.select(col("vec_id").as("u")), Seq("u"), "left_anti")
+      .join(del.select(col("vec_id").as("nbr")), Seq("nbr"), "left_anti")
+      .select(col("u"), col("nbr"))
+      .transform(graft.util.CacheScope.cached)
+    // (orphan, tombstone) incidences — the repair's work list
+    val lost = graph.select(col("u"), col("nbr"))
+      .join(del.select(col("vec_id").as("nbr")), Seq("nbr"), "left_semi")
+      .join(del.select(col("vec_id").as("u")), Seq("u"), "left_anti")
+      .select(col("u"), col("nbr").as("d"))
+    val orphans = lost.select(col("u")).distinct()
+      .transform(graft.util.CacheScope.cached) // pivot filter every round
+    // bridges: the tombstone's surviving in/out neighbors, keyed by d
+    val viaOut = graph.select(col("u").as("d"), col("nbr").as("c"))
+      .join(del.select(col("vec_id").as("d")), Seq("d"), "left_semi")
+      .join(del.select(col("vec_id").as("c")), Seq("c"), "left_anti")
+    val viaIn = graph.select(col("nbr").as("d"), col("u").as("c"))
+      .join(del.select(col("vec_id").as("d")), Seq("d"), "left_semi")
+      .join(del.select(col("vec_id").as("c")), Seq("c"), "left_anti")
+    val bridges = lost.join(viaOut.unionAll(viaIn).distinct(), Seq("d"))
+      .filter(col("u") =!= col("c"))
+      .select(col("u"), col("c").as("nbr")).distinct()
+    // LSH re-seed of the orphans against the capped surviving corpus
+    def buckets(df: DataFrame): DataFrame =
+      df.withColumn("tb", explode(array((0 until KnnGraphInitTables).map(t =>
+          struct(lit(t).as("t"), graft.functions.SrpBucket.column(
+            col("embedding"), initPlanes, t * initPlanes).as("b"))): _*)))
+        .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val candCap = buckets(survivors).withColumn("brk", row_number().over(
+        Window.partitionBy(col("t"), col("b"))
+          .orderBy(expr("(vec_id * 1103515245 + 12345) % 1000000007"), col("vec_id"))))
+      .filter(col("brk") <= KnnGraphBucketCap)
+      .select(col("vec_id"), col("t"), col("b"))
+    val seeds = buckets(survivors.join(orphans.select(col("u").as("vec_id")),
+          Seq("vec_id"), "left_semi"))
+      .select(col("t"), col("b"), col("vec_id").as("u"))
+      .join(candCap.select(col("t"), col("b"), col("vec_id").as("x")), Seq("t", "b"))
+      .filter(col("u") =!= col("x"))
+      .select(col("u"), col("x").as("nbr")).distinct()
+    // stage-2 rescore: surviving edges ∪ bridges ∪ seeds, orphans only
+    var touched = orphans
+    var touchedAdj = scoreTopK(
+        gEdges.join(orphans, Seq("u"), "left_semi")
+          .unionAll(bridges).unionAll(seeds).distinct())
+      .localCheckpoint(true)
+    // pivots = the orphans: every one of them lost a top-k member, so
+    // every one's adjacency changed (the insert derives its pivot set
+    // because MOST collided residents don't change; here all do)
+    val pivots = orphans
+    // in-edges INTO the pivot set from the surviving prior graph,
+    // computed ONCE (same |pivots|·in-degree slice as the insert)
+    val gInPiv = gEdges
+      .join(pivots.select(col("u").as("nbr")), Seq("nbr"), "left_semi")
+      .select(col("u"), col("nbr"))
+      .localCheckpoint(true)
+    (1 to repairRounds).foreach { _ =>
+      val curr = touchedAdj.select(col("u"), col("nbr"))
+      val outPiv = curr.join(pivots, Seq("u"), "left_semi")
+      val inPiv = gInPiv.join(touched, Seq("u"), "left_anti")
+        .unionAll(curr.join(pivots.select(col("u").as("nbr")), Seq("nbr"), "left_semi")
+          .select(col("u"), col("nbr")))
+      val und = outPiv.select(col("u").as("w"), col("nbr").as("x"))
+        .unionAll(inPiv.select(col("nbr").as("w"), col("u").as("x")))
+        .distinct()
+      val undPiv = und.withColumn("crk", row_number().over(
+          Window.partitionBy(col("w"))
+            .orderBy(expr("(x * 1103515245 + 12345) % 1000000007"), col("x"))))
+        .filter(col("crk") <= cap).select(col("w"), col("x"))
+      val cand = undPiv.select(col("w"), col("x").as("a"))
+        .join(undPiv.select(col("w"), col("x").as("b")), Seq("w"))
+        .filter(col("a") =!= col("b"))
+        .select(col("a").as("u"), col("b").as("nbr")).distinct()
+      touched = touched.unionAll(cand.select(col("u"))).distinct()
+        .localCheckpoint(true)
+      val targets = cand.select(col("u")).distinct()
+        .transform(graft.util.CacheScope.cached) // three joins below
+      val rescored = scoreTopK(
+        gEdges.join(targets, Seq("u"), "left_semi")
+          .unionAll(curr.join(targets, Seq("u"), "left_semi"))
+          .unionAll(cand).distinct())
+      touchedAdj = rescored
+        .unionAll(touchedAdj.join(targets, Seq("u"), "left_anti"))
+        .localCheckpoint(true)
+    }
+    // untouched survivors carry their full rows by reference: a node
+    // outside `touched` had NO deleted neighbor, so its (cos_sim, rk)
+    // rows are exactly the prior graph's
+    graph.join(del.select(col("vec_id").as("u")), Seq("u"), "left_anti")
+      .join(touched, Seq("u"), "left_anti")
+      .select(col("u"), col("nbr"), col("cos_sim"), col("rk"))
+      .unionAll(touchedAdj.select(col("u"), col("nbr"),
+        Cols.pround(col("cos"), 6).as("cos_sim"), col("rk")))
+  }
+
+  /** sim_knn_delete testdata binding: purge every 20th vector (5%)
+    * from the prebuilt full-corpus NN-Descent graph and locally
+    * repair — deterministic end to end, so the maintained graph
+    * value-oracles row for row against [[knnDeleteSql]];
+    * recall-vs-rebuild is gated in AnnRecallSpec.
+    */
+  def knnDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val del = e.filter(pmod(col("vec_id"), lit(20L)) === 0L).select(col("vec_id"))
+    knnGraphDelete(prebuiltKnnGraph(spark, sfDir), e, del)
+      .transform(graft.util.Cols.verifySort(_, col("u"), col("rk")))
+  }
+
+  /** [[knnDelete]]'s oracle: the full-corpus build via
+    * [[knnGraphCtesFor]], then the delete pass unrolled CTE by CTE —
+    * orphan extraction, tombstone bridges, LSH re-seed over the
+    * capped surviving corpus, orphan rescore, and
+    * [[KnnDeleteRepairRounds]] pivot-bounded repair rounds — ending
+    * in the same (u, nbr, cos_sim, rk) surviving graph.
+    */
+  def knnDeleteSql: String = {
+    // scoreTopK against the SURVIVING corpus only
+    def topkSurv(pairs: String, out: String): String =
+      s"""$out AS MATERIALIZED (SELECT u, nbr, cos, rk FROM (
+         | SELECT u, nbr, cos, row_number() OVER (PARTITION BY u ORDER BY cos DESC, nbr) AS rk
+         | FROM (SELECT p.u, p.nbr, ${cosSql("a.embedding", "b.embedding")} AS cos
+         |       FROM $pairs p JOIN dv a ON p.u = a.vec_id JOIN dv b ON p.nbr = b.vec_id))
+         | WHERE rk <= $KnnGraphK)""".stripMargin
+    val bg = s"g$KnnGraphRounds" // the full-corpus build's final CTE
+    val prelude =
+      s"""${knnGraphCtesFor("", "TRUE")},
+         |ddel AS MATERIALIZED (SELECT vec_id FROM embeddings WHERE vec_id % 20 = 0),
+         |dv AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+         |dge AS MATERIALIZED (SELECT u, nbr FROM $bg
+         |      WHERE u NOT IN (SELECT vec_id FROM ddel)
+         |        AND nbr NOT IN (SELECT vec_id FROM ddel)),
+         |dls AS MATERIALIZED (SELECT u, nbr AS d FROM $bg
+         |      WHERE nbr IN (SELECT vec_id FROM ddel)
+         |        AND u NOT IN (SELECT vec_id FROM ddel)),
+         |dor AS MATERIALIZED (SELECT DISTINCT u FROM dls),
+         |dbc AS MATERIALIZED (SELECT DISTINCT d, c FROM (
+         |      SELECT u AS d, nbr AS c FROM $bg WHERE u IN (SELECT vec_id FROM ddel)
+         |        AND nbr NOT IN (SELECT vec_id FROM ddel)
+         |      UNION ALL SELECT nbr AS d, u AS c FROM $bg WHERE nbr IN (SELECT vec_id FROM ddel)
+         |        AND u NOT IN (SELECT vec_id FROM ddel))),
+         |dbr AS MATERIALIZED (SELECT DISTINCT l.u, b.c AS nbr
+         |      FROM dls l JOIN dbc b ON l.d = b.d WHERE b.c <> l.u),
+         |dtb AS MATERIALIZED (SELECT vec_id, t,
+         |      ${bucketTableSql("embedding", KnnGraphInitPlanes, "t")} AS b
+         |      FROM dv, generate_series(0, ${KnnGraphInitTables - 1}) AS gt(t)),
+         |dcc AS MATERIALIZED (SELECT vec_id, t, b FROM (
+         |      SELECT vec_id, t, b, row_number() OVER (PARTITION BY t, b
+         |        ORDER BY (vec_id * 1103515245 + 12345) % 1000000007, vec_id) AS brk
+         |      FROM dtb) WHERE brk <= $KnnGraphBucketCap),
+         |dsd AS MATERIALIZED (SELECT DISTINCT o.vec_id AS u, c.vec_id AS nbr
+         |      FROM dtb o JOIN dcc c ON o.t = c.t AND o.b = c.b AND o.vec_id <> c.vec_id
+         |      WHERE o.vec_id IN (SELECT u FROM dor)),
+         |dt0 AS MATERIALIZED (SELECT u FROM dor),
+         |dp0 AS MATERIALIZED (SELECT DISTINCT u, nbr FROM (
+         |      SELECT u, nbr FROM dge WHERE u IN (SELECT u FROM dor)
+         |      UNION ALL SELECT u, nbr FROM dbr
+         |      UNION ALL SELECT u, nbr FROM dsd)),
+         |${topkSurv("dp0", "da0")},
+         |dgi AS MATERIALIZED (SELECT u, nbr FROM dge WHERE nbr IN (SELECT u FROM dor))""".stripMargin
+    val roundsSql = (1 to KnnDeleteRepairRounds).map { r =>
+      s"""dund$r AS MATERIALIZED (SELECT DISTINCT w, x FROM (
+         |      SELECT u AS w, nbr AS x FROM da${r - 1} WHERE u IN (SELECT u FROM dor)
+         |      UNION ALL SELECT nbr AS w, u AS x FROM (
+         |        SELECT u, nbr FROM dgi WHERE u NOT IN (SELECT u FROM dt${r - 1})
+         |        UNION ALL SELECT u, nbr FROM da${r - 1} WHERE nbr IN (SELECT u FROM dor)))),
+         |duc$r AS MATERIALIZED (SELECT w, x FROM (
+         |      SELECT w, x, row_number() OVER (PARTITION BY w
+         |        ORDER BY (x * 1103515245 + 12345) % 1000000007, x) AS crk FROM dund$r)
+         |      WHERE crk <= $KnnGraphCap),
+         |dcd$r AS MATERIALIZED (SELECT DISTINCT a.x AS u, b.x AS nbr
+         |      FROM duc$r a JOIN duc$r b ON a.w = b.w AND a.x <> b.x),
+         |dtg$r AS MATERIALIZED (SELECT DISTINCT u FROM dcd$r),
+         |dt$r AS MATERIALIZED (SELECT DISTINCT u FROM (
+         |      SELECT u FROM dt${r - 1} UNION ALL SELECT u FROM dtg$r)),
+         |dp$r AS MATERIALIZED (SELECT DISTINCT u, nbr FROM (
+         |      SELECT u, nbr FROM dge WHERE u IN (SELECT u FROM dtg$r)
+         |      UNION ALL SELECT u, nbr FROM da${r - 1} WHERE u IN (SELECT u FROM dtg$r)
+         |      UNION ALL SELECT u, nbr FROM dcd$r)),
+         |${topkSurv(s"dp$r", s"dan$r")},
+         |da$r AS MATERIALIZED (SELECT u, nbr, cos, rk FROM dan$r
+         |      UNION ALL SELECT u, nbr, cos, rk FROM da${r - 1}
+         |      WHERE u NOT IN (SELECT u FROM dtg$r))""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val last = KnnDeleteRepairRounds
+    s"""WITH $prelude$roundsSql
+       |SELECT u, nbr, ${Cols.proundSql("cos", 6)} AS cos_sim, CAST(rk AS INTEGER) AS rk
+       |FROM (SELECT u, nbr, cos, rk FROM $bg
+       |      WHERE u NOT IN (SELECT vec_id FROM ddel)
+       |        AND u NOT IN (SELECT u FROM dt$last)
+       |      UNION ALL SELECT u, nbr, cos, rk FROM da$last)
+       |ORDER BY u, rk""".stripMargin
+  }
+
   /** The NN-Descent build as a reusable WITH-body ending in
     * `g$KnnGraphRounds(u, nbr, cos, rk)` — shared by [[knnGraphSql]]
     * and the graph-beam oracle.

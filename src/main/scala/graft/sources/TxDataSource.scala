@@ -154,8 +154,20 @@ object TxDataSource {
     case other => other.toString // numbers, java.sql.Date (ISO) — matches ColStats rendering
   }
 
+  /** Null-count skipping signals (manifest `nulls`; absent on legacy
+    * manifests → conservative keep). A column KNOWN all-null can never
+    * satisfy a range predicate; a column KNOWN null-free can never
+    * satisfy IS NULL.
+    */
+  private def allNull(f: TxTable.FileEntry, c: String): Boolean =
+    f.nullCounts.get(c).contains(f.rows) && f.rows > 0
+
+  private def hasNulls(f: TxTable.FileEntry, c: String): Boolean =
+    f.nullCounts.get(c).forall(_ > 0) // unknown → assume some
+
   private def rangeKeeps(f: TxTable.FileEntry, colName: String, lo: Any, hi: Any): Boolean =
-    f.stats.get(colName) match {
+    if (allNull(f, colName)) false
+    else f.stats.get(colName) match {
       case Some(s) if s.typ != "timestamp" =>
         val (l, h) = (render(lo), render(hi))
         if (l == null || h == null) true else s.intersects(l, h)
@@ -167,12 +179,15 @@ object TxDataSource {
     */
   private def keep(f: TxTable.FileEntry, filter: Filter): Boolean = filter match {
     case EqualTo(c, v)            => rangeKeeps(f, c, v, v)
-    case EqualNullSafe(c, v)      => v == null || rangeKeeps(f, c, v, v)
+    case EqualNullSafe(c, null)   => hasNulls(f, c)
+    case EqualNullSafe(c, v)      => rangeKeeps(f, c, v, v)
     case In(c, vs)                => vs.exists(v => rangeKeeps(f, c, v, v))
     case GreaterThan(c, v)        => lowerKeeps(f, c, v)
     case GreaterThanOrEqual(c, v) => lowerKeeps(f, c, v)
     case LessThan(c, v)           => upperKeeps(f, c, v)
     case LessThanOrEqual(c, v)    => upperKeeps(f, c, v)
+    case IsNull(c)                => hasNulls(f, c)
+    case IsNotNull(c)             => !allNull(f, c)
     case And(l, r)                => keep(f, l) && keep(f, r)
     case Or(l, r)                 => keep(f, l) || keep(f, r)
     case _                        => true
@@ -181,14 +196,16 @@ object TxDataSource {
   // one-sided ranges: file.max >= v  /  file.min <= v (strict vs
   // non-strict collapses to the non-strict test — conservative)
   private def lowerKeeps(f: TxTable.FileEntry, c: String, v: Any): Boolean =
-    f.stats.get(c) match {
+    if (allNull(f, c)) false
+    else f.stats.get(c) match {
       case Some(s) if s.typ != "timestamp" && render(v) != null =>
         s.intersects(render(v), s.max)
       case _ => true
     }
 
   private def upperKeeps(f: TxTable.FileEntry, c: String, v: Any): Boolean =
-    f.stats.get(c) match {
+    if (allNull(f, c)) false
+    else f.stats.get(c) match {
       case Some(s) if s.typ != "timestamp" && render(v) != null =>
         s.intersects(s.min, render(v))
       case _ => true

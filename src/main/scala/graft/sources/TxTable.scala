@@ -70,7 +70,15 @@ object TxTable {
     def ofLongs(min: Long, max: Long): ColStats =
       ColStats("long", min.toString, max.toString)
   }
-  final case class FileEntry(path: String, rows: Long, stats: Map[String, ColStats])
+  /** `nullCounts`: per-stats-column null counts — the third skipping
+    * signal after min/max. `IS NULL` skips files with zero nulls,
+    * `IS NOT NULL` (and any range predicate, which null never
+    * satisfies) skips files where the column is ENTIRELY null.
+    * Absent for legacy manifests → conservative keep (same contract
+    * as parquet footers' optional null_count).
+    */
+  final case class FileEntry(path: String, rows: Long, stats: Map[String, ColStats],
+      nullCounts: Map[String, Long] = Map.empty)
   final case class Manifest(version: Int, files: Seq[FileEntry])
   final case class MergeResult(version: Int, rewritten: Int, untouched: Int)
 
@@ -114,7 +122,10 @@ object TxTable {
         e.getKey -> (if (tn == null) ColStats.ofLongs(v.get("min").asLong(), v.get("max").asLong())
                      else ColStats(tn.asText(), v.get("min").asText(), v.get("max").asText()))
       }.toMap
-      FileEntry(f.get("path").asText(), f.get("rows").asLong(), stats)
+      val nulls = Option(f.get("nulls")).map { nn =>
+        nn.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+      }.getOrElse(Map.empty[String, Long])
+      FileEntry(f.get("path").asText(), f.get("rows").asLong(), stats, nulls)
     }.toSeq
     Manifest(node.get("version").asInt(), files)
   }
@@ -141,6 +152,10 @@ object TxTable {
           cn.put("typ", s.typ); cn.put("min", s.min); cn.put("max", s.max)
         }
         ()
+      }
+      if (f.nullCounts.nonEmpty) {
+        val nn = fn.putObject("nulls")
+        f.nullCounts.toSeq.sortBy(_._1).foreach { case (c, n) => nn.put(c, n); () }
       }
     }
     val dir = logDir(table)
@@ -210,7 +225,9 @@ object TxTable {
     val typs = statsCols.map(c => c -> statTyp(written.schema(c).dataType)).toMap
     val aggs = count(lit(1)).as("rows") +:
       statsCols.flatMap(c => Seq(min(col(c)).cast("string").as(s"min_$c"),
-        max(col(c)).cast("string").as(s"max_$c")))
+        max(col(c)).cast("string").as(s"max_$c"),
+        // count(col) skips nulls: rows - count(col) = the null count
+        count(col(c)).as(s"cnt_$c")))
     written
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -221,13 +238,16 @@ object TxTable {
         val raw = r.getAs[String]("f")
         val p = if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw
         val rel = Paths.get(table).toAbsolutePath.relativize(Paths.get(p).toAbsolutePath)
+        val rows = r.getAs[Long]("rows")
         val stats = statsCols.flatMap { c =>
           val mn = r.getAs[String](s"min_$c"); val mx = r.getAs[String](s"max_$c")
           // an all-null column gets NO stat entry → the file is never
-          // skipped on that column (conservative, like parquet footers)
+          // range-skipped on that column (conservative, like parquet
+          // footers) — its null count below still carries the signal
           if (mn == null || mx == null) None else Some(c -> ColStats(typs(c), mn, mx))
         }.toMap
-        FileEntry(rel.toString, r.getAs[Long]("rows"), stats)
+        val nulls = statsCols.map(c => c -> (rows - r.getAs[Long](s"cnt_$c"))).toMap
+        FileEntry(rel.toString, rows, stats, nulls)
       }.toSeq
       .sortBy(_.path)
   }
@@ -441,6 +461,46 @@ object TxTable {
     MergeResult(v, touched.size, untouched.size)
   }
 
+  /** UPDATE … SET WHERE `predCol` ∈ [lo, hi]: copy-on-write at file
+    * granularity, riding the same stats-intersection machinery as
+    * [[delete]] — only files whose min/max intersect the range are
+    * rewritten (matching rows get the SET expressions applied,
+    * non-matching rows in the same file carry through unchanged),
+    * disjoint files carry over by reference, and zero intersecting
+    * files is a NO-OP (no new version — the Delta UPDATE fast path).
+    * `set` maps column → new-value expression over the row's existing
+    * columns (so `price -> col("price") * 1.1` works). Nulls never
+    * match a range predicate and are never updated. Old snapshots
+    * stay readable; rewrites preserve clustering (merge's contract).
+    */
+  def update(spark: SparkSession, table: String, predCol: String,
+      lo: String, hi: String, set: Map[String, org.apache.spark.sql.Column],
+      statsCols: Seq[String]): MergeResult = {
+    require(!set.contains(predCol),
+      s"UPDATE must not rewrite its own predicate column $predCol — " +
+        s"the file-skipping contract (stats bound the OLD values) would break")
+    val parent = latestVersion(table)
+    val live = manifest(table, parent).files
+    val (touched, untouched) = live.partition { f =>
+      f.stats.get(predCol).forall(_.intersects(lo, hi))
+    }
+    if (touched.isEmpty) return MergeResult(parent, 0, live.size)
+    val touchedDf = spark.read.option("mergeSchema", "true")
+      .parquet(touched.map(f => s"$table/${f.path}"): _*)
+    val dt = touchedDf.schema(predCol).dataType
+    val matches = col(predCol) >= lit(lo).cast(dt) && col(predCol) <= lit(hi).cast(dt)
+    val updated = set.foldLeft(touchedDf) { case (df, (c, v)) =>
+      df.withColumn(c, when(matches, v).otherwise(col(c)))
+    }
+    val slot = f"v${parent + 1}%08d-u"
+    // same clustering-preservation contract as merge/delete rewrites
+    val written = writeFiles(spark, table, slot,
+      updated.repartitionByRange(math.max(1, touched.size), col(predCol)),
+      statsCols)
+    val v = commit(table, parent, untouched ++ written)
+    MergeResult(v, touched.size, untouched.size)
+  }
+
   // ---------------------------------------------------------------- zorder
 
   /** Interleave the low 16 bits of two non-negative values — the
@@ -647,6 +707,42 @@ object TxTable {
       |FROM orders, m
       |WHERE o_orderkey < mk // 4 OR o_orderkey > mk // 2
       |GROUP BY 1 ORDER BY status""".stripMargin
+
+  /** tx_update — the UPDATE WHERE surface as a driver query: stage
+    * orders into a range-clustered transactional table, UPDATE the
+    * middle key band (two SET columns — a literal and an expression
+    * over the existing value), read the final snapshot back
+    * aggregated. Matching the oracle's CASE-rewrite proves matched
+    * rows updated, non-matched rows in touched files carried through
+    * bit-identically, and disjoint files untouched.
+    */
+  def updateQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Files.createTempDirectory("graft_tx_upd").resolve("t").toString
+    val base = graft.util.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("status"),
+        pmod(col("o_orderkey"), lit(10)).cast("long").as("bucket"))
+    create(spark, t, base.repartitionByRange(8, col("k")), Seq("k"))
+    val mk = base.agg(max(col("k"))).head().getLong(0)
+    update(spark, t, "k", (mk / 4).toString, (mk / 2).toString,
+      Map("status" -> lit("UPD"), "bucket" -> (col("bucket") + 100L)), Seq("k"))
+    read(spark, t).groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("id_sum"),
+        sum(col("bucket")).as("bucket_sum"))
+      .orderBy(col("status"))
+  }
+
+  def updateQuerySql: String =
+    """WITH m AS (SELECT max(o_orderkey) AS mk FROM orders),
+      |u AS (SELECT o_orderkey AS k,
+      |  CASE WHEN o_orderkey >= mk // 4 AND o_orderkey <= mk // 2
+      |       THEN 'UPD' ELSE o_orderstatus END AS status,
+      |  CASE WHEN o_orderkey >= mk // 4 AND o_orderkey <= mk // 2
+      |       THEN o_orderkey % 10 + 100 ELSE o_orderkey % 10 END AS bucket
+      | FROM orders, m)
+      |SELECT status, count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS id_sum,
+      | CAST(sum(bucket) AS BIGINT) AS bucket_sum
+      |FROM u GROUP BY 1 ORDER BY status""".stripMargin
 
   /** tx_sql_read — the SQL/catalog surface as a driver query: stage
     * customer into a transactional table, append a shifted copy (v2),

@@ -139,6 +139,50 @@ class AnnRecallSpec extends SparkSpecBase {
     assert(degs.filter(col("count") > graft.operators.Similarity.KnnGraphK).count() == 0)
   }
 
+  test("incremental kNN-graph delete: 5% purge, recall within 2pts of a fresh rebuild, no tombstone survives") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val e = graft.util.Tables.embeddings(spark, Sf001)
+    val del = e.filter(pmod(col("vec_id"), lit(20L)) === 0L).select(col("vec_id"))
+    val delIds = del.collect().map(_.getLong(0)).toSet
+    assert(delIds.nonEmpty)
+    val survivors = e.filter(pmod(col("vec_id"), lit(20L)) =!= 0L)
+    // truth over the SURVIVING corpus only — the post-purge ground set
+    val truthDf = graft.operators.Similarity.bruteforceTopkOn(
+      survivors.select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+      survivors.select(col("vec_id").as("c_id"), col("embedding").as("cv")), 5)
+      .filter(col("q_id") =!= col("c_id"))
+    val truth = hits(truthDf)
+    def pairs(g: DataFrame): Set[(Long, Long)] =
+      g.select("u", "nbr").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gFull = graft.operators.Similarity.knnGraphOn(e)
+    val gDel = graft.operators.Similarity.knnGraphDelete(gFull, e, del)
+    val gRebuild = graft.operators.Similarity.knnGraphOn(survivors)
+    val pDel = pairs(gDel)
+    // the purge is total: no tombstone on either edge side
+    assert(!pDel.exists(p => delIds(p._1) || delIds(p._2)),
+      "a deleted vector survived in the maintained graph")
+    val rDel = pDel.intersect(truth).size.toDouble / truth.size
+    val rRebuild = pairs(gRebuild).intersect(truth).size.toDouble / truth.size
+    // orphan-node quality specifically: nodes that LOST a neighbor
+    // must re-link, not merely shrink
+    val orphanIds = pairs(gFull)
+      .collect { case (u, n) if delIds(n) && !delIds(u) => u }.toSet
+    assert(orphanIds.nonEmpty)
+    val orphanTruth = truth.filter(t => orphanIds(t._1))
+    val rOrphan = pDel.intersect(orphanTruth).size.toDouble / orphanTruth.size
+    val rOrphanRebuild = pairs(gRebuild).intersect(orphanTruth).size.toDouble / orphanTruth.size
+    info(f"knn-graph delete recall@4: maintained = $rDel%.3f vs rebuild = " +
+      f"$rRebuild%.3f (truth ${truth.size}); orphan-node recall = $rOrphan%.3f " +
+      f"vs $rOrphanRebuild%.3f (${orphanTruth.size})")
+    assert(rDel >= rRebuild - 0.02,
+      s"local repair lost more than 2pts vs a fresh rebuild: $rDel vs $rRebuild")
+    assert(rOrphan >= rOrphanRebuild - 0.05,
+      s"orphaned neighborhoods are under-repaired: $rOrphan vs $rOrphanRebuild")
+    // builder contract intact: <= k rows per node
+    val degs = gDel.groupBy("u").count()
+    assert(degs.filter(col("count") > graft.operators.Similarity.KnnGraphK).count() == 0)
+  }
+
   test("graph-beam frontier search recall@5 vs brute force") {
     // brute-force truth excludes candidates < 8 (the probe block) while
     // the beam searches the full graph, so a beam slot spent on a

@@ -474,4 +474,27 @@ class PlanAuditSpec extends SparkSpecBase {
       assert(!readSchema.contains(c), s"unpruned $c in $readSchema")
     }
   }
+
+  test("bench mode: data-scaled load-path outputs plan NO global range sort (verifySort is verify-only)") {
+    // Cols.verifySort must vanish from the MEASURED plan: these
+    // queries' outputs are one-row-per-entity (order/event/doc) and a
+    // global orderBy there is a cluster-wide range exchange a
+    // production caller never asked for. The sort exists only so the
+    // verify/oracle hash sees canonical row order.
+    val names = Seq("etl_clean", "etl_fact_build", "etl_fact_accumulating",
+      "text_quality", "ts_ewma", "dedup_exact")
+    sys.props("graft.bench.nosort") = "1"
+    try names.foreach { n =>
+      val p = planOf(q(n)).toLowerCase
+      assert(!p.contains("rangepartitioning"),
+        s"$n plans a global range sort in bench mode")
+    } finally {
+      sys.props -= "graft.bench.nosort"
+      ()
+    }
+    // and the verify path KEEPS the canonical order
+    val pv = planOf(q("etl_fact_accumulating")).toLowerCase
+    assert(pv.contains("rangepartitioning"),
+      "verify mode must keep the canonical output order")
+  }
 }

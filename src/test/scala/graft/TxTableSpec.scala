@@ -509,6 +509,63 @@ class TxTableSpec extends SparkSpecBase {
     intercept[Exception] { TxTable.read(spark, t, version = 1).count() }
   }
 
+  test("update applies SET at file granularity: matched rows rewritten, same-file bystanders identical, disjoint files by reference") {
+    import spark.implicits._
+    val t = tmpTable()
+    val lo = (1L to 100L).map(i => (i, "old", i % 7)).toDF("k", "status", "w").repartition(1)
+    val hi = (100001L to 100100L).map(i => (i, "old", i % 7)).toDF("k", "status", "w").repartition(1)
+    TxTable.create(spark, t, lo, Seq("k"))
+    TxTable.append(spark, t, hi, Seq("k"))
+    val before = TxTable.manifest(t, TxTable.latestVersion(t)).files
+    val res = TxTable.update(spark, t, "k", "40", "60",
+      Map("status" -> lit("new"), "w" -> (col("w") + 100L)), Seq("k"))
+    assert(res.rewritten == 1 && res.untouched == 1, res.toString)
+    val hiFile = before.find(_.stats("k").minLong == 100001L).get
+    assert(TxTable.manifest(t, res.version).files.exists(_.path == hiFile.path),
+      "disjoint file must carry over by reference")
+    val now = TxTable.read(spark, t)
+    assert(now.count() == 200, "UPDATE must not change cardinality")
+    assert(now.filter(col("k").between(40, 60) && col("status") =!= "new").count() == 0)
+    assert(now.filter(col("k") === 50L).head().getLong(2) == 50L % 7 + 100L,
+      "expression SET must see the row's old value")
+    assert(now.filter(!col("k").between(40, 60) &&
+      (col("status") =!= "old" || col("w") >= 100)).count() == 0,
+      "bystander rows must carry through unchanged")
+    // old snapshot unaffected; predicate-column SET is refused
+    assert(TxTable.read(spark, t, version = 2).filter(col("status") === "new").count() == 0)
+    intercept[IllegalArgumentException] {
+      TxTable.update(spark, t, "k", "1", "2", Map("k" -> lit(0L)), Seq("k"))
+    }
+    // zero intersecting files: NO-OP, no new version
+    val noop = TxTable.update(spark, t, "k", "900000", "900100",
+      Map("status" -> lit("x")), Seq("k"))
+    assert(noop.version == res.version && noop.rewritten == 0)
+  }
+
+  test("null-count stats: IS NULL skips null-free files, IS NOT NULL and ranges skip all-null files") {
+    import org.apache.spark.sql.sources.{EqualTo, IsNull, IsNotNull}
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1), Seq("id", "v"))
+    TxTable.append(spark, t, Seq((3L, null), (4L, "d")).toDF("id", "v").repartition(1), Seq("id", "v"))
+    TxTable.append(spark, t, Seq[(Long, String)]((5L, null), (6L, null)).toDF("id", "v").repartition(1), Seq("id", "v"))
+    val v = TxTable.latestVersion(t)
+    def fileOf(minId: Long): String =
+      TxTable.manifest(t, v).files.find(_.stats("id").minLong == minId).get.path
+    val (f1, f2, f3) = (fileOf(1L), fileOf(3L), fileOf(5L))
+    def kept(fs: org.apache.spark.sql.sources.Filter*): Set[String] =
+      graft.sources.TxDataSource.filesFor(t, v, fs).map(_.path).toSet
+    assert(kept(IsNull("v")) == Set(f2, f3), "null-free file must be skipped under IS NULL")
+    assert(kept(IsNotNull("v")) == Set(f1, f2), "all-null file must be skipped under IS NOT NULL")
+    assert(kept(EqualTo("v", "a")) == Set(f1),
+      "range prunes by stats AND the all-null file (which has no v stats) by null count")
+    // end to end through the data source: results stay correct
+    val df = spark.read.format("graft-tx").load(t)
+    assert(df.filter(col("v").isNull).select("id").as[Long].collect().toSet == Set(3L, 5L, 6L))
+    assert(df.filter(col("v").isNotNull).count() == 3)
+    assert(df.filter(col("v") === "a").select("id").as[Long].collect().toSet == Set(1L))
+  }
+
   test("vacuumed table: history lists only retained versions; restore below the horizon names the retention contract") {
     import spark.implicits._
     val t = tmpTable()
