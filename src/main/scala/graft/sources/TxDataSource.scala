@@ -288,25 +288,52 @@ final class TxStreamSource(ctx: SQLContext, table: String,
     override val schema: StructType, ignoreChanges: Boolean,
     maxVersionsPerTrigger: Option[Int] = None,
     maxFilesPerTrigger: Option[Int] = None)
-    extends streaming.Source {
+    extends streaming.Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, Offset => OffsetV2}
 
   private val spark = ctx.sparkSession
 
   /** Pacing watermark: the highest version this source has handed out
-    * (via getOffset) or been asked to produce (via getBatch). Synced
-    * in getBatch so checkpoint recovery — which always replays the
-    * last batch through getBatch before the next getOffset — restores
-    * pacing relative to the consumer's true progress, not version 0.
+    * (via getOffset/latestOffset) or been asked to produce (via
+    * getBatch). Synced in getBatch so checkpoint recovery — which
+    * always replays the last batch through getBatch before the next
+    * offset request — restores pacing relative to the consumer's true
+    * progress, not version 0.
     */
   private var pacedThrough: Int = 0
 
-  override def getOffset: Option[streaming.Offset] = {
-    val latest = TxTable.latestVersion(table)
+  /** Trigger.AvailableNow's fixed horizon: versions committed AFTER
+    * the trigger started are not part of this drain (the
+    * SupportsTriggerAvailableNow contract — without it Spark falls
+    * back to one uncapped batch, defeating the rate limit).
+    */
+  private var availableNowBound: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Some(TxTable.latestVersion(table))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): OffsetV2 = {
+    val v = TxTable.latestVersion(table)
+    if (v == 0) null else LongOffset(v.toLong)
+  }
+
+  /** The capped next end offset — the single pacing brain shared by
+    * the DSv1 `getOffset` path and the admission-control
+    * `latestOffset` path.
+    */
+  private def nextEndOffset(): Option[Int] = {
+    val latestRaw = TxTable.latestVersion(table)
+    val latest = availableNowBound.fold(latestRaw)(math.min(_, latestRaw))
     if (latest == 0) return None
     if (maxVersionsPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty)
-      return Some(LongOffset(latest.toLong))
+      return Some(latest)
     val base = pacedThrough
-    if (latest <= base) return Some(LongOffset(latest.toLong))
+    if (latest <= base) return Some(latest)
     val byVersions = maxVersionsPerTrigger
       .map(k => math.min(latest, base + k)).getOrElse(latest)
     val end = maxFilesPerTrigger match {
@@ -314,8 +341,14 @@ final class TxStreamSource(ctx: SQLContext, table: String,
       case Some(fileCap) => capByFiles(base, byVersions, fileCap)
     }
     pacedThrough = math.max(pacedThrough, end)
-    Some(LongOffset(end.toLong))
+    Some(end)
   }
+
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 =
+    nextEndOffset().map(v => LongOffset(v.toLong)).orNull
+
+  override def getOffset: Option[streaming.Offset] =
+    nextEndOffset().map(v => LongOffset(v.toLong))
 
   /** Largest version in (base, limit] whose cumulative added-file
     * count stays within `fileCap` — always at least base+1. Manifest

@@ -268,6 +268,37 @@ object TxTable {
       writeFiles(spark, table, slot, df, statsCols))
   }
 
+  /** CONCURRENT-WRITER append: the multi-writer form of [[append]].
+    * [[append]] names its data slot after the version it expects to
+    * win, so two simultaneous appenders collide at the DATA write
+    * (errorifexists on the same slot) before the manifest race even
+    * arbitrates. Here the data lands ONCE under a writer-unique slot,
+    * then the manifest commit retries on an OCC conflict by
+    * re-reading the new latest and re-attaching the SAME files —
+    * append vs append is always semantically compatible (Delta's
+    * disjoint-operation conflict resolution), so the rebase is pure
+    * manifest work: no data rewrite, no re-read, O(1) per retry.
+    * At 100 TB this is the ingestion norm — N loaders appending to
+    * one table — and the retry loop is the entire coordination cost.
+    */
+  def appendConcurrent(spark: SparkSession, table: String, df: DataFrame,
+      statsCols: Seq[String], maxRetries: Int = 20): Int = {
+    val slot = f"a-${java.util.UUID.randomUUID().toString.take(12)}"
+    val written = writeFiles(spark, table, slot, df, statsCols)
+    var attempt = 0
+    while (true) {
+      val parent = latestVersion(table)
+      val base = if (parent == 0) Seq.empty[FileEntry] else manifest(table, parent).files
+      try return commit(table, parent, base ++ written)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** OVERWRITE commit: the new version's live set is ONLY the new
     * files — the prior content stays time-travelable (immutable files)
     * until [[vacuum]], unlike a filesystem overwrite. Creates the

@@ -566,6 +566,42 @@ class TxTableSpec extends SparkSpecBase {
     assert(df.filter(col("v") === "a").select("id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("appendConcurrent: simultaneous writers all land exactly once via OCC rebase, no data rewrite") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t, (0L until 10L).toDF("id"), Seq("id"))
+    val writers = 4
+    val barrier = new java.util.concurrent.CyclicBarrier(writers)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val futs = (1 to writers).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            barrier.await() // maximize commit-window overlap
+            TxTable.appendConcurrent(spark, t,
+              (w * 100L until w * 100L + 10L).toDF("id"), Seq("id"))
+          }
+        })
+      }
+      val versions = futs.map(_.get())
+      // every writer won exactly one version; none were lost or doubled
+      assert(versions.toSet == (2 to writers + 1).toSet,
+        s"4 appends over v1 must land as v2..v5, got $versions")
+    } finally {
+      pool.shutdown()
+      ()
+    }
+    val got = TxTable.read(spark, t).as[Long].collect().toSet
+    val want = (0L until 10L).toSet ++
+      (1 to writers).flatMap(w => w * 100L until w * 100L + 10L)
+    assert(got == want, "every concurrent append's rows must be present exactly once")
+    assert(TxTable.read(spark, t).count() == want.size)
+    // the rebase is manifest-only: each version adds files, drops none
+    val h = TxTable.history(spark, t).orderBy(col("version")).collect()
+    assert(h.forall(_.getAs[Long]("files_removed") == 0L))
+    assert(h.drop(1).forall(_.getAs[Long]("files_added") >= 1L))
+  }
+
   test("vacuumed table: history lists only retained versions; restore below the horizon names the retention contract") {
     import spark.implicits._
     val t = tmpTable()
@@ -623,6 +659,30 @@ class TxTableSpec extends SparkSpecBase {
     assert(sunk() == (1L to 50L).toSet, "drain must deliver the backlog exactly once")
     assert(spark.read.parquet(out).count() == 50, "no duplicates across the restart")
     assert(nBatches() == 3, s"5 versions at cap 2 = 3 batches, got ${nBatches()}")
+  }
+
+  test("streaming source rate limit: Trigger.AvailableNow drains the whole backlog in capped batches, then stops") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t, (1L to 10L).toDF("id"), Seq("id"))
+    (1 to 4).foreach { i =>                                          // v2..v5
+      TxTable.append(spark, t, (10L * i + 1L to 10L * i + 10L).toDF("id"), Seq("id"))
+    }
+    val ckpt = Files.createTempDirectory("graft_tx_an_ck").toString
+    val out = Files.createTempDirectory("graft_tx_an_out").toString
+    // AvailableNow wraps a DSv1 source: it must still respect the
+    // per-trigger cap AND terminate once the start-time backlog drains
+    val q = spark.readStream.format("graft-tx").option("path", t)
+      .option("maxVersionsPerTrigger", "2").load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    assert(q.awaitTermination(120000), "AvailableNow must self-terminate")
+    assert(spark.read.parquet(out).as[Long].collect().toSet == (1L to 50L).toSet)
+    val n = Files.list(java.nio.file.Paths.get(ckpt, "offsets"))
+      .iterator().asScala.count(_.getFileName.toString.matches("\\d+"))
+    assert(n == 3, s"5 versions at cap 2 = 3 capped batches under AvailableNow, got $n")
   }
 
   test("streaming source rate limit: maxFilesPerTrigger caps the added-file budget; an oversized version still flows") {
