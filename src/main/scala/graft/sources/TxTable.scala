@@ -428,6 +428,40 @@ object TxTable {
   def merge(spark: SparkSession, table: String, updates: DataFrame,
       keyCol: String, statsCols: Seq[String]): MergeResult = {
     val parent = latestVersion(table)
+    mergeSlotted(spark, table, updates, keyCol, statsCols, parent,
+      f"v${parent + 1}%08d")
+  }
+
+  /** Concurrent-writer MERGE: unlike [[appendConcurrent]]'s rebase, a
+    * merge that loses the version race must RE-EXECUTE against the new
+    * latest — its rewrite set depends on the snapshot it read (the
+    * concurrent commit may have rewritten, appended into, or deleted
+    * from the very key range this merge touched, so re-attaching the
+    * stale outputs would resurrect replaced rows or drop the other
+    * writer's). That is Delta's conflict rule: appends rebase,
+    * overlapping rewrites re-run. Data lands under a writer-unique
+    * slot per attempt; a failed attempt's files are unreferenced
+    * garbage until [[vacuum]] (the standard OCC cost model).
+    */
+  def mergeConcurrent(spark: SparkSession, table: String, updates: DataFrame,
+      keyCol: String, statsCols: Seq[String], maxRetries: Int = 20): MergeResult = {
+    var attempt = 0
+    while (true) {
+      val parent = latestVersion(table)
+      try {
+        return mergeSlotted(spark, table, updates, keyCol, statsCols, parent,
+          f"m-${java.util.UUID.randomUUID().toString.take(12)}")
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def mergeSlotted(spark: SparkSession, table: String, updates: DataFrame,
+      keyCol: String, statsCols: Seq[String], parent: Int, slot: String): MergeResult = {
     val live = manifest(table, parent).files
     val bounds = updates.agg(min(col(keyCol)).cast("string"), max(col(keyCol)).cast("string")).head()
     if (bounds.isNullAt(0)) // empty update set: nothing to do, no new version
@@ -436,7 +470,6 @@ object TxTable {
     val (touched, untouched) = live.partition { f =>
       f.stats.get(keyCol).forall(_.intersects(lo, hi))
     }
-    val slot = f"v${parent + 1}%08d"
     val survivors =
       if (touched.isEmpty) updates
       else spark.read.option("mergeSchema", "true")
@@ -471,6 +504,35 @@ object TxTable {
   def delete(spark: SparkSession, table: String, predCol: String,
       lo: String, hi: String, statsCols: Seq[String]): MergeResult = {
     val parent = latestVersion(table)
+    deleteSlotted(spark, table, predCol, lo, hi, statsCols, parent,
+      f"v${parent + 1}%08d-d")
+  }
+
+  /** Concurrent-writer DELETE — [[mergeConcurrent]]'s re-execute-on-
+    * conflict recipe applied to [[delete]] (a rewriting mutation can
+    * never rebase stale outputs; see mergeConcurrent's contract).
+    */
+  def deleteConcurrent(spark: SparkSession, table: String, predCol: String,
+      lo: String, hi: String, statsCols: Seq[String],
+      maxRetries: Int = 20): MergeResult = {
+    var attempt = 0
+    while (true) {
+      val parent = latestVersion(table)
+      try {
+        return deleteSlotted(spark, table, predCol, lo, hi, statsCols, parent,
+          f"d-${java.util.UUID.randomUUID().toString.take(12)}")
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def deleteSlotted(spark: SparkSession, table: String, predCol: String,
+      lo: String, hi: String, statsCols: Seq[String], parent: Int,
+      slot: String): MergeResult = {
     val live = manifest(table, parent).files
     val (touched, untouched) = live.partition { f =>
       f.stats.get(predCol).forall(_.intersects(lo, hi))
@@ -481,7 +543,6 @@ object TxTable {
     val dt = touchedDf.schema(predCol).dataType
     val kept = touchedDf.filter(col(predCol) < lit(lo).cast(dt) ||
       col(predCol) > lit(hi).cast(dt) || col(predCol).isNull)
-    val slot = f"v${parent + 1}%08d-d"
     // same clustering-preservation contract as merge's rewrite
     val written =
       if (kept.isEmpty) Seq.empty[FileEntry]
@@ -507,10 +568,38 @@ object TxTable {
   def update(spark: SparkSession, table: String, predCol: String,
       lo: String, hi: String, set: Map[String, org.apache.spark.sql.Column],
       statsCols: Seq[String]): MergeResult = {
+    val parent = latestVersion(table)
+    updateSlotted(spark, table, predCol, lo, hi, set, statsCols, parent,
+      f"v${parent + 1}%08d-u")
+  }
+
+  /** Concurrent-writer UPDATE — [[mergeConcurrent]]'s re-execute-on-
+    * conflict recipe applied to [[update]].
+    */
+  def updateConcurrent(spark: SparkSession, table: String, predCol: String,
+      lo: String, hi: String, set: Map[String, org.apache.spark.sql.Column],
+      statsCols: Seq[String], maxRetries: Int = 20): MergeResult = {
+    var attempt = 0
+    while (true) {
+      val parent = latestVersion(table)
+      try {
+        return updateSlotted(spark, table, predCol, lo, hi, set, statsCols,
+          parent, f"u-${java.util.UUID.randomUUID().toString.take(12)}")
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def updateSlotted(spark: SparkSession, table: String, predCol: String,
+      lo: String, hi: String, set: Map[String, org.apache.spark.sql.Column],
+      statsCols: Seq[String], parent: Int, slot: String): MergeResult = {
     require(!set.contains(predCol),
       s"UPDATE must not rewrite its own predicate column $predCol — " +
         s"the file-skipping contract (stats bound the OLD values) would break")
-    val parent = latestVersion(table)
     val live = manifest(table, parent).files
     val (touched, untouched) = live.partition { f =>
       f.stats.get(predCol).forall(_.intersects(lo, hi))
@@ -523,7 +612,6 @@ object TxTable {
     val updated = set.foldLeft(touchedDf) { case (df, (c, v)) =>
       df.withColumn(c, when(matches, v).otherwise(col(c)))
     }
-    val slot = f"v${parent + 1}%08d-u"
     // same clustering-preservation contract as merge/delete rewrites
     val written = writeFiles(spark, table, slot,
       updated.repartitionByRange(math.max(1, touched.size), col(predCol)),

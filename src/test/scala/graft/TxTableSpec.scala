@@ -602,6 +602,64 @@ class TxTableSpec extends SparkSpecBase {
     assert(h.drop(1).forall(_.getAs[Long]("files_added") >= 1L))
   }
 
+  test("mergeConcurrent: rewriting mutations racing appends and each other re-execute on conflict; every writer's effect lands") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t,
+      (1L to 100L).map(i => (i, "old")).toDF("id", "v").repartition(1), Seq("id"))
+    // leg 1: a merge races an append — the merge must either win the
+    // version or re-run on top of the appended snapshot
+    val b1 = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fApp = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = {
+          b1.await()
+          TxTable.appendConcurrent(spark, t,
+            (1001L to 1010L).map(i => (i, "app")).toDF("id", "v"), Seq("id"))
+        }
+      })
+      val fMrg = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = {
+          b1.await()
+          TxTable.mergeConcurrent(spark, t,
+            (Seq((50L, "new")) ++ (201L to 205L).map(i => (i, "ins"))).toDF("id", "v"),
+            "id", Seq("id")).version
+        }
+      })
+      assert(Set(fApp.get(), fMrg.get()) == Set(2, 3),
+        "the two racing writers must land as v2 and v3 in some order")
+    } finally { pool.shutdown(); () }
+    val afterLeg1 = TxTable.read(spark, t)
+    assert(afterLeg1.count() == 115, "100 base + 10 appended + 5 inserted")
+    assert(afterLeg1.filter(col("id") === 50L).head().getString(1) == "new")
+    assert(afterLeg1.filter(col("id") === 51L).head().getString(1) == "old")
+    assert(afterLeg1.filter(col("id") === 1005L).count() == 1)
+    // leg 2: two merges rewriting the SAME file — the loser re-executes
+    // against the winner's output, so BOTH updates survive
+    val b2 = new java.util.concurrent.CyclicBarrier(2)
+    val pool2 = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val ms = Seq((10L to 20L), (80L to 90L)).map { band =>
+        pool2.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            b2.await()
+            TxTable.mergeConcurrent(spark, t,
+              band.map(i => (i, s"band${band.head}")).toDF("id", "v"),
+              "id", Seq("id")).version
+          }
+        })
+      }
+      assert(ms.map(_.get()).toSet == Set(4, 5))
+    } finally { pool2.shutdown(); () }
+    val now = TxTable.read(spark, t)
+    assert(now.count() == 115, "merges replaced, never duplicated")
+    assert(now.filter(col("id").between(10, 20) && col("v") =!= "band10").count() == 0)
+    assert(now.filter(col("id").between(80, 90) && col("v") =!= "band80").count() == 0)
+    assert(now.filter(col("id") === 50L).head().getString(1) == "new",
+      "leg-1's merge must survive both band rewrites")
+  }
+
   test("vacuumed table: history lists only retained versions; restore below the horizon names the retention contract") {
     import spark.implicits._
     val t = tmpTable()
