@@ -217,4 +217,120 @@ class EtlChainSpec extends SparkSpecBase {
       Seq("INVOICE_DATE_DIM_ID"), "left_anti").count() == 0)
     Seq(typed, kept, dimC, dimP, fact, fctBack).foreach(_.unpersist())
   }
+
+  test("reference DAG as a logical-date backfill: per-date runs land the star exactly once across a kill AFTER a load committed") {
+    import java.time.LocalDate
+    import java.util.concurrent.atomic.AtomicInteger
+    import graft.sources.{Backfill, StepRunner}
+    val home = java.nio.file.Files.createTempDirectory("graft_derby_bf").toString
+    val url = s"jdbc:derby:$home/dwh;create=true"
+    val driver = Some("org.apache.derby.jdbc.EmbeddedDriver")
+    JdbcSink.initStarSchema(url, driver)
+    // extract + gate once (date-agnostic); each LOGICAL DATE slices its
+    // own partition — the reference's daily `schedule` over one feed
+    val schema = StructType(Seq(
+      StructField("invoice_no", StringType), StructField("stock_code", StringType),
+      StructField("customer_id", StringType), StructField("qty", IntegerType),
+      StructField("unit_price", DoubleType), StructField("invoice_date", DateType)))
+    val typed = XlsxIngest.readTypedXlsx(spark, writeDir(), schema)
+    val (clean0, _) = ExternalIngest.splitQuarantine(typed)
+    val (kept0, _) = ExternalIngest.retailShapeGate(
+      clean0, "invoice_no", "stock_code", "customer_id")
+    val raw = java.nio.file.Files.createTempDirectory("etl_bf_raw").resolve("kept").toString
+    kept0.write.parquet(raw)
+    // dims staged once (per-load dim mechanics are the first test's
+    // subject; the backfill's subject is the dated fact spine)
+    JdbcSink.loadTable(
+      kept0.select(col("customer_id").as("CUSTOMER_ID")).distinct()
+        .withColumn("COUNTRY", lit("United Kingdom")),
+      url, "RETAIL.DIM_CUSTOMERS", SaveMode.Append, driver)
+    JdbcSink.loadTable(
+      kept0.select(col("stock_code").as("STOCK_CODE")).distinct()
+        .withColumn("DESCRIPTION", concat(lit("item "), col("STOCK_CODE"))),
+      url, "RETAIL.DIM_PRODUCTS", SaveMode.Append, driver)
+    JdbcSink.loadTable(
+      RetailEtl.dimDates(spark, SfDir).select(
+        col("date_dim_id").as("DATE_DIM_ID"), col("date").as("DT"),
+        col("year").cast("short").as("YR"), col("month").cast("short").as("MON"),
+        col("day").cast("short").as("DAY"),
+        col("day_of_week").cast("short").as("DAY_OF_WEEK"),
+        col("week").cast("short").as("WEEK")),
+      url, "RETAIL.DIM_DATES", SaveMode.Append, driver)
+    val dimC = JdbcSink.readTable(spark, url, "RETAIL.DIM_CUSTOMERS", driver)
+      .select(trim(col("CUSTOMER_ID")).as("customer_id"), col("CUSTOMER_DIM_ID")).persist()
+    val dimP = JdbcSink.readTable(spark, url, "RETAIL.DIM_PRODUCTS", driver)
+      .select(trim(col("STOCK_CODE")).as("stock_code"), col("PRODUCT_DIM_ID")).persist()
+    dimC.count(); dimP.count()
+
+    val root = java.nio.file.Files.createTempDirectory("etl_bf_runs").resolve("daily").toString
+    val cleanRuns = new AtomicInteger(0)
+    val loads = new AtomicInteger(0)
+    val cleanups = new AtomicInteger(0)
+    def pipeline(killOn: Option[LocalDate])(r: StepRunner, d: LocalDate): Unit =
+      r.withFinalizer { cleanups.incrementAndGet(); () } {
+        val daySlice = r.step("clean") {
+          cleanRuns.incrementAndGet()
+          spark.read.parquet(raw)
+            .filter(col("invoice_date") === lit(java.sql.Date.valueOf(d)))
+        }
+        val fact = daySlice
+          .join(dimC, Seq("customer_id"))
+          .join(dimP, Seq("stock_code"))
+          .select(
+            col("invoice_no").as("INVOICE_ID"),
+            date_format(col("invoice_date"), "yyyyMMdd").cast("int").as("INVOICE_DATE_DIM_ID"),
+            col("PRODUCT_DIM_ID"), col("CUSTOMER_DIM_ID"),
+            col("unit_price").cast("decimal(8,2)").as("UNIT_PRICE"),
+            col("qty").as("QUANTITY"))
+        r.effect("load_fact") {
+          loads.incrementAndGet()
+          JdbcSink.loadTable(fact, url, "RETAIL.FCT_INVOICES", SaveMode.Append, driver)
+        }
+        // the kill lands AFTER the load's marker published — the
+        // hardest resume case: the date is incomplete but its
+        // non-idempotent JDBC effect must NOT re-run
+        if (killOn.contains(d)) throw new RuntimeException(s"killed on $d")
+        ()
+      }
+    val start = LocalDate.parse("2011-01-04")
+    val end = LocalDate.parse("2011-01-07")
+    val kill = LocalDate.parse("2011-01-06")
+    val e = intercept[RuntimeException] {
+      Backfill.run(spark, root, start, end)(pipeline(Some(kill)))
+    }
+    assert(e.getMessage == "killed on 2011-01-06")
+    assert(Backfill.missingDates(spark, root, start, end).map(_.toString)
+      == Seq("2011-01-06", "2011-01-07"))
+    val rep = Backfill.run(spark, root, start, end)(pipeline(None))
+    assert(rep.executed.map(_.toString) == Seq("2011-01-06", "2011-01-07"))
+    assert(cleanRuns.get() == 4, "one clean per date; the killed date's resumes from its artifact")
+    assert(loads.get() == 4, "the killed date's JDBC load must NOT re-run on resume")
+    assert(cleanups.get() == 5, "all_done finalizer runs on every attempt (06 twice)")
+    // the backfilled star equals the one-shot chain over the same feed,
+    // exactly once per row despite the kill
+    val fctBack = JdbcSink.readTable(spark, url, "RETAIL.FCT_INVOICES", driver).persist()
+    assert(fctBack.count() == kept0.count())
+    typed.createOrReplaceTempView("bf_raw")
+    val oracle = spark.sql(
+      """WITH clean AS (SELECT * FROM bf_raw WHERE _corrupt_record IS NULL),
+        |kept AS (SELECT * FROM clean
+        |  WHERE invoice_no RLIKE '^[0-9]{6}$' AND stock_code RLIKE '^[0-9]{5}$'
+        |    AND customer_id IS NOT NULL AND customer_id RLIKE '^[0-9]{5}$')
+        |SELECT invoice_no,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(qty AS DECIMAL(12,2)) * CAST(unit_price AS DECIMAL(8,2))) AS DECIMAL(14,2)) AS revenue
+        |FROM kept GROUP BY invoice_no""".stripMargin)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDecimal(2)))).toMap
+    val star = fctBack
+      .groupBy(trim(col("INVOICE_ID")).as("invoice_no"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("UNIT_PRICE") * col("QUANTITY")).cast("decimal(14,2)").as("revenue"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDecimal(2)))).toMap
+    assert(star == oracle, s"star=$star oracle=$oracle")
+    // full re-run of the whole backfill is a no-op: nothing doubles
+    val rep2 = Backfill.run(spark, root, start, end)(pipeline(None))
+    assert(rep2.executed.isEmpty && loads.get() == 4)
+    assert(JdbcSink.readTable(spark, url, "RETAIL.FCT_INVOICES", driver).count() == kept0.count())
+    Seq(dimC, dimP, fctBack).foreach(_.unpersist())
+  }
 }
