@@ -101,9 +101,20 @@ final class TxDataSource extends RelationProvider with DataSourceRegister
       require(k >= 1, s"graft-tx: $key must be >= 1, got $k")
       k
     }
+    // Delta's startingVersion: begin at a version instead of the full
+    // snapshot — "latest" subscribes to changes committed after stream
+    // start; a number N surfaces versions (N-1, ...] i.e. N onward
+    val startingVersion = parameters.get("startingVersion").map {
+      case "latest" => TxTable.latestVersion(table)
+      case n =>
+        val v = n.toInt
+        require(v >= 1, s"graft-tx: startingVersion must be >= 1 or 'latest', got $n")
+        v - 1 // exclusive base: version N itself is included
+    }
     new TxStreamSource(sqlContext, table,
       schema.getOrElse(TxTable.read(sqlContext.sparkSession, table).schema),
-      ignoreChanges, cap("maxVersionsPerTrigger"), cap("maxFilesPerTrigger"))
+      ignoreChanges, cap("maxVersionsPerTrigger"), cap("maxFilesPerTrigger"),
+      startingVersion)
   }
 
   /** `df.writeStream.format("graft-tx")` — an EXACTLY-ONCE streaming
@@ -255,7 +266,11 @@ final class TxRelation(ctx: SQLContext, table: String, version: Int)
   * the file set ADDED between two manifests, so an append-only
   * producer streams through exactly once with no file-listing state —
   * the version log already total-orders commits. First batch = the
-  * whole live set at source start (versions (0, latest]).
+  * whole live set at source start (versions (0, latest]) — unless
+  * `startingVersion` says otherwise: a number N starts the stream at
+  * version N (inclusive), `"latest"` subscribes to changes committed
+  * after stream start only (Delta's startingVersion semantics — the
+  * CDC-consumer shape that must not replay a 100 TB snapshot).
   *
   * Append-only contract (Delta's streaming-read rule): a version that
   * REMOVED files (merge/delete/compact/zorder rewrites) aborts the
@@ -287,7 +302,8 @@ final class TxRelation(ctx: SQLContext, table: String, version: Int)
 final class TxStreamSource(ctx: SQLContext, table: String,
     override val schema: StructType, ignoreChanges: Boolean,
     maxVersionsPerTrigger: Option[Int] = None,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    startingVersion: Option[Int] = None)
     extends streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -303,7 +319,7 @@ final class TxStreamSource(ctx: SQLContext, table: String,
     * offset request — restores pacing relative to the consumer's true
     * progress, not version 0.
     */
-  private var pacedThrough: Int = 0
+  private var pacedThrough: Int = startingVersion.getOrElse(0)
 
   /** Trigger.AvailableNow's fixed horizon: versions committed AFTER
     * the trigger started are not part of this drain (the
@@ -394,7 +410,9 @@ final class TxStreamSource(ctx: SQLContext, table: String,
 
   override def getBatch(start: Option[streaming.Offset],
       end: streaming.Offset): DataFrame = {
-    val fromV = start.map(ver).getOrElse(0)
+    // no checkpointed start = the stream's very first batch: begin at
+    // startingVersion's exclusive base (0 = the full snapshot)
+    val fromV = start.map(ver).getOrElse(startingVersion.getOrElse(0))
     val toV = ver(end)
     pacedThrough = math.max(pacedThrough, math.max(fromV, toV))
     val before =

@@ -719,6 +719,49 @@ class TxTableSpec extends SparkSpecBase {
     assert(nBatches() == 3, s"5 versions at cap 2 = 3 batches, got ${nBatches()}")
   }
 
+  test("streaming source startingVersion: 'latest' skips the snapshot, a number starts at that version inclusive") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t, (1L to 10L).toDF("id"), Seq("id"))     // v1
+    TxTable.append(spark, t, (11L to 15L).toDF("id"), Seq("id"))    // v2
+    TxTable.append(spark, t, (16L to 20L).toDF("id"), Seq("id"))    // v3
+    // 'latest': nothing before stream start replays; only v4 arrives
+    val qL = spark.readStream.format("graft-tx").option("path", t)
+      .option("startingVersion", "latest").load()
+      .writeStream.format("memory").queryName("tx_sv_latest")
+      .outputMode("append").start()
+    try {
+      qL.processAllAvailable()
+      assert(spark.table("tx_sv_latest").count() == 0,
+        "startingVersion=latest must not replay the snapshot")
+      TxTable.append(spark, t, (21L to 25L).toDF("id"), Seq("id"))  // v4
+      qL.processAllAvailable()
+      assert(spark.table("tx_sv_latest").as[Long].collect().toSet == (21L to 25L).toSet)
+    } finally qL.stop()
+    // a NUMBER: version 3 itself is included, 1-2 are not
+    val qN = spark.readStream.format("graft-tx").option("path", t)
+      .option("startingVersion", "3").load()
+      .writeStream.format("memory").queryName("tx_sv_three")
+      .outputMode("append").start()
+    try {
+      qN.processAllAvailable()
+      assert(spark.table("tx_sv_three").as[Long].collect().toSet == (16L to 25L).toSet,
+        "startingVersion=3 surfaces versions 3 and 4, not the earlier snapshot")
+    } finally qN.stop()
+    // composes with rate limiting: the post-start backlog drains capped
+    val ckpt = Files.createTempDirectory("graft_tx_sv_ck").toString
+    val out = Files.createTempDirectory("graft_tx_sv_out").toString
+    val qC = spark.readStream.format("graft-tx").option("path", t)
+      .option("startingVersion", "2").option("maxVersionsPerTrigger", "1").load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try { qC.processAllAvailable() } finally qC.stop()
+    assert(spark.read.parquet(out).as[Long].collect().toSet == (11L to 25L).toSet)
+    val n = Files.list(java.nio.file.Paths.get(ckpt, "offsets"))
+      .iterator().asScala.count(_.getFileName.toString.matches("\\d+"))
+    assert(n == 3, s"versions 2..4 at cap 1 = 3 batches, got $n")
+  }
+
   test("streaming source rate limit: Trigger.AvailableNow drains the whole backlog in capped batches, then stops") {
     import spark.implicits._
     val t = tmpTable()
