@@ -143,6 +143,7 @@ object SparkEntry {
     "dq_freshness"       -> Quality.dqFreshness _,
     "dq_volume_anomaly"  -> Quality.dqVolumeAnomaly _,
     "dq_skew_profile"    -> Quality.dqSkewProfile _,
+    "dq_completeness"    -> Quality.dqCompleteness _,
     "embed_mrl_eval"      -> Similarity.mrlEval _,
     "sim_recall_eval"    -> Similarity.recallEval _,
     "dedup_threshold_sweep" -> Similarity.thresholdSweep _,
@@ -642,6 +643,7 @@ object SparkEntry {
     "dq_freshness"        -> Quality.dqFreshnessSql,
     "dq_volume_anomaly"   -> Quality.dqVolumeAnomalySql,
     "dq_skew_profile"     -> Quality.dqSkewProfileSql,
+    "dq_completeness"     -> Quality.dqCompletenessSql,
     "sim_recall_eval"     -> Similarity.recallEvalSql,
     "embed_mrl_eval"      -> Similarity.mrlEvalSql,
     "dedup_threshold_sweep" -> Similarity.thresholdSweepSql,

@@ -501,4 +501,65 @@ object Quality {
        |UNION ALL ${one("orders", "o_custkey")}
        |ORDER BY key_col""".stripMargin
   }
+
+  // -------------------------------------------------------- completeness
+
+  /** dq_completeness — the first-look COLUMN PROFILE a table owner
+    * runs before anything else: per column, row count, null count,
+    * null rate (ppm), and exact distinct cardinality. One row per
+    * profiled column.
+    *
+    * Shape at scale: ONE aggregate pass over the table. The exact
+    * multi-column COUNT(DISTINCT) makes Catalyst plan an Expand
+    * (one replicated stream per distinct column) — the exactness
+    * contract this profile wants; a 100 TB caller trading exactness
+    * for one pass swaps in the HLL sketch tier (q19_udaf_hll /
+    * q36_hll_union). The ppm products ride DECIMAL(38,0) like
+    * [[skewProfileOf]] — 1e6 × a 1e13 row count wraps Long silently.
+    * The per-column fan-out is a union of 1-row projections over the
+    * SAME aggregate (reused, not recomputed).
+    */
+  def completenessOf(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c")))
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+      .transform(graft.util.CacheScope.cached) // one row, fanned out per column
+    cols.map { c =>
+      agged.select(
+        lit(c).as("col_name"),
+        col("n_rows"),
+        (col("n_rows") - col(s"nn_$c")).as("n_null"),
+        expr(s"(CAST(1000000 AS DECIMAL(38,0)) * (n_rows - nn_$c)) div n_rows")
+          .as("null_ppm"),
+        col(s"nd_$c").as("n_distinct"))
+    }.reduce(_ unionAll _).orderBy(col("col_name"))
+  }
+
+  /** dq_completeness testdata binding: the events feed profiled
+    * AFTER sentinel decoding — the realistic ordering (a feed encodes
+    * "unknown" as a sentinel band; the profile must count it as
+    * missing, so the decode runs first — the inverse of etl_clean's
+    * sentinel null-FILL). Here every 7th user_id decodes to NULL, so
+    * the null path carries real weight against the oracle.
+    */
+  def dqCompleteness(spark: SparkSession, sfDir: String): DataFrame =
+    completenessOf(
+      Tables.events(spark, sfDir).withColumn("user_id",
+        when(pmod(col("user_id"), lit(7L)) === 0L, lit(null)).otherwise(col("user_id"))),
+      Seq("event_id", "user_id", "event_type", "value"))
+
+  def dqCompletenessSql: String = {
+    def one(c: String): String =
+      s"""(SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+         |  CAST((CAST(1000000 AS HUGEINT) * (count(*) - count($c))) // count(*) AS BIGINT) AS null_ppm,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+         |FROM decoded)""".stripMargin
+    "WITH decoded AS (SELECT event_id, " +
+      "CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS user_id, " +
+      "event_type, value FROM events)\n" +
+      Seq("event_id", "user_id", "event_type", "value").map(one)
+        .mkString("", "\nUNION ALL ", "\nORDER BY col_name")
+  }
 }
