@@ -660,6 +660,34 @@ class TxTableSpec extends SparkSpecBase {
       "leg-1's merge must survive both band rewrites")
   }
 
+  test("legacy manifests without null counts keep every file conservatively (upgrade path)") {
+    import org.apache.spark.sql.sources.{IsNull, IsNotNull}
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1), Seq("id", "v"))
+    // simulate a pre-r12 manifest: strip the "nulls" blocks in place
+    val mf = java.nio.file.Paths.get(t, "_log", "v00000001.json")
+    val json = new String(Files.readAllBytes(mf), "UTF-8")
+    assert(json.contains("\"nulls\""), "new writes must carry null counts")
+    val legacy = json.replaceAll("(?s),?\\s*\"nulls\"\\s*:\\s*\\{[^}]*\\}", "")
+    Files.write(mf, legacy.getBytes("UTF-8"))
+    val files = TxTable.manifest(t, 1).files
+    assert(files.forall(_.nullCounts.isEmpty), "legacy manifests parse with empty null counts")
+    // unknown null counts → every null-aware filter keeps the file
+    def kept(fs: org.apache.spark.sql.sources.Filter*): Int =
+      graft.sources.TxDataSource.filesFor(t, 1, fs).size
+    assert(kept(IsNull("v")) == files.size)
+    assert(kept(IsNotNull("v")) == files.size)
+    // and reads through the format stay correct
+    assert(spark.read.format("graft-tx").load(t).filter(col("v").isNotNull).count() == 2)
+    // the next append re-introduces null counts without disturbing v1
+    TxTable.append(spark, t, Seq((3L, "c")).toDF("id", "v").repartition(1), Seq("id", "v"))
+    val v2 = TxTable.manifest(t, 2).files
+    assert(v2.exists(_.nullCounts.nonEmpty) && v2.exists(_.nullCounts.isEmpty),
+      "mixed legacy/new entries coexist in one live set")
+    assert(spark.read.format("graft-tx").load(t).count() == 3)
+  }
+
   test("vacuumed table: history lists only retained versions; restore below the horizon names the retention contract") {
     import spark.implicits._
     val t = tmpTable()
