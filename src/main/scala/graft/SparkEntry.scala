@@ -89,6 +89,7 @@ object SparkEntry {
     "etl_dim_serial"     -> RetailEtl.dimSerial _,
     "q51_assoc_rules"    -> Affinity.assocRules _,
     "q52_pagerank"       -> Affinity.pagerank _,
+    "q71_percentile_exact" -> Relational.q71PercentileExact _,
     "q70_ppr"            -> Affinity.ppr _,
     "q59_coreness"       -> Affinity.coreness _,
     "q64_community_lp"   -> Affinity.communityLp _,
@@ -596,6 +597,7 @@ object SparkEntry {
     "etl_dim_serial"      -> RetailEtl.dimSerialSql,
     "q51_assoc_rules"     -> Affinity.assocRulesSql,
     "q52_pagerank"        -> Affinity.pagerankSql,
+    "q71_percentile_exact" -> Relational.q71PercentileExactSql,
     "q70_ppr"             -> Affinity.pprSql,
     "q59_coreness"        -> Affinity.corenessSql,
     "text_bm25"           -> TextAnalysis.bm25Sql,

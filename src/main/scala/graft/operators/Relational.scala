@@ -1127,4 +1127,52 @@ object Relational {
       |SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_orders
       |FROM blamed GROUP BY 1
       |ORDER BY n_orders DESC, l_suppkey LIMIT 20""".stripMargin
+
+  /** q71_percentile_exact — EXACT discrete percentiles per group
+    * (p50/p90/p99 of event value per event_type): the value-oracled
+    * exact tier beside the mergeable-sketch path ([[q62QuantileRollup]]
+    * rows-only; [[q63SketchAudit]] bounds it). The selected element is
+    * the ceil(q·n)-th in sort order — a DATA value, not arithmetic, so
+    * both engines agree bit for bit with no rounding convention in
+    * play (ties collapse to the same value at any rank permutation).
+    *
+    * Shape at scale: ONE hash partition on the group key carries the
+    * per-group sort (row_number) + count + the final aggregate — no
+    * second shuffle, no global sort. ceil(q·n) is integer-exact:
+    * (k·n + d − 1) div d. The trade vs the sketch tier is the
+    * per-group sort's memory: groups must fit a partition (true for
+    * keyed telemetry; a heavy-key profile first runs dq_skew_profile).
+    */
+  def q71PercentileExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+    val ranked = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w.orderBy(col("value"))))
+      .withColumn("n", count(lit(1)).over(w))
+    val c50 = expr("(n + 1) div 2")
+    val c90 = expr("(9 * n + 9) div 10")
+    val c99 = expr("(99 * n + 99) div 100")
+    ranked
+      .filter(col("rn") === c50 || col("rn") === c90 || col("rn") === c99)
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rn") === c50, col("value"))).as("p50"),
+        max(when(col("rn") === c90, col("value"))).as("p90"),
+        max(when(col("rn") === c99, col("value"))).as("p99"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Same ceil-rank selection spelled in SQL — deliberately NOT
+    * quantile_disc, whose rank convention would be a second source of
+    * truth; the oracle states the rank arithmetic literally.
+    */
+  def q71PercentileExactSql: String =
+    """WITH r AS (SELECT event_type, value,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |  count(*) OVER (PARTITION BY event_type) AS n
+      | FROM events)
+      |SELECT event_type,
+      | max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+      | max(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,
+      | max(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
+      |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin
 }
