@@ -90,6 +90,7 @@ object SparkEntry {
     "q51_assoc_rules"    -> Affinity.assocRules _,
     "q52_pagerank"       -> Affinity.pagerank _,
     "q71_percentile_exact" -> Relational.q71PercentileExact _,
+    "q72_mode_exact"      -> Relational.q72ModeExact _,
     "q70_ppr"            -> Affinity.ppr _,
     "q59_coreness"       -> Affinity.coreness _,
     "q64_community_lp"   -> Affinity.communityLp _,
@@ -598,6 +599,7 @@ object SparkEntry {
     "q51_assoc_rules"     -> Affinity.assocRulesSql,
     "q52_pagerank"        -> Affinity.pagerankSql,
     "q71_percentile_exact" -> Relational.q71PercentileExactSql,
+    "q72_mode_exact"      -> Relational.q72ModeExactSql,
     "q70_ppr"             -> Affinity.pprSql,
     "q59_coreness"        -> Affinity.corenessSql,
     "text_bm25"           -> TextAnalysis.bm25Sql,

@@ -1175,4 +1175,50 @@ object Relational {
       | max(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,
       | max(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
       |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** q72_mode_exact — EXACT MODE per group with a stated tie-break:
+    * the modal order priority per customer market segment, completing
+    * the descriptive-stats family (mean/stddev q21, quantiles
+    * q62/q63/q71, histogram q35 — mode was the gap). Ties break to
+    * the LEXICOGRAPHICALLY SMALLEST modal value (stated, so the
+    * oracle can't silently disagree).
+    *
+    * Shape at scale: (segment, priority) count aggregate with
+    * map-side partials collapses the data to group-cardinality ×
+    * domain-cardinality rows BEFORE the window — the per-segment
+    * rank sorts a handful of candidate rows, never the fact table.
+    * The customer join shuffles on the natural key; at a true dim/
+    * fact ratio the dim side would broadcast, but customer here is
+    * data-scaled so the hint is deliberately absent (PlanAuditSpec's
+    * broadcast policy).
+    */
+  def q72ModeExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("c_custkey"), col("o_orderpriority"))
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    val counted = o.join(c, Seq("c_custkey"))
+      .groupBy(col("segment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("segment"))
+      .orderBy(col("n").desc, col("o_orderpriority"))
+    counted.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("segment"), col("o_orderpriority").as("mode_priority"),
+        col("n").as("n_modal"))
+      .orderBy(col("segment"))
+  }
+
+  def q72ModeExactSql: String =
+    """WITH counted AS (
+      | SELECT c.c_mktsegment AS segment, o.o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n
+      | FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      | GROUP BY 1, 2),
+      |ranked AS (SELECT segment, o_orderpriority, n,
+      |  row_number() OVER (PARTITION BY segment
+      |    ORDER BY n DESC, o_orderpriority) AS rk
+      | FROM counted)
+      |SELECT segment, o_orderpriority AS mode_priority, n AS n_modal
+      |FROM ranked WHERE rk = 1 ORDER BY segment""".stripMargin
 }
