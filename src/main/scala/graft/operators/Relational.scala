@@ -1023,21 +1023,108 @@ object Relational {
       |SELECT yr, status, prio AS modal_prio, n FROM rk WHERE rk = 1
       |ORDER BY yr, status""".stripMargin
 
+  /** Two-phase BUCKET-RANK selection — the scale-safe exact-quantile
+    * device (VERDICT r12 #2/#3): the value at each 1-based target rank
+    * per group, computed with (group, value-bucket) as the parallel
+    * unit instead of a per-group sort window (which at a 5-value group
+    * key funnels the corpus through 5 reducers — partition-fit death
+    * at 100×). Phase 1 buckets values into ≤ `buckets` monotone slices
+    * per group and counts them — one map-side-combined aggregate;
+    * phase 2 prefix-sums the BUCKET rows only (a window over
+    * ≤ groups·buckets aggregate rows, never the data) to locate the
+    * bucket holding each target rank; phase 3 ranks ONLY inside
+    * located buckets (≈ rows/buckets per sort partition) and picks
+    * rank − cum_before. The bucket function is monotone and equal
+    * values share a bucket, so cross-bucket rank composition is exact
+    * at any tie profile: the selected VALUE matches a global sort's
+    * at every rank permutation. Same device family as
+    * [[graft.operators.Training.tokenBudgetOn]]'s boundary-bucket
+    * selection and text_perplexity's terciles.
+    *
+    * `data`: (g: group key, value: double non-null).
+    * `targets`: (g, which: string tag, target: 1-based rank ≤ n_g).
+    * Returns (g, which, value). A single-valued group (vmin = vmax)
+    * collapses to bucket 0 — a degenerate but correct one-bucket sort.
+    */
+  private def valuesAtRanks(data: DataFrame, targets: DataFrame,
+      buckets: Int = 4096): DataFrame = {
+    val rng = data.groupBy(col("g"))
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    val width = col("vmax") - col("vmin")
+    val bkt = when(width === 0.0, lit(0L)).otherwise(
+      least(floor((col("value") - col("vmin")) / width * buckets),
+        lit((buckets - 1).toLong)))
+    val bucketed = data.join(broadcast(rng), Seq("g")).withColumn("bkt", bkt)
+    val counts = bucketed.groupBy(col("g"), col("bkt")).agg(count(lit(1)).as("c"))
+    val wb = Window.partitionBy(col("g")).orderBy(col("bkt"))
+    val cum = counts.withColumn("cum_before",
+      coalesce(sum(col("c")).over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    // which bucket holds each target rank: tiny × tiny join per group
+    val located = cum.join(targets, Seq("g"))
+      .filter(col("target") > col("cum_before") &&
+        col("target") <= col("cum_before") + col("c"))
+      .select(col("g"), col("bkt"), col("which"),
+        (col("target") - col("cum_before")).as("local_rank"))
+    // rank only inside located buckets; `which` in the partition key so
+    // two targets landing in one bucket rank their slices independently
+    val wloc = Window.partitionBy(col("g"), col("bkt"), col("which"))
+      .orderBy(col("value"))
+    bucketed.join(broadcast(located), Seq("g", "bkt"))
+      .withColumn("rn", row_number().over(wloc))
+      .filter(col("rn") === col("local_rank"))
+      .select(col("g"), col("which"), col("value"))
+  }
+
   /** q21_stats_agg — statistical aggregates: Pearson correlation,
-    * sample stddev, exact interpolated percentiles (median / p90). All
-    * single-pass mergeable aggregation states → one shuffle on the
-    * group key at any scale; exact percentiles sort per group (use
-    * approx_percentile when group cardinality explodes).
+    * sample stddev, exact interpolated percentiles (median / p90).
+    * Correlation/stddev/count are single-pass mergeable aggregation
+    * states → one shuffle on the group key at any scale. The exact
+    * percentiles ride [[valuesAtRanks]] (the bucket-rank device)
+    * instead of `percentile()` — whose ImperativeAggregate buffers
+    * every group's values in executor memory, an OOM at 100× under
+    * this 3-value group key: pos = q·(n−1) (0-based), the two
+    * straddling ranks come back as data values, and the SQL-standard
+    * interpolation v_lo·(⌈pos⌉−pos) + v_hi·(pos−⌊pos⌋) recombines
+    * them (quantile_cont's exact arithmetic — the oracle's formula).
     */
   def q21StatsAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.lineitem(spark, sfDir)
-      .groupBy(col("l_returnflag"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+    val base = li.groupBy(col("l_returnflag"))
       .agg(
         Cols.pround(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
         Cols.pround(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
-        Cols.pround(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
-        Cols.pround(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"),
         count(lit(1)).as("n_rows"))
+    // one scan feeds both percentile columns: unpivot to a composite
+    // (flag, metric) group key and run the rank core once
+    val metrics = li.selectExpr("l_returnflag",
+        "stack(2, 'qty', l_quantity, 'price', l_extendedprice) as (metric, value)")
+      .select(concat_ws("|", col("l_returnflag"), col("metric")).as("g"),
+        col("value"))
+    val pos = metrics.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .withColumn("q", when(col("g").endsWith("|qty"), lit(0.5)).otherwise(lit(0.9)))
+      .withColumn("pos", col("q") * (col("n") - 1).cast("double"))
+      .select(col("g"), col("pos"),
+        (floor(col("pos")) + 1).cast("long").as("lo_t"),
+        (ceil(col("pos")) + 1).cast("long").as("hi_t"))
+    val targets = pos.selectExpr("g", "stack(2, 'lo', lo_t, 'hi', hi_t) as (which, target)")
+    val straddle = valuesAtRanks(metrics, targets)
+      .groupBy(col("g"))
+      .agg(max(when(col("which") === "lo", col("value"))).as("vlo"),
+        max(when(col("which") === "hi", col("value"))).as("vhi"))
+    val interp = straddle.join(pos, Seq("g"))
+      .withColumn("pct", when(ceil(col("pos")) === floor(col("pos")), col("vlo"))
+        .otherwise(col("vlo") * (ceil(col("pos")).cast("double") - col("pos")) +
+          col("vhi") * (col("pos") - floor(col("pos")).cast("double"))))
+      .select(split(col("g"), "\\|").getItem(0).as("l_returnflag"),
+        split(col("g"), "\\|").getItem(1).as("metric"), col("pct"))
+    val pcts = interp.groupBy(col("l_returnflag"))
+      .agg(Cols.pround(max(when(col("metric") === "qty", col("pct"))), 4).as("median_qty"),
+        Cols.pround(max(when(col("metric") === "price", col("pct"))), 2).as("p90_price"))
+    base.join(pcts, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("corr_qty_price"), col("sd_qty"),
+        col("median_qty"), col("p90_price"), col("n_rows"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -1136,28 +1223,36 @@ object Relational {
     * both engines agree bit for bit with no rounding convention in
     * play (ties collapse to the same value at any rank permutation).
     *
-    * Shape at scale: ONE hash partition on the group key carries the
-    * per-group sort (row_number) + count + the final aggregate — no
-    * second shuffle, no global sort. ceil(q·n) is integer-exact:
-    * (k·n + d − 1) div d. The trade vs the sketch tier is the
-    * per-group sort's memory: groups must fit a partition (true for
-    * keyed telemetry; a heavy-key profile first runs dq_skew_profile).
+    * Shape at scale (VERDICT r12 #2 — the re-plan): the earlier
+    * binding sorted the corpus through a row_number window partitioned
+    * by event_type — FIVE reducers carrying everything, the one key
+    * shape the groups-fit-a-partition trade forbids. This form rides
+    * [[valuesAtRanks]]: (group, value-bucket) is the parallel unit,
+    * the only group-keyed window runs over bucket-count aggregate
+    * rows, and the per-bucket sorts see ≈ rows/4096 each. Same oracle,
+    * same selected values (rank composition across monotone buckets
+    * is exact), 100×-safe plan.
     */
-  def q71PercentileExact(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-    val ranked = Tables.events(spark, sfDir)
-      .select(col("event_type"), col("value"))
-      .withColumn("rn", row_number().over(w.orderBy(col("value"))))
-      .withColumn("n", count(lit(1)).over(w))
-    val c50 = expr("(n + 1) div 2")
-    val c90 = expr("(9 * n + 9) div 10")
-    val c99 = expr("(99 * n + 99) div 100")
-    ranked
-      .filter(col("rn") === c50 || col("rn") === c90 || col("rn") === c99)
-      .groupBy(col("event_type"))
-      .agg(max(when(col("rn") === c50, col("value"))).as("p50"),
-        max(when(col("rn") === c90, col("value"))).as("p90"),
-        max(when(col("rn") === c99, col("value"))).as("p99"))
+  def q71PercentileExact(spark: SparkSession, sfDir: String): DataFrame =
+    percentileExactOn(Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")))
+
+  /** [[q71PercentileExact]]'s core over any (event_type, value: double)
+    * frame — separated so the planted-skew spec can drive it at
+    * adversarial group counts.
+    */
+  def percentileExactOn(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_type").as("g"), col("value"))
+    val targets = e.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .selectExpr("g",
+        "stack(3, 'p50', (n + 1) div 2, 'p90', (9 * n + 9) div 10, " +
+          "'p99', (99 * n + 99) div 100) as (which, target)")
+    valuesAtRanks(e, targets)
+      .groupBy(col("g"))
+      .agg(max(when(col("which") === "p50", col("value"))).as("p50"),
+        max(when(col("which") === "p90", col("value"))).as("p90"),
+        max(when(col("which") === "p99", col("value"))).as("p99"))
+      .select(col("g").as("event_type"), col("p50"), col("p90"), col("p99"))
       .orderBy(col("event_type"))
   }
 

@@ -243,6 +243,33 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("q71_percentile_exact: every data-scaled rank window is bucket-partitioned, never the 5-value group key alone") {
+    // the r12 verdict's scale-killer: a row_number window partitioned
+    // by event_type funnels the corpus through 5 reducers. The bucket-
+    // rank device must keep every row_number partition keyed by
+    // (group, bucket); the only group-alone window (the bucket prefix
+    // sum) consumes aggregate rows, not data
+    val p = planOf(q("q71_percentile_exact"))
+    val rankWindows = p.linesIterator
+      .filter(_.contains("row_number() windowspecdefinition")).toSeq
+    assert(rankWindows.nonEmpty, s"no rank window found:\n$p")
+    assert(rankWindows.forall(_.contains("bkt#")),
+      s"a row_number window rides a low-cardinality partition:\n${rankWindows.mkString("\n")}")
+  }
+
+  test("q21_stats_agg: exact percentiles without an ImperativeAggregate value buffer") {
+    // percentile()'s aggregate buffers every group's values in executor
+    // memory — the bucket-rank device replaces it; correlation/stddev
+    // stay single-pass mergeable states
+    val p = planOf(q("q21_stats_agg"))
+    assert(!p.contains("percentile("),
+      s"exact percentile() aggregate back in the plan:\n$p")
+    val rankWindows = p.linesIterator
+      .filter(_.contains("row_number() windowspecdefinition")).toSeq
+    assert(rankWindows.nonEmpty && rankWindows.forall(_.contains("bkt#")),
+      s"the percentile tier must ride the bucket-rank device:\n${rankWindows.mkString("\n")}")
+  }
+
   test("pipeline_pack: per-shard window — no single-partition exchange anywhere") {
     val p = planOf(q("pipeline_pack"))
     assert(!p.contains("Exchange SinglePartition"),

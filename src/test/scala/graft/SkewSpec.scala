@@ -67,4 +67,21 @@ class SkewSpec extends SparkSpecBase {
       assert(m(r.getString(0)) == ((r.getLong(1), r.getDouble(2))), s"key ${r.getString(0)} diverged")
     }
   }
+
+  test("bucket-rank exact percentiles: 2 groups × 1M rows — the adversarial shape a group-keyed sort window cannot survive") {
+    // the planted truth: group A holds a permutation-equivalent of
+    // 1..1e6 (every rank k selects value k), group B the even numbers
+    // 2..2e6 — ceil-ranks are analytic: c50 = (n+1) div 2 = 500000,
+    // c90 = (9n+9) div 10 = 900000, c99 = (99n+99) div 100 = 990000
+    val n = 1000000L
+    val a = spark.range(n).select(lit("A").as("event_type"),
+      (col("id") + 1).cast("double").as("value"))
+    val b = spark.range(n).select(lit("B").as("event_type"),
+      ((col("id") + 1) * 2).cast("double").as("value"))
+    val got = graft.operators.Relational.percentileExactOn(a.unionByName(b))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("A") == ((500000.0, 900000.0, 990000.0)), got("A").toString)
+    assert(got("B") == ((1000000.0, 1800000.0, 1980000.0)), got("B").toString)
+  }
 }
