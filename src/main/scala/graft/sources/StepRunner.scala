@@ -171,8 +171,12 @@ final class StepRunner(spark: SparkSession, runDir: String,
     * 100 TB keeps executors busy while one branch waits on a shuffle.
     *
     * ALL branches settle before this returns (no orphaned threads);
-    * the FIRST failure (in argument order) then propagates, with the
-    * other branches' ledger progress preserved for the resume.
+    * the FIRST failure (in argument order) then propagates — with
+    * every OTHER branch's failure attached as a suppressed exception
+    * (two loaders dying on a shared outage must both surface in the
+    * log and the resume diagnosis, not just whichever ran first) —
+    * and the surviving branches' ledger progress preserved for the
+    * resume.
     */
   def concurrently[A](tasks: (() => A)*): Seq[A] = {
     if (tasks.isEmpty) return Seq.empty
@@ -182,12 +186,15 @@ final class StepRunner(spark: SparkSession, runDir: String,
       val futs = tasks.map { t =>
         pool.submit(new java.util.concurrent.Callable[A] { def call(): A = t() })
       }
+      def unwrap(e: Throwable): Throwable = e match {
+        case ee: java.util.concurrent.ExecutionException if ee.getCause != null => ee.getCause
+        case other => other
+      }
       val results = futs.map(f => scala.util.Try(f.get()))
-      results.collectFirst { case scala.util.Failure(e) =>
-        throw (e match {
-          case ee: java.util.concurrent.ExecutionException if ee.getCause != null => ee.getCause
-          case other => other
-        })
+      val failures = results.collect { case scala.util.Failure(e) => unwrap(e) }
+      failures.headOption.foreach { first =>
+        failures.drop(1).filter(_ ne first).foreach(first.addSuppressed)
+        throw first
       }
       results.map(_.get)
     } finally {

@@ -236,4 +236,19 @@ class StepRunnerSpec extends SparkSpecBase {
     assert(rep2.executed.isEmpty && rep2.skipped.size == 5)
     assert(stepRuns.get() == 5)
   }
+
+  test("concurrently: when several branches fail, the first propagates with the others attached as suppressed (no lost root cause)") {
+    val runDir = Files.createTempDirectory("graft_steps_sup").toString
+    val r = new StepRunner(spark, runDir)
+    val e = intercept[IllegalStateException] {
+      r.concurrently[Any](
+        () => throw new IllegalStateException("loader A: warehouse down"),
+        () => "branch B survives",
+        () => throw new IllegalArgumentException("loader C: warehouse down too"))
+    }
+    assert(e.getMessage.contains("loader A"))
+    assert(e.getSuppressed.exists(_.getMessage.contains("loader C")),
+      "the second branch's failure must ride along as suppressed, not vanish")
+    assert(e.getSuppressed.length == 1, "surviving branches add nothing")
+  }
 }
