@@ -43,6 +43,7 @@ object ScaleRehearsal {
     if (args.headOption.contains("delete")) { deleteMain(args.drop(1)); return }
     if (args.headOption.contains("ppl")) { pplMain(args.drop(1)); return }
     if (args.headOption.contains("tx")) { txMain(args.drop(1)); return }
+    if (args.headOption.contains("txlog")) { txlogMain(args.drop(1)); return }
     val n = if (args.nonEmpty) args(0).toLong else 2000000L
     val planted = math.max(n / 100, 1L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -959,6 +960,76 @@ object ScaleRehearsal {
       s""""prune_ok":$pruneOk,"read_ok":$readOk,"merge_ok":$mergeOk,""" +
       s""""delete_ok":$deleteOk,"cdf_ok":$cdfOk}""")
     spark.stop()
+    if (!ok) sys.exit(1)
+  }
+
+  /** Version-LOG rehearsal: the commit protocol alone at 100 TB-shaped
+    * version counts — 1,000 commits appending into a live set that
+    * grows to ~1,000 files, no Spark session (the log layer is pure
+    * metadata; the data path is the `tx` rehearsal above). Gates:
+    *  - O(delta) commit cost: the MEDIAN delta-record size over the
+    *    last 100 commits is within 1.5× the first 100's, while the
+    *    live set grew ~10× — per-commit bytes must not scale with
+    *    the table,
+    *  - checkpointed resolution: every 97th version's resolved live
+    *    set equals the spec-side tracked truth; resolve time at
+    *    v1000 stays in single-digit milliseconds,
+    *  - vacuum to a mid-log delta version keeps every retained
+    *    version resolvable (horizon sidecar).
+    */
+  private def txlogMain(args: Array[String]): Unit = {
+    import graft.sources.TxTable
+    import graft.sources.TxTable.{ColStats, FileEntry}
+    val commits = if (args.nonEmpty) args(0).toInt else 1000
+    val t = java.nio.file.Files.createTempDirectory("graft_txlog").resolve("t").toString
+    // entries are fabricated (metadata-only rehearsal) but vacuum walks
+    // the data dir, so it must exist
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t, "data"))
+    def entry(i: Int): FileEntry =
+      FileEntry(f"data/a-$i%08d/part-00000.parquet", 1000L,
+        Map("id" -> ColStats.ofLongs(i * 1000L, i * 1000L + 999L)),
+        Map("id" -> 0L))
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    var live = Vector.empty[FileEntry]
+    var expected = Map.empty[Int, Set[String]]
+    val (_, tCommits) = timed {
+      (1 to commits).foreach { v =>
+        live :+= entry(v)
+        TxTable.commit(t, v - 1, live)
+        if (v % 97 == 0 || v == commits) expected += v -> live.map(_.path).toSet
+      }
+    }
+    def recordBytes(v: Int): Long = java.nio.file.Files.size(
+      java.nio.file.Paths.get(t, "_log", f"v$v%08d.json"))
+    def medianDeltaBytes(r: Range): Long = {
+      val ds = r.filter(v => v != 1 && v % TxTable.CheckpointInterval != 0)
+        .map(recordBytes).sorted
+      ds(ds.size / 2)
+    }
+    val early = medianDeltaBytes(2 to 101)
+    val late = medianDeltaBytes(commits - 100 until commits)
+    val deltaOk = late <= (early * 3) / 2
+    val ((resolved, resolveOk), tResolve) = timed {
+      val m = TxTable.manifest(t, commits)
+      (m.files.size, expected.forall { case (v, want) =>
+        TxTable.manifest(t, v).files.map(_.path).toSet == want
+      })
+    }
+    // vacuum to a mid-log NON-checkpoint version: the sidecar must keep
+    // the whole retained window resolvable
+    val horizon = commits / 2 + 1 // odd → never a checkpoint multiple
+    TxTable.vacuum(t, keepFromVersion = horizon)
+    val vacuumOk = (horizon to commits by 101).forall { v =>
+      TxTable.manifest(t, v).files.size == v
+    } && TxTable.oldestRetainedVersion(t) == horizon
+    val ok = deltaOk && resolveOk && vacuumOk && resolved == commits
+    println(s"""{"metric":"scale_rehearsal_txlog","commits":$commits,""" +
+      s""""commits_sec":${f"$tCommits%.2f"},"early_delta_bytes":$early,""" +
+      s""""late_delta_bytes":$late,"resolve_sec":${f"$tResolve%.4f"},""" +
+      s""""live_files":$resolved,"delta_ok":$deltaOk,"resolve_ok":$resolveOk,""" +
+      s""""vacuum_ok":$vacuumOk}""")
     if (!ok) sys.exit(1)
   }
 }

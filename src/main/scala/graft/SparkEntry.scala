@@ -235,6 +235,7 @@ object SparkEntry {
     "tx_merge"            -> graft.sources.TxTable.mergeQuery _,
     "tx_time_travel"      -> graft.sources.TxTable.timeTravelQuery _,
     "tx_sql_read"         -> graft.sources.TxTable.sqlReadQuery _,
+    "tx_catalog_read"     -> graft.sources.TxTable.catalogReadQuery _,
     "tx_delete"           -> graft.sources.TxTable.deleteQuery _,
     "tx_update"           -> graft.sources.TxTable.updateQuery _,
     "text_diversity"      -> Training.diversity _,
@@ -579,6 +580,7 @@ object SparkEntry {
     "tx_merge"            -> graft.sources.TxTable.mergeQuerySql,
     "tx_time_travel"      -> graft.sources.TxTable.timeTravelQuerySql,
     "tx_sql_read"         -> graft.sources.TxTable.sqlReadQuerySql,
+    "tx_catalog_read"     -> graft.sources.TxTable.catalogReadQuerySql,
     "tx_delete"           -> graft.sources.TxTable.deleteQuerySql,
     "tx_update"           -> graft.sources.TxTable.updateQuerySql,
     "dq_constraints"      -> Quality.dqConstraintsSql,

@@ -36,8 +36,7 @@ final class TxDataSource extends RelationProvider with DataSourceRegister
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
-    val table = parameters.getOrElse("path",
-      throw new IllegalArgumentException("graft-tx requires a path option"))
+    val table = tableOf(parameters)
     val version = parameters.get("version").map(_.toInt).getOrElse(-1)
     new TxRelation(sqlContext, table, version)
   }
@@ -73,9 +72,15 @@ final class TxDataSource extends RelationProvider with DataSourceRegister
 
   // ------------------------------------------------- streaming source
 
-  private def tableOf(parameters: Map[String, String]): String =
-    parameters.getOrElse("path",
+  private def tableOf(parameters: Map[String, String]): String = {
+    val p = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-tx requires a path option"))
+    // the catalog (saveAsTable / CREATE TABLE resolution) hands the
+    // location back as a QUALIFIED URI (file:/…); TxTable addresses
+    // plain filesystem paths — unwrap, or the "file:" scheme becomes
+    // a literal directory name
+    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+  }
 
   private def statsColsOf(parameters: Map[String, String]): Seq[String] =
     parameters.get("statsColumns")
@@ -103,12 +108,27 @@ final class TxDataSource extends RelationProvider with DataSourceRegister
     }
     // Delta's startingVersion: begin at a version instead of the full
     // snapshot — "latest" subscribes to changes committed after stream
-    // start; a number N surfaces versions (N-1, ...] i.e. N onward
+    // start; a number N surfaces versions (N-1, ...] i.e. N onward.
+    // Validated HERE, at source creation: version N streams by diffing
+    // against manifest N-1, so N-1 must be resolvable — failing fast
+    // with the real cause beats the misleading consumer-lag retention
+    // error a doomed getBatch would raise later.
     val startingVersion = parameters.get("startingVersion").map {
       case "latest" => TxTable.latestVersion(table)
       case n =>
         val v = n.toInt
         require(v >= 1, s"graft-tx: startingVersion must be >= 1 or 'latest', got $n")
+        val latest = TxTable.latestVersion(table)
+        val oldest = TxTable.oldestRetainedVersion(table)
+        if (v > latest + 1) throw new IllegalArgumentException(
+          s"graft-tx: startingVersion $v is beyond the table's committed " +
+            s"range [1, $latest] (at most latest+1 = ${latest + 1}, which " +
+            s"subscribes to the next commit)")
+        if (v - 1 >= 1 && v - 1 < oldest) throw new IllegalArgumentException(
+          s"graft-tx: startingVersion $v is below the retention horizon — " +
+            s"version ${v - 1} (its diff base) was vacuumed; the retained " +
+            s"window is [$oldest, $latest]. Start at ${oldest + 1} or later, " +
+            s"or omit startingVersion to read the full snapshot.")
         v - 1 // exclusive base: version N itself is included
     }
     new TxStreamSource(sqlContext, table,
@@ -156,7 +176,11 @@ object TxDataSource {
     */
   def filesFor(table: String, version: Int, filters: Seq[Filter]): Seq[TxTable.FileEntry] = {
     val v = if (version > 0) version else TxTable.latestVersion(table)
-    TxTable.manifest(table, v).files.filter(f => filters.forall(keep(f, _)))
+    // filters arrive under CURRENT logical names; stats stay keyed by
+    // the original (column mapping) — translate before the lookup
+    val (renames, _) = TxTable.mappingAt(table, v)
+    val orig: String => String = c => renames.getOrElse(c, c)
+    TxTable.manifest(table, v).files.filter(f => filters.forall(keep(f, _, orig)))
   }
 
   private def render(v: Any): String = v match {
@@ -187,20 +211,22 @@ object TxDataSource {
 
   /** Max-rendered-string sentinel bounds: stats values never exceed
     * them in any typ's ordering, so "open" range ends keep files.
+    * `orig` maps a filter's logical column name to the stats key.
     */
-  private def keep(f: TxTable.FileEntry, filter: Filter): Boolean = filter match {
-    case EqualTo(c, v)            => rangeKeeps(f, c, v, v)
-    case EqualNullSafe(c, null)   => hasNulls(f, c)
-    case EqualNullSafe(c, v)      => rangeKeeps(f, c, v, v)
-    case In(c, vs)                => vs.exists(v => rangeKeeps(f, c, v, v))
-    case GreaterThan(c, v)        => lowerKeeps(f, c, v)
-    case GreaterThanOrEqual(c, v) => lowerKeeps(f, c, v)
-    case LessThan(c, v)           => upperKeeps(f, c, v)
-    case LessThanOrEqual(c, v)    => upperKeeps(f, c, v)
-    case IsNull(c)                => hasNulls(f, c)
-    case IsNotNull(c)             => !allNull(f, c)
-    case And(l, r)                => keep(f, l) && keep(f, r)
-    case Or(l, r)                 => keep(f, l) || keep(f, r)
+  private def keep(f: TxTable.FileEntry, filter: Filter,
+      orig: String => String): Boolean = filter match {
+    case EqualTo(c, v)            => rangeKeeps(f, orig(c), v, v)
+    case EqualNullSafe(c, null)   => hasNulls(f, orig(c))
+    case EqualNullSafe(c, v)      => rangeKeeps(f, orig(c), v, v)
+    case In(c, vs)                => vs.exists(v => rangeKeeps(f, orig(c), v, v))
+    case GreaterThan(c, v)        => lowerKeeps(f, orig(c), v)
+    case GreaterThanOrEqual(c, v) => lowerKeeps(f, orig(c), v)
+    case LessThan(c, v)           => upperKeeps(f, orig(c), v)
+    case LessThanOrEqual(c, v)    => upperKeeps(f, orig(c), v)
+    case IsNull(c)                => hasNulls(f, orig(c))
+    case IsNotNull(c)             => !allNull(f, orig(c))
+    case And(l, r)                => keep(f, l, orig) && keep(f, r, orig)
+    case Or(l, r)                 => keep(f, l, orig) || keep(f, r, orig)
     case _                        => true
   }
 
@@ -246,14 +272,27 @@ final class TxRelation(ctx: SQLContext, table: String, version: Int)
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val kept = TxDataSource.filesFor(table, resolved, filters.toSeq)
+    val (renames, _) = TxTable.mappingAt(table, resolved)
     val base: DataFrame =
       if (kept.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else
+      else if (kept.exists(_.parts.nonEmpty))
+        // hive-partitioned live set: the partition columns only exist
+        // in the directory names — per-slot basePath inference
+        TxTable.readEntries(spark, table, kept, resolved)
+      else {
         // explicit snapshot schema (not re-inferred): pre-evolution
         // files yield nulls for later-added columns, and the pruned
-        // file subset can't narrow the schema
-        spark.read.schema(schema).parquet(kept.map(f => s"$table/${f.path}"): _*)
+        // file subset can't narrow the schema. Files carry PHYSICAL
+        // (original) names — pin those, then rename to the logical view
+        val physSchema = StructType(schema.fields.map(f =>
+          f.copy(name = renames.getOrElse(f.name, f.name))))
+        val raw = spark.read.schema(physSchema)
+          .parquet(kept.map(f => s"$table/${f.path}"): _*)
+        renames.foldLeft(raw) { case (d, (logical, orig)) =>
+          d.withColumnRenamed(orig, logical)
+        }
+      }
     // empty requiredColumns (count(*)-style scans) → zero-column rows
     val projected = base.select(requiredColumns.map(col).toSeq: _*)
     projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
@@ -294,10 +333,14 @@ final class TxRelation(ctx: SQLContext, table: String, version: Int)
   * the accumulated added-file count reaches the cap (always admitting
   * at least ONE version — a version is the atomic commit unit, so a
   * single version larger than the cap still flows, Delta-style).
-  * Offsets stay committed table versions, so exactly-once across a
-  * mid-backlog restart is unchanged: the engine re-runs the recovered
-  * batch via getBatch before asking for new offsets (the documented
-  * DSv1 recovery contract), which re-syncs the pacing state.
+  * Offsets stay committed table versions; across a restart the
+  * pacing base is the ENGINE's startOffset (see [[latestOffset]]) —
+  * a fresh instance must never pace from its own zero state, because
+  * a clean restart (last batch committed) skips the getBatch replay
+  * that would otherwise re-sync it. Trigger.Once is exempt from the
+  * caps (the engine passes ReadLimit.allAvailable): "process
+  * everything available now" holds, Delta's Trigger.Once semantics —
+  * AvailableNow is the capped-drain tool.
   */
 final class TxStreamSource(ctx: SQLContext, table: String,
     override val schema: StructType, ignoreChanges: Boolean,
@@ -331,24 +374,38 @@ final class TxStreamSource(ctx: SQLContext, table: String,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowBound = Some(TxTable.latestVersion(table))
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  /** Not allAvailable when caps are configured: the default limit is
+    * what ProcessingTime/AvailableNow triggers hand back to
+    * [[latestOffset]], while Trigger.Once passes a literal
+    * `ReadLimit.allAvailable()` — returning a cap marker here is what
+    * lets the two be told apart (the marker's VALUE is informational;
+    * the source paces from its own option fields).
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxVersionsPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty)
+      ReadLimit.allAvailable()
+    else ReadLimit.maxFiles(maxFilesPerTrigger.getOrElse(Int.MaxValue))
 
   override def reportLatestOffset(): OffsetV2 = {
     val v = TxTable.latestVersion(table)
     if (v == 0) null else LongOffset(v.toLong)
   }
 
-  /** The capped next end offset — the single pacing brain shared by
-    * the DSv1 `getOffset` path and the admission-control
-    * `latestOffset` path.
+  /** The capped next end offset from `base` — the single pacing brain
+    * shared by the DSv1 `getOffset` path and the admission-control
+    * `latestOffset` path. `uncapped` = the engine asked for
+    * everything available (Trigger.Once — Delta parity: a one-shot
+    * drain ignores the per-trigger caps, so "process everything
+    * available now" stays true).
     */
-  private def nextEndOffset(): Option[Int] = {
+  private def nextEndOffset(base: Int, uncapped: Boolean): Option[Int] = {
     val latestRaw = TxTable.latestVersion(table)
     val latest = availableNowBound.fold(latestRaw)(math.min(_, latestRaw))
     if (latest == 0) return None
-    if (maxVersionsPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty)
+    if (uncapped || (maxVersionsPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty)) {
+      pacedThrough = math.max(pacedThrough, latest)
       return Some(latest)
-    val base = pacedThrough
+    }
     if (latest <= base) return Some(latest)
     val byVersions = maxVersionsPerTrigger
       .map(k => math.min(latest, base + k)).getOrElse(latest)
@@ -360,29 +417,41 @@ final class TxStreamSource(ctx: SQLContext, table: String,
     Some(end)
   }
 
-  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 =
-    nextEndOffset().map(v => LongOffset(v.toLong)).orNull
+  /** Pacing seeds from the ENGINE's offset, not this instance's state:
+    * on a clean restart (last batch committed) Spark does NOT replay
+    * via getBatch, so a fresh instance's `pacedThrough` still sits at
+    * 0/startingVersion — pacing from it would hand out an end offset
+    * BELOW the committed one and wedge the checkpoint on the
+    * append-only error. max(pacedThrough, startOffset) covers both
+    * the restart (engine knows more) and the steady state (this
+    * instance ran ahead of the last commit).
+    */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val committed = Option(startOffset).map(verV2).getOrElse(0)
+    val uncapped = limit.isInstanceOf[
+      org.apache.spark.sql.connector.read.streaming.ReadAllAvailable] &&
+      availableNowBound.isEmpty
+    nextEndOffset(math.max(pacedThrough, committed), uncapped)
+      .map(v => LongOffset(v.toLong)).orNull
+  }
 
   override def getOffset: Option[streaming.Offset] =
-    nextEndOffset().map(v => LongOffset(v.toLong))
+    nextEndOffset(pacedThrough, uncapped = false).map(v => LongOffset(v.toLong))
 
   /** Largest version in (base, limit] whose cumulative added-file
-    * count stays within `fileCap` — always at least base+1. Manifest
-    * reads only (metadata-sized); a vacuumed base falls back to the
+    * count stays within `fileCap` — always at least base+1. O(delta)
+    * action-record reads per version ([[TxTable.actionsBetween]]),
+    * never a manifest resolve; a vacuumed base falls back to the
     * full range so getBatch surfaces the retention-contract error.
     */
   private def capByFiles(base: Int, limit: Int, fileCap: Int): Int = try {
-    var prior: Set[String] =
-      if (base == 0) Set.empty
-      else TxTable.manifest(table, base).files.map(_.path).toSet
     var end = base
     var budget = fileCap
     var exhausted = false
     while (end < limit && !exhausted) {
-      val next = TxTable.manifest(table, end + 1).files.map(_.path).toSet
-      val added = (next -- prior).size
+      val added = TxTable.actionsBetween(table, end, end + 1)._1.size
       if (added <= budget || end == base) { // first version always admitted
-        end += 1; budget -= added; prior = next
+        end += 1; budget -= added
         if (budget <= 0) exhausted = true
       } else exhausted = true
     }
@@ -392,6 +461,13 @@ final class TxStreamSource(ctx: SQLContext, table: String,
   // restart path hands back a SerializedOffset; LongOffset's json is
   // just the number, so parsing covers both shapes
   private def ver(o: streaming.Offset): Int = o match {
+    case LongOffset(l) => l.toInt
+    case other         => other.json.trim.toInt
+  }
+
+  // the admission-control path's offsets (DSv1 Offset extends the v2
+  // interface, so this covers LongOffset and SerializedOffset alike)
+  private def verV2(o: OffsetV2): Int = o match {
     case LongOffset(l) => l.toInt
     case other         => other.json.trim.toInt
   }
@@ -415,26 +491,25 @@ final class TxStreamSource(ctx: SQLContext, table: String,
     val fromV = start.map(ver).getOrElse(startingVersion.getOrElse(0))
     val toV = ver(end)
     pacedThrough = math.max(pacedThrough, math.max(fromV, toV))
-    val before =
-      if (fromV == 0) Set.empty[String]
-      else try TxTable.manifest(table, fromV).files.map(_.path).toSet
-      catch {
+    // the batch's file set comes from the version records' OWN action
+    // deltas — O(batch delta) metadata reads, never an O(live-files)
+    // manifest resolve (the CDC read path must not touch O(table)
+    // state per trigger at 10⁶-file scale). First batch with no
+    // snapshot base (fromV = 0) is the one full-manifest read.
+    val (added, removed) =
+      try {
+        if (fromV == 0) (TxTable.manifest(table, toV).files, Seq.empty[String])
+        else TxTable.actionsBetween(table, fromV, toV)
+      } catch {
         case e: java.nio.file.NoSuchFileException =>
-          retentionError(s"committed offset (version $fromV)", e)
+          retentionError(s"batch versions ($fromV, $toV]", e)
       }
-    val after =
-      try TxTable.manifest(table, toV).files
-      catch {
-        case e: java.nio.file.NoSuchFileException =>
-          retentionError(s"batch end offset (version $toV)", e)
-      }
-    val removed = before -- after.map(_.path).toSet
     if (removed.nonEmpty && !ignoreChanges)
       throw new IllegalStateException(
-        s"graft-tx stream on $table: version $toV removed ${removed.size} file(s) " +
-          s"(merge/delete/compact rewrite). Streaming reads require append-only " +
-          s"versions; set ignoreChanges=true to surface added files anyway.")
-    val added = after.filterNot(f => before.contains(f.path))
+        s"graft-tx stream on $table: versions ($fromV, $toV] removed " +
+          s"${removed.size} file(s) (merge/delete/compact rewrite). Streaming " +
+          s"reads require append-only versions; set ignoreChanges=true to " +
+          s"surface added files anyway.")
     // verify the batch's data files still exist BEFORE handing the
     // plan to the engine — a vacuumed file inside the parquet scan
     // would otherwise surface as an opaque task failure mid-batch
@@ -446,8 +521,18 @@ final class TxStreamSource(ctx: SQLContext, table: String,
     val batch: DataFrame =
       if (added.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else
-        spark.read.schema(schema).parquet(added.map(f => s"$table/${f.path}"): _*)
+      else {
+        // files carry PHYSICAL names; the pinned source schema is the
+        // LOGICAL view — read under the physical pin, rename back
+        val (renames, _) = TxTable.mappingAt(table, toV)
+        val physSchema = StructType(schema.fields.map(f =>
+          f.copy(name = renames.getOrElse(f.name, f.name))))
+        val raw = spark.read.schema(physSchema)
+          .parquet(added.map(f => s"$table/${f.path}"): _*)
+        renames.foldLeft(raw) { case (d, (logical, orig)) =>
+          d.withColumnRenamed(orig, logical)
+        }
+      }
     GraftBridge.streamingDataFrame(batch)
   }
 

@@ -351,7 +351,7 @@ class TxTableSpec extends SparkSpecBase {
     } finally q4.stop()
   }
 
-  test("graft-tx streaming source: vacuum past the consumer's offset fails with the retention contract") {
+  test("graft-tx streaming source: vacuum behind the consumer is harmless (action log), vacuum past it fails with the retention contract") {
     import spark.implicits._
     val t = tmpTable()
     TxTable.create(spark, t, (1L to 5L).toDF("id"), Seq("id"))
@@ -360,16 +360,36 @@ class TxTableSpec extends SparkSpecBase {
       .outputMode("append").start()
     try {
       q.processAllAvailable() // consumer offset now = version 1
-      TxTable.append(spark, t, (6L to 8L).toDF("id"), Seq("id"))
-      TxTable.vacuum(t, keepFromVersion = 2) // drops v1's manifest
-      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-        q.processAllAvailable()
-      }
-      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
-        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
-      assert(msgs.contains("vacuum retention"),
-        s"expected the retention-contract message, got: $msgs")
+      TxTable.append(spark, t, (6L to 8L).toDF("id"), Seq("id"))   // v2
+      TxTable.vacuum(t, keepFromVersion = 2) // drops v1's RECORD only
+      // the batch (1, 2] reads v2's OWN action record — the vacuumed
+      // base manifest is never needed (a manifest-diff design would
+      // wedge here; the Delta-shape action log keeps streaming)
+      q.processAllAvailable()
+      assert(spark.table("tx_stream_vac").as[Long].collect().toSet
+        == (1L to 8L).toSet, "consumer must stream through a behind-it vacuum")
     } finally q.stop()
+    // now vacuum PAST a STOPPED consumer (a live one would keep up):
+    // the records its next batch needs are gone — the retention
+    // contract names the cause on restart
+    val ckpt = Files.createTempDirectory("graft_tx_vac_ck").toString
+    val out = Files.createTempDirectory("graft_tx_vac_out").toString
+    def startCk() = spark.readStream.format("graft-tx").option("path", t).load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q2 = startCk()
+    try { q2.processAllAvailable() } finally q2.stop() // committed offset = 2
+    TxTable.append(spark, t, (9L to 11L).toDF("id"), Seq("id"))  // v3
+    TxTable.append(spark, t, (12L to 14L).toDF("id"), Seq("id")) // v4
+    TxTable.vacuum(t, keepFromVersion = 4) // drops v3's record
+    val q3 = startCk()
+    val e = try intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+    } finally q3.stop()
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("vacuum retention"),
+      s"expected the retention-contract message, got: $msgs")
   }
 
   test("table path with URI-special characters: manifest entries resolve on read") {
@@ -731,20 +751,35 @@ class TxTableSpec extends SparkSpecBase {
     def sunk(): Set[Long] = spark.read.parquet(out).as[Long].collect().toSet
     def nBatches(): Int = Files.list(java.nio.file.Paths.get(ckpt, "offsets"))
       .iterator().asScala.count(_.getFileName.toString.matches("\\d+"))
-    // Trigger.Once = exactly one micro-batch — and the cap must bound
-    // it to 2 versions, NOT the whole 5-version backlog
-    val q1 = start(Some(org.apache.spark.sql.streaming.Trigger.Once()))
-    q1.awaitTermination()
-    assert(sunk() == (1L to 20L).toSet,
-      s"first capped batch must cover exactly versions (0,2], got ${sunk().size} rows")
-    assert(nBatches() == 1)
-    // restart mid-backlog: pacing resumes from the COMMITTED offset
-    // (not version 0, not latest); drain fills in ceil(3/2)=2 batches
+    // steady-state drain: 5 versions at cap 2 = 3 capped batches
+    val q1 = start(None)
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(sunk() == (1L to 50L).toSet)
+    assert(nBatches() == 3, s"5 versions at cap 2 = 3 batches, got ${nBatches()}")
+    // CLEAN restart with multiple batches committed: Spark does NOT
+    // replay via getBatch, so a fresh instance must seed pacing from
+    // the ENGINE's committed offset (5), never its own zero state —
+    // pacing from 0 would hand out end=2 < committed=5 and wedge the
+    // checkpoint on the append-only error
+    (5 to 7).foreach { i =>                                          // v6..v8
+      TxTable.append(spark, t, (10L * i + 1L to 10L * i + 10L).toDF("id"), Seq("id"))
+    }
     val q2 = start(None)
     try { q2.processAllAvailable() } finally q2.stop()
-    assert(sunk() == (1L to 50L).toSet, "drain must deliver the backlog exactly once")
-    assert(spark.read.parquet(out).count() == 50, "no duplicates across the restart")
-    assert(nBatches() == 3, s"5 versions at cap 2 = 3 batches, got ${nBatches()}")
+    assert(sunk() == (1L to 80L).toSet, "restart must resume above the committed offset")
+    assert(spark.read.parquet(out).count() == 80, "no duplicates across the restart")
+    assert(nBatches() == 5, s"3 new versions at cap 2 = 2 more batches, got ${nBatches()}")
+    // Trigger.Once ignores the caps (Delta parity: the engine passes
+    // ReadLimit.allAvailable — "process everything available now"):
+    // v9..v10 drain as ONE batch despite cap 2... and the uncapped
+    // batch still paces the NEXT restart correctly
+    (8 to 9).foreach { i =>                                          // v9..v10
+      TxTable.append(spark, t, (10L * i + 1L to 10L * i + 10L).toDF("id"), Seq("id"))
+    }
+    val q3 = start(Some(org.apache.spark.sql.streaming.Trigger.Once()))
+    q3.awaitTermination()
+    assert(sunk() == (1L to 100L).toSet, "Trigger.Once must drain the whole backlog")
+    assert(nBatches() == 6, s"Trigger.Once = one uncapped batch, got ${nBatches()}")
   }
 
   test("streaming source startingVersion: 'latest' skips the snapshot, a number starts at that version inclusive") {
@@ -834,5 +869,261 @@ class TxTableSpec extends SparkSpecBase {
     val n = Files.list(java.nio.file.Paths.get(ckpt, "offsets"))
       .iterator().asScala.count(_.getFileName.toString.matches("\\d+"))
     assert(n == 3, s"2-file versions under a 1-file budget = one version per batch, got $n")
+  }
+
+  test("log checkpointing: per-commit record bytes are O(delta) while the live set grows; delta-chain resolution equals the tracked truth") {
+    import spark.implicits._
+    val t = tmpTable()
+    // 26 single-file commits: v1 + checkpoints every CheckpointInterval
+    // are full records, the rest are action deltas
+    var expected = Map.empty[Int, Set[String]] // version -> expected live paths
+    TxTable.create(spark, t, Seq((1L, "r")).toDF("id", "v").repartition(1), Seq("id"))
+    expected += 1 -> TxTable.manifest(t, 1).files.map(_.path).toSet
+    (2 to 26).foreach { ver =>
+      TxTable.append(spark, t,
+        Seq((ver.toLong * 100, "r")).toDF("id", "v").repartition(1), Seq("id"))
+      val m = TxTable.manifest(t, ver)
+      assert(m.files.map(_.path).toSet.size == ver, s"v$ver live-set size")
+      assert((m.files.map(_.path).toSet -- expected(ver - 1)).size == 1,
+        s"v$ver adds exactly one file over v${ver - 1}")
+      expected += ver -> m.files.map(_.path).toSet
+    }
+    def recordBytes(v: Int): Long =
+      Files.size(java.nio.file.Paths.get(t, "_log", f"v$v%08d.json"))
+    def isFull(v: Int): Boolean =
+      new String(Files.readAllBytes(
+        java.nio.file.Paths.get(t, "_log", f"v$v%08d.json")), "UTF-8")
+        .contains("\"files\"")
+    // form assignment: v1 + every k-th are checkpoints, the rest deltas
+    val k = TxTable.CheckpointInterval
+    (1 to 26).foreach { v =>
+      assert(isFull(v) == (v == 1 || v % k == 0), s"v$v form")
+    }
+    // THE O(delta) claim, measured: a late delta (live set 25 files) is
+    // no bigger than an early one (live set 2 files) beyond JSON noise,
+    // and stays far below the checkpoint that carries the full set
+    assert(recordBytes(25) <= recordBytes(2) * 2,
+      s"delta bytes must not scale with the live set: v25=${recordBytes(25)}B vs v2=${recordBytes(2)}B")
+    assert(recordBytes(25) * 5 < recordBytes(20),
+      s"a delta must be far smaller than a checkpoint: v25=${recordBytes(25)}B vs v20=${recordBytes(20)}B")
+    // resolution correctness at every version, including across checkpoints
+    (1 to 26).foreach { v =>
+      assert(TxTable.manifest(t, v).files.map(_.path).toSet == expected(v), s"v$v resolve")
+    }
+    // a full read through a delta-resolved snapshot sees every row
+    assert(TxTable.read(spark, t).count() == 26)
+    assert(TxTable.read(spark, t, version = 13).count() == 13)
+  }
+
+  test("log checkpointing: vacuum at a delta version writes the horizon sidecar; every retained version resolves, restore and streaming keep working") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t, Seq(1L).toDF("id").repartition(1), Seq("id"))
+    (2 to 18).foreach { ver =>
+      TxTable.append(spark, t, Seq(ver.toLong).toDF("id").repartition(1), Seq("id"))
+    }
+    // v13 is a delta (13 % 10 != 0): vacuuming to it must materialize
+    // the sidecar or versions 13..19 become unresolvable
+    TxTable.vacuum(t, keepFromVersion = 13)
+    assert(Files.exists(java.nio.file.Paths.get(t, "_log", "v00000013.checkpoint.json")),
+      "vacuum must checkpoint the horizon version before dropping its ancestors")
+    assert(TxTable.oldestRetainedVersion(t) == 13)
+    (13 to 18).foreach { v =>
+      assert(TxTable.manifest(t, v).files.size == v, s"v$v resolves after vacuum")
+    }
+    assert(TxTable.read(spark, t, version = 13).as[Long].collect().toSet
+      == (1L to 13L).toSet)
+    // history lists exactly the retained window
+    val h = TxTable.history(spark, t).orderBy(col("version")).collect()
+    assert(h.map(_.getAs[Int]("version")).toSeq == (13 to 18))
+    // streaming across the horizon: startingVersion just past the
+    // oldest retained version diffs against the sidecar-checkpointed
+    // base — the appends 14..18 surface, nothing below replays
+    val out = Files.createTempDirectory("graft_tx_ck_out").toString
+    val ckpt = Files.createTempDirectory("graft_tx_ck_ck").toString
+    val q = spark.readStream.format("graft-tx").option("path", t)
+      .option("startingVersion", "14").load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    assert(spark.read.parquet(out).as[Long].collect().toSet == (14L to 18L).toSet)
+    // restore to a retained delta version rides the sidecar too
+    val rv = TxTable.restore(spark, t, 14)
+    assert(TxTable.read(spark, t, rv).count() == 14)
+    // a vacuumed-below-horizon version still names the retention contract
+    val e = intercept[IllegalStateException] { TxTable.restore(spark, t, 5) }
+    assert(e.getMessage.contains("vacuumed"))
+    // startingVersion fail-fast validation (ADVICE r12): a version
+    // whose diff base fell below the horizon, and one beyond latest+1,
+    // both name their real cause at source creation — not the
+    // misleading consumer-lag retention error mid-stream
+    def startFailure(sv: String, name: String): Throwable = {
+      val q = spark.readStream.format("graft-tx").option("path", t)
+        .option("startingVersion", sv).load()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    def causeChain(e: Throwable): Seq[String] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+        .map(c => Option(c.getMessage).getOrElse("")).toSeq
+    assert(causeChain(startFailure("13", "tx_sv_horizon"))
+      .exists(_.contains("below the retention horizon")),
+      "startingVersion at the horizon must name the horizon, not consumer lag")
+    assert(causeChain(startFailure("99", "tx_sv_beyond"))
+      .exists(_.contains("beyond the table's committed range")))
+  }
+
+  test("persistent catalog: saveAsTable and CREATE TABLE register graft-tx tables a second session resolves; temp views stay session-local") {
+    import spark.implicits._
+    val t = tmpTable()
+    val base = (1L to 40L).map(i => (i, s"r$i")).toDF("id", "payload")
+    // write-path registration: saveAsTable through the
+    // CreatableRelationProvider — catalog entry + table create in one
+    spark.sql("DROP TABLE IF EXISTS graft_cat_sat")
+    base.write.format("graft-tx").option("path", t)
+      .option("statsColumns", "id").saveAsTable("graft_cat_sat")
+    assert(TxTable.latestVersion(t) == 1)
+    TxTable.append(spark, t, (41L to 50L).map(i => (i, s"r$i")).toDF("id", "payload"),
+      Seq("id"))
+    // a version-pinned catalog table over the same path
+    spark.sql("DROP TABLE IF EXISTS graft_cat_v1")
+    spark.sql(s"CREATE TABLE graft_cat_v1 USING `graft-tx` OPTIONS (path '$t', version '1')")
+    // the SECOND session: same external catalog, fresh temp views —
+    // catalog tables resolve, the temporary view does not
+    spark.read.format("graft-tx").load(t)
+      .createOrReplaceTempView("graft_cat_tmpv")
+    val second = spark.newSession()
+    assert(second.table("graft_cat_sat").count() == 50,
+      "floating catalog table must read the latest snapshot cross-session")
+    assert(second.table("graft_cat_v1").count() == 40,
+      "pinned catalog table must time-travel cross-session")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      second.table("graft_cat_tmpv").count()
+    }
+    // DROP removes the catalog entry, never the external data
+    spark.sql("DROP TABLE graft_cat_sat")
+    spark.sql("DROP TABLE graft_cat_v1")
+    assert(TxTable.read(spark, t).count() == 50, "DROP TABLE must not touch data")
+  }
+
+  test("hive partition layout: <col>=<value> dirs, directory-only pruning, stats compose, reads recover the column, flat mutations refused") {
+    import spark.implicits._
+    val t = tmpTable()
+    // dt 1..4 aligned with id bands, landed in TWO single-task writes
+    // so every dt dir holds exactly 2 files with disjoint id halves
+    // (deterministic — a range partitioner's sampled cuts are not)
+    def band(lowerHalf: Boolean) = (1L to 400L)
+      .filter(i => ((i - 1) % 100 < 50) == lowerHalf)
+      .map(i => (i, (i - 1) / 100 + 1)).toDF("id", "dt").repartition(1)
+    assert(TxTable.createPartitioned(spark, t, band(lowerHalf = true),
+      Seq("dt"), Seq("id")) == 1)
+    TxTable.appendPartitioned(spark, t, band(lowerHalf = false),
+      Seq("dt"), Seq("id"))
+    val m = TxTable.manifest(t, 2).files
+    assert(m.forall(f => f.path.contains("dt=")), "hive-style dirs expected")
+    assert(m.forall(f => f.parts.get("dt").nonEmpty), "partition values recorded")
+    // reads recover the directory-encoded column
+    val r = TxTable.read(spark, t)
+    assert(r.columns.toSet == Set("id", "dt"))
+    assert(r.count() == 400)
+    assert(r.filter(col("dt") === 3).agg(min(col("id")), max(col("id")))
+      .head() == org.apache.spark.sql.Row(201L, 300L))
+    // append keeps the layout; new partition values extend the table
+    TxTable.appendPartitioned(spark, t,
+      (401L to 500L).map(i => (i, 5L)).toDF("id", "dt"), Seq("dt"), Seq("id"))
+    assert(TxTable.read(spark, t).count() == 500)
+    // DIRECTORY signal alone: prunePartitions never consults stats
+    val (kept5, skipped5) = TxTable.prunePartitions(t, Map("dt" -> "5"))
+    assert(kept5.nonEmpty && kept5.forall(_.parts("dt") == "5"))
+    assert(skipped5.forall(_.parts("dt") != "5"))
+    val p5 = TxTable.readPartition(spark, t, Map("dt" -> "5"))
+    assert(p5.count() == 100 &&
+      p5.agg(min(col("id"))).head().getLong(0) == 401L)
+    // BOTH signals compose: partition equality halves to one dt dir,
+    // the id-range stat then keeps only one of its two files
+    val dt2 = TxTable.prunePartitions(t, Map("dt" -> "2"))._1
+    assert(dt2.size == 2, s"dt=2 should hold 2 range files, got ${dt2.size}")
+    val both = dt2.filter(_.stats("id").intersects("101", "140"))
+    assert(both.size == 1,
+      s"stats must halve the partition's files, got ${both.size}")
+    // a flat append or a file-rewriting mutation would break the layout
+    intercept[IllegalArgumentException] {
+      TxTable.append(spark, t, Seq((501L, 6L)).toDF("id", "dt"), Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      TxTable.delete(spark, t, "id", "1", "10", Seq("id"))
+    }
+    // old snapshots stay readable across partitioned appends
+    assert(TxTable.read(spark, t, version = 1).count() == 200)
+  }
+
+  test("column mapping: rename/drop are metadata-only commits — stats prune on the new name, old snapshots keep their own names, appends stay physically stable") {
+    import spark.implicits._
+    val t = tmpTable()
+    val lo = (1L to 100L).map(i => (i, s"a$i")).toDF("id", "v").repartition(1)
+    val hi = (1001L to 1100L).map(i => (i, s"a$i")).toDF("id", "v").repartition(1)
+    TxTable.create(spark, t, lo, Seq("id"))                         // v1
+    TxTable.append(spark, t, hi, Seq("id"))                         // v2
+    // RENAME id → key: a metadata-only commit — identical file set
+    val v3 = TxTable.renameColumn(t, "id", "key")
+    assert(v3 == 3)
+    assert(TxTable.manifest(t, 3).files.map(_.path) ==
+      TxTable.manifest(t, 2).files.map(_.path), "rename must move zero data")
+    // reads surface the new name; the OLD snapshot keeps its own
+    assert(TxTable.read(spark, t).columns.toSet == Set("key", "v"))
+    assert(TxTable.read(spark, t, version = 2).columns.toSet == Set("id", "v"))
+    // skipping still prunes — addressed by the NEW name
+    val (kept, skipped) = TxTable.prune(t, "key", 1L, 100L)
+    assert(kept.size == 1 && skipped.size == 1,
+      s"stats must keep pruning across the rename: ${kept.size}/${skipped.size}")
+    assert(TxTable.readPruned(spark, t, "key", 1L, 50L).count() == 50)
+    // an append under the NEW logical name lands PHYSICALLY as the
+    // original — one stable physical schema forever
+    TxTable.append(spark, t,
+      (2001L to 2100L).map(i => (i, s"a$i")).toDF("key", "v"), Seq("key"))
+    val newFile = TxTable.manifest(t, 4).files
+      .filterNot(TxTable.manifest(t, 3).files.map(_.path).toSet contains _.path).head
+    assert(spark.read.parquet(s"$t/${newFile.path}").columns.contains("id"),
+      "post-rename files must carry the original physical name")
+    assert(newFile.stats.contains("id"), "stats stay keyed by the original")
+    assert(TxTable.read(spark, t).filter(col("key") > 2000L).count() == 100)
+    // the SQL surface maps too: logical-name pushdown still skips files
+    import org.apache.spark.sql.sources.LessThanOrEqual
+    assert(graft.sources.TxDataSource.filesFor(t, 4,
+      Seq(LessThanOrEqual("key", 50L))).size == 1)
+    assert(spark.read.format("graft-tx").load(t)
+      .filter(col("key") <= 50L).count() == 50)
+    // MERGE under the new name: replaced-not-duplicated, key-addressed
+    val res = TxTable.merge(spark, t,
+      Seq((50L, "UPD")).toDF("key", "v"), "key", Seq("key"))
+    assert(res.rewritten == 1, s"merge must stay file-granular, got $res")
+    val merged = TxTable.read(spark, t)
+    assert(merged.count() == 300)
+    assert(merged.filter(col("key") === 50L).head().getString(1) == "UPD")
+    // DROP v: projected out of reads at/after this version, kept before
+    TxTable.dropColumn(t, "v")
+    assert(TxTable.read(spark, t).columns.toSet == Set("key"))
+    // pre-drop snapshots keep the column, under THEIR mapping (v4 is
+    // post-rename: key; v2 pre-rename: id — checked above)
+    assert(TxTable.read(spark, t, version = 4).columns.toSet == Set("key", "v"))
+    // the change feed reports in the CURRENT logical view
+    val cdf = TxTable.changesBetween(spark, t, 3, 4)
+    assert(cdf.columns.contains("key") && !cdf.columns.contains("id"))
+    assert(cdf.filter(col("_change") === "insert").count() == 100)
+    // mapping survives checkpoint boundaries (v10 is a full record)
+    (1 to 6).foreach { i =>
+      TxTable.append(spark, t,
+        Seq((9000L + i)).toDF("key"), Seq("key"))
+    }
+    assert(TxTable.latestVersion(t) >= 10)
+    assert(TxTable.read(spark, t).columns.toSet == Set("key"))
+    assert(TxTable.mappingAt(t)._1 == Map("key" -> "id"))
+    // rename BACK clears the mapping entry (explicit-empty delta)
+    TxTable.renameColumn(t, "key", "id")
+    assert(TxTable.mappingAt(t)._1.isEmpty)
+    assert(TxTable.read(spark, t).columns.toSet == Set("id"))
   }
 }
