@@ -1017,6 +1017,14 @@ object ScaleRehearsal {
         TxTable.manifest(t, v).files.map(_.path).toSet == want
       })
     }
+    // the streaming source's per-trigger path: a half-log action walk
+    // reads each record ONCE, O(versions·delta) — the CDC consumer's
+    // catch-up metadata cost at 10⁶-file table scale
+    val ((walkAdds, walkRemoves), tWalk) = timed {
+      val (a, r) = TxTable.actionsBetween(t, commits / 2, commits)
+      (a.size, r.size)
+    }
+    val walkOk = walkAdds == commits - commits / 2 && walkRemoves == 0
     // vacuum to a mid-log NON-checkpoint version: the sidecar must keep
     // the whole retained window resolvable
     val horizon = commits / 2 + 1 // odd → never a checkpoint multiple
@@ -1024,12 +1032,13 @@ object ScaleRehearsal {
     val vacuumOk = (horizon to commits by 101).forall { v =>
       TxTable.manifest(t, v).files.size == v
     } && TxTable.oldestRetainedVersion(t) == horizon
-    val ok = deltaOk && resolveOk && vacuumOk && resolved == commits
+    val ok = deltaOk && resolveOk && vacuumOk && walkOk && resolved == commits
     println(s"""{"metric":"scale_rehearsal_txlog","commits":$commits,""" +
       s""""commits_sec":${f"$tCommits%.2f"},"early_delta_bytes":$early,""" +
       s""""late_delta_bytes":$late,"resolve_sec":${f"$tResolve%.4f"},""" +
+      s""""walk_sec":${f"$tWalk%.4f"},"walk_adds":$walkAdds,""" +
       s""""live_files":$resolved,"delta_ok":$deltaOk,"resolve_ok":$resolveOk,""" +
-      s""""vacuum_ok":$vacuumOk}""")
+      s""""walk_ok":$walkOk,"vacuum_ok":$vacuumOk}""")
     if (!ok) sys.exit(1)
   }
 }

@@ -91,6 +91,7 @@ object SparkEntry {
     "q52_pagerank"       -> Affinity.pagerank _,
     "q71_percentile_exact" -> Relational.q71PercentileExact _,
     "q72_mode_exact"      -> Relational.q72ModeExact _,
+    "q73_trimmed_mean"    -> Relational.q73TrimmedMean _,
     "q70_ppr"            -> Affinity.ppr _,
     "q59_coreness"       -> Affinity.coreness _,
     "q64_community_lp"   -> Affinity.communityLp _,
@@ -602,6 +603,7 @@ object SparkEntry {
     "q52_pagerank"        -> Affinity.pagerankSql,
     "q71_percentile_exact" -> Relational.q71PercentileExactSql,
     "q72_mode_exact"      -> Relational.q72ModeExactSql,
+    "q73_trimmed_mean"    -> Relational.q73TrimmedMeanSql,
     "q70_ppr"             -> Affinity.pprSql,
     "q59_coreness"        -> Affinity.corenessSql,
     "text_bm25"           -> TextAnalysis.bm25Sql,

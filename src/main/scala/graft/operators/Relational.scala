@@ -1304,6 +1304,90 @@ object Relational {
       .orderBy(col("segment"))
   }
 
+  /** q73_trimmed_mean — EXACT 10% trimmed mean per group (the robust
+    * location estimate completing the descriptive-stats family:
+    * mean/stddev q21, mode q72, quantiles q62/q63/q71, histogram
+    * q35): trim k = n div 10 elements from EACH end of the sort
+    * order, average the rest. Stated convention: the kept ranks are
+    * (k, n−k] under row_number by value — ties straddling a trim
+    * boundary keep a deterministic MULTISET (equal values), so the
+    * sum and count are engine-independent even though the rank
+    * permutation is not.
+    *
+    * Shape at scale — the bucket-rank device extended from rank
+    * SELECTION to range AGGREGATION: per-(group, bucket) count+sum
+    * aggregates, a prefix window over bucket rows only, then buckets
+    * fully inside the kept range contribute their SUMS with no
+    * per-row work at all; only the ≤ 2 boundary buckets per group
+    * rank their own rows. No data-scaled sort ever crosses a
+    * group-cardinality partition.
+    * Output: (event_type, n_kept, trimmed_mean).
+    */
+  def q73TrimmedMean(spark: SparkSession, sfDir: String): DataFrame =
+    trimmedMeanOn(Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")))
+
+  /** [[q73TrimmedMean]]'s core over any (event_type, value: double)
+    * frame — separated for adversarial-shape specs.
+    */
+  def trimmedMeanOn(events: DataFrame, buckets: Int = 4096): DataFrame = {
+    val e = events.select(col("event_type").as("g"), col("value"))
+    val rng = e.groupBy(col("g"))
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+        count(lit(1)).as("n"))
+    val width = col("vmax") - col("vmin")
+    val bkt = when(width === 0.0, lit(0L)).otherwise(
+      least(floor((col("value") - col("vmin")) / width * buckets),
+        lit((buckets - 1).toLong)))
+    val bounds = rng.select(col("g"), col("vmin"), col("vmax"),
+      expr("n div 10").as("lo_rank"),            // keep ranks (lo, hi]
+      (col("n") - expr("n div 10")).as("hi_rank"),
+      (col("n") - expr("n div 10") * 2).as("n_kept"))
+    val bucketed = e.join(broadcast(bounds), Seq("g")).withColumn("bkt", bkt)
+    val perBucket = bucketed.groupBy(col("g"), col("bkt"))
+      .agg(count(lit(1)).as("c"), sum(col("value")).as("s"),
+        first(col("lo_rank")).as("lo_rank"), first(col("hi_rank")).as("hi_rank"))
+    val wb = Window.partitionBy(col("g")).orderBy(col("bkt"))
+    val cum = perBucket.withColumn("cb",
+      coalesce(sum(col("c")).over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    // a bucket is FULLY KEPT when its rank span (cb, cb+c] sits inside
+    // (lo, hi]; it is a BOUNDARY bucket when it overlaps either edge
+    val inside = col("cb") >= col("lo_rank") &&
+      col("cb") + col("c") <= col("hi_rank")
+    val overlaps = col("cb") < col("hi_rank") &&
+      col("cb") + col("c") > col("lo_rank")
+    val fullSums = cum.filter(inside).groupBy(col("g"))
+      .agg(sum(col("s")).as("full_sum"))
+    val boundary = cum.filter(overlaps && !inside)
+      .select(col("g"), col("bkt"), col("cb"))
+    // only boundary-bucket rows are ever ranked: ≈ rows/buckets each
+    val wloc = Window.partitionBy(col("g"), col("bkt")).orderBy(col("value"))
+    val partialSums = bucketed.join(broadcast(boundary), Seq("g", "bkt"))
+      .withColumn("rn", row_number().over(wloc))
+      .filter(col("cb") + col("rn") > col("lo_rank") &&
+        col("cb") + col("rn") <= col("hi_rank"))
+      .groupBy(col("g")).agg(sum(col("value")).as("partial_sum"))
+    bounds.select(col("g"), col("n_kept"))
+      .join(fullSums, Seq("g"), "left")
+      .join(partialSums, Seq("g"), "left")
+      .select(col("g").as("event_type"), col("n_kept"),
+        Cols.pround((coalesce(col("full_sum"), lit(0.0)) +
+          coalesce(col("partial_sum"), lit(0.0))) /
+          col("n_kept").cast("double"), 6).as("trimmed_mean"))
+      .orderBy(col("event_type"))
+  }
+
+  def q73TrimmedMeanSql: String =
+    s"""WITH r AS (SELECT event_type, value,
+       |  row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+       |  count(*) OVER (PARTITION BY event_type) AS n
+       | FROM events)
+       |SELECT event_type, CAST(n - 2 * (n // 10) AS BIGINT) AS n_kept,
+       | ${Cols.proundSql("sum(value) / (n - 2 * (n // 10))", 6)} AS trimmed_mean
+       |FROM r WHERE rn > n // 10 AND rn <= n - n // 10
+       |GROUP BY event_type, n ORDER BY event_type""".stripMargin
+
   def q72ModeExactSql: String =
     """WITH counted AS (
       | SELECT c.c_mktsegment AS segment, o.o_orderpriority,

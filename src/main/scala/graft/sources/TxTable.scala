@@ -274,7 +274,7 @@ object TxTable {
     * that version. Missing records surface as
     * [[java.nio.file.NoSuchFileException]] (the retention contract).
     */
-  private[sources] def actionsBetween(table: String, fromV: Int,
+  private[graft] def actionsBetween(table: String, fromV: Int,
       toV: Int): (Seq[FileEntry], Seq[String]) = {
     val net = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
     val removed = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -625,6 +625,29 @@ object TxTable {
       entries: Seq[FileEntry], version: Int): DataFrame =
     toLogical(resolveSnapshot(table, version), rawRead(spark, table, entries))
 
+  /** Partition-preserving COMPACTION: rewrite a hive-partitioned
+    * table's live set into ONE new slot (content-identical commit,
+    * `<col>=<value>` layout kept) — the maintenance pass that resets
+    * the per-slot scan-union count streaming appends grow (every
+    * partitioned append adds a slot; reads union one scan per slot).
+    * Old versions stay travelable until [[vacuum]].
+    */
+  def compactPartitioned(spark: SparkSession, table: String,
+      partitionCols: Seq[String], statsCols: Seq[String]): Int = {
+    val parent = latestVersion(table)
+    val snap = resolveSnapshot(table, parent)
+    val declared = snap.files.flatMap(_.parts.keys).distinct
+    require(declared.nonEmpty, s"$table is not hive-partitioned — use compact")
+    require(declared.sorted == partitionCols.map(originalName(snap, _)).sorted,
+      s"partition columns $partitionCols do not match the table's $declared")
+    val slot = f"v${parent + 1}%08d-c"
+    val df = toLogical(snap, rawRead(spark, table, snap.files))
+    commitResolved(table, parent, snap,
+      writeFiles(spark, table, slot, toPhysical(snap, df),
+        statsCols.map(originalName(snap, _)),
+        partitionCols.map(originalName(snap, _))), snap.batches)
+  }
+
   /** CONCURRENT-WRITER append: the multi-writer form of [[append]].
     * [[append]] names its data slot after the version it expects to
     * win, so two simultaneous appenders collide at the DATA write
@@ -716,17 +739,44 @@ object TxTable {
     import spark.implicits._
     val latest = latestVersion(table)
     val oldest = math.max(1, oldestRetainedVersion(table))
-    var prior = Set.empty[String] // the horizon version reports its whole set as added
-    (oldest to latest).map { v =>
-      val s = resolveSnapshot(table, v)
-      val paths = s.files.map(_.path).toSet
-      val row = (v, s.files.size.toLong, s.files.map(_.rows).sum,
-        (paths -- prior).size.toLong, (prior -- paths).size.toLong,
-        s.batches.size.toLong)
-      prior = paths
-      row
-    }.toDF("version", "n_files", "n_rows", "files_added", "files_removed",
-      "n_batches")
+    // ONE walk: resolve the horizon once, then fold each version's
+    // action record forward — O(versions·delta) metadata reads instead
+    // of a full snapshot resolve per listed version
+    var snap = resolveSnapshot(table, oldest)
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
+    snap.files.foreach(f => live.update(f.path, f))
+    var nRows = snap.files.map(_.rows).sum
+    var nBatches = snap.batches.size.toLong
+    val rows = scala.collection.mutable.ArrayBuffer(
+      // the horizon version reports its whole set as added (its parent
+      // diff is vacuumed away)
+      (oldest, live.size.toLong, nRows, live.size.toLong, 0L, nBatches))
+    ((oldest + 1) to latest).foreach { v =>
+      val (adds, removes) = actionsBetween(table, v - 1, v)
+      removes.foreach { p =>
+        live.remove(p).foreach(e => nRows -= e.rows)
+      }
+      adds.foreach { e => live.update(e.path, e); nRows += e.rows }
+      nBatches += countNewBatches(table, v)
+      rows += ((v, live.size.toLong, nRows, adds.size.toLong,
+        removes.size.toLong, nBatches))
+    }
+    rows.toSeq.toDF("version", "n_files", "n_rows", "files_added",
+      "files_removed", "n_batches")
+  }
+
+  /** New exactly-once ledger entries a single version record added —
+    * O(record) read; a legacy full record reports its ledger minus the
+    * parent's (two resolves, legacy-only path).
+    */
+  private def countNewBatches(table: String, v: Int): Long = {
+    val node = M.readTree(Files.readAllBytes(versionFile(table, v)))
+    if (node.has("addBatches")) parseBatches(node, "addBatches").size.toLong
+    else if (!node.has("files")) 0L // delta record without new batches
+    else // full record (checkpoint / legacy): its ledger carries the
+      // whole history — diff against the parent's (checkpoint-rate only)
+      (parseBatches(node, "batches") -- resolveSnapshot(table, v - 1).batches)
+        .size.toLong
   }
 
   // -------------------------------------------------------- column mapping
@@ -1138,25 +1188,36 @@ object TxTable {
     }.reduce(_ + _)
 
   /** Z-ORDER re-layout: rewrite the table range-partitioned by the
-    * interleaved-bit curve over two columns' RANK SPACE (ntile of each
-    * column → uniform bit coverage regardless of value skew), so both
-    * columns get tight per-file min/max and [[prune]] skips on either
-    * dimension — the layout knob a 100 TB reader turns when one scan
-    * key stops being enough. Same-content commit (a new version whose
-    * files hold identical rows).
+    * interleaved-bit curve over two columns' RANK SPACE (rank-
+    * quantizing each column → uniform bit coverage regardless of
+    * value skew), so both columns get tight per-file min/max and
+    * [[prune]] skips on either dimension — the layout knob a 100 TB
+    * reader turns when one scan key stops being enough. Same-content
+    * commit (a new version whose files hold identical rows).
+    *
+    * The rank space computes through the BUCKET-RANK device, not a
+    * global rank window (which would serialize the table through one
+    * partition): value-bucket counts, a prefix sum over the ≤ 4096
+    * bucket rows, then rank() INSIDE each bucket — equal values share
+    * a bucket, so cum_before + local rank() reproduces the global
+    * rank() (and therefore percent_rank) EXACTLY, ties included. The
+    * layout is bit-identical to the global-window form; only the plan
+    * scales.
     */
   def zorder(spark: SparkSession, table: String, colA: String, colB: String,
       statsCols: Seq[String], numFiles: Int = 16): Int = {
-    import org.apache.spark.sql.expressions.Window
     val parent = latestVersion(table)
     val df = read(spark, table, parent)
-    // rank-quantize into 16-bit space (two global rank windows — at
-    // scale these become approx-quantile bucket maps; exact ranks here
-    // keep the layout deterministic for specs)
-    val ra = (percent_rank().over(Window.orderBy(col(colA))) * 65535.0).cast("long")
-    val rb = (percent_rank().over(Window.orderBy(col(colB))) * 65535.0).cast("long")
+    val st = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double"),
+      count(lit(1))).head()
+    val n = st.getLong(4)
+    val withRa = rankSpace16(df, colA, st.getDouble(0), st.getDouble(1), n, "_ra")
+    val withRb = rankSpace16(withRa, colB, st.getDouble(2), st.getDouble(3), n, "_rb")
     val slot = f"v${parent + 1}%08d-z"
-    val laid = df.withColumn("_z", zValue(ra, rb))
+    val laid = withRb.withColumn("_z", zValue(col("_ra"), col("_rb")))
+      .drop("_ra", "_rb")
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")
@@ -1164,6 +1225,39 @@ object TxTable {
     val written = writeFiles(spark, table, slot, toPhysical(snap, laid),
       statsCols.map(originalName(snap, _)))
     commitResolved(table, parent, snap, written, snap.batches)
+  }
+
+  /** Append `out` = floor(percent_rank(c) · 65535) computed with
+    * (value-bucket) as the parallel unit — exactly the global-window
+    * value at every row (rank() ties collapse inside one bucket), no
+    * single-partition sort. Nulls ride the null bucket first, matching
+    * a global ASC NULLS FIRST ordering.
+    */
+  private def rankSpace16(df: DataFrame, c: String, vmin: Double, vmax: Double,
+      n: Long, out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val buckets = 4096
+    val bktName = s"_bkt$out"
+    val bkt =
+      if (vmax == vmin) lit(0L)
+      else least(floor((col(c).cast("double") - vmin) / (vmax - vmin) * buckets),
+        lit((buckets - 1).toLong))
+    val withB = df.withColumn(bktName, bkt)
+    val wb = Window.orderBy(col(bktName).asc_nulls_first)
+    val cum = withB.groupBy(col(bktName)).agg(count(lit(1)).as("_c"))
+      .withColumn("_cb", coalesce(sum(col("_c"))
+        .over(wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(bktName), col("_cb"))
+    val wloc = Window.partitionBy(col(bktName)).orderBy(col(c))
+    // null-SAFE join: the null bucket (null key values) must survive,
+    // exactly as a global ASC NULLS FIRST window would rank it
+    withB.join(broadcast(cum.withColumnRenamed(bktName, "_bkt2")),
+        col(bktName) <=> col("_bkt2"))
+      .withColumn(out,
+        if (n <= 1) lit(0L)
+        else (((col("_cb") + rank().over(wloc) - 1).cast("double") /
+          lit((n - 1).toDouble)) * 65535.0).cast("long"))
+      .drop(bktName, "_bkt2", "_cb")
   }
 
   // ------------------------------------------------------------ change feed

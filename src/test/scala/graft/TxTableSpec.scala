@@ -1058,6 +1058,23 @@ class TxTableSpec extends SparkSpecBase {
     }
     // old snapshots stay readable across partitioned appends
     assert(TxTable.read(spark, t, version = 1).count() == 200)
+    // the SQL surface recovers directory-encoded columns too
+    assert(spark.read.format("graft-tx").load(t)
+      .filter(col("dt") === 5L).count() == 100)
+    // partition-preserving compaction: 3 slots -> 1, layout and
+    // content identical, both pruning signals still work
+    val slotsBefore = TxTable.manifest(t, TxTable.latestVersion(t)).files
+      .map(_.path.split('/').take(2).mkString("/")).distinct.size
+    assert(slotsBefore == 3, s"expected 3 slots pre-compaction, got $slotsBefore")
+    val cv = TxTable.compactPartitioned(spark, t, Seq("dt"), Seq("id"))
+    val after = TxTable.manifest(t, cv).files
+    assert(after.map(_.path.split('/').take(2).mkString("/")).distinct.size == 1,
+      "compaction must collapse to one slot")
+    assert(after.forall(f => f.path.contains("dt=") && f.parts.contains("dt")))
+    assert(TxTable.read(spark, t).count() == 500)
+    assert(TxTable.readPartition(spark, t, Map("dt" -> "5")).count() == 100)
+    assert(TxTable.prunePartitions(t, Map("dt" -> "3"))._1
+      .forall(_.parts("dt") == "3"))
   }
 
   test("column mapping: rename/drop are metadata-only commits — stats prune on the new name, old snapshots keep their own names, appends stay physically stable") {
