@@ -124,11 +124,13 @@ final class TxDataSource extends RelationProvider with DataSourceRegister
           s"graft-tx: startingVersion $v is beyond the table's committed " +
             s"range [1, $latest] (at most latest+1 = ${latest + 1}, which " +
             s"subscribes to the next commit)")
-        if (v - 1 >= 1 && v - 1 < oldest) throw new IllegalArgumentException(
+        // the action walk reads records v.. (never the diff base v−1),
+        // so the retention horizon itself is a valid starting point
+        if (v < oldest && oldest > 1) throw new IllegalArgumentException(
           s"graft-tx: startingVersion $v is below the retention horizon — " +
-            s"version ${v - 1} (its diff base) was vacuumed; the retained " +
-            s"window is [$oldest, $latest]. Start at ${oldest + 1} or later, " +
-            s"or omit startingVersion to read the full snapshot.")
+            s"version $v's record was vacuumed; the retained window is " +
+            s"[$oldest, $latest]. Start at $oldest or later, or omit " +
+            s"startingVersion to read the full snapshot.")
         v - 1 // exclusive base: version N itself is included
     }
     new TxStreamSource(sqlContext, table,

@@ -237,4 +237,47 @@ class EdgeCasesSpec extends SparkSpecBase {
     assert(ev.getAs[Long]("n_exact") == 0L && ev.getAs[Long]("n_cand") == 0L)
     assert(ev.isNullAt(ev.fieldIndex("recall_ppm")))
   }
+
+  test("bucket-rank device == in-memory reference across degenerate shapes (ties, constants, n=1, sub-ulp spreads, sign crossings)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val cases: Seq[(String, Seq[Double])] = Seq(
+      "n1" -> Seq(42.0),
+      "n2" -> Seq(7.0, -3.0),
+      "const" -> Seq.fill(100)(5.5),
+      "twoval" -> (Seq.fill(63)(1.0) ++ Seq.fill(37)(2.0)),
+      // 400 rows over a 3-value domain: every trim/rank boundary lands
+      // inside a tie run
+      "heavy" -> Seq.fill(400)(Seq(10.0, 20.0, 30.0)(rnd.nextInt(3))),
+      "uniform" -> Seq.fill(500)(rnd.nextDouble() * 1000.0),
+      "negcross" -> Seq.fill(257)(rnd.nextDouble() * 40.0 - 20.0),
+      // near-identical values: the bucket function must stay monotone
+      // when (v - vmin)/width underflows toward 0
+      "tiny" -> (0 until 100).map(i => 1.0 + i * 1e-13))
+    val df = cases.flatMap { case (g, vs) => vs.map(v => (g, v)) }
+      .toDF("event_type", "value")
+    def pround6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // exact discrete percentiles vs direct sorted-array indexing
+    val pct = graft.operators.Relational.percentileExactOn(df).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    cases.foreach { case (g, vs) =>
+      val s = vs.sorted
+      val n = s.length
+      def at(k: Long) = s((k - 1).toInt)
+      val want = (at((n + 1L) / 2), at((9L * n + 9) / 10), at((99L * n + 99) / 100))
+      assert(pct(g) == want, s"percentiles diverged for case $g: ${pct(g)} vs $want")
+    }
+    // exact trimmed mean vs direct slice-and-average
+    val tm = graft.operators.Relational.trimmedMeanOn(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    cases.foreach { case (g, vs) =>
+      val s = vs.sorted
+      val k = s.length / 10
+      val kept = s.slice(k, s.length - k)
+      assert(tm(g)._1 == kept.length.toLong, s"n_kept diverged for $g")
+      assert(math.abs(tm(g)._2 - pround6(kept.sum / kept.length)) <= 1e-6,
+        s"trimmed mean diverged for $g: ${tm(g)._2} vs ${pround6(kept.sum / kept.length)}")
+    }
+  }
 }

@@ -936,17 +936,17 @@ class TxTableSpec extends SparkSpecBase {
     // history lists exactly the retained window
     val h = TxTable.history(spark, t).orderBy(col("version")).collect()
     assert(h.map(_.getAs[Int]("version")).toSeq == (13 to 18))
-    // streaming across the horizon: startingVersion just past the
-    // oldest retained version diffs against the sidecar-checkpointed
-    // base — the appends 14..18 surface, nothing below replays
+    // streaming from the horizon ITSELF: the action walk reads records
+    // v.. (never the vacuumed diff base), so startingVersion = oldest
+    // retained version is valid — versions 13..18 surface
     val out = Files.createTempDirectory("graft_tx_ck_out").toString
     val ckpt = Files.createTempDirectory("graft_tx_ck_ck").toString
     val q = spark.readStream.format("graft-tx").option("path", t)
-      .option("startingVersion", "14").load()
+      .option("startingVersion", "13").load()
       .writeStream.format("parquet").option("path", out)
       .option("checkpointLocation", ckpt).outputMode("append").start()
     try { q.processAllAvailable() } finally q.stop()
-    assert(spark.read.parquet(out).as[Long].collect().toSet == (14L to 18L).toSet)
+    assert(spark.read.parquet(out).as[Long].collect().toSet == (13L to 18L).toSet)
     // restore to a retained delta version rides the sidecar too
     val rv = TxTable.restore(spark, t, 14)
     assert(TxTable.read(spark, t, rv).count() == 14)
@@ -969,9 +969,9 @@ class TxTableSpec extends SparkSpecBase {
     def causeChain(e: Throwable): Seq[String] =
       Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
         .map(c => Option(c.getMessage).getOrElse("")).toSeq
-    assert(causeChain(startFailure("13", "tx_sv_horizon"))
+    assert(causeChain(startFailure("12", "tx_sv_horizon"))
       .exists(_.contains("below the retention horizon")),
-      "startingVersion at the horizon must name the horizon, not consumer lag")
+      "startingVersion below the horizon must name the horizon, not consumer lag")
     assert(causeChain(startFailure("99", "tx_sv_beyond"))
       .exists(_.contains("beyond the table's committed range")))
   }
@@ -1142,5 +1142,31 @@ class TxTableSpec extends SparkSpecBase {
     TxTable.renameColumn(t, "key", "id")
     assert(TxTable.mappingAt(t)._1.isEmpty)
     assert(TxTable.read(spark, t).columns.toSet == Set("id"))
+  }
+
+  test("column mapping + streaming source: batches over a renamed table surface the logical name, physical files stream unchanged") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t,
+      (1L to 20L).map(i => (i, s"p$i")).toDF("id", "payload"), Seq("id"))
+    TxTable.renameColumn(t, "id", "key")
+    // stream starts AFTER the rename: schema pins the logical view
+    val q = spark.readStream.format("graft-tx").option("path", t).load()
+      .writeStream.format("memory").queryName("tx_cm_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val snap = spark.table("tx_cm_stream")
+      assert(snap.columns.toSet == Set("key", "payload"))
+      assert(snap.select("key").as[Long].collect().toSet == (1L to 20L).toSet)
+      // a post-rename append (logical name in, physical name on disk)
+      // streams through under the logical name
+      TxTable.append(spark, t,
+        (21L to 30L).map(i => (i, s"p$i")).toDF("key", "payload"), Seq("key"))
+      q.processAllAvailable()
+      assert(spark.table("tx_cm_stream").select("key").as[Long].collect().toSet
+        == (1L to 30L).toSet,
+        "post-rename appends must stream under the pinned logical schema")
+    } finally q.stop()
   }
 }
