@@ -44,6 +44,7 @@ object ScaleRehearsal {
     if (args.headOption.contains("ppl")) { pplMain(args.drop(1)); return }
     if (args.headOption.contains("tx")) { txMain(args.drop(1)); return }
     if (args.headOption.contains("txlog")) { txlogMain(args.drop(1)); return }
+    if (args.headOption.contains("catalog")) { catalogMain(args.drop(1)); return }
     val n = if (args.nonEmpty) args(0).toLong else 2000000L
     val planted = math.max(n / 100, 1L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -1040,5 +1041,58 @@ object ScaleRehearsal {
       s""""live_files":$resolved,"delta_ok":$deltaOk,"resolve_ok":$resolveOk,""" +
       s""""walk_ok":$walkOk,"vacuum_ok":$vacuumOk}""")
     if (!ok) sys.exit(1)
+  }
+
+  /** Cross-JVM catalog persistence rehearsal: the `tx_catalog_read`
+    * driver query proves cross-SESSION resolution; this mode proves
+    * cross-PROCESS — the reference's warehouse outlives restarts
+    * (dashboards reconnect after a redeploy). Run `catalog write
+    * <dir>` in one JVM (Hive/Derby metastore under <dir>, a graft-tx
+    * table registered), then `catalog read <dir>` in a FRESH JVM: the
+    * table must resolve from the on-disk metastore alone. Identical
+    * code path to the in-memory catalog — only
+    * spark.sql.catalogImplementation changes.
+    */
+  private def catalogMain(args: Array[String]): Unit = {
+    import graft.sources.TxTable
+    val phase = args(0)
+    val base = args(1)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.catalogImplementation", "hive")
+      .config("spark.sql.warehouse.dir", s"$base/warehouse")
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$base/metastore_db;create=true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    phase match {
+      case "write" =>
+        val t = s"$base/tx_table"
+        TxTable.create(spark, t,
+          spark.range(100).selectExpr("id", "cast(id % 7 as long) as v"), Seq("id"))
+        TxTable.append(spark, t,
+          spark.range(100, 150).selectExpr("id", "cast(id % 7 as long) as v"), Seq("id"))
+        spark.sql("DROP TABLE IF EXISTS graft_cat_jvm")
+        spark.sql(s"CREATE TABLE graft_cat_jvm USING `graft-tx` OPTIONS (path '$t')")
+        spark.sql("DROP TABLE IF EXISTS graft_cat_jvm_v1")
+        spark.sql(s"CREATE TABLE graft_cat_jvm_v1 USING `graft-tx` " +
+          s"OPTIONS (path '$t', version '1')")
+        val n = spark.table("graft_cat_jvm").count()
+        println(s"""{"metric":"scale_rehearsal_catalog","phase":"write","n":$n,"ok":${n == 150L}}""")
+        spark.stop()
+        if (n != 150L) sys.exit(1)
+      case "read" =>
+        // a FRESH JVM: resolution rides the on-disk Derby metastore
+        val n = spark.table("graft_cat_jvm").count()
+        val n1 = spark.table("graft_cat_jvm_v1").count()
+        val pushed = spark.table("graft_cat_jvm").filter(col("id") < 100).count()
+        val ok = n == 150L && n1 == 100L && pushed == 100L
+        println(s"""{"metric":"scale_rehearsal_catalog","phase":"read",""" +
+          s""""n_latest":$n,"n_v1":$n1,"pushed":$pushed,"ok":$ok}""")
+        spark.stop()
+        if (!ok) sys.exit(1)
+    }
   }
 }

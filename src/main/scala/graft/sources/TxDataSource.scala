@@ -106,6 +106,11 @@ final class TxDataSource extends RelationProvider with DataSourceRegister
       require(k >= 1, s"graft-tx: $key must be >= 1, got $k")
       k
     }
+    val byteCap: Option[Long] = parameters.get("maxBytesPerTrigger").map { s =>
+      val k = s.toLong
+      require(k >= 1L, s"graft-tx: maxBytesPerTrigger must be >= 1, got $k")
+      k
+    }
     // Delta's startingVersion: begin at a version instead of the full
     // snapshot — "latest" subscribes to changes committed after stream
     // start; a number N surfaces versions (N-1, ...] i.e. N onward.
@@ -136,7 +141,7 @@ final class TxDataSource extends RelationProvider with DataSourceRegister
     new TxStreamSource(sqlContext, table,
       schema.getOrElse(TxTable.read(sqlContext.sparkSession, table).schema),
       ignoreChanges, cap("maxVersionsPerTrigger"), cap("maxFilesPerTrigger"),
-      startingVersion)
+      startingVersion, byteCap)
   }
 
   /** `df.writeStream.format("graft-tx")` — an EXACTLY-ONCE streaming
@@ -331,10 +336,13 @@ final class TxRelation(ctx: SQLContext, table: String, version: Int)
   * table — gets the ENTIRE backlog as one micro-batch, the classic
   * catch-up OOM. `maxVersionsPerTrigger` bounds each batch to at most
   * k versions past the last offset this source handed out;
-  * `maxFilesPerTrigger` additionally stops extending the batch once
-  * the accumulated added-file count reaches the cap (always admitting
-  * at least ONE version — a version is the atomic commit unit, so a
-  * single version larger than the cap still flows, Delta-style).
+  * `maxFilesPerTrigger` and `maxBytesPerTrigger` additionally stop
+  * extending the batch once the accumulated added-file count or
+  * added bytes reach their caps (always admitting at least ONE
+  * version — a version is the atomic commit unit, so a single
+  * version larger than a cap still flows, Delta-style; bytes are the
+  * admission unit that actually bounds executor memory — file counts
+  * are only its proxy).
   * Offsets stay committed table versions; across a restart the
   * pacing base is the ENGINE's startOffset (see [[latestOffset]]) —
   * a fresh instance must never pace from its own zero state, because
@@ -348,7 +356,8 @@ final class TxStreamSource(ctx: SQLContext, table: String,
     override val schema: StructType, ignoreChanges: Boolean,
     maxVersionsPerTrigger: Option[Int] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    startingVersion: Option[Int] = None)
+    startingVersion: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -383,9 +392,12 @@ final class TxStreamSource(ctx: SQLContext, table: String,
     * lets the two be told apart (the marker's VALUE is informational;
     * the source paces from its own option fields).
     */
+  private def noCapsConfigured: Boolean =
+    maxVersionsPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty &&
+      maxBytesPerTrigger.isEmpty
+
   override def getDefaultReadLimit: ReadLimit =
-    if (maxVersionsPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty)
-      ReadLimit.allAvailable()
+    if (noCapsConfigured) ReadLimit.allAvailable()
     else ReadLimit.maxFiles(maxFilesPerTrigger.getOrElse(Int.MaxValue))
 
   override def reportLatestOffset(): OffsetV2 = {
@@ -404,17 +416,16 @@ final class TxStreamSource(ctx: SQLContext, table: String,
     val latestRaw = TxTable.latestVersion(table)
     val latest = availableNowBound.fold(latestRaw)(math.min(_, latestRaw))
     if (latest == 0) return None
-    if (uncapped || (maxVersionsPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty)) {
+    if (uncapped || noCapsConfigured) {
       pacedThrough = math.max(pacedThrough, latest)
       return Some(latest)
     }
     if (latest <= base) return Some(latest)
     val byVersions = maxVersionsPerTrigger
       .map(k => math.min(latest, base + k)).getOrElse(latest)
-    val end = maxFilesPerTrigger match {
-      case None => byVersions
-      case Some(fileCap) => capByFiles(base, byVersions, fileCap)
-    }
+    val end =
+      if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) byVersions
+      else capByBudget(base, byVersions)
     pacedThrough = math.max(pacedThrough, end)
     Some(end)
   }
@@ -440,21 +451,27 @@ final class TxStreamSource(ctx: SQLContext, table: String,
   override def getOffset: Option[streaming.Offset] =
     nextEndOffset(pacedThrough, uncapped = false).map(v => LongOffset(v.toLong))
 
-  /** Largest version in (base, limit] whose cumulative added-file
-    * count stays within `fileCap` — always at least base+1. O(delta)
+  /** Largest version in (base, limit] whose cumulative added FILE
+    * COUNT and BYTES stay within the configured caps — always at
+    * least base+1 (a version is the atomic commit unit). O(delta)
     * action-record reads per version ([[TxTable.actionsBetween]]),
     * never a manifest resolve; a vacuumed base falls back to the
     * full range so getBatch surfaces the retention-contract error.
+    * Legacy entries without recorded bytes count as 0 — unknown sizes
+    * never throttle, the version/file caps still bound the batch.
     */
-  private def capByFiles(base: Int, limit: Int, fileCap: Int): Int = try {
+  private def capByBudget(base: Int, limit: Int): Int = try {
     var end = base
-    var budget = fileCap
+    var fileBudget = maxFilesPerTrigger.map(_.toLong).getOrElse(Long.MaxValue)
+    var byteBudget = maxBytesPerTrigger.getOrElse(Long.MaxValue)
     var exhausted = false
     while (end < limit && !exhausted) {
-      val added = TxTable.actionsBetween(table, end, end + 1)._1.size
-      if (added <= budget || end == base) { // first version always admitted
-        end += 1; budget -= added
-        if (budget <= 0) exhausted = true
+      val adds = TxTable.actionsBetween(table, end, end + 1)._1
+      val f = adds.size.toLong
+      val b = adds.map(_.bytes).sum
+      if ((f <= fileBudget && b <= byteBudget) || end == base) {
+        end += 1; fileBudget -= f; byteBudget -= b
+        if (fileBudget <= 0L || byteBudget <= 0L) exhausted = true
       } else exhausted = true
     }
     end

@@ -105,9 +105,17 @@ object TxTable {
     * gets identity stats: min = max = the value). Absent on
     * unpartitioned files and legacy manifests.
     */
+  /** `bytes`: the data file's on-disk size — the admission unit byte-
+    * based streaming rate limits and maintenance planning need (file
+    * COUNTS are a proxy; a 2 GB file and a 2 MB file are not the same
+    * trigger load). 0 on legacy entries → byte caps treat the file as
+    * free (conservative-admitting) while version/file caps still bound
+    * the batch.
+    */
   final case class FileEntry(path: String, rows: Long, stats: Map[String, ColStats],
       nullCounts: Map[String, Long] = Map.empty,
-      parts: Map[String, String] = Map.empty)
+      parts: Map[String, String] = Map.empty,
+      bytes: Long = 0L)
   final case class Manifest(version: Int, files: Seq[FileEntry])
   final case class MergeResult(version: Int, rewritten: Int, untouched: Int)
 
@@ -174,7 +182,9 @@ object TxTable {
     val parts = Option(f.get("parts")).map { pn =>
       pn.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
-    FileEntry(f.get("path").asText(), f.get("rows").asLong(), stats, nulls, parts)
+    val bytes = Option(f.get("bytes")).map(_.asLong()).getOrElse(0L)
+    FileEntry(f.get("path").asText(), f.get("rows").asLong(), stats, nulls,
+      parts, bytes)
   }
 
   private def parseBatches(node: com.fasterxml.jackson.databind.JsonNode,
@@ -312,6 +322,7 @@ object TxTable {
     val fn = arr.addObject()
     fn.put("path", f.path)
     fn.put("rows", f.rows)
+    if (f.bytes > 0L) fn.put("bytes", f.bytes)
     val sn = fn.putObject("stats")
     f.stats.toSeq.sortBy(_._1).foreach { case (c, s) =>
       val cn = sn.putObject(c)
@@ -522,7 +533,8 @@ object TxTable {
         // a partition column is constant per file (one dir per value),
         // so its identity stat doubles as the recorded partition value
         val parts = partitionCols.flatMap(c => stats.get(c).map(c -> _.min)).toMap
-        FileEntry(rel.toString, rows, stats, nulls, parts)
+        FileEntry(rel.toString, rows, stats, nulls, parts,
+          Files.size(Paths.get(table, rel.toString)))
       }.toSeq
       .sortBy(_.path)
   }
@@ -624,6 +636,34 @@ object TxTable {
   private[sources] def readEntries(spark: SparkSession, table: String,
       entries: Seq[FileEntry], version: Int): DataFrame =
     toLogical(resolveSnapshot(table, version), rawRead(spark, table, entries))
+
+  /** Compact ONE partition of a hive-partitioned table (the OPTIMIZE
+    * … WHERE shape): only the matching partition's files rewrite into
+    * a new slot, every other file carries over BY REFERENCE — at
+    * 100 TB the maintenance unit must be the partition, never the
+    * table ([[compactPartitioned]] is the full-table form). `spec`
+    * keys are CURRENT logical names; exact value match selects the
+    * target (never the conservative keep [[prunePartitions]] applies
+    * to unpartitioned files).
+    */
+  def compactPartition(spark: SparkSession, table: String,
+      spec: Map[String, String], partitionCols: Seq[String],
+      statsCols: Seq[String], targetFiles: Int = 1): Int = {
+    val parent = latestVersion(table)
+    val snap = resolveSnapshot(table, parent)
+    val specOrig = spec.map { case (c, v) => originalName(snap, c) -> v }
+    val (target, others) = snap.files.partition { f =>
+      specOrig.forall { case (c, v) => f.parts.get(c).contains(v) }
+    }
+    require(target.nonEmpty, s"no files match partition spec $spec in $table")
+    val slot = f"v${parent + 1}%08d-c"
+    val df = toLogical(snap, rawRead(spark, table, target))
+      .repartition(math.max(1, targetFiles))
+    commitResolved(table, parent, snap,
+      others ++ writeFiles(spark, table, slot, toPhysical(snap, df),
+        statsCols.map(originalName(snap, _)),
+        partitionCols.map(originalName(snap, _))), snap.batches)
+  }
 
   /** Partition-preserving COMPACTION: rewrite a hive-partitioned
     * table's live set into ONE new slot (content-identical commit,
@@ -777,6 +817,27 @@ object TxTable {
       // whole history — diff against the parent's (checkpoint-rate only)
       (parseBatches(node, "batches") -- resolveSnapshot(table, v - 1).batches)
         .size.toLong
+  }
+
+  /** DESCRIBE DETAIL: the table's current shape in one row — version
+    * window, live file/row/byte totals, partition columns, column-
+    * mapping state — the facts a maintenance planner (compaction
+    * cadence, vacuum horizon, rate-limit sizing) reads before acting;
+    * pure metadata, no data read.
+    */
+  def detail(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val latest = latestVersion(table)
+    val snap = resolveSnapshot(table, latest)
+    Seq((latest, oldestRetainedVersion(table), snap.files.size.toLong,
+      snap.files.map(_.rows).sum, snap.files.map(_.bytes).sum,
+      snap.files.flatMap(_.parts.keys).distinct.sorted.mkString(","),
+      snap.renames.toSeq.sorted.map { case (l, o) => s"$l<-$o" }.mkString(","),
+      snap.drops.toSeq.sorted.mkString(","),
+      snap.batches.size.toLong, CheckpointInterval))
+      .toDF("version", "oldest_retained", "n_files", "n_rows", "n_bytes",
+        "partition_cols", "renames", "dropped_cols", "n_batches",
+        "checkpoint_interval")
   }
 
   // -------------------------------------------------------- column mapping

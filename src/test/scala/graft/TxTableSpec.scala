@@ -1066,6 +1066,21 @@ class TxTableSpec extends SparkSpecBase {
     val slotsBefore = TxTable.manifest(t, TxTable.latestVersion(t)).files
       .map(_.path.split('/').take(2).mkString("/")).distinct.size
     assert(slotsBefore == 3, s"expected 3 slots pre-compaction, got $slotsBefore")
+    // OPTIMIZE … WHERE: compacting ONE partition touches only its
+    // files — dt=2's two halves become one, every other file carries
+    // over by reference
+    val preOpt = TxTable.manifest(t, TxTable.latestVersion(t)).files
+    val ov = TxTable.compactPartition(spark, t, Map("dt" -> "2"),
+      Seq("dt"), Seq("id"))
+    val postOpt = TxTable.manifest(t, ov).files
+    val (dt2After, othersAfter) = postOpt.partition(_.parts("dt") == "2")
+    assert(dt2After.size == 1, s"dt=2 should compact to one file, got ${dt2After.size}")
+    assert(othersAfter.map(_.path).toSet ==
+      preOpt.filter(_.parts("dt") != "2").map(_.path).toSet,
+      "non-target partitions must carry over by reference")
+    assert(TxTable.readPartition(spark, t, Map("dt" -> "2"))
+      .agg(count(lit(1)), min(col("id")), max(col("id"))).head()
+      == org.apache.spark.sql.Row(100L, 101L, 200L))
     val cv = TxTable.compactPartitioned(spark, t, Seq("dt"), Seq("id"))
     val after = TxTable.manifest(t, cv).files
     assert(after.map(_.path.split('/').take(2).mkString("/")).distinct.size == 1,
@@ -1142,6 +1157,49 @@ class TxTableSpec extends SparkSpecBase {
     TxTable.renameColumn(t, "key", "id")
     assert(TxTable.mappingAt(t)._1.isEmpty)
     assert(TxTable.read(spark, t).columns.toSet == Set("id"))
+  }
+
+  test("streaming source rate limit: maxBytesPerTrigger paces by recorded file sizes; an oversized version still flows") {
+    import spark.implicits._
+    val t = tmpTable()
+    // 3 versions of ~equal byte weight (one file each)
+    TxTable.create(spark, t, (1L to 1000L).toDF("id").repartition(1), Seq("id"))
+    TxTable.append(spark, t, (1001L to 2000L).toDF("id").repartition(1), Seq("id"))
+    TxTable.append(spark, t, (2001L to 3000L).toDF("id").repartition(1), Seq("id"))
+    val oneFile = TxTable.manifest(t, 1).files.head.bytes
+    assert(oneFile > 0L, "writes must record file bytes")
+    val ckpt = Files.createTempDirectory("graft_tx_mb_ck").toString
+    val out = Files.createTempDirectory("graft_tx_mb_out").toString
+    // budget ≈ one file: each version exhausts it → one version per
+    // batch, and a version bigger than the budget still flows
+    val q = spark.readStream.format("graft-tx").option("path", t)
+      .option("maxBytesPerTrigger", (oneFile / 2).toString).load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    assert(spark.read.parquet(out).as[Long].collect().toSet == (1L to 3000L).toSet)
+    val n = Files.list(java.nio.file.Paths.get(ckpt, "offsets"))
+      .iterator().asScala.count(_.getFileName.toString.matches("\\d+"))
+    assert(n == 3, s"3 versions above a half-file byte budget = 3 batches, got $n")
+  }
+
+  test("detail: one metadata row — version window, live totals with bytes, partition and mapping state") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t, (1L to 50L).map(i => (i, s"r$i")).toDF("id", "v"),
+      Seq("id"))
+    TxTable.append(spark, t, (51L to 80L).map(i => (i, s"r$i")).toDF("id", "v"),
+      Seq("id"))
+    TxTable.renameColumn(t, "id", "key")
+    val d = TxTable.detail(spark, t).head()
+    assert(d.getAs[Int]("version") == 3)
+    assert(d.getAs[Long]("n_rows") == 80L)
+    assert(d.getAs[Long]("n_files") >= 2L)
+    assert(d.getAs[Long]("n_bytes") ==
+      TxTable.manifest(t, 3).files.map(_.bytes).sum)
+    assert(d.getAs[Long]("n_bytes") > 0L)
+    assert(d.getAs[String]("renames") == "key<-id")
+    assert(d.getAs[String]("partition_cols") == "")
   }
 
   test("column mapping + streaming source: batches over a renamed table surface the logical name, physical files stream unchanged") {
