@@ -270,6 +270,15 @@ class PlanAuditSpec extends SparkSpecBase {
       s"the percentile tier must ride the bucket-rank device:\n${rankWindows.mkString("\n")}")
   }
 
+  test("q73_trimmed_mean: boundary-bucket ranking only — every row_number window is bucket-partitioned") {
+    val p = planOf(q("q73_trimmed_mean"))
+    val rankWindows = p.linesIterator
+      .filter(_.contains("row_number() windowspecdefinition")).toSeq
+    assert(rankWindows.nonEmpty, s"no rank window found:\n$p")
+    assert(rankWindows.forall(_.contains("bkt#")),
+      s"a row_number window rides a low-cardinality partition:\n${rankWindows.mkString("\n")}")
+  }
+
   test("pipeline_pack: per-shard window — no single-partition exchange anywhere") {
     val p = planOf(q("pipeline_pack"))
     assert(!p.contains("Exchange SinglePartition"),
