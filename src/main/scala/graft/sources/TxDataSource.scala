@@ -366,6 +366,17 @@ final class TxStreamSource(ctx: SQLContext, table: String,
 
   private val spark = ctx.sparkSession
 
+  /** The pinned logical ↔ PHYSICAL name map, captured at source start
+    * alongside the schema: physical names never change (column
+    * mapping's stable-id contract), so batches stay schema-stable
+    * under the start-time view no matter what renames commit while
+    * the stream runs.
+    */
+  private val pinnedPhys: Seq[(String, String)] = {
+    val (renames, _) = TxTable.mappingAt(table)
+    schema.fields.toSeq.map(f => f.name -> renames.getOrElse(f.name, f.name))
+  }
+
   /** Pacing watermark: the highest version this source has handed out
     * (via getOffset/latestOffset) or been asked to produce (via
     * getBatch). Synced in getBatch so checkpoint recovery — which
@@ -542,14 +553,20 @@ final class TxStreamSource(ctx: SQLContext, table: String,
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       else {
         // files carry PHYSICAL names; the pinned source schema is the
-        // LOGICAL view — read under the physical pin, rename back
-        val (renames, _) = TxTable.mappingAt(table, toV)
-        val physSchema = StructType(schema.fields.map(f =>
-          f.copy(name = renames.getOrElse(f.name, f.name))))
+        // LOGICAL view AT STREAM START — read under the pinned
+        // physical map (captured at construction: physical names never
+        // change), then rename back to the PINNED logical names. A
+        // rename committed MID-STREAM therefore cannot shift the batch
+        // schema out from under the pinned one — batches stay stable
+        // under the start-time view, the same contract as add-column
+        // evolution.
+        val physSchema = StructType(schema.fields.zip(pinnedPhys).map {
+          case (f, (_, phys)) => f.copy(name = phys)
+        })
         val raw = spark.read.schema(physSchema)
           .parquet(added.map(f => s"$table/${f.path}"): _*)
-        renames.foldLeft(raw) { case (d, (logical, orig)) =>
-          d.withColumnRenamed(orig, logical)
+        pinnedPhys.foldLeft(raw) { case (d, (logical, phys)) =>
+          if (phys != logical) d.withColumnRenamed(phys, logical) else d
         }
       }
     GraftBridge.streamingDataFrame(batch)

@@ -1226,5 +1226,25 @@ class TxTableSpec extends SparkSpecBase {
         == (1L to 30L).toSet,
         "post-rename appends must stream under the pinned logical schema")
     } finally q.stop()
+    // a rename committed MID-STREAM must not shift the batch schema
+    // out from under the pinned start-time view (the physical map is
+    // captured at source start — stable-id contract)
+    val t2 = tmpTable()
+    TxTable.create(spark, t2,
+      (1L to 10L).map(i => (i, s"p$i")).toDF("id", "payload"), Seq("id"))
+    val q2 = spark.readStream.format("graft-tx").option("path", t2).load()
+      .writeStream.format("memory").queryName("tx_cm_midstream")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      TxTable.renameColumn(t2, "id", "key")
+      TxTable.append(spark, t2,
+        (11L to 20L).map(i => (i, s"p$i")).toDF("key", "payload"), Seq("key"))
+      q2.processAllAvailable()
+      val snap = spark.table("tx_cm_midstream")
+      assert(snap.columns.toSet == Set("id", "payload"),
+        "mid-stream renames must not change the pinned batch schema")
+      assert(snap.select("id").as[Long].collect().toSet == (1L to 20L).toSet)
+    } finally q2.stop()
   }
 }
