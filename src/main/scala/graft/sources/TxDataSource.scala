@@ -29,7 +29,8 @@ import org.apache.spark.sql.types.StructType
   * the scan; the manifest skipping is a pure file-set reduction and
   * never changes row-level semantics.
   */
-final class TxDataSource extends RelationProvider with DataSourceRegister
+final class TxDataSource extends RelationProvider with SchemaRelationProvider
+    with DataSourceRegister
     with StreamSourceProvider with CreatableRelationProvider
     with StreamSinkProvider {
   override def shortName(): String = "graft-tx"
@@ -39,6 +40,21 @@ final class TxDataSource extends RelationProvider with DataSourceRegister
     val table = tableOf(parameters)
     val version = parameters.get("version").map(_.toInt).getOrElse(-1)
     new TxRelation(sqlContext, table, version)
+  }
+
+  /** The engine passes a schema when resolving a CATALOG table (the
+    * schema STORED at registration). Honoring it — rather than letting
+    * Spark compare it against the current logical view and fail —
+    * keeps a catalog entry registered BEFORE a column rename readable
+    * as a stale-but-consistent view: its stored names are the stable
+    * physical names, which [[TxRelation.buildScan]] serves directly.
+    * Re-register (DROP + CREATE) to surface the renamed names.
+    */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String], schema: StructType): BaseRelation = {
+    val table = tableOf(parameters)
+    val version = parameters.get("version").map(_.toInt).getOrElse(-1)
+    new TxRelation(sqlContext, table, version, Some(schema))
   }
 
   /** `df.write.format("graft-tx")` — the write half of the SQL
@@ -263,7 +279,8 @@ object TxDataSource {
   * surfaces nulls for pre-evolution files, and a later writer's files
   * are invisible to this snapshot (snapshot isolation).
   */
-final class TxRelation(ctx: SQLContext, table: String, version: Int)
+final class TxRelation(ctx: SQLContext, table: String, version: Int,
+    providedSchema: Option[StructType] = None)
     extends BaseRelation with PrunedFilteredScan {
 
   private val spark = ctx.sparkSession
@@ -271,7 +288,8 @@ final class TxRelation(ctx: SQLContext, table: String, version: Int)
 
   override def sqlContext: SQLContext = ctx
 
-  override val schema: StructType = TxTable.read(spark, table, resolved).schema
+  override val schema: StructType =
+    providedSchema.getOrElse(TxTable.read(spark, table, resolved).schema)
 
   // rows cross the boundary as InternalRow straight from the delegated
   // parquet scan — no Row conversion layer on the hot path
@@ -280,29 +298,36 @@ final class TxRelation(ctx: SQLContext, table: String, version: Int)
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val kept = TxDataSource.filesFor(table, resolved, filters.toSeq)
     val (renames, _) = TxTable.mappingAt(table, resolved)
-    val base: DataFrame =
-      if (kept.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else if (kept.exists(_.parts.nonEmpty))
-        // hive-partitioned live set: the partition columns only exist
-        // in the directory names — per-slot basePath inference
-        TxTable.readEntries(spark, table, kept, resolved)
-      else {
-        // explicit snapshot schema (not re-inferred): pre-evolution
-        // files yield nulls for later-added columns, and the pruned
-        // file subset can't narrow the schema. Files carry PHYSICAL
-        // (original) names — pin those, then rename to the logical view
-        val physSchema = StructType(schema.fields.map(f =>
-          f.copy(name = renames.getOrElse(f.name, f.name))))
-        val raw = spark.read.schema(physSchema)
+    // the engine may resolve against THIS relation's (current logical)
+    // schema OR a catalog entry's STORED schema from before a rename —
+    // both address the same stable physical columns, so the projection
+    // maps each requested name to its physical and aliases it back:
+    // any consistent naming the engine asks for is served
+    val physFor: String => String = c => renames.getOrElse(c, c)
+    if (kept.exists(_.parts.nonEmpty)) {
+      // hive-partitioned live set: the partition columns only exist
+      // in the directory names — per-slot basePath inference, current
+      // logical names
+      val base = TxTable.readEntries(spark, table, kept, resolved)
+      val projected = base.select(requiredColumns.map(col).toSeq: _*)
+      projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+    } else {
+      // explicit snapshot schema (not re-inferred): pre-evolution
+      // files yield nulls for later-added columns, and the pruned
+      // file subset can't narrow the schema. Files carry PHYSICAL
+      // (original) names — pin those
+      val physSchema = StructType(schema.fields.map(f =>
+        f.copy(name = physFor(f.name))))
+      val base: DataFrame =
+        if (kept.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], physSchema)
+        else spark.read.schema(physSchema)
           .parquet(kept.map(f => s"$table/${f.path}"): _*)
-        renames.foldLeft(raw) { case (d, (logical, orig)) =>
-          d.withColumnRenamed(orig, logical)
-        }
-      }
-    // empty requiredColumns (count(*)-style scans) → zero-column rows
-    val projected = base.select(requiredColumns.map(col).toSeq: _*)
-    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+      // empty requiredColumns (count(*)-style scans) → zero-column rows
+      val projected = base.select(
+        requiredColumns.map(c => col(physFor(c)).as(c)).toSeq: _*)
+      projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+    }
   }
 }
 

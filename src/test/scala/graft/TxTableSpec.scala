@@ -1003,10 +1003,30 @@ class TxTableSpec extends SparkSpecBase {
     intercept[org.apache.spark.sql.AnalysisException] {
       second.table("graft_cat_tmpv").count()
     }
+    // a column rename AFTER registration: the stored schema keeps
+    // resolving as a stale-but-consistent view (stored names are the
+    // stable physical names — SchemaRelationProvider serves them
+    // directly instead of failing Spark's schema-mismatch check)
+    TxTable.renameColumn(t, "id", "ident")
+    spark.sql("REFRESH TABLE graft_cat_sat")
+    val stale = spark.table("graft_cat_sat")
+    assert(stale.columns.contains("id"),
+      "pre-rename catalog entries keep their stored names")
+    assert(stale.agg(sum(col("id"))).head().getLong(0) == (1L to 50L).sum,
+      "stored names must keep addressing the physical data")
+    // appends surface through the stale view after the standard REFRESH
+    TxTable.append(spark, t, Seq((51L, "r51")).toDF("ident", "payload"),
+      Seq("ident"))
+    spark.sql("REFRESH TABLE graft_cat_sat")
+    assert(spark.table("graft_cat_sat").count() == 51)
+    // re-registering surfaces the renamed schema
+    spark.sql("DROP TABLE graft_cat_sat")
+    spark.sql(s"CREATE TABLE graft_cat_sat USING `graft-tx` OPTIONS (path '$t')")
+    assert(spark.table("graft_cat_sat").columns.contains("ident"))
     // DROP removes the catalog entry, never the external data
     spark.sql("DROP TABLE graft_cat_sat")
     spark.sql("DROP TABLE graft_cat_v1")
-    assert(TxTable.read(spark, t).count() == 50, "DROP TABLE must not touch data")
+    assert(TxTable.read(spark, t).count() == 51, "DROP TABLE must not touch data")
   }
 
   test("hive partition layout: <col>=<value> dirs, directory-only pruning, stats compose, reads recover the column, flat mutations refused") {
