@@ -1600,6 +1600,34 @@ object TxTable {
 
   // ---------------------------------------------------------------- vacuum
 
+  /** The files [[vacuum]] would reclaim below `keepFromVersion`:
+    * every data file referenced by NO retained manifest.
+    */
+  private def reclaimable(table: String, keepFromVersion: Int): Seq[String] = {
+    val latest = latestVersion(table)
+    val keep = (keepFromVersion to latest)
+      .flatMap(v => manifest(table, v).files.map(_.path)).toSet
+    val dataDir = Paths.get(table, "data")
+    if (!Files.isDirectory(dataDir)) return Nil
+    Files.walk(dataDir).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .map(p => Paths.get(table).toAbsolutePath.relativize(p.toAbsolutePath).toString)
+      .filter(rel => rel.endsWith(".parquet") && !keep.contains(rel))
+      .toList
+  }
+
+  /** VACUUM DRY RUN: the reclaimable file list and byte total for
+    * `keepFromVersion`, computed exactly as [[vacuum]] would — with
+    * NOTHING deleted and no horizon sidecar written. The audit step
+    * before an irreversible retention decision (Delta's `VACUUM …
+    * DRY RUN`): a table owner reads this next to [[history]] and
+    * [[detail]] before narrowing the time-travel window.
+    */
+  def vacuumDryRun(table: String, keepFromVersion: Int): (Seq[String], Long) = {
+    val files = reclaimable(table, keepFromVersion)
+    (files, files.map(rel => Files.size(Paths.get(table, rel))).sum)
+  }
+
   /** Delete data files referenced by NO manifest ≥ `keepFromVersion`
     * and drop the older version records — bounding time travel to the
     * kept window, reclaiming the copy-on-write garbage. Before any
@@ -1622,15 +1650,7 @@ object TxTable {
           case _: java.util.ConcurrentModificationException => ()
         }
     }
-    val keep = (keepFromVersion to latest)
-      .flatMap(v => manifest(table, v).files.map(_.path)).toSet
-    val dataDir = Paths.get(table, "data")
-    if (!Files.isDirectory(dataDir)) return Nil
-    val deleted = Files.walk(dataDir).iterator().asScala
-      .filter(p => Files.isRegularFile(p))
-      .map(p => Paths.get(table).toAbsolutePath.relativize(p.toAbsolutePath).toString)
-      .filter(rel => rel.endsWith(".parquet") && !keep.contains(rel))
-      .toList
+    val deleted = reclaimable(table, keepFromVersion)
     deleted.foreach(rel => Files.deleteIfExists(Paths.get(table, rel)))
     (1 until keepFromVersion).foreach { v =>
       Files.deleteIfExists(versionFile(table, v))

@@ -522,8 +522,17 @@ class TxTableSpec extends SparkSpecBase {
     TxTable.create(spark, t, (1L to 50L).map(i => (i, "a")).toDF("id", "v"), Seq("id"))
     TxTable.merge(spark, t, Seq((1L, "b")).toDF("id", "v"), "id", Seq("id"))   // v2 rewrites
     TxTable.merge(spark, t, Seq((2L, "c")).toDF("id", "v"), "id", Seq("id"))   // v3 rewrites
+    // DRY RUN first: same reclaim set, positive byte estimate, and
+    // NOTHING touched — every version still readable afterwards
+    val (wouldDelete, wouldFree) = TxTable.vacuumDryRun(t, keepFromVersion = 3)
+    assert(wouldDelete.nonEmpty && wouldFree > 0L)
+    assert(TxTable.read(spark, t, version = 1).count() == 50,
+      "dry run must not delete anything")
+    assert(TxTable.oldestRetainedVersion(t) == 1, "dry run must not drop records")
     val deleted = TxTable.vacuum(t, keepFromVersion = 3)
     assert(deleted.nonEmpty, "copy-on-write garbage existed and must be reclaimed")
+    assert(deleted.toSet == wouldDelete.toSet,
+      "the dry run must predict exactly what vacuum reclaims")
     assert(TxTable.read(spark, t).count() == 50)
     assert(TxTable.read(spark, t).filter(col("id") === 2L).head().getString(1) == "c")
     intercept[Exception] { TxTable.read(spark, t, version = 1).count() }
