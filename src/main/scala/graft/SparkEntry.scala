@@ -234,6 +234,7 @@ object SparkEntry {
     "dedup_cross_corpus"  -> Training.crossCorpus _,
     "source_minhash_sim"  -> Training.sourceMinhashSim _,
     "tx_merge"            -> graft.sources.TxTable.mergeQuery _,
+    "tx_merge_part"       -> graft.sources.TxTable.mergePartitionedQuery _,
     "tx_time_travel"      -> graft.sources.TxTable.timeTravelQuery _,
     "tx_sql_read"         -> graft.sources.TxTable.sqlReadQuery _,
     "tx_catalog_read"     -> graft.sources.TxTable.catalogReadQuery _,
@@ -579,6 +580,7 @@ object SparkEntry {
     "dedup_cross_corpus"  -> Training.crossCorpusSql,
     "source_minhash_sim"  -> Training.sourceMinhashSimSql,
     "tx_merge"            -> graft.sources.TxTable.mergeQuerySql,
+    "tx_merge_part"       -> graft.sources.TxTable.mergePartitionedQuerySql,
     "tx_time_travel"      -> graft.sources.TxTable.timeTravelQuerySql,
     "tx_sql_read"         -> graft.sources.TxTable.sqlReadQuerySql,
     "tx_catalog_read"     -> graft.sources.TxTable.catalogReadQuerySql,

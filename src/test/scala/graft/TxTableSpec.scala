@@ -1038,7 +1038,7 @@ class TxTableSpec extends SparkSpecBase {
     assert(TxTable.read(spark, t).count() == 51, "DROP TABLE must not touch data")
   }
 
-  test("hive partition layout: <col>=<value> dirs, directory-only pruning, stats compose, reads recover the column, flat mutations refused") {
+  test("hive partition layout: <col>=<value> dirs, directory-only pruning, stats compose, reads recover the column, layout-destroying flat ops refused") {
     import spark.implicits._
     val t = tmpTable()
     // dt 1..4 aligned with id bands, landed in TWO single-task writes
@@ -1078,12 +1078,17 @@ class TxTableSpec extends SparkSpecBase {
     val both = dt2.filter(_.stats("id").intersects("101", "140"))
     assert(both.size == 1,
       s"stats must halve the partition's files, got ${both.size}")
-    // a flat append or a file-rewriting mutation would break the layout
+    // a flat append or a flat maintenance rewrite would break the
+    // layout (mutations are partition-aware since r14 — covered by
+    // their own spec — but flat compact/zorder would de-partition)
     intercept[IllegalArgumentException] {
       TxTable.append(spark, t, Seq((501L, 6L)).toDF("id", "dt"), Seq("id"))
     }
     intercept[IllegalArgumentException] {
-      TxTable.delete(spark, t, "id", "1", "10", Seq("id"))
+      TxTable.compact(spark, t, Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      TxTable.zorder(spark, t, "id", "dt", Seq("id"))
     }
     // old snapshots stay readable across partitioned appends
     assert(TxTable.read(spark, t, version = 1).count() == 200)
@@ -1275,5 +1280,239 @@ class TxTableSpec extends SparkSpecBase {
         "mid-stream renames must not change the pinned batch schema")
       assert(snap.select("id").as[Long].collect().toSet == (1L to 20L).toSet)
     } finally q2.stop()
+  }
+
+  test("streaming source on a hive-partitioned table: directory-encoded partition values stream intact (batch ≡ stream), across snapshot, multi-slot batches, and ignoreChanges resurface") {
+    import spark.implicits._
+    val t = tmpTable()
+    // deterministic per-value files: dt 1 holds ids 1-3, dt 2 ids 4-6
+    val v1 = (1L to 6L).map(i => (i, (i - 1) / 3 + 1)).toDF("id", "dt")
+      .repartition(1)
+    TxTable.createPartitioned(spark, t, v1, Seq("dt"), Seq("id"))
+    def batchRows(): Set[(Long, Long)] = TxTable.read(spark, t)
+      .select(col("id"), col("dt")).as[(Long, Long)].collect().toSet
+    val q = spark.readStream.format("graft-tx").option("path", t).load()
+      .writeStream.format("memory").queryName("tx_part_stream")
+      .outputMode("append").start()
+    def streamed(): Set[(Long, Long)] = spark.table("tx_part_stream")
+      .select(col("id"), col("dt")).as[(Long, Long)].collect().toSet
+    try {
+      q.processAllAvailable()
+      // the r13 bug: every streamed row carried NULL in every partition
+      // column (data files don't contain them) — batch and stream must
+      // agree INCLUDING the partition values
+      assert(streamed() == batchRows(), "snapshot batch ≡ stream")
+      assert(streamed().map(_._2) == Set(1L, 2L), "partition values, not NULLs")
+      // two appends while the consumer idles → ONE micro-batch spanning
+      // two slots and three partition values
+      TxTable.appendPartitioned(spark, t,
+        Seq((7L, 1L), (8L, 3L)).toDF("id", "dt").repartition(1),
+        Seq("dt"), Seq("id"))
+      TxTable.appendPartitioned(spark, t,
+        Seq((9L, 2L)).toDF("id", "dt").repartition(1), Seq("dt"), Seq("id"))
+      q.processAllAvailable()
+      assert(streamed() == batchRows(), "multi-slot batch ≡ stream")
+      assert(streamed().contains((8L, 3L)), "new partition value streams")
+    } finally q.stop()
+    // ignoreChanges: a partition compaction's rewritten files resurface
+    // WITH their directory-encoded values
+    val q2 = spark.readStream.format("graft-tx").option("path", t)
+      .option("ignoreChanges", "true").load()
+      .writeStream.format("memory").queryName("tx_part_stream_ic")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      TxTable.compactPartition(spark, t, Map("dt" -> "1"), Seq("dt"), Seq("id"))
+      q2.processAllAvailable()
+      val rows = spark.table("tx_part_stream_ic")
+        .select(col("id"), col("dt")).as[(Long, Long)].collect().toSeq
+      val dup = rows.groupBy(identity).filter(_._2.size > 1).keys.toSet
+      assert(dup.nonEmpty && dup.forall(_._2 == 1L),
+        s"resurfaced dt=1 rewrite must carry dt=1, got $dup")
+      assert(rows.forall(r => r._2 >= 1L && r._2 <= 3L),
+        "no NULL/garbage partition values anywhere in the stream")
+    } finally q2.stop()
+  }
+
+  test("streaming source startingVersion: horizon validation defers to first-batch seeding — a checkpointed restart survives a vacuum past the configured start; a fresh stream below the horizon still fails fast") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t, Seq(1L).toDF("id"), Seq("id")) // v1
+    (2 to 6).foreach(v =>
+      TxTable.append(spark, t, Seq(v.toLong).toDF("id"), Seq("id"))) // v2..v6
+    val ckpt = Files.createTempDirectory("graft_tx_sv_ck").toString
+    val out = Files.createTempDirectory("graft_tx_sv_out").toString
+    def start(ck: String) =
+      spark.readStream.format("graft-tx").option("path", t)
+        .option("startingVersion", "2").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck).outputMode("append").start()
+    val q = start(ckpt)
+    try { q.processAllAvailable() } finally q.stop()
+    assert(spark.read.parquet(out).as[Long].collect().toSet == (2L to 6L).toSet)
+    // vacuum PAST the configured startingVersion (2) but behind the
+    // consumer's committed offset (6): the restart must come up clean —
+    // r13 validated the horizon in createSource, which also runs on
+    // restart, and wedged exactly this healthy checkpoint
+    TxTable.vacuum(t, 5)
+    TxTable.append(spark, t, Seq(7L).toDF("id"), Seq("id"))
+    val q2 = start(ckpt)
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(spark.read.parquet(out).as[Long].collect().toSet == (2L to 7L).toSet,
+      "checkpointed restart processes new commits; startingVersion ignored")
+    // a FRESH stream (new checkpoint, memory sink so batch 0 actually
+    // executes) genuinely seeds from startingVersion 2 — below the
+    // horizon, so its first batch fails with the retention message,
+    // not a raw missing-file trace
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q3 = spark.readStream.format("graft-tx").option("path", t)
+        .option("startingVersion", "2").load()
+        .writeStream.format("memory").queryName("tx_sv_fresh")
+        .outputMode("append").start()
+      try q3.processAllAvailable() finally q3.stop()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("below the retention horizon"), msgs)
+  }
+
+  test("appendPartitioned refuses a non-empty flat table; renameColumn collision checks the FULL physical schema, not just stats keys") {
+    import spark.implicits._
+    val t = tmpTable()
+    // statsCols deliberately narrower than the schema: v carries no
+    // stats entry, so a stats-key-only collision check cannot see it
+    TxTable.create(spark, t, Seq((1L, "a")).toDF("id", "v").repartition(1),
+      Seq("id"))
+    val e = intercept[IllegalArgumentException] {
+      TxTable.appendPartitioned(spark, t,
+        Seq((2L, "b")).toDF("id", "v").repartition(1), Seq("v"), Seq("id"))
+    }
+    assert(e.getMessage.contains("flat"), e.getMessage)
+    // rename onto the stats-less data column: refused (pre-fix this
+    // passed and produced a duplicate logical name)
+    val e2 = intercept[IllegalArgumentException] {
+      TxTable.renameColumn(t, "id", "v")
+    }
+    assert(e2.getMessage.contains("already exists"), e2.getMessage)
+    // a logical name shadowing ANOTHER column's physical name is
+    // refused (the logical<->physical folds would become
+    // order-dependent); rename-back to one's OWN original still works
+    TxTable.renameColumn(t, "id", "id2")
+    val e3 = intercept[IllegalArgumentException] {
+      TxTable.renameColumn(t, "v", "id")
+    }
+    assert(e3.getMessage.contains("shadows"), e3.getMessage)
+    TxTable.renameColumn(t, "id2", "id")
+    assert(TxTable.read(spark, t).columns.toSeq == Seq("id", "v"))
+  }
+
+  test("partition-aware mutations: merge/delete/update preserve the hive layout, untouched partitions carry by reference, partition-column delete is metadata-only") {
+    import spark.implicits._
+    val t = tmpTable()
+    // one file per dt dir: dt 1 holds ids 1-3, dt 2 ids 4-6, dt 3 ids 7-9
+    val base = (1L to 9L).map(i => (i, (i - 1) / 3 + 1, "base"))
+      .toDF("id", "dt", "tag").repartition(1)
+    TxTable.createPartitioned(spark, t, base, Seq("dt"), Seq("id"))
+    def files() = TxTable.manifest(t, TxTable.latestVersion(t)).files
+    def rows() = TxTable.read(spark, t)
+      .select(col("id"), col("dt"), col("tag"))
+      .as[(Long, Long, String)].collect().toSet
+    val v1Files = files().map(_.path).toSet
+
+    // MERGE confined to dt=1: the insert key 0 keeps dt=1's key range
+    // off the other partitions, and the PARTITION BOUNDS prune what the
+    // key range alone cannot — updates' keys [0, 2] are disjoint here,
+    // but the real assertion is rewritten == 1 below
+    val mr = TxTable.merge(spark, t,
+      Seq((2L, 1L, "upd"), (0L, 1L, "ins")).toDF("id", "dt", "tag"),
+      "id", Seq("id"))
+    assert(mr.rewritten == 1 && mr.untouched == 2,
+      s"partition bounds must confine the rewrite to dt=1: $mr")
+    assert(rows() == Set((0L, 1L, "ins"), (1L, 1L, "base"), (2L, 1L, "upd"),
+      (3L, 1L, "base"), (4L, 2L, "base"), (5L, 2L, "base"),
+      (6L, 2L, "base"), (7L, 3L, "base"), (8L, 3L, "base"), (9L, 3L, "base")))
+    val afterMerge = files()
+    assert(afterMerge.filter(_.parts("dt") != "1").map(_.path).toSet ==
+      v1Files.filter(p => !p.contains("dt=1")),
+      "untouched partitions carry by reference")
+    assert(afterMerge.forall(f => f.parts.contains("dt") && f.path.contains("dt=")),
+      "rewritten files keep the directory layout and parts metadata")
+
+    // a merge whose key range SPANS the table but whose partition
+    // bounds hit nothing new still only touches its own partitions
+    val mr2 = TxTable.merge(spark, t,
+      Seq((9L, 3L, "upd3")).toDF("id", "dt", "tag"), "id", Seq("id"))
+    assert(mr2.rewritten == 1, s"dt bounds [3,3] must touch only dt=3: $mr2")
+
+    // METADATA-ONLY partition delete: dt in [3,3] drops whole files as
+    // pure manifest removes — zero data IO, no new paths
+    val preDel = files().map(_.path).toSet
+    val dr = TxTable.delete(spark, t, "dt", "3", "3", Seq("id"))
+    assert(dr.rewritten == 1 && files().map(_.path).toSet.subsetOf(preDel),
+      "partition delete must write no new files")
+    assert(rows().forall(_._2 != 3L) && rows().size == 7)
+    // the old snapshot still has the dropped partition
+    assert(TxTable.read(spark, t, dr.version - 1)
+      .filter(col("dt") === 3L).count() == 3)
+
+    // content-column DELETE inside a partitioned table: only the
+    // intersecting partition's file rewrites, layout preserved
+    val preDel2 = files()
+    val dr2 = TxTable.delete(spark, t, "id", "4", "4", Seq("id"))
+    assert(dr2.rewritten == 1 && dr2.untouched == 1, s"$dr2")
+    val afterDel2 = files()
+    assert(afterDel2.filter(_.parts("dt") == "1").map(_.path).toSet ==
+      preDel2.filter(_.parts("dt") == "1").map(_.path).toSet,
+      "dt=1 carries by reference through the dt=2 rewrite")
+    assert(afterDel2.forall(f => f.parts.contains("dt")))
+    assert(rows() == Set((0L, 1L, "ins"), (1L, 1L, "base"), (2L, 1L, "upd"),
+      (3L, 1L, "base"), (5L, 2L, "base"), (6L, 2L, "base")))
+
+    // UPDATE inside a partitioned table: bystanders carry through,
+    // disjoint partitions by reference
+    val ur = TxTable.update(spark, t, "id", "5", "5",
+      Map("tag" -> lit("u5")), Seq("id"))
+    assert(ur.rewritten == 1 && ur.untouched == 1, s"$ur")
+    assert(rows().contains((5L, 2L, "u5")) && rows().contains((6L, 2L, "base")))
+
+    // UPDATE may move rows ACROSS partitions (SET on a partition
+    // column): the rewrite routes them to their new value's directory
+    TxTable.update(spark, t, "id", "6", "6",
+      Map("dt" -> lit(9L)), Seq("id"))
+    val dt9 = TxTable.readPartition(spark, t, Map("dt" -> "9"))
+    assert(dt9.select(col("id")).as[Long].collect().toSeq == Seq(6L))
+    assert(files().exists(f => f.parts.get("dt").contains("9") &&
+      f.path.contains("dt=9")))
+    // pruning signals still compose after the whole mutation chain
+    assert(TxTable.prunePartitions(t, Map("dt" -> "1"))._1
+      .forall(_.parts("dt") == "1"))
+    assert(TxTable.readPartition(spark, t, Map("dt" -> "1")).count() == 4)
+  }
+
+  test("zorderPartition: one partition re-lays curve-ordered under its own dirs, others carry by reference, content identical") {
+    import spark.implicits._
+    val t = tmpTable()
+    val df = (1L to 1000L).map(i => (i, (i * 7) % 499, (i - 1) / 500 + 1))
+      .toDF("x", "y", "dt").repartition(1)
+    TxTable.createPartitioned(spark, t, df, Seq("dt"), Seq("x", "y"))
+    val pre = TxTable.manifest(t, 1).files
+    val preAgg = TxTable.read(spark, t)
+      .agg(count(lit(1)), sum(col("x")), sum(col("y"))).head()
+    val v = TxTable.zorderPartition(spark, t, Map("dt" -> "1"), "x", "y",
+      Seq("dt"), Seq("x", "y"), numFiles = 4)
+    val post = TxTable.manifest(t, v).files
+    val (dt1, others) = post.partition(_.parts("dt") == "1")
+    assert(others.map(_.path).toSet ==
+      pre.filter(_.parts("dt") != "1").map(_.path).toSet,
+      "non-target partitions carry by reference")
+    assert(dt1.size == 4 &&
+      dt1.forall(f => f.path.contains("dt=1") && f.parts("dt") == "1"))
+    // BOTH dimensions now skip within the partition: a low band on
+    // either column intersects a strict subset of its files
+    assert(dt1.count(_.stats("x").intersects("1", "125")) < dt1.size)
+    assert(dt1.count(_.stats("y").intersects("1", "124")) < dt1.size)
+    assert(TxTable.read(spark, t)
+      .agg(count(lit(1)), sum(col("x")), sum(col("y"))).head() == preAgg,
+      "zorderPartition is a content-identical commit")
   }
 }
