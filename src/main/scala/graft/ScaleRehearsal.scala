@@ -952,14 +952,35 @@ object ScaleRehearsal {
       (c.filter(col("_change") === "insert").count(), c.filter(col("_change") === "delete").count())
     }
     val cdfOk = cdf._1 == n / 100 && cdf._2 == 0
-    val ok = pruneOk && readOk && mergeOk && deleteOk && cdfOk
+    // DELETION-VECTOR point delete: the GDPR shape — ~0.1% of rows
+    // scattered across EVERY file (predicate on the UNCLUSTERED value
+    // column, so no file can be skipped or dropped) tombstones with
+    // ZERO data files rewritten; the post-DV read anti-joins exactly
+    // them out. The copy-on-write alternative would rewrite all 64
+    // files (~the create cost) for the same 0.1%.
+    val beforePaths = TxTable.manifest(t, TxTable.latestVersion(t))
+      .files.map(_.path).toSet
+    val (preTotal, matchCnt) = {
+      val r = TxTable.read(spark, t)
+        .agg(count(lit(1)), count(when(col("v") === 500, 1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (_, tDv) = timed(TxTable.deleteWithDV(spark, t, "v", "500", "500"))
+    val afterDv = TxTable.manifest(t, TxTable.latestVersion(t)).files
+    val (postTotal, tDvRead) = timed(TxTable.read(spark, t).count())
+    val dvOk = afterDv.map(_.path).toSet == beforePaths &&
+      afterDv.map(_.dv.size).sum == matchCnt &&
+      postTotal == preTotal - matchCnt
+    val ok = pruneOk && readOk && mergeOk && deleteOk && cdfOk && dvOk
     println(s"""{"metric":"scale_rehearsal_tx","n_rows":$n,"files":$files,""" +
       s""""create_sec":${f"$tCreate%.1f"},"pruned_files":${kept.size},""" +
       s""""reads_sec":${f"$tReads%.1f"},"merge_rewritten":${mRes.rewritten},""" +
       s""""merge_sec":${f"$tMerge%.1f"},"delete_rewritten":${dRes.rewritten},""" +
       s""""delete_sec":${f"$tDelete%.1f"},"cdf_sec":${f"$tCdf%.1f"},""" +
+      s""""dv_rows":$matchCnt,"dv_sec":${f"$tDv%.1f"},""" +
+      s""""dv_read_sec":${f"$tDvRead%.1f"},""" +
       s""""prune_ok":$pruneOk,"read_ok":$readOk,"merge_ok":$mergeOk,""" +
-      s""""delete_ok":$deleteOk,"cdf_ok":$cdfOk}""")
+      s""""delete_ok":$deleteOk,"cdf_ok":$cdfOk,"dv_ok":$dvOk}""")
     spark.stop()
     if (!ok) sys.exit(1)
   }
@@ -1022,7 +1043,7 @@ object ScaleRehearsal {
     // reads each record ONCE, O(versions·delta) — the CDC consumer's
     // catch-up metadata cost at 10⁶-file table scale
     val ((walkAdds, walkRemoves), tWalk) = timed {
-      val (a, r) = TxTable.actionsBetween(t, commits / 2, commits)
+      val (a, r, _) = TxTable.actionsBetween(t, commits / 2, commits)
       (a.size, r.size)
     }
     val walkOk = walkAdds == commits - commits / 2 && walkRemoves == 0

@@ -1046,8 +1046,20 @@ object Relational {
     * Returns (g, which, value). A single-valued group (vmin = vmax)
     * collapses to bucket 0 — a degenerate but correct one-bucket sort.
     */
+  /** In-bucket sort bound for the bucket-rank devices: a located or
+    * boundary bucket holding more rows than this recurses one level
+    * (or answers arithmetically when constant) instead of sorting in
+    * one task. Equi-width buckets collapse under heavy-tailed values —
+    * one 1e15 sentinel stretches [vmin, vmax] so nearly every row
+    * lands in bucket 0 and the located-bucket sort re-creates the
+    * single-partition shape the device exists to retire. 2^18 rows
+    * sort comfortably in one task; one recursion bounds the residual
+    * sort to the sub-bucket's share.
+    */
+  private[graft] val LocatedSortCap: Long = 1L << 18
+
   private def valuesAtRanks(data: DataFrame, targets: DataFrame,
-      buckets: Int = 4096): DataFrame = {
+      buckets: Int = 4096, sortCap: Long = LocatedSortCap): DataFrame = {
     val rng = data.groupBy(col("g"))
       .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
     val width = col("vmax") - col("vmin")
@@ -1055,7 +1067,11 @@ object Relational {
       least(floor((col("value") - col("vmin")) / width * buckets),
         lit((buckets - 1).toLong)))
     val bucketed = data.join(broadcast(rng), Seq("g")).withColumn("bkt", bkt)
-    val counts = bucketed.groupBy(col("g"), col("bkt")).agg(count(lit(1)).as("c"))
+    // per-bucket min/max ride the same single aggregate pass — they
+    // cost nothing and power the OUTLIER GUARD below
+    val counts = bucketed.groupBy(col("g"), col("bkt"))
+      .agg(count(lit(1)).as("c"),
+        min(col("value")).as("bmin"), max(col("value")).as("bmax"))
     val wb = Window.partitionBy(col("g")).orderBy(col("bkt"))
     val cum = counts.withColumn("cum_before",
       coalesce(sum(col("c")).over(wb.rowsBetween(Window.unboundedPreceding, -1)),
@@ -1065,15 +1081,72 @@ object Relational {
       .filter(col("target") > col("cum_before") &&
         col("target") <= col("cum_before") + col("c"))
       .select(col("g"), col("bkt"), col("which"),
-        (col("target") - col("cum_before")).as("local_rank"))
+        (col("target") - col("cum_before")).as("local_rank"),
+        col("c"), col("bmin"), col("bmax"))
+    // CONSTANT located bucket (min == max — every value ties): the
+    // answer at ANY in-bucket rank is that value, no sort at all. This
+    // also covers the shape recursion cannot split (one giant tie run).
+    val const = located.filter(col("bmin") === col("bmax"))
+      .select(col("g"), col("which"), col("bmin").as("value"))
+    // the design case: a located bucket that fits one sort task
+    val small = located.filter(col("bmin") =!= col("bmax") &&
+      col("c") <= sortCap)
     // rank only inside located buckets; `which` in the partition key so
     // two targets landing in one bucket rank their slices independently
     val wloc = Window.partitionBy(col("g"), col("bkt"), col("which"))
       .orderBy(col("value"))
-    bucketed.join(broadcast(located), Seq("g", "bkt"))
+    val smallPicked = bucketed
+      .join(broadcast(small.select(col("g"), col("bkt"), col("which"),
+        col("local_rank"))), Seq("g", "bkt"))
       .withColumn("rn", row_number().over(wloc))
       .filter(col("rn") === col("local_rank"))
       .select(col("g"), col("which"), col("value"))
+    // OUTLIER GUARD: an oversized located bucket (a heavy tail or a
+    // sentinel outlier stretched the range until one bucket swallowed
+    // the group) recurses ONE level — re-bucketed by its OWN [bmin,
+    // bmax], which excludes the outlier that caused the collapse; the
+    // same monotone/ties-share-a-bucket argument makes the composed
+    // rank exact. With no oversized bucket this subtree is empty and
+    // AQE's empty-relation propagation erases it at runtime.
+    val big = located.filter(col("bmin") =!= col("bmax") &&
+      col("c") > sortCap)
+      .select(col("g"), col("bkt"), col("which"), col("local_rank"),
+        col("bmin"), col("bmax"))
+    val bigRows = bucketed.select(col("g"), col("bkt"), col("value"))
+      .join(broadcast(big), Seq("g", "bkt"))
+    val swidth = col("bmax") - col("bmin")
+    val subBucketed = bigRows.withColumn("sbkt",
+      least(floor((col("value") - col("bmin")) / swidth * buckets),
+        lit((buckets - 1).toLong)))
+    val subCounts = subBucketed
+      .groupBy(col("g"), col("bkt"), col("which"), col("sbkt"))
+      .agg(count(lit(1)).as("sc"),
+        min(col("value")).as("sbmin"), max(col("value")).as("sbmax"),
+        first(col("local_rank")).as("local_rank"))
+    val swb = Window.partitionBy(col("g"), col("bkt"), col("which"))
+      .orderBy(col("sbkt"))
+    val subCum = subCounts.withColumn("scb",
+      coalesce(sum(col("sc")).over(swb.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val subLocated = subCum
+      .filter(col("local_rank") > col("scb") &&
+        col("local_rank") <= col("scb") + col("sc"))
+      .select(col("g"), col("bkt"), col("which"), col("sbkt"),
+        (col("local_rank") - col("scb")).as("sub_rank"),
+        col("sbmin"), col("sbmax"))
+    val subConst = subLocated.filter(col("sbmin") === col("sbmax"))
+      .select(col("g"), col("which"), col("sbmin").as("value"))
+    val wsub = Window.partitionBy(col("g"), col("bkt"), col("which"),
+      col("sbkt")).orderBy(col("value"))
+    val subPicked = subBucketed
+      .join(broadcast(subLocated.filter(col("sbmin") =!= col("sbmax"))
+        .select(col("g"), col("bkt"), col("which"), col("sbkt"),
+          col("sub_rank"))),
+        Seq("g", "bkt", "which", "sbkt"))
+      .withColumn("rn", row_number().over(wsub))
+      .filter(col("rn") === col("sub_rank"))
+      .select(col("g"), col("which"), col("value"))
+    const.unionByName(smallPicked).unionByName(subConst).unionByName(subPicked)
   }
 
   /** q21_stats_agg — statistical aggregates: Pearson correlation,
@@ -1241,13 +1314,14 @@ object Relational {
     * frame — separated so the planted-skew spec can drive it at
     * adversarial group counts.
     */
-  def percentileExactOn(events: DataFrame): DataFrame = {
+  def percentileExactOn(events: DataFrame,
+      sortCap: Long = LocatedSortCap): DataFrame = {
     val e = events.select(col("event_type").as("g"), col("value"))
     val targets = e.groupBy(col("g")).agg(count(lit(1)).as("n"))
       .selectExpr("g",
         "stack(3, 'p50', (n + 1) div 2, 'p90', (9 * n + 9) div 10, " +
           "'p99', (99 * n + 99) div 100) as (which, target)")
-    valuesAtRanks(e, targets)
+    valuesAtRanks(e, targets, sortCap = sortCap)
       .groupBy(col("g"))
       .agg(max(when(col("which") === "p50", col("value"))).as("p50"),
         max(when(col("which") === "p90", col("value"))).as("p90"),
@@ -1330,7 +1404,8 @@ object Relational {
   /** [[q73TrimmedMean]]'s core over any (event_type, value: double)
     * frame — separated for adversarial-shape specs.
     */
-  def trimmedMeanOn(events: DataFrame, buckets: Int = 4096): DataFrame = {
+  def trimmedMeanOn(events: DataFrame, buckets: Int = 4096,
+      sortCap: Long = LocatedSortCap): DataFrame = {
     val e = events.select(col("event_type").as("g"), col("value"))
     val rng = e.groupBy(col("g"))
       .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"),
@@ -1346,6 +1421,7 @@ object Relational {
     val bucketed = e.join(broadcast(bounds), Seq("g")).withColumn("bkt", bkt)
     val perBucket = bucketed.groupBy(col("g"), col("bkt"))
       .agg(count(lit(1)).as("c"), sum(col("value")).as("s"),
+        min(col("value")).as("bmin"), max(col("value")).as("bmax"),
         first(col("lo_rank")).as("lo_rank"), first(col("hi_rank")).as("hi_rank"))
     val wb = Window.partitionBy(col("g")).orderBy(col("bkt"))
     val cum = perBucket.withColumn("cb",
@@ -1359,21 +1435,89 @@ object Relational {
       col("cb") + col("c") > col("lo_rank")
     val fullSums = cum.filter(inside).groupBy(col("g"))
       .agg(sum(col("s")).as("full_sum"))
+    // a boundary bucket keeps its IN-BUCKET ranks (local_lo, local_hi]
     val boundary = cum.filter(overlaps && !inside)
-      .select(col("g"), col("bkt"), col("cb"))
-    // only boundary-bucket rows are ever ranked: ≈ rows/buckets each
+      .select(col("g"), col("bkt"), col("c"), col("bmin"), col("bmax"),
+        greatest(col("lo_rank") - col("cb"), lit(0L)).as("local_lo"),
+        least(col("hi_rank") - col("cb"), col("c")).as("local_hi"))
+    // CONSTANT boundary bucket (one giant tie run): the kept slice is
+    // (local_hi - local_lo) copies of the value — pure arithmetic, the
+    // shape no sort or recursion could split
+    val constSums = boundary.filter(col("bmin") === col("bmax"))
+      .groupBy(col("g"))
+      .agg(sum((col("local_hi") - col("local_lo")).cast("double") *
+        col("bmin")).as("const_sum"))
+    // the design case: boundary-bucket rows rank in one task each
+    val smallB = boundary.filter(col("bmin") =!= col("bmax") &&
+      col("c") <= sortCap)
     val wloc = Window.partitionBy(col("g"), col("bkt")).orderBy(col("value"))
-    val partialSums = bucketed.join(broadcast(boundary), Seq("g", "bkt"))
+    val smallSums = bucketed.join(broadcast(smallB
+        .select(col("g"), col("bkt"), col("local_lo"), col("local_hi"))),
+        Seq("g", "bkt"))
       .withColumn("rn", row_number().over(wloc))
-      .filter(col("cb") + col("rn") > col("lo_rank") &&
-        col("cb") + col("rn") <= col("hi_rank"))
-      .groupBy(col("g")).agg(sum(col("value")).as("partial_sum"))
+      .filter(col("rn") > col("local_lo") && col("rn") <= col("local_hi"))
+      .groupBy(col("g")).agg(sum(col("value")).as("small_sum"))
+    // OUTLIER GUARD (same device as valuesAtRanks): an oversized
+    // boundary bucket re-buckets by its own [bmin, bmax]; sub-buckets
+    // fully inside the kept slice contribute their SUMS with no
+    // per-row work, constant sub-buckets contribute arithmetically,
+    // and only overlapping non-constant sub-buckets rank their rows
+    val bigB = boundary.filter(col("bmin") =!= col("bmax") &&
+      col("c") > sortCap)
+      .select(col("g"), col("bkt"), col("bmin"), col("bmax"),
+        col("local_lo"), col("local_hi"))
+    val bigRows = bucketed.select(col("g"), col("bkt"), col("value"))
+      .join(broadcast(bigB), Seq("g", "bkt"))
+    val swidth = col("bmax") - col("bmin")
+    val subBucketed = bigRows.withColumn("sbkt",
+      least(floor((col("value") - col("bmin")) / swidth * buckets),
+        lit((buckets - 1).toLong)))
+    val subPer = subBucketed.groupBy(col("g"), col("bkt"), col("sbkt"))
+      .agg(count(lit(1)).as("sc"), sum(col("value")).as("ss"),
+        min(col("value")).as("sbmin"), max(col("value")).as("sbmax"),
+        first(col("local_lo")).as("local_lo"),
+        first(col("local_hi")).as("local_hi"))
+    val swb = Window.partitionBy(col("g"), col("bkt")).orderBy(col("sbkt"))
+    val subCum = subPer.withColumn("scb",
+      coalesce(sum(col("sc")).over(swb.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val subInside = col("scb") >= col("local_lo") &&
+      col("scb") + col("sc") <= col("local_hi")
+    val subOverlaps = col("scb") < col("local_hi") &&
+      col("scb") + col("sc") > col("local_lo")
+    val subFull = subCum.filter(subInside).groupBy(col("g"))
+      .agg(sum(col("ss")).as("sub_full_sum"))
+    val subBoundary = subCum.filter(subOverlaps && !subInside)
+      .select(col("g"), col("bkt"), col("sbkt"), col("sbmin"), col("sbmax"),
+        greatest(col("local_lo") - col("scb"), lit(0L)).as("slo"),
+        least(col("local_hi") - col("scb"), col("sc")).as("shi"))
+    val subConstSums = subBoundary.filter(col("sbmin") === col("sbmax"))
+      .groupBy(col("g"))
+      .agg(sum((col("shi") - col("slo")).cast("double") * col("sbmin"))
+        .as("sub_const_sum"))
+    val wsub = Window.partitionBy(col("g"), col("bkt"), col("sbkt"))
+      .orderBy(col("value"))
+    val subRankSums = subBucketed.join(broadcast(subBoundary
+        .filter(col("sbmin") =!= col("sbmax"))
+        .select(col("g"), col("bkt"), col("sbkt"), col("slo"), col("shi"))),
+        Seq("g", "bkt", "sbkt"))
+      .withColumn("rn", row_number().over(wsub))
+      .filter(col("rn") > col("slo") && col("rn") <= col("shi"))
+      .groupBy(col("g")).agg(sum(col("value")).as("sub_rank_sum"))
     bounds.select(col("g"), col("n_kept"))
       .join(fullSums, Seq("g"), "left")
-      .join(partialSums, Seq("g"), "left")
+      .join(constSums, Seq("g"), "left")
+      .join(smallSums, Seq("g"), "left")
+      .join(subFull, Seq("g"), "left")
+      .join(subConstSums, Seq("g"), "left")
+      .join(subRankSums, Seq("g"), "left")
       .select(col("g").as("event_type"), col("n_kept"),
         Cols.pround((coalesce(col("full_sum"), lit(0.0)) +
-          coalesce(col("partial_sum"), lit(0.0))) /
+          coalesce(col("const_sum"), lit(0.0)) +
+          coalesce(col("small_sum"), lit(0.0)) +
+          coalesce(col("sub_full_sum"), lit(0.0)) +
+          coalesce(col("sub_const_sum"), lit(0.0)) +
+          coalesce(col("sub_rank_sum"), lit(0.0))) /
           col("n_kept").cast("double"), 6).as("trimmed_mean"))
       .orderBy(col("event_type"))
   }

@@ -103,12 +103,23 @@ final class TxDataSource extends RelationProvider with SchemaRelationProvider
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
 
+  /** `readChangeFeed=true` turns the source into a ROW-LEVEL CDC feed:
+    * batches carry the table schema plus a `_change_type`
+    * (insert/delete) column — Delta's CDF read-path shape.
+    */
+  private def withChangeType(parameters: Map[String, String],
+      base: StructType): StructType =
+    if (parameters.get("readChangeFeed").exists(_.toBoolean))
+      StructType(base.fields :+ org.apache.spark.sql.types.StructField(
+        "_change_type", org.apache.spark.sql.types.StringType))
+    else base
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val table = tableOf(parameters)
-    (shortName(),
-      schema.getOrElse(TxTable.read(sqlContext.sparkSession, table).schema))
+    (shortName(), withChangeType(parameters,
+      schema.getOrElse(TxTable.read(sqlContext.sparkSession, table).schema)))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -151,9 +162,11 @@ final class TxDataSource extends RelationProvider with SchemaRelationProvider
         v - 1 // exclusive base: version N itself is included
     }
     new TxStreamSource(sqlContext, table,
-      schema.getOrElse(TxTable.read(sqlContext.sparkSession, table).schema),
+      withChangeType(parameters,
+        schema.getOrElse(TxTable.read(sqlContext.sparkSession, table).schema)),
       ignoreChanges, cap("maxVersionsPerTrigger"), cap("maxFilesPerTrigger"),
-      startingVersion, byteCap)
+      startingVersion, byteCap,
+      changeFeed = parameters.get("readChangeFeed").exists(_.toBoolean))
   }
 
   /** `df.writeStream.format("graft-tx")` — an EXACTLY-ONCE streaming
@@ -300,10 +313,11 @@ final class TxRelation(ctx: SQLContext, table: String, version: Int,
     // maps each requested name to its physical and aliases it back:
     // any consistent naming the engine asks for is served
     val physFor: String => String = c => renames.getOrElse(c, c)
-    if (kept.exists(_.parts.nonEmpty)) {
-      // hive-partitioned live set: the partition columns only exist
-      // in the directory names — per-slot basePath inference, current
-      // logical names
+    if (kept.exists(f => f.parts.nonEmpty || f.dv.nonEmpty)) {
+      // hive-partitioned live set (partition columns only exist in
+      // the directory names — per-slot basePath inference) and/or
+      // deletion-vectored entries (tombstones anti-joined out): the
+      // entry-aware read path, current logical names
       val base = TxTable.readEntries(spark, table, kept, resolved)
       val projected = base.select(requiredColumns.map(col).toSeq: _*)
       projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
@@ -378,7 +392,8 @@ final class TxStreamSource(ctx: SQLContext, table: String,
     maxVersionsPerTrigger: Option[Int] = None,
     maxFilesPerTrigger: Option[Int] = None,
     startingVersion: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    changeFeed: Boolean = false)
     extends streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -386,6 +401,13 @@ final class TxStreamSource(ctx: SQLContext, table: String,
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, Offset => OffsetV2}
 
   private val spark = ctx.sparkSession
+
+  /** The table's DATA schema — the source schema minus the change
+    * feed's synthetic `_change_type` column.
+    */
+  private val dataSchema: StructType =
+    if (changeFeed) StructType(schema.fields.filterNot(_.name == "_change_type"))
+    else schema
 
   /** The pinned logical ↔ PHYSICAL name map, captured at source start
     * alongside the schema: physical names never change (column
@@ -395,7 +417,7 @@ final class TxStreamSource(ctx: SQLContext, table: String,
     */
   private val pinnedPhys: Seq[(String, String)] = {
     val (renames, _) = TxTable.mappingAt(table)
-    schema.fields.toSeq.map(f => f.name -> renames.getOrElse(f.name, f.name))
+    dataSchema.fields.toSeq.map(f => f.name -> renames.getOrElse(f.name, f.name))
   }
 
   /** Pacing watermark: the highest version this source has handed out
@@ -566,6 +588,7 @@ final class TxStreamSource(ctx: SQLContext, table: String,
 
   override def getBatch(start: Option[streaming.Offset],
       end: streaming.Offset): DataFrame = {
+    if (changeFeed) return getChangeBatch(start, end)
     // no checkpointed start = the stream's very first batch — OR the
     // engine's restart re-initialization call (see
     // [[lazyRetentionFailure]]): begin at startingVersion's exclusive
@@ -578,9 +601,11 @@ final class TxStreamSource(ctx: SQLContext, table: String,
     // manifest resolve (the CDC read path must not touch O(table)
     // state per trigger at 10⁶-file scale). First batch with no
     // snapshot base (fromV = 0) is the one full-manifest read.
-    val (added, removed) =
+    val (added, removed, dvChanged) =
       try {
-        if (fromV == 0) (TxTable.manifest(table, toV).files, Seq.empty[String])
+        if (fromV == 0)
+          (TxTable.manifest(table, toV).files, Seq.empty[String],
+            Seq.empty[(String, Seq[Long])])
         else TxTable.actionsBetween(table, fromV, toV)
       } catch {
         case _: java.nio.file.NoSuchFileException if start.isEmpty =>
@@ -590,12 +615,13 @@ final class TxStreamSource(ctx: SQLContext, table: String,
         case e: java.nio.file.NoSuchFileException =>
           retentionError(s"batch versions ($fromV, $toV]", e)
       }
-    if (removed.nonEmpty && !ignoreChanges)
+    if ((removed.nonEmpty || dvChanged.nonEmpty) && !ignoreChanges)
       throw new IllegalStateException(
         s"graft-tx stream on $table: versions ($fromV, $toV] removed " +
-          s"${removed.size} file(s) (merge/delete/compact rewrite). Streaming " +
-          s"reads require append-only versions; set ignoreChanges=true to " +
-          s"surface added files anyway.")
+          s"${removed.size} file(s) and deletion-vectored " +
+          s"${dvChanged.size} (merge/delete/compact rewrite or DV delete). " +
+          s"Streaming reads require append-only versions; set " +
+          s"ignoreChanges=true to surface added files anyway.")
     // verify the batch's data files still exist BEFORE handing the
     // plan to the engine — a vacuumed file inside the parquet scan
     // would otherwise surface as an opaque task failure mid-batch
@@ -607,10 +633,17 @@ final class TxStreamSource(ctx: SQLContext, table: String,
       retentionError(s"data file $p (batch versions ($fromV, $toV])",
         new java.nio.file.NoSuchFileException(s"$table/$p"))
     }
-    val batch: DataFrame =
-      if (added.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else {
+    GraftBridge.streamingDataFrame(readAdded(added))
+  }
+
+  /** Read a batch's added files under the PINNED data schema — the
+    * logical view at stream start — with partition values attached
+    * and deletion vectors applied.
+    */
+  private def readAdded(added: Seq[TxTable.FileEntry]): DataFrame = {
+    if (added.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dataSchema)
+    else {
         // files carry PHYSICAL names; the pinned source schema is the
         // LOGICAL view AT STREAM START — read under the pinned
         // physical map (captured at construction: physical names never
@@ -629,27 +662,111 @@ final class TxStreamSource(ctx: SQLContext, table: String,
         // partition values as typed literals: exact, zero extra IO,
         // correct when a batch spans slots or partition values, and
         // the flat case (parts empty) degenerates to one group.
+        //
+        // DELETION VECTORS: entries in a snapshot batch (or resurfaced
+        // under ignoreChanges) may carry tombstoned row positions —
+        // the scan selects the DV join keys per group and anti-joins
+        // them out, same contract as the batch read path.
+        import org.apache.spark.sql.functions.{broadcast, element_at, split}
+        val needDv = added.exists(_.dv.nonEmpty)
         val groups = added.groupBy(_.parts).toSeq
           .sortBy(_._1.toSeq.sorted.mkString("|"))
         val frames = groups.map { case (parts, es) =>
-          val physSchema = StructType(schema.fields.zip(pinnedPhys).collect {
+          val physSchema = StructType(dataSchema.fields.zip(pinnedPhys).collect {
             case (f, (_, phys)) if !parts.contains(phys) => f.copy(name = phys)
           })
           val raw = spark.read.schema(physSchema)
             .parquet(es.map(f => s"$table/${f.path}"): _*)
-          val withParts = schema.fields.zip(pinnedPhys).foldLeft(raw) {
+          val withParts = dataSchema.fields.zip(pinnedPhys).foldLeft(raw) {
             case (d, (f, (_, phys))) =>
               parts.get(phys).fold(d)(v =>
                 d.withColumn(phys, lit(v).cast(f.dataType)))
           }
-          withParts.select(pinnedPhys.map { case (_, phys) => col(phys) }: _*)
+          val cols = pinnedPhys.map { case (_, phys) => col(phys) } ++
+            (if (needDv) Seq(
+              element_at(split(col("_metadata.file_path"), "/"), -1).as("_dv_fn"),
+              col("_metadata.row_index").as("_dv_pos"))
+             else Nil)
+          withParts.select(cols: _*)
         }
-        val raw = frames.reduce(_.unionByName(_))
+        val rawU = frames.reduce(_.unionByName(_))
+        val raw =
+          if (!needDv) rawU
+          else {
+            import spark.implicits._
+            val tomb = added.flatMap(f =>
+              f.dv.map(p => (TxTable.fileNameOf(f.path), p)))
+              .toDF("_t_fn", "_t_pos")
+            rawU.join(broadcast(tomb),
+                col("_dv_fn") === col("_t_fn") && col("_dv_pos") === col("_t_pos"),
+                "left_anti")
+              .drop("_dv_fn", "_dv_pos")
+          }
         pinnedPhys.foldLeft(raw) { case (d, (logical, phys)) =>
           if (phys != logical) d.withColumnRenamed(phys, logical) else d
         }
       }
-    GraftBridge.streamingDataFrame(batch)
+  }
+
+  /** CHANGE FEED batches (`readChangeFeed=true`): instead of the
+    * append-only added-files contract, each micro-batch carries
+    * ROW-LEVEL `_change_type` (insert/delete) rows — the CDC-consumer
+    * surface (Delta's CDF read path). The first batch (no checkpoint,
+    * startingVersion absent) is the live snapshot as inserts; every
+    * later batch is [[TxTable.changesBetween]]'s row diff over the
+    * batch's version window, bounded to the CHANGED files (an upsert
+    * surfaces as delete+insert of the key; deletion vectors surface
+    * their tombstoned rows as deletes; copy-on-write carry-over rows
+    * cancel). Rewriting versions do NOT abort — propagating them is
+    * the point. Rate limits pace exactly as in append mode (offsets
+    * are versions either way). Retention interacts as everywhere
+    * else: a vacuumed window fails with the retention contract —
+    * lazily when start is empty (the reinit-call shape).
+    */
+  private def getChangeBatch(start: Option[streaming.Offset],
+      end: streaming.Offset): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val fromV = start.map(ver).getOrElse(startingVersion.getOrElse(0))
+    val toV = ver(end)
+    pacedThrough = math.max(pacedThrough, math.max(fromV, toV))
+    val frame: DataFrame =
+      try {
+        if (fromV == 0) {
+          val files = TxTable.manifest(table, toV).files
+          files.map(_.path).find(p => !java.nio.file.Files.exists(
+              java.nio.file.Paths.get(table, p))).foreach { p =>
+            if (start.isEmpty)
+              return GraftBridge.streamingDataFrame(
+                lazyRetentionFailure(fromV, toV))
+            retentionError(s"data file $p (batch versions ($fromV, $toV])",
+              new java.nio.file.NoSuchFileException(s"$table/$p"))
+          }
+          readAdded(files).withColumn("_change_type", lit("insert"))
+        } else {
+          TxTable.changedEntryPaths(table, fromV, toV)
+            .find(p => !java.nio.file.Files.exists(
+              java.nio.file.Paths.get(table, p))).foreach { p =>
+            if (start.isEmpty)
+              return GraftBridge.streamingDataFrame(
+                lazyRetentionFailure(fromV, toV))
+            retentionError(s"data file $p (batch versions ($fromV, $toV])",
+              new java.nio.file.NoSuchFileException(s"$table/$p"))
+          }
+          TxTable.changesBetween(spark, table, fromV, toV)
+            .withColumnRenamed("_change", "_change_type")
+        }
+      } catch {
+        case _: java.nio.file.NoSuchFileException if start.isEmpty =>
+          return GraftBridge.streamingDataFrame(
+            lazyRetentionFailure(fromV, toV))
+        case e: java.nio.file.NoSuchFileException =>
+          retentionError(s"batch versions ($fromV, $toV]", e)
+      }
+    // align to the pinned source schema (order and names); a rename
+    // committed mid-stream fails loudly here rather than silently
+    // shifting the feed's schema
+    GraftBridge.streamingDataFrame(
+      frame.select(schema.fields.map(f => col(f.name)).toSeq: _*))
   }
 
   override def stop(): Unit = ()

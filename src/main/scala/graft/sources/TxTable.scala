@@ -119,11 +119,19 @@ object TxTable {
     * invisible to stats). Empty on legacy manifests → checks fall
     * back to the stats-key approximation.
     */
+  /** `dv`: the file's DELETION VECTOR — sorted physical row positions
+    * (parquet row indexes) deleted MERGE-ON-READ by [[deleteWithDV]].
+    * The data file stays byte-identical; every read anti-joins the
+    * positions out ([[rawRead]]). `rows`/`stats` keep describing the
+    * PHYSICAL file (stats stay valid as conservative bounds; live rows
+    * = rows − dv.size). Compaction materializes and clears it.
+    */
   final case class FileEntry(path: String, rows: Long, stats: Map[String, ColStats],
       nullCounts: Map[String, Long] = Map.empty,
       parts: Map[String, String] = Map.empty,
       bytes: Long = 0L,
-      cols: Seq[String] = Seq.empty)
+      cols: Seq[String] = Seq.empty,
+      dv: Seq[Long] = Seq.empty)
   final case class Manifest(version: Int, files: Seq[FileEntry])
   final case class MergeResult(version: Int, rewritten: Int, untouched: Int)
 
@@ -193,8 +201,10 @@ object TxTable {
     val bytes = Option(f.get("bytes")).map(_.asLong()).getOrElse(0L)
     val cols = Option(f.get("cols"))
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+    val dv = Option(f.get("dv"))
+      .map(_.elements().asScala.map(_.asLong()).toSeq).getOrElse(Seq.empty)
     FileEntry(f.get("path").asText(), f.get("rows").asLong(), stats, nulls,
-      parts, bytes, cols)
+      parts, bytes, cols, dv)
   }
 
   private def parseBatches(node: com.fasterxml.jackson.databind.JsonNode,
@@ -262,6 +272,12 @@ object TxTable {
       Option(d.get("adds")).foreach(_.elements().asScala.foreach { f =>
         val e = parseEntry(f); files.update(e.path, e)
       })
+      Option(d.get("dvs")).foreach(_.properties().asScala.foreach { e =>
+        val pos = e.getValue.elements().asScala.map(_.asLong()).toSeq
+        files.get(e.getKey).foreach(f =>
+          files.update(e.getKey, f.copy(dv = pos)))
+        ()
+      })
       batches ++= parseBatches(d, "addBatches")
       // mapping changes ride deltas as FULL replacement maps (they are
       // O(schema) tiny); an absent key means "inherit the parent's"
@@ -285,34 +301,46 @@ object TxTable {
 
   /** The NET file actions over the version range (fromV, toV] —
     * O(delta) record reads, never a manifest resolve: every version
-    * record (delta or checkpoint) carries its own `adds`/`removes`,
-    * so the streaming source's per-trigger metadata cost is
-    * proportional to what the range changed, not to the table. A file
-    * added then removed inside the range nets out; removed then
-    * re-added (a restore) nets to no change. Legacy records without
-    * action keys fall back to diffing the two adjacent manifests for
-    * that version. Missing records surface as
+    * record (delta or checkpoint) carries its own `adds`/`removes`
+    * (and `dvs`), so the streaming source's per-trigger metadata cost
+    * is proportional to what the range changed, not to the table. A
+    * file added then removed inside the range nets out; removed then
+    * re-added (a restore) nets to no change. A deletion-vector change
+    * on a path ADDED inside the range folds into its net entry (the
+    * consumer never saw the pre-DV rows); on a PRE-EXISTING path it
+    * surfaces in the third component — a content change the streaming
+    * append-only contract must see. Legacy records without action
+    * keys fall back to diffing the two adjacent manifests for that
+    * version. Missing records surface as
     * [[java.nio.file.NoSuchFileException]] (the retention contract).
     */
   private[graft] def actionsBetween(table: String, fromV: Int,
-      toV: Int): (Seq[FileEntry], Seq[String]) = {
+      toV: Int): (Seq[FileEntry], Seq[String], Seq[(String, Seq[Long])]) = {
     val net = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
     val removed = scala.collection.mutable.LinkedHashSet.empty[String]
+    val dvTouched = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
     ((fromV + 1) to toV).foreach { v =>
       val node = M.readTree(Files.readAllBytes(versionFile(table, v)))
-      val (adds, removes): (Seq[FileEntry], Seq[String]) =
+      val (adds, removes, dvs): (Seq[FileEntry], Seq[String], Seq[(String, Seq[Long])]) =
         if (node.has("adds") || node.has("removes"))
           (Option(node.get("adds")).map(_.elements().asScala.map(parseEntry).toSeq)
             .getOrElse(Seq.empty),
             Option(node.get("removes")).map(_.elements().asScala.map(_.asText()).toSeq)
-              .getOrElse(Seq.empty))
+              .getOrElse(Seq.empty),
+            Option(node.get("dvs")).map(_.properties().asScala.map(e =>
+              e.getKey -> e.getValue.elements().asScala.map(_.asLong()).toSeq)
+              .toSeq).getOrElse(Seq.empty))
         else { // legacy full manifest without an embedded action delta
           val prior = resolveSnapshot(table, v - 1)
           val cur = resolveSnapshot(table, v)
-          val priorPaths = prior.files.map(_.path).toSet
+          val priorByPath = prior.files.map(f => f.path -> f).toMap
           val curPaths = cur.files.map(_.path).toSet
-          (cur.files.filterNot(f => priorPaths.contains(f.path)),
-            (priorPaths -- curPaths).toSeq.sorted)
+          (cur.files.filterNot(f => priorByPath.contains(f.path)),
+            (priorByPath.keySet -- curPaths).toSeq.sorted,
+            cur.files.flatMap(f => priorByPath.get(f.path) match {
+              case Some(p) if p.dv != f.dv => Some(f.path -> f.dv)
+              case _ => None
+            }))
         }
       removes.foreach { p =>
         if (net.contains(p)) net.remove(p) else removed.add(p)
@@ -323,8 +351,15 @@ object TxTable {
         else net.update(e.path, e)
         ()
       }
+      dvs.foreach { case (p, pos) =>
+        net.get(p) match {
+          case Some(e) => net.update(p, e.copy(dv = pos))
+          case None    => dvTouched.update(p, pos)
+        }
+        ()
+      }
     }
-    (net.values.toList, removed.toList)
+    (net.values.toList, removed.toList, dvTouched.toList)
   }
 
   private def entryNode(arr: com.fasterxml.jackson.databind.node.ArrayNode,
@@ -354,6 +389,10 @@ object TxTable {
     if (f.cols.nonEmpty) {
       val cn = fn.putArray("cols")
       f.cols.foreach(cn.add)
+    }
+    if (f.dv.nonEmpty) {
+      val dn = fn.putArray("dv")
+      f.dv.foreach(dn.add)
     }
   }
 
@@ -430,6 +469,20 @@ object TxTable {
     val newPaths = files.map(_.path).toSet
     val addEntries = files.filterNot(f => parentPaths.contains(f.path))
     val removePaths = (parentPaths -- newPaths).toSeq.sorted
+    // deletion-vector changes on CARRIED paths ride the action record
+    // as a full-replacement map (path → positions): the path diff alone
+    // cannot see them — the file is neither added nor removed
+    val parentDv = parentSnap.files.map(f => f.path -> f.dv).toMap
+    val dvChanged = files.filter(f =>
+      parentPaths.contains(f.path) && parentDv(f.path) != f.dv)
+    def putDvs(node: com.fasterxml.jackson.databind.node.ObjectNode): Unit =
+      if (dvChanged.nonEmpty) {
+        val dn = node.putObject("dvs")
+        dvChanged.sortBy(_.path).foreach { f =>
+          val arr = dn.putArray(f.path)
+          f.dv.foreach(arr.add)
+        }
+      }
     val root =
       if (v == 1 || v % CheckpointInterval == 0) {
         val node = fullNode(v, files, batches, renames, drops)
@@ -440,6 +493,7 @@ object TxTable {
         addEntries.foreach(entryNode(adds, _))
         val removes = node.putArray("removes")
         removePaths.foreach(removes.add)
+        putDvs(node)
         node
       } else {
         val node = M.createObjectNode()
@@ -465,6 +519,7 @@ object TxTable {
           val dn = node.putArray("drops")
           drops.toSeq.sorted.foreach(dn.add)
         }
+        putDvs(node)
         node
       }
     publish(table, versionFile(table, v), root)
@@ -808,18 +863,25 @@ object TxTable {
     var snap = resolveSnapshot(table, oldest)
     val live = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
     snap.files.foreach(f => live.update(f.path, f))
-    var nRows = snap.files.map(_.rows).sum
+    // live rows = physical rows minus deletion-vector tombstones
+    var nRows = snap.files.map(f => f.rows - f.dv.size).sum
     var nBatches = snap.batches.size.toLong
     val rows = scala.collection.mutable.ArrayBuffer(
       // the horizon version reports its whole set as added (its parent
       // diff is vacuumed away)
       (oldest, live.size.toLong, nRows, live.size.toLong, 0L, nBatches))
     ((oldest + 1) to latest).foreach { v =>
-      val (adds, removes) = actionsBetween(table, v - 1, v)
+      val (adds, removes, dvs) = actionsBetween(table, v - 1, v)
       removes.foreach { p =>
-        live.remove(p).foreach(e => nRows -= e.rows)
+        live.remove(p).foreach(e => nRows -= e.rows - e.dv.size)
       }
-      adds.foreach { e => live.update(e.path, e); nRows += e.rows }
+      adds.foreach { e => live.update(e.path, e); nRows += e.rows - e.dv.size }
+      dvs.foreach { case (p, pos) =>
+        live.get(p).foreach { e =>
+          nRows -= pos.size - e.dv.size
+          live.update(p, e.copy(dv = pos))
+        }
+      }
       nBatches += countNewBatches(table, v)
       rows += ((v, live.size.toLong, nRows, adds.size.toLong,
         removes.size.toLong, nBatches))
@@ -853,13 +915,14 @@ object TxTable {
     val latest = latestVersion(table)
     val snap = resolveSnapshot(table, latest)
     Seq((latest, oldestRetainedVersion(table), snap.files.size.toLong,
-      snap.files.map(_.rows).sum, snap.files.map(_.bytes).sum,
+      snap.files.map(f => f.rows - f.dv.size).sum, snap.files.map(_.bytes).sum,
+      snap.files.map(_.dv.size.toLong).sum,
       snap.files.flatMap(_.parts.keys).distinct.sorted.mkString(","),
       snap.renames.toSeq.sorted.map { case (l, o) => s"$l<-$o" }.mkString(","),
       snap.drops.toSeq.sorted.mkString(","),
       snap.batches.size.toLong, CheckpointInterval))
       .toDF("version", "oldest_retained", "n_files", "n_rows", "n_bytes",
-        "partition_cols", "renames", "dropped_cols", "n_batches",
+        "n_dv_rows", "partition_cols", "renames", "dropped_cols", "n_batches",
         "checkpoint_interval")
   }
 
@@ -979,30 +1042,79 @@ object TxTable {
     toLogical(snap, rawRead(spark, table, snap.files))
   }
 
-  /** The PHYSICAL read under the snapshot's file set — original
-    * column names, dropped columns still present. Rewrite paths
-    * (compact/zorder) write what this returns so files keep one
-    * physical schema forever.
+  /** A data file's bare name — globally unique within a table (Spark
+    * part names carry a per-write-job UUID), so it is the ENCODING-
+    * PROOF join key between manifest entries and `_metadata.file_path`
+    * (whose URI rendering percent-encodes unpredictably; a file NAME
+    * contains no directory separators and no encoded bytes).
+    */
+  private[graft] def fileNameOf(rel: String): String =
+    rel.substring(rel.lastIndexOf('/') + 1)
+
+  /** The raw parquet scan over `entries` — physical names, NO deletion
+    * vectors applied. `withMeta` adds the DV join keys (`_dv_fn` =
+    * file name, `_dv_pos` = parquet row index) selected per scan
+    * BEFORE any union (metadata columns don't survive a union).
     *
-    * Partitioned live sets read PER SLOT: Spark's partition inference
+    * Partitioned entries read PER SLOT: Spark's partition inference
     * rejects `<col>=<value>` dirs under differing non-kv parents
     * (CONFLICTING_DIRECTORY_STRUCTURES), so each commit slot scans
     * under its own basePath and the slots union by name — slot count
-    * is the number of live commits, which [[compact]] bounds.
+    * is the number of live commits, which compaction bounds.
     */
-  private def rawRead(spark: SparkSession, table: String,
-      entries: Seq[FileEntry]): DataFrame = {
-    val reader = spark.read.option("mergeSchema", "true")
+  private def scanEntries(spark: SparkSession, table: String,
+      entries: Seq[FileEntry], withMeta: Boolean): DataFrame = {
+    def meta(df: DataFrame): DataFrame =
+      if (!withMeta) df
+      else df.withColumn("_dv_fn",
+          element_at(split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("_dv_pos", col("_metadata.row_index"))
     if (entries.exists(_.parts.nonEmpty)) {
       val bySlot = entries.groupBy(f =>
         f.path.split('/').take(2).mkString("/")) // data/<slot>
       bySlot.toSeq.sortBy(_._1).map { case (slot, es) =>
-        spark.read.option("mergeSchema", "true")
+        meta(spark.read.option("mergeSchema", "true")
           .option("basePath",
             Paths.get(table).resolve(slot).toAbsolutePath.toString)
-          .parquet(es.map(f => s"$table/${f.path}"): _*)
+          .parquet(es.map(f => s"$table/${f.path}"): _*))
       }.reduce(_.unionByName(_, allowMissingColumns = true))
-    } else reader.parquet(entries.map(f => s"$table/${f.path}"): _*)
+    } else meta(spark.read.option("mergeSchema", "true")
+      .parquet(entries.map(f => s"$table/${f.path}"): _*))
+  }
+
+  /** Anti-join `df` (which carries the `_dv_fn`/`_dv_pos` keys) against
+    * the entries' deletion vectors and drop the keys. The tombstone set
+    * broadcasts — DVs are the POINT-DELETE tier, bounded at write time
+    * by [[deleteWithDV]]'s maxDvRows.
+    */
+  private def applyDv(spark: SparkSession, df: DataFrame,
+      dvd: Seq[FileEntry]): DataFrame = {
+    import spark.implicits._
+    val tomb = dvd.flatMap(f => f.dv.map(p => (fileNameOf(f.path), p)))
+      .toDF("_t_fn", "_t_pos")
+    df.join(broadcast(tomb),
+        col("_dv_fn") === col("_t_fn") && col("_dv_pos") === col("_t_pos"),
+        "left_anti")
+      .drop("_dv_fn", "_dv_pos")
+  }
+
+  /** The PHYSICAL read under the snapshot's file set — original
+    * column names, dropped columns still present, DELETION VECTORS
+    * APPLIED (dv'd files scan with row positions and anti-join their
+    * tombstones out; clean files scan bare). Rewrite paths
+    * (compact/zorder/mutations) write what this returns, so a rewrite
+    * MATERIALIZES deletion vectors and the new files carry none.
+    */
+  private def rawRead(spark: SparkSession, table: String,
+      entries: Seq[FileEntry]): DataFrame = {
+    val (dvd, clean) = entries.partition(_.dv.nonEmpty)
+    if (dvd.isEmpty) scanEntries(spark, table, entries, withMeta = false)
+    else {
+      val dvdDf = applyDv(spark, scanEntries(spark, table, dvd, withMeta = true), dvd)
+      if (clean.isEmpty) dvdDf
+      else scanEntries(spark, table, clean, withMeta = false)
+        .unionByName(dvdDf, allowMissingColumns = true)
+    }
   }
 
   /** Manifest-level data skipping: split the live set into (kept,
@@ -1241,6 +1353,61 @@ object TxTable {
     MergeResult(v, touched.size, untouched.size)
   }
 
+  /** DELETE WHERE `predCol` ∈ [lo, hi] via DELETION VECTORS — the
+    * MERGE-ON-READ point-delete tier beside [[delete]]'s copy-on-write
+    * (Delta's deletion-vector shape): no data file is rewritten;
+    * instead each touched file's matching PHYSICAL ROW POSITIONS
+    * (parquet row indexes) are recorded in its manifest entry and
+    * every read anti-joins them out ([[rawRead]]). At 100 TB this is
+    * the GDPR-purge shape — k scattered rows across k files must not
+    * rewrite k whole files. Old snapshots are untouched (the DV lives
+    * in the NEW version's entries only); [[compact]]/
+    * [[compactPartitioned]]/the mutation rewrites MATERIALIZE DVs
+    * (they read through [[rawRead]]) and the rewritten files carry
+    * none; [[changesBetween]] surfaces DV'd rows as deletes; the
+    * streaming source treats a DV commit as a content change
+    * (append-only abort unless ignoreChanges). Stats keep describing
+    * the physical file — conservative bounds, never wrong. The
+    * positions collect to the driver (the tombstone set also
+    * broadcasts on read), so `maxDvRows` bounds the tier: a delete
+    * matching more belongs to copy-on-write.
+    */
+  def deleteWithDV(spark: SparkSession, table: String, predCol: String,
+      lo: String, hi: String, maxDvRows: Int = 1 << 22): MergeResult = {
+    val parent = latestVersion(table)
+    val snap = resolveSnapshot(table, parent)
+    val live = snap.files
+    val predOrig = originalName(snap, predCol)
+    val (touched, untouched) = live.partition { f =>
+      f.stats.get(predOrig).forall(_.intersects(lo, hi))
+    }
+    if (touched.isEmpty) return MergeResult(parent, 0, live.size)
+    // raw scan WITH row positions, old DVs NOT applied: positions are
+    // physical, and re-recording an already-dead row is a set-union
+    // no-op — simpler than threading the old tombstones through
+    val scanDf = scanEntries(spark, table, touched, withMeta = true)
+    val dt = scanDf.schema(predOrig).dataType
+    val hits = scanDf.filter(col(predOrig) >= lit(lo).cast(dt) &&
+        col(predOrig) <= lit(hi).cast(dt))
+      .select(col("_dv_fn"), col("_dv_pos"))
+      .collect()
+    require(hits.length <= maxDvRows,
+      s"deleteWithDV matched ${hits.length} rows (> maxDvRows=$maxDvRows) — " +
+        s"a deletion vector this large defeats merge-on-read; use delete " +
+        s"(copy-on-write) for band deletes")
+    if (hits.isEmpty) return MergeResult(parent, 0, live.size)
+    val byFn: Map[String, Set[Long]] = hits.groupBy(_.getString(0))
+      .map { case (fn, rs) => fn -> rs.map(_.getLong(1)).toSet }
+    val newFiles = live.map { f =>
+      byFn.get(fileNameOf(f.path)) match {
+        case Some(pos) => f.copy(dv = (f.dv.toSet ++ pos).toSeq.sorted)
+        case None      => f
+      }
+    }
+    val v = commitResolved(table, parent, snap, newFiles, snap.batches)
+    MergeResult(v, byFn.size, live.size - byFn.size)
+  }
+
   /** UPDATE … SET WHERE `predCol` ∈ [lo, hi]: copy-on-write at file
     * granularity, riding the same stats-intersection machinery as
     * [[delete]] — only files whose min/max intersect the range are
@@ -1417,37 +1584,105 @@ object TxTable {
       .drop("_z")
   }
 
+  /** In-bucket sort bound for [[rankSpace16]] — same guard constant as
+    * the Relational bucket-rank devices.
+    */
+  private val RankSortCap: Long = 1L << 18
+
   /** Append `out` = floor(percent_rank(c) · 65535) computed with
     * (value-bucket) as the parallel unit — exactly the global-window
     * value at every row (rank() ties collapse inside one bucket), no
     * single-partition sort. Nulls ride the null bucket first, matching
     * a global ASC NULLS FIRST ordering.
+    *
+    * OUTLIER GUARD (same device as the Relational quantile core): a
+    * CONSTANT bucket (min <=> max — includes the null bucket and one
+    * giant tie run) ranks arithmetically with no sort; an OVERSIZED
+    * non-constant bucket — the heavy-tail/sentinel shape where one
+    * equi-width bucket swallows the table — re-buckets by its own
+    * [min, max] one level down, and in-bucket rank composes as
+    * sub-cum-before + sub-rank (equal values share a sub-bucket, so
+    * the composition is exact at every tie profile).
     */
-  private def rankSpace16(df: DataFrame, c: String, vmin: Double, vmax: Double,
-      n: Long, out: String): DataFrame = {
+  private[graft] def rankSpace16(df: DataFrame, c: String, vmin: Double,
+      vmax: Double, n: Long, out: String,
+      sortCap: Long = RankSortCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val buckets = 4096
     val bktName = s"_bkt$out"
+    // nulls must reach the NULL bucket explicitly: `least` SKIPS null
+    // arguments, so least(floor(null·…), 4095) silently returned 4095
+    // and null keys rode the TOP bucket instead of sorting first (a
+    // latent quirk the global-window reference spec exposed)
     val bkt =
-      if (vmax == vmin) lit(0L)
-      else least(floor((col(c).cast("double") - vmin) / (vmax - vmin) * buckets),
-        lit((buckets - 1).toLong))
+      if (vmax == vmin) when(col(c).isNull, lit(null).cast("long")).otherwise(lit(0L))
+      else when(col(c).isNull, lit(null).cast("long")).otherwise(
+        least(floor((col(c).cast("double") - vmin) / (vmax - vmin) * buckets),
+          lit((buckets - 1).toLong)))
     val withB = df.withColumn(bktName, bkt)
     val wb = Window.orderBy(col(bktName).asc_nulls_first)
-    val cum = withB.groupBy(col(bktName)).agg(count(lit(1)).as("_c"))
+    val cum = withB.groupBy(col(bktName))
+      .agg(count(lit(1)).as("_c"), count(col(c)).as("_cnn"),
+        min(col(c)).as("_bmin"), max(col(c)).as("_bmax"))
       .withColumn("_cb", coalesce(sum(col("_c"))
         .over(wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(bktName), col("_cb"))
+    def scaled(rankInBucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (n <= 1) lit(0L)
+      else (((col("_cb") + rankInBucket - 1).cast("double") /
+        lit((n - 1).toDouble)) * 65535.0).cast("long")
+    val dropCols = Seq(bktName, "_bkt2", "_c", "_cnn", "_cb", "_bmin",
+      "_bmax", "_sbkt", "_b2", "_s2", "_scb")
+    // CONSTANT buckets (null-safe: the null bucket and the vmin==vmax
+    // degenerate both land here): nulls tie at in-bucket rank 1, the
+    // single non-null value ties at nulls+1 — exactly rank()'s order,
+    // no sort
+    val constB = cum.filter(col("_bmin") <=> col("_bmax"))
+      .select(col(bktName).as("_bkt2"), col("_cb"), col("_c"), col("_cnn"))
+    val constPart = withB.join(broadcast(constB), col(bktName) <=> col("_bkt2"))
+      .withColumn(out, scaled(when(col(c).isNull, lit(1L))
+        .otherwise(col("_c") - col("_cnn") + 1L)))
+      .drop(dropCols: _*)
+    // the design case: one sort task per bucket (non-const buckets are
+    // null-free — nulls only ever land in a constant bucket)
+    val smallB = cum.filter(!(col("_bmin") <=> col("_bmax")) &&
+        col("_c") <= sortCap)
+      .select(col(bktName).as("_bkt2"), col("_cb"))
     val wloc = Window.partitionBy(col(bktName)).orderBy(col(c))
-    // null-SAFE join: the null bucket (null key values) must survive,
-    // exactly as a global ASC NULLS FIRST window would rank it
-    withB.join(broadcast(cum.withColumnRenamed(bktName, "_bkt2")),
-        col(bktName) <=> col("_bkt2"))
-      .withColumn(out,
-        if (n <= 1) lit(0L)
-        else (((col("_cb") + rank().over(wloc) - 1).cast("double") /
-          lit((n - 1).toDouble)) * 65535.0).cast("long"))
-      .drop(bktName, "_bkt2", "_cb")
+    val smallPart = withB.join(broadcast(smallB), col(bktName) === col("_bkt2"))
+      .withColumn(out, scaled(rank().over(wloc)))
+      .drop(dropCols: _*)
+    // oversized buckets: one recursion level bounds the residual sort
+    val bigB = cum.filter(!(col("_bmin") <=> col("_bmax")) &&
+        col("_c") > sortCap)
+      .select(col(bktName).as("_bkt2"), col("_cb"),
+        col("_bmin").cast("double").as("_bmin"),
+        col("_bmax").cast("double").as("_bmax"))
+    val subB = withB.join(broadcast(bigB), col(bktName) === col("_bkt2"))
+      .withColumn("_sbkt",
+        least(floor((col(c).cast("double") - col("_bmin")) /
+          (col("_bmax") - col("_bmin")) * buckets),
+          lit((buckets - 1).toLong)))
+    val swb = Window.partitionBy(col(bktName)).orderBy(col("_sbkt"))
+    val subCum = subB.groupBy(col(bktName), col("_sbkt"))
+      .agg(count(lit(1)).as("_sc"),
+        min(col(c)).as("_sbmin"), max(col(c)).as("_sbmax"))
+      .withColumn("_scb", coalesce(sum(col("_sc"))
+        .over(swb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val subConstB = subCum.filter(col("_sbmin") <=> col("_sbmax"))
+      .select(col(bktName).as("_b2"), col("_sbkt").as("_s2"), col("_scb"))
+    val subConstPart = subB.join(broadcast(subConstB),
+        col(bktName) === col("_b2") && col("_sbkt") === col("_s2"))
+      .withColumn(out, scaled(col("_scb") + lit(1L)))
+      .drop(dropCols: _*)
+    val wsub = Window.partitionBy(col(bktName), col("_sbkt")).orderBy(col(c))
+    val subRankB = subCum.filter(!(col("_sbmin") <=> col("_sbmax")))
+      .select(col(bktName).as("_b2"), col("_sbkt").as("_s2"), col("_scb"))
+    val subRankPart = subB.join(broadcast(subRankB),
+        col(bktName) === col("_b2") && col("_sbkt") === col("_s2"))
+      .withColumn(out, scaled(col("_scb") + rank().over(wsub)))
+      .drop(dropCols: _*)
+    constPart.unionByName(smallPart)
+      .unionByName(subConstPart).unionByName(subRankPart)
   }
 
   // ------------------------------------------------------------ change feed
@@ -1464,23 +1699,45 @@ object TxTable {
     */
   def changesBetween(spark: SparkSession, table: String,
       fromV: Int, toV: Int): DataFrame = {
-    val fromSnap = resolveSnapshot(table, fromV)
-    val toSnap = resolveSnapshot(table, toV)
-    val before = fromSnap.files.map(_.path).toSet
-    val after = toSnap.files.map(_.path).toSet
+    val (addedE, removedE, toSnap) = changedEntrySets(table, fromV, toV)
     // the diff computes in PHYSICAL space (one stable schema across
     // renames), the result surfaces in toV's logical view
     def readSet(entries: Seq[FileEntry]): Option[DataFrame] =
       if (entries.isEmpty) None
       else Some(rawRead(spark, table, entries.sortBy(_.path)))
     val empty = rawRead(spark, table, toSnap.files).filter(lit(false))
-    val added = readSet(toSnap.files.filterNot(f => before.contains(f.path)))
-      .getOrElse(empty)
-    val removed = readSet(fromSnap.files.filterNot(f => after.contains(f.path)))
-      .getOrElse(empty)
+    val added = readSet(addedE).getOrElse(empty)
+    val removed = readSet(removedE).getOrElse(empty)
     toLogical(toSnap,
       added.exceptAll(removed).withColumn("_change", lit("insert"))
         .unionByName(removed.exceptAll(added).withColumn("_change", lit("delete"))))
+  }
+
+  /** The change feed's entry diff: files to read on the AFTER side
+    * (under toV's deletion vectors) and on the BEFORE side (under
+    * fromV's). Keyed by ENTRY, not path: a path carried in both
+    * versions with a CHANGED deletion vector reads on BOTH sides —
+    * its surviving rows cancel via the multiset exceptAll and exactly
+    * the newly-tombstoned rows surface as deletes.
+    */
+  private def changedEntrySets(table: String, fromV: Int,
+      toV: Int): (Seq[FileEntry], Seq[FileEntry], Snapshot) = {
+    val fromSnap = resolveSnapshot(table, fromV)
+    val toSnap = resolveSnapshot(table, toV)
+    val beforeM = fromSnap.files.map(f => f.path -> f).toMap
+    val afterM = toSnap.files.map(f => f.path -> f).toMap
+    (toSnap.files.filter(f => !beforeM.get(f.path).contains(f)),
+      fromSnap.files.filter(f => !afterM.get(f.path).contains(f)),
+      toSnap)
+  }
+
+  /** The paths the change feed over (fromV, toV] will open — the
+    * streaming CDF's existence precheck surface.
+    */
+  private[graft] def changedEntryPaths(table: String, fromV: Int,
+      toV: Int): Seq[String] = {
+    val (a, r, _) = changedEntrySets(table, fromV, toV)
+    (a ++ r).map(_.path).distinct
   }
 
   // ------------------------------------------------- streaming / compaction
@@ -1668,6 +1925,36 @@ object TxTable {
   }
 
   def deleteQuerySql: String =
+    """WITH m AS (SELECT max(o_orderkey) AS mk FROM orders)
+      |SELECT o_orderstatus AS status, count(*) AS n_rows,
+      | CAST(sum(o_orderkey) AS BIGINT) AS id_sum
+      |FROM orders, m
+      |WHERE o_orderkey < mk // 4 OR o_orderkey > mk // 2
+      |GROUP BY 1 ORDER BY status""".stripMargin
+
+  /** tx_dv_delete — the MERGE-ON-READ delete surface as a driver
+    * query (r14): same staging and band as [[deleteQuery]], but the
+    * delete lands as DELETION VECTORS — zero files rewritten — and
+    * the read back anti-joins the tombstones. Matching the SAME
+    * relational truth as the copy-on-write twin proves the two delete
+    * tiers are interchangeable to a reader; the spec additionally
+    * pins the byte-identical file set and the feed/compaction
+    * interactions.
+    */
+  def dvDeleteQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Files.createTempDirectory("graft_tx_dvd").resolve("t").toString
+    val base = graft.util.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("status"))
+    create(spark, t, base.repartitionByRange(8, col("k")), Seq("k"))
+    val mk = base.agg(max(col("k"))).head().getLong(0)
+    deleteWithDV(spark, t, "k", (mk / 4).toString, (mk / 2).toString)
+    read(spark, t).groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("id_sum"))
+      .orderBy(col("status"))
+  }
+
+  def dvDeleteQuerySql: String =
     """WITH m AS (SELECT max(o_orderkey) AS mk FROM orders)
       |SELECT o_orderstatus AS status, count(*) AS n_rows,
       | CAST(sum(o_orderkey) AS BIGINT) AS id_sum

@@ -238,10 +238,9 @@ class EdgeCasesSpec extends SparkSpecBase {
     assert(ev.isNullAt(ev.fieldIndex("recall_ppm")))
   }
 
-  test("bucket-rank device == in-memory reference across degenerate shapes (ties, constants, n=1, sub-ulp spreads, sign crossings)") {
-    import spark.implicits._
+  private lazy val deviceCases: Seq[(String, Seq[Double])] = {
     val rnd = new scala.util.Random(20260815L)
-    val cases: Seq[(String, Seq[Double])] = Seq(
+    Seq(
       "n1" -> Seq(42.0),
       "n2" -> Seq(7.0, -3.0),
       "const" -> Seq.fill(100)(5.5),
@@ -253,12 +252,20 @@ class EdgeCasesSpec extends SparkSpecBase {
       "negcross" -> Seq.fill(257)(rnd.nextDouble() * 40.0 - 20.0),
       // near-identical values: the bucket function must stay monotone
       // when (v - vmin)/width underflows toward 0
-      "tiny" -> (0 until 100).map(i => 1.0 + i * 1e-13))
+      "tiny" -> (0 until 100).map(i => 1.0 + i * 1e-13),
+      // a 1e12× sentinel outlier: the equi-width range stretches until
+      // one bucket holds everything — the outlier-guard adversary
+      "sentinel" -> (Seq.fill(399)(rnd.nextDouble() * 100.0) :+ 1e14))
+  }
+
+  private def checkDevice(sortCap: Long): Unit = {
+    import spark.implicits._
+    val cases = deviceCases
     val df = cases.flatMap { case (g, vs) => vs.map(v => (g, v)) }
       .toDF("event_type", "value")
     def pround6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     // exact discrete percentiles vs direct sorted-array indexing
-    val pct = graft.operators.Relational.percentileExactOn(df).collect()
+    val pct = graft.operators.Relational.percentileExactOn(df, sortCap).collect()
       .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
       .toMap
     cases.foreach { case (g, vs) =>
@@ -266,18 +273,33 @@ class EdgeCasesSpec extends SparkSpecBase {
       val n = s.length
       def at(k: Long) = s((k - 1).toInt)
       val want = (at((n + 1L) / 2), at((9L * n + 9) / 10), at((99L * n + 99) / 100))
-      assert(pct(g) == want, s"percentiles diverged for case $g: ${pct(g)} vs $want")
+      assert(pct(g) == want,
+        s"percentiles diverged for case $g at cap $sortCap: ${pct(g)} vs $want")
     }
     // exact trimmed mean vs direct slice-and-average
-    val tm = graft.operators.Relational.trimmedMeanOn(df).collect()
+    val tm = graft.operators.Relational.trimmedMeanOn(df, 4096, sortCap).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     cases.foreach { case (g, vs) =>
       val s = vs.sorted
       val k = s.length / 10
       val kept = s.slice(k, s.length - k)
-      assert(tm(g)._1 == kept.length.toLong, s"n_kept diverged for $g")
+      assert(tm(g)._1 == kept.length.toLong,
+        s"n_kept diverged for $g at cap $sortCap")
       assert(math.abs(tm(g)._2 - pround6(kept.sum / kept.length)) <= 1e-6,
-        s"trimmed mean diverged for $g: ${tm(g)._2} vs ${pround6(kept.sum / kept.length)}")
+        s"trimmed mean diverged for $g at cap $sortCap: " +
+          s"${tm(g)._2} vs ${pround6(kept.sum / kept.length)}")
     }
+  }
+
+  test("bucket-rank device == in-memory reference across degenerate shapes (ties, constants, n=1, sub-ulp spreads, sign crossings, sentinel outlier)") {
+    checkDevice(graft.operators.Relational.LocatedSortCap)
+  }
+
+  test("bucket-rank device outlier guard: a tiny sort cap forces the constant/recursion paths on every degenerate shape — results identical") {
+    // cap 2 pushes essentially every located/boundary bucket down the
+    // guard: constant buckets answer arithmetically, the rest recurse
+    // into sub-buckets — the composed ranks must match the one-task
+    // sort bit for bit, ties included
+    checkDevice(2L)
   }
 }

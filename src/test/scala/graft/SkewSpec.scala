@@ -84,4 +84,28 @@ class SkewSpec extends SparkSpecBase {
     assert(got("A") == ((500000.0, 900000.0, 990000.0)), got("A").toString)
     assert(got("B") == ((1000000.0, 1800000.0, 1980000.0)), got("B").toString)
   }
+
+  test("bucket-rank outlier guard: one 1e15 sentinel collapses the equi-width buckets over 1M rows — the recursion still answers exactly") {
+    // a permutation-equivalent of 1..1e6 plus ONE 1e15 sentinel: the
+    // equi-width range stretches until bucket 0 holds every real row
+    // (the r13 scale adversary) — the located/boundary buckets exceed
+    // the sort cap and take the one-level recursion, whose composed
+    // ranks must still be analytic
+    val n = 1000000L
+    val a = spark.range(n).select(lit("A").as("event_type"),
+      (col("id") + 1).cast("double").as("value"))
+      .unionByName(spark.range(1).select(lit("A").as("event_type"),
+        lit(1.0e15).as("value")))
+    val pct = graft.operators.Relational.percentileExactOn(a)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // n' = 1000001: c50 = 500001, c90 = 900001, c99 = 990001
+    assert(pct("A") == ((500001.0, 900001.0, 990001.0)), pct("A").toString)
+    val tm = graft.operators.Relational.trimmedMeanOn(a)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    // trim k = 100000 each end: kept ranks (100000, 900001] = values
+    // 100001..900001 → mean exactly 500001
+    assert(tm("A") == ((800001L, 500001.0)), tm("A").toString)
+  }
 }

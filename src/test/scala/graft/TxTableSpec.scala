@@ -1489,6 +1489,162 @@ class TxTableSpec extends SparkSpecBase {
     assert(TxTable.readPartition(spark, t, Map("dt" -> "1")).count() == 4)
   }
 
+  test("deletion vectors: point deletes write no data files; reads/prunes/SQL anti-join the tombstones; change feed shows deletes; rewrites materialize; old snapshots unaffected") {
+    import spark.implicits._
+    val t = tmpTable()
+    val base = (1L to 100L).map(i => (i, s"p$i")).toDF("id", "payload")
+    TxTable.create(spark, t, base.repartitionByRange(4, col("id")), Seq("id"))
+    val v1Files = TxTable.manifest(t, 1).files
+    // DV delete of a 3-row band: only the covering file gains tombstones
+    val r = TxTable.deleteWithDV(spark, t, "id", "10", "12")
+    assert(r.version == 2 && r.rewritten == 1 && r.untouched == 3, s"$r")
+    val v2Files = TxTable.manifest(t, 2).files
+    assert(v2Files.map(_.path).toSet == v1Files.map(_.path).toSet,
+      "a DV delete must write no data files")
+    assert(v2Files.map(_.dv.size).sum == 3)
+    // read ≡ the copy-on-write twin's semantics
+    assert(TxTable.read(spark, t).count() == 97)
+    assert(TxTable.read(spark, t).filter(col("id").between(10, 12)).count() == 0)
+    assert(TxTable.read(spark, t).agg(sum(col("id"))).head().getLong(0)
+      == (1L to 100L).sum - 33L)
+    // old snapshot unaffected (the DV lives in v2's entries only)
+    assert(TxTable.read(spark, t, 1).count() == 100)
+    // change feed: exactly the tombstoned rows as deletes, no inserts
+    val feed = TxTable.changesBetween(spark, t, 1, 2)
+    assert(feed.filter(col("_change") === "insert").count() == 0)
+    assert(feed.filter(col("_change") === "delete").select("id").as[Long]
+      .collect().toSet == Set(10L, 11L, 12L))
+    // a second DV delete on the same file ACCUMULATES positions
+    TxTable.deleteWithDV(spark, t, "id", "14", "14")
+    assert(TxTable.read(spark, t).count() == 96)
+    // detail accounts live rows and tombstones
+    val d = TxTable.detail(spark, t).head()
+    assert(d.getAs[Long]("n_rows") == 96L && d.getAs[Long]("n_dv_rows") == 4L)
+    // pruned reads and the SQL surface apply DVs too
+    assert(TxTable.readPruned(spark, t, "id", 1L, 30L).count() == 26)
+    assert(spark.read.format("graft-tx").load(t).count() == 96)
+    // a merge touching the dv'd file materializes its DV and must not
+    // resurrect tombstoned rows
+    TxTable.merge(spark, t, Seq((15L, "upd")).toDF("id", "payload"),
+      "id", Seq("id"))
+    assert(TxTable.read(spark, t).count() == 96)
+    assert(TxTable.read(spark, t).filter(col("id").between(10, 14))
+      .select(col("id")).as[Long].collect().toSet == Set(13L))
+    assert(TxTable.detail(spark, t).head().getAs[Long]("n_dv_rows") == 0L,
+      "the COW rewrite materializes the touched file's DV")
+    // streaming: a DV commit is a content change — append-only abort...
+    val q = spark.readStream.format("graft-tx").option("path", t).load()
+      .writeStream.format("memory").queryName("tx_dv_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tx_dv_stream").count() == 96,
+        "snapshot batches apply deletion vectors")
+      TxTable.deleteWithDV(spark, t, "id", "20", "20")
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // ...and ignoreChanges rides over it without resurfacing anything
+    val q2 = spark.readStream.format("graft-tx").option("path", t)
+      .option("ignoreChanges", "true").load()
+      .writeStream.format("memory").queryName("tx_dv_stream_ic")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val before = spark.table("tx_dv_stream_ic").count()
+      assert(before == 95)
+      TxTable.deleteWithDV(spark, t, "id", "21", "21")
+      q2.processAllAvailable()
+      assert(spark.table("tx_dv_stream_ic").count() == before,
+        "a DV version adds no files — nothing resurfaces under ignoreChanges")
+    } finally q2.stop()
+    // compaction materializes and clears every DV; content unchanged
+    val cv = TxTable.compact(spark, t, Seq("id"))
+    assert(TxTable.manifest(t, cv).files.forall(_.dv.isEmpty))
+    assert(TxTable.read(spark, t).count() == 94)
+    assert(TxTable.detail(spark, t).head().getAs[Long]("n_dv_rows") == 0L)
+  }
+
+  test("streaming change feed: snapshot streams as inserts; a merge streams exactly its delete+insert rows; DV deletes surface; feed ≡ batch changesBetween; rate limits compose") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t,
+      (1L to 20L).map(i => (i, "base")).toDF("id", "tag")
+        .repartitionByRange(2, col("id")), Seq("id"))
+    val q = spark.readStream.format("graft-tx").option("path", t)
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream.format("memory").queryName("tx_cdf")
+      .outputMode("append").start()
+    def feedRows(): Seq[(Long, String, String)] = spark.table("tx_cdf")
+      .select(col("id"), col("tag"), col("_change_type"))
+      .as[(Long, String, String)].collect().toSeq
+    try {
+      q.processAllAvailable()
+      assert(feedRows().size == 20 && feedRows().forall(_._3 == "insert"),
+        "first batch = the live snapshot as inserts")
+      val snapshotRows = feedRows()
+      // two rewriting commits while the consumer idles: an upsert and a
+      // DV point delete — a rewriting version must NOT abort a CDF
+      // stream (propagating it is the point), and the version cap
+      // paces them into separate batches
+      TxTable.merge(spark, t,
+        Seq((5L, "upd"), (6L, "upd"), (21L, "ins")).toDF("id", "tag"),
+        "id", Seq("id"))
+      TxTable.deleteWithDV(spark, t, "id", "7", "8")
+      q.processAllAvailable()
+      val delta = {
+        val snapCounts = snapshotRows.groupBy(identity).map { case (k, v) => k -> v.size }
+        feedRows().groupBy(identity).flatMap { case (k, v) =>
+          Seq.fill(v.size - snapCounts.getOrElse(k, 0))(k)
+        }.toSeq
+      }
+      // the streamed delta ≡ the batch change feed over the same window
+      val batchFeed = TxTable.changesBetween(spark, t, 1, TxTable.latestVersion(t))
+        .select(col("id"), col("tag"), col("_change").as("_change_type"))
+        .as[(Long, String, String)].collect().toSeq
+      assert(delta.sorted == batchFeed.sorted,
+        s"stream delta ${delta.sorted} != batch feed ${batchFeed.sorted}")
+      assert(delta.toSet == Set(
+        (5L, "base", "delete"), (6L, "base", "delete"),
+        (5L, "upd", "insert"), (6L, "upd", "insert"), (21L, "ins", "insert"),
+        (7L, "base", "delete"), (8L, "base", "delete")))
+      // rate limit composed: the two versions drained as two batches
+      val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmpty >= 3, // snapshot + 2 capped version batches
+        s"maxVersionsPerTrigger must pace the CDF drain, got $nonEmpty")
+    } finally q.stop()
+  }
+
+  test("zorder rank space == global window at every tie/null/outlier profile, through the guard's constant and recursion paths") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7L)
+    // ties, a null run, a continuous band, and a 1e14 sentinel — the
+    // shapes that exercise the constant bucket, the null bucket, the
+    // small path, and (at cap 2) the sub-bucket recursion
+    val vals: Seq[Option[Double]] =
+      (1 to 400).map(i => Some(Seq(1.0, 2.0, rnd.nextDouble() * 100.0)(rnd.nextInt(3)))) ++
+        Seq(None, None, Some(1.0e14))
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val st = df.agg(min(col("v")).cast("double"), max(col("v")).cast("double"),
+      count(lit(1))).head()
+    val n = st.getLong(2)
+    val want = df.withColumn("_r",
+      (((rank().over(Window.orderBy(col("v"))) - 1).cast("double") /
+        (n - 1).toDouble) * 65535.0).cast("long"))
+      .select(col("id"), col("_r")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (cap <- Seq(1L << 18, 2L)) {
+      val got = TxTable.rankSpace16(df, "v", st.getDouble(0), st.getDouble(1),
+        n, "_r", cap)
+        .select(col("id"), col("_r")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"rank space diverged from the global window at cap $cap")
+    }
+  }
+
   test("zorderPartition: one partition re-lays curve-ordered under its own dirs, others carry by reference, content identical") {
     import spark.implicits._
     val t = tmpTable()
