@@ -694,13 +694,19 @@ final class TxStreamSource(ctx: SQLContext, table: String,
           if (!needDv) rawU
           else {
             import spark.implicits._
+            // key = (file name, partition values): a partitionBy write
+            // emits the SAME part name into every partition dir, so
+            // the name alone collides — the attached partition-value
+            // columns disambiguate (TxTable.dvKeyCol's contract)
+            val partCols = added.flatMap(_.parts.keys).distinct.sorted
             val tomb = added.flatMap(f =>
-              f.dv.map(p => (TxTable.fileNameOf(f.path), p)))
-              .toDF("_t_fn", "_t_pos")
-            rawU.join(broadcast(tomb),
-                col("_dv_fn") === col("_t_fn") && col("_dv_pos") === col("_t_pos"),
+              f.dv.map(p => (TxTable.dvKeyOf(f, partCols), p)))
+              .toDF("_t_key", "_t_pos")
+            rawU.withColumn("_dv_key", TxTable.dvKeyCol(partCols))
+              .join(broadcast(tomb),
+                col("_dv_key") === col("_t_key") && col("_dv_pos") === col("_t_pos"),
                 "left_anti")
-              .drop("_dv_fn", "_dv_pos")
+              .drop("_dv_fn", "_dv_pos", "_dv_key")
           }
         pinnedPhys.foldLeft(raw) { case (d, (logical, phys)) =>
           if (phys != logical) d.withColumnRenamed(phys, logical) else d
@@ -708,20 +714,49 @@ final class TxStreamSource(ctx: SQLContext, table: String,
       }
   }
 
+  /** Cached (version, path → entry) for the change feed: per-trigger
+    * metadata cost must be O(delta) — resolving both endpoint
+    * manifests per micro-batch is O(live files), the cost class the
+    * append path retired with the r13 action log. ONE resolve seeds
+    * the cache (first change batch / restart); every later batch
+    * folds [[TxTable.actionsBetween]] forward.
+    */
+  private var cdfSnap: Option[(Int, Map[String, TxTable.FileEntry])] = None
+
+  /** Align a physical-named read to the PINNED physical fields:
+    * pre-evolution file sets surface nulls for later-added columns,
+    * columns outside the pinned view are dropped — the feed serves
+    * the START-TIME view, the same contract as append-mode batches
+    * (a row change visible only in a mid-stream-added column
+    * therefore cancels in the diff, by design).
+    */
+  private def alignPhys(df: DataFrame): DataFrame = {
+    val withAll = dataSchema.fields.zip(pinnedPhys).foldLeft(df) {
+      case (d, (f, (_, phys))) =>
+        if (d.columns.contains(phys)) d
+        else d.withColumn(phys, lit(null).cast(f.dataType))
+    }
+    withAll.select(pinnedPhys.map { case (_, phys) => col(phys) }: _*)
+  }
+
   /** CHANGE FEED batches (`readChangeFeed=true`): instead of the
     * append-only added-files contract, each micro-batch carries
     * ROW-LEVEL `_change_type` (insert/delete) rows — the CDC-consumer
     * surface (Delta's CDF read path). The first batch (no checkpoint,
     * startingVersion absent) is the live snapshot as inserts; every
-    * later batch is [[TxTable.changesBetween]]'s row diff over the
-    * batch's version window, bounded to the CHANGED files (an upsert
-    * surfaces as delete+insert of the key; deletion vectors surface
-    * their tombstoned rows as deletes; copy-on-write carry-over rows
-    * cancel). Rewriting versions do NOT abort — propagating them is
-    * the point. Rate limits pace exactly as in append mode (offsets
-    * are versions either way). Retention interacts as everywhere
-    * else: a vacuumed window fails with the retention contract —
-    * lazily when start is empty (the reinit-call shape).
+    * later batch reads ONLY the batch window's CHANGED entries — the
+    * action walk's adds, the removed paths' cached base entries, and
+    * DV'd paths on BOTH sides (old vs new tombstones) — and the
+    * multiset exceptAll cancels copy-on-write carry-over rows, so an
+    * upsert streams as delete+insert of the key and a DV delete
+    * streams its tombstoned rows as deletes. Rewriting versions do
+    * NOT abort — propagating them is the point. The diff computes in
+    * PHYSICAL space and surfaces under the PINNED start-time names
+    * (mid-stream renames cannot shift the feed's schema, same as
+    * append mode). Rate limits pace exactly as in append mode
+    * (offsets are versions either way); retention failures surface
+    * the usual contract — lazily when start is empty (the
+    * reinit-call shape).
     */
   private def getChangeBatch(start: Option[streaming.Offset],
       end: streaming.Offset): DataFrame = {
@@ -729,44 +764,78 @@ final class TxStreamSource(ctx: SQLContext, table: String,
     val fromV = start.map(ver).getOrElse(startingVersion.getOrElse(0))
     val toV = ver(end)
     pacedThrough = math.max(pacedThrough, math.max(fromV, toV))
-    val frame: DataFrame =
-      try {
-        if (fromV == 0) {
-          val files = TxTable.manifest(table, toV).files
-          files.map(_.path).find(p => !java.nio.file.Files.exists(
-              java.nio.file.Paths.get(table, p))).foreach { p =>
-            if (start.isEmpty)
-              return GraftBridge.streamingDataFrame(
-                lazyRetentionFailure(fromV, toV))
-            retentionError(s"data file $p (batch versions ($fromV, $toV])",
-              new java.nio.file.NoSuchFileException(s"$table/$p"))
-          }
-          readAdded(files).withColumn("_change_type", lit("insert"))
-        } else {
-          TxTable.changedEntryPaths(table, fromV, toV)
-            .find(p => !java.nio.file.Files.exists(
-              java.nio.file.Paths.get(table, p))).foreach { p =>
-            if (start.isEmpty)
-              return GraftBridge.streamingDataFrame(
-                lazyRetentionFailure(fromV, toV))
-            retentionError(s"data file $p (batch versions ($fromV, $toV])",
-              new java.nio.file.NoSuchFileException(s"$table/$p"))
-          }
-          TxTable.changesBetween(spark, table, fromV, toV)
-            .withColumnRenamed("_change", "_change_type")
+    def emptyCdf(): DataFrame =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    def missing(paths: Seq[String]): Option[String] =
+      paths.find(p => !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(table, p)))
+    try {
+      if (fromV >= toV) return GraftBridge.streamingDataFrame(emptyCdf())
+      if (fromV == 0) {
+        val files = TxTable.manifest(table, toV).files
+        missing(files.map(_.path)).foreach { p =>
+          if (start.isEmpty)
+            return GraftBridge.streamingDataFrame(
+              lazyRetentionFailure(fromV, toV))
+          retentionError(s"data file $p (batch versions ($fromV, $toV])",
+            new java.nio.file.NoSuchFileException(s"$table/$p"))
         }
-      } catch {
-        case _: java.nio.file.NoSuchFileException if start.isEmpty =>
-          return GraftBridge.streamingDataFrame(
-            lazyRetentionFailure(fromV, toV))
-        case e: java.nio.file.NoSuchFileException =>
-          retentionError(s"batch versions ($fromV, $toV]", e)
+        cdfSnap = Some((toV, files.map(f => f.path -> f).toMap))
+        val snap = readAdded(files).withColumn("_change_type", lit("insert"))
+        GraftBridge.streamingDataFrame(
+          snap.select(schema.fields.map(f => col(f.name)).toSeq: _*))
+      } else {
+        // O(delta): fold the cached base forward through the action walk
+        val base = cdfSnap match {
+          case Some((v, m)) if v == fromV => m
+          case _ =>
+            TxTable.manifest(table, fromV).files.map(f => f.path -> f).toMap
+        }
+        val (adds, removes, dvs) = TxTable.actionsBetween(table, fromV, toV)
+        val removedEntries = removes.flatMap(base.get) ++
+          dvs.flatMap { case (p, _) => base.get(p) }
+        val addedEntries = adds ++
+          dvs.flatMap { case (p, pos) => base.get(p).map(_.copy(dv = pos)) }
+        cdfSnap = Some((toV,
+          (base -- removes) ++ adds.map(e => e.path -> e) ++
+            dvs.flatMap { case (p, pos) =>
+              base.get(p).map(e => p -> e.copy(dv = pos)) }))
+        missing((addedEntries ++ removedEntries).map(_.path).distinct)
+          .foreach { p =>
+            if (start.isEmpty)
+              return GraftBridge.streamingDataFrame(
+                lazyRetentionFailure(fromV, toV))
+            retentionError(s"data file $p (batch versions ($fromV, $toV])",
+              new java.nio.file.NoSuchFileException(s"$table/$p"))
+          }
+        def readSet(es: Seq[TxTable.FileEntry]): DataFrame =
+          if (es.isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+              org.apache.spark.sql.types.StructType(
+                dataSchema.fields.zip(pinnedPhys).map {
+                  case (f, (_, phys)) => f.copy(name = phys)
+                }))
+          else alignPhys(TxTable.rawRead(spark, table, es.sortBy(_.path)))
+        val added = readSet(addedEntries)
+        val removed = readSet(removedEntries)
+        val diff = added.exceptAll(removed)
+          .withColumn("_change_type", lit("insert"))
+          .unionByName(removed.exceptAll(added)
+            .withColumn("_change_type", lit("delete")))
+        val logical = pinnedPhys.foldLeft(diff) {
+          case (d, (logicalName, phys)) =>
+            if (phys != logicalName) d.withColumnRenamed(phys, logicalName)
+            else d
+        }
+        GraftBridge.streamingDataFrame(
+          logical.select(schema.fields.map(f => col(f.name)).toSeq: _*))
       }
-    // align to the pinned source schema (order and names); a rename
-    // committed mid-stream fails loudly here rather than silently
-    // shifting the feed's schema
-    GraftBridge.streamingDataFrame(
-      frame.select(schema.fields.map(f => col(f.name)).toSeq: _*))
+    } catch {
+      case _: java.nio.file.NoSuchFileException if start.isEmpty =>
+        GraftBridge.streamingDataFrame(lazyRetentionFailure(fromV, toV))
+      case e: java.nio.file.NoSuchFileException =>
+        retentionError(s"batch versions ($fromV, $toV]", e)
+    }
   }
 
   override def stop(): Unit = ()

@@ -1042,14 +1042,32 @@ object TxTable {
     toLogical(snap, rawRead(spark, table, snap.files))
   }
 
-  /** A data file's bare name — globally unique within a table (Spark
-    * part names carry a per-write-job UUID), so it is the ENCODING-
-    * PROOF join key between manifest entries and `_metadata.file_path`
-    * (whose URI rendering percent-encodes unpredictably; a file NAME
-    * contains no directory separators and no encoded bytes).
+  /** A data file's bare name — unique within a table PER PARTITION
+    * DIRECTORY (Spark part names carry a per-write-job UUID, but a
+    * partitionBy write emits the SAME name into every `<col>=<value>`
+    * dir it touches), so the DV join key is (name, partition values):
+    * the name is encoding-proof (`_metadata.file_path`'s URI rendering
+    * percent-encodes unpredictably; a file NAME contains no directory
+    * separators and no encoded bytes), and the partition values come
+    * from the manifest on the tombstone side and from the RECOVERED
+    * PARTITION COLUMNS on the scan side — matching data values to data
+    * values, never touching the hive-escaped directory names.
     */
   private[graft] def fileNameOf(rel: String): String =
     rel.substring(rel.lastIndexOf('/') + 1)
+
+  /** The scan-side DV key: file name + the entry set's partition
+    * columns as strings (the same rendering the manifest's identity
+    * stats record). Expects `_dv_fn` from the metadata columns.
+    */
+  private[graft] def dvKeyCol(partCols: Seq[String]): org.apache.spark.sql.Column =
+    concat_ws("\u0001", (col("_dv_fn") +: partCols.map(pc =>
+      coalesce(col(pc).cast("string"), lit("")))): _*)
+
+  /** The tombstone-side DV key for `f` under the same column order. */
+  private[graft] def dvKeyOf(f: FileEntry, partCols: Seq[String]): String =
+    (fileNameOf(f.path) +: partCols.map(pc => f.parts.getOrElse(pc, "")))
+      .mkString("\u0001")
 
   /** The raw parquet scan over `entries` — physical names, NO deletion
     * vectors applied. `withMeta` adds the DV join keys (`_dv_fn` =
@@ -1090,12 +1108,14 @@ object TxTable {
   private def applyDv(spark: SparkSession, df: DataFrame,
       dvd: Seq[FileEntry]): DataFrame = {
     import spark.implicits._
-    val tomb = dvd.flatMap(f => f.dv.map(p => (fileNameOf(f.path), p)))
-      .toDF("_t_fn", "_t_pos")
-    df.join(broadcast(tomb),
-        col("_dv_fn") === col("_t_fn") && col("_dv_pos") === col("_t_pos"),
+    val partCols = dvd.flatMap(_.parts.keys).distinct.sorted
+    val tomb = dvd.flatMap(f => f.dv.map(p => (dvKeyOf(f, partCols), p)))
+      .toDF("_t_key", "_t_pos")
+    df.withColumn("_dv_key", dvKeyCol(partCols))
+      .join(broadcast(tomb),
+        col("_dv_key") === col("_t_key") && col("_dv_pos") === col("_t_pos"),
         "left_anti")
-      .drop("_dv_fn", "_dv_pos")
+      .drop("_dv_fn", "_dv_pos", "_dv_key")
   }
 
   /** The PHYSICAL read under the snapshot's file set — original
@@ -1105,7 +1125,7 @@ object TxTable {
     * (compact/zorder/mutations) write what this returns, so a rewrite
     * MATERIALIZES deletion vectors and the new files carry none.
     */
-  private def rawRead(spark: SparkSession, table: String,
+  private[graft] def rawRead(spark: SparkSession, table: String,
       entries: Seq[FileEntry]): DataFrame = {
     val (dvd, clean) = entries.partition(_.dv.nonEmpty)
     if (dvd.isEmpty) scanEntries(spark, table, entries, withMeta = false)
@@ -1385,27 +1405,49 @@ object TxTable {
     // raw scan WITH row positions, old DVs NOT applied: positions are
     // physical, and re-recording an already-dead row is a set-union
     // no-op — simpler than threading the old tombstones through
+    val partCols = touched.flatMap(_.parts.keys).distinct.sorted
     val scanDf = scanEntries(spark, table, touched, withMeta = true)
     val dt = scanDf.schema(predOrig).dataType
     val hits = scanDf.filter(col(predOrig) >= lit(lo).cast(dt) &&
         col(predOrig) <= lit(hi).cast(dt))
-      .select(col("_dv_fn"), col("_dv_pos"))
+      .select(dvKeyCol(partCols).as("_dv_key"), col("_dv_pos"))
       .collect()
     require(hits.length <= maxDvRows,
       s"deleteWithDV matched ${hits.length} rows (> maxDvRows=$maxDvRows) — " +
         s"a deletion vector this large defeats merge-on-read; use delete " +
         s"(copy-on-write) for band deletes")
     if (hits.isEmpty) return MergeResult(parent, 0, live.size)
-    val byFn: Map[String, Set[Long]] = hits.groupBy(_.getString(0))
-      .map { case (fn, rs) => fn -> rs.map(_.getLong(1)).toSet }
+    val byKey: Map[String, Set[Long]] = hits.groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
     val newFiles = live.map { f =>
-      byFn.get(fileNameOf(f.path)) match {
+      byKey.get(dvKeyOf(f, partCols)) match {
         case Some(pos) => f.copy(dv = (f.dv.toSet ++ pos).toSeq.sorted)
         case None      => f
       }
     }
     val v = commitResolved(table, parent, snap, newFiles, snap.batches)
-    MergeResult(v, byFn.size, live.size - byFn.size)
+    MergeResult(v, byKey.size, live.size - byKey.size)
+  }
+
+  /** Concurrent-writer DV DELETE — [[mergeConcurrent]]'s re-execute-
+    * on-conflict recipe applied to [[deleteWithDV]]: the positions
+    * attach to the snapshot's live paths, so a lost version race must
+    * re-scan against the new latest; re-execution is cheap — no data
+    * write, the whole point of the tier.
+    */
+  def deleteWithDVConcurrent(spark: SparkSession, table: String,
+      predCol: String, lo: String, hi: String, maxDvRows: Int = 1 << 22,
+      maxRetries: Int = 20): MergeResult = {
+    var attempt = 0
+    while (true) {
+      try return deleteWithDV(spark, table, predCol, lo, hi, maxDvRows)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** UPDATE … SET WHERE `predCol` ∈ [lo, hi]: copy-on-write at file

@@ -1566,6 +1566,61 @@ class TxTableSpec extends SparkSpecBase {
     assert(TxTable.detail(spark, t).head().getAs[Long]("n_dv_rows") == 0L)
   }
 
+  test("deletion vectors on a hive-partitioned table: layout untouched, directory pruning and the anti-join compose, snapshot batches stream partition values minus tombstones") {
+    import spark.implicits._
+    val t = tmpTable()
+    val base = (1L to 9L).map(i => (i, (i - 1) / 3 + 1)).toDF("id", "dt")
+      .repartition(1)
+    TxTable.createPartitioned(spark, t, base, Seq("dt"), Seq("id"))
+    val prePaths = TxTable.manifest(t, 1).files.map(_.path).toSet
+    val r = TxTable.deleteWithDV(spark, t, "id", "5", "5")
+    assert(r.rewritten == 1, s"only dt=2's file intersects [5,5]: $r")
+    val post = TxTable.manifest(t, 2).files
+    assert(post.map(_.path).toSet == prePaths, "no files written")
+    assert(post.forall(_.parts.contains("dt")), "partition metadata intact")
+    assert(TxTable.read(spark, t).count() == 8)
+    // directory pruning composes with the DV anti-join
+    assert(TxTable.readPartition(spark, t, Map("dt" -> "2"))
+      .select(col("id")).as[Long].collect().toSet == Set(4L, 6L))
+    // a streaming snapshot batch applies BOTH the directory-encoded
+    // partition values and the tombstones (the combined parts+DV read)
+    val q = spark.readStream.format("graft-tx").option("path", t).load()
+      .writeStream.format("memory").queryName("tx_dv_part_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("tx_dv_part_stream")
+        .select(col("id"), col("dt")).as[(Long, Long)].collect().toSet
+      assert(rows == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L), (6L, 2L),
+        (7L, 3L), (8L, 3L), (9L, 3L)))
+    } finally q.stop()
+  }
+
+  test("streaming change feed with startingVersion=latest: subscribes to changes only — no snapshot replay, first merge streams its exact row diff") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t,
+      (1L to 1000L).map(i => (i, "base")).toDF("id", "tag"), Seq("id"))
+    val q = spark.readStream.format("graft-tx").option("path", t)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "latest").load()
+      .writeStream.format("memory").queryName("tx_cdf_latest")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tx_cdf_latest").count() == 0,
+        "latest subscribes to future changes — the snapshot must not replay")
+      TxTable.merge(spark, t, Seq((1L, "upd")).toDF("id", "tag"),
+        "id", Seq("id"))
+      q.processAllAvailable()
+      val rows = spark.table("tx_cdf_latest")
+        .select(col("id"), col("tag"), col("_change_type"))
+        .as[(Long, String, String)].collect().toSet
+      assert(rows == Set((1L, "base", "delete"), (1L, "upd", "insert")),
+        s"carry-over rows must cancel, got $rows")
+    } finally q.stop()
+  }
+
   test("streaming change feed: snapshot streams as inserts; a merge streams exactly its delete+insert rows; DV deletes surface; feed ≡ batch changesBetween; rate limits compose") {
     import spark.implicits._
     val t = tmpTable()
@@ -1615,6 +1670,55 @@ class TxTableSpec extends SparkSpecBase {
       assert(nonEmpty >= 3, // snapshot + 2 capped version batches
         s"maxVersionsPerTrigger must pace the CDF drain, got $nonEmpty")
     } finally q.stop()
+  }
+
+  test("streaming change feed: a mid-stream rename cannot shift the feed's schema — the diff serves the pinned start-time names") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t,
+      (1L to 10L).map(i => (i, "base")).toDF("id", "tag"), Seq("id"))
+    val q = spark.readStream.format("graft-tx").option("path", t)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("tx_cdf_rename")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tx_cdf_rename").count() == 10)
+      // a rename commits mid-stream (a metadata-only version: an empty
+      // change batch), then a merge UNDER THE NEW NAME — the feed must
+      // keep serving the pinned start-time names (physical stability)
+      TxTable.renameColumn(t, "id", "key")
+      TxTable.merge(spark, t, Seq((3L, "upd")).toDF("key", "tag"),
+        "key", Seq("key"))
+      q.processAllAvailable()
+      val out = spark.table("tx_cdf_rename")
+      assert(out.columns.toSet == Set("id", "tag", "_change_type"),
+        "mid-stream renames must not change the pinned feed schema")
+      val delta = out.filter(col("_change_type") === "delete" ||
+          (col("_change_type") === "insert" && col("tag") =!= "base"))
+        .select(col("id"), col("tag"), col("_change_type"))
+        .as[(Long, String, String)].collect().toSet
+      assert(delta == Set((3L, "base", "delete"), (3L, "upd", "insert")),
+        s"got $delta")
+    } finally q.stop()
+  }
+
+  test("deleteWithDVConcurrent: racing an append, both writers land via re-execution") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = tmpTable()
+    TxTable.create(spark, t,
+      (1L to 100L).toDF("id").repartitionByRange(4, col("id")), Seq("id"))
+    val fa = Future(TxTable.appendConcurrent(spark, t,
+      (101L to 110L).toDF("id"), Seq("id")))
+    val fd = Future(TxTable.deleteWithDVConcurrent(spark, t, "id", "5", "7"))
+    Await.result(fa, 120.seconds)
+    Await.result(fd, 120.seconds)
+    val ids = TxTable.read(spark, t).select(col("id")).as[Long].collect().toSet
+    assert(ids == ((1L to 110L).toSet -- Set(5L, 6L, 7L)),
+      "append and DV delete must both land regardless of race order")
   }
 
   test("zorder rank space == global window at every tie/null/outlier profile, through the guard's constant and recursion paths") {
