@@ -1060,6 +1060,9 @@ object Relational {
 
   private def valuesAtRanks(data: DataFrame, targets: DataFrame,
       buckets: Int = 4096, sortCap: Long = LocatedSortCap): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val spark = data.sparkSession
     val rng = data.groupBy(col("g"))
       .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
     val width = col("vmax") - col("vmin")
@@ -1083,70 +1086,98 @@ object Relational {
       .select(col("g"), col("bkt"), col("which"),
         (col("target") - col("cum_before")).as("local_rank"),
         col("c"), col("bmin"), col("bmax"))
+    // BUCKET-LEVEL METADATA, ≤ groups × targets rows: collect it and
+    // BRANCH ON THE DRIVER (the bounded-read class of q21's pos.head or
+    // BPE's election) so the DISENGAGED guard costs literally nothing —
+    // the plan below is the pre-guard plan when no bucket is oversized.
+    // One speculative plan with empty branches was measured at 27
+    // parquet scans in q71's executed plan: AQE does NOT erase the
+    // empty broadcast-join subtrees under the window/union operators.
+    // Field order: g(0) bkt(1) which(2) local_rank(3) c(4) bmin(5) bmax(6)
+    val loc = located.collect()
+    def isConst(r: Row) = r.getDouble(5) == r.getDouble(6)
+    def seqDF(rows: Seq[Row], schema: StructType): DataFrame =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val pickedSchema = StructType(Seq(
+      StructField("g", located.schema("g").dataType),
+      StructField("which", located.schema("which").dataType),
+      StructField("value", DoubleType)))
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // CONSTANT located bucket (min == max — every value ties): the
-    // answer at ANY in-bucket rank is that value, no sort at all. This
-    // also covers the shape recursion cannot split (one giant tie run).
-    val const = located.filter(col("bmin") === col("bmax"))
-      .select(col("g"), col("which"), col("bmin").as("value"))
-    // the design case: a located bucket that fits one sort task
-    val small = located.filter(col("bmin") =!= col("bmax") &&
-      col("c") <= sortCap)
-    // rank only inside located buckets; `which` in the partition key so
-    // two targets landing in one bucket rank their slices independently
-    val wloc = Window.partitionBy(col("g"), col("bkt"), col("which"))
-      .orderBy(col("value"))
-    val smallPicked = bucketed
-      .join(broadcast(small.select(col("g"), col("bkt"), col("which"),
-        col("local_rank"))), Seq("g", "bkt"))
-      .withColumn("rn", row_number().over(wloc))
-      .filter(col("rn") === col("local_rank"))
-      .select(col("g"), col("which"), col("value"))
+    // answer at ANY in-bucket rank is that value — emitted as a
+    // LITERAL row, no job at all. Also covers the shape recursion
+    // cannot split (one giant tie run).
+    val constRows = loc.filter(isConst)
+      .map(r => Row(r.get(0), r.get(2), r.getDouble(5))).toSeq
+    if (constRows.nonEmpty) parts += seqDF(constRows, pickedSchema)
+    // the design case: a located bucket that fits one sort task; `which`
+    // in the partition key so two targets landing in one bucket rank
+    // their slices independently
+    val smallRows = loc.filter(r => !isConst(r) && r.getLong(4) <= sortCap)
+    if (smallRows.nonEmpty) {
+      val smallDF = seqDF(smallRows.toSeq, located.schema)
+        .select(col("g"), col("bkt"), col("which"), col("local_rank"))
+      val wloc = Window.partitionBy(col("g"), col("bkt"), col("which"))
+        .orderBy(col("value"))
+      parts += bucketed.join(broadcast(smallDF), Seq("g", "bkt"))
+        .withColumn("rn", row_number().over(wloc))
+        .filter(col("rn") === col("local_rank"))
+        .select(col("g"), col("which"), col("value"))
+    }
     // OUTLIER GUARD: an oversized located bucket (a heavy tail or a
     // sentinel outlier stretched the range until one bucket swallowed
     // the group) recurses ONE level — re-bucketed by its OWN [bmin,
     // bmax], which excludes the outlier that caused the collapse; the
-    // same monotone/ties-share-a-bucket argument makes the composed
-    // rank exact. With no oversized bucket this subtree is empty and
-    // AQE's empty-relation propagation erases it at runtime.
-    val big = located.filter(col("bmin") =!= col("bmax") &&
-      col("c") > sortCap)
-      .select(col("g"), col("bkt"), col("which"), col("local_rank"),
-        col("bmin"), col("bmax"))
-    val bigRows = bucketed.select(col("g"), col("bkt"), col("value"))
-      .join(broadcast(big), Seq("g", "bkt"))
-    val swidth = col("bmax") - col("bmin")
-    val subBucketed = bigRows.withColumn("sbkt",
-      least(floor((col("value") - col("bmin")) / swidth * buckets),
-        lit((buckets - 1).toLong)))
-    val subCounts = subBucketed
-      .groupBy(col("g"), col("bkt"), col("which"), col("sbkt"))
-      .agg(count(lit(1)).as("sc"),
-        min(col("value")).as("sbmin"), max(col("value")).as("sbmax"),
-        first(col("local_rank")).as("local_rank"))
-    val swb = Window.partitionBy(col("g"), col("bkt"), col("which"))
-      .orderBy(col("sbkt"))
-    val subCum = subCounts.withColumn("scb",
-      coalesce(sum(col("sc")).over(swb.rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-    val subLocated = subCum
-      .filter(col("local_rank") > col("scb") &&
-        col("local_rank") <= col("scb") + col("sc"))
-      .select(col("g"), col("bkt"), col("which"), col("sbkt"),
-        (col("local_rank") - col("scb")).as("sub_rank"),
-        col("sbmin"), col("sbmax"))
-    val subConst = subLocated.filter(col("sbmin") === col("sbmax"))
-      .select(col("g"), col("which"), col("sbmin").as("value"))
-    val wsub = Window.partitionBy(col("g"), col("bkt"), col("which"),
-      col("sbkt")).orderBy(col("value"))
-    val subPicked = subBucketed
-      .join(broadcast(subLocated.filter(col("sbmin") =!= col("sbmax"))
+    // same monotone/ties-share-a-bucket argument keeps the composed
+    // rank exact. Built ONLY when engaged.
+    val bigRows0 = loc.filter(r => !isConst(r) && r.getLong(4) > sortCap)
+    if (bigRows0.nonEmpty) {
+      val bigDF = seqDF(bigRows0.toSeq, located.schema)
+        .select(col("g"), col("bkt"), col("which"), col("local_rank"),
+          col("bmin"), col("bmax"))
+      val bigJoined = bucketed.select(col("g"), col("bkt"), col("value"))
+        .join(broadcast(bigDF), Seq("g", "bkt"))
+      val swidth = col("bmax") - col("bmin")
+      val subBucketed = bigJoined.withColumn("sbkt",
+        least(floor((col("value") - col("bmin")) / swidth * buckets),
+          lit((buckets - 1).toLong)))
+      val swb = Window.partitionBy(col("g"), col("bkt"), col("which"))
+        .orderBy(col("sbkt"))
+      // sub-level bucket metadata — same bounded collect-and-branch.
+      // Field order: g(0) bkt(1) which(2) sbkt(3) sub_rank(4) sbmin(5) sbmax(6)
+      val subLocated = subBucketed
+        .groupBy(col("g"), col("bkt"), col("which"), col("sbkt"))
+        .agg(count(lit(1)).as("sc"),
+          min(col("value")).as("sbmin"), max(col("value")).as("sbmax"),
+          first(col("local_rank")).as("local_rank"))
+        .withColumn("scb",
+          coalesce(sum(col("sc")).over(swb.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .filter(col("local_rank") > col("scb") &&
+          col("local_rank") <= col("scb") + col("sc"))
         .select(col("g"), col("bkt"), col("which"), col("sbkt"),
-          col("sub_rank"))),
-        Seq("g", "bkt", "which", "sbkt"))
-      .withColumn("rn", row_number().over(wsub))
-      .filter(col("rn") === col("sub_rank"))
-      .select(col("g"), col("which"), col("value"))
-    const.unionByName(smallPicked).unionByName(subConst).unionByName(subPicked)
+          (col("local_rank") - col("scb")).as("sub_rank"),
+          col("sbmin"), col("sbmax"))
+      val sloc = subLocated.collect()
+      val subConstRows = sloc.filter(isConst)
+        .map(r => Row(r.get(0), r.get(2), r.getDouble(5))).toSeq
+      if (subConstRows.nonEmpty) parts += seqDF(subConstRows, pickedSchema)
+      val subRankRows = sloc.filterNot(isConst)
+      if (subRankRows.nonEmpty) {
+        val subDF = seqDF(subRankRows.toSeq, subLocated.schema)
+          .select(col("g"), col("bkt"), col("which"), col("sbkt"),
+            col("sub_rank"))
+        val wsub = Window.partitionBy(col("g"), col("bkt"), col("which"),
+          col("sbkt")).orderBy(col("value"))
+        parts += subBucketed
+          .join(broadcast(subDF), Seq("g", "bkt", "which", "sbkt"))
+          .withColumn("rn", row_number().over(wsub))
+          .filter(col("rn") === col("sub_rank"))
+          .select(col("g"), col("which"), col("value"))
+      }
+    }
+    if (parts.isEmpty) seqDF(Seq.empty, pickedSchema)
+    else parts.reduce(_.unionByName(_))
   }
 
   /** q21_stats_agg — statistical aggregates: Pearson correlation,
@@ -1406,6 +1437,9 @@ object Relational {
     */
   def trimmedMeanOn(events: DataFrame, buckets: Int = 4096,
       sortCap: Long = LocatedSortCap): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val spark = events.sparkSession
     val e = events.select(col("event_type").as("g"), col("value"))
     val rng = e.groupBy(col("g"))
       .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"),
@@ -1416,8 +1450,7 @@ object Relational {
         lit((buckets - 1).toLong)))
     val bounds = rng.select(col("g"), col("vmin"), col("vmax"),
       expr("n div 10").as("lo_rank"),            // keep ranks (lo, hi]
-      (col("n") - expr("n div 10")).as("hi_rank"),
-      (col("n") - expr("n div 10") * 2).as("n_kept"))
+      (col("n") - expr("n div 10")).as("hi_rank"))
     val bucketed = e.join(broadcast(bounds), Seq("g")).withColumn("bkt", bkt)
     val perBucket = bucketed.groupBy(col("g"), col("bkt"))
       .agg(count(lit(1)).as("c"), sum(col("value")).as("s"),
@@ -1427,89 +1460,123 @@ object Relational {
     val cum = perBucket.withColumn("cb",
       coalesce(sum(col("c")).over(wb.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-    // a bucket is FULLY KEPT when its rank span (cb, cb+c] sits inside
-    // (lo, hi]; it is a BOUNDARY bucket when it overlaps either edge
-    val inside = col("cb") >= col("lo_rank") &&
-      col("cb") + col("c") <= col("hi_rank")
-    val overlaps = col("cb") < col("hi_rank") &&
-      col("cb") + col("c") > col("lo_rank")
-    // every branch below emits (g, contrib) rows and ONE union-fed
-    // aggregate sums them — a single shuffle, not a per-branch join
-    // chain (six left joins measured 3.6× the pre-guard wall)
-    val fullSums = cum.filter(inside)
-      .select(col("g"), col("s").as("contrib"))
-    // a boundary bucket keeps its IN-BUCKET ranks (local_lo, local_hi]
-    val boundary = cum.filter(overlaps && !inside)
-      .select(col("g"), col("bkt"), col("c"), col("bmin"), col("bmax"),
-        greatest(col("lo_rank") - col("cb"), lit(0L)).as("local_lo"),
-        least(col("hi_rank") - col("cb"), col("c")).as("local_hi"))
-    // CONSTANT boundary bucket (one giant tie run): the kept slice is
-    // (local_hi - local_lo) copies of the value — pure arithmetic, the
-    // shape no sort or recursion could split
-    val constSums = boundary.filter(col("bmin") === col("bmax"))
-      .select(col("g"), ((col("local_hi") - col("local_lo")).cast("double") *
-        col("bmin")).as("contrib"))
+      .select(col("g"), col("bkt"), col("c"), col("s"),
+        col("bmin"), col("bmax"), col("lo_rank"), col("hi_rank"), col("cb"))
+    // BUCKET-LEVEL METADATA, ≤ groups × buckets rows: collect and FOLD
+    // ON THE DRIVER (same bounded-read class as valuesAtRanks). Buckets
+    // fully inside the kept slice and CONSTANT boundary buckets (one
+    // giant tie run: the kept slice is copies of one value) contribute
+    // arithmetically with no job at all; only boundary buckets that
+    // need a per-row rank produce plan branches — so the disengaged
+    // guard's plan is the pre-guard plan.
+    // Field order: g(0) bkt(1) c(2) s(3) bmin(4) bmax(5) lo(6) hi(7) cb(8)
+    val cumRows = cum.collect()
+    val gType = cum.schema("g").dataType
+    val baseSum = scala.collection.mutable.LinkedHashMap.empty[Any, Double]
+    val nKept = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+    val smallRows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val bigRows0 = scala.collection.mutable.ArrayBuffer.empty[Row]
+    cumRows.foreach { r =>
+      val g = r.get(0); val c = r.getLong(2)
+      val lo = r.getLong(6); val hi = r.getLong(7); val cb = r.getLong(8)
+      nKept.update(g, hi - lo)
+      baseSum.getOrElseUpdate(g, 0.0)
+      if (cb >= lo && cb + c <= hi) // fully kept: its sum, no row work
+        baseSum.update(g, baseSum(g) + r.getDouble(3))
+      else if (cb < hi && cb + c > lo) { // boundary bucket
+        val localLo = math.max(lo - cb, 0L)
+        val localHi = math.min(hi - cb, c)
+        if (r.getDouble(4) == r.getDouble(5)) // constant: pure arithmetic
+          baseSum.update(g, baseSum(g) + (localHi - localLo) * r.getDouble(4))
+        else if (c <= sortCap)
+          smallRows += Row(g, r.getLong(1), localLo, localHi)
+        else
+          bigRows0 += Row(g, r.getLong(1), r.getDouble(4), r.getDouble(5),
+            localLo, localHi)
+      }
+    }
+    def seqDF(rows: Seq[Row], schema: StructType): DataFrame =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val contribSchema = StructType(Seq(StructField("g", gType),
+      StructField("contrib", DoubleType)))
+    val contribs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    contribs += seqDF(baseSum.toSeq.map { case (g, v) => Row(g, v) },
+      contribSchema)
     // the design case: boundary-bucket rows rank in one task each
-    val smallB = boundary.filter(col("bmin") =!= col("bmax") &&
-      col("c") <= sortCap)
-    val wloc = Window.partitionBy(col("g"), col("bkt")).orderBy(col("value"))
-    val smallSums = bucketed.join(broadcast(smallB
-        .select(col("g"), col("bkt"), col("local_lo"), col("local_hi"))),
-        Seq("g", "bkt"))
-      .withColumn("rn", row_number().over(wloc))
-      .filter(col("rn") > col("local_lo") && col("rn") <= col("local_hi"))
-      .select(col("g"), col("value").as("contrib"))
+    if (smallRows.nonEmpty) {
+      val smallDF = seqDF(smallRows.toSeq, StructType(Seq(
+        StructField("g", gType), StructField("bkt", LongType),
+        StructField("local_lo", LongType), StructField("local_hi", LongType))))
+      val wloc = Window.partitionBy(col("g"), col("bkt")).orderBy(col("value"))
+      contribs += bucketed.join(broadcast(smallDF), Seq("g", "bkt"))
+        .withColumn("rn", row_number().over(wloc))
+        .filter(col("rn") > col("local_lo") && col("rn") <= col("local_hi"))
+        .select(col("g"), col("value").as("contrib"))
+    }
     // OUTLIER GUARD (same device as valuesAtRanks): an oversized
-    // boundary bucket re-buckets by its own [bmin, bmax]; sub-buckets
-    // fully inside the kept slice contribute their SUMS with no
-    // per-row work, constant sub-buckets contribute arithmetically,
-    // and only overlapping non-constant sub-buckets rank their rows
-    val bigB = boundary.filter(col("bmin") =!= col("bmax") &&
-      col("c") > sortCap)
-      .select(col("g"), col("bkt"), col("bmin"), col("bmax"),
-        col("local_lo"), col("local_hi"))
-    val bigRows = bucketed.select(col("g"), col("bkt"), col("value"))
-      .join(broadcast(bigB), Seq("g", "bkt"))
-    val swidth = col("bmax") - col("bmin")
-    val subBucketed = bigRows.withColumn("sbkt",
-      least(floor((col("value") - col("bmin")) / swidth * buckets),
-        lit((buckets - 1).toLong)))
-    val subPer = subBucketed.groupBy(col("g"), col("bkt"), col("sbkt"))
-      .agg(count(lit(1)).as("sc"), sum(col("value")).as("ss"),
-        min(col("value")).as("sbmin"), max(col("value")).as("sbmax"),
-        first(col("local_lo")).as("local_lo"),
-        first(col("local_hi")).as("local_hi"))
-    val swb = Window.partitionBy(col("g"), col("bkt")).orderBy(col("sbkt"))
-    val subCum = subPer.withColumn("scb",
-      coalesce(sum(col("sc")).over(swb.rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-    val subInside = col("scb") >= col("local_lo") &&
-      col("scb") + col("sc") <= col("local_hi")
-    val subOverlaps = col("scb") < col("local_hi") &&
-      col("scb") + col("sc") > col("local_lo")
-    val subFull = subCum.filter(subInside)
-      .select(col("g"), col("ss").as("contrib"))
-    val subBoundary = subCum.filter(subOverlaps && !subInside)
-      .select(col("g"), col("bkt"), col("sbkt"), col("sbmin"), col("sbmax"),
-        greatest(col("local_lo") - col("scb"), lit(0L)).as("slo"),
-        least(col("local_hi") - col("scb"), col("sc")).as("shi"))
-    val subConstSums = subBoundary.filter(col("sbmin") === col("sbmax"))
-      .select(col("g"), ((col("shi") - col("slo")).cast("double") *
-        col("sbmin")).as("contrib"))
-    val wsub = Window.partitionBy(col("g"), col("bkt"), col("sbkt"))
-      .orderBy(col("value"))
-    val subRankSums = subBucketed.join(broadcast(subBoundary
-        .filter(col("sbmin") =!= col("sbmax"))
-        .select(col("g"), col("bkt"), col("sbkt"), col("slo"), col("shi"))),
-        Seq("g", "bkt", "sbkt"))
-      .withColumn("rn", row_number().over(wsub))
-      .filter(col("rn") > col("slo") && col("rn") <= col("shi"))
-      .select(col("g"), col("value").as("contrib"))
-    val keptSums = Seq(fullSums, constSums, smallSums, subFull,
-      subConstSums, subRankSums).reduce(_.unionByName(_))
+    // boundary bucket re-buckets by its own [bmin, bmax]; the sub-level
+    // bucket metadata folds on the driver the same way, and only
+    // overlapping non-constant sub-buckets rank their rows
+    if (bigRows0.nonEmpty) {
+      val bigDF = seqDF(bigRows0.toSeq, StructType(Seq(
+        StructField("g", gType), StructField("bkt", LongType),
+        StructField("bmin", DoubleType), StructField("bmax", DoubleType),
+        StructField("local_lo", LongType), StructField("local_hi", LongType))))
+      val bigJoined = bucketed.select(col("g"), col("bkt"), col("value"))
+        .join(broadcast(bigDF), Seq("g", "bkt"))
+      val swidth = col("bmax") - col("bmin")
+      val subBucketed = bigJoined.withColumn("sbkt",
+        least(floor((col("value") - col("bmin")) / swidth * buckets),
+          lit((buckets - 1).toLong)))
+      val swb = Window.partitionBy(col("g"), col("bkt")).orderBy(col("sbkt"))
+      // g(0) bkt(1) sbkt(2) sc(3) ss(4) sbmin(5) sbmax(6) llo(7) lhi(8) scb(9)
+      val subCum = subBucketed.groupBy(col("g"), col("bkt"), col("sbkt"))
+        .agg(count(lit(1)).as("sc"), sum(col("value")).as("ss"),
+          min(col("value")).as("sbmin"), max(col("value")).as("sbmax"),
+          first(col("local_lo")).as("local_lo"),
+          first(col("local_hi")).as("local_hi"))
+        .withColumn("scb",
+          coalesce(sum(col("sc")).over(swb.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .collect()
+      val subBase = scala.collection.mutable.LinkedHashMap.empty[Any, Double]
+      val subRankRows = scala.collection.mutable.ArrayBuffer.empty[Row]
+      subCum.foreach { r =>
+        val g = r.get(0); val sc = r.getLong(3)
+        val llo = r.getLong(7); val lhi = r.getLong(8); val scb = r.getLong(9)
+        if (scb >= llo && scb + sc <= lhi)
+          subBase.update(g, subBase.getOrElse(g, 0.0) + r.getDouble(4))
+        else if (scb < lhi && scb + sc > llo) {
+          val slo = math.max(llo - scb, 0L)
+          val shi = math.min(lhi - scb, sc)
+          if (r.getDouble(5) == r.getDouble(6))
+            subBase.update(g, subBase.getOrElse(g, 0.0) +
+              (shi - slo) * r.getDouble(5))
+          else subRankRows += Row(g, r.getLong(1), r.getLong(2), slo, shi)
+        }
+      }
+      if (subBase.nonEmpty)
+        contribs += seqDF(subBase.toSeq.map { case (g, v) => Row(g, v) },
+          contribSchema)
+      if (subRankRows.nonEmpty) {
+        val subDF = seqDF(subRankRows.toSeq, StructType(Seq(
+          StructField("g", gType), StructField("bkt", LongType),
+          StructField("sbkt", LongType), StructField("slo", LongType),
+          StructField("shi", LongType))))
+        val wsub = Window.partitionBy(col("g"), col("bkt"), col("sbkt"))
+          .orderBy(col("value"))
+        contribs += subBucketed
+          .join(broadcast(subDF), Seq("g", "bkt", "sbkt"))
+          .withColumn("rn", row_number().over(wsub))
+          .filter(col("rn") > col("slo") && col("rn") <= col("shi"))
+          .select(col("g"), col("value").as("contrib"))
+      }
+    }
+    val keptSums = contribs.reduce(_.unionByName(_))
       .groupBy(col("g")).agg(sum(col("contrib")).as("kept_sum"))
-    bounds.select(col("g"), col("n_kept"))
-      .join(keptSums, Seq("g"), "left")
+    val nKeptDF = seqDF(nKept.toSeq.map { case (g, k) => Row(g, k) },
+      StructType(Seq(StructField("g", gType), StructField("n_kept", LongType))))
+    nKeptDF.join(keptSums, Seq("g"), "left")
       .select(col("g").as("event_type"), col("n_kept"),
         Cols.pround(coalesce(col("kept_sum"), lit(0.0)) /
           col("n_kept").cast("double"), 6).as("trimmed_mean"))
