@@ -240,6 +240,7 @@ object SparkEntry {
     "tx_catalog_read"     -> graft.sources.TxTable.catalogReadQuery _,
     "tx_delete"           -> graft.sources.TxTable.deleteQuery _,
     "tx_dv_delete"        -> graft.sources.TxTable.dvDeleteQuery _,
+    "tx_cdf_stream"       -> graft.sources.TxTable.cdfStreamQuery _,
     "tx_update"           -> graft.sources.TxTable.updateQuery _,
     "text_diversity"      -> Training.diversity _,
     "embed_class_centroid" -> Similarity.classCentroid _,
@@ -587,6 +588,7 @@ object SparkEntry {
     "tx_catalog_read"     -> graft.sources.TxTable.catalogReadQuerySql,
     "tx_delete"           -> graft.sources.TxTable.deleteQuerySql,
     "tx_dv_delete"        -> graft.sources.TxTable.dvDeleteQuerySql,
+    "tx_cdf_stream"       -> graft.sources.TxTable.cdfStreamQuerySql,
     "tx_update"           -> graft.sources.TxTable.updateQuerySql,
     "dq_constraints"      -> Quality.dqConstraintsSql,
     "dq_outliers"         -> Quality.dqOutliersSql,

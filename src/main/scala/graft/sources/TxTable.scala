@@ -2108,6 +2108,57 @@ object TxTable {
     """SELECT c_mktsegment AS seg, count(*) AS n_v1, 2 * count(*) AS n_latest
       |FROM customer GROUP BY 1 ORDER BY seg""".stripMargin
 
+  /** tx_cdf_stream — the STREAMING change feed as a driver-oracled
+    * query (r14): stage orders into a transactional table, open a REAL
+    * `readChangeFeed` stream into a memory sink, drain the snapshot,
+    * MERGE an update set (every 10th key re-tagged + [[MergeInserts]]
+    * new keys), drain again, and aggregate the accumulated feed per
+    * (_change_type, tag). Matching the oracle proves the whole CDC
+    * round trip end to end: snapshot-as-inserts, the upsert surfacing
+    * as delete+insert of exactly the changed keys (copy-on-write
+    * carry-over rows cancel — k_sum pins MEMBERSHIP), and the insert
+    * set arriving once. The sink name is unique per invocation so
+    * repeated runs (bench's min-of-two) never collide.
+    */
+  def cdfStreamQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Files.createTempDirectory("graft_tx_cdf").resolve("t").toString
+    val base = graft.util.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").cast("long").as("k"), lit("base").as("tag"))
+    create(spark, t, base.repartitionByRange(8, col("k")), Seq("k"))
+    val qn = s"tx_cdf_q_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = spark.readStream.format("graft-tx").option("path", t)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val mk = base.agg(max(col("k"))).head().getLong(0)
+      val updates = base.filter(col("k") % 10 === 0)
+        .select(col("k"), lit("upd").as("tag"))
+        .unionByName(spark.range(1, MergeInserts + 1)
+          .select((col("id") + mk).as("k"), lit("ins").as("tag")))
+      merge(spark, t, updates, "k", Seq("k"))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(qn)
+      .select(col("_change_type").as("change_type"), col("tag"), col("k"))
+      .groupBy(col("change_type"), col("tag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"))
+      .orderBy(col("change_type"), col("tag"))
+  }
+
+  def cdfStreamQuerySql: String =
+    s"""WITH m AS (SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS s,
+       |  max(o_orderkey) AS mk FROM orders),
+       |u AS (SELECT count(*) AS nu, CAST(sum(o_orderkey) AS BIGINT) AS su
+       | FROM orders WHERE o_orderkey % 10 = 0)
+       |SELECT 'delete' AS change_type, 'base' AS tag, nu AS n_rows, su AS k_sum FROM u
+       |UNION ALL SELECT 'insert', 'base', n, s FROM m
+       |UNION ALL SELECT 'insert', 'ins', CAST(${MergeInserts} AS BIGINT),
+       |  CAST(${MergeInserts} * mk + ${MergeInserts * (MergeInserts + 1) / 2} AS BIGINT) FROM m
+       |UNION ALL SELECT 'insert', 'upd', nu, su FROM u
+       |ORDER BY change_type, tag""".stripMargin
+
   // ---------------------------------------------------------------- vacuum
 
   /** The files [[vacuum]] would reclaim below `keepFromVersion`:
