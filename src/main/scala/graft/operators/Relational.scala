@@ -1058,18 +1058,34 @@ object Relational {
     */
   private[graft] val LocatedSortCap: Long = 1L << 18
 
+  /** Depth bound for the bucket-rank guards' recursion-to-fixpoint
+    * (r15, VERDICT r14 #7): each level re-buckets an oversized slice by
+    * its own [min, max], which strictly excludes the magnitude that
+    * collapsed the parent level — k magnitude-stacked sentinels resolve
+    * in k levels, and real heavy tails shrink geometrically (width /
+    * 4096 per level). 8 levels cover any double's dynamic range in
+    * practice; AT the cap the residual slice sorts in one task anyway,
+    * so the bound trades only the memory guarantee, never correctness.
+    */
+  private[graft] val GuardMaxDepth: Int = 8
+
   private def valuesAtRanks(data: DataFrame, targets: DataFrame,
       buckets: Int = 4096, sortCap: Long = LocatedSortCap): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     val spark = data.sparkSession
-    val rng = data.groupBy(col("g"))
+    // contract: values are non-null (callers compute their targets over
+    // the same non-null multiset). Filtering here keeps a null-carrying
+    // caller from NPE-ing the driver folds below (bmin/bmax of a null
+    // bucket are null) — SQL-aggregate null-skipping semantics.
+    val data0 = data.filter(col("value").isNotNull)
+    val rng = data0.groupBy(col("g"))
       .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
     val width = col("vmax") - col("vmin")
     val bkt = when(width === 0.0, lit(0L)).otherwise(
       least(floor((col("value") - col("vmin")) / width * buckets),
         lit((buckets - 1).toLong)))
-    val bucketed = data.join(broadcast(rng), Seq("g")).withColumn("bkt", bkt)
+    val bucketed = data0.join(broadcast(rng), Seq("g")).withColumn("bkt", bkt)
     // per-bucket min/max ride the same single aggregate pass — they
     // cost nothing and power the OUTLIER GUARD below
     val counts = bucketed.groupBy(col("g"), col("bkt"))
@@ -1126,55 +1142,81 @@ object Relational {
     }
     // OUTLIER GUARD: an oversized located bucket (a heavy tail or a
     // sentinel outlier stretched the range until one bucket swallowed
-    // the group) recurses ONE level — re-bucketed by its OWN [bmin,
-    // bmax], which excludes the outlier that caused the collapse; the
-    // same monotone/ties-share-a-bucket argument keeps the composed
-    // rank exact. Built ONLY when engaged.
+    // the group) recurses — re-bucketed by its OWN [bmin, bmax], which
+    // excludes the outlier that caused the collapse; the same monotone/
+    // ties-share-a-bucket argument keeps the composed rank exact at
+    // EVERY depth. Recursion runs TO FIXPOINT under [[GuardMaxDepth]]
+    // (sentinels at k magnitudes peel one magnitude per level — the
+    // r14 one-level form left the second magnitude's slice to a single
+    // oversized sort); at the depth cap the residual slice sorts in one
+    // task regardless — termination traded, never correctness. Built
+    // ONLY when engaged — the disengaged plan is the pre-guard plan.
     val bigRows0 = loc.filter(r => !isConst(r) && r.getLong(4) > sortCap)
     if (bigRows0.nonEmpty) {
-      val bigDF = seqDF(bigRows0.toSeq, located.schema)
-        .select(col("g"), col("bkt"), col("which"), col("local_rank"),
-          col("bmin"), col("bmax"))
-      val bigJoined = bucketed.select(col("g"), col("bkt"), col("value"))
-        .join(broadcast(bigDF), Seq("g", "bkt"))
-      val swidth = col("bmax") - col("bmin")
-      val subBucketed = bigJoined.withColumn("sbkt",
-        least(floor((col("value") - col("bmin")) / swidth * buckets),
-          lit((buckets - 1).toLong)))
-      val swb = Window.partitionBy(col("g"), col("bkt"), col("which"))
-        .orderBy(col("sbkt"))
-      // sub-level bucket metadata — same bounded collect-and-branch.
-      // Field order: g(0) bkt(1) which(2) sbkt(3) sub_rank(4) sbmin(5) sbmax(6)
-      val subLocated = subBucketed
-        .groupBy(col("g"), col("bkt"), col("which"), col("sbkt"))
-        .agg(count(lit(1)).as("sc"),
-          min(col("value")).as("sbmin"), max(col("value")).as("sbmax"),
-          first(col("local_rank")).as("local_rank"))
-        .withColumn("scb",
-          coalesce(sum(col("sc")).over(swb.rowsBetween(Window.unboundedPreceding, -1)),
-            lit(0L)))
-        .filter(col("local_rank") > col("scb") &&
-          col("local_rank") <= col("scb") + col("sc"))
-        .select(col("g"), col("bkt"), col("which"), col("sbkt"),
-          (col("local_rank") - col("scb")).as("sub_rank"),
-          col("sbmin"), col("sbmax"))
-      val sloc = subLocated.collect()
-      val subConstRows = sloc.filter(isConst)
-        .map(r => Row(r.get(0), r.get(2), r.getDouble(5))).toSeq
-      if (subConstRows.nonEmpty) parts += seqDF(subConstRows, pickedSchema)
-      val subRankRows = sloc.filterNot(isConst)
-      if (subRankRows.nonEmpty) {
-        val subDF = seqDF(subRankRows.toSeq, subLocated.schema)
-          .select(col("g"), col("bkt"), col("which"), col("sbkt"),
-            col("sub_rank"))
-        val wsub = Window.partitionBy(col("g"), col("bkt"), col("which"),
-          col("sbkt")).orderBy(col("value"))
-        parts += subBucketed
-          .join(broadcast(subDF), Seq("g", "bkt", "which", "sbkt"))
-          .withColumn("rn", row_number().over(wsub))
-          .filter(col("rn") === col("sub_rank"))
-          .select(col("g"), col("which"), col("value"))
+      val metaSchema = StructType(Seq(
+        StructField("g", located.schema("g").dataType),
+        StructField("which", located.schema("which").dataType),
+        StructField("local_rank", org.apache.spark.sql.types.LongType),
+        StructField("bmin", DoubleType), StructField("bmax", DoubleType)))
+      // (g, which) addresses the ONE located bucket per target at every
+      // level, so the recursion key never grows
+      def recurse(rows: DataFrame, meta: Seq[Row], depth: Int): Unit = {
+        val metaDF = seqDF(meta, metaSchema)
+        val swidth = col("bmax") - col("bmin")
+        val sub = rows.join(broadcast(metaDF), Seq("g", "which"))
+          .withColumn("sbkt",
+            least(floor((col("value") - col("bmin")) / swidth * buckets),
+              lit((buckets - 1).toLong)))
+        val swb = Window.partitionBy(col("g"), col("which")).orderBy(col("sbkt"))
+        // ONE located sub-bucket per (g, which) — a bounded collect.
+        // Field order: g(0) which(1) sbkt(2) sub_rank(3) sbmin(4) sbmax(5) sc(6)
+        val subLocated = sub.groupBy(col("g"), col("which"), col("sbkt"))
+          .agg(count(lit(1)).as("sc"),
+            min(col("value")).as("sbmin"), max(col("value")).as("sbmax"),
+            first(col("local_rank")).as("local_rank"))
+          .withColumn("scb",
+            coalesce(sum(col("sc")).over(swb.rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
+          .filter(col("local_rank") > col("scb") &&
+            col("local_rank") <= col("scb") + col("sc"))
+          .select(col("g"), col("which"), col("sbkt"),
+            (col("local_rank") - col("scb")).as("sub_rank"),
+            col("sbmin"), col("sbmax"), col("sc"))
+        val sloc = subLocated.collect()
+        def subConst(r: Row) = r.getDouble(4) == r.getDouble(5)
+        val constRows2 = sloc.filter(subConst)
+          .map(r => Row(r.get(0), r.get(1), r.getDouble(4))).toSeq
+        if (constRows2.nonEmpty) parts += seqDF(constRows2, pickedSchema)
+        val (deeper, sortable) = sloc.filterNot(subConst)
+          .partition(r => r.getLong(6) > sortCap && depth < GuardMaxDepth)
+        if (sortable.nonEmpty) {
+          val sortDF = seqDF(sortable.toSeq, subLocated.schema)
+            .select(col("g"), col("which"), col("sbkt"), col("sub_rank"))
+          val wsub = Window.partitionBy(col("g"), col("which"), col("sbkt"))
+            .orderBy(col("value"))
+          parts += sub.join(broadcast(sortDF), Seq("g", "which", "sbkt"))
+            .withColumn("rn", row_number().over(wsub))
+            .filter(col("rn") === col("sub_rank"))
+            .select(col("g"), col("which"), col("value"))
+        }
+        if (deeper.nonEmpty) {
+          val deepDF = seqDF(deeper.toSeq, subLocated.schema)
+            .select(col("g"), col("which"), col("sbkt"))
+          val nextRows = sub.join(broadcast(deepDF), Seq("g", "which", "sbkt"))
+            .select(col("g"), col("which"), col("value"))
+          val nextMeta = deeper.map(r => Row(r.get(0), r.get(1),
+            r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+          recurse(nextRows, nextMeta, depth + 1)
+        }
       }
+      val bigDF = seqDF(bigRows0.toSeq, located.schema)
+        .select(col("g"), col("bkt"), col("which"))
+      val rows0 = bucketed.select(col("g"), col("bkt"), col("value"))
+        .join(broadcast(bigDF), Seq("g", "bkt"))
+        .select(col("g"), col("which"), col("value"))
+      val meta0 = bigRows0.map(r => Row(r.get(0), r.get(2),
+        r.getLong(3), r.getDouble(5), r.getDouble(6))).toSeq
+      recurse(rows0, meta0, depth = 1)
     }
     if (parts.isEmpty) seqDF(Seq.empty, pickedSchema)
     else parts.reduce(_.unionByName(_))
@@ -1347,7 +1389,12 @@ object Relational {
     */
   def percentileExactOn(events: DataFrame,
       sortCap: Long = LocatedSortCap): DataFrame = {
+    // null values are excluded BEFORE the targets compute, so the rank
+    // arithmetic and the rank space see the same non-null multiset
+    // (SQL-aggregate null-skipping; a null-valued row can never be the
+    // selected element)
     val e = events.select(col("event_type").as("g"), col("value"))
+      .filter(col("value").isNotNull)
     val targets = e.groupBy(col("g")).agg(count(lit(1)).as("n"))
       .selectExpr("g",
         "stack(3, 'p50', (n + 1) div 2, 'p90', (9 * n + 9) div 10, " +
@@ -1440,7 +1487,12 @@ object Relational {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     val spark = events.sparkSession
+    // nulls excluded UP FRONT (SQL-aggregate null-skipping semantics):
+    // the trim ranks and the bucket space must see the same non-null
+    // multiset, and the driver folds below read bucket min/max
+    // primitively (a null bucket would NPE them)
     val e = events.select(col("event_type").as("g"), col("value"))
+      .filter(col("value").isNotNull)
     val rng = e.groupBy(col("g"))
       .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"),
         count(lit(1)).as("n"))
@@ -1460,48 +1512,54 @@ object Relational {
     val cum = perBucket.withColumn("cb",
       coalesce(sum(col("c")).over(wb.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-      .select(col("g"), col("bkt"), col("c"), col("s"),
-        col("bmin"), col("bmax"), col("lo_rank"), col("hi_rank"), col("cb"))
-    // BUCKET-LEVEL METADATA, ≤ groups × buckets rows: collect and FOLD
-    // ON THE DRIVER (same bounded-read class as valuesAtRanks). Buckets
-    // fully inside the kept slice and CONSTANT boundary buckets (one
-    // giant tie run: the kept slice is copies of one value) contribute
-    // arithmetically with no job at all; only boundary buckets that
-    // need a per-row rank produce plan branches — so the disengaged
-    // guard's plan is the pre-guard plan.
-    // Field order: g(0) bkt(1) c(2) s(3) bmin(4) bmax(5) lo(6) hi(7) cb(8)
-    val cumRows = cum.collect()
+    // INTERIOR buckets (fully inside the kept slice) aggregate their
+    // sums DISTRIBUTIVELY — the driver never reads them (r15, VERDICT
+    // r14 #6: the prior form collected O(groups × 4096) bucket rows;
+    // a 100k-cardinality group key made that 400M driver rows). Only
+    // the ≤ 2 BOUNDARY buckets per group — where a trim edge cuts
+    // through — reach the driver, matching valuesAtRanks'
+    // located-only collect.
+    val fullyKept = col("cb") >= col("lo_rank") &&
+      col("cb") + col("c") <= col("hi_rank")
+    val overlaps = col("cb") < col("hi_rank") &&
+      col("cb") + col("c") > col("lo_rank")
+    val contribs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val gType = cum.schema("g").dataType
-    val baseSum = scala.collection.mutable.LinkedHashMap.empty[Any, Double]
-    val nKept = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
-    val smallRows = scala.collection.mutable.ArrayBuffer.empty[Row]
-    val bigRows0 = scala.collection.mutable.ArrayBuffer.empty[Row]
-    cumRows.foreach { r =>
-      val g = r.get(0); val c = r.getLong(2)
-      val lo = r.getLong(6); val hi = r.getLong(7); val cb = r.getLong(8)
-      nKept.update(g, hi - lo)
-      baseSum.getOrElseUpdate(g, 0.0)
-      if (cb >= lo && cb + c <= hi) // fully kept: its sum, no row work
-        baseSum.update(g, baseSum(g) + r.getDouble(3))
-      else if (cb < hi && cb + c > lo) { // boundary bucket
-        val localLo = math.max(lo - cb, 0L)
-        val localHi = math.min(hi - cb, c)
-        if (r.getDouble(4) == r.getDouble(5)) // constant: pure arithmetic
-          baseSum.update(g, baseSum(g) + (localHi - localLo) * r.getDouble(4))
-        else if (c <= sortCap)
-          smallRows += Row(g, r.getLong(1), localLo, localHi)
-        else
-          bigRows0 += Row(g, r.getLong(1), r.getDouble(4), r.getDouble(5),
-            localLo, localHi)
-      }
-    }
-    def seqDF(rows: Seq[Row], schema: StructType): DataFrame =
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
     val contribSchema = StructType(Seq(StructField("g", gType),
       StructField("contrib", DoubleType)))
-    val contribs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    contribs += seqDF(baseSum.toSeq.map { case (g, v) => Row(g, v) },
-      contribSchema)
+    contribs += cum.filter(fullyKept)
+      .select(col("g"), col("s").cast("double").as("contrib"))
+    def seqDF(rows: Seq[Row], schema: StructType): DataFrame =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    // boundary rows — the bounded collect-and-branch (same device as
+    // valuesAtRanks): constant boundary buckets (one giant tie run)
+    // contribute arithmetically, small ones rank in one task, oversized
+    // ones enter the recursive guard.
+    // Field order: g(0) bkt(1) c(2) s(3) bmin(4) bmax(5) lo(6) hi(7) cb(8)
+    val boundaryRows = cum.filter(overlaps && !fullyKept)
+      .select(col("g"), col("bkt"), col("c"), col("s"),
+        col("bmin"), col("bmax"), col("lo_rank"), col("hi_rank"), col("cb"))
+      .collect()
+    val constSum = scala.collection.mutable.LinkedHashMap.empty[Any, Double]
+    val smallRows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val bigRows0 = scala.collection.mutable.ArrayBuffer.empty[Row]
+    boundaryRows.foreach { r =>
+      val g = r.get(0); val c = r.getLong(2)
+      val lo = r.getLong(6); val hi = r.getLong(7); val cb = r.getLong(8)
+      val localLo = math.max(lo - cb, 0L)
+      val localHi = math.min(hi - cb, c)
+      if (r.getDouble(4) == r.getDouble(5)) // constant: pure arithmetic
+        constSum.update(g, constSum.getOrElse(g, 0.0) +
+          (localHi - localLo) * r.getDouble(4))
+      else if (c <= sortCap)
+        smallRows += Row(g, r.getLong(1), localLo, localHi)
+      else // g(0) bkt(1) bmin(2) bmax(3) local_lo(4) local_hi(5)
+        bigRows0 += Row(g, r.getLong(1), r.getDouble(4), r.getDouble(5),
+          localLo, localHi)
+    }
+    if (constSum.nonEmpty)
+      contribs += seqDF(constSum.toSeq.map { case (g, v) => Row(g, v) },
+        contribSchema)
     // the design case: boundary-bucket rows rank in one task each
     if (smallRows.nonEmpty) {
       val smallDF = seqDF(smallRows.toSeq, StructType(Seq(
@@ -1513,69 +1571,112 @@ object Relational {
         .filter(col("rn") > col("local_lo") && col("rn") <= col("local_hi"))
         .select(col("g"), col("value").as("contrib"))
     }
-    // OUTLIER GUARD (same device as valuesAtRanks): an oversized
-    // boundary bucket re-buckets by its own [bmin, bmax]; the sub-level
-    // bucket metadata folds on the driver the same way, and only
-    // overlapping non-constant sub-buckets rank their rows
+    // OUTLIER GUARD — the recursive RANGE-AGGREGATION twin of
+    // valuesAtRanks' guard (r15, VERDICT r14 #7): an oversized
+    // boundary bucket re-buckets by its own [bmin, bmax]; sub-buckets
+    // fully inside the kept slice contribute their sums IN-PLAN,
+    // constant overlapping sub-buckets contribute arithmetically, and
+    // an overlapping sub-bucket still beyond the cap recurses to
+    // fixpoint under [[GuardMaxDepth]] (at the cap it sorts in one
+    // task — termination traded, never correctness).
     if (bigRows0.nonEmpty) {
-      val bigDF = seqDF(bigRows0.toSeq, StructType(Seq(
-        StructField("g", gType), StructField("bkt", LongType),
-        StructField("bmin", DoubleType), StructField("bmax", DoubleType),
-        StructField("local_lo", LongType), StructField("local_hi", LongType))))
-      val bigJoined = bucketed.select(col("g"), col("bkt"), col("value"))
-        .join(broadcast(bigDF), Seq("g", "bkt"))
-      val swidth = col("bmax") - col("bmin")
-      val subBucketed = bigJoined.withColumn("sbkt",
-        least(floor((col("value") - col("bmin")) / swidth * buckets),
-          lit((buckets - 1).toLong)))
-      val swb = Window.partitionBy(col("g"), col("bkt")).orderBy(col("sbkt"))
-      // g(0) bkt(1) sbkt(2) sc(3) ss(4) sbmin(5) sbmax(6) llo(7) lhi(8) scb(9)
-      val subCum = subBucketed.groupBy(col("g"), col("bkt"), col("sbkt"))
-        .agg(count(lit(1)).as("sc"), sum(col("value")).as("ss"),
-          min(col("value")).as("sbmin"), max(col("value")).as("sbmax"),
-          first(col("local_lo")).as("local_lo"),
-          first(col("local_hi")).as("local_hi"))
-        .withColumn("scb",
-          coalesce(sum(col("sc")).over(swb.rowsBetween(Window.unboundedPreceding, -1)),
-            lit(0L)))
-        .collect()
-      val subBase = scala.collection.mutable.LinkedHashMap.empty[Any, Double]
-      val subRankRows = scala.collection.mutable.ArrayBuffer.empty[Row]
-      subCum.foreach { r =>
-        val g = r.get(0); val sc = r.getLong(3)
-        val llo = r.getLong(7); val lhi = r.getLong(8); val scb = r.getLong(9)
-        if (scb >= llo && scb + sc <= lhi)
-          subBase.update(g, subBase.getOrElse(g, 0.0) + r.getDouble(4))
-        else if (scb < lhi && scb + sc > llo) {
+      // key = (g, path): the bucket path grows one "/sbkt" segment per
+      // level, addressing each boundary slice uniquely — a trim has
+      // TWO boundaries per group, so unlike valuesAtRanks (one located
+      // bucket per target) the bucket identity must ride the key
+      val metaSchema = StructType(Seq(
+        StructField("g", gType),
+        StructField("path", org.apache.spark.sql.types.StringType),
+        StructField("local_lo", LongType), StructField("local_hi", LongType),
+        StructField("bmin", DoubleType), StructField("bmax", DoubleType)))
+      def recurse(rows: DataFrame, meta: Seq[Row], depth: Int): Unit = {
+        val metaDF = seqDF(meta, metaSchema)
+        val swidth = col("bmax") - col("bmin")
+        val sub = rows.join(broadcast(metaDF), Seq("g", "path"))
+          .withColumn("sbkt",
+            least(floor((col("value") - col("bmin")) / swidth * buckets),
+              lit((buckets - 1).toLong)))
+        val swb = Window.partitionBy(col("g"), col("path")).orderBy(col("sbkt"))
+        // g(0) path(1) sbkt(2) sc(3) ss(4) sbmin(5) sbmax(6) llo(7) lhi(8) scb(9)
+        val subCum = sub.groupBy(col("g"), col("path"), col("sbkt"))
+          .agg(count(lit(1)).as("sc"), sum(col("value")).as("ss"),
+            min(col("value")).as("sbmin"), max(col("value")).as("sbmax"),
+            first(col("local_lo")).as("local_lo"),
+            first(col("local_hi")).as("local_hi"))
+          .withColumn("scb",
+            coalesce(sum(col("sc")).over(swb.rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
+        val sFullyIn = col("scb") >= col("local_lo") &&
+          col("scb") + col("sc") <= col("local_hi")
+        val sOverlaps = col("scb") < col("local_hi") &&
+          col("scb") + col("sc") > col("local_lo")
+        contribs += subCum.filter(sFullyIn)
+          .select(col("g"), col("ss").cast("double").as("contrib"))
+        val sBoundary = subCum.filter(sOverlaps && !sFullyIn)
+          .select(col("g"), col("path"), col("sbkt"), col("sc"), col("ss"),
+            col("sbmin"), col("sbmax"), col("local_lo"), col("local_hi"),
+            col("scb"))
+          .collect()
+        val sConst = scala.collection.mutable.LinkedHashMap.empty[Any, Double]
+        val sRank = scala.collection.mutable.ArrayBuffer.empty[Row]
+        val sDeep = scala.collection.mutable.ArrayBuffer.empty[Row]
+        sBoundary.foreach { r =>
+          val g = r.get(0); val sc = r.getLong(3)
+          val llo = r.getLong(7); val lhi = r.getLong(8); val scb = r.getLong(9)
           val slo = math.max(llo - scb, 0L)
           val shi = math.min(lhi - scb, sc)
           if (r.getDouble(5) == r.getDouble(6))
-            subBase.update(g, subBase.getOrElse(g, 0.0) +
+            sConst.update(g, sConst.getOrElse(g, 0.0) +
               (shi - slo) * r.getDouble(5))
-          else subRankRows += Row(g, r.getLong(1), r.getLong(2), slo, shi)
+          else if (sc <= sortCap || depth >= GuardMaxDepth)
+            sRank += Row(g, r.getString(1), r.getLong(2), slo, shi)
+          else
+            sDeep += Row(g, r.getString(1), r.getLong(2), slo, shi,
+              r.getDouble(5), r.getDouble(6))
+        }
+        if (sConst.nonEmpty)
+          contribs += seqDF(sConst.toSeq.map { case (g, v) => Row(g, v) },
+            contribSchema)
+        if (sRank.nonEmpty) {
+          val rankDF = seqDF(sRank.toSeq, StructType(Seq(
+            StructField("g", gType),
+            StructField("path", org.apache.spark.sql.types.StringType),
+            StructField("sbkt", LongType), StructField("slo", LongType),
+            StructField("shi", LongType))))
+          val wsub = Window.partitionBy(col("g"), col("path"), col("sbkt"))
+            .orderBy(col("value"))
+          contribs += sub.join(broadcast(rankDF), Seq("g", "path", "sbkt"))
+            .withColumn("rn", row_number().over(wsub))
+            .filter(col("rn") > col("slo") && col("rn") <= col("shi"))
+            .select(col("g"), col("value").as("contrib"))
+        }
+        if (sDeep.nonEmpty) {
+          val deepDF = seqDF(sDeep.toSeq.map(r =>
+              Row(r.get(0), r.getString(1), r.getLong(2))),
+            StructType(Seq(StructField("g", gType),
+              StructField("path", org.apache.spark.sql.types.StringType),
+              StructField("sbkt", LongType))))
+          val nextRows = sub.join(broadcast(deepDF), Seq("g", "path", "sbkt"))
+            .select(col("g"),
+              concat_ws("/", col("path"), col("sbkt")).as("path"), col("value"))
+          val nextMeta = sDeep.map(r => Row(r.get(0),
+            s"${r.getString(1)}/${r.getLong(2)}", r.getLong(3), r.getLong(4),
+            r.getDouble(5), r.getDouble(6))).toSeq
+          recurse(nextRows, nextMeta, depth + 1)
         }
       }
-      if (subBase.nonEmpty)
-        contribs += seqDF(subBase.toSeq.map { case (g, v) => Row(g, v) },
-          contribSchema)
-      if (subRankRows.nonEmpty) {
-        val subDF = seqDF(subRankRows.toSeq, StructType(Seq(
-          StructField("g", gType), StructField("bkt", LongType),
-          StructField("sbkt", LongType), StructField("slo", LongType),
-          StructField("shi", LongType))))
-        val wsub = Window.partitionBy(col("g"), col("bkt"), col("sbkt"))
-          .orderBy(col("value"))
-        contribs += subBucketed
-          .join(broadcast(subDF), Seq("g", "bkt", "sbkt"))
-          .withColumn("rn", row_number().over(wsub))
-          .filter(col("rn") > col("slo") && col("rn") <= col("shi"))
-          .select(col("g"), col("value").as("contrib"))
-      }
+      val bigDF = seqDF(bigRows0.toSeq.map(r => Row(r.get(0), r.getLong(1))),
+        StructType(Seq(StructField("g", gType), StructField("bkt", LongType))))
+      val rows0 = bucketed.join(broadcast(bigDF), Seq("g", "bkt"))
+        .select(col("g"), col("bkt").cast("string").as("path"), col("value"))
+      val meta0 = bigRows0.map(r => Row(r.get(0), r.getLong(1).toString,
+        r.getLong(4), r.getLong(5), r.getDouble(2), r.getDouble(3))).toSeq
+      recurse(rows0, meta0, depth = 1)
     }
     val keptSums = contribs.reduce(_.unionByName(_))
       .groupBy(col("g")).agg(sum(col("contrib")).as("kept_sum"))
-    val nKeptDF = seqDF(nKept.toSeq.map { case (g, k) => Row(g, k) },
-      StructType(Seq(StructField("g", gType), StructField("n_kept", LongType))))
+    val nKeptDF = bounds.select(col("g"),
+      (col("hi_rank") - col("lo_rank")).as("n_kept"))
     nKeptDF.join(keptSums, Seq("g"), "left")
       .select(col("g").as("event_type"), col("n_kept"),
         Cols.pround(coalesce(col("kept_sum"), lit(0.0)) /

@@ -255,7 +255,12 @@ class EdgeCasesSpec extends SparkSpecBase {
       "tiny" -> (0 until 100).map(i => 1.0 + i * 1e-13),
       // a 1e12× sentinel outlier: the equi-width range stretches until
       // one bucket holds everything — the outlier-guard adversary
-      "sentinel" -> (Seq.fill(399)(rnd.nextDouble() * 100.0) :+ 1e14))
+      "sentinel" -> (Seq.fill(399)(rnd.nextDouble() * 100.0) :+ 1e14),
+      // sentinels at TWO magnitudes (r15, VERDICT r14 #7): level 1's
+      // re-bucketing by [bmin, 1e9] STILL collapses the [0,100] body
+      // into one sub-bucket — the r14 one-level guard stopped here;
+      // the fixpoint recursion must peel both magnitudes
+      "sentinel2" -> (Seq.fill(398)(rnd.nextDouble() * 100.0) ++ Seq(1e9, 1e14)))
   }
 
   private def checkDevice(sortCap: Long): Unit = {
@@ -298,8 +303,28 @@ class EdgeCasesSpec extends SparkSpecBase {
   test("bucket-rank device outlier guard: a tiny sort cap forces the constant/recursion paths on every degenerate shape — results identical") {
     // cap 2 pushes essentially every located/boundary bucket down the
     // guard: constant buckets answer arithmetically, the rest recurse
-    // into sub-buckets — the composed ranks must match the one-task
-    // sort bit for bit, ties included
+    // into sub-buckets — TO FIXPOINT since r15 (GuardMaxDepth levels,
+    // then a residual sort) — and the composed ranks must match the
+    // one-task sort bit for bit, ties included
     checkDevice(2L)
+  }
+
+  test("bucket-rank devices tolerate null values: excluded from the rank space, no driver NPE (r15, ADVICE r14)") {
+    import spark.implicits._
+    // 100 non-null values 1..100 plus 20 nulls: the r14 driver folds
+    // read bmin/bmax with getDouble and NPE'd on the null bucket; the
+    // contract is SQL-aggregate null skipping — targets and rank space
+    // both see only the 100 non-null rows
+    val vals = (1 to 100).map(i => ("A", Some(i.toDouble))) ++
+      Seq.fill(20)(("A", Option.empty[Double]))
+    val df = vals.toDF("event_type", "value")
+    val pct = graft.operators.Relational.percentileExactOn(df).collect()
+    assert(pct.length == 1)
+    assert((pct(0).getDouble(1), pct(0).getDouble(2), pct(0).getDouble(3)) ==
+      ((50.0, 90.0, 99.0)), pct(0).toString)
+    val tm = graft.operators.Relational.trimmedMeanOn(df).collect()
+    // k = 10 trimmed each end of the NON-NULL multiset: kept 11..90
+    assert(tm.length == 1 && tm(0).getLong(1) == 80L)
+    assert(math.abs(tm(0).getDouble(2) - 50.5) < 1e-9, tm(0).toString)
   }
 }

@@ -108,4 +108,64 @@ class SkewSpec extends SparkSpecBase {
     // 100001..900001 → mean exactly 500001
     assert(tm("A") == ((800001L, 500001.0)), tm("A").toString)
   }
+
+  test("bucket-rank outlier guard: sentinels at TWO magnitudes over 1M rows — fixpoint recursion keeps every sorted slice bucket-bounded (r15, VERDICT r14 #7)") {
+    // body: values k/10000 for k = 1..1e6 (rank k ↔ value k/10000),
+    // plus 1000 sentinels at 1e9 and ONE at 1e15. Level 0's range
+    // [1e-4, 1e15] collapses body+1e9s into bucket 0; level 1's range
+    // [1e-4, 1e9] STILL collapses the whole body into sub-bucket 0 —
+    // exactly where the r14 one-level guard handed 1e6 rows to a single
+    // sort task; level 2's range [1e-4, 100] finally spreads them
+    // (~244 rows per bucket).
+    val n = 1000000L
+    val a = spark.range(n).select(lit("A").as("event_type"),
+      ((col("id") + 1).cast("double") / 10000.0).as("value"))
+      .unionByName(spark.range(1000).select(lit("A").as("event_type"),
+        lit(1.0e9).as("value")))
+      .unionByName(spark.range(1).select(lit("A").as("event_type"),
+        lit(1.0e15).as("value")))
+    // n' = 1001001: c50 = 500501, c90 = 900901, c99 = 990991 — all
+    // body ranks, so the selected values are analytic
+    val pct = graft.operators.Relational.percentileExactOn(a)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(pct("A") == ((500501 / 10000.0, 900901 / 10000.0, 990991 / 10000.0)),
+      pct("A").toString)
+    // trim k = 100100 each end: kept ranks (100100, 900901] are all
+    // body values 100101..900901 → mean = 500501/10000 exactly
+    val tm = graft.operators.Relational.trimmedMeanOn(a)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(tm("A")._1 == 800801L, tm("A").toString)
+    assert(math.abs(tm("A")._2 - 500501 / 10000.0) < 1e-5, tm("A").toString)
+  }
+
+  test("trimmedMean at 20k group cardinality: interior buckets fold distributively, driver reads only boundary rows (r15, VERDICT r14 #6)") {
+    // 20k groups × 50 values: the r14 form collected groups × 4096
+    // bucket rows (82M at this cardinality); the r15 form collects ≤ 2
+    // boundary buckets per group. Reference = an in-plan window trim
+    // (fine HERE because every group is tiny — the device exists for
+    // when they are not).
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(1000000L).select(
+      concat(lit("g"), (col("id") % 20000)).as("event_type"),
+      ((col("id") * 37 + 11) % 1000).cast("double").as("value"))
+    val got = graft.operators.Relational.trimmedMeanOn(df)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val ref = df.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(col("rn") > expr("n div 10") && col("rn") <= col("n") - expr("n div 10"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"),
+        graft.util.Cols.pround(avg(col("value")), 6).as("trimmed_mean"))
+    val gm = got.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getDouble(2)))).toMap
+    val rm = ref.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(gm.size == 20000 && rm.size == 20000)
+    rm.foreach { case (g, (nk, m)) =>
+      assert(gm(g)._1 == nk, s"$g n_kept: ${gm(g)._1} vs $nk")
+      assert(math.abs(gm(g)._2 - m) <= 1e-6, s"$g mean: ${gm(g)._2} vs $m")
+    }
+  }
 }
