@@ -969,7 +969,7 @@ object ScaleRehearsal {
     val afterDv = TxTable.manifest(t, TxTable.latestVersion(t)).files
     val (postTotal, tDvRead) = timed(TxTable.read(spark, t).count())
     val dvOk = afterDv.map(_.path).toSet == beforePaths &&
-      afterDv.map(_.dv.size).sum == matchCnt &&
+      afterDv.map(_.dvRows).sum == matchCnt &&
       postTotal == preTotal - matchCnt
     val ok = pruneOk && readOk && mergeOk && deleteOk && cdfOk && dvOk
     println(s"""{"metric":"scale_rehearsal_tx","n_rows":$n,"files":$files,""" +

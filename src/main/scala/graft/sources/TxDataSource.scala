@@ -313,7 +313,7 @@ final class TxRelation(ctx: SQLContext, table: String, version: Int,
     // maps each requested name to its physical and aliases it back:
     // any consistent naming the engine asks for is served
     val physFor: String => String = c => renames.getOrElse(c, c)
-    if (kept.exists(f => f.parts.nonEmpty || f.dv.nonEmpty)) {
+    if (kept.exists(f => f.parts.nonEmpty || f.hasDv)) {
       // hive-partitioned live set (partition columns only exist in
       // the directory names — per-slot basePath inference) and/or
       // deletion-vectored entries (tombstones anti-joined out): the
@@ -667,8 +667,8 @@ final class TxStreamSource(ctx: SQLContext, table: String,
         // under ignoreChanges) may carry tombstoned row positions —
         // the scan selects the DV join keys per group and anti-joins
         // them out, same contract as the batch read path.
-        import org.apache.spark.sql.functions.{broadcast, element_at, split}
-        val needDv = added.exists(_.dv.nonEmpty)
+        import org.apache.spark.sql.functions.{element_at, split}
+        val needDv = added.exists(_.hasDv)
         val groups = added.groupBy(_.parts).toSeq
           .sortBy(_._1.toSeq.sorted.mkString("|"))
         val frames = groups.map { case (parts, es) =>
@@ -692,22 +692,10 @@ final class TxStreamSource(ctx: SQLContext, table: String,
         val rawU = frames.reduce(_.unionByName(_))
         val raw =
           if (!needDv) rawU
-          else {
-            import spark.implicits._
-            // key = (file name, partition values): a partitionBy write
-            // emits the SAME part name into every partition dir, so
-            // the name alone collides — the attached partition-value
-            // columns disambiguate (TxTable.dvKeyCol's contract)
-            val partCols = added.flatMap(_.parts.keys).distinct.sorted
-            val tomb = added.flatMap(f =>
-              f.dv.map(p => (TxTable.dvKeyOf(f, partCols), p)))
-              .toDF("_t_key", "_t_pos")
-            rawU.withColumn("_dv_key", TxTable.dvKeyCol(partCols))
-              .join(broadcast(tomb),
-                col("_dv_key") === col("_t_key") && col("_dv_pos") === col("_t_pos"),
-                "left_anti")
-              .drop("_dv_fn", "_dv_pos", "_dv_key")
-          }
+          // the scan-local DV filter (key = (file name, partition
+          // values) — TxTable.dvKeyCol's contract; sidecar refs load
+          // executor-side, legacy inline entries anti-join)
+          else TxTable.applyDv(spark, table, rawU, added.filter(_.hasDv))
         pinnedPhys.foldLeft(raw) { case (d, (logical, phys)) =>
           if (phys != logical) d.withColumnRenamed(phys, logical) else d
         }
@@ -791,15 +779,22 @@ final class TxStreamSource(ctx: SQLContext, table: String,
           case _ =>
             TxTable.manifest(table, fromV).files.map(f => f.path -> f).toMap
         }
-        val (adds, removes, dvs) = TxTable.actionsBetween(table, fromV, toV)
+        val (adds, removes, dvs0) = TxTable.actionsBetween(table, fromV, toV)
+        // defense in depth: actionsBetween already folds a remove over
+        // any earlier DV change on the same path, so a path can never
+        // ride both outputs — but a double-listed path here would
+        // double-count its deletes AND corrupt the cached snapshot's
+        // forward fold for every later batch, so filter anyway
+        val removeSet = removes.toSet
+        val dvs = dvs0.filterNot { case (p, _) => removeSet.contains(p) }
         val removedEntries = removes.flatMap(base.get) ++
           dvs.flatMap { case (p, _) => base.get(p) }
         val addedEntries = adds ++
-          dvs.flatMap { case (p, pos) => base.get(p).map(_.copy(dv = pos)) }
+          dvs.flatMap { case (p, act) => base.get(p).map(act.applyTo) }
         cdfSnap = Some((toV,
           (base -- removes) ++ adds.map(e => e.path -> e) ++
-            dvs.flatMap { case (p, pos) =>
-              base.get(p).map(e => p -> e.copy(dv = pos)) }))
+            dvs.flatMap { case (p, act) =>
+              base.get(p).map(e => p -> act.applyTo(e)) }))
         missing((addedEntries ++ removedEntries).map(_.path).distinct)
           .foreach { p =>
             if (start.isEmpty)

@@ -1501,7 +1501,13 @@ class TxTableSpec extends SparkSpecBase {
     val v2Files = TxTable.manifest(t, 2).files
     assert(v2Files.map(_.path).toSet == v1Files.map(_.path).toSet,
       "a DV delete must write no data files")
-    assert(v2Files.map(_.dv.size).sum == 3)
+    assert(v2Files.map(_.dvRows).sum == 3)
+    // r15: positions live in an executor-written sidecar dataset, not
+    // in the manifest — the entry carries only (ref, count)
+    assert(v2Files.filter(_.hasDv).forall(f =>
+      f.dv.isEmpty && f.dvRef.startsWith("_dv/") && f.dvCount > 0))
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(t,
+      v2Files.find(_.hasDv).get.dvRef)), "sidecar dataset on disk")
     // read ≡ the copy-on-write twin's semantics
     assert(TxTable.read(spark, t).count() == 97)
     assert(TxTable.read(spark, t).filter(col("id").between(10, 12)).count() == 0)
@@ -1561,7 +1567,7 @@ class TxTableSpec extends SparkSpecBase {
     } finally q2.stop()
     // compaction materializes and clears every DV; content unchanged
     val cv = TxTable.compact(spark, t, Seq("id"))
-    assert(TxTable.manifest(t, cv).files.forall(_.dv.isEmpty))
+    assert(TxTable.manifest(t, cv).files.forall(!_.hasDv))
     assert(TxTable.read(spark, t).count() == 94)
     assert(TxTable.detail(spark, t).head().getAs[Long]("n_dv_rows") == 0L)
   }
@@ -1747,6 +1753,172 @@ class TxTableSpec extends SparkSpecBase {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == want, s"rank space diverged from the global window at cap $cap")
     }
+  }
+
+  test("DV sidecars at 20M rows: accumulated tombstones beyond the old 2^22 cap, scan-local filtered read with NO broadcast and NO anti-join, vacuum reclaims orphaned datasets (r15, VERDICT r14 #1)") {
+    val t = tmpTable()
+    val n = 20000000L
+    TxTable.create(spark, t,
+      spark.range(n).select(col("id")).repartitionByRange(8, col("id")),
+      Seq("id"))
+    // three DV deletes totaling 4.8M tombstones — past the old 2^22
+    // per-table ceiling that driver-collected inline DVs imposed
+    val bands = Seq((1000000L, 2599999L), (5000000L, 6599999L),
+      (9000000L, 10599999L))
+    bands.foreach { case (lo, hi) =>
+      val r = TxTable.deleteWithDV(spark, t, "id", lo.toString, hi.toString)
+      assert(r.rewritten >= 1, s"band [$lo,$hi]: $r")
+    }
+    val deleted = bands.map { case (lo, hi) => hi - lo + 1 }.sum
+    val deletedSum = bands.map { case (lo, hi) => (lo + hi) * (hi - lo + 1) / 2 }.sum
+    assert(TxTable.detail(spark, t).head().getAs[Long]("n_dv_rows") == deleted)
+    // read ≡ the copy-on-write truth, via the scan-local sidecar filter
+    val agg = TxTable.read(spark, t).agg(count(lit(1)), sum(col("id")))
+    val row = agg.collect()(0)
+    assert(row.getLong(0) == n - deleted)
+    assert(row.getLong(1) == n * (n - 1) / 2 - deletedSum)
+    // the executed plan must contain NO tombstone broadcast and NO
+    // anti-join — the DV filter runs inside the scan stage
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"),
+      s"tombstones must never broadcast:\n$plan")
+    assert(!plan.toLowerCase.contains("anti"),
+      s"the sidecar path must not plan an anti-join:\n$plan")
+    // old snapshots unaffected
+    assert(TxTable.read(spark, t, 1).count() == n)
+    // compaction materializes the DVs; vacuum then reclaims EVERY
+    // sidecar dataset (none referenced by the retained manifest)
+    TxTable.compact(spark, t, Seq("id"), targetFiles = 8)
+    assert(TxTable.manifest(t, TxTable.latestVersion(t)).files.forall(!_.hasDv))
+    TxTable.vacuum(t, TxTable.latestVersion(t))
+    val dvDir = java.nio.file.Paths.get(t, "_dv")
+    import scala.jdk.CollectionConverters._
+    val leftover =
+      if (!java.nio.file.Files.isDirectory(dvDir)) Nil
+      else java.nio.file.Files.walk(dvDir).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_)).toList
+    assert(leftover.isEmpty, s"vacuum must reclaim orphaned sidecars: $leftover")
+    assert(TxTable.read(spark, t).count() == n - deleted)
+  }
+
+  test("merge partition pruning is SOUND under partition-moving upserts: a matched key outside the update's partition footprint still rewrites (r15, ADVICE r14 high)") {
+    import spark.implicits._
+    val t = tmpTable()
+    // one file per dt dir: dt 1 holds ids 1-3, dt 2 ids 4-6, dt 3 ids 7-9
+    val base = (1L to 9L).map(i => (i, (i - 1) / 3 + 1, "base"))
+      .toDF("id", "dt", "tag").repartition(1)
+    TxTable.createPartitioned(spark, t, base, Seq("dt"), Seq("id"))
+    // the upsert MOVES key 5 from dt=2 to dt=3 (SET on a partition
+    // column is legal — update() documents Delta's semantics) and
+    // carries a dt=3 bystander, so the update's partition footprint is
+    // {3} alone: the dt=2 file holding key 5's OLD row is partition-
+    // pruned by footprint but key-intersecting — the r14 prune left the
+    // stale (5, 2, base) row alive beside the new (5, 3, moved) row
+    val mr = TxTable.merge(spark, t,
+      Seq((5L, 3L, "moved"), (8L, 3L, "upd")).toDF("id", "dt", "tag"),
+      "id", Seq("id"))
+    assert(mr.rewritten == 2 && mr.untouched == 1,
+      s"the key-probe must widen the touched set to the dt=2 mover file: $mr")
+    val rows = TxTable.read(spark, t).select(col("id"), col("dt"), col("tag"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(rows == Set((1L, 1L, "base"), (2L, 1L, "base"), (3L, 1L, "base"),
+      (4L, 2L, "base"), (6L, 2L, "base"),
+      (5L, 3L, "moved"), (7L, 3L, "base"), (8L, 3L, "upd"), (9L, 3L, "base")),
+      rows.toString)
+    // no duplicate keys — the exact failure mode of the unsound prune
+    assert(TxTable.read(spark, t).groupBy(col("id")).count()
+      .filter(col("count") > 1).count() == 0)
+    // pruning still ENGAGES when the probe finds no movers: the insert
+    // key spans past every file's range, the footprint {2} prunes dt=1
+    // and dt=3, and the key-column probe confirms no matched key lives
+    // in the key-intersecting dt=3 file — it carries by reference
+    val preFiles = TxTable.manifest(t, TxTable.latestVersion(t)).files
+    val mr2 = TxTable.merge(spark, t,
+      Seq((4L, 2L, "u4"), (100L, 2L, "ins")).toDF("id", "dt", "tag"),
+      "id", Seq("id"))
+    assert(mr2.rewritten == 1,
+      s"footprint pruning with a clean probe must confine the rewrite: $mr2")
+    val postPaths = TxTable.manifest(t, TxTable.latestVersion(t)).files
+      .map(_.path).toSet
+    assert(preFiles.filter(_.parts("dt") != "2").forall(f =>
+      postPaths.contains(f.path)),
+      "every non-footprint partition file must carry by reference")
+    assert(TxTable.read(spark, t).filter(col("id") === 100L)
+      .select(col("dt")).as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("repeated/overlapping DV deletes: already-tombstoned rows do not re-count, a fully-dead band is a no-op with NO new version (r15, ADVICE r14 low)") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t,
+      (1L to 100L).map(i => (i, s"p$i")).toDF("id", "payload")
+        .repartitionByRange(4, col("id")), Seq("id"))
+    val r1 = TxTable.deleteWithDV(spark, t, "id", "10", "14")
+    assert(r1.version == 2 && r1.rewritten == 1)
+    val vAfter = TxTable.latestVersion(t)
+    // the identical band again: every matching row is already dead —
+    // no file's DV changes, so NO commit happens at all
+    val r2 = TxTable.deleteWithDV(spark, t, "id", "10", "14")
+    assert(r2.version == vAfter && TxTable.latestVersion(t) == vAfter,
+      s"a no-op DV delete must not commit an empty version: $r2")
+    // an OVERLAPPING band: only the genuinely fresh rows count toward
+    // the cap — maxDvRows = 3 admits exactly the 3 new positions
+    // (15, 16, 17) even though the band re-matches 5 dead rows
+    val r3 = TxTable.deleteWithDV(spark, t, "id", "10", "17", maxDvRows = 3)
+    assert(r3.rewritten == 1, s"$r3")
+    assert(TxTable.read(spark, t).select(col("id")).as[Long].collect().toSet ==
+      ((1L to 100L).toSet -- (10L to 17L)))
+  }
+
+  test("change feed window spanning deleteWithDV then compact: one terminal action per path, no double-counted deletes, later batches stay consistent (r15, ADVICE r14 medium)") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t,
+      (1L to 20L).map(i => (i, "base")).toDF("id", "tag")
+        .repartitionByRange(2, col("id")), Seq("id"))
+    val q = spark.readStream.format("graft-tx").option("path", t)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("tx_cdf_dvc")
+      .outputMode("append").start()
+    def feedRows(): Seq[(Long, String, String)] = spark.table("tx_cdf_dvc")
+      .select(col("id"), col("tag"), col("_change_type"))
+      .as[(Long, String, String)].collect().toSeq
+    try {
+      q.processAllAvailable()
+      val snapshot = feedRows()
+      assert(snapshot.size == 20)
+      // BOTH commits land inside ONE micro-batch window: the DV'd path
+      // is then REMOVED by the compaction in the same range — the r14
+      // action fold listed it under removes AND dv-changed, so its
+      // surviving rows read on the delete side twice (phantom deletes)
+      // and the cached CDF snapshot resurrected the removed path
+      TxTable.deleteWithDV(spark, t, "id", "3", "4")
+      TxTable.compact(spark, t, Seq("id"), targetFiles = 1)
+      q.processAllAvailable()
+      val delta1 = {
+        val snapCounts = snapshot.groupBy(identity).map { case (k, v) => k -> v.size }
+        feedRows().groupBy(identity).flatMap { case (k, v) =>
+          Seq.fill(v.size - snapCounts.getOrElse(k, 0))(k)
+        }.toSeq
+      }
+      assert(delta1.sorted == Seq((3L, "base", "delete"), (4L, "base", "delete")),
+        s"net effect of DV-then-compact is exactly the two deletes, got $delta1")
+      // the NEXT batch folds forward from the cached snapshot — if the
+      // removed path were resurrected there, these carried-over rows
+      // would surface as phantom churn
+      val before2 = feedRows()
+      TxTable.merge(spark, t, Seq((1L, "upd")).toDF("id", "tag"),
+        "id", Seq("id"))
+      q.processAllAvailable()
+      val delta2 = {
+        val c = before2.groupBy(identity).map { case (k, v) => k -> v.size }
+        feedRows().groupBy(identity).flatMap { case (k, v) =>
+          Seq.fill(v.size - c.getOrElse(k, 0))(k)
+        }.toSeq
+      }
+      assert(delta2.toSet == Set((1L, "base", "delete"), (1L, "upd", "insert")),
+        s"post-compaction batches must diff cleanly, got $delta2")
+    } finally q.stop()
   }
 
   test("zorderPartition: one partition re-lays curve-ordered under its own dirs, others carry by reference, content identical") {
