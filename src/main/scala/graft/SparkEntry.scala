@@ -239,6 +239,7 @@ object SparkEntry {
     "tx_sql_read"         -> graft.sources.TxTable.sqlReadQuery _,
     "tx_catalog_read"     -> graft.sources.TxTable.catalogReadQuery _,
     "tx_delete"           -> graft.sources.TxTable.deleteQuery _,
+    "tx_delete_pred"      -> graft.sources.TxTable.deletePredQuery _,
     "tx_dv_delete"        -> graft.sources.TxTable.dvDeleteQuery _,
     "tx_cdf_stream"       -> graft.sources.TxTable.cdfStreamQuery _,
     "tx_update"           -> graft.sources.TxTable.updateQuery _,
@@ -587,6 +588,7 @@ object SparkEntry {
     "tx_sql_read"         -> graft.sources.TxTable.sqlReadQuerySql,
     "tx_catalog_read"     -> graft.sources.TxTable.catalogReadQuerySql,
     "tx_delete"           -> graft.sources.TxTable.deleteQuerySql,
+    "tx_delete_pred"      -> graft.sources.TxTable.deletePredQuerySql,
     "tx_dv_delete"        -> graft.sources.TxTable.dvDeleteQuerySql,
     "tx_cdf_stream"       -> graft.sources.TxTable.cdfStreamQuerySql,
     "tx_update"           -> graft.sources.TxTable.updateQuerySql,

@@ -245,7 +245,7 @@ object TxDataSource {
     * them in any typ's ordering, so "open" range ends keep files.
     * `orig` maps a filter's logical column name to the stats key.
     */
-  private def keep(f: TxTable.FileEntry, filter: Filter,
+  private[graft] def keep(f: TxTable.FileEntry, filter: Filter,
       orig: String => String): Boolean = filter match {
     case EqualTo(c, v)            => rangeKeeps(f, orig(c), v, v)
     case EqualNullSafe(c, null)   => hasNulls(f, orig(c))
@@ -702,14 +702,29 @@ final class TxStreamSource(ctx: SQLContext, table: String,
       }
   }
 
-  /** Cached (version, path → entry) for the change feed: per-trigger
-    * metadata cost must be O(delta) — resolving both endpoint
+  /** Cached (version → path → entry) maps for the change feed: per-
+    * trigger metadata cost must be O(delta) — resolving both endpoint
     * manifests per micro-batch is O(live files), the cost class the
     * append path retired with the r13 action log. ONE resolve seeds
-    * the cache (first change batch / restart); every later batch
-    * folds [[TxTable.actionsBetween]] forward.
+    * the cache (first change batch / restart); every later batch folds
+    * [[TxTable.actionsBetween]] forward. A small LRU (r15, ADVICE r14
+    * low #3) instead of a single slot, so a checkpoint REPLAY — the
+    * engine re-requesting a window behind the latest fold — hits the
+    * cached base instead of paying the O(live-files) fallback resolve;
+    * the fallback itself now also seeds the cache, so any window is
+    * resolved at most once per source instance.
     */
-  private var cdfSnap: Option[(Int, Map[String, TxTable.FileEntry])] = None
+  private val cdfSnaps =
+    new java.util.LinkedHashMap[Int, Map[String, TxTable.FileEntry]](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Int, Map[String, TxTable.FileEntry]]): Boolean =
+        size() > 4
+    }
+
+  /** Observability hook for the replay spec: manifest-resolve count
+    * this source paid for CDF bases (cache misses).
+    */
+  private[graft] var cdfResolves: Int = 0
 
   /** Align a physical-named read to the PINNED physical fields:
     * pre-evolution file sets surface nulls for later-added columns,
@@ -768,16 +783,17 @@ final class TxStreamSource(ctx: SQLContext, table: String,
           retentionError(s"data file $p (batch versions ($fromV, $toV])",
             new java.nio.file.NoSuchFileException(s"$table/$p"))
         }
-        cdfSnap = Some((toV, files.map(f => f.path -> f).toMap))
+        cdfSnaps.put(toV, files.map(f => f.path -> f).toMap)
         val snap = readAdded(files).withColumn("_change_type", lit("insert"))
         GraftBridge.streamingDataFrame(
           snap.select(schema.fields.map(f => col(f.name)).toSeq: _*))
       } else {
         // O(delta): fold the cached base forward through the action walk
-        val base = cdfSnap match {
-          case Some((v, m)) if v == fromV => m
-          case _ =>
-            TxTable.manifest(table, fromV).files.map(f => f.path -> f).toMap
+        val base = Option(cdfSnaps.get(fromV)).getOrElse {
+          cdfResolves += 1
+          val m = TxTable.manifest(table, fromV).files.map(f => f.path -> f).toMap
+          cdfSnaps.put(fromV, m)
+          m
         }
         val (adds, removes, dvs0) = TxTable.actionsBetween(table, fromV, toV)
         // defense in depth: actionsBetween already folds a remove over
@@ -791,10 +807,10 @@ final class TxStreamSource(ctx: SQLContext, table: String,
           dvs.flatMap { case (p, _) => base.get(p) }
         val addedEntries = adds ++
           dvs.flatMap { case (p, act) => base.get(p).map(act.applyTo) }
-        cdfSnap = Some((toV,
+        cdfSnaps.put(toV,
           (base -- removes) ++ adds.map(e => e.path -> e) ++
             dvs.flatMap { case (p, act) =>
-              base.get(p).map(e => p -> act.applyTo(e)) }))
+              base.get(p).map(e => p -> act.applyTo(e)) })
         missing((addedEntries ++ removedEntries).map(_.path).distinct)
           .foreach { p =>
             if (start.isEmpty)
@@ -817,7 +833,17 @@ final class TxStreamSource(ctx: SQLContext, table: String,
           .withColumn("_change_type", lit("insert"))
           .unionByName(removed.exceptAll(added)
             .withColumn("_change_type", lit("delete")))
-        val logical = pinnedPhys.foldLeft(diff) {
+        // a keyed-merge window upgrades its delete+insert pairs to
+        // update_preimage/update_postimage (r15, VERDICT r14 #3 —
+        // Delta's CDF update shape); the op metadata rides the version
+        // record, the key is physical, and the diff is still physical
+        // here, so the pairing join is name-stable across renames
+        val paired = TxTable.mergeKeyFor(table, fromV, toV) match {
+          case Some(k) if diff.columns.contains(k) =>
+            TxTable.pairUpdates(diff, k, "_change_type")
+          case _ => diff
+        }
+        val logical = pinnedPhys.foldLeft(paired) {
           case (d, (logicalName, phys)) =>
             if (phys != logicalName) d.withColumnRenamed(phys, logicalName)
             else d

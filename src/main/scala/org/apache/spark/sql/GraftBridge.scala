@@ -48,4 +48,61 @@ object GraftBridge {
     val rows = ds.queryExecution.toRdd.map(_.copy())
     ds.sparkSession.internalCreateDataFrame(rows, ds.schema, isStreaming = false)
   }
+
+  /** Minimal Catalyst→data-source filter translation for the
+    * predicate-mutation pruning path (`DataSourceStrategy
+    * .translateFilter` is `protected`, so third-party code re-derives
+    * the public shapes): splits top-level conjuncts and translates
+    * attribute-vs-literal comparisons, null tests, IN, and nested
+    * AND/OR. Anything else — casts, expressions over the column,
+    * subquery shapes — yields nothing for that conjunct, which the
+    * stats pruner treats as keep-everything (conservative, never
+    * wrong).
+    */
+  def translateConjuncts(cond: Expression): Seq[sources.Filter] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other     => Seq(other)
+    }
+    def toScala(v: Any, dt: org.apache.spark.sql.types.DataType): Any =
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(v, dt)
+    def t(e: Expression): Option[sources.Filter] = e match {
+      case EqualTo(a: Attribute, Literal(v, dt)) =>
+        Some(sources.EqualTo(a.name, toScala(v, dt)))
+      case EqualTo(Literal(v, dt), a: Attribute) =>
+        Some(sources.EqualTo(a.name, toScala(v, dt)))
+      case EqualNullSafe(a: Attribute, Literal(v, dt)) =>
+        Some(sources.EqualNullSafe(a.name, toScala(v, dt)))
+      case EqualNullSafe(Literal(v, dt), a: Attribute) =>
+        Some(sources.EqualNullSafe(a.name, toScala(v, dt)))
+      case GreaterThan(a: Attribute, Literal(v, dt)) =>
+        Some(sources.GreaterThan(a.name, toScala(v, dt)))
+      case GreaterThan(Literal(v, dt), a: Attribute) =>
+        Some(sources.LessThan(a.name, toScala(v, dt)))
+      case GreaterThanOrEqual(a: Attribute, Literal(v, dt)) =>
+        Some(sources.GreaterThanOrEqual(a.name, toScala(v, dt)))
+      case GreaterThanOrEqual(Literal(v, dt), a: Attribute) =>
+        Some(sources.LessThanOrEqual(a.name, toScala(v, dt)))
+      case LessThan(a: Attribute, Literal(v, dt)) =>
+        Some(sources.LessThan(a.name, toScala(v, dt)))
+      case LessThan(Literal(v, dt), a: Attribute) =>
+        Some(sources.GreaterThan(a.name, toScala(v, dt)))
+      case LessThanOrEqual(a: Attribute, Literal(v, dt)) =>
+        Some(sources.LessThanOrEqual(a.name, toScala(v, dt)))
+      case LessThanOrEqual(Literal(v, dt), a: Attribute) =>
+        Some(sources.GreaterThanOrEqual(a.name, toScala(v, dt)))
+      case InSet(a: Attribute, set) =>
+        Some(sources.In(a.name, set.toArray.map(toScala(_, a.dataType))))
+      case In(a: Attribute, list) if list.forall(_.isInstanceOf[Literal]) =>
+        Some(sources.In(a.name,
+          list.map { case Literal(v, dt) => toScala(v, dt) }.toArray))
+      case IsNull(a: Attribute)    => Some(sources.IsNull(a.name))
+      case IsNotNull(a: Attribute) => Some(sources.IsNotNull(a.name))
+      case And(l, r) => for { lf <- t(l); rf <- t(r) } yield sources.And(lf, rf)
+      case Or(l, r)  => for { lf <- t(l); rf <- t(r) } yield sources.Or(lf, rf)
+      case _ => None
+    }
+    split(cond).flatMap(t(_))
+  }
 }

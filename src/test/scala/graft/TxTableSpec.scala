@@ -1622,12 +1622,15 @@ class TxTableSpec extends SparkSpecBase {
       val rows = spark.table("tx_cdf_latest")
         .select(col("id"), col("tag"), col("_change_type"))
         .as[(Long, String, String)].collect().toSet
-      assert(rows == Set((1L, "base", "delete"), (1L, "upd", "insert")),
-        s"carry-over rows must cancel, got $rows")
+      // r15: a keyed merge's delete+insert pair streams as Delta's
+      // update images (the commit's op metadata drives the pairing)
+      assert(rows == Set((1L, "base", "update_preimage"),
+        (1L, "upd", "update_postimage")),
+        s"carry-over rows must cancel and the upsert must pair, got $rows")
     } finally q.stop()
   }
 
-  test("streaming change feed: snapshot streams as inserts; a merge streams exactly its delete+insert rows; DV deletes surface; feed ≡ batch changesBetween; rate limits compose") {
+  test("streaming change feed: snapshot streams as inserts; a merge streams paired update images; DV deletes surface; feed ≡ batch tableChanges per window; rate limits compose") {
     import spark.implicits._
     val t = tmpTable()
     TxTable.create(spark, t,
@@ -1653,7 +1656,9 @@ class TxTableSpec extends SparkSpecBase {
       TxTable.merge(spark, t,
         Seq((5L, "upd"), (6L, "upd"), (21L, "ins")).toDF("id", "tag"),
         "id", Seq("id"))
+      val vMerge = TxTable.latestVersion(t)
       TxTable.deleteWithDV(spark, t, "id", "7", "8")
+      val vDv = TxTable.latestVersion(t)
       q.processAllAvailable()
       val delta = {
         val snapCounts = snapshotRows.groupBy(identity).map { case (k, v) => k -> v.size }
@@ -1661,15 +1666,20 @@ class TxTableSpec extends SparkSpecBase {
           Seq.fill(v.size - snapCounts.getOrElse(k, 0))(k)
         }.toSeq
       }
-      // the streamed delta ≡ the batch change feed over the same window
-      val batchFeed = TxTable.changesBetween(spark, t, 1, TxTable.latestVersion(t))
-        .select(col("id"), col("tag"), col("_change").as("_change_type"))
-        .as[(Long, String, String)].collect().toSeq
+      // the streamed delta ≡ the batch tableChanges over the same
+      // per-version windows (r15: both sides pair the merge window's
+      // rows into update images; the DV window stays deletes)
+      def batchWindow(a: Int, b: Int) =
+        TxTable.tableChanges(spark, t, a, b)
+          .select(col("id"), col("tag"), col("_change_type"))
+          .as[(Long, String, String)].collect().toSeq
+      val batchFeed = batchWindow(1, vMerge) ++ batchWindow(vMerge, vDv)
       assert(delta.sorted == batchFeed.sorted,
         s"stream delta ${delta.sorted} != batch feed ${batchFeed.sorted}")
       assert(delta.toSet == Set(
-        (5L, "base", "delete"), (6L, "base", "delete"),
-        (5L, "upd", "insert"), (6L, "upd", "insert"), (21L, "ins", "insert"),
+        (5L, "base", "update_preimage"), (6L, "base", "update_preimage"),
+        (5L, "upd", "update_postimage"), (6L, "upd", "update_postimage"),
+        (21L, "ins", "insert"),
         (7L, "base", "delete"), (8L, "base", "delete")))
       // rate limit composed: the two versions drained as two batches
       val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
@@ -1700,12 +1710,13 @@ class TxTableSpec extends SparkSpecBase {
       val out = spark.table("tx_cdf_rename")
       assert(out.columns.toSet == Set("id", "tag", "_change_type"),
         "mid-stream renames must not change the pinned feed schema")
-      val delta = out.filter(col("_change_type") === "delete" ||
-          (col("_change_type") === "insert" && col("tag") =!= "base"))
+      val delta = out.filter(col("_change_type").startsWith("update"))
         .select(col("id"), col("tag"), col("_change_type"))
         .as[(Long, String, String)].collect().toSet
-      assert(delta == Set((3L, "base", "delete"), (3L, "upd", "insert")),
-        s"got $delta")
+      // r15: the merge pairs on the PHYSICAL key (op metadata records
+      // "id" even though the merge was issued under the renamed "key")
+      assert(delta == Set((3L, "base", "update_preimage"),
+        (3L, "upd", "update_postimage")), s"got $delta")
     } finally q.stop()
   }
 
@@ -1799,6 +1810,68 @@ class TxTableSpec extends SparkSpecBase {
         .filter(java.nio.file.Files.isRegularFile(_)).toList
     assert(leftover.isEmpty, s"vacuum must reclaim orphaned sidecars: $leftover")
     assert(TxTable.read(spark, t).count() == n - deleted)
+  }
+
+  test("predicate mutations: multi-column conjunct/disjunct DELETE/UPDATE/DV-delete, SQL null semantics, stats-pruned rewrites (r15, VERDICT r14 #3)") {
+    import spark.implicits._
+    val t = tmpTable()
+    // 100 rows in 4 key-clustered files; cat is NULL on every 10th row
+    val base = (1L to 100L)
+      .map(i => (i, if (i % 10 == 0) null else s"c${i % 3}", i.toDouble))
+      .toDF("id", "cat", "v")
+    TxTable.create(spark, t, base.repartitionByRange(4, col("id")),
+      Seq("id", "cat"))
+    def ids() = TxTable.read(spark, t).select(col("id")).as[Long].collect().toSet
+    // CONJUNCT delete: the id band confines the rewrite to ONE file
+    // even though the cat conjunct alone matches everywhere
+    val d1 = TxTable.deleteWhere(spark, t,
+      col("id").between(30L, 40L) && col("cat") === "c1", Seq("id", "cat"))
+    assert(d1.rewritten == 1 && d1.untouched == 3,
+      s"the id conjunct's stats must confine the rewrite: $d1")
+    val gone1 = (30L to 40L).filter(i => i % 10 != 0 && i % 3 == 1).toSet
+    assert(ids() == (1L to 100L).toSet -- gone1, s"expected ${gone1} gone")
+    // NULL SEMANTICS: cat <> 'zzz' is NULL for null-cat rows — they
+    // SURVIVE (SQL DELETE semantics), every other row goes
+    val t2 = tmpTable()
+    TxTable.create(spark, t2, base.repartitionByRange(4, col("id")),
+      Seq("id", "cat"))
+    TxTable.deleteWhere(spark, t2, col("cat") =!= "zzz", Seq("id", "cat"))
+    assert(TxTable.read(spark, t2).select(col("id")).as[Long].collect().toSet ==
+      (10L to 100L by 10).toSet,
+      "NULL-predicate rows must survive a DELETE WHERE")
+    // DISJUNCT delete: two point predicates at opposite ends touch the
+    // first and last files only
+    val d2 = TxTable.deleteWhere(spark, t,
+      col("id") === 5L || col("id") === 95L, Seq("id", "cat"))
+    assert(d2.rewritten == 2, s"disjunct must map to its two files: $d2")
+    assert(!ids().contains(5L) && !ids().contains(95L))
+    // PREDICATE UPDATE: matched rows re-valued, bystanders carried
+    // bit-identically, disjoint files untouched
+    val preSum = TxTable.read(spark, t).agg(sum(col("v"))).head().getDouble(0)
+    val u1 = TxTable.updateWhere(spark, t,
+      col("id").between(52L, 60L) && col("cat").isNotNull,
+      Map("v" -> (col("v") + 1000.0)), Seq("id", "cat"))
+    assert(u1.rewritten == 1, s"$u1")
+    val matchedN = (52L to 60L).count(i => i % 10 != 0)
+    assert(TxTable.read(spark, t).agg(sum(col("v"))).head().getDouble(0) ==
+      preSum + 1000.0 * matchedN)
+    // the guard: SET on a column the predicate reads is refused
+    intercept[IllegalArgumentException] {
+      TxTable.updateWhere(spark, t, col("v") > 0.0,
+        Map("v" -> lit(0.0)), Seq("id", "cat"))
+    }
+    // PREDICATE DV-DELETE: zero files written, matching rows
+    // tombstoned, null-cat rows in the band survive
+    val prePaths = TxTable.manifest(t, TxTable.latestVersion(t))
+      .files.map(_.path).toSet
+    val dv = TxTable.deleteWithDVWhere(spark, t,
+      col("id").between(70L, 80L) && col("cat").isNotNull)
+    assert(dv.rewritten >= 1)
+    assert(TxTable.manifest(t, TxTable.latestVersion(t)).files
+      .map(_.path).toSet == prePaths, "DV delete writes no data files")
+    val dvGone = (70L to 80L).filter(_ % 10 != 0).toSet
+    assert(ids().intersect((70L to 80L).toSet) == Set(70L, 80L),
+      s"only the null-cat rows of the band survive, gone=$dvGone got ${ids().intersect((70L to 80L).toSet)}")
   }
 
   test("merge partition pruning is SOUND under partition-moving upserts: a matched key outside the update's partition footprint still rewrites (r15, ADVICE r14 high)") {
@@ -1916,9 +1989,35 @@ class TxTableSpec extends SparkSpecBase {
           Seq.fill(v.size - c.getOrElse(k, 0))(k)
         }.toSeq
       }
-      assert(delta2.toSet == Set((1L, "base", "delete"), (1L, "upd", "insert")),
+      assert(delta2.toSet == Set((1L, "base", "update_preimage"),
+        (1L, "upd", "update_postimage")),
         s"post-compaction batches must diff cleanly, got $delta2")
     } finally q.stop()
+  }
+
+  test("CDF base cache: a replayed window and every forward fold hit the LRU — zero manifest resolves after the snapshot seed (r15, ADVICE r14 low #3)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val t = tmpTable()
+    TxTable.create(spark, t,
+      (1L to 10L).map(i => (i, "base")).toDF("id", "tag"), Seq("id"))
+    val schema = org.apache.spark.sql.types.StructType(
+      TxTable.read(spark, t).schema.fields :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType))
+    val src = new graft.sources.TxStreamSource(spark.sqlContext, t, schema,
+      ignoreChanges = false, changeFeed = true)
+    src.getBatch(None, LongOffset(1L)) // snapshot — seeds the v1 base
+    TxTable.merge(spark, t, Seq((1L, "u")).toDF("id", "tag"), "id", Seq("id"))
+    src.getBatch(Some(LongOffset(1L)), LongOffset(2L)) // fold v1 → v2
+    // the engine re-requests the SAME window after a recovery — the r14
+    // single-slot cache (advanced to v2) paid an O(live-files) resolve
+    // here; the LRU still holds v1
+    src.getBatch(Some(LongOffset(1L)), LongOffset(2L))
+    TxTable.merge(spark, t, Seq((2L, "u")).toDF("id", "tag"), "id", Seq("id"))
+    src.getBatch(Some(LongOffset(2L)), LongOffset(3L)) // forward from v2
+    assert(src.cdfResolves == 0,
+      s"every CDF base must come from the fold cache, paid ${src.cdfResolves}")
   }
 
   test("zorderPartition: one partition re-lays curve-ordered under its own dirs, others carry by reference, content identical") {
