@@ -38,6 +38,22 @@ final class TxDataSource extends RelationProvider with SchemaRelationProvider
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val table = tableOf(parameters)
+    // BATCH change-data feed (Delta's `table_changes` read shape, r15):
+    // `readChangeFeed=true` + `startingVersion` (inclusive, required) +
+    // `endingVersion` (inclusive, default latest) serve the same
+    // row-level diff the streaming feed emits — insert / delete /
+    // update_preimage / update_postimage — as a plain relation, so SQL
+    // and BI tooling replay a version window without a stream.
+    if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+      val latest = TxTable.latestVersion(table)
+      val from = parameters.get("startingVersion").map(_.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          "graft-tx batch change feed requires startingVersion"))
+      val to = parameters.get("endingVersion").map(_.toInt).getOrElse(latest)
+      require(from >= 1 && from <= to && to <= latest,
+        s"graft-tx batch change feed window [$from, $to] outside [1, $latest]")
+      return new TxChangesRelation(sqlContext, table, from - 1, to)
+    }
     val version = parameters.get("version").map(_.toInt).getOrElse(-1)
     new TxRelation(sqlContext, table, version)
   }
@@ -339,6 +355,21 @@ final class TxRelation(ctx: SQLContext, table: String, version: Int,
       projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
     }
   }
+}
+
+/** The batch change-feed relation behind `readChangeFeed=true` +
+  * `startingVersion`/`endingVersion` — a thin TableScan over
+  * [[TxTable.tableChanges]] (versions are resolved at relation build,
+  * so the window is pinned like any snapshot read).
+  */
+final class TxChangesRelation(ctx: SQLContext, table: String,
+    fromV: Int, toV: Int) extends BaseRelation with TableScan {
+  private val df = TxTable.tableChanges(ctx.sparkSession, table, fromV, toV)
+  override def sqlContext: SQLContext = ctx
+  override val schema: StructType = df.schema
+  override def needConversion: Boolean = false
+  override def buildScan(): RDD[Row] =
+    df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
 }
 
 /** Structured-Streaming SOURCE over a [[TxTable]] — the lakehouse

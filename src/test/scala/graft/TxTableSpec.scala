@@ -2020,6 +2020,41 @@ class TxTableSpec extends SparkSpecBase {
       s"every CDF base must come from the fold cache, paid ${src.cdfResolves}")
   }
 
+  test("batch change feed on the SQL surface: readChangeFeed + startingVersion/endingVersion serve the paired row diff as a plain relation (r15)") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t,
+      (1L to 20L).map(i => (i, "base")).toDF("id", "tag"), Seq("id"))
+    TxTable.merge(spark, t,
+      Seq((5L, "upd"), (21L, "ins")).toDF("id", "tag"), "id", Seq("id"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("tag"), col("_change_type"))
+        .as[(Long, String, String)].collect().toSet
+    // the DataFrame reader shape
+    val viaRead = spark.read.format("graft-tx").option("path", t)
+      .option("readChangeFeed", "true").option("startingVersion", "2").load()
+    assert(rows(viaRead) == Set((5L, "base", "update_preimage"),
+      (5L, "upd", "update_postimage"), (21L, "ins", "insert")),
+      rows(viaRead).toString)
+    assert(rows(viaRead) == rows(TxTable.tableChanges(spark, t, 1, 2)),
+      "the relation must serve exactly tableChanges' diff")
+    // the SQL view shape
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_tx_cdf_batch " +
+      s"USING `graft-tx` OPTIONS (path '$t', readChangeFeed 'true', " +
+      s"startingVersion '1', endingVersion '1')")
+    assert(spark.table("graft_tx_cdf_batch").count() == 20,
+      "window [1,1] is the snapshot-as-inserts")
+    // window validation
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-tx").option("path", t)
+        .option("readChangeFeed", "true").load()
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-tx").option("path", t)
+        .option("readChangeFeed", "true").option("startingVersion", "9").load()
+    }
+  }
+
   test("zorderPartition: one partition re-lays curve-ordered under its own dirs, others carry by reference, content identical") {
     import spark.implicits._
     val t = tmpTable()
