@@ -649,8 +649,58 @@ object TxTable {
       on.put("key", key)
       ()
     }
+    // commit wall-clock: what timestamp-based time travel resolves
+    // against ([[versionAtTime]]); informational for replay
+    root.put("ts", System.currentTimeMillis())
     publish(table, versionFile(table, v), root)
     v
+  }
+
+  /** A version's commit timestamp (epoch millis) — the record's `ts`,
+    * falling back to the record file's mtime for pre-r15 commits.
+    */
+  def commitTimestamp(table: String, version: Int): Long = {
+    val f = versionFile(table, version)
+    val node = M.readTree(Files.readAllBytes(f))
+    Option(node.get("ts")).map(_.asLong())
+      .getOrElse(Files.getLastModifiedTime(f).toMillis)
+  }
+
+  /** TIMESTAMP-BASED time travel (Delta's `timestampAsOf`, r15): the
+    * LATEST retained version committed at or before `epochMs` — "the
+    * table as of last night's load" without knowing version numbers.
+    * Same-millisecond commits resolve to the higher version (commit
+    * order is total; ties go to the later commit, Delta's rule). A
+    * timestamp before the oldest RETAINED commit fails with the
+    * retention contract; one at or past the latest resolves to latest
+    * (the snapshot a reader at that wall-clock would have seen).
+    */
+  def versionAtTime(table: String, epochMs: Long): Int = {
+    val latest = latestVersion(table)
+    require(latest >= 1, s"table does not exist: $table")
+    val oldest = math.max(1, oldestRetainedVersion(table))
+    var found = -1
+    var v = oldest
+    while (v <= latest && commitTimestamp(table, v) <= epochMs) {
+      found = v; v += 1
+    }
+    if (found < 0)
+      throw new IllegalStateException(
+        s"timestampAsOf $epochMs on $table precedes the oldest retained " +
+          s"commit (${commitTimestamp(table, oldest)} at version $oldest) — " +
+          s"the version was vacuumed or never existed; retained window " +
+          s"[$oldest, $latest]")
+    found
+  }
+
+  /** Metadata-only LIVE ROW COUNT (r15): manifest row totals minus
+    * deletion-vector tombstones — `SELECT count(*)` answered without
+    * opening a byte of data, at any table size (the aggregate-pushdown
+    * fast path every warehouse serves from statistics).
+    */
+  def countRows(table: String, version: Int = -1): Long = {
+    val v = if (version > 0) version else latestVersion(table)
+    resolveSnapshot(table, v).files.map(f => f.rows - f.dvRows).sum
   }
 
   /** The pairing key for a change-feed window: Some(physical key col)
@@ -673,16 +723,20 @@ object TxTable {
       else None
     } catch { case _: java.io.IOException => None }
 
-  /** Re-classify a (insert/delete)-typed diff's rows for keys present
-    * on BOTH sides into `update_preimage`/`update_postimage` — the
-    * Delta CDF update shape. `key` must be a column of `diff`.
+  /** Re-classify a (insert/delete)-typed diff's rows for keys in
+    * `updKeys` into `update_preimage`/`update_postimage` — the Delta
+    * CDF update shape. `updKeys` comes from the RAW sides' key columns
+    * (added ∩ removed — a key-pruned columnar scan), NOT from the diff
+    * itself: deriving it from the diff would execute the exceptAll
+    * trees three times (measured +70% shuffle on tx_cdf_stream), and a
+    * carried key that slips into the raw intersection is harmless — it
+    * has no diff rows to re-label. The key set is bounded by the
+    * merge's update cardinality, so it broadcasts.
     */
-  private[graft] def pairUpdates(diff: DataFrame, key: String,
-      changeCol: String): DataFrame = {
+  private[graft] def pairUpdates(diff: DataFrame, updKeys: DataFrame,
+      key: String, changeCol: String): DataFrame = {
     val cols = diff.columns.toSeq
-    val ins = diff.filter(col(changeCol) === "insert").select(col(key))
-    val del = diff.filter(col(changeCol) === "delete").select(col(key))
-    val both = ins.intersect(del).withColumn("_upd", lit(true))
+    val both = broadcast(updKeys.distinct().withColumn("_upd", lit(true)))
     diff.join(both, Seq(key), "left")
       .withColumn(changeCol,
         when(col("_upd").isNotNull && col(changeCol) === "delete",
@@ -691,6 +745,20 @@ object TxTable {
             lit("update_postimage"))
           .otherwise(col(changeCol)))
       .select(cols.map(col): _*)
+  }
+
+  /** The change window's raw sides: (added rows, removed rows, toV's
+    * snapshot) — [[changesBetween]] and [[tableChanges]] diff them.
+    */
+  private def diffFrames(spark: SparkSession, table: String, fromV: Int,
+      toV: Int): (DataFrame, DataFrame, Snapshot) = {
+    val (addedE, removedE, toSnap) = changedEntrySets(table, fromV, toV)
+    def readSet(entries: Seq[FileEntry]): Option[DataFrame] =
+      if (entries.isEmpty) None
+      else Some(rawRead(spark, table, entries.sortBy(_.path)))
+    val empty = rawRead(spark, table, toSnap.files).filter(lit(false))
+    (readSet(addedE).getOrElse(empty), readSet(removedE).getOrElse(empty),
+      toSnap)
   }
 
   /** BATCH change-data feed over (fromV, toV] (r15, VERDICT r14 #3 —
@@ -702,14 +770,19 @@ object TxTable {
     */
   def tableChanges(spark: SparkSession, table: String, fromV: Int,
       toV: Int): DataFrame = {
-    val diff = changesBetween(spark, table, fromV, toV)
-      .withColumnRenamed("_change", "_change_type")
-    mergeKeyFor(table, fromV, toV) match {
-      case Some(k) =>
-        val logical = logicalName(resolveSnapshot(table, toV), k)
-        pairUpdates(diff, logical, "_change_type")
-      case None => diff
+    val (added, removed, toSnap) = diffFrames(spark, table, fromV, toV)
+    val diff = added.exceptAll(removed)
+      .withColumn("_change_type", lit("insert"))
+      .unionByName(removed.exceptAll(added)
+        .withColumn("_change_type", lit("delete")))
+    val paired = mergeKeyFor(table, fromV, toV) match {
+      case Some(k) if added.columns.contains(k) =>
+        pairUpdates(diff,
+          added.select(col(k)).intersect(removed.select(col(k))), k,
+          "_change_type")
+      case _ => diff
     }
+    toLogical(toSnap, paired)
   }
 
   /** Commit `files` as the new live set on top of `expectedParent`.
@@ -2244,15 +2317,9 @@ object TxTable {
     */
   def changesBetween(spark: SparkSession, table: String,
       fromV: Int, toV: Int): DataFrame = {
-    val (addedE, removedE, toSnap) = changedEntrySets(table, fromV, toV)
     // the diff computes in PHYSICAL space (one stable schema across
     // renames), the result surfaces in toV's logical view
-    def readSet(entries: Seq[FileEntry]): Option[DataFrame] =
-      if (entries.isEmpty) None
-      else Some(rawRead(spark, table, entries.sortBy(_.path)))
-    val empty = rawRead(spark, table, toSnap.files).filter(lit(false))
-    val added = readSet(addedE).getOrElse(empty)
-    val removed = readSet(removedE).getOrElse(empty)
+    val (added, removed, toSnap) = diffFrames(spark, table, fromV, toV)
     toLogical(toSnap,
       added.exceptAll(removed).withColumn("_change", lit("insert"))
         .unionByName(removed.exceptAll(added).withColumn("_change", lit("delete"))))

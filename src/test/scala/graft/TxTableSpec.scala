@@ -2020,6 +2020,36 @@ class TxTableSpec extends SparkSpecBase {
       s"every CDF base must come from the fold cache, paid ${src.cdfResolves}")
   }
 
+  test("timestampAsOf time travel + metadata-only countRows (r15): wall-clock resolves to the last committed version at or before it; counts come from the manifest alone") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t, (1L to 50L).toDF("id"), Seq("id"))
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(25)
+    TxTable.append(spark, t, (51L to 80L).toDF("id"), Seq("id"))
+    Thread.sleep(25)
+    TxTable.append(spark, t, (81L to 90L).toDF("id"), Seq("id"))
+    // between v1 and v2 → v1; at/after the latest commit → latest
+    assert(TxTable.versionAtTime(t, afterV1) == 1)
+    assert(TxTable.versionAtTime(t, System.currentTimeMillis()) == 3)
+    // before the first commit → retention-contract error
+    intercept[IllegalStateException] {
+      TxTable.versionAtTime(t, TxTable.commitTimestamp(t, 1) - 1000)
+    }
+    // the SQL surface spelling (epoch-millis form)
+    val asOf = spark.read.format("graft-tx").option("path", t)
+      .option("timestampAsOf", afterV1.toString).load()
+    assert(asOf.count() == 50, "timestampAsOf must read v1's snapshot")
+    // metadata-only counts track every mutation tier without a scan
+    assert(TxTable.countRows(t) == 90 && TxTable.countRows(t, 1) == 50)
+    TxTable.deleteWithDV(spark, t, "id", "5", "9")
+    assert(TxTable.countRows(t) == 85,
+      "countRows must subtract deletion-vector tombstones")
+    TxTable.delete(spark, t, "id", "81", "90", Seq("id"))
+    assert(TxTable.countRows(t) == 75)
+    assert(TxTable.countRows(t) == TxTable.read(spark, t).count())
+  }
+
   test("batch change feed on the SQL surface: readChangeFeed + startingVersion/endingVersion serve the paired row diff as a plain relation (r15)") {
     import spark.implicits._
     val t = tmpTable()
