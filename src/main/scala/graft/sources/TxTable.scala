@@ -566,6 +566,16 @@ object TxTable {
     commitResolved(table, parent, parentSnap, files, batches,
       parentSnap.renames, parentSnap.drops)
 
+  /** [[commitResolved]] with an OPERATION stamp — every public write
+    * path routes through this so [[history]] can report what each
+    * version was (Delta's DESCRIBE HISTORY operation column).
+    */
+  private def commitOp(table: String, parent: Int, parentSnap: Snapshot,
+      files: Seq[FileEntry], batches: Set[Long],
+      op: (String, String)): Int =
+    commitResolved(table, parent, parentSnap, files, batches,
+      parentSnap.renames, parentSnap.drops, Some(op))
+
   /** `op`: optional OPERATION metadata stamped on the version record
     * (`{"type": "merge", "key": <physical key col>}`) — what lets the
     * change feed pair a keyed upsert's delete+insert rows into
@@ -795,7 +805,8 @@ object TxTable {
     */
   def commit(table: String, expectedParent: Int, files: Seq[FileEntry]): Int = {
     val snap = resolveSnapshot(table, expectedParent)
-    commitResolved(table, expectedParent, snap, files, snap.batches)
+    commitOp(table, expectedParent, snap, files, snap.batches,
+      "commit" -> "")
   }
 
   // ------------------------------------------------------------- data files
@@ -872,7 +883,9 @@ object TxTable {
   def create(spark: SparkSession, table: String, df: DataFrame,
       statsCols: Seq[String]): Int = {
     require(latestVersion(table) == 0, s"table exists: $table")
-    commit(table, 0, writeFiles(spark, table, "v00000001", df, statsCols))
+    commitOp(table, 0, EmptySnapshot,
+      writeFiles(spark, table, "v00000001", df, statsCols), Set.empty,
+      "create" -> "")
   }
 
   /** Append-only commit: old files carry over by reference — an
@@ -886,9 +899,10 @@ object TxTable {
     require(snap.files.forall(_.parts.isEmpty),
       s"$table is hive-partitioned — use appendPartitioned (a flat append " +
         s"would mix layouts in one live set and break the basePath scan)")
-    commitResolved(table, parent, snap,
+    commitOp(table, parent, snap,
       snap.files ++ writeFiles(spark, table, slot, toPhysical(snap, df),
-        statsCols.map(originalName(snap, _))), snap.batches)
+        statsCols.map(originalName(snap, _))), snap.batches,
+      "append" -> "")
   }
 
   /** Create the table with HIVE-STYLE PARTITION LAYOUT: data lands
@@ -909,8 +923,9 @@ object TxTable {
       partitionCols: Seq[String], statsCols: Seq[String]): Int = {
     require(latestVersion(table) == 0, s"table exists: $table")
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
-    commit(table, 0, writeFiles(spark, table, "v00000001", df, statsCols,
-      partitionCols))
+    commitOp(table, 0, EmptySnapshot,
+      writeFiles(spark, table, "v00000001", df, statsCols, partitionCols),
+      Set.empty, "create" -> "")
   }
 
   /** Append into a partitioned table — same partition columns, new
@@ -933,11 +948,11 @@ object TxTable {
         partitionCols.map(originalName(snap, _)).sorted,
       s"partition columns $partitionCols do not match the table's $declared")
     val slot = f"v${parent + 1}%08d"
-    commitResolved(table, parent, snap,
+    commitOp(table, parent, snap,
       snap.files ++ writeFiles(spark, table, slot, toPhysical(snap, df),
         statsCols.map(originalName(snap, _)),
         partitionCols.map(originalName(snap, _))),
-      snap.batches)
+      snap.batches, "append" -> "")
   }
 
   /** Partition pruning on the DIRECTORY signal alone: split the live
@@ -996,10 +1011,11 @@ object TxTable {
     val slot = f"v${parent + 1}%08d-c"
     val df = toLogical(snap, rawRead(spark, table, target))
       .repartition(math.max(1, targetFiles))
-    commitResolved(table, parent, snap,
+    commitOp(table, parent, snap,
       others ++ writeFiles(spark, table, slot, toPhysical(snap, df),
         statsCols.map(originalName(snap, _)),
-        partitionCols.map(originalName(snap, _))), snap.batches)
+        partitionCols.map(originalName(snap, _))), snap.batches,
+      "compact" -> "")
   }
 
   /** Partition-preserving COMPACTION: rewrite a hive-partitioned
@@ -1019,10 +1035,11 @@ object TxTable {
       s"partition columns $partitionCols do not match the table's $declared")
     val slot = f"v${parent + 1}%08d-c"
     val df = toLogical(snap, rawRead(spark, table, snap.files))
-    commitResolved(table, parent, snap,
+    commitOp(table, parent, snap,
       writeFiles(spark, table, slot, toPhysical(snap, df),
         statsCols.map(originalName(snap, _)),
-        partitionCols.map(originalName(snap, _))), snap.batches)
+        partitionCols.map(originalName(snap, _))), snap.batches,
+      "compact" -> "")
   }
 
   /** CONCURRENT-WRITER append: the multi-writer form of [[append]].
@@ -1048,8 +1065,8 @@ object TxTable {
     while (true) {
       val parent = latestVersion(table)
       val snap = resolveSnapshot(table, parent)
-      try return commitResolved(table, parent, snap, snap.files ++ written,
-        snap.batches)
+      try return commitOp(table, parent, snap, snap.files ++ written,
+        snap.batches, "append" -> "")
       catch {
         case e: java.util.ConcurrentModificationException =>
           if (attempt >= maxRetries) throw e
@@ -1069,9 +1086,10 @@ object TxTable {
     val parent = latestVersion(table)
     val slot = f"v${parent + 1}%08d-o"
     val snap = resolveSnapshot(table, parent)
-    commitResolved(table, parent, snap,
+    commitOp(table, parent, snap,
       writeFiles(spark, table, slot, toPhysical(snap, df),
-        statsCols.map(originalName(snap, _))), snap.batches)
+        statsCols.map(originalName(snap, _))), snap.batches,
+      "overwrite" -> "")
   }
 
   /** RESTORE: make version `toVersion`'s content the live set again,
@@ -1100,7 +1118,7 @@ object TxTable {
     // a restore brings back the old version's column mapping too —
     // its files' logical view is part of the state being restored
     commitResolved(table, parent, parentSnap, toSnap.files, parentSnap.batches,
-      toSnap.renames, toSnap.drops)
+      toSnap.renames, toSnap.drops, Some("restore" -> toVersion.toString))
   }
 
   /** DESCRIBE HISTORY: one row per RETAINED version — file count,
@@ -1128,7 +1146,8 @@ object TxTable {
     val rows = scala.collection.mutable.ArrayBuffer(
       // the horizon version reports its whole set as added (its parent
       // diff is vacuumed away)
-      (oldest, live.size.toLong, nRows, live.size.toLong, 0L, nBatches))
+      (oldest, operationOf(table, oldest), live.size.toLong, nRows,
+        live.size.toLong, 0L, nBatches))
     ((oldest + 1) to latest).foreach { v =>
       val (adds, removes, dvs) = actionsBetween(table, v - 1, v)
       removes.foreach { p =>
@@ -1142,11 +1161,19 @@ object TxTable {
         }
       }
       nBatches += countNewBatches(table, v)
-      rows += ((v, live.size.toLong, nRows, adds.size.toLong,
-        removes.size.toLong, nBatches))
+      rows += ((v, operationOf(table, v), live.size.toLong, nRows,
+        adds.size.toLong, removes.size.toLong, nBatches))
     }
-    rows.toSeq.toDF("version", "n_files", "n_rows", "files_added",
-      "files_removed", "n_batches")
+    rows.toSeq.toDF("version", "operation", "n_files", "n_rows",
+      "files_added", "files_removed", "n_batches")
+  }
+
+  /** The OPERATION a version record was stamped with (r15 — Delta's
+    * DESCRIBE HISTORY operation column); "" for pre-r15 commits.
+    */
+  private def operationOf(table: String, v: Int): String = {
+    val node = M.readTree(Files.readAllBytes(versionFile(table, v)))
+    Option(node.get("op")).map(_.get("type").asText()).getOrElse("")
   }
 
   /** New exactly-once ledger entries a single version record added —
@@ -1226,7 +1253,7 @@ object TxTable {
       if (to == origName) snap.renames - from // rename-back: pure identity again
       else (snap.renames - from) + (to -> origName)
     commitResolved(table, parent, snap, snap.files, snap.batches,
-      newRenames, snap.drops)
+      newRenames, snap.drops, Some("rename_column" -> to))
   }
 
   /** DROP COLUMN as a METADATA-ONLY commit: the original column stays
@@ -1241,7 +1268,8 @@ object TxTable {
     val origName = snap.renames.getOrElse(name, name)
     require(!snap.drops.contains(origName), s"column $name already dropped")
     commitResolved(table, parent, snap, snap.files, snap.batches,
-      snap.renames - name, snap.drops + origName)
+      snap.renames - name, snap.drops + origName,
+      Some("drop_column" -> name))
   }
 
   /** The column-mapping view of a version: (logical → original
@@ -1740,7 +1768,8 @@ object TxTable {
         f.stats.get(predOrig).exists(_.intersects(lo, hi))
       }
       if (dropped.isEmpty) return MergeResult(parent, 0, live.size)
-      val v = commitResolved(table, parent, snap, kept, snap.batches)
+      val v = commitOp(table, parent, snap, kept, snap.batches,
+        "delete" -> predOrig)
       return MergeResult(v, dropped.size, kept.size)
     }
     val (touched, untouched) = live.partition { f =>
@@ -1761,7 +1790,8 @@ object TxTable {
       else writeFiles(spark, table, slot,
         kept.repartitionByRange(math.max(1, touched.size), clusterCols: _*),
         statsCols.map(originalName(snap, _)), parts)
-    val v = commitResolved(table, parent, snap, untouched ++ written, snap.batches)
+    val v = commitOp(table, parent, snap, untouched ++ written, snap.batches,
+      "delete" -> predOrig)
     MergeResult(v, touched.size, untouched.size)
   }
 
@@ -1859,7 +1889,8 @@ object TxTable {
           case None => f
         }
       }
-      val v = commitResolved(table, parent, snap, newFiles, snap.batches)
+      val v = commitOp(table, parent, snap, newFiles, snap.batches,
+        "dv_delete" -> "")
       MergeResult(v, freshCounts.size, live.size - freshCounts.size)
     } finally { fresh.unpersist(); () }
   }
@@ -1959,7 +1990,8 @@ object TxTable {
       toPhysical(snap, updated)
         .repartitionByRange(math.max(1, touched.size), clusterCols: _*),
       statsCols.map(originalName(snap, _)), parts)
-    val v = commitResolved(table, parent, snap, untouched ++ written, snap.batches)
+    val v = commitOp(table, parent, snap, untouched ++ written, snap.batches,
+      "update" -> predOrig)
     MergeResult(v, touched.size, untouched.size)
   }
 
@@ -2034,8 +2066,8 @@ object TxTable {
       if (kept.isEmpty) Seq.empty[FileEntry]
       else writeFiles(spark, table, slot, toPhysical(snap, clustered),
         statsCols.map(originalName(snap, _)), parts)
-    val v = commitResolved(table, parent, snap, untouched ++ written,
-      snap.batches)
+    val v = commitOp(table, parent, snap, untouched ++ written,
+      snap.batches, "delete" -> "")
     MergeResult(v, touched.size, untouched.size)
   }
 
@@ -2074,8 +2106,8 @@ object TxTable {
       else updated.repartitionByRange(math.max(1, touched.size), clusterCols: _*)
     val written = writeFiles(spark, table, slot, toPhysical(snap, clustered),
       statsCols.map(originalName(snap, _)), parts)
-    val v = commitResolved(table, parent, snap, untouched ++ written,
-      snap.batches)
+    val v = commitOp(table, parent, snap, untouched ++ written,
+      snap.batches, "update" -> "")
     MergeResult(v, touched.size, untouched.size)
   }
 
@@ -2150,7 +2182,7 @@ object TxTable {
     val laid = zLayout(df, colA, colB, numFiles)
     val written = writeFiles(spark, table, slot, toPhysical(snap, laid),
       statsCols.map(originalName(snap, _)))
-    commitResolved(table, parent, snap, written, snap.batches)
+    commitOp(table, parent, snap, written, snap.batches, "zorder" -> "")
   }
 
   /** Z-ORDER one partition of a hive-partitioned table (the OPTIMIZE …
@@ -2175,10 +2207,11 @@ object TxTable {
     val df = toLogical(snap, rawRead(spark, table, target))
     val slot = f"v${parent + 1}%08d-z"
     val laid = zLayout(df, colA, colB, numFiles)
-    commitResolved(table, parent, snap,
+    commitOp(table, parent, snap,
       others ++ writeFiles(spark, table, slot, toPhysical(snap, laid),
         statsCols.map(originalName(snap, _)),
-        partitionCols.map(originalName(snap, _))), snap.batches)
+        partitionCols.map(originalName(snap, _))), snap.batches,
+      "zorder" -> "")
   }
 
   /** The z-curve layout core shared by [[zorder]] and
@@ -2379,7 +2412,8 @@ object TxTable {
       toPhysical(snap, df), statsCols.map(originalName(snap, _)))
     // the data files and the ledger entry publish as ONE atomic
     // version record — idempotence can never desync from the data
-    commitResolved(table, parent, snap, files, snap.batches + batchId)
+    commitOp(table, parent, snap, files, snap.batches + batchId,
+      "streaming_append" -> batchId.toString)
     true
   }
 
@@ -2404,10 +2438,11 @@ object TxTable {
     // forever (dropped columns persist in old snapshots' files only —
     // a compact is also the garbage collector for dropped data)
     val df = toLogical(snap, rawRead(spark, table, snap.files))
-    commitResolved(table, parent, snap,
+    commitOp(table, parent, snap,
       writeFiles(spark, table, slot,
         toPhysical(snap, df).repartition(targetFiles),
-        statsCols.map(originalName(snap, _))), snap.batches)
+        statsCols.map(originalName(snap, _))), snap.batches,
+      "compact" -> "")
   }
 
   // -------------------------------------------------------- driver queries

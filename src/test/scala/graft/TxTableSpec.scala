@@ -116,6 +116,10 @@ class TxTableSpec extends SparkSpecBase {
     val h = TxTable.history(spark, t).orderBy(col("version")).collect()
     assert(h.map(_.getAs[Int]("version")).toSeq == (1 to 5))
     assert(h.map(_.getAs[Long]("n_rows")).toSeq == Seq(10L, 15L, 17L, 1L, 17L))
+    // r15: every commit is operation-stamped (DESCRIBE HISTORY shape)
+    assert(h.map(_.getAs[String]("operation")).toSeq ==
+      Seq("create", "append", "streaming_append", "overwrite", "restore"),
+      h.map(_.getAs[String]("operation")).toSeq.toString)
     assert(h.last.getAs[Long]("files_added") >= 1L) // restore re-adds v3's files vs v4
     assert(h(3).getAs[Long]("files_removed") >= 1L) // the overwrite dropped v3's
     intercept[IllegalArgumentException] { TxTable.restore(spark, t, 99) }
