@@ -316,8 +316,13 @@ object TxTable {
     * [[manifest]], [[committedBatches]] and [[mappingAt]] are the
     * public views.
     */
+  /** `checks`: CHECK constraints (name → SQL predicate over current
+    * logical names) every data write must satisfy — Delta's table-
+    * constraint shape; NULL predicates PASS (SQL CHECK semantics).
+    */
   private final case class Snapshot(files: Seq[FileEntry], batches: Set[Long],
-      renames: Map[String, String] = Map.empty, drops: Set[String] = Set.empty)
+      renames: Map[String, String] = Map.empty, drops: Set[String] = Set.empty,
+      checks: Map[String, String] = Map.empty)
 
   private val EmptySnapshot = Snapshot(Seq.empty, Set.empty)
 
@@ -346,7 +351,7 @@ object TxTable {
       if (node.has("files")) {
         val files = node.get("files").elements().asScala.map(parseEntry).toSeq
         base = Snapshot(files, parseBatches(node, "batches"),
-          parseRenames(node), parseDrops(node))
+          parseRenames(node), parseDrops(node), parseChecks(node))
       } else {
         deltas ::= node // prepend: ends up in ascending version order
         w -= 1
@@ -358,6 +363,7 @@ object TxTable {
     var batches = base.batches
     var renames = base.renames
     var drops = base.drops
+    var checks = base.checks
     deltas.foreach { d =>
       Option(d.get("removes")).foreach(_.elements().asScala.foreach { p =>
         files.remove(p.asText()); ()
@@ -376,8 +382,9 @@ object TxTable {
       // O(schema) tiny); an absent key means "inherit the parent's"
       if (d.has("renames")) renames = parseRenames(d)
       if (d.has("drops")) drops = parseDrops(d)
+      if (d.has("checks")) checks = parseChecks(d)
     }
-    Snapshot(files.values.toList, batches, renames, drops)
+    Snapshot(files.values.toList, batches, renames, drops, checks)
   }
 
   private def parseRenames(node: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
@@ -388,6 +395,11 @@ object TxTable {
   private def parseDrops(node: com.fasterxml.jackson.databind.JsonNode): Set[String] =
     Option(node.get("drops")).map(_.elements().asScala.map(_.asText()).toSet)
       .getOrElse(Set.empty)
+
+  private def parseChecks(node: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+    Option(node.get("checks")).map { cn =>
+      cn.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty)
 
   def manifest(table: String, version: Int): Manifest =
     Manifest(version, resolveSnapshot(table, version).files)
@@ -503,7 +515,8 @@ object TxTable {
 
   private def fullNode(version: Int, files: Seq[FileEntry],
       batches: Set[Long], renames: Map[String, String] = Map.empty,
-      drops: Set[String] = Set.empty): com.fasterxml.jackson.databind.node.ObjectNode = {
+      drops: Set[String] = Set.empty,
+      checks: Map[String, String] = Map.empty): com.fasterxml.jackson.databind.node.ObjectNode = {
     val root = M.createObjectNode()
     root.put("version", version)
     if (batches.nonEmpty) {
@@ -511,9 +524,19 @@ object TxTable {
       batches.toSeq.sorted.foreach(ba.add)
     }
     putMapping(root, renames, drops)
+    putChecks(root, checks)
     val arr = root.putArray("files")
     files.foreach(entryNode(arr, _))
     root
+  }
+
+  private def putChecks(node: com.fasterxml.jackson.databind.node.ObjectNode,
+      checks: Map[String, String]): Unit = {
+    if (checks.nonEmpty) {
+      val cn = node.putObject("checks")
+      checks.toSeq.sortBy(_._1).foreach { case (n, p) => cn.put(n, p); () }
+    }
+    ()
   }
 
   private def putMapping(node: com.fasterxml.jackson.databind.node.ObjectNode,
@@ -586,7 +609,9 @@ object TxTable {
   private def commitResolved(table: String, parent: Int, parentSnap: Snapshot,
       files: Seq[FileEntry], batches: Set[Long],
       renames: Map[String, String], drops: Set[String],
-      op: Option[(String, String)] = None): Int = {
+      op: Option[(String, String)] = None,
+      newChecks: Option[Map[String, String]] = None): Int = {
+    val checks = newChecks.getOrElse(parentSnap.checks)
     val v = parent + 1
     val parentPaths = parentSnap.files.map(_.path).toSet
     val newPaths = files.map(_.path).toSet
@@ -616,7 +641,7 @@ object TxTable {
       }
     val root =
       if (v == 1 || v % CheckpointInterval == 0) {
-        val node = fullNode(v, files, batches, renames, drops)
+        val node = fullNode(v, files, batches, renames, drops, checks)
         // checkpoints ALSO carry their own action delta, so the
         // streaming source's per-version walk ([[actionsBetween]])
         // never needs to diff two resolved manifests
@@ -649,6 +674,12 @@ object TxTable {
         if (drops != parentSnap.drops) {
           val dn = node.putArray("drops")
           drops.toSeq.sorted.foreach(dn.add)
+        }
+        // same full-replacement-map contract as renames/drops: present
+        // even when emptied (constraint dropped), absent = inherit
+        if (checks != parentSnap.checks) {
+          val cn = node.putObject("checks")
+          checks.toSeq.sortBy(_._1).foreach { case (n, p) => cn.put(n, p); () }
         }
         putDvs(node)
         node
@@ -899,6 +930,7 @@ object TxTable {
     require(snap.files.forall(_.parts.isEmpty),
       s"$table is hive-partitioned — use appendPartitioned (a flat append " +
         s"would mix layouts in one live set and break the basePath scan)")
+    enforceChecks(snap, df, s"append into $table")
     commitOp(table, parent, snap,
       snap.files ++ writeFiles(spark, table, slot, toPhysical(snap, df),
         statsCols.map(originalName(snap, _))), snap.batches,
@@ -947,6 +979,7 @@ object TxTable {
     require(declared.isEmpty || declared.sorted ==
         partitionCols.map(originalName(snap, _)).sorted,
       s"partition columns $partitionCols do not match the table's $declared")
+    enforceChecks(snap, df, s"append into $table")
     val slot = f"v${parent + 1}%08d"
     commitOp(table, parent, snap,
       snap.files ++ writeFiles(spark, table, slot, toPhysical(snap, df),
@@ -1059,6 +1092,7 @@ object TxTable {
       statsCols: Seq[String], maxRetries: Int = 20): Int = {
     val slot = f"a-${java.util.UUID.randomUUID().toString.take(12)}"
     val snapAtWrite = resolveSnapshot(table, latestVersion(table))
+    enforceChecks(snapAtWrite, df, s"append into $table")
     val written = writeFiles(spark, table, slot, toPhysical(snapAtWrite, df),
       statsCols.map(originalName(snapAtWrite, _)))
     var attempt = 0
@@ -1086,6 +1120,7 @@ object TxTable {
     val parent = latestVersion(table)
     val slot = f"v${parent + 1}%08d-o"
     val snap = resolveSnapshot(table, parent)
+    enforceChecks(snap, df, s"overwrite of $table")
     commitOp(table, parent, snap,
       writeFiles(spark, table, slot, toPhysical(snap, df),
         statsCols.map(originalName(snap, _))), snap.batches,
@@ -1118,7 +1153,8 @@ object TxTable {
     // a restore brings back the old version's column mapping too —
     // its files' logical view is part of the state being restored
     commitResolved(table, parent, parentSnap, toSnap.files, parentSnap.batches,
-      toSnap.renames, toSnap.drops, Some("restore" -> toVersion.toString))
+      toSnap.renames, toSnap.drops, Some("restore" -> toVersion.toString),
+      Some(toSnap.checks))
   }
 
   /** DESCRIBE HISTORY: one row per RETAINED version — file count,
@@ -1311,6 +1347,78 @@ object TxTable {
         if (d.columns.contains(orig)) d.withColumnRenamed(orig, logical) else d
     }
     renamed
+  }
+
+  // ---------------------------------------------------- check constraints
+
+  /** Register a CHECK constraint (r15 — Delta's table-constraint
+    * shape): `predicateSql` is a SQL boolean over CURRENT logical
+    * column names; every later data write must satisfy it on the rows
+    * it lands (NULL predicates PASS — SQL CHECK semantics), validated
+    * BEFORE any file writes so a violation leaves neither garbage
+    * files nor a version. Registration itself validates the EXISTING
+    * live rows and refuses if any violate (Delta's rule — a
+    * constraint must be true of the whole table, not just future
+    * writes). Metadata-only commit; constraints ride version records
+    * as a full-replacement map (inherit-when-absent, like column
+    * mapping), survive restore (the restored state includes its
+    * constraint set), and old snapshots keep their own.
+    */
+  def addCheckConstraint(spark: SparkSession, table: String, name: String,
+      predicateSql: String): Int = {
+    val parent = latestVersion(table)
+    require(parent >= 1, s"table does not exist: $table")
+    val snap = resolveSnapshot(table, parent)
+    require(!snap.checks.contains(name),
+      s"CHECK constraint $name already exists on $table")
+    if (snap.files.nonEmpty) {
+      val bad = toLogical(snap, rawRead(spark, table, snap.files))
+        .filter(expr(s"not coalesce(($predicateSql), true)")).limit(1).count()
+      require(bad == 0L,
+        s"cannot add CHECK constraint $name to $table — existing rows " +
+          s"violate ($predicateSql)")
+    }
+    commitResolved(table, parent, snap, snap.files, snap.batches,
+      snap.renames, snap.drops, Some("add_constraint" -> name),
+      Some(snap.checks + (name -> predicateSql)))
+  }
+
+  /** Drop a CHECK constraint — metadata-only commit. */
+  def dropCheckConstraint(table: String, name: String): Int = {
+    val parent = latestVersion(table)
+    require(parent >= 1, s"table does not exist: $table")
+    val snap = resolveSnapshot(table, parent)
+    require(snap.checks.contains(name),
+      s"no CHECK constraint $name on $table")
+    commitResolved(table, parent, snap, snap.files, snap.batches,
+      snap.renames, snap.drops, Some("drop_constraint" -> name),
+      Some(snap.checks - name))
+  }
+
+  /** The CHECK constraints in force at `version` (latest by default). */
+  def checkConstraints(table: String, version: Int = -1): Map[String, String] = {
+    val v = if (version > 0) version else latestVersion(table)
+    resolveSnapshot(table, v).checks
+  }
+
+  /** Enforce every CHECK constraint on rows about to land — ONE pass
+    * evaluates all constraints (a violation-count aggregate per
+    * constraint); called BEFORE any data write. Frames arrive in the
+    * LOGICAL view (constraints are written against current names).
+    */
+  private def enforceChecks(snap: Snapshot, df: DataFrame,
+      what: String): Unit = {
+    if (snap.checks.isEmpty) return
+    val ordered = snap.checks.toSeq.sortBy(_._1)
+    val aggs = ordered.map { case (n, p) =>
+      sum(when(expr(s"not coalesce(($p), true)"), 1L).otherwise(0L)).as(n)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    ordered.zipWithIndex.foreach { case ((n, p), i) =>
+      if (!row.isNullAt(i) && row.getLong(i) > 0)
+        throw new IllegalArgumentException(
+          s"$what violates CHECK constraint $n ($p): ${row.getLong(i)} row(s)")
+    }
   }
 
   // ---------------------------------------------------------------- reading
@@ -1611,6 +1719,7 @@ object TxTable {
     // table touches only the updated partitions.
     val parts = partitionColsOf(snap)
     val keyOrig = originalName(snap, keyCol)
+    enforceChecks(snap, updates, s"MERGE updates into $table")
     val updatesPhys = toPhysical(snap, updates)
     require(parts.forall(updatesPhys.columns.contains),
       s"MERGE updates into $table must carry its partition columns $parts")
@@ -1984,6 +2093,7 @@ object TxTable {
     val updated = set.foldLeft(touchedDf) { case (df, (c, v)) =>
       df.withColumn(c, when(matches, v).otherwise(col(c)))
     }
+    enforceChecks(snap, updated.filter(matches), s"UPDATE of $table")
     // same clustering-preservation contract as merge/delete rewrites
     val clusterCols = ((parts :+ predOrig).distinct).map(col)
     val written = writeFiles(spark, table, slot,
@@ -2099,6 +2209,7 @@ object TxTable {
     val updated = set.foldLeft(touchedDf) { case (df, (c, v)) =>
       df.withColumn(c, when(matches, v).otherwise(col(c)))
     }
+    enforceChecks(snap, updated.filter(matches), s"UPDATE of $table")
     val clusterCols =
       (parts.map(logicalName(snap, _)) ++ statsCols).distinct.map(col)
     val clustered =
@@ -2407,6 +2518,7 @@ object TxTable {
     val parent = latestVersion(table)
     val snap = resolveSnapshot(table, parent)
     if (snap.batches.contains(batchId)) return false
+    enforceChecks(snap, df, s"streaming append into $table")
     val slot = f"v${parent + 1}%08d-b$batchId"
     val files = snap.files ++ writeFiles(spark, table, slot,
       toPhysical(snap, df), statsCols.map(originalName(snap, _)))
@@ -2862,7 +2974,7 @@ object TxTable {
       if (!ownRecord.has("files") && !Files.exists(checkpointFile(table, keepFromVersion)))
         try publish(table, checkpointFile(table, keepFromVersion),
           fullNode(keepFromVersion, horizon.files, horizon.batches,
-            horizon.renames, horizon.drops))
+            horizon.renames, horizon.drops, horizon.checks))
         catch { // a concurrent vacuum already wrote it — content is deterministic
           case _: java.util.ConcurrentModificationException => ()
         }

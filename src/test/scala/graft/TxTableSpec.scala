@@ -2054,6 +2054,63 @@ class TxTableSpec extends SparkSpecBase {
     assert(TxTable.countRows(t) == TxTable.read(spark, t).count())
   }
 
+  test("CHECK constraints: manifest-stored, enforced on every write tier before any file lands, SQL null semantics, survive restore (r15)") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t,
+      Seq((1L, 10.0), (2L, 0.0), (3L, 5.5)).toDF("id", "v"), Seq("id"))
+    TxTable.addCheckConstraint(spark, t, "v_nonneg", "v >= 0")
+    assert(TxTable.checkConstraints(t) == Map("v_nonneg" -> "v >= 0"))
+    // registration validates EXISTING rows — a violated predicate refuses
+    intercept[IllegalArgumentException] {
+      TxTable.addCheckConstraint(spark, t, "id_big", "id > 5")
+    }
+    // valid writes land; a violating append is refused BEFORE any file
+    // or version exists
+    TxTable.append(spark, t, Seq((4L, 1.0)).toDF("id", "v"), Seq("id"))
+    val vBefore = TxTable.latestVersion(t)
+    intercept[IllegalArgumentException] {
+      TxTable.append(spark, t, Seq((5L, -1.0)).toDF("id", "v"), Seq("id"))
+    }
+    assert(TxTable.latestVersion(t) == vBefore,
+      "a violating append must commit nothing")
+    // SQL CHECK null semantics: a NULL predicate PASSES
+    TxTable.append(spark, t,
+      Seq((6L, Option.empty[Double])).toDF("id", "v"), Seq("id"))
+    // merge updates and UPDATE SET are enforced too
+    intercept[IllegalArgumentException] {
+      TxTable.merge(spark, t, Seq((1L, -9.0)).toDF("id", "v"), "id", Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      TxTable.update(spark, t, "id", "1", "1",
+        Map("v" -> lit(-3.0)), Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      TxTable.appendBatchExactlyOnce(spark, t,
+        Seq((7L, -2.0)).toDF("id", "v"), 99L, Seq("id"))
+    }
+    // multi-constraint single-pass enforcement names the violated one
+    TxTable.addCheckConstraint(spark, t, "id_pos", "id > 0")
+    val e = intercept[IllegalArgumentException] {
+      TxTable.append(spark, t, Seq((8L, -4.0)).toDF("id", "v"), Seq("id"))
+    }
+    assert(e.getMessage.contains("v_nonneg"), e.getMessage)
+    // drop re-admits; restore of a constrained version restores its set
+    val constrainedV = TxTable.latestVersion(t)
+    TxTable.dropCheckConstraint(t, "v_nonneg")
+    TxTable.append(spark, t, Seq((9L, -5.0)).toDF("id", "v"), Seq("id"))
+    TxTable.restore(spark, t, constrainedV)
+    assert(TxTable.checkConstraints(t).keySet == Set("v_nonneg", "id_pos"),
+      "restore must bring back the restored version's constraint set")
+    intercept[IllegalArgumentException] {
+      TxTable.append(spark, t, Seq((10L, -6.0)).toDF("id", "v"), Seq("id"))
+    }
+    // history shows the constraint commits
+    val ops = TxTable.history(spark, t)
+      .orderBy(col("version")).collect().map(_.getAs[String]("operation"))
+    assert(ops.contains("add_constraint") && ops.contains("drop_constraint"))
+  }
+
   test("batch change feed on the SQL surface: readChangeFeed + startingVersion/endingVersion serve the paired row diff as a plain relation (r15)") {
     import spark.implicits._
     val t = tmpTable()
