@@ -172,12 +172,26 @@ object TxTable {
     */
   private[graft] object DvStore {
     private val MaxEntries = 64
+    /** Byte budget across cached position arrays — entry count alone
+      * would let 64 multi-million-row DVs pin gigabytes per executor.
+      */
+    private val MaxBytes = 256L << 20
+    private var cachedBytes = 0L
     private val cache =
-      new java.util.LinkedHashMap[String, Array[Long]](16, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[String, Array[Long]]): Boolean =
-          size() > MaxEntries
+      new java.util.LinkedHashMap[String, Array[Long]](16, 0.75f, true)
+
+    /** Evict LRU entries until both budgets hold (the just-inserted
+      * entry always survives — a working set of one must never thrash).
+      */
+    private def evictToBudget(): Unit = {
+      val it = cache.entrySet().iterator()
+      while ((cache.size() > MaxEntries || cachedBytes > MaxBytes) &&
+          cache.size() > 1 && it.hasNext) {
+        val e = it.next()
+        cachedBytes -= e.getValue.length.toLong * 8
+        it.remove()
       }
+    }
 
     /** Sidecar file name for a DV key — SHA-1 keeps arbitrary key bytes
       * (the \u0001 separator, hive partition values) path-safe.
@@ -209,7 +223,11 @@ object TxTable {
           while (i < out.length) { out(i) = bb.getLong(); i += 1 }
           out
         }
-      cache.synchronized { cache.put(ck, arr); () }
+      cache.synchronized {
+        cachedBytes += arr.length.toLong * 8
+        cache.put(ck, arr)
+        evictToBudget()
+      }
       arr
     }
 
