@@ -242,6 +242,7 @@ object SparkEntry {
     "tx_delete_pred"      -> graft.sources.TxTable.deletePredQuery _,
     "tx_dv_delete"        -> graft.sources.TxTable.dvDeleteQuery _,
     "tx_cdf_stream"       -> graft.sources.TxTable.cdfStreamQuery _,
+    "tx_table_changes"    -> graft.sources.TxTable.tableChangesQuery _,
     "tx_update"           -> graft.sources.TxTable.updateQuery _,
     "text_diversity"      -> Training.diversity _,
     "embed_class_centroid" -> Similarity.classCentroid _,
@@ -591,6 +592,7 @@ object SparkEntry {
     "tx_delete_pred"      -> graft.sources.TxTable.deletePredQuerySql,
     "tx_dv_delete"        -> graft.sources.TxTable.dvDeleteQuerySql,
     "tx_cdf_stream"       -> graft.sources.TxTable.cdfStreamQuerySql,
+    "tx_table_changes"    -> graft.sources.TxTable.tableChangesQuerySql,
     "tx_update"           -> graft.sources.TxTable.updateQuerySql,
     "dq_constraints"      -> Quality.dqConstraintsSql,
     "dq_outliers"         -> Quality.dqOutliersSql,

@@ -1837,6 +1837,72 @@ object TxTable {
     MergeResult(v, touched.size, untouched.size)
   }
 
+  /** DELETE BY KEY SET (r15 — the CDC-apply delete primitive): rows
+    * whose `keyCol` appears in `keys` are removed, copy-on-write at
+    * file granularity — only files whose key stats intersect the key
+    * set's range rewrite (anti-join drops the matched keys), the rest
+    * carry by reference, layout preserved on partitioned tables. The
+    * shape a replica needs to apply a change feed's deletes (bands
+    * and predicates don't express "these 40 keys").
+    */
+  def deleteKeys(spark: SparkSession, table: String, keys: DataFrame,
+      keyCol: String, statsCols: Seq[String]): MergeResult = {
+    val parent = latestVersion(table)
+    val snap = resolveSnapshot(table, parent)
+    val live = snap.files
+    val parts = partitionColsOf(snap)
+    val keyOrig = originalName(snap, keyCol)
+    val keysPhys = toPhysical(snap, keys).select(col(keyOrig)).distinct()
+    val bounds = keysPhys.agg(min(col(keyOrig)).cast("string"),
+      max(col(keyOrig)).cast("string")).head()
+    if (bounds.isNullAt(0)) return MergeResult(parent, 0, live.size)
+    val (lo, hi) = (bounds.getString(0), bounds.getString(1))
+    val (touched, untouched) = live.partition { f =>
+      f.stats.get(keyOrig).forall(_.intersects(lo, hi))
+    }
+    if (touched.isEmpty) return MergeResult(parent, 0, live.size)
+    val slot = f"v${parent + 1}%08d-d"
+    val kept = rawRead(spark, table, touched)
+      .join(keysPhys, Seq(keyOrig), "left_anti")
+    val clusterCols = ((parts :+ keyOrig).distinct).map(col)
+    val written =
+      if (kept.isEmpty) Seq.empty[FileEntry]
+      else writeFiles(spark, table, slot,
+        kept.repartitionByRange(math.max(1, touched.size), clusterCols: _*),
+        statsCols.map(originalName(snap, _)), parts)
+    val v = commitOp(table, parent, snap, untouched ++ written, snap.batches,
+      "delete" -> keyOrig)
+    MergeResult(v, touched.size, untouched.size)
+  }
+
+  /** APPLY A CHANGE FEED (r15 — the CDC round trip's consumer half):
+    * take a batch of [[tableChanges]]/streaming-CDF rows (the table
+    * schema plus `_change_type`) and apply it to THIS table —
+    * `delete`/`update_preimage` rows remove their keys, `insert`/
+    * `update_postimage` rows upsert — so a replica follows a source
+    * table through its feed: replica ≡ source after every applied
+    * window (spec-gated). Deletes land first, then the upsert; within
+    * one netted window a key carries at most one terminal state per
+    * side, so the order only matters for delete-then-reinsert shapes
+    * across merged windows — which the upsert-last order serves.
+    */
+  def applyChanges(spark: SparkSession, table: String, changes: DataFrame,
+      keyCol: String, statsCols: Seq[String]): Int = {
+    val ups = changes
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .drop("_change_type")
+    val upKeys = ups.select(col(keyCol))
+    // a delete whose key is re-upserted in the same batch is the
+    // delete half of an update (or a reinsert) — the upsert replaces
+    // the row anyway, so only keys WITHOUT a new image delete
+    val dels = changes
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .select(col(keyCol)).join(upKeys, Seq(keyCol), "left_anti")
+    if (!dels.isEmpty) deleteKeys(spark, table, dels, keyCol, statsCols)
+    if (!ups.isEmpty) merge(spark, table, ups, keyCol, statsCols)
+    latestVersion(table)
+  }
+
   /** DELETE WHERE `predCol` ∈ [lo, hi] (bounds as the stats-string
     * rendering of the column's type, like [[pruneTyped]]): copy-on-
     * write at file granularity — only files whose min/max stats
@@ -2929,6 +2995,61 @@ object TxTable {
        |UNION ALL SELECT 'update_postimage', 'upd', nu, su FROM u
        |UNION ALL SELECT 'update_preimage', 'base', nu, su FROM u
        |ORDER BY change_type, tag""".stripMargin
+
+  /** tx_table_changes — the BATCH change feed as a driver-oracled
+    * query (r15): stage orders, MERGE an update set (every 10th key
+    * re-tagged + [[MergeInserts]] new keys), DV-delete a key band,
+    * then read BOTH windows through [[tableChanges]] and aggregate per
+    * (window, change_type, tag). Matching the oracle proves the batch
+    * relation end to end: the merge window pairs into update images
+    * (insert set arrives as plain inserts), the DV window surfaces
+    * exactly its tombstoned rows as deletes against the POST-MERGE
+    * state (the 'upd' rows it caught carry their merged tag), and
+    * carry-over rows never appear.
+    */
+  def tableChangesQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Files.createTempDirectory("graft_tx_tc").resolve("t").toString
+    val base = graft.util.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").cast("long").as("k"), lit("base").as("tag"))
+    create(spark, t, base.repartitionByRange(8, col("k")), Seq("k"))
+    val mk = base.agg(max(col("k"))).head().getLong(0)
+    val updates = base.filter(col("k") % 10 === 0)
+      .select(col("k"), lit("upd").as("tag"))
+      .unionByName(spark.range(1, MergeInserts + 1)
+        .select((col("id") + mk).as("k"), lit("ins").as("tag")))
+    merge(spark, t, updates, "k", Seq("k"))
+    val vMerge = latestVersion(t)
+    deleteWithDV(spark, t, "k", (mk / 4).toString, (mk / 2).toString)
+    val vDv = latestVersion(t)
+    tableChanges(spark, t, 1, vMerge).withColumn("w", lit("w1"))
+      .unionByName(tableChanges(spark, t, vMerge, vDv).withColumn("w", lit("w2")))
+      .select(col("w"), col("_change_type").as("change_type"), col("tag"),
+        col("k"))
+      .groupBy(col("w"), col("change_type"), col("tag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"))
+      .orderBy(col("w"), col("change_type"), col("tag"))
+  }
+
+  def tableChangesQuerySql: String =
+    s"""WITH m AS (SELECT max(o_orderkey) AS mk FROM orders),
+       |u AS (SELECT count(*) AS nu, CAST(sum(o_orderkey) AS BIGINT) AS su
+       | FROM orders WHERE o_orderkey % 10 = 0),
+       |b AS (SELECT count(*) AS nb, CAST(sum(o_orderkey) AS BIGINT) AS sb
+       | FROM orders, m
+       | WHERE o_orderkey >= mk // 4 AND o_orderkey <= mk // 2
+       |   AND o_orderkey % 10 <> 0),
+       |bu AS (SELECT count(*) AS nbu, CAST(sum(o_orderkey) AS BIGINT) AS sbu
+       | FROM orders, m
+       | WHERE o_orderkey >= mk // 4 AND o_orderkey <= mk // 2
+       |   AND o_orderkey % 10 = 0)
+       |SELECT 'w1' AS w, 'insert' AS change_type, 'ins' AS tag,
+       |  CAST(${MergeInserts} AS BIGINT) AS n_rows,
+       |  CAST(${MergeInserts} * mk + ${MergeInserts * (MergeInserts + 1) / 2} AS BIGINT) AS k_sum FROM m
+       |UNION ALL SELECT 'w1', 'update_postimage', 'upd', nu, su FROM u
+       |UNION ALL SELECT 'w1', 'update_preimage', 'base', nu, su FROM u
+       |UNION ALL SELECT 'w2', 'delete', 'base', nb, sb FROM b
+       |UNION ALL SELECT 'w2', 'delete', 'upd', nbu, sbu FROM bu
+       |ORDER BY w, change_type, tag""".stripMargin
 
   // ---------------------------------------------------------------- vacuum
 

@@ -2054,6 +2054,46 @@ class TxTableSpec extends SparkSpecBase {
     assert(TxTable.countRows(t) == TxTable.read(spark, t).count())
   }
 
+  test("CDC round trip: a replica follows the source through applyChanges(tableChanges) — replica ≡ source after every window (r15)") {
+    import spark.implicits._
+    val src = tmpTable()
+    val rep = tmpTable()
+    val base = (1L to 30L).map(i => (i, "base", i * 1.0)).toDF("id", "tag", "v")
+    TxTable.create(spark, src, base.repartitionByRange(3, col("id")), Seq("id"))
+    TxTable.create(spark, rep, base.repartitionByRange(3, col("id")), Seq("id"))
+    def rows(t: String) = TxTable.read(spark, t)
+      .select(col("id"), col("tag"), col("v"))
+      .as[(Long, String, Double)].collect().toSet
+    def follow(fromV: Int): Int = {
+      val toV = TxTable.latestVersion(src)
+      TxTable.applyChanges(spark, rep,
+        TxTable.tableChanges(spark, src, fromV, toV), "id", Seq("id"))
+      assert(rows(rep) == rows(src),
+        s"replica diverged after window ($fromV, $toV]")
+      toV
+    }
+    // window A: a keyed merge (update images + inserts)
+    TxTable.merge(spark, src,
+      Seq((3L, "upd", 30.0), (7L, "upd", 70.0), (31L, "ins", 31.0))
+        .toDF("id", "tag", "v"), "id", Seq("id"))
+    var at = follow(1)
+    // window B: a DV point delete (merge-on-read deletes in the feed)
+    TxTable.deleteWithDV(spark, src, "id", "10", "12")
+    at = follow(at)
+    // window C: a keyed delete (deleteKeys — the CDC delete primitive)
+    val dk = TxTable.deleteKeys(spark, src,
+      Seq(5L, 17L, 31L).toDF("id"), "id", Seq("id"))
+    assert(dk.rewritten >= 1)
+    at = follow(at)
+    // window D: a copy-on-write band delete + another merge, applied
+    // as ONE netted window (mixed ops — no pairing, plain diff)
+    TxTable.delete(spark, src, "id", "20", "22", Seq("id"))
+    TxTable.merge(spark, src,
+      Seq((1L, "upd2", -1.0)).toDF("id", "tag", "v"), "id", Seq("id"))
+    follow(at)
+    assert(rows(src).nonEmpty && !rows(src).exists(r => Set(5L, 17L, 31L)(r._1)))
+  }
+
   test("CHECK constraints: manifest-stored, enforced on every write tier before any file lands, SQL null semantics, survive restore (r15)") {
     import spark.implicits._
     val t = tmpTable()
