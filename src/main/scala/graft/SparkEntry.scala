@@ -235,9 +235,11 @@ object SparkEntry {
     "source_minhash_sim"  -> Training.sourceMinhashSim _,
     "tx_merge"            -> graft.sources.TxTable.mergeQuery _,
     "tx_merge_part"       -> graft.sources.TxTable.mergePartitionedQuery _,
+    "tx_merge_clauses"    -> graft.sources.TxTable.mergeClausesQuery _,
     "tx_time_travel"      -> graft.sources.TxTable.timeTravelQuery _,
     "tx_sql_read"         -> graft.sources.TxTable.sqlReadQuery _,
     "tx_catalog_read"     -> graft.sources.TxTable.catalogReadQuery _,
+    "tx_sql_dml"          -> graft.sources.TxTable.sqlDmlQuery _,
     "tx_delete"           -> graft.sources.TxTable.deleteQuery _,
     "tx_delete_pred"      -> graft.sources.TxTable.deletePredQuery _,
     "tx_dv_delete"        -> graft.sources.TxTable.dvDeleteQuery _,
@@ -585,9 +587,11 @@ object SparkEntry {
     "source_minhash_sim"  -> Training.sourceMinhashSimSql,
     "tx_merge"            -> graft.sources.TxTable.mergeQuerySql,
     "tx_merge_part"       -> graft.sources.TxTable.mergePartitionedQuerySql,
+    "tx_merge_clauses"    -> graft.sources.TxTable.mergeClausesQuerySql,
     "tx_time_travel"      -> graft.sources.TxTable.timeTravelQuerySql,
     "tx_sql_read"         -> graft.sources.TxTable.sqlReadQuerySql,
     "tx_catalog_read"     -> graft.sources.TxTable.catalogReadQuerySql,
+    "tx_sql_dml"          -> graft.sources.TxTable.sqlDmlQuerySql,
     "tx_delete"           -> graft.sources.TxTable.deleteQuerySql,
     "tx_delete_pred"      -> graft.sources.TxTable.deletePredQuerySql,
     "tx_dv_delete"        -> graft.sources.TxTable.dvDeleteQuerySql,
@@ -798,6 +802,9 @@ object SparkEntry {
     "dedup_embed_cosine"  -> Similarity.embedCosineDedupSql,
     "dedup_semantic"      -> Similarity.semanticDedupSql,
     "mm_meta"             -> Multimodal.metaSql,
+    "mm_audio_fp"         -> Multimodal.audioFpSql,
+    "mm_video_scenes"     -> Multimodal.videoScenesSql,
+    "mm_image_phash"      -> Multimodal.imagePhashPairsSql,
     "pipeline_curate"     -> Curate.curateSql,
     "stream_window_agg"   -> EventStreams.windowAggSql,
     "stream_sessionize"   -> EventStreams.sessionizeSql,

@@ -24,11 +24,16 @@ import org.apache.spark.sql.types.Decimal
   * or [[GraftFunctions.register]] on an existing session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name), builder))
     }
+    // SQL DML (DELETE FROM / UPDATE / MERGE INTO) over graft-tx
+    // relations lowers onto the TxTable mutation engine (r16)
+    ext.injectResolutionRule(session =>
+      new graft.sources.TxDmlRule(session))
+  }
 }
 
 object GraftFunctions {

@@ -55,8 +55,15 @@ final class TxDataSource extends RelationProvider with SchemaRelationProvider
       return new TxChangesRelation(sqlContext, table, from - 1, to)
     }
     val version = resolveVersionOption(table, parameters)
-    new TxRelation(sqlContext, table, version)
+    new TxRelation(sqlContext, table, version, pinned = pinnedOf(parameters))
   }
+
+  /** A relation registered with an explicit `version`/`timestampAsOf`
+    * is a PINNED historical view — SQL DML must refuse it (mutating
+    * the past is not a thing).
+    */
+  private def pinnedOf(parameters: Map[String, String]): Boolean =
+    parameters.contains("version") || parameters.contains("timestampAsOf")
 
   /** `version` (explicit) or `timestampAsOf` (epoch millis, an ISO
     * instant, or `yyyy-MM-dd HH:mm:ss` local time) — Delta's two
@@ -86,7 +93,8 @@ final class TxDataSource extends RelationProvider with SchemaRelationProvider
       parameters: Map[String, String], schema: StructType): BaseRelation = {
     val table = tableOf(parameters)
     new TxRelation(sqlContext, table,
-      resolveVersionOption(table, parameters), Some(schema))
+      resolveVersionOption(table, parameters), Some(schema),
+      pinned = pinnedOf(parameters))
   }
 
   /** `df.write.format("graft-tx")` — the write half of the SQL
@@ -320,8 +328,8 @@ object TxDataSource {
   * surfaces nulls for pre-evolution files, and a later writer's files
   * are invisible to this snapshot (snapshot isolation).
   */
-final class TxRelation(ctx: SQLContext, table: String, version: Int,
-    providedSchema: Option[StructType] = None)
+final class TxRelation(ctx: SQLContext, val table: String, version: Int,
+    providedSchema: Option[StructType] = None, val pinned: Boolean = false)
     extends BaseRelation with PrunedFilteredScan {
 
   private val spark = ctx.sparkSession

@@ -1,0 +1,245 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.catalog.{CatalogTable, UnresolvedCatalogRelation}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** SQL DML over graft-tx tables (r16, VERDICT-r15 #2): an analyzer
+  * rule (injected by `graft.functions.GraftExtensions`) that lowers
+  * the three row-level DML statements —
+  *
+  *   DELETE FROM t WHERE …
+  *   UPDATE t SET … WHERE …
+  *   MERGE INTO t USING s ON t.k = s.k WHEN …
+  *
+  * — onto the TxTable mutation engine ([[TxTable.deleteWhere]] /
+  * [[TxTable.updateWhere]] / [[TxTable.mergeClauses]]) when the target
+  * resolves to a graft-tx relation (temp view, `CREATE TABLE … USING
+  * graft-tx`, or the DSv2 session-catalog V1 passthrough those
+  * statements resolve through). Without the rule Spark rejects the
+  * statements outright ("only supported with v2 tables"); with it the
+  * catalog surface that could already READ transactional tables
+  * (`tx_sql_read`/`tx_catalog_read`) can also mutate them — the first
+  * wall a SQL warehouse user hits.
+  *
+  * Resolution details:
+  *  - Conditions/assignments arrive RESOLVED against the relation's
+  *    attributes; they are re-bound BY NAME (attribute references →
+  *    `UnresolvedAttribute`) because the mutation engine analyzes its
+  *    own fresh scan of the table. Subquery predicates are refused
+  *    (their correlation cannot re-bind by name).
+  *  - MERGE requires an equality merge condition on ONE column with
+  *    the SAME name on both sides (`ON t.k = s.k`) — the engine's
+  *    keyed contract; alias the source key when it differs.
+  *  - A version-pinned relation (`version`/`timestampAsOf` options)
+  *    refuses DML: mutating a historical snapshot is not a thing.
+  *  - Stats columns for the rewrite carry forward from the manifest
+  *    ([[TxTable.statsColumnsOf]]) — SQL has no place to declare them.
+  */
+class TxDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case d @ DeleteFromTable(target, condition) if d.resolved =>
+      TxDml.target(target) match {
+        case Some(tbl) =>
+          TxDml.refusePinned(tbl, "DELETE")
+          GraftDeleteCommand(tbl.path, TxDml.rebind(condition, "DELETE"),
+            tbl.ident)
+        case None => d
+      }
+    case u @ UpdateTable(target, assignments, condition) if u.resolved =>
+      TxDml.target(target) match {
+        case Some(tbl) =>
+          TxDml.refusePinned(tbl, "UPDATE")
+          val set = assignments.map(a => TxDml.assignName(a.key) ->
+            TxDml.rebind(a.value, "UPDATE SET")).toMap
+          val cond = condition.map(TxDml.rebind(_, "UPDATE"))
+          GraftUpdateCommand(tbl.path, set, cond, tbl.ident)
+        case None => u
+      }
+    case m: MergeIntoTable if m.resolved &&
+        TxDml.target(m.targetTable).isDefined =>
+      val tbl = TxDml.target(m.targetTable).get
+      TxDml.refusePinned(tbl, "MERGE INTO")
+      require(!m.withSchemaEvolution,
+        "graft-tx MERGE does not support WITH SCHEMA EVOLUTION")
+      val srcOut = m.sourceTable.outputSet
+      val key = TxDml.mergeKey(m.mergeCondition, srcOut)
+      val matched = m.matchedActions.map(TxDml.matchedClause(_, srcOut))
+      val nmbs = m.notMatchedBySourceActions.map(TxDml.matchedClause(_, srcOut))
+      val inserts = m.notMatchedActions.map(TxDml.insertClause(_))
+      GraftMergeCommand(tbl.path, m.sourceTable, key, matched, inserts, nmbs,
+        tbl.ident)
+    case other => other
+  }
+}
+
+private[graft] object TxDml {
+  final case class Target(path: String, pinned: Boolean,
+      ident: Option[String] = None)
+
+  /** Unwrap a DML statement's resolved target down to a graft-tx
+    * relation, across the shapes the analyzer can produce: an aliased
+    * V1 LogicalRelation over [[TxRelation]] (temp views, resolved
+    * catalog reads), the DSv2 session-catalog V1 passthrough DML
+    * resolution prefers, or the pre-datasource-resolution catalog
+    * relation.
+    */
+  def target(plan: LogicalPlan): Option[Target] = plan match {
+    case SubqueryAlias(_, child) => target(child)
+    case lr: LogicalRelation => lr.relation match {
+      case r: TxRelation => Some(Target(r.table, r.pinned,
+        lr.catalogTable.map(_.identifier.unquotedString)))
+      case _             => None
+    }
+    case r: DataSourceV2Relation =>
+      GraftBridge.v1CatalogTable(r.table).flatMap(fromCatalog)
+    case u: UnresolvedCatalogRelation => fromCatalog(u.tableMeta)
+    case _ => None
+  }
+
+  private def fromCatalog(ct: CatalogTable): Option[Target] = {
+    if (!ct.provider.exists(_.equalsIgnoreCase("graft-tx"))) return None
+    val opts = ct.storage.properties
+    val raw = opts.getOrElse("path",
+      ct.storage.locationUri.map(_.toString).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-tx catalog table ${ct.identifier} has no path")))
+    val path = if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw
+    Some(Target(path,
+      opts.contains("version") || opts.contains("timestampAsOf"),
+      Some(ct.identifier.unquotedString)))
+  }
+
+  /** Drop the session catalog's cached relation for the mutated table
+    * so the NEXT read re-resolves against the new latest version — a
+    * DSv1 relation pins its snapshot at construction, and Spark caches
+    * resolved DataSource tables per catalog entry (Delta calls the
+    * same refresh after its own DML commands).
+    */
+  def refresh(spark: SparkSession, ident: Option[String]): Unit =
+    ident.foreach(spark.catalog.refreshTable)
+
+  def refusePinned(t: Target, what: String): Unit =
+    require(!t.pinned,
+      s"$what on a version-pinned graft-tx relation (${t.path}) — " +
+        s"historical snapshots are immutable; register an unpinned table")
+
+  /** Re-bind a resolved expression BY NAME so the mutation engine can
+    * resolve it against its own scan. `_s_`-prefixing for attributes
+    * in `srcOut` routes source references through [[TxTable.srcCol]]'s
+    * rename inside the clause join.
+    */
+  def rebind(e: Expression, what: String,
+      srcOut: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+        org.apache.spark.sql.catalyst.expressions.AttributeSet.empty): Column = {
+    require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+      s"graft-tx $what does not support subquery predicates")
+    GraftBridge.toColumn(e.transform {
+      case a: AttributeReference if srcOut.contains(a) =>
+        UnresolvedAttribute.quoted(s"_s_${a.name}")
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+  }
+
+  def assignName(key: Expression): String = key match {
+    case a: Attribute => a.name
+    case other => throw new IllegalArgumentException(
+      s"graft-tx UPDATE/MERGE SET supports top-level columns only, got $other")
+  }
+
+  /** The single equality key `ON t.k = s.k` — same name both sides. */
+  def mergeKey(cond: Expression,
+      srcOut: org.apache.spark.sql.catalyst.expressions.AttributeSet): String =
+    cond match {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        val (t, s) = if (srcOut.contains(b)) (a, b) else (b, a)
+        require(srcOut.contains(s) && !srcOut.contains(t) && t.name == s.name,
+          s"graft-tx MERGE needs ON target.k = source.k with the SAME " +
+            s"column name on both sides, got ${t.name} = ${s.name} — " +
+            s"alias the source key to the target's name")
+        t.name
+      case other => throw new IllegalArgumentException(
+        s"graft-tx MERGE supports a single-column equality merge " +
+          s"condition, got $other")
+    }
+
+  def matchedClause(a: MergeAction,
+      srcOut: org.apache.spark.sql.catalyst.expressions.AttributeSet):
+      TxTable.MergeClause = a match {
+    case DeleteAction(cond) =>
+      TxTable.MergeClause(cond.map(rebind(_, "MERGE WHEN", srcOut)),
+        TxTable.MergeDelete)
+    case UpdateAction(cond, assignments, _) =>
+      TxTable.MergeClause(cond.map(rebind(_, "MERGE WHEN", srcOut)),
+        TxTable.MergeUpdate(assignments.map(as =>
+          assignName(as.key) -> rebind(as.value, "MERGE SET", srcOut)).toMap))
+    case UpdateStarAction(cond) =>
+      TxTable.MergeClause(cond.map(rebind(_, "MERGE WHEN", srcOut)),
+        TxTable.MergeUpdateAll)
+    case other => throw new IllegalArgumentException(
+      s"graft-tx MERGE: unsupported matched action $other")
+  }
+
+  /** Insert clauses evaluate ON THE SOURCE FRAME — bare source names. */
+  def insertClause(a: MergeAction): TxTable.InsertClause = a match {
+    case InsertAction(cond, assignments) =>
+      TxTable.InsertClause(cond.map(rebind(_, "MERGE WHEN NOT MATCHED")),
+        Some(assignments.map(as => assignName(as.key) ->
+          rebind(as.value, "MERGE INSERT")).toMap))
+    case InsertStarAction(cond) =>
+      TxTable.InsertClause(cond.map(rebind(_, "MERGE WHEN NOT MATCHED")), None)
+    case other => throw new IllegalArgumentException(
+      s"graft-tx MERGE: unsupported not-matched action $other")
+  }
+}
+
+/** `DELETE FROM <graft-tx table> WHERE cond` — runs eagerly at
+  * spark.sql() time like every Spark command.
+  */
+case class GraftDeleteCommand(path: String, cond: Column,
+    ident: Option[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    TxTable.deleteWhere(spark, path, cond, TxTable.statsColumnsOf(path))
+    TxDml.refresh(spark, ident)
+    Seq.empty
+  }
+}
+
+/** `UPDATE <graft-tx table> SET … WHERE cond`. */
+case class GraftUpdateCommand(path: String, set: Map[String, Column],
+    cond: Option[Column], ident: Option[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.lit
+    TxTable.updateWhere(spark, path, cond.getOrElse(lit(true)), set,
+      TxTable.statsColumnsOf(path))
+    TxDml.refresh(spark, ident)
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO <graft-tx table> USING source ON t.k = s.k WHEN …` —
+  * the source plan materializes as a DataFrame at run time and the
+  * clause set lowers onto [[TxTable.mergeClauses]].
+  */
+case class GraftMergeCommand(path: String, source: LogicalPlan, key: String,
+    whenMatched: Seq[TxTable.MergeClause],
+    whenNotMatched: Seq[TxTable.InsertClause],
+    whenNotMatchedBySource: Seq[TxTable.MergeClause],
+    ident: Option[String]) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src: DataFrame = GraftBridge.dataFrame(spark, source)
+    TxTable.mergeClauses(spark, path, src, key, TxTable.statsColumnsOf(path),
+      whenMatched, whenNotMatched, whenNotMatchedBySource)
+    TxDml.refresh(spark, ident)
+    Seq.empty
+  }
+}

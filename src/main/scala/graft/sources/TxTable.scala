@@ -224,6 +224,12 @@ object TxTable {
           out
         }
       cache.synchronized {
+        // two threads can race the same miss: only the FIRST insert
+        // accounts the bytes — the second returns the existing entry,
+        // or replacing would double-count and prematurely evict hot
+        // DVs (ADVICE r15)
+        val raced = cache.get(ck)
+        if (raced != null) return raced
         cachedBytes += arr.length.toLong * 8
         cache.put(ck, arr)
         evictToBudget()
@@ -338,9 +344,17 @@ object TxTable {
     * logical names) every data write must satisfy — Delta's table-
     * constraint shape; NULL predicates PASS (SQL CHECK semantics).
     */
+  /** `added`: columns DECLARED on the table (name → Spark DDL type)
+    * that data files may not carry yet — [[addColumn]]'s metadata-only
+    * evolution. [[toLogical]] surfaces them as typed nulls until an
+    * evolved write lands real values (Delta/Iceberg add-column
+    * semantics). Full-replacement-map manifest contract, like
+    * renames/drops/checks.
+    */
   private final case class Snapshot(files: Seq[FileEntry], batches: Set[Long],
       renames: Map[String, String] = Map.empty, drops: Set[String] = Set.empty,
-      checks: Map[String, String] = Map.empty)
+      checks: Map[String, String] = Map.empty,
+      added: Map[String, String] = Map.empty)
 
   private val EmptySnapshot = Snapshot(Seq.empty, Set.empty)
 
@@ -369,7 +383,8 @@ object TxTable {
       if (node.has("files")) {
         val files = node.get("files").elements().asScala.map(parseEntry).toSeq
         base = Snapshot(files, parseBatches(node, "batches"),
-          parseRenames(node), parseDrops(node), parseChecks(node))
+          parseRenames(node), parseDrops(node), parseChecks(node),
+          parseAdded(node))
       } else {
         deltas ::= node // prepend: ends up in ascending version order
         w -= 1
@@ -382,6 +397,7 @@ object TxTable {
     var renames = base.renames
     var drops = base.drops
     var checks = base.checks
+    var added = base.added
     deltas.foreach { d =>
       Option(d.get("removes")).foreach(_.elements().asScala.foreach { p =>
         files.remove(p.asText()); ()
@@ -401,8 +417,9 @@ object TxTable {
       if (d.has("renames")) renames = parseRenames(d)
       if (d.has("drops")) drops = parseDrops(d)
       if (d.has("checks")) checks = parseChecks(d)
+      if (d.has("added")) added = parseAdded(d)
     }
-    Snapshot(files.values.toList, batches, renames, drops, checks)
+    Snapshot(files.values.toList, batches, renames, drops, checks, added)
   }
 
   private def parseRenames(node: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
@@ -417,6 +434,11 @@ object TxTable {
   private def parseChecks(node: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
     Option(node.get("checks")).map { cn =>
       cn.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty)
+
+  private def parseAdded(node: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+    Option(node.get("added")).map { an =>
+      an.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty)
 
   def manifest(table: String, version: Int): Manifest =
@@ -534,7 +556,8 @@ object TxTable {
   private def fullNode(version: Int, files: Seq[FileEntry],
       batches: Set[Long], renames: Map[String, String] = Map.empty,
       drops: Set[String] = Set.empty,
-      checks: Map[String, String] = Map.empty): com.fasterxml.jackson.databind.node.ObjectNode = {
+      checks: Map[String, String] = Map.empty,
+      added: Map[String, String] = Map.empty): com.fasterxml.jackson.databind.node.ObjectNode = {
     val root = M.createObjectNode()
     root.put("version", version)
     if (batches.nonEmpty) {
@@ -543,6 +566,7 @@ object TxTable {
     }
     putMapping(root, renames, drops)
     putChecks(root, checks)
+    putAdded(root, added)
     val arr = root.putArray("files")
     files.foreach(entryNode(arr, _))
     root
@@ -553,6 +577,15 @@ object TxTable {
     if (checks.nonEmpty) {
       val cn = node.putObject("checks")
       checks.toSeq.sortBy(_._1).foreach { case (n, p) => cn.put(n, p); () }
+    }
+    ()
+  }
+
+  private def putAdded(node: com.fasterxml.jackson.databind.node.ObjectNode,
+      added: Map[String, String]): Unit = {
+    if (added.nonEmpty) {
+      val an = node.putObject("added")
+      added.toSeq.sortBy(_._1).foreach { case (n, t) => an.put(n, t); () }
     }
     ()
   }
@@ -628,8 +661,10 @@ object TxTable {
       files: Seq[FileEntry], batches: Set[Long],
       renames: Map[String, String], drops: Set[String],
       op: Option[(String, String)] = None,
-      newChecks: Option[Map[String, String]] = None): Int = {
+      newChecks: Option[Map[String, String]] = None,
+      newAdded: Option[Map[String, String]] = None): Int = {
     val checks = newChecks.getOrElse(parentSnap.checks)
+    val added = newAdded.getOrElse(parentSnap.added)
     val v = parent + 1
     val parentPaths = parentSnap.files.map(_.path).toSet
     val newPaths = files.map(_.path).toSet
@@ -659,7 +694,7 @@ object TxTable {
       }
     val root =
       if (v == 1 || v % CheckpointInterval == 0) {
-        val node = fullNode(v, files, batches, renames, drops, checks)
+        val node = fullNode(v, files, batches, renames, drops, checks, added)
         // checkpoints ALSO carry their own action delta, so the
         // streaming source's per-version walk ([[actionsBetween]])
         // never needs to diff two resolved manifests
@@ -698,6 +733,12 @@ object TxTable {
         if (checks != parentSnap.checks) {
           val cn = node.putObject("checks")
           checks.toSeq.sortBy(_._1).foreach { case (n, p) => cn.put(n, p); () }
+        }
+        // same full-replacement-map contract: present even when
+        // emptied, absent = inherit
+        if (added != parentSnap.added) {
+          val an = node.putObject("added")
+          added.toSeq.sortBy(_._1).foreach { case (n, t) => an.put(n, t); () }
         }
         putDvs(node)
         node
@@ -789,13 +830,17 @@ object TxTable {
     * itself: deriving it from the diff would execute the exceptAll
     * trees three times (measured +70% shuffle on tx_cdf_stream), and a
     * carried key that slips into the raw intersection is harmless — it
-    * has no diff rows to re-label. The key set is bounded by the
-    * merge's update cardinality, so it broadcasts.
+    * has no diff rows to re-label. NOTE the set is bounded by the
+    * REWRITTEN FILES' key cardinality (copy-on-write puts every
+    * carried key on both raw sides), which can approach the whole
+    * table on a wide merge — so the join is left to the planner (AQE
+    * broadcasts it when it measures small) instead of a forced
+    * broadcast that could OOM the driver (ADVICE r15).
     */
   private[graft] def pairUpdates(diff: DataFrame, updKeys: DataFrame,
       key: String, changeCol: String): DataFrame = {
     val cols = diff.columns.toSeq
-    val both = broadcast(updKeys.distinct().withColumn("_upd", lit(true)))
+    val both = updKeys.distinct().withColumn("_upd", lit(true))
     diff.join(both, Seq(key), "left")
       .withColumn(changeCol,
         when(col("_upd").isNotNull && col(changeCol) === "delete",
@@ -939,9 +984,17 @@ object TxTable {
 
   /** Append-only commit: old files carry over by reference — an
     * O(delta) action record unless the version lands on a checkpoint.
+    *
+    * SCHEMA (r16): an append whose frame carries columns beyond the
+    * table's logical schema refuses unless `mergeSchema = true` — the
+    * evolving write then DECLARES the new columns in the same commit
+    * (Delta's `mergeSchema` write evolution); pre-evolution files read
+    * as nulls (the read side already merges). Columns already declared
+    * via [[addColumn]] are part of the schema — appending values for
+    * them needs no option.
     */
   def append(spark: SparkSession, table: String, df: DataFrame,
-      statsCols: Seq[String]): Int = {
+      statsCols: Seq[String], mergeSchema: Boolean = false): Int = {
     val parent = latestVersion(table)
     val slot = f"v${parent + 1}%08d"
     val snap = resolveSnapshot(table, parent)
@@ -949,11 +1002,35 @@ object TxTable {
       s"$table is hive-partitioned — use appendPartitioned (a flat append " +
         s"would mix layouts in one live set and break the basePath scan)")
     enforceChecks(snap, df, s"append into $table")
-    commitOp(table, parent, snap,
+    val newAdded = schemaEvolution(snap, df, mergeSchema,
+      s"append into $table")
+    commitResolved(table, parent, snap,
       snap.files ++ writeFiles(spark, table, slot, toPhysical(snap, df),
         statsCols.map(originalName(snap, _))), snap.batches,
-      "append" -> "")
+      snap.renames, snap.drops, Some("append" -> ""), None, newAdded)
   }
+
+  /** The evolution decision for a write frame: None (inherit) when the
+    * frame fits the logical schema; the widened declaration map when
+    * `mergeSchema` authorizes new columns; refusal otherwise. Legacy
+    * live sets without recorded column lists skip validation.
+    */
+  private def schemaEvolution(snap: Snapshot, df: DataFrame,
+      mergeSchema: Boolean, what: String): Option[Map[String, String]] =
+    logicalColsOf(snap) match {
+      case None => None
+      case Some(cols) =>
+        val extras = df.columns.filterNot(cols.contains)
+        if (extras.isEmpty) None
+        else {
+          require(mergeSchema,
+            s"$what carries columns ${extras.toSeq} beyond the table's " +
+              s"schema — pass mergeSchema = true to evolve, or project " +
+              s"them away")
+          Some(snap.added ++ extras.map(c =>
+            c -> df.schema(c).dataType.sql))
+        }
+    }
 
   /** Create the table with HIVE-STYLE PARTITION LAYOUT: data lands
     * under `data/v00000001/<col>=<value>/part-*.parquet` — the
@@ -982,7 +1059,8 @@ object TxTable {
     * files under the new slot's `<col>=<value>` dirs.
     */
   def appendPartitioned(spark: SparkSession, table: String, df: DataFrame,
-      partitionCols: Seq[String], statsCols: Seq[String]): Int = {
+      partitionCols: Seq[String], statsCols: Seq[String],
+      mergeSchema: Boolean = false): Int = {
     val parent = latestVersion(table)
     val snap = resolveSnapshot(table, parent)
     val declared = snap.files.flatMap(_.parts.keys).distinct
@@ -998,12 +1076,15 @@ object TxTable {
         partitionCols.map(originalName(snap, _)).sorted,
       s"partition columns $partitionCols do not match the table's $declared")
     enforceChecks(snap, df, s"append into $table")
+    val newAdded = schemaEvolution(snap, df, mergeSchema,
+      s"append into $table")
     val slot = f"v${parent + 1}%08d"
-    commitOp(table, parent, snap,
+    commitResolved(table, parent, snap,
       snap.files ++ writeFiles(spark, table, slot, toPhysical(snap, df),
         statsCols.map(originalName(snap, _)),
         partitionCols.map(originalName(snap, _))),
-      snap.batches, "append" -> "")
+      snap.batches, snap.renames, snap.drops, Some("append" -> ""),
+      None, newAdded)
   }
 
   /** Partition pruning on the DIRECTORY signal alone: split the live
@@ -1114,9 +1195,20 @@ object TxTable {
     val written = writeFiles(spark, table, slot, toPhysical(snapAtWrite, df),
       statsCols.map(originalName(snapAtWrite, _)))
     var attempt = 0
+    var checkedUnder = snapAtWrite.checks
     while (true) {
       val parent = latestVersion(table)
       val snap = resolveSnapshot(table, parent)
+      // a CHECK constraint added by a CONCURRENT writer between the
+      // file write and this commit attempt must gate THIS append too:
+      // re-validate the already-written rows against the new
+      // constraint set before attaching them (ADVICE r15) — a cheap
+      // scan of only this append's files
+      if (snap.checks != checkedUnder) {
+        enforceChecks(snap, toLogical(snap, rawRead(spark, table, written)),
+          s"append into $table (rebased under new constraints)")
+        checkedUnder = snap.checks
+      }
       try return commitOp(table, parent, snap, snap.files ++ written,
         snap.batches, "append" -> "")
       catch {
@@ -1172,7 +1264,7 @@ object TxTable {
     // its files' logical view is part of the state being restored
     commitResolved(table, parent, parentSnap, toSnap.files, parentSnap.batches,
       toSnap.renames, toSnap.drops, Some("restore" -> toVersion.toString),
-      Some(toSnap.checks))
+      Some(toSnap.checks), Some(toSnap.added))
   }
 
   /** DESCRIBE HISTORY: one row per RETAINED version — file count,
@@ -1284,6 +1376,29 @@ object TxTable {
     require(parent >= 1, s"table does not exist: $table")
     require(from != to, "rename requires distinct names")
     val snap = resolveSnapshot(table, parent)
+    // a column referenced by a stored CHECK predicate cannot move out
+    // from under it: the predicate SQL is stored BY NAME, so the
+    // rename would make every later write fail analysis — or worse, a
+    // rename chain reusing the old name would silently enforce the
+    // predicate against the wrong column's data (ADVICE r15)
+    require(!checkRefNames(snap).contains(from),
+      s"column $from is referenced by a CHECK constraint on $table — " +
+        s"drop the constraint first (predicates are stored by name)")
+    // a DECLARED column's map entry follows the rename; when no file
+    // carries it yet the rename is a pure added-map move, otherwise it
+    // ALSO needs the physical mapping below (values landed under the
+    // old logical name)
+    val movedAdd: Option[Map[String, String]] =
+      if (snap.added.contains(from))
+        Some(snap.added - from + (to -> snap.added(from)))
+      else None
+    if (movedAdd.isDefined && !snap.files.exists(_.cols.contains(from))) {
+      require(!snap.added.contains(to) && !snap.renames.contains(to) &&
+        !snap.files.exists(_.cols.map(o => logicalName(snap, o)).contains(to)),
+        s"column $to already exists in $table")
+      return commitResolved(table, parent, snap, snap.files, snap.batches,
+        snap.renames, snap.drops, Some("rename_column" -> to), None, movedAdd)
+    }
     val origName = snap.renames.getOrElse(from, from)
     require(!snap.drops.contains(origName), s"column $from was dropped")
     // collision check against the files' FULL physical column lists —
@@ -1293,7 +1408,7 @@ object TxTable {
     // column list fall back to the stats-key approximation
     val physCols = snap.files.flatMap(f =>
       if (f.cols.nonEmpty) f.cols else f.stats.keys).toSet -- snap.drops
-    val currentLogicals = snap.renames.keySet ++
+    val currentLogicals = snap.renames.keySet ++ snap.added.keySet ++
       physCols.map(o => logicalName(snap, o))
     require(!currentLogicals.contains(to),
       s"column $to already exists in $table")
@@ -1307,7 +1422,7 @@ object TxTable {
       if (to == origName) snap.renames - from // rename-back: pure identity again
       else (snap.renames - from) + (to -> origName)
     commitResolved(table, parent, snap, snap.files, snap.batches,
-      newRenames, snap.drops, Some("rename_column" -> to))
+      newRenames, snap.drops, Some("rename_column" -> to), None, movedAdd)
   }
 
   /** DROP COLUMN as a METADATA-ONLY commit: the original column stays
@@ -1319,12 +1434,65 @@ object TxTable {
     val parent = latestVersion(table)
     require(parent >= 1, s"table does not exist: $table")
     val snap = resolveSnapshot(table, parent)
+    // same rule as rename: a CHECK predicate holds the column by name
+    require(!checkRefNames(snap).contains(name),
+      s"column $name is referenced by a CHECK constraint on $table — " +
+        s"drop the constraint first")
+    // a DECLARED column leaves the added map; if files already carry
+    // values it ALSO needs the physical drop (projection away)
+    val shrunkAdd: Option[Map[String, String]] =
+      if (snap.added.contains(name)) Some(snap.added - name) else None
     val origName = snap.renames.getOrElse(name, name)
+    if (shrunkAdd.isDefined && !snap.files.exists(_.cols.contains(origName)))
+      return commitResolved(table, parent, snap, snap.files, snap.batches,
+        snap.renames, snap.drops, Some("drop_column" -> name), None,
+        shrunkAdd)
     require(!snap.drops.contains(origName), s"column $name already dropped")
     commitResolved(table, parent, snap, snap.files, snap.batches,
       snap.renames - name, snap.drops + origName,
-      Some("drop_column" -> name))
+      Some("drop_column" -> name), None, shrunkAdd)
   }
+
+  /** ADD COLUMN as a METADATA-ONLY commit (r16, VERDICT-r15 missing
+    * #3): declare `name` with Spark DDL type `ddlType` — no data file
+    * changes; reads surface the column as typed nulls ([[toLogical]])
+    * until an evolved write lands real values. The rename/drop
+    * pattern's third member; old snapshots keep their own schema.
+    */
+  def addColumn(table: String, name: String, ddlType: String): Int = {
+    val parent = latestVersion(table)
+    require(parent >= 1, s"table does not exist: $table")
+    val snap = resolveSnapshot(table, parent)
+    org.apache.spark.sql.types.DataType.fromDDL(ddlType) // validate early
+    require(!snap.added.contains(name) &&
+      logicalColsOf(snap).forall(!_.contains(name)),
+      s"column $name already exists in $table")
+    commitResolved(table, parent, snap, snap.files, snap.batches,
+      snap.renames, snap.drops, Some("add_column" -> name), None,
+      Some(snap.added + (name -> ddlType)))
+  }
+
+  /** The table's current LOGICAL column set (file columns minus drops
+    * under current names, plus declared added columns); None when any
+    * live file predates column-list recording (legacy) — callers skip
+    * schema validation then.
+    */
+  private def logicalColsOf(snap: Snapshot): Option[Set[String]] =
+    if (snap.files.exists(_.cols.isEmpty)) None
+    else Some((snap.files.flatMap(_.cols).toSet -- snap.drops)
+      .map(o => logicalName(snap, o)) ++ snap.added.keySet)
+
+  /** Columns referenced by the stored CHECK predicates (current
+    * logical names — constraints are written against those).
+    */
+  private def checkRefNames(snap: Snapshot): Set[String] =
+    snap.checks.values.flatMap { p =>
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(p).collect {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            u.name
+        }
+    }.toSet
 
   /** The column-mapping view of a version: (logical → original
     * renames, dropped original names). Identity/empty on unmapped and
@@ -1364,7 +1532,13 @@ object TxTable {
       case (d, (logical, orig)) =>
         if (d.columns.contains(orig)) d.withColumnRenamed(orig, logical) else d
     }
-    renamed
+    // DECLARED-but-not-yet-written columns surface as typed nulls (the
+    // metadata half of add-column evolution); once any file carries
+    // the column the mergeSchema read serves it and this is a no-op
+    snap.added.foldLeft(renamed) { case (d, (n, ddl)) =>
+      if (d.columns.contains(n)) d
+      else d.withColumn(n, lit(null).cast(ddl))
+    }
   }
 
   // ---------------------------------------------------- check constraints
@@ -1411,6 +1585,19 @@ object TxTable {
     commitResolved(table, parent, snap, snap.files, snap.batches,
       snap.renames, snap.drops, Some("drop_constraint" -> name),
       Some(snap.checks - name))
+  }
+
+  /** The columns the live manifest carries min/max stats for (current
+    * LOGICAL names) — the default stats set a SQL DML statement
+    * re-records on its rewrites (the Scala API takes statsCols
+    * explicitly; SQL has nowhere to say it, so the existing skipping
+    * keys carry forward).
+    */
+  def statsColumnsOf(table: String): Seq[String] = {
+    val snap = resolveSnapshot(table, latestVersion(table))
+    snap.files.flatMap(_.stats.keys).distinct.sorted
+      .filterNot(snap.drops.contains) // drops are physical names
+      .map(logicalName(snap, _))
   }
 
   /** The CHECK constraints in force at `version` (latest by default). */
@@ -1722,6 +1909,92 @@ object TxTable {
   private def partitionColsOf(snap: Snapshot): Seq[String] =
     snap.files.flatMap(_.parts.keys).distinct.sorted
 
+  /** CANDIDATE-FILE selection shared by the keyed-mutation family
+    * ([[mergeSlotted]] / [[mergeClauses]] / [[deleteKeys]]): which live
+    * files could hold a row whose `keyOrig` appears in `probePhys`
+    * (physical names). Returns None when the probe is empty (no
+    * candidate keys → the caller commits nothing), otherwise
+    * (touched, untouched).
+    *
+    * KEY-RANGE pruning is unconditionally sound: a file whose key
+    * stats are disjoint from the probe's key bounds cannot hold a
+    * matched row. PARTITION pruning refines it — by the probe's
+    * DISTINCT partition-value tuples when it carries every partition
+    * column and its partition cardinality is bounded (EXACT for the
+    * SCD1-into-a-date-partitioned-fact shape: an update touching
+    * partitions {2024-01-01, 2024-12-31} intersects exactly those two
+    * directories, never everything between whose key stats overlap);
+    * above the cap, per-column min/max bounds remain the coarse
+    * fallback; a probe without the partition columns gets key-range
+    * pruning only. Files without recorded partition values (mixed/
+    * legacy sets) are conservatively kept.
+    *
+    * SOUNDNESS under PARTITION-MOVING upserts: update() allows SET on
+    * a partition column, so a matched key's OLD row may live in a file
+    * OUTSIDE the probe's partition footprint — classifying that file
+    * untouched would leave the stale row beside the re-inserted one
+    * (silent duplicate keys). Partition pruning is therefore only a
+    * CANDIDATE filter: every partition-pruned, key-intersecting file
+    * is verified by a key-column-only scan (columnar projection — one
+    * column of the ambiguous files, never their payload) semi-joined
+    * with the probe keys; any file holding a matched key rejoins the
+    * touched set. In the common no-movement shape (partition value
+    * functionally determined by the key) the probe finds nothing and
+    * the pruned files carry by reference.
+    */
+  private def keyCandidates(spark: SparkSession, table: String, snap: Snapshot,
+      probePhys: DataFrame, keyOrig: String,
+      parts: Seq[String]): Option[(Seq[FileEntry], Seq[FileEntry])] = {
+    val live = snap.files
+    val pcols = if (parts.forall(probePhys.columns.contains)) parts else Seq.empty
+    // ONE pass over the probe: key bounds + per-partition-column bounds
+    val aggs = Seq(min(col(keyOrig)).cast("string"),
+      max(col(keyOrig)).cast("string")) ++
+      pcols.flatMap(pc => Seq(min(col(pc)).cast("string"),
+        max(col(pc)).cast("string")))
+    val bounds = probePhys.agg(aggs.head, aggs.tail: _*).head()
+    if (bounds.isNullAt(0)) return None
+    val (lo, hi) = (bounds.getString(0), bounds.getString(1))
+    val pBounds = pcols.zipWithIndex.map { case (pc, i) =>
+      pc -> (bounds.getString(2 + 2 * i), bounds.getString(3 + 2 * i))
+    }
+    val (keyTouched, keyDisjoint) = live.partition { f =>
+      f.stats.get(keyOrig).forall(_.intersects(lo, hi))
+    }
+    if (pcols.isEmpty) return Some((keyTouched, keyDisjoint))
+    val pvalCap = 256
+    val pvals: Option[Set[Seq[String]]] = {
+      val rows = probePhys
+        .select(pcols.map(pc => col(pc).cast("string")): _*)
+        .distinct().limit(pvalCap + 1).collect()
+      if (rows.length > pvalCap) None
+      else Some(rows.map(r => pcols.indices.map(r.getString).toList).toSet)
+    }
+    def partMatches(f: FileEntry): Boolean = pvals match {
+      case Some(s) if pcols.forall(f.parts.contains) =>
+        s.contains(pcols.map(f.parts(_)).toList)
+      case _ => pBounds.forall { case (pc, (plo, phi)) =>
+        f.stats.get(pc).forall(s => plo == null || phi == null ||
+          s.intersects(plo, phi))
+      }
+    }
+    val (inPart, partPruned) = keyTouched.partition(partMatches)
+    val movers: Seq[FileEntry] =
+      if (partPruned.isEmpty) Seq.empty
+      else {
+        val mcols = partPruned.flatMap(_.parts.keys).distinct.sorted
+        val hitKeys = scanEntries(spark, table, partPruned, withMeta = true)
+          .select(col(keyOrig), dvKeyCol(mcols).as("_fkey"))
+          .join(probePhys.select(col(keyOrig)), Seq(keyOrig), "left_semi")
+          .select(col("_fkey")).distinct()
+          .collect().map(_.getString(0)).toSet
+        partPruned.filter(f => hitKeys.contains(dvKeyOf(f, mcols)))
+      }
+    val moverPaths = movers.map(_.path).toSet
+    Some((inPart ++ movers,
+      keyDisjoint ++ partPruned.filterNot(f => moverPaths.contains(f.path))))
+  }
+
   private def mergeSlotted(spark: SparkSession, table: String, updates: DataFrame,
       keyCol: String, statsCols: Seq[String], parent: Int, slot: String): MergeResult = {
     val snap = resolveSnapshot(table, parent)
@@ -1741,78 +2014,10 @@ object TxTable {
     val updatesPhys = toPhysical(snap, updates)
     require(parts.forall(updatesPhys.columns.contains),
       s"MERGE updates into $table must carry its partition columns $parts")
-    // ONE pass over updates: key bounds + per-partition-column bounds
-    val aggs = Seq(min(col(keyOrig)).cast("string"),
-      max(col(keyOrig)).cast("string")) ++
-      parts.flatMap(pc => Seq(min(col(pc)).cast("string"),
-        max(col(pc)).cast("string")))
-    val bounds = updatesPhys.agg(aggs.head, aggs.tail: _*).head()
-    if (bounds.isNullAt(0)) // empty update set: nothing to do, no new version
+    val cand = keyCandidates(spark, table, snap, updatesPhys, keyOrig, parts)
+    if (cand.isEmpty) // empty update set: nothing to do, no new version
       return MergeResult(parent, 0, live.size)
-    val (lo, hi) = (bounds.getString(0), bounds.getString(1))
-    val pBounds = parts.zipWithIndex.map { case (pc, i) =>
-      pc -> (bounds.getString(2 + 2 * i), bounds.getString(3 + 2 * i))
-    }
-    // KEY-RANGE pruning is unconditionally sound: a file whose key
-    // stats are disjoint from the update keys cannot hold a matched
-    // row, and inserts land in the new slot regardless.
-    val (keyTouched, keyDisjoint) = live.partition { f =>
-      f.stats.get(keyOrig).forall(_.intersects(lo, hi))
-    }
-    // PARTITION pruning — by the update set's DISTINCT partition-value
-    // tuples when its partition cardinality is bounded (EXACT for the
-    // SCD1-into-a-date-partitioned-fact shape: an update touching
-    // partitions {2024-01-01, 2024-12-31} intersects exactly those two
-    // directories, never everything between whose key stats overlap);
-    // above the cap, the per-column min/max bounds remain the coarse
-    // fallback. Files without recorded partition values (mixed/legacy
-    // sets) are conservatively kept.
-    val pvalCap = 256
-    val pvals: Option[Set[Seq[String]]] =
-      if (parts.isEmpty) None
-      else {
-        val rows = updatesPhys
-          .select(parts.map(pc => col(pc).cast("string")): _*)
-          .distinct().limit(pvalCap + 1).collect()
-        if (rows.length > pvalCap) None
-        else Some(rows.map(r => parts.indices.map(r.getString).toList).toSet)
-      }
-    def partMatches(f: FileEntry): Boolean = pvals match {
-      case Some(s) if parts.forall(f.parts.contains) =>
-        s.contains(parts.map(f.parts(_)).toList)
-      case _ => pBounds.forall { case (pc, (plo, phi)) =>
-        f.stats.get(pc).forall(s => plo == null || phi == null ||
-          s.intersects(plo, phi))
-      }
-    }
-    val (inPart, partPruned) = keyTouched.partition(partMatches)
-    // SOUNDNESS under PARTITION-MOVING upserts: update() allows SET on
-    // a partition column, so a matched key's OLD row may live in a file
-    // OUTSIDE the update set's partition footprint — classifying that
-    // file untouched would leave the stale row beside the re-inserted
-    // one (silent duplicate keys). Partition pruning is therefore only
-    // a CANDIDATE filter: every partition-pruned, key-intersecting file
-    // is verified by a key-column-only scan (columnar projection — one
-    // column of the ambiguous files, never their payload) semi-joined
-    // with the update keys; any file holding a matched key rejoins the
-    // touched set. In the common no-movement shape (partition value
-    // functionally determined by the key) the probe finds nothing and
-    // the pruned files carry by reference.
-    val movers: Seq[FileEntry] =
-      if (partPruned.isEmpty) Seq.empty
-      else {
-        val pcols = partPruned.flatMap(_.parts.keys).distinct.sorted
-        val hitKeys = scanEntries(spark, table, partPruned, withMeta = true)
-          .select(col(keyOrig), dvKeyCol(pcols).as("_fkey"))
-          .join(updatesPhys.select(col(keyOrig)), Seq(keyOrig), "left_semi")
-          .select(col("_fkey")).distinct()
-          .collect().map(_.getString(0)).toSet
-        partPruned.filter(f => hitKeys.contains(dvKeyOf(f, pcols)))
-      }
-    val moverPaths = movers.map(_.path).toSet
-    val touched = inPart ++ movers
-    val untouched = keyDisjoint ++
-      partPruned.filterNot(f => moverPaths.contains(f.path))
+    val (touched, untouched) = cand.get
     val survivors =
       if (touched.isEmpty) updatesPhys
       else rawRead(spark, table, touched) // recovers partition columns
@@ -1837,6 +2042,241 @@ object TxTable {
     MergeResult(v, touched.size, untouched.size)
   }
 
+  // ------------------------------------------------------- clause merge
+
+  /** What a matched (or not-matched-by-source) MERGE clause does. */
+  sealed trait MergeAction
+  /** UPDATE SET: target column → value expression. In [[mergeClauses]]
+    * the value (and the clause condition) evaluates over the joined
+    * row — target columns by their BARE logical names, source columns
+    * through [[srcCol]].
+    */
+  final case class MergeUpdate(set: Map[String, org.apache.spark.sql.Column])
+    extends MergeAction
+  /** UPDATE SET * — replace every target column with the source's
+    * (the source must carry every target column).
+    */
+  case object MergeUpdateAll extends MergeAction
+  /** DELETE the target row. */
+  case object MergeDelete extends MergeAction
+
+  /** One WHEN MATCHED [AND cond] / WHEN NOT MATCHED BY SOURCE [AND
+    * cond] clause. `cond = None` means unconditional; a NULL condition
+    * does not match (SQL semantics). Clauses apply FIRST-MATCH-WINS in
+    * declaration order; a row no clause matches carries unchanged.
+    */
+  final case class MergeClause(cond: Option[org.apache.spark.sql.Column],
+      action: MergeAction)
+
+  /** One WHEN NOT MATCHED [AND cond] THEN INSERT clause. The condition
+    * and the optional `values` projection evaluate ON THE SOURCE FRAME
+    * (bare source column names); `values = None` inserts the source
+    * row's target columns verbatim.
+    */
+  final case class InsertClause(cond: Option[org.apache.spark.sql.Column],
+      values: Option[Map[String, org.apache.spark.sql.Column]] = None)
+
+  /** Reference a SOURCE column inside a matched/not-matched-by-source
+    * clause condition or SET value: [[mergeClauses]] joins the target
+    * with the source's columns renamed to `_s_<name>`, so bare names
+    * always mean the target and `srcCol(name)` the source — no
+    * ambiguous-reference failures when both sides share a name.
+    */
+  def srcCol(name: String): org.apache.spark.sql.Column = col(s"_s_$name")
+
+  /** MULTI-CLAUSE MERGE (r16 — SQL MERGE's full clause surface, the
+    * first real MERGE a warehouse user writes): conditional UPDATE/
+    * DELETE on match, conditional INSERT on no-match, and WHEN NOT
+    * MATCHED BY SOURCE UPDATE/DELETE for target rows the source no
+    * longer carries (SCD2 close-out, CDC apply with delete flags).
+    *
+    * Semantics (Delta/SQL MERGE):
+    *  - a target row whose `keyCol` equals a source row's is MATCHED:
+    *    the first `whenMatched` clause whose condition holds applies
+    *    (UPDATE SET / UPDATE SET * / DELETE); no clause → row carries.
+    *  - a source row matching no target key INSERTS through the first
+    *    `whenNotMatched` clause whose condition holds; none → ignored.
+    *  - a target row matching no source key runs `whenNotMatchedBySource`
+    *    the same first-match-wins way (conditions read TARGET columns
+    *    only — bare names).
+    *
+    * CONTRACTS: `source` carries one row per non-null key (dupes would
+    * hit SQL MERGE's multiple-rows-matched error class — dedupe
+    * upstream); no SET may rewrite `keyCol` itself (the candidate-file
+    * selection and the insert anti-join both key on it).
+    *
+    * SCALE: candidate files for the matched side come from
+    * [[keyCandidates]] (key-range + partition-footprint pruning with
+    * the mover probe — same machinery as [[merge]]); the not-matched-
+    * by-source side prunes by its clause conditions' stats conjuncts
+    * ([[pruneByPredicate]]) — an unconditional NMBS clause must visit
+    * every file (it rewrites the whole table by definition). Untouched
+    * files carry by reference; rewrites preserve clustering.
+    */
+  def mergeClauses(spark: SparkSession, table: String, source: DataFrame,
+      keyCol: String, statsCols: Seq[String],
+      whenMatched: Seq[MergeClause] = Seq.empty,
+      whenNotMatched: Seq[InsertClause] = Seq.empty,
+      whenNotMatchedBySource: Seq[MergeClause] = Seq.empty,
+      ledgerId: Option[Long] = None): MergeResult = {
+    require(whenMatched.nonEmpty || whenNotMatched.nonEmpty ||
+      whenNotMatchedBySource.nonEmpty, "MERGE needs at least one clause")
+    val setCols = (whenMatched ++ whenNotMatchedBySource).flatMap(_.action match {
+      case MergeUpdate(s) => s.keys
+      case _              => Nil
+    })
+    require(!setCols.contains(keyCol),
+      s"MERGE must not SET its own key column $keyCol")
+    val parent = latestVersion(table)
+    val snap = resolveSnapshot(table, parent)
+    val live = snap.files
+    // EXACTLY-ONCE: a ledgered merge whose id already committed is a
+    // replay — no jobs, no version (the CDC-apply idempotence device,
+    // same ledger as streaming appends)
+    if (ledgerId.exists(snap.batches.contains))
+      return MergeResult(parent, 0, live.size)
+    require(live.nonEmpty,
+      s"mergeClauses needs a non-empty table (its schema comes from the " +
+        s"live files) — create() or append() the initial snapshot first")
+    val parts = partitionColsOf(snap)
+    val keyOrig = originalName(snap, keyCol)
+    val src = graft.util.CacheScope.cached(source)
+    val srcPhys = toPhysical(snap, src)
+    // matched-side candidates: every file that could hold a source key
+    // (sound superset — see keyCandidates). Needed even when only
+    // INSERT clauses exist: the insert anti-join probes these files'
+    // keys. NMBS-side candidates: files its clause conditions' stats
+    // cannot exclude.
+    val matchedCand: Seq[FileEntry] =
+      keyCandidates(spark, table, snap, srcPhys, keyOrig, parts)
+        .map(_._1).getOrElse(Seq.empty)
+    val nmbsCand: Seq[FileEntry] =
+      if (whenNotMatchedBySource.isEmpty) Seq.empty
+      else if (whenNotMatchedBySource.exists(_.cond.isEmpty)) live
+      else pruneByPredicate(spark, table, snap,
+        whenNotMatchedBySource.flatMap(_.cond).reduce(_ || _))._1
+    val rewriteSet: Seq[FileEntry] =
+      ((if (whenMatched.nonEmpty) matchedCand else Seq.empty) ++ nmbsCand)
+        .groupBy(_.path).map(_._2.head).toSeq.sortBy(_.path)
+    val rewritePaths = rewriteSet.map(_.path).toSet
+    val untouched = live.filterNot(f => rewritePaths.contains(f.path))
+    // target schema from the MANIFEST column lists (order-preserving),
+    // not a full-union read plan — at 100k live files building a scan
+    // just for column names is real driver work; legacy entries
+    // without recorded lists fall back to the plan's schema
+    val tgtCols: Seq[String] =
+      if (snap.files.forall(_.cols.nonEmpty))
+        (snap.files.flatMap(_.cols).distinct.filterNot(snap.drops.contains)
+          .map(o => logicalName(snap, o)) ++ snap.added.keys).distinct
+      else toLogical(snap, rawRead(spark, table, live)).columns.toSeq
+    require(src.columns.contains(keyCol),
+      s"MERGE source must carry the key column $keyCol")
+    if (whenNotMatched.nonEmpty && parts.nonEmpty)
+      require(parts.map(logicalName(snap, _)).forall(pc =>
+        src.columns.contains(pc) ||
+          whenNotMatched.forall(_.values.exists(_.contains(pc)))),
+        s"MERGE with INSERT clauses into partitioned $table must provide " +
+          s"its partition columns ${parts.map(logicalName(snap, _))}")
+    if ((whenMatched ++ whenNotMatchedBySource).exists(_.action == MergeUpdateAll))
+      require(tgtCols.forall(src.columns.contains),
+        s"UPDATE SET * needs the source to carry every target column")
+    // source columns ride the join renamed _s_<name> ([[srcCol]]) so
+    // bare names in clause expressions are never ambiguous
+    val srcP = src.columns.foldLeft(src) { (d, c) =>
+      d.withColumnRenamed(c, s"_s_$c") }
+    def chain(clauses: Seq[MergeClause], base: Int): org.apache.spark.sql.Column =
+      clauses.zipWithIndex.foldRight(lit(-1)) { case ((cl, i), els) =>
+        when(coalesce(cl.cond.getOrElse(lit(true)), lit(false)), lit(base + i))
+          .otherwise(els)
+      }
+    val allClauses = whenMatched ++ whenNotMatchedBySource
+    val survivors: Option[DataFrame] =
+      if (rewriteSet.isEmpty) None
+      else {
+        val tgt = toLogical(snap, rawRead(spark, table, rewriteSet))
+        val joined = tgt.join(srcP,
+          col(keyCol) === srcCol(keyCol), "left_outer")
+        val act = when(srcCol(keyCol).isNotNull, chain(whenMatched, 0))
+          .otherwise(chain(whenNotMatchedBySource, whenMatched.size))
+        val deleteIdx = allClauses.zipWithIndex.collect {
+          case (MergeClause(_, MergeDelete), i) => i }
+        val withAct = joined.withColumn("_mc_act", act)
+        val kept =
+          if (deleteIdx.isEmpty) withAct
+          else withAct.filter(!col("_mc_act").isInCollection(deleteIdx))
+        val out = tgtCols.map { c =>
+          allClauses.zipWithIndex.foldRight(col(c)) { case ((cl, i), els) =>
+            cl.action match {
+              case MergeUpdate(set) if set.contains(c) =>
+                when(col("_mc_act") === i, set(c)).otherwise(els)
+              case MergeUpdateAll =>
+                when(col("_mc_act") === i, srcCol(c)).otherwise(els)
+              case _ => els
+            }
+          }.as(c)
+        }
+        Some(kept.select(out: _*))
+      }
+    // INSERTS: source rows matching no live target key. The anti-join
+    // probes the MATCHED candidates' live keys — keyCandidates
+    // guarantees every file holding a source key is in that set (and
+    // rawRead filters DV-tombstoned rows, so a deleted key re-inserts).
+    val inserts: Option[DataFrame] =
+      if (whenNotMatched.isEmpty) None
+      else {
+        val liveKeys =
+          if (matchedCand.isEmpty) null
+          else toLogical(snap, rawRead(spark, table, matchedCand))
+            .select(col(keyCol))
+        val unmatched =
+          if (liveKeys == null) src
+          else src.join(liveKeys, Seq(keyCol), "left_anti")
+        val insCond = whenNotMatched
+          .map(c => coalesce(c.cond.getOrElse(lit(true)), lit(false)))
+          .reduce(_ || _)
+        // first-match-wins projection: chain the clause VALUES the same
+        // way the matched side chains actions (the untyped-null
+        // terminal is unreachable — insCond already filtered — and
+        // coerces to each branch's type)
+        val projected = tgtCols.map { c =>
+          whenNotMatched.foldRight(lit(null): org.apache.spark.sql.Column) {
+            case (cl, els) =>
+              val v = cl.values.flatMap(_.get(c))
+                .getOrElse(if (src.columns.contains(c)) col(c)
+                  else lit(null))
+              when(coalesce(cl.cond.getOrElse(lit(true)), lit(false)), v)
+                .otherwise(els)
+          }.as(c)
+        }
+        Some(unmatched.filter(insCond).select(projected: _*))
+      }
+    val changedFrame = (survivors, inserts) match {
+      case (Some(s), Some(i)) => Some(s.unionByName(i, allowMissingColumns = true))
+      case (Some(s), None)    => Some(s)
+      case (None, Some(i))    => Some(i)
+      case (None, None)       => None
+    }
+    if (changedFrame.isEmpty && ledgerId.isEmpty)
+      return MergeResult(parent, 0, live.size)
+    val result = graft.util.CacheScope.cached(changedFrame.getOrElse(
+      toLogical(snap, rawRead(spark, table, live)).filter(lit(false))))
+    // CHECK constraints see the rows that actually land
+    enforceChecks(snap, result, s"MERGE (clauses) into $table")
+    val slot = f"v${parent + 1}%08d-mc"
+    val clusterCols =
+      ((parts.map(logicalName(snap, _)) :+ keyCol).distinct).map(col)
+    val written =
+      if (result.isEmpty) Seq.empty[FileEntry] // every candidate row deleted
+      else writeFiles(spark, table, slot,
+        toPhysical(snap, result.repartitionByRange(
+          math.max(1, rewriteSet.size), clusterCols: _*)),
+        statsCols.map(originalName(snap, _)), parts)
+    val v = commitResolved(table, parent, snap, untouched ++ written,
+      snap.batches ++ ledgerId, snap.renames, snap.drops,
+      Some("merge" -> keyOrig))
+    MergeResult(v, rewriteSet.size, untouched.size)
+  }
+
   /** DELETE BY KEY SET (r15 — the CDC-apply delete primitive): rows
     * whose `keyCol` appears in `keys` are removed, copy-on-write at
     * file granularity — only files whose key stats intersect the key
@@ -1844,6 +2284,13 @@ object TxTable {
     * carry by reference, layout preserved on partitioned tables. The
     * shape a replica needs to apply a change feed's deletes (bands
     * and predicates don't express "these 40 keys").
+    *
+    * r16: candidate files route through [[keyCandidates]] — when
+    * `keys` also carries the table's partition columns (a CDC feed's
+    * delete rows do), the partition-footprint + mover-probe pruning
+    * applies and a two-partition delete over a 12-partition table
+    * rewrites only its two directories; a bare key set falls back to
+    * key-range pruning alone.
     */
   def deleteKeys(spark: SparkSession, table: String, keys: DataFrame,
       keyCol: String, statsCols: Seq[String]): MergeResult = {
@@ -1852,18 +2299,18 @@ object TxTable {
     val live = snap.files
     val parts = partitionColsOf(snap)
     val keyOrig = originalName(snap, keyCol)
-    val keysPhys = toPhysical(snap, keys).select(col(keyOrig)).distinct()
-    val bounds = keysPhys.agg(min(col(keyOrig)).cast("string"),
-      max(col(keyOrig)).cast("string")).head()
-    if (bounds.isNullAt(0)) return MergeResult(parent, 0, live.size)
-    val (lo, hi) = (bounds.getString(0), bounds.getString(1))
-    val (touched, untouched) = live.partition { f =>
-      f.stats.get(keyOrig).forall(_.intersects(lo, hi))
-    }
+    val keyAndParts = (keyOrig +: parts).distinct
+    val keysPhys = toPhysical(snap, keys)
+    val probe = keysPhys
+      .select(keyAndParts.filter(keysPhys.columns.contains).map(col): _*)
+      .distinct()
+    val cand = keyCandidates(spark, table, snap, probe, keyOrig, parts)
+    if (cand.isEmpty) return MergeResult(parent, 0, live.size)
+    val (touched, untouched) = cand.get
     if (touched.isEmpty) return MergeResult(parent, 0, live.size)
     val slot = f"v${parent + 1}%08d-d"
     val kept = rawRead(spark, table, touched)
-      .join(keysPhys, Seq(keyOrig), "left_anti")
+      .join(probe.select(col(keyOrig)).distinct(), Seq(keyOrig), "left_anti")
     val clusterCols = ((parts :+ keyOrig).distinct).map(col)
     val written =
       if (kept.isEmpty) Seq.empty[FileEntry]
@@ -1875,31 +2322,48 @@ object TxTable {
     MergeResult(v, touched.size, untouched.size)
   }
 
-  /** APPLY A CHANGE FEED (r15 — the CDC round trip's consumer half):
-    * take a batch of [[tableChanges]]/streaming-CDF rows (the table
-    * schema plus `_change_type`) and apply it to THIS table —
-    * `delete`/`update_preimage` rows remove their keys, `insert`/
+  /** APPLY A CHANGE FEED (r15; r16 rebuilt on [[mergeClauses]]): take
+    * a batch of [[tableChanges]]/streaming-CDF rows (the table schema
+    * plus `_change_type`) and apply it to THIS table — `delete`/
+    * `update_preimage` rows remove their keys, `insert`/
     * `update_postimage` rows upsert — so a replica follows a source
     * table through its feed: replica ≡ source after every applied
-    * window (spec-gated). Deletes land first, then the upsert; within
-    * one netted window a key carries at most one terminal state per
-    * side, so the order only matters for delete-then-reinsert shapes
-    * across merged windows — which the upsert-last order serves.
+    * window (spec-gated).
+    *
+    * r16 (VERDICT-r15 wrong #1 + missing #4): the window nets to ONE
+    * terminal row per key (an upsert image wins over its own
+    * preimage), lands as ONE mergeClauses commit (was two:
+    * deleteKeys + merge), the feed frame persists for the single
+    * evaluation (was up to 4×), and `windowId` threads the batch
+    * ledger through the commit — a replayed window is a no-op with no
+    * jobs and no version (exactly-once CDC apply). Callers use the
+    * window's source `toVersion` (or any per-window-unique id in the
+    * same ledger space as the table's streaming batch ids).
     */
   def applyChanges(spark: SparkSession, table: String, changes: DataFrame,
-      keyCol: String, statsCols: Seq[String]): Int = {
-    val ups = changes
-      .filter(col("_change_type").isin("insert", "update_postimage"))
+      keyCol: String, statsCols: Seq[String],
+      windowId: Option[Long] = None): Int = {
+    val parent = latestVersion(table)
+    if (windowId.exists(resolveSnapshot(table, parent).batches.contains))
+      return parent // replayed window: exactly-once no-op
+    val c = graft.util.CacheScope.cached(changes)
+    // one terminal row per key: 'u' (insert/update_postimage) sorts
+    // after 'd', so the upsert image wins its own preimage/delete row
+    val tagged = c.withColumn("_op",
+      when(col("_change_type").isin("insert", "update_postimage"), lit("u"))
+        .otherwise(lit("d")))
       .drop("_change_type")
-    val upKeys = ups.select(col(keyCol))
-    // a delete whose key is re-upserted in the same batch is the
-    // delete half of an update (or a reinsert) — the upsert replaces
-    // the row anyway, so only keys WITHOUT a new image delete
-    val dels = changes
-      .filter(col("_change_type").isin("delete", "update_preimage"))
-      .select(col(keyCol)).join(upKeys, Seq(keyCol), "left_anti")
-    if (!dels.isEmpty) deleteKeys(spark, table, dels, keyCol, statsCols)
-    if (!ups.isEmpty) merge(spark, table, ups, keyCol, statsCols)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("_op").desc)
+    val netted = tagged
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    mergeClauses(spark, table, netted, keyCol, statsCols,
+      whenMatched = Seq(
+        MergeClause(Some(srcCol("_op") === "d"), MergeDelete),
+        MergeClause(Some(srcCol("_op") === "u"), MergeUpdateAll)),
+      whenNotMatched = Seq(InsertClause(Some(col("_op") === "u"))),
+      ledgerId = windowId)
     latestVersion(table)
   }
 
@@ -2722,6 +3186,74 @@ object TxTable {
        |SELECT yr, tag, count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS k_sum
        |FROM rows0 GROUP BY 1, 2 ORDER BY yr, tag""".stripMargin
 
+  /** tx_merge_clauses — MULTI-CLAUSE MERGE as a driver query (r16,
+    * VERDICT-r15 #1): stage orders as (k, tag, amt), run ONE
+    * [[mergeClauses]] exercising the full clause surface —
+    *  - WHEN MATCHED AND s.op='d' THEN DELETE           (keys k%10=5)
+    *  - WHEN MATCHED AND s.op='u' THEN UPDATE SET tag, amt from the
+    *    source                                           (keys k%10=0)
+    *  - WHEN NOT MATCHED AND s.op='i' THEN INSERT (the source ALSO
+    *    carries op='x' rows beyond the insert band that must NOT land)
+    *  - WHEN NOT MATCHED BY SOURCE AND k%7=3 THEN UPDATE SET
+    *    tag='nmbs' (target-only condition)
+    * — then read the final state per tag. Matching the oracle proves
+    * first-match-wins clause routing, conditional delete/update/
+    * insert, the not-matched-by-source pass, and carry-over of rows no
+    * clause touches, all in one commit.
+    */
+  def mergeClausesQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Files.createTempDirectory("graft_tx_mcl").resolve("t").toString
+    val base = graft.util.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").cast("long").as("k"),
+        lit("base").as("tag"),
+        (col("o_orderkey") % 1000).cast("long").as("amt"))
+    create(spark, t, base.repartitionByRange(8, col("k")), Seq("k"))
+    val mk = base.agg(max(col("k"))).head().getLong(0)
+    val source = base.filter(col("k") % 10 === 0)
+      .select(col("k"), lit("u").as("op"), lit("upd").as("tag"),
+        (col("amt") + 100000L).as("amt"))
+      .unionByName(base.filter(col("k") % 10 === 5)
+        .select(col("k"), lit("d").as("op"), lit("del").as("tag"),
+          col("amt")))
+      .unionByName(spark.range(1, MergeInserts + 1)
+        .select((col("id") + mk).as("k"), lit("i").as("op"),
+          lit("ins").as("tag"), ((col("id") + mk) % 1000).as("amt")))
+      .unionByName(spark.range(1, MergeInserts + 1)
+        .select((col("id") + mk + MergeInserts).as("k"), lit("x").as("op"),
+          lit("nope").as("tag"), lit(0L).as("amt")))
+    mergeClauses(spark, t, source, "k", Seq("k"),
+      whenMatched = Seq(
+        MergeClause(Some(srcCol("op") === "d"), MergeDelete),
+        MergeClause(Some(srcCol("op") === "u"),
+          MergeUpdate(Map("tag" -> srcCol("tag"), "amt" -> srcCol("amt"))))),
+      whenNotMatched = Seq(InsertClause(Some(col("op") === "i"))),
+      whenNotMatchedBySource = Seq(
+        MergeClause(Some(col("k") % 7 === 3),
+          MergeUpdate(Map("tag" -> lit("nmbs"))))))
+    read(spark, t).groupBy(col("tag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"),
+        sum(col("amt")).as("amt_sum"))
+      .orderBy(col("tag"))
+  }
+
+  def mergeClausesQuerySql: String =
+    s"""WITH m AS (SELECT max(o_orderkey) AS mk FROM orders),
+       |t AS (SELECT o_orderkey AS k, o_orderkey % 1000 AS amt FROM orders),
+       |kept AS (
+       | SELECT k,
+       |  CASE WHEN k % 10 = 0 THEN 'upd'
+       |       WHEN k % 7 = 3 THEN 'nmbs'
+       |       ELSE 'base' END AS tag,
+       |  CASE WHEN k % 10 = 0 THEN amt + 100000 ELSE amt END AS amt
+       | FROM t WHERE k % 10 <> 5),
+       |ins AS (
+       | SELECT mk + i AS k, 'ins' AS tag, (mk + i) % 1000 AS amt
+       | FROM m, generate_series(1, ${MergeInserts}) AS g(i)),
+       |u AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+       |SELECT tag, count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS k_sum,
+       |  CAST(sum(amt) AS BIGINT) AS amt_sum
+       |FROM u GROUP BY 1 ORDER BY tag""".stripMargin
+
   /** tx_time_travel — snapshot isolation as a query: create from
     * orders, append a shifted copy, then read BOTH versions of the
     * same table; the per-version row counts prove the old snapshot is
@@ -2942,6 +3474,68 @@ object TxTable {
     """SELECT c_mktsegment AS seg, count(*) AS n_v1, 2 * count(*) AS n_latest
       |FROM customer GROUP BY 1 ORDER BY seg""".stripMargin
 
+  /** tx_sql_dml — the SQL DML surface as a driver query (r16,
+    * VERDICT-r15 #2): stage orders into a transactional table,
+    * register it in the catalog, then mutate it PURELY THROUGH SQL —
+    * `DELETE FROM … WHERE`, `UPDATE … SET … WHERE`, and a three-clause
+    * `MERGE INTO … USING` (conditional matched DELETE + UPDATE,
+    * conditional NOT MATCHED INSERT) — and read the final state back
+    * through the catalog. Matching the oracle proves the
+    * [[TxDmlRule]] lowering end to end: statement → analyzer rule →
+    * TxTable mutation → versioned commits → catalog read.
+    */
+  def sqlDmlQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Files.createTempDirectory("graft_tx_dml").resolve("t").toString
+    val base = graft.util.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").cast("long").as("k"),
+        lit("base").as("tag"),
+        (col("o_orderkey") % 1000).cast("long").as("amt"))
+    create(spark, t, base.repartitionByRange(8, col("k")), Seq("k"))
+    val mk = base.agg(max(col("k"))).head().getLong(0)
+    spark.sql("DROP TABLE IF EXISTS graft_tx_dml")
+    spark.sql(s"CREATE TABLE graft_tx_dml USING `graft-tx` " +
+      s"OPTIONS (path '$t')")
+    base.filter(col("k") % 10 === 0)
+      .select(col("k"), lit("u").as("op"), lit("upd").as("tag"),
+        (col("amt") + 100000L).as("amt"))
+      .unionByName(base.filter(col("k") % 10 === 5)
+        .select(col("k"), lit("d").as("op"), lit("del").as("tag"), col("amt")))
+      .unionByName(spark.range(1, MergeInserts + 1)
+        .select((col("id") + mk).as("k"), lit("i").as("op"),
+          lit("ins").as("tag"), ((col("id") + mk) % 1000).as("amt")))
+      .createOrReplaceTempView("graft_tx_dml_src")
+    spark.sql("DELETE FROM graft_tx_dml WHERE k % 10 = 1")
+    spark.sql("UPDATE graft_tx_dml SET tag = 'u2' WHERE k % 10 = 2")
+    spark.sql("""MERGE INTO graft_tx_dml t USING graft_tx_dml_src s
+      |ON t.k = s.k
+      |WHEN MATCHED AND s.op = 'd' THEN DELETE
+      |WHEN MATCHED AND s.op = 'u' THEN UPDATE SET tag = s.tag, amt = s.amt
+      |WHEN NOT MATCHED AND s.op = 'i' THEN
+      |  INSERT (k, tag, amt) VALUES (s.k, s.tag, s.amt)""".stripMargin)
+    spark.table("graft_tx_dml").groupBy(col("tag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"),
+        sum(col("amt")).as("amt_sum"))
+      .orderBy(col("tag"))
+  }
+
+  def sqlDmlQuerySql: String =
+    s"""WITH m AS (SELECT max(o_orderkey) AS mk FROM orders),
+       |t AS (SELECT o_orderkey AS k, o_orderkey % 1000 AS amt FROM orders),
+       |kept AS (
+       | SELECT k,
+       |  CASE WHEN k % 10 = 0 THEN 'upd'
+       |       WHEN k % 10 = 2 THEN 'u2'
+       |       ELSE 'base' END AS tag,
+       |  CASE WHEN k % 10 = 0 THEN amt + 100000 ELSE amt END AS amt
+       | FROM t WHERE k % 10 <> 1 AND k % 10 <> 5),
+       |ins AS (
+       | SELECT mk + i AS k, 'ins' AS tag, (mk + i) % 1000 AS amt
+       | FROM m, generate_series(1, ${MergeInserts}) AS g(i)),
+       |u AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+       |SELECT tag, count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS k_sum,
+       |  CAST(sum(amt) AS BIGINT) AS amt_sum
+       |FROM u GROUP BY 1 ORDER BY tag""".stripMargin
+
   /** tx_cdf_stream — the STREAMING change feed as a driver-oracled
     * query (r14; r15 upgrades the merge window to Delta's UPDATE
     * IMAGES): stage orders into a transactional table, open a REAL
@@ -3113,7 +3707,7 @@ object TxTable {
       if (!ownRecord.has("files") && !Files.exists(checkpointFile(table, keepFromVersion)))
         try publish(table, checkpointFile(table, keepFromVersion),
           fullNode(keepFromVersion, horizon.files, horizon.batches,
-            horizon.renames, horizon.drops, horizon.checks))
+            horizon.renames, horizon.drops, horizon.checks, horizon.added))
         catch { // a concurrent vacuum already wrote it — content is deterministic
           case _: java.util.ConcurrentModificationException => ()
         }

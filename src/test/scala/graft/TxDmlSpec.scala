@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.TxTable
+
+/** SQL DML over graft-tx catalog tables (r16): the [[graft.sources
+  * .TxDmlRule]] lowering of DELETE FROM / UPDATE / MERGE INTO onto the
+  * TxTable mutation engine, plus its refusal paths.
+  */
+class TxDmlSpec extends SparkSpecBase {
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft_dml").resolve("t").toString
+
+  private def register(name: String, path: String, opts: String = ""): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING `graft-tx` " +
+      s"OPTIONS (path '$path'$opts)")
+    ()
+  }
+
+  test("DELETE FROM and UPDATE lower onto deleteWhere/updateWhere; versions commit per statement") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t,
+      (1L to 100L).map(i => (i, "base", i % 7)).toDF("id", "tag", "amt"),
+      Seq("id"))
+    register("dml_t1", t)
+    spark.sql("DELETE FROM dml_t1 WHERE id % 10 = 1")
+    assert(spark.table("dml_t1").count() == 90)
+    assert(TxTable.latestVersion(t) == 2)
+    spark.sql("UPDATE dml_t1 SET tag = 'hot' WHERE amt >= 5")
+    val now = spark.table("dml_t1")
+    assert(now.filter(col("tag") === "hot").count() ==
+      (1L to 100L).count(i => i % 10 != 1 && i % 7 >= 5))
+    assert(TxTable.latestVersion(t) == 3)
+    // null-semantics ride through: NULL predicate rows survive a delete
+    spark.sql("DELETE FROM dml_t1 WHERE amt > id") // never true
+    assert(spark.table("dml_t1").count() == 90)
+  }
+
+  test("MERGE INTO with conditional clauses + NOT MATCHED BY SOURCE lowers onto mergeClauses") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t,
+      (1L to 60L).map(i => (i, "base", 0L)).toDF("id", "tag", "amt"),
+      Seq("id"))
+    register("dml_t2", t)
+    Seq((10L, "d", "x", 0L), (20L, "u", "upd", 42L), (200L, "i", "ins", 7L))
+      .toDF("id", "op", "tag", "amt").createOrReplaceTempView("dml_src2")
+    spark.sql("""MERGE INTO dml_t2 t USING dml_src2 s ON t.id = s.id
+      |WHEN MATCHED AND s.op = 'd' THEN DELETE
+      |WHEN MATCHED AND s.op = 'u' THEN UPDATE SET tag = s.tag, amt = s.amt
+      |WHEN NOT MATCHED AND s.op = 'i' THEN
+      |  INSERT (id, tag, amt) VALUES (s.id, s.tag, s.amt)
+      |WHEN NOT MATCHED BY SOURCE AND t.id = 30 THEN UPDATE SET tag = 'nmbs'
+      |""".stripMargin)
+    val now = spark.table("dml_t2")
+    assert(now.count() == 60)
+    assert(now.filter(col("id") === 10L).count() == 0)
+    assert(now.filter(col("id") === 20L).select("tag", "amt").head() ==
+      org.apache.spark.sql.Row("upd", 42L))
+    assert(now.filter(col("id") === 200L).select("tag").head().getString(0) == "ins")
+    assert(now.filter(col("id") === 30L).select("tag").head().getString(0) == "nmbs")
+    assert(now.filter(col("id") === 31L).select("tag").head().getString(0) == "base")
+    // INSERT * (star) form
+    Seq((300L, "ins2", 9L)).toDF("id", "tag", "amt")
+      .createOrReplaceTempView("dml_src2b")
+    spark.sql("""MERGE INTO dml_t2 t USING dml_src2b s ON t.id = s.id
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table("dml_t2").filter(col("id") === 300L)
+      .select("tag").head().getString(0) == "ins2")
+  }
+
+  test("DML refusals: pinned relation, subquery predicate, key-name mismatch; non-tx tables pass through untouched") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t, (1L to 10L).map(i => (i, "x")).toDF("id", "tag"),
+      Seq("id"))
+    TxTable.append(spark, t, Seq((11L, "x")).toDF("id", "tag"), Seq("id"))
+    register("dml_pin", t, ", version '1'")
+    val e1 = intercept[Exception] {
+      spark.sql("DELETE FROM dml_pin WHERE id = 1") }
+    assert(e1.getMessage.contains("version-pinned"), e1.getMessage)
+    register("dml_t3", t)
+    val e2 = intercept[Exception] {
+      spark.sql("DELETE FROM dml_t3 WHERE id IN (SELECT id FROM dml_t3)") }
+    assert(e2.getMessage.contains("subquery"), e2.getMessage)
+    Seq((1L, "y")).toDF("k", "tag").createOrReplaceTempView("dml_src3")
+    val e3 = intercept[Exception] {
+      spark.sql("""MERGE INTO dml_t3 t USING dml_src3 s ON t.id = s.k
+        |WHEN MATCHED THEN DELETE""".stripMargin) }
+    assert(e3.getMessage.contains("SAME"), e3.getMessage)
+    // a non-tx table keeps Spark's own behavior (the rule must not
+    // swallow other formats): DELETE on parquet still errors, but NOT
+    // with a graft message
+    val pq = Files.createTempDirectory("graft_dml_pq").resolve("p").toString
+    Seq((1L, "a")).toDF("id", "tag").write.parquet(pq)
+    spark.sql("DROP TABLE IF EXISTS dml_pq")
+    spark.sql(s"CREATE TABLE dml_pq USING parquet OPTIONS (path '$pq')")
+    val e4 = intercept[Exception] {
+      spark.sql("DELETE FROM dml_pq WHERE id = 1") }
+    assert(!e4.getMessage.contains("graft"), e4.getMessage)
+  }
+
+  test("SQL UPDATE keeps the file-skipping contract: SET of a predicate-read column refuses") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t, (1L to 10L).map(i => (i, i * 2)).toDF("id", "v"),
+      Seq("id"))
+    register("dml_t4", t)
+    val e = intercept[Exception] {
+      spark.sql("UPDATE dml_t4 SET v = 0 WHERE v > 5") }
+    assert(e.getMessage.contains("file-skipping"), e.getMessage)
+  }
+}

@@ -474,8 +474,10 @@ class TxTableSpec extends SparkSpecBase {
     import spark.implicits._
     val t = tmpTable()
     TxTable.create(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"))
-    // v2 widens the table: new files carry an extra column
-    TxTable.append(spark, t, Seq((3L, "c", 30)).toDF("id", "v", "extra"), Seq("id"))
+    // v2 widens the table: new files carry an extra column — since
+    // r16 a widening append must OPT IN (Delta's mergeSchema contract)
+    TxTable.append(spark, t, Seq((3L, "c", 30)).toDF("id", "v", "extra"),
+      Seq("id"), mergeSchema = true)
     val latest = TxTable.read(spark, t)
     assert(latest.columns.toSet == Set("id", "v", "extra"))
     assert(latest.count() == 3)
@@ -2211,5 +2213,236 @@ class TxTableSpec extends SparkSpecBase {
     assert(TxTable.read(spark, t)
       .agg(count(lit(1)), sum(col("x")), sum(col("y"))).head() == preAgg,
       "zorderPartition is a content-identical commit")
+  }
+
+  test("mergeClauses: conditional update/delete/insert + not-matched-by-source, first-match-wins, untouched files carry (r16)") {
+    import spark.implicits._
+    import TxTable.{InsertClause, MergeClause, MergeDelete, MergeUpdate, srcCol}
+    val t = tmpTable()
+    // two well-separated key clusters land in different files; the
+    // source only touches the low one and NMBS conds stay in-band too
+    val lo = (1L to 100L).map(i => (i, "base", i % 7)).toDF("id", "tag", "amt")
+      .repartition(1)
+    val hi = (100001L to 100100L).map(i => (i, "base", i % 7))
+      .toDF("id", "tag", "amt").repartition(1)
+    TxTable.create(spark, t, lo, Seq("id"))
+    TxTable.append(spark, t, hi, Seq("id"))
+    val src = Seq(
+      (10L, "d", "del", 0L), (20L, "d", "del", 0L), // matched deletes
+      (30L, "u", "upd", 999L), (40L, "u", "upd", 998L), // matched updates
+      (50L, "x", "nope", 0L), // matched, NO clause applies -> carries
+      (201L, "i", "ins", 11L), (202L, "i", "ins", 12L), // inserts
+      (203L, "x", "nope", 0L)) // unmatched, cond false -> ignored
+      .toDF("id", "op", "tag", "amt")
+    val res = TxTable.mergeClauses(spark, t, src, "id", Seq("id"),
+      whenMatched = Seq(
+        MergeClause(Some(srcCol("op") === "d"), MergeDelete),
+        // first-match-wins probe: this ALSO matches id=10/20 by cond,
+        // but the delete clause is declared first
+        MergeClause(Some(srcCol("op").isin("d", "u")),
+          MergeUpdate(Map("tag" -> srcCol("tag"), "amt" -> srcCol("amt"))))),
+      whenNotMatched = Seq(InsertClause(Some(col("op") === "i"))),
+      whenNotMatchedBySource = Seq(
+        MergeClause(Some(col("id") === 60L), MergeDelete),
+        MergeClause(Some(col("id") % 100 === 70L),
+          MergeUpdate(Map("tag" -> lit("nmbs"))))))
+    // hi file's keys: NMBS cond id%100==70 could match 100070 — that
+    // file must be in the rewrite set; the conditional NMBS prune only
+    // keeps it because the predicate's stats cannot exclude it
+    val now = TxTable.read(spark, t)
+    assert(now.count() == 100 + 100 - 2 /*del*/ - 1 /*nmbs del*/ + 2 /*ins*/)
+    assert(now.filter(col("id").isin(10L, 20L, 60L)).count() == 0, "deletes")
+    assert(now.filter(col("id") === 30L).head().getString(1) == "upd")
+    assert(now.filter(col("id") === 30L).head().getLong(2) == 999L)
+    assert(now.filter(col("id") === 50L).head().getString(1) == "base",
+      "matched row with no applicable clause carries unchanged")
+    assert(now.filter(col("id") === 70L).head().getString(1) == "nmbs")
+    assert(now.filter(col("id") === 100070L).head().getString(1) == "nmbs",
+      "NMBS clause reaches files outside the source key range")
+    assert(now.filter(col("id") === 201L).head().getString(1) == "ins")
+    assert(now.filter(col("id") === 203L).count() == 0,
+      "unmatched source row failing every insert condition is ignored")
+    assert(now.filter(col("id") === 71L).head().getString(1) == "base")
+    assert(res.rewritten == 2, s"both files held candidate rows: $res")
+  }
+
+  test("mergeClauses: conditional-NMBS stats pruning keeps disjoint files untouched; insert-only merge rewrites nothing") {
+    import spark.implicits._
+    import TxTable.{InsertClause, MergeClause, MergeDelete, srcCol}
+    val t = tmpTable()
+    val lo = (1L to 100L).map(i => (i, "base")).toDF("id", "tag").repartition(1)
+    val hi = (100001L to 100100L).map(i => (i, "base")).toDF("id", "tag")
+      .repartition(1)
+    TxTable.create(spark, t, lo, Seq("id"))
+    TxTable.append(spark, t, hi, Seq("id"))
+    val before = TxTable.manifest(t, TxTable.latestVersion(t)).files
+    val hiPath = before.find(_.stats("id").minLong == 100001L).get.path
+    // NMBS delete whose condition's stats exclude the hi file entirely
+    val src1 = Seq((1L, "keep")).toDF("id", "tag")
+    TxTable.mergeClauses(spark, t, src1, "id", Seq("id"),
+      whenNotMatchedBySource = Seq(
+        MergeClause(Some(col("id") >= 10L && col("id") <= 15L), MergeDelete)))
+    val after1 = TxTable.manifest(t, TxTable.latestVersion(t)).files
+    assert(after1.exists(_.path == hiPath),
+      "stats-disjoint file must survive a CONDITIONAL NMBS clause by reference")
+    assert(TxTable.read(spark, t).count() == 194)
+    // insert-only merge: candidate files are probed for keys but NOT
+    // rewritten — the commit adds one new file, carries everything
+    val preFiles = TxTable.manifest(t, TxTable.latestVersion(t)).files
+      .map(_.path).toSet
+    val res = TxTable.mergeClauses(spark, t,
+      Seq((200001L, "ins"), (13L, "ins")).toDF("id", "tag"), "id", Seq("id"),
+      whenNotMatched = Seq(InsertClause(None)))
+    assert(res.rewritten == 0, s"insert-only merge must rewrite nothing: $res")
+    val after2 = TxTable.manifest(t, res.version).files
+    assert(preFiles.subsetOf(after2.map(_.path).toSet))
+    assert(TxTable.read(spark, t).count() == 196)
+    assert(TxTable.read(spark, t).filter(col("id") === 13L).count() == 1,
+      "key 13 was NMBS-deleted above, so it re-inserts as unmatched")
+  }
+
+  test("mergeClauses: hive partitions x DV'd files x CHECK constraints compose; CDF window stays pairable (r16)") {
+    import spark.implicits._
+    import TxTable.{InsertClause, MergeClause, MergeDelete, MergeUpdate, srcCol}
+    val t = tmpTable()
+    val base = (1L to 600L).map(i => (i, (i - 1) / 200 + 1, "base", i % 5))
+      .toDF("id", "pt", "tag", "amt")
+    TxTable.createPartitioned(spark, t, base, Seq("pt"), Seq("id"))
+    TxTable.addCheckConstraint(spark, t, "amt_nonneg", "amt >= 0")
+    // DV-tombstone a band so a candidate file carries a deletion vector
+    TxTable.deleteWithDV(spark, t, "id", "90", "99")
+    val src = Seq(
+      (10L, 1L, "d", "del", 0L),
+      (30L, 1L, "u", "upd", 400L),
+      (95L, 1L, "i", "ins", 7L), // DV-deleted key: must re-insert as unmatched
+      (601L, 3L, "i", "ins", 8L))
+      .toDF("id", "pt", "op", "tag", "amt")
+    val res = TxTable.mergeClauses(spark, t, src, "id", Seq("id"),
+      whenMatched = Seq(
+        MergeClause(Some(srcCol("op") === "d"), MergeDelete),
+        MergeClause(Some(srcCol("op") === "u"),
+          MergeUpdate(Map("tag" -> srcCol("tag"), "amt" -> srcCol("amt"))))),
+      whenNotMatched = Seq(InsertClause(Some(col("op") === "i"))))
+    val now = TxTable.read(spark, t)
+    assert(now.count() == 600 - 10 /*dv band*/ - 1 /*del*/ + 2 /*ins*/)
+    assert(now.filter(col("id") === 95L).head().getAs[String]("tag") == "ins",
+      "a DV-tombstoned key is NOT MATCHED and re-inserts")
+    assert(now.filter(col("id") === 30L).head().getAs[Long]("amt") == 400L)
+    val after = TxTable.manifest(t, res.version).files
+    assert(after.forall(_.parts.contains("pt")), "layout preserved")
+    // CDF: the clause window pairs the updated key into update images
+    val feed = TxTable.tableChanges(spark, t, res.version - 1, res.version)
+    val types = feed.filter(col("id") === 30L)
+      .select(col("_change_type")).collect().map(_.getString(0)).sorted
+    assert(types.sameElements(Array("update_postimage", "update_preimage")),
+      s"merge-op stamp keeps the window pairable: ${types.mkString(",")}")
+    assert(feed.filter(col("id") === 10L).select(col("_change_type"))
+      .collect().map(_.getString(0)).sameElements(Array("delete")))
+    // CHECK constraint gates the clause write like every other path
+    val bad = Seq((40L, 1L, "u", "neg", -1L)).toDF("id", "pt", "op", "tag", "amt")
+    val e = intercept[IllegalArgumentException] {
+      TxTable.mergeClauses(spark, t, bad, "id", Seq("id"),
+        whenMatched = Seq(MergeClause(Some(srcCol("op") === "u"),
+          MergeUpdate(Map("amt" -> srcCol("amt"))))))
+    }
+    assert(e.getMessage.contains("amt_nonneg"))
+  }
+
+  test("mergeClauses: empty source + unconditional NMBS delete empties the table; SET on the key column refuses") {
+    import spark.implicits._
+    import TxTable.{MergeClause, MergeDelete, MergeUpdate}
+    val t = tmpTable()
+    TxTable.create(spark, t,
+      (1L to 50L).map(i => (i, "x")).toDF("id", "tag"), Seq("id"))
+    val empty = Seq.empty[(Long, String)].toDF("id", "tag")
+    val res = TxTable.mergeClauses(spark, t, empty, "id", Seq("id"),
+      whenNotMatchedBySource = Seq(MergeClause(None, MergeDelete)))
+    assert(TxTable.countRows(t) == 0)
+    assert(TxTable.manifest(t, res.version).files.isEmpty,
+      "an all-deleted rewrite commits no files")
+    intercept[IllegalArgumentException] {
+      TxTable.mergeClauses(spark, t, empty, "id", Seq("id"),
+        whenMatched = Seq(MergeClause(None,
+          MergeUpdate(Map("id" -> lit(0L))))))
+    }
+  }
+
+  test("deleteKeys with partition columns in the key frame rewrites only its partition footprint (r16, VERDICT-r15 wrong #2)") {
+    import spark.implicits._
+    val t = tmpTable()
+    // 12 partitions; keys span the WHOLE key range in every partition,
+    // so key-range pruning alone cannot exclude anything
+    val base = (1L to 1200L).map(i => (i, i % 12 + 1, "x"))
+      .toDF("id", "pt", "pay")
+    TxTable.createPartitioned(spark, t, base, Seq("pt"), Seq("id"))
+    val pre = TxTable.manifest(t, 1).files
+    assert(pre.map(_.parts("pt")).distinct.size == 12)
+    // delete keys confined to partitions 3 and 7, carrying pt
+    val keys = (1L to 1200L).filter(i => i % 12 + 1 == 3 || i % 12 + 1 == 7)
+      .filter(_ % 2 == 0).map(i => (i, i % 12 + 1)).toDF("id", "pt")
+    val res = TxTable.deleteKeys(spark, t, keys, "id", Seq("id"))
+    val post = TxTable.manifest(t, res.version).files
+    val rewritten = post.map(_.path).toSet -- pre.map(_.path).toSet
+    assert(rewritten.forall(p => p.contains("pt=3") || p.contains("pt=7")),
+      s"only the key frame's partitions rewrite: $rewritten")
+    val carried = pre.filter(f => f.parts("pt") != "3" && f.parts("pt") != "7")
+    assert(carried.forall(f => post.exists(_.path == f.path)),
+      "all 10 untouched partitions carry by reference")
+    assert(TxTable.read(spark, t).count() == 1200 - keys.count())
+    // a bare key set (no pt column) still deletes correctly
+    val res2 = TxTable.deleteKeys(spark, t,
+      Seq(Tuple1(5L)).toDF("id"), "id", Seq("id"))
+    assert(TxTable.read(spark, t).filter(col("id") === 5L).count() == 0)
+    assert(res2.version > res.version)
+  }
+
+  test("applyChanges r16: ONE commit per window, single feed evaluation, exactly-once replay via windowId (VERDICT-r15 #4)") {
+    import spark.implicits._
+    val src = tmpTable()
+    val rep = tmpTable()
+    val base = (1L to 40L).map(i => (i, "base", i * 1.0)).toDF("id", "tag", "v")
+    TxTable.create(spark, src, base.repartitionByRange(4, col("id")), Seq("id"))
+    TxTable.create(spark, rep, base.repartitionByRange(4, col("id")), Seq("id"))
+    // a window mixing deletes and upserts — previously TWO commits
+    TxTable.merge(spark, src,
+      Seq((3L, "upd", 30.0), (41L, "ins", 41.0)).toDF("id", "tag", "v"),
+      "id", Seq("id"))
+    TxTable.deleteKeys(spark, src, Seq(Tuple1(9L)).toDF("id"), "id", Seq("id"))
+    val toV = TxTable.latestVersion(src)
+    val feed = TxTable.tableChanges(spark, src, 1, toV)
+    // single-evaluation assertion: count row materializations of the
+    // feed plan through an accumulator — the persisted frame must
+    // evaluate each row ONCE across the whole apply
+    val acc = spark.sparkContext.longAccumulator("feed_evals")
+    val enc = org.apache.spark.sql.Encoders.row(feed.schema)
+    val counted = feed.map { r => acc.add(1); r }(enc)
+    val nFeed = feed.count()
+    val repV0 = TxTable.latestVersion(rep)
+    TxTable.applyChanges(spark, rep, counted, "id", Seq("id"),
+      windowId = Some(toV.toLong))
+    assert(TxTable.latestVersion(rep) == repV0 + 1,
+      "a mixed delete+upsert window must land as ONE commit")
+    assert(acc.value == nFeed,
+      s"feed evaluated ${acc.value} row-passes for $nFeed rows — must persist once")
+    def rows(t: String) = TxTable.read(spark, t)
+      .select(col("id"), col("tag"), col("v"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(rows(rep) == rows(src))
+    // exactly-once: replaying the SAME window is a no-op — no version,
+    // no divergence
+    TxTable.applyChanges(spark, rep, TxTable.tableChanges(spark, src, 1, toV),
+      "id", Seq("id"), windowId = Some(toV.toLong))
+    assert(TxTable.latestVersion(rep) == repV0 + 1,
+      "replayed window must commit nothing")
+    assert(rows(rep) == rows(src))
+    // a LATER window with a fresh id applies normally
+    TxTable.merge(spark, src, Seq((5L, "upd2", 5.5)).toDF("id", "tag", "v"),
+      "id", Seq("id"))
+    val toV2 = TxTable.latestVersion(src)
+    TxTable.applyChanges(spark, rep,
+      TxTable.tableChanges(spark, src, toV, toV2), "id", Seq("id"),
+      windowId = Some(toV2.toLong))
+    assert(rows(rep) == rows(src))
+    assert(TxTable.latestVersion(rep) == repV0 + 2)
   }
 }
