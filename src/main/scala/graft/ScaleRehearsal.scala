@@ -942,6 +942,34 @@ object ScaleRehearsal {
       TxTable.delete(spark, t, "id", (lo + 100).toString, (lo + 5000).toString, Seq("id")))
     val deleteOk = dRes.rewritten <= 3 &&
       TxTable.read(spark, t).filter(col("id").between(lo + 100, lo + 5000)).count() == 0
+    // one-band CLAUSE MERGE (r16): conditional delete + update confined
+    // to the band, plus a conditional NOT-MATCHED-BY-SOURCE clause whose
+    // stats conjuncts exclude every other file — the full SQL MERGE
+    // surface must stay file-granular at 20M rows
+    val clauseSrc = spark.range(lo + 6000, lo + 8000).select(col("id"),
+      when(col("id") % 2 === 0, "u").otherwise("d").as("op"),
+      lit(-2).as("v"))
+    val (mcRes, tClauses) = timed(TxTable.mergeClauses(spark, t, clauseSrc,
+      "id", Seq("id"),
+      whenMatched = Seq(
+        TxTable.MergeClause(Some(TxTable.srcCol("op") === "d"),
+          TxTable.MergeDelete),
+        TxTable.MergeClause(Some(TxTable.srcCol("op") === "u"),
+          TxTable.MergeUpdate(Map("v" -> TxTable.srcCol("v"))))),
+      whenNotMatchedBySource = Seq(
+        TxTable.MergeClause(
+          Some(col("id").between(lo + 9000, lo + 9100)),
+          TxTable.MergeUpdate(Map("v" -> lit(-3)))))))
+    val clauseCounts = TxTable.read(spark, t).agg(
+      count(when(col("v") === -2, 1)),
+      count(when(col("id").between(lo + 6000, lo + 7999) &&
+        col("id") % 2 =!= 0, 1)),
+      count(when(col("v") === -3, 1))).head()
+    val clausesOk = mcRes.rewritten <= 4 &&
+      mcRes.untouched >= files - 4 &&
+      clauseCounts.getLong(0) == 1000L && // evens updated
+      clauseCounts.getLong(1) == 0L &&    // odds clause-deleted
+      clauseCounts.getLong(2) == 101L     // NMBS band re-valued
     // 1% append, then the change feed reads only the delta files
     val vBefore = TxTable.latestVersion(t)
     val delta = spark.range(n, n + n / 100).select(col("id"),
@@ -971,12 +999,16 @@ object ScaleRehearsal {
     val dvOk = afterDv.map(_.path).toSet == beforePaths &&
       afterDv.map(_.dvRows).sum == matchCnt &&
       postTotal == preTotal - matchCnt
-    val ok = pruneOk && readOk && mergeOk && deleteOk && cdfOk && dvOk
+    val ok = pruneOk && readOk && mergeOk && deleteOk && clausesOk &&
+      cdfOk && dvOk
     println(s"""{"metric":"scale_rehearsal_tx","n_rows":$n,"files":$files,""" +
       s""""create_sec":${f"$tCreate%.1f"},"pruned_files":${kept.size},""" +
       s""""reads_sec":${f"$tReads%.1f"},"merge_rewritten":${mRes.rewritten},""" +
       s""""merge_sec":${f"$tMerge%.1f"},"delete_rewritten":${dRes.rewritten},""" +
-      s""""delete_sec":${f"$tDelete%.1f"},"cdf_sec":${f"$tCdf%.1f"},""" +
+      s""""delete_sec":${f"$tDelete%.1f"},""" +
+      s""""clauses_rewritten":${mcRes.rewritten},""" +
+      s""""clauses_sec":${f"$tClauses%.1f"},"clauses_ok":$clausesOk,""" +
+      s""""cdf_sec":${f"$tCdf%.1f"},""" +
       s""""dv_rows":$matchCnt,"dv_sec":${f"$tDv%.1f"},""" +
       s""""dv_read_sec":${f"$tDvRead%.1f"},""" +
       s""""prune_ok":$pruneOk,"read_ok":$readOk,"merge_ok":$mergeOk,""" +

@@ -327,26 +327,61 @@ object TxDataSource {
   * merged schema pinned — so schema evolution (add-column appends)
   * surfaces nulls for pre-evolution files, and a later writer's files
   * are invisible to this snapshot (snapshot isolation).
+  *
+  * VERSION SEMANTICS (r16): an explicit `version`/`timestampAsOf`
+  * relation is PINNED to that snapshot forever; a FLOATING relation
+  * re-resolves the latest version AT EACH SCAN — so the catalog's
+  * cached relation instance (and a long-lived temp view) serves new
+  * commits without re-registration, Delta's floating-table behavior.
+  * Each individual scan still reads exactly one snapshot. The SCHEMA
+  * stays construction-time (Spark resolves plans against it before
+  * scanning); surface an evolved column by re-registering or
+  * REFRESH TABLE (the DML commands refresh automatically).
+  *
+  * WRITE HALF: [[InsertableRelation]] serves `INSERT INTO` (append —
+  * layout-aware: partitioned tables route through appendPartitioned)
+  * and `INSERT OVERWRITE` (flat: versioned whole-table overwrite;
+  * partitioned: DYNAMIC partition overwrite — only the partitions
+  * present in the data replace, the daily re-load shape).
   */
 final class TxRelation(ctx: SQLContext, val table: String, version: Int,
     providedSchema: Option[StructType] = None, val pinned: Boolean = false)
-    extends BaseRelation with PrunedFilteredScan {
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private val spark = ctx.sparkSession
-  private val resolved = if (version > 0) version else TxTable.latestVersion(table)
+  private def resolved =
+    if (version > 0) version else TxTable.latestVersion(table)
 
   override def sqlContext: SQLContext = ctx
 
   override val schema: StructType =
     providedSchema.getOrElse(TxTable.read(spark, table, resolved).schema)
 
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(!pinned,
+      s"INSERT into a version-pinned graft-tx relation ($table) — " +
+        s"historical snapshots are immutable; register an unpinned table")
+    val stats = TxTable.statsColumnsOf(table)
+    val parts = TxTable.partitionColumns(table)
+    if (overwrite) {
+      // partitioned: DYNAMIC overwrite semantics — only the partitions
+      // present in the data replace; flat: versioned whole-table
+      // overwrite
+      if (parts.isEmpty) TxTable.overwrite(spark, table, data, stats)
+      else TxTable.overwritePartitions(spark, table, data, parts, stats)
+    } else if (parts.isEmpty) TxTable.append(spark, table, data, stats)
+    else TxTable.appendPartitioned(spark, table, data, parts, stats)
+    ()
+  }
+
   // rows cross the boundary as InternalRow straight from the delegated
   // parquet scan — no Row conversion layer on the hot path
   override def needConversion: Boolean = false
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
-    val kept = TxDataSource.filesFor(table, resolved, filters.toSeq)
-    val (renames, _) = TxTable.mappingAt(table, resolved)
+    val v = resolved // ONE resolve per scan: a concurrent commit
+    val kept = TxDataSource.filesFor(table, v, filters.toSeq) // between the
+    val (renames, _) = TxTable.mappingAt(table, v) // two reads would tear
     // the engine may resolve against THIS relation's (current logical)
     // schema OR a catalog entry's STORED schema from before a rename —
     // both address the same stable physical columns, so the projection
@@ -358,7 +393,7 @@ final class TxRelation(ctx: SQLContext, val table: String, version: Int,
       // the directory names — per-slot basePath inference) and/or
       // deletion-vectored entries (tombstones anti-joined out): the
       // entry-aware read path, current logical names
-      val base = TxTable.readEntries(spark, table, kept, resolved)
+      val base = TxTable.readEntries(spark, table, kept, v)
       val projected = base.select(requiredColumns.map(col).toSeq: _*)
       projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
     } else {

@@ -76,6 +76,22 @@ class TxDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val inserts = m.notMatchedActions.map(TxDml.insertClause(_))
       GraftMergeCommand(tbl.path, m.sourceTable, key, matched, inserts, nmbs,
         tbl.ident)
+    // ALTER TABLE … ADD COLUMNS on a session-catalog graft-tx table:
+    // ResolveSessionCatalog has already lowered the v2 AddColumns to
+    // the v1 command by the time custom rules run — intercept it and
+    // route through the manifest's metadata-only addColumn, keeping
+    // the CATALOG schema in sync (SchemaRelationProvider serves the
+    // stored schema, so both halves must move together). RENAME/DROP
+    // COLUMN stay Scala-API-only: ResolveSessionCatalog throws its
+    // v2-only error before any extension rule can see them.
+    case a: org.apache.spark.sql.execution.command.AlterTableAddColumnsCommand =>
+      val ct = spark.sessionState.catalog.getTableMetadata(a.table)
+      TxDml.fromCatalogMeta(ct) match {
+        case Some(tbl) =>
+          TxDml.refusePinned(tbl, "ALTER TABLE ADD COLUMNS")
+          GraftAddColumnsCommand(tbl.path, a.table, a.colsToAdd)
+        case None => a
+      }
     case other => other
   }
 }
@@ -103,6 +119,9 @@ private[graft] object TxDml {
     case u: UnresolvedCatalogRelation => fromCatalog(u.tableMeta)
     case _ => None
   }
+
+  /** [[fromCatalog]] for rules that already hold the CatalogTable. */
+  def fromCatalogMeta(ct: CatalogTable): Option[Target] = fromCatalog(ct)
 
   private def fromCatalog(ct: CatalogTable): Option[Target] = {
     if (!ct.provider.exists(_.equalsIgnoreCase("graft-tx"))) return None
@@ -221,6 +240,26 @@ case class GraftUpdateCommand(path: String, set: Map[String, Column],
     TxTable.updateWhere(spark, path, cond.getOrElse(lit(true)), set,
       TxTable.statsColumnsOf(path))
     TxDml.refresh(spark, ident)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE <graft-tx table> ADD COLUMNS (…)` — metadata-only
+  * manifest commits ([[TxTable.addColumn]]) plus the catalog-schema
+  * update Spark's own v1 command would have done, so catalog reads
+  * (which resolve under the STORED schema) surface the new columns
+  * immediately.
+  */
+case class GraftAddColumnsCommand(path: String,
+    ident: org.apache.spark.sql.catalyst.TableIdentifier,
+    cols: Seq[org.apache.spark.sql.types.StructField])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    cols.foreach(f => TxTable.addColumn(path, f.name, f.dataType.sql))
+    val old = spark.sessionState.catalog.getTableMetadata(ident).dataSchema
+    spark.sessionState.catalog.alterTableDataSchema(ident,
+      org.apache.spark.sql.types.StructType(old.fields ++ cols))
+    spark.catalog.refreshTable(ident.unquotedString)
     Seq.empty
   }
 }

@@ -1001,12 +1001,12 @@ object TxTable {
     require(snap.files.forall(_.parts.isEmpty),
       s"$table is hive-partitioned — use appendPartitioned (a flat append " +
         s"would mix layouts in one live set and break the basePath scan)")
-    enforceChecks(snap, df, s"append into $table")
     val newAdded = schemaEvolution(snap, df, mergeSchema,
       s"append into $table")
-    commitResolved(table, parent, snap,
-      snap.files ++ writeFiles(spark, table, slot, toPhysical(snap, df),
-        statsCols.map(originalName(snap, _))), snap.batches,
+    val written = writeFiles(spark, table, slot, toPhysical(snap, df),
+      statsCols.map(originalName(snap, _)))
+    enforceChecksWritten(spark, table, snap, written, s"append into $table")
+    commitResolved(table, parent, snap, snap.files ++ written, snap.batches,
       snap.renames, snap.drops, Some("append" -> ""), None, newAdded)
   }
 
@@ -1075,14 +1075,14 @@ object TxTable {
     require(declared.isEmpty || declared.sorted ==
         partitionCols.map(originalName(snap, _)).sorted,
       s"partition columns $partitionCols do not match the table's $declared")
-    enforceChecks(snap, df, s"append into $table")
     val newAdded = schemaEvolution(snap, df, mergeSchema,
       s"append into $table")
     val slot = f"v${parent + 1}%08d"
-    commitResolved(table, parent, snap,
-      snap.files ++ writeFiles(spark, table, slot, toPhysical(snap, df),
-        statsCols.map(originalName(snap, _)),
-        partitionCols.map(originalName(snap, _))),
+    val written = writeFiles(spark, table, slot, toPhysical(snap, df),
+      statsCols.map(originalName(snap, _)),
+      partitionCols.map(originalName(snap, _)))
+    enforceChecksWritten(spark, table, snap, written, s"append into $table")
+    commitResolved(table, parent, snap, snap.files ++ written,
       snap.batches, snap.renames, snap.drops, Some("append" -> ""),
       None, newAdded)
   }
@@ -1191,9 +1191,10 @@ object TxTable {
       statsCols: Seq[String], maxRetries: Int = 20): Int = {
     val slot = f"a-${java.util.UUID.randomUUID().toString.take(12)}"
     val snapAtWrite = resolveSnapshot(table, latestVersion(table))
-    enforceChecks(snapAtWrite, df, s"append into $table")
     val written = writeFiles(spark, table, slot, toPhysical(snapAtWrite, df),
       statsCols.map(originalName(snapAtWrite, _)))
+    enforceChecksWritten(spark, table, snapAtWrite, written,
+      s"append into $table")
     var attempt = 0
     var checkedUnder = snapAtWrite.checks
     while (true) {
@@ -1230,11 +1231,46 @@ object TxTable {
     val parent = latestVersion(table)
     val slot = f"v${parent + 1}%08d-o"
     val snap = resolveSnapshot(table, parent)
-    enforceChecks(snap, df, s"overwrite of $table")
-    commitOp(table, parent, snap,
-      writeFiles(spark, table, slot, toPhysical(snap, df),
-        statsCols.map(originalName(snap, _))), snap.batches,
+    val written = writeFiles(spark, table, slot, toPhysical(snap, df),
+      statsCols.map(originalName(snap, _)))
+    enforceChecksWritten(spark, table, snap, written, s"overwrite of $table")
+    commitOp(table, parent, snap, written, snap.batches,
       "overwrite" -> "")
+  }
+
+  /** DYNAMIC PARTITION OVERWRITE (r16 — Spark's
+    * `partitionOverwriteMode=dynamic` semantics as a versioned table
+    * commit): exactly the partitions PRESENT IN `df` replace
+    * wholesale; every other partition carries by reference; prior
+    * snapshots stay time-travelable. The daily re-load shape —
+    * recompute one day of a date-partitioned fact — where at 100 TB
+    * the overwrite unit must be the partition, never the table. The
+    * replaced set derives from the WRITTEN files' recorded partition
+    * values (exact, no extra job over `df`). An empty frame is a
+    * no-op (dynamic semantics: nothing touched, nothing replaced).
+    */
+  def overwritePartitions(spark: SparkSession, table: String, df: DataFrame,
+      partitionCols: Seq[String], statsCols: Seq[String]): MergeResult = {
+    val parent = latestVersion(table)
+    val snap = resolveSnapshot(table, parent)
+    val declared = snap.files.flatMap(_.parts.keys).distinct
+    val partsOrig = partitionCols.map(originalName(snap, _))
+    require(declared.isEmpty || declared.sorted == partsOrig.sorted,
+      s"partition columns $partitionCols do not match the table's $declared")
+    val slot = f"v${parent + 1}%08d-po"
+    val written = writeFiles(spark, table, slot, toPhysical(snap, df),
+      statsCols.map(originalName(snap, _)), partsOrig)
+    if (written.isEmpty) return MergeResult(parent, 0, snap.files.size)
+    enforceChecksWritten(spark, table, snap, written,
+      s"partition overwrite of $table")
+    val touched: Set[Seq[String]] =
+      written.map(f => partsOrig.map(f.parts(_))).toSet
+    val (replaced, kept) = snap.files.partition(f =>
+      partsOrig.forall(f.parts.contains) &&
+        touched.contains(partsOrig.map(f.parts(_))))
+    val v = commitOp(table, parent, snap, kept ++ written, snap.batches,
+      "overwrite" -> "")
+    MergeResult(v, replaced.size, kept.size)
   }
 
   /** RESTORE: make version `toVersion`'s content the live set again,
@@ -1600,6 +1636,15 @@ object TxTable {
       .map(logicalName(snap, _))
   }
 
+  /** The table's hive partition columns (current LOGICAL names; empty
+    * on flat tables) — what the SQL write surface needs to route an
+    * INSERT through the partition-aware append.
+    */
+  def partitionColumns(table: String): Seq[String] = {
+    val snap = resolveSnapshot(table, latestVersion(table))
+    partitionColsOf(snap).map(logicalName(snap, _))
+  }
+
   /** The CHECK constraints in force at `version` (latest by default). */
   def checkConstraints(table: String, version: Int = -1): Map[String, String] = {
     val v = if (version > 0) version else latestVersion(table)
@@ -1623,6 +1668,35 @@ object TxTable {
       if (!row.isNullAt(i) && row.getLong(i) > 0)
         throw new IllegalArgumentException(
           s"$what violates CHECK constraint $n ($p): ${row.getLong(i)} row(s)")
+    }
+  }
+
+  /** [[enforceChecks]] over the rows that ACTUALLY LANDED — the
+    * just-written files — instead of the caller's input frame (r16,
+    * ADVICE-r15 low #5): zero extra passes over the input (the write
+    * already materialized it; this re-reads only the new files, the
+    * same data writeFiles' stats pass just scanned), and SOUND for
+    * non-deterministic inputs — the checked rows ARE the landed rows,
+    * where a pre-write validation of a `rand()`-bearing frame could
+    * pass and then land different, violating rows. On violation the
+    * written files are deleted (no garbage) and no version commits.
+    */
+  private def enforceChecksWritten(spark: SparkSession, table: String,
+      snap: Snapshot, written: Seq[FileEntry], what: String): Unit = {
+    if (snap.checks.isEmpty || written.isEmpty) return
+    try enforceChecks(snap, toLogical(snap, rawRead(spark, table, written)), what)
+    catch { case e: Throwable =>
+      // remove the whole slot tree, not just the parquet files — a
+      // leftover (even empty) slot dir would collide with the next
+      // commit attempt at the same version (errorifexists)
+      written.map(_.path.split('/').take(2).mkString("/")).distinct
+        .foreach { slot =>
+          val dir = Paths.get(table, slot)
+          if (Files.exists(dir))
+            Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => { Files.deleteIfExists(p); () })
+        }
+      throw e
     }
   }
 
@@ -1869,10 +1943,11 @@ object TxTable {
     * class); callers dedupe upstream (keepLatest is the usual step).
     */
   def merge(spark: SparkSession, table: String, updates: DataFrame,
-      keyCol: String, statsCols: Seq[String]): MergeResult = {
+      keyCol: String, statsCols: Seq[String],
+      mergeSchema: Boolean = false): MergeResult = {
     val parent = latestVersion(table)
     mergeSlotted(spark, table, updates, keyCol, statsCols, parent,
-      f"v${parent + 1}%08d")
+      f"v${parent + 1}%08d", mergeSchema)
   }
 
   /** Concurrent-writer MERGE: unlike [[appendConcurrent]]'s rebase, a
@@ -1996,7 +2071,8 @@ object TxTable {
   }
 
   private def mergeSlotted(spark: SparkSession, table: String, updates: DataFrame,
-      keyCol: String, statsCols: Seq[String], parent: Int, slot: String): MergeResult = {
+      keyCol: String, statsCols: Seq[String], parent: Int, slot: String,
+      mergeSchema: Boolean = false): MergeResult = {
     val snap = resolveSnapshot(table, parent)
     val live = snap.files
     // PARTITION-AWARE rewrite: a hive-partitioned table merges with the
@@ -2011,6 +2087,10 @@ object TxTable {
     val parts = partitionColsOf(snap)
     val keyOrig = originalName(snap, keyCol)
     enforceChecks(snap, updates, s"MERGE updates into $table")
+    // same write-evolution contract as append (r16): a wider update
+    // frame must opt in, and the opt-in DECLARES the new columns
+    val newAdded = schemaEvolution(snap, updates, mergeSchema,
+      s"MERGE updates into $table")
     val updatesPhys = toPhysical(snap, updates)
     require(parts.forall(updatesPhys.columns.contains),
       s"MERGE updates into $table must carry its partition columns $parts")
@@ -2038,7 +2118,8 @@ object TxTable {
       survivors.repartitionByRange(math.max(1, touched.size), clusterCols: _*),
       statsCols.map(originalName(snap, _)), parts)
     val v = commitResolved(table, parent, snap, untouched ++ written,
-      snap.batches, snap.renames, snap.drops, Some("merge" -> keyOrig))
+      snap.batches, snap.renames, snap.drops, Some("merge" -> keyOrig),
+      None, newAdded)
     MergeResult(v, touched.size, untouched.size)
   }
 
@@ -3066,14 +3147,15 @@ object TxTable {
     val parent = latestVersion(table)
     val snap = resolveSnapshot(table, parent)
     if (snap.batches.contains(batchId)) return false
-    enforceChecks(snap, df, s"streaming append into $table")
     val slot = f"v${parent + 1}%08d-b$batchId"
-    val files = snap.files ++ writeFiles(spark, table, slot,
+    val written = writeFiles(spark, table, slot,
       toPhysical(snap, df), statsCols.map(originalName(snap, _)))
+    enforceChecksWritten(spark, table, snap, written,
+      s"streaming append into $table")
     // the data files and the ledger entry publish as ONE atomic
     // version record — idempotence can never desync from the data
-    commitOp(table, parent, snap, files, snap.batches + batchId,
-      "streaming_append" -> batchId.toString)
+    commitOp(table, parent, snap, snap.files ++ written,
+      snap.batches + batchId, "streaming_append" -> batchId.toString)
     true
   }
 
@@ -3477,6 +3559,7 @@ object TxTable {
   /** tx_sql_dml — the SQL DML surface as a driver query (r16,
     * VERDICT-r15 #2): stage orders into a transactional table,
     * register it in the catalog, then mutate it PURELY THROUGH SQL —
+    * `INSERT INTO … VALUES` (the InsertableRelation write half),
     * `DELETE FROM … WHERE`, `UPDATE … SET … WHERE`, and a three-clause
     * `MERGE INTO … USING` (conditional matched DELETE + UPDATE,
     * conditional NOT MATCHED INSERT) — and read the final state back
@@ -3504,6 +3587,9 @@ object TxTable {
         .select((col("id") + mk).as("k"), lit("i").as("op"),
           lit("ins").as("tag"), ((col("id") + mk) % 1000).as("amt")))
       .createOrReplaceTempView("graft_tx_dml_src")
+    // negative keys: provably fresh (o_orderkey starts at 0) and
+    // untouched by the later statements (Spark % truncates toward 0)
+    spark.sql("INSERT INTO graft_tx_dml VALUES (-3, 'sqlins', 7), (-5, 'sqlins', 8)")
     spark.sql("DELETE FROM graft_tx_dml WHERE k % 10 = 1")
     spark.sql("UPDATE graft_tx_dml SET tag = 'u2' WHERE k % 10 = 2")
     spark.sql("""MERGE INTO graft_tx_dml t USING graft_tx_dml_src s
@@ -3531,7 +3617,9 @@ object TxTable {
        |ins AS (
        | SELECT mk + i AS k, 'ins' AS tag, (mk + i) % 1000 AS amt
        | FROM m, generate_series(1, ${MergeInserts}) AS g(i)),
-       |u AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+       |sqlins(k, tag, amt) AS (VALUES (-3, 'sqlins', 7), (-5, 'sqlins', 8)),
+       |u AS (SELECT * FROM kept UNION ALL SELECT * FROM ins
+       |      UNION ALL SELECT * FROM sqlins)
        |SELECT tag, count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS k_sum,
        |  CAST(sum(amt) AS BIGINT) AS amt_sum
        |FROM u GROUP BY 1 ORDER BY tag""".stripMargin

@@ -105,6 +105,80 @@ class TxDmlSpec extends SparkSpecBase {
     assert(!e4.getMessage.contains("graft"), e4.getMessage)
   }
 
+  test("INSERT INTO appends (layout-aware), INSERT OVERWRITE versions, CTAS creates; pinned/partitioned-overwrite refuse") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t, (1L to 10L).map(i => (i, "x")).toDF("id", "tag"),
+      Seq("id"))
+    register("dml_ins", t)
+    spark.sql("INSERT INTO dml_ins VALUES (11, 'sql'), (12, 'sql')")
+    assert(spark.table("dml_ins").count() == 12)
+    assert(TxTable.latestVersion(t) == 2, "INSERT INTO is one append commit")
+    // the FLOATING relation re-resolves per scan: a Scala-API commit is
+    // visible through the same catalog entry without REFRESH
+    TxTable.append(spark, t, Seq((13L, "api")).toDF("id", "tag"), Seq("id"))
+    assert(spark.table("dml_ins").count() == 13)
+    spark.sql("INSERT OVERWRITE dml_ins VALUES (100, 'ow')")
+    assert(spark.table("dml_ins").count() == 1)
+    assert(TxTable.read(spark, t, version = 3).count() == 13,
+      "overwrite is versioned — the prior snapshot stays readable")
+    // partitioned: INSERT INTO routes through appendPartitioned,
+    // INSERT OVERWRITE refuses (it would de-partition)
+    val pt = tmpTable()
+    TxTable.createPartitioned(spark, pt,
+      (1L to 20L).map(i => (i, i % 2, "x")).toDF("id", "p", "tag"),
+      Seq("p"), Seq("id"))
+    register("dml_insp", pt)
+    // the read schema appends the partition column LAST (hive layout)
+    spark.sql("INSERT INTO dml_insp VALUES (21, 'sql', 1)")
+    assert(spark.table("dml_insp").count() == 21)
+    assert(TxTable.manifest(pt, TxTable.latestVersion(pt)).files
+      .forall(_.parts.contains("p")), "layout preserved through SQL insert")
+    // partitioned INSERT OVERWRITE = DYNAMIC semantics: only p=1
+    // replaces (its 11 rows -> 1), p=0 carries by reference
+    val preP0 = TxTable.manifest(pt, TxTable.latestVersion(pt)).files
+      .filter(_.parts("p") == "0").map(_.path).toSet
+    spark.sql("INSERT OVERWRITE dml_insp VALUES (999, 'ow', 1)")
+    val nowP = spark.table("dml_insp")
+    assert(nowP.filter(col("p") === 1).count() == 1, "p=1 replaced wholesale")
+    assert(nowP.filter(col("p") === 0).count() == 10, "p=0 untouched")
+    assert(TxTable.manifest(pt, TxTable.latestVersion(pt)).files
+      .filter(_.parts("p") == "0").map(_.path).toSet == preP0,
+      "untouched partitions carry by reference")
+    // pinned relations refuse inserts
+    register("dml_ins_pin", t, ", version '1'")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO dml_ins_pin VALUES (999, 'no')") }
+    assert(e.getMessage.contains("version-pinned"), e.getMessage)
+    // CTAS: CREATE TABLE … USING graft-tx AS SELECT stages a new table
+    val ctasDir = Files.createTempDirectory("graft_dml_ctas").resolve("t")
+    spark.sql("DROP TABLE IF EXISTS dml_ctas")
+    spark.sql(s"CREATE TABLE dml_ctas USING `graft-tx` " +
+      s"OPTIONS (path '$ctasDir', statsColumns 'id') " +
+      s"AS SELECT id, tag FROM dml_ins")
+    assert(spark.table("dml_ctas").count() == 1)
+    assert(TxTable.latestVersion(ctasDir.toString) == 1)
+  }
+
+  test("ALTER TABLE ADD COLUMNS lowers onto addColumn and keeps the catalog schema in sync") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t, (1L to 5L).map(i => (i, "x")).toDF("id", "tag"),
+      Seq("id"))
+    register("dml_alter", t)
+    spark.sql("ALTER TABLE dml_alter ADD COLUMNS (score DOUBLE, note STRING)")
+    val now = spark.table("dml_alter")
+    assert(now.columns.toSeq == Seq("id", "tag", "score", "note"))
+    assert(now.filter(col("score").isNotNull).count() == 0)
+    // manifest and catalog agree; values land through a plain insert
+    assert(TxTable.read(spark, t).columns.contains("score"))
+    spark.sql("INSERT INTO dml_alter VALUES (6, 'y', 1.5, 'n')")
+    assert(spark.table("dml_alter").filter(col("score") === 1.5).count() == 1)
+    // duplicate add refuses through the same manifest rule
+    intercept[Exception] {
+      spark.sql("ALTER TABLE dml_alter ADD COLUMNS (tag STRING)") }
+  }
+
   test("SQL UPDATE keeps the file-skipping contract: SET of a predicate-read column refuses") {
     import spark.implicits._
     val t = tmpTable()

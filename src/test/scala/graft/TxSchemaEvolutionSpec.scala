@@ -95,6 +95,47 @@ class TxSchemaEvolutionSpec extends SparkSpecBase {
     assert(TxTable.renameColumn(t, "tag", "label") > 0)
   }
 
+  test("merge refuses a wider update frame without mergeSchema; opts in and declares (r16)") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t, (1L to 30L).map(i => (i, "x")).toDF("id", "tag"),
+      Seq("id"))
+    val wide = Seq((5L, "upd", 1.5), (31L, "ins", 2.5)).toDF("id", "tag", "sc")
+    val e = intercept[IllegalArgumentException] {
+      TxTable.merge(spark, t, wide, "id", Seq("id")) }
+    assert(e.getMessage.contains("mergeSchema"), e.getMessage)
+    TxTable.merge(spark, t, wide, "id", Seq("id"), mergeSchema = true)
+    val now = TxTable.read(spark, t)
+    assert(now.columns.contains("sc") && now.count() == 31)
+    assert(now.filter(col("id") === 5L).head().getAs[Double]("sc") == 1.5)
+    assert(now.filter(col("id") === 1L).head()
+      .isNullAt(now.columns.indexOf("sc")),
+      "carried rows read null for the newly declared column")
+  }
+
+  test("CHECK constraints validate the LANDED rows; a violating append deletes its files and commits nothing (r16)") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t, Seq((1L, 5.0)).toDF("id", "v"), Seq("id"))
+    TxTable.addCheckConstraint(spark, t, "v_pos", "v > 0")
+    val vBefore = TxTable.latestVersion(t)
+    def parquetCount(): Long = {
+      val dir = java.nio.file.Paths.get(t, "data")
+      java.nio.file.Files.walk(dir).filter(p =>
+        p.toString.endsWith(".parquet")).count()
+    }
+    val filesBefore = parquetCount()
+    intercept[IllegalArgumentException] {
+      TxTable.append(spark, t, Seq((2L, -1.0)).toDF("id", "v"), Seq("id"))
+    }
+    assert(TxTable.latestVersion(t) == vBefore, "no version")
+    assert(parquetCount() == filesBefore,
+      "the violating write's files are deleted — no garbage")
+    // a valid append still lands; the landed rows are the checked rows
+    TxTable.append(spark, t, Seq((3L, 1.0)).toDF("id", "v"), Seq("id"))
+    assert(TxTable.read(spark, t).count() == 2)
+  }
+
   test("streaming read stays schema-stable across a mid-stream evolved append") {
     import spark.implicits._
     val t = tmpTable()
