@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // relations lowers onto the TxTable mutation engine (r16)
     ext.injectResolutionRule(session =>
       new graft.sources.TxDmlRule(session))
+    // maintenance statements Spark's grammar lacks (DESCRIBE HISTORY/
+    // DETAIL, VACUUM, OPTIMIZE [ZORDER]) — everything else delegates
+    ext.injectParser((session, delegate) =>
+      new graft.sources.GraftSqlParser(session, delegate))
   }
 }
 

@@ -1,0 +1,151 @@
+package graft.sources
+
+import java.util.Locale
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types._
+
+/** MAINTENANCE SQL for graft-tx tables (r16 — the Delta-style
+  * statement tier a table owner runs from a SQL console), injected as
+  * a PARSER extension (`GraftExtensions` → `injectParser`): statements
+  * Spark's grammar has no production for are recognized up front,
+  * everything else delegates verbatim (errors included) —
+  *
+  *   DESCRIBE HISTORY '<table path>'
+  *   DESCRIBE DETAIL  '<table path>'
+  *   VACUUM '<table path>' RETAIN <n> VERSIONS [DRY RUN]
+  *   OPTIMIZE '<table path>' [ZORDER BY (colA, colB)]
+  *
+  * Paths (not catalog names) address the tables — maintenance acts on
+  * the physical table whatever catalog entries point at it, the same
+  * addressing the Scala API uses. VACUUM's `RETAIN n VERSIONS` keeps
+  * the newest n versions (keepFromVersion = latest − n + 1); DRY RUN
+  * lists reclaimable files without deleting. OPTIMIZE is [[TxTable
+  * .compact]]; with ZORDER BY it is [[TxTable.zorder]] (flat tables —
+  * the partition-level forms stay on the maintenance API, same
+  * refusal messages).
+  */
+class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.maintenancePlan(sqlText).getOrElse(
+      delegate.parsePlan(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+  private val History =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
+  private val Detail =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+'([^']+)'\s*;?\s*""".r
+  private val Vacuum =
+    """(?is)\s*VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)\s+VERSIONS(\s+DRY\s+RUN)?\s*;?\s*""".r
+  private val Optimize =
+    """(?is)\s*OPTIMIZE\s+'([^']+)'\s*(?:ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*""".r
+
+  private[sources] def maintenancePlan(sql: String): Option[LogicalPlan] = {
+    // cheap gate before the regexes: every statement starts with one
+    // of three keywords
+    val head = sql.trim.takeWhile(!_.isWhitespace).toUpperCase(Locale.ROOT)
+    if (head != "DESCRIBE" && head != "VACUUM" && head != "OPTIMIZE")
+      return None
+    sql match {
+      case History(path)  => Some(GraftHistoryCommand(path))
+      case Detail(path)   => Some(GraftDetailCommand(path))
+      case Vacuum(path, n, dry) =>
+        Some(GraftVacuumCommand(path, n.toInt, dry != null))
+      case Optimize(path, a, b) =>
+        Some(GraftOptimizeCommand(path,
+          if (a == null) None else Some((a, b))))
+      case _ => None
+    }
+  }
+}
+
+/** `DESCRIBE HISTORY '<path>'` → [[TxTable.history]]'s rows. */
+case class GraftHistoryCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType)(),
+    AttributeReference("operation", StringType)(),
+    AttributeReference("n_files", LongType)(),
+    AttributeReference("n_rows", LongType)(),
+    AttributeReference("files_added", LongType)(),
+    AttributeReference("files_removed", LongType)(),
+    AttributeReference("n_batches", LongType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    TxTable.history(spark, path).collect().toSeq
+}
+
+/** `DESCRIBE DETAIL '<path>'` → [[TxTable.detail]]'s one row. */
+case class GraftDetailCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType)(),
+    AttributeReference("oldest_retained", IntegerType)(),
+    AttributeReference("n_files", LongType)(),
+    AttributeReference("n_rows", LongType)(),
+    AttributeReference("n_bytes", LongType)(),
+    AttributeReference("n_dv_rows", LongType)(),
+    AttributeReference("partition_cols", StringType)(),
+    AttributeReference("renames", StringType)(),
+    AttributeReference("dropped_cols", StringType)(),
+    AttributeReference("n_batches", LongType)(),
+    AttributeReference("checkpoint_interval", IntegerType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    TxTable.detail(spark, path).collect().toSeq
+}
+
+/** `VACUUM '<path>' RETAIN n VERSIONS [DRY RUN]` — keeps the newest n
+  * versions; DRY RUN lists without deleting (Delta's audit step).
+  */
+case class GraftVacuumCommand(path: String, retain: Int, dryRun: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("reclaimed_path", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(retain >= 1, "VACUUM must RETAIN at least 1 version")
+    val keepFrom = math.max(1, TxTable.latestVersion(path) - retain + 1)
+    val files =
+      if (dryRun) TxTable.vacuumDryRun(path, keepFrom)._1
+      else TxTable.vacuum(path, keepFrom)
+    files.map(Row(_))
+  }
+}
+
+/** `OPTIMIZE '<path>' [ZORDER BY (a, b)]` — compaction or the z-curve
+  * re-layout; stats columns carry forward from the manifest.
+  */
+case class GraftOptimizeCommand(path: String, zorder: Option[(String, String)])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val stats = TxTable.statsColumnsOf(path)
+    val v = zorder match {
+      case Some((a, b)) => TxTable.zorder(spark, path, a, b, stats)
+      case None         => TxTable.compact(spark, path, stats)
+    }
+    Seq(Row(v))
+  }
+}
