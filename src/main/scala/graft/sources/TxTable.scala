@@ -1231,6 +1231,13 @@ object TxTable {
     val parent = latestVersion(table)
     val slot = f"v${parent + 1}%08d-o"
     val snap = resolveSnapshot(table, parent)
+    // same refusal as compact/zorder (r16): a flat rewrite of a
+    // hive-partitioned live set would silently DE-PARTITION it —
+    // directory layout, parts metadata, partition pruning and the
+    // partition-aware maintenance family all lost
+    require(snap.files.forall(_.parts.isEmpty),
+      s"$table is hive-partitioned — a flat overwrite would silently " +
+        s"de-partition it; use overwritePartitions (dynamic) instead")
     val written = writeFiles(spark, table, slot, toPhysical(snap, df),
       statsCols.map(originalName(snap, _)))
     enforceChecksWritten(spark, table, snap, written, s"overwrite of $table")

@@ -179,6 +179,44 @@ class TxDmlSpec extends SparkSpecBase {
       spark.sql("ALTER TABLE dml_alter ADD COLUMNS (tag STRING)") }
   }
 
+  test("temp-view reads stay FRESH across DML (floating re-resolution); partitioned overwrite guards") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t, (1L to 30L).map(i => (i, "x")).toDF("id", "tag"),
+      Seq("id"))
+    // a FLOATING temp view re-resolves per scan: DML through the
+    // catalog table is visible through the view without re-creation.
+    // (DML with the VIEW as target is a Spark limitation — its own
+    // resolution rejects DSv1 view targets before extension rules
+    // run — so catalog tables are the DML surface.)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW dml_tv " +
+      s"USING `graft-tx` OPTIONS (path '$t')")
+    register("dml_tv_cat", t)
+    assert(spark.table("dml_tv").count() == 30)
+    spark.sql("DELETE FROM dml_tv_cat WHERE id <= 5")
+    assert(spark.table("dml_tv").count() == 25,
+      "the floating temp view serves the post-DML snapshot")
+    // a version-PINNED view stays pinned across the same DML
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW dml_tv_pin " +
+      s"USING `graft-tx` OPTIONS (path '$t', version '1')")
+    spark.sql("UPDATE dml_tv_cat SET tag = 'v' WHERE id = 6")
+    assert(spark.table("dml_tv_pin").count() == 30, "pinned view unmoved")
+    assert(spark.table("dml_tv").filter(col("tag") === "v").count() == 1)
+    // scala-API overwrite on a PARTITIONED table refuses (silent
+    // de-partition guard, r16); the dynamic form is the replacement
+    val pt = tmpTable()
+    TxTable.createPartitioned(spark, pt,
+      (1L to 10L).map(i => (i, i % 2)).toDF("id", "p"), Seq("p"), Seq("id"))
+    val e2 = intercept[IllegalArgumentException] {
+      TxTable.overwrite(spark, pt, Seq((99L, 0L)).toDF("id", "p"), Seq("id")) }
+    assert(e2.getMessage.contains("de-partition"), e2.getMessage)
+    val res = TxTable.overwritePartitions(spark, pt,
+      Seq((99L, 0L)).toDF("id", "p"), Seq("p"), Seq("id"))
+    assert(TxTable.read(spark, pt).filter(col("p") === 0).count() == 1)
+    assert(TxTable.read(spark, pt).filter(col("p") === 1).count() == 5)
+    assert(res.rewritten >= 1)
+  }
+
   test("SQL UPDATE keeps the file-skipping contract: SET of a predicate-read column refuses") {
     import spark.implicits._
     val t = tmpTable()
