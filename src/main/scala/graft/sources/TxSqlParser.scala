@@ -20,6 +20,7 @@ import org.apache.spark.sql.types._
   *   DESCRIBE DETAIL  '<table path>'
   *   VACUUM '<table path>' RETAIN <n> VERSIONS [DRY RUN]
   *   OPTIMIZE '<table path>' [ZORDER BY (colA, colB)]
+  *   RESTORE '<table path>' TO VERSION <n>
   *
   * Paths (not catalog names) address the tables — maintenance acts on
   * the physical table whatever catalog entries point at it, the same
@@ -64,12 +65,15 @@ object GraftSqlParser {
     """(?is)\s*VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)\s+VERSIONS(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+'([^']+)'\s*(?:ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*""".r
+  private val Restore =
+    """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
 
   private[sources] def maintenancePlan(sql: String): Option[LogicalPlan] = {
     // cheap gate before the regexes: every statement starts with one
-    // of three keywords
+    // of four keywords
     val head = sql.trim.takeWhile(!_.isWhitespace).toUpperCase(Locale.ROOT)
-    if (head != "DESCRIBE" && head != "VACUUM" && head != "OPTIMIZE")
+    if (head != "DESCRIBE" && head != "VACUUM" && head != "OPTIMIZE" &&
+      head != "RESTORE")
       return None
     sql match {
       case History(path)  => Some(GraftHistoryCommand(path))
@@ -79,6 +83,7 @@ object GraftSqlParser {
       case Optimize(path, a, b) =>
         Some(GraftOptimizeCommand(path,
           if (a == null) None else Some((a, b))))
+      case Restore(path, v) => Some(GraftRestoreCommand(path, v.toInt))
       case _ => None
     }
   }
@@ -131,6 +136,18 @@ case class GraftVacuumCommand(path: String, retain: Int, dryRun: Boolean)
       else TxTable.vacuum(path, keepFrom)
     files.map(Row(_))
   }
+}
+
+/** `RESTORE '<path>' TO VERSION n` — roll the live set back to an
+  * older version's content as a NEW commit (zero data movement; the
+  * in-between versions stay travelable until VACUUM — Delta's RESTORE).
+  */
+case class GraftRestoreCommand(path: String, toVersion: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxTable.restore(spark, path, toVersion)))
 }
 
 /** `OPTIMIZE '<path>' [ZORDER BY (a, b)]` — compaction or the z-curve

@@ -62,6 +62,20 @@ class TxMaintenanceSqlSpec extends SparkSpecBase {
     assert(TxTable.read(spark, t).count() == 350)
   }
 
+  test("RESTORE TO VERSION rolls back through SQL; the mistaken versions stay travelable") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t, (1L to 20L).map(i => (i, "x")).toDF("id", "tag"),
+      Seq("id"))
+    TxTable.delete(spark, t, "id", "1", "15", Seq("id"))
+    assert(TxTable.read(spark, t).count() == 5)
+    val v = spark.sql(s"RESTORE '$t' TO VERSION 1").head().getInt(0)
+    assert(v == 3)
+    assert(TxTable.read(spark, t).count() == 20, "rolled back")
+    assert(TxTable.read(spark, t, version = 2).count() == 5,
+      "the mistaken version stays travelable")
+  }
+
   test("the injected parser delegates everything else verbatim") {
     // ordinary SQL parses and runs
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
