@@ -2396,6 +2396,56 @@ class TxTableSpec extends SparkSpecBase {
     assert(res2.version > res.version)
   }
 
+  test("mergeClauses differential: mixed clause set matches an independent driver-side reference (r16)") {
+    import spark.implicits._
+    import TxTable.{InsertClause, MergeClause, MergeDelete, MergeUpdate, srcCol}
+    val t = tmpTable()
+    val target = (1L to 500L).map(i => (i, "base", i % 13, i % 7))
+    TxTable.create(spark, t, target.toDF("id", "tag", "amt", "grp"),
+      Seq("id"))
+    // source: every 3rd key up to 600 — ~2/3 matched, 1/3 not; op from
+    // a fixed mix; inserts carry their own grp/amt
+    val source = (3L to 600L by 3L).map { i =>
+      val op = (i / 3) % 4 match {
+        case 0 => "d"; case 1 => "u"; case 2 => "i"; case _ => "x"
+      }
+      (i, op, s"s$i", i % 11, i % 7)
+    }
+    TxTable.mergeClauses(spark, t,
+      source.toDF("id", "op", "tag", "amt", "grp"), "id", Seq("id"),
+      whenMatched = Seq(
+        MergeClause(Some(srcCol("op") === "d" && col("grp") =!= 0L),
+          MergeDelete),
+        MergeClause(Some(srcCol("op") === "u"),
+          MergeUpdate(Map("tag" -> srcCol("tag"),
+            "amt" -> (col("amt") + srcCol("amt")))))),
+      whenNotMatched = Seq(InsertClause(Some(col("op") === "i"))),
+      whenNotMatchedBySource = Seq(
+        MergeClause(Some(col("grp") === 5L),
+          MergeUpdate(Map("tag" -> lit("stale")))),
+        MergeClause(Some(col("amt") > 10L), MergeDelete)))
+    // INDEPENDENT reference: plain Scala over the same inputs
+    val srcByKey = source.map(r => r._1 -> r).toMap
+    val expected = target.flatMap { case (id, tag, amt, grp) =>
+      srcByKey.get(id) match {
+        case Some((_, "d", _, _, _)) if grp != 0 => None // matched delete
+        case Some((_, "u", sTag, sAmt, _)) =>
+          Some((id, sTag, amt + sAmt, grp)) // matched update
+        case Some(_) => Some((id, tag, amt, grp)) // matched, no clause
+        case None if grp == 5 => Some((id, "stale", amt, grp)) // NMBS upd
+        case None if amt > 10 => None // NMBS delete (second clause)
+        case None => Some((id, tag, amt, grp))
+      }
+    } ++ source.collect { // unmatched inserts with op 'i'
+      case (id, "i", sTag, sAmt, sGrp) if id > 500 => (id, sTag, sAmt, sGrp)
+    }
+    val got = TxTable.read(spark, t)
+      .select(col("id"), col("tag"), col("amt"), col("grp"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == expected.toSet,
+      s"missing=${expected.toSet -- got}, extra=${got -- expected.toSet}")
+  }
+
   test("applyChanges r16: ONE commit per window, single feed evaluation, exactly-once replay via windowId (VERDICT-r15 #4)") {
     import spark.implicits._
     val src = tmpTable()
