@@ -238,6 +238,7 @@ object SparkEntry {
     "tx_merge_clauses"    -> graft.sources.TxTable.mergeClausesQuery _,
     "tx_time_travel"      -> graft.sources.TxTable.timeTravelQuery _,
     "tx_sql_read"         -> graft.sources.TxTable.sqlReadQuery _,
+    "tx_sql_time_travel"  -> graft.sources.TxTable.sqlTimeTravelQuery _,
     "tx_catalog_read"     -> graft.sources.TxTable.catalogReadQuery _,
     "tx_sql_dml"          -> graft.sources.TxTable.sqlDmlQuery _,
     "tx_delete"           -> graft.sources.TxTable.deleteQuery _,
@@ -590,6 +591,7 @@ object SparkEntry {
     "tx_merge_clauses"    -> graft.sources.TxTable.mergeClausesQuerySql,
     "tx_time_travel"      -> graft.sources.TxTable.timeTravelQuerySql,
     "tx_sql_read"         -> graft.sources.TxTable.sqlReadQuerySql,
+    "tx_sql_time_travel"  -> graft.sources.TxTable.sqlTimeTravelQuerySql,
     "tx_catalog_read"     -> graft.sources.TxTable.catalogReadQuerySql,
     "tx_sql_dml"          -> graft.sources.TxTable.sqlDmlQuerySql,
     "tx_delete"           -> graft.sources.TxTable.deleteQuerySql,

@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // relations lowers onto the TxTable mutation engine (r16)
     ext.injectResolutionRule(session =>
       new graft.sources.TxDmlRule(session))
+    // SQL time travel (VERSION AS OF / TIMESTAMP AS OF) over graft-tx
+    // catalog tables — hint batch so it runs BEFORE Spark's own
+    // v2-only time-travel resolution can refuse the statement (r16)
+    ext.injectHintResolutionRule(session =>
+      new graft.sources.TxTimeTravelRule(session))
     // maintenance statements Spark's grammar lacks (DESCRIBE HISTORY/
     // DETAIL, VACUUM, OPTIMIZE [ZORDER]) — everything else delegates
     ext.injectParser((session, delegate) =>

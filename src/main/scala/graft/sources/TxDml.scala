@@ -96,6 +96,74 @@ class TxDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
+/** SQL TIME TRAVEL for graft-tx catalog tables (r16): Spark parses
+  * `SELECT … FROM t VERSION AS OF 3` / `… TIMESTAMP AS OF '…'` into
+  * [[org.apache.spark.sql.catalyst.analysis.RelationTimeTravel]], but
+  * its own resolution supports only DSv2 catalogs — a v1 session-
+  * catalog table throws `UNSUPPORTED_FEATURE.TIME_TRAVEL`. This rule
+  * is injected into the HINT-resolution batch (which runs BEFORE the
+  * Resolution batch, so it sees the node before Spark's own rule can
+  * refuse it) and rewrites the travel spec for graft-tx catalog
+  * tables into a version-pinned [[TxRelation]] scan — the SQL spelling
+  * of the `version` / `timestampAsOf` reader options. Non-tx tables,
+  * temp views, and non-literal timestamp expressions pass through
+  * untouched (Spark's own error paths stay intact).
+  */
+class TxTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
+      pinnedScan(u.multipartIdentifier, ts, ver).getOrElse(tt)
+  }
+
+  /** The pinned scan for a graft-tx catalog table, or None to leave
+    * the node to Spark's own (refusing) resolution.
+    */
+  private def pinnedScan(ident: Seq[String],
+      ts: Option[Expression], ver: Option[String]): Option[LogicalPlan] = {
+    val parts = if (ident.headOption.exists(
+        _.equalsIgnoreCase("spark_catalog"))) ident.tail else ident
+    if (parts.isEmpty || parts.size > 2) return None
+    val cat = spark.sessionState.catalog
+    // a shadowing temp view wins name resolution — don't silently
+    // time-travel the catalog table hiding behind it
+    if (cat.isTempView(parts)) return None
+    val ti = org.apache.spark.sql.catalyst.TableIdentifier(
+      parts.last, parts.dropRight(1).headOption)
+    val meta = scala.util.Try(cat.getTableMetadata(ti)).toOption
+      .getOrElse(return None)
+    TxDml.fromCatalogMeta(meta).flatMap { tgt =>
+      require(!tgt.pinned,
+        s"time travel over an already version-pinned graft-tx relation " +
+          s"(${tgt.path}) — register an unpinned table")
+      val reader = spark.read.format("graft-tx").option("path", tgt.path)
+      val spec: Option[org.apache.spark.sql.DataFrameReader] =
+        (ver, ts) match {
+          case (Some(v), _) => Some(reader.option("version", v))
+          case (_, Some(e)) => tsLiteral(e).map(reader.option("timestampAsOf", _))
+          case _            => Some(reader)
+        }
+      spec.map(_.load().queryExecution.logical)
+    }
+  }
+
+  /** `TIMESTAMP AS OF <expr>` accepts the two literal spellings the
+    * reader option understands: a string (ISO instant or local
+    * `yyyy-MM-dd HH:mm:ss`) and a TIMESTAMP literal (micros → epoch
+    * millis). Anything else falls through to Spark's own error.
+    */
+  private def tsLiteral(e: Expression): Option[String] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        s: org.apache.spark.unsafe.types.UTF8String,
+        org.apache.spark.sql.types.StringType) => Some(s.toString)
+    case org.apache.spark.sql.catalyst.expressions.Literal(micros: Long,
+        _: org.apache.spark.sql.types.TimestampType) =>
+      Some((micros / 1000L).toString)
+    case _ => None
+  }
+}
+
 private[graft] object TxDml {
   final case class Target(path: String, pinned: Boolean,
       ident: Option[String] = None)

@@ -3522,6 +3522,37 @@ object TxTable {
     """SELECT c_mktsegment AS seg, count(*) AS n_v1, 2 * count(*) AS n_v2
       |FROM customer GROUP BY 1 ORDER BY seg""".stripMargin
 
+  /** tx_sql_time_travel — SQL-surface TIME TRAVEL as a driver query
+    * (r16): stage customer into a transactional table, append a
+    * shifted copy (v2), register a FLOATING catalog table, then read
+    * version 1 through the standard SQL spelling — `SELECT … FROM t
+    * VERSION AS OF 1` — joined against the latest snapshot read
+    * through the same catalog entry. Matching the oracle proves the
+    * [[TxTimeTravelRule]] hint-batch rewrite end to end: statement →
+    * RelationTimeTravel → pinned TxRelation scan, with the floating
+    * read untouched in the same query.
+    */
+  def sqlTimeTravelQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Files.createTempDirectory("graft_tx_ttsql").resolve("t").toString
+    val base = graft.util.Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long").as("k"), col("c_mktsegment").as("seg"))
+    create(spark, t, base, Seq("k", "seg"))
+    append(spark, t, base.select((col("k") + 10000000L).as("k"), col("seg")),
+      Seq("k", "seg"))
+    spark.sql("DROP TABLE IF EXISTS graft_tx_tt")
+    spark.sql(s"CREATE TABLE graft_tx_tt USING `graft-tx` OPTIONS (path '$t')")
+    spark.sql("""SELECT v1.seg AS seg, v1.n_v1 AS n_v1, l.n_latest AS n_latest
+      |FROM (SELECT seg, count(*) AS n_v1
+      |      FROM graft_tx_tt VERSION AS OF 1 GROUP BY seg) v1
+      |JOIN (SELECT seg, count(*) AS n_latest
+      |      FROM graft_tx_tt GROUP BY seg) l ON v1.seg = l.seg
+      |ORDER BY seg""".stripMargin)
+  }
+
+  def sqlTimeTravelQuerySql: String =
+    """SELECT c_mktsegment AS seg, count(*) AS n_v1, 2 * count(*) AS n_latest
+      |FROM customer GROUP BY 1 ORDER BY seg""".stripMargin
+
   /** tx_catalog_read — the PERSISTENT catalog surface as a driver
     * query (VERDICT r12 #5): [[sqlReadQuery]]'s TEMPORARY view is
     * per-session by definition, but the reference's warehouse outlives

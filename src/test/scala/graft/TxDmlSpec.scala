@@ -227,4 +227,58 @@ class TxDmlSpec extends SparkSpecBase {
       spark.sql("UPDATE dml_t4 SET v = 0 WHERE v > 5") }
     assert(e.getMessage.contains("file-skipping"), e.getMessage)
   }
+
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF resolve pinned snapshots; refusals pass through") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t, (1L to 20L).map(i => (i, "a")).toDF("id", "tag"),
+      Seq("id"))
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(15) // versionAtTime resolves at millisecond grain
+    TxTable.append(spark, t, Seq((100L, "b"), (101L, "b")).toDF("id", "tag"),
+      Seq("id"))
+    register("tt_t1", t)
+    assert(spark.sql("SELECT count(*) AS n FROM tt_t1 VERSION AS OF 1")
+      .head().getLong(0) == 20)
+    assert(spark.sql("SELECT count(*) AS n FROM tt_t1 VERSION AS OF 2")
+      .head().getLong(0) == 22)
+    assert(spark.table("tt_t1").count() == 22, "bare read stays floating")
+    // TIMESTAMP AS OF: a string literal (epoch millis spelling) and a
+    // TIMESTAMP literal both pin the version live at that instant
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM tt_t1 TIMESTAMP AS OF '$afterV1'")
+      .head().getLong(0) == 20)
+    val iso = java.time.Instant.ofEpochMilli(afterV1).toString
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM tt_t1 TIMESTAMP AS OF '$iso'")
+      .head().getLong(0) == 20)
+    val lts = new java.sql.Timestamp(afterV1).toString.take(23)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM tt_t1 TIMESTAMP AS OF TIMESTAMP'$lts'")
+      .head().getLong(0) == 20)
+    // DML composes: travel reads join the floating head in one query
+    val both = spark.sql("""SELECT
+      |(SELECT count(*) FROM tt_t1 VERSION AS OF 1) AS n1,
+      |(SELECT count(*) FROM tt_t1) AS n2""".stripMargin).head()
+    assert(both.getLong(0) == 20 && both.getLong(1) == 22)
+    // an already-PINNED catalog table refuses further travel
+    register("tt_pin", t, ", version '1'")
+    val e = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM tt_pin VERSION AS OF 2").collect() }
+    assert(e.getMessage.contains("version-pinned"), e.getMessage)
+    // non-tx tables fall through to Spark's own v2-only error
+    spark.sql("DROP TABLE IF EXISTS tt_plain")
+    spark.sql("CREATE TABLE tt_plain (id BIGINT) USING parquet")
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM tt_plain VERSION AS OF 1").collect() }
+    assert(!e2.getMessage.contains("graft"), e2.getMessage)
+    // a shadowing TEMP VIEW wins name resolution: travel through the
+    // view name is not silently redirected to the catalog table
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW tt_t1 " +
+      s"USING `graft-tx` OPTIONS (path '$t')")
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM tt_t1 VERSION AS OF 1").collect() }
+    assert(!e3.getMessage.contains("version-pinned"), e3.getMessage)
+    spark.sql("DROP VIEW tt_t1")
+  }
 }
