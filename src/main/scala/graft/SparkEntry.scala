@@ -239,6 +239,7 @@ object SparkEntry {
     "tx_time_travel"      -> graft.sources.TxTable.timeTravelQuery _,
     "tx_sql_read"         -> graft.sources.TxTable.sqlReadQuery _,
     "tx_sql_time_travel"  -> graft.sources.TxTable.sqlTimeTravelQuery _,
+    "tx_convert"          -> graft.sources.TxTable.convertQuery _,
     "tx_catalog_read"     -> graft.sources.TxTable.catalogReadQuery _,
     "tx_sql_dml"          -> graft.sources.TxTable.sqlDmlQuery _,
     "tx_delete"           -> graft.sources.TxTable.deleteQuery _,
@@ -592,6 +593,7 @@ object SparkEntry {
     "tx_time_travel"      -> graft.sources.TxTable.timeTravelQuerySql,
     "tx_sql_read"         -> graft.sources.TxTable.sqlReadQuerySql,
     "tx_sql_time_travel"  -> graft.sources.TxTable.sqlTimeTravelQuerySql,
+    "tx_convert"          -> graft.sources.TxTable.convertQuerySql,
     "tx_catalog_read"     -> graft.sources.TxTable.catalogReadQuerySql,
     "tx_sql_dml"          -> graft.sources.TxTable.sqlDmlQuerySql,
     "tx_delete"           -> graft.sources.TxTable.deleteQuerySql,

@@ -67,13 +67,15 @@ object GraftSqlParser {
     """(?is)\s*OPTIMIZE\s+'([^']+)'\s*(?:ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*""".r
   private val Restore =
     """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
+  private val Convert =
+    """(?is)\s*CONVERT\s+TO\s+TX\s+'([^']+)'(?:\s+STATS\s*\(\s*([\w\s,]+?)\s*\))?\s*;?\s*""".r
 
   private[sources] def maintenancePlan(sql: String): Option[LogicalPlan] = {
     // cheap gate before the regexes: every statement starts with one
-    // of four keywords
+    // of five keywords
     val head = sql.trim.takeWhile(!_.isWhitespace).toUpperCase(Locale.ROOT)
     if (head != "DESCRIBE" && head != "VACUUM" && head != "OPTIMIZE" &&
-      head != "RESTORE")
+      head != "RESTORE" && head != "CONVERT")
       return None
     sql match {
       case History(path)  => Some(GraftHistoryCommand(path))
@@ -84,6 +86,10 @@ object GraftSqlParser {
         Some(GraftOptimizeCommand(path,
           if (a == null) None else Some((a, b))))
       case Restore(path, v) => Some(GraftRestoreCommand(path, v.toInt))
+      case Convert(path, stats) =>
+        Some(GraftConvertCommand(path,
+          if (stats == null) Seq.empty
+          else stats.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
       case _ => None
     }
   }
@@ -148,6 +154,22 @@ case class GraftRestoreCommand(path: String, toVersion: Int)
     AttributeReference("version", IntegerType)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(TxTable.restore(spark, path, toVersion)))
+}
+
+/** `CONVERT TO TX '<path>' [STATS (a, b)]` — make an existing
+  * plain-parquet directory a graft-tx table in place, zero data
+  * rewritten ([[TxTable.convert]]). STATS picks the skipping-stats
+  * columns; absent, every atomic column gets them.
+  */
+case class GraftConvertCommand(path: String, statsCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType)(),
+    AttributeReference("n_files", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = TxTable.convert(spark, path, statsCols)
+    Seq(Row(v, TxTable.detail(spark, path).head().getAs[Long]("n_files")))
+  }
 }
 
 /** `OPTIMIZE '<path>' [ZORDER BY (a, b)]` — compaction or the z-curve

@@ -76,6 +76,74 @@ class TxMaintenanceSqlSpec extends SparkSpecBase {
       "the mistaken version stays travelable")
   }
 
+  test("CONVERT TO TX onboards a flat parquet dir in place: zero rewrite, stats harvested, table fully live") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_conv").resolve("t").toString
+    (1L to 400L).map(i => (i, s"tag${i % 5}")).toDF("id", "tag")
+      .repartitionByRange(4, col("id")).write.parquet(dir)
+    val before = Files.list(java.nio.file.Paths.get(dir)).iterator()
+    val origFiles = scala.jdk.CollectionConverters.IteratorHasAsScala(before)
+      .asScala.filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => p.getFileName.toString -> Files.size(p)).toMap
+    assert(origFiles.size == 4)
+    val r = spark.sql(s"CONVERT TO TX '$dir' STATS (id)").head()
+    assert(r.getInt(0) == 1 && r.getLong(1) == 4)
+    // zero rewrite: the same file names with the same byte sizes now
+    // live under the versioned layout; the originals are gone
+    val slot = java.nio.file.Paths.get(dir, "data", "v00000001")
+    val moved = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      Files.list(slot).iterator()).asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => p.getFileName.toString -> Files.size(p)).toMap
+    assert(moved == origFiles, "files moved, not rewritten")
+    assert(!Files.exists(java.nio.file.Paths.get(dir, origFiles.head._1)))
+    // the _SUCCESS marker was never data: it stays put
+    assert(Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+    // stats harvested: a key-band read skips the disjoint files
+    val (kept, skipped) = TxTable.prune(dir, "id", 1L, 50L)
+    assert(kept.size < 4 && skipped.nonEmpty, s"kept ${kept.size}")
+    // fully live: append, mutate, travel
+    TxTable.append(spark, dir, Seq((1000L, "new")).toDF("id", "tag"), Seq("id"))
+    TxTable.deleteWhere(spark, dir, col("id") <= 100L, Seq("id"))
+    assert(TxTable.read(spark, dir).count() == 301)
+    assert(TxTable.read(spark, dir, version = 1).count() == 400,
+      "the converted snapshot stays travelable")
+  }
+
+  test("CONVERT TO TX detects hive partition dirs; refusals: already-tx, empty, mixed layouts") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_convp").resolve("t").toString
+    (1L to 300L).map(i => (i, i % 3, s"v$i")).toDF("id", "p", "v")
+      .write.partitionBy("p").parquet(dir)
+    assert(spark.sql(s"CONVERT TO TX '$dir'").head().getInt(0) == 1)
+    val d = spark.sql(s"DESCRIBE DETAIL '$dir'").head()
+    assert(d.getAs[String]("partition_cols") == "p")
+    val got = TxTable.read(spark, dir)
+    assert(got.count() == 300)
+    assert(got.filter(col("p") === 1).count() == 100,
+      "partition values recovered from the dir names")
+    // a partition-band delete rewrites only its partition's files
+    val res = TxTable.deleteWhere(spark, dir, col("p") === 2, Seq("id"))
+    assert(res.untouched >= 2, "disjoint partitions carried by reference")
+    assert(TxTable.read(spark, dir).count() == 200)
+    // refusals
+    val e1 = intercept[IllegalArgumentException] {
+      TxTable.convert(spark, dir) }
+    assert(e1.getMessage.contains("already"), e1.getMessage)
+    val empty = Files.createTempDirectory("graft_conve").resolve("e")
+    Files.createDirectories(empty)
+    val e2 = intercept[IllegalArgumentException] {
+      TxTable.convert(spark, empty.toString) }
+    assert(e2.getMessage.contains("no parquet"), e2.getMessage)
+    val mixed = Files.createTempDirectory("graft_convm").resolve("m").toString
+    Seq((1L, "a")).toDF("id", "t").write.parquet(mixed + "/q=1")
+    Seq((2L, "b")).toDF("id", "t").coalesce(1).write.parquet(mixed + "/flat_sub")
+    val e3 = intercept[IllegalArgumentException] {
+      TxTable.convert(spark, mixed) }
+    assert(e3.getMessage.contains("non-hive") ||
+      e3.getMessage.contains("inconsistent"), e3.getMessage)
+  }
+
   test("the injected parser delegates everything else verbatim") {
     // ordinary SQL parses and runs
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
