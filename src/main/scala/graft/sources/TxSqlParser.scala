@@ -69,17 +69,25 @@ object GraftSqlParser {
     """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
   private val Convert =
     """(?is)\s*CONVERT\s+TO\s+TX\s+'([^']+)'(?:\s+STATS\s*\(\s*([\w\s,]+?)\s*\))?\s*;?\s*""".r
+  private val AddConstraint =
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val DropConstraint =
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  private val Constraints =
+    """(?is)\s*DESCRIBE\s+CONSTRAINTS\s+'([^']+)'\s*;?\s*""".r
 
   private[sources] def maintenancePlan(sql: String): Option[LogicalPlan] = {
     // cheap gate before the regexes: every statement starts with one
-    // of five keywords
+    // of six keywords (catalog-name ALTER TABLE falls through to
+    // Spark's grammar — only the quoted-path constraint forms match)
     val head = sql.trim.takeWhile(!_.isWhitespace).toUpperCase(Locale.ROOT)
     if (head != "DESCRIBE" && head != "VACUUM" && head != "OPTIMIZE" &&
-      head != "RESTORE" && head != "CONVERT")
+      head != "RESTORE" && head != "CONVERT" && head != "ALTER")
       return None
     sql match {
       case History(path)  => Some(GraftHistoryCommand(path))
       case Detail(path)   => Some(GraftDetailCommand(path))
+      case Constraints(path) => Some(GraftConstraintsCommand(path))
       case Vacuum(path, n, dry) =>
         Some(GraftVacuumCommand(path, n.toInt, dry != null))
       case Optimize(path, a, b) =>
@@ -90,6 +98,10 @@ object GraftSqlParser {
         Some(GraftConvertCommand(path,
           if (stats == null) Seq.empty
           else stats.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
+      case AddConstraint(path, name, pred) =>
+        Some(GraftAddConstraintCommand(path, name, pred.trim))
+      case DropConstraint(path, name) =>
+        Some(GraftDropConstraintCommand(path, name))
       case _ => None
     }
   }
@@ -154,6 +166,41 @@ case class GraftRestoreCommand(path: String, toVersion: Int)
     AttributeReference("version", IntegerType)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(TxTable.restore(spark, path, toVersion)))
+}
+
+/** `ALTER TABLE '<path>' ADD CONSTRAINT name CHECK (pred)` —
+  * registers a table CHECK constraint ([[TxTable.addCheckConstraint]]:
+  * validates the existing rows, refuses on violation, then enforces
+  * on every later write). Path-addressed like the other maintenance
+  * statements; catalog-name ALTER TABLE stays on Spark's grammar.
+  */
+case class GraftAddConstraintCommand(path: String, name: String,
+    predicateSql: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxTable.addCheckConstraint(spark, path, name, predicateSql)))
+}
+
+/** `ALTER TABLE '<path>' DROP CONSTRAINT name` — metadata-only drop. */
+case class GraftDropConstraintCommand(path: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxTable.dropCheckConstraint(path, name)))
+}
+
+/** `DESCRIBE CONSTRAINTS '<path>'` — the CHECK constraints in force
+  * at the latest version, one row per (name, predicate).
+  */
+case class GraftConstraintsCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType)(),
+    AttributeReference("predicate", StringType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    TxTable.checkConstraints(path).toSeq.sortBy(_._1)
+      .map { case (n, p) => Row(n, p) }
 }
 
 /** `CONVERT TO TX '<path>' [STATS (a, b)]` — make an existing

@@ -144,6 +144,38 @@ class TxMaintenanceSqlSpec extends SparkSpecBase {
       e3.getMessage.contains("inconsistent"), e3.getMessage)
   }
 
+  test("constraint DDL: ADD/DROP CONSTRAINT and DESCRIBE CONSTRAINTS through SQL") {
+    import spark.implicits._
+    val t = tmpTable()
+    TxTable.create(spark, t, (1L to 50L).map(i => (i, i * 2)).toDF("id", "v"),
+      Seq("id"))
+    val v = spark.sql(
+      s"ALTER TABLE '$t' ADD CONSTRAINT v_pos CHECK (v > 0 AND v < 1000)")
+      .head().getInt(0)
+    assert(v == 2)
+    val cs = spark.sql(s"DESCRIBE CONSTRAINTS '$t'").collect()
+    assert(cs.length == 1 && cs.head.getString(0) == "v_pos")
+    assert(cs.head.getString(1) == "v > 0 AND v < 1000")
+    // the registered constraint ENFORCES on the next write
+    val e = intercept[Exception] {
+      TxTable.append(spark, t, Seq((51L, -1L)).toDF("id", "v"), Seq("id")) }
+    assert(e.getMessage.contains("v_pos"), e.getMessage)
+    // registration refuses when existing rows violate
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE '$t' ADD CONSTRAINT too_low CHECK (v > 10)") }
+    assert(e2.getMessage.contains("existing rows"), e2.getMessage)
+    // drop lifts enforcement
+    spark.sql(s"ALTER TABLE '$t' DROP CONSTRAINT v_pos")
+    assert(spark.sql(s"DESCRIBE CONSTRAINTS '$t'").count() == 0)
+    TxTable.append(spark, t, Seq((51L, -1L)).toDF("id", "v"), Seq("id"))
+    assert(TxTable.read(spark, t).count() == 51)
+    // catalog-name ALTER TABLE stays on Spark's own grammar
+    spark.sql("DROP TABLE IF EXISTS maint_alter_plain")
+    spark.sql("CREATE TABLE maint_alter_plain (id INT) USING parquet")
+    spark.sql("ALTER TABLE maint_alter_plain ADD COLUMNS (x INT)")
+    assert(spark.table("maint_alter_plain").columns.toSeq == Seq("id", "x"))
+  }
+
   test("the injected parser delegates everything else verbatim") {
     // ordinary SQL parses and runs
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
