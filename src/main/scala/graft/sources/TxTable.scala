@@ -2252,6 +2252,20 @@ object TxTable {
     */
   def srcCol(name: String): org.apache.spark.sql.Column = col(s"_s_$name")
 
+  /** Does this clause expression reference a source column (the
+    * `_s_<name>` rename [[srcCol]] and the SQL-DML rebind both
+    * produce)? What the NOT-MATCHED-BY-SOURCE target-only contract
+    * checks — and what the join-free NMBS rewrite relies on.
+    */
+  private def refsSource(c: org.apache.spark.sql.Column): Boolean =
+    org.apache.spark.sql.GraftBridge.toCatalystEager(c).exists {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        u.nameParts.last.startsWith("_s_")
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        a.name.startsWith("_s_")
+      case _ => false
+    }
+
   /** MULTI-CLAUSE MERGE (r16 — SQL MERGE's full clause surface, the
     * first real MERGE a warehouse user writes): conditional UPDATE/
     * DELETE on match, conditional INSERT on no-match, and WHEN NOT
@@ -2295,6 +2309,21 @@ object TxTable {
     })
     require(!setCols.contains(keyCol),
       s"MERGE must not SET its own key column $keyCol")
+    // NOT-MATCHED-BY-SOURCE clauses read TARGET columns only (SQL
+    // MERGE's own rule — there is no source row on that side). Making
+    // it a checked contract here is what lets the NMBS-only rewrite
+    // below run WITHOUT the source join.
+    whenNotMatchedBySource.foreach { cl =>
+      require(cl.action != MergeUpdateAll,
+        "WHEN NOT MATCHED BY SOURCE cannot UPDATE SET * — no source row")
+      val exprs = cl.cond.toSeq ++ (cl.action match {
+        case MergeUpdate(s) => s.values.toSeq
+        case _              => Nil
+      })
+      exprs.foreach(c => require(!refsSource(c),
+        "WHEN NOT MATCHED BY SOURCE clauses read TARGET columns only — " +
+          "a srcCol()/_s_ reference has no row to bind to"))
+    }
     val parent = latestVersion(table)
     val snap = resolveSnapshot(table, parent)
     val live = snap.files
@@ -2323,9 +2352,24 @@ object TxTable {
       else if (whenNotMatchedBySource.exists(_.cond.isEmpty)) live
       else pruneByPredicate(spark, table, snap,
         whenNotMatchedBySource.flatMap(_.cond).reduce(_ || _))._1
-    val rewriteSet: Seq[FileEntry] =
-      ((if (whenMatched.nonEmpty) matchedCand else Seq.empty) ++ nmbsCand)
+    // SPLIT the rewrite by its reason (ADVICE-r16 medium, measured
+    // 23.7 s → see MergeClausesBench): files in the matched candidate
+    // set rewrite through the source join; NMBS-candidate files
+    // OUTSIDE it provably hold no source key (keyCandidates is a
+    // sound superset), so every row there is unmatched — their NMBS
+    // rewrite evaluates scan-side with no join and no shuffle. A
+    // matched-candidate file that is only an NMBS candidate (no
+    // matched clauses) still needs the join: match detection is what
+    // separates its carried rows from its NMBS rows.
+    val matchedPaths = matchedCand.map(_.path).toSet
+    val nmbsOnly: Seq[FileEntry] =
+      nmbsCand.filterNot(f => matchedPaths.contains(f.path))
         .groupBy(_.path).map(_._2.head).toSeq.sortBy(_.path)
+    val joinSet: Seq[FileEntry] =
+      (if (whenMatched.nonEmpty) matchedCand
+       else nmbsCand.filter(f => matchedPaths.contains(f.path)))
+        .groupBy(_.path).map(_._2.head).toSeq.sortBy(_.path)
+    val rewriteSet: Seq[FileEntry] = (joinSet ++ nmbsOnly).sortBy(_.path)
     val rewritePaths = rewriteSet.map(_.path).toSet
     val untouched = live.filterNot(f => rewritePaths.contains(f.path))
     // target schema from the MANIFEST column lists (order-preserving),
@@ -2358,33 +2402,56 @@ object TxTable {
           .otherwise(els)
       }
     val allClauses = whenMatched ++ whenNotMatchedBySource
-    val survivors: Option[DataFrame] =
-      if (rewriteSet.isEmpty) None
+    // apply an indexed clause subset to a frame already carrying the
+    // winning clause index in _mc_act: drop the delete-clause rows,
+    // rewrite the update-clause columns, carry the rest
+    def applyActs(withAct: DataFrame,
+        clauses: Seq[(MergeClause, Int)]): DataFrame = {
+      val deleteIdx = clauses.collect {
+        case (MergeClause(_, MergeDelete), i) => i }
+      val kept =
+        if (deleteIdx.isEmpty) withAct
+        else withAct.filter(!col("_mc_act").isInCollection(deleteIdx))
+      val out = tgtCols.map { c =>
+        clauses.foldRight(col(c)) { case ((cl, i), els) =>
+          cl.action match {
+            case MergeUpdate(set) if set.contains(c) =>
+              when(col("_mc_act") === i, set(c)).otherwise(els)
+            case MergeUpdateAll =>
+              when(col("_mc_act") === i, srcCol(c)).otherwise(els)
+            case _ => els
+          }
+        }.as(c)
+      }
+      kept.select(out: _*)
+    }
+    val joinedSurvivors: Option[DataFrame] =
+      if (joinSet.isEmpty) None
       else {
-        val tgt = toLogical(snap, rawRead(spark, table, rewriteSet))
+        val tgt = toLogical(snap, rawRead(spark, table, joinSet))
         val joined = tgt.join(srcP,
           col(keyCol) === srcCol(keyCol), "left_outer")
         val act = when(srcCol(keyCol).isNotNull, chain(whenMatched, 0))
           .otherwise(chain(whenNotMatchedBySource, whenMatched.size))
-        val deleteIdx = allClauses.zipWithIndex.collect {
-          case (MergeClause(_, MergeDelete), i) => i }
-        val withAct = joined.withColumn("_mc_act", act)
-        val kept =
-          if (deleteIdx.isEmpty) withAct
-          else withAct.filter(!col("_mc_act").isInCollection(deleteIdx))
-        val out = tgtCols.map { c =>
-          allClauses.zipWithIndex.foldRight(col(c)) { case ((cl, i), els) =>
-            cl.action match {
-              case MergeUpdate(set) if set.contains(c) =>
-                when(col("_mc_act") === i, set(c)).otherwise(els)
-              case MergeUpdateAll =>
-                when(col("_mc_act") === i, srcCol(c)).otherwise(els)
-              case _ => els
-            }
-          }.as(c)
-        }
-        Some(kept.select(out: _*))
+        Some(applyActs(joined.withColumn("_mc_act", act),
+          allClauses.zipWithIndex))
       }
+    // NMBS-only files never see the source: the clause chain keeps its
+    // GLOBAL indices (offset past the matched clauses) so CDF pairing
+    // and the delete filter read the same action numbering either way
+    val nmbsSurvivors: Option[DataFrame] =
+      if (nmbsOnly.isEmpty) None
+      else {
+        val tgt = toLogical(snap, rawRead(spark, table, nmbsOnly))
+        val act = chain(whenNotMatchedBySource, whenMatched.size)
+        Some(applyActs(tgt.withColumn("_mc_act", act),
+          whenNotMatchedBySource.zipWithIndex
+            .map { case (cl, i) => (cl, i + whenMatched.size) }))
+      }
+    val survivors: Option[DataFrame] = (joinedSurvivors, nmbsSurvivors) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b)             => a.orElse(b)
+    }
     // INSERTS: source rows matching no live target key. The anti-join
     // probes the MATCHED candidates' live keys — keyCandidates
     // guarantees every file holding a source key is in that set (and

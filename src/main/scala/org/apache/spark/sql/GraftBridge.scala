@@ -14,6 +14,14 @@ object GraftBridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER Column → Catalyst conversion. [[toExpression]] returns a
+    * lazy `ColumnNodeExpression` wrapper whose Catalyst tree only
+    * materializes at analysis — tree inspection (e.g. "does this
+    * clause reference a source column?") needs the converted tree NOW.
+    */
+  def toCatalystEager(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Wrap a resolved logical plan as a DataFrame (`Dataset.ofRows` is
     * `private[sql]`) — the SQL-DML rule's way of handing a MERGE
     * statement's source plan to the TxTable clause engine.
