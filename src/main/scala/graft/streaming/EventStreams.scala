@@ -279,6 +279,44 @@ object EventStreams {
         save(merged)
     }.start()
 
+  /** STREAMING CDC REPLICA (r16 — the live half of [[graft.sources
+    * .TxTable.applyChanges]]): a replica graft-tx table FOLLOWS a
+    * source table's change feed as a structured stream. If the
+    * replica does not exist it is seeded from the source's current
+    * snapshot, and the feed subscribes from that exact version — no
+    * gap, no replayed snapshot. Each micro-batch lands as ONE
+    * applyChanges commit keyed by the BATCH ID in the replica's
+    * ledger, so the restart replay of the last uncommitted batch
+    * (foreachBatch's at-least-once delivery) re-applies as a zero-job
+    * no-op — exactly-once end to end. Multi-version catch-up batches
+    * are safe by construction: the feed diffs the window's ENDPOINT
+    * snapshots, so intermediate states never surface.
+    *
+    * One checkpoint per replica lifetime — a fresh checkpoint against
+    * an existing replica would re-subscribe from the current version
+    * and miss nothing only if no source commits landed in between.
+    */
+  def cdcReplicaSink(spark: org.apache.spark.sql.SparkSession,
+      sourceTable: String, replicaTable: String, key: String,
+      statsCols: Seq[String], checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sources.TxTable
+    val v0 = TxTable.latestVersion(sourceTable)
+    if (TxTable.latestVersion(replicaTable) == 0)
+      TxTable.create(spark, replicaTable,
+        TxTable.read(spark, sourceTable, version = v0), statsCols)
+    spark.readStream.format("graft-tx").option("path", sourceTable)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", v0.toString)
+      .load()
+      .writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        TxTable.applyChanges(spark, replicaTable, batch.toDF(), key,
+          statsCols, windowId = Some(id))
+        ()
+      }.start()
+  }
+
   /** Streaming SCD1 upsert into a JDBC WAREHOUSE — the reference's load
     * phase (etl.py df.to_sql) as a streaming sink: each micro-batch
     * keep-latest-merges into the warehouse table through
