@@ -2096,6 +2096,50 @@ class TxTableSpec extends SparkSpecBase {
     assert(rows(src).nonEmpty && !rows(src).exists(r => Set(5L, 17L, 31L)(r._1)))
   }
 
+  test("bloom index: point mutations and lookups on an UNCLUSTERED table skip bloom-negative files; no false negatives; post-build files keep (r16)") {
+    import spark.implicits._
+    val t = tmpTable()
+    // round-robin layout: every file's key min/max spans the table, so
+    // stats pruning alone keeps all 16 files for any probe
+    val n = 8000L
+    TxTable.create(spark, t,
+      (1L to n).map(i => (i, s"v$i")).toDF("id", "pay").repartition(16),
+      Seq("id"))
+    // stats-only baseline: a 3-key delete rewrites every file
+    val preIdx = TxTable.deleteKeys(spark, t,
+      Seq(11L, 22L, 33L).toDF("id"), "id", Seq("id"))
+    assert(preIdx.rewritten >= 12,
+      s"stats alone keep nearly everything: ${preIdx.rewritten}")
+    val nFiles = TxTable.buildBloomIndex(spark, t, "id")
+    assert(nFiles == 16)
+    // the same shape now rewrites only bloom-positive files (3 keys
+    // live in ≤3 files; fpp makes a few extra possible, never all)
+    val withIdx = TxTable.deleteKeys(spark, t,
+      Seq(44L, 55L, 66L).toDF("id"), "id", Seq("id"))
+    assert(withIdx.rewritten <= 6,
+      s"bloom skips negative files: rewrote ${withIdx.rewritten}")
+    assert(TxTable.read(spark, t).count() == n - 6)
+    // NO FALSE NEGATIVES: every planted key answers (sweep a stride)
+    val probe = (1L to n by 97L).filterNot(
+      Set(11L, 22L, 33L, 44L, 55L, 66L)).map(_.toString)
+    val got = TxTable.readPointLookup(spark, t, "id", probe)
+    assert(got.count() == probe.size.toLong, "every live key found")
+    assert(got.filter(col("pay") =!= concat(lit("v"), col("id"))).count() == 0)
+    // a merge through the same index rides keyCandidates' consult
+    val mr = TxTable.merge(spark, t,
+      Seq((77L, "upd")).toDF("id", "pay"), "id", Seq("id"))
+    assert(mr.rewritten <= 4, s"indexed merge: ${mr.rewritten}")
+    assert(TxTable.read(spark, t).filter(col("id") === 77L)
+      .head().getString(1) == "upd")
+    // files appended AFTER the build have no sidecar: kept conservatively
+    TxTable.append(spark, t, Seq((n + 5L, "new")).toDF("id", "pay"), Seq("id"))
+    assert(TxTable.readPointLookup(spark, t, "id", Seq((n + 5L).toString))
+      .count() == 1, "indexless file conservatively read")
+    // drop → back to stats-only behavior, still correct
+    TxTable.dropBloomIndex(t, "id")
+    assert(TxTable.readPointLookup(spark, t, "id", Seq("101")).count() == 1)
+  }
+
   test("streaming CDC replica: cdcReplicaSink seeds, follows live commits, and survives a checkpoint restart exactly-once (r16)") {
     import spark.implicits._
     val src = tmpTable()
