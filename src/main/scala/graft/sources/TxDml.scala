@@ -241,10 +241,18 @@ private[graft] object TxDml {
       s"graft-tx UPDATE/MERGE SET supports top-level columns only, got $other")
   }
 
-  /** The single equality key `ON t.k = s.k` — same name both sides. */
+  /** The equality key columns of `ON t.k = s.k [AND t.k2 = s.k2 …]` —
+    * each conjunct a same-named equality (r16: composite keys lower
+    * onto mergeClauses' extraKeyCols; candidacy prunes on the FIRST).
+    */
   def mergeKey(cond: Expression,
-      srcOut: org.apache.spark.sql.catalyst.expressions.AttributeSet): String =
-    cond match {
+      srcOut: org.apache.spark.sql.catalyst.expressions.AttributeSet): Seq[String] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(cond).map {
       case EqualTo(a: AttributeReference, b: AttributeReference) =>
         val (t, s) = if (srcOut.contains(b)) (a, b) else (b, a)
         require(srcOut.contains(s) && !srcOut.contains(t) && t.name == s.name,
@@ -253,9 +261,10 @@ private[graft] object TxDml {
             s"alias the source key to the target's name")
         t.name
       case other => throw new IllegalArgumentException(
-        s"graft-tx MERGE supports a single-column equality merge " +
-          s"condition, got $other")
+        s"graft-tx MERGE supports equality merge conditions " +
+          s"(conjunctions of same-named column equalities), got $other")
     }
+  }
 
   def matchedClause(a: MergeAction,
       srcOut: org.apache.spark.sql.catalyst.expressions.AttributeSet):
@@ -336,7 +345,8 @@ case class GraftAddColumnsCommand(path: String,
   * the source plan materializes as a DataFrame at run time and the
   * clause set lowers onto [[TxTable.mergeClauses]].
   */
-case class GraftMergeCommand(path: String, source: LogicalPlan, key: String,
+case class GraftMergeCommand(path: String, source: LogicalPlan,
+    keys: Seq[String],
     whenMatched: Seq[TxTable.MergeClause],
     whenNotMatched: Seq[TxTable.InsertClause],
     whenNotMatchedBySource: Seq[TxTable.MergeClause],
@@ -344,8 +354,10 @@ case class GraftMergeCommand(path: String, source: LogicalPlan, key: String,
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
     val src: DataFrame = GraftBridge.dataFrame(spark, source)
-    TxTable.mergeClauses(spark, path, src, key, TxTable.statsColumnsOf(path),
-      whenMatched, whenNotMatched, whenNotMatchedBySource)
+    TxTable.mergeClauses(spark, path, src, keys.head,
+      TxTable.statsColumnsOf(path),
+      whenMatched, whenNotMatched, whenNotMatchedBySource,
+      extraKeyCols = keys.tail)
     TxDml.refresh(spark, ident)
     Seq.empty
   }

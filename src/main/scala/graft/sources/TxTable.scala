@@ -2414,15 +2414,23 @@ object TxTable {
       whenMatched: Seq[MergeClause] = Seq.empty,
       whenNotMatched: Seq[InsertClause] = Seq.empty,
       whenNotMatchedBySource: Seq[MergeClause] = Seq.empty,
-      ledgerId: Option[Long] = None): MergeResult = {
+      ledgerId: Option[Long] = None,
+      extraKeyCols: Seq[String] = Seq.empty): MergeResult = {
     require(whenMatched.nonEmpty || whenNotMatched.nonEmpty ||
       whenNotMatchedBySource.nonEmpty, "MERGE needs at least one clause")
+    // COMPOSITE KEYS (r16): `extraKeyCols` adds equality conditions to
+    // the merge key (ON t.a = s.a AND t.b = s.b). File candidacy keys
+    // on the FIRST column's stats — sound: a full-key match implies a
+    // first-key match, so every file holding a matched row stays a
+    // candidate; extra columns only tighten row matching. Make the
+    // most selective column first for the best pruning.
+    val keyCols = keyCol +: extraKeyCols
     val setCols = (whenMatched ++ whenNotMatchedBySource).flatMap(_.action match {
       case MergeUpdate(s) => s.keys
       case _              => Nil
     })
-    require(!setCols.contains(keyCol),
-      s"MERGE must not SET its own key column $keyCol")
+    keyCols.foreach(kc => require(!setCols.contains(kc),
+      s"MERGE must not SET its own key column $kc"))
     // NOT-MATCHED-BY-SOURCE clauses read TARGET columns only (SQL
     // MERGE's own rule — there is no source row on that side). Making
     // it a checked contract here is what lets the NMBS-only rewrite
@@ -2495,8 +2503,8 @@ object TxTable {
         (snap.files.flatMap(_.cols).distinct.filterNot(snap.drops.contains)
           .map(o => logicalName(snap, o)) ++ snap.added.keys).distinct
       else toLogical(snap, rawRead(spark, table, live)).columns.toSeq
-    require(src.columns.contains(keyCol),
-      s"MERGE source must carry the key column $keyCol")
+    keyCols.foreach(kc => require(src.columns.contains(kc),
+      s"MERGE source must carry the key column $kc"))
     if (whenNotMatched.nonEmpty && parts.nonEmpty)
       require(parts.map(logicalName(snap, _)).forall(pc =>
         src.columns.contains(pc) ||
@@ -2544,7 +2552,8 @@ object TxTable {
       else {
         val tgt = toLogical(snap, rawRead(spark, table, joinSet))
         val joined = tgt.join(srcP,
-          col(keyCol) === srcCol(keyCol), "left_outer")
+          keyCols.map(kc => col(kc) === srcCol(kc)).reduce(_ && _),
+          "left_outer")
         val act = when(srcCol(keyCol).isNotNull, chain(whenMatched, 0))
           .otherwise(chain(whenNotMatchedBySource, whenMatched.size))
         Some(applyActs(joined.withColumn("_mc_act", act),
@@ -2576,10 +2585,10 @@ object TxTable {
         val liveKeys =
           if (matchedCand.isEmpty) null
           else toLogical(snap, rawRead(spark, table, matchedCand))
-            .select(col(keyCol))
+            .select(keyCols.map(col): _*)
         val unmatched =
           if (liveKeys == null) src
-          else src.join(liveKeys, Seq(keyCol), "left_anti")
+          else src.join(liveKeys, keyCols, "left_anti")
         val insCond = whenNotMatched
           .map(c => coalesce(c.cond.getOrElse(lit(true)), lit(false)))
           .reduce(_ || _)
@@ -2613,16 +2622,23 @@ object TxTable {
     enforceChecks(snap, result, s"MERGE (clauses) into $table")
     val slot = f"v${parent + 1}%08d-mc"
     val clusterCols =
-      ((parts.map(logicalName(snap, _)) :+ keyCol).distinct).map(col)
+      ((parts.map(logicalName(snap, _)) ++ keyCols).distinct).map(col)
     val written =
       if (result.isEmpty) Seq.empty[FileEntry] // every candidate row deleted
       else writeFiles(spark, table, slot,
         toPhysical(snap, result.repartitionByRange(
           math.max(1, rewriteSet.size), clusterCols: _*)),
         statsCols.map(originalName(snap, _)), parts)
+    // composite merges stamp a DISTINCT op type: CDF pairing keys on a
+    // single column, and pairing a composite window on its first
+    // column alone would mispair rows sharing it — mergeKeyFor only
+    // engages on type "merge", so the window stays insert/delete
+    // (conservative, correct)
+    val opStamp =
+      if (extraKeyCols.isEmpty) "merge" -> keyOrig
+      else "merge_multi" -> keyCols.map(originalName(snap, _)).mkString(",")
     val v = commitResolved(table, parent, snap, untouched ++ written,
-      snap.batches ++ ledgerId, snap.renames, snap.drops,
-      Some("merge" -> keyOrig))
+      snap.batches ++ ledgerId, snap.renames, snap.drops, Some(opStamp))
     MergeResult(v, rewriteSet.size, untouched.size)
   }
 

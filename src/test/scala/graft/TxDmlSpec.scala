@@ -228,6 +228,55 @@ class TxDmlSpec extends SparkSpecBase {
     assert(e.getMessage.contains("file-skipping"), e.getMessage)
   }
 
+  test("composite-key MERGE: multi-column ON matches whole keys, SQL and Scala API; CDF window stays conservative (r16)") {
+    import spark.implicits._
+    import TxTable.{InsertClause, MergeClause, MergeUpdate}
+    val t = tmpTable()
+    // (oid, line) composite keys — oid alone COLLIDES across lines, so
+    // single-key matching would corrupt rows the clauses never named
+    TxTable.create(spark, t,
+      (1L to 20L).flatMap(o => (1L to 3L).map(l => (o, l, "base")))
+        .toDF("oid", "line", "tag"), Seq("oid"))
+    val src = Seq((5L, 2L, "upd"), (6L, 1L, "upd"), (21L, 1L, "ins"))
+      .toDF("oid", "line", "tag")
+    TxTable.mergeClauses(spark, t, src, "oid", Seq("oid"),
+      whenMatched = Seq(MergeClause(None,
+        MergeUpdate(Map("tag" -> TxTable.srcCol("tag"))))),
+      whenNotMatched = Seq(InsertClause(None)),
+      extraKeyCols = Seq("line"))
+    val now = TxTable.read(spark, t)
+    assert(now.count() == 61)
+    assert(now.filter(col("tag") === "upd").select("oid", "line")
+      .as[(Long, Long)].collect().toSet == Set((5L, 2L), (6L, 1L)),
+      "only the FULL-key matches update — (5,1), (5,3), (6,2)… carry")
+    assert(now.filter(col("oid") === 21L).count() == 1)
+    // the composite window's CDF stays plain insert/delete (pairing on
+    // a shared first key would mispair) and the op is audit-visible
+    val h = TxTable.history(spark, t).collect().last
+    assert(h.getAs[String]("operation") == "merge_multi")
+    val cdf = TxTable.tableChanges(spark, t, 1, 2)
+    assert(cdf.filter(col("_change_type").startsWith("update_")).count() == 0)
+    assert(cdf.filter(col("_change_type") === "insert").count() == 3)
+    assert(cdf.filter(col("_change_type") === "delete").count() == 2)
+    // SQL MERGE with a two-part ON lowers onto the same path
+    register("dml_comp", t)
+    Seq((7L, 3L, "sqlupd")).toDF("oid", "line", "tag")
+      .createOrReplaceTempView("dml_comp_src")
+    spark.sql("""MERGE INTO dml_comp t USING dml_comp_src s
+      |ON t.oid = s.oid AND t.line = s.line
+      |WHEN MATCHED THEN UPDATE SET tag = s.tag""".stripMargin)
+    assert(spark.table("dml_comp").filter(col("tag") === "sqlupd")
+      .select("oid", "line").as[(Long, Long)].collect().toSet ==
+      Set((7L, 3L)))
+    // SET of ANY key column refuses
+    val e = intercept[Exception] {
+      TxTable.mergeClauses(spark, t, src, "oid", Seq("oid"),
+        whenMatched = Seq(MergeClause(None,
+          MergeUpdate(Map("line" -> lit(9L))))),
+        extraKeyCols = Seq("line")) }
+    assert(e.getMessage.contains("key column"), e.getMessage)
+  }
+
   test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF resolve pinned snapshots; refusals pass through") {
     import spark.implicits._
     val t = tmpTable()
