@@ -933,7 +933,9 @@ object TxTable {
     if (partitionCols.isEmpty) df.write.mode("errorifexists").parquet(dir.toString)
     else df.write.mode("errorifexists").partitionBy(partitionCols: _*)
       .parquet(dir.toString)
-    harvestSlot(spark, table, slot, statsCols, partitionCols)
+    val entries = harvestSlot(spark, table, slot, statsCols, partitionCols)
+    maintainBloomSidecars(spark, table, entries, partitionCols)
+    entries
   }
 
   /** Manifest entries for the files already sitting under
@@ -1733,15 +1735,28 @@ object TxTable {
     val colOrig = originalName(snap, colName)
     val parts = partitionColsOf(snap)
     BloomIndex.drop(table, colOrig)
-    val dir = BloomIndex.indexDir(table, colOrig)
-    Files.createDirectories(dir)
-    val absDir = dir.toAbsolutePath.toString
+    Files.createDirectories(BloomIndex.indexDir(table, colOrig))
+    buildBloomSidecars(spark, table, colOrig, fpp, snap.files, parts)
+    Files.write(BloomIndex.indexDir(table, colOrig).resolve("index.json"),
+      s"""{"col": "$colOrig", "fpp": $fpp, "version": ${latestVersion(table)}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    snap.files.size
+  }
+
+  /** Write bloom sidecars for `entries` into the existing index dir —
+    * the shared core of [[buildBloomIndex]] (all live files) and the
+    * per-write maintenance (just-written files).
+    */
+  private def buildBloomSidecars(spark: SparkSession, table: String,
+      colOrig: String, fpp: Double, entries: Seq[FileEntry],
+      parts: Seq[String]): Unit = {
+    val absDir = BloomIndex.indexDir(table, colOrig).toAbsolutePath.toString
     // (m, k) per file from MANIFEST row counts — the stream needs each
     // file's bit-array size before its first insert
-    val sizes = spark.sparkContext.broadcast(snap.files.map { f =>
+    val sizes = spark.sparkContext.broadcast(entries.map { f =>
       dvKeyOf(f, parts) -> BloomIndex.sizeFor(f.rows, fpp)
     }.toMap)
-    scanEntries(spark, table, snap.files, withMeta = true)
+    scanEntries(spark, table, entries, withMeta = true)
       .select(dvKeyCol(parts).as("_bk"),
         col(colOrig).cast("string").as("_bv"))
       .filter(col("_bv").isNotNull)
@@ -1766,10 +1781,34 @@ object TxTable {
         }
         flush()
       }
-    Files.write(dir.resolve("index.json"),
-      s"""{"col": "$colOrig", "fpp": $fpp, "version": ${latestVersion(table)}}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    snap.files.size
+  }
+
+  /** Keep existing bloom indexes LIVE across writes (r16): every
+    * [[writeFiles]] call builds sidecars for JUST the new slot's
+    * files, for each registered index whose column the files carry —
+    * so appends, merges, deletes, and compaction never degrade the
+    * index to conservative keeps (the cost is one scan of the new
+    * files per index, the price of declaring one — Delta's bloom
+    * maintenance makes the same trade). Files without the column
+    * (pre-evolution schemas) simply get no sidecar: conservative.
+    */
+  private def maintainBloomSidecars(spark: SparkSession, table: String,
+      entries: Seq[FileEntry], parts: Seq[String]): Unit = {
+    if (entries.isEmpty) return
+    val idxRoot = Paths.get(table, "_idx")
+    if (!Files.isDirectory(idxRoot)) return
+    Files.list(idxRoot).iterator().asScala
+      .filter(d => d.getFileName.toString.startsWith("bloom-") &&
+        Files.exists(d.resolve("index.json")))
+      .foreach { d =>
+        val node = M.readTree(Files.readAllBytes(d.resolve("index.json")))
+        val colOrig = node.get("col").asText()
+        val fpp = node.get("fpp").asDouble()
+        val covered = entries.filter(f =>
+          f.cols.contains(colOrig) || f.parts.contains(colOrig))
+        if (covered.nonEmpty)
+          buildBloomSidecars(spark, table, colOrig, fpp, covered, parts)
+      }
   }
 
   /** Drop the bloom index on `colName` (no-op when absent). */

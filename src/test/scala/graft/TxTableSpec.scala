@@ -2131,10 +2131,22 @@ class TxTableSpec extends SparkSpecBase {
     assert(mr.rewritten <= 4, s"indexed merge: ${mr.rewritten}")
     assert(TxTable.read(spark, t).filter(col("id") === 77L)
       .head().getString(1) == "upd")
-    // files appended AFTER the build have no sidecar: kept conservatively
+    // the index stays LIVE across writes: an append after the build
+    // gets its own sidecar in the same writeFiles pass, so later point
+    // mutations keep skipping instead of degrading to conservative
+    // keeps as files turn over
     TxTable.append(spark, t, Seq((n + 5L, "new")).toDF("id", "pay"), Seq("id"))
     assert(TxTable.readPointLookup(spark, t, "id", Seq((n + 5L).toString))
-      .count() == 1, "indexless file conservatively read")
+      .count() == 1, "appended key found through its fresh sidecar")
+    val afterAppend = TxTable.deleteKeys(spark, t,
+      Seq(88L, 99L).toDF("id"), "id", Seq("id"))
+    assert(afterAppend.rewritten <= 4,
+      s"post-append point delete still skips: ${afterAppend.rewritten}")
+    // compaction rewrites everything — and re-blooms everything
+    TxTable.compact(spark, t, Seq("id"))
+    val postCompact = TxTable.deleteKeys(spark, t,
+      Seq(111L).toDF("id"), "id", Seq("id"))
+    assert(TxTable.read(spark, t).filter(col("id") === 111L).count() == 0)
     // drop → back to stats-only behavior, still correct
     TxTable.dropBloomIndex(t, "id")
     assert(TxTable.readPointLookup(spark, t, "id", Seq("101")).count() == 1)
