@@ -919,8 +919,12 @@ object ScaleRehearsal {
     }
     val t = java.nio.file.Files.createTempDirectory("graft_tx_rehearsal")
       .resolve("t").toString
+    // u: an affine key scramble — UNIQUE-ish values SCATTERED across
+    // the id-clustered files, so every file's u-stats span the table
+    // and only the bloom tier can skip (the bloom gate below)
     val base = spark.range(n).select(col("id"),
-      expr("cast(pmod(hash(id), 1000) as int)").as("v"))
+      expr("cast(pmod(hash(id), 1000) as int)").as("v"),
+      expr(s"pmod(id * 2654435761, ${n}L)").as("u"))
     val (_, tCreate) = timed {
       TxTable.create(spark, t, base.repartitionByRange(files, col("id")), Seq("id"))
     }
@@ -973,7 +977,8 @@ object ScaleRehearsal {
     // 1% append, then the change feed reads only the delta files
     val vBefore = TxTable.latestVersion(t)
     val delta = spark.range(n, n + n / 100).select(col("id"),
-      expr("cast(pmod(hash(id), 1000) as int)").as("v"))
+      expr("cast(pmod(hash(id), 1000) as int)").as("v"),
+      expr(s"pmod(id * 2654435761, ${n}L)").as("u"))
     TxTable.append(spark, t, delta, Seq("id"))
     val (cdf, tCdf) = timed {
       val c = TxTable.changesBetween(spark, t, vBefore, vBefore + 1)
@@ -999,8 +1004,31 @@ object ScaleRehearsal {
     val dvOk = afterDv.map(_.path).toSet == beforePaths &&
       afterDv.map(_.dvRows).sum == matchCnt &&
       postTotal == preTotal - matchCnt
+    // BLOOM point tier (r16): on the scattered column u every file's
+    // min/max spans the table — stats prune NOTHING, so a point
+    // mutation without the index rewrites all ~64 files. Build the
+    // per-file bloom index once, then a 16-key lookup and a 16-key
+    // delete must touch only bloom-positive files (true positives +
+    // the fpp tail), never the whole table.
+    // probe u values sampled from LIVE rows in an untouched id band
+    // (bands 10-11 were mutated above; DV'd v=500 rows are filtered
+    // out by reading the live view)
+    val probeU = TxTable.read(spark, t)
+      .filter(col("id").between((n / files) * 20, (n / files) * 20 + 5000))
+      .select(col("u")).limit(16).collect().map(_.getLong(0)).toSeq
+    val (nIdx, tBloomBuild) = timed(
+      TxTable.buildBloomIndex(spark, t, "u", fpp = 0.001))
+    val (lookCnt, tLook) = timed(
+      TxTable.readPointLookup(spark, t, "u", probeU.map(_.toString)).count())
+    import spark.implicits._
+    val (bRes, tBloomDel) = timed(TxTable.deleteKeys(spark, t,
+      probeU.toDF("u"), "u", Seq("id")))
+    val bloomGone = TxTable.readPointLookup(spark, t, "u",
+      probeU.map(_.toString)).count()
+    val bloomOk = lookCnt >= 16 && bRes.rewritten <= 28 &&
+      bRes.untouched >= afterDv.size - 28 && bloomGone == 0
     val ok = pruneOk && readOk && mergeOk && deleteOk && clausesOk &&
-      cdfOk && dvOk
+      cdfOk && dvOk && bloomOk
     println(s"""{"metric":"scale_rehearsal_tx","n_rows":$n,"files":$files,""" +
       s""""create_sec":${f"$tCreate%.1f"},"pruned_files":${kept.size},""" +
       s""""reads_sec":${f"$tReads%.1f"},"merge_rewritten":${mRes.rewritten},""" +
@@ -1011,6 +1039,10 @@ object ScaleRehearsal {
       s""""cdf_sec":${f"$tCdf%.1f"},""" +
       s""""dv_rows":$matchCnt,"dv_sec":${f"$tDv%.1f"},""" +
       s""""dv_read_sec":${f"$tDvRead%.1f"},""" +
+      s""""bloom_files":$nIdx,"bloom_build_sec":${f"$tBloomBuild%.1f"},""" +
+      s""""bloom_lookup_sec":${f"$tLook%.1f"},""" +
+      s""""bloom_del_rewritten":${bRes.rewritten},""" +
+      s""""bloom_del_sec":${f"$tBloomDel%.1f"},"bloom_ok":$bloomOk,""" +
       s""""prune_ok":$pruneOk,"read_ok":$readOk,"merge_ok":$mergeOk,""" +
       s""""delete_ok":$deleteOk,"cdf_ok":$cdfOk,"dv_ok":$dvOk}""")
     spark.stop()
