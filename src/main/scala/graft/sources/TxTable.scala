@@ -1817,6 +1817,30 @@ object TxTable {
     BloomIndex.drop(table, originalName(snap, colName))
   }
 
+  /** Bloom-split `files` into (may-hold-a-key, provably-not). Small
+    * candidate sets consult driver-side (LRU-cached sidecar reads);
+    * WIDE sets distribute the consult over the executors — at 100k
+    * candidate files a driver-side loop would funnel 100k sidecar
+    * reads through one process, and the sidecars live beside the data
+    * on shared storage anyway.
+    */
+  private def bloomSplit(spark: SparkSession, table: String, colOrig: String,
+      parts: Seq[String], files: Seq[FileEntry],
+      keys: Seq[String]): (Seq[FileEntry], Seq[FileEntry]) = {
+    val abs = Paths.get(table).toAbsolutePath.toString
+    if (files.size <= 256)
+      files.partition(f =>
+        BloomIndex.mayContainAny(abs, colOrig, dvKeyOf(f, parts), keys))
+    else {
+      val fk = files.map(f => dvKeyOf(f, parts))
+      val keep = spark.sparkContext
+        .parallelize(fk, math.max(1, fk.size / 256))
+        .filter(k => BloomIndex.mayContainAny(abs, colOrig, k, keys))
+        .collect().toSet
+      files.partition(f => keep.contains(dvKeyOf(f, parts)))
+    }
+  }
+
   /** POINT LOOKUP: read only the files that can hold one of `values`
     * (string rendering, matching the stats/bloom key space — integral
     * and string keys round-trip exactly). Pruning composes min/max
@@ -1834,8 +1858,7 @@ object TxTable {
       f.stats.get(orig).forall(s => values.exists(v => s.intersects(v, v))))
     val kept =
       if (!BloomIndex.exists(table, orig)) statsKept
-      else statsKept.filter(f =>
-        BloomIndex.mayContainAny(table, orig, dvKeyOf(f, parts), values))
+      else bloomSplit(spark, table, orig, parts, statsKept, values)._1
     if (kept.isEmpty) read(spark, table).filter(lit(false))
     else toLogical(snap, rawRead(spark, table, kept))
       .filter(col(colName).cast("string").isInCollection(values))
@@ -2271,8 +2294,8 @@ object TxTable {
         if (rows.length > BloomIndex.ProbeCap) (statsTouched, statsDisjoint)
         else {
           val ks = rows.map(_.getString(0)).toSeq
-          val (kept, skipped) = statsTouched.partition(f =>
-            BloomIndex.mayContainAny(table, keyOrig, dvKeyOf(f, parts), ks))
+          val (kept, skipped) =
+            bloomSplit(spark, table, keyOrig, parts, statsTouched, ks)
           (kept, statsDisjoint ++ skipped)
         }
       }
@@ -4200,7 +4223,23 @@ object TxTable {
         .map(p => root.relativize(p.toAbsolutePath).toString)
         .filter(rel => !keepRefs.exists(r => rel.startsWith(r + "/")))
         .toList
-    dataFiles ++ dvFiles
+    // bloom sidecars for files no retained manifest references are
+    // garbage the same way rewritten data files are (the index keys on
+    // physical file identity; index.json descriptors stay)
+    val idxDir = Paths.get(table, "_idx")
+    val bloomFiles =
+      if (!Files.isDirectory(idxDir)) Nil
+      else {
+        val keepNames = retained.flatMap(_.files.map(f =>
+          BloomIndex.fileName(dvKeyOf(f, f.parts.keys.toSeq.sorted)))).toSet
+        Files.walk(idxDir).iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".bloom") &&
+            !keepNames.contains(p.getFileName.toString))
+          .map(p => root.relativize(p.toAbsolutePath).toString)
+          .toList
+      }
+    dataFiles ++ dvFiles ++ bloomFiles
   }
 
   /** VACUUM DRY RUN: the reclaimable file list and byte total for

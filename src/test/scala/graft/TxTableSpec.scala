@@ -2147,6 +2147,22 @@ class TxTableSpec extends SparkSpecBase {
     val postCompact = TxTable.deleteKeys(spark, t,
       Seq(111L).toDF("id"), "id", Seq("id"))
     assert(TxTable.read(spark, t).filter(col("id") === 111L).count() == 0)
+    // VACUUM reclaims the sidecars of files no retained manifest
+    // references (the rewritten generations), keeps the live ones
+    val idxDir = java.nio.file.Paths.get(t, "_idx")
+    def blooms(): Set[String] = {
+      val it = java.nio.file.Files.walk(idxDir).iterator()
+      val b = scala.collection.mutable.Set[String]()
+      while (it.hasNext) { val p = it.next()
+        if (p.toString.endsWith(".bloom")) b += p.getFileName.toString }
+      b.toSet
+    }
+    val before = blooms()
+    TxTable.vacuum(t, TxTable.latestVersion(t))
+    val after = blooms()
+    assert(after.size < before.size, s"orphaned sidecars reclaimed")
+    assert(TxTable.readPointLookup(spark, t, "id", Seq("303")).count() == 1,
+      "live sidecars survive the vacuum")
     // drop → back to stats-only behavior, still correct
     TxTable.dropBloomIndex(t, "id")
     assert(TxTable.readPointLookup(spark, t, "id", Seq("101")).count() == 1)
