@@ -64,7 +64,7 @@ object GraftSqlParser {
   private val Vacuum =
     """(?is)\s*VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)\s+VERSIONS(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+'([^']+)'\s*(?:ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+'([^']+)'\s*(?:ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s*;?\s*""".r
   private val Restore =
     """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
   private val Convert =
@@ -90,9 +90,10 @@ object GraftSqlParser {
       case Constraints(path) => Some(GraftConstraintsCommand(path))
       case Vacuum(path, n, dry) =>
         Some(GraftVacuumCommand(path, n.toInt, dry != null))
-      case Optimize(path, a, b) =>
+      case Optimize(path, cols) =>
         Some(GraftOptimizeCommand(path,
-          if (a == null) None else Some((a, b))))
+          if (cols == null) None
+          else Some(cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq)))
       case Restore(path, v) => Some(GraftRestoreCommand(path, v.toInt))
       case Convert(path, stats) =>
         Some(GraftConvertCommand(path,
@@ -219,18 +220,19 @@ case class GraftConvertCommand(path: String, statsCols: Seq[String])
   }
 }
 
-/** `OPTIMIZE '<path>' [ZORDER BY (a, b)]` — compaction or the z-curve
-  * re-layout; stats columns carry forward from the manifest.
+/** `OPTIMIZE '<path>' [ZORDER BY (a, b, …)]` — compaction or the
+  * z-curve re-layout over 1-4 columns; stats columns carry forward
+  * from the manifest.
   */
-case class GraftOptimizeCommand(path: String, zorder: Option[(String, String)])
+case class GraftOptimizeCommand(path: String, zorder: Option[Seq[String]])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", IntegerType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val stats = TxTable.statsColumnsOf(path)
     val v = zorder match {
-      case Some((a, b)) => TxTable.zorder(spark, path, a, b, stats)
-      case None         => TxTable.compact(spark, path, stats)
+      case Some(cols) => TxTable.zorderCols(spark, path, cols, stats)
+      case None       => TxTable.compact(spark, path, stats)
     }
     Seq(Row(v))
   }

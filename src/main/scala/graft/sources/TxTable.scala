@@ -3228,11 +3228,22 @@ object TxTable {
     * Z-order curve key. A codegen-able pure-column expression.
     */
   def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (0 until 16).map { i =>
-      (shiftleft(shiftright(a, i).bitwiseAND(1), 2 * i + 1) +
-        shiftleft(shiftright(b, i).bitwiseAND(1), 2 * i))
-        .cast("long")
+    zValueN(Seq(a, b))
+
+  /** N-column z-curve key (r16): bit i of column j lands at position
+    * i·N + (N−1−j) — for N = 2 this is bit-identical to the original
+    * two-column interleave. 16 bits per column bounds N at 4 (a
+    * 64-bit curve key).
+    */
+  def zValueN(cols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column = {
+    val nc = cols.size
+    (0 until 16).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, i).bitwiseAND(1), i * nc + (nc - 1 - j))
+          .cast("long")
+      }
     }.reduce(_ + _)
+  }
 
   /** Z-ORDER re-layout: rewrite the table range-partitioned by the
     * interleaved-bit curve over two columns' RANK SPACE (rank-
@@ -3252,6 +3263,13 @@ object TxTable {
     * scales.
     */
   def zorder(spark: SparkSession, table: String, colA: String, colB: String,
+      statsCols: Seq[String], numFiles: Int = 16): Int =
+    zorderCols(spark, table, Seq(colA, colB), statsCols, numFiles)
+
+  /** [[zorder]] over 1-4 columns (r16 — Delta allows N; two was an
+    * arbitrary cap once the curve key is built by [[zValueN]]).
+    */
+  def zorderCols(spark: SparkSession, table: String, cols: Seq[String],
       statsCols: Seq[String], numFiles: Int = 16): Int = {
     val parent = latestVersion(table)
     val snap = resolveSnapshot(table, parent)
@@ -3265,7 +3283,7 @@ object TxTable {
         s"it; use zorderPartition (OPTIMIZE … WHERE ZORDER)")
     val df = toLogical(snap, rawRead(spark, table, snap.files))
     val slot = f"v${parent + 1}%08d-z"
-    val laid = zLayout(df, colA, colB, numFiles)
+    val laid = zLayoutN(df, cols, numFiles)
     val written = writeFiles(spark, table, slot, toPhysical(snap, laid),
       statsCols.map(originalName(snap, _)))
     commitOp(table, parent, snap, written, snap.batches, "zorder" -> "")
@@ -3306,16 +3324,28 @@ object TxTable {
     * and sort by the curve key.
     */
   private def zLayout(df: DataFrame, colA: String, colB: String,
+      numFiles: Int): DataFrame =
+    zLayoutN(df, Seq(colA, colB), numFiles)
+
+  /** [[zLayout]] over 1-4 columns (r16): one stats pass for every
+    * column's bounds, a bucket-rank quantization per column, one
+    * interleaved curve key.
+    */
+  private def zLayoutN(df: DataFrame, cols: Seq[String],
       numFiles: Int): DataFrame = {
-    val st = df.agg(
-      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-      min(col(colB)).cast("double"), max(col(colB)).cast("double"),
-      count(lit(1))).head()
-    val n = st.getLong(4)
-    val withRa = rankSpace16(df, colA, st.getDouble(0), st.getDouble(1), n, "_ra")
-    val withRb = rankSpace16(withRa, colB, st.getDouble(2), st.getDouble(3), n, "_rb")
-    withRb.withColumn("_z", zValue(col("_ra"), col("_rb")))
-      .drop("_ra", "_rb")
+    require(cols.nonEmpty && cols.size <= 4,
+      s"ZORDER takes 1-4 columns (16 rank bits each in a 64-bit curve " +
+        s"key), got ${cols.size}")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))) :+
+      count(lit(1))
+    val st = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = st.getLong(2 * cols.size)
+    val ranked = cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      rankSpace16(d, c, st.getDouble(2 * i), st.getDouble(2 * i + 1), n, s"_r$i")
+    }
+    ranked.withColumn("_z", zValueN(cols.indices.map(i => col(s"_r$i"))))
+      .drop(cols.indices.map(i => s"_r$i"): _*)
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")

@@ -144,6 +144,33 @@ class TxMaintenanceSqlSpec extends SparkSpecBase {
       e3.getMessage.contains("inconsistent"), e3.getMessage)
   }
 
+  test("OPTIMIZE ZORDER BY over three columns: every dimension prunes after the re-layout; five columns refuse") {
+    import spark.implicits._
+    val t = tmpTable()
+    // three mutually-scrambled dimensions: before the re-layout, a
+    // band on b or c intersects every file (created clustered on a)
+    val n = 60000L
+    TxTable.create(spark, t,
+      spark.range(n).select(col("id").as("a"),
+        expr(s"pmod(id * 2654435761, ${n}L)").as("b"),
+        expr(s"pmod(id * 1299709 + 7, ${n}L)").as("c"))
+        .repartitionByRange(8, col("a")),
+      Seq("a", "b", "c"))
+    def skippedOn(c: String): Int =
+      TxTable.prune(t, c, 100L, n / 16)._2.size
+    assert(skippedOn("b") == 0 && skippedOn("c") == 0,
+      "pre-layout: b/c bands intersect every file")
+    val v = spark.sql(s"OPTIMIZE '$t' ZORDER BY (a, b, c)").head().getInt(0)
+    assert(v == 2)
+    assert(TxTable.read(spark, t).count() == n, "same-content commit")
+    assert(skippedOn("a") > 0 && skippedOn("b") > 0 && skippedOn("c") > 0,
+      s"post-layout every dimension skips: a=${skippedOn("a")} " +
+        s"b=${skippedOn("b")} c=${skippedOn("c")}")
+    val e = intercept[Exception] {
+      spark.sql(s"OPTIMIZE '$t' ZORDER BY (a, b, c, a, b)") }
+    assert(e.getMessage.contains("1-4"), e.getMessage)
+  }
+
   test("constraint DDL: ADD/DROP CONSTRAINT and DESCRIBE CONSTRAINTS through SQL") {
     import spark.implicits._
     val t = tmpTable()
