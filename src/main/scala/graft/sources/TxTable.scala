@@ -1746,13 +1746,22 @@ object TxTable {
   /** Write bloom sidecars for `entries` into the existing index dir —
     * the shared core of [[buildBloomIndex]] (all live files) and the
     * per-write maintenance (just-written files).
+    *
+    * SCALE: the build shuffles PARTIAL BIT ARRAYS, never rows — each
+    * scan task folds its rows into per-file partial blooms (a task
+    * covers splits of few files, so the working set is a handful of
+    * arrays), partials OR-merge by file key, and one task per file
+    * writes the sidecar. Shuffle volume is O(files × m bits) — at
+    * fpp 0.001 about 1.8 bits per row on the wire vs ~100 bytes for
+    * the row-shuffle alternative. (A deliberate RDD tier: the fold is
+    * genuinely per-partition imperative state.)
     */
   private def buildBloomSidecars(spark: SparkSession, table: String,
       colOrig: String, fpp: Double, entries: Seq[FileEntry],
       parts: Seq[String]): Unit = {
     val absDir = BloomIndex.indexDir(table, colOrig).toAbsolutePath.toString
-    // (m, k) per file from MANIFEST row counts — the stream needs each
-    // file's bit-array size before its first insert
+    // (m, k) per file from MANIFEST row counts — partials need each
+    // file's bit-array size before the first insert
     val sizes = spark.sparkContext.broadcast(entries.map { f =>
       dvKeyOf(f, parts) -> BloomIndex.sizeFor(f.rows, fpp)
     }.toMap)
@@ -1760,26 +1769,26 @@ object TxTable {
       .select(dvKeyCol(parts).as("_bk"),
         col(colOrig).cast("string").as("_bv"))
       .filter(col("_bv").isNotNull)
-      .repartition(col("_bk")).sortWithinPartitions(col("_bk"))
-      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        var cur: String = null
-        var m = 0; var k = 0; var bits: Array[Long] = null
-        def flush(): Unit = if (cur != null && bits != null) {
-          BloomIndex.write(Paths.get(absDir, BloomIndex.fileName(cur)), m, k, bits)
-          bits = null
-        }
+      .rdd.mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap[String, Array[Long]]()
         it.foreach { r =>
           val key = r.getString(0)
-          if (key != cur) {
-            flush(); cur = key
-            val (mm, kk) = sizes.value.getOrElse(key,
-              BloomIndex.sizeFor(1L << 20, 0.01))
-            m = mm; k = kk
-            bits = new Array[Long]((m + 63) >>> 6)
-          }
+          val (m, k) = sizes.value.getOrElse(key,
+            BloomIndex.sizeFor(1L << 20, 0.01))
+          val bits = acc.getOrElseUpdate(key, new Array[Long]((m + 63) >>> 6))
           BloomIndex.insert(bits, m, k, r.getString(1))
         }
-        flush()
+        acc.iterator
+      }
+      .reduceByKey { (a, b) =>
+        var i = 0
+        while (i < a.length) { a(i) |= b(i); i += 1 }
+        a
+      }
+      .foreach { case (key, bits) =>
+        val (m, k) = sizes.value.getOrElse(key,
+          BloomIndex.sizeFor(1L << 20, 0.01))
+        BloomIndex.write(Paths.get(absDir, BloomIndex.fileName(key)), m, k, bits)
       }
   }
 
