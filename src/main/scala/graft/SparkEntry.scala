@@ -241,6 +241,7 @@ object SparkEntry {
     "tx_sql_time_travel"  -> graft.sources.TxTable.sqlTimeTravelQuery _,
     "tx_convert"          -> graft.sources.TxTable.convertQuery _,
     "tx_bloom_lookup"     -> graft.sources.TxTable.bloomLookupQuery _,
+    "tx_clone"            -> graft.sources.TxTable.cloneQuery _,
     "tx_catalog_read"     -> graft.sources.TxTable.catalogReadQuery _,
     "tx_sql_dml"          -> graft.sources.TxTable.sqlDmlQuery _,
     "tx_delete"           -> graft.sources.TxTable.deleteQuery _,
@@ -596,6 +597,7 @@ object SparkEntry {
     "tx_sql_time_travel"  -> graft.sources.TxTable.sqlTimeTravelQuerySql,
     "tx_convert"          -> graft.sources.TxTable.convertQuerySql,
     "tx_bloom_lookup"     -> graft.sources.TxTable.bloomLookupQuerySql,
+    "tx_clone"            -> graft.sources.TxTable.cloneQuerySql,
     "tx_catalog_read"     -> graft.sources.TxTable.catalogReadQuerySql,
     "tx_sql_dml"          -> graft.sources.TxTable.sqlDmlQuerySql,
     "tx_delete"           -> graft.sources.TxTable.deleteQuerySql,

@@ -75,6 +75,8 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
   private val Constraints =
     """(?is)\s*DESCRIBE\s+CONSTRAINTS\s+'([^']+)'\s*;?\s*""".r
+  private val Clone =
+    """(?is)\s*CLONE\s+'([^']+)'\s+TO\s+'([^']+)'(?:\s+VERSION\s+(\d+))?\s*;?\s*""".r
 
   private[sources] def maintenancePlan(sql: String): Option[LogicalPlan] = {
     // cheap gate before the regexes: every statement starts with one
@@ -82,7 +84,8 @@ object GraftSqlParser {
     // Spark's grammar — only the quoted-path constraint forms match)
     val head = sql.trim.takeWhile(!_.isWhitespace).toUpperCase(Locale.ROOT)
     if (head != "DESCRIBE" && head != "VACUUM" && head != "OPTIMIZE" &&
-      head != "RESTORE" && head != "CONVERT" && head != "ALTER")
+      head != "RESTORE" && head != "CONVERT" && head != "ALTER" &&
+      head != "CLONE")
       return None
     sql match {
       case History(path)  => Some(GraftHistoryCommand(path))
@@ -99,6 +102,8 @@ object GraftSqlParser {
         Some(GraftConvertCommand(path,
           if (stats == null) Seq.empty
           else stats.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
+      case Clone(src, dst, v) =>
+        Some(GraftCloneCommand(src, dst, if (v == null) -1 else v.toInt))
       case AddConstraint(path, name, pred) =>
         Some(GraftAddConstraintCommand(path, name, pred.trim))
       case DropConstraint(path, name) =>
@@ -202,6 +207,18 @@ case class GraftConstraintsCommand(path: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] =
     TxTable.checkConstraints(path).toSeq.sortBy(_._1)
       .map { case (n, p) => Row(n, p) }
+}
+
+/** `CLONE '<src>' TO '<dst>' [VERSION n]` — zero-copy table clone
+  * ([[TxTable.cloneTable]]: hard-linked files, full logical state,
+  * history collapsed to one version).
+  */
+case class GraftCloneCommand(source: String, target: String, version: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxTable.cloneTable(spark, source, target, version)))
 }
 
 /** `CONVERT TO TX '<path>' [STATS (a, b)]` — make an existing

@@ -1820,6 +1820,49 @@ object TxTable {
       }
   }
 
+  /** ZERO-COPY CLONE (r16 — Delta's CLONE, re-derived for a POSIX
+    * store): materialize `target` as a NEW graft-tx table whose
+    * version 1 references byte-identical files — data files and DV
+    * sidecar datasets HARD-LINK into the target's tree (a metadata
+    * operation; an object-store deployment would server-side copy),
+    * and the snapshot's whole logical state (column mapping, declared
+    * columns, CHECK constraints, partition metadata, deletion
+    * vectors) carries into the clone's manifest. History COLLAPSES to
+    * one version (Delta's clone shape); `version` picks the source
+    * snapshot to clone (latest by default) — a time-travel clone.
+    *
+    * The two tables then diverge freely: copy-on-write means neither
+    * ever modifies a shared file, and VACUUM stays safe by link
+    * semantics — reclaiming a shared file from one table unlinks only
+    * that table's name for it.
+    */
+  def cloneTable(spark: SparkSession, source: String, target: String,
+      version: Int = -1): Int = {
+    require(latestVersion(target) == 0, s"clone target exists: $target")
+    val v = if (version > 0) version else latestVersion(source)
+    require(v >= 1, s"source table does not exist: $source")
+    val snap = resolveSnapshot(source, v)
+    val srcRoot = Paths.get(source)
+    val dstRoot = Paths.get(target)
+    snap.files.foreach { f =>
+      val d = dstRoot.resolve(f.path)
+      Files.createDirectories(d.getParent)
+      Files.createLink(d, srcRoot.resolve(f.path))
+    }
+    snap.files.map(_.dvRef).filter(_.nonEmpty).distinct.foreach { ref =>
+      val sDir = srcRoot.resolve(ref)
+      Files.walk(sDir).iterator().asScala
+        .filter(Files.isRegularFile(_)).foreach { p =>
+          val d = dstRoot.resolve(srcRoot.relativize(p).toString)
+          Files.createDirectories(d.getParent)
+          Files.createLink(d, p)
+        }
+    }
+    commitResolved(target, 0, EmptySnapshot, snap.files, Set.empty,
+      snap.renames, snap.drops, Some("clone" -> source),
+      Some(snap.checks), Some(snap.added))
+  }
+
   /** Drop the bloom index on `colName` (no-op when absent). */
   def dropBloomIndex(table: String, colName: String): Unit = {
     val snap = resolveSnapshot(table, latestVersion(table))
@@ -3960,6 +4003,38 @@ object TxTable {
       | CAST(sum(o_orderkey) AS BIGINT) AS id_sum
       |FROM orders WHERE o_orderkey % 10 <> 3
       |GROUP BY 1 ORDER BY status""".stripMargin
+
+  /** tx_clone — the zero-copy CLONE as a driver query (r16): stage
+    * customer into a two-version table, `CLONE` it through SQL, mutate
+    * ONLY the clone with a predicate delete, and read both tables'
+    * per-segment counts side by side. Matching the oracle proves the
+    * linked files serve identical bytes, the clone is a live mutable
+    * table, and the divergence leaves the source untouched.
+    */
+  def cloneQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_tx_clone")
+    val src = root.resolve("s").toString
+    val dst = root.resolve("c").toString
+    val base = graft.util.Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long").as("k"), col("c_mktsegment").as("seg"))
+    create(spark, src, base, Seq("k", "seg"))
+    append(spark, src, base.select((col("k") + 10000000L).as("k"), col("seg")),
+      Seq("k", "seg"))
+    spark.sql(s"CLONE '$src' TO '$dst'")
+    deleteWhere(spark, dst, pmod(col("k"), lit(10)) < 3, Seq("k"))
+    val s = read(spark, src).groupBy(col("seg")).agg(count(lit(1)).as("n_src"))
+    val c = read(spark, dst).groupBy(col("seg")).agg(count(lit(1)).as("n_clone"))
+    s.join(c, Seq("seg")).select(col("seg"), col("n_src"), col("n_clone"))
+      .orderBy(col("seg"))
+  }
+
+  def cloneQuerySql: String =
+    """WITH u AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, c_mktsegment FROM customer)
+      |SELECT seg, count(*) AS n_src,
+      | CAST(count(CASE WHEN k % 10 >= 3 THEN 1 END) AS BIGINT) AS n_clone
+      |FROM u GROUP BY 1 ORDER BY seg""".stripMargin
 
   /** tx_bloom_lookup — the bloom point-lookup index as a driver query
     * (r16): stage orders UNCLUSTERED on the key (round-robin shuffle —

@@ -203,6 +203,60 @@ class TxMaintenanceSqlSpec extends SparkSpecBase {
     assert(spark.table("maint_alter_plain").columns.toSeq == Seq("id", "x"))
   }
 
+  test("CLONE: zero-copy hard-linked table copy carries DV tombstones and constraints; the clones diverge; vacuum on one never breaks the other") {
+    import spark.implicits._
+    val src = tmpTable()
+    val dst = java.nio.file.Paths.get(src).getParent.resolve("c").toString
+    TxTable.create(spark, src,
+      (1L to 400L).map(i => (i, i % 7)).toDF("id", "v")
+        .repartitionByRange(4, col("id")), Seq("id"))
+    TxTable.addCheckConstraint(spark, src, "v_ok", "v >= 0")
+    TxTable.deleteWithDV(spark, src, "id", "10", "20")
+    val v = spark.sql(s"CLONE '$src' TO '$dst'").head().getInt(0)
+    assert(v == 1, "history collapses to one version")
+    // byte-identity: the clone's files are the SAME inodes (hard links)
+    val linked = java.nio.file.Files.walk(java.nio.file.Paths.get(dst, "data"))
+      .iterator()
+    var checked = 0
+    while (linked.hasNext) {
+      val p = linked.next()
+      if (p.toString.endsWith(".parquet")) {
+        assert(java.nio.file.Files.getAttribute(p, "unix:nlink")
+          .asInstanceOf[Integer] >= 2, s"hard link expected: $p")
+        checked += 1
+      }
+    }
+    assert(checked >= 4)
+    // logical equality including the DV tombstones
+    assert(TxTable.read(spark, dst).count() == 400 - 11)
+    assert(TxTable.read(spark, dst).filter(col("id") === 15L).count() == 0)
+    // the constraint carried: a violating append on the CLONE refuses
+    val e = intercept[Exception] {
+      TxTable.append(spark, dst, Seq((500L, -1L)).toDF("id", "v"), Seq("id")) }
+    assert(e.getMessage.contains("v_ok"), e.getMessage)
+    // divergence: mutating one side never moves the other
+    TxTable.delete(spark, dst, "id", "100", "200", Seq("id"))
+    assert(TxTable.read(spark, src).filter(col("id").between(100, 200))
+      .count() == 101)
+    TxTable.delete(spark, src, "id", "300", "399", Seq("id"))
+    assert(TxTable.read(spark, dst).filter(col("id").between(300, 399))
+      .count() == 100)
+    // time-travel clone (before the vacuum narrows src's window)
+    val dst2 = java.nio.file.Paths.get(src).getParent.resolve("c2").toString
+    spark.sql(s"CLONE '$src' TO '$dst2' VERSION 2")
+    assert(TxTable.read(spark, dst2).count() == 400, "pre-DV snapshot cloned")
+    // vacuum the SOURCE to its latest — shared files it garbage-
+    // collects survive for the clone by link semantics
+    TxTable.vacuum(src, TxTable.latestVersion(src))
+    assert(TxTable.read(spark, dst).count() == 400 - 11 - 101,
+      "the clone reads through the source's vacuum")
+    assert(TxTable.read(spark, dst2).count() == 400,
+      "the time-travel clone too")
+    val e2 = intercept[IllegalArgumentException] {
+      TxTable.cloneTable(spark, src, dst) }
+    assert(e2.getMessage.contains("exists"), e2.getMessage)
+  }
+
   test("the injected parser delegates everything else verbatim") {
     // ordinary SQL parses and runs
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
