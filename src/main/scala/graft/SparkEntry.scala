@@ -242,6 +242,7 @@ object SparkEntry {
     "tx_convert"          -> graft.sources.TxTable.convertQuery _,
     "tx_bloom_lookup"     -> graft.sources.TxTable.bloomLookupQuery _,
     "tx_clone"            -> graft.sources.TxTable.cloneQuery _,
+    "tx_maintenance"      -> graft.sources.TxTable.maintenanceQuery _,
     "tx_catalog_read"     -> graft.sources.TxTable.catalogReadQuery _,
     "tx_sql_dml"          -> graft.sources.TxTable.sqlDmlQuery _,
     "tx_delete"           -> graft.sources.TxTable.deleteQuery _,
@@ -598,6 +599,7 @@ object SparkEntry {
     "tx_convert"          -> graft.sources.TxTable.convertQuerySql,
     "tx_bloom_lookup"     -> graft.sources.TxTable.bloomLookupQuerySql,
     "tx_clone"            -> graft.sources.TxTable.cloneQuerySql,
+    "tx_maintenance"      -> graft.sources.TxTable.maintenanceQuerySql,
     "tx_catalog_read"     -> graft.sources.TxTable.catalogReadQuerySql,
     "tx_sql_dml"          -> graft.sources.TxTable.sqlDmlQuerySql,
     "tx_delete"           -> graft.sources.TxTable.deleteQuerySql,

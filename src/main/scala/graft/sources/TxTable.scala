@@ -1858,6 +1858,20 @@ object TxTable {
           Files.createLink(d, p)
         }
     }
+    // bloom indexes ride along too: sidecars key on (file name +
+    // partition values), which the clone preserves exactly, and the
+    // linked index.json keeps the clone's future writes maintaining
+    // them. Only the LATEST version's clone carries a coherent index
+    // (a time-travel clone may reference files the index predates —
+    // missing sidecars stay conservative, as everywhere).
+    val idxDir = srcRoot.resolve("_idx")
+    if (Files.isDirectory(idxDir))
+      Files.walk(idxDir).iterator().asScala
+        .filter(Files.isRegularFile(_)).foreach { p =>
+          val d = dstRoot.resolve(srcRoot.relativize(p).toString)
+          Files.createDirectories(d.getParent)
+          Files.createLink(d, p)
+        }
     commitResolved(target, 0, EmptySnapshot, snap.files, Set.empty,
       snap.renames, snap.drops, Some("clone" -> source),
       Some(snap.checks), Some(snap.added))
@@ -4003,6 +4017,42 @@ object TxTable {
       | CAST(sum(o_orderkey) AS BIGINT) AS id_sum
       |FROM orders WHERE o_orderkey % 10 <> 3
       |GROUP BY 1 ORDER BY status""".stripMargin
+
+  /** tx_maintenance — the maintenance STATEMENT tier as one
+    * driver-oracled round trip (r16): stage orders, mutate through
+    * SQL DELETE, re-layout through `OPTIMIZE`, roll the mistake back
+    * through `RESTORE TO VERSION`, and audit through `DESCRIBE
+    * HISTORY` — the final read must equal the PRE-delete state (the
+    * restore's whole point) and the history must show the exact
+    * operation sequence (stated as oracle literals — the operations
+    * are the statement tier's contract, not data-derived).
+    */
+  def maintenanceQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Files.createTempDirectory("graft_tx_maint").resolve("t").toString
+    val base = graft.util.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("status"))
+    create(spark, t, base.repartitionByRange(8, col("k")), Seq("k"))
+    spark.sql("DROP TABLE IF EXISTS graft_tx_maint")
+    spark.sql(s"CREATE TABLE graft_tx_maint USING `graft-tx` " +
+      s"OPTIONS (path '$t')")
+    spark.sql("DELETE FROM graft_tx_maint WHERE k % 10 = 4") // the mistake
+    spark.sql(s"OPTIMIZE '$t'")                              // compact it in
+    spark.sql(s"RESTORE '$t' TO VERSION 1")                  // roll it back
+    val ops = spark.sql(s"DESCRIBE HISTORY '$t'")
+      .agg(concat_ws(",", collect_list(col("operation"))).as("ops"))
+    spark.table("graft_tx_maint").groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"))
+      .crossJoin(ops)
+      .select(col("status"), col("n_rows"), col("k_sum"), col("ops"))
+      .orderBy(col("status"))
+  }
+
+  def maintenanceQuerySql: String =
+    """SELECT o_orderstatus AS status, count(*) AS n_rows,
+      | CAST(sum(o_orderkey) AS BIGINT) AS k_sum,
+      | 'create,delete,compact,restore' AS ops
+      |FROM orders GROUP BY 1 ORDER BY status""".stripMargin
 
   /** tx_clone — the zero-copy CLONE as a driver query (r16): stage
     * customer into a two-version table, `CLONE` it through SQL, mutate
