@@ -243,6 +243,7 @@ object SparkEntry {
     "tx_bloom_lookup"     -> graft.sources.TxTable.bloomLookupQuery _,
     "tx_clone"            -> graft.sources.TxTable.cloneQuery _,
     "tx_maintenance"      -> graft.sources.TxTable.maintenanceQuery _,
+    "tx_cdc_replica"      -> graft.sources.TxTable.cdcReplicaQuery _,
     "tx_catalog_read"     -> graft.sources.TxTable.catalogReadQuery _,
     "tx_sql_dml"          -> graft.sources.TxTable.sqlDmlQuery _,
     "tx_delete"           -> graft.sources.TxTable.deleteQuery _,
@@ -600,6 +601,7 @@ object SparkEntry {
     "tx_bloom_lookup"     -> graft.sources.TxTable.bloomLookupQuerySql,
     "tx_clone"            -> graft.sources.TxTable.cloneQuerySql,
     "tx_maintenance"      -> graft.sources.TxTable.maintenanceQuerySql,
+    "tx_cdc_replica"      -> graft.sources.TxTable.cdcReplicaQuerySql,
     "tx_catalog_read"     -> graft.sources.TxTable.catalogReadQuerySql,
     "tx_sql_dml"          -> graft.sources.TxTable.sqlDmlQuerySql,
     "tx_delete"           -> graft.sources.TxTable.deleteQuerySql,

@@ -4054,6 +4054,52 @@ object TxTable {
       | 'create,delete,compact,restore' AS ops
       |FROM orders GROUP BY 1 ORDER BY status""".stripMargin
 
+  /** tx_cdc_replica — the STREAMING CDC replica as a driver query
+    * (r16): stage orders into a source table, let
+    * [[graft.streaming.EventStreams.cdcReplicaSink]] seed a replica
+    * and subscribe to the live change feed, commit a keyed merge
+    * (updates + inserts) and a predicate delete against the SOURCE,
+    * drain the stream, and aggregate the REPLICA. Matching the oracle
+    * proves the full pipeline — seed → feed → netted applyChanges
+    * commits — delivers the source's exact final state through a real
+    * structured stream.
+    */
+  def cdcReplicaQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_tx_cdcrep")
+    val src = root.resolve("s").toString
+    val rep = root.resolve("r").toString
+    val base = graft.util.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").cast("long").as("k"), lit("base").as("tag"))
+    create(spark, src, base.repartitionByRange(8, col("k")), Seq("k"))
+    val mk = base.agg(max(col("k"))).head().getLong(0)
+    val q = graft.streaming.EventStreams.cdcReplicaSink(spark, src, rep,
+      "k", Seq("k"), root.resolve("ck").toString)
+    try {
+      q.processAllAvailable() // replica seeded at the source snapshot
+      val updates = base.filter(pmod(col("k"), lit(10)) === 0)
+        .select(col("k"), lit("upd").as("tag"))
+        .unionByName(spark.range(1, MergeInserts + 1)
+          .select((col("id") + mk).as("k"), lit("ins").as("tag")))
+      merge(spark, src, updates, "k", Seq("k"))
+      deleteWhere(spark, src, pmod(col("k"), lit(10)) === 7, Seq("k"))
+      q.processAllAvailable() // both windows applied, netted per batch
+    } finally q.stop()
+    read(spark, rep).groupBy(col("tag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"))
+      .orderBy(col("tag"))
+  }
+
+  def cdcReplicaQuerySql: String =
+    s"""WITH m AS (SELECT max(o_orderkey) AS mk FROM orders),
+       |u AS (
+       | SELECT o_orderkey AS k,
+       |  CASE WHEN o_orderkey % 10 = 0 THEN 'upd' ELSE 'base' END AS tag
+       | FROM orders
+       | UNION ALL
+       | SELECT mk + i, 'ins' FROM m, generate_series(1, ${MergeInserts}) AS g(i))
+       |SELECT tag, count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS k_sum
+       |FROM u WHERE k % 10 <> 7 GROUP BY 1 ORDER BY tag""".stripMargin
+
   /** tx_clone — the zero-copy CLONE as a driver query (r16): stage
     * customer into a two-version table, `CLONE` it through SQL, mutate
     * ONLY the clone with a predicate delete, and read both tables'
