@@ -283,8 +283,13 @@ object Multimodal {
     */
   def imagePhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val pngs = Tables.documents(spark, sfDir)
-      .select(col("doc_id")).as[Long]
+    // fanOutScan: the PNG encode+decode per row is the query's cost and
+    // the single-file scan plans as ONE task — spread the slim id frame
+    // before the codec work (measured r16-opt: 4.2 s → the synth/hash
+    // stage parallelizes across all cores; ids only cross the exchange)
+    val pngs = graft.util.Cols.fanOutScan(
+        Tables.documents(spark, sfDir).select(col("doc_id")))
+      .as[Long]
       .mapPartitions(_.map { id =>
         if (id % 50L == 1L) (id, synthNoisePng(id - 1L, 15))
         else (id, synthNoisePng(id, 0))
@@ -527,8 +532,11 @@ object Multimodal {
     */
   def audioFp(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val wavs = Tables.documents(spark, sfDir)
-      .select(col("doc_id")).as[Long]
+    // fanOutScan: WAV synth + decode + 32-band Goertzel per row off a
+    // one-task scan — spread the slim id frame first (guide §2.5)
+    val wavs = graft.util.Cols.fanOutScan(
+        Tables.documents(spark, sfDir).select(col("doc_id")))
+      .as[Long]
       .mapPartitions(_.map { id =>
         (id, synthToneWav(8 + (id % 48L).toInt, 5 + (id * 7 % 23L).toInt, 0.8, 2048))
       }).toDF("doc_id", "payload")
@@ -791,8 +799,12 @@ object Multimodal {
     */
   def videoScenes(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val gifs = Tables.documents(spark, sfDir)
-      .select(col("doc_id")).as[Long]
+    // fanOutScan: GIF sequence encode per row off a one-task scan —
+    // spread the slim id frame first (guide §2.5); the cached payloads
+    // then decode across all cores in BOTH downstream passes
+    val gifs = graft.util.Cols.fanOutScan(
+        Tables.documents(spark, sfDir).select(col("doc_id")))
+      .as[Long]
       .mapPartitions(_.map { id =>
         val nFrames = 6 + (id % 5L).toInt
         val base = 40 + (id % 4L).toInt * 20

@@ -919,10 +919,10 @@ final class TxStreamSource(ctx: SQLContext, table: String,
           else alignPhys(TxTable.rawRead(spark, table, es.sortBy(_.path)))
         val added = readSet(addedEntries)
         val removed = readSet(removedEntries)
-        val diff = added.exceptAll(removed)
-          .withColumn("_change_type", lit("insert"))
-          .unionByName(removed.exceptAll(added)
-            .withColumn("_change_type", lit("delete")))
+        // fused one-pass diff (r16 optimization — see
+        // TxTable.diffBothWays): one scan of each side, one exchange,
+        // identical multiset to the exceptAll pair
+        val diff = TxTable.diffBothWays(added, removed, "_change_type")
         // a keyed-merge window upgrades its delete+insert pairs to
         // update_preimage/update_postimage (r15, VERDICT r14 #3 —
         // Delta's CDF update shape); the op metadata rides the version

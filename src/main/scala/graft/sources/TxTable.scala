@@ -865,6 +865,33 @@ object TxTable {
       toSnap)
   }
 
+  /** One-pass multiset diff of a change window's raw sides — the fused
+    * form of `added.exceptAll(removed)` tagged insert UNION
+    * `removed.exceptAll(added)` tagged delete (r16 optimization, guide
+    * §2.3/§2.4): each exceptAll rewrites to union + count-aggregate +
+    * replicate over BOTH inputs, so the naive pair scans every side
+    * twice and shuffles the whole window twice. Here ONE count
+    * aggregate nets the multiplicities (n = count(added) −
+    * count(removed)); n > 0 emits n insert copies, n < 0 emits −n
+    * delete copies — exactly the exceptAll pair's multiset, from one
+    * scan of each side and one exchange. Replication rides
+    * explode(sequence(1, |n|)): |n| is the net count of FULLY
+    * IDENTICAL rows inside one window — O(1) for any keyed table.
+    */
+  private[graft] def diffBothWays(added: DataFrame, removed: DataFrame,
+      changeCol: String): DataFrame = {
+    val cols = added.columns.toSeq
+    added.withColumn("_w", lit(1L))
+      .unionByName(removed.withColumn("_w", lit(-1L)))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col("_w")).as("_n"))
+      .filter(col("_n") =!= 0L)
+      .withColumn(changeCol,
+        when(col("_n") > 0L, lit("insert")).otherwise(lit("delete")))
+      .withColumn("_i", explode(sequence(lit(1L), abs(col("_n")))))
+      .select((cols :+ changeCol).map(col): _*)
+  }
+
   /** BATCH change-data feed over (fromV, toV] (r15, VERDICT r14 #3 —
     * the `table_changes(from, to)` relation): the same net row diff
     * the streaming feed serves, as a plain DataFrame with Delta's
@@ -875,10 +902,7 @@ object TxTable {
   def tableChanges(spark: SparkSession, table: String, fromV: Int,
       toV: Int): DataFrame = {
     val (added, removed, toSnap) = diffFrames(spark, table, fromV, toV)
-    val diff = added.exceptAll(removed)
-      .withColumn("_change_type", lit("insert"))
-      .unionByName(removed.exceptAll(added)
-        .withColumn("_change_type", lit("delete")))
+    val diff = diffBothWays(added, removed, "_change_type")
     val paired = mergeKeyFor(table, fromV, toV) match {
       case Some(k) if added.columns.contains(k) =>
         pairUpdates(diff,
@@ -3535,9 +3559,7 @@ object TxTable {
     // the diff computes in PHYSICAL space (one stable schema across
     // renames), the result surfaces in toV's logical view
     val (added, removed, toSnap) = diffFrames(spark, table, fromV, toV)
-    toLogical(toSnap,
-      added.exceptAll(removed).withColumn("_change", lit("insert"))
-        .unionByName(removed.exceptAll(added).withColumn("_change", lit("delete"))))
+    toLogical(toSnap, diffBothWays(added, removed, "_change"))
   }
 
   /** The change feed's entry diff: files to read on the AFTER side

@@ -40,6 +40,29 @@ object Cols {
     GraftBridge.toColumn(new IntegralDivide(m, Literal(d)))
   }
 
+  /** Spread an under-parallel scan across the cluster before per-row
+    * EXPENSIVE work (optimization guide §2.5, input skew: "one huge
+    * unsplittable file … repartition immediately after the read").
+    *
+    * A single small/unsplittable input file plans as ONE scan task, so
+    * a codec decode / per-row synthesis stage that follows it runs on
+    * one core while the rest of the cluster idles. When the frame has
+    * fewer partitions than the session's default parallelism this
+    * round-robins it out to `defaultParallelism`; when the scan is
+    * already parallel (the 100 TB case: thousands of input files) it is
+    * a NO-OP — no extra exchange on the scaled path. Scale-adaptive by
+    * construction: the threshold derives from the cluster, never a
+    * constant tuned for local mode.
+    *
+    * Only for frames whose downstream work is per-row/partition-
+    * independent (codec decodes, hash signatures); the caller keeps the
+    * slim projection so the exchange moves keys, not payloads.
+    */
+  def fanOutScan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Harness-imposed determinism sort, SKIPPED under the benchmark.
     *
     * Load-path operators (fact build, clean) have no semantic order —
