@@ -1446,7 +1446,12 @@ object TextAnalysis {
         col("xent_milli"), col("ppl_bucket"))
   }
 
-  /** text_perplexity testdata binding. */
+  /** text_perplexity testdata binding. (fanOutScan on the documents
+    * frame was TRIED in the r16 optimization round and measured WORSE —
+    * 3.2 s → 4.6-5.4 s filtered: the tokenize is not this query's wall,
+    * and the added exchange + AQE replan outweigh the spread. Left
+    * as-is deliberately.)
+    */
   def perplexity(spark: SparkSession, sfDir: String): DataFrame =
     perplexityOn(Tables.documents(spark, sfDir), "doc_id", "text", "lang")
       .transform(graft.util.Cols.verifySort(_, col("doc_id")))

@@ -302,9 +302,28 @@ object EventStreams {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.sources.TxTable
     val v0 = TxTable.latestVersion(sourceTable)
-    if (TxTable.latestVersion(replicaTable) == 0)
-      TxTable.create(spark, replicaTable,
-        TxTable.read(spark, sourceTable, version = v0), statsCols)
+    if (TxTable.latestVersion(replicaTable) == 0) {
+      // Seed by ZERO-COPY CLONE (r16 optimization): the replica's seed
+      // state IS the source snapshot at v0, so hard-linking its files
+      // (a metadata operation carrying stats, DVs, column mapping) is
+      // byte-identical to — and at 100 TB incomparably cheaper than —
+      // re-writing the whole snapshot through a create(). Cross-device
+      // targets (links impossible) fall back to the copying create;
+      // the partially-linked tree is removed first so the fallback
+      // writes into a clean root.
+      try TxTable.cloneTable(spark, sourceTable, replicaTable, v0)
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          val root = java.nio.file.Paths.get(replicaTable)
+          if (java.nio.file.Files.isDirectory(root)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          }
+          TxTable.create(spark, replicaTable,
+            TxTable.read(spark, sourceTable, version = v0), statsCols)
+      }
+    }
     spark.readStream.format("graft-tx").option("path", sourceTable)
       .option("readChangeFeed", "true")
       .option("startingVersion", v0.toString)
