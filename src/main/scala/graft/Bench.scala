@@ -85,6 +85,9 @@ object Bench {
       var inputRows = 0L
       var inputBytes = 0L
       def onePass(run: Int): Double = {
+        // guide §1.5: label every job with its query so any UI/event-log
+        // inspection of a bench run attributes stages without guesswork
+        spark.sparkContext.setJobDescription(s"bench:$name run$run")
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()

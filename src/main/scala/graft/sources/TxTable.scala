@@ -881,14 +881,17 @@ object TxTable {
   private[graft] def diffBothWays(added: DataFrame, removed: DataFrame,
       changeCol: String): DataFrame = {
     val cols = added.columns.toSeq
-    added.withColumn("_w", lit(1L))
-      .unionByName(removed.withColumn("_w", lit(-1L)))
+    // helper columns carry a reserved prefix so a user column named
+    // "_w"/"_n" can never collide (physical names are user-controlled)
+    val (wc, nc, ic) = ("_graft_diff_w", "_graft_diff_n", "_graft_diff_i")
+    added.withColumn(wc, lit(1L))
+      .unionByName(removed.withColumn(wc, lit(-1L)))
       .groupBy(cols.map(col): _*)
-      .agg(sum(col("_w")).as("_n"))
-      .filter(col("_n") =!= 0L)
+      .agg(sum(col(wc)).as(nc))
+      .filter(col(nc) =!= 0L)
       .withColumn(changeCol,
-        when(col("_n") > 0L, lit("insert")).otherwise(lit("delete")))
-      .withColumn("_i", explode(sequence(lit(1L), abs(col("_n")))))
+        when(col(nc) > 0L, lit("insert")).otherwise(lit("delete")))
+      .withColumn(ic, explode(sequence(lit(1L), abs(col(nc)))))
       .select((cols :+ changeCol).map(col): _*)
   }
 
