@@ -949,9 +949,10 @@ object TxTable {
   /** Write `df` as a new immutable file set under data/v<slot>/ and
     * return entries with per-file rows + typed min/max for `statsCols`
     * (the skipping keys — integral, string, date, decimal all work).
-    * Stats come from ONE pass over the just-written files grouped by
-    * input_file_name — exact, and at scale a metadata-only read of
-    * parquet footers would replace it.
+    * Stats come from the just-written parquet FOOTERS when the write
+    * qualifies (r16 optimization — zero extra Spark jobs per commit;
+    * see [[footerHarvest]]), falling back to the original one-pass
+    * distributed read grouped by input_file_name.
     */
   private def writeFiles(spark: SparkSession, table: String, slot: String,
       df: DataFrame, statsCols: Seq[String],
@@ -960,10 +961,197 @@ object TxTable {
     if (partitionCols.isEmpty) df.write.mode("errorifexists").parquet(dir.toString)
     else df.write.mode("errorifexists").partitionBy(partitionCols: _*)
       .parquet(dir.toString)
-    val entries = harvestSlot(spark, table, slot, statsCols, partitionCols)
+    val entries = harvestSlot(spark, table, slot, statsCols, partitionCols,
+      Some(df.schema))
     maintainBloomSidecars(spark, table, entries, partitionCols)
     entries
   }
+
+  /** FOOTER-based stats harvest (r16 optimization, guide §1.2/§5): the
+    * stats the read-back pass recomputes are already IN the parquet
+    * footers the write just produced — rows, typed min/max, null
+    * counts — so a qualifying slot harvests driver-side with ZERO
+    * Spark jobs (one footer read per file; the read-back path cost one
+    * full distributed scan + collect per commit).
+    *
+    * PARITY is the contract: `ColStats` strings feed LEXICAL
+    * comparisons for date/timestamp/string (`ColStats.cmp`) against
+    * query bounds rendered by Spark's `cast(... as string)` in the
+    * SAME session, so every footer value is rendered through Spark's
+    * own `Cast` expression (session timezone included) — the identical
+    * rendering the read-back produced. Anything without guaranteed
+    * parity falls back wholesale (returns None → the caller runs the
+    * distributed pass): partitioned layouts (directory-value inference
+    * has its own rules), unsupported physical types (decimal/boolean/
+    * binary/int96), missing or unset footer statistics, string stats
+    * ≥ 48 chars (out-of-the-box writers may truncate binary min/max —
+    * a truncated max under-prunes UNSOUNDLY, so long strings never
+    * ride the footer path), dotted column names, > 64 files (a
+    * driver-side loop must stay O(small); big slots keep the
+    * distributed pass). Zero-row files are skipped — the read-back's
+    * groupBy(input_file_name) never saw them either.
+    */
+  private def footerHarvest(spark: SparkSession, table: String, slot: String,
+      statsCols: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Option[Seq[FileEntry]] = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    val dir = Paths.get(table, "data", slot)
+    val files = Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.getFileName.toString)
+    if (files.isEmpty || files.size > 64) return None
+    val wanted = statsCols.distinct
+    val fieldsByName = schema.fields.map(f => f.name -> f).toMap
+    if (!wanted.forall(c => fieldsByName.contains(c) && !c.contains('.')))
+      return None
+    def supported(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | DateType | TimestampType | TimestampNTZType |
+           StringType => true
+      case _ => false
+    }
+    if (!wanted.forall(c => supported(fieldsByName(c).dataType))) return None
+    val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
+    // Spark's own cast-to-string of the column's exact Spark type: the
+    // rendering the read-back used, by construction
+    def render(v: Any, dt: DataType): String =
+      Cast(Literal(v, dt), StringType, tz).eval(null).toString
+    def utf8Cmp(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    try {
+      val entries = files.flatMap { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toUri), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val (rows, colStats) =
+          try {
+            val footer = reader.getFooter
+            val blocks = footer.getBlocks.asScala.toSeq
+            val rows = blocks.map(_.getRowCount).sum
+            // per wanted column: merged (min, max, nulls) across blocks,
+            // as parquet-typed values; None anywhere → abort to fallback
+            val colStats: Map[String, (Option[(Any, Any)], Long)] =
+              wanted.map { c =>
+                val dt = fieldsByName(c).dataType
+                val chunks = blocks.map { b =>
+                  b.getColumns.asScala.find(_.getPath.toDotString == c)
+                    .getOrElse(throw FooterBail)
+                }
+                val stats = chunks.map(_.getStatistics)
+                if (stats.exists(s => s == null || s.isEmpty || !s.isNumNullsSet))
+                  throw FooterBail
+                val nulls = stats.map(_.getNumNulls).sum
+                val withVals = stats.filter(_.hasNonNullValue)
+                // no min/max anywhere: legitimate ONLY when the column is
+                // entirely null (the read-back records no stat either);
+                // otherwise the writer skipped stats (INT96 timestamps,
+                // NaN-bearing floats) and parity needs the read-back
+                if (withVals.isEmpty) {
+                  if (nulls != blocks.map(_.getRowCount).sum) throw FooterBail
+                  (c, (None, nulls)) // all-null column
+                }
+                else {
+                  val prim = chunks.head.getPrimitiveType.getPrimitiveTypeName
+                  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+                  def longOf(v: Any): Long = v match {
+                    case i: java.lang.Integer => i.toLong
+                    case l: java.lang.Long    => l
+                    case _                    => throw FooterBail
+                  }
+                  val mmOpt: Option[(Any, Any)] = (prim, dt) match {
+                    case (INT32 | INT64, ByteType) =>
+                      Some((longOf(withVals.map(_.genericGetMin).map(longOf).min).toByte,
+                        longOf(withVals.map(_.genericGetMax).map(longOf).max).toByte))
+                    case (INT32 | INT64, ShortType) =>
+                      Some((withVals.map(s => longOf(s.genericGetMin)).min.toShort,
+                        withVals.map(s => longOf(s.genericGetMax)).max.toShort))
+                    case (INT32, IntegerType) =>
+                      Some((withVals.map(s => longOf(s.genericGetMin)).min.toInt,
+                        withVals.map(s => longOf(s.genericGetMax)).max.toInt))
+                    case (INT64, LongType) =>
+                      Some((withVals.map(s => longOf(s.genericGetMin)).min,
+                        withVals.map(s => longOf(s.genericGetMax)).max))
+                    case (INT32, DateType) =>
+                      Some((withVals.map(s => longOf(s.genericGetMin)).min.toInt,
+                        withVals.map(s => longOf(s.genericGetMax)).max.toInt))
+                    case (INT64, TimestampType | TimestampNTZType) =>
+                      // Spark 4 writes micros; a non-micros logical unit
+                      // would mis-scale — require MICROS explicitly
+                      val lt = chunks.head.getPrimitiveType.getLogicalTypeAnnotation
+                      lt match {
+                        case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                          if t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS =>
+                          Some((withVals.map(s => longOf(s.genericGetMin)).min,
+                            withVals.map(s => longOf(s.genericGetMax)).max))
+                        case _ => throw FooterBail
+                      }
+                    case (FLOAT, FloatType) =>
+                      Some((withVals.map(_.genericGetMin.asInstanceOf[java.lang.Float].floatValue).min,
+                        withVals.map(_.genericGetMax.asInstanceOf[java.lang.Float].floatValue).max))
+                    case (DOUBLE, DoubleType) =>
+                      Some((withVals.map(_.genericGetMin.asInstanceOf[java.lang.Double].doubleValue).min,
+                        withVals.map(_.genericGetMax.asInstanceOf[java.lang.Double].doubleValue).max))
+                    case (BINARY, StringType) =>
+                      val mins = withVals.map(_.genericGetMin
+                        .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+                      val maxs = withVals.map(_.genericGetMax
+                        .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+                      if (mins.exists(_.length >= 48) || maxs.exists(_.length >= 48))
+                        throw FooterBail // truncation-safe bound
+                      val mn = mins.reduce((a, b) => if (utf8Cmp(a, b) <= 0) a else b)
+                      val mx = maxs.reduce((a, b) => if (utf8Cmp(a, b) >= 0) a else b)
+                      Some((org.apache.spark.unsafe.types.UTF8String.fromBytes(mn),
+                        org.apache.spark.unsafe.types.UTF8String.fromBytes(mx)))
+                    case _ => throw FooterBail
+                  }
+                  (c, (mmOpt, nulls))
+                }
+              }.toMap
+            (rows, colStats)
+          } finally reader.close()
+        if (rows == 0L) None // read-back's groupBy never saw empty files
+        else {
+          val rel = Paths.get(table).toAbsolutePath.relativize(p.toAbsolutePath)
+          val stats = wanted.flatMap { c =>
+            val dt = fieldsByName(c).dataType
+            colStats(c)._1.map { case (mn, mx) =>
+              c -> ColStats(statTyp(dt), render(mn, dt), render(mx, dt))
+            }
+          }.toMap
+          val nulls = wanted.map(c => c -> colStats(c)._2).toMap
+          Some(FileEntry(rel.toString, rows, stats, nulls, Map.empty,
+            Files.size(p), schema.fieldNames.toSeq))
+        }
+      }
+      Some(entries.sortBy(_.path))
+    } catch {
+      case FooterBail => None
+      case scala.util.control.NonFatal(_) => None // any surprise → read-back
+    }
+  }
+
+  /** Control-flow sentinel for [[footerHarvest]]'s wholesale fallback. */
+  private object FooterBail extends Exception {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  /** Observability: slots harvested via footers vs the distributed
+    * read-back since JVM start — lets specs assert the fast path
+    * actually engaged (a silent always-fallback would keep every test
+    * green while quietly re-paying the scan per commit).
+    */
+  @volatile private[graft] var footerHarvests: Long = 0L
+  @volatile private[graft] var readBackHarvests: Long = 0L
 
   /** Manifest entries for the files already sitting under
     * `data/<slot>/` — the stats-harvest half of [[writeFiles]], shared
@@ -972,7 +1160,21 @@ object TxTable {
     * by file yields per-file rows + typed min/max + null counts.
     */
   private def harvestSlot(spark: SparkSession, table: String, slot: String,
-      statsCols: Seq[String], partitionCols: Seq[String]): Seq[FileEntry] = {
+      statsCols: Seq[String], partitionCols: Seq[String],
+      writtenSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Seq[FileEntry] = {
+    // footer fast path (r16): zero Spark jobs when the write qualifies —
+    // unpartitioned, known schema, supported types; see footerHarvest.
+    // Partitioned slots keep the read-back: directory-value INFERENCE
+    // (what the read-back records for partition stats) has rules of its
+    // own that a raw path parse would not reproduce bit-for-bit.
+    if (partitionCols.isEmpty && writtenSchema.isDefined) {
+      footerHarvest(spark, table, slot, statsCols, writtenSchema.get) match {
+        case Some(entries) => footerHarvests += 1; return entries
+        case None          => // fall through to the distributed pass
+      }
+    }
+    readBackHarvests += 1
     val dir = Paths.get(table, "data", slot)
     // read-back re-infers partition columns from the hive-style dirs,
     // so partition-column stats (identity: min = max = the value per
