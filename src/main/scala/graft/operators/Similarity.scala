@@ -2263,13 +2263,20 @@ object Similarity {
     * VALUE-ORACLES against an unrolled SQL twin (rare for ANN
     * structures; same rationale as the unrolled pagerank).
     *
-    * Shape at scale: per round, one distinct + one capped self-join on
-    * the node key (fan-out ≤ cap² per node, never Σ deg² — the k-hop
-    * hub-cap policy), one embedding equi-join to score (slim (u,nbr)
-    * pairs shuffle; vectors join in by id), one per-node top-k window
-    * riding the same node-key shuffle, per-round localCheckpoint
-    * (lineage truncation). Output: (u, nbr, cos_sim, rk) — k rows per
-    * node.
+    * Shape at scale (r17 fusion, guide §2.3/§2.4): per round, ONE
+    * bounded map-side-combined aggregate builds each node's capped
+    * undirected neighborhood as an array ([[graft.functions.HashCapAgg]]
+    * — O(cap) state per node, at most cap longs per node cross the
+    * exchange), candidate pairs EXPLODE from the array (≤ cap² per
+    * node, never Σ deg², and no self-join), and the score pass rides
+    * one node-key exchange that serves dedup AND the top-k window
+    * (dropDuplicates over the same hash partitioning). The r16 form
+    * paid four exchanges per round (undirected distinct, cap window,
+    * pair self-join, merge distinct) plus the score window; measured
+    * at local[32] the suite's whole NN-Descent family was job-count
+    * bound on exactly those stages. Per-round localCheckpoint
+    * (lineage truncation) unchanged. Output: (u, nbr, cos_sim, rk) —
+    * k rows per node, result-identical to the window/self-join form.
     */
   def knnGraphOn(vectors: DataFrame, k: Int = KnnGraphK,
       rounds: Int = KnnGraphRounds, cap: Int = KnnGraphCap,
@@ -2286,8 +2293,13 @@ object Similarity {
     val uSide = v.select(col("vec_id").as("u"), col("embedding").as("uv"))
     val nSide = v.select(col("vec_id").as("nbr"), col("embedding").as("nv"))
     val w = Window.partitionBy(col("u")).orderBy(col("cos").desc, col("nbr"))
+    // dedup rides the node-key exchange the rank window needs anyway:
+    // repartition(u) + a same-partitioning (u, nbr) hash aggregate +
+    // the window sort — one exchange where distinct + window paid two
+    // (hashpartitioning(u) satisfies both requirements)
     def scoreTopK(pairs: DataFrame): DataFrame =
-      pairs.join(uSide, Seq("u")).join(nSide, Seq("nbr"))
+      pairs.repartition(col("u")).dropDuplicates("u", "nbr")
+        .join(uSide, Seq("u")).join(nSide, Seq("nbr"))
         .withColumn("cos", cosExpr("uv", "nv"))
         .select(col("u"), col("nbr"), col("cos"))
         .withColumn("rk", row_number().over(w))
@@ -2299,36 +2311,28 @@ object Similarity {
     // cap bucket MEMBERSHIP (the df-cap policy — a hot bucket degrades
     // to a deterministic sample), never the per-node candidate list by
     // hash: a hash-ordered node cap was measured to evict the cluster
-    // mates the seeds exist to find (signal recall 0.23 vs 1.0)
-    val tbCap = tb.withColumn("brk", row_number().over(
-        Window.partitionBy(col("t"), col("b"))
-          .orderBy(expr("(vec_id * 1103515245 + 12345) % 1000000007"), col("vec_id"))))
-      .filter(col("brk") <= KnnGraphBucketCap)
-      .select(col("vec_id"), col("t"), col("b"))
-    val lshSeeds = tbCap.select(col("t"), col("b"), col("vec_id").as("u"))
-      .join(tbCap.select(col("t"), col("b"), col("vec_id").as("x")), Seq("t", "b"))
-      .filter(col("u") =!= col("x"))
-      .select(col("u"), col("x").as("nbr")).distinct()
+    // mates the seeds exist to find (signal recall 0.23 vs 1.0).
+    // Bounded aggregate, not a window: same (hash, id) order, same cap.
+    val tbCapArr = tb.groupBy(col("t"), col("b"))
+      .agg(graft.functions.HashCapAgg.column(col("vec_id"), KnnGraphBucketCap).as("bm"))
+    val lshSeeds = tbCapArr.select(col("bm"), explode(col("bm")).as("u"))
+      .select(col("u"), explode(col("bm")).as("nbr"))
+      .filter(col("u") =!= col("nbr"))
     val farSeeds = v.select(col("vec_id").as("u"),
         explode(array(KnnGraphSteps.take(k).map(s =>
           (col("vec_id") + lit(s)) % lit(n)): _*)).as("nbr"))
       .filter(col("u") =!= col("nbr"))
-    val init = lshSeeds.unionAll(farSeeds).distinct()
-    var g = scoreTopK(init).localCheckpoint(true)
+    var g = scoreTopK(lshSeeds.unionAll(farSeeds)).localCheckpoint(true)
     (1 to rounds).foreach { _ =>
-      val und = g.select(col("u").as("w"), col("nbr").as("x"))
+      val undArr = g.select(col("u").as("w"), col("nbr").as("x"))
         .unionAll(g.select(col("nbr").as("w"), col("u").as("x")))
-        .distinct()
-      val capped = und.withColumn("crk", row_number().over(
-          Window.partitionBy(col("w"))
-            .orderBy(expr("(x * 1103515245 + 12345) % 1000000007"), col("x"))))
-        .filter(col("crk") <= cap).select(col("w"), col("x"))
-      val cand = capped.select(col("w"), col("x").as("a"))
-        .join(capped.select(col("w"), col("x").as("b")), Seq("w"))
-        .filter(col("a") =!= col("b"))
-        .select(col("a").as("u"), col("b").as("nbr"))
-      val merged = g.select(col("u"), col("nbr")).unionAll(cand).distinct()
-      g = scoreTopK(merged).localCheckpoint(true)
+        .groupBy(col("w"))
+        .agg(graft.functions.HashCapAgg.column(col("x"), cap).as("xs"))
+      val cand = undArr.select(col("xs"), explode(col("xs")).as("a"))
+        .select(col("a").as("u"), explode(col("xs")).as("nbr"))
+        .filter(col("u") =!= col("nbr"))
+      g = scoreTopK(g.select(col("u"), col("nbr")).unionAll(cand))
+        .localCheckpoint(true)
     }
     g.select(col("u"), col("nbr"), Cols.pround(col("cos"), 6).as("cos_sim"),
       col("rk"))
@@ -2387,8 +2391,11 @@ object Similarity {
     val uSide = all.select(col("vec_id").as("u"), col("embedding").as("uv"))
     val nSide = all.select(col("vec_id").as("nbr"), col("embedding").as("nv"))
     val w = Window.partitionBy(col("u")).orderBy(col("cos").desc, col("nbr"))
+    // r17 fusion (see knnGraphOn): dedup rides the node-key exchange
+    // the rank window needs anyway — one exchange per rescore
     def scoreTopK(pairs: DataFrame): DataFrame =
-      pairs.join(uSide, Seq("u")).join(nSide, Seq("nbr"))
+      pairs.repartition(col("u")).dropDuplicates("u", "nbr")
+        .join(uSide, Seq("u")).join(nSide, Seq("nbr"))
         .withColumn("cos", cosExpr("uv", "nv"))
         .select(col("u"), col("nbr"), col("cos"))
         .withColumn("rk", row_number().over(w))
@@ -2401,37 +2408,34 @@ object Similarity {
     val deltaBuckets = buckets(delta)
       .select(col("t"), col("b"), col("vec_id").as("u"))
       .transform(graft.util.CacheScope.cached) // keys filter + seed join
-    // cap-rank ONLY the buckets an arrival actually touches: per-bucket
-    // ranks are independent, so restricting the window's input to the
+    // cap ONLY the buckets an arrival actually touches: per-bucket caps
+    // are independent, so restricting the aggregate's input to the
     // consumed buckets is result-identical — and it turns the seed
-    // stage's dominant cost (a row_number window over every combined-
-    // corpus bucket row) delta-proportional (same device as
-    // knnGraphDelete's orphan-bucket restriction)
-    val candCap = buckets(all)
+    // stage's dominant cost delta-proportional (same device as
+    // knnGraphDelete's orphan-bucket restriction). Bounded HashCapAgg
+    // arrays replace the r16 row_number window (same (hash, id) order).
+    val candCapArr = buckets(all)
       .join(deltaBuckets.select(col("t"), col("b")).distinct(), Seq("t", "b"), "left_semi")
-      .withColumn("brk", row_number().over(
-        Window.partitionBy(col("t"), col("b"))
-          .orderBy(expr("(vec_id * 1103515245 + 12345) % 1000000007"), col("vec_id"))))
-      .filter(col("brk") <= KnnGraphBucketCap)
-      .select(col("vec_id"), col("t"), col("b"))
+      .groupBy(col("t"), col("b"))
+      .agg(graft.functions.HashCapAgg.column(col("vec_id"), KnnGraphBucketCap).as("bm"))
     // seeds stay builder-parity WIDE (every capped bucket member — a
     // per-arrival cap of 8/table was measured costing 9pts overall /
     // 46pts on arrival neighborhoods at sf0.01, because the builder's
     // own candidate budget IS the whole capped bucket): the wide part
     // is only SCORED once, which is delta-proportional; the bounded
     // part is the repair loop below
-    val seeds = deltaBuckets
-      .join(candCap.select(col("t"), col("b"), col("vec_id").as("x")), Seq("t", "b"))
-      .filter(col("u") =!= col("x"))
-      .select(col("u"), col("x").as("nbr")).distinct()
+    val seeds = deltaBuckets.join(candCapArr, Seq("t", "b"))
+      .select(col("u"), explode(col("bm")).as("nbr"))
+      .filter(col("u") =!= col("nbr"))
     val intro = seeds.unionAll(seeds.select(col("nbr").as("u"), col("u").as("nbr")))
-      .distinct()
     val affected = intro.select(col("u")).distinct()
-      .transform(graft.util.CacheScope.cached) // pivot filter every round
     val gEdges = graph.select(col("u"), col("nbr"))
-    var touched = affected
+    // `touched` (the nodes whose adjacency rows live in touchedAdj) is
+    // DERIVED — touchedAdj's u-set IS the touched set at every step
+    // (every affected node and every round's target scores ≥ 1 pair),
+    // so the r16 per-round touched checkpoint was a redundant action
     var touchedAdj = scoreTopK(
-        gEdges.join(affected, Seq("u"), "left_semi").unionAll(intro).distinct())
+        gEdges.join(affected, Seq("u"), "left_semi").unionAll(intro))
       .localCheckpoint(true)
     // Repair PIVOTS: only nodes whose adjacency actually CHANGED in
     // the rescore above (arrivals have no prior rows, so every arrival
@@ -2468,23 +2472,18 @@ object Similarity {
       //  in-edges  — the once-computed prior-graph slice with rows from
       //  since-touched sources swapped for their current ones.
       val curr = touchedAdj.select(col("u"), col("nbr"))
+      val touchedIds = touchedAdj.select(col("u")) // = the touched set
       val outPiv = curr.join(pivots, Seq("u"), "left_semi")
-      val inPiv = gInPiv.join(touched, Seq("u"), "left_anti")
+      val inPiv = gInPiv.join(touchedIds, Seq("u"), "left_anti")
         .unionAll(curr.join(pivots.select(col("u").as("nbr")), Seq("nbr"), "left_semi")
           .select(col("u"), col("nbr")))
-      val und = outPiv.select(col("u").as("w"), col("nbr").as("x"))
+      val undArr = outPiv.select(col("u").as("w"), col("nbr").as("x"))
         .unionAll(inPiv.select(col("nbr").as("w"), col("u").as("x")))
-        .distinct()
-      val undPiv = und.withColumn("crk", row_number().over(
-          Window.partitionBy(col("w"))
-            .orderBy(expr("(x * 1103515245 + 12345) % 1000000007"), col("x"))))
-        .filter(col("crk") <= cap).select(col("w"), col("x"))
-      val cand = undPiv.select(col("w"), col("x").as("a"))
-        .join(undPiv.select(col("w"), col("x").as("b")), Seq("w"))
-        .filter(col("a") =!= col("b"))
-        .select(col("a").as("u"), col("b").as("nbr")).distinct()
-      touched = touched.unionAll(cand.select(col("u"))).distinct()
-        .localCheckpoint(true)
+        .groupBy(col("w"))
+        .agg(graft.functions.HashCapAgg.column(col("x"), cap).as("xs"))
+      val cand = undArr.select(col("xs"), explode(col("xs")).as("a"))
+        .select(col("a").as("u"), explode(col("xs")).as("nbr"))
+        .filter(col("u") =!= col("nbr"))
       // rescore ONLY this round's proposal targets; every other
       // touched node's adjacency is carried forward BY REFERENCE — the
       // per-round score volume is |cand| + |targets|·2k, not
@@ -2499,12 +2498,12 @@ object Similarity {
       val rescored = scoreTopK(
         gEdges.join(targets, Seq("u"), "left_semi")
           .unionAll(curr.join(targets, Seq("u"), "left_semi"))
-          .unionAll(cand).distinct())
+          .unionAll(cand))
       touchedAdj = rescored
         .unionAll(touchedAdj.join(targets, Seq("u"), "left_anti"))
         .localCheckpoint(true)
     }
-    graph.join(touched, Seq("u"), "left_anti")
+    graph.join(touchedAdj.select(col("u")), Seq("u"), "left_anti")
       .select(col("u"), col("nbr"), col("cos_sim"), col("rk"))
       .unionAll(touchedAdj.select(col("u"), col("nbr"),
         Cols.pround(col("cos"), 6).as("cos_sim"), col("rk")))
@@ -2680,8 +2679,11 @@ object Similarity {
     val uSide = survivors.select(col("vec_id").as("u"), col("embedding").as("uv"))
     val nSide = survivors.select(col("vec_id").as("nbr"), col("embedding").as("nv"))
     val w = Window.partitionBy(col("u")).orderBy(col("cos").desc, col("nbr"))
+    // r17 fusion (see knnGraphOn): dedup rides the node-key exchange
+    // the rank window needs anyway — one exchange per rescore
     def scoreTopK(pairs: DataFrame): DataFrame =
-      pairs.join(uSide, Seq("u")).join(nSide, Seq("nbr"))
+      pairs.repartition(col("u")).dropDuplicates("u", "nbr")
+        .join(uSide, Seq("u")).join(nSide, Seq("nbr"))
         .withColumn("cos", cosExpr("uv", "nv"))
         .select(col("u"), col("nbr"), col("cos"))
         .withColumn("rk", row_number().over(w))
@@ -2719,24 +2721,20 @@ object Similarity {
           Seq("vec_id"), "left_semi"))
       .select(col("t"), col("b"), col("vec_id").as("u"))
       .transform(graft.util.CacheScope.cached) // keys filter + seed join
-    // cap-rank ONLY the buckets an orphan actually touches: per-bucket
-    // ranks are independent, so restricting the window's input to the
+    // cap ONLY the buckets an orphan actually touches: per-bucket caps
+    // are independent, so restricting the aggregate's input to the
     // consumed buckets is result-identical — and it turns the seed
-    // stage's dominant cost (a row_number window over every survivor's
-    // 16 bucket rows) delta-proportional: |orphan buckets| ≪ all
+    // stage's dominant cost delta-proportional: |orphan buckets| ≪ all
     // buckets at small purges (the 1% shape measured the full-corpus
-    // window at ~half a rebuild all by itself)
-    val candCap = buckets(survivors)
+    // window at ~half a rebuild all by itself). Bounded HashCapAgg
+    // arrays replace the r16 row_number window (same (hash, id) order).
+    val candCapArr = buckets(survivors)
       .join(orphanBuckets.select(col("t"), col("b")).distinct(), Seq("t", "b"), "left_semi")
-      .withColumn("brk", row_number().over(
-        Window.partitionBy(col("t"), col("b"))
-          .orderBy(expr("(vec_id * 1103515245 + 12345) % 1000000007"), col("vec_id"))))
-      .filter(col("brk") <= KnnGraphBucketCap)
-      .select(col("vec_id"), col("t"), col("b"))
-    val seeds = orphanBuckets
-      .join(candCap.select(col("t"), col("b"), col("vec_id").as("x")), Seq("t", "b"))
-      .filter(col("u") =!= col("x"))
-      .select(col("u"), col("x").as("nbr")).distinct()
+      .groupBy(col("t"), col("b"))
+      .agg(graft.functions.HashCapAgg.column(col("vec_id"), KnnGraphBucketCap).as("bm"))
+    val seeds = orphanBuckets.join(candCapArr, Seq("t", "b"))
+      .select(col("u"), explode(col("bm")).as("nbr"))
+      .filter(col("u") =!= col("nbr"))
     // the orphans' UNDIRECTED 2-hop through survivors: in-neighbors
     // (nodes that kept pointing at the orphan are symmetric-cosine
     // candidates), plus neighbors-of-surviving-neighbors — one
@@ -2755,14 +2753,19 @@ object Similarity {
       .join(gEdges.select(col("u").as("v"), col("nbr").as("w"))
         .unionAll(gEdges.select(col("nbr").as("v"), col("u").as("w"))), Seq("v"))
       .filter(col("u") =!= col("w"))
-      .select(col("u"), col("w").as("nbr")).distinct()
+      .select(col("u"), col("w").as("nbr"))
     // stage-2 rescore: surviving edges ∪ in-neighbors ∪ 2-hop ∪
-    // bridges ∪ LSH seeds, orphans only
-    var touched = orphans
+    // bridges ∪ LSH seeds, orphans only (scoreTopK dedups)
     var touchedAdj = scoreTopK(
         und1.unionAll(twoHop)
-          .unionAll(bridges).unionAll(seeds).distinct())
+          .unionAll(bridges).unionAll(seeds))
       .localCheckpoint(true)
+    // the touched set = orphans ∪ every round's rescored targets; the
+    // targets are exactly touchedAdj's added u-rows, so it is DERIVED
+    // (orphans ∪ touchedAdj.u — an orphan with zero candidates scores
+    // no rows but must still leave the carry-by-reference branch, hence
+    // the explicit orphans term) instead of checkpointed per round
+    def touchedIds = orphans.unionAll(touchedAdj.select(col("u")))
     // pivots = the orphans: every one of them lost a top-k member, so
     // every one's adjacency changed (the insert derives its pivot set
     // because MOST collided residents don't change; here all do)
@@ -2776,28 +2779,22 @@ object Similarity {
     (1 to repairRounds).foreach { _ =>
       val curr = touchedAdj.select(col("u"), col("nbr"))
       val outPiv = curr.join(pivots, Seq("u"), "left_semi")
-      val inPiv = gInPiv.join(touched, Seq("u"), "left_anti")
+      val inPiv = gInPiv.join(touchedIds, Seq("u"), "left_anti")
         .unionAll(curr.join(pivots.select(col("u").as("nbr")), Seq("nbr"), "left_semi")
           .select(col("u"), col("nbr")))
-      val und = outPiv.select(col("u").as("w"), col("nbr").as("x"))
+      val undArr = outPiv.select(col("u").as("w"), col("nbr").as("x"))
         .unionAll(inPiv.select(col("nbr").as("w"), col("u").as("x")))
-        .distinct()
-      val undPiv = und.withColumn("crk", row_number().over(
-          Window.partitionBy(col("w"))
-            .orderBy(expr("(x * 1103515245 + 12345) % 1000000007"), col("x"))))
-        .filter(col("crk") <= cap).select(col("w"), col("x"))
-      val cand = undPiv.select(col("w"), col("x").as("a"))
-        .join(undPiv.select(col("w"), col("x").as("b")), Seq("w"))
-        .filter(col("a") =!= col("b"))
-        .select(col("a").as("u"), col("b").as("nbr")).distinct()
-      touched = touched.unionAll(cand.select(col("u"))).distinct()
-        .localCheckpoint(true)
+        .groupBy(col("w"))
+        .agg(graft.functions.HashCapAgg.column(col("x"), cap).as("xs"))
+      val cand = undArr.select(col("xs"), explode(col("xs")).as("a"))
+        .select(col("a").as("u"), explode(col("xs")).as("nbr"))
+        .filter(col("u") =!= col("nbr"))
       val targets = cand.select(col("u")).distinct()
         .transform(graft.util.CacheScope.cached) // three joins below
       val rescored = scoreTopK(
         gEdges.join(targets, Seq("u"), "left_semi")
           .unionAll(curr.join(targets, Seq("u"), "left_semi"))
-          .unionAll(cand).distinct())
+          .unionAll(cand))
       touchedAdj = rescored
         .unionAll(touchedAdj.join(targets, Seq("u"), "left_anti"))
         .localCheckpoint(true)
@@ -2806,7 +2803,7 @@ object Similarity {
     // outside `touched` had NO deleted neighbor, so its (cos_sim, rk)
     // rows are exactly the prior graph's
     graph.join(del.select(col("vec_id").as("u")), Seq("u"), "left_anti")
-      .join(touched, Seq("u"), "left_anti")
+      .join(touchedIds, Seq("u"), "left_anti")
       .select(col("u"), col("nbr"), col("cos_sim"), col("rk"))
       .unionAll(touchedAdj.select(col("u"), col("nbr"),
         Cols.pround(col("cos"), 6).as("cos_sim"), col("rk")))
@@ -3045,13 +3042,21 @@ object Similarity {
       .distinct()
       .transform(graft.util.CacheScope.cached) // re-joined every round
     val wq = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    def score(cand: DataFrame, keep: Int): DataFrame =
-      cand.join(vectors, Seq("c_id")).join(broadcast(queries), Seq("q_id"))
+    // r17 fusion: candidate dedup (and the visited-set anti-join) ride
+    // the probe-key exchange the rank window needs anyway — one
+    // exchange per score pass where distinct + window paid two
+    def score(cand: DataFrame, keep: Int,
+        excl: Option[DataFrame] = None): DataFrame = {
+      val dd = cand.repartition(col("q_id")).dropDuplicates("q_id", "c_id")
+      val fresh = excl.map(e => dd.join(e, Seq("q_id", "c_id"), "left_anti"))
+        .getOrElse(dd)
+      fresh.join(vectors, Seq("c_id")).join(broadcast(queries), Seq("q_id"))
         .withColumn("cos", cosExpr("qv", "cv"))
         .select(col("q_id"), col("c_id"), col("cos"))
         .withColumn("srk", row_number().over(wq))
         .filter(col("srk") <= keep)
         .drop("srk")
+    }
     // every round's pool is re-read by the anti-join, the union, and
     // the final window — cache each round's (tiny: probes × width rows)
     // increment so the seed-scoring subtree runs once, not per round.
@@ -3067,9 +3072,9 @@ object Similarity {
       val expand = frontier.withColumnRenamed("c_id", "u")
         .join(und, Seq("u"))
         .select(col("q_id"), col("nbr").as("c_id"))
-        .filter(col("c_id") =!= col("q_id")).distinct()
-        .join(visited.select(col("q_id"), col("c_id")), Seq("q_id", "c_id"), "left_anti")
-      val kept = score(expand, width)
+        .filter(col("c_id") =!= col("q_id"))
+      val kept = score(expand, width,
+          excl = Some(visited.select(col("q_id"), col("c_id"))))
         .transform(graft.util.CacheScope.cached)
       visited = visited.unionAll(kept)
       frontier = kept.select(col("q_id"), col("c_id"))
@@ -3093,7 +3098,7 @@ object Similarity {
     val seedCand = buckets(queries, "q_id", "qv")
       .join(buckets(vectors, "c_id", "cv"), Seq("t", "b"))
       .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id")).distinct()
+      .select(col("q_id"), col("c_id")) // beamFrom's score pass dedups
     beamFrom(graph, vectors, queries, seedCand, entries, width, rounds, k)
   }
 
