@@ -1337,15 +1337,45 @@ object Similarity {
   private def lloyd(v: DataFrame, k: Int, iters: Int,
       hashSeeds: Boolean = false): (DataFrame, DataFrame) = {
     require(k <= 16, "argmin packing reserves 4 bits for the centroid id")
-    def assignTo(cents: DataFrame): DataFrame = {
-      val wide = cents.groupBy(col("d"))
-        .pivot("cid", (0 until k).map(i => i.toLong)).agg(first(col("cq")))
+    val spark = v.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    // r17 (guide §1.2/§5): the per-round centroid table is CONSTANT
+    // size — k·d ≤ 16·64 rows, corpus-independent — so it lives on the
+    // DRIVER between rounds (the MLlib-KMeans shape): one collect job
+    // per round replaces the r16 localCheckpoint job + the pivot's
+    // exchange + the broadcast-build job (a LocalRelation broadcasts
+    // without a job). Same integers end to end: the collected values
+    // are the exact sum-DIV-count longs the checkpoint held.
+    val centSchema = StructType(Seq(
+      StructField("cid", LongType, nullable = false),
+      StructField("d", IntegerType, nullable = false),
+      StructField("cq", LongType, nullable = false)))
+    val wideSchema = StructType(StructField("d", IntegerType, nullable = false) +:
+      (0 until k).map(i => StructField(i.toString, LongType, nullable = true)))
+    def collectCents(df: DataFrame): Array[Row] =
+      df.select(col("cid").cast("long"), col("d").cast("int"),
+        col("cq").cast("long")).collect()
+    // the driver-side twin of groupBy(d).pivot(cid).agg(first(cq)):
+    // one row per d, column i = centroid i's coordinate, null for an
+    // empty cluster (the null then voids its packed argmin term and
+    // `least` skips it — identical to the pivot's missing-cid column)
+    def wideLocal(rows: Array[Row]): DataFrame = {
+      val out = rows.groupBy(_.getInt(1)).toSeq.sortBy(_._1).map { case (d, rs) =>
+        val arr = new Array[Any](k + 1)
+        arr(0) = d
+        rs.foreach(r => arr(1 + r.getLong(0).toInt) = r.getLong(2))
+        Row.fromSeq(arr.toIndexedSeq)
+      }
+      spark.createDataFrame(java.util.Arrays.asList(out: _*), wideSchema)
+    }
+    def assignTo(rows: Array[Row]): DataFrame = {
       val sums = (0 until k).map { i =>
         val diff = col("qx") - col(i.toLong.toString)
         sum(diff * diff).as(s"s$i")
       }
       val packed = (0 until k).map(i => col(s"s$i") * lit(16L) + lit(i.toLong))
-      v.join(broadcast(wide), Seq("d"))
+      v.join(broadcast(wideLocal(rows)), Seq("d"))
         .groupBy(col("id"))
         .agg(sums.head, sums.tail: _*)
         .select(col("id"), least(packed: _*).as("amin"))
@@ -1360,7 +1390,7 @@ object Similarity {
     // id ranges, so ordering by it reproduced id-order seeding
     // exactly (the SrpBucket bit-consumer lesson applied to ranking).
     // TakeOrdered top-k, never a corpus-wide window.
-    var cents =
+    var cents: Array[Row] = collectCents(
       if (hashSeeds) {
         val seeds = v.select(col("id")).distinct()
           .withColumn("h", pow2ModP((col("id") * 1000003L + 12289L) % P))
@@ -1372,20 +1402,15 @@ object Similarity {
           .select(col("cid"), col("d"), col("qx").as("cq"))
       } else {
         v.filter(col("id") < k).select(col("id").as("cid"), col("d"), col("qx").as("cq"))
-      }
+      })
     (1 to iters).foreach { _ =>
       val assign = assignTo(cents).select(col("id"), pmod(col("amin"), lit(16L)).as("cid"))
-      // pin each round's k·d-row centroid table: truncates the
-      // per-iteration lineage AND lets the final (assignment, cents)
-      // pair share one materialization — RQ consumes both, and
-      // unpinned they re-ran the whole chain twice (8.8 s → the
-      // two-stage composite at ~2× kmeans)
-      cents = v.join(assign, Seq("id"))
+      cents = collectCents(v.join(assign, Seq("id"))
         .groupBy(col("cid"), col("d"))
-        .agg(expr("sum(qx) DIV count(1)").as("cq"))
-        .localCheckpoint(true)
+        .agg(expr("sum(qx) DIV count(1)").as("cq")))
     }
-    (assignTo(cents), cents)
+    (assignTo(cents),
+      spark.createDataFrame(java.util.Arrays.asList(cents: _*), centSchema))
   }
 
   /** The (+1)·2^20 fixed-point quantization of a float-vector frame to
@@ -1534,10 +1559,43 @@ object Similarity {
     * terms and `least` skips them, exactly matching the row form's
     * "min over present cids".
     */
-  private def pqCentsWide(cents: DataFrame, k: Int): DataFrame =
-    cents.groupBy(col("sub"), col("d"))
-      .pivot("cid", (0 until k).map(i => i.toLong))
-      .agg(first(col("cq")))
+  // r17 (guide §1.2/§5): the PQ codebook is CONSTANT size (subs·k·
+  // subdim ≈ 1 K rows, corpus-independent), so training keeps it on
+  // the DRIVER between rounds — one collect job per round replaces the
+  // per-round pivot exchange + broadcast-build job inside what was one
+  // very deep lazy plan (LocalRelations broadcast without a job, and
+  // the consumers' plans no longer carry the whole training lineage).
+  // Same integers end to end.
+  private def pqCentsWideLocal(spark: SparkSession, rows: Array[org.apache.spark.sql.Row],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val wideSchema = StructType(
+      StructField("sub", IntegerType, nullable = false) +:
+      StructField("d", IntegerType, nullable = false) +:
+      (0 until k).map(i => StructField(i.toString, LongType, nullable = true)))
+    // driver-side twin of groupBy(sub, d).pivot(cid).agg(first(cq)) —
+    // missing cid (empty cluster) stays a null column, which voids its
+    // packed argmin term exactly like the pivot's missing column
+    val out = rows.groupBy(r => (r.getInt(0), r.getInt(2))).toSeq
+      .sortBy(_._1).map { case ((sub, d), rs) =>
+        val arr = new Array[Any](k + 2)
+        arr(0) = sub
+        arr(1) = d
+        rs.foreach(r => arr(2 + r.getLong(1).toInt) = r.getLong(3))
+        Row.fromSeq(arr.toIndexedSeq)
+      }
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), wideSchema)
+  }
+  private def pqCentsNarrowLocal(spark: SparkSession,
+      rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
+      StructField("sub", IntegerType, nullable = false),
+      StructField("cid", LongType, nullable = false),
+      StructField("d", IntegerType, nullable = false),
+      StructField("cq", LongType, nullable = false))))
+  }
   private def pqAssign(v: DataFrame, centsWide: DataFrame, k: Int): DataFrame = {
     val sums = (0 until k).map { i =>
       val diff = col("qx") - col(i.toLong.toString)
@@ -1553,17 +1611,23 @@ object Similarity {
   /** The shared Lloyd loop of every PQ consumer ([[pqOn]], [[pqAdcOn]],
     * [[ivfPq]]): seed each subspace's codebook from the k lowest-id
     * vectors' subvectors, then `iters` rounds of broadcast-codebook
-    * assignment + (sub, cid, d) centroid means. All integers.
+    * assignment + (sub, cid, d) centroid means. All integers; the
+    * codebook rows ride the driver between rounds (constant size).
     */
-  private def pqTrainCents(v: DataFrame, k: Int, iters: Int): DataFrame = {
-    var cents = v.filter(col("id") < k)
-      .select(col("sub"), col("id").as("cid"), col("d"), col("qx").as("cq"))
+  private def pqTrainCents(v: DataFrame, k: Int, iters: Int)
+      : Array[org.apache.spark.sql.Row] = {
+    val spark = v.sparkSession
+    def collectCents(df: DataFrame): Array[org.apache.spark.sql.Row] =
+      df.select(col("sub").cast("int"), col("cid").cast("long"),
+        col("d").cast("int"), col("cq").cast("long")).collect()
+    var cents = collectCents(v.filter(col("id") < k)
+      .select(col("sub"), col("id").as("cid"), col("d"), col("qx").as("cq")))
     (1 to iters).foreach { _ =>
-      val assign = pqAssign(v, pqCentsWide(cents, k), k)
+      val assign = pqAssign(v, pqCentsWideLocal(spark, cents, k), k)
         .select(col("id"), col("sub"), pmod(col("amin"), lit(16L)).as("cid"))
-      cents = v.join(assign, Seq("id", "sub"))
+      cents = collectCents(v.join(assign, Seq("id", "sub"))
         .groupBy(col("sub"), col("cid"), col("d"))
-        .agg(expr("sum(qx) DIV count(1)").as("cq"))
+        .agg(expr("sum(qx) DIV count(1)").as("cq")))
     }
     cents
   }
@@ -1584,7 +1648,7 @@ object Similarity {
     require(k <= 16, "argmin packing and the nibble pack reserve 4 bits per code")
     val v = pqExplode(vectors, subDim)
     val cents = pqTrainCents(v, k, iters)
-    pqAssign(v, pqCentsWide(cents, k), k)
+    pqAssign(v, pqCentsWideLocal(vectors.sparkSession, cents, k), k)
       .groupBy(col("id"))
       // 16^sub ≤ 16^7 < 2^53: power() is exact, the cast is exact, and
       // the pack is a plain integer sum — portable across engines
@@ -1903,12 +1967,12 @@ object Similarity {
     require(k <= 16, "argmin packing reserves 4 bits per code")
     val v = pqExplode(vectors, subDim)
     val cents = pqTrainCents(v, k, iters)
-    val codes = pqAssign(v, pqCentsWide(cents, k), k) // see pqOn: 16× slimmer agg
+    val codes = pqAssign(v, pqCentsWideLocal(vectors.sparkSession, cents, k), k) // see pqOn: 16× slimmer agg
       .select(col("id"), col("sub"), pmod(col("amin"), lit(16L)).as("cid"))
     // per-probe LUT: exact dist² from each probe subvector to each centroid
     val lut = v.filter(col("id") < probeMaxId)
       .withColumnRenamed("id", "probe_id")
-      .join(broadcast(cents), Seq("sub", "d"))
+      .join(broadcast(pqCentsNarrowLocal(vectors.sparkSession, cents)), Seq("sub", "d"))
       .groupBy(col("probe_id"), col("sub"), col("cid"))
       .agg(sum((col("qx") - col("cq")) * (col("qx") - col("cq"))).as("ld"))
     val w = Window.partitionBy(col("probe_id"))
@@ -2009,11 +2073,11 @@ object Similarity {
     // PQ: train on the full set, encode, probe LUTs (pqAdcOn's stages)
     val v = pqExplode(e.select(col("vec_id").as("id"), col("embedding").as("vec")), PqSubDim)
     val pqCents = pqTrainCents(v, PqK, PqIters)
-    val codes = pqAssign(v, pqCentsWide(pqCents, PqK), PqK)
+    val codes = pqAssign(v, pqCentsWideLocal(spark, pqCents, PqK), PqK)
       .select(col("id"), col("sub"), pmod(col("amin"), lit(16L)).as("cid"))
     val lut = v.filter(col("id") < AdcProbes)
       .withColumnRenamed("id", "probe_id")
-      .join(broadcast(pqCents), Seq("sub", "d"))
+      .join(broadcast(pqCentsNarrowLocal(spark, pqCents)), Seq("sub", "d"))
       .groupBy(col("probe_id"), col("sub"), col("cid"))
       .agg(sum((col("qx") - col("cq")) * (col("qx") - col("cq"))).as("ld"))
     // ADC restricted to probed cells: codes ⋈ cell ⋈ probe map ⋈ LUT
