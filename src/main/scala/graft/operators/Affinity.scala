@@ -372,14 +372,16 @@ object Affinity {
         struct(col("a_item").as("u"), col("b_item").as("v")),
         struct(col("b_item").as("u"), col("a_item").as("v")))).as("p"))
       .select(col("p.u").as("u"), col("p.v").as("v"))
-    val eCap = e
-      .withColumn("rk", row_number().over(Window.partitionBy(col("u"))
-        .orderBy(expr("(v * 1103515245 + 12345) % 1000000007"), col("v"))))
-      .filter(col("rk") <= degCap)
-      .select(col("u"), col("v"))
+    // r17: the hub cap as a bounded aggregate (HashCapAgg — same
+    // (hash, id) order as the r16 row_number window, O(cap) state,
+    // map-side combined; e is distinct by construction so the
+    // aggregate's set semantics change nothing), the second hop
+    // exploding from the capped array
+    val eCapArr = e.groupBy(col("u").as("w"))
+      .agg(graft.functions.HashCapAgg.column(col("v"), degCap).as("xs"))
     val two = e.select(col("u"), col("v").as("w"))
-      .join(eCap.select(col("u").as("w"), col("v")), Seq("w"))
-      .select(col("u"), col("v"))
+      .join(eCapArr, Seq("w"))
+      .select(col("u"), explode(col("xs")).as("v"))
       .filter(col("u") =!= col("v"))
     val reach = e.unionAll(two).distinct()
     val deg = e.groupBy(col("u")).agg(count(lit(1)).as("n_1hop"))
@@ -443,12 +445,15 @@ object Affinity {
     while (r < rounds && nE > 0) {
       val alive = sym(e).groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("u").as("n"))
-      val next = e
+      // r17: the surviving-edge count rides the checkpoint
+      // materialization as an observe() metric — one action per peel
+      val obs = e
         .join(alive.select(col("n").as("u")), Seq("u"), "left_semi")
         .join(alive.select(col("n").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
-        .localCheckpoint(true)
-      val nNext = next.count()
+        .observe(s"kcore_$r", count(lit(1)).as("n"))
+      val next = obs.localCheckpoint(true)
+      val nNext = obs.queryExecution.observedMetrics(s"kcore_$r").getLong(0)
       e = next
       if (nNext == nE) r = rounds // fixpoint: remaining rounds are no-ops
       else { nE = nNext; r += 1 }
@@ -532,19 +537,25 @@ object Affinity {
         struct(col("b_item").as("u"), col("a_item").as("v")))).as("p"))
       .select(col("p.u").as("u"), col("p.v").as("v"))
       .localCheckpoint()
+    // r17 (guide §1.2): ONE action per round — the fixpoint test rides
+    // the round's own checkpoint materialization: the prior core table
+    // joins in as c_prev (the same join the separate changed-probe ran)
+    // and the changed count lands as an observe() metric, replacing the
+    // per-round limit(1).count() job.
     var core = e.groupBy(col("u")).agg(count(lit(1)).as("c"))
     var r = 0
     while (r < iters) {
       val byV = core.select(col("u").as("v"), col("c").as("cv"))
-      val next = e.join(byV, Seq("v"))
+      val obs = e.join(byV, Seq("v"))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("u")).orderBy(col("cv").desc, col("v"))))
         .groupBy(col("u"))
         .agg(max(least(col("rk").cast("long"), col("cv"))).as("c"))
-        .localCheckpoint()
-      val changed = next.join(core.withColumnRenamed("c", "c_prev"), Seq("u"))
-        .filter(col("c") =!= col("c_prev")).limit(1).count()
-      core = next
+        .join(core.withColumnRenamed("c", "c_prev"), Seq("u"))
+        .observe(s"core_$r", count(when(col("c") =!= col("c_prev"), lit(1))).as("n"))
+      val next = obs.localCheckpoint()
+      val changed = obs.queryExecution.observedMetrics(s"core_$r").getLong(0)
+      core = next.select(col("u"), col("c"))
       if (changed == 0) r = iters // fixpoint: remaining rounds are no-ops
       else r += 1
     }
@@ -692,13 +703,14 @@ object Affinity {
       degCap: Int = BipartiteDegCap, minShared: Long = 2L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val uv = edges.select(col(leftCol).as("u"), col(rightCol).as("v")).distinct()
-    val capped = uv
-      .withColumn("rk", row_number().over(Window.partitionBy(col("u"))
-        .orderBy(expr("(v * 1103515245 + 12345) % 1000000007"), col("v"))))
-      .filter(col("rk") <= degCap)
-      .select(col("u"), col("v"))
-    capped.select(col("u"), col("v").as("a_right"))
-      .join(capped.select(col("u"), col("v").as("b_right")), Seq("u"))
+    // r17: the adjacency cap as a bounded aggregate (HashCapAgg — same
+    // (hash, id) order as the r16 row_number window; the distinct
+    // feeding it makes the aggregate's set semantics a no-op) and the
+    // pair candidates EXPLODE from the capped array — no self-join
+    val capped = uv.groupBy(col("u"))
+      .agg(graft.functions.HashCapAgg.column(col("v"), degCap).as("xs"))
+    capped.select(col("xs"), explode(col("xs")).as("a_right"))
+      .select(col("a_right"), explode(col("xs")).as("b_right"))
       .filter(col("a_right") < col("b_right"))
       .groupBy(col("a_right"), col("b_right"))
       .agg(count(lit(1)).as("n_shared"))
@@ -766,6 +778,11 @@ object Affinity {
         struct(col("b_item").as("u"), col("a_item").as("v")))).as("p"))
       .select(col("p.u").as("u"), col("p.v").as("v"))
       .localCheckpoint(true)
+    // r17 (guide §1.2): ONE action per round — the new frontier rides
+    // the distance table's checkpoint (its rows are exactly dist == i),
+    // and the convergence count rides the same materialization as an
+    // observe() metric; the r16 form paid three actions per round
+    // (frontier checkpoint, frontier count, dist checkpoint).
     var dist = sources.select(col("id"), lit(0L).as("dist")).localCheckpoint(true)
     var frontier = dist.select(col("id"))
     var i = 1
@@ -775,10 +792,11 @@ object Affinity {
         .select(col("v").as("id")).distinct()
         .join(dist, Seq("id"), "left_anti")
         .select(col("id"), lit(i.toLong).as("dist"))
-        .localCheckpoint(true)
-      frontierN = next.count()
-      frontier = next.select(col("id"))
-      dist = dist.unionAll(next).localCheckpoint(true)
+      val obs = dist.unionAll(next).observe(s"bfs_$i",
+        count(when(col("dist") === i.toLong, lit(1))).as("n"))
+      dist = obs.localCheckpoint(true)
+      frontierN = obs.queryExecution.observedMetrics(s"bfs_$i").getLong(0)
+      frontier = dist.filter(col("dist") === i.toLong).select(col("id"))
       i += 1
     }
     dist
@@ -857,6 +875,10 @@ object Affinity {
         struct(col("b_item").as("u"), col("a_item").as("v"), col("w")))).as("p"))
       .select(col("p.u").as("u"), col("p.v").as("v"), col("p.w").as("w"))
       .localCheckpoint(true)
+    // r17 (guide §1.2): the improved-set count rides the improved
+    // frame's own checkpoint materialization as an observe() metric —
+    // two actions per round where the r16 form paid three (improved
+    // checkpoint, improved count, dist checkpoint).
     var dist = sources.select(col("id"), lit(0L).as("dist")).localCheckpoint(true)
     var frontier = dist
     var i = 1
@@ -866,11 +888,12 @@ object Affinity {
           frontier.select(col("id").as("u"), col("dist").as("du")), Seq("u"))
         .select(col("v").as("id"), (col("du") + col("w")).as("nd"))
         .groupBy(col("id")).agg(min(col("nd")).as("nd"))
-      val improved = relaxed.join(dist, Seq("id"), "left_outer")
+      val obs = relaxed.join(dist, Seq("id"), "left_outer")
         .filter(col("dist").isNull || col("nd") < col("dist"))
         .select(col("id"), col("nd").as("dist"))
-        .localCheckpoint(true)
-      frontierN = improved.count()
+        .observe(s"sssp_$i", count(lit(1)).as("n"))
+      val improved = obs.localCheckpoint(true)
+      frontierN = obs.queryExecution.observedMetrics(s"sssp_$i").getLong(0)
       frontier = improved
       dist = dist.unionAll(improved)
         .groupBy(col("id")).agg(min(col("dist")).as("dist"))
@@ -1019,13 +1042,14 @@ object Affinity {
     val und = edges.select(col("a").as("c"), col("b").as("n"))
       .union(edges.select(col("b").as("c"), col("a").as("n")))
     val deg = und.groupBy(col("c")).agg(count(lit(1)).as("deg"))
-    val capped = und
-      .withColumn("rk", row_number().over(Window.partitionBy(col("c"))
-        .orderBy(expr("(n * 1103515245 + 12345) % 1000000007"), col("n"))))
-      .filter(col("rk") <= degCap)
-      .select(col("c"), col("n"))
-    val cand = capped.select(col("c"), col("n").as("u"))
-      .join(capped.select(col("c"), col("n").as("w")), Seq("c"))
+    // r17: the degree cap as a bounded aggregate (HashCapAgg — same
+    // (hash, id) order as the r16 row_number window; und is distinct
+    // for canonical inputs so the set semantics change nothing) and
+    // the common-neighbor candidates EXPLODE from the capped array
+    val capped = und.groupBy(col("c"))
+      .agg(graft.functions.HashCapAgg.column(col("n"), degCap).as("xs"))
+    val cand = capped.select(col("xs"), explode(col("xs")).as("u"))
+      .select(col("u"), explode(col("xs")).as("w"))
       .filter(col("u") < col("w"))
       .groupBy(col("u"), col("w")).agg(count(lit(1)).as("cn"))
       .filter(col("cn") >= minCommon)

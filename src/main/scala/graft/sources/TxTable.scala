@@ -961,8 +961,28 @@ object TxTable {
     if (partitionCols.isEmpty) df.write.mode("errorifexists").parquet(dir.toString)
     else df.write.mode("errorifexists").partitionBy(partitionCols: _*)
       .parquet(dir.toString)
-    val entries = harvestSlot(spark, table, slot, statsCols, partitionCols,
-      Some(df.schema))
+    // the EMPTY result is detected from what the write produced, not
+    // by a pre-write df.isEmpty probe (r17 — that probe was one extra
+    // job per mutation commit, re-evaluating the rewrite subtree): a
+    // fully-deleted rewrite writes no data files (partitioned) or one
+    // zero-row file (unpartitioned, skipped by both harvest paths), in
+    // which case the dead slot directory is removed and the commit
+    // records no entries.
+    val hasData = {
+      val s = Files.walk(dir)
+      try s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    val entries =
+      if (!hasData) Seq.empty[FileEntry]
+      else harvestSlot(spark, table, slot, statsCols, partitionCols,
+        Some(df.schema))
+    if (entries.isEmpty) {
+      val s = Files.walk(dir)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally s.close()
+      return Seq.empty
+    }
     maintainBloomSidecars(spark, table, entries, partitionCols)
     entries
   }
@@ -979,11 +999,17 @@ object TxTable {
     * query bounds rendered by Spark's `cast(... as string)` in the
     * SAME session, so every footer value is rendered through Spark's
     * own `Cast` expression (session timezone included) — the identical
-    * rendering the read-back produced. Anything without guaranteed
-    * parity falls back wholesale (returns None → the caller runs the
-    * distributed pass): partitioned layouts (directory-value inference
-    * has its own rules), unsupported physical types (decimal/boolean/
-    * binary/int96), missing or unset footer statistics, string stats
+    * rendering the read-back produced. Partitioned slots (r17) ride
+    * the same fast path: partition values render through Spark's OWN
+    * directory-value inference + casting (GraftPartitionBridge — the
+    * identical functions the read-back's file index ran), with a
+    * wholesale bail on null partitions or mixed inferred types across
+    * directories (where the read-back's joint type resolution applies).
+    * Anything else without guaranteed parity also falls back wholesale
+    * (returns None → the caller runs the distributed pass):
+    * unsupported physical types (decimal/boolean/
+    * binary/int96), missing or unset footer statistics, NaN float
+    * stats, string stats
     * ≥ 48 chars (out-of-the-box writers may truncate binary min/max —
     * a truncated max under-prunes UNSOUNDLY, so long strings never
     * ride the footer path), dotted column names, > 64 files (a
@@ -993,18 +1019,27 @@ object TxTable {
     */
   private def footerHarvest(spark: SparkSession, table: String, slot: String,
       statsCols: Seq[String],
-      schema: org.apache.spark.sql.types.StructType): Option[Seq[FileEntry]] = {
+      schema: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[String] = Seq.empty): Option[Seq[FileEntry]] = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
     val dir = Paths.get(table, "data", slot)
-    val files = Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .toSeq.sortBy(_.getFileName.toString)
+    val files = {
+      val s = Files.walk(dir) // recursive: partitioned slots nest col=value dirs
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.toString)
+      finally s.close() // r17 (ADVICE): the unclosed stream leaked an fd per commit
+    }
     if (files.isEmpty || files.size > 64) return None
-    val wanted = statsCols.distinct
+    val partSet = partitionCols.toSet
+    // partition-column stats come from the DIRECTORY values (the file
+    // footers never carry them); only data columns read footers
+    val wanted = statsCols.distinct.filterNot(partSet)
     val fieldsByName = schema.fields.map(f => f.name -> f).toMap
     if (!wanted.forall(c => fieldsByName.contains(c) && !c.contains('.')))
       return None
+    if (partitionCols.exists(_.contains('.'))) return None
     def supported(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType | FloatType |
            DoubleType | DateType | TimestampType | TimestampNTZType |
@@ -1029,6 +1064,39 @@ object TxTable {
     }
     val conf = spark.sessionState.newHadoopConf()
     try {
+      // partition VALUES per file (r17): inferred from the hive dirs
+      // with Spark's OWN inference + casting (GraftPartitionBridge), so
+      // the rendered value is bit-identical to what the read-back's
+      // spark.read.parquet + cast-to-string recorded. Bails wholesale
+      // on anything the per-file parse cannot prove it reproduces: a
+      // null partition (__HIVE_DEFAULT_PARTITION__), mixed inferred
+      // types across directories (the read-back would resolve a joint
+      // type), or an unexpected column order.
+      val perFileParts: Map[java.nio.file.Path, Seq[(String, String, String)]] =
+        if (partitionCols.isEmpty) Map.empty
+        else {
+          val typeInference = spark.sessionState.conf.getConfString(
+            "spark.sql.sources.partitionColumnTypeInference.enabled", "true").toBoolean
+          val tzStr = spark.sessionState.conf.sessionLocalTimeZone
+          val raw = files.map { p =>
+            val fragment = dir.relativize(p.getParent).toString
+              .replace(java.io.File.separatorChar, '/')
+            val inferred = org.apache.spark.sql.execution.datasources
+              .GraftPartitionBridge.inferPartitionFragment(fragment, typeInference, tzStr)
+            if (inferred.map(_._1) != partitionCols) throw FooterBail
+            if (inferred.exists(x => x._2 == NullType || x._3 == null)) throw FooterBail
+            p -> inferred
+          }
+          partitionCols.indices.foreach { i =>
+            if (raw.map(_._2(i)._2).distinct.size != 1) throw FooterBail
+          }
+          raw.map { case (p, vals) =>
+            p -> vals.map { case (c, dt, v) =>
+              val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt)
+              (c, Cast(lit, StringType, tz).eval(null).toString, statTyp(dt))
+            }
+          }.toMap
+        }
       val entries = files.flatMap { p =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(p.toUri), conf)
@@ -1096,11 +1164,19 @@ object TxTable {
                         case _ => throw FooterBail
                       }
                     case (FLOAT, FloatType) =>
-                      Some((withVals.map(_.genericGetMin.asInstanceOf[java.lang.Float].floatValue).min,
-                        withVals.map(_.genericGetMax.asInstanceOf[java.lang.Float].floatValue).max))
+                      val mns = withVals.map(_.genericGetMin.asInstanceOf[java.lang.Float].floatValue)
+                      val mxs = withVals.map(_.genericGetMax.asInstanceOf[java.lang.Float].floatValue)
+                      // r17 (ADVICE): a writer that DID stamp NaN min/max
+                      // would render "NaN" and poison ColStats' numeric
+                      // cmp (intersects() false => unsound skipping) —
+                      // never accept NaN stats from a footer
+                      if (mns.exists(_.isNaN) || mxs.exists(_.isNaN)) throw FooterBail
+                      Some((mns.min, mxs.max))
                     case (DOUBLE, DoubleType) =>
-                      Some((withVals.map(_.genericGetMin.asInstanceOf[java.lang.Double].doubleValue).min,
-                        withVals.map(_.genericGetMax.asInstanceOf[java.lang.Double].doubleValue).max))
+                      val mns = withVals.map(_.genericGetMin.asInstanceOf[java.lang.Double].doubleValue)
+                      val mxs = withVals.map(_.genericGetMax.asInstanceOf[java.lang.Double].doubleValue)
+                      if (mns.exists(_.isNaN) || mxs.exists(_.isNaN)) throw FooterBail
+                      Some((mns.min, mxs.max))
                     case (BINARY, StringType) =>
                       val mins = withVals.map(_.genericGetMin
                         .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
@@ -1122,15 +1198,25 @@ object TxTable {
         if (rows == 0L) None // read-back's groupBy never saw empty files
         else {
           val rel = Paths.get(table).toAbsolutePath.relativize(p.toAbsolutePath)
+          val pvals = perFileParts.getOrElse(p, Seq.empty)
+          // a partition column is constant per file: identity stat,
+          // rendered through the same inference + Cast the read-back used
           val stats = wanted.flatMap { c =>
             val dt = fieldsByName(c).dataType
             colStats(c)._1.map { case (mn, mx) =>
               c -> ColStats(statTyp(dt), render(mn, dt), render(mx, dt))
             }
-          }.toMap
-          val nulls = wanted.map(c => c -> colStats(c)._2).toMap
-          Some(FileEntry(rel.toString, rows, stats, nulls, Map.empty,
-            Files.size(p), schema.fieldNames.toSeq))
+          }.toMap ++
+            pvals.map { case (c, rendered, typ) => c -> ColStats(typ, rendered, rendered) }
+          val nulls = wanted.map(c => c -> colStats(c)._2).toMap ++
+            pvals.map { case (c, _, _) => c -> 0L }
+          val parts = pvals.map { case (c, rendered, _) => c -> rendered }.toMap
+          // read-back field order: data columns, then inferred partition dirs
+          val fieldOrder =
+            if (partitionCols.isEmpty) schema.fieldNames.toSeq
+            else schema.fieldNames.toSeq.filterNot(partSet) ++ partitionCols
+          Some(FileEntry(rel.toString, rows, stats, nulls, parts,
+            Files.size(p), fieldOrder))
         }
       }
       Some(entries.sortBy(_.path))
@@ -1163,13 +1249,16 @@ object TxTable {
       statsCols: Seq[String], partitionCols: Seq[String],
       writtenSchema: Option[org.apache.spark.sql.types.StructType] = None)
       : Seq[FileEntry] = {
-    // footer fast path (r16): zero Spark jobs when the write qualifies —
-    // unpartitioned, known schema, supported types; see footerHarvest.
-    // Partitioned slots keep the read-back: directory-value INFERENCE
-    // (what the read-back records for partition stats) has rules of its
-    // own that a raw path parse would not reproduce bit-for-bit.
-    if (partitionCols.isEmpty && writtenSchema.isDefined) {
-      footerHarvest(spark, table, slot, statsCols, writtenSchema.get) match {
+    // footer fast path (r16, extended to partitioned slots r17): zero
+    // Spark jobs when the write qualifies — known schema, supported
+    // types; see footerHarvest. Partition values render through
+    // Spark's OWN directory-value inference (GraftPartitionBridge), so
+    // the r16 partitioned-slot exclusion is lifted; anything inference
+    // cannot provably reproduce (null partitions, mixed-type dirs)
+    // still bails wholesale to the read-back.
+    if (writtenSchema.isDefined) {
+      footerHarvest(spark, table, slot, statsCols, writtenSchema.get,
+        partitionCols) match {
         case Some(entries) => footerHarvests += 1; return entries
         case None          => // fall through to the distributed pass
       }
@@ -2980,12 +3069,12 @@ object TxTable {
     val slot = f"v${parent + 1}%08d-mc"
     val clusterCols =
       ((parts.map(logicalName(snap, _)) ++ keyCols).distinct).map(col)
-    val written =
-      if (result.isEmpty) Seq.empty[FileEntry] // every candidate row deleted
-      else writeFiles(spark, table, slot,
-        toPhysical(snap, result.repartitionByRange(
-          math.max(1, rewriteSet.size), clusterCols: _*)),
-        statsCols.map(originalName(snap, _)), parts)
+    // no pre-write isEmpty probe: writeFiles detects the all-deleted
+    // case from the written slot itself (r17 — one fewer job per commit)
+    val written = writeFiles(spark, table, slot,
+      toPhysical(snap, result.repartitionByRange(
+        math.max(1, rewriteSet.size), clusterCols: _*)),
+      statsCols.map(originalName(snap, _)), parts)
     // composite merges stamp a DISTINCT op type: CDF pairing keys on a
     // single column, and pairing a composite window on its first
     // column alone would mispair rows sharing it — mergeKeyFor only
@@ -3034,11 +3123,9 @@ object TxTable {
     val kept = rawRead(spark, table, touched)
       .join(probe.select(col(keyOrig)).distinct(), Seq(keyOrig), "left_anti")
     val clusterCols = ((parts :+ keyOrig).distinct).map(col)
-    val written =
-      if (kept.isEmpty) Seq.empty[FileEntry]
-      else writeFiles(spark, table, slot,
-        kept.repartitionByRange(math.max(1, touched.size), clusterCols: _*),
-        statsCols.map(originalName(snap, _)), parts)
+    val written = writeFiles(spark, table, slot,
+      kept.repartitionByRange(math.max(1, touched.size), clusterCols: _*),
+      statsCols.map(originalName(snap, _)), parts)
     val v = commitOp(table, parent, snap, untouched ++ written, snap.batches,
       "delete" -> keyOrig)
     MergeResult(v, touched.size, untouched.size)
@@ -3164,11 +3251,9 @@ object TxTable {
       col(predOrig) > lit(hi).cast(dt) || col(predOrig).isNull)
     // same clustering-preservation contract as merge's rewrite
     val clusterCols = ((parts :+ predOrig).distinct).map(col)
-    val written =
-      if (kept.isEmpty) Seq.empty[FileEntry]
-      else writeFiles(spark, table, slot,
-        kept.repartitionByRange(math.max(1, touched.size), clusterCols: _*),
-        statsCols.map(originalName(snap, _)), parts)
+    val written = writeFiles(spark, table, slot,
+      kept.repartitionByRange(math.max(1, touched.size), clusterCols: _*),
+      statsCols.map(originalName(snap, _)), parts)
     val v = commitOp(table, parent, snap, untouched ++ written, snap.batches,
       "delete" -> predOrig)
     MergeResult(v, touched.size, untouched.size)
@@ -3442,10 +3527,8 @@ object TxTable {
     val clustered =
       if (clusterCols.isEmpty) kept.repartition(math.max(1, touched.size))
       else kept.repartitionByRange(math.max(1, touched.size), clusterCols: _*)
-    val written =
-      if (kept.isEmpty) Seq.empty[FileEntry]
-      else writeFiles(spark, table, slot, toPhysical(snap, clustered),
-        statsCols.map(originalName(snap, _)), parts)
+    val written = writeFiles(spark, table, slot, toPhysical(snap, clustered),
+      statsCols.map(originalName(snap, _)), parts)
     val v = commitOp(table, parent, snap, untouched ++ written,
       snap.batches, "delete" -> "")
     MergeResult(v, touched.size, untouched.size)
