@@ -75,9 +75,17 @@ object Dedup {
     * recompute the full tokenize+hash pipeline per branch (at production
     * scale this step is a materialized signature table).
     */
+  // fanOutScan (r17, guide §2.5): the tokenize + shingle-hash pass is
+  // the tier's scan-side CPU cost, and the sf inputs are single parquet
+  // files that plan as ONE task — spread the (id, text) rows across the
+  // cluster before hashing (Prof dedup_cluster_pd: a 1.5 s single-task
+  // job, the query's longest). No-op on an already-parallel scan (the
+  // 100 TB case), same device as the mm codec tier.
   private def shingledOn(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-        TextFns.shingleHashes(TextFns.tokenize(col(textCol))).as("h"))
+    graft.util.Cols.fanOutScan(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("_text")))
+      .select(col("doc_id"),
+        TextFns.shingleHashes(TextFns.tokenize(col("_text"))).as("h"))
       .transform(graft.util.CacheScope.cached)
 
   private val shingledSql =
