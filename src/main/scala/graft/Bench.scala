@@ -152,9 +152,14 @@ object Bench {
     val bySlowest = results.toSeq.sortBy {
       case (_, (t, _, _, _, _)) => if (t < 0) Double.NegativeInfinity else -t
     }
+    // 2-decimal timings on the BUDGETED line only (r17, format-only:
+    // VERDICT-r16 #7 — every byte saved keeps another mid-pack query in
+    // the driver's per-round diff); QUERY_SECS and bench_last.json keep
+    // full 3-decimal precision for repin/benchcheck.
+    def f2(t: Double): String = if (t < 0) "-1" else f"$t%.2f"
     var keep = bySlowest.length
     def qsOf(n: Int): String = bySlowest.take(n)
-      .map { case (k, (t, _, _, _, _)) => "\"" + k + "\":" + f3(t) }
+      .map { case (k, (t, _, _, _, _)) => "\"" + k + "\":" + f2(t) }
       .mkString("{", ",", "}")
     while (keep > 1 && line(qsOf(keep), bySlowest.length - keep).length > LineBudget)
       keep -= 1

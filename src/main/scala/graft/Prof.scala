@@ -23,7 +23,8 @@ object Prof {
     override def onJobStart(e: SparkListenerJobStart): Unit = synchronized {
       val rec = JobRec(e.jobId, e.time)
       rec.tasks = e.stageInfos.map(_.numTasks).sum
-      rec.site = e.stageInfos.lastOption.map(_.details.linesIterator.next()).getOrElse("")
+      rec.site = e.stageInfos.lastOption
+        .flatMap(_.details.linesIterator.nextOption()).getOrElse("")
       jobs(e.jobId) = rec
     }
     override def onJobEnd(e: SparkListenerJobEnd): Unit = synchronized {

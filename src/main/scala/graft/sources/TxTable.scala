@@ -891,7 +891,16 @@ object TxTable {
       .filter(col(nc) =!= 0L)
       .withColumn(changeCol,
         when(col(nc) > 0L, lit("insert")).otherwise(lit("delete")))
-      .withColumn(ic, explode(sequence(lit(1L), abs(col(nc)))))
+      // r17 (ADVICE): CHUNKED replication — a single explode(sequence(1,
+      // n)) materializes an O(n) array per distinct row, which an
+      // unkeyed window with millions of identical duplicate rows could
+      // OOM on (the exceptAll pair this fused form replaced streamed
+      // its copies). Two nested explodes bound every array at 4096:
+      // chunk count first, then the per-chunk remainder.
+      .withColumn(ic,
+        explode(sequence(lit(0L), expr(s"(abs(`$nc`) - 1) div 4096"))))
+      .withColumn(ic + "2", explode(sequence(lit(1L),
+        least(lit(4096L), abs(col(nc)) - col(ic) * 4096L))))
       .select((cols :+ changeCol).map(col): _*)
   }
 

@@ -311,14 +311,29 @@ object EventStreams {
       // targets (links impossible) fall back to the copying create;
       // the partially-linked tree is removed first so the fallback
       // writes into a clean root.
+      // r17 (ADVICE): verify the target is absent or EMPTY before the
+      // clone so the cross-device fallback's cleanup can never destroy
+      // pre-placed user content under the replica root (e.g. a nested
+      // checkpoint dir) — the old create()-only path never deleted
+      // anything, and the fallback must not either.
+      val root = java.nio.file.Paths.get(replicaTable)
+      if (java.nio.file.Files.isDirectory(root)) {
+        val s = java.nio.file.Files.list(root)
+        try require(!s.iterator().hasNext,
+          s"replica target $replicaTable exists and is not empty")
+        finally s.close()
+      }
       try TxTable.cloneTable(spark, sourceTable, replicaTable, v0)
       catch {
         case scala.util.control.NonFatal(_) =>
-          val root = java.nio.file.Paths.get(replicaTable)
+          // the target was empty above, so everything under it is
+          // clone debris — safe to remove before the copying fallback
           if (java.nio.file.Files.isDirectory(root)) {
             import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+            val s = java.nio.file.Files.walk(root)
+            try s.iterator().asScala.toSeq.reverse
               .foreach(java.nio.file.Files.deleteIfExists(_))
+            finally s.close()
           }
           TxTable.create(spark, replicaTable,
             TxTable.read(spark, sourceTable, version = v0), statsCols)
