@@ -3711,7 +3711,13 @@ object Similarity {
   def hardNegativesOn(vectors: DataFrame, k: Int, tables: Int = 16,
       planesPerTable: Int = AutoPlanes): DataFrame = {
     val p = resolvePlanes(planesPerTable, vectors)
-    val b = vectors.withColumn("tb", explode(array((0 until tables).map(t =>
+    // fanOutScan (r17, guide §2.5): the 16-table SRP bucketing is this
+    // query's scan-side CPU cost and the sf input plans as ONE task
+    // (Prof: a 2.1 s single-task job) — spread the rows first; no-op on
+    // an already-parallel scan. Applied to the bucket side only: the
+    // score joins' broadcast builds stay on the plain scan.
+    val b = graft.util.Cols.fanOutScan(vectors)
+      .withColumn("tb", explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
           graft.functions.SrpBucket.column(col("vec"), p, t * p).as("b"))): _*)))
       .select(col("id"), col("label"), col("tb.t").as("t"), col("tb.b").as("b"))

@@ -1384,6 +1384,14 @@ object TextAnalysis {
   def perplexityOn(df: DataFrame, idCol: String, textCol: String,
       langCol: String): DataFrame = {
     val F = EntF
+    // NO fanOutScan here — re-measured r17 (Prof showed six ~0.7 s
+    // single-task tokenize jobs, which LOOKED like the dedup/mm case):
+    // spreading the scan measured 4.6 -> 6.3 s, with or without caching
+    // the tokenized frame (the array<string> columnar cache is its own
+    // regression, the q52 lesson). The broadcast-subtree consumers each
+    // pay the exchange and AQE replans eat the spread's win — same
+    // negative result as r16; the train-count/scoring joins stay the
+    // wall. Twice measured, twice reverted: leave this one alone.
     val base = df.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
         TextFns.tokenize(col(textCol)).as("w"))
       .withColumn("split_h", pmod(TextFns.charFold(
