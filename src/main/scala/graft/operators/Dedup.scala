@@ -80,13 +80,19 @@ object Dedup {
   // files that plan as ONE task — spread the (id, text) rows across the
   // cluster before hashing (Prof dedup_cluster_pd: a 1.5 s single-task
   // job, the query's longest). No-op on an already-parallel scan (the
-  // 100 TB case), same device as the mm codec tier.
-  private def shingledOn(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    graft.util.Cols.fanOutScan(
-        df.select(col(idCol).as("doc_id"), col(textCol).as("_text")))
+  // 100 TB case), same device as the mm codec tier. `spread = false`
+  // for the TWO-sided consumers (fuzzy join/rerank): their halved
+  // inputs shingle in two frames, and the doubled exchange + cache
+  // waypoints measured 1.3 -> 2.3 s — the one-sided corpus tier is
+  // where the spread pays.
+  private def shingledOn(df: DataFrame, idCol: String, textCol: String,
+      spread: Boolean = true): DataFrame = {
+    val slim = df.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+    (if (spread) graft.util.Cols.fanOutScan(slim) else slim)
       .select(col("doc_id"),
         TextFns.shingleHashes(TextFns.tokenize(col("_text"))).as("h"))
       .transform(graft.util.CacheScope.cached)
+  }
 
   private val shingledSql =
     s"""SELECT doc_id, ${TextFns.shingleHashesSql("words")} AS h
@@ -157,9 +163,9 @@ object Dedup {
       right: DataFrame, rightId: String, rightText: String,
       threshold: Double, dfCap: Int = DfCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lt = shingledOn(left, leftId, leftText)
+    val lt = shingledOn(left, leftId, leftText, spread = false)
       .select(col("doc_id").as("l_id"), col("h"))
-    val rt = shingledOn(right, rightId, rightText)
+    val rt = shingledOn(right, rightId, rightText, spread = false)
       .select(col("doc_id").as("r_id"), col("h"))
     val le = lt.select(col("l_id"), explode(col("h")).as("x"))
     val re = rt.select(col("r_id"), explode(col("h")).as("x"))
@@ -198,9 +204,9 @@ object Dedup {
       candThreshold: Double, prefixLen: Int = 200,
       dfCap: Int = DfCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lt = shingledOn(left, leftId, leftText)
+    val lt = shingledOn(left, leftId, leftText, spread = false)
       .select(col("doc_id").as("l_id"), col("h"))
-    val rt = shingledOn(right, rightId, rightText)
+    val rt = shingledOn(right, rightId, rightText, spread = false)
       .select(col("doc_id").as("r_id"), col("h"))
     val le = lt.select(col("l_id"), explode(col("h")).as("x"))
     val re = rt.select(col("r_id"), explode(col("h")).as("x"))
